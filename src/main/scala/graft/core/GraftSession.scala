@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   * Scale notes: shuffle partitions default to the local core count for
   * local[N] testing; on a real cluster the caller passes the cluster's
   * parallelism (or relies on AQE coalescing, which is enabled here).
+  * AQE also handles skew-join splitting at scale, so skewed facility
+  * fan-out (reference threads 20 facilities/batch) needs no manual salt
+  * unless a single key dominates.
   */
 object GraftSession {
 
@@ -27,7 +30,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata events.parquet stores TIMESTAMP(NANOS) which
+      // vanilla Spark rejects; read as epoch-nanos long and convert in
+      // Tables.events (DuckDB oracle side casts ts::TIMESTAMP).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Common post-create tuning applied by Verify/Bench mains. */

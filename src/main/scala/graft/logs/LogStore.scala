@@ -1,0 +1,77 @@
+package graft.logs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Control-plane log tables (SURVEY §1.1) as append-only parquet with
+  * latest-wins views.
+  *
+  * The reference mutates rows in place (`UPDATE sync_file ...`,
+  * file_loader.py:111-119,180-189). Plain parquet is append-only, so a
+  * keyed "update" is an append of a new version row plus a latest-wins
+  * read view — exactly the reference's own W1 dedup pattern
+  * (quality_assessments/duplicates_check.sql:1-17) applied as MVCC.
+  *
+  * Scale: the window in [[latest]] partitions by the logical key, so it
+  * shuffles once by key and never widens; for an ever-growing log,
+  * [[compact]] rewrites the table to current-versions-only (bounding
+  * later window input), mirroring the reference's dedup DELETE
+  * (duplicates_check.sql:26-54).
+  */
+final case class LogStore(spark: SparkSession, dir: String) {
+
+  private def path(table: String) = s"$dir/$table"
+
+  def append(table: String, rows: DataFrame): Unit =
+    rows.withColumn("_version_ts", lit(System.nanoTime()))
+      .write.mode("append").parquet(path(table))
+
+  def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  /** Raw append history (all versions). */
+  def history(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def emptyLike(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+
+  /** Latest-wins view: one row per key, highest version wins (W1:
+    * ROW_NUMBER over PARTITION BY key ORDER BY version DESC, keep rn=1).
+    */
+  def latest(table: String, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_version_ts").desc)
+    history(table)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_version_ts")
+  }
+
+  def latestOrEmpty(table: String, keys: Seq[String], schema: StructType): DataFrame =
+    if (exists(table)) latest(table, keys) else emptyLike(schema)
+
+  /** Keyed update (S11/S12): append the updated version rows. Callers
+    * pass full rows (old values + changed columns) — the view resolves
+    * the winner.
+    */
+  def update(table: String, rows: DataFrame): Unit = append(table, rows)
+
+  /** Compact a log table to its current versions (bounds window input;
+    * run periodically like the reference's dedup DELETE).
+    */
+  def compact(table: String, keys: Seq[String]): Unit = {
+    val current = latest(table, keys).cache()
+    current.count() // materialize before overwrite
+    current.withColumn("_version_ts", lit(System.nanoTime()))
+      .write.mode("overwrite").parquet(path(table) + "_compacted")
+    // atomic-ish swap: parquet dir rename
+    val fs = new java.io.File(path(table))
+    val bak = new java.io.File(path(table) + "_old")
+    fs.renameTo(bak)
+    new java.io.File(path(table) + "_compacted").renameTo(fs)
+    org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    current.unpersist()
+  }
+}

@@ -1,0 +1,167 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Central schema registry — replaces the reference's live
+  * `information_schema.columns` lookup per table
+  * (`staging_records_ingestion/file_loader.py:45-49`) with static
+  * `StructType`s. At 100 TB scale a catalog round-trip per file is a
+  * non-starter; schemas are compiled in (or loaded once per run).
+  *
+  * PG→Spark type mapping per SURVEY.md §1.2 (the reference's
+  * `convert_postgresql_to_sqlalchemy`, `file_loader.py:562-580`, collapses
+  * integer widths and numerics to Float — we keep full fidelity).
+  */
+object SchemaRegistry {
+
+  /** PG catalog type name → Spark type (file_loader.py:562-580 analog). */
+  def pgToSpark(pgType: String): DataType = pgType.toLowerCase match {
+    case "smallint"                    => ShortType
+    case "integer"                     => IntegerType
+    case "bigint"                      => LongType
+    case "numeric"                     => DecimalType(38, 18)
+    case "real"                        => FloatType
+    case "double precision"            => DoubleType
+    case "boolean"                     => BooleanType
+    case "date"                        => DateType
+    case "timestamp without time zone" => TimestampNTZType
+    case "timestamp with time zone"    => TimestampType
+    case "bytea"                       => BinaryType
+    case t if t.startsWith("character") || t == "text" || t == "uuid" ||
+      t == "jsonb" => StringType
+    case _ => StringType // reference default: file_loader.py:580
+  }
+
+  /** Provenance columns appended to every ingested row
+    * (file_loader.py:630-633).
+    */
+  val provenanceFields: Seq[StructField] = Seq(
+    StructField("stg_batch_id", StringType),
+    StructField("stg_load_time", TimestampType),
+    StructField("stg_file_name", StringType),
+    StructField("stg_datim_id", StringType))
+
+  /** The 44-entity allowlist (stg_records_deletion_process.py:36-49). */
+  val stagingTables: Seq[String] = Seq(
+    "stg_hiv_art_pharmacy_regimens", "stg_hiv_eac_out_come",
+    "stg_base_organisation_unit", "stg_base_application_codeset",
+    "stg_base_organisation_unit_identifier", "stg_biometric",
+    "stg_case_manager", "stg_case_manager_patients", "stg_dsd_devolvement",
+    "stg_hiv_art_clinical", "stg_hiv_art_pharmacy", "stg_hiv_eac",
+    "stg_hiv_eac_session", "stg_hiv_enrollment", "stg_hiv_observation",
+    "stg_hiv_regimen", "stg_hiv_regimen_resolver", "stg_hiv_regimen_type",
+    "stg_hiv_status_tracker", "stg_hts_client", "stg_hts_index_elicitation",
+    "stg_hts_risk_stratification", "stg_laboratory_labtest",
+    "stg_laboratory_test", "stg_laboratory_order", "stg_laboratory_result",
+    "stg_laboratory_sample", "stg_patient_encounter", "stg_patient_person",
+    "stg_patient_visit", "stg_pmtct_anc", "stg_pmtct_delivery",
+    "stg_pmtct_enrollment", "stg_pmtct_infant_arv",
+    "stg_pmtct_infant_information", "stg_pmtct_infant_mother_art",
+    "stg_pmtct_infant_pcr", "stg_pmtct_infant_rapid_antibody",
+    "stg_pmtct_infant_visit", "stg_pmtct_mother_visitation",
+    "stg_prep_clinic", "stg_prep_eligibility", "stg_prep_enrollment",
+    "stg_prep_interruption", "stg_triage_vital_sign")
+
+  /** DSD table families (record-skip loader flavor, dsd_loader.py:255-259). */
+  val dsdFamilies: Seq[String] = Seq(
+    "prep_eligibility", "prep_clinic", "mhpss_confirmation", "pmtct_anc",
+    "dsd_devolvement", "hiv_art_clinical")
+
+  /** Flat PII mask lists per table (file_loader.py:608-621). */
+  val flatPiiColumns: Map[String, Seq[String]] = Map(
+    "stg_hts_index_elicitation" -> Seq(
+      "last_name", "first_name", "middle_name", "phone_number",
+      "alt_phone_number"),
+    "stg_patient_person" -> Seq(
+      "surname", "first_name", "other_name", "hospital_number",
+      "nin_number", "full_name"))
+
+  /** Nested-JSON PII keys masked inside hts_client `extra.value`
+    * (file_loader.py:523-536).
+    */
+  val nestedPiiKeys: Seq[String] = Seq(
+    "surname", "first_name", "middle_name", "phone_number",
+    "hospital_number")
+
+  /** Columns excluded from stg_biometric before load (file_loader.py:600-603). */
+  val biometricExcluded: Seq[String] =
+    Seq("match_type", "match_person_uuid", "match_biometric_id")
+
+  /** Quarantine twin of a staging table (dsd_loader.py:554). */
+  def quarantineTable(staging: String): String = s"${staging}_bad_dates"
+
+  // -------- control-plane table schemas (FIXTURES.md §3) --------
+
+  val syncFile: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("facility_id", StringType),
+    StructField("file_name", StringType),
+    StructField("decrypted_file_name", StringType),
+    StructField("processed", IntegerType),
+    StructField("create_date", TimestampType),
+    StructField("modified_date", TimestampType),
+    StructField("ingest_start_time", TimestampType),
+    StructField("ingest_end_time", TimestampType),
+    StructField("ingest_file_name", StringType),
+    StructField("ingest_table_name", StringType),
+    StructField("ingest_status_check", StringType),
+    StructField("json_rec_count", IntegerType),
+    StructField("ingest_error_message", StringType)))
+
+  val fileIngestionLog: StructType = StructType(Seq(
+    StructField("load_start_time", TimestampType),
+    StructField("load_end_time", TimestampType),
+    StructField("load_status_check", StringType),
+    StructField("table_name", StringType),
+    StructField("file_name", StringType),
+    StructField("facility_id", StringType),
+    StructField("json_rec_count", IntegerType),
+    StructField("error_message", StringType)))
+
+  val pipelineLog: StructType = StructType(Seq(
+    StructField("log_id", StringType),
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType),
+    StructField("status", StringType),
+    StructField("process_type", StringType),
+    StructField("error_message", StringType),
+    StructField("records_processed", IntegerType)))
+
+  val stgMonitoring: StructType = StructType(Seq(
+    StructField("datim_id", StringType),
+    StructField("batch_id", StringType),
+    StructField("file_name", StringType),
+    StructField("table_name", StringType),
+    StructField("load_time", TimestampType),
+    StructField("json_rec_count", IntegerType),
+    StructField("processed", StringType), // 'N' | 'Y' | 'F'
+    StructField("error_message", StringType)))
+
+  val centralPartnerMapping: StructType = StructType(Seq(
+    StructField("datim_id", StringType),
+    StructField("patient_count", IntegerType),
+    StructField("ip_name", StringType),
+    StructField("is_run", BooleanType)))
+
+  val fileDeletionLog: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("deletion_start_time", TimestampType),
+    StructField("deletion_end_time", TimestampType),
+    StructField("deletion_status_check", StringType),
+    StructField("table_name", StringType),
+    StructField("file_name", StringType),
+    StructField("facility_id", StringType),
+    StructField("json_rec_count", IntegerType),
+    StructField("error_message", StringType)))
+
+  val processSummaryReport: StructType = StructType(Seq(
+    StructField("total_files", LongType),
+    StructField("processed_count", LongType),
+    StructField("just_uploaded", LongType),
+    StructField("decryption_queue", LongType),
+    StructField("decrypted_complete", LongType),
+    StructField("real_decryption_fails", LongType),
+    StructField("ingestion_fails", LongType),
+    StructField("fails", LongType),
+    StructField("check_data", TimestampType)))
+}

@@ -1,0 +1,627 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.ingest.{JsonSource, Stages}
+import graft.model.FileName
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 relational operators re-expressed over the driver
+  * testdata tables, each paired with its DuckDB oracle.
+  *
+  * Conventions for engine/oracle agreement:
+  *  - every output column aliased identically on both sides;
+  *  - DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT);
+  *  - raw doubles pass through untouched; derived doubles are round()ed;
+  *  - nanosecond event timestamps: Spark reads epoch-nanos longs
+  *    (Tables.events converts), DuckDB casts ts::TIMESTAMP — exact
+  *    integer arithmetic on both sides, truncation to micros;
+  *  - deterministic ORDER BY with a unique tiebreak on every query.
+  *
+  * Scale notes inline per query; the general rules: aggregates are
+  * partial+final (map-side combine) for free, filters/projections reach
+  * the parquet scan (verified via .explain in BenchSpec), small sides of
+  * joins are broadcast explicitly.
+  */
+object RelationalQueries {
+
+  private def tb(s: SparkSession, dir: String) = Tables(s, dir)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- S3 + P5 + O1: the work-list scan (file_loader.py:247-255) ----
+    // Predicate pushdown: status+date filters reach the parquet scan;
+    // TakeOrderedAndProject caps the sort at 500 rows (no full sort).
+    "q_s3_worklist_scan" -> Q(
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND NOT regexp_matches(lower(o_orderpriority), '^(1-urgent|2-high)')
+        |ORDER BY o_orderdate, o_orderkey LIMIT 500""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_orderdate") >= lit("1998-01-01").cast(TimestampType) &&
+          !lower(col("o_orderpriority")).rlike("^(1-urgent|2-high)"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey")).limit(500)
+    },
+
+    // ---- P5: ILIKE ANY prefix predicate (dsd_loader.py:255-259) ----
+    "q_p5_ilike_any" -> Q(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        |WHERE regexp_matches(lower(source), '^(src1|src3|src5)')
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .filter(lower(col("source")).rlike("^(src1|src3|src5)"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+
+    // ---- P1 + P2: column exclusion / selection (file_loader.py:600-603) ----
+    // ReadSchema in the scan must show only the 4 surviving columns.
+    "q_p1_column_exclusion" -> Q(
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |WHERE p_size > 30 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Stages.excludeColumns(tb(s, dir).part, Seq("p_brand", "p_retailprice"))
+        .filter(col("p_size") > 30)
+        .orderBy("p_partkey")
+    },
+
+    // ---- P3: drop rows where every tracked column is null ----
+    // (dropna(how='all'), file_loader.py:629)
+    "q_p3_drop_all_null" -> Q(
+      """SELECT doc_id, nullif(lang, 'en') AS lang2, nullif(source, 'src0') AS source2
+        |FROM documents
+        |WHERE NOT (nullif(lang, 'en') IS NULL AND nullif(source, 'src0') IS NULL)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .select(col("doc_id"),
+          when(col("lang") === "en", lit(null: String)).otherwise(col("lang")).as("lang2"),
+          when(col("source") === "src0", lit(null: String)).otherwise(col("source")).as("source2"))
+        .na.drop("all", Seq("lang2", "source2"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F8 + P4: date validation + quarantine flag ----
+    // try_to_timestamp replaces the reference's exception-driven probe
+    // (file_loader.py:498-521); '' and NULL pass, junk fails.
+    "q_f8_date_quarantine" -> Q(
+      """SELECT doc_id, check_date,
+        |  (check_date IS NULL OR trim(check_date) = ''
+        |   OR TRY_CAST(check_date AS TIMESTAMP) IS NOT NULL) AS is_valid
+        |FROM (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 0 THEN 'not-a-date'
+        |    WHEN doc_id % 5 = 0 THEN ''
+        |    WHEN doc_id % 11 = 0 THEN NULL
+        |    ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |  END AS check_date FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = tb(s, dir).documents.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, "not-a-date")
+          .when(col("doc_id") % 5 === 0, "")
+          .when(col("doc_id") % 11 === 0, lit(null: String))
+          .otherwise(concat(lit("2024-01-"),
+            lpad((col("doc_id") % 28 + 1).cast(StringType), 2, "0")))
+          .as("check_date"))
+      base.withColumn("is_valid", Stages.dateValid(col("check_date")))
+        .orderBy("doc_id")
+    },
+
+    // ---- P7: timestamp range predicates (file_ingestion_process.py:63-69) ----
+    "q_p7_ts_range" -> Q(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-02-01' AND TIMESTAMP '2024-03-01'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .filter(col("ts").between(lit("2024-02-01").cast(TimestampType),
+          lit("2024-03-01").cast(TimestampType)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- P8: regex predicate (table_sizes.sql:8-9) ----
+    "q_p8_regex_predicate" -> Q(
+      """SELECT p_type, CAST(count(*) AS BIGINT) AS n FROM part
+        |WHERE NOT regexp_matches(p_type, '^(ECONOMY|SMALL)')
+        |GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, dir) =>
+      tb(s, dir).part
+        .filter(!col("p_type").rlike("^(ECONOMY|SMALL)"))
+        .groupBy("p_type").agg(count(lit(1)).as("n"))
+        .orderBy("p_type")
+    },
+
+    // ---- P9: null-safe string predicate (duplicates_check.sql:12,46) ----
+    "q_p9_nullsafe_contains" -> Q(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE NOT (lower(c_mktsegment) LIKE '%auto%')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      tb(s, dir).customer
+        .filter(!lower(col("c_mktsegment")).contains("auto"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- J1: self-join heal, equi + theta residual (duplicates_check.sql:20-23) ----
+    // Shuffles once on l_orderkey; the residual predicates stay in the
+    // join condition (no post-filter shuffle).
+    "q_j1_selfjoin_heal" -> Q(
+      """SELECT DISTINCT a.l_orderkey, a.l_linenumber, 'No errors' AS heal_msg
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        | AND a.l_linenumber <> b.l_linenumber
+        | AND b.l_returnflag = 'R' AND a.l_returnflag <> 'R'
+        |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin) { (s, dir) =>
+      val li = tb(s, dir).lineitem
+      val a = li.select("l_orderkey", "l_linenumber", "l_returnflag").as("a")
+      val b = li.select("l_orderkey", "l_linenumber", "l_returnflag").as("b")
+      a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") =!= col("b.l_linenumber") &&
+            col("b.l_returnflag") === "R" && col("a.l_returnflag") =!= "R")
+        .select(col("a.l_orderkey").as("l_orderkey"),
+          col("a.l_linenumber").as("l_linenumber"),
+          lit("No errors").as("heal_msg"))
+        .distinct()
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- J2: anti-join / NOT EXISTS (automate_file_delete.py:97-102) ----
+    "q_j2_anti_join" -> Q(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val returned = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t.orders.join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- J3 + W1: composite-key semi join fed by window dedup ----
+    // (duplicates_check.sql:49-54)
+    "q_j3_semi_composite" -> Q(
+      """WITH ranked AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                            ORDER BY l_linenumber DESC) AS rn
+        |  FROM lineitem),
+        |dups AS (SELECT DISTINCT l_orderkey, l_partkey FROM ranked WHERE rn > 1)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM dups d
+        |              WHERE d.l_orderkey = l.l_orderkey AND d.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = tb(s, dir).lineitem
+      val w = Window.partitionBy("l_orderkey", "l_partkey")
+        .orderBy(col("l_linenumber").desc)
+      val dups = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select("l_orderkey", "l_partkey").distinct()
+      li.join(dups, Seq("l_orderkey", "l_partkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- J4: semi-join via IN subquery chain (stg_monitoring_summary.sql:31) ----
+    // Both dimension sides are tiny → broadcast semi joins, zero shuffles
+    // of the fact side.
+    "q_j4_semi_in_chain" -> Q(
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        |    SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE')))
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val regions = t.region.filter(col("r_name").isin("ASIA", "EUROPE"))
+        .select("r_regionkey")
+      val nations = t.nation.join(broadcast(regions),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select("n_nationkey")
+      t.customer.join(broadcast(nations),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- J5: idempotency re-planned as ONE semi/anti join per run ----
+    // (replaces 2 point probes per file, file_loader.py:328-336,356-366)
+    "q_j5_idempotency_split" -> Q(
+      """WITH worklist AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |  ORDER BY o_orderkey LIMIT 5000),
+        |log AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+        |SELECT 'already_loaded' AS bucket, CAST(count(*) AS BIGINT) AS n FROM worklist
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM log)
+        |UNION ALL
+        |SELECT 'new' AS bucket, CAST(count(*) AS BIGINT) AS n FROM worklist
+        |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM log)
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val worklist = t.orders.filter(col("o_orderstatus") === "O")
+        .select("o_orderkey").orderBy("o_orderkey").limit(5000)
+      val log = t.lineitem.filter(col("l_returnflag") === "A")
+        .select("l_orderkey").distinct()
+      val already = worklist.join(log, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("already_loaded").as("bucket"), col("n"))
+      val fresh = worklist.join(log, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("new").as("bucket"), col("n"))
+      already.unionByName(fresh).orderBy("bucket")
+    },
+
+    // ---- A1/A7: filtered COUNT(*) (file_ingestion_process.py:63-69) ----
+    "q_a1_count" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity > 45""") {
+      (s, dir) =>
+        tb(s, dir).lineitem.filter(col("l_quantity") > 45)
+          .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- A2 + S13: COUNT(DISTINCT) patient-count analog (file_loader.py:211-216) ----
+    "q_a2_count_distinct" -> Q(
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        tb(s, dir).orders.groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+    },
+
+    // ---- A3: conditional aggregation / process summary (pcs_summary_report.py:25-34) ----
+    "q_a3_conditional_agg" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS total_files,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS processed_count,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS just_uploaded,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS decrypted_complete,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' AND o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS ingestion_fails
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'""".stripMargin) {
+      (s, dir) =>
+        tb(s, dir).orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+          .agg(count(lit(1)).as("total_files"),
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("processed_count"),
+            sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("just_uploaded"),
+            sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("decrypted_complete"),
+            sum(when(col("o_orderstatus") === "P" && col("o_totalprice") > 200000, 1)
+              .otherwise(0)).as("ingestion_fails"))
+    },
+
+    // ---- A4: GROUP BY + COUNT (multi_file_ingestion_process.py:37-57) ----
+    "q_a4_group_count" -> Q(
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n FROM customer
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      tb(s, dir).customer.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- A5: MIN/MAX (file_ingestion_summary_report.sql:48-49) ----
+    "q_a5_min_max" -> Q(
+      """SELECT min(o_orderdate) AS min_start, max(o_orderdate) AS max_end,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders.filter(col("o_orderstatus") === "F")
+        .agg(min("o_orderdate").as("min_start"), max("o_orderdate").as("max_end"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- A6: count per file (automate_file_delete.py:41-57 analog) ----
+    "q_a6_count_per_source" -> Q(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    },
+
+    // ---- A8: DISTINCT (stg_monitoring_summary.sql:14-19) ----
+    "q_a8_distinct" -> Q(
+      """SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders.select("o_orderpriority", "o_orderstatus").distinct()
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+
+    // ---- W1: ROW_NUMBER dedup, keep latest (duplicates_check.sql:1-17) ----
+    "q_w1_rownumber_dedup" -> Q(
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                            ORDER BY l_linenumber DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("l_orderkey", "l_partkey")
+        .orderBy(col("l_linenumber").desc)
+      tb(s, dir).lineitem
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("l_orderkey", "l_partkey")
+    },
+
+    // ---- O1: ORDER BY + LIMIT → TakeOrderedAndProject, no global sort ----
+    "q_o1_orderby_limit" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 200""".stripMargin) {
+      (s, dir) =>
+        tb(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(200)
+    },
+
+    // ---- O2: top-k by aggregate (table_sizes.sql:1-11) ----
+    "q_o2_topk_counts" -> Q(
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        tb(s, dir).lineitem.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_partkey")).limit(10)
+    },
+
+    // ---- O3: ORDER BY DESC for display (stg_monitoring_summary.sql:64-65) ----
+    "q_o3_recent_first" -> Q(
+      """SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts2, value FROM events
+        |ORDER BY ts2 DESC, event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .select(col("event_id"), col("event_type"), col("ts").as("ts2"), col("value"))
+        .orderBy(col("ts2").desc, col("event_id")).limit(100)
+    },
+
+    // ---- U1 + F14: UNION ALL of labeled conditional-agg blocks ----
+    // (file_ingestion_summary_report.sql:1-26)
+    "q_u1_union_report" -> Q(
+      """SELECT * FROM (
+        |  SELECT 'file_ingest_process' AS process_type,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS failed_count
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'dsd_ingest_process' AS process_type,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS failed_count
+        |  FROM lineitem)
+        |ORDER BY process_type""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val main = t.orders.agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("success_count"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("failed_count"))
+        .select(lit("file_ingest_process").as("process_type"),
+          col("success_count"), col("failed_count"))
+      val dsd = t.lineitem.agg(
+        sum(when(col("l_returnflag") === "A", 1).otherwise(0)).as("success_count"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("failed_count"))
+        .select(lit("dsd_ingest_process").as("process_type"),
+          col("success_count"), col("failed_count"))
+      main.unionByName(dsd).orderBy("process_type")
+    },
+
+    // ---- F1/F2: table-name derivation (file_loader.py:288-309) ----
+    "q_f1_table_name" -> Q(
+      """SELECT doc_id,
+        |  'stg_' || regexp_replace(regexp_replace(
+        |     source || '_person_' || CAST(doc_id AS VARCHAR) || '_20250103141949_decrypted.json',
+        |     '_decrypted\.json$|\.json$', '', 'g'), '_[0-9]+', '', 'g') AS staging_table
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fname = concat(col("source"), lit("_person_"),
+        col("doc_id").cast(StringType), lit("_20250103141949_decrypted.json"))
+      tb(s, dir).documents
+        .select(col("doc_id"), FileName.stagingTableCol(fname).as("staging_table"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F3: batch-id extraction (file_loader.py:556) ----
+    "q_f3_batch_id" -> Q(
+      """SELECT doc_id,
+        |  string_split(source || '_person_' || CAST(doc_id AS VARCHAR) || '_'
+        |    || CAST(2024000000 + doc_id AS VARCHAR) || '_decrypted.json', '_')[-2] AS batch_id
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fname = concat(col("source"), lit("_person_"),
+        col("doc_id").cast(StringType), lit("_"),
+        (lit(2024000000L) + col("doc_id")).cast(StringType),
+        lit("_decrypted.json"))
+      tb(s, dir).documents
+        .select(col("doc_id"), FileName.batchIdCol(fname).as("batch_id"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F4: decrypted-name derivation (file_loader.py:264,559) ----
+    "q_f4_decrypted_name" -> Q(
+      """SELECT doc_id,
+        |  regexp_replace(source || '_x_' || CAST(doc_id AS VARCHAR) || '.json',
+        |                 '\.json$', '_decrypted.json') AS decrypted_name,
+        |  replace(regexp_replace(source || '_x_' || CAST(doc_id AS VARCHAR) || '.json',
+        |                 '\.json$', '_decrypted.json'), '_decrypted', '') AS encrypted_name
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fname = concat(col("source"), lit("_x_"),
+        col("doc_id").cast(StringType), lit(".json"))
+      val dec = FileName.decryptedNameCol(fname)
+      tb(s, dir).documents
+        .select(col("doc_id"), dec.as("decrypted_name"),
+          FileName.encryptedNameCol(dec).as("encrypted_name"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F5: empty→null normalization (file_loader.py:477-496) ----
+    "q_f5_empty_to_null" -> Q(
+      """SELECT norm, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN trim(raw) = '' OR trim(raw) = 'null' THEN NULL ELSE raw END AS norm
+        |  FROM (SELECT CASE WHEN doc_id % 4 = 0 THEN ''
+        |                    WHEN doc_id % 4 = 1 THEN '  '
+        |                    WHEN doc_id % 4 = 2 THEN 'null'
+        |                    ELSE lang END AS raw FROM documents))
+        |GROUP BY norm ORDER BY norm NULLS FIRST""".stripMargin) { (s, dir) =>
+      val raw = when(col("doc_id") % 4 === 0, "")
+        .when(col("doc_id") % 4 === 1, "  ")
+        .when(col("doc_id") % 4 === 2, "null")
+        .otherwise(col("lang"))
+      tb(s, dir).documents
+        .select(Stages.emptyToNullCol(raw).as("norm"))
+        .groupBy("norm").agg(count(lit(1)).as("n"))
+        .orderBy(col("norm").asc_nulls_first)
+    },
+
+    // ---- F6: flat PII masking (file_loader.py:608-621) ----
+    "q_f6_mask_flat" -> Q(
+      """SELECT c_custkey, '******' AS c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Stages.maskFlat(tb(s, dir).customer.select("c_custkey", "c_name", "c_mktsegment"),
+          Seq("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- F7: nested-JSON PII masking (file_loader.py:523-536) ----
+    // from_json → transform_values → to_json; no UDF, stays in codegen.
+    "q_f7_mask_nested_json" -> Q(
+      """SELECT event_id,
+        |  CASE WHEN props IS NULL THEN NULL
+        |       WHEN json_extract(props, '$.k') IS NOT NULL THEN '{"k":"******"}'
+        |       ELSE props END AS masked_props
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .select(col("event_id"),
+          Stages.maskJsonString(col("props"), Seq("k")).as("masked_props"))
+        .orderBy("event_id")
+    },
+
+    // ---- F9: error-message formatting (file_loader.py:371-384) ----
+    "q_f9_error_format" -> Q(
+      """SELECT doc_id,
+        |  substr(replace(replace(split_part('psycopg2.errors.UndefinedColumn: stg_' || text,
+        |    chr(10), 1), 'psycopg2.errors.', ''), 'stg_', ''), 1, 60) AS err
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .select(col("doc_id"),
+          substring(
+            expr("replace(replace(element_at(split(concat('psycopg2.errors.UndefinedColumn: stg_', text), '\\n'), 1), 'psycopg2.errors.', ''), 'stg_', '')"),
+            1, 60).as("err"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F10: log-id generation (file_ingestion_process.py:52) ----
+    "q_f10_log_id" -> Q(
+      """SELECT 'IPID_' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d_%H_%M') AS log_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY log_id ORDER BY log_id LIMIT 500""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .select(concat(lit("IPID_"),
+          date_format(col("ts"), "yyyyMMdd_HH_mm")).as("log_id"))
+        .groupBy("log_id").agg(count(lit(1)).as("n"))
+        .orderBy("log_id").limit(500)
+    },
+
+    // ---- F12: size pretty-print (table_sizes.sql:2-3) ----
+    "q_f12_pretty_size" -> Q(
+      """SELECT doc_id, CASE
+        |  WHEN n_chars * 1024 >= 1073741824 THEN CAST(round(n_chars * 1024 / 1073741824.0, 1) AS VARCHAR) || ' GB'
+        |  WHEN n_chars * 1024 >= 1048576 THEN CAST(round(n_chars * 1024 / 1048576.0, 1) AS VARCHAR) || ' MB'
+        |  WHEN n_chars * 1024 >= 1024 THEN CAST(round(n_chars * 1024 / 1024.0, 1) AS VARCHAR) || ' KB'
+        |  ELSE CAST(n_chars * 1024 AS VARCHAR) || ' B' END AS pretty
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .select(col("doc_id"), Stages.prettySize(col("n_chars") * 1024).as("pretty"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F13: time arithmetic (file_ingestion_summary_report.sql:38) ----
+    // Exact integer micros on both sides: Spark keeps epoch-nanos longs
+    // (div — not '/', which would go through double and lose precision
+    // above 2^53), DuckDB date_diffs the cast timestamps.
+    "q_f13_interval_arith" -> Q(
+      """SELECT user_id,
+        |  date_diff('microsecond', min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP))) AS span_us,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).eventsRaw
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .groupBy("user_id")
+        .agg((max("ts_us") - min("ts_us")).as("span_us"), count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+
+    // ---- F14: CASE status labeling (SyncState analog) ----
+    "q_f14_case_label" -> Q(
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+        |       ELSE 'PENDING' END AS status_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY status_label ORDER BY status_label""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .select(when(col("o_orderstatus") === "O", "OPEN")
+          .when(col("o_orderstatus") === "F", "FULFILLED")
+          .otherwise("PENDING").as("status_label"))
+        .groupBy("status_label").agg(count(lit(1)).as("n"))
+        .orderBy("status_label")
+    },
+
+    // ---- P6 + J2 + O1: deletion eligibility (automate_file_delete.py:91-103) ----
+    "q_p6_deletion_eligibility" -> Q(
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_totalprice IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderdate, o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val logged = t.lineitem.filter(col("l_returnflag") === "R").select("l_orderkey")
+      t.orders
+        .filter(col("o_orderstatus").isin("F", "P") &&
+          col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_totalprice").isNotNull)
+        .join(logged, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy(col("o_orderdate"), col("o_orderkey")).limit(1000)
+    },
+
+    // ---- S16: staged-record DELETE re-expressed as anti-join ----
+    // (stg_records_deletion_process.py:12-15 → what remains after delete)
+    "q_s16_staged_delete" -> Q(
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS remaining FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        val t = tb(s, dir)
+        val migrated = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+        t.lineitem.join(migrated, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("remaining"))
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- S1: JSON array file scan, end-to-end round trip ----
+    // Writes a slice of `documents` as JSON-array files (one per source,
+    // like one sync file per facility), reads them back through the real
+    // entity-batch reader, aggregates. Oracle runs the same aggregate on
+    // the parquet source — a mismatch anywhere in the write/read path
+    // fails the hash.
+    "q_s1_json_scan" -> Q(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id < 200 GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        val docs = tb(s, dir).documents.filter(col("doc_id") < 200)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s1_").toFile
+        tmp.deleteOnExit()
+        val bySource = docs.select(to_json(struct(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))).as("j"), col("source"))
+          .collect().groupBy(_.getString(1))
+        bySource.foreach { case (src, rows) =>
+          val arr = rows.map(_.getString(0)).mkString("[\n", ",\n", "\n]")
+          java.nio.file.Files.writeString(
+            new java.io.File(tmp, s"$src.json").toPath, arr)
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        JsonSource.readEntityBatch(s, schema,
+            bySource.keys.toSeq.sorted.map(src => s"${tmp.getPath}/$src.json"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+          .orderBy("source")
+    }
+  )
+}

@@ -1,0 +1,172 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.logs.LogStore
+import graft.model.{SchemaRegistry, SyncState}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Golden end-to-end tests of the ingestion micro-batch (FIXTURES.md §4
+  * scenarios: happy path, idempotent re-run, missing file, bad dates,
+  * PII masking).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(dir: java.io.File, name: String, content: String): Unit = {
+    dir.mkdirs()
+    Files.writeString(new java.io.File(dir, name).toPath, content)
+  }
+
+  private def setup(): (Pipeline.Config, java.io.File) = {
+    val root = Files.createTempDirectory("graft_pipe_").toFile
+    root.deleteOnExit()
+    val parent = new java.io.File(root, "temp")
+    val cfg = Pipeline.Config(
+      parentDir = parent.getPath,
+      warehouseDir = new java.io.File(root, "warehouse").getPath,
+      logStore = LogStore(spark, new java.io.File(root, "logs").getPath))
+    (cfg, parent)
+  }
+
+  private def syncRow(id: Long, fac: String, encName: String,
+                      state: Int = SyncState.Ready) = {
+    val dec = graft.model.FileName.decryptedName(encName)
+    (id, fac, encName, dec, state,
+      Timestamp.valueOf("2025-02-01 00:00:00"), Timestamp.valueOf("2025-02-01 10:00:00"),
+      null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp],
+      null.asInstanceOf[String], null.asInstanceOf[String],
+      null.asInstanceOf[String], null.asInstanceOf[Integer],
+      null.asInstanceOf[String])
+  }
+
+  private def seedSync(cfg: Pipeline.Config,
+                       rows: Seq[(Long, String, String, String, Int, Timestamp,
+                         Timestamp, Timestamp, Timestamp, String, String, String,
+                         Integer, String)]): Unit =
+    cfg.logStore.append("sync_file", rows.toDF(
+      "id", "facility_id", "file_name", "decrypted_file_name", "processed",
+      "create_date", "modified_date", "ingest_start_time", "ingest_end_time",
+      "ingest_file_name", "ingest_table_name", "ingest_status_check",
+      "json_rec_count", "ingest_error_message"))
+
+  test("happy path: valid file ingested with provenance + masking; logs written") {
+    val (cfg, parent) = setup()
+    writeFile(new java.io.File(parent, "FAC1"),
+      "patient_person_0_20250103141949_decrypted.json",
+      """[
+        |{"id": 1, "uuid": "u1", "surname": "Ann", "first_name": "A",
+         "other_name": "X", "hospital_number": "H1", "nin_number": "N1",
+         "full_name": "Ann A", "date_of_birth": "1990-05-01", "archived": 0},
+        |{"id": 2, "uuid": "u2", "surname": "Bob", "first_name": "B",
+         "other_name": "", "hospital_number": "H2", "nin_number": "N2",
+         "full_name": "Bob B", "date_of_birth": "1985-11-12", "archived": 0}
+        |]""".stripMargin.replace("|", ""))
+    seedSync(cfg, Seq(syncRow(1L, "FAC1", "patient_person_0_20250103141949.json")))
+
+    val res = Pipeline.run(spark, cfg)
+    assert(res.filesIngested === 1 && res.filesFailed === 0)
+    assert(res.recordsIngested === 2 && res.recordsQuarantined === 0)
+
+    val stg = spark.read.parquet(s"${cfg.warehouseDir}/stg_patient_person")
+    assert(stg.count() === 2)
+    val r = stg.orderBy("id").collect().head
+    assert(r.getAs[String]("surname") === Stages.Mask) // F6 masked
+    assert(r.getAs[String]("stg_batch_id") === "20250103141949") // F11
+    assert(r.getAs[String]("stg_datim_id") === "FAC1")
+    assert(r.getAs[String]("stg_file_name")
+      === "patient_person_0_20250103141949_decrypted.json")
+
+    val sync = cfg.logStore.latest("sync_file", Seq("id")).collect().head
+    assert(sync.getAs[Int]("processed") === SyncState.Ingested)
+    val log = cfg.logStore.history("file_ingestion_log").collect().head
+    assert(log.getAs[String]("load_status_check") === "success")
+    assert(log.getAs[Int]("json_rec_count") === 2)
+  }
+
+  test("idempotent re-run: second run is a no-op on staging data") {
+    val (cfg, parent) = setup()
+    writeFile(new java.io.File(parent, "FAC1"),
+      "biometric_0_20250103141949_decrypted.json",
+      """[{"id": 1, "uuid": "u1", "match_type": "m"}]""")
+    seedSync(cfg, Seq(syncRow(1L, "FAC1", "biometric_0_20250103141949.json")))
+
+    val r1 = Pipeline.run(spark, cfg)
+    assert(r1.recordsIngested === 1)
+    val stg1 = spark.read.parquet(s"${cfg.warehouseDir}/stg_biometric")
+    assert(stg1.count() === 1)
+    assert(!stg1.columns.contains("match_type")) // P1 exclusion
+
+    // file shows up again as Ready (e.g. re-uploaded) → idempotency join
+    // must skip the re-ingest (J5)
+    seedSync(cfg, Seq(syncRow(1L, "FAC1", "biometric_0_20250103141949.json")))
+    val r2 = Pipeline.run(spark, cfg)
+    assert(r2.recordsIngested === 0)
+    assert(spark.read.parquet(s"${cfg.warehouseDir}/stg_biometric").count() === 1)
+    // and the sync row is flipped to Ingested without a new log row
+    val sync = cfg.logStore.latest("sync_file", Seq("id")).collect().head
+    assert(sync.getAs[Int]("processed") === SyncState.Ingested)
+  }
+
+  test("missing file → state 3 'loaded in the past'") {
+    val (cfg, _) = setup()
+    seedSync(cfg, Seq(syncRow(7L, "FACX", "hiv_enrollment_0_20250101000000.json")))
+    val res = Pipeline.run(spark, cfg)
+    assert(res.filesMissing === 1 && res.filesIngested === 0)
+    val sync = cfg.logStore.latest("sync_file", Seq("id")).collect().head
+    assert(sync.getAs[Int]("processed") === SyncState.MissingOrPast)
+  }
+
+  test("bad dates (main flavor): bad rows quarantined, rest ingested, file failed") {
+    val (cfg, parent) = setup()
+    writeFile(new java.io.File(parent, "FAC2"),
+      "hiv_enrollment_0_20250104000000_decrypted.json",
+      """[
+        |{"id": 1, "uuid": "u1", "enrollment_date": "2024-06-01"},
+        |{"id": 2, "uuid": "u2", "enrollment_date": "junk-date"},
+        |{"id": 3, "uuid": "u3", "enrollment_date": null}
+        |]""".stripMargin.replace("|", ""))
+    seedSync(cfg, Seq(syncRow(3L, "FAC2", "hiv_enrollment_0_20250104000000.json")))
+
+    val res = Pipeline.run(spark, cfg)
+    assert(res.recordsIngested === 2 && res.recordsQuarantined === 1)
+    assert(res.filesFailed === 1) // main flavor: quarantine ⇒ file failed
+    val quarantine = spark.read.parquet(
+      s"${cfg.warehouseDir}/stg_hiv_enrollment_bad_dates")
+    assert(quarantine.count() === 1)
+    assert(quarantine.collect().head.getAs[String]("error_message")
+      .contains("invalid_date => junk-date"))
+    val sync = cfg.logStore.latest("sync_file", Seq("id")).collect().head
+    assert(sync.getAs[Int]("processed") === SyncState.Failed)
+  }
+
+  test("bad dates (DSD flavor): records skipped, file still succeeds") {
+    val (cfg, parent) = setup()
+    writeFile(new java.io.File(parent, "FAC3"),
+      "prep_eligibility_0_20250105000000_decrypted.json",
+      """[
+        |{"id": 1, "uuid": "u1", "screening_date": "2024-07-01"},
+        |{"id": 2, "uuid": "u2", "screening_date": "bogus"}
+        |]""".stripMargin.replace("|", ""))
+    seedSync(cfg, Seq(syncRow(4L, "FAC3", "prep_eligibility_0_20250105000000.json")))
+
+    val res = Pipeline.run(spark, cfg.copy(dsdMode = true))
+    assert(res.recordsIngested === 1 && res.recordsQuarantined === 1)
+    assert(res.filesFailed === 0 && res.filesIngested === 1) // DSD: success
+    val sync = cfg.logStore.latest("sync_file", Seq("id")).collect().head
+    assert(sync.getAs[Int]("processed") === SyncState.Ingested)
+  }
+
+  test("worklist honors prefix split between main and DSD loaders (P5)") {
+    val (cfg, _) = setup()
+    seedSync(cfg, Seq(
+      syncRow(1L, "F", "patient_person_0_1.json"),
+      syncRow(2L, "F", "prep_clinic_0_1.json"),
+      syncRow(3L, "F", "hiv_art_clinical_0_1.json")))
+    val sync = cfg.logStore.latest("sync_file", Seq("id"))
+    val main = Pipeline.worklist(sync, cfg)
+    val dsd = Pipeline.worklist(sync, cfg.copy(dsdMode = true))
+    assert(main.select("id").as[Long].collect().toSet === Set(1L))
+    assert(dsd.select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.logs
+
+import graft.SparkSpec
+import graft.model.SyncState
+import org.apache.spark.sql.functions._
+
+class LogStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): LogStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_logstore_").toFile
+    dir.deleteOnExit()
+    LogStore(spark, dir.getPath)
+  }
+
+  test("latest-wins view returns one row per key with newest values (S11/W1)") {
+    val store = freshStore()
+    store.append("sync_file",
+      Seq((1L, "f1.json", SyncState.Ready), (2L, "f2.json", SyncState.Ready))
+        .toDF("id", "file_name", "processed"))
+    store.update("sync_file",
+      Seq((1L, "f1.json", SyncState.Ingested)).toDF("id", "file_name", "processed"))
+    val latest = store.latest("sync_file", Seq("id"))
+      .orderBy("id").collect()
+    assert(latest.length === 2)
+    assert(latest(0).getAs[Int]("processed") === SyncState.Ingested)
+    assert(latest(1).getAs[Int]("processed") === SyncState.Ready)
+  }
+
+  test("history keeps all versions; compact reduces to current") {
+    val store = freshStore()
+    store.append("t", Seq((1L, "a")).toDF("id", "v"))
+    store.update("t", Seq((1L, "b")).toDF("id", "v"))
+    store.update("t", Seq((1L, "c")).toDF("id", "v"))
+    assert(store.history("t").count() === 3)
+    store.compact("t", Seq("id"))
+    assert(store.history("t").count() === 1)
+    assert(store.latest("t", Seq("id")).select("v").as[String].collect().head === "c")
+  }
+
+  test("latestOrEmpty on a missing table returns an empty frame with schema") {
+    val store = freshStore()
+    val df = store.latestOrEmpty("nope", Seq("id"), graft.model.SchemaRegistry.syncFile)
+    assert(df.count() === 0)
+    assert(df.columns.contains("processed"))
+  }
+
+  test("state machine legality (SURVEY §1.1)") {
+    assert(SyncState.canTransition(SyncState.Ready, SyncState.Ingested))
+    assert(SyncState.canTransition(SyncState.Ready, SyncState.Failed))
+    assert(SyncState.canTransition(SyncState.Ready, SyncState.MissingOrPast))
+    assert(SyncState.canTransition(SyncState.Failed, SyncState.Ingested))
+    assert(!SyncState.canTransition(SyncState.Ingested, SyncState.Ready))
+    assert(!SyncState.canTransition(SyncState.JustUploaded, SyncState.Ingested))
+    assert(SyncState.label(SyncState.Failed) === "failed")
+  }
+}
