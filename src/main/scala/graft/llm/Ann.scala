@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: the QUERY set is broadcast (it's small);
+  *    the corpus streams once. Cost O(|Q|·|C|·d) flops but only one
+  *    corpus scan, no corpus-side shuffle. The baseline and the recall
+  *    oracle.
+  *  - LSH (random hyperplane): 8 deterministic ±1 hyperplanes hash each
+  *    vector to an 8-bit bucket; candidates form only inside a bucket
+  *    (expected |C|/256 per bucket), then exact cosine re-ranks. This is
+  *    the 100 TB path: bucketing is a map-side pass + one bucket-keyed
+  *    join, never all-pairs.
+  *
+  * Dot products run in double via zip_with/aggregate — codegen'd array
+  * intrinsics, no UDF.
+  */
+object Ann {
+
+  /** Σ a[i]·b[i] in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: for each query vector, the k corpus
+    * vectors with highest cosine. Ranking uses round(cos,4) with id
+    * tiebreak so results are stable across engines/ULP.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(
+        dot(col("q_vec"), col("c_vec")) /
+          (l2norm(col("q_vec")) * l2norm(col("c_vec"))), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
+  /** Deterministic ±1 hyperplane table: sign(bit j, dim i) from the
+    * parity of the first hex digit of md5("<j>_<i>") — reproducible in
+    * any engine with md5 (i is 1-based to match SQL list indexing).
+    */
+  def hyperplaneSigns(dim: Int, bits: Int): Seq[(Int, Int, Double)] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    for (j <- 0 until bits; i <- 1 to dim) yield {
+      val hex = mdt.digest(s"${j}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val d = Integer.parseInt(hex.substring(0, 1), 16)
+      (j, i, if (d % 2 == 0) 1.0 else -1.0)
+    }
+  }
+
+  /** 8-bit LSH bucket per vector: bucket = Σ_j [dot(v, h_j) > 0]·2^j.
+    * One posexplode + broadcast join + two aggregations — map-side heavy,
+    * shuffles only (id, j) partials.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int = 64, bits: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs = hyperplaneSigns(dim, bits).toDF("j", "i", "sign")
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("p", "v")))
+      .withColumn("i", col("p") + 1).drop("p")
+      .join(broadcast(signs), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("v").cast("double") * col("sign")).as("dot_j"))
+      .withColumn("bit", when(col("dot_j") > 0, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast("long")).as("bucket"))
+  }
+
+  /** Multi-table LSH buckets: `tables` independent signatures of `bits`
+    * hyperplanes each (hyperplane j of table t is global plane
+    * t*bits + j). Output one row per (id, table_id). Shorter signatures +
+    * OR across tables is the standard recall lever: single-probe match
+    * probability per table is p^bits, overall 1-(1-p^bits)^tables.
+    */
+  def lshBucketsMulti(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int = 64, bits: Int = 4, tables: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs = hyperplaneSigns(dim, bits * tables).toDF("j", "i", "sign")
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("p", "v")))
+      .withColumn("i", col("p") + 1).drop("p")
+      .join(broadcast(signs), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("v").cast("double") * col("sign")).as("dot_j"))
+      .withColumn("table_id", (col("j") / bits).cast("int"))
+      .withColumn("bit",
+        when(col("dot_j") > 0,
+          pow(lit(2.0), col("j") % bits).cast("long")).otherwise(0L))
+      .groupBy(col(idCol), col("table_id"))
+      .agg(sum("bit").as("bucket"))
+  }
+
+  /** LSH-accelerated top-k: candidates share the query's bucket in ANY
+    * of the hash tables; exact cosine re-ranks the deduped candidate
+    * set. Recall < 1 by construction — measured against [[cosineTopK]]
+    * in AnnSpec. The candidate join is bucket-local per table — cost
+    * Σ_tables Σ_buckets |bucket|·|q_bucket|, never |C|·|Q|.
+    */
+  def annTopKLsh(df: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, dim: Int = 64, bits: Int = 4,
+                 tables: Int = 4): DataFrame = {
+    val buckets = lshBucketsMulti(df, idCol, vecCol, dim, bits, tables)
+    val corpus = df.join(buckets, idCol)
+    val qb = queries.join(buckets, idCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col("table_id"), col("bucket"))
+    val cands = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        col("table_id"), col("bucket"))
+      .join(broadcast(qb), Seq("table_id", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec")
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("cosine", round(
+        dot(col("q_vec"), col("c_vec")) /
+          (l2norm(col("q_vec")) * l2norm(col("c_vec"))), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+}

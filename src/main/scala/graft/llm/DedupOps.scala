@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document corpus, all bucketed — no
+  * all-pairs/crossJoin anywhere:
+  *
+  *  - exact: hash-groupBy on content hash (one shuffle on the hash key);
+  *  - MinHash + LSH banding: shingle → per-permutation min-hash →
+  *    band-key self-join (pairs only form inside a bucket) → exact
+  *    Jaccard verification of candidates;
+  *  - SimHash: 16-bit parity sketch, hammimg-near docs share the value.
+  *
+  * Scale: signatures are one explode+groupBy per corpus pass; the
+  * candidate join's cost is sum(bucket²) not corpus², which LSH keeps
+  * tiny when band width matches the target similarity threshold.
+  * MinHash permutations are md5(seed||shingle) with lexicographic min —
+  * a portable, deterministic hash family (identical in any engine with
+  * md5).
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest id per identical content; also usable
+    * as stats (n vs n_distinct).
+    */
+  def exactDedupKeep(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_h", md5(col(textCol)))
+      .groupBy("_h").agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+      .drop("_h")
+
+  /** Distinct (id, shingle) pairs — the set representation used by both
+    * MinHash and exact-Jaccard verification.
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.shingles(col(textCol), k)).as("s"))
+      .distinct()
+
+  /** MinHash signatures: numHashes permutations, permutation i =
+    * min over shingles of md5("<i>|" || shingle). Output columns mh1..mhN.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 8, k: Int = 3): DataFrame = {
+    val sets = shingleSet(df, idCol, textCol, k)
+    val aggs = (1 to numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
+    sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: band b covers permutations [b*rows+1 .. (b+1)*rows];
+    * band key = md5 of the concatenated minhashes. Output
+    * (id, band_id, band_key).
+    */
+  def lshBands(sigs: DataFrame, idCol: String, numHashes: Int = 8,
+               rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      sigs.select(col(idCol), lit(b).as("band_id"),
+        md5(concat(cols: _*)).as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs: ids sharing any band bucket (id1 < id2). The join
+    * key is (band_id, band_key) — a bucket-local join, never all-pairs.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band_id"), col("band_key"), col(idCol).as("id1"))
+    val b = bands.select(col("band_id"), col("band_key"), col(idCol).as("id2"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs, as integer
+    * numerator/denominator (|A∩B|, |A∪B|) — exact across engines, the
+    * caller applies the threshold (e.g. n*10 >= d*8 for 0.8).
+    */
+  def jaccardVerify(pairs: DataFrame, sets: DataFrame, idCol: String): DataFrame = {
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sa = sets.select(col(idCol).as("id1"), col("s"))
+    val sb = sets.select(col(idCol).as("id2"), col("s"))
+    val inter = pairs
+      .join(sa, "id1").join(sb, Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("jaccard_n"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("jaccard_n"))
+      .join(sizes.withColumnRenamed("sz", "sz1").withColumnRenamed(idCol, "id1"), "id1")
+      .join(sizes.withColumnRenamed("sz", "sz2").withColumnRenamed(idCol, "id2"), "id2")
+      .select(col("id1"), col("id2"), col("jaccard_n"),
+        (col("sz1") + col("sz2") - col("jaccard_n")).as("jaccard_d"))
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs with verified Jaccard. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 8, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
+    val pairs = candidatePairs(lshBands(sigs, idCol, numHashes, rowsPerBand), idCol)
+    jaccardVerify(pairs, shingleSet(df, idCol, textCol, k), idCol)
+  }
+
+  /** 16-bit SimHash from token md5s: bit i = sign of the sum over
+    * distinct tokens of ±1, where the vote is the parity of hex digit
+    * i of md5(token). Integer votes → engines agree exactly.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+    val perBit = toks
+      .select(col(idCol), explode(sequence(lit(0), lit(15))).as("i"),
+        col("h"))
+      .withColumn("d",
+        expr("instr('0123456789abcdef', substring(h, i + 1, 1)) - 1"))
+      .withColumn("vote", when(col("d") % 2 === 0, 1).otherwise(-1))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum("vote").as("v"))
+      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+    perBit.groupBy(col(idCol))
+      .agg(sum(col("bit") * pow(lit(2.0), col("i")).cast("long")).as("simhash"))
+  }
+}

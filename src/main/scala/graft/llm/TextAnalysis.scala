@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token/char counting, quality scoring, language ID,
+  * document fingerprinting. All pure column algebra (codegen'd builtins,
+  * no UDFs) — each scales as a single map-side pass over the corpus, no
+  * shuffle except the final aggregations callers add.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Word k-shingles as ' '-joined strings. Guarded so documents shorter
+    * than k yield an empty array (sequence() would otherwise produce a
+    * descending range).
+    */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val ts = tokens(c)
+    when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+      .otherwise(array())
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: alphanumeric runs plus isolated
+    * punctuation/symbol characters, the usual pre-tokenizer shape.
+    */
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+
+  def punctCount(c: Column): Column =
+    regexp_count(lower(c), lit("[^a-z0-9\\s]"))
+
+  def alnumCharCount(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  /** Integer quality score (higher = better): token mass, penalized by
+    * punctuation density and rewarded for stopword presence (prose-ness).
+    * Integer arithmetic end-to-end so engines agree exactly.
+    */
+  def qualityScore(c: Column, stopwordHits: Column): Column =
+    tokenCountWs(c) + lit(2) * stopwordHits - lit(3) * punctCount(c)
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-voting
+    * language heuristic. Real deployments plug in full profiles; the
+    * operator shape (explode → broadcast join → count → argmax) is what
+    * scales.
+    */
+  val stopwordProfiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "fast", "en" -> "slow",
+    "es" -> "data", "es" -> "row",
+    "fr" -> "table", "fr" -> "join",
+    "de" -> "window", "de" -> "batch",
+    "zh" -> "spark", "zh" -> "stream")
+
+  /** Language ID by stopword voting: explode tokens, broadcast-join the
+    * profile table, count hits per (doc, lang), argmax with lexicographic
+    * tiebreak; docs with zero hits → 'und'. One shuffle (the groupBy),
+    * profile side broadcast.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sw = stopwordProfiles.toDF("sl", "sw")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val hits = toks.join(broadcast(sw), col("t") === col("sw"))
+      .groupBy(col(idCol), col("sl")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("c").desc, col("sl").asc)
+    val winner = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col(idCol), col("sl"))
+    df.select(col(idCol))
+      .join(winner, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sl"), lit("und")).as("pred_lang"))
+  }
+
+  /** Stopword hit count per document (for quality scoring). */
+  def stopwordHits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sw = stopwordProfiles.map(_._2).distinct.toDF("sw")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .join(broadcast(sw), col("t") === col("sw"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("sw_hits"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text,
+    * truncated to 16 hex chars — the rolling-hash/winnowing family's
+    * exact-normalized-content representative. Collision-safe enough at
+    * 64 bits for dedup candidate keys.
+    */
+  def fingerprint(c: Column): Column =
+    substring(md5(regexp_replace(trim(lower(c)), "\\s+", " ")), 1, 16)
+}

@@ -1,0 +1,263 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.llm.{Ann, DedupOps, Multimodal, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents`/`embeddings`,
+  * each paired with its DuckDB oracle where ANSI-expressible.
+  *
+  * Portability notes (same rules as RelationalQueries): all hashing via
+  * md5 (bit-identical across engines), similarity ratios as integer
+  * numerator/denominator, cosine ranked on round(cos,4) with unique id
+  * tiebreaks, counts cast to BIGINT on both sides.
+  */
+object LlmQueries {
+
+  private def tb(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** Shared shingle CTE text for oracles (3-gram word shingles,
+    * DISTINCT per doc).
+    */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+      |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks))""".stripMargin
+
+  private val sigSelect =
+    """SELECT doc_id,
+      |  min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2,
+      |  min(md5('3|' || s)) AS mh3, min(md5('4|' || s)) AS mh4,
+      |  min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6,
+      |  min(md5('7|' || s)) AS mh7, min(md5('8|' || s)) AS mh8
+      |FROM sh GROUP BY doc_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- exact dedup: hash-groupBy, keep lowest id ----
+    "q_llm_exact_dedup" -> Q(
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.exactDedupKeep(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint (normalized-content rolling hash) ----
+    "q_llm_fingerprint" -> Q(
+      """SELECT doc_id,
+        |  substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: whitespace + BPE-ish pre-tokenizer ----
+    "q_llm_token_stats" -> Q(
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS BIGINT) AS punct_n,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("punct_n"),
+        TextAnalysis.alnumCharCount(col("text")).cast("long").as("alnum_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: token mass + stopword prose signal - punct ----
+    "q_llm_quality_score" -> Q(
+      """WITH sw(w) AS (VALUES ('the'),('a'),('fast'),('slow'),('data'),('row'),
+        |                      ('table'),('join'),('window'),('batch'),('spark'),('stream')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM documents),
+        |hits AS (SELECT doc_id, count(*) AS c FROM toks JOIN sw ON t = w GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS sw_hits,
+        |  CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x <> ''))
+        |       + 2 * coalesce(h.c, 0)
+        |       - 3 * len(regexp_extract_all(lower(d.text), '[^a-z0-9\s]')) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      val hits = TextAnalysis.stopwordHits(docs, "doc_id", "text")
+      docs.join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("sw_hits"))
+        .select(col("doc_id"), col("sw_hits"),
+          TextAnalysis.qualityScore(col("text"), col("sw_hits"))
+            .cast("long").as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic: stopword voting with argmax ----
+    "q_llm_lang_id" -> Q(
+      """WITH sw(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
+        |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
+        |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM documents),
+        |hits AS (SELECT doc_id, sl, count(*) AS c FROM toks JOIN sw ON t = w GROUP BY doc_id, sl),
+        |win AS (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sl) AS rn FROM hits)
+        |SELECT d.doc_id, coalesce(w.sl, 'und') AS pred_lang
+        |FROM documents d LEFT JOIN win w ON w.doc_id = d.doc_id AND w.rn = 1
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.langId(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
+    "q_llm_minhash_sig" -> Q(
+      s"""WITH $shingleCte
+         |$sigSelect ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.minhashSignatures(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- LSH banding (2 bands × 4 rows): the deterministic bucketing stage ----
+    "q_llm_lsh_bands" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect)
+         |SELECT doc_id, band_id, band_key FROM (
+         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs)
+         |ORDER BY doc_id, band_id""".stripMargin) { (s, dir) =>
+      val sigs = DedupOps.minhashSignatures(tb(s, dir).documents, "doc_id", "text")
+      DedupOps.lshBands(sigs, "doc_id")
+        .orderBy("doc_id", "band_id")
+    },
+
+    // ---- near-dup pairs: LSH candidates + exact-Jaccard verification ----
+    // jaccard as integer n/d; is_dup at threshold 0.8 via cross-multiply.
+    "q_llm_near_dup" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS n
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  CAST(coalesce(i.n, 0) AS BIGINT) AS jaccard_n,
+         |  CAST(s1.sz + s2.sz - coalesce(i.n, 0) AS BIGINT) AS jaccard_d,
+         |  (coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8) AS is_dup
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |JOIN sizes s1 ON s1.doc_id = p.id1
+         |JOIN sizes s2 ON s2.doc_id = p.id2
+         |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
+      DedupOps.nearDupPairs(tb(s, dir).documents, "doc_id", "text")
+        .withColumn("is_dup",
+          col("jaccard_n") * 10 >= col("jaccard_d") * 8)
+        .orderBy("id1", "id2")
+    },
+
+    // ---- 16-bit SimHash ----
+    "q_llm_simhash" -> Q(
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |    FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(t), i+1, 1)) - 1) % 2 = 0
+        |             THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END * CAST(round(pow(2, i)) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.simhash16(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- brute-force cosine top-k (queries vec_id<10, k=3) ----
+    "q_ann_cosine_topk" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT d.q_id, d.c_id, round(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      Ann.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- LSH bucketing stage for ANN (8 random hyperplanes) ----
+    "q_ann_lsh_bucket" -> Q(
+      """WITH signs AS (
+        |  SELECT j, i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS sign
+        |  FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, s.j, sum(e.v * s.sign) AS dot_j
+        |  FROM e JOIN signs s ON s.i = e.i GROUP BY e.vec_id, s.j)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN dot_j > 0 THEN 1 ELSE 0 END * CAST(round(pow(2, j)) AS BIGINT)) AS BIGINT) AS bucket
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Ann.lshBuckets(tb(s, dir).embeddings, "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
+    // ---- full LSH-bucketed ANN top-k (bench path; recall vs brute force
+    //      asserted in AnnSpec, not SQL-expressible compactly) ----
+    "q_ann_lsh_topk" -> Q.sparkOnly { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      Ann.annTopKLsh(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- multimodal: binary payload metadata extraction ----
+    "q_mm_binary_meta" -> Q(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  substr(md5(text), 1, 16) AS content_id,
+        |  CASE WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+        |       WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'image/png'
+        |       WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'audio/wav'
+        |       ELSE 'application/octet-stream' END AS modality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.withMetadata(
+          Multimodal.asBinary(tb(s, dir).documents, "text"), "payload")
+        .select(col("doc_id"),
+          col("meta.byte_len").cast("long").as("byte_len"),
+          col("meta.content_id").as("content_id"),
+          col("meta.modality").as("modality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal: partition-batch feature decode (stubbed codec) ----
+    "q_mm_decode_features" -> Q.sparkOnly { (s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.asBinary(tb(s, dir).documents, "text"), "doc_id")
+        .orderBy("doc_id")
+    }
+  )
+}

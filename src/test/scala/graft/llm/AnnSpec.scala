@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private val corpus = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.9, 0.1, 0, 0)),   // closest to 0
+    (2L, vec(0, 1, 0, 0)),       // orthogonal to 0
+    (3L, vec(-1, 0, 0, 0)),      // opposite of 0
+    (4L, vec(0.7, 0.7, 0, 0))
+  ).toDF("vec_id", "embedding")
+
+  test("dot and norm are exact on known vectors") {
+    val r = corpus.filter($"vec_id" === 4L)
+      .select(Ann.dot(col("embedding"), col("embedding")).as("d"),
+        Ann.l2norm(col("embedding")).as("n")).collect().head
+    assert(math.abs(r.getDouble(0) - 0.98) < 1e-6)
+    assert(math.abs(r.getDouble(1) - math.sqrt(0.98)) < 1e-6)
+  }
+
+  test("brute-force cosine top-k ranks by similarity with id tiebreak") {
+    val topk = Ann.cosineTopK(corpus.filter($"vec_id" === 0L), corpus,
+        "vec_id", "embedding", 3)
+      .orderBy("rn").collect()
+    assert(topk.map(_.getAs[Long]("c_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(topk.head.getAs[Double]("cosine") > 0.99)
+    // rank 3 is the orthogonal vector at cos 0; the opposite vector (-1)
+    // ranks last and is cut
+    assert(topk(2).getAs[Double]("cosine") === 0.0)
+  }
+
+  test("hyperplane signs are deterministic and ±1") {
+    val s1 = Ann.hyperplaneSigns(8, 4)
+    val s2 = Ann.hyperplaneSigns(8, 4)
+    assert(s1 === s2)
+    assert(s1.map(_._3).forall(v => v == 1.0 || v == -1.0))
+    assert(s1.size === 32)
+  }
+
+  test("LSH buckets: opposite vectors land in complementary buckets") {
+    val b = Ann.lshBuckets(corpus, "vec_id", "embedding", dim = 4, bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    // v and -v flip every bit (no zero dot products for these vectors)
+    assert((b(0L) ^ b(3L)) === 255L)
+    b.values.foreach(v => assert(v >= 0L && v < 256L))
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Ann.cosineTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.annTopKLsh(emb, queries, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // single-probe 8-bit LSH: recall won't be 1.0, but must beat random
+    assert(recall >= 0.2, s"recall=$recall brute=${brute.size} lsh=${lsh.size}")
+    // and every LSH result must be a genuine same-bucket candidate
+    assert(lsh.nonEmpty)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),  // near dup of 1
+    (4L, "completely different text about spark engines here"),
+    (5L, "short text")                                      // < 3 tokens after shingling guard
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id and counts copies") {
+    val out = DedupOps.exactDedupKeep(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("identical documents have identical minhash signatures") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val s1 = sigs.find(_.getLong(0) == 1L).get
+    val s2 = sigs.find(_.getLong(0) == 2L).get
+    (1 to 8).foreach(i => assert(s1.getAs[String](s"mh$i") === s2.getAs[String](s"mh$i")))
+    // doc 5 has < 3 tokens → no shingles → absent from signatures
+    assert(!sigs.exists(_.getLong(0) == 5L))
+  }
+
+  test("LSH candidates include the exact pair; jaccard verification is exact") {
+    val verified = DedupOps.nearDupPairs(docs, "doc_id", "text").collect()
+    val pair12 = verified.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair12.isDefined, "exact duplicates must be LSH candidates")
+    // identical docs: intersection == union
+    assert(pair12.get.getAs[Long]("jaccard_n") === pair12.get.getAs[Long]("jaccard_d"))
+    // no candidate pair may involve doc 4 with jaccard >= 0.8
+    verified.filter(r => r.getLong(0) == 4L || r.getLong(1) == 4L).foreach { r =>
+      assert(r.getAs[Long]("jaccard_n") * 10 < r.getAs[Long]("jaccard_d") * 8)
+    }
+  }
+
+  test("near-dup pair 1-3 has high but non-1 jaccard when it buckets together") {
+    // 1 and 3 share 5 of their shingles; whether they band-collide depends
+    // on the minhash draw — but IF present, the n/d must be exact:
+    // shingles(1)=7, shingles(3)=7, shared=5 → n=5, d=9
+    val verified = DedupOps.nearDupPairs(docs, "doc_id", "text").collect()
+    verified.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L).foreach { r =>
+      assert(r.getAs[Long]("jaccard_n") === 5L)
+      assert(r.getAs[Long]("jaccard_d") === 9L)
+    }
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ, 16-bit range") {
+    val sh = DedupOps.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(4L))
+    sh.values.foreach(v => assert(v >= 0L && v < 65536L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+  private val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47)
+
+  test("metadata: byte length, stable content id, magic-byte modality sniff") {
+    val df = Seq(
+      (1L, jpegMagic ++ Array[Byte](1, 2, 3)),
+      (2L, pngMagic ++ Array[Byte](9)),
+      (3L, "plain text".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.withMetadata(df).select("doc_id", "meta.*")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("modality") === "image/jpeg")
+    assert(out(0).getAs[Int]("byte_len") === 7)
+    assert(out(1).getAs[String]("modality") === "image/png")
+    assert(out(2).getAs[String]("modality") === "application/octet-stream")
+    assert(out(2).getAs[String]("content_id").matches("[0-9a-f]{16}"))
+  }
+
+  test("decodeFeatures: partition-batch decode yields fixed-dim deterministic features") {
+    val df = Seq((1L, Array[Byte](10, 20, 30)), (2L, Array[Byte](10, 20, 30)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(df, "doc_id").orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val f1 = out(0).getSeq[Float](2)
+    val f2 = out(1).getSeq[Float](2)
+    assert(f1.size === Multimodal.StubDecoder.featureDim)
+    assert(f1 === f2) // deterministic stub
+    assert(out(0).getAs[Int]("byte_len") === 3)
+    assert(math.abs(f1.head - 10 / 255.0f) < 1e-6)
+  }
+
+  test("sampleFrames: fixed-size frames, stride sampling, correct slicing") {
+    val payload = (1 to 40).map(_.toByte).toArray // 40 bytes → 3 frames of 16
+    val df = Seq((7L, payload)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, "doc_id", frameBytes = 16, stride = 2)
+      .orderBy("frame_idx").collect()
+    // frames 0,1,2 exist; stride 2 keeps 0 and 2
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2))
+    assert(out(0).getAs[Array[Byte]]("frame").toSeq === payload.slice(0, 16).toSeq)
+    assert(out(1).getAs[Array[Byte]]("frame").toSeq === payload.slice(32, 40).toSeq)
+    assert(out(0).getAs[Int]("n_frames") === 3)
+  }
+}

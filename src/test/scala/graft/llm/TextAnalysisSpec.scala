@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drop empties and lowercase") {
+    val out = Seq("The  Quick   fox ").toDF("t")
+      .select(TextAnalysis.tokens(col("t")).as("ts"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("the", "quick", "fox"))
+  }
+
+  test("shingles: k=3 over tokens; short docs yield empty array") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(TextAnalysis.shingles(col("t")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("token counts: whitespace vs BPE-ish with punctuation") {
+    val r = Seq("hello, world! it's 42").toDF("t").select(
+      TextAnalysis.tokenCountWs(col("t")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("t")).as("bpe"),
+      TextAnalysis.punctCount(col("t")).as("p"),
+      TextAnalysis.alnumCharCount(col("t")).as("a")).collect().head
+    assert(r.getAs[Int]("ws") === 4)
+    // hello , world ! it ' s 42 → 8
+    assert(r.getAs[Int]("bpe") === 8)
+    assert(r.getAs[Int]("p") === 3)  // , ! '
+    assert(r.getAs[Int]("a") === 15) // helloworldits42
+  }
+
+  test("language ID votes stopwords, ties break lexicographically, no hits → und") {
+    val docs = Seq(
+      (1L, "the quick fox"),        // en
+      (2L, "data row stuff"),       // es (data+row)
+      (3L, "qqq zzz www"),          // no hits → und
+      (4L, "the data")              // tie en(1) es(1) → en
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und", 4L -> "en"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive and 16 hex chars") {
+    val out = Seq("The  Quick Fox", "the quick fox", "other")
+      .toDF("t").select(TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+    assert(out(0).matches("[0-9a-f]{16}"))
+  }
+}
