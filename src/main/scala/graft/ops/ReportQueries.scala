@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.reports.Reports
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reports/monitoring module queries: the testdata tables are mapped to
+  * control-plane shapes (orders → sync_file, events → batch logs) and
+  * fed through the REAL Reports/StreamIngest library functions, so the
+  * DuckDB oracle validates the library code, not ad-hoc SQL.
+  */
+object ReportQueries {
+
+  private def tb(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** orders mapped to a sync_file-shaped frame (state machine §1.1). */
+  private def syncLike(s: SparkSession, dir: String): DataFrame =
+    tb(s, dir).orders.select(
+      col("o_orderkey").as("id"),
+      when(col("o_orderstatus") === "O", 1)
+        .when(col("o_orderstatus") === "F", 2)
+        .otherwise(-2).as("processed"),
+      when(col("o_orderstatus") === "P" && col("o_totalprice") > 200000, "failed")
+        .otherwise(lit(null: String)).as("ingest_status_check"),
+      col("o_orderdate").as("create_date"))
+
+  private val syncLikeSql =
+    """SELECT o_orderkey AS id,
+      |  CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE -2 END AS processed,
+      |  CASE WHEN o_orderstatus = 'P' AND o_totalprice > 200000 THEN 'failed' END AS ingest_status_check,
+      |  o_orderdate AS create_date
+      |FROM orders""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- A3: process summary through Reports.processSummary ----
+    "q_report_process_summary" -> Q(
+      s"""WITH sync_file AS ($syncLikeSql)
+         |SELECT CAST(count(*) AS BIGINT) AS total_files,
+         |  CAST(SUM(CASE WHEN processed = 2 THEN 1 ELSE 0 END) AS BIGINT) AS processed_count,
+         |  CAST(SUM(CASE WHEN processed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS just_uploaded,
+         |  CAST(SUM(CASE WHEN processed = -1 THEN 1 ELSE 0 END) AS BIGINT) AS decryption_queue,
+         |  CAST(SUM(CASE WHEN processed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS decrypted_complete,
+         |  CAST(SUM(CASE WHEN processed = -2 AND ingest_status_check IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS real_decryption_fails,
+         |  CAST(SUM(CASE WHEN processed = -2 AND ingest_status_check IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ingestion_fails,
+         |  CAST(SUM(CASE WHEN processed = -2 THEN 1 ELSE 0 END) AS BIGINT) AS fails,
+         |  TIMESTAMP '2026-01-01 00:00:00' AS check_data
+         |FROM sync_file WHERE create_date >= TIMESTAMP '1996-01-01'""".stripMargin) {
+      (s, dir) =>
+        Reports.processSummary(syncLike(s, dir), "1996-01-01",
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    },
+
+    // ---- A4+O2: unprocessed backlog per table through Reports ----
+    "q_report_unprocessed_topk" -> Q(
+      """SELECT table_name, CAST(count(*) AS BIGINT) AS n_files FROM (
+        |  SELECT o_orderpriority AS table_name,
+        |         CASE WHEN o_orderstatus = 'O' THEN 'N' ELSE 'Y' END AS processed
+        |  FROM orders)
+        |WHERE processed = 'N'
+        |GROUP BY table_name ORDER BY n_files DESC, table_name LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        val monitoringLike = tb(s, dir).orders.select(
+          col("o_orderpriority").as("table_name"),
+          when(col("o_orderstatus") === "O", "N").otherwise("Y").as("processed"))
+        Reports.unprocessedByTable(monitoringLike)
+    },
+
+    // ---- A8: distinct-error triage through Reports ----
+    "q_report_distinct_errors" -> Q(
+      """SELECT DISTINCT 'error: ' || o_orderpriority AS error_message FROM orders
+        |WHERE o_orderstatus = 'P' ORDER BY error_message""".stripMargin) { (s, dir) =>
+      val monitoringLike = tb(s, dir).orders.select(
+        when(col("o_orderstatus") === "P",
+          concat(lit("error: "), col("o_orderpriority")))
+          .otherwise(lit(null: String)).as("error_message"))
+      Reports.distinctErrors(monitoringLike)
+    },
+
+    // ---- A5+F13: batch windows through Reports.batchWindows ----
+    "q_report_batch_windows" -> Q(
+      """SELECT event_type AS table_name,
+        |  min(CAST(ts AS TIMESTAMP)) AS min_start,
+        |  max(CAST(ts AS TIMESTAMP)) AS max_end,
+        |  CAST(count(*) AS BIGINT) AS n_batches,
+        |  date_diff('microsecond', min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP))) AS span_us
+        |FROM events GROUP BY event_type ORDER BY table_name""".stripMargin) { (s, dir) =>
+      val logsLike = tb(s, dir).events.select(
+        col("event_type").as("table_name"),
+        col("ts").as("start_time"), col("ts").as("end_time"))
+      Reports.batchWindows(logsLike)
+    },
+
+    // ---- streaming-analog tumbling window agg (event time) ----
+    // Spark window() and DuckDB time_bucket both align 1-hour buckets on
+    // whole hours → identical starts.
+    "q_stream_window_counts" -> Q(
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      StreamIngest.windowedCounts(tb(s, dir).events, "ts", "event_type")
+        .orderBy("window_start", "event_type")
+    }
+  )
+}
