@@ -41,7 +41,11 @@ object DedupOps {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, k: Int = 3): DataFrame = {
-    val sets = shingleSet(df, idCol, textCol, k)
+    // No distinct(): min over the shingle multiset equals min over the
+    // set, so the dedup shuffle shingleSet pays is pure waste here —
+    // one explode + one partial/final min-aggregate is the whole job.
+    val sets = df.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), k)).as("s"))
     val aggs = (1 to numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
     sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -53,14 +57,17 @@ object DedupOps {
     */
   def lshBands(sigs: DataFrame, idCol: String, numHashes: Int = 8,
                rowsPerBand: Int = 4): DataFrame = {
+    // posexplode over an array of band keys: ONE pass over the
+    // signatures (a per-band union would recompute the signature
+    // aggregation once per band — no exchange to reuse between branches).
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
+    val bandKeys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand)
         .map(i => col(s"mh$i"))
-      sigs.select(col(idCol), lit(b).as("band_id"),
-        md5(concat(cols: _*)).as("band_key"))
+      md5(concat(cols: _*))
     }
-    bands.reduce(_ unionByName _)
+    sigs.select(col(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band_id", "band_key")))
   }
 
   /** Candidate pairs: ids sharing any band bucket (id1 < id2). The join

@@ -104,4 +104,36 @@ object Maintenance {
                        outDir: String): Unit =
     spark.read.parquet(tableDir)
       .write.mode("overwrite").option("header", "true").csv(outDir)
+
+  /** S6: quarantine-table discovery — every warehouse table ending
+    * `_bad_dates` (automate_table_extraction.py:52-57's
+    * information_schema ILIKE, as a catalog/FS listing).
+    */
+  def quarantineTables(warehouseDir: String): Seq[String] =
+    Option(new java.io.File(warehouseDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith("_bad_dates"))
+      .map(_.getName).sorted.toSeq
+
+  /** One file-deletion outcome (S14). */
+  final case class DeletionResult(fileName: String, facilityId: String,
+                                  deletedDecrypted: Boolean, deletedEncrypted: Boolean,
+                                  status: String)
+
+  /** S14: physically delete ingested encrypted+decrypted file pairs,
+    * one log row per file (automate_file_delete.py:119-145). Input is
+    * the [[deletionEligible]] frame (capped), so the driver-side FS loop
+    * is O(batch cap), not O(table).
+    */
+  def deleteFiles(eligible: Seq[(String, String)], parentDir: String)
+      : Seq[DeletionResult] =
+    eligible.map { case (fileName, facilityId) =>
+      val enc = new java.io.File(s"$parentDir/$facilityId/$fileName")
+      val dec = new java.io.File(s"$parentDir/$facilityId/" +
+        graft.model.FileName.decryptedName(fileName))
+      val dDec = dec.exists() && dec.delete()
+      val dEnc = enc.exists() && enc.delete()
+      DeletionResult(fileName, facilityId, dDec, dEnc,
+        if (dDec || dEnc) "success" else "failed")
+    }
 }

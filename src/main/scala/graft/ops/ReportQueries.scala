@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core.Tables
+import graft.logs.AggregatedUpdates
 import graft.reports.Reports
 import graft.streaming.StreamIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -91,6 +92,33 @@ object ReportQueries {
         col("event_type").as("table_name"),
         col("ts").as("start_time"), col("ts").as("end_time"))
       Reports.batchWindows(logsLike)
+    },
+
+    // ---- S13: aggregated-update through AggregatedUpdates ----
+    // customer mapped to a staging-like frame; the oracle replicates the
+    // COUNT(DISTINCT) + keyed-refresh semantics.
+    "q_s13_aggregated_update" -> Q(
+      """WITH staging AS (
+        |  SELECT c_mktsegment AS stg_datim_id, CAST(c_custkey AS VARCHAR) AS uuid,
+        |         CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS archived
+        |  FROM customer),
+        |counts AS (
+        |  SELECT stg_datim_id AS datim_id, CAST(count(DISTINCT uuid) AS INTEGER) AS patient_count
+        |  FROM staging WHERE archived = 0 GROUP BY stg_datim_id)
+        |SELECT m.datim_id, coalesce(c.patient_count, m.patient_count) AS patient_count
+        |FROM (SELECT DISTINCT c_mktsegment AS datim_id, 0 AS patient_count FROM customer) m
+        |LEFT JOIN counts c ON c.datim_id = m.datim_id
+        |ORDER BY m.datim_id""".stripMargin) { (s, dir) =>
+      val cust = tb(s, dir).customer
+      val staging = cust.select(
+        col("c_mktsegment").as("stg_datim_id"),
+        col("c_custkey").cast("string").as("uuid"),
+        when(col("c_custkey") % 10 === 0, 1).otherwise(0).as("archived"))
+      val mapping = cust.select(col("c_mktsegment").as("datim_id")).distinct()
+        .withColumn("patient_count", lit(0))
+      AggregatedUpdates.refreshPatientCounts(mapping,
+          AggregatedUpdates.patientCounts(staging))
+        .orderBy("datim_id")
     },
 
     // ---- streaming-analog tumbling window agg (event time) ----

@@ -72,6 +72,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(new java.io.File(fac, "x_202505_1.json").exists())
   }
 
+  test("S6: quarantine discovery lists only *_bad_dates tables") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_whq_").toFile
+    new java.io.File(wh, "stg_a").mkdirs()
+    new java.io.File(wh, "stg_a_bad_dates").mkdirs()
+    new java.io.File(wh, "stg_b_bad_dates").mkdirs()
+    assert(Maintenance.quarantineTables(wh.getPath)
+      === Seq("stg_a_bad_dates", "stg_b_bad_dates"))
+  }
+
+  test("S14: deleteFiles removes encrypted+decrypted pairs and reports status") {
+    val root = java.nio.file.Files.createTempDirectory("graft_del_").toFile
+    val fac = new java.io.File(root, "FAC1"); fac.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(fac, "a_1_2.json").toPath, "e")
+    java.nio.file.Files.writeString(new java.io.File(fac, "a_1_2_decrypted.json").toPath, "d")
+    val res = Maintenance.deleteFiles(
+      Seq(("a_1_2.json", "FAC1"), ("missing.json", "FAC1")), root.getPath)
+    assert(res(0).status === "success" && res(0).deletedDecrypted && res(0).deletedEncrypted)
+    assert(res(1).status === "failed")
+    assert(!new java.io.File(fac, "a_1_2.json").exists())
+    assert(!new java.io.File(fac, "a_1_2_decrypted.json").exists())
+  }
+
   test("S7: bad-records CSV export round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toFile
     val src = new java.io.File(dir, "src"); val out = new java.io.File(dir, "out")
