@@ -1,0 +1,112 @@
+package graft
+
+import graft.ingest.Stages
+import graft.model.FileName
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based tests (SURVEY §5.2): ScalaCheck generators drive the
+  * inputs; column-expression properties are evaluated in one batched
+  * DataFrame per test (one Spark job, not one per sample).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 100): List[A] =
+    Gen.listOfN(n, g).sample.get
+
+  private val entityGen: Gen[String] = Gen.chooseNum(1, 4).flatMap { n =>
+    Gen.listOfN(n, Gen.choose('a', 'z').flatMap(c =>
+      Gen.listOfN(4, Gen.alphaLowerChar).map(l => (c :: l).mkString)))
+      .map(_.mkString("_"))
+  }
+  private val digitsGen: Gen[String] =
+    Gen.chooseNum(1L, 99999999999999L).map(_.toString)
+
+  test("property: filename round trip — derive/batchId invert the naming convention") {
+    samples(Gen.zip(entityGen, digitsGen, digitsGen)).foreach { case (entity, batch, ts) =>
+      val enc = s"${entity}_${batch}_$ts.json"
+      val dec = FileName.decryptedName(enc)
+      assert(dec.endsWith("_decrypted.json"))
+      assert(FileName.encryptedName(dec) === enc)
+      assert(FileName.deriveTableName(dec) === entity)
+      assert(FileName.batchId(dec) === ts)
+      assert(FileName.stagingTable(dec) === s"stg_$entity")
+    }
+  }
+
+  test("property: mask_pii masks exactly the PII keys, preserves the rest") {
+    val kvGen = for {
+      keys <- Gen.nonEmptyListOf(Gen.oneOf(
+        graft.model.SchemaRegistry.nestedPiiKeys ++ Seq("age", "city", "zz")))
+      vals <- Gen.listOfN(keys.size, Gen.alphaNumStr.suchThat(_.nonEmpty))
+    } yield keys.distinct.zip(vals)
+    val samples = Gen.listOfN(60, kvGen).sample.get
+    val jsons = samples.map(kvs =>
+      kvs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
+    val out = jsons.toDF("v")
+      .select(col("v"), Stages.maskJsonString(col("v")).as("m"))
+      .collect()
+    samples.zip(out).foreach { case (kvs, row) =>
+      val masked = row.getString(1)
+      kvs.foreach { case (k, v) =>
+        if (graft.model.SchemaRegistry.nestedPiiKeys.contains(k))
+          assert(masked.contains(s""""$k":"${Stages.Mask}""""), s"$k not masked in $masked")
+        else
+          assert(masked.contains(s""""$k":"$v""""), s"$k/$v lost in $masked")
+      }
+    }
+  }
+
+  test("property: date validator never passes unparseable non-blank values") {
+    val junkGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaChar, Gen.oneOf('/', '#', '?')))
+      .map(_.mkString).suchThat(s => s.trim.nonEmpty)
+    val validGen = for {
+      y <- Gen.chooseNum(1970, 2100); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d"
+    val junk = Gen.listOfN(50, junkGen).sample.get
+    val valid = Gen.listOfN(50, validGen).sample.get
+    val blanks = Seq("", " ", "   ", null)
+    val rows = (junk.map((_, false)) ++ valid.map((_, true)) ++
+      blanks.map((_, true)))
+    val out = rows.toDF("v", "expected")
+      .select(col("expected"), Stages.dateValid(col("v")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
+  }
+
+  test("property: emptyToNull nulls exactly blank/'null' strings") {
+    val strGen = Gen.oneOf(
+      Gen.const(""), Gen.const("  "), Gen.const("null"), Gen.const(" null "),
+      Gen.alphaNumStr.suchThat(s => s.trim.nonEmpty && s.trim != "null"))
+    val samples = Gen.listOfN(100, strGen).sample.get
+    val out = samples.toDF("v")
+      .select(col("v"), Stages.emptyToNullCol(col("v")).as("n")).collect()
+    out.foreach { r =>
+      val in = r.getString(0)
+      val expectNull = in.trim.isEmpty || in.trim == "null"
+      assert((r.getString(1) == null) === expectNull, s"input='$in'")
+    }
+  }
+
+  test("property: latest-wins dedup keeps exactly one row per key, the newest") {
+    val gen = for {
+      nKeys <- Gen.chooseNum(1, 10)
+      rows <- Gen.nonEmptyListOf(for {
+        k <- Gen.chooseNum(0, nKeys)
+        v <- Gen.chooseNum(0, 1000000)
+      } yield (s"f$k.json", "FAC", v))
+    } yield rows
+    val rows = gen.sample.get
+    val df = rows.toDF("file_name", "facility_id", "version")
+      .withColumn("modified_date",
+        timestamp_seconds(col("version") + 1000000000L))
+    val deduped = graft.maintenance.Maintenance.dedupSyncFile(df).collect()
+    val byKey = rows.groupBy(r => (r._1, r._2))
+    assert(deduped.length === byKey.size)
+    deduped.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Int]("version") === byKey(key).map(_._3).max)
+    }
+  }
+}

@@ -54,6 +54,21 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashAgg sketch matches the pure-builtin min(md5) formulation") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = DedupOps.minhashSignaturesNative(real, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val expr = DedupOps.minhashSignatures(real, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(native.length === expr.length && native.nonEmpty)
+    native.zip(expr).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      (1 to 8).foreach(i =>
+        assert(a.getAs[String](s"mh$i") === b.getAs[String](s"mh$i"),
+          s"doc ${a.getLong(0)} mh$i"))
+    }
+  }
+
   test("simhash: identical docs equal, disjoint docs differ, 16-bit range") {
     val sh = DedupOps.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
