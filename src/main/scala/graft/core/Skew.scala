@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for hot keys (a handful of mega-facilities
+  * among thousands — the realistic 100 TB shape of the reference's
+  * per-facility data).
+  *
+  * AQE's skewJoin handles most cases at runtime (enabled in
+  * GraftSession); salting is the explicit fallback for aggregations and
+  * for joins AQE can't split (e.g. a skewed groupBy key):
+  * two-phase aggregate over (key, salt) then key.
+  */
+object Skew {
+
+  /** Add a deterministic salt column in [0, buckets) derived from stable
+    * row content — NOT rand(), so retries/speculative tasks agree.
+    */
+  def withSalt(df: DataFrame, saltFrom: Column, buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltFrom), lit(buckets)))
+
+  /** Two-phase skew-safe count per key: partial count over (key, salt),
+    * final sum over key. Identical result to a direct groupBy(key) but
+    * the first shuffle spreads a hot key across `buckets` reducers.
+    */
+  def saltedCount(df: DataFrame, keyCol: String, saltFrom: Column,
+                  buckets: Int = 16): DataFrame =
+    withSalt(df, saltFrom, buckets)
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum("_partial").as("n"))
+
+  /** Skew-safe distinct count per key: the (key, salt) pre-aggregation
+    * dedups locally before the per-key exact distinct.
+    */
+  def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                          buckets: Int = 16): DataFrame =
+    withSalt(df, col(valueCol), buckets)
+      .select(col(keyCol), col("_salt"), col(valueCol)).distinct()
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_distinct"))
+}

@@ -160,6 +160,23 @@ object Stages {
       .withColumn("stg_datim_id", element_at(split(path, "/"), -2))
   }
 
+  // ---- nested-payload serialization (dsd_loader.py:638-639) ----
+  /** DSD records may carry arbitrarily nested objects; the reference
+    * json.dumps-serializes them before insert. Spark equivalent: every
+    * struct/map/array column becomes a JSON string column (to_json),
+    * leaving scalars untouched — so the staging schema stays flat.
+    */
+  def serializeNested(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map {
+      case f if f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[ArrayType] =>
+        to_json(col(f.name)).as(f.name)
+      case f => col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   // ---- F9: error-message formatting (file_loader.py:371-384, 189) ----
   def formatError(msg: String, maxLen: Int = 500): String = {
     val firstLine = msg.linesIterator.toSeq.headOption.getOrElse("")

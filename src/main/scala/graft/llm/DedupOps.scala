@@ -130,6 +130,34 @@ object DedupOps {
     jaccardVerify(pairs, shingleSet(df, idCol, textCol, k), idCol)
   }
 
+  /** Embedding-cosine near-duplicates: pairs of vectors whose cosine
+    * similarity exceeds `threshold`, found via the multi-table
+    * hyperplane LSH buckets (candidates only form inside a shared
+    * bucket — never all-pairs) and verified with the exact cosine.
+    * The embedding-space complement of MinHash near-dup: catches
+    * semantic duplicates that share no shingles.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95,
+                        bits: Int = 4, tables: Int = 4): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val buckets = Ann.lshBucketsMulti(df, idCol, vecCol, dim, bits, tables)
+    val withB = df.join(buckets, idCol)
+    val a = withB.select(col("table_id"), col("bucket"),
+      col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = withB.select(col("table_id"), col("bucket"),
+      col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, Seq("table_id", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+      .dropDuplicates("id1", "id2")
+      .withColumn("cosine", round(
+        Ann.dot(col("v1"), col("v2")) /
+          (Ann.l2norm(col("v1")) * Ann.l2norm(col("v2"))), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
   /** 16-bit SimHash from token md5s: bit i = sign of the sum over
     * distinct tokens of ±1, where the vote is the parity of hex digit
     * i of md5(token). Integer votes → engines agree exactly.

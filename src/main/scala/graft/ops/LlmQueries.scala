@@ -226,6 +226,43 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // ---- embedding-cosine near-dup: multi-table LSH candidates + exact
+    //      cosine verification (threshold 0.4 — the synthetic embeddings
+    //      have no true near-dups, max pairwise cosine ≈0.51) ----
+    "q_llm_embedding_near_dup" -> Q(
+      """WITH signs AS (
+        |  SELECT j, CAST(j // 4 AS INTEGER) AS table_id, j % 4 AS bit_pos, i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS sign
+        |  FROM (SELECT unnest(range(0, 16)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, s.table_id, s.bit_pos, sum(e.v * s.sign) AS dot_j
+        |  FROM e JOIN signs s ON s.i = e.i GROUP BY e.vec_id, s.table_id, s.bit_pos),
+        |buckets AS (
+        |  SELECT vec_id, table_id,
+        |    CAST(sum(CASE WHEN dot_j > 0 THEN 1 ELSE 0 END * CAST(round(pow(2, bit_pos)) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, table_id),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buckets a JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |cos AS (
+        |  SELECT p.id1, p.id2, round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+        |  FROM pairs p
+        |  JOIN e a ON a.vec_id = p.id1 JOIN e b ON b.vec_id = p.id2 AND b.i = a.i
+        |  JOIN norms na ON na.vec_id = p.id1 JOIN norms nb ON nb.vec_id = p.id2
+        |  GROUP BY p.id1, p.id2)
+        |SELECT id1, id2, cosine FROM cos WHERE cosine >= 0.4
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      DedupOps.embeddingNearDups(tb(s, dir).embeddings, "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("id1", "id2")
+    },
+
     // ---- full LSH-bucketed ANN top-k (bench path; recall vs brute force
     //      asserted in AnnSpec, not SQL-expressible compactly) ----
     "q_ann_lsh_topk" -> Q.sparkOnly { (s, dir) =>

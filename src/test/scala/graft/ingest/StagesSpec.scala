@@ -120,6 +120,19 @@ class StagesSpec extends SparkSpec {
     assert(r.getAs[String]("stg_datim_id") === "FAC1")
   }
 
+  test("DSD nested payloads serialize to JSON strings, scalars untouched") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+      .withColumn("extra", struct(lit("t").as("type"), lit("v").as("value")))
+      .withColumn("tags", array(lit("a"), lit("b")))
+    val out = Stages.serializeNested(df)
+    assert(out.schema.fields.forall(f =>
+      !f.dataType.typeName.matches("struct|array|map")))
+    val r = out.collect().head
+    assert(r.getAs[String]("extra") === """{"type":"t","value":"v"}""")
+    assert(r.getAs[String]("tags") === """["a","b"]""")
+    assert(r.getAs[Long]("id") === 1L && r.getAs[String]("name") === "x")
+  }
+
   test("F9: error formatting strips prefixes, first line, truncates") {
     val raw = "psycopg2.errors.UndefinedColumn: column stg_x of stg_patient_person\nDETAIL: more"
     val out = Stages.formatError(raw)

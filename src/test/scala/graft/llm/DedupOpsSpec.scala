@@ -69,6 +69,21 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding-cosine near-dup finds near-identical vectors, not orthogonal ones") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)),
+      (2L, v(0.999, 0.01, 0, 0)), // near-dup of 1
+      (3L, v(0, 1, 0, 0)),        // orthogonal
+      (4L, v(0.999, 0.011, 0, 0)) // near-dup of 1 and 2
+    ).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs equal, disjoint docs differ, 16-bit range") {
     val sh = DedupOps.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
