@@ -141,19 +141,26 @@ object DedupOps {
                         threshold: Double = 0.95,
                         bits: Int = 4, tables: Int = 4): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // cache the bucket table: it feeds BOTH sides of the pair self-join
+    // (uncached it would recompute the posexplode+aggregate twice)
     val buckets = Ann.lshBucketsMulti(df, idCol, vecCol, dim, bits, tables)
-    val withB = df.join(buckets, idCol)
-    val a = withB.select(col("table_id"), col("bucket"),
-      col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = withB.select(col("table_id"), col("bucket"),
-      col(idCol).as("id2"), col(vecCol).as("v2"))
-    a.join(b, Seq("table_id", "bucket"))
+      .cache()
+    // pair up IDS ONLY inside buckets — narrow rows through the join and
+    // the dedup shuffle; vectors re-attach afterwards, once per side.
+    // Carrying the d-dim arrays through the candidate join is the
+    // anti-pattern this avoids.
+    val a = buckets.select(col("table_id"), col("bucket"), col(idCol).as("id1"))
+    val b = buckets.select(col("table_id"), col("bucket"), col(idCol).as("id2"))
+    val pairs = a.join(b, Seq("table_id", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "v1", "v2")
-      .dropDuplicates("id1", "id2")
-      .withColumn("cosine", round(
-        Ann.dot(col("v1"), col("v2")) /
-          (Ann.l2norm(col("v1")) * Ann.l2norm(col("v2"))), 4))
+      .select("id1", "id2").distinct()
+    val vecs = df.select(col(idCol),
+      col(vecCol).as("_v"), Ann.l2norm(col(vecCol)).as("_n"))
+    pairs
+      .join(vecs.select(col(idCol).as("id1"), col("_v").as("v1"), col("_n").as("n1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col("_v").as("v2"), col("_n").as("n2")), "id2")
+      .withColumn("cosine",
+        round(Ann.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.{Ann, DedupOps, Multimodal, TextAnalysis}
+import graft.llm.{Ann, DedupOps, Ivf, Multimodal, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,40 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- n-gram Jaccard over blocked pairs ----
+    // Content-blocking flavor (distinct from the MinHash-LSH flow): pairs
+    // sharing the same n_chars (cheap equality blocking) get exact
+    // 3-gram-shingle Jaccard as integer n/d.
+    "q_llm_ngram_jaccard" -> Q(
+      s"""WITH $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM documents a JOIN documents b
+         |    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS n
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1
+         |  JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  CAST(coalesce(i.n, 0) AS BIGINT) AS jaccard_n,
+         |  CAST(s1.sz + s2.sz - coalesce(i.n, 0) AS BIGINT) AS jaccard_d
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |JOIN sizes s1 ON s1.doc_id = p.id1
+         |JOIN sizes s2 ON s2.doc_id = p.id2
+         |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      val a = docs.select(col("n_chars"), col("doc_id").as("id1"))
+      val b = docs.select(col("n_chars"), col("doc_id").as("id2"))
+      val pairs = a.join(b, Seq("n_chars")).filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+      DedupOps.jaccardVerify(pairs,
+          DedupOps.shingleSet(docs, "doc_id", "text"), "doc_id")
+        .orderBy("id1", "id2")
+    },
+
     // ---- 16-bit SimHash ----
     "q_llm_simhash" -> Q(
       """WITH toks AS (
@@ -268,6 +302,17 @@ object LlmQueries {
     "q_ann_lsh_topk" -> Q.sparkOnly { (s, dir) =>
       val emb = tb(s, dir).embeddings
       Ann.annTopKLsh(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- IVF ANN (coarse k-means quantizer, nprobe search; bench path —
+    //      recall vs brute force asserted in IvfSpec; centroid averaging
+    //      is FP-order-dependent so not oracle-hashable) ----
+    "q_ann_ivf_topk" -> Q.sparkOnly { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Ivf.topK(emb, emb.filter(col("vec_id") < 10), index,
+          "vec_id", "embedding", k = 3, nprobe = 4)
         .orderBy("q_id", "rn")
     },
 

@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF: clustered data lands in coherent cells and search finds cluster-mates") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two tight clusters on orthogonal axes; ids 0 and 1 (the smallest,
+    // hence the deterministic seeds) sit in different clusters
+    val emb = Seq(
+      (0L, v(1, 0.01, 0, 0)), (2L, v(0.99, 0.02, 0, 0)), (3L, v(1, 0.03, 0, 0)),
+      (1L, v(0, 0.01, 1, 0)), (11L, v(0.01, 0, 0.99, 0)), (12L, v(0, 0.02, 1, 0))
+    ).toDF("vec_id", "embedding")
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val cells = index.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Set(cells(0L), cells(2L), cells(3L)).size === 1, "cluster A coherent")
+    assert(Set(cells(1L), cells(11L), cells(12L)).size === 1, "cluster B coherent")
+    assert(cells(0L) !== cells(1L), "clusters separated")
+
+    val topk = Ivf.topK(emb, emb.filter($"vec_id" === 0L), index,
+      "vec_id", "embedding", k = 2, nprobe = 1)
+    val got = topk.orderBy("rn").collect().map(_.getAs[Long]("c_id")).toSet
+    assert(got === Set(2L, 3L), s"nprobe=1 search stays in the cluster: $got")
+  }
+
+  test("IVF: recall vs brute force on real embeddings with nprobe=4 of k=8") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Ann.cosineTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val ivf = Ivf.topK(emb, queries, index, "vec_id", "embedding", 3, nprobe = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing half the cells must recover a solid share of true neighbors
+    assert(recall >= 0.4, s"recall=$recall brute=${brute.size} ivf=${ivf.size}")
+  }
+}
