@@ -30,7 +30,12 @@ object Pipeline {
       logStore: LogStore,
       batchCap: Int = 50000,
       watermark: String = "2025-01-01",
-      dsdMode: Boolean = false)
+      dsdMode: Boolean = false,
+      // partition staging tables by this column (normally stg_datim_id):
+      // at 100 TB facility-partitioned layout gives partition pruning for
+      // the per-facility reports and deletes. Off by default locally —
+      // thousands of tiny files per micro-batch at test scale.
+      partitionStagingBy: Option[String] = None)
 
   final case class RunResult(
       logId: String,
@@ -122,10 +127,14 @@ object Pipeline {
       val (valid, bad) = Stages.dateSplit(withProv, idCol = Some("id"))
       val validC = valid.cache(); val badC = bad.cache()
 
+      def writer(df: org.apache.spark.sql.DataFrame) = {
+        val w = df.write.mode("append")
+        cfg.partitionStagingBy.fold(w)(c => w.partitionBy(c))
+      }
       if (validC.take(1).nonEmpty)
-        validC.write.mode("append").parquet(s"${cfg.warehouseDir}/$stagingTable")
+        writer(validC).parquet(s"${cfg.warehouseDir}/$stagingTable")
       if (badC.take(1).nonEmpty)
-        badC.write.mode("append")
+        writer(badC)
           .parquet(s"${cfg.warehouseDir}/${SchemaRegistry.quarantineTable(stagingTable)}")
 
       // per-file counts via aggregation, not a driver loop over files

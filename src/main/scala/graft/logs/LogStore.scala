@@ -25,7 +25,7 @@ final case class LogStore(spark: SparkSession, dir: String) {
   private def path(table: String) = s"$dir/$table"
 
   def append(table: String, rows: DataFrame): Unit =
-    rows.withColumn("_version_ts", lit(System.nanoTime()))
+    rows.withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("append").parquet(path(table))
 
   def exists(table: String): Boolean =
@@ -64,7 +64,7 @@ final case class LogStore(spark: SparkSession, dir: String) {
   def compact(table: String, keys: Seq[String]): Unit = {
     val current = latest(table, keys).cache()
     current.count() // materialize before overwrite
-    current.withColumn("_version_ts", lit(System.nanoTime()))
+    current.withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("overwrite").parquet(path(table) + "_compacted")
     // atomic-ish swap: parquet dir rename
     val fs = new java.io.File(path(table))
@@ -74,4 +74,16 @@ final case class LogStore(spark: SparkSession, dir: String) {
     org.apache.commons.io.FileUtils.deleteDirectory(bak)
     current.unpersist()
   }
+}
+
+object LogStore {
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Version stamp: wall-clock millis (comparable ACROSS JVM runs —
+    * System.nanoTime has an arbitrary per-JVM origin and would let an
+    * older run outrank a newer one) with a 20-bit in-process counter so
+    * appends within the same millisecond stay strictly ordered.
+    */
+  def nextVersion(): Long =
+    (System.currentTimeMillis() << 20) | (counter.getAndIncrement() & 0xFFFFF)
 }

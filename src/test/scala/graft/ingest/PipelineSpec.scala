@@ -157,6 +157,23 @@ class PipelineSpec extends SparkSpec {
     assert(sync.getAs[Int]("processed") === SyncState.Ingested)
   }
 
+  test("facility-partitioned staging layout (100 TB shape)") {
+    val (cfg0, parent) = setup()
+    val cfg = cfg0.copy(partitionStagingBy = Some("stg_datim_id"))
+    writeFile(new java.io.File(parent, "FACP"),
+      "patient_visit_0_20250106000000_decrypted.json",
+      """[{"id": 1, "uuid": "u1", "visit_date": "2024-03-01"}]""")
+    seedSync(cfg, Seq(syncRow(9L, "FACP", "patient_visit_0_20250106000000.json")))
+    val res = Pipeline.run(spark, cfg)
+    assert(res.recordsIngested === 1)
+    val tableDir = new java.io.File(s"${cfg.warehouseDir}/stg_patient_visit")
+    assert(tableDir.listFiles().exists(_.getName == "stg_datim_id=FACP"),
+      "partition directory per facility")
+    val back = spark.read.parquet(tableDir.getPath)
+    assert(back.count() === 1)
+    assert(back.collect().head.getAs[String]("stg_datim_id") === "FACP")
+  }
+
   test("worklist honors prefix split between main and DSD loaders (P5)") {
     val (cfg, _) = setup()
     seedSync(cfg, Seq(

@@ -45,6 +45,16 @@ class LogStoreSpec extends SparkSpec {
     assert(df.columns.contains("processed"))
   }
 
+  test("version clock: strictly increasing and anchored to wall clock") {
+    val before = System.currentTimeMillis() << 20
+    val vs = (1 to 1000).map(_ => LogStore.nextVersion())
+    val after = (System.currentTimeMillis() + 1) << 20
+    assert(vs.sliding(2).forall(p => p(0) < p(1)), "strictly increasing")
+    // anchored to wall time → comparable across JVM restarts (unlike
+    // nanoTime's arbitrary per-JVM origin)
+    assert(vs.head >= before && vs.last <= after + (1L << 20))
+  }
+
   test("state machine legality (SURVEY §1.1)") {
     assert(SyncState.canTransition(SyncState.Ready, SyncState.Ingested))
     assert(SyncState.canTransition(SyncState.Ready, SyncState.Failed))
