@@ -20,13 +20,19 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else defaults
     val spark = GraftSession.quiet(
       GraftSession.builder("graft-explain", "local[4]", 4).getOrCreate())
-    names.foreach { n =>
-      SparkEntry.queries.get(n) match {
-        case Some(fn) =>
-          println(s"\n========== $n ==========")
-          fn(spark, sfDir).explain("formatted")
-        case None => println(s"unknown query: $n")
-      }
+    names.foreach {
+      case "entry" =>
+        println("\n========== entry (flagship smoke) ==========")
+        val df = SparkEntry.entry(spark)
+        df.explain("formatted")
+        println(s"entry rows: ${df.count()}")
+      case n =>
+        SparkEntry.queries.get(n) match {
+          case Some(fn) =>
+            println(s"\n========== $n ==========")
+            fn(spark, sfDir).explain("formatted")
+          case None => println(s"unknown query: $n")
+        }
     }
     spark.stop()
   }

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *  - facility thread pool (multi_file_ingestion_process.py:107-123) →
   *    native partition parallelism.
   *  - `UPDATE sync_file/...` → append + latest-wins views (LogStore).
+  *  - DSD quarantine: the reference's `_bad_dates` writer exists but its
+  *    call is commented out (dsd_loader.py:553-604,668) — skipped records
+  *    are silently dropped. We route them to the quarantine table in BOTH
+  *    modes (a deliberate, documented improvement; the record-skip
+  *    file-status semantics are preserved).
   *
   * The work list itself is bounded by the reference's own batch cap
   * (50k/20k rows), so staging the file list on the driver is O(cap),

@@ -122,12 +122,20 @@ object DedupOps {
         (col("sz1") + col("sz2") - col("jaccard_n")).as("jaccard_d"))
   }
 
-  /** End-to-end MinHash-LSH near-dup pairs with verified Jaccard. */
+  /** End-to-end MinHash-LSH near-dup pairs with verified Jaccard. The
+    * distinct shingle set is computed once and cached — it feeds both
+    * the signature aggregation (min over the SET equals min over the
+    * multiset, so using the deduped set is exact) and the Jaccard
+    * verification, saving a full shingle-explosion pass over the corpus.
+    */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
+    val sets = shingleSet(df, idCol, textCol, k).cache()
+    val aggs = (1 to numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
+    val sigs = sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val pairs = candidatePairs(lshBands(sigs, idCol, numHashes, rowsPerBand), idCol)
-    jaccardVerify(pairs, shingleSet(df, idCol, textCol, k), idCol)
+    jaccardVerify(pairs, sets, idCol)
   }
 
   /** Embedding-cosine near-duplicates: pairs of vectors whose cosine
