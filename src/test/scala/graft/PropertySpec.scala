@@ -12,8 +12,14 @@ import org.scalacheck.Gen
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  /** Sample with retry: a suchThat-filtered generator can return None on
+    * any single draw, which would make `.sample.get` a flaky test.
+    */
+  private def sampleOne[A](g: Gen[A]): A =
+    Iterator.continually(g.sample).flatten.next()
+
   private def samples[A](g: Gen[A], n: Int = 100): List[A] =
-    Gen.listOfN(n, g).sample.get
+    sampleOne(Gen.listOfN(n, g))
 
   private val entityGen: Gen[String] = Gen.chooseNum(1, 4).flatMap { n =>
     Gen.listOfN(n, Gen.choose('a', 'z').flatMap(c =>
@@ -41,7 +47,7 @@ class PropertySpec extends SparkSpec {
         graft.model.SchemaRegistry.nestedPiiKeys ++ Seq("age", "city", "zz")))
       vals <- Gen.listOfN(keys.size, Gen.alphaNumStr.suchThat(_.nonEmpty))
     } yield keys.distinct.zip(vals)
-    val samples = Gen.listOfN(60, kvGen).sample.get
+    val samples = sampleOne(Gen.listOfN(60, kvGen))
     val jsons = samples.map(kvs =>
       kvs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
     val out = jsons.toDF("v")
@@ -64,8 +70,8 @@ class PropertySpec extends SparkSpec {
     val validGen = for {
       y <- Gen.chooseNum(1970, 2100); m <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
     } yield f"$y%04d-$m%02d-$d%02d"
-    val junk = Gen.listOfN(50, junkGen).sample.get
-    val valid = Gen.listOfN(50, validGen).sample.get
+    val junk = sampleOne(Gen.listOfN(50, junkGen))
+    val valid = sampleOne(Gen.listOfN(50, validGen))
     val blanks = Seq("", " ", "   ", null)
     val rows = (junk.map((_, false)) ++ valid.map((_, true)) ++
       blanks.map((_, true)))
@@ -79,7 +85,7 @@ class PropertySpec extends SparkSpec {
     val strGen = Gen.oneOf(
       Gen.const(""), Gen.const("  "), Gen.const("null"), Gen.const(" null "),
       Gen.alphaNumStr.suchThat(s => s.trim.nonEmpty && s.trim != "null"))
-    val samples = Gen.listOfN(100, strGen).sample.get
+    val samples = sampleOne(Gen.listOfN(100, strGen))
     val out = samples.toDF("v")
       .select(col("v"), Stages.emptyToNullCol(col("v")).as("n")).collect()
     out.foreach { r =>
@@ -97,7 +103,7 @@ class PropertySpec extends SparkSpec {
         v <- Gen.chooseNum(0, 1000000)
       } yield (s"f$k.json", "FAC", v))
     } yield rows
-    val rows = gen.sample.get
+    val rows = sampleOne(gen)
     val df = rows.toDF("file_name", "facility_id", "version")
       .withColumn("modified_date",
         timestamp_seconds(col("version") + 1000000000L))
