@@ -132,21 +132,23 @@ object Pipeline {
       val (valid, bad) = Stages.dateSplit(withProv, idCol = Some("id"))
       val validC = valid.cache(); val badC = bad.cache()
 
-      def writer(df: org.apache.spark.sql.DataFrame) = {
-        val w = df.write.mode("append")
-        cfg.partitionStagingBy.fold(w)(c => w.partitionBy(c))
-      }
-      if (validC.take(1).nonEmpty)
-        writer(validC).parquet(s"${cfg.warehouseDir}/$stagingTable")
-      if (badC.take(1).nonEmpty)
-        writer(badC)
-          .parquet(s"${cfg.warehouseDir}/${SchemaRegistry.quarantineTable(stagingTable)}")
-
-      // per-file counts via aggregation, not a driver loop over files
+      // per-file counts via aggregation (not a driver loop over files);
+      // these actions also materialize the caches, and their totals gate
+      // the writes — no separate existence-probe jobs.
       val okCounts = validC.groupBy("stg_file_name", "stg_datim_id").count().collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val badCounts = badC.groupBy("stg_file_name", "stg_datim_id").count().collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      def writer(df: org.apache.spark.sql.DataFrame) = {
+        val w = df.write.mode("append")
+        cfg.partitionStagingBy.fold(w)(c => w.partitionBy(c))
+      }
+      if (okCounts.valuesIterator.sum > 0)
+        writer(validC).parquet(s"${cfg.warehouseDir}/$stagingTable")
+      if (badCounts.valuesIterator.sum > 0)
+        writer(badC)
+          .parquet(s"${cfg.warehouseDir}/${SchemaRegistry.quarantineTable(stagingTable)}")
 
       files.foreach { case (_, fac, f, _, _) =>
         val ok = okCounts.getOrElse((f, fac), 0L)
