@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers for shuffle-free co-located joins.
+  *
+  * The staging↔log joins (idempotency J5, staged-delete S16, dedup J3)
+  * all key on the same few columns; persisting both sides bucketed on
+  * that key lets Catalyst plan a SortMergeJoin with NO Exchange on
+  * either side — at 100 TB that removes the dominant shuffle of every
+  * maintenance run. Bucketing requires the session catalog
+  * (saveAsTable), so these helpers manage warehouse tables rather than
+  * bare parquet paths.
+  */
+object Bucketing {
+
+  /** Persist a frame as a bucketed, sorted table (overwrite). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key. With matching
+    * bucket counts the physical plan contains zero Exchange operators —
+    * asserted in BucketingSpec by inspecting the executed plan.
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   on: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), on, joinType)
+}
