@@ -33,11 +33,15 @@ object Skew {
       .agg(sum("_partial").as("n"))
 
   /** Skew-safe distinct count per key: the (key, salt) pre-aggregation
-    * dedups locally before the per-key exact distinct.
+    * dedups locally before the per-key exact distinct. NULL values are
+    * excluded up front — countDistinct ignores NULLs, and without the
+    * filter the (key, salt, NULL) row would survive the distinct and
+    * count as one extra value. (Keys whose values are ALL null drop out
+    * instead of reporting 0 — same as a groupBy over the filtered input.)
     */
   def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
                           buckets: Int = 16): DataFrame =
-    withSalt(df, col(valueCol), buckets)
+    withSalt(df.filter(col(valueCol).isNotNull), col(valueCol), buckets)
       .select(col(keyCol), col("_salt"), col(valueCol)).distinct()
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_distinct"))

@@ -35,12 +35,15 @@ object Ann {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    // norms are per-vector: compute them once per side BEFORE the join,
+    // not per (q, c) pair after it (|Q|·|C| re-computations saved)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2norm(col(vecCol)).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      l2norm(col(vecCol)).as("c_nrm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine", round(
-        dot(col("q_vec"), col("c_vec")) /
-          (l2norm(col("q_vec")) * l2norm(col("c_vec"))), 4))
+        dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -115,23 +118,27 @@ object Ann {
                  vecCol: String, k: Int, dim: Int = 64, bits: Int = 4,
                  tables: Int = 4): DataFrame = {
     val buckets = lshBucketsMulti(df, idCol, vecCol, dim, bits, tables)
-    val corpus = df.join(buckets, idCol)
-    val qb = queries.join(buckets, idCol)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        col("table_id"), col("bucket"))
-    val cands = corpus
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-        col("table_id"), col("bucket"))
+    // candidate pairs as IDS ONLY — the d-dim vectors do not ride through
+    // the bucket join or the dedup shuffle; they re-attach once per side
+    // afterwards, with the per-vector norm computed exactly once.
+    val qb = buckets.join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+      .withColumnRenamed(idCol, "q_id")
+    val cands = buckets.withColumnRenamed(idCol, "c_id")
       .join(broadcast(qb), Seq("table_id", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "c_id", "c_vec")
-      .dropDuplicates("q_id", "c_id")
+      .select("q_id", "c_id").dropDuplicates("q_id", "c_id")
+    val qVecs = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2norm(col(vecCol)).as("q_nrm"))
+    val cVecs = df.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      l2norm(col(vecCol)).as("c_nrm"))
+    val scored = cands
+      .join(broadcast(qVecs), "q_id")
+      .join(cVecs, "c_id")
       .withColumn("cosine", round(
-        dot(col("q_vec"), col("c_vec")) /
-          (l2norm(col("q_vec")) * l2norm(col("c_vec"))), 4))
+        dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    cands.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
   }

@@ -138,20 +138,37 @@ object DedupOps {
     jaccardVerify(pairs, sets, idCol)
   }
 
+  /** Signature width sized to the corpus: floor(log₂(n / targetBucket)),
+    * clamped to [1, 16], so the EXPECTED bucket width stays ≈targetBucket
+    * as n grows — candidate-join cost ≈ tables · n · targetBucket, linear
+    * in n. A fixed width is quadratic: n²/2^bits pairs. Computed with
+    * exact integer shift comparisons (portable to any SQL engine — float
+    * log2 could flip a ceil/floor by one ULP at exact powers of two).
+    */
+  def deriveBits(n: Long, targetBucket: Long = 64L): Int =
+    math.max(1, (1 to 16).count(b => (1L << b) * targetBucket <= n))
+
   /** Embedding-cosine near-duplicates: pairs of vectors whose cosine
     * similarity exceeds `threshold`, found via the multi-table
     * hyperplane LSH buckets (candidates only form inside a shared
     * bucket — never all-pairs) and verified with the exact cosine.
     * The embedding-space complement of MinHash near-dup: catches
     * semantic duplicates that share no shingles.
+    *
+    * `bits` defaults to [[deriveBits]] of the corpus count: expected
+    * bucket width stays constant as the corpus grows. Per-table recall
+    * for similarity s is p^bits (p = 1 - arccos(s)/π), OR'd across
+    * `tables` — at near-dup thresholds (≥0.95, p≈0.9) recall stays high;
+    * widen `tables` rather than shrinking `bits` if more is needed.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95,
-                        bits: Int = 4, tables: Int = 4): DataFrame = {
+                        bits: Option[Int] = None, tables: Int = 4): DataFrame = {
+    val nBits = bits.getOrElse(deriveBits(df.count()))
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     // cache the bucket table: it feeds BOTH sides of the pair self-join
     // (uncached it would recompute the posexplode+aggregate twice)
-    val buckets = Ann.lshBucketsMulti(df, idCol, vecCol, dim, bits, tables)
+    val buckets = Ann.lshBucketsMulti(df, idCol, vecCol, dim, nBits, tables)
       .cache()
     // pair up IDS ONLY inside buckets — narrow rows through the join and
     // the dedup shuffle; vectors re-attach afterwards, once per side.

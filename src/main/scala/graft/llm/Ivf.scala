@@ -12,56 +12,78 @@ import org.apache.spark.sql.functions._
   * Scale: training is `iters` passes of (broadcast k centroids → map-side
   * nearest-cell assign → groupBy-cell average); search touches
   * ~nprobe/k of the corpus. Centroids are dimension-sized (k·d doubles)
-  * — always broadcastable. Seeding is deterministic (every ⌈N/k⌉-th
-  * vector by id), so the index is reproducible up to floating-point
-  * averaging order.
+  * — always broadcastable.
+  *
+  * Fully deterministic, including across engines:
+  *  - seeding filters on the first 4 hex digits of md5(id) (portable —
+  *    no engine-specific hash) and keeps the k smallest surviving ids;
+  *  - centroid means accumulate QUANTIZED integers — Σ floor(v·10⁶) as
+  *    BIGINT (exact, order-independent) with ONE double division at the
+  *    end — never a float running sum whose value depends on partial-
+  *    aggregation order;
+  *  - assignment argmax compares round(sim, 9) with cell-id tiebreak, so
+  *    ULP-level differences in the dot product can't flip a cell choice.
+  * The same recipe is SQL-expressible; q_ann_ivf_topk carries the full
+  * fit+search DuckDB oracle.
   */
 object Ivf {
 
   final case class Index(centroids: DataFrame, assignments: DataFrame)
 
-  private def cosineTo(v: org.apache.spark.sql.Column,
-                       c: org.apache.spark.sql.Column) =
-    Ann.dot(v, c) / (Ann.l2norm(v) * Ann.l2norm(c))
+  private val Quantum = 1000000.0 // centroid-mean quantization (1e-6)
 
-  /** Nearest centroid per vector (broadcast centroids, map-side). */
+  /** Nearest centroid per vector: broadcast centroids (with their norms
+    * precomputed once), map-side similarity, then a partial/final
+    * max_by aggregate — no row_number window, so no sort and no extra
+    * shuffle beyond the groupBy itself.
+    */
   private def assign(df: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("_sim").desc, col("cell").asc)
-    df.join(broadcast(centroids))
-      .withColumn("_sim", cosineTo(col(vecCol), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("cell"))
+    val cents = broadcast(centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    df.select(col(idCol), col(vecCol), Ann.l2norm(col(vecCol)).as("_vn"))
+      .join(cents)
+      .withColumn("_sim", round(
+        Ann.dot(col(vecCol), col("centroid")) / (col("_vn") * col("_cn")), 9))
+      .groupBy(col(idCol))
+      // argmax: highest _sim, ties to the lowest cell (negate for max_by)
+      .agg(max_by(col("cell"),
+        struct(col("_sim"), (-col("cell")).as("_nc"))).as("cell"))
   }
 
-  /** Recompute centroids as the per-cell mean vector. */
+  /** Recompute centroids as the per-cell quantized mean vector:
+    * exact integer sums of floor(v·10⁶), one double division — the
+    * result is identical for any partitioning / aggregation order.
+    */
   private def recompute(df: DataFrame, idCol: String, vecCol: String,
                         assignments: DataFrame): DataFrame =
     df.join(assignments, idCol)
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "v")))
-      .groupBy("cell", "i").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell", "i")
+      .agg((sum(floor(col("v").cast("double") * lit(Quantum)).cast("long"))
+        .cast("double") / (lit(Quantum) * count(lit(1)))).as("m"))
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
-  /** Train: deterministic seeding (a hash-strided sample — no global
-    * window/sort over the corpus) then `iters` Lloyd iterations.
-    * Centroids are k·d doubles, so each iteration materializes them to
-    * the driver — this truncates the lineage (otherwise iteration i's
-    * plan re-executes every previous assign/recompute) and keeps the
-    * per-iteration cost at exactly one corpus pass.
+  /** Train: deterministic seeding (an md5-strided sample — no global
+    * window/sort over the corpus, and portable to any engine with md5)
+    * then `iters` Lloyd iterations. Centroids are k·d doubles, so each
+    * iteration materializes them to the driver — this truncates the
+    * lineage (otherwise iteration i's plan re-executes every previous
+    * assign/recompute) and keeps the per-iteration cost at exactly one
+    * corpus pass.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int = 16, iters: Int = 2): Index = {
     val spark = df.sparkSession
     val n = df.count()
-    // expect ~4k survivors from the hash stride, keep the k smallest ids
+    // expect ~4k survivors from the md5 stride, keep the k smallest ids
     // (TakeOrderedAndProject — no global sort materialization)
     val stride = math.max(1L, n / math.max(1, 4 * k))
     val seedRows = df
-      .filter(pmod(hash(col(idCol)), lit(stride)) === 0)
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % stride === 0)
       .orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("centroid"))
       .collect()
@@ -85,31 +107,37 @@ object Ivf {
     Index(centroids, assign(df, idCol, vecCol, centroids).cache())
   }
 
-  /** Search: probe the `nprobe` nearest cells per query, exact-cosine
-    * re-rank inside them. Ranking on round(cos,4) + id tiebreak like
-    * the other ANN paths.
+  /** Search: probe the `nprobe` nearest cells per query (round(sim,9) +
+    * cell tiebreak, same rule as training), exact-cosine re-rank inside
+    * them on round(cos,4) + id tiebreak like the other ANN paths. Norms
+    * are computed once per vector side, never per candidate pair.
     */
   def topK(df: DataFrame, queries: DataFrame, index: Index,
            idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
-    val probed = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .join(broadcast(index.centroids))
-      .withColumn("_sim", cosineTo(col("q_vec"), col("centroid")))
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Ann.l2norm(col(vecCol)).as("q_nrm"))
+      .join(cents)
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cell"))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
     val corpus = df.join(index.assignments, idCol)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("cell"))
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
     corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "c_id", "c_vec")
+      .select("q_id", "q_vec", "q_nrm", "c_id", "c_vec", "c_nrm")
       .dropDuplicates("q_id", "c_id")
       .withColumn("cosine", round(
-        Ann.dot(col("q_vec"), col("c_vec")) /
-          (Ann.l2norm(col("q_vec")) * Ann.l2norm(col("c_vec"))), 4))
+        Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))

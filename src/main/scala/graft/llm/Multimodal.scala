@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,23 +35,28 @@ object Multimodal {
         .otherwise("application/octet-stream").as("modality")))
 
   /** Fake feature vector: deterministic bytes → float[8]. Stands in for
-    * a real decode+embed; marked clearly as a stub.
+    * a real decode+embed; marked clearly as a stub. Accumulation is
+    * integer (per-stripe byte sums) so the result is independent of
+    * evaluation order — one float division at the end, never a float
+    * running sum.
     */
   object StubDecoder {
     val featureDim = 8
-    def features(payload: Array[Byte]): Array[Float] = {
+    def stripeSums(payload: Array[Byte]): Array[Long] = {
       // ??? real decode goes here (libjpeg/ffmpeg/... not in container);
-      // deterministic fake: rolling byte sums per stripe.
-      val out = new Array[Float](featureDim)
+      // deterministic fake: per-stripe byte sums.
+      val out = new Array[Long](featureDim)
       if (payload != null) {
         var idx = 0
         while (idx < payload.length) {
-          out(idx % featureDim) += (payload(idx) & 0xff) / 255.0f
+          out(idx % featureDim) += (payload(idx) & 0xff).toLong
           idx += 1
         }
       }
       out
     }
+    def features(payload: Array[Byte]): Array[Float] =
+      stripeSums(payload).map(s => (s / 255.0).toFloat)
   }
 
   private val featureSchema: StructType =
@@ -78,6 +83,34 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Columnar fast path for the stub decode: per-stripe byte sums as
+    * exact BIGINTs, pure column algebra (hex + aggregate/transform over
+    * the byte positions) — stays inside WholeStageCodegen instead of
+    * dropping to `.rdd` like [[decodeFeatures]]. Output is hashable and
+    * order-independent, so it is also the oracle-able face of the
+    * decode: features = s_j / 255 (MultimodalSpec asserts parity with
+    * the mapPartitions path).
+    */
+  def stripeSums(df: DataFrame, idCol: String,
+                 binCol: String = "payload"): DataFrame = {
+    val d = StubDecoder.featureDim
+    val n = length(col(binCol))
+    val byteAt = (hx: Column, i: Column) =>
+      conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")
+    // guard n==0: sequence(0, -1) would generate a DESCENDING range
+    val sums = when(n > 0,
+      aggregate(
+        sequence(lit(0), n - 1),
+        array_repeat(lit(0L), d),
+        (acc, i) => transform(acc, (v, k) =>
+          when(k === i % d, v + byteAt(col("_hx"), i)).otherwise(v))))
+      .otherwise(array_repeat(lit(0L), d))
+    df.withColumn("_hx", hex(col(binCol)))
+      .withColumn("_ss", sums)
+      .select(col(idCol) +: n.cast("long").as("byte_len") +:
+        (0 until d).map(j => element_at(col("_ss"), j + 1).as(s"s$j")): _*)
   }
 
   /** Frame-sampling plumbing for video-like payloads: split a payload

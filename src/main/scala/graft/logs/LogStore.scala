@@ -60,19 +60,32 @@ final case class LogStore(spark: SparkSession, dir: String) {
 
   /** Compact a log table to its current versions (bounds window input;
     * run periodically like the reference's dedup DELETE).
+    *
+    * Swap protocol (crash-safe): write `_compacted`, move live → `_old`
+    * (checked), move `_compacted` → live (checked; on failure `_old` is
+    * restored), and only then delete `_old`. `Files.move` throws on
+    * failure — unlike `File.renameTo`, which silently returns false
+    * across filesystems — so a half-done swap can never pass unnoticed.
     */
   def compact(table: String, keys: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths}
     val current = latest(table, keys).cache()
     current.count() // materialize before overwrite
     current.withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("overwrite").parquet(path(table) + "_compacted")
-    // atomic-ish swap: parquet dir rename
-    val fs = new java.io.File(path(table))
-    val bak = new java.io.File(path(table) + "_old")
-    fs.renameTo(bak)
-    new java.io.File(path(table) + "_compacted").renameTo(fs)
-    org.apache.commons.io.FileUtils.deleteDirectory(bak)
     current.unpersist()
+    val live = Paths.get(path(table))
+    val old = Paths.get(path(table) + "_old")
+    val compacted = Paths.get(path(table) + "_compacted")
+    Files.move(live, old)
+    try Files.move(compacted, live)
+    catch {
+      case e: java.io.IOException =>
+        Files.move(old, live) // restore: table dir never stays missing
+        throw new java.io.IOException(
+          s"compact($table): swap failed, original table restored", e)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
   }
 }
 

@@ -18,12 +18,39 @@ object LlmQueries {
   private def tb(s: SparkSession, dir: String) = Tables(s, dir)
 
   /** Shared shingle CTE text for oracles (3-gram word shingles,
-    * DISTINCT per doc).
+    * DISTINCT per doc). Tokenizer matches TextAnalysis.tokens exactly:
+    * split on runs of whitespace, empties dropped — single-space split
+    * would diverge on tabs/newlines/repeated spaces.
     */
   private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
       |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks))""".stripMargin
+
+  /** IVF oracle CTE generators, mirroring Ivf.assign / Ivf.recompute
+    * exactly (round(sim,9)+cell-tiebreak argmax; quantized-integer
+    * centroid means; dense_rank cell renumbering). `e` is the exploded
+    * (vec_id, i, v) view, `vn` the per-vector norms.
+    */
+  private def ivfAssign(cent: String, out: String, where: String = "",
+                        limit: Int = 1): String =
+    s"""${out}_cn AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM $cent GROUP BY cell),
+       |${out}_d AS (SELECT e.vec_id, c.cell, sum(e.v * c.m) AS dot
+       |             FROM e JOIN $cent c ON c.i = e.i $where GROUP BY e.vec_id, c.cell),
+       |$out AS (SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |             ORDER BY round(d.dot / (vn.nrm * cn.nrm), 9) DESC, d.cell) AS rn
+       |    FROM ${out}_d d JOIN vn ON vn.vec_id = d.vec_id
+       |    JOIN ${out}_cn cn ON cn.cell = d.cell) WHERE rn <= $limit)""".stripMargin
+
+  private def ivfRecompute(assignT: String, cent: String): String =
+    s"""${cent}_r AS (SELECT a.cell, e.i,
+       |      CAST(sum(CAST(floor(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |        / (1000000.0 * count(*)) AS m
+       |    FROM $assignT a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i),
+       |$cent AS (SELECT dense_rank() OVER (ORDER BY cell) - 1 AS cell, i, m
+       |          FROM ${cent}_r)""".stripMargin
 
   private val sigSelect =
     """SELECT doc_id,
@@ -262,14 +289,22 @@ object LlmQueries {
 
     // ---- embedding-cosine near-dup: multi-table LSH candidates + exact
     //      cosine verification (threshold 0.4 — the synthetic embeddings
-    //      have no true near-dups, max pairwise cosine ≈0.51) ----
+    //      have no true near-dups, max pairwise cosine ≈0.51). Signature
+    //      width is corpus-sized exactly like DedupOps.deriveBits:
+    //      floor(log2(n/64)) clamped to [1,16], by integer shifts. ----
     "q_llm_embedding_near_dup" -> Q(
-      """WITH signs AS (
-        |  SELECT j, CAST(j // 4 AS INTEGER) AS table_id, j % 4 AS bit_pos, i,
+      """WITH params AS (
+        |  SELECT CAST(greatest(1, (
+        |    SELECT count(*) FROM (SELECT unnest(range(1, 17)) AS b)
+        |    WHERE (CAST(1 AS BIGINT) << b) * 64 <= (SELECT count(*) FROM embeddings)
+        |  )) AS INTEGER) AS bits),
+        |signs AS (
+        |  SELECT j, CAST(j // bits AS INTEGER) AS table_id, j % bits AS bit_pos, i,
         |    CASE WHEN (strpos('0123456789abcdef',
         |           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
         |         THEN 1.0 ELSE -1.0 END AS sign
-        |  FROM (SELECT unnest(range(0, 16)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |  FROM (SELECT unnest(range(0, 4 * bits)) AS j, bits FROM params)
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |dots AS (
@@ -297,22 +332,97 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
-    // ---- full LSH-bucketed ANN top-k (bench path; recall vs brute force
-    //      asserted in AnnSpec, not SQL-expressible compactly) ----
-    "q_ann_lsh_topk" -> Q.sparkOnly { (s, dir) =>
+    // ---- full LSH-bucketed ANN top-k: deterministic end-to-end (md5
+    //      hyperplanes, round(cos,4), id tiebreak), so the whole pipeline
+    //      — multi-table buckets → candidate join → cosine re-rank — is
+    //      SQL-expressible; recall vs brute force asserted in AnnSpec ----
+    "q_ann_lsh_topk" -> Q(
+      """WITH signs AS (
+        |  SELECT j, CAST(j // 4 AS INTEGER) AS table_id, j % 4 AS bit_pos, i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS sign
+        |  FROM (SELECT unnest(range(0, 16)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, s.table_id, s.bit_pos, sum(e.v * s.sign) AS dot_j
+        |  FROM e JOIN signs s ON s.i = e.i GROUP BY e.vec_id, s.table_id, s.bit_pos),
+        |buckets AS (
+        |  SELECT vec_id, table_id,
+        |    CAST(sum(CASE WHEN dot_j > 0 THEN 1 ELSE 0 END * CAST(round(pow(2, bit_pos)) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, table_id),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM buckets q JOIN buckets c ON c.table_id = q.table_id AND c.bucket = q.bucket
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |cos AS (
+        |  SELECT p.q_id, p.c_id, round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+        |  FROM cands p
+        |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+        |  JOIN norms na ON na.vec_id = p.q_id JOIN norms nb ON nb.vec_id = p.c_id
+        |  GROUP BY p.q_id, p.c_id),
+        |ranked AS (
+        |  SELECT q_id, c_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        |  FROM cos)
+        |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       Ann.annTopKLsh(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },
 
-    // ---- IVF ANN (coarse k-means quantizer, nprobe search; bench path —
-    //      recall vs brute force asserted in IvfSpec; centroid averaging
-    //      is FP-order-dependent so not oracle-hashable) ----
-    "q_ann_ivf_topk" -> Q.sparkOnly { (s, dir) =>
+    // ---- IVF ANN (coarse k-means quantizer, nprobe search). The fit is
+    //      deterministic end-to-end (md5-strided seeding, quantized-
+    //      integer centroid means, round(sim,9) argmax), so the WHOLE
+    //      train+search recipe is SQL-expressible: the oracle unrolls
+    //      the 2 Lloyd iterations as CTE chains. Recall vs brute force
+    //      asserted in IvfSpec. ----
+    "q_ann_ivf_topk" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |${ivfAssign("c2", "probes", where = "AND e.vec_id < 10", limit = 4)},
+         |cands AS (
+         |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN af a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |cos AS (
+         |  SELECT p.q_id, p.c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM cands p
+         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM cos)
+         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       Ivf.topK(emb, emb.filter(col("vec_id") < 10), index,
           "vec_id", "embedding", k = 3, nprobe = 4)
+        .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },
 
@@ -335,9 +445,30 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
-    // ---- multimodal: partition-batch feature decode (stubbed codec) ----
-    "q_mm_decode_features" -> Q.sparkOnly { (s, dir) =>
-      Multimodal.decodeFeatures(
+    // ---- multimodal: feature decode, columnar stripe-sum face ----
+    // The stub decode is integer byte arithmetic, so its exact face is
+    // oracle-able: per-stripe byte sums (features = s_j/255). The
+    // mapPartitions decode path is parity-tested in MultimodalSpec.
+    "q_mm_decode_features" -> Q(
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n, unnest(range(0, n)) AS i, hx FROM h),
+        |v AS (SELECT doc_id, CAST(i % 8 AS INTEGER) AS stripe,
+        |        (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+        |        + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS bv
+        |      FROM b)
+        |SELECT h.doc_id, CAST(h.n AS BIGINT) AS byte_len,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 0 THEN v.bv END), 0) AS BIGINT) AS s0,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 1 THEN v.bv END), 0) AS BIGINT) AS s1,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 2 THEN v.bv END), 0) AS BIGINT) AS s2,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 3 THEN v.bv END), 0) AS BIGINT) AS s3,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 4 THEN v.bv END), 0) AS BIGINT) AS s4,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 5 THEN v.bv END), 0) AS BIGINT) AS s5,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 6 THEN v.bv END), 0) AS BIGINT) AS s6,
+        |  CAST(coalesce(sum(CASE WHEN v.stripe = 7 THEN v.bv END), 0) AS BIGINT) AS s7
+        |FROM h LEFT JOIN v ON v.doc_id = h.doc_id
+        |GROUP BY h.doc_id, h.n ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.stripeSums(
           Multimodal.asBinary(tb(s, dir).documents, "text"), "doc_id")
         .orderBy("doc_id")
     }

@@ -9,16 +9,33 @@ import org.apache.spark.sql.functions._
   * facility tree of JSON sync files from the `documents` table, runs the
   * REAL micro-batch Pipeline over it (work-list → idempotency join →
   * per-entity bulk read → transforms → staging/quarantine appends → log
-  * appends), and returns the resulting ingestion-log rows. Registered
-  * spark-only (timestamps make a SQL oracle impossible); the driver's
-  * rows>0 check plus PipelineSpec's golden scenarios cover correctness,
-  * and the bench records ingestion throughput (BASELINE.md's
-  * "files/sec, rows/sec" suite).
+  * appends), and returns the resulting ingestion-log rows. The projected
+  * columns are fully determined by the fixture construction (every
+  * created_date is valid, so every file ingests cleanly), so the oracle
+  * derives the expected log rows straight from `documents`: one row per
+  * (source, doc_id/20) group, file name re-built by the same
+  * <entity>_<file_no>_<ts><seq>_decrypted.json convention. PipelineSpec's
+  * golden scenarios cover the failure paths; the bench records ingestion
+  * throughput (BASELINE.md's "files/sec, rows/sec" suite).
   */
 object PipelineQueries {
 
   val all: Map[String, Q] = Map(
-    "q_pipeline_ingest_e2e" -> Q.sparkOnly { (s, dir) =>
+    "q_pipeline_ingest_e2e" -> Q(
+      """WITH grp AS (
+        |  SELECT source AS facility_id, CAST(doc_id // 20 AS INTEGER) AS file_no,
+        |         count(*) AS n
+        |  FROM documents WHERE doc_id < 300
+        |  GROUP BY source, CAST(doc_id // 20 AS INTEGER)),
+        |named AS (
+        |  SELECT facility_id, n,
+        |    'doc_corpus_' || CAST(file_no AS VARCHAR) || '_2024050100'
+        |      || lpad(CAST(row_number() OVER (ORDER BY facility_id, file_no) - 1 AS VARCHAR), 4, '0')
+        |      || '_decrypted.json' AS file_name
+        |  FROM grp)
+        |SELECT file_name, facility_id, 'success' AS load_status_check,
+        |       CAST(n AS BIGINT) AS json_rec_count
+        |FROM named ORDER BY facility_id, file_name""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents.filter(col("doc_id") < 300)
       val root = java.nio.file.Files.createTempDirectory("graft_e2e_").toFile
@@ -63,7 +80,8 @@ object PipelineQueries {
       require(result.filesIngested > 0 && result.recordsIngested > 0,
         s"pipeline ingested nothing: $result")
       store.history("file_ingestion_log")
-        .select("file_name", "facility_id", "load_status_check", "json_rec_count")
+        .select(col("file_name"), col("facility_id"), col("load_status_check"),
+          col("json_rec_count").cast("long").as("json_rec_count"))
         .orderBy("facility_id", "file_name")
     }
   )
