@@ -24,7 +24,8 @@ object FacilityBatches {
 
   /** Seed batch rows: pending-file counts per facility over a capped
     * slice of the work list (multi_file_ingestion_process.py:31-66,
-    * LIMIT 50 seed → GROUP BY facility_id).
+    * LIMIT 50 seed → GROUP BY facility_id). error_message is seeded null
+    * so ack's conditional update never widens the table schema.
     */
   def seedBatches(syncFile: DataFrame, sliceCap: Int = 50): DataFrame =
     syncFile
@@ -34,6 +35,7 @@ object FacilityBatches {
       .groupBy("facility_id")
       .agg(count(lit(1)).cast("int").as("file_count"))
       .withColumn("status", lit(Unprocessed))
+      .withColumn("error_message", lit(null).cast("string"))
 
   /** Claim the next batch of unprocessed facilities (the reference's
     * SELECT ... WHERE status='UNPROCESSED' + ThreadPool batches of 20).
@@ -50,7 +52,51 @@ object FacilityBatches {
           facilityId: String, ok: Boolean, error: Option[String] = None): Unit = {
     val updated = batches.filter(col("facility_id") === facilityId)
       .withColumn("status", lit(if (ok) Processed else FailedStatus))
-      .withColumn("error_message", lit(error.orNull))
+      .withColumn("error_message", lit(error.orNull).cast("string"))
     store.update(table, updated)
+  }
+
+  /** One facility's outcome from [[runClaimed]]. */
+  final case class FacilityOutcome(facilityId: String, ok: Boolean,
+                                   result: Option[Pipeline.RunResult],
+                                   error: Option[String])
+
+  /** The §3.2 entry point end-to-end (multi_file_ingestion_process.py
+    * :107-130 + multithread_file_loader.py:250-260): seed the claim
+    * table from the pending work list, claim a batch of facilities, run
+    * the REAL ingestion pipeline facility-filtered per claim, and ack
+    * each with PROCESSED/FAILED — a failing facility is acked FAILED and
+    * the rest continue, like the reference's per-thread try/except.
+    *
+    * Facilities run sequentially on purpose: each Pipeline.run already
+    * parallelizes across entities and partitions, and the control-plane
+    * appends (sync_file, logs) share directories — concurrent Spark
+    * append jobs into one directory race on the _temporary staging dir.
+    * At cluster scale the fan-out is one app per claim batch, not
+    * threads inside one driver.
+    */
+  def runClaimed(spark: org.apache.spark.sql.SparkSession, cfg: Pipeline.Config,
+                 table: String = "batch_facility_processing",
+                 sliceCap: Int = 50, batchSize: Int = 20): Seq[FacilityOutcome] = {
+    val store = cfg.logStore
+    val sync = store.latestOrEmpty("sync_file", Seq("id"),
+      graft.model.SchemaRegistry.syncFile)
+    val seeded = seedBatches(sync, sliceCap)
+    if (seeded.isEmpty) return Seq.empty
+    store.append(table, seeded)
+    val claimed = claim(store.latest(table, Seq("facility_id")), batchSize)
+      .select("facility_id").collect().map(_.getString(0)).toSeq
+    claimed.map { fac =>
+      try {
+        val r = Pipeline.run(spark, cfg.copy(facilityId = Some(fac)))
+        ack(store, table, store.latest(table, Seq("facility_id")), fac, ok = true)
+        FacilityOutcome(fac, ok = true, Some(r), None)
+      } catch {
+        case e: Exception =>
+          ack(store, table, store.latest(table, Seq("facility_id")), fac,
+            ok = false, Some(e.getMessage))
+          FacilityOutcome(fac, ok = false, None, Option(e.getMessage))
+      }
+    }
   }
 }

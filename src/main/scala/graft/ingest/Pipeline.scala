@@ -40,7 +40,21 @@ object Pipeline {
       // at 100 TB facility-partitioned layout gives partition pruning for
       // the per-facility reports and deletes. Off by default locally —
       // thousands of tiny files per micro-batch at test scale.
-      partitionStagingBy: Option[String] = None)
+      partitionStagingBy: Option[String] = None,
+      // §3.2 per-facility scan (multithread_file_loader.py:250-260): when
+      // set, the work list is facility-filtered and UNCAPPED — the
+      // reference's facility scan has no LIMIT; the 50-row cap lives in
+      // the claim-table seed (FacilityBatches.seedBatches).
+      facilityId: Option[String] = None,
+      // concurrent per-entity read→transform→write jobs (the scheduler
+      // interleaves their stages so small entities don't serialize)
+      entityParallelism: Int = 8,
+      // S8 JDBC variant (file_loader.py:639 `to_sql`): when set, staging
+      // and quarantine appends go to JDBC tables at this url instead of
+      // warehouse parquet. Escape hatch for parity with the reference's
+      // Postgres data plane — parquet remains the default/benchmarked path.
+      jdbcUrl: Option[String] = None,
+      jdbcOptions: Map[String, String] = Map.empty)
 
   final case class RunResult(
       logId: String,
@@ -60,14 +74,18 @@ object Pipeline {
     val prefixMatch = dsdPrefixes
       .map(p => lower(col("decrypted_file_name")).startsWith(p))
       .reduce(_ || _)
-    syncFile
+    val base = syncFile
       .filter(col("processed") === SyncState.Ready &&
         col("modified_date") >= lit(cfg.watermark).cast("timestamp") &&
         (if (cfg.dsdMode) prefixMatch else !prefixMatch))
+    val scoped = cfg.facilityId.fold(base)(f => base.filter(col("facility_id") === f))
+    val ordered = scoped
       .select("id", "facility_id", "file_name", "decrypted_file_name",
         "modified_date")
       .orderBy(col("modified_date").asc, col("file_name").asc)
-      .limit(cfg.batchCap)
+    // facility-scoped scans are uncapped like the reference's
+    // (multithread_file_loader.py:250-260 has no LIMIT)
+    cfg.facilityId.fold(ordered.limit(cfg.batchCap))(_ => ordered)
   }
 
   /** J5 re-planned: one pass splits the work list into
@@ -106,25 +124,40 @@ object Pipeline {
     val alreadyRows = already.collect()
     val todoRows = todo.collect()
 
-    // locate files on disk; missing → state 3 (file_loader.py:274-278)
-    val located = todoRows.map { r =>
-      val fac = r.getAs[String]("facility_id")
-      val f = r.getAs[String]("decrypted_file_name")
-      val p = s"${cfg.parentDir}/$fac/$f"
-      (r.getAs[Long]("id"), fac, f, p, new java.io.File(p).exists())
+    // locate files on disk; missing → state 3 (file_loader.py:274-278).
+    // The existence probes run DISTRIBUTED (one task per path slice), not
+    // as a serial driver loop: on an object store 50k sequential metadata
+    // RPCs would stall the driver for minutes.
+    val paths = todoRows.map { r =>
+      s"${cfg.parentDir}/${r.getAs[String]("facility_id")}/" +
+        r.getAs[String]("decrypted_file_name")
+    }
+    val existsByPath: Map[String, Boolean] =
+      if (paths.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(paths.toIndexedSeq, math.min(paths.length, 64))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            p -> hp.getFileSystem(conf).exists(hp)
+          }
+        }.collect().toMap
+    val located = todoRows.zip(paths).map { case (r, p) =>
+      (r.getAs[Long]("id"), r.getAs[String]("facility_id"),
+        r.getAs[String]("decrypted_file_name"), p, existsByPath(p))
     }
     val (present, missing) = located.partition(_._5)
 
     // group per entity: ONE bulk read per staging table
     val byTable = present.groupBy { case (_, _, f, _, _) => FileName.stagingTable(f) }
 
-    var recordsIngested = 0L
-    var recordsQuarantined = 0L
-    val fileStatus = scala.collection.mutable.Map[(String, String), (String, Long, String)]()
-
-    byTable.foreach { case (stagingTable, files) =>
-      val paths = files.map(_._4).toSeq
-      val raw = JsonSource.readInferred(spark, paths)
+    // one entity = one read→transform→write job; returns per-file status
+    // + (ingested, quarantined) totals instead of mutating shared state
+    def processEntity(stagingTable: String,
+                      files: Array[(Long, String, String, String, Boolean)])
+        : (Map[(String, String), (String, Long, String)], Long, Long) = {
+      val raw = JsonSource.readInferred(spark, files.map(_._4).toSeq)
       val withProv = Stages.stampProvenanceFromPath(
         Stages.emptyToNull(
           Stages.entityTransforms(stagingTable)(
@@ -140,32 +173,67 @@ object Pipeline {
       val badCounts = badC.groupBy("stg_file_name", "stg_datim_id").count().collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
-      def writer(df: org.apache.spark.sql.DataFrame) = {
-        val w = df.write.mode("append")
-        cfg.partitionStagingBy.fold(w)(c => w.partitionBy(c))
-      }
-      if (okCounts.valuesIterator.sum > 0)
-        writer(validC).parquet(s"${cfg.warehouseDir}/$stagingTable")
+      // S8/S9 sink: parquet warehouse by default; JDBC escape hatch when
+      // cfg.jdbcUrl is set (the reference's actual data plane)
+      def writeOut(df: org.apache.spark.sql.DataFrame, table: String): Unit =
+        cfg.jdbcUrl match {
+          case Some(url) =>
+            df.write.mode("append").format("jdbc")
+              .option("url", url).option("dbtable", table)
+              .options(cfg.jdbcOptions).save()
+          case None =>
+            val w = df.write.mode("append")
+            cfg.partitionStagingBy.fold(w)(c => w.partitionBy(c))
+              .parquet(s"${cfg.warehouseDir}/$table")
+        }
+      if (okCounts.valuesIterator.sum > 0) writeOut(validC, stagingTable)
       if (badCounts.valuesIterator.sum > 0)
-        writer(badC)
-          .parquet(s"${cfg.warehouseDir}/${SchemaRegistry.quarantineTable(stagingTable)}")
+        writeOut(badC, SchemaRegistry.quarantineTable(stagingTable))
 
-      files.foreach { case (_, fac, f, _, _) =>
+      val statuses = files.map { case (_, fac, f, _, _) =>
         val ok = okCounts.getOrElse((f, fac), 0L)
         val nBad = badCounts.getOrElse((f, fac), 0L)
-        recordsIngested += ok; recordsQuarantined += nBad
-        // main loader: any bad row marks the FILE failed though the valid
-        // rows were ingested (file_loader.py:627-645). DSD loader: skipped
-        // records don't fail the file (dsd_loader.py:684-687).
+        // EITHER flavor logs the FILE failed when bad-date rows exist —
+        // main: file_loader.py:627-645; DSD: dsd_loader.py:666-682 (its
+        // clean-record path :684-687 only runs when nothing was skipped).
+        // The flavors differ in the error text and in that DSD skips
+        // records without quarantine blocking the valid rows (we quarantine
+        // in both modes — documented improvement).
         val status =
           if (ok + nBad == 0) ("failed", 0L, "empty file")
-          else if (nBad > 0 && !cfg.dsdMode)
+          else if (nBad > 0 && cfg.dsdMode)
+            ("failed", ok,
+              s"Bad date records filtered out and $ok records successfully ingested")
+          else if (nBad > 0)
             ("failed", ok, s"$nBad row(s) quarantined: invalid date values")
           else ("success", ok, null: String)
-        fileStatus((f, fac)) = status
-      }
+        (f, fac) -> status
+      }.toMap
       validC.unpersist(); badC.unpersist()
+      (statuses, okCounts.valuesIterator.sum, badCounts.valuesIterator.sum)
     }
+
+    // submit entity jobs CONCURRENTLY: sequential submission leaves the
+    // cluster idle between small entities' stages
+    val outcomes: Seq[(Map[(String, String), (String, Long, String)], Long, Long)] =
+      if (byTable.isEmpty) Seq.empty
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(byTable.size, cfg.entityParallelism)))
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(byTable.toSeq.map { case (t, fs) =>
+              Future(processEntity(t, fs))
+            }), Duration.Inf)
+        } finally pool.shutdown()
+      }
+    val fileStatus: Map[(String, String), (String, Long, String)] =
+      outcomes.flatMap(_._1).toMap
+    val recordsIngested = outcomes.map(_._2).sum
+    val recordsQuarantined = outcomes.map(_._3).sum
 
     // ---- control-plane writes (one append per table per run) ----
     val endTime = java.sql.Timestamp.valueOf(java.time.LocalDateTime.now())
@@ -178,12 +246,20 @@ object Pipeline {
       "error_message")
     if (fileStatus.nonEmpty) store.append("file_ingestion_log", logRows)
 
-    val monitoringRows = fileStatus.toSeq.map { case ((f, fac), (status, n, err)) =>
-      (fac, FileName.batchId(f), f, FileName.stagingTable(f), loadTime,
-        n.toInt, if (status == "success") "N" else "F", err)
-    }.toDF("datim_id", "batch_id", "file_name", "table_name", "load_time",
-      "json_rec_count", "processed", "error_message")
-    if (fileStatus.nonEmpty) store.append("stg_monitoring", monitoringRows)
+    // monitoring row ⇔ rows actually landed in staging: the reference
+    // writes processed='N' whenever records were ingested — INCLUDING the
+    // bad-dates case where the file itself is logged failed
+    // (file_loader.py:648-651) — and writes no row at all for fully-failed
+    // or empty files. 'N' = awaiting migration; there is no 'F' insert.
+    val monitoringRows = fileStatus.toSeq.collect {
+      case ((f, fac), (_, n, err)) if n > 0 =>
+        (fac, FileName.batchId(f), f, FileName.stagingTable(f), loadTime,
+          n.toInt, "N", err)
+    }
+    if (monitoringRows.nonEmpty)
+      store.append("stg_monitoring", monitoringRows.toDF(
+        "datim_id", "batch_id", "file_name", "table_name", "load_time",
+        "json_rec_count", "processed", "error_message"))
 
     // sync_file state transitions as version appends (S11): join the
     // capped update set (broadcast) against the current view, rewrite the
@@ -205,7 +281,7 @@ object Pipeline {
         store.update("sync_file", out)
       }
 
-    val statusByKey = fileStatus.toMap
+    val statusByKey = fileStatus
     val todoUpdates = located.collect {
       case (id, fac, f, _, true) =>
         val (status, _, err) = statusByKey.getOrElse((f, fac), ("failed", 0L, "not processed"))

@@ -1,6 +1,6 @@
 package graft.maintenance
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,12 +52,16 @@ object Maintenance {
   /** P6 + J2 + O1: deletion-eligible files — terminal status, recent
     * enough, fully logged, and NOT already in the deletion log
     * (automate_file_delete.py:91-103). One anti-join, batch-capped.
+    * Only the log's ENCRYPTED rows block re-selection — the reference's
+    * `fdl.file_name NOT ILIKE '%_decrypted%'` guard — since
+    * [[deleteFiles]] logs one row per physical file of the pair.
     */
   def deletionEligible(syncFile: DataFrame, deletionLog: DataFrame,
                        watermark: String = "2024-09-01",
                        cap: Int = 13000): DataFrame = {
     val logged = deletionLog
-      .filter(col("deletion_status_check").isin("success", "failed"))
+      .filter(col("deletion_status_check").isin("success", "failed") &&
+        !lower(col("file_name")).contains("_decrypted"))
       .select(col("file_name").as("del_file"))
       .distinct()
     syncFile
@@ -115,25 +119,126 @@ object Maintenance {
       .filter(f => f.isDirectory && f.getName.endsWith("_bad_dates"))
       .map(_.getName).sorted.toSeq
 
-  /** One file-deletion outcome (S14). */
-  final case class DeletionResult(fileName: String, facilityId: String,
-                                  deletedDecrypted: Boolean, deletedEncrypted: Boolean,
-                                  status: String)
-
-  /** S14: physically delete ingested encrypted+decrypted file pairs,
-    * one log row per file (automate_file_delete.py:119-145). Input is
-    * the [[deletionEligible]] frame (capped), so the driver-side FS loop
-    * is O(batch cap), not O(table).
+  /** Manual monitoring requeue — the reference's operational UPDATE
+    * playbook (`UPDATE stg_monitoring SET processed='N' WHERE
+    * processed='F' AND <table predicate>`, stg_monitoring_summary.sql
+    * :21-23,57-59,73-75; the :90-93 variant also nulls error_message).
+    * An MVCC update: the latest view keyed by (datim_id, file_name,
+    * load_time) — one logical row per load attempt — resolves the new
+    * 'N' version as current. Returns the number of rows requeued.
     */
-  def deleteFiles(eligible: Seq[(String, String)], parentDir: String)
+  def requeueMonitoring(store: graft.logs.LogStore, predicate: Column,
+                        clearError: Boolean = false): Long = {
+    import graft.model.SchemaRegistry
+    val cur = store.latestOrEmpty("stg_monitoring",
+      Seq("datim_id", "file_name", "load_time"), SchemaRegistry.stgMonitoring)
+    val hits = cur.filter(col("processed") === "F" && predicate)
+      .withColumn("processed", lit("N"))
+    val out = (if (clearError) hits.withColumn("error_message",
+      lit(null).cast("string")) else hits).cache()
+    val n = out.count()
+    if (n > 0) store.update("stg_monitoring", out)
+    out.unpersist()
+    n
+  }
+
+  /** Manual sync requeue — `UPDATE sync_file SET processed=… WHERE …`
+    * (file_ingestion_summary_report.sql:63-73): failed files go back to
+    * Ready with the ingest_* bookkeeping cleared, so the next
+    * Pipeline.run's work list picks them up again. Failed→Ready is the
+    * state machine's sanctioned manual transition (SyncState:40).
+    * Returns the number of rows requeued.
+    */
+  def requeueSyncFailures(store: graft.logs.LogStore, predicate: Column): Long = {
+    import graft.model.{SchemaRegistry, SyncState}
+    require(SyncState.canTransition(SyncState.Failed, SyncState.Ready))
+    val cur = store.latestOrEmpty("sync_file", Seq("id"), SchemaRegistry.syncFile)
+    val out = cur
+      .filter(col("processed") === SyncState.Failed && predicate)
+      .withColumn("processed", lit(SyncState.Ready))
+      .withColumn("ingest_start_time", lit(null).cast("timestamp"))
+      .withColumn("ingest_end_time", lit(null).cast("timestamp"))
+      .withColumn("ingest_file_name", lit(null).cast("string"))
+      .withColumn("ingest_status_check", lit(null).cast("string"))
+      .withColumn("json_rec_count", lit(null).cast("int"))
+      .withColumn("ingest_error_message", lit(null).cast("string"))
+      .cache()
+    val n = out.count()
+    if (n > 0) store.update("sync_file", out)
+    out.unpersist()
+    n
+  }
+
+  /** One file-deletion outcome (S14): one result per PHYSICAL file —
+    * the reference writes two `file_deletion_log` rows per (encrypted,
+    * decrypted) pair (automate_file_delete.py:116-117), each with its
+    * own status.
+    */
+  final case class DeletionResult(fileName: String, facilityId: String,
+                                  tableName: String, deleted: Boolean,
+                                  status: String, error: String,
+                                  startedAt: java.sql.Timestamp,
+                                  endedAt: java.sql.Timestamp)
+
+  /** S14: physically delete ingested encrypted+decrypted file pairs.
+    * Input is (facility, encrypted name, decrypted name) from the
+    * [[deletionEligible]] frame (capped), so the driver-side FS loop is
+    * O(batch cap), not O(table). Status per file mirrors
+    * automate_file_delete.py:119-140: deleted → success / 'no errors';
+    * absent → failed / 'file not found'.
+    */
+  def deleteFiles(eligible: Seq[(String, String, String)], parentDir: String)
       : Seq[DeletionResult] =
-    eligible.map { case (fileName, facilityId) =>
-      val enc = new java.io.File(s"$parentDir/$facilityId/$fileName")
-      val dec = new java.io.File(s"$parentDir/$facilityId/" +
-        graft.model.FileName.decryptedName(fileName))
-      val dDec = dec.exists() && dec.delete()
-      val dEnc = enc.exists() && enc.delete()
-      DeletionResult(fileName, facilityId, dDec, dEnc,
-        if (dDec || dEnc) "success" else "failed")
+    eligible.flatMap { case (facilityId, encName, decName) =>
+      Seq(encName, decName).map { name =>
+        val started = new java.sql.Timestamp(System.currentTimeMillis())
+        val f = new java.io.File(s"$parentDir/$facilityId/$name")
+        val ok = f.exists() && f.delete()
+        DeletionResult(name, facilityId,
+          graft.model.FileName.deriveTableName(name), ok,
+          if (ok) "success" else "failed",
+          if (ok) "no errors" else "file not found",
+          started, new java.sql.Timestamp(System.currentTimeMillis()))
+      }
     }
+
+  /** The wired S14 loop (automate_file_delete.py:87-151): read the
+    * latest sync/deletion-log views, select the eligible batch, delete
+    * the physical pairs, and PERSIST one `file_deletion_log` row per
+    * file through the LogStore — so the next run's [[deletionEligible]]
+    * anti-join reads exactly what this run wrote (the reference's
+    * insert-RETURNING-id/update cycle collapsed into one append with
+    * driver-allocated ids). `json_rec_count` is 0 as in the reference,
+    * whose `count_of_df` is never assigned.
+    */
+  def runFileDeletion(store: graft.logs.LogStore, parentDir: String,
+                      watermark: String = "2024-09-01",
+                      cap: Int = 13000): Seq[DeletionResult] = {
+    import graft.model.SchemaRegistry
+    val spark = store.spark
+    import spark.implicits._
+    val sync = store.latestOrEmpty("sync_file", Seq("id"), SchemaRegistry.syncFile)
+    val delLog = store.latestOrEmpty("file_deletion_log", Seq("id"),
+      SchemaRegistry.fileDeletionLog)
+    val eligible = deletionEligible(sync, delLog, watermark, cap)
+      .select(col("facility_id"), col("file_name"),
+        coalesce(col("ingest_file_name"), col("decrypted_file_name")).as("dec"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val results = deleteFiles(eligible, parentDir)
+    if (results.nonEmpty) {
+      val maxId =
+        if (store.exists("file_deletion_log"))
+          Option(delLog.agg(max("id")).first().get(0))
+            .fold(0L)(_.asInstanceOf[Long])
+        else 0L
+      store.append("file_deletion_log", results.zipWithIndex.map {
+        case (r, i) => (maxId + i + 1, r.startedAt, r.endedAt, r.status,
+          r.tableName, r.fileName, r.facilityId, 0, r.error)
+      }.toDF("id", "deletion_start_time", "deletion_end_time",
+        "deletion_status_check", "table_name", "file_name", "facility_id",
+        "json_rec_count", "error_message"))
+    }
+    results
+  }
 }

@@ -31,6 +31,17 @@ object Reports {
         sum(when(col("processed") === -2, 1).otherwise(0)).as("fails"))
       .withColumn("check_data", lit(asOf))
 
+  /** Persist the process summary: the reference INSERTs the computed row
+    * into process_summary_report each run (pcs_summary_report.py:25-34);
+    * here it's a LogStore append of [[processSummary]]'s single row.
+    */
+  def persistProcessSummary(store: graft.logs.LogStore, since: String,
+                            asOf: java.sql.Timestamp): Unit = {
+    val sync = store.latestOrEmpty("sync_file", Seq("id"),
+      graft.model.SchemaRegistry.syncFile)
+    store.append("process_summary_report", processSummary(sync, since, asOf))
+  }
+
   /** A4 + O2: unprocessed file counts per table, largest backlog first
     * (stg_monitoring_summary.sql:1-10).
     */

@@ -31,6 +31,60 @@ class FacilityBatchesSpec extends SparkSpec {
     assert(seeded === Map("FAC1" -> 2))
   }
 
+  test("runClaimed: seed → claim → facility-filtered runs → PROCESSED acks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fbe2e_").toFile
+    val parent = new java.io.File(root, "temp")
+    def writeDoc(fac: String, name: String, body: String): Unit = {
+      val d = new java.io.File(parent, fac); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, name).toPath, body)
+    }
+    writeDoc("FACA", "patient_visit_0_20250101000001_decrypted.json",
+      """[{"id": 1, "uuid": "u1", "visit_date": "2024-03-01"}]""")
+    writeDoc("FACB", "patient_visit_0_20250101000002_decrypted.json",
+      """[{"id": 2, "uuid": "u2", "visit_date": "2024-03-02"},
+        | {"id": 3, "uuid": "u3", "visit_date": "2024-03-03"}]""".stripMargin.replace("|", ""))
+    val store = LogStore(spark, new java.io.File(root, "logs").getPath)
+    def syncRow(id: Long, fac: String, enc: String) = {
+      val dec = graft.model.FileName.decryptedName(enc)
+      (id, fac, enc, dec, SyncState.Ready,
+        ts("2025-02-01 00:00:00"), ts("2025-02-01 10:00:00"),
+        null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp],
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[Integer],
+        null.asInstanceOf[String])
+    }
+    store.append("sync_file", Seq(
+      syncRow(1L, "FACA", "patient_visit_0_20250101000001.json"),
+      syncRow(2L, "FACB", "patient_visit_0_20250101000002.json")
+    ).toDF("id", "facility_id", "file_name", "decrypted_file_name", "processed",
+      "create_date", "modified_date", "ingest_start_time", "ingest_end_time",
+      "ingest_file_name", "ingest_table_name", "ingest_status_check",
+      "json_rec_count", "ingest_error_message"))
+    val cfg = Pipeline.Config(
+      parentDir = parent.getPath,
+      warehouseDir = new java.io.File(root, "warehouse").getPath,
+      logStore = store)
+
+    val outcomes = FacilityBatches.runClaimed(spark, cfg)
+    assert(outcomes.map(_.facilityId).sorted === Seq("FACA", "FACB"))
+    assert(outcomes.forall(_.ok))
+    assert(outcomes.flatMap(_.result).map(_.recordsIngested).sum === 3)
+
+    // claim protocol is terminal + visible in the log table
+    val statuses = store.latest("batch_facility_processing", Seq("facility_id"))
+      .collect().map(r => r.getAs[String]("facility_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(statuses === Map("FACA" -> "PROCESSED", "FACB" -> "PROCESSED"))
+    // both facilities' rows landed in the shared staging table
+    val stg = spark.read.parquet(s"${cfg.warehouseDir}/stg_patient_visit")
+    assert(stg.select("stg_datim_id").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("FACA", "FACB"))
+    // sync rows terminal
+    val states = store.latest("sync_file", Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("processed")).toMap
+    assert(states === Map(1L -> SyncState.Ingested, 2L -> SyncState.Ingested))
+  }
+
   test("claim + ack round trip through the LogStore claim table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_").toFile
     val store = LogStore(spark, dir.getPath)

@@ -140,7 +140,7 @@ class PipelineSpec extends SparkSpec {
     assert(sync.getAs[Int]("processed") === SyncState.Failed)
   }
 
-  test("bad dates (DSD flavor): records skipped, file still succeeds") {
+  test("bad dates (DSD flavor): records skipped AND the file logs failed") {
     val (cfg, parent) = setup()
     writeFile(new java.io.File(parent, "FAC3"),
       "prep_eligibility_0_20250105000000_decrypted.json",
@@ -151,10 +151,47 @@ class PipelineSpec extends SparkSpec {
     seedSync(cfg, Seq(syncRow(4L, "FAC3", "prep_eligibility_0_20250105000000.json")))
 
     val res = Pipeline.run(spark, cfg.copy(dsdMode = true))
+    // record-skip flavor: the valid row still lands in staging...
     assert(res.recordsIngested === 1 && res.recordsQuarantined === 1)
-    assert(res.filesFailed === 0 && res.filesIngested === 1) // DSD: success
+    // ...but the bad-dates branch logs the FILE failed + sync -2
+    // (dsd_loader.py:666-682; the clean path :684-687 only runs when no
+    // records were skipped), so re-runs retry it like the reference does
+    assert(res.filesFailed === 1 && res.filesIngested === 0)
     val sync = cfg.logStore.latest("sync_file", Seq("id")).collect().head
-    assert(sync.getAs[Int]("processed") === SyncState.Ingested)
+    assert(sync.getAs[Int]("processed") === SyncState.Failed)
+    val log = cfg.logStore.history("file_ingestion_log").collect().head
+    assert(log.getAs[String]("load_status_check") === "failed")
+    assert(log.getAs[String]("error_message")
+      .contains("Bad date records filtered out and 1 records successfully ingested"))
+    // rows landed → a monitoring row exists, processed='N' (not 'F')
+    val mon = cfg.logStore.history("stg_monitoring").collect()
+    assert(mon.length === 1 && mon.head.getAs[String]("processed") === "N")
+  }
+
+  test("monitoring rows: 'N' whenever rows landed; none for empty failures") {
+    val (cfg, parent) = setup()
+    // file A: bad date among good rows (main flavor: file fails, rows land)
+    writeFile(new java.io.File(parent, "FAC4"),
+      "hiv_eac_0_20250107000000_decrypted.json",
+      """[
+        |{"id": 1, "uuid": "u1", "eac_date": "2024-06-01"},
+        |{"id": 2, "uuid": "u2", "eac_date": "nope"}
+        |]""".stripMargin.replace("|", ""))
+    // file B: empty JSON array → failed, nothing landed
+    writeFile(new java.io.File(parent, "FAC4"),
+      "hiv_eac_1_20250107000001_decrypted.json", "[]")
+    seedSync(cfg, Seq(
+      syncRow(1L, "FAC4", "hiv_eac_0_20250107000000.json"),
+      syncRow(2L, "FAC4", "hiv_eac_1_20250107000001.json")))
+
+    val res = Pipeline.run(spark, cfg)
+    assert(res.filesFailed === 2 && res.recordsIngested === 1)
+    val mon = cfg.logStore.history("stg_monitoring").collect()
+    assert(mon.length === 1, "only the file that landed rows gets a monitoring row")
+    assert(mon.head.getAs[String]("file_name")
+      === "hiv_eac_0_20250107000000_decrypted.json")
+    assert(mon.head.getAs[String]("processed") === "N")
+    assert(mon.head.getAs[Int]("json_rec_count") === 1)
   }
 
   test("facility-partitioned staging layout (100 TB shape)") {
@@ -172,6 +209,36 @@ class PipelineSpec extends SparkSpec {
     val back = spark.read.parquet(tableDir.getPath)
     assert(back.count() === 1)
     assert(back.collect().head.getAs[String]("stg_datim_id") === "FACP")
+  }
+
+  test("requeue: failed file returns to Ready and the next run re-ingests it") {
+    import org.apache.spark.sql.functions.col
+    val (cfg, parent) = setup()
+    val fac = new java.io.File(parent, "FAC5")
+    writeFile(fac, "hiv_observation_0_20250108000000_decrypted.json",
+      """[{"id": 1, "uuid": "u1", "observation_date": "garbage"}]""")
+    seedSync(cfg, Seq(syncRow(1L, "FAC5", "hiv_observation_0_20250108000000.json")))
+    val r1 = Pipeline.run(spark, cfg)
+    assert(r1.filesFailed === 1 && r1.recordsIngested === 0)
+    assert(cfg.logStore.latest("sync_file", Seq("id")).collect().head
+      .getAs[Int]("processed") === SyncState.Failed)
+
+    // operator fixes the file, then requeues the failure (the reference's
+    // manual UPDATE sync_file playbook)
+    writeFile(fac, "hiv_observation_0_20250108000000_decrypted.json",
+      """[{"id": 1, "uuid": "u1", "observation_date": "2024-04-01"}]""")
+    val n = graft.maintenance.Maintenance.requeueSyncFailures(cfg.logStore,
+      col("file_name").startsWith("hiv_observation"))
+    assert(n === 1)
+    val requeued = cfg.logStore.latest("sync_file", Seq("id")).collect().head
+    assert(requeued.getAs[Int]("processed") === SyncState.Ready)
+    assert(requeued.getAs[String]("ingest_error_message") === null)
+    assert(requeued.getAs[String]("ingest_status_check") === null)
+
+    val r2 = Pipeline.run(spark, cfg)
+    assert(r2.filesIngested === 1 && r2.recordsIngested === 1)
+    assert(cfg.logStore.latest("sync_file", Seq("id")).collect().head
+      .getAs[Int]("processed") === SyncState.Ingested)
   }
 
   test("worklist honors prefix split between main and DSD loaders (P5)") {

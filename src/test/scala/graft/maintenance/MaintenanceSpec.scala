@@ -81,17 +81,74 @@ class MaintenanceSpec extends SparkSpec {
       === Seq("stg_a_bad_dates", "stg_b_bad_dates"))
   }
 
-  test("S14: deleteFiles removes encrypted+decrypted pairs and reports status") {
+  test("S14: deleteFiles removes encrypted+decrypted pairs, one result per file") {
     val root = java.nio.file.Files.createTempDirectory("graft_del_").toFile
     val fac = new java.io.File(root, "FAC1"); fac.mkdirs()
     java.nio.file.Files.writeString(new java.io.File(fac, "a_1_2.json").toPath, "e")
     java.nio.file.Files.writeString(new java.io.File(fac, "a_1_2_decrypted.json").toPath, "d")
     val res = Maintenance.deleteFiles(
-      Seq(("a_1_2.json", "FAC1"), ("missing.json", "FAC1")), root.getPath)
-    assert(res(0).status === "success" && res(0).deletedDecrypted && res(0).deletedEncrypted)
-    assert(res(1).status === "failed")
+      Seq(("FAC1", "a_1_2.json", "a_1_2_decrypted.json"),
+        ("FAC1", "missing.json", "missing_decrypted.json")), root.getPath)
+    assert(res.map(_.status) === Seq("success", "success", "failed", "failed"))
+    assert(res.map(_.error).distinct === Seq("no errors", "file not found"))
     assert(!new java.io.File(fac, "a_1_2.json").exists())
     assert(!new java.io.File(fac, "a_1_2_decrypted.json").exists())
+  }
+
+  test("S14 round trip: delete → log → second run excludes logged files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_delrt_").toFile
+    val parent = new java.io.File(root, "temp")
+    val fac = new java.io.File(parent, "FAC1"); fac.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(fac, "t_1_100.json").toPath, "e")
+    java.nio.file.Files.writeString(new java.io.File(fac, "t_1_100_decrypted.json").toPath, "d")
+    // u_1_200.json intentionally absent on disk → failed log rows
+    val store = graft.logs.LogStore(spark, new java.io.File(root, "logs").getPath)
+    store.append("sync_file", Seq(
+      (1L, "FAC1", "t_1_100.json", "t_1_100_decrypted.json",
+        null.asInstanceOf[String], 2, ts("2025-01-02 10:00:00"), ts("2025-01-01 09:00:00")),
+      (2L, "FAC1", "u_1_200.json", "u_1_200_decrypted.json",
+        null.asInstanceOf[String], -2, ts("2025-01-02 10:00:00"), ts("2025-01-01 09:00:00"))
+    ).toDF("id", "facility_id", "file_name", "decrypted_file_name",
+      "ingest_file_name", "processed", "modified_date", "ingest_end_time"))
+
+    val r1 = Maintenance.runFileDeletion(store, parent.getPath)
+    assert(r1.length === 4)
+    assert(r1.filter(_.fileName.startsWith("t_")).forall(_.status == "success"))
+    assert(r1.filter(_.fileName.startsWith("u_")).forall(_.status == "failed"))
+    val logged = store.latest("file_deletion_log", Seq("id"))
+    assert(logged.count() === 4)
+    assert(logged.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+
+    // second run: both encrypted names are now logged (success OR failed
+    // both block, automate_file_delete.py:101) → nothing eligible
+    val r2 = Maintenance.runFileDeletion(store, parent.getPath)
+    assert(r2.isEmpty)
+    assert(store.latest("file_deletion_log", Seq("id")).count() === 4)
+  }
+
+  test("requeue monitoring: F→N as an MVCC update, optional error clear") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_rqm_").toFile
+    val store = graft.logs.LogStore(spark, dir.getPath)
+    store.append("stg_monitoring", Seq(
+      ("D1", "b1", "f1.json", "stg_case_manager", ts("2025-01-01 10:00:00"), 5, "F", "boom"),
+      ("D1", "b1", "f2.json", "stg_other", ts("2025-01-01 10:00:00"), 3, "F", "boom2"),
+      ("D2", "b2", "f3.json", "stg_case_manager", ts("2025-01-01 11:00:00"), 2, "Y",
+        null.asInstanceOf[String])
+    ).toDF("datim_id", "batch_id", "file_name", "table_name", "load_time",
+      "json_rec_count", "processed", "error_message"))
+    // UPDATE stg_monitoring SET processed='N', error_message=null
+    // WHERE processed='F' AND table_name='stg_case_manager'
+    val n = Maintenance.requeueMonitoring(store,
+      col("table_name") === "stg_case_manager", clearError = true)
+    assert(n === 1)
+    val byFile = store.latest("stg_monitoring",
+        Seq("datim_id", "file_name", "load_time")).collect()
+      .map(r => r.getAs[String]("file_name") ->
+        (r.getAs[String]("processed"), r.getAs[String]("error_message"))).toMap
+    assert(byFile("f1.json") === (("N", null)))
+    assert(byFile("f2.json") === (("F", "boom2"))) // predicate miss: untouched
+    assert(byFile("f3.json") === (("Y", null)))    // not failed: untouched
   }
 
   test("S7: bad-records CSV export round-trips") {

@@ -30,6 +30,26 @@ class ReportsSpec extends SparkSpec {
     assert(r.getAs[Long]("fails") === 2)
   }
 
+  test("persistProcessSummary appends the computed row to the log store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcs_").toFile
+    val store = graft.logs.LogStore(spark, dir.getPath)
+    store.append("sync_file", Seq(
+      (1L, 2, "success", ts("2025-01-01 00:00:00")),
+      (2L, 1, null.asInstanceOf[String], ts("2025-01-02 00:00:00")),
+      (3L, -2, "failed", ts("2025-01-03 00:00:00"))
+    ).toDF("id", "processed", "ingest_status_check", "create_date"))
+    Reports.persistProcessSummary(store, "2024-03-21", ts("2026-01-01 00:00:00"))
+    val rows = store.history("process_summary_report").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("total_files") === 3)
+    assert(rows.head.getAs[Long]("processed_count") === 1)
+    assert(rows.head.getAs[Long]("ingestion_fails") === 1)
+    assert(rows.head.getAs[Timestamp]("check_data") === ts("2026-01-01 00:00:00"))
+    // a second run appends (history grows), like the reference's INSERT
+    Reports.persistProcessSummary(store, "2024-03-21", ts("2026-01-02 00:00:00"))
+    assert(store.history("process_summary_report").count() === 2)
+  }
+
   test("unprocessedByTable ranks the backlog, distinctErrors dedups") {
     val mon = Seq(
       ("stg_a", "N", "boom"), ("stg_a", "N", "boom"),
