@@ -24,9 +24,13 @@ object Bench {
       case c => c.toString
     }
 
-    // untimed warm-up: JVM/codegen/parquet-reader startup otherwise lands
-    // entirely on the alphabetically-first query's timing
+    // untimed warm-ups: JVM/codegen/reader startup otherwise lands
+    // entirely on the alphabetically-first query of each path — entry()
+    // warms the parquet/join path, a smallest-SF ingest run warms the
+    // JSON-read + LogStore control-plane path
     try SparkEntry.entry(spark).count()
+    catch { case _: Throwable => () }
+    try SparkEntry.queries("q_pipeline_ingest_e2e")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
 
     // stable ordering for readable diffs between rounds

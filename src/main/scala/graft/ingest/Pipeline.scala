@@ -162,12 +162,15 @@ object Pipeline {
         Stages.emptyToNull(
           Stages.entityTransforms(stagingTable)(
             Stages.dropAllNull(raw))), loadTime)
-      val (valid, bad) = Stages.dateSplit(withProv, idCol = Some("id"))
-      val validC = valid.cache(); val badC = bad.cache()
+      // cache the PARENT frame once: valid/bad are complementary filters
+      // of it, so caching them separately would scan the JSON twice (the
+      // multiLine read is the dominant cost of the whole entity job)
+      val withProvC = withProv.cache()
+      val (validC, badC) = Stages.dateSplit(withProvC, idCol = Some("id"))
 
       // per-file counts via aggregation (not a driver loop over files);
-      // these actions also materialize the caches, and their totals gate
-      // the writes — no separate existence-probe jobs.
+      // the first action materializes the cache, and the totals gate the
+      // writes — no separate existence-probe jobs.
       val okCounts = validC.groupBy("stg_file_name", "stg_datim_id").count().collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val badCounts = badC.groupBy("stg_file_name", "stg_datim_id").count().collect()
@@ -209,7 +212,7 @@ object Pipeline {
           else ("success", ok, null: String)
         (f, fac) -> status
       }.toMap
-      validC.unpersist(); badC.unpersist()
+      withProvC.unpersist()
       (statuses, okCounts.valuesIterator.sum, badCounts.valuesIterator.sum)
     }
 
