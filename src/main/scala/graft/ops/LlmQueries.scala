@@ -445,6 +445,28 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- multimodal: video-style frame sampling (16-byte frames,
+    //      keep every 2nd) — frames projected to hex so the compare is
+    //      a plain string on both engines ----
+    "q_mm_frame_sample" -> Q(
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, CAST(ceil(n / 16.0) AS INTEGER) AS n_frames, hx FROM h),
+        |idx AS (SELECT doc_id, n_frames, hx, unnest(range(0, n_frames)) AS i FROM f)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       substring(hx, CAST(32*i+1 AS INTEGER), 32) AS frame_hex,
+        |       CAST(n_frames AS BIGINT) AS n_frames
+        |FROM idx WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.asBinary(tb(s, dir).documents, "text"), "doc_id",
+          frameBytes = 16, stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // ---- multimodal: feature decode, columnar stripe-sum face ----
     // The stub decode is integer byte arithmetic, so its exact face is
     // oracle-able: per-stripe byte sums (features = s_j/255). The

@@ -37,6 +37,28 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f1.head - 10 / 255.0f) < 1e-6)
   }
 
+  test("stripeSums (columnar) agrees with decodeFeatures (mapPartitions) exactly") {
+    val df = Seq(
+      (1L, Array[Byte](10, 20, 30)),
+      (2L, (0 until 100).map(i => (i * 7 % 256).toByte).toArray),
+      (3L, Array.empty[Byte]),
+      (4L, "multi byte ünïcödé payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val cols = Multimodal.stripeSums(df, "doc_id").orderBy("doc_id").collect()
+    val rows = Multimodal.decodeFeatures(df, "doc_id").orderBy("doc_id").collect()
+    val d = Multimodal.StubDecoder.featureDim
+    cols.zip(rows).foreach { case (c, r) =>
+      assert(c.getLong(0) === r.getLong(0))
+      assert(c.getAs[Long]("byte_len") === r.getAs[Int]("byte_len").toLong)
+      val feats = r.getSeq[Float](2)
+      (0 until d).foreach { j =>
+        val s = c.getAs[Long](s"s$j")
+        assert(feats(j) === (s / 255.0).toFloat,
+          s"doc ${c.getLong(0)} stripe $j: columnar $s vs feature ${feats(j)}")
+      }
+    }
+  }
+
   test("sampleFrames: fixed-size frames, stride sampling, correct slicing") {
     val payload = (1 to 40).map(_.toByte).toArray // 40 bytes → 3 frames of 16
     val df = Seq((7L, payload)).toDF("doc_id", "payload")
