@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.{Ann, DedupOps, Ivf, Multimodal, TextAnalysis}
+import graft.llm.{Ann, DedupOps, DupGraph, Ivf, Multimodal, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -188,6 +188,55 @@ object LlmQueries {
         .withColumn("is_dup",
           col("jaccard_n") * 10 >= col("jaccard_d") * 8)
         .orderBy("id1", "id2")
+    },
+
+    // ---- duplicate-cluster resolution: verified near-dup pairs →
+    //      connected components (min-label + pointer jumping) →
+    //      canonical doc per cluster. The oracle computes the same
+    //      components with a recursive min-reachable-id CTE. ----
+    "q_llm_dup_clusters" -> Q(
+      s"""WITH RECURSIVE $shingleCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS n
+         |  FROM cand p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY p.id1, p.id2),
+         |dups AS (
+         |  SELECT p.id1, p.id2 FROM cand p
+         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |  JOIN sizes s1 ON s1.doc_id = p.id1
+         |  JOIN sizes s2 ON s2.doc_id = p.id2
+         |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
+         |nodes AS (SELECT id1 AS id FROM dups UNION SELECT id2 FROM dups),
+         |sym AS (SELECT id1 AS src, id2 AS dst FROM dups
+         |        UNION ALL SELECT id2, id1 FROM dups),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+         |  coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      val pairs = DedupOps.nearDupPairs(docs, "doc_id", "text")
+        .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8)
+        .select("id1", "id2")
+      DupGraph.dupClusters(docs.select("doc_id"), "doc_id", pairs)
+        .select(col("doc_id"), col("component").cast("long").as("component"),
+          col("is_canonical"))
+        .orderBy("doc_id")
     },
 
     // ---- n-gram Jaccard over blocked pairs ----

@@ -1,0 +1,52 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DupGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: path graph collapses to min id (pointer jump beats diameter)") {
+    // 1-2-3-...-9: diameter 8, must converge well inside maxIter=20 and
+    // label everything with 1
+    val edges = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = DupGraph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponents: separate components stay separate") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("id1", "id2")
+    val got = DupGraph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters: unpaired docs are singletons; canonical = cluster min") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val got = DupGraph.dupClusters(docs, "doc_id", pairs)
+      .select("doc_id", "component", "is_canonical").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set((1L, 1L, true), (2L, 2L, true), (3L, 3L, true),
+      (4L, 2L, false), (5L, 2L, false), (6L, 6L, true)))
+  }
+
+  test("dedupCorpus: keeps one doc per cluster plus all unpaired docs") {
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 4L), (4L, 5L), (3L, 6L)).toDF("id1", "id2")
+    val kept = DupGraph.dedupCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+    // schema untouched: no helper columns leak
+    assert(DupGraph.dedupCorpus(docs, "doc_id", pairs).columns.toSeq ===
+      Seq("doc_id", "text"))
+  }
+
+  test("connectedComponents: empty edge set yields empty labels") {
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(DupGraph.connectedComponents(edges).count() === 0L)
+  }
+}
