@@ -131,6 +131,21 @@ object ReportQueries {
         |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
       StreamIngest.windowedCounts(tb(s, dir).events, "ts", "event_type")
         .orderBy("window_start", "event_type")
+    },
+
+    // ---- stateful streaming dedup (flatMapGroupsWithState) ----
+    // Batch face of StreamDedup.firstSeen: with empty initial state every
+    // key is "first seen", so the output is exactly the per-hash
+    // (min id, count) aggregate — which DuckDB checks directly. The
+    // cross-micro-batch state behavior is covered by StreamDedupSpec.
+    "q_stream_dedup_state" -> Q(
+      """SELECT md5(text) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id,
+        |  CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamDedup.firstSeen(tb(s, dir).documents, "doc_id", "text")
+        .toDF().orderBy("content_hash")
     }
   )
 }
