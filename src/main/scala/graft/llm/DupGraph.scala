@@ -38,9 +38,14 @@ object DupGraph {
     */
   def connectedComponents(edges: DataFrame, src: String = "id1",
                           dst: String = "id2", maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct().cache()
+    // materialize the edge list ONCE before fanning out: the union below
+    // references it twice and every round joins it — without the eager
+    // checkpoint an expensive upstream DAG (e.g. the whole MinHash-LSH
+    // near-dup pipeline) would execute once per reference
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+      .localCheckpoint(true)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
@@ -67,7 +72,6 @@ object DupGraph {
       labels = next
       it += 1
     }
-    sym.unpersist()
     labels
   }
 

@@ -130,4 +130,29 @@ object Multimodal {
         s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
       .select(col(idCol), col("frame_idx"), col("frame"), col("n_frames"))
   }
+
+  /** Resize plumbing: nearest-neighbor byte decimation to a fixed
+    * `outBytes` length — out[j] = payload[⌊j·n/outBytes⌋], the 1-D
+    * analog of image nearest-neighbor resampling (a real codec would
+    * decode → resample pixels → re-encode; this preserves the schema,
+    * determinism, and fixed-output-size contract of that operator).
+    * Pure column algebra over the hex view — codegen'd, no UDF, and
+    * oracle-able byte for byte. Payloads shorter than `outBytes`
+    * upsample by byte repetition (nearest neighbor both directions);
+    * empty payloads resize to empty.
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String = "payload",
+             outBytes: Int = 32): DataFrame = {
+    val n = length(col(binCol))
+    // j·n/outBytes in double is exact while j·n < 2^53; cast truncates
+    // toward zero = floor for non-negatives
+    val srcByte = (j: Column) => ((j * n) / lit(outBytes)).cast("int")
+    val resizedHex = when(n > 0,
+      array_join(transform(sequence(lit(0), lit(outBytes - 1)),
+        j => col("_hx").substr(srcByte(j) * 2 + 1, lit(2))), ""))
+      .otherwise(lit(""))
+    df.withColumn("_hx", hex(col(binCol))) // hex'd once, not per j
+      .select(col(idCol), n.cast("long").as("byte_len"),
+        unhex(resizedHex).as("resized"))
+  }
 }

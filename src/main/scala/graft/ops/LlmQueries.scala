@@ -516,6 +516,29 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ---- multimodal: nearest-neighbor resize (byte decimation to 32,
+    //      hex-projected so both engines compare strings) ----
+    "q_mm_resize" -> Q(
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, j,
+        |             substring(hx, CAST((j*n) // 32 AS INTEGER) * 2 + 1, 2) AS bh
+        |      FROM (SELECT doc_id, hx, n, unnest(range(0, 32)) AS j
+        |            FROM h WHERE n > 0)),
+        |agg AS (SELECT doc_id, string_agg(bh, '' ORDER BY j) AS rh
+        |        FROM b GROUP BY doc_id)
+        |SELECT h.doc_id, CAST(h.n AS BIGINT) AS byte_len,
+        |       coalesce(a.rh, '') AS resized_hex
+        |FROM h LEFT JOIN agg a ON a.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.resize(
+          Multimodal.asBinary(tb(s, dir).documents, "text"), "doc_id",
+          outBytes = 32)
+        .select(col("doc_id"), col("byte_len"),
+          hex(col("resized")).as("resized_hex"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal: feature decode, columnar stripe-sum face ----
     // The stub decode is integer byte arithmetic, so its exact face is
     // oracle-able: per-stripe byte sums (features = s_j/255). The

@@ -59,6 +59,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: nearest-neighbor byte decimation, upsampling, empty payload") {
+    val df = Seq(
+      (1L, (0 until 64).map(_.toByte).toArray), // 64 → 32: every 2nd byte
+      (2L, Array[Byte](10, 20)),                // 2 → 32: upsample, 16× each
+      (3L, Array.empty[Byte])                   // empty → empty
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.resize(df, "doc_id", outBytes = 32)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Array[Byte]]("resized").toSeq ===
+      (0 until 64 by 2).map(_.toByte))
+    assert(got(1).getAs[Array[Byte]]("resized").toSeq ===
+      (Seq.fill(16)(10.toByte) ++ Seq.fill(16)(20.toByte)))
+    assert(got(2).getAs[Array[Byte]]("resized").length === 0)
+    assert(got.map(_.getAs[Long]("byte_len")).toSeq === Seq(64L, 2L, 0L))
+  }
+
   test("sampleFrames: fixed-size frames, stride sampling, correct slicing") {
     val payload = (1 to 40).map(_.toByte).toArray // 40 bytes → 3 frames of 16
     val df = Seq((7L, payload)).toDF("doc_id", "payload")
