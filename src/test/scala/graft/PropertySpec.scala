@@ -95,6 +95,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connected components match a union-find oracle on random graphs") {
+    val gen = for {
+      nNodes <- Gen.chooseNum(2, 40)
+      nEdges <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, nNodes.toLong)
+        b <- Gen.chooseNum(0L, nNodes.toLong) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    val edges = sampleOne(gen)
+    // driver-side union-find with path compression as the oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = graft.llm.DupGraph.connectedComponents(edges.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find roots are not guaranteed minimal; canonicalize both to
+    // min-of-component before comparing
+    val minOf = expected.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+    assert(got === expected.map { case (v, root) => v -> minOf(root) },
+      s"edges=$edges")
+  }
+
   test("property: latest-wins dedup keeps exactly one row per key, the newest") {
     val gen = for {
       nKeys <- Gen.chooseNum(1, 10)
