@@ -133,6 +133,31 @@ object ReportQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ---- gap-based sessionization (lag + conditional cumulative sum) ----
+    // 30-minute gap; per-session rollup. Both engines see ts truncated
+    // to microseconds, so the gap comparison is exact-integer on both.
+    "q_stream_sessionize" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |s AS (SELECT user_id, tus,
+        |        sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM l)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(tus) AS BIGINT) AS start_us,
+        |       CAST(max(tus) AS BIGINT) AS end_us,
+        |       CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      graft.streaming.Sessionize.sessionStats(tb(s, dir).events,
+          "user_id", "ts", "event_id")
+        .orderBy("user_id", "session_seq")
+    },
+
     // ---- stateful streaming dedup (flatMapGroupsWithState) ----
     // Batch face of StreamDedup.firstSeen: with empty initial state every
     // key is "first seen", so the output is exactly the per-hash
