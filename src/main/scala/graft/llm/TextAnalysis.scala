@@ -18,14 +18,26 @@ object TextAnalysis {
   /** Word k-shingles as ' '-joined strings. Guarded so documents shorter
     * than k yield an empty array (sequence() would otherwise produce a
     * descending range).
+    *
+    * PERF: pass a MATERIALIZED token array column (via
+    * `withColumn("_toks", tokens(text))`), not `tokens(text)` inline —
+    * higher-order functions are interpreted, so an expression embedded
+    * in the transform lambda re-evaluates once PER ELEMENT: inlining the
+    * tokenizer (itself a filter lambda) makes shingling O(tokens²)
+    * interpreted evals per document. Measured 5.5s → ~1s on the sf0.1
+    * signature pass. [[shinglesOfText]] keeps the convenient-but-slow
+    * one-shot form.
     */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val ts = tokens(c)
+  def shingles(ts: Column, k: Int = 3): Column =
     when(size(ts) >= k,
       transform(sequence(lit(1), size(ts) - (k - 1)),
         i => concat_ws(" ", slice(ts, i, lit(k)))))
       .otherwise(array())
-  }
+
+  /** One-shot shingling straight from the text column — fine for small
+    * frames/tests; see the perf note on [[shingles]].
+    */
+  def shinglesOfText(c: Column, k: Int = 3): Column = shingles(tokens(c), k)
 
   /** Whitespace token count. */
   def tokenCountWs(c: Column): Column = size(tokens(c))

@@ -15,10 +15,16 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("shingles: k=3 over tokens; short docs yield empty array") {
     val out = Seq("a b c d", "a b").toDF("t")
-      .select(TextAnalysis.shingles(col("t")).as("s"))
+      .select(TextAnalysis.shinglesOfText(col("t")).as("s"))
       .collect().map(_.getSeq[String](0))
     assert(out(0) === Seq("a b c", "b c d"))
     assert(out(1) === Seq.empty)
+    // token-array form agrees (the materialized fast path)
+    val viaToks = Seq("a b c d").toDF("t")
+      .withColumn("ts", TextAnalysis.tokens(col("t")))
+      .select(TextAnalysis.shingles(col("ts")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(viaToks === Seq("a b c", "b c d"))
   }
 
   test("token counts: whitespace vs BPE-ish with punctuation") {
