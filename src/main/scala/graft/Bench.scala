@@ -32,8 +32,11 @@ object Bench {
     catch { case _: Throwable => () }
     try SparkEntry.queries("q_pipeline_ingest_e2e")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
+    GraftSession.releaseAll(spark)
 
-    // stable ordering for readable diffs between rounds
+    // stable ordering for readable diffs between rounds; storage released
+    // between queries (outside the timed region) so each timing is
+    // independent of what the alphabetically-earlier queries left cached
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
@@ -41,6 +44,7 @@ object Bench {
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
       val sec = (System.nanoTime() - t0) / 1e9
+      GraftSession.releaseAll(spark)
       (name, sec, outcome)
     }
     val qs = results.map {

@@ -41,6 +41,31 @@ object GraftSession {
   /** Common post-create tuning applied by Verify/Bench mains. */
   def quiet(spark: SparkSession): SparkSession = {
     spark.sparkContext.setLogLevel("WARN")
+    // the checkpoint-release lifecycle (DupGraph/releaseAll) triggers an
+    // expected per-unpersist "lineage has been truncated" warning from
+    // the concrete RDD class logger; 20+ of them per CC run is noise
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     spark
+  }
+
+  /** Release EVERY cached DataFrame and persisted/locally-checkpointed
+    * RDD in the session. Harness isolation: Bench/Verify call this
+    * between queries so one query's working set (library-internal caches,
+    * a returned checkpoint the caller can't release pre-materialization)
+    * never distorts the next query's storage/execution-memory split —
+    * the round-3 bench showed exactly that distortion (unchanged queries
+    * 5-20× slower downstream of the LLM heavyweights).
+    *
+    * Safe only BETWEEN independent units of work: unpersisting a
+    * locally-checkpointed RDD makes it unrecomputable (lineage is
+    * truncated), so nothing may reference prior results across the call.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 }

@@ -128,6 +128,13 @@ object DedupOps {
     * the signature aggregation (min over the SET equals min over the
     * multiset, so using the deduped set is exact) and the Jaccard
     * verification, saving a full shingle-explosion pass over the corpus.
+    *
+    * Storage lifecycle: the shingle cache is function-scoped — the
+    * verified pairs (a bounded candidate set, tiny next to the shingle
+    * explosion) are materialized eagerly into their own cache and the
+    * shingle blocks released before returning. The returned frame is a
+    * plain cached DataFrame: evict it with `.unpersist()` when done
+    * (recompute-on-eviction stays correct, just uncached).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
@@ -136,7 +143,10 @@ object DedupOps {
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
     val sigs = sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val pairs = candidatePairs(lshBands(sigs, idCol, numHashes, rowsPerBand), idCol)
-    jaccardVerify(pairs, sets, idCol)
+    val out = jaccardVerify(pairs, sets, idCol).cache()
+    out.count() // materialize: every consumer of `sets` has now run
+    sets.unpersist()
+    out
   }
 
   /** Signature width sized to the corpus: floor(log₂(n / targetBucket)),
@@ -161,12 +171,21 @@ object DedupOps {
     * for similarity s is p^bits (p = 1 - arccos(s)/π), OR'd across
     * `tables` — at near-dup thresholds (≥0.95, p≈0.9) recall stays high;
     * widen `tables` rather than shrinking `bits` if more is needed.
+    *
+    * At scale pass `corpusCount` (usually already known to the caller)
+    * to skip the sizing count; the vector dimension probe is a limit-1
+    * read of the narrow vecCol projection, not a corpus pass. The bucket
+    * cache is function-scoped: the verified pairs are materialized
+    * eagerly and the bucket blocks released before returning — the
+    * returned frame is a plain cached DataFrame, `.unpersist()` it when
+    * consumed.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95,
-                        bits: Option[Int] = None, tables: Int = 4): DataFrame = {
-    val nBits = bits.getOrElse(deriveBits(df.count()))
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+                        bits: Option[Int] = None, tables: Int = 4,
+                        corpusCount: Option[Long] = None): DataFrame = {
+    val nBits = bits.getOrElse(deriveBits(corpusCount.getOrElse(df.count())))
+    val dim = df.select(size(col(vecCol)).as("_d")).limit(1).collect()(0).getInt(0)
     // cache the bucket table: it feeds BOTH sides of the pair self-join
     // (uncached it would recompute the posexplode+aggregate twice)
     val buckets = Ann.lshBucketsMulti(df, idCol, vecCol, dim, nBits, tables)
@@ -182,13 +201,17 @@ object DedupOps {
       .select("id1", "id2").distinct()
     val vecs = df.select(col(idCol),
       col(vecCol).as("_v"), Ann.l2norm(col(vecCol)).as("_n"))
-    pairs
+    val out = pairs
       .join(vecs.select(col(idCol).as("id1"), col("_v").as("v1"), col("_n").as("n1")), "id1")
       .join(vecs.select(col(idCol).as("id2"), col("_v").as("v2"), col("_n").as("n2")), "id2")
       .withColumn("cosine",
         round(Ann.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+      .cache()
+    out.count() // materialize: the candidate join has consumed the buckets
+    buckets.unpersist()
+    out
   }
 
   /** 16-bit SimHash from token md5s: bit i = sign of the sum over

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Duplicate-cluster resolution: near-dup PAIRS (DedupOps.nearDupPairs,
   * embeddingNearDups, ...) are only half of dedup — a usable training
@@ -24,31 +25,56 @@ import org.apache.spark.sql.functions._
   * PAIR GRAPH — near-dup vertices only, typically a small fraction of
   * the corpus; unpaired docs never enter the iteration and are attached
   * as singletons afterwards (dupClusters). Lineage is truncated per
-  * round with an eager localCheckpoint (same reason as Ivf.fit: the
-  * round-i plan must not re-execute rounds 1..i-1), and convergence is
-  * detected by the label-sum invariant — labels only ever decrease, so
-  * sum(comp) is strictly decreasing until the fixpoint; one cheap
-  * aggregate per round, no changed-row join.
+  * round with an eager checkpoint (the round-i plan must not re-execute
+  * rounds 1..i-1), and convergence is detected by the label-sum
+  * invariant — labels only ever decrease, so sum(comp) is strictly
+  * decreasing until the fixpoint; one cheap aggregate per round, no
+  * changed-row join.
+  *
+  * Storage lifecycle: every intermediate checkpoint is released as soon
+  * as its sole consumer has materialized — the edge list once `sym`
+  * exists, round i−1's labels once round i's are checkpointed, `sym`
+  * when the loop exits. Only the RETURNED labels frame stays persisted
+  * (the caller still has to read it); release it with
+  * `CheckpointBridge.unpersistCheckpoint` once consumed. Without the
+  * per-round release a 20-round run pinned ~40 block sets for the rest
+  * of the session (the round-3 bench regression).
+  *
+  * Durability: the default `localCheckpoint` stores blocks on executors
+  * WITHOUT replication — fast, but losing one executor mid-iteration
+  * kills the job, which on a 100 TB corpus is the difference between a
+  * restartable job and a lost night. Pass `checkpointDir` (an HDFS/S3
+  * path) to switch every round to a reliable `checkpoint()`: each
+  * round's state is written to the shared filesystem and the job
+  * survives executor loss. Checkpoint files accumulate for the ≤maxIter
+  * rounds of one call; the caller owns deleting the directory afterwards
+  * (or sets spark.cleaner.referenceTracking.cleanCheckpoints=true).
   */
 object DupGraph {
+
+  private def ckpt(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
   /** Connected components of the undirected pair graph. Input: one row
     * per edge (src, dst). Output: (id, component) for every endpoint,
     * component = min id reachable. Deterministic for any partitioning.
+    * `checkpointDir`: see the durability note above.
     */
   def connectedComponents(edges: DataFrame, src: String = "id1",
-                          dst: String = "id2", maxIter: Int = 20): DataFrame = {
+                          dst: String = "id2", maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // materialize the edge list ONCE before fanning out: the union below
     // references it twice and every round joins it — without the eager
     // checkpoint an expensive upstream DAG (e.g. the whole MinHash-LSH
     // near-dup pipeline) would execute once per reference
-    val e = edges.select(col(src).as("a"), col(dst).as("b"))
-      .localCheckpoint(true)
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+    val e = ckpt(edges.select(col(src).as("a"), col(dst).as("b")), reliable)
+    val sym = ckpt(e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct(), reliable)
+    CheckpointBridge.unpersistCheckpoint(e) // sym holds its own blocks now
+    var labels = ckpt(sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")), reliable)
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var it = 0
@@ -62,16 +88,18 @@ object DupGraph {
       // components are always node ids (min only selects ids), so the
       // shortcut self-join is total: every comp value has a label row
       val ptr = spread.select(col("id").as("p_id"), col("component").as("p_comp"))
-      val next = spread.join(ptr, spread("component") === ptr("p_id"))
-        .select(spread("id"), col("p_comp").as("component"))
-        .localCheckpoint(true)
+      val next = ckpt(spread.join(ptr, spread("component") === ptr("p_id"))
+        .select(spread("id"), col("p_comp").as("component")), reliable)
       val s = next.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
+      // round i is safely in next's own blocks/files — release round i-1
+      CheckpointBridge.unpersistCheckpoint(labels)
       labels = next
       it += 1
     }
+    CheckpointBridge.unpersistCheckpoint(sym)
     labels
   }
 
@@ -80,8 +108,9 @@ object DupGraph {
     * marks the kept representative (min id of the cluster).
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                  src: String = "id1", dst: String = "id2"): DataFrame = {
-    val comps = connectedComponents(pairs, src, dst)
+                  src: String = "id1", dst: String = "id2",
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, src, dst, checkpointDir = checkpointDir)
       .withColumnRenamed("id", "_cc_id")
     docs.join(comps, docs(idCol) === comps("_cc_id"), "left")
       .withColumn("component", coalesce(col("component"), docs(idCol)))
@@ -94,8 +123,9 @@ object DupGraph {
     * exactly the non-canonical members.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
-                  src: String = "id1", dst: String = "id2"): DataFrame =
-    dupClusters(docs, idCol, pairs, src, dst)
+                  src: String = "id1", dst: String = "id2",
+                  checkpointDir: Option[String] = None): DataFrame =
+    dupClusters(docs, idCol, pairs, src, dst, checkpointDir)
       .filter(col("is_canonical"))
       .drop("component", "is_canonical")
 }

@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  final case class Index(centroids: DataFrame, assignments: DataFrame)
+  /** A trained index. `assignments` is cached (every [[topK]] call joins
+    * it); call [[Index.unpersist]] when the index is retired — the cache
+    * otherwise outlives the queries and crowds executor storage.
+    */
+  final case class Index(centroids: DataFrame, assignments: DataFrame) {
+    def unpersist(): Unit = { assignments.unpersist(); () }
+  }
 
   private val Quantum = 1000000.0 // centroid-mean quantization (1e-6)
 

@@ -49,4 +49,38 @@ class DupGraphSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(DupGraph.connectedComponents(edges).count() === 0L)
   }
+
+  test("connectedComponents: reliable checkpointDir path — same labels, files on disk") {
+    // durability contract: with checkpointDir set, per-round state goes
+    // through reliable checkpoint() files (survives executor loss) and
+    // the result is identical to the localCheckpoint default
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+      val got = DupGraph.connectedComponents(edges, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the rounds actually went through the reliable path
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(wrote > 0, "expected reliable checkpoint rdd-* dirs")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("connectedComponents: intermediate round state is released, not accreted") {
+    // lifecycle contract: after the call, at most the RETURNED labels
+    // frame stays persisted — rounds 1..n-1, the edge list, and the
+    // symmetrized edges must all have been unpersisted inside the loop
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = (1L until 30L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = DupGraph.connectedComponents(edges)
+    labels.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"expected <=1 persisted RDD (final labels), got ${leaked.size}")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    assert(CheckpointBridge.unpersistCheckpoint(labels))
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
