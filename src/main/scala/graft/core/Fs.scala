@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+/** Metadata-plane filesystem helper over the Hadoop FileSystem API: the
+  * same listings/deletes/existence probes work on local disk (file://),
+  * HDFS, and the object-store connectors (s3a://, gs://, abfs://). The
+  * reference's equivalents walk local disk (`delete_old_files.sh:15-20`,
+  * `automate_file_delete.py:119-145`, `automate_table_extraction.py:52-57`)
+  * — faithful locally, but a 100 TB deployment lists an object store, so
+  * every metadata-plane call site (Maintenance, Reports, LogStore)
+  * routes through here, the same API Pipeline's distributed existence
+  * probes already use.
+  *
+  * All calls are driver-side, O(listing) metadata RPCs — bulk data never
+  * moves through this class. For worker-side fan-out over many paths use
+  * Pipeline's parallelized probe instead.
+  */
+object Fs {
+
+  def exists(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** Direct children of `dir`; empty if the directory doesn't exist. */
+  def list(dir: String, conf: Configuration): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.listStatus(p).toIndexedSeq else Seq.empty
+  }
+
+  def listDirs(dir: String, conf: Configuration): Seq[FileStatus] =
+    list(dir, conf).filter(_.isDirectory)
+
+  def listFiles(dir: String, conf: Configuration): Seq[FileStatus] =
+    list(dir, conf).filter(_.isFile)
+
+  /** Delete a file (or, with `recursive`, a directory tree). False when
+    * the path didn't exist.
+    */
+  def delete(path: String, conf: Configuration, recursive: Boolean = false): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, recursive)
+  }
+
+  /** Total bytes of the files directly under `dir`. */
+  def dirBytes(dir: String, conf: Configuration): Long =
+    listFiles(dir, conf).map(_.getLen).sum
+}

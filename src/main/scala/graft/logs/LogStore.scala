@@ -29,7 +29,7 @@ final case class LogStore(spark: SparkSession, dir: String) {
       .write.mode("append").parquet(path(table))
 
   def exists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+    graft.core.Fs.exists(path(table), spark.sparkContext.hadoopConfiguration)
 
   /** Raw append history (all versions). */
   def history(table: String): DataFrame = spark.read.parquet(path(table))

@@ -84,20 +84,19 @@ object Maintenance {
 
   /** S15: pattern-based retention sweep (delete_old_files.sh:15-20) —
     * list facility dirs, match file names against the retention pattern,
-    * delete (or dry-run). Driver-side FS walk: file *metadata* ops, not
-    * data — at real scale this is a HDFS/object-store listing, still a
-    * metadata-plane operation.
+    * delete (or dry-run). Hadoop FS metadata ops (works on file://,
+    * HDFS, and object stores alike) — file *metadata*, not data.
     */
   def retentionSweep(parentDir: String, namePattern: String,
-                     dryRun: Boolean = true): Seq[String] = {
-    val root = new java.io.File(parentDir)
+                     dryRun: Boolean = true,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): Seq[String] = {
     val rx = namePattern.r
-    val hits = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(fac => Option(fac.listFiles()).getOrElse(Array.empty))
-      .filter(f => f.isFile && rx.findFirstIn(f.getName).isDefined)
-      .map(_.getPath).toSeq
-    if (!dryRun) hits.foreach(p => new java.io.File(p).delete())
+    val hits = graft.core.Fs.listDirs(parentDir, conf)
+      .flatMap(fac => graft.core.Fs.listFiles(fac.getPath.toString, conf))
+      .filter(f => rx.findFirstIn(f.getPath.getName).isDefined)
+      .map(_.getPath.toString)
+    if (!dryRun) hits.foreach(p => graft.core.Fs.delete(p, conf))
     hits
   }
 
@@ -113,11 +112,13 @@ object Maintenance {
     * `_bad_dates` (automate_table_extraction.py:52-57's
     * information_schema ILIKE, as a catalog/FS listing).
     */
-  def quarantineTables(warehouseDir: String): Seq[String] =
-    Option(new java.io.File(warehouseDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.endsWith("_bad_dates"))
-      .map(_.getName).sorted.toSeq
+  def quarantineTables(warehouseDir: String,
+                       conf: org.apache.hadoop.conf.Configuration =
+                         new org.apache.hadoop.conf.Configuration()): Seq[String] =
+    graft.core.Fs.listDirs(warehouseDir, conf)
+      .map(_.getPath.getName)
+      .filter(_.endsWith("_bad_dates"))
+      .sorted
 
   /** Manual monitoring requeue — the reference's operational UPDATE
     * playbook (`UPDATE stg_monitoring SET processed='N' WHERE
@@ -183,17 +184,19 @@ object Maintenance {
   /** S14: physically delete ingested encrypted+decrypted file pairs.
     * Input is (facility, encrypted name, decrypted name) from the
     * [[deletionEligible]] frame (capped), so the driver-side FS loop is
-    * O(batch cap), not O(table). Status per file mirrors
+    * O(batch cap), not O(table) — Hadoop FS deletes, so the same loop
+    * runs against an object store. Status per file mirrors
     * automate_file_delete.py:119-140: deleted → success / 'no errors';
     * absent → failed / 'file not found'.
     */
-  def deleteFiles(eligible: Seq[(String, String, String)], parentDir: String)
+  def deleteFiles(eligible: Seq[(String, String, String)], parentDir: String,
+                  conf: org.apache.hadoop.conf.Configuration =
+                    new org.apache.hadoop.conf.Configuration())
       : Seq[DeletionResult] =
     eligible.flatMap { case (facilityId, encName, decName) =>
       Seq(encName, decName).map { name =>
         val started = new java.sql.Timestamp(System.currentTimeMillis())
-        val f = new java.io.File(s"$parentDir/$facilityId/$name")
-        val ok = f.exists() && f.delete()
+        val ok = graft.core.Fs.delete(s"$parentDir/$facilityId/$name", conf)
         DeletionResult(name, facilityId,
           graft.model.FileName.deriveTableName(name), ok,
           if (ok) "success" else "failed",
@@ -225,7 +228,8 @@ object Maintenance {
         coalesce(col("ingest_file_name"), col("decrypted_file_name")).as("dec"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-    val results = deleteFiles(eligible, parentDir)
+    val results = deleteFiles(eligible, parentDir,
+      spark.sparkContext.hadoopConfiguration)
     if (results.nonEmpty) {
       val maxId =
         if (store.exists("file_deletion_log"))

@@ -85,17 +85,15 @@ object Reports {
 
   /** O2 + F12: table sizes, biggest first (table_sizes.sql:1-11) —
     * file-system bytes per staging table dir with pretty-printed size.
+    * Hadoop FS listings, so the same report runs on HDFS/object stores.
     */
   def tableSizes(warehouseDir: String, spark: org.apache.spark.sql.SparkSession,
                  topK: Int = 100): DataFrame = {
     import spark.implicits._
-    val dirs = Option(new java.io.File(warehouseDir).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-    val rows = dirs.map { d =>
-      val bytes = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).map(_.length()).sum
-      (d.getName, bytes)
-    }.toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = graft.core.Fs.listDirs(warehouseDir, conf).map { d =>
+      (d.getPath.getName, graft.core.Fs.dirBytes(d.getPath.toString, conf))
+    }
     rows.toDF("table_name", "total_bytes")
       .withColumn("pretty_size", graft.ingest.Stages.prettySize(col("total_bytes")))
       .orderBy(col("total_bytes").desc, col("table_name"))

@@ -151,6 +151,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(byFile("f3.json") === (("Y", null)))    // not failed: untouched
   }
 
+  test("metadata plane runs against explicit file:// URIs (Hadoop FS portability)") {
+    // the same listings/deletes must work when the path carries a
+    // filesystem scheme, as it would on HDFS/S3
+    val root = java.nio.file.Files.createTempDirectory("graft_fsuri_").toFile
+    val fac = new java.io.File(root, "FAC9"); fac.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(fac, "y_202404_1.json").toPath, "a")
+    new java.io.File(root, "stg_q_bad_dates").mkdirs()
+    val uri = "file://" + root.getPath
+    assert(Maintenance.quarantineTables(uri) === Seq("stg_q_bad_dates"))
+    val hits = Maintenance.retentionSweep(uri, "202404", dryRun = false)
+    assert(hits.size === 1 && hits.head.contains("y_202404_1.json"))
+    assert(!new java.io.File(fac, "y_202404_1.json").exists())
+    val res = Maintenance.deleteFiles(Seq(("FAC9", "gone.json", "gone_d.json")), uri)
+    assert(res.map(_.status) === Seq("failed", "failed"))
+  }
+
   test("S7: bad-records CSV export round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toFile
     val src = new java.io.File(dir, "src"); val out = new java.io.File(dir, "out")
