@@ -103,6 +103,36 @@ object DedupOps {
       .select("id1", "id2").distinct()
   }
 
+  /** Equality blocking with a width guard: candidate pairs form inside
+    * (blockCol, sub-block), where any block wider than `maxBlock`
+    * members is re-split into ceil(n/maxBlock) deterministic sub-blocks
+    * by an md5 hash of the id (portable — the oracle reproduces it).
+    * Unguarded equality blocking is the classic blow-up: block cost is
+    * Σ block², and a blocking key with heavy ties at corpus scale (many
+    * documents share a length) turns one hot block quadratic. The cap
+    * bounds every block at `maxBlock`, trading recall on oversized
+    * blocks (cross-sub pairs are missed — the same trade LSH banding
+    * makes) for a hard Σ block² ≤ n·maxBlock bound.
+    */
+  def blockedPairs(df: DataFrame, idCol: String, blockCol: String,
+                   maxBlock: Int = 1024): DataFrame = {
+    val counts = df.groupBy(col(blockCol)).agg(count(lit(1)).as("_bn"))
+    val keyed = df.join(counts, Seq(blockCol))
+      .withColumn("_nsplit",
+        expr(s"(_bn + ${maxBlock - 1}) div $maxBlock"))
+      // first 4 md5 hex digits as an int — same portable stride hash as
+      // Ivf.fit's seeding; non-negative, so % is safe
+      .withColumn("_sub",
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % col("_nsplit"))
+      .select(col(blockCol), col("_sub"), col(idCol))
+    val a = keyed.select(col(blockCol), col("_sub"), col(idCol).as("id1"))
+    val b = keyed.select(col(blockCol), col("_sub"), col(idCol).as("id2"))
+    a.join(b, Seq(blockCol, "_sub"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+  }
+
   /** Exact Jaccard verification of candidate pairs, as integer
     * numerator/denominator (|A∩B|, |A∪B|) — exact across engines, the
     * caller applies the threshold (e.g. n*10 >= d*8 for 0.8).

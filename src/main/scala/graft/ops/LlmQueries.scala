@@ -242,13 +242,25 @@ object LlmQueries {
     // ---- n-gram Jaccard over blocked pairs ----
     // Content-blocking flavor (distinct from the MinHash-LSH flow): pairs
     // sharing the same n_chars (cheap equality blocking) get exact
-    // 3-gram-shingle Jaccard as integer n/d.
+    // 3-gram-shingle Jaccard as integer n/d. Blocks wider than 1024 ids
+    // are re-split by the portable md5 sub-hash (DedupOps.blockedPairs)
+    // so a heavy length tie can't go quadratic; the oracle reproduces
+    // the same split (a no-op at test scale — every block is narrow).
     "q_llm_ngram_jaccard" -> Q(
       s"""WITH $shingleCte,
+         |bn AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+         |blocked AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1))
+         |      % ((bn.c + 1023) // 1024) AS sub
+         |  FROM documents d JOIN bn ON bn.n_chars = d.n_chars),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM documents a JOIN documents b
-         |    ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+         |  FROM blocked a JOIN blocked b
+         |    ON a.n_chars = b.n_chars AND a.sub = b.sub AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT p.id1, p.id2, count(*) AS n
@@ -264,10 +276,7 @@ object LlmQueries {
          |JOIN sizes s2 ON s2.doc_id = p.id2
          |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
       val docs = tb(s, dir).documents
-      val a = docs.select(col("n_chars"), col("doc_id").as("id1"))
-      val b = docs.select(col("n_chars"), col("doc_id").as("id2"))
-      val pairs = a.join(b, Seq("n_chars")).filter(col("id1") < col("id2"))
-        .select("id1", "id2")
+      val pairs = DedupOps.blockedPairs(docs, "doc_id", "n_chars", maxBlock = 1024)
       DedupOps.jaccardVerify(pairs,
           DedupOps.shingleSet(docs, "doc_id", "text"), "doc_id")
         .orderBy("id1", "id2")

@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Bot mitigation for the skew hazard above: cap each user at the
+    * FIRST `maxPerUser` events in (ts, id) order — the same order key
+    * [[sessionize]] uses, so capped users keep a prefix of their real
+    * session stream and normal users are untouched. The cap itself
+    * still sorts the hot user's rows in one partition (unavoidable
+    * without changing per-user semantics — it's one window, no extra
+    * shuffle), but every downstream stage (session tagging, rollups,
+    * joins against sessions) then runs on ≤ maxPerUser rows per user
+    * instead of a bot's millions dominating a straggler partition.
+    */
+  def capUserEvents(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, maxPerUser: Int): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    events.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPerUser)
+      .drop("_rn")
+  }
+
   /** Per-event session tagging: adds `session_seq` (1-based per user)
     * and `session_id` ("<user>_<seq>").
     */

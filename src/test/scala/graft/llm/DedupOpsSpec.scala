@@ -84,6 +84,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("blockedPairs: width guard bounds candidates on a pathological same-length corpus") {
+    // 3000 docs all sharing one blocking value: unguarded equality
+    // blocking forms C(3000,2) ≈ 4.5M pairs; with maxBlock=64 the block
+    // re-splits into ceil(3000/64)=47 md5 sub-blocks and candidates stay
+    // ≈ C(3000,2)/47 — the hard Σblock² bound, paid in cross-sub recall
+    val docs = spark.range(3000).selectExpr("id AS doc_id", "100 AS n_chars")
+    val cnt = DedupOps.blockedPairs(docs, "doc_id", "n_chars", maxBlock = 64).count()
+    assert(cnt > 0L && cnt < 300000L, s"expected bounded candidates, got $cnt")
+    // narrow blocks are untouched: default cap degenerates to full C(n,2)
+    val small = spark.range(10).selectExpr("id AS doc_id", "7 AS n_chars")
+    assert(DedupOps.blockedPairs(small, "doc_id", "n_chars").count() === 45L)
+  }
+
   test("simhash: identical docs equal, disjoint docs differ, 16-bit range") {
     val sh = DedupOps.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap

@@ -37,4 +37,32 @@ class SessionizeSpec extends SparkSpec {
       .select("session_seq").as[Long].collect().toSet
     assert(seqs === Set(1L)) // strict > gap starts a new session
   }
+
+  test("capUserEvents: bot key bounded, normal users untouched, no straggler partition") {
+    // one bot with 10⁵ events + 20 normal users with 10 each: the skew
+    // hazard the scaladoc documents. After the cap, the max per-user
+    // partition load is maxPerUser, not the bot's 10⁵.
+    val bot = spark.range(100000).selectExpr(
+      "id AS event_id", "'bot' AS user_id",
+      "timestamp_micros(id * 1000000) AS ts")
+    val normal = spark.range(200).selectExpr(
+      "id + 1000000 AS event_id", "concat('u', id % 20) AS user_id",
+      "timestamp_micros((id div 20) * 1000000) AS ts")
+    val events = bot.unionByName(normal)
+    val capped = Sessionize.capUserEvents(events, "user_id", "ts", "event_id", 500)
+    assert(capped.count() === 500L + 200L)
+    // partition row counts after the per-user shuffle: bounded by the cap
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Int =
+      df.repartition(8, col("user_id")).rdd
+        .mapPartitions(it => Iterator(it.size)).collect().max
+    assert(maxPartitionRows(events) >= 100000)
+    assert(maxPartitionRows(capped) <= 600)
+    // capped = prefix in (ts, id) order → normal users' sessions unchanged
+    val withBot = Sessionize.sessionize(capped, "user_id", "ts", "event_id")
+      .filter(col("user_id") =!= "bot")
+      .select("event_id", "session_id").as[(Long, String)].collect().toMap
+    val without = Sessionize.sessionize(normal, "user_id", "ts", "event_id")
+      .select("event_id", "session_id").as[(Long, String)].collect().toMap
+    assert(withBot === without)
+  }
 }
