@@ -68,16 +68,27 @@ object FacilityBatches {
     * each with PROCESSED/FAILED — a failing facility is acked FAILED and
     * the rest continue, like the reference's per-thread try/except.
     *
-    * Facilities run sequentially on purpose: each Pipeline.run already
-    * parallelizes across entities and partitions, and the control-plane
-    * appends (sync_file, logs) share directories — concurrent Spark
-    * append jobs into one directory race on the _temporary staging dir.
-    * At cluster scale the fan-out is one app per claim batch, not
-    * threads inside one driver.
+    * `parallelism` > 1 reproduces the reference's 20-thread facility
+    * fan-out inside one driver. It requires the facility-isolated
+    * staging layout (`cfg.partitionStagingBy`): each claim then writes
+    * straight into its own partition directory (Pipeline.writeOut), so
+    * concurrent claims never share a data-plane output dir, and the
+    * control-plane appends serialize through the LogStore writer lock.
+    * Sync/monitoring updates are disjoint by construction — each claim
+    * touches only its own facility's rows, and MVCC appends never
+    * rewrite shared state. The default stays sequential: each
+    * Pipeline.run already parallelizes across entities and partitions,
+    * so threads only help when per-facility batches are small and
+    * latency-bound (many tiny JSON reads), exactly the reference's
+    * regime.
     */
   def runClaimed(spark: org.apache.spark.sql.SparkSession, cfg: Pipeline.Config,
                  table: String = "batch_facility_processing",
-                 sliceCap: Int = 50, batchSize: Int = 20): Seq[FacilityOutcome] = {
+                 sliceCap: Int = 50, batchSize: Int = 20,
+                 parallelism: Int = 1): Seq[FacilityOutcome] = {
+    require(parallelism <= 1 || cfg.partitionStagingBy.isDefined,
+      "concurrent facility claims need the facility-isolated staging " +
+        "layout: set cfg.partitionStagingBy (e.g. stg_datim_id)")
     val store = cfg.logStore
     val sync = store.latestOrEmpty("sync_file", Seq("id"),
       graft.model.SchemaRegistry.syncFile)
@@ -86,7 +97,7 @@ object FacilityBatches {
     store.append(table, seeded)
     val claimed = claim(store.latest(table, Seq("facility_id")), batchSize)
       .select("facility_id").collect().map(_.getString(0)).toSeq
-    claimed.map { fac =>
+    def runOne(fac: String): FacilityOutcome =
       try {
         val r = Pipeline.run(spark, cfg.copy(facilityId = Some(fac)))
         ack(store, table, store.latest(table, Seq("facility_id")), fac, ok = true)
@@ -97,6 +108,17 @@ object FacilityBatches {
             ok = false, Some(e.getMessage))
           FacilityOutcome(fac, ok = false, None, Option(e.getMessage))
       }
+    if (parallelism <= 1) claimed.map(runOne)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, claimed.size)))
+      try {
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(claimed.map(f => Future(runOne(f)))), Duration.Inf)
+      } finally pool.shutdown()
     }
   }
 }

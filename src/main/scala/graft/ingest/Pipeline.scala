@@ -179,15 +179,24 @@ object Pipeline {
       // S8/S9 sink: parquet warehouse by default; JDBC escape hatch when
       // cfg.jdbcUrl is set (the reference's actual data plane)
       def writeOut(df: org.apache.spark.sql.DataFrame, table: String): Unit =
-        cfg.jdbcUrl match {
-          case Some(url) =>
+        (cfg.jdbcUrl, cfg.partitionStagingBy, cfg.facilityId) match {
+          case (Some(url), _, _) =>
             df.write.mode("append").format("jdbc")
               .option("url", url).option("dbtable", table)
               .options(cfg.jdbcOptions).save()
-          case None =>
-            val w = df.write.mode("append")
-            cfg.partitionStagingBy.fold(w)(c => w.partitionBy(c))
+          case (None, Some(c), Some(fac)) =>
+            // facility-isolated layout: a facility-scoped run writes
+            // STRAIGHT into its own partition directory, so concurrent
+            // facility claims never share an output dir (two Spark write
+            // jobs into one directory race on `_temporary`). Readers of
+            // the table root recover the column via partition discovery.
+            df.drop(c).write.mode("append")
+              .parquet(s"${cfg.warehouseDir}/$table/$c=$fac")
+          case (None, Some(c), None) =>
+            df.write.mode("append").partitionBy(c)
               .parquet(s"${cfg.warehouseDir}/$table")
+          case (None, None, _) =>
+            df.write.mode("append").parquet(s"${cfg.warehouseDir}/$table")
         }
       if (okCounts.valuesIterator.sum > 0) writeOut(validC, stagingTable)
       if (badCounts.valuesIterator.sum > 0)

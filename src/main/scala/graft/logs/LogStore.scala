@@ -24,9 +24,24 @@ final case class LogStore(spark: SparkSession, dir: String) {
 
   private def path(table: String) = s"$dir/$table"
 
-  def append(table: String, rows: DataFrame): Unit =
+  /** In-process writer serialization: every mutation (append/update/
+    * compact) holds this monitor, so concurrent facility claims — or an
+    * append racing a compact's directory swap — cannot interleave two
+    * Spark write jobs into one table directory (their `_temporary`
+    * staging dirs would collide, and an append could land rows in a
+    * directory compact is about to delete). Control-plane writes are
+    * tiny, so serializing them costs microseconds per claim.
+    *
+    * Cross-PROCESS concurrency is out of contract: one writing driver
+    * per log directory (the reference's cron-style deployment). Multiple
+    * drivers need an external lock or a transactional table format.
+    */
+  private val writeLock = new Object
+
+  def append(table: String, rows: DataFrame): Unit = writeLock.synchronized {
     rows.withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("append").parquet(path(table))
+  }
 
   def exists(table: String): Boolean =
     graft.core.Fs.exists(path(table), spark.sparkContext.hadoopConfiguration)
@@ -67,7 +82,7 @@ final case class LogStore(spark: SparkSession, dir: String) {
     * failure — unlike `File.renameTo`, which silently returns false
     * across filesystems — so a half-done swap can never pass unnoticed.
     */
-  def compact(table: String, keys: Seq[String]): Unit = {
+  def compact(table: String, keys: Seq[String]): Unit = writeLock.synchronized {
     import java.nio.file.{Files, Paths}
     val current = latest(table, keys).cache()
     current.count() // materialize before overwrite

@@ -85,6 +85,64 @@ class FacilityBatchesSpec extends SparkSpec {
     assert(states === Map(1L -> SyncState.Ingested, 2L -> SyncState.Ingested))
   }
 
+  test("runClaimed parallel: concurrent claims on isolated staging dirs match sequential") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fbpar_").toFile
+    val parent = new java.io.File(root, "temp")
+    val facs = (1 to 4).map(i => s"FAC$i")
+    facs.zipWithIndex.foreach { case (fac, i) =>
+      val d = new java.io.File(parent, fac); d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, s"patient_visit_0_2025010100000${i}_decrypted.json").toPath,
+        s"""[{"id": $i, "uuid": "u$i", "visit_date": "2024-03-0${i + 1}"}]""")
+    }
+    val store = LogStore(spark, new java.io.File(root, "logs").getPath)
+    store.append("sync_file", facs.zipWithIndex.map { case (fac, i) =>
+      val enc = s"patient_visit_0_2025010100000$i.json"
+      (i.toLong + 1, fac, enc, graft.model.FileName.decryptedName(enc),
+        SyncState.Ready, ts("2025-02-01 00:00:00"), ts("2025-02-01 10:00:00"),
+        null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp],
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[Integer],
+        null.asInstanceOf[String])
+    }.toDF("id", "facility_id", "file_name", "decrypted_file_name", "processed",
+      "create_date", "modified_date", "ingest_start_time", "ingest_end_time",
+      "ingest_file_name", "ingest_table_name", "ingest_status_check",
+      "json_rec_count", "ingest_error_message"))
+    val cfg = Pipeline.Config(
+      parentDir = parent.getPath,
+      warehouseDir = new java.io.File(root, "warehouse").getPath,
+      logStore = store,
+      partitionStagingBy = Some("stg_datim_id"))
+
+    val outcomes = FacilityBatches.runClaimed(spark, cfg, parallelism = 4)
+    assert(outcomes.map(_.facilityId).sorted === facs)
+    assert(outcomes.forall(_.ok), outcomes.filterNot(_.ok).flatMap(_.error))
+    assert(outcomes.flatMap(_.result).map(_.recordsIngested).sum === 4)
+
+    // partition discovery over the isolated per-facility dirs recovers
+    // every facility's rows from the shared table root
+    val stg = spark.read.parquet(s"${cfg.warehouseDir}/stg_patient_visit")
+    assert(stg.count() === 4L)
+    assert(stg.select("stg_datim_id").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === facs)
+    val states = store.latest("sync_file", Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("processed")).toMap
+    assert(states === facs.indices.map(i => (i.toLong + 1) -> SyncState.Ingested).toMap)
+    val statuses = store.latest("batch_facility_processing", Seq("facility_id"))
+      .collect().map(r => r.getAs[String]("facility_id") -> r.getAs[String]("status")).toMap
+    assert(statuses === facs.map(_ -> "PROCESSED").toMap)
+  }
+
+  test("runClaimed parallel refuses a shared staging layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fbreq_").toFile
+    val store = LogStore(spark, new java.io.File(root, "logs").getPath)
+    val cfg = Pipeline.Config(parentDir = root.getPath,
+      warehouseDir = new java.io.File(root, "wh").getPath, logStore = store)
+    intercept[IllegalArgumentException] {
+      FacilityBatches.runClaimed(spark, cfg, parallelism = 4)
+    }
+  }
+
   test("claim + ack round trip through the LogStore claim table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_").toFile
     val store = LogStore(spark, dir.getPath)

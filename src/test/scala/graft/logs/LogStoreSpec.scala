@@ -55,6 +55,31 @@ class LogStoreSpec extends SparkSpec {
     assert(vs.head >= before && vs.last <= after + (1L << 20))
   }
 
+  test("concurrent appends racing a compact lose no rows (writer lock)") {
+    // 8 threads x 5 appends of distinct keys, one thread compacting
+    // mid-stream: the in-process writer lock serializes the write jobs,
+    // so no append interleaves with the compact's directory swap and
+    // every key survives with its latest version
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock_").toFile
+    val store = LogStore(spark, dir.getPath)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val work = (1 to 8).map { t =>
+        Future {
+          (1 to 5).foreach { i =>
+            store.append("races", Seq((t * 100L + i, s"v$t-$i")).toDF("id", "v"))
+            if (t === 1 && i === 3) store.compact("races", Seq("id"))
+          }
+        }
+      }
+      Await.result(Future.sequence(work), Duration.Inf)
+    } finally pool.shutdown()
+    assert(store.latest("races", Seq("id")).count() === 40L)
+  }
+
   test("state machine legality (SURVEY §1.1)") {
     assert(SyncState.canTransition(SyncState.Ready, SyncState.Ingested))
     assert(SyncState.canTransition(SyncState.Ready, SyncState.Failed))
