@@ -111,4 +111,40 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column =
     substring(md5(regexp_replace(trim(lower(c)), "\\s+", " ")), 1, 16)
+
+  // ---- content-level PII scrubbing ----
+  // The column-masking ops (Stages F6/F7) handle PII that lives in known
+  // FIELDS; a training corpus also needs the free-TEXT scrub every
+  // public pretraining pipeline applies (emails, phone numbers, long
+  // numeric identifiers → placeholder tokens). Patterns avoid
+  // engine-specific regex features (no backrefs/lookaround, [0-9] not
+  // \d) so Java regex (Spark) and RE2 (DuckDB oracle) match
+  // identically; the replace chain is ordered email → id → phone: a
+  // bare ≥9-digit run would also satisfy the phone shape, so the id
+  // pass claims separator-less runs first and the phone pass then only
+  // sees digit groups with separators.
+
+  /** Email addresses (user@host.tld). */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-like: optional +, then ≥8 chars of digits/separators ending
+    * in a digit.
+    */
+  val PhoneRx = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  /** Bare long numeric identifiers (≥9 contiguous digits) — account
+    * numbers, national ids. Runs before the phone pass (see above).
+    */
+  val IdRx = "[0-9]{9,}"
+
+  /** Redact free-text PII: emails → `<EMAIL>`, bare long digit runs →
+    * `<ID>`, phone-like runs → `<PHONE>`. Pure codegen'd column algebra
+    * (three chained regexp_replace), one corpus pass, no UDF.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRx, "<EMAIL>"),
+        IdRx, "<ID>"),
+      PhoneRx, "<PHONE>")
 }

@@ -80,6 +80,29 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- content-level PII scrub (emails/phones/long ids → tokens) ----
+    // Every row gets a synthetic PII suffix (an email varying per doc, a
+    // phone, a 9-digit id) so the redaction chain is exercised on the
+    // whole corpus, not just rows that happen to contain PII. Patterns
+    // are engine-portable (TextAnalysis.EmailRx/PhoneRx/IdRx — no
+    // backrefs/lookaround); DuckDB needs the 'g' flag for replace-all.
+    "q_llm_pii_scrub" -> Q(
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |         || '@ex.com call +1 555 000 1234 ref 987654321',
+         |    '${TextAnalysis.EmailRx}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.IdRx}', '<ID>', 'g'),
+         |    '${TextAnalysis.PhoneRx}', '<PHONE>', 'g') AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val seeded = tb(s, dir).documents.withColumn("_pii",
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com call +1 555 000 1234 ref 987654321")))
+      seeded.select(col("doc_id"),
+          TextAnalysis.scrubPii(col("_pii")).as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: whitespace + BPE-ish pre-tokenizer ----
     "q_llm_token_stats" -> Q(
       """SELECT doc_id,

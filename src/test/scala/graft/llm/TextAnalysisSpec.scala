@@ -60,4 +60,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) !== out(2))
     assert(out(0).matches("[0-9a-f]{16}"))
   }
+
+  test("scrubPii redacts emails, phones, and long ids; clean text untouched") {
+    val out = Seq(
+      "write to jane.doe+x@mail.example.org today",
+      "call +1 (555) 123-4567 now",
+      "ssn-ish 987654321 in line",
+      "short 12345 stays; clean prose stays")
+      .toDF("t").select(TextAnalysis.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "write to <EMAIL> today")
+    assert(out(1) === "call <PHONE> now")
+    assert(out(2) === "ssn-ish <ID> in line")
+    assert(out(3) === "short 12345 stays; clean prose stays")
+  }
 }
