@@ -158,6 +158,42 @@ object ReportQueries {
         .orderBy("user_id", "session_seq")
     },
 
+    // ---- built-in session_window face of gap sessionization ----
+    // The Spark-native operator for the same semantics Sessionize
+    // hand-builds with lag + cumsum — and the one to prefer in
+    // Structured Streaming (stateful session merging with watermark
+    // eviction, no window functions). Boundary nuance the oracle must
+    // encode: session_window merges an event only when its gap to the
+    // session is strictly LESS than the duration (an event at exactly
+    // prev + gap starts a new session, i.e. split on >=), whereas the
+    // lag formulation above splits on strict >. Output keys on
+    // (user, session start) so the compare is independent of
+    // session_window's end = last + gap convention.
+    "q_stream_session_builtin" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |s AS (SELECT user_id, tus,
+        |        sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM l)
+        |SELECT user_id,
+        |       CAST(min(tus) AS BIGINT) AS start_us,
+        |       CAST(max(tus) AS BIGINT) AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us")
+    },
+
     // ---- stateful streaming dedup (flatMapGroupsWithState) ----
     // Batch face of StreamDedup.firstSeen: with empty initial state every
     // key is "first seen", so the output is exactly the per-hash
