@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling / splitting — the construction ops a
+  * training-data pipeline runs after cleaning and dedup.
+  *
+  * Everything here is CONSISTENT-HASH based, never `rand()`: the member
+  * set for a given corpus is a pure function of the id, so retries and
+  * speculative tasks agree, incremental re-runs keep prior assignments
+  * (a doc never migrates from test to train when new docs arrive), and
+  * every split/sample is reproducible by any engine with md5 — which is
+  * what makes these ops oracle-checkable.
+  *
+  * Scale shapes: [[hashSplit]] is a pure projection and [[sampleFraction]]
+  * a pure filter — no shuffle, no sort, no state; they compose with
+  * partition pruning and run at scan speed on any corpus size.
+  * [[stratifiedSample]] needs a per-class top-k (one hash shuffle on the
+  * class key + per-class sorted scan) — meant for small-k eval-set
+  * construction; for per-class fractions at corpus scale, filter with
+  * [[sampleFraction]]-style thresholds instead (no shuffle at all).
+  */
+object Sampling {
+
+  /** 16-bit hash bucket in [0, 65536): the first 4 md5 hex digits of the
+    * id — the same portable stride hash as Ivf seeding and blockedPairs.
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Threshold for a cumulative fraction, as an exact integer both
+    * engines agree on. */
+  def bucketThreshold(cumFraction: Double): Long =
+    math.min(65536L, math.floor(cumFraction * 65536.0).toLong)
+
+  /** Deterministic train/val/test (or any n-way) split: label each row
+    * by which cumulative-weight bucket range its hash falls in. Weights
+    * are normalized; expected sizes track the weights to ±2⁻¹⁶.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
+    val total = splits.map(_._2).sum
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val bounds = splits.map(_._1).zip(cums.map(bucketThreshold))
+    val b = hashBucket(col(idCol))
+    val label = bounds.init.foldLeft(Option.empty[Column]) {
+      case (acc, (name, t)) =>
+        Some(acc.fold(when(b < t, name))(_.when(b < t, name)))
+    }.fold(lit(bounds.last._1))(_.otherwise(bounds.last._1))
+    df.withColumn("split", label)
+  }
+
+  /** Consistent-hash sample: keep ids whose bucket falls below
+    * frac·65536. A pure filter — it reaches the scan, shuffles nothing,
+    * and selects the same documents on every run.
+    */
+  def sampleFraction(df: DataFrame, idCol: String, frac: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit(bucketThreshold(frac)))
+
+  /** Deterministic stratified sample: the k lowest-hash docs per class
+    * (hash order ≈ uniform random, but reproducible; id tiebreak).
+    * Adds `sample_rank` (1-based within the class).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, classCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(classCol)
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+}

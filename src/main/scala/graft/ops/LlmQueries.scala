@@ -52,6 +52,15 @@ object LlmQueries {
        |$cent AS (SELECT dense_rank() OVER (ORDER BY cell) - 1 AS cell, i, m
        |          FROM ${cent}_r)""".stripMargin
 
+  /** DuckDB face of Sampling.hashBucket / blockedPairs' sub-hash: the
+    * first 4 md5 hex digits of the id as an integer in [0, 65536).
+    */
+  private def duckBucket(idExpr: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1) * 4096
+       | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1) * 256
+       | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 3, 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 4, 1)) - 1))""".stripMargin
+
   private val sigSelect =
     """SELECT doc_id,
       |  min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2,
@@ -303,6 +312,35 @@ object LlmQueries {
       DedupOps.jaccardVerify(pairs,
           DedupOps.shingleSet(docs, "doc_id", "text"), "doc_id")
         .orderBy("id1", "id2")
+    },
+
+    // ---- deterministic train/val/test split (consistent hashing) ----
+    // Pure projection, no shuffle/RNG: assignments are stable across
+    // runs, engines, and corpus growth (a doc never migrates splits).
+    "q_llm_hash_split" -> Q(
+      s"""SELECT doc_id,
+         |  CASE WHEN ${duckBucket("doc_id")} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+         |       WHEN ${duckBucket("doc_id")} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.hashSplit(tb(s, dir).documents, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")
+    },
+
+    // ---- deterministic stratified sample (k lowest hashes per class) ----
+    "q_llm_stratified_sample" -> Q(
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${duckBucket("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+         |FROM r WHERE rn <= 5 ORDER BY lang, sample_rank""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.stratifiedSample(tb(s, dir).documents, "doc_id", "lang", 5)
+        .select(col("doc_id"), col("lang"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
     },
 
     // ---- 16-bit SimHash ----
