@@ -24,15 +24,22 @@ object Bench {
       case c => c.toString
     }
 
-    // untimed warm-ups: JVM/codegen/reader startup otherwise lands
-    // entirely on the alphabetically-first query of each path — entry()
-    // warms the parquet/join path, a smallest-SF ingest run warms the
-    // JSON-read + LogStore control-plane path
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("q_pipeline_ingest_e2e")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
-    GraftSession.releaseAll(spark)
+    // untimed warm-up sweep: run EVERY query once at the smallest SF
+    // before timing anything. A query's first execution pays Janino
+    // codegen compilation + JIT warm-up for its plan shape — 1-3s per
+    // complex plan on a cold or contended JVM — and that cost is
+    // identical at sf0.001 (generated code depends on the plan, not the
+    // data volume), so the sweep buys steady-state sf0.1 timings for a
+    // few seconds of small-data execution. The r4 driver bench measured
+    // 5-15x the warm ledger numbers on unchanged code purely from this
+    // first-touch cost; timings should measure the operator, not the
+    // compiler.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case _: Throwable => () }
+      GraftSession.releaseAll(spark)
+    }
 
     // stable ordering for readable diffs between rounds; storage released
     // between queries (outside the timed region) so each timing is
@@ -47,14 +54,41 @@ object Bench {
       GraftSession.releaseAll(spark)
       (name, sec, outcome)
     }
-    val qs = results.map {
-      case (k, v, None) => s""""${esc(k)}":$v"""
-      case (k, _, Some(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
-    }.mkString("{", ",", "}")
-    val ok = results.filter(_._3.isEmpty)
-    val total = ok.map(_._2).sum
-    val nErr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"${esc(sfDir)}"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def line(rs: Seq[(String, Double, Option[String])]): String = {
+      val qs = rs.map {
+        case (k, v, None) => s""""${esc(k)}":${fmt(v)}"""
+        case (k, _, Some(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
+      }.mkString("{", ",", "}")
+      val total = results.filter(_._3.isEmpty).map(_._2).sum
+      val nErr = results.count(_._3.nonEmpty)
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"queries":$qs,"sf":"${esc(sfDir)}""""
+    }
+
+    // full per-query detail goes to a FILE (COVERAGE.md ledger source);
+    // stdout gets a HEADLINE subset only. The harness that consumes this
+    // output keeps a bounded tail of stdout, and the full 74-query map
+    // (~2.7 KB) overflows it — the JSON line must survive truncation
+    // from the FRONT, so it has to be short. ~20 headline queries cover
+    // every operator family plus the historically slow paths at well
+    // under 1 KB; `value` stays the total over ALL queries.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      ("{" + line(results) + "}\n").getBytes("UTF-8"))
+    val headline = Vector(
+      "q_a4_group_count", "q_j1_selfjoin_heal", "q_w1_rownumber_dedup",
+      "q_s16_staged_delete", "q_f7_mask_nested_json",
+      "q_pipeline_ingest_e2e", "q_maint_requeue",
+      "q_llm_exact_dedup", "q_llm_minhash_sig", "q_llm_lsh_bands",
+      "q_llm_near_dup", "q_llm_dup_clusters", "q_llm_embedding_near_dup",
+      "q_llm_simhash", "q_ann_cosine_topk", "q_ann_lsh_topk",
+      "q_ann_ivf_topk", "q_llm_lang_id", "q_mm_decode_features",
+      "q_stream_sessionize")
+    val headlineSet = headline.toSet
+    // errored non-headline queries are surfaced too: an error must never
+    // be hidden by the headline filter
+    val shown = results.filter(r => headlineSet(r._1) || r._3.nonEmpty)
+    println("{" + line(shown) + "}")
     spark.stop()
   }
 }

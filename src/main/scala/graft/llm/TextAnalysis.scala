@@ -104,6 +104,54 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(count(lit(1)).as("sw_hits"))
   }
 
+  /** Corpus token document-frequency / IDF: one row per distinct token
+    * with the number of documents containing it and the smoothed
+    * inverse document frequency ln((N+1)/(df+1)). The per-doc token
+    * DISTINCT and the per-token count are both partial/final hash
+    * aggregates (map-side combine), so the shuffle carries one row per
+    * distinct (doc, token) then one per token — never the raw token
+    * stream. The corpus size joins in as a 1-row aggregate (broadcast
+    * nested loop), not a driver-side count() action.
+    */
+  def docFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", log((col("n_docs") + 1).cast("double") /
+        (col("df_docs") + 1).cast("double")))
+  }
+
+  /** Per-document repetition stats — the Gopher-family quality rules
+    * that gate heavily templated/spammy text out of a training corpus:
+    * total tokens, distinct tokens, the most-frequent token's count and
+    * the most-frequent bigram's count. `is_repetitive` applies the
+    * "top token holds >= 20% of the document" rule with exact integer
+    * arithmetic (top*5 >= total). Zero-token documents produce no row
+    * (nothing to measure); single-token docs get top_bigram_n = 0.
+    * Two aggregation pyramids (token, bigram), each partial/final —
+    * the (doc, gram) shuffle rows are the counts, not the grams.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.withColumn("_toks", tokens(col(textCol)))
+    val tokCounts = toked
+      .select(col(idCol), explode(col("_toks")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_token_n"))
+    val bigramTop = toked
+      .select(col(idCol), explode(shingles(col("_toks"), 2)).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_bigram_n"))
+    tokCounts.join(bigramTop, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        col("top_token_n"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        (col("top_token_n") * 5 >= col("n_tokens")).as("is_repetitive"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text,
     * truncated to 16 hex chars — the rolling-hash/winnowing family's
     * exact-normalized-content representative. Collision-safe enough at

@@ -38,8 +38,19 @@ final case class LogStore(spark: SparkSession, dir: String) {
     */
   private val writeLock = new Object
 
+  /** One parquet file per append: control-plane appends are small by
+    * contract (the reference's equivalent is row INSERTs into Postgres;
+    * the data plane never goes through LogStore), but the rows often
+    * arrive through a shuffle — e.g. Pipeline's sync updates join
+    * against the [[latest]] window view — and writing them at shuffle
+    * parallelism appends up to `shuffle.partitions` near-empty files
+    * that every later [[history]]/[[latest]] read pays to list and open.
+    * `coalesce(1)` collapses only the write stage (upstream stages keep
+    * their parallelism across the shuffle boundary); [[compact]] bounds
+    * the file count over a long history.
+    */
   def append(table: String, rows: DataFrame): Unit = writeLock.synchronized {
-    rows.withColumn("_version_ts", lit(LogStore.nextVersion()))
+    rows.coalesce(1).withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("append").parquet(path(table))
   }
 

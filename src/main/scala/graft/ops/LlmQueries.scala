@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.{Ann, DedupOps, DupGraph, Ivf, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Decontam, DedupOps, DupGraph, Ivf, Multimodal, Quant, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,94 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.langId(tb(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // ---- corpus token document-frequency / IDF ----
+    // Integer columns only in the oracle (df counts + corpus size); the
+    // idf double is derivable and engine log() conventions differ
+    // (DuckDB log() is log10). Top-100 by df with a token tiebreak.
+    "q_llm_doc_frequency" -> Q(
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(ts) AS token FROM toks),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_docs FROM tok GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT token, df_docs, n_docs FROM dfreq, n
+        |ORDER BY df_docs DESC, token LIMIT 100""".stripMargin) { (s, dir) =>
+      TextAnalysis.docFrequency(tb(s, dir).documents, "doc_id", "text")
+        .select(col("token"), col("df_docs"), col("n_docs"))
+        .orderBy(col("df_docs").desc, col("token")).limit(100)
+    },
+
+    // ---- Gopher-style repetition stats (training-corpus quality gate) ----
+    "q_llm_repetition" -> Q(
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS n_distinct,
+        |              CAST(max(c) AS BIGINT) AS top_token_n
+        |       FROM tc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS b
+        |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bt AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id)
+        |SELECT ta.doc_id, ta.n_tokens, ta.n_distinct, ta.top_token_n,
+        |       coalesce(bt.top_bigram_n, 0) AS top_bigram_n,
+        |       (ta.top_token_n * 5 >= ta.n_tokens) AS is_repetitive
+        |FROM ta LEFT JOIN bt ON bt.doc_id = ta.doc_id
+        |ORDER BY ta.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionStats(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination: corpus docs sharing 3-gram
+    //      shingles with an eval set (doc_id % 41 = 0 plays the
+    //      benchmark). Corpus side one distinct-shingle shuffle, bench
+    //      side a broadcast set — no corpus-sized join shuffle. ----
+    "q_llm_decontaminate" -> Q(
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 41 <> 0),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM corp GROUP BY doc_id),
+         |ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM corp c JOIN bench b ON b.s = c.s GROUP BY c.doc_id)
+         |SELECT o.doc_id, o.n_overlap, t.n_shingles
+         |FROM ov o JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      Decontam.overlap(
+          docs.filter(col("doc_id") % 41 =!= 0),
+          docs.filter(col("doc_id") % 41 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- int8 embedding quantization (scalar, symmetric per-vector) ----
+    // Codes are exact cross-engine (double arithmetic + floor(x+0.5)
+    // rounding); the oracle checks per-vector code checksums plus the
+    // quantization scale in integer micros.
+    "q_llm_vec_quantize" -> Q(
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |am AS (SELECT vec_id, max(abs(v)) AS amax, count(*) AS n_dims FROM e GROUP BY vec_id),
+        |q AS (SELECT e.vec_id,
+        |        CASE WHEN am.amax > 0 THEN CAST(floor(v * 127.0 / am.amax + 0.5) AS BIGINT)
+        |             ELSE 0 END AS qi
+        |      FROM e JOIN am USING (vec_id)),
+        |agg AS (SELECT vec_id, CAST(sum(qi) AS BIGINT) AS q_sum,
+        |               CAST(sum(abs(qi)) AS BIGINT) AS q_abs_sum,
+        |               CAST(max(qi) AS BIGINT) AS q_max
+        |        FROM q GROUP BY vec_id)
+        |SELECT am.vec_id, CAST(am.n_dims AS BIGINT) AS n_dims,
+        |       CAST(floor(am.amax * 1000000.0) AS BIGINT) AS amax_micros,
+        |       agg.q_sum, agg.q_abs_sum, agg.q_max
+        |FROM am JOIN agg USING (vec_id) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Quant.quantizeInt8(tb(s, dir).embeddings, "embedding")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          floor(col("amax") * lit(1000000.0d)).cast("long").as("amax_micros"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x.cast("long"))).as("q_abs_sum"),
+          array_max(col("qvec")).cast("long").as("q_max"))
+        .orderBy("vec_id")
     },
 
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----

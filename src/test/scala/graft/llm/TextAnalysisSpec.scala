@@ -6,6 +6,43 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("docFrequency counts docs per token once and carries corpus size") {
+    val docs = Seq(
+      (1L, "the fox the fox jumps"),
+      (2L, "the river"),
+      (3L, "fox")).toDF("doc_id", "text")
+    val rows = TextAnalysis.docFrequency(docs, "doc_id", "text")
+      .select("token", "df_docs", "n_docs")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("the") === (2L, 3L))   // repeated in doc 1 counts once
+    assert(rows("fox") === (2L, 3L))
+    assert(rows("jumps") === (1L, 3L))
+    assert(rows("river") === (1L, 3L))
+    // smoothed idf: ln((N+1)/(df+1))
+    val idf = TextAnalysis.docFrequency(docs, "doc_id", "text")
+      .filter(col("token") === "jumps").select("idf")
+      .collect().head.getDouble(0)
+    assert(math.abs(idf - math.log(4.0 / 2.0)) < 1e-12)
+  }
+
+  test("repetitionStats: token/bigram tops and the 20%-top-token rule") {
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),   // top token 4/5 → repetitive
+      (2L, "all words here are different"),
+      (3L, "solo")).toDF("doc_id", "text") // 1 token, no bigrams
+    val rows = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows(1L) === ((5L, 2L, 4L, 3L, true))) // "spam spam" x3
+    assert(rows(2L) === ((5L, 5L, 1L, 1L, true))) // 1*5 >= 5: degenerate all-distinct
+    assert(rows(3L) === ((1L, 1L, 1L, 0L, true)))
+    // a genuinely diverse longer doc is NOT repetitive
+    val div = TextAnalysis.repetitionStats(
+      Seq((9L, "one two three four five six")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(!div.getBoolean(5))
+  }
+
   test("tokens drop empties and lowercase") {
     val out = Seq("The  Quick   fox ").toDF("t")
       .select(TextAnalysis.tokens(col("t")).as("ts"))
