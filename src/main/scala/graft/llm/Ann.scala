@@ -60,6 +60,38 @@ object Ann {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Int8-quantized brute-force cosine top-k — the scoring path a
+    * memory-bound ANN index actually runs: both sides are quantized with
+    * [[Quant.quantizeInt8]] (4× less bandwidth than float32), candidate
+    * scoring is the INTEGER dot product of the code arrays, and the
+    * quantized cosine qdot / √(‖q‖²·‖c‖²) exists only for ranking.
+    * Exactly [[cosineTopK]]'s shape (query side broadcast, one corpus
+    * scan, per-side norms precomputed before the join) — only the
+    * arithmetic changes. The integer `qdot` rides into the output so
+    * correctness checks compare exact integers, not rounded floats.
+    * All-zero vectors (quantized norm 0) are excluded from both sides —
+    * cosine is undefined for them.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    def side(df: DataFrame, prefix: String) =
+      Quant.quantizeInt8(df, vecCol)
+        .select(col(idCol).as(s"${prefix}_id"), col("qvec").as(s"${prefix}_q"),
+          Quant.qdot(col("qvec"), col("qvec")).as(s"${prefix}_n2"))
+        .filter(col(s"${prefix}_n2") > 0)
+    val q = side(queries, "q")
+    val c = side(corpus, "c")
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("qdot", Quant.qdot(col("q_q"), col("c_q")))
+      .withColumn("qcos", round(col("qdot").cast("double") /
+        sqrt((col("q_n2") * col("c_n2")).cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("qcos").desc, col("c_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("qdot"), col("qcos"), col("rn"))
+  }
+
   /** Deterministic ±1 hyperplane table: sign(bit j, dim i) from the
     * parity of the first hex digit of md5("<j>_<i>") — reproducible in
     * any engine with md5 (i is 1-based to match SQL list indexing).

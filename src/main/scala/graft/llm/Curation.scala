@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composition every
+  * pretraining data pipeline runs before tokenization —
+  *
+  *   language gate → quality-score gate → repetition gate →
+  *   exact dedup (keep lowest id) → benchmark decontamination.
+  *
+  * Semantically each gate is exactly its standalone operator
+  * ([[TextAnalysis.langId]], [[TextAnalysis.qualityScore]],
+  * [[TextAnalysis.repetitionStats]], [[DedupOps.exactDedupKeep]],
+  * [[Decontam.decontaminate]]) — but the implementation FUSES the
+  * token-derived gates onto one shared (doc, token, count) aggregate
+  * instead of calling the five operators back-to-back: called
+  * separately, each would re-explode the token stream from the raw
+  * text (Catalyst does not CSE subplans across joins), paying three
+  * corpus-sized explode+shuffle passes where one suffices. The shared
+  * aggregate is cached for its three consumers and released before
+  * returning (the storage-lifecycle convention from
+  * [[DedupOps.nearDupPairs]]).
+  *
+  * Corpus passes at scale: one token explode+aggregate (shared), one
+  * shingle explode (decontamination), one md5 map (dedup) — all
+  * aggregation-shaped (partial/final, map-side combine), no all-pairs
+  * joins anywhere. The repetition gate needs only the top-TOKEN rule,
+  * so no bigram pass. Gate results join back as broadcast-friendly
+  * id-only semi/anti joins.
+  */
+object Curation {
+
+  /** Curate `corpus` against an evaluation `benchmark`: returns the
+    * surviving (idCol, textCol) rows — documents that are in `lang`,
+    * score at least `minScore` ([[TextAnalysis.qualityScore]]), are not
+    * repetitive (top token < 20% of tokens), are the lowest-id
+    * representative of their exact content, and share no `shingleK`-gram
+    * with the benchmark. Documents with zero tokens fail the gates by
+    * construction (no language vote, no repetition row).
+    */
+  def curate(corpus: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String,
+             lang: String = "en", minScore: Long = 0L,
+             shingleK: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val toked = corpus.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+
+    // ONE token explosion, aggregated to (doc, token, count) — shared by
+    // the repetition, language, and stopword-hit gates below
+    val tc = toked
+      .select(col(idCol), explode(col("_toks")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .cache()
+
+    // repetition + token-mass stats from the shared aggregate
+    val ta = tc.groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"), max("c").as("top_token_n"))
+
+    // language votes: per-(doc, lang) hit mass against the broadcast
+    // profile; winner by (count desc, lang asc). The same frame summed
+    // over languages is the stopword hit count (profile words are
+    // distinct across languages).
+    val sw = TextAnalysis.stopwordProfiles.toDF("sl", "sw")
+    val lv = tc.join(broadcast(sw), col("t") === col("sw"))
+      .groupBy(col(idCol), col("sl")).agg(sum("c").as("lc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("lc").desc, col("sl").asc)
+    val langWinner = lv.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("sl") === lang).select(col(idCol))
+    val swHits = lv.groupBy(col(idCol)).agg(sum("lc").as("sw_hits"))
+
+    // quality score = n_tokens + 2·sw_hits − 3·punct (integer, exact)
+    val punct = toked.select(col(idCol), col(textCol),
+      TextAnalysis.punctCount(col(textCol)).as("_punct"))
+    val scored = punct
+      .join(ta, Seq(idCol))
+      .join(swHits, Seq(idCol), "left").na.fill(0L, Seq("sw_hits"))
+      .withColumn("_score",
+        col("n_tokens") + lit(2) * col("sw_hits") - lit(3) * col("_punct"))
+
+    // gates: language semi-join, score filter, repetition filter
+    val gated = scored
+      .join(langWinner, Seq(idCol), "left_semi")
+      .filter(col("_score") >= minScore &&
+        !(col("top_token_n") * 5 >= col("n_tokens")))
+      .select(col(idCol), col(textCol))
+
+    // exact dedup: keep the lowest id per identical content
+    val keepIds = DedupOps.exactDedupKeep(gated, idCol, textCol).select(col(idCol))
+    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
+
+    // benchmark decontamination (broadcast anti-join on contaminated ids)
+    val out = Decontam.decontaminate(deduped, benchmark, idCol, textCol, shingleK)
+      .cache()
+    out.count() // materialize: every consumer of `tc` has now run
+    tc.unpersist()
+    out
+  }
+}

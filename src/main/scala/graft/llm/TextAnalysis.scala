@@ -160,6 +160,69 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     substring(md5(regexp_replace(trim(lower(c)), "\\s+", " ")), 1, 16)
 
+  /** Winnowing fingerprints (the local-fingerprinting scheme behind
+    * MOSS-style partial-overlap detection): hash every `k`-char-gram of
+    * the whitespace-normalized lowercase text, slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM, and dedup the
+    * selected hashes per document. Guarantees any shared substring of
+    * length ≥ k + w - 1 contributes at least one common fingerprint —
+    * the property whole-document [[fingerprint]] lacks.
+    *
+    * Per-document summary output (`n_fps`, min/max fingerprint, and an
+    * order-insensitive md5 checksum of the sorted fingerprint set) keeps
+    * the result one row per doc; join two docs' fingerprint SETS for
+    * overlap detection by exploding `_fps` before the summary instead.
+    *
+    * Scale shape: pure column algebra over materialized arrays — the
+    * whole operator is ONE map-side projection, zero shuffles (a window
+    * function over (doc, position) would shuffle the entire gram stream
+    * by doc_id). Gram hashes are hex-truncated md5 (lexicographic min ≡
+    * numeric min on uniform hex — the MinHash convention), so any engine
+    * with md5 reproduces the fingerprints bit-for-bit. Per-row transient
+    * memory is O(doc length) for the gram-hash array; documents beyond
+    * ~1 MB should be winnowed chunk-wise (chunk boundaries overlapping
+    * by k+w-2 chars preserve the guarantee).
+    *
+    * Docs whose normalized text is shorter than `k` have no grams and
+    * produce no row. When a doc has fewer than `w` grams, the single
+    * window covers all of them (slice clips at the array end), matching
+    * the standard winnowing boundary convention.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 4): DataFrame =
+    winnowSets(df, idCol, textCol, k, w)
+      .select(col(idCol),
+        size(col("_fps")).cast("long").as("n_fps"),
+        array_min(col("_fps")).as("fp_min"),
+        array_max(col("_fps")).as("fp_max"),
+        md5(concat_ws(",", array_sort(col("_fps")))).as("fp_checksum"))
+
+  /** Exploded winnowing fingerprints, one (id, fp) row per selected
+    * distinct fingerprint — the join-ready face for overlap detection
+    * (equi-join two corpora on `fp`, count shared prints per pair).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame =
+    winnowSets(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("_fps")).as("fp"))
+
+  /** (idCol, _fps) with `_fps` the distinct selected window minima.
+    * All lambdas reference only materialized attribute columns (HOF
+    * lambdas re-evaluate embedded expressions per element).
+    */
+  private def winnowSets(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    df.withColumn("_nm", regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+      .filter(length(col("_nm")) >= k)
+      // gram hash i = first 8 md5 hex chars of chars [i, i+k)
+      .withColumn("_hs",
+        transform(sequence(lit(1), length(col("_nm")) - (k - 1)),
+          i => substring(md5(col("_nm").substr(i, lit(k))), 1, 8)))
+      .withColumn("_fps",
+        array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(col("_hs")) - (w - 1))),
+          j => array_min(slice(col("_hs"), j, lit(w))))))
+
   // ---- content-level PII scrubbing ----
   // The column-masking ops (Stages F6/F7) handle PII that lives in known
   // FIELDS; a training corpus also needs the free-TEXT scrub every

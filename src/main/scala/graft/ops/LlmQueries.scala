@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.{Ann, Decontam, DedupOps, DupGraph, Ivf, Multimodal, Quant, TextAnalysis}
+import graft.llm.{Ann, Curation, Decontam, DedupOps, DupGraph, Ivf, Multimodal, Quant, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -255,6 +255,79 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // ---- winnowing fingerprints (k=8 char-grams, window w=4) ----
+    // Per-doc summary (count/min/max/sorted-set checksum) keeps the
+    // result one row per doc; the fingerprints themselves are md5-hex
+    // truncations, so lexicographic min ≡ numeric min in any engine.
+    // The oracle computes window minima with a window frame; the engine
+    // uses pure map-side array algebra (no shuffle) — same semantics.
+    "q_llm_winnow" -> Q(
+      """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm FROM documents),
+        |g AS (SELECT doc_id, nm, len(nm) AS n FROM d WHERE len(nm) >= 8),
+        |hp AS (SELECT doc_id, i, substr(md5(substr(nm, CAST(i AS INTEGER), 8)), 1, 8) AS h, n - 7 AS ng
+        |       FROM (SELECT doc_id, nm, n, unnest(range(1, n - 6)) AS i FROM g)),
+        |wm AS (SELECT doc_id, i, ng,
+        |              min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |       FROM hp),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(1, ng - 3))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(fp) AS fp_min, max(fp) AS fp_max,
+        |       md5(string_agg(fp, ',' ORDER BY fp)) AS fp_checksum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.winnow(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- end-to-end corpus curation (lang → quality → repetition →
+    //      exact dedup → benchmark decontamination; doc_id % 41 = 0
+    //      plays the benchmark, as in q_llm_decontaminate) ----
+    "q_llm_curation_e2e" -> Q(
+      """WITH swl(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
+        |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
+        |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM documents WHERE doc_id % 41 <> 0),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+        |ta AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
+        |lv AS (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
+        |win AS (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
+        |        WHERE rn = 1 AND sl = 'en'),
+        |sh2 AS (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
+        |gate AS (SELECT d.doc_id, d.text
+        |         FROM documents d
+        |         JOIN win ON win.doc_id = d.doc_id
+        |         JOIN ta ON ta.doc_id = d.doc_id
+        |         LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+        |         WHERE d.doc_id % 41 <> 0
+        |           AND NOT (ta.top_token_n * 5 >= ta.n_tokens)
+        |           AND ta.n_tokens + 2 * coalesce(sh2.sw_hits, 0)
+        |               - 3 * len(regexp_extract_all(lower(d.text), '[^a-z0-9\s]')) >= 0),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(text)),
+        |btoks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |          FROM documents WHERE doc_id % 41 = 0),
+        |bsh AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
+        |        FROM (SELECT ts, unnest(range(1, len(ts)-1)) AS i FROM btoks)),
+        |gts AS (SELECT g.doc_id, list_filter(string_split_regex(lower(g.text), '\s+'), x -> x <> '') AS ts
+        |        FROM gate g JOIN ded ON ded.doc_id = g.doc_id),
+        |gsh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM gts)),
+        |dirty AS (SELECT DISTINCT doc_id FROM gsh JOIN bsh USING (s))
+        |SELECT g.doc_id, CAST(ta.n_tokens AS BIGINT) AS n_tokens
+        |FROM gate g
+        |JOIN ded ON ded.doc_id = g.doc_id
+        |JOIN ta ON ta.doc_id = g.doc_id
+        |WHERE g.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      Curation.curate(
+          docs.filter(col("doc_id") % 41 =!= 0),
+          docs.filter(col("doc_id") % 41 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
     "q_llm_minhash_sig" -> Q(
       s"""WITH $shingleCte
@@ -470,6 +543,38 @@ object LlmQueries {
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       Ann.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- int8-quantized brute-force cosine top-k ----
+    // The quantized codes are exact integers in both engines (proven by
+    // q_llm_vec_quantize), the integer qdot rides into the output, and
+    // only the ranking cosine is floating point — same round(,4) +
+    // id-tiebreak convention as q_ann_cosine_topk.
+    "q_ann_quant_topk" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |am AS (SELECT vec_id, max(abs(v)) AS amax FROM e GROUP BY vec_id),
+        |q AS (SELECT e.vec_id, e.i,
+        |        CASE WHEN am.amax > 0 THEN CAST(floor(v * 127.0 / am.amax + 0.5) AS BIGINT)
+        |             ELSE 0 END AS qi
+        |      FROM e JOIN am USING (vec_id)),
+        |n2 AS (SELECT vec_id, CAST(sum(qi*qi) AS BIGINT) AS qn2 FROM q GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, CAST(sum(a.qi * b.qi) AS BIGINT) AS qdot
+        |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |         GROUP BY a.vec_id, b.vec_id),
+        |scored AS (SELECT d.q_id, d.c_id, d.qdot,
+        |                  round(CAST(d.qdot AS DOUBLE) / sqrt(CAST(na.qn2 * nc.qn2 AS DOUBLE)), 4) AS qcos
+        |           FROM dots d JOIN n2 na ON na.vec_id = d.q_id JOIN n2 nc ON nc.vec_id = d.c_id
+        |           WHERE na.qn2 > 0 AND nc.qn2 > 0),
+        |ranked AS (SELECT q_id, c_id, qdot, qcos,
+        |                  row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS rn
+        |           FROM scored)
+        |SELECT q_id, c_id, qdot, qcos, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      Ann.quantizedTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },

@@ -51,6 +51,36 @@ class AnnSpec extends SparkSpec {
     b.values.foreach(v => assert(v >= 0L && v < 256L))
   }
 
+  test("quantized top-k: near-duplicate vector ranks first with qcos ~ 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of query
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))    // zero → excluded
+    ).toDF("vec_id", "embedding")
+    val out = Ann.quantizedTopK(
+        vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("qdot"),
+        r.getAs[Double]("qcos"), r.getAs[Int]("rn")))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L)) // zero vector gone
+    assert(out.head._3 > 0.99)                      // near-dup ranks first
+    assert(out.last._2 < 0L)                        // opposite: negative int dot
+  }
+
+  test("quantized top-k agrees with exact cosine top-k on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Ann.cosineTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Ann.quantizedTopK(queries, emb, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 quantization perturbs cosines by ~1/127 — neighbor sets may
+    // differ on ties but must agree on a solid majority
+    val agree = (exact & quant).size.toDouble / exact.size
+    assert(agree >= 0.6, s"agreement=$agree exact=${exact.size} quant=${quant.size}")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

@@ -43,6 +43,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!div.getBoolean(5))
   }
 
+  test("winnow: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    // k=8, w=4: guarantee kicks in at 11 shared chars; share a much
+    // longer run to be safely past boundary effects
+    val shared = "zebra quantum lighthouse"
+    val docs = Seq(
+      (1L, s"first document begins here $shared and then diverges"),
+      (2L, s"totally different opening $shared closing words differ")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+    val common = fps.filter(col("doc_id") === 1L).select("fp")
+      .intersect(fps.filter(col("doc_id") === 2L).select("fp"))
+    assert(common.count() >= 1)
+    // and two unrelated docs share nothing
+    val other = Seq(
+      (3L, "aaaa bbbb cccc dddd eeee ffff"),
+      (4L, "gggg hhhh iiii jjjj kkkk llll")).toDF("doc_id", "text")
+    val ofps = TextAnalysis.winnowFingerprints(other, "doc_id", "text")
+    assert(ofps.filter(col("doc_id") === 3L).select("fp")
+      .intersect(ofps.filter(col("doc_id") === 4L).select("fp")).count() === 0)
+  }
+
+  test("winnow: whitespace/case variants produce identical summaries") {
+    val docs = Seq(
+      (1L, "The Quick   Fox\tJumps over it"),
+      (2L, "the quick fox jumps over it")).toDF("doc_id", "text")
+    val rows = TextAnalysis.winnow(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows(0) === rows(1))
+  }
+
+  test("winnow: shorter than k yields no row; fewer than w grams yields one window") {
+    val docs = Seq(
+      (1L, "tiny"),               // 4 chars < k=8 → no row
+      (2L, "abcdefghi")).toDF("doc_id", "text") // 9 chars → 2 grams < w → 1 window
+    val out = TextAnalysis.winnow(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet === Set(2L))
+    assert(out.head.getLong(1) === 1L) // single window → single fingerprint
+  }
+
+  test("winnow: summary n_fps equals the exploded distinct count") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val n = TextAnalysis.winnow(docs, "doc_id", "text")
+      .select("n_fps").collect().head.getLong(0)
+    val exploded = TextAnalysis.winnowFingerprints(docs, "doc_id", "text").count()
+    assert(n === exploded)
+  }
+
   test("tokens drop empties and lowercase") {
     val out = Seq("The  Quick   fox ").toDF("t")
       .select(TextAnalysis.tokens(col("t")).as("ts"))
