@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source boilerplate detection — the CCNet/Dolma-family pass that
+  * strips templated content (navigation chrome, license headers, scraper
+  * artifacts) from a pretraining corpus: a k-shingle that appears in a
+  * large fraction of one SOURCE's documents is boilerplate for that
+  * source, and a document dominated by source-common shingles is
+  * template, not content.
+  *
+  * Thresholds are exact integer ratios (df·pctDen ≥ n·pctNum), so any
+  * engine computes the same profile. Scale shape: one distinct
+  * (source, doc, shingle) explosion (the same shuffle MinHash pays),
+  * a per-(source, shingle) count, and a (source, shingle)-keyed join of
+  * the doc shingles against the FILTERED profile — common shingles are
+  * by definition few per source, so the profile side stays small and
+  * the join bucket-local; nothing is all-pairs.
+  */
+object Boilerplate {
+
+  /** Distinct (idCol, sourceCol, s) shingle rows. */
+  private def sourceShingles(df: DataFrame, idCol: String, sourceCol: String,
+                             textCol: String, k: Int): DataFrame =
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), col(sourceCol),
+        explode(TextAnalysis.shingles(col("_toks"), k)).as("s"))
+      .distinct()
+
+  /** The per-source common-shingle profile: shingles contained in at
+    * least `minDf` documents AND at least pctNum/pctDen of the source's
+    * shingle-bearing documents. (The denominator counts docs that HAVE
+    * shingles — docs shorter than k tokens can't vote.)
+    */
+  def sourceProfile(df: DataFrame, idCol: String, sourceCol: String,
+                    textCol: String, k: Int = 3, minDf: Long = 2L,
+                    pctNum: Int = 1, pctDen: Int = 4): DataFrame = {
+    val sh = sourceShingles(df, idCol, sourceCol, textCol, k)
+    val dfc = sh.groupBy(col(sourceCol), col("s"))
+      .agg(count(lit(1)).as("dfc"))
+    val sz = sh.select(col(sourceCol), col(idCol)).distinct()
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    dfc.join(sz, sourceCol)
+      .filter(col("dfc") >= minDf &&
+        col("dfc") * pctDen >= col("n_docs") * pctNum)
+      .select(col(sourceCol), col("s"), col("dfc"), col("n_docs"))
+  }
+
+  /** Per-document boilerplate mass: how many of the doc's distinct
+    * shingles are source-common (`n_boiler` of `n_shingles`), plus the
+    * integer-exact "more than half the doc is template" flag. Docs with
+    * no shingles produce no row.
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, sourceCol: String,
+                       textCol: String, k: Int = 3, minDf: Long = 2L,
+                       pctNum: Int = 1, pctDen: Int = 4): DataFrame = {
+    val sh = sourceShingles(df, idCol, sourceCol, textCol, k)
+    val prof = sourceProfile(df, idCol, sourceCol, textCol, k,
+      minDf, pctNum, pctDen).select(col(sourceCol), col("s"))
+    val tot = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val boil = sh.join(prof, Seq(sourceCol, "s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    tot.join(boil, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .select(col(idCol), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler") * 2 >= col("n_shingles")).as("is_templated"))
+  }
+}

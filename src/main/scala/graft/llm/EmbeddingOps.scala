@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column aggregation primitives: per-group mean pooling
+  * (class prototypes / centroid features — the batch face of what
+  * [[Ivf]] iterates) and L2 normalization.
+  *
+  * Mean pooling accumulates QUANTIZED integer micros, not doubles:
+  * floating-point addition is not associative, so a double sum's value
+  * depends on partial-aggregation order and differs run-to-run on a
+  * cluster (and engine-to-engine); Σ floor(v·10⁶) is one exact integer
+  * regardless of order — the same trick [[Ivf.recompute]] uses for its
+  * centroid means. Shape: one posexplode + one partial/final hash
+  * aggregate on (group, dim); d rows per group out.
+  */
+object EmbeddingOps {
+
+  /** Exact integer accumulation face: one row per (group, dimension)
+    * with the quantized component sum and the group size. The mean in
+    * micros is `sum_micros / n_vecs` (integer div) — derivable, exact,
+    * engine-portable.
+    */
+  def meanPoolQuantized(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("p", "v")))
+      .withColumn("i", col("p") + 1).drop("p")
+      .groupBy(col(groupCol), col("i"))
+      .agg(sum(floor(col("v").cast("double") * lit(1000000.0d)).cast("long"))
+          .as("sum_micros"),
+        count(lit(1)).as("n_vecs"))
+
+  /** Assembled per-group mean vector (double, for downstream use where
+    * cross-engine bit-equality is not required): dims re-ordered by
+    * position via array_sort over (i, m) structs.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    meanPoolQuantized(df, groupCol, vecCol)
+      .withColumn("m",
+        col("sum_micros").cast("double") / (col("n_vecs") * lit(1000000.0d)))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("_im"))
+      .select(col(groupCol),
+        transform(col("_im"), x => x.getField("m")).as("centroid"))
+
+  /** Attach an L2-normalized copy of `vecCol` as `outCol`; zero vectors
+    * stay zero. The norm is materialized as a real column FIRST so the
+    * transform lambda references only an attribute — inlining
+    * `l2norm(vec)` in the lambda would re-run the O(d) norm aggregate
+    * once per element (the interpreted-HOF O(d²) trap, see
+    * [[TextAnalysis.shingles]]).
+    */
+  def withL2Normalized(df: DataFrame, vecCol: String,
+                       outCol: String = "unit_vec"): DataFrame =
+    df.withColumn("_nrm", Ann.l2norm(col(vecCol)))
+      .withColumn(outCol,
+        when(col("_nrm") > 0d,
+          transform(col(vecCol), x => x.cast("double") / col("_nrm")))
+          .otherwise(transform(col(vecCol), x => lit(0.0d))))
+      .drop("_nrm")
+}

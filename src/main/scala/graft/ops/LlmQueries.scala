@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.{Ann, Curation, Decontam, DedupOps, DupGraph, Ivf, Multimodal, Quant, TextAnalysis}
+import graft.llm.{Ann, Boilerplate, Curation, Decontam, DedupOps, DupGraph,
+  EmbeddingOps, Ivf, Multimodal, Quant, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -326,6 +327,46 @@ object LlmQueries {
         .select(col("doc_id"),
           TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // ---- per-source boilerplate (templated-content) detection ----
+    // A shingle in >= 1/4 of a source's shingle-bearing docs (and >= 2
+    // docs) is boilerplate for that source; a doc with half its distinct
+    // shingles source-common is flagged templated. Integer thresholds.
+    "q_llm_boilerplate" -> Q(
+      """WITH toks AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM (SELECT doc_id, source, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+        |dcnt AS (SELECT source, s, count(*) AS dfc FROM sh GROUP BY source, s),
+        |sz AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY source),
+        |prof AS (SELECT d.source, d.s FROM dcnt d JOIN sz USING (source)
+        |         WHERE d.dfc >= 2 AND d.dfc * 4 >= sz.n_docs * 1),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id),
+        |boil AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        |         FROM sh JOIN prof ON prof.source = sh.source AND prof.s = sh.s
+        |         GROUP BY sh.doc_id)
+        |SELECT t.doc_id, t.n_shingles, coalesce(b.n_boiler, 0) AS n_boiler,
+        |       (coalesce(b.n_boiler, 0) * 2 >= t.n_shingles) AS is_templated
+        |FROM tot t LEFT JOIN boil b ON b.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      Boilerplate.boilerplateStats(tb(s, dir).documents, "doc_id", "source", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- per-label embedding mean pooling (quantized-integer face) ----
+    // Σ floor(v·10⁶) per (label, dim) is one exact integer regardless of
+    // partial-aggregation order — the Ivf.recompute convention.
+    "q_emb_mean_pool" -> Q(
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |SELECT label, CAST(i AS BIGINT) AS i,
+        |       CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micros,
+        |       CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM e GROUP BY label, i ORDER BY label, i""".stripMargin) { (s, dir) =>
+      EmbeddingOps.meanPoolQuantized(tb(s, dir).embeddings, "label", "embedding")
+        .select(col("label"), col("i").cast("long").as("i"),
+          col("sum_micros"), col("n_vecs"))
+        .orderBy("label", "i")
     },
 
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
