@@ -99,4 +99,52 @@ object Curation {
     tc.unpersist()
     out
   }
+
+  /** STREAMING-SAFE pure-projection faces of the per-document gates:
+    * language vote, quality score, and top-token repetition computed as
+    * column algebra over the materialized token array — no explode, no
+    * groupBy, no window function, so the same expressions run unchanged
+    * on a streaming DataFrame (where aggregations need watermarks and
+    * window functions are unsupported). Semantics match the aggregate
+    * formulations above exactly:
+    *  - language: per-lang hit mass over the token multiset, winner by
+    *    (hits desc, lang asc) via an ascending strictly-greater fold;
+    *    zero hits → "und";
+    *  - top_token_n: max per-token multiplicity, via nested HOFs over
+    *    the distinct tokens (O(distinct·n) interpreted per doc — fine
+    *    for natural documents; the batch [[curate]] path uses the
+    *    shuffle aggregate instead);
+    *  - score: n_tokens + 2·sw_hits − 3·punct, all integers.
+    *
+    * Returns (idCol, textCol) rows passing all three gates. Documents
+    * with zero tokens fail (no language vote), matching [[curate]].
+    */
+  def pureGates(df: DataFrame, idCol: String, textCol: String,
+                lang: String = "en", minScore: Long = 0L): DataFrame = {
+    val byLang = TextAnalysis.stopwordProfiles.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val toked = df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+    val hitCols = byLang.map { case (l, words) =>
+      l -> size(filter(col("_toks"), t => t.isin(words: _*)))
+    }
+    val (_, predLang) = hitCols.foldLeft((lit(0), lit("und"))) {
+      case ((bestHits, bestLang), (l, hits)) =>
+        (when(hits > bestHits, hits).otherwise(bestHits),
+          when(hits > bestHits, lit(l)).otherwise(bestLang))
+    }
+    val swHits = size(filter(col("_toks"),
+      t => t.isin(TextAnalysis.stopwordProfiles.map(_._2).distinct: _*)))
+    val topTok = coalesce(
+      array_max(transform(array_distinct(col("_toks")),
+        t => size(filter(col("_toks"), x => x === t)))),
+      lit(0))
+    toked
+      .withColumn("_n_toks", size(col("_toks")))
+      .withColumn("_score",
+        col("_n_toks") + lit(2) * swHits -
+          lit(3) * TextAnalysis.punctCount(col(textCol)))
+      .filter(predLang === lang && col("_score") >= minScore &&
+        col("_n_toks") > 0 && !(topTok * 5 >= col("_n_toks")))
+      .select(col(idCol), col(textCol))
+  }
 }

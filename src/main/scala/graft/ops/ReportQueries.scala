@@ -207,6 +207,54 @@ object ReportQueries {
         |ORDER BY content_hash""".stripMargin) { (s, dir) =>
       graft.streaming.StreamDedup.firstSeen(tb(s, dir).documents, "doc_id", "text")
         .toDF().orderBy("content_hash")
+    },
+
+    // ---- streaming corpus curation (batch face) ----
+    // CurateStream.curate on a batch frame: pure-projection gates →
+    // static-benchmark decontamination (gate-level, BEFORE dedup — the
+    // causal streaming order) → per-hash (min id, count). Cross-batch
+    // state behavior is covered by CurateStreamSpec.
+    "q_stream_curation" -> Q(
+      """WITH swl(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
+        |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
+        |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM documents WHERE doc_id % 41 <> 0),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+        |ta AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
+        |lv AS (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
+        |win AS (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
+        |        WHERE rn = 1 AND sl = 'en'),
+        |sh2 AS (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
+        |gate AS (SELECT d.doc_id, d.text
+        |         FROM documents d
+        |         JOIN win ON win.doc_id = d.doc_id
+        |         JOIN ta ON ta.doc_id = d.doc_id
+        |         LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+        |         WHERE d.doc_id % 41 <> 0
+        |           AND NOT (ta.top_token_n * 5 >= ta.n_tokens)
+        |           AND ta.n_tokens + 2 * coalesce(sh2.sw_hits, 0)
+        |               - 3 * len(regexp_extract_all(lower(d.text), '[^a-z0-9\s]')) >= 0),
+        |btoks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |          FROM documents WHERE doc_id % 41 = 0),
+        |bsh AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
+        |        FROM (SELECT ts, unnest(range(1, len(ts)-1)) AS i FROM btoks)),
+        |gts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM gate),
+        |gsh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM gts)),
+        |dirty AS (SELECT DISTINCT doc_id FROM gsh JOIN bsh USING (s)),
+        |clean AS (SELECT doc_id, text FROM gate WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+        |SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS first_id,
+        |       CAST(count(*) AS BIGINT) AS copies
+        |FROM clean GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      graft.streaming.CurateStream.curate(
+          docs.filter(col("doc_id") % 41 =!= 0),
+          docs.filter(col("doc_id") % 41 === 0),
+          "doc_id", "text")
+        .toDF().orderBy("content_hash")
     }
   )
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.llm.{Curation, DedupOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation (§2.9 meets the LLM-pipeline family): the
+  * continuously-maintained face of [[graft.llm.Curation.curate]] for a
+  * document stream (file drops, a queue) —
+  *
+  *   pure-projection gates (language / quality / repetition)
+  *   → static-benchmark decontamination
+  *   → stateful first-seen dedup.
+  *
+  * Everything before the dedup is STATELESS column algebra
+  * ([[Curation.pureGates]]) or a stream-static join, so the only state
+  * the query carries is the dedup store (one entry per distinct
+  * content hash, TTL-boundable). The benchmark is static by nature
+  * (eval sets change on release cadence, not per batch): its distinct
+  * shingle set rides to every executor as ONE broadcast array row and
+  * contamination is an `arrays_overlap` per document — no stream-side
+  * shuffle. For benchmark sets too large to broadcast, run the batch
+  * [[graft.llm.Decontam]] explode+join path on the landed output
+  * instead.
+  *
+  * Ordering note vs the batch [[Curation.curate]]: here decontamination
+  * runs BEFORE dedup, so when a content group's lowest-id copy is
+  * contaminated but a later clean copy exists, the clean copy survives
+  * (batch order drops the group). Streaming cannot know a future lower
+  * id, so first-seen-wins with decontamination up front is the only
+  * causal order — and arguably the better one.
+  *
+  * On a BATCH frame the identical plan is deterministic (state empty,
+  * min-id representative per group) and equals: gates → drop docs
+  * sharing a benchmark shingle → GROUP BY md5(text) → (min id, count) —
+  * which is exactly what the q_stream_curation DuckDB oracle checks.
+  */
+object CurateStream {
+
+  /** Emits one [[StreamDedup.FirstSeen]] row per distinct surviving
+    * content: the curated-content registry (join `first_id` back to the
+    * corpus for the text). Works on streaming and batch frames alike.
+    */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             idCol: String, textCol: String,
+             lang: String = "en", minScore: Long = 0L,
+             shingleK: Int = 3, ttlMs: Long = 0L): Dataset[StreamDedup.FirstSeen] = {
+    val gated = Curation.pureGates(docs, idCol, textCol, lang, minScore)
+    // static side: the benchmark's distinct shingle set as one row
+    val benchSet = DedupOps.shingleSet(benchmark, idCol, textCol, shingleK)
+      .agg(collect_set(col("s")).as("_bench"))
+    val clean = gated
+      .withColumn("_toks", graft.llm.TextAnalysis.tokens(col(textCol)))
+      .withColumn("_sh", graft.llm.TextAnalysis.shingles(col("_toks"), shingleK))
+      .crossJoin(broadcast(benchSet))
+      .filter(!arrays_overlap(col("_sh"), col("_bench")))
+      .select(col(idCol), col(textCol))
+    StreamDedup.firstSeen(clean, idCol, textCol, ttlMs)
+  }
+}
