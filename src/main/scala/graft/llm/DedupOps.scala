@@ -265,4 +265,79 @@ object DedupOps {
     perBit.groupBy(col(idCol))
       .agg(sum(col("bit") * pow(lit(2.0), col("i")).cast("long")).as("simhash"))
   }
+
+  /** 64-bit SimHash as four 16-bit chunks (`sh0..sh3`) — the width that
+    * makes Hamming-distance blocking usable at corpus scale (16-bit
+    * [[simhash16]] has only 2¹⁶ values per chunk-of-4, so its blocks go
+    * quadratic; 16-bit chunks of a 64-bit sketch give 65,536 bucket
+    * values per chunk). Bit i ∈ [0,64) votes with bit (i mod 4) of hex
+    * digit ⌊i/4⌋ of md5(token): +1 if set, −1 if clear; sketch bit = 1
+    * iff the distinct-token vote sum is positive. All-integer votes, so
+    * any engine with md5 reproduces the chunks exactly. Docs with zero
+    * tokens produce no row.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+    val perBit = toks
+      .select(col(idCol), explode(sequence(lit(0), lit(63))).as("i"), col("h"))
+      .withColumn("d",
+        expr("instr('0123456789abcdef', substring(h, i div 4 + 1, 1)) - 1"))
+      .withColumn("vote",
+        expr("CASE WHEN (shiftright(d, i % 4) & 1) = 1 THEN 1 ELSE -1 END"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum("vote").as("v"))
+      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+    val chunkAggs = (0 until 4).map(c =>
+      sum(when(col("i") >= c * 16 && col("i") < (c + 1) * 16,
+        col("bit") * pow(lit(2.0), col("i") % 16).cast("long"))
+        .otherwise(0L)).as(s"sh$c"))
+    perBit.groupBy(col(idCol)).agg(chunkAggs.head, chunkAggs.tail: _*)
+  }
+
+  /** SimHash Hamming near-duplicates: pairs whose 64-bit sketches differ
+    * in at most `maxDist` ≤ 3 bits — the bag-of-words complement of
+    * MinHash (SimHash weights repeated tokens once here, catches
+    * small-perturbation dups cheaply). Candidate generation is the
+    * classic pigeonhole blocking: Hamming ≤ 3 over four 16-bit chunks
+    * forces at least one chunk to match EXACTLY, so candidates only form
+    * inside a shared (chunk_id, chunk_value) bucket — never all-pairs —
+    * and recall is total, not probabilistic. Verification is
+    * bit_count(xor) per chunk, codegen'd integer ops.
+    *
+    * Scale shape: the sketch table is ids + four ints (narrow); the
+    * candidate join keys on (chunk_id, value) with 2¹⁶ values per chunk,
+    * buckets shrink as corpora diversify; sketches re-attach to the
+    * deduped candidate ids once per side. The sketch cache is
+    * function-scoped — released after the verified pairs materialize.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 chunks of 16 bits guarantee recall only for maxDist <= 3")
+    val sh = simhash64(df, idCol, textCol).cache()
+    val chunks = sh.select(col(idCol),
+      posexplode(array(col("sh0"), col("sh1"), col("sh2"), col("sh3")))
+        .as(Seq("chunk_id", "cv")))
+    val a = chunks.select(col("chunk_id"), col("cv"), col(idCol).as("id1"))
+    val b = chunks.select(col("chunk_id"), col("cv"), col(idCol).as("id2"))
+    val cand = a.join(b, Seq("chunk_id", "cv"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    def side(n: Int) = sh.select(col(idCol).as(s"id$n") +:
+      (0 until 4).map(c => col(s"sh$c").as(s"_${n}c$c")): _*)
+    val hamming = (0 until 4)
+      .map(c => bit_count(col(s"_1c$c").bitwiseXOR(col(s"_2c$c"))))
+      .reduce(_ + _)
+    val out = cand.join(side(1), "id1").join(side(2), "id2")
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+      .cache()
+    out.count() // materialize: candidate + re-attach joins consumed `sh`
+    sh.unpersist()
+    out
+  }
 }

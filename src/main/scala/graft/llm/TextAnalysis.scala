@@ -152,6 +152,83 @@ object TextAnalysis {
         (col("top_token_n") * 5 >= col("n_tokens")).as("is_repetitive"))
   }
 
+  /** Per-document duplicated-n-gram fraction (the Dolma/RedPajama-style
+    * memorization diagnostic): of each document's DISTINCT word
+    * k-shingles, how many also appear in at least one OTHER document.
+    * Output (id, n_shingles, n_dup_shingles) as exact integers — callers
+    * apply their gate (e.g. drop when dup*10 >= total*3). Docs with
+    * fewer than k tokens have no shingles and produce no row.
+    *
+    * Scale shape: one shingle explosion feeding two partial/final hash
+    * aggregates — the corpus-wide shingle document-frequency (shuffle
+    * carries one row per distinct shingle) joins back to the per-doc
+    * shingle set on the shingle key. No window over the raw stream, no
+    * driver action. The df side could be Bloom-pruned at 100 TB; exact
+    * join kept here for oracle parity.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val sh = df.withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol), explode(shingles(col("_toks"), k)).as("s"))
+      .distinct()
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("_nd"))
+    sh.join(dfreq, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_shingles"))
+  }
+
+  /** Per-group exact distribution profile of an integer column: count,
+    * min/max, sum, and exact DISCRETE percentiles (the value at rank
+    * ⌈q·n⌉ — `quantile_disc` semantics, all-integer output so engines
+    * agree bit-for-bit; interpolating `percentile` returns doubles whose
+    * ULPs differ across engines).
+    *
+    * Scale shape: percentiles come from a cumulative sum over the
+    * per-group VALUE HISTOGRAM, not a window over raw rows — the shuffle
+    * carries one row per (group, distinct value) after a partial/final
+    * count aggregate, so a 100 TB corpus with bounded value cardinality
+    * (lengths, scores) profiles in one narrow pass. The rank window
+    * orders the histogram, not the corpus. For unbounded-cardinality
+    * doubles use approx_percentile instead; this is the exact face.
+    */
+  def valueProfile(df: DataFrame, groupCol: String, valCol: String,
+                   quantiles: Seq[Int] = Seq(50, 90)): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("_c"))
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valCol))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(byVal))
+      .withColumn("_n", sum(col("_c")).over(whole))
+    val qAggs = quantiles.map(q =>
+      min(when(col("_cum") * 100 >= col("_n") * q, col(valCol)))
+        .as(s"p$q"))
+    val aggs = Seq(
+      max(col("_n")).as("n_rows"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"),
+      sum(col(valCol) * col("_c")).as("sum_v")) ++ qAggs
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with
+    * total occurrences and document frequency, ties broken
+    * lexicographically. Partial/final hash aggregate (map-side combine
+    * collapses the token stream before the shuffle) followed by
+    * TakeOrderedAndProject — no global sort materializes.
+    */
+  def topTokens(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 20): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col(idCol)).as("df_docs"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text,
     * truncated to 16 hex chars — the rolling-hash/winnowing family's
     * exact-normalized-content representative. Collision-safe enough at

@@ -206,6 +206,52 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- duplicated-n-gram fraction (memorization diagnostic): of each
+    //      doc's distinct 3-shingles, how many appear in >= 2 docs ----
+    "q_llm_dup_ngrams" -> Q(
+      s"""WITH $shingleCte,
+         |dfreq AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles
+         |FROM sh JOIN dfreq d ON d.s = sh.s
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.dupNgramStats(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- per-source length-distribution profile: exact DISCRETE
+    //      percentiles from the value histogram (one narrow row per
+    //      (source, distinct length) through the shuffle, never the
+    //      raw corpus through a window) ----
+    "q_llm_length_profile" -> Q(
+      """WITH hist AS (SELECT source, n_chars, count(*) AS c
+        |              FROM documents GROUP BY source, n_chars),
+        |cum AS (SELECT source, n_chars, c,
+        |          sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cm,
+        |          sum(c) OVER (PARTITION BY source) AS n
+        |        FROM hist)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v,
+        |  CAST(sum(n_chars * c) AS BIGINT) AS sum_v,
+        |  CAST(min(CASE WHEN cm * 100 >= n * 50 THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cm * 100 >= n * 90 THEN n_chars END) AS BIGINT) AS p90
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      TextAnalysis.valueProfile(tb(s, dir).documents, "source", "n_chars")
+        .orderBy("source")
+    },
+
+    // ---- corpus vocabulary heavy hitters (top-20 tokens) ----
+    "q_llm_top_tokens" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |             FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+        |FROM tok GROUP BY token
+        |ORDER BY occurrences DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysis.topTokens(tb(s, dir).documents, "doc_id", "text", 20)
+    },
+
     // ---- benchmark decontamination: corpus docs sharing 3-gram
     //      shingles with an eval set (doc_id % 41 = 0 plays the
     //      benchmark). Corpus side one distinct-shingle shuffle, bench
@@ -562,6 +608,43 @@ object LlmQueries {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       DedupOps.simhash16(tb(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // ---- SimHash Hamming near-dup: 64-bit sketch as 4 × 16-bit chunks,
+    //      pigeonhole chunk blocking (hamming<=3 forces a chunk match),
+    //      bit_count(xor) verification — total recall, never all-pairs ----
+    "q_llm_simhash_near_dup" -> Q(
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |    FROM documents)),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (((strpos('0123456789abcdef', substr(md5(t), i // 4 + 1, 1)) - 1)
+        |                    >> (i % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+        |  GROUP BY doc_id, i),
+        |chunks AS (
+        |  SELECT doc_id, i // 16 AS c,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(round(pow(2, i % 16)) AS BIGINT) ELSE 0 END) AS BIGINT) AS cv
+        |  FROM bits GROUP BY doc_id, c),
+        |sh AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN c = 0 THEN cv END) AS sh0, max(CASE WHEN c = 1 THEN cv END) AS sh1,
+        |    max(CASE WHEN c = 2 THEN cv END) AS sh2, max(CASE WHEN c = 3 THEN cv END) AS sh3
+        |  FROM chunks GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM chunks a JOIN chunks b
+        |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, hamming FROM (
+        |  SELECT c.id1, c.id2,
+        |    CAST(bit_count(xor(s1.sh0, s2.sh0)) + bit_count(xor(s1.sh1, s2.sh1))
+        |       + bit_count(xor(s1.sh2, s2.sh2)) + bit_count(xor(s1.sh3, s2.sh3)) AS BIGINT) AS hamming
+        |  FROM cand c JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2)
+        |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      DedupOps.simhashNearDups(tb(s, dir).documents, "doc_id", "text", 3)
+        .orderBy("id1", "id2")
     },
 
     // ---- brute-force cosine top-k (queries vec_id<10, k=3) ----

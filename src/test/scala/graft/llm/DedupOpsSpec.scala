@@ -104,4 +104,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(sh(1L) !== sh(4L))
     sh.values.foreach(v => assert(v >= 0L && v < 65536L))
   }
+
+  test("simhash64: chunk range, identical docs equal, token order ignored") {
+    val extra = Seq(
+      (6L, "dog lazy the over jumps fox brown quick the")) // doc 1 permuted
+      .toDF("doc_id", "text")
+    val sh = DedupOps.simhash64(docs.union(extra), "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (0 until 4).map(c => r.getAs[Long](s"sh$c"))).toMap
+    sh.values.flatten.foreach(v => assert(v >= 0L && v < 65536L))
+    assert(sh(1L) === sh(2L))
+    // bag-of-words sketch: permuting tokens cannot change any chunk
+    assert(sh(1L) === sh(6L))
+    assert(sh(1L) !== sh(4L))
+  }
+
+  test("simhashNearDups finds exact pairs at distance 0 and respects maxDist") {
+    val out = DedupOps.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.unpersist()
+    assert(pairs((1L, 2L)) === 0L)
+    pairs.values.foreach(h => assert(h >= 0L && h <= 3L))
+    // disjoint-vocabulary docs must not pair with the fox cluster
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // one-word-changed near dup lands within a few bits of its original:
+    // every surviving pair's hamming is the TRUE sketch distance (the
+    // pigeonhole blocking guarantees total recall for maxDist <= 3)
+    val sh = DedupOps.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (0 until 4).map(c => r.getAs[Long](s"sh$c"))).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    pairs.foreach { case ((a, b), h) => assert(ham(sh(a), sh(b)) === h) }
+    if (ham(sh(1L), sh(3L)) <= 3) assert(pairs.contains((1L, 3L)))
+  }
 }

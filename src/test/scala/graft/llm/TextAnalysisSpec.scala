@@ -43,6 +43,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!div.getBoolean(5))
   }
 
+  test("dupNgramStats counts shingles shared with at least one other doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // shingles: 3, all shared with 2
+      (2L, "the quick brown fox sleeps"),  // 3 shingles, 2 shared with 1
+      (3L, "completely different text lives here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val rows = TextAnalysis.dupNgramStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: "the quick brown","quick brown fox" shared; "brown fox jumps" unique
+    assert(rows(1L) === ((3L, 2L)))
+    assert(rows(2L) === ((3L, 2L)))
+    assert(rows(3L) === ((3L, 0L)))
+    assert(!rows.contains(4L)) // < k tokens → no shingles → no row
+  }
+
+  test("valueProfile: exact discrete percentiles from the histogram") {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 7L))).toDF("src", "v")
+    val rows = TextAnalysis.valueProfile(df, "src", "v", Seq(50, 90))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // a: 1..10 → p50 = value at rank ceil(5) = 5, p90 = rank 9
+    assert(rows("a") === ((10L, 1L, 10L, 55L, 5L, 9L)))
+    // b: [5,5,7] → p50 = rank ceil(1.5)=2 → 5, p90 = rank ceil(2.7)=3 → 7
+    assert(rows("b") === ((3L, 5L, 7L, 17L, 5L, 7L)))
+  }
+
+  test("topTokens ranks by occurrences then lexicographically, with doc frequency") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry banana"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val rows = TextAnalysis.topTokens(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("apple", 3L, 2L), ("banana", 2L, 2L)))
+  }
+
   test("winnow: docs sharing a substring of length >= k+w-1 share a fingerprint") {
     // k=8, w=4: guarantee kicks in at 11 shared chars; share a much
     // longer run to be safely past boundary effects
