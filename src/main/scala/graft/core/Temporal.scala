@@ -1,0 +1,104 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's DataFrame API lacks natively — the
+  * as-of join and the bounded range join — each re-expressed as
+  * shuffle-bounded compositions of builtin operators (no
+  * BroadcastNestedLoop, no theta join, no per-row driver logic).
+  */
+object Temporal {
+
+  /** As-of join: attach to every left row the payload of the LATEST
+    * right row with `right.ts <= left.ts` within the same partition
+    * keys (the trades-to-quotes join; here: each event to the most
+    * recent prior state row). Left rows with no prior right row keep
+    * null payloads — ASOF LEFT semantics.
+    *
+    * Mechanism: tag both sides, union by name, ONE window per partition
+    * key ordered by (ts, side) with rows-unbounded-preceding, and
+    * `last(payload, ignoreNulls)` carries the newest right payload
+    * forward; left rows then filter out. Right-before-left on ts ties
+    * (side 0 < 1) makes the join inclusive, matching `l.ts >= r.ts`.
+    *
+    * Scale shape: one shuffle on the partition keys, then a linear
+    * within-partition scan — the same cost as ANY correct as-of
+    * (merge-join engines sort both sides the same way). No join
+    * explosion, no range predicate in a nested loop. Skewed keys
+    * (one user holding a day's events) are the sessionize hazard; cap
+    * or salt upstream the same way.
+    *
+    * Right rows must be unique per (partitionCols, tsCol) — pre-dedup
+    * with max_by/row_number (ties would otherwise resolve by window
+    * order, which is deterministic here but a needless contract).
+    * Payload columns must not collide with left column names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               partitionCols: Seq[String], tsCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.filterNot(payloadCols.contains(_))
+    val l = left.select(
+      leftOnly.map(col) ++
+        payloadCols.map(p =>
+          lit(null).cast(right.schema(p).dataType).as(p)) :+
+        lit(1).as("_side"): _*)
+    val r = right.select(
+      leftOnly.map(c =>
+        if (partitionCols.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col) :+ lit(0).as("_side"): _*)
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payloadCols.foldLeft(l.unionByName(r)) { (d, p) =>
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Bounded range join as an EQUI join: pairs (left, right) sharing
+    * the partition keys with `0 < right.ts - left.ts <= gapSeconds`,
+    * returned as narrow id pairs plus the exact gap in microseconds.
+    *
+    * Mechanism: quantize time into gap-sized bins; a right row within
+    * (0, gap] of a left row lands in the left row's bin or the next
+    * one, so the left side fans out to exactly two candidate bins
+    * (explode), the join keys on (partition, bin) — a plain shuffled
+    * equi join Catalyst can plan (sort-merge/shuffled-hash, AQE skew
+    * splitting applies) — and the exact range predicate filters the
+    * candidates. Bins partition the right side, so each true pair is
+    * produced exactly ONCE: no dedup shuffle afterwards.
+    *
+    * The naive formulation (theta join on the range predicate alone)
+    * plans as BroadcastNestedLoopJoin — quadratic work and a broadcast
+    * of a corpus-sized side; this shape is linear in candidates with
+    * candidate count ≈ pair density × gap. Choose gapSeconds as the
+    * SEMANTIC bound; sub-binning only helps when gap ≫ median
+    * inter-event spacing (then most candidates fail the filter).
+    */
+  def rangePairs(left: DataFrame, right: DataFrame,
+                 partitionCols: Seq[String], tsCol: String,
+                 idColL: String, idColR: String,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val gapUs = gapSeconds * 1000000L
+    val lBinned = left.select(
+      partitionCols.map(col) :+
+        col(idColL) :+ unix_micros(col(tsCol)).as("_lus"): _*)
+      .withColumn("_bin",
+        explode(array(expr(s"_lus div ${gapUs}L"),
+          expr(s"_lus div ${gapUs}L + 1L"))))
+    val rBinned = right.select(
+      partitionCols.map(col) :+
+        col(idColR) :+ unix_micros(col(tsCol)).as("_rus"): _*)
+      .withColumn("_bin", expr(s"_rus div ${gapUs}L"))
+    lBinned.join(rBinned, partitionCols :+ "_bin")
+      .filter(col("_rus") > col("_lus") &&
+        col("_rus") <= col("_lus") + gapUs)
+      .select(partitionCols.map(col) :+ col(idColL) :+ col(idColR) :+
+        (col("_rus") - col("_lus")).as("gap_us"): _*)
+  }
+}

@@ -622,6 +622,53 @@ object RelationalQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
           .orderBy("source")
+    },
+
+    // ---- as-of join (Temporal.asofJoin): each purchase matched to the
+    //      user's most recent view at-or-before purchase time. One
+    //      shuffle on user_id, window scan — no nested-loop range join.
+    //      DuckDB's native ASOF LEFT JOIN is the oracle. ----
+    "q_evt_asof_join" -> Q(
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.purchase_id, p.user_id, p.pts, v.view_id, v.vts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY p.purchase_id""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      // unique right rows per (user, ts): keep the max event_id
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vts", col("ts"))
+      graft.core.Temporal.asofJoin(purchases, views,
+          Seq("user_id"), "ts", Seq("view_id", "vts"))
+        .select(col("purchase_id"), col("user_id"), col("ts").as("pts"),
+          col("view_id"), col("vts"))
+        .orderBy("purchase_id")
+    },
+
+    // ---- bounded range join (Temporal.rangePairs): (click, error)
+    //      pairs per user within 4 hours, binned into an EQUI join —
+    //      the naive theta formulation plans as BroadcastNestedLoop. ----
+    "q_evt_range_join" -> Q(
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+        |       epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 14400 SECONDS
+        |ORDER BY click_id, error_id""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts"))
+      graft.core.Temporal.rangePairs(clicks, errors,
+          Seq("user_id"), "ts", "click_id", "error_id", gapSeconds = 14400L)
+        .orderBy("click_id", "error_id")
     }
   )
 }

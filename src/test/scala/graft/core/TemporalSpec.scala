@@ -1,0 +1,71 @@
+package graft.core
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),  // after q2 → q2
+      (11L, 1L, ts("2024-01-01 09:00:00")),  // exactly at q1 → q1 (inclusive)
+      (12L, 1L, ts("2024-01-01 08:00:00")),  // before any quote → null
+      (13L, 2L, ts("2024-01-01 12:00:00")))  // other key, one quote
+      .toDF("purchase_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 1L, ts("2024-01-01 09:00:00")),
+      (101L, 1L, ts("2024-01-01 09:30:00")),
+      (200L, 2L, ts("2024-01-01 11:00:00")))
+      .toDF("view_id", "user_id", "vts")
+      .withColumn("ts", col("vts"))
+      .select("user_id", "ts", "view_id", "vts")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts",
+        Seq("view_id", "vts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map(
+      10L -> Some(101L), 11L -> Some(100L), 12L -> None, 13L -> Some(200L)))
+  }
+
+  test("rangePairs emits each in-gap pair exactly once with exact gaps") {
+    val clicks = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:59:30")),   // straddles a bin boundary
+      (3L, 8L, ts("2024-01-01 10:00:00")))   // other user
+      .toDF("click_id", "user_id", "ts")
+      .select("user_id", "click_id", "ts")
+    val errors = Seq(
+      (50L, 7L, ts("2024-01-01 10:30:00")),  // 1800s after click 1
+      (51L, 7L, ts("2024-01-01 11:00:10")),  // 40s after click 2 (next bin)
+      (52L, 7L, ts("2024-01-01 10:00:00")),  // ties click 1 → excluded (> not >=)
+      (53L, 9L, ts("2024-01-01 10:10:00")))  // user with no clicks
+      .toDF("error_id", "user_id", "ts")
+      .select("user_id", "error_id", "ts")
+    val out = Temporal.rangePairs(clicks, errors, Seq("user_id"), "ts",
+      "click_id", "error_id", gapSeconds = 3600L)
+    val rows = out.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // (1,51) is 3610s apart — just OVER the gap, excluded even though
+    // binning makes it a candidate
+    assert(rows === Map(
+      (1L, 50L) -> 1800000000L,
+      (2L, 51L) -> 40000000L))
+    // each pair exactly once even when candidates span two bins
+    assert(out.count() === out.distinct().count())
+  }
+
+  test("rangePairs plans as an equi join, not BroadcastNestedLoop") {
+    val evs = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("id", "user_id", "ts")
+    val plan = Temporal.rangePairs(evs.withColumnRenamed("id", "click_id"),
+        evs.withColumnRenamed("id", "error_id"),
+        Seq("user_id"), "ts", "click_id", "error_id", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi join:\n$plan")
+  }
+}
