@@ -214,6 +214,41 @@ object TextAnalysis {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document TF-IDF keyword extraction: the `m` highest tf·idf
+    * tokens per document (smoothed idf = ln((N+1)/(df+1)), the
+    * [[docFrequency]] convention), ranked with a lexicographic token
+    * tiebreak. Output is rank + token + integer tf — the double score
+    * stays internal, so cross-engine agreement only needs the ORDER of
+    * scores (robust: a last-ulp ln() difference can only flip a rank at
+    * an astronomically near tie, and exact ties share (tf, df) so both
+    * engines shift together; emitting the raw double would instead
+    * hash-compare every ulp).
+    *
+    * One token explosion total: tf aggregates the exploded stream, the
+    * document-frequency table derives from the tf rows (a distinct
+    * (doc, token) row IS a document hit), and the corpus size joins in
+    * as a broadcast 1-row aggregate. The top-m window shuffles the tf
+    * table (one row per distinct (doc, token)), never the raw stream.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    m: Int = 3): DataFrame = {
+    val tf = df.withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol), explode(col("_toks")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_dfd"))
+    val n = df.agg(count(lit(1)).as("_nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("_score", col("tf") * log((col("_nd") + 1).cast("double") /
+        (col("_dfd") + 1).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col(idCol), col("rank"), col("token"), col("tf"))
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with
     * total occurrences and document frequency, ties broken
     * lexicographically. Partial/final hash aggregate (map-side combine

@@ -241,6 +241,25 @@ object LlmQueries {
         .orderBy("source")
     },
 
+    // ---- TF-IDF keyword extraction: top-3 tokens per doc; the double
+    //      score stays internal (both engines rank their own doubles,
+    //      agreement only needs the order — see tfidfKeywords scaladoc) ----
+    "q_llm_tfidf_keywords" -> Q(
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS dfd FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf * ln((nd + 1.0) / (dfd + 1.0)) DESC, tf.token) AS rank
+        |      FROM tf JOIN dfreq ON dfreq.token = tf.token CROSS JOIN n)
+        |SELECT doc_id, rank, token, tf FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfKeywords(tb(s, dir).documents, "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    },
+
     // ---- corpus vocabulary heavy hitters (top-20 tokens) ----
     "q_llm_top_tokens" -> Q(
       """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token

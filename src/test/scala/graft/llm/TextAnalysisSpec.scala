@@ -71,6 +71,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("b") === ((3L, 5L, 7L, 17L, 5L, 7L)))
   }
 
+  test("tfidfKeywords ranks rare repeated tokens above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "zebra zebra the the the"),  // zebra: tf 2 rare; the: tf 3 ubiquitous
+      (2L, "the quick fox"),
+      (3L, "the slow fox")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // doc1: zebra tf=2, df=1 → 2*ln(4/2)=1.386; the tf=3, df=3 → 3*ln(4/4)=0
+    assert(rows((1L, 1L)) === (("zebra", 2L)))
+    assert(rows((1L, 2L)) === (("the", 3L)))
+    // doc2: quick/fox tie on tf=1; fox df=2 < quick df=1? quick df=1 is rarer
+    assert(rows((2L, 1L)) === (("quick", 1L)))
+    assert(rows((2L, 2L)) === (("fox", 1L)))
+  }
+
   test("topTokens ranks by occurrences then lexicographically, with doc frequency") {
     val docs = Seq(
       (1L, "apple apple banana"),
