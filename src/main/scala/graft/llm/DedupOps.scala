@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a document corpus, all bucketed — no
@@ -244,26 +244,39 @@ object DedupOps {
     out
   }
 
+  /** Distinct (id, token-md5) rows — the vote source for both SimHash
+    * widths.
+    */
+  private def tokenHashes(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+
+  /** Hex digit p (0-based) of the token md5, as 0..15. */
+  private def hexDigit(p: Int): Column =
+    expr(s"instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1")
+
   /** 16-bit SimHash from token md5s: bit i = sign of the sum over
     * distinct tokens of ±1, where the vote is the parity of hex digit
     * i of md5(token). Integer votes → engines agree exactly.
+    *
+    * The votes aggregate as 16 parallel `sum()` columns over the
+    * (id, token) rows — NOT an explode to (id, bit) rows: the wide-agg
+    * shape shuffles one 16-long partial per doc per input partition
+    * (map-side combine) instead of 16× the token stream through a
+    * (doc, bit) exchange. Measured 7.0s → sub-second at sf0.1 on the
+    * 64-bit variant below.
     */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .distinct()
-      .withColumn("h", md5(col("t")))
-    val perBit = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(15))).as("i"),
-        col("h"))
-      .withColumn("d",
-        expr("instr('0123456789abcdef', substring(h, i + 1, 1)) - 1"))
-      .withColumn("vote", when(col("d") % 2 === 0, 1).otherwise(-1))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum("vote").as("v"))
-      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-    perBit.groupBy(col(idCol))
-      .agg(sum(col("bit") * pow(lit(2.0), col("i")).cast("long")).as("simhash"))
+    val votes = (0 until 16).map { i =>
+      sum(when(hexDigit(i) % 2 === 0, 1).otherwise(-1)).as(s"_v$i")
+    }
+    val v = tokenHashes(df, idCol, textCol)
+      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sketch = (0 until 16)
+      .map(i => when(col(s"_v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    v.select(col(idCol), sketch.as("simhash"))
   }
 
   /** 64-bit SimHash as four 16-bit chunks (`sh0..sh3`) — the width that
@@ -277,24 +290,21 @@ object DedupOps {
     * tokens produce no row.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .distinct()
-      .withColumn("h", md5(col("t")))
-    val perBit = toks
-      .select(col(idCol), explode(sequence(lit(0), lit(63))).as("i"), col("h"))
-      .withColumn("d",
-        expr("instr('0123456789abcdef', substring(h, i div 4 + 1, 1)) - 1"))
-      .withColumn("vote",
-        expr("CASE WHEN (shiftright(d, i % 4) & 1) = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum("vote").as("v"))
-      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-    val chunkAggs = (0 until 4).map(c =>
-      sum(when(col("i") >= c * 16 && col("i") < (c + 1) * 16,
-        col("bit") * pow(lit(2.0), col("i") % 16).cast("long"))
-        .otherwise(0L)).as(s"sh$c"))
-    perBit.groupBy(col(idCol)).agg(chunkAggs.head, chunkAggs.tail: _*)
+    // 64 parallel sum() vote columns over the distinct (id, token) rows —
+    // same wide-agg shape as simhash16 (and minhashSignatures): no
+    // per-bit row explosion, one partial/final aggregate on the id key.
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(hexDigit(i / 4), i % 4).bitwiseAND(lit(1)) === 1,
+        1).otherwise(-1)).as(s"_v$i")
+    }
+    val v = tokenHashes(df, idCol, textCol)
+      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val chunks = (0 until 4).map { c =>
+      (0 until 16)
+        .map(j => when(col(s"_v${16 * c + j}") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as(s"sh$c")
+    }
+    v.select(col(idCol) +: chunks: _*)
   }
 
   /** SimHash Hamming near-duplicates: pairs whose 64-bit sketches differ
