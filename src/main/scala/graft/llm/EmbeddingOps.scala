@@ -43,6 +43,31 @@ object EmbeddingOps {
       .select(col(groupCol),
         transform(col("_im"), x => x.getField("m")).as("centroid"))
 
+  /** Per-label cohesion diagnostics for a labeled embedding set (the
+    * classification-dataset quality check): each label's size and the
+    * mean cosine of its members to the label centroid — low cohesion
+    * flags mislabeled or noisy classes before training.
+    *
+    * Centroids come from [[meanPool]] (quantized integer accumulation,
+    * order-independent); the centroid table is labels-sized, so it
+    * broadcast-joins back to the corpus and the whole operator is one
+    * posexplode aggregate + one broadcast join + one final aggregate —
+    * no shuffle of the vector column beyond the centroid aggregation.
+    * Norms materialize as columns before use (HOF-lambda trap, see
+    * [[withL2Normalized]]).
+    */
+  def labelCohesion(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val cent = meanPool(df, labelCol, vecCol)
+      .withColumn("_cnrm", Ann.l2norm(col("centroid")))
+    df.join(broadcast(cent), Seq(labelCol))
+      .withColumn("_vnrm", Ann.l2norm(col(vecCol)))
+      .withColumn("_cos",
+        Ann.dot(col(vecCol), col("centroid")) / (col("_vnrm") * col("_cnrm")))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_cos")), 4).as("mean_cos"))
+  }
+
   /** Attach an L2-normalized copy of `vecCol` as `outCol`; zero vectors
     * stay zero. The norm is materialized as a real column FIRST so the
     * transform lambda references only an attribute — inlining

@@ -434,6 +434,30 @@ object LlmQueries {
         .orderBy("label", "i")
     },
 
+    // ---- per-label centroid cohesion: mean member-to-centroid cosine,
+    //      centroid from the quantized-integer means above ----
+    "q_emb_label_cohesion" -> Q(
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cm AS (SELECT label, i,
+        |         CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |           / (1000000.0 * count(*)) AS m
+        |       FROM e GROUP BY label, i),
+        |cn AS (SELECT label, sqrt(sum(m * m)) AS cnrm FROM cm GROUP BY label),
+        |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vnrm FROM e GROUP BY vec_id),
+        |dots AS (SELECT e.vec_id, e.label, sum(e.v * cm.m) AS dot
+        |         FROM e JOIN cm ON cm.label = e.label AND cm.i = e.i
+        |         GROUP BY e.vec_id, e.label),
+        |cs AS (SELECT d.label, d.dot / (vn.vnrm * cn.cnrm) AS c
+        |       FROM dots d JOIN vn ON vn.vec_id = d.vec_id
+        |       JOIN cn ON cn.label = d.label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(c), 4) AS mean_cos
+        |FROM cs GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      EmbeddingOps.labelCohesion(tb(s, dir).embeddings, "label", "embedding")
+        .orderBy("label")
+    },
+
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
     "q_llm_minhash_sig" -> Q(
       s"""WITH $shingleCte

@@ -28,6 +28,20 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(cents(2) === Seq(10.0, 0.0))
   }
 
+  test("labelCohesion: tight class scores 1.0, spread class lower") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 1),   // label 1: two identical directions
+      (1L, Array(2.0f, 0.0f), 1),   //   → mean cos 1.0
+      (2L, Array(1.0f, 0.0f), 2),   // label 2: orthogonal pair
+      (3L, Array(0.0f, 1.0f), 2)    //   → cos(v, centroid) = cos 45° each
+    ).toDF("vec_id", "embedding", "label")
+    val rows = EmbeddingOps.labelCohesion(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1) === ((2L, 1.0)))
+    assert(rows(2)._1 === 2L)
+    assert(math.abs(rows(2)._2 - 0.7071) < 1e-9)
+  }
+
   test("withL2Normalized: unit norm, zero vector stays zero") {
     val df = Seq(
       (0L, Array(3.0f, 4.0f)),
