@@ -335,6 +335,73 @@ object TextAnalysis {
           sequence(lit(1), greatest(lit(1), size(col("_hs")) - (w - 1))),
           j => array_min(slice(col("_hs"), j, lit(w))))))
 
+  /** Split documents into training-context-sized chunks of
+    * `chunkTokens` whitespace tokens with `overlap` tokens carried
+    * between consecutive chunks — the tokenization-prep operator every
+    * pretraining pipeline runs before packing. Output one row per
+    * (doc, chunk): chunk_id (0-based), chunk text (space-rejoined),
+    * and the chunk's token count (the last chunk may be short; a
+    * trailing piece fully covered by the previous chunk's overlap is
+    * not emitted). Docs with zero tokens produce no row.
+    *
+    * Pure map-side column algebra: tokenize once, slice per chunk via
+    * a transform over the chunk-start sequence, posexplode — zero
+    * shuffles, so it composes with any downstream packing/aggregation
+    * without its own exchange. Stride = chunkTokens − overlap.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.withColumn("_toks", tokens(col(textCol)))
+      .filter(size(col("_toks")) > 0)
+      // chunk starts: 1, 1+stride, ... while start <= max(1, n - overlap)
+      // (a start inside the final overlap would duplicate covered tokens)
+      .withColumn("_nchunks",
+        greatest(lit(1L),
+          ceil((size(col("_toks")) - lit(overlap)).cast("double") / stride)
+            .cast("long")))
+      .withColumn("_chunks",
+        transform(sequence(lit(0L), col("_nchunks") - 1),
+          i => concat_ws(" ",
+            slice(col("_toks"), (i * stride + 1).cast("int"), lit(chunkTokens)))))
+      .select(col(idCol),
+        posexplode(col("_chunks")).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("n_chunk_tokens", size(tokens(col("chunk_text"))).cast("long"))
+  }
+
+  /** Token-budget packing: assign documents to fixed-budget bins (the
+    * sequence-packing step before writing training shards), first-fit
+    * in (shard, docId) order — bin = ⌊cumulative-tokens-before / budget⌋.
+    * Deterministic, engine-portable integer arithmetic; a document
+    * larger than the budget gets its own bin(s) boundary (chunk first
+    * with [[chunkDocs]] if strict fit matters). Output one row per doc:
+    * shard, doc id, token count, bin id.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a shard (each
+    * bin depends on everything before it), so the operator shuffles
+    * once on the shard key and runs one cumulative-sum window per
+    * shard — shards are the parallelism unit, exactly how multi-writer
+    * shard jobs pack in practice. The window input is one row per doc
+    * (counts, not tokens).
+    */
+  def packByBudget(df: DataFrame, shardCol: String, idCol: String,
+                   textCol: String, budgetTokens: Long = 256L): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", expr(s"_cum_before div ${budgetTokens}L"))
+      .select(col(shardCol), col(idCol), col("n_tokens"), col("bin"))
+  }
+
   // ---- content-level PII scrubbing ----
   // The column-masking ops (Stages F6/F7) handle PII that lives in known
   // FIELDS; a training corpus also needs the free-TEXT scrub every

@@ -241,6 +241,47 @@ object LlmQueries {
         .orderBy("source")
     },
 
+    // ---- context-window chunking (64-token chunks, 8-token overlap):
+    //      map-side slice algebra, no shuffle; chunk text checksummed
+    //      via md5 so the full strings never cross the compare ----
+    "q_llm_chunk_docs" -> Q(
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |              FROM documents),
+        |nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+        |ch AS (SELECT doc_id, n,
+        |         greatest(1, CAST(ceil((n - 8) / 56.0) AS BIGINT)) AS nchunks
+        |       FROM nz),
+        |ex AS (SELECT c.doc_id, i AS chunk_id,
+        |         array_to_string(nz.ts[CAST(i*56+1 AS BIGINT):CAST(i*56+64 AS BIGINT)], ' ') AS chunk_text
+        |       FROM ch c JOIN nz ON nz.doc_id = c.doc_id
+        |       CROSS JOIN LATERAL (SELECT unnest(range(0, c.nchunks)) AS i))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       md5(chunk_text) AS chunk_md5,
+        |       CAST(len(list_filter(string_split_regex(chunk_text, '\s+'), x -> x <> '')) AS BIGINT) AS n_chunk_tokens
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.chunkDocs(tb(s, dir).documents, "doc_id", "text", 64, 8)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- token-budget packing (256-token bins, first-fit by doc_id
+    //      within each source shard) ----
+    "q_llm_pack_budget" -> Q(
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
+        |      FROM t)
+        |SELECT source, doc_id, n_tokens, cb // 256 AS bin
+        |FROM c ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.packByBudget(tb(s, dir).documents, "source", "doc_id",
+          "text", 256L)
+        .orderBy("source", "doc_id")
+    },
+
     // ---- TF-IDF keyword extraction: top-3 tokens per doc; the double
     //      score stays internal (both engines rank their own doubles,
     //      agreement only needs the order — see tfidfKeywords scaladoc) ----

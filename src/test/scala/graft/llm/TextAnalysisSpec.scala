@@ -71,6 +71,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("b") === ((3L, 5L, 7L, 17L, 5L, 7L)))
   }
 
+  test("chunkDocs: overlapping chunks cover all tokens; short docs one chunk") {
+    val doc = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
+    // chunk=8, overlap=2, stride=6 → starts 1,7,13 (start 19 is inside
+    // the final overlap); chunks: t1..t8, t7..t14, t13..t20
+    val rows = TextAnalysis.chunkDocs(docs, "doc_id", "text", 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(rows((1L, 0L)) === (((1 to 8).map("t" + _).mkString(" "), 8L)))
+    assert(rows((1L, 1L)) === (((7 to 14).map("t" + _).mkString(" "), 8L)))
+    assert(rows((1L, 2L)) === (((13 to 20).map("t" + _).mkString(" "), 8L)))
+    assert(!rows.contains((1L, 3L)))
+    assert(rows((2L, 0L)) === (("a b", 2L)))   // short doc: single chunk
+    assert(!rows.keys.exists(_._1 == 3L))      // zero tokens → no rows
+    // consecutive chunks share exactly the overlap
+    val c0 = rows((1L, 0L))._1.split(" ").toSet
+    val c1 = rows((1L, 1L))._1.split(" ").toSet
+    assert(c0.intersect(c1) === Set("t7", "t8"))
+  }
+
+  test("packByBudget: first-fit bins per shard, integer cumulative sums") {
+    val docs = Seq(
+      (1L, "a", (1 to 100).map(_ => "x").mkString(" ")),  // 100 tokens
+      (2L, "a", (1 to 100).map(_ => "x").mkString(" ")),  // cum_before 100 → bin 0
+      (3L, "a", (1 to 100).map(_ => "x").mkString(" ")),  // cum_before 200 → bin 0
+      (4L, "a", "y"),                                      // cum_before 300 → bin 1
+      (5L, "b", (1 to 600).map(_ => "z").mkString(" ")),  // own shard, bin 0
+      (6L, "b", "w"))                                      // cum_before 600 → bin 2
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.packByBudget(docs, "source", "doc_id", "text", 256L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) === ((100L, 0L)))
+    assert(rows(2L) === ((100L, 0L)))
+    assert(rows(3L) === ((100L, 0L)))
+    assert(rows(4L) === ((1L, 1L)))
+    assert(rows(5L) === ((600L, 0L)))
+    assert(rows(6L) === ((1L, 2L)))
+  }
+
   test("tfidfKeywords ranks rare repeated tokens above ubiquitous ones") {
     val docs = Seq(
       (1L, "zebra zebra the the the"),  // zebra: tf 2 rare; the: tf 3 ubiquitous
