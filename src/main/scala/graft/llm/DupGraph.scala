@@ -128,4 +128,35 @@ object DupGraph {
     dupClusters(docs, idCol, pairs, src, dst, checkpointDir)
       .filter(col("is_canonical"))
       .drop("component", "is_canonical")
+
+  /** Quality-aware cluster representative: instead of the min id,
+    * keep each cluster's highest-`scoreCol` member (ties → lowest id) —
+    * the practical dedup policy (keep the longest / best-quality copy,
+    * drop the rest). Output: one row per cluster with the kept doc's
+    * columns plus its `component`.
+    *
+    * The pick is a single partial/final `max_by` aggregate over a total
+    * order (score desc, id asc — the struct negates the id so ties
+    * break low), then a semi-join pulls the winners' rows. No window
+    * over the corpus: the shuffle carries one (component, candidate)
+    * row per doc, and only clustered docs at that (singletons pass
+    * through the aggregate with themselves as the only candidate).
+    */
+  def bestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+                     pairs: DataFrame,
+                     src: String = "id1", dst: String = "id2",
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val clustered = dupClusters(docs, idCol, pairs, src, dst, checkpointDir)
+    // winners derives FROM clustered — rename its columns so the join
+    // predicate resolves against distinct attributes (a same-name ref
+    // would collapse to the trivially-true self-comparison)
+    val winners = clustered.groupBy(col("component"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), -col(idCol))).as("_keep"))
+      .withColumnRenamed("component", "_wc")
+    clustered
+      .join(winners,
+        col("component") === col("_wc") && col(idCol) === col("_keep"))
+      .select(col("component") +: docs.columns.map(col): _*)
+  }
 }

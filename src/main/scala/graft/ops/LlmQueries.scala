@@ -53,6 +53,40 @@ object LlmQueries {
        |$cent AS (SELECT dense_rank() OVER (ORDER BY cell) - 1 AS cell, i, m
        |          FROM ${cent}_r)""".stripMargin
 
+  /** Shared connected-components oracle chain (requires `sh` from
+    * [[shingleCte]] and `sigs` from `sigSelect` in scope, under WITH
+    * RECURSIVE): LSH bands → candidates → exact-Jaccard 0.8 gate →
+    * symmetric edge closure → min-reachable-id components in `comp`.
+    */
+  private val ccCteChain =
+    """bands AS (
+      |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |  WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.id1, p.id2, count(*) AS n
+      |  FROM cand p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+      |  GROUP BY p.id1, p.id2),
+      |dups AS (
+      |  SELECT p.id1, p.id2 FROM cand p
+      |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+      |  JOIN sizes s1 ON s1.doc_id = p.id1
+      |  JOIN sizes s2 ON s2.doc_id = p.id2
+      |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
+      |nodes AS (SELECT id1 AS id FROM dups UNION SELECT id2 FROM dups),
+      |sym AS (SELECT id1 AS src, id2 AS dst FROM dups
+      |        UNION ALL SELECT id2, id1 FROM dups),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
   /** DuckDB face of Sampling.hashBucket / blockedPairs' sub-hash: the
     * first 4 md5 hex digits of the id as an integer in [0, 65536).
     */
@@ -561,33 +595,7 @@ object LlmQueries {
     "q_llm_dup_clusters" -> Q(
       s"""WITH RECURSIVE $shingleCte,
          |sigs AS ($sigSelect),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id1, p.id2, count(*) AS n
-         |  FROM cand p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
-         |  GROUP BY p.id1, p.id2),
-         |dups AS (
-         |  SELECT p.id1, p.id2 FROM cand p
-         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
-         |  JOIN sizes s1 ON s1.doc_id = p.id1
-         |  JOIN sizes s2 ON s2.doc_id = p.id2
-         |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
-         |nodes AS (SELECT id1 AS id FROM dups UNION SELECT id2 FROM dups),
-         |sym AS (SELECT id1 AS src, id2 AS dst FROM dups
-         |        UNION ALL SELECT id2, id1 FROM dups),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
-         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |$ccCteChain
          |SELECT d.doc_id,
          |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
          |  coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
@@ -601,6 +609,32 @@ object LlmQueries {
         .select(col("doc_id"), col("component").cast("long").as("component"),
           col("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // ---- quality-aware cluster representative: keep each near-dup
+    //      cluster's LONGEST member (ties → lowest id), the practical
+    //      dedup policy vs. min-id canonicalization above ----
+    "q_llm_cluster_best" -> Q(
+      s"""WITH RECURSIVE $shingleCte,
+         |sigs AS ($sigSelect),
+         |$ccCteChain,
+         |ranked AS (
+         |  SELECT coalesce(c.component, d.doc_id) AS component, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY coalesce(c.component, d.doc_id)
+         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT CAST(component AS BIGINT) AS component, doc_id,
+         |       CAST(n_chars AS BIGINT) AS n_chars
+         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      val pairs = DedupOps.nearDupPairs(docs, "doc_id", "text")
+        .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8)
+        .select("id1", "id2")
+      DupGraph.bestPerCluster(docs.select("doc_id", "n_chars"), "doc_id",
+          "n_chars", pairs)
+        .select(col("component").cast("long").as("component"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("component")
     },
 
     // ---- n-gram Jaccard over blocked pairs ----

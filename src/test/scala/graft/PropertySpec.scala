@@ -125,6 +125,81 @@ class PropertySpec extends SparkSpec {
       s"edges=$edges")
   }
 
+  test("property: simhashNearDups recall is total — every hamming<=3 pair found") {
+    // random docs over a tiny vocabulary force sketch collisions and
+    // near-misses; the pigeonhole blocking must find EVERY pair within
+    // maxDist (its recall guarantee is exact, not probabilistic)
+    val vocab = Vector("red", "green", "blue", "cyan", "gold", "iron", "wolf")
+    val docGen = Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val sh = graft.llm.DedupOps.simhash64(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (0 until 4).map(c => r.getAs[Long](s"sh$c"))).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val expected = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b && ham(sa, sb) <= 3
+    } yield (a, b) -> ham(sa, sb).toLong).toMap
+    val out = graft.llm.DedupOps.simhashNearDups(df, "doc_id", "text", 3)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.unpersist()
+    assert(got === expected, s"docs=$docs")
+  }
+
+  test("property: rangePairs equals the naive theta join on random events") {
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 4L)
+        t <- Gen.chooseNum(0L, 20000L) // seconds; gap 3600 → bins exercised
+      } yield (u, t))
+    } yield evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+    val evs = sampleOne(gen)
+    val df = evs.toDF("id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val left = df.select(col("user_id"), col("id").as("l_id"), col("ts"))
+    val right = df.select(col("user_id"), col("id").as("r_id"), col("ts"))
+    val got = graft.core.Temporal.rangePairs(left, right, Seq("user_id"),
+        "ts", "l_id", "r_id", gapSeconds = 3600L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val expected = (for {
+      (i, u, t) <- evs; (j, v, s) <- evs
+      if u == v && s > t && s - t <= 3600L
+    } yield (i, j) -> (s - t) * 1000000L).toMap
+    assert(got === expected, s"events=$evs")
+  }
+
+  test("property: asofJoin matches a per-row latest-prior lookup") {
+    val gen = for {
+      nl <- Gen.chooseNum(1, 30)
+      nr <- Gen.chooseNum(0, 30)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 1000L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 1000L)))
+    } yield (ls.zipWithIndex, rs.map { case (u, t) => (u, t) }.distinct)
+    val (ls, rs) = sampleOne(gen)
+    val left = ls.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("l_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // right unique per (user, ts): payload = the ts in seconds
+    val right = rs.map { case (u, t) => (u, t, t) }
+      .toDF("user_id", "sec", "r_sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .select("user_id", "ts", "r_sec")
+    val got = graft.core.Temporal.asofJoin(left, right, Seq("user_id"), "ts",
+        Seq("r_sec"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val expected = ls.map { case ((u, t), i) =>
+      i.toLong -> rs.filter(r => r._1 == u && r._2 <= t)
+        .map(_._2).maxOption
+    }.toMap
+    assert(got === expected, s"left=$ls right=$rs")
+  }
+
   test("property: latest-wins dedup keeps exactly one row per key, the newest") {
     val gen = for {
       nKeys <- Gen.chooseNum(1, 10)

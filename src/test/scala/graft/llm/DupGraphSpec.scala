@@ -45,6 +45,23 @@ class DupGraphSpec extends SparkSpec {
       Seq("doc_id", "text"))
   }
 
+  test("bestPerCluster: keeps the highest-score member, ties break low id") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 30L), (4L, "c", 30L), (5L, "d", 20L), // cluster {2,4,5}
+      (3L, "e", 7L), (6L, "f", 9L),                                    // cluster {3,6}
+      (7L, "g", 1L))                                                   // singleton
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((2L, 4L), (4L, 5L), (3L, 6L)).toDF("id1", "id2")
+    val rows = DupGraph.bestPerCluster(docs, "doc_id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster 2: scores 30/30/20 → tie between 2 and 4 → keep 2
+    // cluster 3: 9 > 7 → keep 6; singleton 1 and 7 keep themselves
+    assert(rows === Map(2L -> 2L, 3L -> 6L, 1L -> 1L, 7L -> 7L))
+    // doc columns pass through plus component
+    assert(DupGraph.bestPerCluster(docs, "doc_id", "score", pairs)
+      .columns.toSeq === Seq("component", "doc_id", "text", "score"))
+  }
+
   test("connectedComponents: empty edge set yields empty labels") {
     val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(DupGraph.connectedComponents(edges).count() === 0L)
