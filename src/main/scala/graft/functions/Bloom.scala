@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.xxhash64
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column faces of Spark's runtime-filter Bloom expressions
+  * (BloomFilterAggregate / BloomFilterMightContain — the machinery
+  * behind `spark.sql.optimizer.runtime.bloomFilter`), exposed for
+  * EXPLICIT use as a broadcast pre-filter: build one compact filter
+  * over a small key set (benchmark shingles, deletion keys), broadcast
+  * the single binary row, and prune a corpus-sized side map-locally
+  * before the exact join.
+  *
+  * Values hash through xxhash64 on both faces, matching the aggregate's
+  * expected input. A Bloom filter has NO false negatives, so
+  * `mightContain` keeps every true match — pruned-then-exact pipelines
+  * return results identical to the unpruned exact operator (false
+  * positives only cost candidate width, removed by the exact verify).
+  */
+object Bloom {
+
+  /** Aggregate: build a Bloom filter (binary) over the column's values.
+    * `expectedItems` sizes the filter (bits ≈ items × 8 at the default
+    * FPP); oversizing is cheap, undersizing raises the false-positive
+    * rate but never drops a member.
+    */
+  def bloomAgg(c: Column, expectedItems: Long): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(c)), expectedItems)
+        .toAggregateExpression())
+
+  /** Membership probe against a Bloom binary (usually a broadcast
+    * 1-row crossJoin column): false ⇒ definitely absent.
+    */
+  def mightContain(bloom: Column, c: Column): Column =
+    ColumnBridge.column(
+      BloomFilterMightContain(
+        ColumnBridge.expression(bloom),
+        ColumnBridge.expression(xxhash64(c))))
+}

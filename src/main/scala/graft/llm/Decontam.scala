@@ -56,4 +56,45 @@ object Decontam {
       .select(col(idCol))
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
+
+  /** Bloom-pruned decontamination — the shape for when even the
+    * benchmark SHINGLE SET strains broadcast range (a suite of eval
+    * sets can reach 10⁸ shingles ≈ tens of GB of strings, while its
+    * Bloom filter is ~100 MB): the benchmark reduces to ONE binary
+    * Bloom row ([[graft.functions.Bloom.bloomAgg]]), crossJoins in as
+    * a broadcast scalar, and the corpus shingle stream prunes
+    * map-locally on `mightContain` BEFORE the exact membership join.
+    * Only might-contain shingles (true matches + the filter's false
+    * positives) reach the exact join, so the result is IDENTICAL to
+    * [[decontaminate]] — Bloom filters have no false negatives; false
+    * positives are removed by the exact verify. The exact join's
+    * benchmark side is unchanged; what shrinks is the corpus-side
+    * probe stream, from every shingle to ≈ overlapping ones.
+    *
+    * The aggregated filter binary passes through the driver as a
+    * LITERAL — `might_contain` requires a constant/scalar-subquery
+    * filter side — which is the broadcast-variable pattern with the
+    * same bounded footprint: the driver holds the compact sketch
+    * (MBs), never the shingle strings it summarizes.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         minOverlap: Long = 1L,
+                         expectedBenchShingles: Long = 1000000L): DataFrame = {
+    import graft.functions.Bloom
+    val benchShingles = DedupOps.shingleSet(benchmark, idCol, textCol, k)
+      .select(col("s")).distinct()
+    val bloomBytes = benchShingles
+      .agg(Bloom.bloomAgg(col("s"), expectedBenchShingles).as("_bloom"))
+      .head().getAs[Array[Byte]]("_bloom")
+    val corpusShingles = DedupOps.shingleSet(corpus, idCol, textCol, k)
+    val candidates = corpusShingles
+      .filter(Bloom.mightContain(lit(bloomBytes), col("s")))
+    val dirty = candidates
+      .join(broadcast(benchShingles), "s") // exact verify kills false positives
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
 }

@@ -367,6 +367,29 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Bloom-pruned decontamination: benchmark → ONE binary Bloom
+    //      row, corpus shingles prune map-locally on might_contain
+    //      before the exact verify. No false negatives ⇒ the surviving
+    //      corpus is IDENTICAL to the exact path, so the oracle is the
+    //      exact anti-join ----
+    "q_llm_decontam_bloom" -> Q(
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 41 = 0),
+         |dirty AS (SELECT DISTINCT doc_id FROM sh
+         |          WHERE doc_id % 41 <> 0 AND s IN (SELECT s FROM bench))
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM documents d
+         |WHERE d.doc_id % 41 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      Decontam.decontaminateBloom(
+          docs.filter(col("doc_id") % 41 =!= 0),
+          docs.filter(col("doc_id") % 41 === 0),
+          "doc_id", "text")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_rows"))
+        .orderBy("doc_id")
+    },
+
     // ---- int8 embedding quantization (scalar, symmetric per-vector) ----
     // Codes are exact cross-engine (double arithmetic + floor(x+0.5)
     // rounding); the oracle checks per-vector code checksums plus the

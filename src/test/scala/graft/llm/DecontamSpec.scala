@@ -29,6 +29,21 @@ class DecontamSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L))
   }
 
+  test("decontaminateBloom returns exactly the exact path's survivors") {
+    val viaBloom = Decontam.decontaminateBloom(corpus, benchmark, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    val exact = Decontam.decontaminate(corpus, benchmark, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaBloom.toSeq === exact.toSeq)
+    assert(viaBloom.toSeq === Seq(2L, 3L))
+    // a deliberately undersized filter only widens candidates (more
+    // false positives) — never drops a true match
+    val tiny = Decontam.decontaminateBloom(corpus, benchmark, "doc_id", "text",
+        expectedBenchShingles = 1L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(tiny.toSeq === exact.toSeq)
+  }
+
   test("minOverlap threshold spares low-overlap docs") {
     val kept = Decontam.decontaminate(corpus, benchmark, "doc_id", "text",
         minOverlap = 3L)
