@@ -312,11 +312,58 @@ object TextAnalysis {
   /** Exploded winnowing fingerprints, one (id, fp) row per selected
     * distinct fingerprint — the join-ready face for overlap detection
     * (equi-join two corpora on `fp`, count shared prints per pair).
+    *
+    * `explode_outer`, deliberately: plain `explode` makes the optimizer
+    * infer a `size(_fps) > 0` filter (InferFiltersFromGenerate) which
+    * predicate pushdown then rewrites by SUBSTITUTING the whole nested
+    * HOF tree — the gram-hash transform re-evaluates per window and the
+    * regex normalization per gram inside the inferred filter, turning a
+    * linear projection into O(windows × grams × regex) per document
+    * (measured ~1 s/doc; the outer flavor is milliseconds). The rule
+    * skips outer generates, and the semantics are identical here: the
+    * `length >= k` pre-filter guarantees at least one gram, so `_fps`
+    * is never empty and the outer explode emits no null rows.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame =
     winnowSets(df, idCol, textCol, k, w)
-      .select(col(idCol), explode(col("_fps")).as("fp"))
+      .select(col(idCol), explode_outer(col("_fps")).as("fp"))
+
+  /** MOSS-style partial-overlap pairs: documents sharing at least
+    * `minShared` winnowing fingerprints, with the shared count — the
+    * detector for copied PASSAGES that whole-document hashing and
+    * shingle-Jaccard both dilute (a 200-char lift inside two otherwise
+    * different documents still collides on its window minima).
+    *
+    * Scale: an equi self-join on the fingerprint key — Σ bucket², so
+    * fingerprints appearing in more than `maxFpDf` documents are
+    * excluded first (they are boilerplate by definition, exactly the
+    * hot keys that would go quadratic; same guard class as
+    * [[graft.llm.DedupOps.blockedPairs]]). The fingerprint table is
+    * computed once and released after the pairs materialize.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4,
+                         minShared: Long = 2L,
+                         maxFpDf: Long = 1000L): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w).cache()
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFpDf)
+      .select(col("fp"))
+    val flt = fps.join(rare, Seq("fp"))
+    val a = flt.select(col("fp"), col(idCol).as("id1"))
+    val b = flt.select(col("fp"), col(idCol).as("id2"))
+    val out = a.join(b, Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .cache()
+    out.count() // materialize: all fps consumers have run
+    fps.unpersist()
+    out
+  }
 
   /** (idCol, _fps) with `_fps` the distinct selected window minima.
     * All lambdas reference only materialized attribute columns (HOF

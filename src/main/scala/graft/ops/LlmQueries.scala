@@ -442,6 +442,29 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- winnow-overlap pairs (MOSS-style passage-copy detection):
+    //      docs sharing >= 2 winnowing fingerprints, hot fingerprints
+    //      (df > 1000) excluded before the self-join ----
+    "q_llm_winnow_overlap" -> Q(
+      """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm FROM documents),
+        |g AS (SELECT doc_id, nm, len(nm) AS n FROM d WHERE len(nm) >= 8),
+        |hp AS (SELECT doc_id, i, substr(md5(substr(nm, CAST(i AS INTEGER), 8)), 1, 8) AS h, n - 7 AS ng
+        |       FROM (SELECT doc_id, nm, n, unnest(range(1, n - 6)) AS i FROM g)),
+        |wm AS (SELECT doc_id, i, ng,
+        |              min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |       FROM hp),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(1, ng - 3)),
+        |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 1000),
+        |flt AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON r.fp = s.fp)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      TextAnalysis.winnowOverlapPairs(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("id1", "id2")
+    },
+
     // ---- end-to-end corpus curation (lang → quality → repetition →
     //      exact dedup → benchmark decontamination; doc_id % 41 = 0
     //      plays the benchmark, as in q_llm_decontaminate) ----

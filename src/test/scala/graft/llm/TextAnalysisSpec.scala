@@ -71,6 +71,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("b") === ((3L, 5L, 7L, 17L, 5L, 7L)))
   }
 
+  test("winnowOverlapPairs: passage-sharing docs pair, unrelated docs don't") {
+    val lifted = "zebra quantum lighthouse meridian velvet"
+    val docs = Seq(
+      (1L, s"first document begins here $lifted and then diverges wildly"),
+      (2L, s"totally different opening $lifted closing words differ too"),
+      (3L, "nothing in common with anything else at all here"),
+      (4L, "another fully unrelated piece of writing entirely")).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text")
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.unpersist()
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) >= 2L)
+  }
+
   test("chunkDocs: overlapping chunks cover all tokens; short docs one chunk") {
     val doc = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, doc), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
