@@ -23,9 +23,7 @@ object Boilerplate {
   /** Distinct (idCol, sourceCol, s) shingle rows. */
   private def sourceShingles(df: DataFrame, idCol: String, sourceCol: String,
                              textCol: String, k: Int): DataFrame =
-    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .select(col(idCol), col(sourceCol),
-        explode(TextAnalysis.shingles(col("_toks"), k)).as("s"))
+    TextAnalysis.explodeShingles(df, textCol, k, col(idCol), col(sourceCol))
       .distinct()
 
   /** The per-source common-shingle profile: shingles contained in at

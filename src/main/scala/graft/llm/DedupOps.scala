@@ -33,8 +33,7 @@ object DedupOps {
     * MinHash and exact-Jaccard verification.
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .select(col(idCol), explode(TextAnalysis.shingles(col("_toks"), k)).as("s"))
+    TextAnalysis.explodeShingles(df, textCol, k, col(idCol))
       .distinct()
 
   /** MinHash signatures: numHashes permutations, permutation i =
@@ -50,8 +49,7 @@ object DedupOps {
     // TypedImperativeAggregate sketch (6.8s, [[minhashSignaturesNative]])
     // because ObjectHashAggregate's interpreted per-row path costs more
     // than the digest-reuse saves.
-    val sets = df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .select(col(idCol), explode(TextAnalysis.shingles(col("_toks"), k)).as("s"))
+    val sets = TextAnalysis.explodeShingles(df, textCol, k, col(idCol))
     val aggs = (1 to numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
     sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -65,8 +63,7 @@ object DedupOps {
     */
   def minhashSignaturesNative(df: DataFrame, idCol: String, textCol: String,
                               numHashes: Int = 8, k: Int = 3): DataFrame = {
-    val sets = df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .select(col(idCol), explode(TextAnalysis.shingles(col("_toks"), k)).as("s"))
+    val sets = TextAnalysis.explodeShingles(df, textCol, k, col(idCol))
     val sig = sets.groupBy(col(idCol))
       .agg(graft.functions.MinHashAgg.minhashSigs(col("s"), numHashes).as("sig"))
     sig.select(col(idCol) +:

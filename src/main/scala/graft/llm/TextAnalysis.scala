@@ -39,6 +39,37 @@ object TextAnalysis {
     */
   def shinglesOfText(c: Column, k: Int = 3): Column = shingles(tokens(c), k)
 
+  /** Exploded word k-shingles: one (keep..., "s") row per shingle,
+    * keeping plain-explode semantics (docs with fewer than k tokens
+    * yield no row). Implemented as `explode_outer` + a null post-filter
+    * on the GENERATOR OUTPUT — a plain explode makes the optimizer
+    * infer a `size(shingles(...)) > 0` pre-filter
+    * (InferFiltersFromGenerate) whose pushdown substitutes the full
+    * shingle tree, re-running the tokenizer per shingle element inside
+    * the filter: O(tokens²) per document, the [[shingles]] trap
+    * resurrected by the optimizer (see [[winnowFingerprints]] for the
+    * measured pathological case). The post-filter stays above the
+    * Generate because `s` is generator output, and a null `s` occurs
+    * exactly on outer-padded rows — shingle strings themselves are
+    * never null.
+    */
+  def explodeShingles(df: DataFrame, textCol: String, k: Int,
+                      keep: Column*): DataFrame =
+    df.withColumn("_toks", tokens(col(textCol)))
+      .select(keep :+ explode_outer(shingles(col("_toks"), k)).as("s"): _*)
+      .filter(col("s").isNotNull)
+
+  /** Exploded tokens under the same outer-explode convention as
+    * [[explodeShingles]] (there the inferred filter is quadratic; here
+    * it merely re-runs the tokenizer once more per row — still a whole
+    * duplicated corpus pass at scale). Docs with zero tokens yield no
+    * row, as with a plain explode.
+    */
+  def explodeTokens(df: DataFrame, textCol: String, as: String,
+                    keep: Column*): DataFrame =
+    df.select(keep :+ explode_outer(tokens(col(textCol))).as(as): _*)
+      .filter(col(as).isNotNull)
+
   /** Whitespace token count. */
   def tokenCountWs(c: Column): Column = size(tokens(c))
 
@@ -82,7 +113,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val sw = stopwordProfiles.toDF("sl", "sw")
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val toks = explodeTokens(df, textCol, "t", col(idCol))
     val hits = toks.join(broadcast(sw), col("t") === col("sw"))
       .groupBy(col(idCol), col("sl")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
@@ -99,7 +130,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val sw = stopwordProfiles.map(_._2).distinct.toDF("sw")
-    df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    explodeTokens(df, textCol, "t", col(idCol))
       .join(broadcast(sw), col("t") === col("sw"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("sw_hits"))
   }
@@ -115,7 +146,7 @@ object TextAnalysis {
     */
   def docFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = df.agg(count(lit(1)).as("n_docs"))
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    explodeTokens(df, textCol, "token", col(idCol))
       .distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
       .crossJoin(broadcast(n))
@@ -141,8 +172,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
         max("c").as("top_token_n"))
-    val bigramTop = toked
-      .select(col(idCol), explode(shingles(col("_toks"), 2)).as("b"))
+    val bigramTop = explodeShingles(df, textCol, 2, col(idCol))
+      .withColumnRenamed("s", "b")
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(max("c").as("top_bigram_n"))
     tokCounts.join(bigramTop, Seq(idCol), "left")
@@ -168,8 +199,7 @@ object TextAnalysis {
     */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val sh = df.withColumn("_toks", tokens(col(textCol)))
-      .select(col(idCol), explode(shingles(col("_toks"), k)).as("s"))
+    val sh = explodeShingles(df, textCol, k, col(idCol))
       .distinct()
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("_nd"))
     sh.join(dfreq, Seq("s"))
@@ -232,8 +262,7 @@ object TextAnalysis {
     */
   def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
                     m: Int = 3): DataFrame = {
-    val tf = df.withColumn("_toks", tokens(col(textCol)))
-      .select(col(idCol), explode(col("_toks")).as("token"))
+    val tf = explodeTokens(df, textCol, "token", col(idCol))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_dfd"))
     val n = df.agg(count(lit(1)).as("_nd"))
@@ -257,7 +286,7 @@ object TextAnalysis {
     */
   def topTokens(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 20): DataFrame =
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    explodeTokens(df, textCol, "token", col(idCol))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("occurrences"),
         count_distinct(col(idCol)).as("df_docs"))
