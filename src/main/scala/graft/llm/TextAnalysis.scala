@@ -366,15 +366,22 @@ object TextAnalysis {
     *
     * Scale: an equi self-join on the fingerprint key — Σ bucket², so
     * fingerprints appearing in more than `maxFpDf` documents are
-    * excluded first (they are boilerplate by definition, exactly the
-    * hot keys that would go quadratic; same guard class as
-    * [[graft.llm.DedupOps.blockedPairs]]). The fingerprint table is
-    * computed once and released after the pairs materialize.
+    * excluded first (same guard class as
+    * [[graft.llm.DedupOps.blockedPairs]]). Keep `maxFpDf` SMALL (MOSS
+    * suppresses any fingerprint shared by more than a handful of
+    * submissions): a print held by hundreds of documents is a
+    * duplication-cluster or boilerplate signal — [[exactDedupKeep]] /
+    * near-dup / [[graft.llm.Boilerplate]] territory, not passage
+    * copying — and it is exactly the hot key that makes the self-join
+    * quadratic (measured: 48 s → under 1 s warm at sf0.1 dropping the
+    * cap from 1000 to 64 on a duplication-heavy corpus). The
+    * fingerprint table is computed once and released after the pairs
+    * materialize.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4,
                          minShared: Long = 2L,
-                         maxFpDf: Long = 1000L): DataFrame = {
+                         maxFpDf: Long = 64L): DataFrame = {
     val fps = winnowFingerprints(df, idCol, textCol, k, w).cache()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))

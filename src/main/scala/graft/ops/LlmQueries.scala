@@ -444,7 +444,8 @@ object LlmQueries {
 
     // ---- winnow-overlap pairs (MOSS-style passage-copy detection):
     //      docs sharing >= 2 winnowing fingerprints, hot fingerprints
-    //      (df > 1000) excluded before the self-join ----
+    //      (df > 64: dup-cluster/boilerplate signal, and the quadratic
+    //      hot keys) excluded before the self-join ----
     "q_llm_winnow_overlap" -> Q(
       """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nm FROM documents),
         |g AS (SELECT doc_id, nm, len(nm) AS n FROM d WHERE len(nm) >= 8),
@@ -455,7 +456,7 @@ object LlmQueries {
         |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |       FROM hp),
         |sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(1, ng - 3)),
-        |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 1000),
+        |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64),
         |flt AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON r.fp = s.fp)
         |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared_fps
         |FROM flt a JOIN flt b ON a.fp = b.fp AND a.doc_id < b.doc_id
