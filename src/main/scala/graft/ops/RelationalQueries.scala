@@ -669,6 +669,49 @@ object RelationalQueries {
       graft.core.Temporal.rangePairs(clicks, errors,
           Seq("user_id"), "ts", "click_id", "error_id", gapSeconds = 14400L)
         .orderBy("click_id", "error_id")
+    },
+
+    // ---- skew-salted aggregations (Skew two-phase): identical results
+    //      to the direct groupBy, hot keys spread across `buckets`
+    //      reducers in the first shuffle ----
+    "q_skew_salted_count" -> Q(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        graft.core.Skew.saltedCount(tb(s, dir).lineitem, "l_returnflag",
+            col("l_orderkey"))
+          .orderBy("l_returnflag")
+    },
+    "q_skew_salted_distinct" -> Q(
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        graft.core.Skew.saltedCountDistinct(tb(s, dir).lineitem,
+            "l_returnflag", "l_partkey")
+          .orderBy("l_returnflag")
+    },
+
+    // ---- bucketed co-located join (Bucketing): both sides persisted
+    //      bucketed+sorted on the join key, so the SortMergeJoin plans
+    //      with ZERO Exchange (BucketingSpec asserts the plan); the
+    //      oracle is the plain join on the source parquet ----
+    "q_bucketed_join" -> Q(
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      graft.core.Bucketing.writeBucketed(
+        t.orders.select(col("o_custkey").as("custkey"), col("o_totalprice")),
+        "bj_orders", Seq("custkey"))
+      graft.core.Bucketing.writeBucketed(
+        t.customer.select(col("c_custkey").as("custkey"), col("c_nationkey")),
+        "bj_customer", Seq("custkey"))
+      graft.core.Bucketing.bucketedJoin(s, "bj_orders", "bj_customer",
+          Seq("custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_nationkey")
     }
   )
 }
