@@ -14,14 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist a frame as a bucketed, sorted table (overwrite). */
+  /** Persist a frame as a bucketed, sorted table (overwrite). Clears
+    * both the catalog entry AND any orphaned warehouse directory first:
+    * `mode("overwrite")` only drops a table the CURRENT session's
+    * catalog knows about — a location left behind by a previous JVM
+    * (in-memory catalog, on-disk warehouse) otherwise fails the create
+    * with LOCATION_ALREADY_EXISTS.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int = 32): Unit =
+                    numBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    Fs.delete(s"$warehouse/$table",
+      spark.sparkContext.hadoopConfiguration, recursive = true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key. With matching
     * bucket counts the physical plan contains zero Exchange operators —
