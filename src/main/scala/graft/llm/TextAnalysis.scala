@@ -373,8 +373,8 @@ object TextAnalysis {
     * duplication-cluster or boilerplate signal — [[exactDedupKeep]] /
     * near-dup / [[graft.llm.Boilerplate]] territory, not passage
     * copying — and it is exactly the hot key that makes the self-join
-    * quadratic (measured: 48 s → under 1 s warm at sf0.1 dropping the
-    * cap from 1000 to 64 on a duplication-heavy corpus). The
+    * quadratic (measured bench-to-bench at sf0.1: 48 s → 7 s dropping
+    * the cap from 1000 to 64 on a duplication-heavy corpus). The
     * fingerprint table is computed once and released after the pairs
     * materialize.
     */
