@@ -59,6 +59,41 @@ object Temporal {
       .drop("_side")
   }
 
+  /** The custom-operator face of [[asofJoin]]: plans as the native
+    * [[graft.plans.AsofJoinExec]] merge scan instead of the
+    * union+window composition — same semantics (AsofJoinSpec asserts
+    * parity), but the scan holds ONE right row instead of a window
+    * frame and no union padding flows through the shuffle. Requires
+    * [[graft.plans.GraftExtensions]] on the session (the strategy must
+    * be registered or planning fails); same contracts as [[asofJoin]]
+    * (unique right (keys, ts), non-null keys).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+                     partitionCols: Seq[String], tsCol: String,
+                     payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val lp = PlanBridge.plan(left)
+    // isolate the right side behind a fresh alias projection: when both
+    // sides share lineage (the usual self-source case), re-analysis runs
+    // DeduplicateRelations, which re-ids the right subtree's attributes —
+    // references into the ORIGINAL right output would silently resolve
+    // to the left side and the right child would prune the key/ts
+    // columns away. The aliases' exprIds are ours and survive the
+    // rewrite (dedup rewrites their children, not their ids).
+    val rp0 = PlanBridge.plan(right)
+    val aliased = rp0.output.map(a => Alias(a, a.name)())
+    val rp = Project(aliased, rp0)
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    PlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsofJoinPlan.resolved(lp, rp,
+        partitionCols.map(attr(lp, _)), partitionCols.map(attr(rp, _)),
+        attr(lp, tsCol), attr(rp, tsCol), payloadCols.map(attr(rp, _))))
+  }
+
   /** Bounded range join as an EQUI join: pairs (left, right) sharing
     * the partition keys with `0 < right.ts - left.ts <= gapSeconds`,
     * returned as narrow id pairs plus the exact gap in microseconds.

@@ -651,6 +651,32 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- the same as-of join through the CUSTOM OPERATOR tier
+    //      (AsofJoinPlan → AsofJoinStrategy → AsofJoinExec merge scan,
+    //      registered via GraftExtensions) — identical oracle ----
+    "q_evt_asof_native" -> Q(
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.purchase_id, p.user_id, p.pts, v.view_id, v.vts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY p.purchase_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val ev = tb(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vts", col("ts"))
+      graft.core.Temporal.asofJoinNative(purchases, views,
+          Seq("user_id"), "ts", Seq("view_id", "vts"))
+        .select(col("purchase_id"), col("user_id"), col("ts").as("pts"),
+          col("view_id"), col("vts"))
+        .orderBy("purchase_id")
+    },
+
     // ---- bounded range join (Temporal.rangePairs): (click, error)
     //      pairs per user within 4 hours, binned into an EQUI join —
     //      the naive theta formulation plans as BroadcastNestedLoop. ----

@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** The custom-operator tier of the extension layer: a native AS-OF JOIN
+  * as a LogicalPlan node + SparkStrategy + SparkPlan, registered through
+  * [[GraftExtensions]]. Semantics match [[graft.core.Temporal.asofJoin]]
+  * exactly (ASOF LEFT: every left row gets the payload of the latest
+  * right row with `right.ts <= left.ts` on the same keys, or nulls):
+  * AsofJoinSpec asserts row-for-row parity on randomized inputs.
+  *
+  * Physical shape: both children hash-cluster on the join keys and sort
+  * within partitions by (keys, ts) — the same requirements SortMergeJoin
+  * declares, satisfied by EnsureRequirements with one Exchange per side —
+  * then a single forward merge scan pairs each left row with the held
+  * latest-prior right row. Versus the window-based composition this
+  * skips the union and the window buffer: no row ever carries null
+  * padding, and the scan holds ONE right row, not a frame.
+  *
+  * Right rows should be unique per (keys, ts) (pre-aggregate duplicates
+  * away as Temporal.asofJoin documents); with duplicates the last in
+  * sort order wins deterministically only if the sort is total. Null
+  * timestamps: right rows with null ts never match; left rows with null
+  * ts get null payloads.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute],
+    payloadOut: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+
+  // payloadOut attrs are produced HERE (fresh exprIds), not consumed —
+  // without this, CheckAnalysis counts them as missing input
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinPlan {
+  /** Build with fresh, nullable output attributes for the payload
+    * (unmatched left rows carry nulls).
+    */
+  def resolved(left: LogicalPlan, right: LogicalPlan,
+               leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+               leftTs: Attribute, rightTs: Attribute,
+               payload: Seq[Attribute]): AsofJoinPlan = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    Seq(leftTs, rightTs).foreach(a => require(
+      a.dataType == TimestampType || a.dataType == LongType,
+      s"as-of ts column ${a.name} must be timestamp or long, got ${a.dataType}"))
+    AsofJoinPlan(left, right, leftKeys, rightKeys, leftTs, rightTs, payload,
+      payload.map(a => a.withNullability(true).newInstance()))
+  }
+}
+
+/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsofJoinPlan =>
+      AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
+        p.payload, p.payloadOut, planLater(p.left), planLater(p.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    payload: Seq[Attribute], payloadOut: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lTsOrdinal = lOut.indexWhere(_.exprId == leftTs.exprId)
+    val rTsOrdinal = rOut.indexWhere(_.exprId == rightTs.exprId)
+    val keyTypes = leftKeys.map(_.dataType)
+    val lKeysLocal = leftKeys
+    val rKeysLocal = rightKeys
+    val payloadLocal = payload
+    val rWidth = rOut.size
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysLocal, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysLocal, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      // right-side input schema forced nullable: BindReferences takes
+      // nullability from the INPUT attribute, and the bound reader must
+      // null-check even non-nullable source columns because unmatched
+      // left rows read from the all-null pad row
+      val outProj = UnsafeProjection.create(
+        lOut ++ payloadLocal, lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rWidth)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // lookahead right row + its key (both copies: UnsafeProjection
+        // and the child iterator reuse their buffers)
+        private var nextR: InternalRow = _
+        private var nextRKey: UnsafeRow = _
+        private var nextRTsNull = false
+        private var nextRTs = 0L
+        advanceRight()
+        // held = latest right row with ts <= current left ts, same key
+        private var held: InternalRow = _
+        private var heldKey: UnsafeRow = _
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            nextR = r.copy()
+            nextRKey = rKeyProj(r).copy()
+            nextRTsNull = nextR.isNullAt(rTsOrdinal)
+            nextRTs = if (nextRTsNull) 0L else nextR.getLong(rTsOrdinal)
+          } else { nextR = null; nextRKey = null }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lTsNull = lRow.isNullAt(lTsOrdinal)
+          val lTs = if (lTsNull) 0L else lRow.getLong(lTsOrdinal)
+          // a held row from an earlier key group never matches again
+          if (held != null && keyOrd.compare(heldKey, lKey) != 0) held = null
+          // consume right rows that are behind or at this left position:
+          // smaller keys are permanently done (left is key-sorted);
+          // equal-key rows with ts <= lTs become the held match
+          var continue = nextR != null
+          while (continue) {
+            val kc = keyOrd.compare(nextRKey, lKey)
+            // null-ts right rows sort first (nulls-first ascending) and
+            // can never match — discard so they don't stall the scan
+            if (kc < 0 || (kc == 0 && nextRTsNull)) advanceRight()
+            else if (kc == 0 && !lTsNull && nextRTs <= lTs) {
+              held = nextR; heldKey = nextRKey
+              advanceRight()
+            } else continue = false
+            if (nextR == null) continue = false
+          }
+          val matched = held != null && !lTsNull
+          outProj(joined(lRow, if (matched) held else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}

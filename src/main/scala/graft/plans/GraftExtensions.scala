@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
@@ -65,5 +66,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(VecDotRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ VecDotRewrite
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
   }
 }
