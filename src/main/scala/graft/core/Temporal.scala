@@ -59,6 +59,50 @@ object Temporal {
       .drop("_side")
   }
 
+  /** Stepwise funnel analysis: for each entity, the first step-1 event,
+    * then the first step-2 event within `windowSeconds` at-or-after it,
+    * then the first step-3 after THAT, and so on. One row per entity
+    * that reached step 1: the step timestamps (`t1..tn`, null from the
+    * first broken step onward — later steps cannot out-run an earlier
+    * break by construction) and `reached`, the number of completed
+    * steps. The sequence operator (MATCH_RECOGNIZE's common case)
+    * Spark has no builtin for.
+    *
+    * Shape: one filtered min-aggregate per step plus an equi join on
+    * the entity key with the time-window residual — never a theta-only
+    * join (the range rides on the entity equi join), never a
+    * collect_list of the raw event stream (unbounded per entity — the
+    * bot-user hazard). Step count is typically 3-5, so the chain is a
+    * handful of narrow shuffles on the same key.
+    */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+             stepCol: String, steps: Seq[String],
+             windowSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val windowUs = windowSeconds * 1000000L
+    val first = events.filter(col(stepCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t${i + 1}"
+        val cur = s"t${i + 2}"
+        val nxt = events.filter(col(stepCol) === step)
+          .select(col(entityCol).as("_e"), col(tsCol).as("_ts"))
+        val carried = acc.columns.map(col)
+        acc.join(nxt,
+            col(entityCol) === col("_e") &&
+              unix_micros(col("_ts")) >= unix_micros(col(prev)) &&
+              unix_micros(col("_ts")) <= unix_micros(col(prev)) + windowUs,
+            "left")
+          .groupBy(carried: _*)
+          .agg(min(col("_ts")).as(cur))
+    }
+    val reached = (2 to steps.size)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    chained.withColumn("reached", reached)
+  }
+
   /** The custom-operator face of [[asofJoin]]: plans as the native
     * [[graft.plans.AsofJoinExec]] merge scan instead of the
     * union+window composition — same semantics (AsofJoinSpec asserts

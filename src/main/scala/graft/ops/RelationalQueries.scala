@@ -697,6 +697,35 @@ object RelationalQueries {
         .orderBy("click_id", "error_id")
     },
 
+    // ---- funnel analysis (Temporal.funnel): first view → first click
+    //      within 24h → first purchase within 24h of the click, per
+    //      user; the MATCH_RECOGNIZE-style sequence operator ----
+    "q_evt_funnel" -> Q(
+      """WITH v AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t1
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t2
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click'
+        |        AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(v.t1)
+        |        AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(v.t1) + 86400000000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, CAST(min(e.ts) AS TIMESTAMP) AS t3
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(c.t2)
+        |        AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(c.t2) + 86400000000
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t1, c.t2, p.t3,
+        |       CAST(1 + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT AS BIGINT) AS reached
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.funnel(tb(s, dir).events, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 86400L)
+        .orderBy("user_id")
+    },
+
     // ---- skew-salted aggregations (Skew two-phase): identical results
     //      to the direct groupBy, hot keys spread across `buckets`
     //      reducers in the first shuffle ----

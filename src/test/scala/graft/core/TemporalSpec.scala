@@ -58,6 +58,29 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === out.distinct().count())
   }
 
+  test("funnel: steps chain in order within the window; breaks stay broken") {
+    val ev = Seq(
+      // user 1: view → click (+1h) → purchase (+2h): full funnel
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 13:00:00")),
+      // user 2: click BEFORE the first view → step 2 unmatched, and its
+      // purchase (in window of nothing) must not count either
+      (4L, 2L, "click", ts("2024-01-01 08:00:00")),
+      (5L, 2L, "view", ts("2024-01-01 10:00:00")),
+      (6L, 2L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 3: view → click, but outside the 6h window
+      (7L, 3L, "view", ts("2024-01-01 00:00:00")),
+      (8L, 3L, "click", ts("2024-01-01 12:00:00")),
+      // user 4: never views → no funnel row at all
+      (9L, 4L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 6 * 3600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("rangePairs plans as an equi join, not BroadcastNestedLoop") {
     val evs = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("id", "user_id", "ts")
