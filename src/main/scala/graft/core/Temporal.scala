@@ -59,6 +59,34 @@ object Temporal {
       .drop("_side")
   }
 
+  /** Cohort retention matrix: entities grouped by the week of their
+    * FIRST event (the cohort), counted distinct per whole-week offset
+    * of later activity — the (cohort week, week offset, active count)
+    * triangle behind every retention chart. Week truncation is
+    * ISO-Monday on both engines; the offset is an exact integer
+    * (day-difference of two week-truncated dates div 7).
+    *
+    * Shape: one min-aggregate for first events, one distinct over
+    * (entity, week) — both partial/final on the entity key — a join on
+    * entity, and the final (cohort, offset) count-distinct. At scale
+    * the count-distinct shuffle carries (cohort, offset, entity) rows,
+    * bounded by active entity-weeks, not raw events.
+    */
+  def cohortRetention(events: DataFrame, entityCol: String,
+                      tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(entityCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort"))
+    val active = events
+      .select(col(entityCol),
+        date_trunc("week", col(tsCol)).cast("date").as("_wk"))
+      .distinct()
+    active.join(firsts, Seq(entityCol))
+      .withColumn("week_offset",
+        expr("datediff(_wk, cohort) div 7").cast("long"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
+
   /** Stepwise funnel analysis: for each entity, the first step-1 event,
     * then the first step-2 event within `windowSeconds` at-or-after it,
     * then the first step-3 after THAT, and so on. One row per entity

@@ -697,6 +697,23 @@ object RelationalQueries {
         .orderBy("click_id", "error_id")
     },
 
+    // ---- cohort retention (Temporal.cohortRetention): users by first-
+    //      activity week × whole-week offsets of later activity ----
+    "q_evt_cohort_retention" -> Q(
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |       CAST(datediff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM a JOIN f ON f.user_id = a.user_id
+        |GROUP BY f.cohort, week_offset ORDER BY cohort, week_offset""".stripMargin) {
+      (s, dir) =>
+        graft.core.Temporal.cohortRetention(tb(s, dir).events, "user_id", "ts")
+          .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+          .orderBy("cohort", "week_offset")
+    },
+
     // ---- funnel analysis (Temporal.funnel): first view → first click
     //      within 24h → first purchase within 24h of the click, per
     //      user; the MATCH_RECOGNIZE-style sequence operator ----

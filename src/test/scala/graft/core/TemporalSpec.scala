@@ -81,6 +81,26 @@ class TemporalSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("cohortRetention: cohorts by first week, exact week offsets") {
+    val ev = Seq(
+      // user 1 first active week of Jan 1 (Mon), returns 2 weeks later
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      // user 2 same cohort, active only that week (two events, one week)
+      (2L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-04 10:00:00")),
+      // user 3 joins the following week
+      (3L, ts("2024-01-09 10:00:00")))
+      .toDF("user_id", "ts")
+    val rows = Temporal.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows === Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+
   test("rangePairs plans as an equi join, not BroadcastNestedLoop") {
     val evs = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
       .toDF("id", "user_id", "ts")
