@@ -200,6 +200,40 @@ class PropertySpec extends SparkSpec {
     assert(got === expected, s"left=$ls right=$rs")
   }
 
+  test("property: funnel matches a per-entity brute-force chain") {
+    val steps = Seq("a", "b", "c")
+    val w = 100L // seconds
+    val gen = for {
+      n <- Gen.chooseNum(5, 80)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 5L)
+        t <- Gen.chooseNum(0L, 500L)
+        s <- Gen.oneOf(steps)
+      } yield (u, t, s))
+    } yield evs
+    val evs = sampleOne(gen)
+    val df = evs.toDF("user_id", "sec", "step")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = graft.core.Temporal.funnel(df, "user_id", "ts", "step",
+        steps, windowSeconds = w)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // driver-side chain: first 'a'; first 'b' in [t1, t1+w]; first 'c'
+    // in [t2, t2+w]
+    val byUser = evs.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      val t1 = rows.filter(_._3 == "a").map(_._2).minOption
+      t1.map { a =>
+        val t2 = rows.filter(r => r._3 == "b" && r._2 >= a && r._2 <= a + w)
+          .map(_._2).minOption
+        val t3 = t2.flatMap(b =>
+          rows.filter(r => r._3 == "c" && r._2 >= b && r._2 <= b + w)
+            .map(_._2).minOption)
+        u -> (1L + t2.size + t3.size)
+      }
+    }
+    assert(got === expected, s"events=$evs")
+  }
+
   test("property: latest-wins dedup keeps exactly one row per key, the newest") {
     val gen = for {
       nKeys <- Gen.chooseNum(1, 10)
