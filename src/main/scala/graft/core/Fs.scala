@@ -46,6 +46,19 @@ object Fs {
     fs.exists(p) && fs.delete(p, recursive)
   }
 
+  /** Checked rename (move): `FileSystem.rename` signals failure — missing
+    * source, existing destination, cross-filesystem move — by returning
+    * false rather than throwing, which lets a half-done directory swap
+    * pass silently. Callers that need move-or-die (LogStore.compact's
+    * swap protocol) use this wrapper, which throws on false.
+    */
+  def rename(src: String, dst: String, conf: Configuration): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    if (!s.getFileSystem(conf).rename(s, d))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
   /** Total bytes of the files directly under `dir`. */
   def dirBytes(dir: String, conf: Configuration): Long =
     listFiles(dir, conf).map(_.getLen).sum

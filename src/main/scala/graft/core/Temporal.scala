@@ -34,29 +34,41 @@ object Temporal {
     * with max_by/row_number (ties would otherwise resolve by window
     * order, which is deterministic here but a needless contract).
     * Payload columns must not collide with left column names.
+    *
+    * The payload travels as ONE struct, not per-column: right rows wrap
+    * `payloadCols` in a non-null struct (struct() is non-null even when
+    * every field is), so a single `last(ignoreNulls)` picks the latest
+    * right ROW atomically. Carrying columns independently would let a
+    * null payload VALUE back-fill from an older right row — and
+    * different columns from different rows — diverging from
+    * [[asofJoinNative]] and ASOF semantics.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                partitionCols: Seq[String], tsCol: String,
                payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftOnly = left.columns.filterNot(payloadCols.contains(_))
+    val payT = StructType(payloadCols.map(p => right.schema(p)))
     val l = left.select(
-      leftOnly.map(col) ++
-        payloadCols.map(p =>
-          lit(null).cast(right.schema(p).dataType).as(p)) :+
+      leftOnly.map(col) :+
+        lit(null).cast(payT).as("_asof_pay") :+
         lit(1).as("_side"): _*)
     val r = right.select(
       leftOnly.map(c =>
         if (partitionCols.contains(c) || c == tsCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(col) :+ lit(0).as("_side"): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_asof_pay") :+
+        lit(0).as("_side"): _*)
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payloadCols.foldLeft(l.unionByName(r)) { (d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("_asof_pay", last(col("_asof_pay"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_side")
+    payloadCols.foldLeft(carried) { (d, p) =>
+      d.withColumn(p, col("_asof_pay")(p))
+    }
+      .drop("_asof_pay", "_side")
   }
 
   /** Cohort retention matrix: entities grouped by the week of their

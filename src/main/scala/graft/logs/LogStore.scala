@@ -89,29 +89,32 @@ final case class LogStore(spark: SparkSession, dir: String) {
     *
     * Swap protocol (crash-safe): write `_compacted`, move live → `_old`
     * (checked), move `_compacted` → live (checked; on failure `_old` is
-    * restored), and only then delete `_old`. `Files.move` throws on
-    * failure — unlike `File.renameTo`, which silently returns false
-    * across filesystems — so a half-done swap can never pass unnoticed.
+    * restored), and only then delete `_old`. All moves go through
+    * [[graft.core.Fs.rename]] — the Hadoop FS API, so the one operation
+    * that bounds the MVCC window runs against HDFS/S3/file:// like every
+    * other metadata-plane call — and `Fs.rename` throws on the silent
+    * false that `FileSystem.rename` would otherwise return, so a
+    * half-done swap can never pass unnoticed.
     */
   def compact(table: String, keys: Seq[String]): Unit = writeLock.synchronized {
-    import java.nio.file.{Files, Paths}
+    val conf = spark.sparkContext.hadoopConfiguration
     val current = latest(table, keys).cache()
     current.count() // materialize before overwrite
     current.withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("overwrite").parquet(path(table) + "_compacted")
     current.unpersist()
-    val live = Paths.get(path(table))
-    val old = Paths.get(path(table) + "_old")
-    val compacted = Paths.get(path(table) + "_compacted")
-    Files.move(live, old)
-    try Files.move(compacted, live)
+    val live = path(table)
+    val old = path(table) + "_old"
+    val compacted = path(table) + "_compacted"
+    graft.core.Fs.rename(live, old, conf)
+    try graft.core.Fs.rename(compacted, live, conf)
     catch {
       case e: java.io.IOException =>
-        Files.move(old, live) // restore: table dir never stays missing
+        graft.core.Fs.rename(old, live, conf) // table dir never stays missing
         throw new java.io.IOException(
           s"compact($table): swap failed, original table restored", e)
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    graft.core.Fs.delete(old, conf, recursive = true)
   }
 }
 

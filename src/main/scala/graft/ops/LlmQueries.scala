@@ -309,7 +309,7 @@ object LlmQueries {
         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cb
         |      FROM t)
-        |SELECT source, doc_id, n_tokens, cb // 256 AS bin
+        |SELECT source, doc_id, n_tokens, CAST(cb // 256 AS BIGINT) AS bin
         |FROM c ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.packByBudget(tb(s, dir).documents, "source", "doc_id",
           "text", 256L)

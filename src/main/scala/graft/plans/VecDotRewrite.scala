@@ -45,6 +45,21 @@ object VecDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A multiply operand, precision-aware: for double elements the bare
+    * variable is fine (the HOF already multiplies in double), but for
+    * FLOAT elements a bare `x * y` multiplies in float — each product
+    * rounds to float (and can overflow to Inf) before the double fold —
+    * while VecDot widens BOTH operands first. Requiring the explicit
+    * Cast-to-double on float operands keeps the rewrite bit-identical
+    * (Ann.dot emits the casts; a bare float multiply keeps the builtin).
+    */
+  private def isMulVar(e: Expression, v: NamedLambdaVariable,
+                       elemIsDouble: Boolean): Boolean = e match {
+    case nv: NamedLambdaVariable => elemIsDouble && nv.exprId == v.exprId
+    case Cast(nv: NamedLambdaVariable, DoubleType, _, _) => nv.exprId == v.exprId
+    case _ => false
+  }
+
   private def sameNumericElem(a: Expression, b: Expression): Boolean =
     (a.dataType, b.dataType) match {
       case (ArrayType(x @ (FloatType | DoubleType), _), ArrayType(y, _)) => x == y
@@ -62,8 +77,14 @@ object VecDotRewrite extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fe: NamedLambdaVariable,
               Seq(f: NamedLambdaVariable), _))
-          if zero.value == 0.0 &&
-            (isVar(xe, x) && isVar(ye, y) || isVar(xe, y) && isVar(ye, x)) &&
+          if zero.value == 0.0 && {
+            val dbl = a.dataType match {
+              case ArrayType(DoubleType, _) => true
+              case _ => false
+            }
+            isMulVar(xe, x, dbl) && isMulVar(ye, y, dbl) ||
+              isMulVar(xe, y, dbl) && isMulVar(ye, x, dbl)
+          } &&
             (isVar(ae, acc) && isVar(ve, v) || isVar(ae, v) && isVar(ve, acc)) &&
             fe.exprId == f.exprId &&
             sameNumericElem(a, b) =>

@@ -31,6 +31,21 @@ class TemporalSpec extends SparkSpec {
       10L -> Some(101L), 11L -> Some(100L), 12L -> None, 13L -> Some(200L)))
   }
 
+  test("asofJoin carries the latest right ROW atomically under null payload values") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:00:00"), Some("a"), Some("x")),
+      // latest right row: v is NULL — it must surface as null, not
+      // back-fill from the older row (and w must come from THIS row)
+      (7L, ts("2024-01-01 09:30:00"), None: Option[String], Some("y")))
+      .toDF("user_id", "ts", "v", "w")
+    val r = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("v", "w"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("v")))
+    assert(r.getAs[String]("w") === "y")
+  }
+
   test("rangePairs emits each in-gap pair exactly once with exact gaps") {
     val clicks = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),

@@ -38,6 +38,19 @@ class LogStoreSpec extends SparkSpec {
     assert(store.latest("t", Seq("id")).select("v").as[String].collect().head === "c")
   }
 
+  test("compact swaps through the Hadoop FS API: green against a file:// URI") {
+    // the swap must not assume java.nio local paths — an hdfs:// or
+    // s3a:// log directory goes through the same Fs.rename protocol
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsuri_").toFile
+    dir.deleteOnExit()
+    val store = LogStore(spark, "file://" + dir.getPath)
+    store.append("t", Seq((1L, "a")).toDF("id", "v"))
+    store.update("t", Seq((1L, "b")).toDF("id", "v"))
+    store.compact("t", Seq("id"))
+    assert(store.history("t").count() === 1)
+    assert(store.latest("t", Seq("id")).select("v").as[String].collect().head === "b")
+  }
+
   test("latestOrEmpty on a missing table returns an empty frame with schema") {
     val store = freshStore()
     val df = store.latestOrEmpty("nope", Seq("id"), graft.model.SchemaRegistry.syncFile)

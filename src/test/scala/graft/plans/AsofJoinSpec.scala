@@ -71,6 +71,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(out === Map(1L -> Some(3L), 4L -> None))
   }
 
+  test("window face matches native when payload VALUES are null (row atomicity)") {
+    GraftExtensions.register(spark)
+    val left = Seq((1L, 7L, ts(100)), (2L, 7L, ts(70)))
+      .toDF("l_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts(50), Some(50L), Some("a")),
+      (7L, ts(80), None: Option[Long], Some("b"))) // newest row, null payload col
+      .toDF("user_id", "ts", "r_sec", "tag")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toSet
+    val native = Temporal.asofJoinNative(left, right,
+      Seq("user_id"), "ts", Seq("r_sec", "tag"))
+    val window = Temporal.asofJoin(left, right,
+      Seq("user_id"), "ts", Seq("r_sec", "tag"))
+    // l_id=1 sees the ts(80) row ATOMICALLY: r_sec null (no back-fill
+    // from ts(50)), tag "b"; l_id=2 sees the ts(50) row
+    assert(collect(native) === Set(
+      (1L, None, Some("b")), (2L, Some(50L), Some("a"))))
+    assert(collect(window) === collect(native))
+  }
+
   test("null timestamps: right never matches, left gets null payload") {
     GraftExtensions.register(spark)
     val left = Seq(

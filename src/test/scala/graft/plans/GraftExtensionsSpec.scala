@@ -80,6 +80,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sums.collect().head.getDouble(0) === 18.0)
   }
 
+  test("VecDotRewrite skips bare float multiplies (float-precision fold)") {
+    GraftExtensions.register(spark)
+    val df = parquetDF("vdrw3",
+      Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b"))
+    // bare x*y over array<float> multiplies in FLOAT — each product
+    // rounds (or overflows to Inf) before the double fold, while VecDot
+    // widens both operands first: not bit-identical, must not fire
+    val bare = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    assert(!bare.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(bare.collect().head.getDouble(0) === 11.0)
+    // the cast form (Ann.dot emits it) still rewrites on float arrays
+    val cast = df.select(graft.llm.Ann.dot(col("a"), col("b")).as("d"))
+    assert(cast.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(cast.collect().head.getDouble(0) === 11.0)
+  }
+
   test("descriptor rejects wrong arity at build time") {
     val (_, _, builder) = GraftExtensions.vecDotDescriptor
     intercept[IllegalArgumentException] {
