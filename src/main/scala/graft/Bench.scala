@@ -42,29 +42,66 @@ object Bench {
       GraftSession.releaseAll(spark)
     }
 
+    // self-diagnosis instrumentation: per-query GC time and peak heap
+    // (ManagementFactory beans) separate a plan regression from an
+    // environmentally degraded run — BENCH_r05 recorded 657.8s where the
+    // identical binary measured 109.2s warm, and nothing in the artifact
+    // could prove which side was at fault. gc_ms ≈ sec means the JVM was
+    // memory-starved, not the operator slow.
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def gcNow(): Long = gcBeans.asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+
     // stable ordering for readable diffs between rounds; storage released
     // between queries (outside the timed region) so each timing is
     // independent of what the alphabetically-earlier queries left cached
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      heapPools.foreach(p => try p.resetPeakUsage()
+        catch { case _: Throwable => () })
+      val g0 = gcNow()
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcNow() - g0
+      val peakMb = heapPools.map(p =>
+        Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum / (1024L * 1024L)
       GraftSession.releaseAll(spark)
-      (name, sec, outcome)
+      (name, sec, outcome, gcMs, peakMb)
     }
     def fmt(v: Double): String = f"$v%.3f"
-    def line(rs: Seq[(String, Double, Option[String])]): String = {
+    def line(rs: Seq[(String, Double, Option[String], Long, Long)]): String = {
       val qs = rs.map {
-        case (k, v, None) => s""""${esc(k)}":${fmt(v)}"""
-        case (k, _, Some(err)) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
+        case (k, v, None, _, _) => s""""${esc(k)}":${fmt(v)}"""
+        case (k, _, Some(err), _, _) => s""""${esc(k)}":{"err":"${esc(err)}"}"""
       }.mkString("{", ",", "}")
       val total = results.filter(_._3.isEmpty).map(_._2).sum
       val nErr = results.count(_._3.nonEmpty)
       s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"queries":$qs,"sf":"${esc(sfDir)}""""
     }
+
+    // environment snapshot + per-query gc/heap detail: lets a reader of
+    // bench_full.json alone attribute a slow run to contention (high
+    // load_avg, low free mem, gc_ms ≈ wall time) vs a real regression
+    def envBlock(): String = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val rt = Runtime.getRuntime
+      val (freeMb, totalMb) = os match {
+        case o: com.sun.management.OperatingSystemMXBean =>
+          (o.getFreeMemorySize / (1024L * 1024L),
+            o.getTotalMemorySize / (1024L * 1024L))
+        case _ => (-1L, -1L)
+      }
+      s""""env":{"load_avg":${fmt(os.getSystemLoadAverage)},"cpus":${rt.availableProcessors},"jvm_max_heap_mb":${rt.maxMemory / (1024L * 1024L)},"sys_free_mem_mb":$freeMb,"sys_total_mem_mb":$totalMb,"total_gc_ms":${gcNow()}}"""
+    }
+    def detailBlock(rs: Seq[(String, Double, Option[String], Long, Long)]): String =
+      rs.map { case (k, v, _, gc, peak) =>
+        s""""${esc(k)}":{"sec":${fmt(v)},"gc_ms":$gc,"peak_heap_mb":$peak}"""
+      }.mkString("\"detail\":{", ",", "}")
 
     // full per-query detail goes to a FILE (COVERAGE.md ledger source);
     // stdout gets a HEADLINE subset only. The harness that consumes this
@@ -75,7 +112,8 @@ object Bench {
     // under 1 KB; `value` stays the total over ALL queries.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      ("{" + line(results) + "}\n").getBytes("UTF-8"))
+      ("{" + line(results) + "," + detailBlock(results) + "," + envBlock() +
+        "}\n").getBytes("UTF-8"))
     val headline = Vector(
       "q_a4_group_count", "q_j1_selfjoin_heal", "q_w1_rownumber_dedup",
       "q_s16_staged_delete", "q_f7_mask_nested_json",
