@@ -110,10 +110,11 @@ object Curation {
     *  - language: per-lang hit mass over the token multiset, winner by
     *    (hits desc, lang asc) via an ascending strictly-greater fold;
     *    zero hits → "und";
-    *  - top_token_n: max per-token multiplicity, via nested HOFs over
-    *    the distinct tokens (O(distinct·n) interpreted per doc — fine
-    *    for natural documents; the batch [[curate]] path uses the
-    *    shuffle aggregate instead);
+    *  - top_token_n: max per-token multiplicity, via array_sort + a
+    *    single run-length fold (O(n log n) per doc — a pathological
+    *    10⁵-token document costs a sort, not the O(distinct·n) blowup
+    *    a nested count-each-distinct HOF would; the batch [[curate]]
+    *    path uses the shuffle aggregate instead);
     *  - score: n_tokens + 2·sw_hits − 3·punct, all integers.
     *
     * Returns (idCol, textCol) rows passing all three gates. Documents
@@ -134,10 +135,22 @@ object Curation {
     }
     val swHits = size(filter(col("_toks"),
       t => t.isin(TextAnalysis.stopwordProfiles.map(_._2).distinct: _*)))
+    // max multiplicity = longest equal-run in the sorted token array.
+    // The fold carries (prev, run, best); tokens are never "" (the
+    // tokenizer drops empties), so the seed prev never matches.
+    val sortedToks = array_sort(col("_toks"))
     val topTok = coalesce(
-      array_max(transform(array_distinct(col("_toks")),
-        t => size(filter(col("_toks"), x => x === t)))),
-      lit(0))
+      aggregate(
+        sortedToks,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, t) => {
+          val run = when(t === acc("prev"), acc("run") + lit(1L))
+            .otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")),
+      lit(0L))
     toked
       .withColumn("_n_toks", size(col("_toks")))
       .withColumn("_score",

@@ -57,6 +57,25 @@ class CurateStreamSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (8L, 1L)))
   }
 
+  test("pureGates: 100k-token pathological docs complete in bounded time") {
+    // worst case for a count-each-distinct top-token formulation:
+    // 100k DISTINCT tokens (O(distinct*n) = 1e10 comparisons would hang);
+    // the run-length fold pays one array sort instead
+    val allDistinct = (0 until 100000).map(i => s"t$i").mkString(" ")
+    val repetitive = ("spam " * 99999) + "the" // 100k tokens, top=99999
+    val normal = "the quick fox is a fast runner and the slow dog naps"
+    val docs = Seq((1L, allDistinct), (2L, repetitive), (3L, normal))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val ids = graft.llm.Curation.pureGates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val sec = (System.nanoTime() - t0) / 1e9
+    // 1 drops (no stopword hit -> "und"); 2 drops (repetition gate)
+    assert(ids === Set(3L))
+    assert(sec < 60.0,
+      f"pureGates took $sec%.1f s on 100k-token docs — top-token path must stay O(n log n)")
+  }
+
   test("empty benchmark decontaminates nothing") {
     val docs = Seq(
       (1L, "the quick fox is a fast runner and the slow dog naps")
