@@ -54,7 +54,10 @@ object Pipeline {
       // warehouse parquet. Escape hatch for parity with the reference's
       // Postgres data plane — parquet remains the default/benchmarked path.
       jdbcUrl: Option[String] = None,
-      jdbcOptions: Map[String, String] = Map.empty)
+      jdbcOptions: Map[String, String] = Map.empty,
+      // run-scoped entity catalog (SchemaRegistry.load for a config
+      // overlay — the reference's live information_schema lookup analog)
+      registry: SchemaRegistry.EntityRegistry = SchemaRegistry.default)
 
   final case class RunResult(
       logId: String,
@@ -65,13 +68,11 @@ object Pipeline {
       recordsIngested: Long,
       recordsQuarantined: Long)
 
-  private val dsdPrefixes = SchemaRegistry.dsdFamilies
-
   /** S3+P5+O1: the work-list scan. `dsdMode` selects the complementary
     * prefix predicate (dsd_loader.py:251-260 vs file_loader.py:247-255).
     */
   def worklist(syncFile: DataFrame, cfg: Config): DataFrame = {
-    val prefixMatch = dsdPrefixes
+    val prefixMatch = cfg.registry.dsdFamilies
       .map(p => lower(col("decrypted_file_name")).startsWith(p))
       .reduce(_ || _)
     val base = syncFile
@@ -160,7 +161,7 @@ object Pipeline {
       val raw = JsonSource.readInferred(spark, files.map(_._4).toSeq)
       val withProv = Stages.stampProvenanceFromPath(
         Stages.emptyToNull(
-          Stages.entityTransforms(stagingTable)(
+          Stages.entityTransforms(stagingTable, cfg.registry)(
             Stages.dropAllNull(raw))), loadTime)
       // cache the PARENT frame once: valid/bad are complementary filters
       // of it, so caching them separately would scan the JSON twice (the

@@ -68,22 +68,28 @@ object Stages {
     c.isNotNull && from_json(c, MapType(StringType, StringType)).isNull
 
   /** F7 applied to the hts_client `extra` struct<type,value>. */
-  def maskExtra(df: DataFrame, extraCol: String = "extra"): DataFrame =
+  def maskExtra(df: DataFrame, extraCol: String = "extra",
+                piiKeys: Seq[String] = SchemaRegistry.nestedPiiKeys): DataFrame =
     df.withColumn(extraCol, struct(
       col(s"$extraCol.type").as("type"),
-      maskJsonString(col(s"$extraCol.value")).as("value")))
+      maskJsonString(col(s"$extraCol.value"), piiKeys).as("value")))
 
-  /** Entity-specific transform dispatch (file_loader.py:595-621). */
-  def entityTransforms(stagingTable: String)(df: DataFrame): DataFrame =
-    stagingTable match {
-      case "stg_biometric" =>
-        excludeColumns(df, SchemaRegistry.biometricExcluded)
-      case "stg_hts_client" => maskExtra(df)
-      case t => SchemaRegistry.flatPiiColumns.get(t) match {
-        case Some(cols) => maskFlat(df, cols)
-        case None       => df
-      }
-    }
+  /** Entity-specific transform dispatch (file_loader.py:595-621), driven
+    * by the run's [[SchemaRegistry.EntityRegistry]]: column exclusion
+    * first, then nested masking for the hts_client payload entity, then
+    * per-table flat masking — a novel entity gets its transforms purely
+    * from config.
+    */
+  def entityTransforms(stagingTable: String,
+                       reg: SchemaRegistry.EntityRegistry = SchemaRegistry.default)
+                      (df: DataFrame): DataFrame = {
+    val excluded = reg.excludedColumns.get(stagingTable)
+      .fold(df)(excludeColumns(df, _))
+    if (stagingTable == "stg_hts_client")
+      maskExtra(excluded, piiKeys = reg.nestedPiiKeys)
+    else reg.flatPiiColumns.get(stagingTable)
+      .fold(excluded)(maskFlat(excluded, _))
+  }
 
   // ---- F8: date-column detection + validation split ----
 

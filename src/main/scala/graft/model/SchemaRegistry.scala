@@ -8,11 +8,113 @@ import org.apache.spark.sql.types._
   * `StructType`s. At 100 TB scale a catalog round-trip per file is a
   * non-starter; schemas are compiled in (or loaded once per run).
   *
+  * The once-per-run path is [[SchemaRegistry.load]]: a JSON resource
+  * merged ADDITIVELY over the compiled-in defaults, restoring the
+  * reference's add-a-table-without-code operational property (a new
+  * entity = a new catalog row there; a new config entry here) while
+  * keeping per-file cost at zero. [[SchemaRegistry.default]] is the
+  * static registry; every consumer threads an [[EntityRegistry]] with
+  * that default, so existing call sites are unchanged.
+  *
   * PG→Spark type mapping per SURVEY.md §1.2 (the reference's
   * `convert_postgresql_to_sqlalchemy`, `file_loader.py:562-580`, collapses
   * integer widths and numerics to Float — we keep full fidelity).
   */
 object SchemaRegistry {
+
+  /** The run-scoped entity catalog: everything the ingestion/maintenance
+    * planes know about a staging entity. Loaded once per run (driver
+    * side, O(config) not O(files)); defaults to the compiled-in values.
+    *
+    *  - `stagingTables`: the deletion/report allowlist (the reference's
+    *    44-table list, stg_records_deletion_process.py:36-49);
+    *  - `dsdFamilies`: record-skip loader families (dsd_loader.py:255-259);
+    *  - `flatPiiColumns`: per-table flat mask lists (file_loader.py:608-621);
+    *  - `nestedPiiKeys`: keys masked inside nested JSON payloads
+    *    (file_loader.py:523-536);
+    *  - `excludedColumns`: per-table pre-load column drops
+    *    (file_loader.py:600-603, generalized beyond stg_biometric);
+    *  - `entitySchemas`: optional typed StructTypes for schema'd reads
+    *    (JsonSource.readEntityBatch) keyed by staging table.
+    */
+  final case class EntityRegistry(
+      stagingTables: Seq[String],
+      dsdFamilies: Seq[String],
+      flatPiiColumns: Map[String, Seq[String]],
+      nestedPiiKeys: Seq[String],
+      excludedColumns: Map[String, Seq[String]],
+      entitySchemas: Map[String, StructType])
+
+  /** Compiled-in registry (the reference's production catalog state). */
+  lazy val default: EntityRegistry = EntityRegistry(
+    stagingTables = stagingTables,
+    dsdFamilies = dsdFamilies,
+    flatPiiColumns = flatPiiColumns,
+    nestedPiiKeys = nestedPiiKeys,
+    excludedColumns = Map("stg_biometric" -> biometricExcluded),
+    entitySchemas = Map.empty)
+
+  /** Parse a registry-overlay JSON document and merge it over
+    * [[default]]. Merge is ADDITIVE: list fields append (deduped),
+    * map fields override per key, `nestedPiiKeys` replaces only when
+    * present. Schemas are Spark DDL strings
+    * (`"id BIGINT, name STRING"` → `StructType.fromDDL`). Example:
+    *
+    * {{{
+    * { "stagingTables": ["stg_new_entity"],
+    *   "flatPiiColumns": {"stg_new_entity": ["phone_number"]},
+    *   "excludedColumns": {"stg_new_entity": ["internal_notes"]},
+    *   "entitySchemas": {"stg_new_entity": "id BIGINT, phone_number STRING, visit_date STRING"} }
+    * }}}
+    *
+    * json4s ships on the Spark classpath; no extra dependency.
+    */
+  def fromJson(json: String): EntityRegistry = {
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(json)
+    def strings(field: String): Seq[String] = root \ field match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _          => Seq.empty
+    }
+    def stringMap(field: String): Map[String, Seq[String]] = root \ field match {
+      case JObject(fs) => fs.collect {
+        case (k, JArray(vs)) => k -> vs.collect { case JString(s) => s }
+      }.toMap
+      case _ => Map.empty
+    }
+    def ddlMap(field: String): Map[String, StructType] = root \ field match {
+      case JObject(fs) => fs.collect {
+        case (k, JString(ddl)) => k -> StructType.fromDDL(ddl)
+      }.toMap
+      case _ => Map.empty
+    }
+    val d = default
+    EntityRegistry(
+      stagingTables = (d.stagingTables ++ strings("stagingTables")).distinct,
+      dsdFamilies = (d.dsdFamilies ++ strings("dsdFamilies")).distinct,
+      flatPiiColumns = d.flatPiiColumns ++ stringMap("flatPiiColumns"),
+      nestedPiiKeys = root \ "nestedPiiKeys" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _          => d.nestedPiiKeys
+      },
+      excludedColumns = d.excludedColumns ++ stringMap("excludedColumns"),
+      entitySchemas = d.entitySchemas ++ ddlMap("entitySchemas"))
+  }
+
+  /** Load a registry overlay from a file path via the Hadoop FS API —
+    * file://, hdfs://, s3a:// all work, like every other metadata-plane
+    * read. One driver-side read per run.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): EntityRegistry = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      fromJson(out.toString("UTF-8"))
+    } finally in.close()
+  }
 
   /** PG catalog type name → Spark type (file_loader.py:562-580 analog). */
   def pgToSpark(pgType: String): DataType = pgType.toLowerCase match {
