@@ -124,7 +124,8 @@ object Bench {
       "q_ann_ivf_topk", "q_llm_lang_id", "q_mm_decode_features",
       "q_stream_sessionize", "q_llm_curation_e2e", "q_llm_winnow",
       "q_llm_simhash_near_dup", "q_llm_dup_ngrams", "q_llm_tfidf_keywords",
-      "q_evt_asof_join", "q_evt_asof_native", "q_evt_range_join")
+      "q_evt_asof_join", "q_evt_asof_native", "q_evt_range_join",
+      "q_evt_seq_match")
     val headlineSet = headline.toSet
     // errored non-headline queries are surfaced too: an error must never
     // be hidden by the headline filter

@@ -143,6 +143,98 @@ object Temporal {
     chained.withColumn("reached", reached)
   }
 
+  /** MATCH_RECOGNIZE-style ordered-sequence extraction with NEGATION —
+    * the temporal query class [[funnel]] can't express: "A then B then C,
+    * WITHOUT X between A and B, all within W of the first A".
+    *
+    * Semantics (deterministic, greedy-chain):
+    *  - `t1` = each entity's FIRST `steps(0)` event;
+    *  - `t{i+1}` = the first `steps(i)` event STRICTLY after `t_i` and
+    *    within `windowSeconds` of `t1` (overall window, the
+    *    MATCH_RECOGNIZE `WITHIN` clause — [[funnel]] keeps the per-gap
+    *    window, so the two operators complement each other);
+    *  - gap `i` (between `t_i` and `t_{i+1}`) with an entry in
+    *    `negations` BREAKS if any banned-type event falls STRICTLY
+    *    between the two timestamps; a broken gap nulls `t_{i+1}` and,
+    *    by propagation, every later step.
+    *
+    * Greedy chaining is EXHAUSTIVE here, not a heuristic: the earliest
+    * next-step candidate is clean iff any candidate is (a banned event
+    * before candidate B precedes every later candidate too), and taking
+    * the earliest maximizes the remaining window — so "greedy found no
+    * match" ⟺ "no match exists". SequenceMatchSpec property-tests this
+    * against a per-entity brute force over all candidate chains.
+    *
+    * Output: one row per entity that has a step-1 event — `t1..tn`,
+    * `reached` (completed step count), `matched` (reached == n).
+    *
+    * Scale shape: identical to [[funnel]] — one filtered min-aggregate
+    * per step plus per-gap negation probes, every join an equi join on
+    * the entity key with the range as residual; no collect_list, no
+    * theta-only join. `maxEventsPerEntity` is the bot cap (same prefix
+    * semantics as Sessionize.capUserEvents, (ts, step) order): a
+    * million-event bot contributes a bounded slice to every stage.
+    */
+  def sequenceMatch(events: DataFrame, entityCol: String, tsCol: String,
+                    stepCol: String, steps: Seq[String],
+                    windowSeconds: Long,
+                    negations: Map[Int, Seq[String]] = Map.empty,
+                    maxEventsPerEntity: Option[Int] = None): DataFrame = {
+    require(steps.size >= 2, "a sequence needs at least 2 steps")
+    require(negations.keySet.forall(g => g >= 1 && g < steps.size),
+      s"negation gaps must be in [1, ${steps.size - 1}]")
+    val tsType = events.schema(tsCol).dataType
+    val relevantTypes = (steps ++ negations.values.flatten).distinct
+    val relevant0 = events
+      .filter(col(stepCol).isin(relevantTypes: _*))
+      .select(col(entityCol), col(tsCol), col(stepCol))
+    val relevant = maxEventsPerEntity.fold(relevant0) { cap =>
+      val w = Window.partitionBy(col(entityCol))
+        .orderBy(col(tsCol).asc, col(stepCol).asc)
+      relevant0.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= cap).drop("_rn")
+    }
+    val windowUs = windowSeconds * 1000000L
+    val first = relevant.filter(col(stepCol) === steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t${i + 1}"
+        val cur = s"t${i + 2}"
+        val cand = relevant.filter(col(stepCol) === step)
+          .select(col(entityCol).as("_e"), col(tsCol).as("_ts"))
+        val carried = acc.columns.map(col)
+        val stepped = acc.join(cand,
+            col(entityCol) === col("_e") &&
+              unix_micros(col("_ts")) > unix_micros(col(prev)) &&
+              unix_micros(col("_ts")) <= unix_micros(col("t1")) + windowUs,
+            "left")
+          .groupBy(carried: _*)
+          .agg(min(col("_ts")).as(cur))
+        negations.get(i + 1).fold(stepped) { banned =>
+          val neg = relevant.filter(col(stepCol).isin(banned: _*))
+            .select(col(entityCol).as("_ne"), col(tsCol).as("_nts"))
+          val carried2 = stepped.columns.map(col)
+          stepped.join(neg,
+              col(entityCol) === col("_ne") &&
+                unix_micros(col("_nts")) > unix_micros(col(prev)) &&
+                unix_micros(col("_nts")) < unix_micros(col(cur)),
+              "left")
+            .groupBy(carried2: _*)
+            .agg(count(col("_nts")).as("_nneg"))
+            .withColumn(cur,
+              when(col("_nneg") > 0, lit(null).cast(tsType))
+                .otherwise(col(cur)))
+            .drop("_nneg")
+        }
+    }
+    val reached = (2 to steps.size)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    chained.withColumn("reached", reached)
+      .withColumn("matched", col("reached") === lit(steps.size.toLong))
+  }
+
   /** The custom-operator face of [[asofJoin]]: plans as the native
     * [[graft.plans.AsofJoinExec]] merge scan instead of the
     * union+window composition — same semantics (AsofJoinSpec asserts

@@ -743,6 +743,54 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // ---- MATCH_RECOGNIZE-style sequence extraction with negation
+    //      (Temporal.sequenceMatch): signup → view → purchase within 7
+    //      days of signup, NO error between view and purchase, bot cap
+    //      50 relevant events/user (prefix in (ts, type) order) ----
+    "q_evt_seq_match" -> Q(
+      """WITH rel0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn
+        |              FROM events
+        |              WHERE event_type IN ('signup','view','purchase','error')),
+        |rel AS (SELECT user_id, ts, event_type FROM rel0 WHERE rn <= 50),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM rel
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT r.user_id, min(r.ts) AS t2
+        |       FROM rel r JOIN s1 ON s1.user_id = r.user_id
+        |       WHERE r.event_type = 'view'
+        |         AND epoch_us(r.ts) > epoch_us(s1.t1)
+        |         AND epoch_us(r.ts) <= epoch_us(s1.t1) + 604800000000
+        |       GROUP BY r.user_id),
+        |s3r AS (SELECT r.user_id, min(r.ts) AS t3
+        |        FROM rel r JOIN s2 ON s2.user_id = r.user_id
+        |                   JOIN s1 ON s1.user_id = r.user_id
+        |        WHERE r.event_type = 'purchase'
+        |          AND epoch_us(r.ts) > epoch_us(s2.t2)
+        |          AND epoch_us(r.ts) <= epoch_us(s1.t1) + 604800000000
+        |        GROUP BY r.user_id),
+        |nneg AS (SELECT s2.user_id, count(n.ts) AS n
+        |         FROM s2 JOIN s3r ON s3r.user_id = s2.user_id
+        |         LEFT JOIN rel n ON n.user_id = s2.user_id
+        |              AND n.event_type = 'error'
+        |              AND epoch_us(n.ts) > epoch_us(s2.t2)
+        |              AND epoch_us(n.ts) < epoch_us(s3r.t3)
+        |         GROUP BY s2.user_id),
+        |fin AS (SELECT s1.user_id, s1.t1, s2.t2,
+        |               CASE WHEN coalesce(nneg.n, 0) > 0 THEN NULL ELSE s3r.t3 END AS t3
+        |        FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |                LEFT JOIN s3r ON s3r.user_id = s1.user_id
+        |                LEFT JOIN nneg ON nneg.user_id = s1.user_id)
+        |SELECT user_id, t1, t2, t3,
+        |       CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS reached,
+        |       (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT) = 3 AS matched
+        |FROM fin ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.sequenceMatch(tb(s, dir).events, "user_id", "ts",
+          "event_type", Seq("signup", "view", "purchase"),
+          windowSeconds = 604800L, negations = Map(2 -> Seq("error")),
+          maxEventsPerEntity = Some(50))
+        .orderBy("user_id")
+    },
+
     // ---- skew-salted aggregations (Skew two-phase): identical results
     //      to the direct groupBy, hot keys spread across `buckets`
     //      reducers in the first shuffle ----

@@ -234,6 +234,59 @@ class PropertySpec extends SparkSpec {
     assert(got === expected, s"events=$evs")
   }
 
+  test("property: sequenceMatch matches brute force; greedy chaining is exhaustive") {
+    val steps = Seq("a", "b", "c")
+    val w = 100L // seconds, overall window from t1
+    val gen = for {
+      n <- Gen.chooseNum(5, 80)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 5L)
+        t <- Gen.chooseNum(0L, 300L)
+        s <- Gen.oneOf(Seq("a", "b", "c", "x"))
+      } yield (u, t, s))
+    } yield evs
+    val evs = sampleOne(gen)
+    val df = evs.toDF("user_id", "sec", "step")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = graft.core.Temporal.sequenceMatch(df, "user_id", "ts", "step",
+        steps, windowSeconds = w, negations = Map(1 -> Seq("x")))
+      .collect().map { r =>
+        def t(i: Int) = if (r.isNullAt(i)) None
+          else Some(r.getTimestamp(i).getTime / 1000L)
+        r.getLong(0) -> (t(1), t(2), t(3), r.getLong(4), r.getBoolean(5))
+      }.toMap
+    // driver-side greedy chain, the documented semantics: first 'a'; first
+    // 'b' STRICTLY after t1 within [_, t1+w], nulled if an 'x' falls
+    // strictly between t1 and it; first 'c' strictly after t2 within the
+    // SAME overall window
+    val byUser = evs.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      rows.filter(_._3 == "a").map(_._2).minOption.map { a =>
+        val t2 = rows.filter(r => r._3 == "b" && r._2 > a && r._2 <= a + w)
+          .map(_._2).minOption
+          .filter(b => !rows.exists(r => r._3 == "x" && r._2 > a && r._2 < b))
+        val t3 = t2.flatMap(b =>
+          rows.filter(r => r._3 == "c" && r._2 > b && r._2 <= a + w)
+            .map(_._2).minOption)
+        val reached = 1L + t2.size + t3.size
+        u -> (Some(a), t2, t3, reached, reached == 3L)
+      }
+    }
+    assert(got === expected, s"events=$evs")
+    // greedy is EXHAUSTIVE: matched ⟺ an existential clean chain exists
+    byUser.foreach { case (u, rows) =>
+      rows.filter(_._3 == "a").map(_._2).minOption.foreach { a =>
+        val existential = rows
+          .filter(r => r._3 == "b" && r._2 > a && r._2 <= a + w).map(_._2)
+          .exists(b =>
+            !rows.exists(r => r._3 == "x" && r._2 > a && r._2 < b) &&
+              rows.exists(r => r._3 == "c" && r._2 > b && r._2 <= a + w))
+        assert(got(u)._5 === existential,
+          s"greedy vs existential diverged for user $u: $rows")
+      }
+    }
+  }
+
   test("property: latest-wins dedup keeps exactly one row per key, the newest") {
     val gen = for {
       nKeys <- Gen.chooseNum(1, 10)

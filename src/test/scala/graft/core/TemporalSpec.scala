@@ -96,6 +96,54 @@ class TemporalSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("sequenceMatch: negation breaks a gap; overall window binds; cap drops bot tail") {
+    val ev = Seq(
+      // user 1: a(10:00) → b(11:00) → c(12:00), clean → matched
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "b", ts("2024-01-01 11:00:00")),
+      (1L, "c", ts("2024-01-01 12:00:00")),
+      // user 2: x strictly between a and first b → gap 1 broken; the c
+      // after must NOT count (propagation)
+      (2L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "x", ts("2024-01-01 10:30:00")),
+      (2L, "b", ts("2024-01-01 11:00:00")),
+      (2L, "c", ts("2024-01-01 12:00:00")),
+      // user 3: b only OUTSIDE the overall 3h window from t1
+      (3L, "a", ts("2024-01-01 10:00:00")),
+      (3L, "b", ts("2024-01-01 14:00:00")),
+      // user 4: x at exactly t2 (not strictly between) → still clean
+      (4L, "a", ts("2024-01-01 10:00:00")),
+      (4L, "x", ts("2024-01-01 11:00:00")),
+      (4L, "b", ts("2024-01-01 11:00:00")),
+      (4L, "c", ts("2024-01-01 11:30:00")))
+      .toDF("user_id", "step", "ts")
+    val out = Temporal.sequenceMatch(ev, "user_id", "ts", "step",
+        Seq("a", "b", "c"), windowSeconds = 3 * 3600L,
+        negations = Map(1 -> Seq("x")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(out === Map(
+      1L -> (3L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (3L, true)))
+
+    // bot cap: user 5's 'a' is beyond the first 3 events in (ts, step)
+    // order, so the capped run never sees a step-1 event for it
+    val bot = Seq(
+      (5L, "x", ts("2024-01-01 09:00:00")),
+      (5L, "x", ts("2024-01-01 09:10:00")),
+      (5L, "x", ts("2024-01-01 09:20:00")),
+      (5L, "a", ts("2024-01-01 10:00:00")),
+      (5L, "b", ts("2024-01-01 10:30:00")),
+      (6L, "a", ts("2024-01-01 10:00:00")),
+      (6L, "b", ts("2024-01-01 10:30:00")),
+      (6L, "c", ts("2024-01-01 10:45:00")))
+      .toDF("user_id", "step", "ts")
+    val capped = Temporal.sequenceMatch(bot, "user_id", "ts", "step",
+        Seq("a", "b", "c"), windowSeconds = 3600L,
+        negations = Map(1 -> Seq("x")), maxEventsPerEntity = Some(3))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(capped === Map(6L -> true)) // user 5 filtered entirely
+  }
+
   test("cohortRetention: cohorts by first week, exact week offsets") {
     val ev = Seq(
       // user 1 first active week of Jan 1 (Mon), returns 2 weeks later
@@ -114,6 +162,16 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-01", 0L) -> 2L,
       ("2024-01-01", 2L) -> 1L,
       ("2024-01-08", 0L) -> 1L))
+  }
+
+  test("sequenceMatch plans as equi joins, not BroadcastNestedLoop") {
+    val ev = Seq((1L, "a", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "step", "ts")
+    val plan = Temporal.sequenceMatch(ev, "user_id", "ts", "step",
+        Seq("a", "b", "c"), 3600L, Map(1 -> Seq("x")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"sequence joins must ride the entity equi key:\n$plan")
   }
 
   test("rangePairs plans as an equi join, not BroadcastNestedLoop") {
