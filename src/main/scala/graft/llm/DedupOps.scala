@@ -241,6 +241,58 @@ object DedupOps {
     out
   }
 
+  /** SemDeDup-style SEMANTIC deduplication: partition the corpus with
+    * the IVF coarse quantizer's k-means cells ([[Ivf.fit]] — the
+    * clustered locality that hyperplane buckets approximate), then
+    * inside each cell drop every vector that has a LOWER-id neighbor
+    * with cosine ≥ `threshold`. Returns one row per vector:
+    * (idCol, cell, keep) — `keep=false` rows are the semantic dups a
+    * curation pipeline removes (arXiv:2303.09540's recipe, with the
+    * engine's keep-lowest-id convention from [[exactDedupKeep]]).
+    *
+    * The drop rule is per-PAIR, not a transitive closure: a kept doc is
+    * one with no smaller-id near-neighbor in its cell, matching
+    * SemDeDup's practice of thresholding within clusters (cross-cluster
+    * near-dups are the quantizer's recall loss, same as IVF search).
+    * Deterministic end-to-end (deterministic k-means + round(cos,4)),
+    * so the whole pipeline is SQL-expressible — q_llm_semantic_dedup
+    * carries the full fit+dedup DuckDB oracle.
+    *
+    * Scale shape: the pair join keys on `cell` — Σ cell² work, the same
+    * envelope as every bucketed candidate generator here; k sizes the
+    * cells (k ≈ n/targetCellWidth keeps expected width constant, the
+    * [[deriveBits]] argument in cluster form). Ids-only rows go through
+    * the join; vectors attach once per side. A skewed cell (one giant
+    * semantic cluster) is the hazard — raise k or pre-split hot cells
+    * the way blockedPairs re-splits wide blocks.
+    */
+  def semanticDedup(df: DataFrame, index: Ivf.Index, idCol: String,
+                    vecCol: String, threshold: Double = 0.95): DataFrame = {
+    val assigned = df.join(index.assignments, idCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+    // ids-only candidate join (each id lives in exactly ONE cell, so the
+    // pairs are already unique — no dedup shuffle); vectors re-attach
+    // once per side, the embeddingNearDups discipline
+    val idsA = assigned.select(col("cell"), col(idCol).as("id1"))
+    val idsB = assigned.select(col("cell"), col(idCol).as("id2"))
+    val pairs = idsA.join(idsB, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val vecs = df.select(col(idCol),
+      col(vecCol).as("_v"), Ann.l2norm(col(vecCol)).as("_n"))
+    val drops = pairs
+      .join(vecs.select(col(idCol).as("id1"), col("_v").as("v1"), col("_n").as("n1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col("_v").as("v2"), col("_n").as("n2")), "id2")
+      .withColumn("cosine",
+        round(Ann.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell").cast("long").as("cell"))
+      .join(drops.withColumn("_drop", lit(true)), Seq(idCol), "left")
+      .withColumn("keep", col("_drop").isNull)
+      .drop("_drop")
+  }
+
   /** Distinct (id, token-md5) rows — the vote source for both SimHash
     * widths.
     */

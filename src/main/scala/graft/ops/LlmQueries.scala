@@ -1027,6 +1027,50 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- SemDeDup-style semantic dedup: IVF k-means cells (same
+    //      deterministic fit as q_ann_ivf_topk, oracle unrolls the 2
+    //      Lloyd iterations) → within-cell cosine ≥ τ → drop every
+    //      vector with a smaller-id near neighbor ----
+    "q_llm_semantic_dedup" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |          FROM af a JOIN af b ON b.cell = a.cell AND a.vec_id < b.vec_id),
+         |cos AS (SELECT p.id1, p.id2,
+         |               round(sum(x.v * y.v) / (max(nx.nrm) * max(ny.nrm)), 4) AS cosine
+         |        FROM pairs p JOIN e x ON x.vec_id = p.id1
+         |             JOIN e y ON y.vec_id = p.id2 AND y.i = x.i
+         |             JOIN vn nx ON nx.vec_id = p.id1
+         |             JOIN vn ny ON ny.vec_id = p.id2
+         |        GROUP BY p.id1, p.id2),
+         |drops AS (SELECT DISTINCT id2 FROM cos WHERE cosine >= 0.4)
+         |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell,
+         |       (d.id2 IS NULL) AS keep
+         |FROM af LEFT JOIN drops d ON d.id2 = af.vec_id
+         |ORDER BY af.vec_id""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      DedupOps.semanticDedup(emb, index, "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
     // ---- multimodal: binary payload metadata extraction ----
     "q_mm_binary_meta" -> Q(
       """SELECT doc_id,

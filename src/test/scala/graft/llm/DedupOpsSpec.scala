@@ -84,6 +84,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("semanticDedup keeps the lowest id of each within-cell near-dup group") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)),
+      (2L, v(0.999, 0.01, 0, 0)),  // semantic dup of 1
+      (3L, v(0, 1, 0, 0)),         // distinct direction → kept
+      (4L, v(0.999, 0.011, 0, 0)), // dup of 1 and 2
+      (5L, v(0, 0.999, 0.01, 0))   // dup of 3
+    ).toDF("vec_id", "embedding")
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    // near-dup directions always share a cell (identical argmax), so the
+    // keep map is clustering-independent: drop iff a smaller-id near
+    // neighbor co-locates
+    val out = DedupOps.semanticDedup(emb, index, "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+    index.unpersist()
+  }
+
   test("blockedPairs: width guard bounds candidates on a pathological same-length corpus") {
     // 3000 docs all sharing one blocking value: unguarded equality
     // blocking forms C(3000,2) ≈ 4.5M pairs; with maxBlock=64 the block
