@@ -154,6 +154,36 @@ object TextAnalysis {
         (col("df_docs") + 1).cast("double")))
   }
 
+  /** Rare-token profile — the CCNet/Gopher-family "rare word fraction"
+    * quality signal with EXACT integer arithmetic end-to-end: per
+    * document, the total token count, the count of tokens whose corpus
+    * document-frequency is ≤ `maxDf` (the OOV/typo/noise proxy), and
+    * that ratio in basis points via integer division — no doubles, so
+    * the oracle compare is exact with no ULP/rounding hazard.
+    *
+    * Zero-token documents produce no row (nothing to measure), matching
+    * [[repetitionStats]]. Two token explosions (one per aggregate
+    * pyramid: per-doc counts and corpus df) — at scale, pre-aggregate
+    * the (doc, token, count) frame once and feed both, the
+    * [[graft.llm.Curation]] fusion.
+    *
+    * Shuffle shape: (doc, token, count) aggregation rows, a token-keyed
+    * join against the df table (itself an aggregate — partial/final on
+    * both sides), one final per-doc aggregate. Never raw text through a
+    * shuffle.
+    */
+  def rareTokenProfile(df: DataFrame, idCol: String, textCol: String,
+                       maxDf: Long = 2L): DataFrame = {
+    val tc = explodeTokens(df, textCol, "t", col(idCol))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val docDf = tc.groupBy(col("t")).agg(count(lit(1)).as("_df"))
+    tc.join(docDf, "t")
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("_df") <= maxDf, col("c")).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_bp", expr("n_rare * 10000 div n_tokens"))
+  }
+
   /** Per-document repetition stats — the Gopher-family quality rules
     * that gate heavily templated/spammy text out of a training corpus:
     * total tokens, distinct tokens, the most-frequent token's count and

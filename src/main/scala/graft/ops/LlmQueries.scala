@@ -218,6 +218,25 @@ object LlmQueries {
         .orderBy(col("df_docs").desc, col("token")).limit(100)
     },
 
+    // ---- rare-token (OOV-proxy) quality profile: corpus df ≤ 2 rows
+    //      counted per doc, ratio in basis points by INTEGER division —
+    //      no doubles anywhere, exact cross-engine compare ----
+    "q_llm_rare_tokens" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |             FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |ddf AS (SELECT t, count(*) AS dfd FROM tc GROUP BY t)
+        |SELECT tc.doc_id,
+        |  CAST(sum(tc.c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN ddf.dfd <= 2 THEN tc.c ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN ddf.dfd <= 2 THEN tc.c ELSE 0 END) * 10000
+        |       // sum(tc.c) AS BIGINT) AS rare_bp
+        |FROM tc JOIN ddf ON ddf.t = tc.t
+        |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.rareTokenProfile(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- Gopher-style repetition stats (training-corpus quality gate) ----
     "q_llm_repetition" -> Q(
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),

@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rareTokenProfile: integer-exact rare counts and basis points") {
+    val docs = Seq(
+      (1L, "common common rare1"), // rare1 df=1
+      (2L, "common zz common"),    // zz df=1
+      (3L, "common"),              // common df=3 → never rare at maxDf=1
+      (4L, "   ")).toDF("doc_id", "text") // zero tokens → no row
+    val out = TextAnalysis.rareTokenProfile(docs, "doc_id", "text", maxDf = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1L, 3333L)), // 1/3 rare → floor(10000/3)
+      2L -> ((3L, 1L, 3333L)),
+      3L -> ((1L, 0L, 0L))))
+  }
+
   test("docFrequency counts docs per token once and carries corpus size") {
     val docs = Seq(
       (1L, "the fox the fox jumps"),
