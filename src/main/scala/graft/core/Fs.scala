@@ -59,7 +59,37 @@ object Fs {
       throw new java.io.IOException(s"rename $src -> $dst failed")
   }
 
+  /** Crash-safe in-place directory replacement: move `live` → `_old`
+    * (checked), move `compacted` → `live` (checked; on failure `_old`
+    * is restored so the live path never stays missing), then delete
+    * `_old`. The swap protocol shared by LogStore.compact and
+    * Maintenance.compactStagingTable — all Hadoop FS, object-store
+    * portable.
+    */
+  def swapInPlace(live: String, compacted: String, conf: Configuration): Unit = {
+    val old = live + "_old"
+    rename(live, old, conf)
+    try rename(compacted, live, conf)
+    catch {
+      case e: java.io.IOException =>
+        rename(old, live, conf) // restore: live path never stays missing
+        throw new java.io.IOException(
+          s"swap of $live failed, original directory restored", e)
+    }
+    delete(old, conf, recursive = true)
+    ()
+  }
+
   /** Total bytes of the files directly under `dir`. */
   def dirBytes(dir: String, conf: Configuration): Long =
     listFiles(dir, conf).map(_.getLen).sum
+
+  /** Total bytes under `dir`, descending into subdirectories (the
+    * partitioned-table layout). Driver-side metadata RPCs, O(listing).
+    */
+  def dirBytesRecursive(dir: String, conf: Configuration): Long =
+    list(dir, conf).map { s =>
+      if (s.isDirectory) dirBytesRecursive(s.getPath.toString, conf)
+      else s.getLen
+    }.sum
 }

@@ -87,14 +87,13 @@ final case class LogStore(spark: SparkSession, dir: String) {
   /** Compact a log table to its current versions (bounds window input;
     * run periodically like the reference's dedup DELETE).
     *
-    * Swap protocol (crash-safe): write `_compacted`, move live → `_old`
-    * (checked), move `_compacted` → live (checked; on failure `_old` is
-    * restored), and only then delete `_old`. All moves go through
-    * [[graft.core.Fs.rename]] — the Hadoop FS API, so the one operation
-    * that bounds the MVCC window runs against HDFS/S3/file:// like every
-    * other metadata-plane call — and `Fs.rename` throws on the silent
-    * false that `FileSystem.rename` would otherwise return, so a
-    * half-done swap can never pass unnoticed.
+    * Swap protocol (crash-safe): write `_compacted`, then
+    * [[graft.core.Fs.swapInPlace]] — checked Hadoop-FS renames with
+    * restore-on-failure, so the one operation that bounds the MVCC
+    * window runs against HDFS/S3/file:// like every other
+    * metadata-plane call, and a half-done swap can never pass
+    * unnoticed (`Fs.rename` throws on the silent false
+    * `FileSystem.rename` would otherwise return).
     */
   def compact(table: String, keys: Seq[String]): Unit = writeLock.synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -103,18 +102,7 @@ final case class LogStore(spark: SparkSession, dir: String) {
     current.withColumn("_version_ts", lit(LogStore.nextVersion()))
       .write.mode("overwrite").parquet(path(table) + "_compacted")
     current.unpersist()
-    val live = path(table)
-    val old = path(table) + "_old"
-    val compacted = path(table) + "_compacted"
-    graft.core.Fs.rename(live, old, conf)
-    try graft.core.Fs.rename(compacted, live, conf)
-    catch {
-      case e: java.io.IOException =>
-        graft.core.Fs.rename(old, live, conf) // table dir never stays missing
-        throw new java.io.IOException(
-          s"compact($table): swap failed, original table restored", e)
-    }
-    graft.core.Fs.delete(old, conf, recursive = true)
+    graft.core.Fs.swapInPlace(path(table), path(table) + "_compacted", conf)
   }
 }
 

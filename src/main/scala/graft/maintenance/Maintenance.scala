@@ -100,6 +100,36 @@ object Maintenance {
     hits
   }
 
+  /** Small-file compaction for a staging-table directory. Every
+    * micro-batch append leaves at least one parquet file per run (more
+    * under the facility-partitioned layout), so a table ingested hourly
+    * for a year accumulates thousands of near-empty files and every
+    * scan pays the per-file open/list cost — the data-plane twin of the
+    * LogStore MVCC compaction. Rewrites the directory to
+    * ≈`targetFileBytes` files (coalesce — a width reduction, no
+    * shuffle), preserving a Hive-partitioned layout when `partitionBy`
+    * is set, then swaps in place with the crash-safe
+    * [[graft.core.Fs.swapInPlace]] protocol. Returns the file-count
+    * target it wrote with.
+    *
+    * Like LogStore, cross-process concurrency is out of contract: run
+    * it from the single maintenance driver (the reference's cron), not
+    * concurrently with an ingest into the same table.
+    */
+  def compactStagingTable(spark: SparkSession, tableDir: String,
+                          partitionBy: Option[String] = None,
+                          targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = graft.core.Fs.dirBytesRecursive(tableDir, conf)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(tableDir).coalesce(nFiles)
+    val writer = df.write.mode("overwrite")
+    partitionBy.fold(writer)(c => writer.partitionBy(c))
+      .parquet(tableDir + "_compacted")
+    graft.core.Fs.swapInPlace(tableDir, tableDir + "_compacted", conf)
+    nFiles
+  }
+
   /** S7: export a quarantine table to CSV
     * (automate_table_extraction.py:64-66).
     */

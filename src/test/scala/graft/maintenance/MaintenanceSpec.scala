@@ -81,6 +81,37 @@ class MaintenanceSpec extends SparkSpec {
       === Seq("stg_a_bad_dates", "stg_b_bad_dates"))
   }
 
+  test("staging compaction: many small appends collapse, rows and layout survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stgcomp_").toFile
+    root.deleteOnExit()
+    val flat = new java.io.File(root, "stg_t").getPath
+    // 12 micro-batch appends → ≥12 parquet files
+    (1 to 12).foreach(i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(flat))
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(flat) >= 12)
+    val n = Maintenance.compactStagingTable(spark, flat)
+    assert(n === 1) // tiny table → one target file
+    assert(parquetFiles(flat) === 1)
+    assert(spark.read.parquet(flat).count() === 12)
+
+    // partitioned layout: partition dirs survive the rewrite
+    val part = new java.io.File(root, "stg_p").getPath
+    (1 to 6).foreach(i =>
+      Seq((i.toLong, s"FAC${i % 2}")).toDF("id", "fac")
+        .coalesce(1).write.mode("append").partitionBy("fac").parquet(part))
+    Maintenance.compactStagingTable(spark, part, partitionBy = Some("fac"))
+    val back = spark.read.parquet(part)
+    assert(back.count() === 6)
+    assert(back.select("fac").distinct().count() === 2)
+    assert(parquetFiles(part) <= 2) // one per partition after compaction
+  }
+
   test("S14: deleteFiles removes encrypted+decrypted pairs, one result per file") {
     val root = java.nio.file.Files.createTempDirectory("graft_del_").toFile
     val fac = new java.io.File(root, "FAC1"); fac.mkdirs()
