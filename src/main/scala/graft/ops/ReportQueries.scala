@@ -194,6 +194,56 @@ object ReportQueries {
         .orderBy("user_id", "start_us")
     },
 
+    // ---- streaming CEP sequence detection (flatMapGroupsWithState) ----
+    // Batch face of SequenceStream.detect: with empty initial state each
+    // entity's whole history is one sorted group, so the output is
+    // exactly sequenceMatch(...).filter(matched) — the completed chains
+    // (signup → view → purchase within 7 days, no error between view
+    // and purchase). Cross-micro-batch emission is SequenceStreamSpec's.
+    "q_stream_seq_match" -> Q(
+      """WITH rel AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |             FROM events
+        |             WHERE event_type IN ('signup','view','purchase','error')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM rel
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT r.user_id, min(r.ts) AS t2
+        |       FROM rel r JOIN s1 ON s1.user_id = r.user_id
+        |       WHERE r.event_type = 'view'
+        |         AND epoch_us(r.ts) > epoch_us(s1.t1)
+        |         AND epoch_us(r.ts) <= epoch_us(s1.t1) + 604800000000
+        |       GROUP BY r.user_id),
+        |s3r AS (SELECT r.user_id, min(r.ts) AS t3
+        |        FROM rel r JOIN s2 ON s2.user_id = r.user_id
+        |                   JOIN s1 ON s1.user_id = r.user_id
+        |        WHERE r.event_type = 'purchase'
+        |          AND epoch_us(r.ts) > epoch_us(s2.t2)
+        |          AND epoch_us(r.ts) <= epoch_us(s1.t1) + 604800000000
+        |        GROUP BY r.user_id),
+        |nneg AS (SELECT s2.user_id, count(n.ts) AS n
+        |         FROM s2 JOIN s3r ON s3r.user_id = s2.user_id
+        |         LEFT JOIN rel n ON n.user_id = s2.user_id
+        |              AND n.event_type = 'error'
+        |              AND epoch_us(n.ts) > epoch_us(s2.t2)
+        |              AND epoch_us(n.ts) < epoch_us(s3r.t3)
+        |         GROUP BY s2.user_id)
+        |SELECT s1.user_id, epoch_us(s1.t1) AS t1_us,
+        |       epoch_us(s2.t2) AS t2_us, epoch_us(s3r.t3) AS t3_us
+        |FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+        |        JOIN s3r ON s3r.user_id = s1.user_id
+        |        LEFT JOIN nneg ON nneg.user_id = s1.user_id
+        |WHERE coalesce(nneg.n, 0) = 0
+        |ORDER BY s1.user_id""".stripMargin) { (s, dir) =>
+      graft.streaming.SequenceStream.detect(tb(s, dir).events, "user_id",
+          "ts", "event_type", Seq("signup", "view", "purchase"),
+          windowSeconds = 604800L, negations = Map(2 -> Seq("error")))
+        .toDF()
+        .select(col("entity").as("user_id"),
+          element_at(col("ts_us"), 1).as("t1_us"),
+          element_at(col("ts_us"), 2).as("t2_us"),
+          element_at(col("ts_us"), 3).as("t3_us"))
+        .orderBy("user_id")
+    },
+
     // ---- stateful streaming dedup (flatMapGroupsWithState) ----
     // Batch face of StreamDedup.firstSeen: with empty initial state every
     // key is "first seen", so the output is exactly the per-hash

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming CEP face of [[graft.core.Temporal.sequenceMatch]]: detect
+  * "A then B then C, without X between, within W of the first A" as a
+  * continuously-maintained operator. Keyed by entity via
+  * `flatMapGroupsWithState`; the state is the greedy chain progress
+  * (matched step timestamps + a broken flag), ~(n_steps+1)·8 bytes per
+  * TRACKED entity, hash-partitioned by the groupByKey shuffle. An
+  * entity's match is emitted exactly once — on the micro-batch where
+  * the final step lands — even when the steps arrive hours apart.
+  *
+  * Semantics match the batch operator's documented greedy chain
+  * (provably exhaustive, see sequenceMatch): events are processed in
+  * (ts, step-before-banned) order — the tie rule that makes a banned
+  * event at EXACTLY the next step's timestamp non-breaking, like the
+  * batch strict-betweens. Within a micro-batch the group iterator is
+  * sorted; ACROSS batches events must arrive per-entity in event-time
+  * order (the standard CEP watermark contract — a late earlier-step
+  * event after the chain advanced is ignored). On a BATCH DataFrame the
+  * same code sees each entity's whole history as one sorted group, so
+  * the output is exactly `sequenceMatch(...).filter(matched)` — which
+  * is what the q_stream_seq_match DuckDB oracle checks.
+  *
+  * Bot-cap note: apply Sessionize.capUserEvents upstream if needed; the
+  * operator itself holds only the chain state, never the event stream.
+  */
+object SequenceStream {
+
+  final case class Ev(entity: Long, ts_us: Long, step: String, is_step: Int)
+  final case class SeqState(ts: Seq[Long], broken: Boolean)
+  final case class SeqMatch(entity: Long, ts_us: Seq[Long])
+
+  private implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+  private implicit val stEnc: Encoder[SeqState] = Encoders.product[SeqState]
+  private implicit val outEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** Works on both a streaming and a batch DataFrame (same plan, state
+    * empty in batch). Emits one [[SeqMatch]] per entity that completes
+    * all `steps`, carrying the matched timestamps in epoch micros.
+    */
+  def detect(df: DataFrame, entityCol: String, tsCol: String,
+             stepCol: String, steps: Seq[String], windowSeconds: Long,
+             negations: Map[Int, Seq[String]] = Map.empty): Dataset[SeqMatch] = {
+    require(steps.size >= 2, "a sequence needs at least 2 steps")
+    require(negations.keySet.forall(g => g >= 1 && g < steps.size),
+      s"negation gaps must be in [1, ${steps.size - 1}]")
+    val windowUs = windowSeconds * 1000000L
+    val relevantTypes = (steps ++ negations.values.flatten).distinct
+    val keyed = df
+      .filter(col(stepCol).isin(relevantTypes: _*))
+      .select(col(entityCol).cast("long").as("entity"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(stepCol).as("step"),
+        // step events sort BEFORE banned-only events at equal ts: the
+        // batch strict-between means a banned event tied with the next
+        // step's timestamp does not break the gap
+        when(col(stepCol).isin(steps: _*), 0).otherwise(1)
+          .as("is_step"))
+      .as[Ev]
+    keyed.groupByKey(_.entity)
+      .flatMapGroupsWithState[SeqState, SeqMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (entity: Long, it: Iterator[Ev], state) =>
+          val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.is_step, e.step))
+          var st = state.getOption.getOrElse(SeqState(Seq.empty, broken = false))
+          var emit: Option[SeqMatch] = None
+          evs.foreach { e =>
+            val k = st.ts.length
+            if (!st.broken && k < steps.length) {
+              if (k == 0) {
+                if (e.step == steps.head) st = SeqState(Seq(e.ts_us), broken = false)
+              } else if (e.ts_us > st.ts.last) {
+                if (e.step == steps(k) && e.ts_us <= st.ts.head + windowUs) {
+                  st = SeqState(st.ts :+ e.ts_us, broken = false)
+                  if (st.ts.length == steps.length)
+                    emit = Some(SeqMatch(entity, st.ts))
+                } else if (negations.getOrElse(k, Seq.empty).contains(e.step)) {
+                  st = SeqState(st.ts, broken = true)
+                }
+              }
+            }
+          }
+          state.update(st)
+          emit.iterator
+      }
+  }
+}

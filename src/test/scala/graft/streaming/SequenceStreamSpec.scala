@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class SequenceStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val steps = Seq("a", "b", "c")
+  private val neg = Map(1 -> Seq("x"))
+
+  test("streaming: a chain completing across micro-batches emits exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val ev = input.toDF().toDF("user_id", "step", "ts")
+    val q = SequenceStream.detect(ev, "user_id", "ts", "step",
+        steps, windowSeconds = 4 * 3600L, negations = neg)
+      .writeStream.format("memory").queryName("seq_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 reaches a→b; user 2 gets a then a banned x
+      input.addData(
+        (1L, "a", ts("2024-01-01 10:00:00")),
+        (1L, "b", ts("2024-01-01 10:30:00")),
+        (2L, "a", ts("2024-01-01 10:00:00")),
+        (2L, "x", ts("2024-01-01 10:15:00")))
+      q.processAllAvailable()
+      assert(spark.table("seq_out").count() === 0) // nothing complete yet
+
+      // batch 2: user 1 completes; user 2's b/c arrive but the chain is
+      // broken — no emission ever
+      input.addData(
+        (1L, "c", ts("2024-01-01 11:00:00")),
+        (2L, "b", ts("2024-01-01 10:30:00")),
+        (2L, "c", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("seq_out")
+        .select(col("entity"), col("ts_us")).as[(Long, Seq[Long])]
+        .collect().toMap
+      assert(got.keySet === Set(1L))
+      assert(got(1L).length === 3 && got(1L) === got(1L).sorted)
+
+      // batch 3: a second full chain for user 1 must NOT re-emit
+      input.addData(
+        (1L, "a", ts("2024-01-01 12:00:00")),
+        (1L, "b", ts("2024-01-01 12:10:00")),
+        (1L, "c", ts("2024-01-01 12:20:00")))
+      q.processAllAvailable()
+      assert(spark.table("seq_out").count() === 1)
+    } finally q.stop()
+  }
+
+  test("batch face equals sequenceMatch(...).filter(matched)") {
+    val rnd = new scala.util.Random(7)
+    val evs = (1 to 300).map { i =>
+      (rnd.nextInt(12).toLong,
+        Seq("a", "b", "c", "x")(rnd.nextInt(4)),
+        new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L))
+    }
+    val df = evs.toDF("user_id", "step", "ts")
+    val stream = SequenceStream.detect(df, "user_id", "ts", "step",
+        steps, windowSeconds = 200L, negations = neg)
+      .collect().map(m => m.entity -> m.ts_us.toSeq).toMap
+    val batch = graft.core.Temporal.sequenceMatch(df, "user_id", "ts", "step",
+        steps, windowSeconds = 200L, negations = neg)
+      .filter(col("matched"))
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).map(i =>
+          r.getTimestamp(i).getTime * 1000L).toSeq
+      }.toMap
+    assert(stream === batch, s"events=$evs")
+  }
+}
