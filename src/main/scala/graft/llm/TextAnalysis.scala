@@ -274,6 +274,28 @@ object TextAnalysis {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group IQR-fence outlier flags — the Tukey rule (outside
+    * [p25 − 1.5·IQR, p75 + 1.5·IQR]) over an integer value column,
+    * with EXACT integer arithmetic: both sides scale by 2, so the
+    * comparison is `2·v < 2·p25 − 3·IQR` / `2·v > 2·p75 + 3·IQR` and no
+    * fractional fence ever materializes. Quartiles are the DISCRETE
+    * percentiles from [[valueProfile]]'s histogram (one narrow row per
+    * (group, distinct value) through the window, never the corpus).
+    * The per-group bounds are a group-count-sized frame — broadcast to
+    * the flagging join, so the corpus pass is map-side.
+    */
+  def outlierFlags(df: DataFrame, groupCol: String, idCol: String,
+                   valCol: String): DataFrame = {
+    val bounds = valueProfile(df, groupCol, valCol, Seq(25, 75))
+      .select(col(groupCol), col("p25"), col("p75"))
+    df.select(col(idCol), col(groupCol), col(valCol))
+      .join(broadcast(bounds), groupCol)
+      .withColumn("is_outlier",
+        col(valCol) * 2 < col("p25") * 2 - (col("p75") - col("p25")) * 3 ||
+          col(valCol) * 2 > col("p75") * 2 + (col("p75") - col("p25")) * 3)
+      .select(col(idCol), col(groupCol), col(valCol), col("is_outlier"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the `m` highest tf·idf
     * tokens per document (smoothed idf = ln((N+1)/(df+1)), the
     * [[docFrequency]] convention), ranked with a lexicographic token

@@ -294,6 +294,31 @@ object LlmQueries {
         .orderBy("source")
     },
 
+    // ---- Tukey IQR-fence outliers per source (discrete quartiles from
+    //      the value histogram; fences compared at 2x scale so the
+    //      arithmetic stays exact-integer) ----
+    "q_llm_outlier_docs" -> Q(
+      """WITH hist AS (SELECT source, n_chars, count(*) AS c
+        |              FROM documents GROUP BY source, n_chars),
+        |cum AS (SELECT source, n_chars, c,
+        |          sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cm,
+        |          sum(c) OVER (PARTITION BY source) AS n
+        |        FROM hist),
+        |b AS (SELECT source,
+        |        min(CASE WHEN cm * 100 >= n * 25 THEN n_chars END) AS p25,
+        |        min(CASE WHEN cm * 100 >= n * 75 THEN n_chars END) AS p75
+        |      FROM cum GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       (d.n_chars * 2 < b.p25 * 2 - (b.p75 - b.p25) * 3
+        |        OR d.n_chars * 2 > b.p75 * 2 + (b.p75 - b.p25) * 3) AS is_outlier
+        |FROM documents d JOIN b ON b.source = d.source
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.outlierFlags(tb(s, dir).documents, "source", "doc_id",
+          "n_chars")
+        .select("doc_id", "source", "n_chars", "is_outlier")
+        .orderBy("doc_id")
+    },
+
     // ---- context-window chunking (64-token chunks, 8-token overlap):
     //      map-side slice algebra, no shuffle; chunk text checksummed
     //      via md5 so the full strings never cross the compare ----

@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("outlierFlags: Tukey fences flag far values, exact at integer quartiles") {
+    // group g: values 10,10,12,12,100 → p25=10, p75=12, IQR=2,
+    // fences [7, 15] → only 100 flagged
+    val rows = Seq(
+      (1L, "g", 10L), (2L, "g", 10L), (3L, "g", 12L), (4L, "g", 12L),
+      (5L, "g", 100L),
+      // single-value group: IQR 0 → nothing flagged
+      (6L, "h", 5L), (7L, "h", 5L))
+      .toDF("id", "grp", "v")
+    val out = TextAnalysis.outlierFlags(rows, "grp", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true, 6L -> false, 7L -> false))
+  }
+
   test("rareTokenProfile: integer-exact rare counts and basis points") {
     val docs = Seq(
       (1L, "common common rare1"), // rare1 df=1
