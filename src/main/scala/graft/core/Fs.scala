@@ -62,12 +62,28 @@ object Fs {
   /** Crash-safe in-place directory replacement: move `live` → `_old`
     * (checked), move `compacted` → `live` (checked; on failure `_old`
     * is restored so the live path never stays missing), then delete
-    * `_old`. The swap protocol shared by LogStore.compact and
+    * `_old` (checked). The swap protocol shared by LogStore.compact and
     * Maintenance.compactStagingTable — all Hadoop FS, object-store
     * portable.
+    *
+    * Entry guard: a STALE `_old` from a prior crash is resolved first —
+    * `FileSystem.rename` into an existing directory silently NESTS the
+    * source as a child (and returns true), so without the guard the
+    * "checked" rename would pass and a later restore could reinstate
+    * stale data as the live table. If `live` exists the stale `_old` is
+    * leftover from a completed-but-uncleaned swap → delete it; if
+    * `live` is missing the prior swap died in the window where only
+    * `_old` held the data → restore it before proceeding.
     */
   def swapInPlace(live: String, compacted: String, conf: Configuration): Unit = {
     val old = live + "_old"
+    if (exists(old, conf)) {
+      if (exists(live, conf)) {
+        if (!delete(old, conf, recursive = true))
+          throw new java.io.IOException(
+            s"swap of $live: could not clear stale $old")
+      } else rename(old, live, conf) // prior crash mid-swap: recover first
+    }
     rename(live, old, conf)
     try rename(compacted, live, conf)
     catch {
@@ -76,7 +92,10 @@ object Fs {
         throw new java.io.IOException(
           s"swap of $live failed, original directory restored", e)
     }
-    delete(old, conf, recursive = true)
+    if (!delete(old, conf, recursive = true))
+      throw new java.io.IOException(
+        s"swap of $live completed but $old could not be removed " +
+          "(next swap would treat it as stale)")
     ()
   }
 

@@ -158,12 +158,21 @@ object Temporal {
     *    between the two timestamps; a broken gap nulls `t_{i+1}` and,
     *    by propagation, every later step.
     *
-    * Greedy chaining is EXHAUSTIVE here, not a heuristic: the earliest
-    * next-step candidate is clean iff any candidate is (a banned event
-    * before candidate B precedes every later candidate too), and taking
-    * the earliest maximizes the remaining window — so "greedy found no
-    * match" ⟺ "no match exists". SequenceMatchSpec property-tests this
-    * against a per-entity brute force over all candidate chains.
+    * These are FIRST-MATCH (greedy) semantics — the deterministic
+    * single-pass rule funnel tools use: your current chain is the one
+    * that counts, and a banned event interrupting IT breaks the match.
+    * For a negation on the FIRST gap greedy is provably exhaustive
+    * (the earliest step-2 candidate is clean iff any is, since a banned
+    * event before it precedes every later candidate too — PropertySpec
+    * asserts greedy ≡ existential there). For negations on LATER gaps
+    * greedy is deliberately NOT existential: choosing the earliest t2
+    * widens the (t2, t3) negation window, so a pattern like a@0 b@1 x@3
+    * b@5 c@10 with "no x between b and c" reports broken even though
+    * the (b@5, c@10) chain is clean — TemporalSpec pins this case.
+    * Full MATCH_RECOGNIZE backtracking would need per-entity automaton
+    * state, which the streaming face ([[graft.streaming.SequenceStream]])
+    * shares; both faces and the DuckDB oracle implement the SAME
+    * first-match rule, so the three stay in exact agreement.
     *
     * Output: one row per entity that has a step-1 event — `t1..tn`,
     * `reached` (completed step count), `matched` (reached == n).

@@ -158,7 +158,18 @@ object Pipeline {
     def processEntity(stagingTable: String,
                       files: Array[(Long, String, String, String, Boolean)])
         : (Map[(String, String), (String, Long, String)], Long, Long) = {
-      val raw = JsonSource.readInferred(spark, files.map(_._4).toSeq)
+      // typed read when the registry carries a schema for this entity
+      // (S1, skips the inference pass); inferred otherwise (the
+      // reference's file-drives-columns behavior). PERMISSIVE corrupt
+      // payloads surface as all-null rows once _corrupt_record drops,
+      // so dropAllNull removes them like any empty record.
+      val paths = files.map(_._4).toSeq
+      val raw = cfg.registry.entitySchemas.get(stagingTable) match {
+        case Some(schema) =>
+          JsonSource.readEntityBatch(spark, schema, paths)
+            .drop("_corrupt_record")
+        case None => JsonSource.readInferred(spark, paths)
+      }
       val withProv = Stages.stampProvenanceFromPath(
         Stages.emptyToNull(
           Stages.entityTransforms(stagingTable, cfg.registry)(

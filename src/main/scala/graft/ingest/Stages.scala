@@ -74,21 +74,25 @@ object Stages {
       col(s"$extraCol.type").as("type"),
       maskJsonString(col(s"$extraCol.value"), piiKeys).as("value")))
 
-  /** Entity-specific transform dispatch (file_loader.py:595-621), driven
-    * by the run's [[SchemaRegistry.EntityRegistry]]: column exclusion
-    * first, then nested masking for the hts_client payload entity, then
-    * per-table flat masking — a novel entity gets its transforms purely
-    * from config.
+  /** Entity-specific transform dispatch (file_loader.py:595-621), fully
+    * driven by the run's [[SchemaRegistry.EntityRegistry]]: column
+    * exclusion, then nested-payload masking for tables configured in
+    * `nestedPiiTables` (the hts_client `extra` pattern — a config
+    * entry, not a hardcoded table name), then per-table flat masking.
+    * The stages COMPOSE — a table can have both a nested payload and
+    * flat PII columns — so a novel entity gets its complete transform
+    * purely from config.
     */
   def entityTransforms(stagingTable: String,
                        reg: SchemaRegistry.EntityRegistry = SchemaRegistry.default)
                       (df: DataFrame): DataFrame = {
     val excluded = reg.excludedColumns.get(stagingTable)
       .fold(df)(excludeColumns(df, _))
-    if (stagingTable == "stg_hts_client")
-      maskExtra(excluded, piiKeys = reg.nestedPiiKeys)
-    else reg.flatPiiColumns.get(stagingTable)
-      .fold(excluded)(maskFlat(excluded, _))
+    val nested = reg.nestedPiiTables.get(stagingTable)
+      .filter(excluded.columns.contains)
+      .fold(excluded)(c => maskExtra(excluded, c, reg.nestedPiiKeys))
+    reg.flatPiiColumns.get(stagingTable)
+      .fold(nested)(maskFlat(nested, _))
   }
 
   // ---- F8: date-column detection + validation split ----

@@ -130,6 +130,26 @@ object Maintenance {
     nFiles
   }
 
+  /** Compact every ALLOWLISTED staging table that exists under the
+    * warehouse — the registry's `stagingTables` list driving the sweep
+    * the way the reference's 44-table allowlist drives its hourly
+    * deletion pass (stg_records_deletion_process.py:36-49). Returns the
+    * per-table file-count targets written.
+    */
+  def compactAllStaging(spark: SparkSession, warehouseDir: String,
+                        tables: Seq[String],
+                        partitionBy: Option[String] = None,
+                        targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.flatMap { t =>
+      val dir = s"$warehouseDir/$t"
+      if (graft.core.Fs.exists(dir, conf))
+        Some(t -> compactStagingTable(spark, dir, partitionBy, targetFileBytes))
+      else None
+    }.toMap
+  }
+
   /** S7: export a quarantine table to CSV
     * (automate_table_extraction.py:64-66).
     */

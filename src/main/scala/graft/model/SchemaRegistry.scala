@@ -42,6 +42,9 @@ object SchemaRegistry {
       dsdFamilies: Seq[String],
       flatPiiColumns: Map[String, Seq[String]],
       nestedPiiKeys: Seq[String],
+      // table → JSON-payload struct column whose `value` gets the
+      // nested-key mask (the hts_client `extra` pattern, config-driven)
+      nestedPiiTables: Map[String, String],
       excludedColumns: Map[String, Seq[String]],
       entitySchemas: Map[String, StructType])
 
@@ -51,6 +54,7 @@ object SchemaRegistry {
     dsdFamilies = dsdFamilies,
     flatPiiColumns = flatPiiColumns,
     nestedPiiKeys = nestedPiiKeys,
+    nestedPiiTables = Map("stg_hts_client" -> "extra"),
     excludedColumns = Map("stg_biometric" -> biometricExcluded),
     entitySchemas = Map.empty)
 
@@ -67,36 +71,72 @@ object SchemaRegistry {
     *   "entitySchemas": {"stg_new_entity": "id BIGINT, phone_number STRING, visit_date STRING"} }
     * }}}
     *
+    * Validation is STRICT — an unknown top-level key (a typo like
+    * `flatPIIColumns`) or a wrong-shaped value (a string where an array
+    * of strings is required) throws instead of being silently ignored:
+    * this config's job is PII masking, and a dropped entry would ship
+    * unmasked data with zero diagnostics.
+    *
     * json4s ships on the Spark classpath; no extra dependency.
     */
   def fromJson(json: String): EntityRegistry = {
     import org.json4s._
-    val root = org.json4s.jackson.JsonMethods.parse(json)
-    def strings(field: String): Seq[String] = root \ field match {
-      case JArray(vs) => vs.collect { case JString(s) => s }
-      case _          => Seq.empty
+    val allowed = Set("stagingTables", "dsdFamilies", "flatPiiColumns",
+      "nestedPiiKeys", "nestedPiiTables", "excludedColumns", "entitySchemas")
+    val fields = org.json4s.jackson.JsonMethods.parse(json) match {
+      case JObject(fs) => fs
+      case other => throw new IllegalArgumentException(
+        s"registry overlay must be a JSON object, got ${other.getClass.getSimpleName}")
     }
-    def stringMap(field: String): Map[String, Seq[String]] = root \ field match {
-      case JObject(fs) => fs.collect {
-        case (k, JArray(vs)) => k -> vs.collect { case JString(s) => s }
-      }.toMap
-      case _ => Map.empty
+    fields.collect { case (k, _) if !allowed(k) => k } match {
+      case Nil => ()
+      case bad => throw new IllegalArgumentException(
+        s"unknown registry overlay key(s) ${bad.mkString(", ")}; " +
+          s"allowed: ${allowed.toSeq.sorted.mkString(", ")}")
     }
-    def ddlMap(field: String): Map[String, StructType] = root \ field match {
-      case JObject(fs) => fs.collect {
-        case (k, JString(ddl)) => k -> StructType.fromDDL(ddl)
-      }.toMap
-      case _ => Map.empty
+    val byName = fields.toMap
+    def fail(field: String, what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"registry overlay '$field' must be $what")
+    def strSeq(field: String, v: JValue): Seq[String] = v match {
+      case JArray(vs) => vs.map {
+        case JString(s) => s
+        case _          => fail(field, "an array of strings")
+      }
+      case _ => fail(field, "an array of strings")
     }
+    def strings(field: String): Seq[String] =
+      byName.get(field).map(strSeq(field, _)).getOrElse(Seq.empty)
+    def stringMap(field: String): Map[String, Seq[String]] =
+      byName.get(field).map {
+        case JObject(fs) => fs.map { case (k, v) => k -> strSeq(field, v) }.toMap
+        case _ => fail(field, "an object of table → array of strings")
+      }.getOrElse(Map.empty)
+    def strStrMap(field: String): Map[String, String] =
+      byName.get(field).map {
+        case JObject(fs) => fs.map {
+          case (k, JString(s)) => k -> s
+          case _ => fail(field, "an object of table → string")
+        }.toMap
+        case _ => fail(field, "an object of table → string")
+      }.getOrElse(Map.empty)
+    def ddlMap(field: String): Map[String, StructType] =
+      strStrMap(field).map { case (k, ddl) =>
+        k -> (try StructType.fromDDL(ddl)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"registry overlay '$field.$k': invalid DDL '$ddl'", e)
+        })
+      }
     val d = default
     EntityRegistry(
       stagingTables = (d.stagingTables ++ strings("stagingTables")).distinct,
       dsdFamilies = (d.dsdFamilies ++ strings("dsdFamilies")).distinct,
       flatPiiColumns = d.flatPiiColumns ++ stringMap("flatPiiColumns"),
-      nestedPiiKeys = root \ "nestedPiiKeys" match {
-        case JArray(vs) => vs.collect { case JString(s) => s }
-        case _          => d.nestedPiiKeys
-      },
+      nestedPiiKeys =
+        if (byName.contains("nestedPiiKeys")) strings("nestedPiiKeys")
+        else d.nestedPiiKeys,
+      nestedPiiTables = d.nestedPiiTables ++ strStrMap("nestedPiiTables"),
       excludedColumns = d.excludedColumns ++ stringMap("excludedColumns"),
       entitySchemas = d.entitySchemas ++ ddlMap("entitySchemas"))
   }

@@ -237,7 +237,7 @@ object ReportQueries {
           "ts", "event_type", Seq("signup", "view", "purchase"),
           windowSeconds = 604800L, negations = Map(2 -> Seq("error")))
         .toDF()
-        .select(col("entity").as("user_id"),
+        .select(col("entity").cast("long").as("user_id"),
           element_at(col("ts_us"), 1).as("t1_us"),
           element_at(col("ts_us"), 2).as("t2_us"),
           element_at(col("ts_us"), 3).as("t3_us"))

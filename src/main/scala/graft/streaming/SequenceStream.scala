@@ -13,8 +13,9 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * entity's match is emitted exactly once — on the micro-batch where
   * the final step lands — even when the steps arrive hours apart.
   *
-  * Semantics match the batch operator's documented greedy chain
-  * (provably exhaustive, see sequenceMatch): events are processed in
+  * Semantics match the batch operator's documented FIRST-MATCH greedy
+  * chain (exhaustive for first-gap negations, first-match for later
+  * gaps — see sequenceMatch): events are processed in
   * (ts, step-before-banned) order — the tie rule that makes a banned
   * event at EXACTLY the next step's timestamp non-breaking, like the
   * batch strict-betweens. Within a micro-batch the group iterator is
@@ -30,14 +31,18 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object SequenceStream {
 
-  final case class Ev(entity: Long, ts_us: Long, step: String, is_step: Int)
+  // entity keys travel as strings: lossless for numeric ids and correct
+  // for string ids (a cast-to-long key would null out "u123" and crash
+  // the non-nullable deserializer), matching sequenceMatch's
+  // any-entity-type contract
+  final case class Ev(entity: String, ts_us: Long, step: String, is_step: Int)
   final case class SeqState(ts: Seq[Long], broken: Boolean)
-  final case class SeqMatch(entity: Long, ts_us: Seq[Long])
+  final case class SeqMatch(entity: String, ts_us: Seq[Long])
 
   private implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
   private implicit val stEnc: Encoder[SeqState] = Encoders.product[SeqState]
   private implicit val outEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
-  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+  private implicit val strEnc: Encoder[String] = Encoders.STRING
 
   /** Works on both a streaming and a batch DataFrame (same plan, state
     * empty in batch). Emits one [[SeqMatch]] per entity that completes
@@ -53,7 +58,7 @@ object SequenceStream {
     val relevantTypes = (steps ++ negations.values.flatten).distinct
     val keyed = df
       .filter(col(stepCol).isin(relevantTypes: _*))
-      .select(col(entityCol).cast("long").as("entity"),
+      .select(col(entityCol).cast("string").as("entity"),
         unix_micros(col(tsCol)).as("ts_us"),
         col(stepCol).as("step"),
         // step events sort BEFORE banned-only events at equal ts: the
@@ -65,7 +70,7 @@ object SequenceStream {
     keyed.groupByKey(_.entity)
       .flatMapGroupsWithState[SeqState, SeqMatch](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (entity: Long, it: Iterator[Ev], state) =>
+        (entity: String, it: Iterator[Ev], state) =>
           val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.is_step, e.step))
           var st = state.getOption.getOrElse(SeqState(Seq.empty, broken = false))
           var emit: Option[SeqMatch] = None

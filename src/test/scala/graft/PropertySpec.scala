@@ -234,7 +234,7 @@ class PropertySpec extends SparkSpec {
     assert(got === expected, s"events=$evs")
   }
 
-  test("property: sequenceMatch matches brute force; greedy chaining is exhaustive") {
+  test("property: sequenceMatch matches brute force; greedy ≡ existential on a FIRST-gap negation") {
     val steps = Seq("a", "b", "c")
     val w = 100L // seconds, overall window from t1
     val gen = for {
@@ -273,7 +273,9 @@ class PropertySpec extends SparkSpec {
       }
     }
     assert(got === expected, s"events=$evs")
-    // greedy is EXHAUSTIVE: matched ⟺ an existential clean chain exists
+    // for a negation on the FIRST gap greedy is exhaustive: matched ⟺
+    // an existential clean chain exists (later-gap negations are
+    // first-match by design — TemporalSpec pins the divergence case)
     byUser.foreach { case (u, rows) =>
       rows.filter(_._3 == "a").map(_._2).minOption.foreach { a =>
         val existential = rows

@@ -164,6 +164,26 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-08", 0L) -> 1L))
   }
 
+  test("sequenceMatch first-match semantics: a later-gap negation judges the GREEDY chain") {
+    // a@0, b@1, x@3, b@5, c@10 with "no x between b and c": the greedy
+    // chain picks t2=b@1, and x@3 ∈ (1,10) breaks it — even though the
+    // (b@5, c@10) chain is clean. This IS the documented first-match
+    // rule (existential backtracking is out of contract); the DuckDB
+    // oracle and SequenceStream implement the same rule, so all three
+    // faces agree. If this test starts failing, the semantics changed —
+    // update the scaladoc, the oracle, and the streaming face together.
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, "a", t(0)), (1L, "b", t(1)), (1L, "x", t(3)),
+      (1L, "b", t(5)), (1L, "c", t(10)))
+      .toDF("user_id", "step", "ts")
+    val out = Temporal.sequenceMatch(ev, "user_id", "ts", "step",
+        Seq("a", "b", "c"), windowSeconds = 100L,
+        negations = Map(2 -> Seq("x")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(out === Map(1L -> (2L, false)))
+  }
+
   test("sequenceMatch plans as equi joins, not BroadcastNestedLoop") {
     val ev = Seq((1L, "a", ts("2024-01-01 10:00:00")))
       .toDF("user_id", "step", "ts")

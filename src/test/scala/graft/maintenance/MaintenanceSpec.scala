@@ -110,6 +110,11 @@ class MaintenanceSpec extends SparkSpec {
     assert(back.count() === 6)
     assert(back.select("fac").distinct().count() === 2)
     assert(parquetFiles(part) <= 2) // one per partition after compaction
+
+    // allowlist sweep: existing tables compact, absent ones are skipped
+    val swept = Maintenance.compactAllStaging(spark, root.getPath,
+      Seq("stg_t", "stg_never_ingested"))
+    assert(swept === Map("stg_t" -> 1))
   }
 
   test("S14: deleteFiles removes encrypted+decrypted pairs, one result per file") {

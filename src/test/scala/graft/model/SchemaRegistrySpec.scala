@@ -47,6 +47,45 @@ class SchemaRegistrySpec extends SparkSpec {
       StructField("visit_date", StringType))))
   }
 
+  test("fromJson is strict: typos and wrong shapes throw instead of silently unmasking") {
+    // misspelled key → error, not a silently ignored PII config
+    intercept[IllegalArgumentException] {
+      SchemaRegistry.fromJson("""{"flatPIIColumns": {"t": ["c"]}}""")
+    }
+    // string where an array of strings is required
+    intercept[IllegalArgumentException] {
+      SchemaRegistry.fromJson("""{"flatPiiColumns": {"t": "phone"}}""")
+    }
+    // non-string array element
+    intercept[IllegalArgumentException] {
+      SchemaRegistry.fromJson("""{"stagingTables": [1, 2]}""")
+    }
+    // invalid DDL names the offending entry
+    val e = intercept[IllegalArgumentException] {
+      SchemaRegistry.fromJson("""{"entitySchemas": {"t": "id NOTATYPE,"}}""")
+    }
+    assert(e.getMessage.contains("entitySchemas.t"))
+    // top-level non-object
+    intercept[IllegalArgumentException] {
+      SchemaRegistry.fromJson("""["a"]""")
+    }
+  }
+
+  test("nested-payload masking is config-driven and composes with flat masks") {
+    val reg = SchemaRegistry.fromJson(
+      """{"nestedPiiTables": {"stg_wellness_visit": "extra"},
+        |  "flatPiiColumns": {"stg_wellness_visit": ["contact_phone"]}}""".stripMargin)
+    val df = Seq((1L, "080111", ("note", """{"surname":"Ann","city":"X"}""")))
+      .toDF("id", "contact_phone", "extra")
+      .withColumn("extra", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("extra._1").as("type"),
+        org.apache.spark.sql.functions.col("extra._2").as("value")))
+    val out = Stages.entityTransforms("stg_wellness_visit", reg)(df).collect().head
+    assert(out.getAs[String]("contact_phone") === Stages.Mask)
+    val value = out.getAs[org.apache.spark.sql.Row]("extra").getAs[String]("value")
+    assert(value.contains(Stages.Mask) && value.contains("\"city\":\"X\""))
+  }
+
   test("load reads the overlay through the Hadoop FS API (file:// URI)") {
     val f = Files.createTempFile("graft_reg_", ".json")
     Files.writeString(f, overlay)

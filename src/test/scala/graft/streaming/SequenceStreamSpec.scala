@@ -38,7 +38,8 @@ class SequenceStreamSpec extends SparkSpec {
         (2L, "c", ts("2024-01-01 11:00:00")))
       q.processAllAvailable()
       val got = spark.table("seq_out")
-        .select(col("entity"), col("ts_us")).as[(Long, Seq[Long])]
+        .select(col("entity").cast("long"), col("ts_us"))
+        .as[(Long, Seq[Long])]
         .collect().toMap
       assert(got.keySet === Set(1L))
       assert(got(1L).length === 3 && got(1L) === got(1L).sorted)
@@ -53,6 +54,16 @@ class SequenceStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("string entity ids are supported (no numeric-cast assumption)") {
+    val df = Seq(
+      ("u1", "a", ts("2024-01-01 10:00:00")),
+      ("u1", "b", ts("2024-01-01 10:10:00")),
+      ("u1", "c", ts("2024-01-01 10:20:00"))).toDF("user_id", "step", "ts")
+    val out = SequenceStream.detect(df, "user_id", "ts", "step",
+      steps, windowSeconds = 3600L, negations = neg).collect()
+    assert(out.map(_.entity).toSeq === Seq("u1"))
+  }
+
   test("batch face equals sequenceMatch(...).filter(matched)") {
     val rnd = new scala.util.Random(7)
     val evs = (1 to 300).map { i =>
@@ -63,7 +74,7 @@ class SequenceStreamSpec extends SparkSpec {
     val df = evs.toDF("user_id", "step", "ts")
     val stream = SequenceStream.detect(df, "user_id", "ts", "step",
         steps, windowSeconds = 200L, negations = neg)
-      .collect().map(m => m.entity -> m.ts_us.toSeq).toMap
+      .collect().map(m => m.entity.toLong -> m.ts_us.toSeq).toMap
     val batch = graft.core.Temporal.sequenceMatch(df, "user_id", "ts", "step",
         steps, windowSeconds = 200L, negations = neg)
       .filter(col("matched"))
