@@ -244,6 +244,44 @@ object ReportQueries {
         .orderBy("user_id")
     },
 
+    // ---- EXISTENTIAL sequence matching (per-entity DP scan): does ANY
+    //      clean signup → view → purchase chain exist within 7 days of
+    //      first signup, with no error between the chosen view and
+    //      purchase? The exhaustive complement of q_evt_seq_match's
+    //      first-match rule; oracle is the join chain with a
+    //      NOT EXISTS negation window ----
+    "q_evt_seq_exist" -> Q(
+      """WITH rel AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |             FROM events
+        |             WHERE event_type IN ('signup','view','purchase','error')),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM rel
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |done AS (SELECT s1.user_id, min(epoch_us(c.ts)) AS matched_at_us
+        |         FROM s1
+        |         JOIN rel b ON b.user_id = s1.user_id AND b.event_type = 'view'
+        |              AND epoch_us(b.ts) > epoch_us(s1.t1)
+        |              AND epoch_us(b.ts) <= epoch_us(s1.t1) + 604800000000
+        |         JOIN rel c ON c.user_id = s1.user_id AND c.event_type = 'purchase'
+        |              AND epoch_us(c.ts) > epoch_us(b.ts)
+        |              AND epoch_us(c.ts) <= epoch_us(s1.t1) + 604800000000
+        |         WHERE NOT EXISTS (SELECT 1 FROM rel x
+        |               WHERE x.user_id = s1.user_id AND x.event_type = 'error'
+        |                 AND epoch_us(x.ts) > epoch_us(b.ts)
+        |                 AND epoch_us(x.ts) < epoch_us(c.ts))
+        |         GROUP BY s1.user_id)
+        |SELECT s1.user_id, epoch_us(s1.t1) AS t1_us,
+        |       (d.user_id IS NOT NULL) AS matched, d.matched_at_us
+        |FROM s1 LEFT JOIN done d ON d.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin) { (s, dir) =>
+      graft.streaming.SequenceStream.matchExistential(tb(s, dir).events,
+          "user_id", "ts", "event_type", Seq("signup", "view", "purchase"),
+          windowSeconds = 604800L, negations = Map(2 -> Seq("error")))
+        .toDF()
+        .select(col("entity").cast("long").as("user_id"),
+          col("t1_us"), col("matched"), col("matched_at_us"))
+        .orderBy("user_id")
+    },
+
     // ---- stateful streaming dedup (flatMapGroupsWithState) ----
     // Batch face of StreamDedup.firstSeen: with empty initial state every
     // key is "first seen", so the output is exactly the per-hash

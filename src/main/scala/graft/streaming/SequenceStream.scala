@@ -44,6 +44,108 @@ object SequenceStream {
   private implicit val outEnc: Encoder[SeqMatch] = Encoders.product[SeqMatch]
   private implicit val strEnc: Encoder[String] = Encoders.STRING
 
+  final case class SeqExist(entity: String, t1_us: Long, matched: Boolean,
+                            matched_at_us: Option[Long])
+
+  private implicit val existEnc: Encoder[SeqExist] = Encoders.product[SeqExist]
+
+  /** EXISTENTIAL sequence matching — the exhaustive complement of the
+    * first-match faces: does ANY clean chain exist? Anchored like the
+    * whole family at each entity's FIRST step-1 event, but steps 2..n
+    * range over every candidate: "a@0 b@1 x@3 b@5 c@10 with no x
+    * between b and c" MATCHES here (via b@5) where the greedy faces
+    * report broken.
+    *
+    * Implementation is an O(events·steps) per-entity DP scan, not
+    * backtracking: process events in (ts, step-before-banned) order,
+    * tracking per step k the LATEST feasible timestamp and per gap the
+    * last banned timestamp. A step-k event at t is feasible iff the
+    * latest feasible t_{k-1} is < t, ≥ the gap's last banned event
+    * (some predecessor survives the negation — the latest feasible one
+    * is the hardest to ban), and t ≤ t1 + W. `matched_at_us` is the
+    * earliest feasible final-step timestamp. Intermediate chain
+    * timestamps are not reported — under existential semantics multiple
+    * chains witness a match.
+    *
+    * Runs per entity via flatMapGroups over the capped relevant-event
+    * subset (`maxEventsPerEntity`, the Sessionize prefix rule) — the
+    * sort is per-entity like every sessionizer, bounded by the cap.
+    * The q_evt_seq_exist oracle expresses the same semantics as a
+    * DuckDB join chain with NOT EXISTS negation windows.
+    */
+  def matchExistential(df: DataFrame, entityCol: String, tsCol: String,
+                       stepCol: String, steps: Seq[String],
+                       windowSeconds: Long,
+                       negations: Map[Int, Seq[String]] = Map.empty,
+                       maxEventsPerEntity: Option[Int] = None): Dataset[SeqExist] = {
+    require(steps.size >= 2, "a sequence needs at least 2 steps")
+    require(negations.keySet.forall(g => g >= 1 && g < steps.size),
+      s"negation gaps must be in [1, ${steps.size - 1}]")
+    val windowUs = windowSeconds * 1000000L
+    val relevantTypes = (steps ++ negations.values.flatten).distinct
+    val base = df
+      .filter(col(stepCol).isin(relevantTypes: _*))
+      .select(col(entityCol).cast("string").as("entity"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(stepCol).as("step"),
+        when(col(stepCol).isin(steps: _*), 0).otherwise(1).as("is_step"))
+    val capped = maxEventsPerEntity.fold(base) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("entity")).orderBy(col("ts_us").asc, col("step").asc)
+      base.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= cap).drop("_rn")
+    }
+    val n = steps.size
+    capped.as[Ev].groupByKey(_.entity).flatMapGroups {
+      (entity: String, it: Iterator[Ev]) =>
+        val evs = it.toIndexedSeq.sortBy(e => (e.ts_us, e.is_step, e.step))
+        // per step k (1-based): the max feasible timestamp and the max
+        // feasible timestamp STRICTLY below it — two levels are enough
+        // because the only candidate blocked by `tp < t` is one at the
+        // same tick, and the runner-up is then the best strictly-earlier
+        // predecessor. lastBanned(g): latest banned-for-gap-g ts so far
+        // (processed after step events at the same tick, so it always
+        // means "latest banned strictly before the current event").
+        val maxFeasible = Array.fill[Option[Long]](n + 1)(None)
+        val prevFeasible = Array.fill[Option[Long]](n + 1)(None)
+        val lastBanned = Array.fill[Long](n)(Long.MinValue)
+        var earliestDone: Option[Long] = None
+        evs.foreach { e =>
+          val t = e.ts_us
+          if (e.is_step == 0) {
+            val k = steps.indexOf(e.step) + 1 // 1-based step position
+            if (k == 1) {
+              if (maxFeasible(1).isEmpty) maxFeasible(1) = Some(t) // anchor
+            } else if (maxFeasible(1).exists(t1 => t <= t1 + windowUs)) {
+              // best predecessor strictly before t (same-tick max falls
+              // back to the runner-up), surviving the gap's negation
+              val cand = maxFeasible(k - 1) match {
+                case Some(tp) if tp < t => Some(tp)
+                case Some(_)            => prevFeasible(k - 1)
+                case None               => None
+              }
+              val prevOk = cand.exists(tp =>
+                tp < t && (!negations.contains(k - 1) || tp >= lastBanned(k - 1)))
+              if (prevOk) {
+                maxFeasible(k) match {
+                  case Some(m) if m >= t => () // duplicate tick, keep both levels
+                  case m => prevFeasible(k) = m; maxFeasible(k) = Some(t)
+                }
+                if (k == n && earliestDone.isEmpty) earliestDone = Some(t)
+              }
+            }
+          }
+          // banned updates AFTER step checks at the same tick (the
+          // family's strict-between tie rule)
+          negations.foreach { case (g, banned) =>
+            if (banned.contains(e.step) && t > lastBanned(g)) lastBanned(g) = t
+          }
+        }
+        maxFeasible(1).map(t1 =>
+          SeqExist(entity, t1, earliestDone.nonEmpty, earliestDone)).iterator
+    }
+  }
+
   /** Works on both a streaming and a batch DataFrame (same plan, state
     * empty in batch). Emits one [[SeqMatch]] per entity that completes
     * all `steps`, carrying the matched timestamps in epoch micros.

@@ -64,6 +64,56 @@ class SequenceStreamSpec extends SparkSpec {
     assert(out.map(_.entity).toSeq === Seq("u1"))
   }
 
+  test("matchExistential finds the clean later chain the greedy faces break on") {
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // the documented divergence case: greedy picks b@1 and x@3 breaks it;
+    // existential matches via (b@5, c@10)
+    val ev = Seq(
+      (1L, "a", t(0)), (1L, "b", t(1)), (1L, "x", t(3)),
+      (1L, "b", t(5)), (1L, "c", t(10)),
+      // user 2: x after EVERY b before the c → genuinely unmatched
+      (2L, "a", t(0)), (2L, "b", t(1)), (2L, "b", t(5)),
+      (2L, "x", t(7)), (2L, "c", t(10)))
+      .toDF("user_id", "step", "ts")
+    val out = SequenceStream.matchExistential(ev, "user_id", "ts", "step",
+        Seq("a", "b", "c"), windowSeconds = 100L,
+        negations = Map(2 -> Seq("x")))
+      .collect().map(m => m.entity.toLong -> (m.matched, m.matched_at_us)).toMap
+    assert(out === Map(
+      1L -> ((true, Some(1700000010000000L))),
+      2L -> ((false, None))))
+  }
+
+  test("matchExistential equals a brute-force chain enumeration on random data") {
+    val rnd = new scala.util.Random(13)
+    val evs = (1 to 300).map { i =>
+      (rnd.nextInt(10).toLong,
+        Seq("a", "b", "c", "x")(rnd.nextInt(4)),
+        1700000000000000L + rnd.nextInt(400) * 1000000L)
+    }
+    val df = evs.toDF("user_id", "step", "ts_us")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts_us"))).drop("ts_us")
+    val w = 200L * 1000000L
+    val got = SequenceStream.matchExistential(df, "user_id", "ts", "step",
+        Seq("a", "b", "c"), windowSeconds = 200L,
+        negations = Map(1 -> Seq("x"), 2 -> Seq("x")))
+      .collect().map(m => m.entity.toLong -> ((m.t1_us, m.matched, m.matched_at_us)))
+      .toMap
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      rows.filter(_._2 == "a").map(_._3).minOption.map { t1 =>
+        val chains = for {
+          b <- rows.filter(r => r._2 == "b" && r._3 > t1 && r._3 <= t1 + w)
+          if !rows.exists(r => r._2 == "x" && r._3 > t1 && r._3 < b._3)
+          c <- rows.filter(r => r._2 == "c" && r._3 > b._3 && r._3 <= t1 + w)
+          if !rows.exists(r => r._2 == "x" && r._3 > b._3 && r._3 < c._3)
+        } yield c._3
+        u -> ((t1, chains.nonEmpty, chains.minOption))
+      }
+    }
+    assert(got === expected, s"events=$evs")
+  }
+
   test("batch face equals sequenceMatch(...).filter(matched)") {
     val rnd = new scala.util.Random(7)
     val evs = (1 to 300).map { i =>
