@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{LlmQueries, PipelineQueries, RelationalQueries, ReportQueries}
+import graft.ops.{AnalyticsQueries, LlmQueries, PipelineQueries, RelationalQueries, ReportQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def registry: Map[String, ops.Q] =
     RelationalQueries.all ++ LlmQueries.all ++ ReportQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative multi-operator pipeline: scan → broadcast dim joins

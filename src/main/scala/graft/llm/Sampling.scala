@@ -71,4 +71,41 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Domain-mixture rebalance plan: one row per domain with the
+    * consistent-hash keep-threshold that downsamples over-represented
+    * domains toward a UNIFORM mixture (rate caps at 1 — we never
+    * upsample; under-represented domains pass through whole).
+    *
+    * rate = min(1, total / (n_dom · cnt)) — the expression is one IEEE
+    * double divide over exact integers, so any engine reproduces the
+    * threshold bit-for-bit (the oracle recomputes it in DuckDB).
+    *
+    * Scale shape: the empty-frame windows run on the per-domain
+    * aggregate — one row per domain, thousands at most — so the
+    * single-partition exchange is over a trivially small input; the
+    * corpus itself is touched only by the groupBy.
+    */
+  def domainMixture(df: DataFrame, domainCol: String): DataFrame = {
+    val w = Window.partitionBy()
+    df.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        least(lit(1.0), sum("n_docs").over(w).cast("double") /
+          (col("n_docs") * count(lit(1)).over(w))))
+      .withColumn("keep_threshold", floor(col("rate") * 65536).cast("long"))
+  }
+
+  /** Apply a [[domainMixture]] plan: keep each doc iff its hash bucket
+    * falls under its domain's threshold. The plan is broadcast (one row
+    * per domain), so the sample is a map-side filter — no shuffle of the
+    * corpus, stable membership across runs and corpus growth of OTHER
+    * domains (a domain's own growth lowers its rate, as it must).
+    */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
+    val plan = domainMixture(df, domainCol)
+      .select(col(domainCol).as("__mix_domain"), col("keep_threshold"))
+    df.join(broadcast(plan), col(domainCol) === col("__mix_domain"))
+      .filter(hashBucket(col(idCol)) < col("keep_threshold"))
+      .drop("__mix_domain", "keep_threshold")
+  }
 }

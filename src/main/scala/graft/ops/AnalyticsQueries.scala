@@ -1,0 +1,218 @@
+package graft.ops
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-level aggregation, pivot, window-function breadth, and
+  * statistics aggregates — the OLAP analytics surface a reporting user
+  * of the reference (report generation over ingestion logs,
+  * processed_files_log summaries in reports_generation.py:21-96) would
+  * reach for next. All are single-pass Catalyst plans:
+  *
+  *  - ROLLUP/CUBE/GROUPING SETS expand in the logical plan (Expand
+  *    node) and aggregate with map-side partial combine — one shuffle on
+  *    the grouping keys regardless of how many levels are requested;
+  *  - PIVOT is a single groupBy with conditional aggregates — no
+  *    per-pivot-value scan;
+  *  - window breadth (ntile / percent_rank / cume_dist / lead / lag)
+  *    shares one Window node per frame spec — one sort per partition
+  *    spec, not per function;
+  *  - percentile / corr / covar / stddev are built-in typed aggregates
+  *    (partial+final, no collect).
+  *
+  * Cross-engine conventions (see RelationalQueries): grouping-null
+  * sentinels via coalesce AFTER grouping_id disambiguation, counts CAST
+  * to BIGINT, derived doubles rounded, deterministic ORDER BY with
+  * unique tiebreaks, NULL-sensitive sorts avoided by sorting on
+  * non-null derived columns.
+  */
+object AnalyticsQueries {
+
+  private def tb(s: SparkSession, dir: String) = Tables(s, dir)
+
+  val all: Map[String, Q] = Map(
+
+    // ---- G1: ROLLUP — per (status, priority) with subtotals + total.
+    // grouping_id() and DuckDB GROUPING(a,b) share the standard bitmask
+    // (bit set = column rolled up), verified empirically.
+    "q_g1_rollup" -> Q(
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("gid"), col("n_orders"), col("revenue"))
+        .orderBy("gid", "status", "priority")
+    },
+
+    // ---- G2: CUBE — all 4 grouping combinations in one Expand+agg ----
+    "q_g2_cube" -> Q(
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+        |  coalesce(l_linestatus, '(all)') AS lstatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin) { (s, dir) =>
+      tb(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("gid"), col("n_items"), col("sum_qty"))
+        .orderBy("gid", "rflag", "lstatus")
+    },
+
+    // ---- G3: GROUPING SETS — exactly the requested levels, no cube
+    // blow-up: (status), (priority), and the grand total ----
+    "q_g3_grouping_sets" -> Q(
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("gid"), col("n_orders"))
+        .orderBy("gid", "status", "priority")
+    },
+
+    // ---- G4: PIVOT — linestatus values to columns, one conditional-agg
+    // pass (Spark pivots with explicit values → no extra distinct scan) ----
+    "q_g4_pivot" -> Q(
+      """SELECT l_returnflag AS rflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+        |  CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rflag""".stripMargin) { (s, dir) =>
+      tb(s, dir).lineitem
+        .groupBy(col("l_returnflag").as("rflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          count(lit(1)).as("n"))
+        .select(col("rflag"),
+          col("F_qty").as("qty_f"), col("O_qty").as("qty_o"),
+          col("F_n").as("n_f"), col("O_n").as("n_o"))
+        .orderBy("rflag")
+    },
+
+    // ---- W2: window breadth — ntile / percent_rank / cume_dist over
+    // one shared frame (one sort), unique orderkey tiebreak ----
+    "q_w2_ntile_cume" -> Q(
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      tb(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- W3: lead/lag — per-customer order gaps in days (exact integer
+    // datediff; first/last order per customer yield NULL lag/lead) ----
+    "q_w3_lead_lag" -> Q(
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                 CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tb(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lag("o_orderdate", 1).over(w))).cast("long").as("days_since_prev"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- A9: exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont: both linear-interpolate on the sorted values) ----
+    "q_a9_percentiles" -> Q(
+      """SELECT l_returnflag AS rflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS qty_p95,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY rflag""".stripMargin) { (s, dir) =>
+      tb(s, dir).lineitem
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(round(percentile(col("l_quantity"), lit(0.25)), 4).as("qty_p25"),
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("qty_p50"),
+          round(percentile(col("l_quantity"), lit(0.95)), 4).as("qty_p95"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("price_p50"))
+        .orderBy("rflag")
+    },
+
+    // ---- A10: statistics aggregates — Pearson corr, sample covariance /
+    // stddev / variance (both engines use stable co-moment accumulation;
+    // rounded to absorb merge-order last-ulp drift) ----
+    "q_a10_stats" -> Q(
+      """SELECT l_linestatus AS lstatus,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(avg(l_discount), 6) AS avg_discount
+        |FROM lineitem GROUP BY l_linestatus ORDER BY lstatus""".stripMargin) { (s, dir) =>
+      tb(s, dir).lineitem
+        .groupBy(col("l_linestatus").as("lstatus"))
+        .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qty_price_covar"),
+          round(stddev_samp("l_quantity"), 6).as("qty_stddev"),
+          round(var_samp("l_quantity"), 4).as("qty_var"),
+          round(avg("l_discount"), 6).as("avg_discount"))
+        .orderBy("lstatus")
+    },
+
+    // ---- A11: ordered string aggregation (LISTAGG) — deterministic via
+    // in-aggregate ORDER BY / array_sort, distinct inputs ----
+    "q_a11_listagg" -> Q(
+      """SELECT o_orderstatus AS status,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(array_join(array_sort(collect_set("o_orderpriority")), ",").as("priorities"),
+          countDistinct("o_orderpriority").as("n_priorities"))
+        .orderBy("status")
+    }
+  )
+}

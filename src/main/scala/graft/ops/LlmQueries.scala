@@ -785,6 +785,41 @@ object LlmQueries {
         .select("doc_id", "split").orderBy("doc_id")
     },
 
+    // ---- domain-mixture rebalance plan: per-language keep-thresholds
+    // toward a uniform mixture (downsample only; rate = one IEEE divide
+    // over exact integers → cross-engine bit-identical thresholds) ----
+    "q_llm_domain_mixture" -> Q(
+      """WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (SELECT lang, n_docs, sum(n_docs) OVER () AS total,
+        |               count(*) OVER () AS n_dom FROM per),
+        |pl AS (SELECT lang, n_docs,
+        |         least(1.0, CAST(total AS DOUBLE) / (n_docs * n_dom)) AS r FROM tot)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, round(r, 6) AS rate,
+        |  CAST(floor(r * 65536) AS BIGINT) AS keep_threshold
+        |FROM pl ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.domainMixture(tb(s, dir).documents, "lang")
+        .select(col("lang"), col("n_docs"),
+          round(col("rate"), 6).as("rate"), col("keep_threshold"))
+        .orderBy("lang")
+    },
+
+    // ---- apply the mixture plan: broadcast the per-domain thresholds,
+    // map-side consistent-hash filter (no shuffle of the corpus) ----
+    "q_llm_mixture_sample" -> Q(
+      s"""WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT lang, n_docs, sum(n_docs) OVER () AS total,
+         |               count(*) OVER () AS n_dom FROM per),
+         |pl AS (SELECT lang,
+         |         CAST(floor(least(1.0, CAST(total AS DOUBLE) / (n_docs * n_dom))
+         |                    * 65536) AS BIGINT) AS th FROM tot)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN pl ON pl.lang = d.lang
+         |WHERE ${duckBucket("d.doc_id")} < pl.th
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.mixtureSample(tb(s, dir).documents, "lang", "doc_id")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sample (k lowest hashes per class) ----
     "q_llm_stratified_sample" -> Q(
       s"""WITH r AS (

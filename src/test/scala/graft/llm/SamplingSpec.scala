@@ -34,6 +34,44 @@ class SamplingSpec extends SparkSpec {
     assert(s10.subsetOf(s30))
   }
 
+  test("domainMixture: caps at 1, downsamples over-represented domains only") {
+    // skewed corpus: a=6000, b=3000, c=1000 docs (total 10000, 3 domains)
+    val skewed = spark.range(10000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id < 6000 THEN 'a' WHEN id < 9000 THEN 'b' ELSE 'c' END AS dom")
+    val plan = Sampling.domainMixture(skewed, "dom").collect()
+      .map(r => r.getAs[String]("dom") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"), r.getAs[Long]("keep_threshold")))
+      .toMap
+    // a: rate = 10000/(6000*3) ≈ 0.5556; b and c cap at 1.0
+    assert(math.abs(plan("a")._2 - 10000.0 / 18000.0) < 1e-12)
+    assert(plan("b")._2 === 1.0 && plan("c")._2 === 1.0)
+    assert(plan("b")._3 === 65536L && plan("c")._3 === 65536L)
+    assert(plan("a")._3 === math.floor(10000.0 / 18000.0 * 65536).toLong)
+  }
+
+  test("mixtureSample: under-represented domains intact, kept set stable under other-domain growth") {
+    val skewed = spark.range(10000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id < 6000 THEN 'a' WHEN id < 9000 THEN 'b' ELSE 'c' END AS dom")
+    val kept = Sampling.mixtureSample(skewed, "dom", "doc_id")
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("b") === 3000L && byDom("c") === 1000L) // never upsampled/cut
+    assert(math.abs(byDom("a") - 10000.0 / 18000.0 * 6000) < 200, byDom)
+    // consistent hashing: growing OTHER domains raises a's rate (a is now
+    // relatively less over-represented), and because membership is a
+    // hash-threshold filter the old kept set is PRESERVED — docs are only
+    // added, never swapped (no train-set churn on corpus growth)
+    val grown = spark.range(12000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id < 6000 THEN 'a' WHEN id < 11000 THEN 'b' ELSE 'c' END AS dom")
+    val keptA = kept.filter($"dom" === "a").select("doc_id").as[Long].collect().toSet
+    val grownA = Sampling.mixtureSample(grown, "dom", "doc_id")
+      .filter($"dom" === "a").select("doc_id").as[Long].collect().toSet
+    assert(keptA.subsetOf(grownA))
+  }
+
   test("stratifiedSample: exactly k lowest-hash docs per class, ranks 1..k") {
     val got = Sampling.stratifiedSample(corpus, "doc_id", "cls", 3)
     val perClass = got.groupBy("cls").count().collect()
