@@ -201,6 +201,97 @@ object AnalyticsQueries {
         .orderBy("lstatus")
     },
 
+    // ---- W4: rolling ROWS frame — per-user moving sum/avg/min over the
+    // last 4 events (3 preceding + current). Incremental frame evaluation
+    // in WindowExec: one sort per user partition, O(1) per-row update ----
+    "q_w4_rolling_frame" -> Q(
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 4) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  round(min(value) OVER w, 4) AS roll_min,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      tb(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 4).as("roll_sum"),
+          round(avg("value").over(w), 6).as("roll_avg"),
+          round(min("value").over(w), 4).as("roll_min"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy("event_id")
+    },
+
+    // ---- W5: time-based RANGE frame — events per user in the trailing
+    // hour. RANGE peers make this deterministic without a tiebreak; the
+    // interval arithmetic is exact on micro-truncated timestamps ----
+    "q_w5_range_frame" -> Q(
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .withColumn("n_last_hour", expr(
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+            |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin))
+        .select("event_id", "user_id", "n_last_hour")
+        .orderBy("event_id")
+    },
+
+    // ---- W6: first/last/nth value — session bookends per user (full
+    // partition frame for last/nth so the answer is frame-independent) ----
+    "q_w6_first_last" -> Q(
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tb(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          first_value(col("event_type")).over(w).as("first_type"),
+          last_value(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy("event_id")
+    },
+
+    // ---- A12: fixed-width histogram — integer bucket arithmetic (floor
+    // of one IEEE divide), capped top bucket; an aggregation-only plan
+    // that scales as a single map-side-combined groupBy ----
+    "q_a12_histogram" -> Q(
+      """SELECT least(19, CAST(floor(o_totalprice / 30000) AS BIGINT)) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .groupBy(least(lit(19), floor(col("o_totalprice") / 30000).cast("long")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")
+    },
+
+    // ---- A13: HLL approximate distinct — the constant-memory face of
+    // COUNT(DISTINCT) for 100 TB cardinality profiling. Estimates are
+    // engine-specific (no cross-engine oracle); accuracy is property-
+    // tested in AnalyticsSpec against the exact count (rsd 0.02) ----
+    "q_a13_approx_distinct" -> Q.sparkOnly { (s, dir) =>
+      tb(s, dir).orders
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("status")
+    },
+
     // ---- A11: ordered string aggregation (LISTAGG) — deterministic via
     // in-aggregate ORDER BY / array_sort, distinct inputs ----
     "q_a11_listagg" -> Q(
