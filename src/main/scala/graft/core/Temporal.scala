@@ -321,4 +321,54 @@ object Temporal {
       .select(partitionCols.map(col) :+ col(idColL) :+ col(idColR) :+
         (col("_rus") - col("_lus")).as("gap_us"): _*)
   }
+
+  // public: encoder codegen (SpecificSafeProjection) cannot construct
+  // private classes
+  final case class EwmaIn(entity: String, id: Long, tus: Long, value: Double)
+  final case class EwmaOut(entity: String, id: Long, tus: Long,
+                           value: Double, ewma: Double)
+
+  /** Per-entity exponentially weighted moving average over the
+    * event-time-ordered stream: `ewma_i = α·v_i + (1−α)·ewma_{i−1}`,
+    * seeded with the first value — the standard smoothing for
+    * irregular telemetry (no fixed frame captures it: every output
+    * depends on the ENTIRE prefix).
+    *
+    * Implementation: one groupByKey shuffle on the entity, then an
+    * O(n log n) in-memory sort + O(n) scan per entity via
+    * flatMapGroups. The closed form `Σ α(1−α)^{n−i} v_i` as window
+    * algebra would need (1−α)^{-i} intermediaries that overflow double
+    * past ~1500 events, so the recurrence scan is both the fast AND
+    * the safe shape. Per-entity history must fit one task — the same
+    * contract as the sessionize/sequence family; apply
+    * `Sessionize.capUserEvents` upstream for bot-tail entities.
+    *
+    * No cross-engine oracle (the recurrence over doubles accumulates
+    * engine-specific rounding through pow-free chains); correctness is
+    * property-tested against a driver-side brute force (TemporalSpec).
+    * Entity keys travel as strings — lossless for numeric ids, same
+    * contract as SequenceStream.
+    */
+  def ewma(events: DataFrame, entityCol: String, tsCol: String,
+           idCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+        col(entityCol).cast("string").as("entity"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("tus"),
+        col(valueCol).cast("double").as("value"))
+      .as[EwmaIn]
+      .groupByKey(_.entity)
+      .flatMapGroups { (_, it) =>
+        val evs = it.toArray.sortBy(e => (e.tus, e.id))
+        var acc = Double.NaN
+        evs.iterator.map { e =>
+          acc = if (acc.isNaN) e.value else alpha * e.value + (1 - alpha) * acc
+          EwmaOut(e.entity, e.id, e.tus, e.value, acc)
+        }
+      }
+      .toDF(entityCol, idCol, "tus", valueCol, "ewma")
+  }
 }

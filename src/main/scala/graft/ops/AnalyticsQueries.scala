@@ -292,6 +292,90 @@ object AnalyticsQueries {
         .orderBy("status")
     },
 
+    // ---- U2: INTERSECT (distinct) — customers with BOTH open and
+    // finished orders. Spark plans a left-semi over distinct sets ----
+    "q_u2_intersect" -> Q(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = tb(s, dir).orders
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- U3: EXCEPT (distinct) — open-only customers (anti over
+    // distinct sets) ----
+    "q_u3_except" -> Q(
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = tb(s, dir).orders
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- F15: UNNEST WITH ORDINALITY — positional token explode
+    // (posexplode ≡ unnest + generate_subscripts, 1-based both sides).
+    // The generate is map-side; no shuffle before the output sort ----
+    "q_f15_unnest_pos" -> Q(
+      """SELECT doc_id, t.pos, t.tok FROM documents,
+        |LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+        |         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos) t
+        |WHERE doc_id % 50 = 0
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("tok"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- F16: JSON extraction — typed value out of the props JSON
+    // string (get_json_object ≡ json_extract_string; no UDF, both
+    // engines parse per row at scan speed) ----
+    "q_f16_json_extract" -> Q(
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      tb(s, dir).events
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // ---- F17: regexp capture-group extraction (same RE2-compatible
+    // pattern + group index both engines) ----
+    "q_f17_regexp_extract" -> Q(
+      """SELECT regexp_extract(o_orderpriority, '^(\d+)-(\w+)', 2) AS prio_word,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY prio_word""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .groupBy(regexp_extract(col("o_orderpriority"), "^(\\d+)-(\\w+)", 2).as("prio_word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prio_word")
+    },
+
+    // ---- F18: calendar bucketing — monthly order volume/revenue.
+    // The month travels as 'yyyy-MM' VARCHAR: engines disagree on
+    // date_trunc's return type (DuckDB DATE vs Spark TIMESTAMP), and a
+    // string bucket hashes identically everywhere ----
+    "q_f18_date_trunc" -> Q(
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("month")
+    },
+
     // ---- A11: ordered string aggregation (LISTAGG) — deterministic via
     // in-aggregate ORDER BY / array_sort, distinct inputs ----
     "q_a11_listagg" -> Q(

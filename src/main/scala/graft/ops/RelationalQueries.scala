@@ -697,6 +697,16 @@ object RelationalQueries {
         .orderBy("click_id", "error_id")
     },
 
+    // ---- per-user EWMA smoothing (Temporal.ewma): α=0.2 recurrence
+    //      over the event-time-ordered value stream. No cross-engine
+    //      oracle (double recurrence accumulates engine-specific
+    //      rounding); TemporalSpec property-tests vs brute force ----
+    "q_evt_ewma" -> Q.sparkOnly { (s, dir) =>
+      graft.core.Temporal.ewma(tb(s, dir).events,
+          "user_id", "ts", "event_id", "value", alpha = 0.2)
+        .orderBy("user_id", "tus", "event_id")
+    },
+
     // ---- cohort retention (Temporal.cohortRetention): users by first-
     //      activity week × whole-week offsets of later activity ----
     "q_evt_cohort_retention" -> Q(

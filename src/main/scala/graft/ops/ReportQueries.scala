@@ -282,6 +282,27 @@ object ReportQueries {
         .orderBy("user_id")
     },
 
+    // ---- stream-stream interval join (batch face) ----
+    // StreamJoin.viewsBeforePurchases on the batch events table: each
+    // purchase × same-user views in the trailing hour (exclusive of the
+    // purchase instant). DuckDB checks the equi + range join directly;
+    // watermark state eviction and cross-micro-batch arrival are
+    // StreamJoinSpec's. The key equality keeps the plan a partitioned
+    // SMJ/symmetric-hash join, never a BroadcastNestedLoop.
+    "q_stream_interval_join" -> Q(
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS vts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, v.view_id,
+        |  CAST(epoch_us(p.pts) - epoch_us(v.vts) AS BIGINT) AS gap_us
+        |FROM p JOIN v ON v.user_id = p.user_id
+        |  AND v.vts >= p.pts - INTERVAL 1 HOUR AND v.vts < p.pts
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamJoin.viewsBeforePurchases(tb(s, dir).events, 3600L)
+        .orderBy("purchase_id", "view_id")
+    },
+
     // ---- stateful streaming dedup (flatMapGroupsWithState) ----
     // Batch face of StreamDedup.firstSeen: with empty initial state every
     // key is "first seen", so the output is exactly the per-hash

@@ -204,4 +204,32 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"range join must stay an equi join:\n$plan")
   }
+
+  test("ewma matches the driver-side recurrence on random data, seeded at first value") {
+    val rnd = new scala.util.Random(7)
+    val alpha = 0.3
+    val ev = (1 to 300).map { i =>
+      (rnd.nextInt(4).toLong, i.toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(10000) * 1000L),
+        rnd.nextDouble() * 100)
+    }
+    val df = ev.toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.ewma(df, "user_id", "ts", "event_id", "value", alpha)
+      .select(col("user_id").cast("long"), col("event_id"), col("ewma"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, id, e) => (u, id) -> e }.toMap
+    // brute force: same (ts, id) order, same recurrence, plain Scala
+    val want = ev.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._2))
+      var acc = Double.NaN
+      sorted.map { e =>
+        acc = if (acc.isNaN) e._4 else alpha * e._4 + (1 - alpha) * acc
+        (u, e._2) -> acc
+      }
+    }
+    assert(got.size === want.size)
+    want.foreach { case (k, w) =>
+      assert(math.abs(got(k) - w) < 1e-12, s"$k: ${got(k)} vs $w")
+    }
+  }
 }
