@@ -322,6 +322,81 @@ object Temporal {
         (col("_rus") - col("_lus")).as("gap_us"): _*)
   }
 
+  /** Slowly-changing-dimension Type-2 build: collapse an event-time
+    * attribute stream into validity intervals — one row per (entity,
+    * attribute run) with `eff_from` (first ts of the run), `eff_to`
+    * (start of the next run, NULL on the open run) and `is_current`.
+    * The standard warehouse dimension shape (Kimball SCD2), derived
+    * here from raw events rather than maintained by per-row UPDATEs.
+    *
+    * Mechanism: lag() over (entity ORDER BY ts, id) marks rows where
+    * the attribute IS DISTINCT FROM its predecessor (null-safe, so a
+    * null attribute forms its own run); the surviving change rows get
+    * lead(ts) as the interval end and row_number as the version
+    * ordinal. Both windows share the entity partition key, so Catalyst
+    * plans ONE Exchange — the filter between them keeps the
+    * partitioning, only the within-partition sort is re-run on the
+    * (much smaller) change set. Per-entity data never has to fit in
+    * memory: windows stream.
+    */
+  def scd2(events: DataFrame, entityCol: String, tsCol: String,
+           idCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val changes = events
+      .select(col(entityCol), col(tsCol), col(idCol), col(attrCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col("_prev") <=> col(attrCol)))
+    val w2 = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    changes.select(
+      col(entityCol),
+      col(attrCol),
+      row_number().over(w2).as("version"),
+      col(tsCol).as("eff_from"),
+      lead(col(tsCol), 1).over(w2).as("eff_to"),
+      lead(col(tsCol), 1).over(w2).isNull.as("is_current"))
+  }
+
+  /** Per-entity time-weighted average of an irregularly-sampled value:
+    * each observation is weighted by how long it was CURRENT
+    * (piecewise-constant hold until the next event), i.e.
+    * `Σ v_i·(t_{i+1}−t_i) / (t_n−t_1)`. The plain mean over-weights
+    * bursts; this is the standard telemetry/financial fix.
+    *
+    * Cross-engine determinism: double summation is order-dependent, so
+    * the accumulation runs over EXACT integers — value in millis
+    * (`round(v·1000)`, exact for sensor-style 2-decimal values ≤ ~9e9)
+    * times the hold duration in micros — and the single IEEE divide
+    * happens once per entity at the end, making results bit-identical
+    * across engines regardless of shuffle order. Overflow headroom:
+    * span_us · v_millis must stay < 2^63 per entity (≈ 10⁶-unit values
+    * held over ~290 years); callers outside that envelope should
+    * rescale. Single-event entities (zero span) fall back to the plain
+    * value. One window (lead) + one aggregate, both on the entity key —
+    * one Exchange.
+    */
+  def timeWeightedAvg(events: DataFrame, entityCol: String, tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("_tus"), col(idCol))
+    events
+      .select(col(entityCol),
+        unix_micros(col(tsCol)).as("_tus"),
+        col(idCol),
+        round(col(valueCol).cast("double") * 1000).cast("long").as("_vmillis"))
+      .withColumn("_dur_us", lead(col("_tus"), 1).over(w) - col("_tus"))
+      .groupBy(col(entityCol))
+      .agg(
+        sum(when(col("_dur_us").isNotNull, col("_vmillis") * col("_dur_us"))
+          .otherwise(lit(0L))).as("_num"),
+        (max(col("_tus")) - min(col("_tus"))).as("_span_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("_vmillis")).as("_vsum"))
+      .select(col(entityCol),
+        col("n_events"),
+        when(col("_span_us") > 0,
+          col("_num") / lit(1000.0) / col("_span_us"))
+          .otherwise(col("_vsum") / (lit(1000.0) * col("n_events"))).as("twa"))
+  }
+
   // public: encoder codegen (SpecificSafeProjection) cannot construct
   // private classes
   final case class EwmaIn(entity: String, id: Long, tus: Long, value: Double)

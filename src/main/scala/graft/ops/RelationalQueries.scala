@@ -707,6 +707,57 @@ object RelationalQueries {
         .orderBy("user_id", "tus", "event_id")
     },
 
+    // ---- SCD Type-2 dimension build (Temporal.scd2): event_type runs
+    //      per user collapsed into validity intervals (Kimball SCD2
+    //      derived from raw events). Two windows, one Exchange. ----
+    "q_evt_scd2" -> Q(
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type AS status,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       ts AS eff_from,
+        |       lead(ts) OVER w AS eff_to,
+        |       (lead(ts) OVER w IS NULL) AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.scd2(tb(s, dir).events,
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_type").as("status"),
+          col("version").cast("long").as("version"),
+          col("eff_from"), col("eff_to"), col("is_current"))
+        .orderBy("user_id", "version")
+    },
+
+    // ---- time-weighted average (Temporal.timeWeightedAvg): each value
+    //      weighted by its hold duration until the next event. Exact
+    //      integer accumulation (millis × micros), ONE shared divide
+    //      chain at the end → bit-identical cross-engine. ----
+    "q_evt_time_weighted" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id,
+        |                  CAST(round(value * 1000) AS BIGINT) AS vmillis
+        |           FROM events),
+        |d AS (SELECT user_id, vmillis, tus,
+        |             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur_us
+        |      FROM e),
+        |a AS (SELECT user_id,
+        |             CAST(sum(CASE WHEN dur_us IS NOT NULL THEN vmillis * dur_us ELSE 0 END) AS BIGINT) AS num,
+        |             CAST(max(tus) - min(tus) AS BIGINT) AS span_us,
+        |             CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(vmillis) AS BIGINT) AS vsum
+        |      FROM d GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CASE WHEN span_us > 0 THEN num / 1000.0 / span_us
+        |            ELSE vsum / (1000.0 * n_events) END AS twa
+        |FROM a ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.timeWeightedAvg(tb(s, dir).events,
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    },
+
     // ---- cohort retention (Temporal.cohortRetention): users by first-
     //      activity week × whole-week offsets of later activity ----
     "q_evt_cohort_retention" -> Q(

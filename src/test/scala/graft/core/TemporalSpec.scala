@@ -232,4 +232,63 @@ class TemporalSpec extends SparkSpec {
       assert(math.abs(got(k) - w) < 1e-12, s"$k: ${got(k)} vs $w")
     }
   }
+
+  test("scd2 collapses attribute runs into tiling validity intervals") {
+    // user 1: A A B A  -> A[v1], B[v2], A[v3]; user 2: single run
+    val t0 = 1700000000000L
+    val ev = Seq(
+      (1L, 1L, new Timestamp(t0), "A"),
+      (1L, 2L, new Timestamp(t0 + 1000), "A"),
+      (1L, 3L, new Timestamp(t0 + 2000), "B"),
+      (1L, 4L, new Timestamp(t0 + 3000), "A"),
+      (2L, 5L, new Timestamp(t0), "X"),
+      (2L, 6L, new Timestamp(t0 + 500), "X"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Temporal.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version")
+      .select("user_id", "event_type", "version", "eff_from", "eff_to", "is_current")
+      .as[(Long, String, Int, Timestamp, Option[Timestamp], Boolean)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._6)).toSeq === Seq(
+      (1L, "A", 1, false), (1L, "B", 2, false), (1L, "A", 3, true),
+      (2L, "X", 1, true)))
+    // intervals tile: each eff_to equals the next version's eff_from
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4))
+        case _ =>
+      }
+      assert(rows.maxBy(_._3)._5.isEmpty)
+    }
+  }
+
+  test("timeWeightedAvg matches brute force; zero-span entity falls back to mean") {
+    val rnd = new scala.util.Random(11)
+    val t0 = 1700000000000L
+    val ev = (1 to 200).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong,
+        new Timestamp(t0 + rnd.nextInt(100000) * 37L),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    } ++ Seq((99L, 901L, new Timestamp(t0), 4.25),
+             (99L, 902L, new Timestamp(t0), 7.75)) // zero span
+    val df = ev.toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.timeWeightedAvg(df, "user_id", "ts", "event_id", "value")
+      .select(col("user_id").cast("long"), col("n_events"), col("twa"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = ev.groupBy(_._1).map { case (u, evs) =>
+      val s = evs.sortBy(e => (e._3.getTime, e._2))
+      val span = (s.last._3.getTime - s.head._3.getTime) * 1000L
+      val twa =
+        if (span == 0) s.map(_._4).sum / s.size
+        else s.sliding(2).map { case Seq(a, b) =>
+          a._4 * (b._3.getTime - a._3.getTime) * 1000L
+        }.sum / span
+      u -> (s.size.toLong, twa)
+    }
+    assert(got.size === want.size)
+    want.foreach { case (u, (n, w)) =>
+      assert(got(u)._1 === n)
+      assert(math.abs(got(u)._2 - w) < 1e-9, s"user $u: ${got(u)._2} vs $w")
+    }
+    assert(math.abs(got(99L)._2 - 6.0) < 1e-12)
+  }
 }
