@@ -707,6 +707,43 @@ object RelationalQueries {
         .orderBy("user_id", "tus", "event_id")
     },
 
+    // ---- MERGE INTO semantics (core/Merge.upsert): update + insert +
+    //      delete applied to a base snapshot in ONE plan (anti join ∪
+    //      surviving updates) — base shuffled once, change set
+    //      broadcast when small. Change set derived deterministically
+    //      from customer: %10 keys re-segmented, %970 keys deleted,
+    //      %500 keys cloned as brand-new inserts. ----
+    "q_merge_upsert" -> Q(
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |         'REACTIVATED' AS c_mktsegment, (c_custkey % 97 = 0) AS _del
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'Customer#new' || c_custkey, c_nationkey,
+        |         0.0, 'NEW', false
+        |  FROM customer WHERE c_custkey % 500 = 0)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM upd WHERE NOT _del
+        |  UNION ALL
+        |  SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment
+        |  FROM customer b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey))
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val base = tb(s, dir).customer
+      val upd1 = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("REACTIVATED"))
+        .withColumn("_del", col("c_custkey") % 97 === 0)
+      val upd2 = base.filter(col("c_custkey") % 500 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("Customer#new"), col("c_custkey")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"), lit(false).as("_del"))
+      graft.core.Merge.upsert(base, upd1.unionByName(upd2),
+          Seq("c_custkey"), deleteCol = Some("_del"))
+        .orderBy("c_custkey")
+    },
+
     // ---- SCD Type-2 dimension build (Temporal.scd2): event_type runs
     //      per user collapsed into validity intervals (Kimball SCD2
     //      derived from raw events). Two windows, one Exchange. ----
