@@ -399,4 +399,49 @@ object DedupOps {
     sh.unpersist()
     out
   }
+
+  /** Paragraph-level exact dedup (the CCNet / RefinedWeb line-dedup
+    * pass): a paragraph occurrence survives iff it is the FIRST
+    * occurrence of that exact paragraph corpus-wide, ordered by
+    * (doc id, position); each document is then reassembled from its
+    * surviving paragraphs in original order. Removes boilerplate that
+    * document-level dedup can't see (headers/footers shared across
+    * otherwise-distinct pages).
+    *
+    * Input: `parasCol` is an array<string> of the document's
+    * paragraphs (the caller picks the segmentation — '\n' split for
+    * natural text, fixed-token windows for unstructured blobs).
+    * Output: one row per input doc — n_paras, n_kept, text_dedup
+    * (surviving paragraphs joined with '\n'; empty string when the
+    * whole document was boilerplate).
+    *
+    * Shape: explode → groupBy(paragraph).min(struct(id, pos)) → equi
+    * join back → groupBy(id) reassembly. The winner is found with a
+    * partial-aggregatable MIN, not a row_number window: hot
+    * boilerplate paragraphs (millions of copies at 100 TB) would make
+    * a window's per-paragraph partition a straggler, while min(struct)
+    * combines map-side so the shuffle carries one row per distinct
+    * paragraph per mapper. Two shuffles total (paragraph key, then doc
+    * id); no driver collect.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String,
+                     parasCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), posexplode(col(parasCol)).as(Seq("pos", "para")))
+    val winners = exploded
+      .groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_w"))
+    val kept = exploded.join(winners, "para")
+      .filter(col(idCol) === col("_w")(idCol) && col("pos") === col("_w.pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s("para")), "\n").as("text_dedup"))
+    docs.select(col(idCol), size(col(parasCol)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

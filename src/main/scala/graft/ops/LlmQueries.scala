@@ -114,6 +114,39 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- paragraph-level exact dedup (DedupOps.paragraphDedup): the
+    //      CCNet/RefinedWeb line-dedup pass. Paragraph = 8-token window
+    //      (this corpus has no newlines, so segmentation is explicit
+    //      and identical in both engines); first corpus-wide occurrence
+    //      by (doc_id, pos) survives; docs reassembled in order.
+    //      Winner via partial-aggregatable min(struct), not a window —
+    //      hot boilerplate paragraphs would straggle a window. ----
+    "q_llm_para_dedup" -> Q(
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |p AS (SELECT doc_id, i AS pos, array_to_string(ts[(i*8+1):(i*8+8)], ' ') AS para
+        |      FROM (SELECT doc_id, ts, unnest(range(0, (len(ts)+7)//8)) AS i FROM t)),
+        |k AS (SELECT doc_id, pos, para,
+        |             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |      FROM p),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |             string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST((len(ts)+7)//8 AS BIGINT) AS n_paras,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(r.text_dedup, '') AS text_dedup
+        |FROM t LEFT JOIN r ON r.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val withParas = tb(s, dir).documents
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+        .withColumn("paras",
+          when(size(col("_toks")) > 0,
+            transform(expr("sequence(0, (size(_toks)+7) div 8 - 1)"),
+              i => array_join(slice(col("_toks"), i * 8 + 1, lit(8)), " ")))
+            .otherwise(array().cast("array<string>")))
+      DedupOps.paragraphDedup(withParas, "doc_id", "paras")
+        .orderBy("doc_id")
+    },
+
     // ---- document fingerprint (normalized-content rolling hash) ----
     "q_llm_fingerprint" -> Q(
       """SELECT doc_id,

@@ -160,4 +160,28 @@ class DedupOpsSpec extends SparkSpec {
     pairs.foreach { case ((a, b), h) => assert(ham(sh(a), sh(b)) === h) }
     if (ham(sh(1L), sh(3L)) <= 3) assert(pairs.contains((1L, 3L)))
   }
+
+  test("paragraphDedup: first occurrence survives, docs reassemble in order, all-dup doc empties") {
+    val docs = Seq(
+      (1L, Seq("alpha beta", "shared footer", "gamma")),
+      (2L, Seq("shared footer", "delta")),       // footer already seen in doc 1
+      (3L, Seq("shared footer")),                // nothing left
+      (4L, Seq[String]()))                       // empty doc
+      .toDF("doc_id", "paras")
+    val got = DedupOps.paragraphDedup(docs, "doc_id", "paras")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, "alpha beta\nshared footer\ngamma"),
+      (2L, 2L, 1L, "delta"),
+      (3L, 1L, 0L, ""),
+      (4L, 0L, 0L, "")))
+  }
+
+  test("paragraphDedup winner ties break by (doc_id, pos) — same doc repeats keep the first") {
+    val docs = Seq((7L, Seq("x", "x", "y", "x"))).toDF("doc_id", "paras")
+    val got = DedupOps.paragraphDedup(docs, "doc_id", "paras")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got === ((7L, 4L, 2L, "x\ny")))
+  }
 }
