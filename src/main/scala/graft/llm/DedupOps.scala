@@ -130,6 +130,42 @@ object DedupOps {
       .select("id1", "id2")
   }
 
+  /** Blocked fuzzy-match pairs (record linkage / entity resolution):
+    * candidate pairs form inside equality blocks — same md5 width guard
+    * as [[blockedPairs]] — and survive iff edit distance ≤ `maxDist`.
+    * Two pair-killers run in cost order: the length pre-filter
+    * (|len a − len b| > maxDist can never match, a free column compare)
+    * before the edit distance, and the edit distance itself runs
+    * through Spark's thresholded `levenshtein(l, r, k)` which abandons
+    * a pair as soon as its running minimum exceeds k — O(k·len) per
+    * pair instead of O(len²). Blocking keeps Σ block² ≤ n·maxBlock;
+    * recall is bounded by the blocking key (pairs split across blocks
+    * are missed — choose the key so true matches share it).
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 blockCol: String, maxDist: Int,
+                 maxBlock: Int = 1024): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val counts = df.groupBy(col(blockCol)).agg(count(lit(1)).as("_bn"))
+    val keyed = df.join(counts, Seq(blockCol))
+      .withColumn("_nsplit", expr(s"(_bn + ${maxBlock - 1}) div $maxBlock"))
+      .withColumn("_sub",
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % col("_nsplit"))
+      .select(col(blockCol), col("_sub"), col(idCol), col(strCol))
+    val a = keyed.select(col(blockCol), col("_sub"),
+      col(idCol).as("id1"), col(strCol).as("_s1"))
+    val b = keyed.select(col(blockCol), col("_sub"),
+      col(idCol).as("id2"), col(strCol).as("_s2"))
+    a.join(b, Seq(blockCol, "_sub"))
+      .filter(col("id1") < col("id2"))
+      .filter(abs(length(col("_s1")) - length(col("_s2"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_s1"), col("_s2"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // thresholded form returns -1 past maxDist
+      .select("id1", "id2", "dist")
+  }
+
   /** Exact Jaccard verification of candidate pairs, as integer
     * numerator/denominator (|A∩B|, |A∪B|) — exact across engines, the
     * caller applies the threshold (e.g. n*10 >= d*8 for 0.8).

@@ -707,6 +707,58 @@ object RelationalQueries {
         .orderBy("user_id", "tus", "event_id")
     },
 
+    // ---- blocked fuzzy matching (DedupOps.fuzzyPairs): record-linkage
+    //      candidate pairs inside equality blocks (prefix key), length
+    //      pre-filter, thresholded levenshtein ≤ 1. Blocks here are
+    //      ≤ maxBlock so the oracle needs no sub-split reproduction. ----
+    "q_er_fuzzy_pairs" -> Q(
+      """WITH k AS (SELECT c_custkey AS id, c_name AS nm, substr(c_name, 1, 16) AS blk
+        |           FROM customer)
+        |SELECT a.id AS id1, b.id AS id2,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |WHERE abs(len(a.nm) - len(b.nm)) <= 1
+        |  AND levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val k = tb(s, dir).customer
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          substring(col("c_name"), 1, 16).as("blk"))
+      graft.llm.DedupOps.fuzzyPairs(k, "id", "nm", "blk", maxDist = 1)
+        .orderBy("id1", "id2")
+    },
+
+    // ---- entity resolution end-to-end: fuzzy pairs → connected
+    //      components (pointer jumping) → canonical entity id per
+    //      record; the oracle replays the same graph with a recursive
+    //      CTE. Singletons are their own entity. ----
+    "q_er_entities" -> Q(
+      """WITH RECURSIVE k AS (SELECT c_custkey AS id, c_name AS nm, substr(c_name, 1, 16) AS blk
+        |                     FROM customer),
+        |dups AS (SELECT a.id AS id1, b.id AS id2
+        |         FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |         WHERE abs(len(a.nm) - len(b.nm)) <= 1
+        |           AND levenshtein(a.nm, b.nm) <= 1),
+        |nodes AS (SELECT id1 AS id FROM dups UNION SELECT id2 FROM dups),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM dups
+        |        UNION ALL SELECT id2, id1 FROM dups),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT k.id, CAST(coalesce(c.component, k.id) AS BIGINT) AS entity_id,
+        |       coalesce(c.component, k.id) = k.id AS is_canonical
+        |FROM k LEFT JOIN comp c ON c.id = k.id
+        |ORDER BY k.id""".stripMargin) { (s, dir) =>
+      val k = tb(s, dir).customer
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          substring(col("c_name"), 1, 16).as("blk"))
+      val pairs = graft.llm.DedupOps.fuzzyPairs(k, "id", "nm", "blk", maxDist = 1)
+      graft.llm.DupGraph.dupClusters(k.select("id"), "id", pairs)
+        .select(col("id"), col("component").as("entity_id"), col("is_canonical"))
+        .orderBy("id")
+    },
+
     // ---- MERGE INTO semantics (core/Merge.upsert): update + insert +
     //      delete applied to a base snapshot in ONE plan (anti join ∪
     //      surviving updates) — base shuffled once, change set

@@ -184,4 +184,23 @@ class DedupOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().head
     assert(got === ((7L, 4L, 2L, "x\ny")))
   }
+
+  test("fuzzyPairs: within-block edit-distance matches, cross-block pairs never form") {
+    val df = Seq(
+      (1L, "smith john", "s"), (2L, "smith jonn", "s"), (3L, "smith jane", "s"),
+      (4L, "smyth john", "t"), // 1 edit from id 1 but different block
+      (5L, "completely other", "s"))
+      .toDF("id", "nm", "blk")
+    val got = DedupOps.fuzzyPairs(df, "id", "nm", "blk", maxDist = 1)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L))) // jane is 2 edits; id 4 blocked away
+  }
+
+  test("fuzzyPairs: maxDist 2 widens matches and reports exact distances") {
+    val df = Seq((1L, "abcdef", "b"), (2L, "abcxxf", "b"), (3L, "abcdef", "b"))
+      .toDF("id", "nm", "blk")
+    val got = DedupOps.fuzzyPairs(df, "id", "nm", "blk", maxDist = 2)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L), (1L, 3L, 0L), (2L, 3L, 2L)))
+  }
 }
