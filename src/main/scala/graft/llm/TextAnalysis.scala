@@ -330,6 +330,36 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("token"), col("tf"))
   }
 
+  /** Unigram language-model quality score: the per-document mean log
+    * probability of its tokens under the corpus's own unigram
+    * distribution — the cheap stand-in for the KenLM-perplexity filter
+    * in CCNet-style pipelines (a doc whose tokens are collectively
+    * improbable in the corpus is noise/mojibake/another register).
+    * `avg_lp = Σ c_t · ln(cnt_t / N) / Σ c_t` over the doc's distinct
+    * tokens t (c_t in-doc count, cnt_t corpus count, N corpus total).
+    *
+    * Shape: one (doc, token, count) aggregate (the same fused shape as
+    * Curation), a token-keyed equi join against the one-row-per-
+    * distinct-token corpus table (broadcast when the vocab is small,
+    * AQE-skew-split otherwise — the join input is doc×DISTINCT-token,
+    * never raw occurrences), a broadcast single-row N, and a final
+    * per-doc aggregate. No window, no collect. Callers compare avg_lp
+    * across docs; absolute values shift with corpus size as any LM's
+    * do. ln() is engine-libm; round before hash-comparing.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = explodeTokens(df, textCol, "token", col(idCol))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    val corpus = tc.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
+    val n = corpus.agg(sum(col("cnt")).as("_n_total"))
+    tc.join(corpus, Seq("token"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("c") * log(col("cnt").cast("double") / col("_n_total"))) /
+          sum(col("c"))).as("avg_lp"))
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with
     * total occurrences and document frequency, ties broken
     * lexicographically. Partial/final hash aggregate (map-side combine

@@ -196,6 +196,27 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- unigram-LM quality score (TextAnalysis.unigramLogProb): mean
+    //      token log-probability under the corpus's own unigram model —
+    //      the KenLM-perplexity-filter stand-in. One fused (doc, token,
+    //      count) aggregate + token-keyed join; round(,6) absorbs libm
+    //      ln() last-ulp drift between engines. ----
+    "q_llm_unigram_lp" -> Q(
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |              FROM documents),
+        |tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, tok),
+        |corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt FROM tc GROUP BY tok),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM corpus)
+        |SELECT tc.doc_id, CAST(sum(tc.c) AS BIGINT) AS n_tokens,
+        |       round(sum(tc.c * ln(corpus.cnt / CAST(n.n_total AS DOUBLE))) / sum(tc.c), 6) AS avg_lp
+        |FROM tc JOIN corpus USING (tok), n
+        |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramLogProb(tb(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_lp"), 6).as("avg_lp"))
+        .orderBy("doc_id")
+    },
+
     // ---- quality scoring: token mass + stopword prose signal - punct ----
     "q_llm_quality_score" -> Q(
       """WITH sw(w) AS (VALUES ('the'),('a'),('fast'),('slow'),('data'),('row'),

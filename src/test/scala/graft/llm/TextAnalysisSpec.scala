@@ -296,4 +296,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) === "ssn-ish <ID> in line")
     assert(out(3) === "short 12345 stays; clean prose stays")
   }
+
+  test("unigramLogProb: common-token docs outscore rare-token docs; exact on a tiny corpus") {
+    // corpus: "a a a b" -> p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(3L, 1L))
+    assert(math.abs(got(0)._3 - math.log(0.75)) < 1e-12)
+    assert(math.abs(got(1)._3 - math.log(0.25)) < 1e-12)
+    assert(got(0)._3 > got(1)._3)
+  }
 }
