@@ -388,6 +388,31 @@ object AnalyticsQueries {
         .agg(array_join(array_sort(collect_set("o_orderpriority")), ",").as("priorities"),
           countDistinct("o_orderpriority").as("n_priorities"))
         .orderBy("status")
+    },
+
+    // ---- Z-order sort key (functions/ZOrder): Morton interleave of
+    //      (custkey, epoch-day) via the native codegen'd z_interleave
+    //      expression — the data-layout key behind multi-dimensional
+    //      scan pruning (ZOrder.cluster range-partitions + sorts on
+    //      it). The oracle replays the interleave bit-by-bit. ----
+    "q_zorder_key" -> Q(
+      """WITH b AS (SELECT o_orderkey,
+        |                  o_custkey AS x,
+        |                  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |           FROM orders)
+        |SELECT o_orderkey, x, y,
+        |       CAST(sum(((x >> i) & 1) * (1::BIGINT << (2*i)) +
+        |                ((y >> i) & 1) * (1::BIGINT << (2*i+1))) AS BIGINT) AS z
+        |FROM b, generate_series(0, 30) AS g(i)
+        |GROUP BY o_orderkey, x, y
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      tb(s, dir).orders
+        .select(col("o_orderkey"),
+          col("o_custkey").as("x"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("y"))
+        .withColumn("z", graft.functions.ZOrder.z(col("x"), col("y")))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{VecDot, ZInterleave}
 
 /** SparkSessionExtensions entry point for the graft engine — the
   * extension-injection face of the custom-Catalyst layer, so SQL users
@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.zInterleaveDescriptor)
     ext.injectOptimizerRule(_ => VecDotRewrite)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
@@ -55,14 +56,29 @@ object GraftExtensions {
         VecDot(args.head, args(1))
       })
 
+  /** (name, info, builder) descriptor for `z_interleave` — the Morton
+    * z-order sort key ([[graft.functions.ZInterleave]]).
+    */
+  val zInterleaveDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"z_interleave expects exactly 2 arguments, got ${args.length}")
+        ZInterleave(args.head, args(1))
+      })
+
   /** Register the functions and the rewrite rule on an ALREADY-RUNNING
     * session (tests, REPLs — extensions normally apply only at session
     * build time; the rule goes through `experimental.extraOptimizations`,
     * the runtime-injection point Spark provides for exactly this).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(vecDotDescriptor, zInterleaveDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(VecDotRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ VecDotRewrite
