@@ -45,4 +45,29 @@ object Skew {
       .select(col(keyCol), col("_salt"), col(valueCol)).distinct()
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_distinct"))
+
+  /** Heavy-hitter diagnostic: the top-n values of a key (composite
+    * keys welcome) by row count, with each value's share of the table —
+    * the first thing to run when a shuffle stage straggles, and the
+    * input to choosing a salting factor. groupBy + TakeOrderedAndProject
+    * (orderBy.limit never global-sorts); the rank window runs on the
+    * already-reduced n rows, and the total arrives as one broadcast
+    * row. Ties break by key order so output is deterministic.
+    */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String],
+                   topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "heavyHitters needs at least one key column")
+    val total = df.agg(count(lit(1)).as("_total"))
+    val sortKeys = col("n").desc +: keyCols.map(col(_).asc)
+    val top = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(sortKeys: _*)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sortKeys: _*)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share", round(col("n") / col("_total"), 6))
+      .select((col("rank") +: keyCols.map(col)) ++
+        Seq(col("n"), col("share")): _*)
+  }
 }

@@ -390,6 +390,91 @@ object AnalyticsQueries {
         .orderBy("status")
     },
 
+    // ---- per-column dataset profile (reports/Profile.profileTable):
+    //      rows / nulls / exact ndv / typed min-max, one aggregate over
+    //      one scan, melted to a row per column. Numeric extremes stay
+    //      DOUBLE (no engine-specific double→string formatting). ----
+    "q_profile_table" -> Q(
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+        |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |         CAST(min(c_custkey) AS DOUBLE) AS min_num, CAST(max(c_custkey) AS DOUBLE) AS max_num,
+        |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(c_name) AS BIGINT),
+        |         CAST(count(DISTINCT c_name) AS BIGINT),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(c_name), max(c_name)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_acctbal', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(c_acctbal) AS BIGINT),
+        |         CAST(count(DISTINCT c_acctbal) AS BIGINT),
+        |         CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |         CAST(count(*) - count(c_mktsegment) AS BIGINT),
+        |         CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         min(c_mktsegment), max(c_mktsegment)
+        |  FROM customer)
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      graft.reports.Profile.profileTable(tb(s, dir).customer,
+          Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("column_name")
+    },
+
+    // ---- declarative data-quality rules (Profile.checkRules): the
+    //      whole rule set is ONE conditional aggregate over ONE scan;
+    //      NULL predicate results count as violations. ----
+    "q_quality_rules" -> Q(
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN coalesce(c_acctbal >= 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN coalesce(c_name IS NOT NULL AND len(c_name) > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(sum(CASE WHEN coalesce(c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN coalesce(c_custkey > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v4
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'acctbal_nonneg' AS rule, n AS n_rows, v1 AS n_violations,
+        |         round(v1 / CAST(n AS DOUBLE), 6) AS violation_rate FROM a
+        |  UNION ALL
+        |  SELECT 'name_present', n, v2, round(v2 / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL
+        |  SELECT 'segment_known', n, v3, round(v3 / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL
+        |  SELECT 'custkey_positive', n, v4, round(v4 / CAST(n AS DOUBLE), 6) FROM a)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      graft.reports.Profile.checkRules(tb(s, dir).customer, Seq(
+          "acctbal_nonneg" -> (col("c_acctbal") >= 0),
+          "name_present" -> (col("c_name").isNotNull && length(col("c_name")) > 0),
+          "segment_known" -> col("c_mktsegment").isin(
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+          "custkey_positive" -> (col("c_custkey") > 0)))
+        .orderBy("rule")
+    },
+
+    // ---- heavy-hitter skew diagnostic (core/Skew.heavyHitters): top
+    //      composite keys by count with table share — groupBy +
+    //      TakeOrderedAndProject, rank window only on the reduced
+    //      top-n rows. ----
+    "q_skew_heavy_hitters" -> Q(
+      """WITH g AS (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders),
+        |top AS (SELECT * FROM g ORDER BY n DESC, o_orderstatus, o_orderpriority LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, o_orderstatus, o_orderpriority) AS BIGINT) AS "rank",
+        |       o_orderstatus, o_orderpriority, n,
+        |       round(n / CAST(t.total AS DOUBLE), 6) AS share
+        |FROM top, t ORDER BY "rank"""".stripMargin) { (s, dir) =>
+      graft.core.Skew.heavyHitters(tb(s, dir).orders,
+          Seq("o_orderstatus", "o_orderpriority"), topN = 10)
+        .orderBy("rank")
+    },
+
     // ---- Z-order sort key (functions/ZOrder): Morton interleave of
     //      (custkey, epoch-day) via the native codegen'd z_interleave
     //      expression — the data-layout key behind multi-dimensional

@@ -34,4 +34,16 @@ class SkewSpec extends SparkSpec {
     s1.foreach(s => assert(s >= 0 && s < 8))
     assert(s1(0) === s1(3)) // same content → same salt
   }
+
+  test("heavyHitters: ranks by count with deterministic tiebreaks and exact shares") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .map(k => (k, 1)).toDF("k", "x")
+    val got = Skew.heavyHitters(df, Seq("k"), topN = 3)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // b/c tie at 3 -> key order breaks it; d (1 row) cut by topN
+    assert(got === Seq(
+      (1L, "a", 6L, math.rint(6.0 / 13 * 1e6) / 1e6),
+      (2L, "b", 3L, math.rint(3.0 / 13 * 1e6) / 1e6),
+      (3L, "c", 3L, math.rint(3.0 / 13 * 1e6) / 1e6)))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.reports
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("a"), Some(1.5)), (2L, Some("b"), Some(-2.0)),
+    (3L, None, Some(1.5)), (4L, Some("b"), None))
+    .toDF("id", "s", "v")
+
+  test("profileTable: per-column rows/nulls/ndv and typed min-max") {
+    val p = Profile.profileTable(df, Seq("id", "s", "v"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])].collect().toSeq
+    assert(p === Seq(
+      ("id", 4L, 0L, 4L, Some(1.0), Some(4.0), None, None),
+      ("s", 4L, 1L, 2L, None, None, Some("a"), Some("b")),
+      ("v", 4L, 1L, 2L, Some(-2.0), Some(1.5), None, None)))
+  }
+
+  test("profileTable: approx mode keeps the schema and lands near exact ndv") {
+    val p = Profile.profileTable(df, Seq("id"), exact = false)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])].collect().head
+    assert(p._1 === "id" && math.abs(p._4 - 4L) <= 1)
+  }
+
+  test("profileTable rejects unknown columns") {
+    intercept[IllegalArgumentException] {
+      Profile.profileTable(df, Seq("nope"))
+    }
+  }
+
+  test("checkRules: one row per rule; NULL predicate counts as violation") {
+    val r = Profile.checkRules(df, Seq(
+        "v_positive" -> (col("v") > 0),      // -2.0 fails, null fails
+        "s_present" -> col("s").isNotNull))  // one null
+      .orderBy("rule")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      ("s_present", 4L, 1L, 0.25),
+      ("v_positive", 4L, 2L, 0.5)))
+  }
+}
