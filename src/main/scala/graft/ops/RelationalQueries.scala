@@ -707,6 +707,39 @@ object RelationalQueries {
         .orderBy("user_id", "tus", "event_id")
     },
 
+    // ---- incremental aggregate maintenance (core/IncrementalAgg):
+    //      two per-batch partial aggregates (even/odd orderkey halves)
+    //      merged algebraically — sum/count/min/max combine, avg
+    //      re-derives from merged sum+count. The oracle is the from-
+    //      scratch aggregate over the full table: merging partials MUST
+    //      equal recomputing. ----
+    "q_incr_agg_merge" -> Q(
+      """SELECT o_orderstatus AS status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       round(min(o_totalprice), 2) AS min_price,
+        |       round(max(o_totalprice), 2) AS max_price,
+        |       round(sum(o_totalprice) / count(*), 6) AS avg_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin) { (s, dir) =>
+      def partial(parityFilter: org.apache.spark.sql.Column) =
+        tb(s, dir).orders.filter(parityFilter)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"),
+            min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+      val merged = graft.core.IncrementalAgg.mergePartials(
+        partial(col("o_orderkey") % 2 === 0), partial(col("o_orderkey") % 2 === 1),
+        keys = Seq("status"), sumCols = Seq("n", "sum_price"),
+        minCols = Seq("min_price"), maxCols = Seq("max_price"))
+      graft.core.IncrementalAgg.deriveAvg(merged, "sum_price", "n", "avg_price")
+        .select(col("status"), col("n"),
+          round(col("sum_price"), 2).as("sum_price"),
+          round(col("min_price"), 2).as("min_price"),
+          round(col("max_price"), 2).as("max_price"),
+          round(col("avg_price"), 6).as("avg_price"))
+        .orderBy("status")
+    },
+
     // ---- blocked fuzzy matching (DedupOps.fuzzyPairs): record-linkage
     //      candidate pairs inside equality blocks (prefix key), length
     //      pre-filter, thresholded levenshtein ≤ 1. Blocks here are
