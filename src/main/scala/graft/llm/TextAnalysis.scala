@@ -296,6 +296,49 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col(valCol), col("is_outlier"))
   }
 
+  /** MAD robust outlier flags — the median-based complement to the
+    * Tukey fence ([[outlierFlags]]): flag x iff
+    * `0.6745·|x − median| > 3.5·MAD` (the standard modified z-score
+    * cut), computed per group. MAD resists the very outliers it hunts,
+    * where IQR fences drift when a tail is heavy.
+    *
+    * Determinism: medians are the exact type-1 (lower) quantile from
+    * the integer histogram ([[valueProfile]]'s cm·100 ≥ n·50 rule —
+    * no interpolation), and the threshold comparison is scaled to
+    * integers (adev·6745 > mad·35000), so on integer-valued columns
+    * every intermediate is exact and cross-engine bit-identical.
+    * Degenerate MAD = 0 (over half the group at the median) flags any
+    * deviation — the textbook caveat, left unsmoothed on purpose.
+    * Cost: two histogram aggregates + two broadcast joins of one row
+    * per group; the corpus is scanned twice, shuffled never (histogram
+    * carries (group, value, count), not rows).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valCol: String): DataFrame = {
+    val med = valueProfile(df, groupCol, valCol, Seq(50))
+      .select(col(groupCol), col("p50").as("med"))
+    val withDev = df.select(col(idCol), col(groupCol), col(valCol))
+      .join(broadcast(med), groupCol)
+      .withColumn("_adev", abs(col(valCol) - col("med")))
+    val mad = valueProfile(withDev, groupCol, "_adev", Seq(50))
+      .select(col(groupCol), col("p50").as("mad"))
+    withDev.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier", col("_adev") * 6745 > col("mad") * 35000)
+      .select(col(idCol), col(groupCol), col(valCol), col("med"), col("mad"),
+        col("is_outlier"))
+  }
+
+  /** Canonical text normalization for exact-match keys: lowercase,
+    * collapse whitespace runs to single spaces, strip non-printable-
+    * ASCII, trim. Applied BEFORE hashing/dedup so cosmetic variants
+    * (tabs vs spaces, stray control bytes) collide. Pure column
+    * algebra — codegen'd, zero shuffle. Whitespace collapses BEFORE
+    * the printable filter so newlines become spaces instead of
+    * vanishing (which would glue words together).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "\\s+", " "), "[^ -~]", ""))
+
   /** Per-document TF-IDF keyword extraction: the `m` highest tf·idf
     * tokens per document (smoothed idf = ln((N+1)/(df+1)), the
     * [[docFrequency]] convention), ranked with a lexicographic token

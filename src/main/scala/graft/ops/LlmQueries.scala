@@ -196,6 +196,52 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- MAD robust outliers (TextAnalysis.madOutliers): modified
+    //      z-score cut 0.6745·|x−med| > 3.5·MAD with exact type-1
+    //      medians and an integer-scaled threshold — bit-exact on
+    //      integer columns, resistant where the Tukey fence drifts. ----
+    "q_llm_mad_outliers" -> Q(
+      """WITH hist AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, n_chars, c,
+        |          sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cm,
+        |          sum(c) OVER (PARTITION BY source) AS n
+        |        FROM hist),
+        |m AS (SELECT source, min(CASE WHEN cm * 100 >= n * 50 THEN n_chars END) AS med
+        |      FROM cum GROUP BY source),
+        |dev AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+        |               abs(d.n_chars - m.med) AS adev
+        |        FROM documents d JOIN m USING (source)),
+        |h2 AS (SELECT source, adev, count(*) AS c FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT source, adev, c,
+        |          sum(c) OVER (PARTITION BY source ORDER BY adev) AS cm,
+        |          sum(c) OVER (PARTITION BY source) AS n
+        |        FROM h2),
+        |md AS (SELECT source, min(CASE WHEN cm * 100 >= n * 50 THEN adev END) AS mad
+        |       FROM c2 GROUP BY source)
+        |SELECT dev.doc_id, dev.source, dev.n_chars,
+        |       CAST(dev.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad,
+        |       (dev.adev * 6745 > md.mad * 35000) AS is_outlier
+        |FROM dev JOIN md USING (source)
+        |ORDER BY dev.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.madOutliers(tb(s, dir).documents, "source", "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- canonical text normalization (TextAnalysis.normalizeText):
+    //      lowercase → collapse whitespace → strip non-printable ASCII
+    //      → trim; the exact-dedup key preparation. Pure projection. ----
+    "q_llm_normalize" -> Q(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'), '[^ -~]', '', 'g')) AS norm,
+        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'), '[^ -~]', '', 'g'))) AS BIGINT) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      tb(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+        .orderBy("doc_id")
+    },
+
     // ---- unigram-LM quality score (TextAnalysis.unigramLogProb): mean
     //      token log-probability under the corpus's own unigram model —
     //      the KenLM-perplexity-filter stand-in. One fused (doc, token,

@@ -307,4 +307,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - math.log(0.25)) < 1e-12)
     assert(got(0)._3 > got(1)._3)
   }
+
+  test("madOutliers: known medians, integer-exact threshold, MAD=0 degeneracy") {
+    // group g: values 10,10,10,100 -> med=10, adev=0,0,0,90 -> mad=0
+    //   -> only the 90-deviation row flags (0.6745*90 > 0)
+    // group h: 1..7 -> med=4, adev=3,2,1,0,1,2,3 -> mad=2
+    //   -> flag iff 0.6745*adev > 7.0: none (max adev 3 -> 2.02)
+    val df = (Seq((1L, "g", 10L), (2L, "g", 10L), (3L, "g", 10L), (4L, "g", 100L)) ++
+      (1 to 7).map(i => (10L + i, "h", i.toLong))).toDF("id", "grp", "v")
+    val got = TextAnalysis.madOutliers(df, "grp", "id", "v")
+      .orderBy("id").as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    val g = got.filter(_._2 == "g")
+    assert(g.map(_._4).distinct === Seq(10L) && g.map(_._5).distinct === Seq(0L))
+    assert(g.map(r => r._1 -> r._6).toMap === Map(1L -> false, 2L -> false,
+      3L -> false, 4L -> true))
+    val h = got.filter(_._2 == "h")
+    assert(h.map(_._4).distinct === Seq(4L) && h.map(_._5).distinct === Seq(2L))
+    assert(h.forall(!_._6))
+  }
+
+  test("normalizeText: lowercase, whitespace collapse, control strip, trim") {
+    val got = Seq("  Hello\t\tWorld\u0007 x\n", "A\nB").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(got === Seq("hello world x", "a b"))
+  }
 }
