@@ -308,6 +308,32 @@ object ReportQueries {
     // key is "first seen", so the output is exactly the per-hash
     // (min id, count) aggregate — which DuckDB checks directly. The
     // cross-micro-batch state behavior is covered by StreamDedupSpec.
+    // ---- streaming CDC apply (streaming/CdcApply): change feed folded
+    //      into a parquet snapshot via latest-per-key resolution +
+    //      Merge.upsert + crash-safe swap. Batch face: the whole events
+    //      feed as one batch over an empty base ≡ latest non-deleted
+    //      change per key (errors are deletes). Cross-micro-batch
+    //      sequencing is CdcApplySpec's job. ----
+    "q_stream_cdc_apply" -> Q(
+      """WITH ranked AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsx, event_id, value, event_type,
+        |                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |                FROM events)
+        |SELECT user_id, tsx AS ts, event_id, value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toFile
+      tmp.deleteOnExit()
+      val base = s"${tmp.getPath}/state"
+      val changes = tb(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          (col("event_type") === "error").as("_del"))
+      graft.streaming.CdcApply.applyBatch(s, changes, base,
+        Seq("user_id"), "ts", "event_id", "_del")
+      s.read.parquet(base)
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    },
+
     "q_stream_dedup_state" -> Q(
       """SELECT md5(text) AS content_hash,
         |  CAST(min(doc_id) AS BIGINT) AS first_id,
