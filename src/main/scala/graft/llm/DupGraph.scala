@@ -159,4 +159,58 @@ object DupGraph {
         col("component") === col("_wc") && col(idCol) === col("_keep"))
       .select(col("component") +: docs.columns.map(col): _*)
   }
+
+  /** Triangle count + global clustering coefficient of the pair graph —
+    * the graph-shape diagnostic for a dedup/similarity graph (a high
+    * coefficient means near-dup clusters are cliquey, so transitive
+    * closure is safe; a low one means chains, where CC over-merges).
+    *
+    * Forward algorithm, joins only: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, build wedges by
+    * self-joining the oriented list on the source, close them with a
+    * semi join on the (ordered) third edge. Each triangle is counted
+    * exactly once (its nodes appear in total order), and the self-join
+    * cost is Σ out-degree² = O(m^1.5) — the hub that would explode a
+    * naive wedge join emits almost nothing because high-degree nodes
+    * have tiny OUT-degree under degree orientation. Wedge total is
+    * Σ d(d−1)/2 over raw degrees (exact integers).
+    */
+  def triangleStats(pairs: DataFrame, src: String = "id1",
+                    dst: String = "id2"): DataFrame = {
+    val e0 = pairs
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e0.select(col("a").as("v"))
+      .union(e0.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e0
+      .join(deg.select(col("v").as("a"), col("d").as("_da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("_db")), "b")
+    val fwd = withDeg.select(
+      when(col("_da") < col("_db") ||
+        (col("_da") === col("_db") && col("a") < col("b")),
+        struct(col("a").as("s"), col("b").as("t"),
+          col("_da").as("ds"), col("_db").as("dt")))
+        .otherwise(struct(col("b").as("s"), col("a").as("t"),
+          col("_db").as("ds"), col("_da").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val w1 = fwd.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+    val w2 = fwd.select(col("s"), col("t").as("z"), col("dt").as("dz"))
+    val wedges = w1.join(w2, "s")
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+    val tri = wedges.join(
+        fwd.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wtotal = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(wtotal))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles") * 3 / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

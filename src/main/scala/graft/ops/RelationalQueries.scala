@@ -707,6 +707,38 @@ object RelationalQueries {
         .orderBy("user_id", "tus", "event_id")
     },
 
+    // ---- triangle count / clustering coefficient of the fuzzy-match
+    //      graph (DupGraph.triangleStats): degree-oriented forward
+    //      algorithm — wedge self-join cost O(m^1.5), each triangle
+    //      counted once. High clustering ⇒ transitive closure is safe
+    //      for this graph; the oracle triple-joins canonical edges. ----
+    "q_er_triangles" -> Q(
+      """WITH k AS (SELECT c_custkey AS id, c_name AS nm, substr(c_name, 1, 16) AS blk
+        |           FROM customer),
+        |p AS (SELECT a.id AS id1, b.id AS id2
+        |      FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |      WHERE abs(len(a.nm) - len(b.nm)) <= 1 AND levenshtein(a.nm, b.nm) <= 1),
+        |e0 AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+        |       FROM p WHERE id1 <> id2),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        |        GROUP BY v),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM e0 e1 JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+        |                   JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT tri.n_triangles, w.n_wedges,
+        |       CASE WHEN w.n_wedges > 0
+        |            THEN round(tri.n_triangles * 3 / CAST(w.n_wedges AS DOUBLE), 6)
+        |            ELSE 0.0 END AS clustering
+        |FROM tri, w""".stripMargin) { (s, dir) =>
+      val k = tb(s, dir).customer
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          substring(col("c_name"), 1, 16).as("blk"))
+      val pairs = graft.llm.DedupOps.fuzzyPairs(k, "id", "nm", "blk", maxDist = 1)
+      graft.llm.DupGraph.triangleStats(pairs)
+    },
+
     // ---- incremental aggregate maintenance (core/IncrementalAgg):
     //      two per-batch partial aggregates (even/odd orderkey halves)
     //      merged algebraically — sum/count/min/max combine, avg

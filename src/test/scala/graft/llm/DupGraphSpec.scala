@@ -100,4 +100,24 @@ class DupGraphSpec extends SparkSpec {
     assert(CheckpointBridge.unpersistCheckpoint(labels))
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("triangleStats: K4 is fully clustered, a path has wedges but no triangles") {
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("id1", "id2")
+    val gotK4 = DupGraph.triangleStats(k4)
+      .as[(Long, Long, Double)].collect().head
+    assert(gotK4 === ((4L, 12L, 1.0))) // C(4,3)=4 triangles, 4 nodes x C(3,2)=12 wedges
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val gotPath = DupGraph.triangleStats(path)
+      .as[(Long, Long, Double)].collect().head
+    assert(gotPath === ((0L, 2L, 0.0)))
+  }
+
+  test("triangleStats: duplicate/reversed/self edges canonicalize away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("id1", "id2")
+    val got = DupGraph.triangleStats(messy)
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((1L, 3L, 1.0)))
+  }
 }
