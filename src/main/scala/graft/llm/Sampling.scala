@@ -108,4 +108,49 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("keep_threshold"))
       .drop("__mix_domain", "keep_threshold")
   }
+
+  /** Temperature-scaled mixture plan — the multilingual-training
+    * rebalance (sample domain i with probability ∝ p_i^(1/T), the
+    * "sampling temperature" knob): T=1 keeps the natural mixture, T→∞
+    * flattens to uniform. Downsample-only normalization anchors the
+    * SMALLEST domain at rate 1, giving the closed form
+    * `rate_i = (n_min / n_i)^(1 − 1/T)`.
+    *
+    * Cross-engine exactness: at the default T=2 the power is a square
+    * root — correctly rounded under IEEE-754, so the rate and the
+    * floor'd threshold are bit-identical in any engine (the oracle
+    * recomputes them in DuckDB). Other temperatures go through libm
+    * pow(), which is NOT correctly-rounded — fine for production,
+    * excluded from hash-compared oracles. Same scale shape as
+    * [[domainMixture]]: windows over the one-row-per-domain aggregate.
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String,
+                         temperature: Double = 2.0): DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1")
+    val w = Window.partitionBy()
+    val ratio = col("_nmin").cast("double") / col("n_docs")
+    val rate =
+      if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, lit(1.0 - 1.0 / temperature))
+    df.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("_nmin", min("n_docs").over(w))
+      .withColumn("rate", rate)
+      .withColumn("keep_threshold", floor(col("rate") * 65536).cast("long"))
+      .drop("_nmin")
+  }
+
+  /** Apply a [[temperatureMixture]] plan: broadcast one row per domain,
+    * map-side consistent-hash filter — no corpus shuffle. Consistent
+    * hashing means no membership CHURN: when another domain's growth
+    * moves n_min, a domain's kept set only grows or shrinks at the
+    * threshold boundary — docs never swap in and out.
+    */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+                        temperature: Double = 2.0): DataFrame = {
+    val plan = temperatureMixture(df, domainCol, temperature)
+      .select(col(domainCol).as("__mix_domain"), col("keep_threshold"))
+    df.join(broadcast(plan), col(domainCol) === col("__mix_domain"))
+      .filter(hashBucket(col(idCol)) < col("keep_threshold"))
+      .drop("__mix_domain", "keep_threshold")
+  }
 }

@@ -905,6 +905,38 @@ object LlmQueries {
 
     // ---- apply the mixture plan: broadcast the per-domain thresholds,
     // map-side consistent-hash filter (no shuffle of the corpus) ----
+    // ---- temperature-scaled mixture (Sampling.temperatureMixture):
+    //      rate_i = (n_min/n_i)^(1-1/T), T=2 → sqrt (correctly rounded
+    //      IEEE → bit-identical thresholds cross-engine). The
+    //      multilingual-training sampling-temperature knob. ----
+    "q_llm_temp_mixture" -> Q(
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |m AS (SELECT min(n_docs) AS nmin FROM c)
+        |SELECT c.source, c.n_docs,
+        |       round(sqrt(CAST(m.nmin AS DOUBLE) / c.n_docs), 6) AS rate,
+        |       CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / c.n_docs) * 65536) AS BIGINT) AS keep_threshold
+        |FROM c, m ORDER BY c.source""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.temperatureMixture(tb(s, dir).documents, "source")
+        .select(col("source"), col("n_docs"),
+          round(col("rate"), 6).as("rate"), col("keep_threshold"))
+        .orderBy("source")
+    },
+
+    "q_llm_temp_sample" -> Q(
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |m AS (SELECT min(n_docs) AS nmin FROM c),
+         |pl AS (SELECT c.source,
+         |         CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / c.n_docs) * 65536) AS BIGINT) AS th
+         |       FROM c, m)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d
+         |JOIN pl ON pl.source = d.source
+         |WHERE ${duckBucket("d.doc_id")} < pl.th
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.temperatureSample(tb(s, dir).documents, "source", "doc_id")
+        .select("doc_id", "source", "lang").orderBy("doc_id")
+    },
+
     "q_llm_mixture_sample" -> Q(
       s"""WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          |tot AS (SELECT lang, n_docs, sum(n_docs) OVER () AS total,

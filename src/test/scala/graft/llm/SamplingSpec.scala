@@ -81,4 +81,36 @@ class SamplingSpec extends SparkSpec {
       .select("sample_rank").as[Int].collect().sorted
     assert(ranks.toSeq === Seq(1, 2, 3))
   }
+
+  test("temperatureMixture: T=2 thresholds are exact sqrt ratios; T=1 keeps everything") {
+    val df = (Seq.fill(4)("big") ++ Seq("small")).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toDF("id", "dom")
+    val t2 = Sampling.temperatureMixture(df, "dom", 2.0)
+      .orderBy("dom").as[(String, Long, Double, Long)].collect().toSeq
+    assert(t2 === Seq(
+      ("big", 4L, 0.5, 32768L),      // sqrt(1/4) = 0.5
+      ("small", 1L, 1.0, 65536L)))
+    val t1 = Sampling.temperatureMixture(df, "dom", 1.0)
+      .orderBy("dom").as[(String, Long, Double, Long)].collect().toSeq
+    assert(t1.map(_._3) === Seq(1.0, 1.0)) // natural mixture untouched
+  }
+
+  test("temperatureSample membership is consistent-hash stable and domain-local") {
+    val df = (1L to 200L).map(i => (i, if (i <= 160) "big" else "small"))
+      .toDF("id", "dom")
+    val kept = Sampling.temperatureSample(df, "dom", "id")
+      .as[(Long, String)].collect().toMap
+    // every small-domain doc survives (rate 1); big is downsampled
+    assert((161L to 200L).forall(kept.contains))
+    val bigKept = kept.keys.count(_ <= 160)
+    assert(bigKept > 0 && bigKept < 160)
+    // growing the OTHER domain raises n_min -> big's rate can only rise,
+    // so membership grows MONOTONICALLY (consistent hashing: no churn)
+    val grown = (1L to 160L).map(i => (i, "big")) ++
+      (161L to 260L).map(i => (i, "small"))
+    val kept2 = Sampling.temperatureSample(grown.toDF("id", "dom"), "dom", "id")
+      .as[(Long, String)].collect().toMap
+    assert(kept.keys.filter(_ <= 160).toSet
+      .subsetOf(kept2.keys.filter(_ <= 160).toSet))
+  }
 }
