@@ -373,6 +373,46 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("token"), col("tf"))
   }
 
+  /** BM25 relevance scores for a fixed query over the corpus — the
+    * standard lexical ranking function (Lucene's variant:
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation k1,
+    * length normalization b). Returns one row per document containing
+    * at least one query token.
+    *
+    * Shape: the corpus contributes ONE fused (doc, token, count)
+    * aggregate; everything query-sized — the per-token document
+    * frequencies and the (N, avg length) scalars — broadcasts, so
+    * scoring is a map-side join over the docs that mention a query
+    * token (the equivalent of walking postings lists, never the whole
+    * corpus per term). Queries are literals, not a table: this is the
+    * "score corpus against a probe" shape used for retrieval eval and
+    * contamination hunting, not a search engine loop.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query token")
+    val tc = explodeTokens(df, textCol, "token", col(idCol))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val lens = tc.groupBy(col(idCol)).agg(sum(col("tf")).as("_dl"))
+    val stats = lens.agg(count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_toklen"))
+    val qtc = tc.filter(col("token").isin(query: _*))
+    val dfreq = qtc.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    qtc.join(broadcast(dfreq), Seq("token"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)))
+      .withColumn("_norm",
+        lit(k1) * (lit(1 - b) +
+          lit(b) * (col("_dl") * col("_n") / col("_toklen"))))
+      .withColumn("_term",
+        col("_idf") * col("tf") * (lit(k1) + 1) / (col("tf") + col("_norm")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("_term")).as("score"))
+  }
+
   /** Unigram language-model quality score: the per-document mean log
     * probability of its tokens under the corpus's own unigram
     * distribution — the cheap stand-in for the KenLM-perplexity filter

@@ -196,6 +196,33 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- BM25 relevance scoring (TextAnalysis.bm25): Lucene-variant
+    //      idf + tf saturation + length normalization for a literal
+    //      probe query; corpus contributes one fused (doc,token,count)
+    //      aggregate, df/N/avgdl broadcast. round(,4) absorbs ln(). ----
+    "q_llm_bm25" -> Q(
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |              FROM documents),
+        |tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+        |lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tl FROM lens),
+        |qtc AS (SELECT * FROM tc WHERE tok IN ('spark', 'window', 'merge')),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfv FROM qtc GROUP BY tok),
+        |terms AS (
+        |  SELECT q.doc_id,
+        |         ln(1.0 + (st.n - d.dfv + 0.5) / (d.dfv + 0.5)) *
+        |           q.tf * 2.2 / (q.tf + 1.2 * (0.25 + 0.75 * ((l.dl * st.n) / CAST(st.tl AS DOUBLE)))) AS term
+        |  FROM qtc q JOIN dfq d USING (tok) JOIN lens l USING (doc_id), st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(sum(term), 4) AS score
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bm25(tb(s, dir).documents, "doc_id", "text",
+          Seq("spark", "window", "merge"))
+        .select(col("doc_id"), col("n_matched"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    },
+
     // ---- MAD robust outliers (TextAnalysis.madOutliers): modified
     //      z-score cut 0.6745·|x−med| > 3.5·MAD with exact type-1
     //      medians and an integer-scaled threshold — bit-exact on

@@ -332,4 +332,25 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(got === Seq("hello world x", "a b"))
   }
+
+  test("bm25: hand-computed score on a two-doc corpus; non-matching docs absent") {
+    // corpus: d1="x x y", d2="z z z"; query=("x") -> only d1 matches
+    // N=2, df(x)=1, idf=ln(1+(2-1+0.5)/1.5)=ln(2); dl1=3, avgdl=3
+    // term = ln(2)*2*2.2/(2+1.2*(0.25+0.75*1)) = ln(2)*4.4/3.2
+    val docs = Seq((1L, "x x y"), (2L, "z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("x"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L))
+    assert(got.head._2 === 1L)
+    assert(math.abs(got.head._3 - math.log(2.0) * 4.4 / 3.2) < 1e-12)
+  }
+
+  test("bm25 ranks the doc with more query-term mass higher under equal length") {
+    val docs = Seq((1L, "q q q a"), (2L, "q a a a"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("q"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) > got(2L))
+  }
 }
