@@ -457,6 +457,39 @@ object AnalyticsQueries {
         .orderBy("rule")
     },
 
+    // ---- functional-dependency discovery (Profile.functionalDeps):
+    //      which column pairs satisfy det → dep (key discovery /
+    //      normalization candidates). One distinct aggregate per pair. ----
+    "q_profile_fds" -> Q(
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |         (sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0) AS fd_holds
+        |  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS ndv
+        |        FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'o_orderstatus',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |         (sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0)
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderstatus) AS ndv
+        |        FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', 'o_orderpriority',
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |         (sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0)
+        |  FROM (SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS ndv
+        |        FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus))
+        |ORDER BY determinant""".stripMargin) { (s, dir) =>
+      graft.reports.Profile.functionalDeps(tb(s, dir).orders, Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderstatus" -> "o_orderpriority"))
+        .orderBy("determinant")
+    },
+
     // ---- heavy-hitter skew diagnostic (core/Skew.heavyHitters): top
     //      composite keys by count with table share — groupBy +
     //      TakeOrderedAndProject, rank window only on the reduced

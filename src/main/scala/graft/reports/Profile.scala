@@ -58,6 +58,34 @@ object Profile {
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Functional-dependency check: does determinant → dependent hold —
+    * i.e. does every determinant value map to exactly ONE dependent
+    * value? The schema-inference / key-discovery primitive (a column
+    * pair that holds is a candidate for normalization or a safe join
+    * key; a pair that ALMOST holds is a data-quality smell worth a
+    * rules entry). One row per checked pair: distinct determinant
+    * count, how many determinant values violate, and the verdict.
+    *
+    * Each pair costs one (det, dep)-distinct aggregate — partial
+    * combine map-side, shuffle carries distinct pairs not rows. Rows
+    * with a NULL determinant are excluded; NULL dependents don't count
+    * as values (count(DISTINCT) semantics, same in any engine).
+    */
+  def functionalDeps(df: DataFrame,
+                     pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDeps needs at least one pair")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("_ndv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("_ndv") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating"),
+          (col("n_violating") === 0).as("fd_holds"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Declarative data-quality rules in ONE pass: each rule is
     * (name, pass-predicate); output is one row per rule with the
     * violation count and rate. NULL predicate results count as

@@ -45,4 +45,18 @@ class ProfileSpec extends SparkSpec {
       ("s_present", 4L, 1L, 0.25),
       ("v_positive", 4L, 2L, 0.5)))
   }
+
+  test("functionalDeps: holds on unique mapping, counts violating keys, nulls excluded") {
+    val t = Seq(
+      (1L, "a", Some("x")), (2L, "a", Some("x")),   // a -> x consistent
+      (3L, "b", Some("y")), (4L, "b", Some("z")),   // b violates
+      (5L, "c", None))                               // null dep: no value
+      .toDF("id", "det", "dep")
+    val got = Profile.functionalDeps(t, Seq("det" -> "dep", "id" -> "det"))
+      .orderBy("determinant")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("det", "dep", 3L, 1L, false),  // keys a,b,c; only b violates
+      ("id", "det", 5L, 0L, true)))
+  }
 }
