@@ -54,4 +54,50 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a 2-column pruned scan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("fuzzyPairs and triangleStats plan as equi joins — no nested-loop anywhere") {
+    val cust = Tables(spark, sfDir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    val pairs = graft.llm.DedupOps.fuzzyPairs(cust, "id", "nm", "blk", maxDist = 1)
+    val pairsPlan = planOf(pairs)
+    assert(!pairsPlan.contains("BroadcastNestedLoopJoin") &&
+      !pairsPlan.contains("CartesianProduct"), pairsPlan)
+    // triangleStats: the wedge/closure joins must be equi; the ONE
+    // nested-loop allowed is the broadcast single-row (count × wedges)
+    // attach at the very end — the accepted 1-row-cross pattern
+    val triPlan = planOf(graft.llm.DupGraph.triangleStats(pairs))
+    assert(triPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1, triPlan)
+    assert(!triPlan.contains("CartesianProduct"), triPlan)
+    assert(triPlan.contains("LeftSemi"), s"closure must be a semi join:\n$triPlan")
+  }
+
+  test("paragraphDedup is join/aggregate-shaped with no nested-loop or window") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq("p q", "r s")), (2L, Seq("p q")))
+      .toDF("doc_id", "paras")
+    val plan = planOf(graft.llm.DedupOps.paragraphDedup(docs, "doc_id", "paras"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // winner selection must be the partial-aggregatable min, not a window
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"hot boilerplate paragraphs would straggle a window:\n$plan")
+  }
+
+  test("Merge.upsert keeps the base scan's column pruning through the anti join") {
+    val base = Tables(spark, sfDir).customer.select("c_custkey", "c_mktsegment")
+    val updates = base.limit(10).withColumn("c_mktsegment", lit("X"))
+    val plan = planOf(graft.core.Merge.upsert(base, updates, Seq("c_custkey")))
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"expected a 2-column pruned base scan:\n$plan")
+  }
+
+  test("mixture/temperature sampling is a map-side broadcast filter over the corpus") {
+    val docs = Tables(spark, sfDir).documents
+    val plan = planOf(
+      graft.llm.Sampling.temperatureSample(docs, "source", "doc_id"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for a per-domain threshold join:\n$plan")
+  }
 }
