@@ -213,4 +213,124 @@ object DupGraph {
           round(col("n_triangles") * 3 / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Integer-exact PageRank in micro-units (rank 1.0 ≡ 1,000,000).
+    *
+    * The usual floating-point PageRank is NOT cross-engine (or even
+    * cross-partitioning) reproducible: the per-iteration Σ contrib is a
+    * double sum whose value depends on addition order. This variant
+    * keeps every quantity a non-negative Long and replaces each real
+    * operation with its floor counterpart, so the result is bit-exact
+    * for any partitioning and replayable in plain SQL:
+    *
+    *   contrib(v) = Σ_{u→v} rank(u) div outdeg(u)
+    *   rank'(v)   = (1−d)·10⁶ + (dNum · contrib(v)) div dDen
+    *
+    * with damping d = dNum/dDen (default 17/20 = 0.85). The floor
+    * divisions leak ≤1 micro-unit per edge per iteration, bounding the
+    * drift vs the real-valued fixpoint at outdeg·iters micro-units —
+    * noise at rank scale 10⁶, and identical noise in both engines.
+    *
+    * Semantics: `edges` is a DIRECTED multigraph; parallel edges are
+    * collapsed. Dangling mass (nodes with no out-edges) evaporates, as
+    * in the uniform-teleport formulation without dangling redistribution
+    * — callers wanting the undirected behavior pass a symmetric edge
+    * list (then no dangling nodes exist). Nodes receiving no in-links in
+    * an iteration hold the teleport floor (1−d)·10⁶.
+    *
+    * Scale: the edge list joins the rank state on `src` each iteration
+    * — the classic Pregel-on-DataFrame shape. Edges (with out-degree
+    * attached) are checkpointed ONCE and reused; rank state is one
+    * (id, rank) row per vertex, checkpointed per iteration so iteration
+    * i's plan never re-executes 1..i−1 (same lineage discipline and
+    * storage lifecycle as [[connectedComponents]]; same `checkpointDir`
+    * durability escape hatch). Fixed iteration count — PageRank at
+    * corpus scale runs a budgeted number of sweeps, not to convergence.
+    */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+               iterations: Int = 5, dampNum: Long = 17L, dampDen: Long = 20L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"bad pageRank config: iterations=$iterations damping=$dampNum/$dampDen")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val teleport = 1000000L - (dampNum * 1000000L) / dampDen
+    val e0 = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
+    val outdeg = e0.groupBy("s").agg(count(lit(1)).as("od"))
+    // (s, d, od) materialized once — every iteration scans it
+    val g = ckpt(e0.join(outdeg, "s"), reliable)
+    val nodes = ckpt(
+      e0.select(col("s").as("id")).union(e0.select(col("d").as("id")))
+        .distinct(), reliable)
+    var ranks = ckpt(nodes.withColumn("rank", lit(1000000L)), reliable)
+    for (_ <- 1 to iterations) {
+      val contrib = g.join(ranks, g("s") === ranks("id"))
+        .select(col("d"), expr("rank div od").as("c"))
+        .groupBy("d").agg(sum("c").as("cb"))
+      val next = ckpt(
+        nodes.join(contrib, nodes("id") === contrib("d"), "left")
+          .select(col("id"),
+            (lit(teleport) +
+              expr(s"($dampNum * coalesce(cb, 0L)) div $dampDen"))
+              .as("rank")),
+        reliable)
+      CheckpointBridge.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    CheckpointBridge.unpersistCheckpoint(g)
+    CheckpointBridge.unpersistCheckpoint(nodes)
+    ranks.select(col("id"), col("rank").as("rank_micro"))
+  }
+
+  /** Synchronous label propagation (community detection), deterministic.
+    *
+    * Every node starts in its own community (label = id). Each round,
+    * every node adopts the most frequent label among its NEIGHBORS,
+    * breaking count ties by the smallest label; isolated opinions don't
+    * drift (a node with no neighbors keeps its label). Classic LPA is
+    * run asynchronously with random tie-breaks — useless as an oracle
+    * target and irreproducible across partitionings; the synchronous
+    * min-tie variant is fully deterministic and SQL-replayable, at the
+    * cost of the known bipartite-oscillation mode (mitigated by the
+    * fixed iteration budget — callers pick odd/even sweeps, not a
+    * fixpoint).
+    *
+    * `edges` is treated as undirected (symmetrized internally). Each
+    * round is two key shuffles: (node, neighbor-label) count, then the
+    * argmax window over that reduced frame — the window input is at most
+    * one row per (node, distinct neighbor label), never the raw edge
+    * fan-out. Same per-round checkpoint lineage/storage discipline as
+    * [[connectedComponents]].
+    */
+  def labelPropagation(edges: DataFrame, src: String = "src",
+                       dst: String = "dst", iterations: Int = 3,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = ckpt(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct(), reliable)
+    val nodes = ckpt(sym.select(col("a").as("id")).distinct(), reliable)
+    var labels = ckpt(nodes.select(col("id"), col("id").as("lbl")), reliable)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("n").desc, col("lbl").asc)
+    for (_ <- 1 to iterations) {
+      val votes = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("n"))
+      val winner = votes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("a").as("id"), col("lbl").as("wl"))
+      val next = ckpt(
+        labels.join(winner, Seq("id"), "left")
+          .select(col("id"), coalesce(col("wl"), col("lbl")).as("lbl")),
+        reliable)
+      CheckpointBridge.unpersistCheckpoint(labels)
+      labels = next
+    }
+    CheckpointBridge.unpersistCheckpoint(sym)
+    CheckpointBridge.unpersistCheckpoint(nodes)
+    labels.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -1047,6 +1047,85 @@ object RelationalQueries {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("c_nationkey")
+    },
+
+    // ---- integer-exact PageRank (DupGraph.pageRank) over the
+    //      customer↔supplier interaction graph (symmetrized bipartite
+    //      orders⋈lineitem projection; supplier ids offset by 1e6 to
+    //      disjoint the id spaces). All-Long floor arithmetic makes the
+    //      5-sweep result bit-identical across engines — the oracle
+    //      unrolls the same recurrence one CTE per iteration. ----
+    "q_graph_pagerank" -> Q(
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS s, 1000000 + l_suppkey AS d
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY s),
+        |n AS (SELECT DISTINCT s AS id FROM e),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r0 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.id, CAST(150000 + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c1 c ON c.id = n.id),
+        |c2 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r1 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.id, CAST(150000 + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c2 c ON c.id = n.id),
+        |c3 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r2 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r3 AS (SELECT n.id, CAST(150000 + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c3 c ON c.id = n.id),
+        |c4 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r3 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r4 AS (SELECT n.id, CAST(150000 + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c4 c ON c.id = n.id),
+        |c5 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r4 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r5 AS (SELECT n.id, CAST(150000 + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c5 c ON c.id = n.id)
+        |SELECT id, pr AS rank_micro FROM r5 ORDER BY id""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.llm.DupGraph.pageRank(sym, iterations = 5).orderBy("id")
+    },
+
+    // ---- synchronous min-tie label propagation (DupGraph
+    //      .labelPropagation) — community detection over the same
+    //      interaction graph; 3 deterministic sweeps, each node adopting
+    //      its neighborhood's most frequent label (ties → smallest). ----
+    "q_graph_label_prop" -> Q(
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS s, 1000000 + l_suppkey AS d
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+        |n AS (SELECT DISTINCT s AS id FROM e),
+        |l0 AS (SELECT id, id AS lbl FROM n),
+        |v1 AS (SELECT e.d AS id, p.lbl, count(*) AS cnt
+        |       FROM e JOIN l0 p ON p.id = e.s GROUP BY e.d, p.lbl),
+        |w1 AS (SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn FROM v1),
+        |l1 AS (SELECT p.id, CAST(coalesce(w.lbl, p.lbl) AS BIGINT) AS lbl
+        |       FROM l0 p LEFT JOIN w1 w ON w.id = p.id AND w.rn = 1),
+        |v2 AS (SELECT e.d AS id, p.lbl, count(*) AS cnt
+        |       FROM e JOIN l1 p ON p.id = e.s GROUP BY e.d, p.lbl),
+        |w2 AS (SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn FROM v2),
+        |l2 AS (SELECT p.id, CAST(coalesce(w.lbl, p.lbl) AS BIGINT) AS lbl
+        |       FROM l1 p LEFT JOIN w2 w ON w.id = p.id AND w.rn = 1),
+        |v3 AS (SELECT e.d AS id, p.lbl, count(*) AS cnt
+        |       FROM e JOIN l2 p ON p.id = e.s GROUP BY e.d, p.lbl),
+        |w3 AS (SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn FROM v3),
+        |l3 AS (SELECT p.id, CAST(coalesce(w.lbl, p.lbl) AS BIGINT) AS lbl
+        |       FROM l2 p LEFT JOIN w3 w ON w.id = p.id AND w.rn = 1)
+        |SELECT id, lbl AS community FROM l3 ORDER BY id""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.llm.DupGraph.labelPropagation(e0, iterations = 3).orderBy("id")
     }
   )
 }

@@ -120,4 +120,54 @@ class DupGraphSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().head
     assert(got === ((1L, 3L, 1.0)))
   }
+
+  private def prMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: symmetric 2-cycle is the uniform fixpoint (exactly 1e6)") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(prMap(DupGraph.pageRank(edges, iterations = 3)) ===
+      Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: star hub/leaf ranks match the hand-rolled floor recurrence") {
+    // undirected star 1-{2,3,4}, passed as the symmetric directed list
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    // iter1: hub = 150000 + (17 * 3*1000000) div 20 = 2700000
+    //        leaf = 150000 + (17 * (1000000 div 3)) div 20 = 433333
+    val r1 = prMap(DupGraph.pageRank(sym, iterations = 1))
+    assert(r1 === Map(1L -> 2700000L, 2L -> 433333L, 3L -> 433333L, 4L -> 433333L))
+    // iter2: hub = 150000 + (17 * 3*433333) div 20 = 1254999
+    //        leaf = 150000 + (17 * (2700000 div 3)) div 20 = 915000
+    val r2 = prMap(DupGraph.pageRank(sym, iterations = 2))
+    assert(r2 === Map(1L -> 1254999L, 2L -> 915000L, 3L -> 915000L, 4L -> 915000L))
+  }
+
+  test("pageRank: dangling mass evaporates, no-inlink nodes hold the teleport floor") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst") // 2 is dangling, 1 has no in-links
+    val r2 = prMap(DupGraph.pageRank(edges, iterations = 2))
+    // iter1: n1=150000 (no in), n2=150000+850000=1000000
+    // iter2: n1=150000, n2=150000+(17*150000) div 20 = 277500
+    assert(r2 === Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("labelPropagation: min-tie sweeps converge a pendant-triangle to one community") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    // sweep 1: 1→min{2,3,4}=2, 2→min{1,3}=1, 3→min{1,2}=1, 4→1
+    val l1 = prMap(DupGraph.labelPropagation(edges, iterations = 1))
+    assert(l1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // sweep 3: everything settles on label 1
+    val l3 = prMap(DupGraph.labelPropagation(edges, iterations = 3))
+    assert(l3 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("labelPropagation: disjoint cliques keep separate communities; isolated self-loop survives") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 20L)).toDF("src", "dst")
+    val got = prMap(DupGraph.labelPropagation(edges, iterations = 4))
+    // self-loop-only node is dropped (no real edges) — communities split 1 vs 10
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
 }
