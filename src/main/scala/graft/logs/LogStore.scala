@@ -49,9 +49,11 @@ final case class LogStore(spark: SparkSession, dir: String) {
     * their parallelism across the shuffle boundary); [[compact]] bounds
     * the file count over a long history.
     */
-  def append(table: String, rows: DataFrame): Unit = writeLock.synchronized {
-    rows.coalesce(1).withColumn("_version_ts", lit(LogStore.nextVersion()))
+  def append(table: String, rows: DataFrame): Long = writeLock.synchronized {
+    val v = LogStore.nextVersion()
+    rows.coalesce(1).withColumn("_version_ts", lit(v))
       .write.mode("append").parquet(path(table))
+    v
   }
 
   def exists(table: String): Boolean =
@@ -78,11 +80,39 @@ final case class LogStore(spark: SparkSession, dir: String) {
   def latestOrEmpty(table: String, keys: Seq[String], schema: StructType): DataFrame =
     if (exists(table)) latest(table, keys) else emptyLike(schema)
 
+  /** Time-travel read: the latest-wins view as it stood at `version`
+    * (the stamp [[append]] returned) — rows appended after it are
+    * invisible, keys whose FIRST version is newer vanish entirely. Same
+    * one-shuffle window shape as [[latest]]; the version predicate is a
+    * plain pushable filter over the stamp column.
+    *
+    * The travel window is bounded by [[compact]]: compaction rewrites
+    * the table to a single fresh version, so snapshots older than the
+    * last compact are gone (the Delta VACUUM contract). Readers needing
+    * long history retention simply compact less often — the MVCC
+    * window/compaction trade is the same knob.
+    */
+  def asOf(table: String, keys: Seq[String], version: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_version_ts").desc)
+    history(table)
+      .filter(col("_version_ts") <= version)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_version_ts")
+  }
+
+  /** Distinct version stamps present in a log table, oldest first —
+    * the catalog for [[asOf]] (what snapshots are still readable).
+    */
+  def versions(table: String): DataFrame =
+    history(table).select(col("_version_ts").as("version"))
+      .distinct().orderBy("version")
+
   /** Keyed update (S11/S12): append the updated version rows. Callers
     * pass full rows (old values + changed columns) — the view resolves
-    * the winner.
+    * the winner. Returns the snapshot version the update created.
     */
-  def update(table: String, rows: DataFrame): Unit = append(table, rows)
+  def update(table: String, rows: DataFrame): Long = append(table, rows)
 
   /** Compact a log table to its current versions (bounds window input;
     * run periodically like the reference's dedup DELETE).

@@ -222,6 +222,35 @@ object PipelineQueries {
           col("json_rec_count").cast("long").as("json_rec_count"),
           col("error_message"))
         .orderBy("id")
+    },
+
+    // ---- time-travel snapshot read (LogStore.asOf): three versioned
+    //      batches (orderkey mod 3) of per-key summary rows are appended
+    //      to an MVCC log; reading AS OF the second append's version must
+    //      see batches 0-1 latest-wins and batch 2 not at all. The oracle
+    //      replays the same snapshot algebra over `orders` directly
+    //      (batch ≤ 1, highest batch per key wins). ----
+    "q_log_time_travel" -> Q(
+      """WITH b AS (SELECT CAST(o_orderkey % 3 AS INTEGER) AS batch,
+        |                  CAST(o_orderkey % 1000 AS BIGINT) AS k,
+        |                  CAST(count(*) AS BIGINT) AS n,
+        |                  round(max(o_totalprice), 2) AS mx
+        |           FROM orders WHERE o_orderkey % 3 <= 1
+        |           GROUP BY 1, 2),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY batch DESC) AS rn
+        |      FROM b)
+        |SELECT k, n, mx FROM w WHERE rn = 1 ORDER BY k""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_tt_").toFile
+      root.deleteOnExit()
+      val store = LogStore(s, new java.io.File(root, "logs").getPath)
+      val orders = Tables(s, dir).orders
+      def batch(i: Int) = orders.filter(col("o_orderkey") % 3 === i)
+        .groupBy((col("o_orderkey") % 1000).as("k"))
+        .agg(count(lit(1)).as("n"), round(max("o_totalprice"), 2).as("mx"))
+      store.append("snap", batch(0))
+      val v1 = store.append("snap", batch(1))
+      store.append("snap", batch(2))
+      store.asOf("snap", Seq("k"), v1).orderBy("k")
     }
   )
 }

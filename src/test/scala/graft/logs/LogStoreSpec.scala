@@ -102,4 +102,38 @@ class LogStoreSpec extends SparkSpec {
     assert(!SyncState.canTransition(SyncState.JustUploaded, SyncState.Ingested))
     assert(SyncState.label(SyncState.Failed) === "failed")
   }
+
+  test("asOf: snapshot reads see only versions up to the stamp") {
+    val store = freshStore()
+    val v0 = store.append("t", Seq((1L, "a"), (2L, "x")).toDF("id", "v"))
+    val v1 = store.update("t", Seq((1L, "b")).toDF("id", "v"))
+    val v2 = store.update("t", Seq((1L, "c"), (3L, "new")).toDF("id", "v"))
+    assert(v0 < v1 && v1 < v2)
+    def snap(v: Long) = store.asOf("t", Seq("id"), v)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(snap(v0) === Seq((1L, "a"), (2L, "x")))
+    assert(snap(v1) === Seq((1L, "b"), (2L, "x")))
+    // later-born keys are invisible before their first version
+    assert(snap(v2) === Seq((1L, "c"), (2L, "x"), (3L, "new")))
+    // asOf at the newest stamp ≡ latest
+    assert(snap(v2) === store.latest("t", Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq)
+    // no internal columns leak
+    assert(snap(v1).nonEmpty && store.asOf("t", Seq("id"), v1).columns.toSeq
+      === Seq("id", "v"))
+  }
+
+  test("asOf: versions() catalogs snapshots; compact bounds the travel window") {
+    val store = freshStore()
+    val v0 = store.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val v1 = store.update("t", Seq((1L, "b")).toDF("id", "v"))
+    assert(store.versions("t").as[Long].collect().toSeq === Seq(v0, v1))
+    store.compact("t", Seq("id"))
+    // history is rewritten to one fresh version: the old stamps are gone
+    val after = store.versions("t").as[Long].collect().toSeq
+    assert(after.length === 1 && after.head > v1)
+    assert(store.asOf("t", Seq("id"), v1).count() === 0)
+    assert(store.asOf("t", Seq("id"), after.head)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "b")))
+  }
 }
