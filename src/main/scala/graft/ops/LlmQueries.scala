@@ -345,6 +345,46 @@ object LlmQueries {
         .orderBy(col("df_docs").desc, col("token")).limit(100)
     },
 
+    // ---- count-min sketch (Sketch.cmsCounters/cmsEstimate): point-
+    //      frequency estimates for 12 probe tokens from a 4×256 md5
+    //      grid, alongside the exact counts (est ≥ exact is the CMS
+    //      one-sided guarantee). Fully deterministic — the oracle
+    //      replays the same md5 cells in SQL. ----
+    "q_llm_cms_counts" -> Q(
+      s"""WITH probes(tok) AS (VALUES ('the'),('a'),('fast'),('slow'),('data'),('row'),
+        |                            ('table'),('join'),('window'),('batch'),('spark'),('stream')),
+        |toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+        |         FROM documents),
+        |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+        |cells AS (SELECT seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || t")} % 256 AS bucket
+        |          FROM toks, seeds),
+        |counters AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |             FROM cells GROUP BY seed, bucket),
+        |pe AS (SELECT tok, seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || tok")} % 256 AS bucket
+        |       FROM probes, seeds),
+        |est AS (SELECT tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        |        FROM pe LEFT JOIN counters c USING (seed, bucket) GROUP BY tok),
+        |ex AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM toks JOIN probes ON t = tok GROUP BY t)
+        |SELECT e.tok AS token, e.est, CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact
+        |FROM est e LEFT JOIN ex x ON x.tok = e.tok
+        |ORDER BY token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = tb(s, dir).documents
+        .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val probes = Seq("the", "a", "fast", "slow", "data", "row",
+        "table", "join", "window", "batch", "spark", "stream").toDF("token")
+      val counters = graft.llm.Sketch.cmsCounters(toks, "t")
+      val est = graft.llm.Sketch.cmsEstimate(counters, probes, "token")
+      val exact = probes
+        .join(toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact")),
+          probes("token") === col("t"), "left")
+        .select(col("token"), coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      est.join(exact, "token")
+        .select(col("token"), col("est"), col("n_exact"))
+        .orderBy("token")
+    },
+
     // ---- rare-token (OOV-proxy) quality profile: corpus df ≤ 2 rows
     //      counted per doc, ratio in basis points by INTEGER division —
     //      no doubles anywhere, exact cross-engine compare ----
