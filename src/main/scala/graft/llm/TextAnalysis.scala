@@ -443,6 +443,53 @@ object TextAnalysis {
           sum(col("c"))).as("avg_lp"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log importance ratio of two bag-of-tokens unigram
+    * models — a TARGET model estimated from the `targetPred` slice (the
+    * trusted high-quality subset) vs the RAW model from the whole
+    * corpus:
+    *
+    *   avg_lw(d) = Σ_tok c_d(tok)·(ln p_t(tok) − ln p_r(tok)) / Σ c_d
+    *
+    * with add-one smoothing over the raw vocabulary for both models (so
+    * target-unseen tokens penalize rather than blow up). High scores
+    * read "target-like"; resampling keeps the top mass. Output:
+    * (idCol, n_tokens, avg_lw).
+    *
+    * Plan: ONE token explosion feeds both models and the per-doc
+    * aggregation; model statistics reduce to a vocabulary-keyed frame
+    * (token, cr, ct) and three broadcast scalars — the corpus is never
+    * shuffled twice, and the scoring join is token-keyed against the
+    * reduced model frame, the same postings shape as [[bm25]].
+    * Determinism: same contract as [[unigramLogProb]] — callers compare
+    * cross-engine after round(, 6), which absorbs libm ln() and
+    * double-sum-order last-ulp drift (documents are bounded; the
+    * per-doc sum is over its distinct tokens only).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column): DataFrame = {
+    val tc = explodeTokens(df.withColumn("_tgt", targetPred), textCol,
+        "token", col(idCol), col("_tgt"))
+      .groupBy(col(idCol), col("_tgt"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val raw = tc.groupBy("token").agg(sum("c").as("cr"))
+    val tgt = tc.filter(col("_tgt")).groupBy("token").agg(sum("c").as("ct"))
+    val model = raw.join(tgt, Seq("token"), "left")
+      .select(col("token"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val consts = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"),
+      count(lit(1)).as("_v"))
+    val lr = model.crossJoin(broadcast(consts))
+      .select(col("token"),
+        (log((col("ct") + 1).cast("double") / (col("_nt") + col("_v"))) -
+          log((col("cr") + 1).cast("double") / (col("_nr") + col("_v"))))
+          .as("lr"))
+    tc.join(lr, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        (sum(col("c") * col("lr")) / sum(col("c"))).as("avg_lw"))
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent tokens with
     * total occurrences and document frequency, ties broken
     * lexicographically. Partial/final hash aggregate (map-side combine

@@ -345,6 +345,36 @@ object LlmQueries {
         .orderBy(col("df_docs").desc, col("token")).limit(100)
     },
 
+    // ---- DSIR importance weights (TextAnalysis.dsirWeights): log
+    //      ratio of target (lang='en') vs raw unigram models, add-one
+    //      smoothed over the raw vocabulary; round(,6) absorbs ln/sum
+    //      drift per the unigramLogProb convention ----
+    "q_llm_dsir_weights" -> Q(
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |              FROM documents),
+        |tc AS (SELECT doc_id, tgt, token, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY doc_id, tgt, token),
+        |raw AS (SELECT token, CAST(sum(c) AS BIGINT) AS cr FROM tc GROUP BY token),
+        |tg AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM tc WHERE tgt GROUP BY token),
+        |model AS (SELECT r.token, r.cr, coalesce(t.ct, 0) AS ct
+        |          FROM raw r LEFT JOIN tg t ON t.token = r.token),
+        |k AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+        |             CAST(count(*) AS BIGINT) AS v FROM model),
+        |lr AS (SELECT token, ln((ct + 1) / CAST(nt + v AS DOUBLE))
+        |                   - ln((cr + 1) / CAST(nr + v AS DOUBLE)) AS lr
+        |       FROM model, k)
+        |SELECT tc.doc_id, CAST(sum(tc.c) AS BIGINT) AS n_tokens,
+        |       round(sum(tc.c * lr.lr) / sum(tc.c), 6) AS avg_lw
+        |FROM tc JOIN lr ON lr.token = tc.token
+        |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.dsirWeights(tb(s, dir).documents, "doc_id", "text",
+          col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_lw"), 6).as("avg_lw"))
+        .orderBy("doc_id")
+    },
+
     // ---- count-min sketch (Sketch.cmsCounters/cmsEstimate): point-
     //      frequency estimates for 12 probe tokens from a 4×256 md5
     //      grid, alongside the exact counts (est ≥ exact is the CMS

@@ -353,4 +353,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keySet === Set(1L, 2L))
     assert(got(1L) > got(2L))
   }
+
+  test("dsirWeights: target-like documents outscore off-target ones") {
+    val docs = Seq(
+      (1L, "good clean prose here", true),   // target slice
+      (2L, "good clean words too", true),    // target slice
+      (3L, "spam junk spam junk", false),    // raw-only
+      (4L, "good clean prose words", false), // held out, target-like
+      (5L, "junk spam junk noise", false))   // held out, off-target
+      .toDF("doc_id", "text", "is_tgt")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(w(4L) > w(5L))     // target-like held-out doc wins
+    assert(w(1L) > w(3L))     // target member beats pure off-target
+    // n_tokens passes through
+    val n = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(1L) === 4L && n(3L) === 4L)
+  }
 }
