@@ -212,6 +212,55 @@ object DedupOps {
     out
   }
 
+  /** Asymmetric containment near-duplicates: pairs where one document's
+    * shingle set is (nearly) CONTAINED in the other's —
+    * containment(a⊆b) = |S(a)∩S(b)| / |S(a)|. The inclusion complement
+    * of [[nearDupPairs]]: a short document quoted whole inside a long
+    * one has low Jaccard (tiny intersection over a big union) but
+    * containment ≈ 1, so MinHash-LSH — whose collision probability IS
+    * Jaccard — structurally misses it. Candidates instead form on
+    * SHARED RARE SHINGLES: only shingles with document frequency ≤
+    * `maxDf` join, the same hot-key exclusion as winnowOverlapPairs, so
+    * candidate cost is bounded by Σ df² ≤ maxDf · |postings| — linear
+    * in the corpus for fixed maxDf, never all-pairs. Recall trade,
+    * stated honestly: pairs sharing ONLY corpus-hot boilerplate
+    * shingles are excluded by design (boilerplate containment is
+    * [[graft.llm.Boilerplate]]'s job).
+    *
+    * Output: (id1, id2, inter_n, sz1, sz2, cont1_bp, cont2_bp) with
+    * containments in integer basis points (exact cross-engine, no
+    * doubles); kept iff either direction ≥ `thresholdBp`. Shingle cache
+    * is function-scoped, same lifecycle as [[nearDupPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, maxDf: Int = 64,
+                       thresholdBp: Long = 8000L): DataFrame = {
+    val sets = shingleSet(df, idCol, textCol, k).cache()
+    val sdf = sets.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+    val rare = sets.join(sdf.filter(col("_df") <= maxDf), Seq("s"))
+      .select(col(idCol), col("s"))
+    val pairs = rare.select(col(idCol).as("id1"), col("s"))
+      .join(rare.select(col(idCol).as("id2"), col("s")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sets.select(col(idCol).as("id1"), col("s")), Seq("id1"))
+      .join(sets.select(col(idCol).as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
+    val out = inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("inter_n"), col("sz1"), col("sz2"),
+        expr("inter_n * 10000 div sz1").as("cont1_bp"),
+        expr("inter_n * 10000 div sz2").as("cont2_bp"))
+      .filter(col("cont1_bp") >= thresholdBp || col("cont2_bp") >= thresholdBp)
+      .cache()
+    out.count() // materialize: every consumer of `sets` has now run
+    sets.unpersist()
+    out
+  }
+
   /** Signature width sized to the corpus: floor(log₂(n / targetBucket)),
     * clamped to [1, 16], so the EXPECTED bucket width stays ≈targetBucket
     * as n grows — candidate-join cost ≈ tables · n · targetBucket, linear

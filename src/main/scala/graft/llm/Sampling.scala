@@ -153,4 +153,29 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("keep_threshold"))
       .drop("__mix_domain", "keep_threshold")
   }
+
+  /** Hard per-domain cap: keep at most `cap` rows per domain,
+    * deterministically — rows rank inside their domain by
+    * (md5(id), id) and the first `cap` survive. Unlike the rate-based
+    * mixtures above (expected sizes), the cap is EXACT: the standard
+    * "no single domain may exceed N documents" corpus rule.
+    *
+    * Plan: one shuffle on the domain key + a rank window per domain
+    * partition. A corpus-hot domain makes that one sorting task wide;
+    * when cap ≪ domain size, pre-filter with `hashBucket(id) <
+    * bucketThreshold(overscan·cap/n)` to shrink the sort input — the
+    * window then ranks the SMALLEST hash values, which the prefilter
+    * preserves, so the result is identical whenever the prefilter
+    * retains ≥ cap rows (binomially certain at overscan ≥ 2). Kept
+    * out of this helper so the oracle-exact form stays one expression.
+    */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+                cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
 }

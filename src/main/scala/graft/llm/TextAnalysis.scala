@@ -505,6 +505,42 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Frequency-ranked vocabulary: every corpus token mapped to a dense
+    * 1-based id by (occurrences desc, token) — the id assignment step
+    * of tokenizer training / embedding-table construction. Output:
+    * (token, token_id, occurrences).
+    *
+    * Scale: the rank runs over the REDUCED vocabulary frame (one row
+    * per distinct token after the map-side-combined count), not the
+    * token stream. The global row_number still funnels that frame
+    * through one sort task — fine to ~10⁷ vocab rows; a 100 TB corpus
+    * with a larger open vocabulary should cap it first (`limit` after
+    * the same ordering, as topTokens does) or range-partition the rank
+    * (sortWithinPartitions + per-partition offsets).
+    */
+  def buildVocab(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("occurrences").desc, col("token").asc)
+    explodeTokens(df, textCol, "token", col(idCol))
+      .groupBy(col("token")).agg(count(lit(1)).as("occurrences"))
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select(col("token"), col("token_id"), col("occurrences"))
+  }
+
+  /** Encode documents against a [[buildVocab]] table: long-form
+    * (idCol, pos, token_id), one row per token occurrence in document
+    * order (pos is 0-based). The token-keyed join against the
+    * vocabulary is the postings shape; out-of-vocabulary tokens drop
+    * (inner join) — encode against the corpus's own vocab for total
+    * coverage, or pre-filter the vocab to model a closed tokenizer.
+    */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .toDF(idCol, "pos", "token")
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token_id"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text,
     * truncated to 16 hex chars — the rolling-hash/winnowing family's
     * exact-normalized-content representative. Collision-safe enough at

@@ -345,6 +345,84 @@ object LlmQueries {
         .orderBy(col("df_docs").desc, col("token")).limit(100)
     },
 
+    // ---- asymmetric containment near-dup (DedupOps.containmentPairs):
+    //      inclusion pairs Jaccard-LSH structurally misses; candidates
+    //      on shared rare shingles (df ≤ 64), containments as integer
+    //      basis points, either direction ≥ 0.8 keeps the pair ----
+    "q_llm_containment" -> Q(
+      s"""WITH $shingleCte,
+         |sdf AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN sdf ON sdf.s = sh.s WHERE sdf.df <= 64),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS n
+         |          FROM pairs p JOIN sh a ON a.doc_id = p.id1
+         |                       JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |          GROUP BY p.id1, p.id2)
+         |SELECT i.id1, i.id2, i.n AS inter_n, s1.sz AS sz1, s2.sz AS sz2,
+         |       CAST(i.n * 10000 // s1.sz AS BIGINT) AS cont1_bp,
+         |       CAST(i.n * 10000 // s2.sz AS BIGINT) AS cont2_bp
+         |FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1
+         |             JOIN sizes s2 ON s2.doc_id = i.id2
+         |WHERE i.n * 10000 // s1.sz >= 8000 OR i.n * 10000 // s2.sz >= 8000
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val out = DedupOps.containmentPairs(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("id1", "id2")
+      out
+    },
+
+    // ---- exact per-domain cap (Sampling.domainCap): at most 25 docs
+    //      per source, deterministic md5 rank — the hard "no domain may
+    //      exceed N" corpus rule, vs the rate-based mixtures ----
+    "q_sample_domain_cap" -> Q(
+      """WITH r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 25
+        |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.domainCap(
+          tb(s, dir).documents.select("doc_id", "source"), "source", "doc_id", 25)
+        .orderBy("source", "doc_id")
+    },
+
+    // ---- frequency-ranked vocabulary (TextAnalysis.buildVocab): dense
+    //      1-based token ids by (count desc, token); top 1000 rows ----
+    "q_llm_vocab" -> Q(
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |              FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences FROM toks GROUP BY token)
+        |SELECT token, CAST(row_number() OVER (ORDER BY occurrences DESC, token) AS BIGINT) AS token_id,
+        |       occurrences
+        |FROM c ORDER BY token_id LIMIT 1000""".stripMargin) { (s, dir) =>
+      TextAnalysis.buildVocab(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("token_id").limit(1000)
+    },
+
+    // ---- token-id encoding (TextAnalysis.encodeDocs): long-form
+    //      (doc_id, pos, token_id) against the corpus's own vocab;
+    //      docs < 500 to bound the dump. Positional unnest replayed
+    //      with the parallel range(len) idiom. ----
+    "q_llm_encode_docs" -> Q(
+      """WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |            FROM documents WHERE doc_id < 500),
+        |p AS (SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS token FROM tl),
+        |toksall AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |            FROM documents),
+        |c AS (SELECT token, count(*) AS occurrences FROM toksall GROUP BY token),
+        |v AS (SELECT token, CAST(row_number() OVER (ORDER BY occurrences DESC, token) AS BIGINT) AS token_id
+        |      FROM c)
+        |SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos, v.token_id
+        |FROM p JOIN v ON v.token = p.token
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text")
+      TextAnalysis.encodeDocs(docs.filter(col("doc_id") < 500), "doc_id",
+          "text", vocab)
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- DSIR importance weights (TextAnalysis.dsirWeights): log
     //      ratio of target (lang='en') vs raw unigram models, add-one
     //      smoothed over the raw vocabulary; round(,6) absorbs ln/sum

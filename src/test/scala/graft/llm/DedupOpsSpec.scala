@@ -203,4 +203,31 @@ class DedupOpsSpec extends SparkSpec {
       .orderBy("id1", "id2").as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 2L), (1L, 3L, 0L), (2L, 3L, 2L)))
   }
+
+  test("containmentPairs: catches the quoted-inclusion pair Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = s"intro words here then $short and plenty of trailing " +
+      "commentary tokens that keep the union large one two three four five"
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "totally unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    // pair (1,2): all of doc1's shingles appear in doc2 → cont1 = 10000
+    assert(got.length === 1)
+    val (id1, id2, cont1, cont2) = got.head
+    assert((id1, id2) === ((1L, 2L)))
+    assert(cont1 === 10000L && cont2 < 8000L)
+    // the same pair fails the 0.8-Jaccard near-dup gate (small ∩ vs big ∪)
+    val jac = DedupOps.nearDupPairs(docs, "doc_id", "text")
+      .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8).count()
+    assert(jac === 0L)
+  }
+
+  test("containmentPairs: hot shingles (df > maxDf) never generate candidates") {
+    // every doc shares one hot shingle; no rare shingle is shared
+    val docs = (1L to 9L).map(i => (i, s"common shared shingle unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.containmentPairs(docs, "doc_id", "text", maxDf = 2).count() === 0L)
+  }
 }

@@ -113,4 +113,20 @@ class SamplingSpec extends SparkSpec {
     assert(kept.keys.filter(_ <= 160).toSet
       .subsetOf(kept2.keys.filter(_ <= 160).toSet))
   }
+
+  test("domainCap: exact cap per domain, small domains untouched, deterministic") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 105L).map(i => (i, "small"))).toDF("id", "dom")
+    val kept = Sampling.domainCap(df, "dom", "id", 10)
+      .as[(Long, String)].collect()
+    val byDom = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byDom("big").size === 10)
+    assert(byDom("small") === (101L to 105L).toSet) // under cap: all stay
+    // deterministic: second run keeps the identical set
+    val again = Sampling.domainCap(df, "dom", "id", 10)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(again === kept.map(_._1).toSet)
+    // schema passes through untouched
+    assert(Sampling.domainCap(df, "dom", "id", 10).columns.toSeq === Seq("id", "dom"))
+  }
 }

@@ -354,6 +354,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("buildVocab + encodeDocs: frequency-ranked ids, positional round-trip") {
+    val docs = Seq((1L, "b b a c"), (2L, "c c b")).toDF("doc_id", "text")
+    // counts: b=3, c=3, a=1 → ids by (count desc, token): b=1, c=2, a=3
+    val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text")
+    val v = vocab.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v === Map("b" -> (1L, 3L), "c" -> (2L, 3L), "a" -> (3L, 1L)))
+    val enc = TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc === Seq((1L, 0L, 1L), (1L, 1L, 1L), (1L, 2L, 3L), (1L, 3L, 2L),
+      (2L, 0L, 2L), (2L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
   test("dsirWeights: target-like documents outscore off-target ones") {
     val docs = Seq(
       (1L, "good clean prose here", true),   // target slice
