@@ -100,4 +100,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must not shuffle for a per-domain threshold join:\n$plan")
   }
+
+  test("pageRank / labelPropagation iterate on equi joins only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = planOf(graft.llm.DupGraph.pageRank(edges, iterations = 2))
+    assert(!pr.contains("BroadcastNestedLoopJoin") &&
+      !pr.contains("CartesianProduct"), pr)
+    val lp = planOf(graft.llm.DupGraph.labelPropagation(edges, iterations = 2))
+    assert(!lp.contains("BroadcastNestedLoopJoin") &&
+      !lp.contains("CartesianProduct"), lp)
+  }
+
+  test("cmsEstimate probes join the counter grid by broadcast, never a shuffle") {
+    import spark.implicits._
+    val items = (1 to 500).map(i => s"t${i % 40}").toDF("k")
+    val counters = graft.llm.Sketch.cmsCounters(items, "k")
+    val probes = Seq("t1", "t2", "t3").toDF("k")
+    val plan = planOf(graft.llm.Sketch.cmsEstimate(counters, probes, "k"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"the depth x width grid must broadcast:\n$plan")
+  }
+
+  test("containmentPairs candidates form on shingle-key equi joins — no nested loop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d g h"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.containmentPairs(docs, "doc_id", "text")
+    val plan = planOf(out)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    out.unpersist()
+  }
+
+  test("encodeDocs prunes the corpus scan and joins the vocab on the token key") {
+    val docs = Tables(spark, sfDir).documents
+    val vocab = graft.llm.TextAnalysis.buildVocab(docs, "doc_id", "text")
+    val plan = planOf(
+      graft.llm.TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected a 2-column pruned scan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
