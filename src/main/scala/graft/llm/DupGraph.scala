@@ -282,6 +282,48 @@ object DupGraph {
     ranks.select(col("id"), col("rank").as("rank_micro"))
   }
 
+  /** Multi-source BFS hop distances over an undirected graph: for every
+    * node within `maxHops` of ANY source, the minimum hop count to the
+    * nearest source. The reachability/radius primitive — "how far is
+    * every document from a trusted seed set", contamination blast
+    * radius over a link graph, cluster diameter probes.
+    *
+    * Algorithm: `maxHops` rounds of dense relaxation,
+    * dist(v) ← min(dist(v), min over neighbors dist(u) + 1) — all
+    * integer, deterministic, one equi join + min-aggregate per round on
+    * the node key. Nodes beyond the budget simply don't appear (their
+    * distance is unknown, not ∞). The frontier-delta optimization
+    * (relax only newly-settled nodes) is deliberately skipped: it saves
+    * work only when the frontier is a small fraction of the reached
+    * set, and the dense form keeps every round replayable as one SQL
+    * recurrence. Same per-round checkpoint lineage/storage discipline
+    * as [[connectedComponents]].
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   src: String = "src", dst: String = "dst",
+                   idCol: String = "id", maxHops: Int = 3,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = ckpt(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct(), reliable)
+    var dist = ckpt(sources.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist")), reliable)
+    for (_ <- 1 to maxHops) {
+      val relaxed = sym.join(dist, sym("b") === dist("id"))
+        .select(col("a").as("id"), (col("dist") + 1L).as("dist"))
+      val next = ckpt(dist.union(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")), reliable)
+      CheckpointBridge.unpersistCheckpoint(dist)
+      dist = next
+    }
+    CheckpointBridge.unpersistCheckpoint(sym)
+    dist
+  }
+
   /** Synchronous label propagation (community detection), deterministic.
     *
     * Every node starts in its own community (label = id). Each round,

@@ -493,6 +493,42 @@ object LlmQueries {
         .orderBy("token")
     },
 
+    // ---- streaming CMS maintenance (streaming/SketchStream): the
+    //      grid is maintained through a 3-way corpus split (three
+    //      applyBatch folds with crash-safe swaps) and must STILL equal
+    //      the one-shot SQL replay — the monoid-merge exactness
+    //      guarantee. Micro-batch wiring is SketchStreamSpec's job. ----
+    "q_stream_cms" -> Q(
+      s"""WITH probes(tok) AS (VALUES ('the'),('a'),('fast'),('slow'),('data'),('row'),
+        |                            ('table'),('join'),('window'),('batch'),('spark'),('stream')),
+        |toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+        |         FROM documents),
+        |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+        |cells AS (SELECT seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || t")} % 256 AS bucket
+        |          FROM toks, seeds),
+        |counters AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |             FROM cells GROUP BY seed, bucket),
+        |pe AS (SELECT tok, seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || tok")} % 256 AS bucket
+        |       FROM probes, seeds)
+        |SELECT pe.tok AS token, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+        |FROM pe LEFT JOIN counters c USING (seed, bucket)
+        |GROUP BY pe.tok ORDER BY token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cms_").toFile
+      tmp.deleteOnExit()
+      val gridPath = s"${tmp.getPath}/grid"
+      val toks = tb(s, dir).documents
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      (0 to 2).foreach { i =>
+        graft.streaming.SketchStream.applyBatch(
+          toks.filter(col("doc_id") % 3 === i).select("t"), "t", gridPath)
+      }
+      val probes = Seq("the", "a", "fast", "slow", "data", "row",
+        "table", "join", "window", "batch", "spark", "stream").toDF("token")
+      graft.llm.Sketch.cmsEstimate(s.read.parquet(gridPath), probes, "token")
+        .orderBy("token")
+    },
+
     // ---- rare-token (OOV-proxy) quality profile: corpus df ≤ 2 rows
     //      counted per doc, ratio in basis points by INTEGER division —
     //      no doubles anywhere, exact cross-engine compare ----

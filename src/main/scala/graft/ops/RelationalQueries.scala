@@ -1093,6 +1093,34 @@ object RelationalQueries {
       graft.llm.DupGraph.pageRank(sym, iterations = 5).orderBy("id")
     },
 
+    // ---- multi-source BFS hop distances (DupGraph.bfsDistances):
+    //      nearest-seed hop counts within a 3-hop budget over the same
+    //      interaction graph; seeds = every 100th customer. The oracle
+    //      is a bounded recursive CTE (UNION dedups (id, d) pairs, so
+    //      the recursion terminates at the hop cap) reduced by min. ----
+    "q_graph_bfs" -> Q(
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS s, 1000000 + l_suppkey AS d
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+        |src AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey % 100 = 0),
+        |reach AS (
+        |  SELECT id, 0 AS dd FROM src
+        |  UNION
+        |  SELECT e.d AS id, rc.dd + 1 FROM reach rc JOIN e ON e.s = rc.id
+        |  WHERE rc.dd < 3)
+        |SELECT id, CAST(min(dd) AS BIGINT) AS dist
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val sources = t.customer.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("id"))
+      graft.llm.DupGraph.bfsDistances(e0, sources, maxHops = 3).orderBy("id")
+    },
+
     // ---- synchronous min-tie label propagation (DupGraph
     //      .labelPropagation) — community detection over the same
     //      interaction graph; 3 deterministic sweeps, each node adopting

@@ -152,6 +152,17 @@ class DupGraphSpec extends SparkSpec {
     assert(r2 === Map(1L -> 150000L, 2L -> 277500L))
   }
 
+  test("bfsDistances: hop budget, multi-source min, off-graph seeds stay at 0") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val one = Seq(1L).toDF("id")
+    val d1 = prMap(DupGraph.bfsDistances(path, one, maxHops = 2))
+    assert(d1 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4, 5 beyond budget
+    val multi = Seq(1L, 5L, 99L).toDF("id") // 99 has no edges
+    val d2 = prMap(DupGraph.bfsDistances(path, multi, maxHops = 2))
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 1L, 5L -> 0L, 99L -> 0L))
+  }
+
   test("labelPropagation: min-tie sweeps converge a pendant-triangle to one community") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
     // sweep 1: 1→min{2,3,4}=2, 2→min{1,3}=1, 3→min{1,2}=1, 4→1
