@@ -249,7 +249,30 @@ object DupGraph {
     */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
                iterations: Int = 5, dampNum: Long = 17L, dampDen: Long = 20L,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None): DataFrame =
+    pageRankImpl(edges, src, dst, iterations, dampNum, dampDen, None,
+      checkpointDir)
+
+  /** Personalized PageRank: identical floor recurrence, but the
+    * teleport mass lands ONLY on the `seeds` set — rank measures
+    * proximity/relevance to the seeds rather than global centrality
+    * (the "more like these trusted documents" ranking over a link or
+    * similarity graph). Seeds start at 10⁶ micro-units, everyone else
+    * at 0; a node unreachable from the seeds decays to exactly 0.
+    * Bit-exact and SQL-replayable like [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           src: String = "src", dst: String = "dst",
+                           idCol: String = "id", iterations: Int = 5,
+                           dampNum: Long = 17L, dampDen: Long = 20L,
+                           checkpointDir: Option[String] = None): DataFrame =
+    pageRankImpl(edges, src, dst, iterations, dampNum, dampDen,
+      Some(seeds.select(col(idCol).as("id")).distinct()), checkpointDir)
+
+  private def pageRankImpl(edges: DataFrame, src: String, dst: String,
+                           iterations: Int, dampNum: Long, dampDen: Long,
+                           seeds: Option[DataFrame],
+                           checkpointDir: Option[String]): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"bad pageRank config: iterations=$iterations damping=$dampNum/$dampDen")
     val reliable = checkpointDir.isDefined
@@ -259,10 +282,18 @@ object DupGraph {
     val outdeg = e0.groupBy("s").agg(count(lit(1)).as("od"))
     // (s, d, od) materialized once — every iteration scans it
     val g = ckpt(e0.join(outdeg, "s"), reliable)
-    val nodes = ckpt(
-      e0.select(col("s").as("id")).union(e0.select(col("d").as("id")))
-        .distinct(), reliable)
-    var ranks = ckpt(nodes.withColumn("rank", lit(1000000L)), reliable)
+    val allNodes = e0.select(col("s").as("id"))
+      .union(e0.select(col("d").as("id"))).distinct()
+    // personalized: seeds flagged (teleport target), off-graph seeds kept
+    val nodes = ckpt(seeds match {
+      case None => allNodes.select(col("id"), lit(true).as("_tp"))
+      case Some(sd) => allNodes.join(sd.select(col("id"), lit(true).as("_tp")),
+          Seq("id"), "full")
+        .select(col("id"), coalesce(col("_tp"), lit(false)).as("_tp"))
+    }, reliable)
+    val tpCol = when(col("_tp"), lit(teleport)).otherwise(lit(0L))
+    var ranks = ckpt(nodes.select(col("id"),
+      when(col("_tp"), lit(1000000L)).otherwise(lit(0L)).as("rank")), reliable)
     for (_ <- 1 to iterations) {
       val contrib = g.join(ranks, g("s") === ranks("id"))
         .select(col("d"), expr("rank div od").as("c"))
@@ -270,8 +301,7 @@ object DupGraph {
       val next = ckpt(
         nodes.join(contrib, nodes("id") === contrib("d"), "left")
           .select(col("id"),
-            (lit(teleport) +
-              expr(s"($dampNum * coalesce(cb, 0L)) div $dampDen"))
+            (tpCol + expr(s"($dampNum * coalesce(cb, 0L)) div $dampDen"))
               .as("rank")),
         reliable)
       CheckpointBridge.unpersistCheckpoint(ranks)

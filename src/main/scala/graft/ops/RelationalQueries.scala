@@ -1093,6 +1093,51 @@ object RelationalQueries {
       graft.llm.DupGraph.pageRank(sym, iterations = 5).orderBy("id")
     },
 
+    // ---- personalized PageRank (DupGraph.personalizedPageRank):
+    //      teleport mass lands only on the seed set (every 100th
+    //      customer) — proximity-to-seeds ranking; same integer floor
+    //      recurrence, 3 sweeps unrolled. Off-graph seeds exercise the
+    //      full join; unreachable nodes decay to exactly 0. ----
+    "q_graph_ppr" -> Q(
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS s, 1000000 + l_suppkey AS d
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY s),
+        |gn AS (SELECT DISTINCT s AS id FROM e),
+        |sd AS (SELECT DISTINCT c_custkey AS id FROM customer WHERE c_custkey % 100 = 0),
+        |n AS (SELECT id, bool_or(tp) AS tp FROM (
+        |        SELECT id, FALSE AS tp FROM gn
+        |        UNION ALL SELECT id, TRUE FROM sd) GROUP BY id),
+        |r0 AS (SELECT id, CAST(CASE WHEN tp THEN 1000000 ELSE 0 END AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r0 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r1 AS (SELECT n.id, CAST(CASE WHEN n.tp THEN 150000 ELSE 0 END
+        |                         + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c1 c ON c.id = n.id),
+        |c2 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r1 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r2 AS (SELECT n.id, CAST(CASE WHEN n.tp THEN 150000 ELSE 0 END
+        |                         + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c2 c ON c.id = n.id),
+        |c3 AS (SELECT e.d AS id, sum(p.pr // deg.od) AS cb
+        |       FROM e JOIN r2 p ON p.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d),
+        |r3 AS (SELECT n.id, CAST(CASE WHEN n.tp THEN 150000 ELSE 0 END
+        |                         + (17 * coalesce(c.cb, 0)) // 20 AS BIGINT) AS pr
+        |       FROM n LEFT JOIN c3 c ON c.id = n.id)
+        |SELECT id, pr AS rank_micro FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t.customer.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("id"))
+      graft.llm.DupGraph.personalizedPageRank(sym, seeds, iterations = 3)
+        .orderBy("id")
+    },
+
     // ---- multi-source BFS hop distances (DupGraph.bfsDistances):
     //      nearest-seed hop counts within a 3-hop budget over the same
     //      interaction graph; seeds = every 100th customer. The oracle

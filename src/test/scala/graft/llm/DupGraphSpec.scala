@@ -152,6 +152,22 @@ class DupGraphSpec extends SparkSpec {
     assert(r2 === Map(1L -> 150000L, 2L -> 277500L))
   }
 
+  test("personalizedPageRank: mass concentrates near seeds, unreachable decays to 0") {
+    // star 1-{2,3,4} plus a disjoint pair 10-11; seed = leaf 2
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(2L).toDF("id")
+    val r2 = prMap(DupGraph.personalizedPageRank(sym, seeds, iterations = 2))
+    // hand-rolled: r0 = {2:1e6, rest 0}
+    // r1: hub = 0 + (17·(1e6 div 1)) div 20 = 850000; seed = 150000; rest 0
+    // r2: seed = 150000 + (17·(850000 div 3)) div 20 = 390833
+    //     other leaves = (17·283333) div 20 = 240833; hub = (17·150000) div 20 = 127500
+    assert(r2 === Map(1L -> 127500L, 2L -> 390833L, 3L -> 240833L,
+      4L -> 240833L, 10L -> 0L, 11L -> 0L))
+    // seed proximity ordering: seed > its peers > the far component
+    assert(r2(2L) > r2(3L) && r2(3L) > r2(10L))
+  }
+
   test("bfsDistances: hop budget, multi-source min, off-graph seeds stay at 0") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     val one = Seq(1L).toDF("id")
