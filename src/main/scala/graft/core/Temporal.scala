@@ -446,4 +446,79 @@ object Temporal {
       }
       .toDF(entityCol, idCol, "tus", valueCol, "ewma")
   }
+
+  /** Calendar resample with gap-fill: per entity, daily (count, sum)
+    * buckets from the entity's FIRST to LAST active day, with silent
+    * days ZERO-filled — the regular-grid precondition for any
+    * downstream time-series model (a missing bucket and a zero bucket
+    * mean different things; this op makes the difference explicit).
+    *
+    * The calendar is generated per entity with `sequence(first, last)`
+    * — bounded by each entity's own span, never a global calendar
+    * cross join — and left-joins the day-level PRE-AGGREGATED frame
+    * (the raw stream collapses to one row per (entity, day) before the
+    * gap-fill touches it, so a hot entity costs its day count, not its
+    * event count). Output: (entityCol, day, n_events, sum_value).
+    */
+  def resampleDaily(events: DataFrame, entityCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val agg = events
+      .select(col(entityCol), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("double").as("_v"))
+      .groupBy(col(entityCol), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum("_v").as("sum_value"))
+    val cal = agg.groupBy(col(entityCol))
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+      .select(col(entityCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    cal.join(agg, Seq(entityCol, "day"), "left")
+      .select(col(entityCol), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** Last-observation-carried-forward: fill each null in `valueCols`
+    * with the latest preceding non-null value inside the entity's
+    * `orderCol` order — the step-function read of a sparse metric over
+    * a [[resampleDaily]] grid (leading nulls stay null: nothing to
+    * carry). Each column fills independently (LOCF semantics — unlike
+    * as-of payloads, the columns are separate sparse series, not one
+    * row). One window per call; all fills share its sort.
+    */
+  def locf(df: DataFrame, entityCol: String, orderCol: String,
+           valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Trailing-window distinct actives (the DAU/WAU/MAU family): for
+    * every calendar day present in the data, the count of distinct
+    * entities active in the trailing `windowDays` days (inclusive).
+    *
+    * Shape: the stream collapses to distinct (day, entity) FIRST; each
+    * such row then explodes into the ≤`windowDays` report days it
+    * contributes to — a bounded fan-out equi join, not a day-range
+    * theta join — and a semi join against observed days drops the
+    * phantom tail after the last activity. Exchange carries
+    * (day, entity) pairs × windowDays, with the final count_distinct
+    * partially aggregated per day.
+    */
+  def rollingActive(events: DataFrame, entityCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val du = events
+      .select(to_date(col(tsCol)).as("_aday"), col(entityCol))
+      .distinct()
+    val days = du.select(col("_aday").as("day")).distinct()
+    du.select(
+        explode(sequence(col("_aday"), date_add(col("_aday"), windowDays - 1)))
+          .as("day"),
+        col(entityCol))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
 }

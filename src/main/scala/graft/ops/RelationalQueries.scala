@@ -1093,6 +1093,73 @@ object RelationalQueries {
       graft.llm.DupGraph.pageRank(sym, iterations = 5).orderBy("id")
     },
 
+    // ---- calendar resample + zero-fill (Temporal.resampleDaily):
+    //      per-user contiguous daily grid over each user's own span,
+    //      silent days zero-filled; pre-aggregated before the gap join ----
+    "q_evt_resample_daily" -> Q(
+      """WITH agg AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                    CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sv
+        |             FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY user_id),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM sp)
+        |SELECT c.user_id AS user_id, strftime(c.day, '%Y-%m-%d') AS day,
+        |       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+        |       round(coalesce(a.sv, 0), 6) AS sum_value
+        |FROM cal c LEFT JOIN agg a ON a.user_id = c.user_id AND a.day = c.day
+        |ORDER BY c.user_id, 2""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.resampleDaily(tb(s, dir).events, "user_id", "ts", "value")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "day")
+    },
+
+    // ---- gap-fill + LOCF (Temporal.locf over the resampled grid):
+    //      silent days carry the last observed daily level forward;
+    //      leading silence stays null. round AFTER the fill on both
+    //      sides (the carried value is the exact double). ----
+    "q_evt_locf" -> Q(
+      """WITH agg AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                    sum(value) AS sv
+        |             FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY user_id),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM sp),
+        |g AS (SELECT c.user_id, c.day, a.sv
+        |      FROM cal c LEFT JOIN agg a ON a.user_id = c.user_id AND a.day = c.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       round(last_value(sv IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS level
+        |FROM g ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      val grid = graft.core.Temporal.resampleDaily(tb(s, dir).events,
+          "user_id", "ts", "value")
+        .withColumn("level", when(col("n_events") > 0, col("sum_value")))
+      graft.core.Temporal.locf(grid, "user_id", "day", Seq("level"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("level"), 6).as("level"))
+        .orderBy("user_id", "day")
+    },
+
+    // ---- trailing 7-day distinct actives (Temporal.rollingActive):
+    //      the DAU/WAU family as a bounded explode + semi join — never
+    //      a day-range theta join ----
+    "q_evt_rolling_active" -> Q(
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS aday, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT aday AS day FROM du),
+        |x AS (SELECT CAST(unnest(generate_series(aday, aday + 6, INTERVAL 1 DAY)) AS DATE) AS day,
+        |             user_id
+        |      FROM du)
+        |SELECT strftime(x.day, '%Y-%m-%d') AS day,
+        |       CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_active
+        |FROM x JOIN days d ON d.day = x.day
+        |GROUP BY x.day ORDER BY day""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.rollingActive(tb(s, dir).events, "user_id", "ts", 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))
+        .orderBy("day")
+    },
+
     // ---- personalized PageRank (DupGraph.personalizedPageRank):
     //      teleport mass lands only on the seed set (every 100th
     //      customer) — proximity-to-seeds ranking; same integer floor

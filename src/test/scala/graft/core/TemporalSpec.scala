@@ -291,4 +291,51 @@ class TemporalSpec extends SparkSpec {
     }
     assert(math.abs(got(99L)._2 - 6.0) < 1e-12)
   }
+
+  test("resampleDaily: contiguous per-entity grid, silent days zero-filled") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0), (1L, ts("2024-01-01 11:00:00"), 3.0),
+      (1L, ts("2024-01-04 09:00:00"), 7.0),
+      (2L, ts("2024-01-02 08:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.resampleDaily(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01", 2L, 5.0), (1L, "2024-01-02", 0L, 0.0),
+      (1L, "2024-01-03", 0L, 0.0), (1L, "2024-01-04", 1L, 7.0),
+      (2L, "2024-01-02", 1L, 1.0)))
+  }
+
+  test("locf carries last non-null forward per entity; leading nulls stay") {
+    val df = Seq(
+      (1L, 1, Option.empty[Double]), (1L, 2, Some(5.0)), (1L, 3, None),
+      (1L, 4, Some(2.0)), (1L, 5, None),
+      (2L, 1, None), (2L, 2, None))
+      .toDF("user_id", "d", "v")
+    val got = Temporal.locf(df, "user_id", "d", Seq("v"))
+      .orderBy("user_id", "d")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq(
+      (1L, 1, None), (1L, 2, Some(5.0)), (1L, 3, Some(5.0)),
+      (1L, 4, Some(2.0)), (1L, 5, Some(2.0)),
+      (2L, 1, None), (2L, 2, None)))
+  }
+
+  test("rollingActive counts trailing-window distinct entities per observed day") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-09 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = Temporal.rollingActive(ev.withColumn("value", lit(0.0)),
+        "user_id", "ts", windowDays = 3)
+      .orderBy("day")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toSeq
+    // observed days: 01 (u1,u2), 03 (u1 + u1,u2 from day 01), 09 (u3 only)
+    assert(got === Seq("2024-01-01" -> 2L, "2024-01-03" -> 2L,
+      "2024-01-09" -> 1L))
+  }
 }
