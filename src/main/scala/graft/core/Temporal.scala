@@ -447,6 +447,74 @@ object Temporal {
       .toDF(entityCol, idCol, "tus", valueCol, "ewma")
   }
 
+  /** Per-entity inter-arrival statistics: gap (event-to-event delay)
+    * count, min, max in exact integer MICROS plus the interpolated
+    * median — the heartbeat profile behind bot detection, SLA
+    * monitoring, and sessionization-gap tuning. Entities with a single
+    * event have no gaps and don't appear. One window (lag over the
+    * entity's time order) + one aggregate, both on the entity key —
+    * a shared Exchange.
+    */
+  def interArrival(events: DataFrame, entityCol: String, tsCol: String,
+                   idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("_tus"), col(idCol))
+    events
+      .select(col(entityCol), unix_micros(col(tsCol)).as("_tus"), col(idCol))
+      .withColumn("gap", col("_tus") - lag(col("_tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap").as("gap_min"), max("gap").as("gap_max"),
+        round(percentile(col("gap"), lit(0.5)), 4).as("gap_median"))
+  }
+
+  final case class CusumIn(entity: String, id: Long, tus: Long, value: Double)
+  final case class CusumOut(entity: String, id: Long, tus: Long,
+                            value: Double, cusum_hi: Double, cusum_lo: Double,
+                            alarm: Boolean)
+
+  /** Tabular CUSUM changepoint detection (Page 1954), per entity: the
+    * classic one-sided cumulative sums
+    *
+    *   hi ← max(0, hi + (x − target − slack))
+    *   lo ← max(0, lo + (target − x − slack))
+    *
+    * with `alarm` once either side exceeds `threshold` — detects a
+    * sustained mean shift of ≳ slack long before any fixed-window
+    * average moves. Sequential recurrence, so the same execution
+    * contract as [[ewma]]: sort-by-(time, id) inside mapGroups with the
+    * documented per-entity bound (no oracle — double recurrences
+    * accumulate engine-specific rounding; TemporalSpec property-tests
+    * against the brute-force recurrence).
+    */
+  def cusum(events: DataFrame, entityCol: String, tsCol: String,
+            idCol: String, valueCol: String, target: Double,
+            slack: Double, threshold: Double): DataFrame = {
+    require(slack >= 0 && threshold > 0, "slack >= 0, threshold > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+        col(entityCol).cast("string").as("entity"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("tus"),
+        col(valueCol).cast("double").as("value"))
+      .as[CusumIn]
+      .groupByKey(_.entity)
+      .flatMapGroups { (_, it) =>
+        val evs = it.toArray.sortBy(e => (e.tus, e.id))
+        var hi = 0.0
+        var lo = 0.0
+        evs.iterator.map { e =>
+          hi = math.max(0.0, hi + (e.value - target - slack))
+          lo = math.max(0.0, lo + (target - e.value - slack))
+          CusumOut(e.entity, e.id, e.tus, e.value, hi, lo,
+            hi > threshold || lo > threshold)
+        }
+      }
+      .toDF(entityCol, idCol, "tus", valueCol, "cusum_hi", "cusum_lo", "alarm")
+  }
+
   /** Calendar resample with gap-fill: per entity, daily (count, sum)
     * buckets from the entity's FIRST to LAST active day, with silent
     * days ZERO-filled — the regular-grid precondition for any

@@ -1093,6 +1093,34 @@ object RelationalQueries {
       graft.llm.DupGraph.pageRank(sym, iterations = 5).orderBy("id")
     },
 
+    // ---- per-entity inter-arrival gap stats (Temporal.interArrival):
+    //      exact integer micros, interpolated median (Spark percentile
+    //      ≡ DuckDB quantile_cont) — single-event users excluded by
+    //      construction ----
+    "q_evt_inter_arrival" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id FROM events),
+        |g AS (SELECT user_id,
+        |             tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS gap_min, CAST(max(gap) AS BIGINT) AS gap_max,
+        |       round(quantile_cont(gap, 0.5), 4) AS gap_median
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.interArrival(tb(s, dir).events, "user_id", "ts",
+          "event_id")
+        .orderBy("user_id")
+    },
+
+    // ---- CUSUM changepoint detection (Temporal.cusum): sequential
+    //      double recurrence — spark-only per the ewma convention;
+    //      TemporalSpec property-tests the recurrence ----
+    "q_evt_cusum" -> Q.sparkOnly { (s, dir) =>
+      graft.core.Temporal.cusum(tb(s, dir).events, "user_id", "ts",
+          "event_id", "value", target = 50.0, slack = 5.0, threshold = 200.0)
+        .orderBy("user_id", "tus", "event_id")
+    },
+
     // ---- calendar resample + zero-fill (Temporal.resampleDaily):
     //      per-user contiguous daily grid over each user's own span,
     //      silent days zero-filled; pre-aggregated before the gap join ----

@@ -292,6 +292,40 @@ class TemporalSpec extends SparkSpec {
     assert(math.abs(got(99L)._2 - 6.0) < 1e-12)
   }
 
+  test("interArrival: exact gaps, single-event entities excluded") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), (1L, ts("2024-01-01 00:00:01"), 2L),
+      (1L, ts("2024-01-01 00:00:04"), 3L),
+      (2L, ts("2024-01-01 00:00:00"), 4L)) // single event → no gaps
+      .toDF("user_id", "ts", "event_id")
+    val got = Temporal.interArrival(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === Map(1L -> (2L, 1000000L, 3000000L, 2000000.0)))
+  }
+
+  test("cusum: sustained shift alarms, stable series stays quiet, matches brute force") {
+    // target 10, slack 1, threshold 5; values: stable at 10 then jump to 14
+    val vals = Seq(10.0, 10.5, 9.5, 14.0, 14.0, 14.0, 14.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(f"2024-01-01 00:00:${i}%02d"), i.toLong, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.cusum(ev, "user_id", "ts", "event_id", "value",
+        target = 10.0, slack = 1.0, threshold = 5.0)
+      .orderBy("event_id")
+      .collect().map(r => (r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    // brute-force replay
+    var hi = 0.0; var lo = 0.0
+    val want = vals.map { v =>
+      hi = math.max(0.0, hi + (v - 10.0 - 1.0))
+      lo = math.max(0.0, lo + (10.0 - v - 1.0))
+      (hi, lo, hi > 5.0 || lo > 5.0)
+    }
+    assert(got.toSeq === want)
+    // stable prefix quiet, sustained +4 shift alarms by the 6th sample
+    assert(!got(2)._3 && got(5)._3)
+  }
+
   test("resampleDaily: contiguous per-entity grid, silent days zero-filled") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 2.0), (1L, ts("2024-01-01 11:00:00"), 3.0),
