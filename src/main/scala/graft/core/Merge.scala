@@ -40,4 +40,31 @@ object Merge {
     val updKeys = updates.select(keys.map(col): _*)
     base.join(updKeys, keys, "left_anti").unionByName(surviving)
   }
+
+  /** Keyed snapshot diff — the reconciliation primitive (migration
+    * verification, CDC audit, "what changed since yesterday"): one row
+    * per key that was `added`, `removed`, or `changed` between two
+    * same-schema snapshots; unchanged keys are dropped. Value
+    * comparison is NULL-SAFE over all non-key columns, packed into one
+    * struct per side so the full outer join carries two payload
+    * columns, not 2×width. One shuffle per side on the key; at scale
+    * this is the same plan as the upsert above read backwards.
+    */
+  def diff(before: DataFrame, after: DataFrame,
+           keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"snapshot schemas differ: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    val cmp = before.columns.filterNot(keys.contains).sorted.toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+
+        struct(cmp.map(col): _*).as(as): _*)
+    packed(before, "_bv").join(packed(after, "_av"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_bv").isNull, lit("added"))
+          .when(col("_av").isNull, lit("removed"))
+          .when(!(col("_bv") <=> col("_av")), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
 }

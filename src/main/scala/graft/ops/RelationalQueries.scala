@@ -861,6 +861,56 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- keyed snapshot diff (Merge.diff): reconciliation between two
+    //      customer snapshots — %97 removed, %10 rebalanced (changed),
+    //      %500 cloned as new keys (added); unchanged keys dropped.
+    //      Null-safe struct compare on the engine side ≡ IS DISTINCT
+    //      FROM in the oracle. ----
+    "q_merge_diff" -> Q(
+      """WITH b AS (SELECT c_custkey AS k, c_mktsegment AS seg, round(c_acctbal, 2) AS bal
+        |           FROM customer),
+        |a AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |             round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10 ELSE c_acctbal END, 2) AS bal
+        |      FROM customer WHERE c_custkey % 97 <> 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 500 = 0)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |       CASE WHEN b.k IS NULL THEN 'added'
+        |            WHEN a.k IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change_type
+        |FROM b FULL JOIN a ON a.k = b.k
+        |WHERE b.k IS NULL OR a.k IS NULL
+        |   OR a.seg IS DISTINCT FROM b.seg OR a.bal IS DISTINCT FROM b.bal
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val c = tb(s, dir).customer
+      val before = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"))
+      val after = c.filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(when(col("c_custkey") % 10 === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")), 2).as("bal"))
+        .unionByName(c.filter(col("c_custkey") % 500 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("NEW").as("seg"), lit(0.0).as("bal")))
+      graft.core.Merge.diff(before, after, Seq("k")).orderBy("k")
+    },
+
+    // ---- referential-integrity audit (Profile.fkOrphans): orders whose
+    //      customer vanished from a filtered parent snapshot (%3 drop) —
+    //      orphan share in integer basis points ----
+    "q_quality_fk_orphans" -> Q(
+      """WITH pk AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_child,
+        |       CAST(0 AS BIGINT) AS n_null_fk,
+        |       CAST(sum(CASE WHEN pk.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |       CAST(sum(CASE WHEN pk.c_custkey IS NULL THEN 1 ELSE 0 END) * 10000
+        |            // count(*) AS BIGINT) AS orphan_bp
+        |FROM orders o LEFT JOIN pk ON pk.c_custkey = o.o_custkey""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      graft.reports.Profile.fkOrphans(t.orders, "o_custkey",
+        t.customer.filter(col("c_custkey") % 3 =!= 0), "c_custkey")
+    },
+
     // ---- SCD Type-2 dimension build (Temporal.scd2): event_type runs
     //      per user collapsed into validity intervals (Kimball SCD2
     //      derived from raw events). Two windows, one Exchange. ----

@@ -107,4 +107,27 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("r")).select("r.*")
   }
+
+  /** Referential-integrity audit: child rows whose foreign key has no
+    * matching parent (orphans). NULL foreign keys are reported
+    * separately, not as orphans — SQL FK semantics, where NULL means
+    * "no reference", not "broken reference". One left join against the
+    * DISTINCT parent key set (broadcast when small) + one conditional
+    * aggregate: (n_child, n_null_fk, n_orphans, orphan_bp with integer
+    * basis points over the non-null rows).
+    */
+  def fkOrphans(child: DataFrame, fkCol: String,
+                parent: DataFrame, pkCol: String): DataFrame = {
+    val pk = parent.select(col(pkCol).as("_pk")).distinct()
+    child.select(col(fkCol).as("_fk"))
+      .join(pk, col("_fk") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("_fk").isNull, 1L).otherwise(0L)).as("n_null_fk"),
+        sum(when(col("_fk").isNotNull && col("_pk").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .select(col("n_child"), col("n_null_fk"), col("n_orphans"),
+        when(col("n_child") > col("n_null_fk"),
+          expr("n_orphans * 10000 div (n_child - n_null_fk)"))
+          .otherwise(lit(0L)).as("orphan_bp"))
+  }
 }

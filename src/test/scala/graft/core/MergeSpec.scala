@@ -45,4 +45,31 @@ class MergeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("diff classifies added/removed/changed, drops unchanged, null-safe values") {
+    val before = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, None, 3.0),
+      (4L, Some("d"), 4.0))
+      .toDF("k", "name", "v")
+    val after = Seq(
+      (1L, Some("a"), 1.0),          // unchanged → dropped
+      (2L, Some("b"), 99.0),         // changed value
+      (3L, Some("c"), 3.0),          // null → non-null = changed
+      (5L, Some("e"), 5.0))          // added; 4 removed
+      .toDF("k", "name", "v")
+    val got = Merge.diff(before, after, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // column order must not matter (sorted struct pack)
+    val reordered = after.select("v", "k", "name")
+    assert(Merge.diff(before, reordered, Seq("k"))
+      .as[(Long, String)].collect().toMap === got)
+  }
+
+  test("diff rejects mismatched snapshot schemas") {
+    intercept[IllegalArgumentException] {
+      Merge.diff(base, base.drop("v"), Seq("k"))
+    }
+  }
 }

@@ -59,4 +59,18 @@ class ProfileSpec extends SparkSpec {
       ("det", "dep", 3L, 1L, false),  // keys a,b,c; only b violates
       ("id", "det", 5L, 0L, true)))
   }
+
+  test("fkOrphans: orphans vs null FKs counted separately, basis points exact") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(2L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.fkOrphans(child, "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].collect().head
+    // 5 children, 1 null FK, 1 orphan (9) of 4 non-null → 2500 bp
+    assert(got === ((5L, 1L, 1L, 2500L)))
+    // all-null child set: no division blow-up
+    val allNull = Seq(Option.empty[Long], None).toDF("fk")
+    assert(Profile.fkOrphans(allNull, "fk", parent, "pk")
+      .as[(Long, Long, Long, Long)].collect().head === ((2L, 2L, 0L, 0L)))
+  }
 }
