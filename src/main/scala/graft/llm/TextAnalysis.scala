@@ -328,6 +328,42 @@ object TextAnalysis {
         col("is_outlier"))
   }
 
+  /** Winsorization: clamp a numeric column to its own [pLo, pHi]
+    * interpolated percentiles — outlier capping that keeps every row
+    * (vs the drop semantics of the MAD/Tukey flags). The two clip
+    * points are ONE global aggregate broadcast back over the corpus;
+    * the clamp itself is a codegen'd projection, zero extra shuffle.
+    * Output: input columns + `<valCol>_w`.
+    */
+  def winsorize(df: DataFrame, valCol: String, pLo: Int = 1,
+                pHi: Int = 99): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, s"bad bounds: $pLo..$pHi")
+    val bounds = df.agg(
+      percentile(col(valCol), lit(pLo / 100.0)).as("_lo"),
+      percentile(col(valCol), lit(pHi / 100.0)).as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valCol}_w",
+        least(greatest(col(valCol).cast("double"), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /** Per-group standardization (z-score): (x − μ_g) / σ_g with the
+    * group's own sample stddev — feature scaling before any
+    * distance-based downstream (clustering, ANN on scalar features).
+    * Groups reduce to (group, μ, σ) and broadcast back; degenerate
+    * groups (σ = 0 or a single row) emit 0, not NaN/null — every row
+    * of a constant group sits exactly at its mean.
+    */
+  def standardize(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valCol)).as("_mu"), stddev_samp(col(valCol)).as("_sigma"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(s"${valCol}_z",
+        when(col("_sigma").isNull || col("_sigma") === 0.0, lit(0.0))
+          .otherwise((col(valCol) - col("_mu")) / col("_sigma")))
+      .drop("_mu", "_sigma")
+  }
+
   /** Canonical text normalization for exact-match keys: lowercase,
     * collapse whitespace runs to single spaces, strip non-printable-
     * ASCII, trim. Applied BEFORE hashing/dedup so cosmetic variants

@@ -423,6 +423,22 @@ object LlmQueries {
         .orderBy("doc_id", "pos")
     },
 
+    // ---- winsorization (TextAnalysis.winsorize): n_chars clamped to
+    //      its own p1/p99 (Spark percentile ≡ DuckDB quantile_cont);
+    //      keeps every row, vs the MAD/Tukey drop flags ----
+    "q_llm_winsorize" -> Q(
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.01) AS lo,
+        |                  quantile_cont(n_chars, 0.99) AS hi FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4) AS n_chars_w
+        |FROM documents, b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.winsorize(
+          tb(s, dir).documents.select("doc_id", "n_chars"), "n_chars")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("n_chars_w"), 4).as("n_chars_w"))
+        .orderBy("doc_id")
+    },
+
     // ---- DSIR importance weights (TextAnalysis.dsirWeights): log
     //      ratio of target (lang='en') vs raw unigram models, add-one
     //      smoothed over the raw vocabulary; round(,6) absorbs ln/sum

@@ -1143,6 +1143,26 @@ object RelationalQueries {
       graft.llm.DupGraph.pageRank(sym, iterations = 5).orderBy("id")
     },
 
+    // ---- per-group z-score standardization (TextAnalysis.standardize):
+    //      group stats broadcast back, degenerate groups emit 0;
+    //      round(6) absorbs co-moment merge-order drift per the
+    //      q_a10_stats convention ----
+    "q_evt_standardize" -> Q(
+      """WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |            FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       round(CASE WHEN st.sigma IS NULL OR st.sigma = 0 THEN 0
+        |                  ELSE (e.value - st.mu) / st.sigma END, 6) AS value_z
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.llm.TextAnalysis.standardize(
+          tb(s, dir).events.select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("value_z"), 6).as("value_z"))
+        .orderBy("event_id")
+    },
+
     // ---- per-entity inter-arrival gap stats (Temporal.interArrival):
     //      exact integer micros, interpolated median (Spark percentile
     //      ≡ DuckDB quantile_cont) — single-event users excluded by

@@ -354,6 +354,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("winsorize clamps to the sample percentiles; standardize z-scores per group") {
+    val vals = (1 to 99).map(_.toDouble) :+ 1000.0 // one extreme outlier
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val w = TextAnalysis.winsorize(df, "v", pLo = 1, pHi = 99)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val hi = w.values.max
+    assert(hi < 1000.0 && hi > 99.0)   // the outlier is capped at p99
+    assert(w(49L) === 50.0)            // interior values untouched
+    val z = TextAnalysis.standardize(
+        Seq(("a", 1.0), ("a", 3.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v"),
+        "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // group a: mean 2, sample stddev sqrt(2) → z = ±1/sqrt(2)
+    val za = z.filter(_._1 == "a").map(_._3).sorted
+    assert(math.abs(za(0) + 1 / math.sqrt(2)) < 1e-12 &&
+      math.abs(za(1) - 1 / math.sqrt(2)) < 1e-12)
+    // constant group: σ = 0 → exactly 0, never NaN
+    assert(z.filter(_._1 == "b").forall(_._3 === 0.0))
+  }
+
   test("buildVocab + encodeDocs: frequency-ranked ids, positional round-trip") {
     val docs = Seq((1L, "b b a c"), (2L, "c c b")).toDF("doc_id", "text")
     // counts: b=3, c=3, a=1 → ids by (count desc, token): b=1, c=2, a=3
