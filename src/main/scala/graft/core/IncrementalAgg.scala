@@ -41,4 +41,36 @@ object IncrementalAgg {
                 as: String): DataFrame =
     merged.withColumn(as,
       when(col(countCol) > 0, col(sumCol) / col(countCol)))
+
+  /** COUNT(DISTINCT) as mergeable state: per-key Datasketches HLL
+    * sketches (`hll_sketch_agg`) — the distinct-count member of the
+    * monoid family above, for the one aggregate that has NO algebraic
+    * partial (you cannot sum distinct counts across shards). Merge
+    * semantics, stated precisely: in the sparse (coupon) regime the
+    * union is lossless — merged shards estimate IDENTICALLY to the
+    * one-shot sketch (IncrementalAggSpec asserts the identity); once a
+    * sketch crosses into dense HLL mode the sparse→dense transition
+    * point depends on how the data was sharded, so merged and one-shot
+    * estimates may differ WITHIN the sketch's error envelope
+    * (~1.04/√2^lgK relative). Either way the state is a fixed few KB
+    * per key and never re-scans history. Output: keys + `sketch`
+    * (binary).
+    */
+  def hllPartial(df: DataFrame, keys: Seq[String], valueCol: String,
+                 lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Merge [[hllPartial]] grids (cell-wise sketch union) and estimate:
+    * keys + `approx_distinct`.
+    */
+  def hllMergeEstimate(partials: DataFrame*): DataFrame = {
+    require(partials.nonEmpty, "no partials to merge")
+    val keys = partials.head.columns.filterNot(_ == "sketch").toSeq
+    partials.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("_u"))
+      .select(keys.map(col) :+
+        hll_sketch_estimate(col("_u")).as("approx_distinct"): _*)
+  }
 }

@@ -861,6 +861,38 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- mergeable distinct-count state (IncrementalAgg.hllPartial/
+    //      hllMergeEstimate): per-status HLL sketches built on two
+    //      custkey-parity shards and unioned. Dense-mode union is NOT
+    //      bit-identical to the one-shot sketch (the sparse→dense
+    //      transition depends on sharding — see the hllPartial
+    //      scaladoc; the sparse-regime IDENTITY is IncrementalAggSpec's
+    //      assertion), so the oracle-checkable claim is the error
+    //      envelope: the merged estimate lands within 5% of the exact
+    //      count (lgK=12 ⇒ σ≈1.6%, 3σ
+    //      comfortably inside). merge_within_tol must hash-match the
+    //      oracle's constant true; exact counts ride along. ----
+    "q_incr_hll_merge" -> Q(
+      """SELECT o_orderstatus AS status,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |       true AS merge_within_tol
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      import graft.core.IncrementalAgg
+      val o = tb(s, dir).orders
+        .select(col("o_orderstatus").as("status"), col("o_custkey"))
+      def part(pred: org.apache.spark.sql.Column) =
+        IncrementalAgg.hllPartial(o.filter(pred), Seq("status"), "o_custkey")
+      val merged = IncrementalAgg.hllMergeEstimate(
+        part(col("o_custkey") % 2 === 0), part(col("o_custkey") % 2 === 1))
+      val exact = o.groupBy("status")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      merged.join(exact, Seq("status"))
+        .select(col("status"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("merge_within_tol"))
+        .orderBy("status")
+    },
+
     // ---- keyed snapshot diff (Merge.diff): reconciliation between two
     //      customer snapshots — %97 removed, %10 rebalanced (changed),
     //      %500 cloned as new keys (added); unchanged keys dropped.

@@ -29,4 +29,21 @@ class IncrementalAggSpec extends SparkSpec {
       .orderBy("k").as[(String, Long, Double, Option[Double])].collect().toSeq
     assert(got === Seq(("a", 2L, 10.0, Some(5.0)), ("z", 0L, 0.0, None)))
   }
+
+  test("hll partials: merged shards estimate identically to one-shot, exact when sparse") {
+    val rows = (1 to 400).map(i => ("g" + i % 2, (i % 97).toLong))
+      .toDF("k", "v")
+    val shardA = IncrementalAgg.hllPartial(rows.filter($"v" % 2 === 0), Seq("k"), "v")
+    val shardB = IncrementalAgg.hllPartial(rows.filter($"v" % 2 === 1), Seq("k"), "v")
+    val merged = IncrementalAgg.hllMergeEstimate(shardA, shardB)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = IncrementalAgg.hllMergeEstimate(
+        IncrementalAgg.hllPartial(rows, Seq("k"), "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === oneShot)
+    // 97 distinct values are far inside HLL's sparse-exact regime
+    val exact = rows.groupBy("k").agg(count_distinct($"v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === exact)
+  }
 }
