@@ -55,6 +55,30 @@ object DupGraph {
   private def ckpt(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
 
+  /** Materialize a STATIC frame that every iteration joins on `key`:
+    * default = repartition on the key + cache — InMemoryTableScan
+    * PRESERVES the cached partitioning, so each sweep's sort-merge join
+    * reuses the layout instead of re-shuffling the big static side.
+    * (localCheckpoint wraps a LogicalRDD that DROPS outputPartitioning:
+    * plan-audited, the edge frame re-entered Exchange every iteration.
+    * At toy scale AQE hides this by broadcasting the rank side; at
+    * cluster scale the per-vertex state outgrows broadcast and the
+    * static side's repeated shuffle becomes the iteration bottleneck.)
+    * `reliable` keeps the checkpoint path — durability beats the
+    * re-shuffle when executor loss must be survivable. Returns the
+    * frame and its release action.
+    */
+  private def staticFrame(df: DataFrame, key: String,
+                          reliable: Boolean): (DataFrame, () => Unit) =
+    if (reliable) {
+      val c = df.checkpoint(eager = true)
+      (c, () => { CheckpointBridge.unpersistCheckpoint(c); () })
+    } else {
+      val c = df.repartition(col(key)).cache()
+      c.count()
+      (c, () => { c.unpersist(); () })
+    }
+
   /** Connected components of the undirected pair graph. Input: one row
     * per edge (src, dst). Output: (id, component) for every endpoint,
     * component = min id reachable. Deterministic for any partitioning.
@@ -280,17 +304,18 @@ object DupGraph {
     val teleport = 1000000L - (dampNum * 1000000L) / dampDen
     val e0 = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
     val outdeg = e0.groupBy("s").agg(count(lit(1)).as("od"))
-    // (s, d, od) materialized once — every iteration scans it
-    val g = ckpt(e0.join(outdeg, "s"), reliable)
+    // (s, d, od) materialized once, LAID OUT on the iteration join key —
+    // every sweep scans it without another Exchange (see staticFrame)
+    val (g, releaseG) = staticFrame(e0.join(outdeg, "s"), "s", reliable)
     val allNodes = e0.select(col("s").as("id"))
       .union(e0.select(col("d").as("id"))).distinct()
     // personalized: seeds flagged (teleport target), off-graph seeds kept
-    val nodes = ckpt(seeds match {
+    val (nodes, releaseNodes) = staticFrame(seeds match {
       case None => allNodes.select(col("id"), lit(true).as("_tp"))
       case Some(sd) => allNodes.join(sd.select(col("id"), lit(true).as("_tp")),
           Seq("id"), "full")
         .select(col("id"), coalesce(col("_tp"), lit(false)).as("_tp"))
-    }, reliable)
+    }, "id", reliable)
     val tpCol = when(col("_tp"), lit(teleport)).otherwise(lit(0L))
     var ranks = ckpt(nodes.select(col("id"),
       when(col("_tp"), lit(1000000L)).otherwise(lit(0L)).as("rank")), reliable)
@@ -307,8 +332,8 @@ object DupGraph {
       CheckpointBridge.unpersistCheckpoint(ranks)
       ranks = next
     }
-    CheckpointBridge.unpersistCheckpoint(g)
-    CheckpointBridge.unpersistCheckpoint(nodes)
+    releaseG()
+    releaseNodes()
     ranks.select(col("id"), col("rank").as("rank_micro"))
   }
 
@@ -338,8 +363,10 @@ object DupGraph {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
       .filter(col("a") =!= col("b"))
-    val sym = ckpt(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct(), reliable)
+    // laid out on the per-round join key b (see staticFrame)
+    val (sym, releaseSym) = staticFrame(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "b", reliable)
     var dist = ckpt(sources.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0L).as("dist")), reliable)
     for (_ <- 1 to maxHops) {
@@ -350,7 +377,7 @@ object DupGraph {
       CheckpointBridge.unpersistCheckpoint(dist)
       dist = next
     }
-    CheckpointBridge.unpersistCheckpoint(sym)
+    releaseSym()
     dist
   }
 
@@ -382,10 +409,12 @@ object DupGraph {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
       .filter(col("a") =!= col("b"))
-    val sym = ckpt(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct(), reliable)
-    val nodes = ckpt(sym.select(col("a").as("id")).distinct(), reliable)
-    var labels = ckpt(nodes.select(col("id"), col("id").as("lbl")), reliable)
+    // laid out on the per-sweep join key b (see staticFrame)
+    val (sym, releaseSym) = staticFrame(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "b", reliable)
+    var labels = ckpt(sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")), reliable)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a").orderBy(col("n").desc, col("lbl").asc)
     for (_ <- 1 to iterations) {
@@ -401,8 +430,7 @@ object DupGraph {
       CheckpointBridge.unpersistCheckpoint(labels)
       labels = next
     }
-    CheckpointBridge.unpersistCheckpoint(sym)
-    CheckpointBridge.unpersistCheckpoint(nodes)
+    releaseSym()
     labels.select(col("id"), col("lbl").as("community"))
   }
 }
