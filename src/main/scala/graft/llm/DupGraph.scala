@@ -94,8 +94,12 @@ object DupGraph {
     // checkpoint an expensive upstream DAG (e.g. the whole MinHash-LSH
     // near-dup pipeline) would execute once per reference
     val e = ckpt(edges.select(col(src).as("a"), col(dst).as("b")), reliable)
-    val sym = ckpt(e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct(), reliable)
+    // laid out on the per-round join key b (see staticFrame): every
+    // spread step joins sym("b") = labels("id") — without the layout
+    // the full edge list re-entered Exchange every round
+    val (sym, releaseSym) = staticFrame(
+      e.union(e.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      "b", reliable)
     CheckpointBridge.unpersistCheckpoint(e) // sym holds its own blocks now
     var labels = ckpt(sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("component")), reliable)
@@ -123,7 +127,7 @@ object DupGraph {
       labels = next
       it += 1
     }
-    CheckpointBridge.unpersistCheckpoint(sym)
+    releaseSym()
     labels
   }
 
