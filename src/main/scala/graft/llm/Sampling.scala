@@ -154,6 +154,31 @@ object Sampling {
       .drop("__mix_domain", "keep_threshold")
   }
 
+  /** Weight-proportional Bernoulli sampling, integer-exact: keep row i
+    * with probability p_i = targetCount · w_i / Σw — longer/heavier
+    * items proportionally more likely, expected sample size =
+    * targetCount (the Poisson-sampling scheme behind size-biased corpus
+    * subsetting, e.g. token-mass-proportional document picks).
+    *
+    * The keep test is the exact integer cross-multiplication
+    * `hash(id) · Σw < 65536 · targetCount · w_i` — no doubles anywhere,
+    * so membership is bit-stable across engines and replayable in SQL
+    * (weights must be non-negative integers; Σw is one broadcast
+    * scalar). Rows with p_i ≥ 1 (w_i ≥ Σw/targetCount) are always kept
+    * — the usual heavy-item saturation of Poisson sampling. Consistent
+    * hashing gives the same no-churn property as the mixture samplers:
+    * membership changes only where thresholds move.
+    */
+  def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
+                        targetCount: Long): DataFrame = {
+    require(targetCount >= 1, s"targetCount must be >= 1: $targetCount")
+    val tot = df.agg(sum(col(weightCol).cast("long")).as("_sw"))
+    df.crossJoin(broadcast(tot))
+      .filter(hashBucket(col(idCol)) * col("_sw") <
+        lit(65536L) * lit(targetCount) * col(weightCol).cast("long"))
+      .drop("_sw")
+  }
+
   /** Hard per-domain cap: keep at most `cap` rows per domain,
     * deterministically — rows rank inside their domain by
     * (md5(id), id) and the first `cap` survive. Unlike the rate-based

@@ -372,6 +372,22 @@ object LlmQueries {
       out
     },
 
+    // ---- weight-proportional Bernoulli sampling (Sampling
+    //      .weightedBernoulli): keep p_i = 400·n_chars/Σn_chars via the
+    //      exact integer cross-multiplication — size-biased corpus
+    //      subsetting with bit-stable membership ----
+    "q_sample_weighted" -> Q(
+      s"""WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS sw FROM documents)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |FROM documents, tot
+         |WHERE ${duckBucket("doc_id")} * sw < 65536 * 400 * n_chars
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.weightedBernoulli(
+          tb(s, dir).documents.select("doc_id", "n_chars"),
+          "doc_id", "n_chars", targetCount = 400L)
+        .orderBy("doc_id")
+    },
+
     // ---- exact per-domain cap (Sampling.domainCap): at most 25 docs
     //      per source, deterministic md5 rank — the hard "no domain may
     //      exceed N" corpus rule, vs the rate-based mixtures ----

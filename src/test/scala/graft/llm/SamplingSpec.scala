@@ -114,6 +114,24 @@ class SamplingSpec extends SparkSpec {
       .subsetOf(kept2.keys.filter(_ <= 160).toSet))
   }
 
+  test("weightedBernoulli: size-biased, deterministic, saturating heavy items") {
+    // 200 light rows (w=1) + 1 heavy row (w=10000): the heavy row's
+    // p = 20*10000/10200 >> 1 → always kept; light rows keep ~2%
+    val df = ((1L to 200L).map(i => (i, 1L)) :+ (999L, 10000L)).toDF("id", "w")
+    val kept = Sampling.weightedBernoulli(df, "id", "w", targetCount = 20L)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(kept.contains(999L))
+    assert(kept.size < 30) // expected ≈ 20, light rows are rare picks
+    // deterministic membership
+    val again = Sampling.weightedBernoulli(df, "id", "w", targetCount = 20L)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(again === kept)
+    // zero-weight rows can never be selected
+    val withZero = df.union(Seq((5000L, 0L)).toDF("id", "w"))
+    assert(!Sampling.weightedBernoulli(withZero, "id", "w", 20L)
+      .as[(Long, Long)].collect().map(_._1).contains(5000L))
+  }
+
   test("domainCap: exact cap per domain, small domains untouched, deterministic") {
     val df = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 105L).map(i => (i, "small"))).toDF("id", "dom")
