@@ -861,6 +861,25 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- ORC sink + source roundtrip: the second columnar format
+    //      (parquet is the default everywhere else; ORC ships in Spark
+    //      with the same pushdown/pruning machinery). The roundtrip
+    //      must preserve content exactly — the oracle aggregates the
+    //      original parquet, the engine aggregates the ORC copy. ----
+    "q_fmt_orc_roundtrip" -> Q(
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toFile
+      tmp.deleteOnExit()
+      val orcPath = s"${tmp.getPath}/orders_orc"
+      tb(s, dir).orders.write.mode("overwrite").orc(orcPath)
+      s.read.orc(orcPath)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("status")
+    },
+
     // ---- mergeable distinct-count state (IncrementalAgg.hllPartial/
     //      hllMergeEstimate): per-status HLL sketches built on two
     //      custkey-parity shards and unioned. Dense-mode union is NOT

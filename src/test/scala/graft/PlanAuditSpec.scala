@@ -134,6 +134,19 @@ class PlanAuditSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ORC scans get the same filter pushdown and column pruning as parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_audit_").toFile
+    tmp.deleteOnExit()
+    val path = s"${tmp.getPath}/orders_orc"
+    Tables(spark, sfDir).orders.write.mode("overwrite").orc(path)
+    val plan = planOf(spark.read.orc(path)
+      .filter(col("o_orderstatus") === "O").select("o_orderkey"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"),
+      s"expected the equality pushed into the ORC reader:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"),
+      s"expected a 2-column pruned ORC scan:\n$plan")
+  }
+
   test("encodeDocs prunes the corpus scan and joins the vocab on the token key") {
     val docs = Tables(spark, sfDir).documents
     val vocab = graft.llm.TextAnalysis.buildVocab(docs, "doc_id", "text")
