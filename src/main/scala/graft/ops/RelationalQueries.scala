@@ -880,6 +880,25 @@ object RelationalQueries {
         .orderBy("status")
     },
 
+    // ---- CSV sink + source roundtrip (header + explicit schema — the
+    //      reference's own export format, S7): content must survive the
+    //      text encoding exactly for integer/string/decimal columns ----
+    "q_fmt_csv_roundtrip" -> Q(
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toFile
+      tmp.deleteOnExit()
+      val csvPath = s"${tmp.getPath}/orders_csv"
+      val src = tb(s, dir).orders
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      src.write.mode("overwrite").option("header", "true").csv(csvPath)
+      s.read.schema(src.schema).option("header", "true").csv(csvPath)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("priority")
+    },
+
     // ---- mergeable distinct-count state (IncrementalAgg.hllPartial/
     //      hllMergeEstimate): per-status HLL sketches built on two
     //      custkey-parity shards and unioned. Dense-mode union is NOT
