@@ -99,6 +99,36 @@ object Fs {
     ()
   }
 
+  /** Write a small text marker (overwrite). Underscore-prefixed names
+    * (`_graft_batch_id`) are invisible to Spark's parquet reader — the
+    * same convention as `_SUCCESS` — so a marker can live INSIDE a
+    * parquet directory and travel through [[swapInPlace]] atomically
+    * with the data it describes.
+    */
+  def writeText(path: String, content: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a small text marker; None when absent. */
+  def readText(path: String, conf: Configuration): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
   /** Total bytes of the files directly under `dir`. */
   def dirBytes(dir: String, conf: Configuration): Long =
     listFiles(dir, conf).map(_.getLen).sum

@@ -23,14 +23,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true Spark reads `ts` as an
-    * epoch-nanos long. Convert to a microsecond timestamp (truncating,
-    * matching DuckDB's ts::TIMESTAMP) so downstream time logic is typed.
+  /** events.parquet has shipped with two `ts` layouts across driver
+    * generations: TIMESTAMP(NANOS) — which
+    * spark.sql.legacy.parquet.nanosAsLong=true surfaces as an epoch-nanos
+    * long — and plain TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ).
+    * Both accessors sniff the scanned type and normalize, so query code
+    * is layout-independent:
+    *  - [[events]]: `ts` as a typed timestamp (micros precision,
+    *    truncating nanos, matching DuckDB's ts::TIMESTAMP)
+    *  - [[eventsRaw]]: `ts` as an epoch-nanos long (exact integer
+    *    arithmetic; session tz is UTC so the NTZ→nanos cast is exact)
     */
-  def events: DataFrame =
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
-  /** Raw events with `ts` left as the epoch-nanos long (exact arithmetic). */
-  def eventsRaw: DataFrame = t("events")
+  /** Raw events with `ts` as an epoch-nanos long (exact arithmetic). */
+  def eventsRaw: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
 }

@@ -305,16 +305,23 @@ object Temporal {
                  gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
     val gapUs = gapSeconds * 1000000L
+    // FLOOR division, not `div`: `div` truncates toward zero, so
+    // pre-1970 (negative unix_micros) values would bin one slot too
+    // high and pairs straddling the epoch could be dropped or
+    // duplicated. floordiv(n, g) = (n div g) - (n % g < 0 ? 1 : 0)
+    // stays in exact Long arithmetic (no double rounding at |us|>2⁵³).
+    def floorBin(c: String) =
+      s"($c div ${gapUs}L) - (CASE WHEN $c % ${gapUs}L < 0 THEN 1 ELSE 0 END)"
     val lBinned = left.select(
       partitionCols.map(col) :+
         col(idColL) :+ unix_micros(col(tsCol)).as("_lus"): _*)
       .withColumn("_bin",
-        explode(array(expr(s"_lus div ${gapUs}L"),
-          expr(s"_lus div ${gapUs}L + 1L"))))
+        explode(array(expr(floorBin("_lus")),
+          expr(s"${floorBin("_lus")} + 1L"))))
     val rBinned = right.select(
       partitionCols.map(col) :+
         col(idColR) :+ unix_micros(col(tsCol)).as("_rus"): _*)
-      .withColumn("_bin", expr(s"_rus div ${gapUs}L"))
+      .withColumn("_bin", expr(floorBin("_rus")))
     lBinned.join(rBinned, partitionCols :+ "_bin")
       .filter(col("_rus") > col("_lus") &&
         col("_rus") <= col("_lus") + gapUs)

@@ -104,7 +104,10 @@ object Sampling {
   def mixtureSample(df: DataFrame, domainCol: String, idCol: String): DataFrame = {
     val plan = domainMixture(df, domainCol)
       .select(col(domainCol).as("__mix_domain"), col("keep_threshold"))
-    df.join(broadcast(plan), col(domainCol) === col("__mix_domain"))
+    // null-safe key: groupBy emits a plan row for the NULL domain, and
+    // <=> lets those docs claim it — a null-unsafe join would silently
+    // drop every NULL-domain doc from the sample instead of rating it.
+    df.join(broadcast(plan), col(domainCol) <=> col("__mix_domain"))
       .filter(hashBucket(col(idCol)) < col("keep_threshold"))
       .drop("__mix_domain", "keep_threshold")
   }
@@ -149,7 +152,9 @@ object Sampling {
                         temperature: Double = 2.0): DataFrame = {
     val plan = temperatureMixture(df, domainCol, temperature)
       .select(col(domainCol).as("__mix_domain"), col("keep_threshold"))
-    df.join(broadcast(plan), col(domainCol) === col("__mix_domain"))
+    // null-safe for the same reason as mixtureSample: NULL-domain docs
+    // form their own stratum rather than vanishing.
+    df.join(broadcast(plan), col(domainCol) <=> col("__mix_domain"))
       .filter(hashBucket(col(idCol)) < col("keep_threshold"))
       .drop("__mix_domain", "keep_threshold")
   }
@@ -163,20 +168,41 @@ object Sampling {
     * The keep test is the exact integer cross-multiplication
     * `hash(id) · Σw < 65536 · targetCount · w_i` — no doubles anywhere,
     * so membership is bit-stable across engines and replayable in SQL
-    * (weights must be non-negative integers; Σw is one broadcast
-    * scalar). Rows with p_i ≥ 1 (w_i ≥ Σw/targetCount) are always kept
+    * (weights must be non-negative integers; Σw is one scalar aggregate
+    * folded in as a literal). Rows with p_i ≥ 1 (w_i ≥ Σw/targetCount)
+    * are always kept
     * — the usual heavy-item saturation of Poisson sampling. Consistent
     * hashing gives the same no-churn property as the mixture samplers:
     * membership changes only where thresholds move.
     */
   def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
                         targetCount: Long): DataFrame = {
-    require(targetCount >= 1, s"targetCount must be >= 1: $targetCount")
-    val tot = df.agg(sum(col(weightCol).cast("long")).as("_sw"))
-    df.crossJoin(broadcast(tot))
-      .filter(hashBucket(col(idCol)) * col("_sw") <
-        lit(65536L) * lit(targetCount) * col(weightCol).cast("long"))
-      .drop("_sw")
+    require(targetCount >= 1 && targetCount <= Long.MaxValue / 65536,
+      s"targetCount out of range: $targetCount")
+    // One scalar-aggregate job up front (sum/min/max of the weights) so
+    // the integer cross-multiplication can be PROVED overflow-free —
+    // hash·Σw and 65536·targetCount·w_i both silently wrap Long
+    // otherwise, flipping membership with no error. The checked
+    // envelope (Σw ≤ 2⁶³⁻¹/65536 ≈ 1.4e14, same for targetCount·max w)
+    // covers any real corpus; beyond it, rescale the weights.
+    val stats = df.agg(
+      sum(col(weightCol).cast("long")).as("_sw"),
+      min(col(weightCol).cast("long")).as("_minw"),
+      max(col(weightCol).cast("long")).as("_maxw")).first()
+    if (stats.isNullAt(0)) df.limit(0)
+    else {
+      val (sw, minW, maxW) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      require(minW >= 0, s"weights must be non-negative, found $minW")
+      val lim = BigInt(Long.MaxValue)
+      require(BigInt(65535) * BigInt(sw) <= lim,
+        s"sum of weights $sw overflows the 16-bit keep test; rescale weights")
+      require(BigInt(65536) * BigInt(targetCount) * BigInt(maxW) <= lim,
+        s"targetCount*maxWeight ($targetCount * $maxW) overflows the keep test")
+      // Σw now rides as a literal: the keep test is a pure map-side
+      // filter, no broadcast join needed.
+      df.filter(hashBucket(col(idCol)) * lit(sw) <
+        lit(65536L * targetCount) * col(weightCol).cast("long"))
+    }
   }
 
   /** Hard per-domain cap: keep at most `cap` rows per domain,

@@ -233,27 +233,39 @@ object Maintenance {
 
   /** S14: physically delete ingested encrypted+decrypted file pairs.
     * Input is (facility, encrypted name, decrypted name) from the
-    * [[deletionEligible]] frame (capped), so the driver-side FS loop is
-    * O(batch cap), not O(table) — Hadoop FS deletes, so the same loop
-    * runs against an object store. Status per file mirrors
-    * automate_file_delete.py:119-140: deleted → success / 'no errors';
-    * absent → failed / 'file not found'.
+    * [[deletionEligible]] frame (capped). The deletes run DISTRIBUTED —
+    * one task per path slice, the same `parallelize(...).mapPartitions`
+    * shape as the Pipeline existence probes — because up to 13k pairs ×
+    * 2 names is 26k metadata RPCs, which on an object store would stall
+    * the driver for minutes if issued serially. Result order is the
+    * input order (enc then dec per pair): `collect` concatenates
+    * partitions in order and `mapPartitions` is order-preserving, so
+    * the caller's id assignment stays deterministic. Status per file
+    * mirrors automate_file_delete.py:119-140: deleted → success /
+    * 'no errors'; absent → failed / 'file not found'.
     */
-  def deleteFiles(eligible: Seq[(String, String, String)], parentDir: String,
-                  conf: org.apache.hadoop.conf.Configuration =
-                    new org.apache.hadoop.conf.Configuration())
-      : Seq[DeletionResult] =
-    eligible.flatMap { case (facilityId, encName, decName) =>
-      Seq(encName, decName).map { name =>
-        val started = new java.sql.Timestamp(System.currentTimeMillis())
-        val ok = graft.core.Fs.delete(s"$parentDir/$facilityId/$name", conf)
-        DeletionResult(name, facilityId,
-          graft.model.FileName.deriveTableName(name), ok,
-          if (ok) "success" else "failed",
-          if (ok) "no errors" else "file not found",
-          started, new java.sql.Timestamp(System.currentTimeMillis()))
-      }
+  def deleteFiles(spark: org.apache.spark.sql.SparkSession,
+                  eligible: Seq[(String, String, String)],
+                  parentDir: String): Seq[DeletionResult] = {
+    val files = eligible.flatMap { case (facilityId, encName, decName) =>
+      Seq((facilityId, encName), (facilityId, decName))
     }
+    if (files.isEmpty) Seq.empty
+    else spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.min(files.length, 64))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (facilityId, name) =>
+          val started = new java.sql.Timestamp(System.currentTimeMillis())
+          val ok = graft.core.Fs.delete(s"$parentDir/$facilityId/$name", conf)
+          DeletionResult(name, facilityId,
+            graft.model.FileName.deriveTableName(name), ok,
+            if (ok) "success" else "failed",
+            if (ok) "no errors" else "file not found",
+            started, new java.sql.Timestamp(System.currentTimeMillis()))
+        }
+      }.collect().toSeq
+  }
 
   /** The wired S14 loop (automate_file_delete.py:87-151): read the
     * latest sync/deletion-log views, select the eligible batch, delete
@@ -278,8 +290,7 @@ object Maintenance {
         coalesce(col("ingest_file_name"), col("decrypted_file_name")).as("dec"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-    val results = deleteFiles(eligible, parentDir,
-      spark.sparkContext.hadoopConfiguration)
+    val results = deleteFiles(spark, eligible, parentDir)
     if (results.nonEmpty) {
       val maxId =
         if (store.exists("file_deletion_log"))

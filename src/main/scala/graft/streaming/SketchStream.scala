@@ -27,15 +27,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SketchStream {
 
+  /** Name of the batch-id marker INSIDE the grid directory. Underscore
+    * prefix = invisible to the parquet reader (like `_SUCCESS`), and
+    * living inside the directory means [[Fs.swapInPlace]] promotes the
+    * marker and the grid it describes in the SAME atomic rename.
+    */
+  private val BatchIdMarker = "_graft_batch_id"
+
+  /** Last batchId folded into the grid at `gridPath`; -1 when the grid
+    * is missing or predates batch tracking.
+    */
+  def lastAppliedBatchId(gridPath: String,
+                         conf: org.apache.hadoop.conf.Configuration): Long =
+    Fs.readText(s"$gridPath/$BatchIdMarker", conf)
+      .map(_.trim.toLong).getOrElse(-1L)
+
   /** Fold one batch into the grid at `gridPath` (missing grid = empty).
     * Staging write + crash-safe swap, materializing BEFORE the swap —
     * the merged frame lazily reads the live grid it is about to
     * replace.
+    *
+    * At-least-once safety: foreachBatch can REPLAY a batch (crash
+    * between the swap and the streaming checkpoint commit), and
+    * cell-wise addition is not idempotent — a replay would double-count.
+    * So when `batchId >= 0` the id is recorded in the grid directory
+    * (same swap, so grid+marker move atomically) and a batch whose id
+    * is <= the recorded one is skipped, restoring the
+    * bit-identical-to-one-shot monoid guarantee across restarts.
+    * `batchId = -1` (direct/batch callers) keeps the unconditional fold.
     */
   def applyBatch(batch: DataFrame, keyCol: String, gridPath: String,
-                 depth: Int = 4, width: Int = 256): Unit = {
+                 depth: Int = 4, width: Int = 256,
+                 batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    if (batchId >= 0 && batchId <= lastAppliedBatchId(gridPath, conf)) return
     val g = Sketch.cmsCounters(batch, keyCol, depth, width)
     val merged =
       if (Fs.exists(gridPath, conf))
@@ -43,6 +69,8 @@ object SketchStream {
       else g
     val staging = s"$gridPath.staging"
     merged.write.mode("overwrite").parquet(staging)
+    if (batchId >= 0)
+      Fs.writeText(s"$staging/$BatchIdMarker", batchId.toString, conf)
     if (Fs.exists(gridPath, conf)) Fs.swapInPlace(gridPath, staging, conf)
     else Fs.rename(staging, gridPath, conf)
   }
@@ -58,8 +86,8 @@ object SketchStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, keyCol, gridPath, depth, width)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, keyCol, gridPath, depth, width, batchId)
       }
       .start()
 }

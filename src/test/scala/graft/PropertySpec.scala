@@ -155,7 +155,10 @@ class PropertySpec extends SparkSpec {
       n <- Gen.chooseNum(5, 60)
       evs <- Gen.listOfN(n, for {
         u <- Gen.chooseNum(1L, 4L)
-        t <- Gen.chooseNum(0L, 20000L) // seconds; gap 3600 → bins exercised
+        // straddles the epoch: negative seconds exercise floor (not
+        // truncating) binning — pre-1970 pairs bin one slot high under
+        // `div` and get dropped/duplicated
+        t <- Gen.chooseNum(-20000L, 20000L) // seconds; gap 3600 → bins exercised
       } yield (u, t))
     } yield evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
     val evs = sampleOne(gen)

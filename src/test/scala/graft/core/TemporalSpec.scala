@@ -73,6 +73,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === out.distinct().count())
   }
 
+  test("rangePairs bins pre-1970 timestamps with floor semantics") {
+    // left at 1969-12-31 23:59:59 (−1s), right at 1970-01-01 00:00:01
+    // (+1s): under truncating `div` both land in bin 0 and the pair is
+    // found by luck, but a left fully inside negative time (−7200s)
+    // with right at −3601s truncates into the WRONG bin pair — floor
+    // division is what makes every case line up.
+    val left = Seq(
+      (1L, 7L, -1L),      // 1s before epoch
+      (2L, 7L, -7200L),   // 2h before epoch
+      (3L, 7L, -3700L))   // 99s before error 51 → pair
+      .toDF("click_id", "user_id", "sec")
+      .select(col("user_id"), col("click_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val right = Seq(
+      (50L, 7L, 1L),      // 2s after click 1 → pair
+      (51L, 7L, -3601L),  // 3599s after click 2 → pair
+      (52L, 7L, -7300L))  // before everything → no pair
+      .toDF("error_id", "user_id", "sec")
+      .select(col("user_id"), col("error_id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Temporal.rangePairs(left, right, Seq("user_id"), "ts",
+        "click_id", "error_id", gapSeconds = 3600L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got === Map(
+      (1L, 50L) -> 2000000L,
+      (2L, 51L) -> 3599000000L,
+      (3L, 51L) -> 99000000L))
+  }
+
   test("funnel: steps chain in order within the window; breaks stay broken") {
     val ev = Seq(
       // user 1: view → click (+1h) → purchase (+2h): full funnel

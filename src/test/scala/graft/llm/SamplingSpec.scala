@@ -132,6 +132,41 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().map(_._1).contains(5000L))
   }
 
+  test("mixture samplers rate NULL-domain docs instead of dropping them") {
+    // 160 docs in "big", 40 with a NULL domain: the NULL stratum must
+    // be sampled like any other (a null-unsafe plan join silently
+    // drops all of them)
+    val df = (1L to 200L).map(i =>
+        (i, if (i <= 160) "big" else null.asInstanceOf[String]))
+      .toDF("id", "dom")
+    val mixKept = Sampling.mixtureSample(df, "dom", "id")
+      .as[(Long, String)].collect().map(_._1).toSet
+    val nullKept = mixKept.count(_ > 160)
+    assert(nullKept > 0, "NULL-domain docs vanished from mixtureSample")
+    // under-represented stratum passes through whole (rate 1)
+    assert(nullKept === 40)
+    val tempKept = Sampling.temperatureSample(df, "dom", "id")
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(tempKept.count(_ > 160) === 40,
+      "NULL-domain docs vanished from temperatureSample")
+  }
+
+  test("weightedBernoulli rejects inputs that would overflow the keep test") {
+    // Σw beyond 2⁶³⁻¹/65536 would silently wrap the Long cross-multiply
+    val huge = Seq((1L, Long.MaxValue / 65536), (2L, Long.MaxValue / 65536))
+      .toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedBernoulli(huge, "id", "w", 1L)
+    }
+    // negative weights are meaningless and must be refused, not sampled
+    intercept[IllegalArgumentException] {
+      Sampling.weightedBernoulli(Seq((1L, -5L)).toDF("id", "w"), "id", "w", 1L)
+    }
+    // empty input stays empty rather than dividing by a null Σw
+    assert(Sampling.weightedBernoulli(
+      Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 1L).count() === 0)
+  }
+
   test("domainCap: exact cap per domain, small domains untouched, deterministic") {
     val df = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 105L).map(i => (i, "small"))).toDF("id", "dom")

@@ -122,7 +122,7 @@ class MaintenanceSpec extends SparkSpec {
     val fac = new java.io.File(root, "FAC1"); fac.mkdirs()
     java.nio.file.Files.writeString(new java.io.File(fac, "a_1_2.json").toPath, "e")
     java.nio.file.Files.writeString(new java.io.File(fac, "a_1_2_decrypted.json").toPath, "d")
-    val res = Maintenance.deleteFiles(
+    val res = Maintenance.deleteFiles(spark,
       Seq(("FAC1", "a_1_2.json", "a_1_2_decrypted.json"),
         ("FAC1", "missing.json", "missing_decrypted.json")), root.getPath)
     assert(res.map(_.status) === Seq("success", "success", "failed", "failed"))
@@ -199,7 +199,8 @@ class MaintenanceSpec extends SparkSpec {
     val hits = Maintenance.retentionSweep(uri, "202404", dryRun = false)
     assert(hits.size === 1 && hits.head.contains("y_202404_1.json"))
     assert(!new java.io.File(fac, "y_202404_1.json").exists())
-    val res = Maintenance.deleteFiles(Seq(("FAC9", "gone.json", "gone_d.json")), uri)
+    val res = Maintenance.deleteFiles(spark,
+      Seq(("FAC9", "gone.json", "gone_d.json")), uri)
     assert(res.map(_.status) === Seq("failed", "failed"))
   }
 

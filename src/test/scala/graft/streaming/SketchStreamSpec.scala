@@ -43,6 +43,22 @@ class SketchStreamSpec extends SparkSpec {
       "absent" -> 0L))
   }
 
+  test("a replayed foreachBatch id is skipped, not double-counted") {
+    val dir = java.nio.file.Files.createTempDirectory("cms_replay").toFile
+    val grid = s"${dir.getPath}/grid"
+    SketchStream.applyBatch(Seq("a", "b").toDF("k"), "k", grid, batchId = 0L)
+    // at-least-once replay of the same batch (crash between swap and
+    // checkpoint commit): must be a no-op, addition is not idempotent
+    SketchStream.applyBatch(Seq("a", "b").toDF("k"), "k", grid, batchId = 0L)
+    SketchStream.applyBatch(Seq("a").toDF("k"), "k", grid, batchId = 1L)
+    assert(SketchStream.lastAppliedBatchId(grid,
+      spark.sparkContext.hadoopConfiguration) === 1L)
+    val est = Sketch.cmsEstimate(spark.read.parquet(grid),
+        Seq("a", "b").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("applyBatch on a missing grid bootstraps; staging never lingers") {
     val dir = java.nio.file.Files.createTempDirectory("cms_boot").toFile
     val grid = s"${dir.getPath}/grid"
