@@ -112,12 +112,15 @@ object Fs {
     finally out.close()
   }
 
-  /** Read a small text marker; None when absent. */
+  /** Read a small text marker; None when absent. Open-and-catch rather
+    * than exists-then-open: a concurrent [[swapInPlace]] can remove the
+    * path between the two calls, and a reader racing a swap should see
+    * "absent", not crash.
+    */
   def readText(path: String, conf: Configuration): Option[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
+    try {
       val in = fs.open(p)
       try {
         val buf = new java.io.ByteArrayOutputStream()
@@ -126,8 +129,23 @@ object Fs {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
     }
   }
+
+  /** Broadcast the SESSION hadoop configuration for use inside tasks.
+    * Executors must never fall back to `new Configuration()`: that drops
+    * every `spark.hadoop.*` override — object-store credentials,
+    * endpoints, fs impls — so distributed metadata loops (Pipeline's
+    * existence probes, Maintenance.deleteFiles) would silently misreport
+    * "file not found" on a real cluster while passing on local disk.
+    */
+  def broadcastConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] =
+    spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
 
   /** Total bytes of the files directly under `dir`. */
   def dirBytes(dir: String, conf: Configuration): Long =

@@ -135,15 +135,21 @@ object Pipeline {
     }
     val existsByPath: Map[String, Boolean] =
       if (paths.isEmpty) Map.empty
-      else spark.sparkContext
-        .parallelize(paths.toIndexedSeq, math.min(paths.length, 64))
-        .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
-          it.map { p =>
-            val hp = new org.apache.hadoop.fs.Path(p)
-            p -> hp.getFileSystem(conf).exists(hp)
-          }
-        }.collect().toMap
+      else {
+        // Session hadoop conf must reach the tasks (see Maintenance
+        // .deleteFiles): a default Configuration() would drop object-store
+        // credentials and report every file missing on a real cluster.
+        val confBc = graft.core.Fs.broadcastConf(spark)
+        spark.sparkContext
+          .parallelize(paths.toIndexedSeq, math.min(paths.length, 64))
+          .mapPartitions { it =>
+            val conf = confBc.value.value
+            it.map { p =>
+              val hp = new org.apache.hadoop.fs.Path(p)
+              p -> hp.getFileSystem(conf).exists(hp)
+            }
+          }.collect().toMap
+      }
     val located = todoRows.zip(paths).map { case (r, p) =>
       (r.getAs[Long]("id"), r.getAs[String]("facility_id"),
         r.getAs[String]("decrypted_file_name"), p, existsByPath(p))

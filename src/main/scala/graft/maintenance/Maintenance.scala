@@ -251,20 +251,27 @@ object Maintenance {
       Seq((facilityId, encName), (facilityId, decName))
     }
     if (files.isEmpty) Seq.empty
-    else spark.sparkContext
-      .parallelize(files.toIndexedSeq, math.min(files.length, 64))
-      .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        it.map { case (facilityId, name) =>
-          val started = new java.sql.Timestamp(System.currentTimeMillis())
-          val ok = graft.core.Fs.delete(s"$parentDir/$facilityId/$name", conf)
-          DeletionResult(name, facilityId,
-            graft.model.FileName.deriveTableName(name), ok,
-            if (ok) "success" else "failed",
-            if (ok) "no errors" else "file not found",
-            started, new java.sql.Timestamp(System.currentTimeMillis()))
-        }
-      }.collect().toSeq
+    else {
+      // Ship the SESSION hadoop conf to the tasks: a fresh Configuration()
+      // on the executor would drop spark.hadoop.* overrides (object-store
+      // credentials, endpoints, fs impls) and misreport every delete as
+      // "file not found" on a real cluster.
+      val confBc = graft.core.Fs.broadcastConf(spark)
+      spark.sparkContext
+        .parallelize(files.toIndexedSeq, math.min(files.length, 64))
+        .mapPartitions { it =>
+          val conf = confBc.value.value
+          it.map { case (facilityId, name) =>
+            val started = new java.sql.Timestamp(System.currentTimeMillis())
+            val ok = graft.core.Fs.delete(s"$parentDir/$facilityId/$name", conf)
+            DeletionResult(name, facilityId,
+              graft.model.FileName.deriveTableName(name), ok,
+              if (ok) "success" else "failed",
+              if (ok) "no errors" else "file not found",
+              started, new java.sql.Timestamp(System.currentTimeMillis()))
+          }
+        }.collect().toSeq
+    }
   }
 
   /** The wired S14 loop (automate_file_delete.py:87-151): read the

@@ -34,13 +34,32 @@ object SketchStream {
     */
   private val BatchIdMarker = "_graft_batch_id"
 
+  /** Parse the marker into (queryId, batchId). Two formats:
+    *  - v2 `"<queryId>:<batchId>"` — the txnAppId+version pattern for
+    *    idempotent foreachBatch sinks; queryId may be empty (direct
+    *    batch callers with no streaming identity).
+    *  - legacy: a bare number — predates query tracking; surfaces as
+    *    queryId "" so old grids keep their replay protection for
+    *    callers that never pass a queryId.
+    * (None, -1) when the grid is missing or untracked.
+    */
+  private def readMarker(gridPath: String,
+                         conf: org.apache.hadoop.conf.Configuration)
+      : Option[(String, Long)] =
+    Fs.readText(s"$gridPath/$BatchIdMarker", conf).map { txt =>
+      val s = txt.trim
+      s.lastIndexOf(':') match {
+        case -1 => ("", s.toLong)
+        case i  => (s.substring(0, i), s.substring(i + 1).toLong)
+      }
+    }
+
   /** Last batchId folded into the grid at `gridPath`; -1 when the grid
     * is missing or predates batch tracking.
     */
   def lastAppliedBatchId(gridPath: String,
                          conf: org.apache.hadoop.conf.Configuration): Long =
-    Fs.readText(s"$gridPath/$BatchIdMarker", conf)
-      .map(_.trim.toLong).getOrElse(-1L)
+    readMarker(gridPath, conf).map(_._2).getOrElse(-1L)
 
   /** Fold one batch into the grid at `gridPath` (missing grid = empty).
     * Staging write + crash-safe swap, materializing BEFORE the swap —
@@ -50,18 +69,28 @@ object SketchStream {
     * At-least-once safety: foreachBatch can REPLAY a batch (crash
     * between the swap and the streaming checkpoint commit), and
     * cell-wise addition is not idempotent — a replay would double-count.
-    * So when `batchId >= 0` the id is recorded in the grid directory
-    * (same swap, so grid+marker move atomically) and a batch whose id
-    * is <= the recorded one is skipped, restoring the
-    * bit-identical-to-one-shot monoid guarantee across restarts.
-    * `batchId = -1` (direct/batch callers) keeps the unconditional fold.
+    * So when `batchId >= 0` the (queryId, id) pair is recorded in the
+    * grid directory (same swap, so grid+marker move atomically) and a
+    * batch is skipped only when BOTH the recorded queryId matches AND
+    * its id is <= the recorded one — the txnAppId+version pattern for
+    * idempotent foreachBatch sinks. Keying on the queryId matters: if
+    * the checkpoint is deleted/relocated while the grid is kept (a
+    * routine ops event), batchIds restart at 0 under a NEW queryId, and
+    * skipping on the bare id would silently drop every new batch until
+    * the ids caught up — data loss with no error. A mismatched queryId
+    * therefore folds (and re-keys the marker to the new query).
+    * `batchId = -1` (direct/batch callers) keeps the unconditional
+    * fold, but PRESERVES an existing marker through the swap so replay
+    * protection survives interleaved direct folds.
     */
   def applyBatch(batch: DataFrame, keyCol: String, gridPath: String,
                  depth: Int = 4, width: Int = 256,
-                 batchId: Long = -1L): Unit = {
+                 batchId: Long = -1L, queryId: String = ""): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    if (batchId >= 0 && batchId <= lastAppliedBatchId(gridPath, conf)) return
+    val marker = readMarker(gridPath, conf)
+    if (batchId >= 0 && marker.exists { case (qid, bid) =>
+          qid == queryId && batchId <= bid }) return
     val g = Sketch.cmsCounters(batch, keyCol, depth, width)
     val merged =
       if (Fs.exists(gridPath, conf))
@@ -70,7 +99,10 @@ object SketchStream {
     val staging = s"$gridPath.staging"
     merged.write.mode("overwrite").parquet(staging)
     if (batchId >= 0)
-      Fs.writeText(s"$staging/$BatchIdMarker", batchId.toString, conf)
+      Fs.writeText(s"$staging/$BatchIdMarker", s"$queryId:$batchId", conf)
+    else marker.foreach { case (qid, bid) => // direct fold: keep protection
+      Fs.writeText(s"$staging/$BatchIdMarker", s"$qid:$bid", conf)
+    }
     if (Fs.exists(gridPath, conf)) Fs.swapInPlace(gridPath, staging, conf)
     else Fs.rename(staging, gridPath, conf)
   }
@@ -87,7 +119,14 @@ object SketchStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, keyCol, gridPath, depth, width, batchId)
+        // The streaming queryId is stable across restarts from the same
+        // checkpoint (persisted in its metadata) and fresh after a
+        // checkpoint reset — exactly the identity the replay marker
+        // needs. StreamExecution exposes it to foreachBatch as a local
+        // property on the batch's context.
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("")
+        applyBatch(batch, keyCol, gridPath, depth, width, batchId, qid)
       }
       .start()
 }

@@ -59,6 +59,48 @@ class SketchStreamSpec extends SparkSpec {
     assert(est === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("checkpoint reset (new queryId) folds restarted batchIds instead of skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("cms_qid").toFile
+    val grid = s"${dir.getPath}/grid"
+    // query q1 folds batches 0..2
+    (0 to 2).foreach { i =>
+      SketchStream.applyBatch(Seq("a").toDF("k"), "k", grid,
+        batchId = i.toLong, queryId = "q1")
+    }
+    // ops deletes/relocates the checkpoint but keeps the grid: a NEW
+    // query starts over at batchId 0. Skipping on the bare id would
+    // silently drop these batches — the queryId key must let them fold.
+    SketchStream.applyBatch(Seq("a", "b").toDF("k"), "k", grid,
+      batchId = 0L, queryId = "q2")
+    val est = Sketch.cmsEstimate(spark.read.parquet(grid),
+        Seq("a", "b").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 4L, "b" -> 1L))
+    // and the marker is re-keyed: a replay of q2's batch 0 IS skipped
+    SketchStream.applyBatch(Seq("a", "b").toDF("k"), "k", grid,
+      batchId = 0L, queryId = "q2")
+    val est2 = Sketch.cmsEstimate(spark.read.parquet(grid),
+        Seq("a", "b").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est2 === est)
+  }
+
+  test("a direct fold (batchId = -1) preserves the replay marker through the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("cms_direct").toFile
+    val grid = s"${dir.getPath}/grid"
+    val conf = spark.sparkContext.hadoopConfiguration
+    SketchStream.applyBatch(Seq("a").toDF("k"), "k", grid, batchId = 3L)
+    // interleaved direct/batch fold must not erase the recorded id...
+    SketchStream.applyBatch(Seq("b").toDF("k"), "k", grid)
+    assert(SketchStream.lastAppliedBatchId(grid, conf) === 3L)
+    // ...so an at-least-once replay of batch 3 is still a no-op
+    SketchStream.applyBatch(Seq("a").toDF("k"), "k", grid, batchId = 3L)
+    val est = Sketch.cmsEstimate(spark.read.parquet(grid),
+        Seq("a", "b").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("applyBatch on a missing grid bootstraps; staging never lingers") {
     val dir = java.nio.file.Files.createTempDirectory("cms_boot").toFile
     val grid = s"${dir.getPath}/grid"
