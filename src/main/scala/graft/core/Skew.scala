@@ -7,10 +7,21 @@ import org.apache.spark.sql.functions._
   * among thousands — the realistic 100 TB shape of the reference's
   * per-facility data).
   *
-  * AQE's skewJoin handles most cases at runtime (enabled in
-  * GraftSession); salting is the explicit fallback for aggregations and
-  * for joins AQE can't split (e.g. a skewed groupBy key):
-  * two-phase aggregate over (key, salt) then key.
+  * Division of labor with AQE (audited in PlanAuditSpec):
+  *  - JOIN skew: `spark.sql.adaptive.skewJoin` (on in GraftSession)
+  *    splits an oversized shuffle partition of a sort-merge /
+  *    shuffled-hash join at runtime and replicates the matching other
+  *    side — so hot-key equi JOINS need no manual salt here; adding one
+  *    anyway would only widen the key and defeat AQE's size stats.
+  *  - AGGREGATION skew: AQE never splits a skewed groupBy partition (a
+  *    partial aggregate can't be "replicated" the way a join side can),
+  *    so hot-key aggregations use the explicit two-phase salt below:
+  *    partial over (key, _salt), final over key. The salted first phase
+  *    produces many small partitions; AQE's coalescePartitions folds
+  *    them back — the two compose, not conflict.
+  *  - The salt is content-derived (hash pmod buckets), NOT rand():
+  *    retried/speculative tasks must agree on placement or the partial
+  *    counts double.
   */
 object Skew {
 

@@ -31,8 +31,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * is layout-independent:
     *  - [[events]]: `ts` as a typed timestamp (micros precision,
     *    truncating nanos, matching DuckDB's ts::TIMESTAMP)
-    *  - [[eventsRaw]]: `ts` as an epoch-nanos long (exact integer
-    *    arithmetic; session tz is UTC so the NTZ→nanos cast is exact)
+    *  - [[eventsRaw]]: `ts` as an epoch-MICROS long (exact integer
+    *    arithmetic; session tz is UTC so the NTZ→micros cast is exact).
+    *    Micros, not nanos: every integer-exact consumer works in micros
+    *    (`unix_micros` precision), so a nanos contract would just add a
+    *    per-row ×1000 on the micros layout and a ÷1000 in every reader.
     */
   def events: DataFrame = {
     val raw = t("events")
@@ -45,14 +48,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
 
-  /** Raw events with `ts` as an epoch-nanos long (exact arithmetic). */
+  /** Raw events with `ts` as an epoch-micros long (exact arithmetic). */
   def eventsRaw: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("ts div 1000")) // nanos layout → micros
       case _ =>
-        raw.withColumn("ts",
-          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
     }
   }
 }

@@ -522,6 +522,85 @@ object Temporal {
       .toDF(entityCol, idCol, "tus", valueCol, "cusum_hi", "cusum_lo", "alarm")
   }
 
+  final case class FixedIn(entity: String, id: Long, tus: Long, vmillis: Long)
+  final case class EwmaFixedOut(entity: String, id: Long, tus: Long,
+                                vmillis: Long, ewma_millis: Long)
+  final case class CusumFixedOut(entity: String, id: Long, tus: Long,
+                                 vmillis: Long, cusum_hi: Long, cusum_lo: Long,
+                                 alarm: Boolean)
+
+  /** [[ewma]] in exact integer fixed-point: values scaled to millis
+    * (`round(v·1000)`, exact for 2-decimal telemetry) and the α=num/den
+    * recurrence kept in Longs with one truncating division per step:
+    *
+    *   e_i = (num·v_i + (den−num)·e_{i−1}) div den
+    *
+    * Every step is integer arithmetic, so the result is BIT-IDENTICAL
+    * across engines — this is the oracle-able face of the EWMA (the
+    * double variant accumulates engine-specific rounding and can't be
+    * hash-compared; same trick as [[timeWeightedAvg]]). Envelope:
+    * non-negative values (trunc == floor, matching SQL `//`), and
+    * den·v_millis < 2^63. Execution contract identical to [[ewma]]:
+    * one groupByKey on the entity, sort + O(n) scan per group.
+    */
+  def ewmaFixed(events: DataFrame, entityCol: String, tsCol: String,
+                idCol: String, valueCol: String,
+                alphaNum: Long = 2L, alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen, "need 0 < num <= den")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+        col(entityCol).cast("string").as("entity"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("tus"),
+        round(col(valueCol).cast("double") * 1000).cast("long").as("vmillis"))
+      .as[FixedIn]
+      .groupByKey(_.entity)
+      .flatMapGroups { (_, it) =>
+        val evs = it.toArray.sortBy(e => (e.tus, e.id))
+        var acc = -1L
+        evs.iterator.map { e =>
+          acc = if (acc < 0) e.vmillis
+                else (alphaNum * e.vmillis + (alphaDen - alphaNum) * acc) / alphaDen
+          EwmaFixedOut(e.entity, e.id, e.tus, e.vmillis, acc)
+        }
+      }
+      .toDF(entityCol, idCol, "tus", "vmillis", "ewma_millis")
+  }
+
+  /** [[cusum]] in exact integer fixed-point: values/target/slack/
+    * threshold in millis, and the Page recurrences are pure Long
+    * add-and-clamp — no division at all, so cross-engine bit-identical
+    * (the oracle-able face of CUSUM; the double variant stays for
+    * callers with sub-milli scales).
+    */
+  def cusumFixed(events: DataFrame, entityCol: String, tsCol: String,
+                 idCol: String, valueCol: String, targetMillis: Long,
+                 slackMillis: Long, thresholdMillis: Long): DataFrame = {
+    require(slackMillis >= 0 && thresholdMillis > 0, "slack >= 0, threshold > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+        col(entityCol).cast("string").as("entity"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("tus"),
+        round(col(valueCol).cast("double") * 1000).cast("long").as("vmillis"))
+      .as[FixedIn]
+      .groupByKey(_.entity)
+      .flatMapGroups { (_, it) =>
+        val evs = it.toArray.sortBy(e => (e.tus, e.id))
+        var hi = 0L
+        var lo = 0L
+        evs.iterator.map { e =>
+          hi = math.max(0L, hi + (e.vmillis - targetMillis - slackMillis))
+          lo = math.max(0L, lo + (targetMillis - e.vmillis - slackMillis))
+          CusumFixedOut(e.entity, e.id, e.tus, e.vmillis, hi, lo,
+            hi > thresholdMillis || lo > thresholdMillis)
+        }
+      }
+      .toDF(entityCol, idCol, "tus", "vmillis", "cusum_hi", "cusum_lo", "alarm")
+  }
+
   /** Calendar resample with gap-fill: per entity, daily (count, sum)
     * buckets from the entity's FIRST to LAST active day, with silent
     * days ZERO-filled — the regular-grid precondition for any

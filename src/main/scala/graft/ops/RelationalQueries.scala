@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   *  - every output column aliased identically on both sides;
   *  - DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT);
   *  - raw doubles pass through untouched; derived doubles are round()ed;
-  *  - nanosecond event timestamps: Spark reads epoch-nanos longs
-  *    (Tables.events converts), DuckDB casts ts::TIMESTAMP — exact
-  *    integer arithmetic on both sides, truncation to micros;
+  *  - event timestamps: Tables.events yields a typed timestamp and
+  *    Tables.eventsRaw an epoch-micros long regardless of the parquet
+  *    layout (nanos or micros); DuckDB casts ts::TIMESTAMP — exact
+  *    integer arithmetic on both sides at micros precision;
   *  - deterministic ORDER BY with a unique tiebreak on every query.
   *
   * Scale notes inline per query; the general rules: aggregates are
@@ -529,18 +530,16 @@ object RelationalQueries {
     },
 
     // ---- F13: time arithmetic (file_ingestion_summary_report.sql:38) ----
-    // Exact integer micros on both sides: Spark keeps epoch-nanos longs
-    // (div — not '/', which would go through double and lose precision
-    // above 2^53), DuckDB date_diffs the cast timestamps.
+    // Exact integer micros on both sides: Spark aggregates eventsRaw's
+    // epoch-micros longs, DuckDB date_diffs the cast timestamps.
     "q_f13_interval_arith" -> Q(
       """SELECT user_id,
         |  date_diff('microsecond', min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP))) AS span_us,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       tb(s, dir).eventsRaw
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
         .groupBy("user_id")
-        .agg((max("ts_us") - min("ts_us")).as("span_us"), count(lit(1)).as("n"))
+        .agg((max("ts") - min("ts")).as("span_us"), count(lit(1)).as("n"))
         .orderBy("user_id")
     },
 
@@ -697,13 +696,33 @@ object RelationalQueries {
         .orderBy("click_id", "error_id")
     },
 
-    // ---- per-user EWMA smoothing (Temporal.ewma): α=0.2 recurrence
-    //      over the event-time-ordered value stream. No cross-engine
-    //      oracle (double recurrence accumulates engine-specific
-    //      rounding); TemporalSpec property-tests vs brute force ----
-    "q_evt_ewma" -> Q.sparkOnly { (s, dir) =>
-      graft.core.Temporal.ewma(tb(s, dir).events,
-          "user_id", "ts", "event_id", "value", alpha = 0.2)
+    // ---- per-user EWMA smoothing, α=0.2, in exact integer fixed-point
+    //      (Temporal.ewmaFixed): millis-scaled values and a truncating
+    //      integer division per step make the recurrence bit-identical
+    //      across engines, so the oracle is a DuckDB RECURSIVE CTE
+    //      replaying the same integer recurrence. The double-precision
+    //      Temporal.ewma stays for production use (TemporalSpec
+    //      property-tests it vs brute force). ----
+    "q_evt_ewma" -> Q(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(round(value * 1000) AS BIGINT) AS vmillis,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, tus, vmillis, rn, vmillis AS ewma_millis
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.tus, b.vmillis, b.rn,
+        |         CAST((2 * b.vmillis + 8 * r.ewma_millis) // 10 AS BIGINT)
+        |  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, tus, vmillis,
+        |       CAST(ewma_millis AS BIGINT) AS ewma_millis
+        |FROM r ORDER BY user_id, tus, event_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.ewmaFixed(tb(s, dir).events,
+          "user_id", "ts", "event_id", "value", alphaNum = 2L, alphaDen = 10L)
         .orderBy("user_id", "tus", "event_id")
     },
 
@@ -1252,12 +1271,38 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
-    // ---- CUSUM changepoint detection (Temporal.cusum): sequential
-    //      double recurrence — spark-only per the ewma convention;
-    //      TemporalSpec property-tests the recurrence ----
-    "q_evt_cusum" -> Q.sparkOnly { (s, dir) =>
-      graft.core.Temporal.cusum(tb(s, dir).events, "user_id", "ts",
-          "event_id", "value", target = 50.0, slack = 5.0, threshold = 200.0)
+    // ---- CUSUM changepoint detection in exact integer fixed-point
+    //      (Temporal.cusumFixed): millis-scaled Page recurrences are
+    //      pure add-and-clamp (no division), so the DuckDB RECURSIVE
+    //      CTE oracle replays them bit-identically. target 50.0 /
+    //      slack 5.0 / threshold 200.0 as millis. Temporal.cusum
+    //      (doubles) stays for sub-milli scales, property-tested. ----
+    "q_evt_cusum" -> Q(
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(round(value * 1000) AS BIGINT) AS vmillis,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, tus, vmillis, rn,
+        |         GREATEST(0, vmillis - 50000 - 5000) AS cusum_hi,
+        |         GREATEST(0, 50000 - vmillis - 5000) AS cusum_lo
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.tus, b.vmillis, b.rn,
+        |         GREATEST(0, r.cusum_hi + b.vmillis - 50000 - 5000),
+        |         GREATEST(0, r.cusum_lo + 50000 - b.vmillis - 5000)
+        |  FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, tus, vmillis,
+        |       CAST(cusum_hi AS BIGINT) AS cusum_hi,
+        |       CAST(cusum_lo AS BIGINT) AS cusum_lo,
+        |       (cusum_hi > 200000 OR cusum_lo > 200000) AS alarm
+        |FROM r ORDER BY user_id, tus, event_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.cusumFixed(tb(s, dir).events, "user_id", "ts",
+          "event_id", "value", targetMillis = 50000L, slackMillis = 5000L,
+          thresholdMillis = 200000L)
         .orderBy("user_id", "tus", "event_id")
     },
 

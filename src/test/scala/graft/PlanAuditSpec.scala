@@ -147,6 +147,50 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a 2-column pruned ORC scan:\n$plan")
   }
 
+  test("AQE skew-join splits a hot-key SMJ partition; salting stays for aggregations") {
+    import spark.implicits._
+    // One key carries ~90% of the left side — the mega-facility shape.
+    // Thresholds are shrunk so the ~1 MB hot partition counts as skewed
+    // at test scale; broadcast is disabled to force the SMJ path AQE
+    // optimizes. Skew.saltedCount handles the aggregation face of the
+    // same key (Skew scaladoc): AQE cannot split a skewed groupBy.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    try {
+      val left = (1 to 60000)
+        .map(i => (if (i % 10 == 0) i.toLong % 97 else 0L, i.toLong))
+        .toDF("k", "v")
+      val right = (0L to 96L).map(k => (k, k * 2)).toDF("k", "w")
+      // the join must be the TERMINAL stage: AQE declines to split skew
+      // when a downstream operator (e.g. groupBy on the join key) would
+      // reuse the join's partitioning — splitting would force an extra
+      // shuffle (that case needs forceOptimizeSkewedJoin, a cost call
+      // left to deployments)
+      val joined = left.join(right, "k")
+      joined.collect() // AQE decides skew splits at runtime — must execute
+      val plan = planOf(joined)
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot-key join partition skewed:\n$plan")
+      // and the salted aggregate gives the same counts as a direct groupBy
+      val direct = left.groupBy("k").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val salted = graft.core.Skew.saltedCount(left, "k", col("v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(salted === direct)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("encodeDocs prunes the corpus scan and joins the vocab on the token key") {
     val docs = Tables(spark, sfDir).documents
     val vocab = graft.llm.TextAnalysis.buildVocab(docs, "doc_id", "text")

@@ -262,6 +262,51 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("ewmaFixed matches the driver-side integer recurrence exactly") {
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 300).map { i =>
+      (rnd.nextInt(4).toLong, i.toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(10000) * 1000L),
+        rnd.nextInt(50000) / 100.0) // positive 2-decimal values
+    }
+    val df = ev.toDF("user_id", "event_id", "ts", "value")
+    val got = Temporal.ewmaFixed(df, "user_id", "ts", "event_id", "value",
+        alphaNum = 2L, alphaDen = 10L)
+      .select(col("user_id").cast("long"), col("event_id"), col("ewma_millis"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, id, e) => (u, id) -> e }.toMap
+    val want = ev.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._2))
+      var acc = -1L
+      sorted.map { e =>
+        val vm = math.round(e._4 * 1000)
+        acc = if (acc < 0) vm else (2L * vm + 8L * acc) / 10L
+        (u, e._2) -> acc
+      }
+    }
+    assert(got === want) // exact — no tolerance
+  }
+
+  test("cusumFixed replays the integer Page recurrence exactly and alarms on shift") {
+    val vals = Seq(10.0, 10.5, 9.5, 14.0, 14.0, 14.0, 14.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(f"2024-01-01 00:00:${i}%02d"), i.toLong, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.cusumFixed(ev, "user_id", "ts", "event_id", "value",
+        targetMillis = 10000L, slackMillis = 1000L, thresholdMillis = 5000L)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    var hi = 0L; var lo = 0L
+    val want = vals.map { v =>
+      val vm = math.round(v * 1000)
+      hi = math.max(0L, hi + (vm - 10000L - 1000L))
+      lo = math.max(0L, lo + (10000L - vm - 1000L))
+      (hi, lo, hi > 5000L || lo > 5000L)
+    }
+    assert(got.toSeq === want)
+    assert(!got(2)._3 && got(5)._3)
+  }
+
   test("scd2 collapses attribute runs into tiling validity intervals") {
     // user 1: A A B A  -> A[v1], B[v2], A[v3]; user 2: single run
     val t0 = 1700000000000L

@@ -194,6 +194,43 @@ class PipelineSpec extends SparkSpec {
     assert(mon.head.getAs[Int]("json_rec_count") === 1)
   }
 
+  test("S8 JDBC escape hatch: staging rows roundtrip through an embedded Derby plane") {
+    // The reference's actual data plane is Postgres (file_loader.py:639
+    // `to_sql`); the gate is exercised here against embedded Derby —
+    // same Spark JDBC writer/reader code path, no external server.
+    val (cfg0, parent) = setup()
+    val url = s"jdbc:derby:memory:graft_jdbc_${System.nanoTime()};create=true"
+    val cfg = cfg0.copy(jdbcUrl = Some(url),
+      jdbcOptions = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    writeFile(new java.io.File(parent, "FAC1"),
+      "patient_person_0_20250103141949_decrypted.json",
+      """[
+        |{"id": 1, "uuid": "u1", "surname": "Ann", "first_name": "A",
+         "other_name": "X", "hospital_number": "H1", "nin_number": "N1",
+         "full_name": "Ann A", "date_of_birth": "1990-05-01", "archived": 0},
+        |{"id": 2, "uuid": "u2", "surname": "Bob", "first_name": "B",
+         "other_name": "", "hospital_number": "H2", "nin_number": "N2",
+         "full_name": "Bob B", "date_of_birth": "1985-11-12", "archived": 0}
+        |]""".stripMargin.replace("|", ""))
+    seedSync(cfg, Seq(syncRow(1L, "FAC1", "patient_person_0_20250103141949.json")))
+
+    val res = Pipeline.run(spark, cfg)
+    assert(res.filesIngested === 1 && res.recordsIngested === 2)
+    // nothing lands in the parquet warehouse when the JDBC plane is on
+    assert(!new java.io.File(s"${cfg.warehouseDir}/stg_patient_person").exists())
+    // read the staging table back through the same JDBC plane
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "stg_patient_person")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    assert(back.count() === 2)
+    val r = back.orderBy("id").collect().head
+    assert(r.getAs[String]("surname") === Stages.Mask) // masking precedes the sink
+    assert(r.getAs[String]("stg_datim_id") === "FAC1")
+    // control plane still lands in the LogStore regardless of data plane
+    val log = cfg.logStore.history("file_ingestion_log").collect().head
+    assert(log.getAs[String]("load_status_check") === "success")
+  }
+
   test("facility-partitioned staging layout (100 TB shape)") {
     val (cfg0, parent) = setup()
     val cfg = cfg0.copy(partitionStagingBy = Some("stg_datim_id"))

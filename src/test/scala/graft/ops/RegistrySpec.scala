@@ -33,4 +33,23 @@ class RegistrySpec extends AnyFunSuite {
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(
       graft.SparkEntry.queries.keySet))
   }
+
+  /** Growth guard: a new query must ship WITH its DuckDB oracle — the
+    * correctness gate only covers what has one. Spark-only entries are
+    * sanctioned individually here, each with a reason and a named spec
+    * that covers it instead; additions to this set should be rare and
+    * deliberate, not a side effect of skipping oracle work.
+    */
+  test("every registered query has an oracle, except the sanctioned spark-only set") {
+    val sanctioned = Set(
+      // HLL sketch estimates have no bit-exact DuckDB replay (register
+      // layout is engine-internal); SketchSpec property-tests the
+      // estimate error envelope and IncrementalAggSpec the merges.
+      "q_a13_approx_distinct")
+    val noOracle = graft.SparkEntry.queries.keySet --
+      graft.SparkEntry.oracleSql.keySet
+    assert(noOracle === sanctioned,
+      s"unsanctioned oracle-less queries: ${noOracle -- sanctioned}; " +
+        s"stale sanctions: ${sanctioned -- noOracle}")
+  }
 }
