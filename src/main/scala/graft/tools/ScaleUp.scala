@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   *    lineitem's three FKs with their parents) so join selectivities
   *    and referential integrity match a true larger SF;
   *  - dimension tables (region, nation) stay fixed — as at any real SF;
-  *  - document text gets a per-copy salt token spliced every 8 words,
-  *    so shingle/minhash/simhash fingerprints treat copies as DISTINCT
-  *    documents (a bare union would make the corpus 90% duplicates and
-  *    near-dup candidate generation quadratically dup-heavy — not the
-  *    statistics of a genuine 10× corpus); n_chars is recomputed;
+  *  - document text gets a per-copy suffix on every 3rd word, so EVERY
+  *    word 3-gram (the shingle unit of the dedup family) is
+  *    copy-distinct: per-shingle document frequencies — which drive
+  *    candidate-pair counts quadratically (Σdf²) — then scale like a
+  *    genuine 10× corpus of distinct documents instead of 10-way
+  *    duplicates. (A first attempt salted every 8th word; the ~60% of
+  *    3-grams that stayed salt-free were shared by all copies, df grew
+  *    10×, and containment candidate generation went ~20× super-linear
+  *    — a synthesis artifact, not an operator property.) Planted
+  *    near-dup pairs survive WITHIN each copy (both members get the
+  *    same suffixes), so near-dup yield scales linearly; 2/3 of words
+  *    are untouched, keeping stopword/quality gate statistics close to
+  *    the base corpus. n_chars is recomputed;
   *  - customer names get a levenshtein-distance-2 suffix per copy so
   *    fuzzy-ER blocks grow 10× (the honest scale shape) without every
   *    cross-copy pair becoming an edit-distance-1 match;
@@ -84,7 +92,7 @@ object ScaleUp {
           array_join(
             transform(split(col("text"), " "),
               (w: Column, i: Column) =>
-                when(i % 8 === 7, concat(w, lit(s" slt$c"))).otherwise(w)),
+                when(i % 3 === 2, concat(w, lit(s"~$c"))).otherwise(w)),
             " "))
       shift(c)("doc_id")(salted.withColumn("n_chars", length(col("text"))))
     }
