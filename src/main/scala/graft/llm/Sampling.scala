@@ -229,4 +229,60 @@ object Sampling {
       .filter(col("_rn") <= cap)
       .drop("_rn")
   }
+
+  /** Deterministic training-shard plan: a seeded global pseudo-random
+    * shuffle + sharding of the corpus, the last step before a training
+    * run consumes it. Each row gets
+    *   - `shard` — the first 4 hex digits of md5("seed|id") mod
+    *     numShards (the same portable bucket family as [[hashBucket]]);
+    *   - `sort_key` — the full seeded md5, a reproducible shuffle order
+    *     inside the shard (hash order ≈ uniform random order, but
+    *     stable across runs and engines — re-exporting yields
+    *     byte-identical shards);
+    *   - `shard_pos` — the row's 1-based position within its shard.
+    *
+    * Scale shape: the plan is one projection plus one shuffle-by-shard
+    * with a per-shard sort — exactly the exchange the shard writer
+    * ([[writeShards]]) performs anyway, so the position column is free
+    * at export time. No global total-order sort is ever needed: order
+    * only has to be defined WITHIN a shard, which is what training
+    * dataloaders consume.
+    */
+  private def withShardKeys(df: DataFrame, idCol: String, numShards: Int,
+                            seed: Long): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    df.withColumn("sort_key",
+        md5(concat(lit(s"$seed|"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 4), 16, 10).cast("long")
+          % numShards)
+  }
+
+  private def shardPosWindow(idCol: String) =
+    row_number().over(Window.partitionBy(col("shard"))
+      .orderBy(col("sort_key"), col(idCol))).cast("long")
+
+  def shardPlan(df: DataFrame, idCol: String, numShards: Int,
+                seed: Long = 42L): DataFrame =
+    withShardKeys(df, idCol, numShards, seed)
+      .withColumn("shard_pos", shardPosWindow(idCol))
+
+  /** Materialize the shard plan as one directory per shard
+    * (`shard=<k>/…`), rows inside each shard's file in `sort_key`
+    * order. ONE exchange total: the explicit repartition on the shard
+    * value followed by a partition-local sort on
+    * (shard, sort_key, id) satisfies both the position window's
+    * required distribution+ordering (so EnsureRequirements inserts
+    * nothing for it) and the writer's file-split order — no second
+    * shuffle, no global sort.
+    */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  numShards: Int, seed: Long = 42L): Unit =
+    withShardKeys(df, idCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
+      .withColumn("shard_pos", shardPosWindow(idCol))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import graft.llm.{Ann, Boilerplate, Curation, Decontam, DedupOps, DupGraph,
-  EmbeddingOps, Ivf, Multimodal, Quant, TextAnalysis}
+  EmbeddingOps, IncrementalDedup, Ivf, Multimodal, Quant, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -1022,6 +1022,103 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- incremental dedup, part 1: the compact signature index
+    //      (IncrementalDedup.dedupIndex) that REPRESENTS the ingested
+    //      corpus between batches — exact md5 + 8-permutation minhash,
+    //      one short row per doc, no text. ----
+    "q_llm_incr_index" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect)
+         |SELECT e.doc_id, md5(e.text) AS exact_h,
+         |  s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
+         |FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+      IncrementalDedup.dedupIndex(tb(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- incremental dedup, part 2: verdict for a NEW batch (docs
+    //      with doc_id % 10 = 7) against the index of the rest — exact
+    //      hash kill + LSH-banded near kill with similarity estimated
+    //      from STORED signatures (≥6/8 matching minhashes ≈ J ≥ 0.75),
+    //      never re-reading corpus text. Within-batch dups fall to the
+    //      keep-lowest-id rule. ----
+    "q_llm_incr_dedup" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect),
+         |allidx AS (
+         |  SELECT e.doc_id, md5(e.text) AS exact_h,
+         |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
+         |  FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
+         |idx AS (SELECT * FROM allidx WHERE doc_id % 10 <> 7),
+         |bidx AS (SELECT * FROM allidx WHERE doc_id % 10 = 7),
+         |exc AS (SELECT b.doc_id, min(i.doc_id) AS mec
+         |        FROM bidx b JOIN idx i ON i.exact_h = b.exact_h
+         |        GROUP BY b.doc_id),
+         |exb AS (SELECT b.doc_id, min(b2.doc_id) AS meb
+         |        FROM bidx b JOIN bidx b2
+         |          ON b2.exact_h = b.exact_h AND b2.doc_id < b.doc_id
+         |        GROUP BY b.doc_id),
+         |bb AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM bidx
+         |       UNION ALL
+         |       SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM bidx),
+         |bc AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM idx
+         |       UNION ALL
+         |       SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM idx),
+         |candc AS (SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+         |          FROM bb a JOIN bc c
+         |            ON c.band_id = a.band_id AND c.bk = a.bk),
+         |nearc AS (SELECT p.bid AS doc_id, min(p.cid) AS mnc
+         |          FROM candc p
+         |          JOIN bidx b ON b.doc_id = p.bid
+         |          JOIN idx i ON i.doc_id = p.cid
+         |          WHERE (CASE WHEN b.mh1 = i.mh1 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh2 = i.mh2 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh3 = i.mh3 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh4 = i.mh4 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh5 = i.mh5 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh6 = i.mh6 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh7 = i.mh7 THEN 1 ELSE 0 END
+         |               + CASE WHEN b.mh8 = i.mh8 THEN 1 ELSE 0 END) >= 6
+         |          GROUP BY p.bid),
+         |candb AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |          FROM bb a JOIN bb c
+         |            ON c.band_id = a.band_id AND c.bk = a.bk
+         |           AND a.doc_id < c.doc_id),
+         |nearb AS (SELECT p.id2 AS doc_id, min(p.id1) AS mnb
+         |          FROM candb p
+         |          JOIN bidx l ON l.doc_id = p.id1
+         |          JOIN bidx r ON r.doc_id = p.id2
+         |          WHERE (CASE WHEN l.mh1 = r.mh1 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh2 = r.mh2 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh3 = r.mh3 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh4 = r.mh4 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh5 = r.mh5 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh6 = r.mh6 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh7 = r.mh7 THEN 1 ELSE 0 END
+         |               + CASE WHEN l.mh8 = r.mh8 THEN 1 ELSE 0 END) >= 6
+         |          GROUP BY p.id2)
+         |SELECT b.doc_id,
+         |  CASE WHEN exc.mec IS NOT NULL THEN 'exact_dup_corpus'
+         |       WHEN exb.meb IS NOT NULL THEN 'exact_dup_batch'
+         |       WHEN nearc.mnc IS NOT NULL THEN 'near_dup_corpus'
+         |       WHEN nearb.mnb IS NOT NULL THEN 'near_dup_batch'
+         |       ELSE 'kept' END AS verdict,
+         |  coalesce(exc.mec, exb.meb, nearc.mnc, nearb.mnb) AS match_id
+         |FROM bidx b
+         |LEFT JOIN exc ON exc.doc_id = b.doc_id
+         |LEFT JOIN exb ON exb.doc_id = b.doc_id
+         |LEFT JOIN nearc ON nearc.doc_id = b.doc_id
+         |LEFT JOIN nearb ON nearb.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      val index = IncrementalDedup.dedupIndex(corpus, "doc_id", "text")
+      IncrementalDedup.incrementalDedup(index, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- duplicate-cluster resolution: verified near-dup pairs →
     //      connected components (min-label + pointer jumping) →
     //      canonical doc per cluster. The oracle computes the same
@@ -1126,6 +1223,32 @@ object LlmQueries {
       graft.llm.Sampling.hashSplit(tb(s, dir).documents, "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")
+    },
+
+    // ---- deterministic training-shard plan (Sampling.shardPlan): a
+    //      seeded global pseudo-random shuffle + sharding — shard from
+    //      the first 4 hex digits of md5("seed|id"), in-shard order by
+    //      the full seeded hash. Byte-reproducible across runs and
+    //      engines; Sampling.writeShards materializes it with a single
+    //      exchange (repartition-by-shard + partition-local sort). ----
+    "q_llm_shard_plan" -> Q(
+      """WITH h AS (SELECT doc_id,
+        |             md5('42|' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |           FROM documents),
+        |s AS (SELECT doc_id, sort_key,
+        |        CAST(((strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(sort_key, 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(sort_key, 4, 1)) - 1)) % 8
+        |          AS BIGINT) AS shard
+        |      FROM h)
+        |SELECT doc_id, sort_key, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+        |    AS BIGINT) AS shard_pos
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.shardPlan(
+          tb(s, dir).documents.select("doc_id"), "doc_id", 8, 42L)
+        .orderBy("doc_id")
     },
 
     // ---- domain-mixture rebalance plan: per-language keep-thresholds

@@ -182,4 +182,56 @@ class SamplingSpec extends SparkSpec {
     // schema passes through untouched
     assert(Sampling.domainCap(df, "dom", "id", 10).columns.toSeq === Seq("id", "dom"))
   }
+
+  test("shardPlan: partitions ids, contiguous in-shard positions, deterministic, seed-sensitive") {
+    val docs = spark.range(5000).selectExpr("id AS doc_id")
+    val plan = Sampling.shardPlan(docs, "doc_id", 8, 42L)
+      .select("doc_id", "shard", "sort_key", "shard_pos")
+      .as[(Long, Long, String, Long)].collect()
+    assert(plan.length === 5000)
+    assert(plan.map(_._1).toSet === (0L until 5000L).toSet) // a partition, no loss
+    assert(plan.forall(r => r._2 >= 0 && r._2 < 8))
+    // roughly balanced: each shard within ±20% of 625
+    val sizes = plan.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.size === 8 && sizes.values.forall(n => n > 500 && n < 750), sizes)
+    // shard_pos is 1..n per shard, ordered by sort_key
+    sizes.foreach { case (sh, n) =>
+      val rows = plan.filter(_._2 == sh).sortBy(_._4)
+      assert(rows.map(_._4).toSeq === (1L to n.toLong))
+      assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+    }
+    // deterministic; a different seed is a different shuffle
+    val again = Sampling.shardPlan(docs, "doc_id", 8, 42L)
+      .select("doc_id", "shard", "sort_key", "shard_pos")
+      .as[(Long, Long, String, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === plan.sortBy(_._1).toSeq)
+    val other = Sampling.shardPlan(docs, "doc_id", 8, 7L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(plan.count(r => other(r._1) != r._2) > 1000, "reseed must reshuffle")
+  }
+
+  test("writeShards: one file per shard dir, rows inside in sort_key order") {
+    val docs = spark.range(2000).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShards(docs, "doc_id", out, 4, 42L)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.map(_.getName).toSet === (0 until 4).map(i => s"shard=$i").toSet)
+    val plan = Sampling.shardPlan(docs, "doc_id", 4, 42L)
+      .select("doc_id", "shard", "sort_key")
+      .as[(Long, Long, String)].collect()
+    dirs.foreach { d =>
+      val sh = d.getName.stripPrefix("shard=").toLong
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: one writer task per shard")
+      val rows = spark.read.parquet(files.head.toString)
+        .select("doc_id", "sort_key").as[(Long, String)].collect()
+      val want = plan.filter(_._2 == sh).sortBy(_._3).map(r => (r._1, r._3))
+      assert(rows.toSeq === want.toSeq, s"shard $sh out of order or incomplete")
+    }
+    // payload column survives the roundtrip
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2000 &&
+      back.columns.toSet === Set("doc_id", "text", "sort_key", "shard_pos", "shard"))
+  }
 }
