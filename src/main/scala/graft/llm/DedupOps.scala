@@ -130,6 +130,52 @@ object DedupOps {
       .select("id1", "id2")
   }
 
+  /** Sorted-neighborhood blocking (record linkage): candidate pairs are
+    * rows within `window` positions of each other in the GLOBAL order by
+    * (sortKey, id) — the classic complement to equality blocking
+    * ([[blockedPairs]]): equality blocking misses matches whose keys
+    * differ slightly; sorted neighborhood catches anything whose keys
+    * SORT near each other (typo'd prefixes, zero-padded ids, date
+    * drift), at exactly `window`·n candidate pairs.
+    *
+    * Scale shape — the naive formulation (`row_number() OVER (ORDER BY
+    * key)`) is the single-partition-window trap. Here the global rank
+    * is computed distributed: range-repartition + partition-local sort
+    * (one shuffle, the same one any global sort pays), then per-
+    * partition offsets via `zipWithIndex` (driver sees one count per
+    * partition, never rows). Pair generation is then a BUCKETED
+    * equi-join on rank-bands of width `window` (a pair at distance ≤ w
+    * lives in the same or adjacent band, so the a-side duplicates into
+    * both bands) — never a theta-join on rank ranges.
+    *
+    * Envelope: non-null sort keys (Spark sorts nulls FIRST ascending,
+    * DuckDB/ANSI last — normalize or filter nulls before calling).
+    * Output (id1, id2, rank_dist) with id1 the lower-RANK side,
+    * 1 ≤ rank_dist ≤ window.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              sortKeyCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val spark = df.sparkSession
+    val sorted = df.select(col(idCol).as("_id"), col(sortKeyCol).as("_k"))
+      .repartitionByRange(col("_k"), col("_id"))
+      .sortWithinPartitions("_k", "_id")
+    val schema = sorted.schema
+      .add("_rnk", org.apache.spark.sql.types.LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    val band = expr(s"(_rnk - 1) div $window")
+    val a = ranked.select(col("_id").as("id1"), col("_rnk").as("_r1"),
+        explode(array(band, band + 1)).as("_g"))
+    val b = ranked.select(col("_id").as("id2"), col("_rnk").as("_r2"),
+        band.as("_g"))
+    a.join(b, "_g")
+      .filter(col("_r2") > col("_r1") && col("_r2") <= col("_r1") + window)
+      .select(col("id1"), col("id2"), (col("_r2") - col("_r1")).as("rank_dist"))
+  }
+
   /** Blocked fuzzy-match pairs (record linkage / entity resolution):
     * candidate pairs form inside equality blocks — same md5 width guard
     * as [[blockedPairs]] — and survive iff edit distance ≤ `maxDist`.

@@ -811,6 +811,25 @@ object RelationalQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- sorted-neighborhood blocking: candidates = rows within 5
+    //      positions in the global (name, id) order. The oracle uses
+    //      the naive global window + theta self-join; the engine
+    //      computes the rank distributed (range partition + per-
+    //      partition offsets) and joins on rank-bands — same pairs,
+    //      no single-partition window, no theta-join. ----
+    "q_er_sorted_neighborhood" -> Q(
+      """WITH r AS (SELECT c_custkey AS id,
+        |             row_number() OVER (ORDER BY c_name, c_custkey) AS rnk
+        |           FROM customer)
+        |SELECT a.id AS id1, b.id AS id2, CAST(b.rnk - a.rnk AS BIGINT) AS rank_dist
+        |FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val k = tb(s, dir).customer
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      graft.llm.DedupOps.sortedNeighborhoodPairs(k, "id", "nm", 5)
+        .orderBy("id1", "id2")
+    },
+
     // ---- entity resolution end-to-end: fuzzy pairs → connected
     //      components (pointer jumping) → canonical entity id per
     //      record; the oracle replays the same graph with a recursive

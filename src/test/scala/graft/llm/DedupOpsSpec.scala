@@ -230,4 +230,22 @@ class DedupOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(DedupOps.containmentPairs(docs, "doc_id", "text", maxDf = 2).count() === 0L)
   }
+
+  test("sortedNeighborhoodPairs: exact window-w pairs of the global order, across partitions") {
+    // 500 rows, keys with heavy ties (50 distinct), ids shuffled so the
+    // input order disagrees with the sort order; >1 range partition
+    val rows = (0L until 500L).map(i => ((i * 7919) % 500, s"k${"%02d".format(i % 50)}"))
+    val df = rows.toDF("id", "nm").repartition(8)
+    val got = DedupOps.sortedNeighborhoodPairs(df, "id", "nm", 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force reference: global rank by (key, id), pairs within 4
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.map(_._1).zipWithIndex
+    val want = (for {
+      (id1, r1) <- ranked
+      (id2, r2) <- ranked if r2 > r1 && r2 <= r1 + 4
+    } yield (id1, id2, (r2 - r1).toLong)).toSet
+    assert(got.size === want.size && got === want)
+    // candidate budget is exactly w·n − w(w+1)/2
+    assert(got.size === 4 * 500 - 4 * 5 / 2)
+  }
 }
