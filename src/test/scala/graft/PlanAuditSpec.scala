@@ -201,4 +201,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("incrementalDedup: every candidate join is equi — no nested loop, no cartesian") {
+    val docs = Tables(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    val index = graft.llm.IncrementalDedup.dedupIndex(corpus, "doc_id", "text")
+    val plan = planOf(graft.llm.IncrementalDedup
+      .incrementalDedup(index, batch, "doc_id", "text"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sortedNeighborhoodPairs joins on rank-bands, never a theta-join or global window") {
+    val cust = Tables(spark, sfDir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+    val plan = planOf(
+      graft.llm.DedupOps.sortedNeighborhoodPairs(cust, "id", "nm", 5))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // no Window operator anywhere: the global rank is zipWithIndex-based
+    assert(!plan.contains("Window"), s"global-window trap resurfaced:\n$plan")
+  }
+
+  test("shardPlan's position window rides the writer exchange: hash-partitioned by shard") {
+    // the writer path: repartition(shard) + local sort must satisfy the
+    // window, so exactly ONE exchange appears in the whole plan
+    val docs = Tables(spark, sfDir).documents.select("doc_id")
+    val writerShaped = graft.llm.Sampling
+      .shardPlan(docs, "doc_id", 8, 42L) // plan face: window defines its own exchange
+    val plan = planOf(writerShaped)
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"expected exactly one exchange (hash by shard):\n$plan")
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
 }
