@@ -87,6 +87,19 @@ object IncrementalDedup {
     // [[DedupOps.nearDupPairs]]. The corpus `index` is the caller's to
     // cache/persist — it is the durable artifact between batches.
     val bidx = dedupIndex(batch, idCol, textCol, numHashes, k).cache()
+    incrementalDedupSigs(index, bidx, idCol, numHashes, rowsPerBand, minMatches)
+  }
+
+  /** [[incrementalDedup]] when the batch's signature index is already
+    * computed (e.g. the streaming face, which also needs it for
+    * [[survivorIndex]]). `batchIndex` is read by six branches — hand in
+    * a cached frame.
+    */
+  def incrementalDedupSigs(index: DataFrame, batchIndex: DataFrame,
+                           idCol: String, numHashes: Int = 8,
+                           rowsPerBand: Int = 4,
+                           minMatches: Int = 6): DataFrame = {
+    val bidx = batchIndex
     val id = col(idCol)
 
     // exact vs corpus: lowest corpus id sharing the content hash

@@ -96,6 +96,61 @@ object LlmQueries {
        | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 3, 1)) - 1) * 16
        | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 4, 1)) - 1))""".stripMargin
 
+  /** 8-way minhash agreement count between row aliases `a` and `b` —
+    * the MinHash Jaccard estimator the incremental-dedup oracles gate
+    * on (≥6/8 ≈ J ≥ 0.75).
+    */
+  private def mhMatch(a: String, b: String): String =
+    (1 to 8).map(i => s"CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** One round of the sequential incremental-dedup replay: batch r
+    * (doc_id % 3 = r of `allidx`) judged against the index CTE `idx<r>`
+    * — exact-hash kill, banded near kill on stored signatures,
+    * within-batch keep-lowest-id — emitting `verd<r>` (verdicts) and
+    * `surv<r>` (the survivors that advance the index). Mirrors
+    * IncrDedupStream.applyBatch exactly.
+    */
+  private def incrRound(r: Int): String = {
+    val b = s"bidx$r"
+    val x = s"idx$r"
+    s"""$b AS (SELECT * FROM allidx WHERE doc_id % 3 = $r),
+       |exc$r AS (SELECT b.doc_id, min(i.doc_id) AS mec FROM $b b
+       |          JOIN $x i ON i.exact_h = b.exact_h GROUP BY b.doc_id),
+       |exb$r AS (SELECT b.doc_id, min(b2.doc_id) AS meb FROM $b b
+       |          JOIN $b b2 ON b2.exact_h = b.exact_h AND b2.doc_id < b.doc_id
+       |          GROUP BY b.doc_id),
+       |bb$r AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM $b
+       |         UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM $b),
+       |bc$r AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM $x
+       |         UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM $x),
+       |candc$r AS (SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+       |            FROM bb$r a JOIN bc$r c ON c.band_id = a.band_id AND c.bk = a.bk),
+       |nearc$r AS (SELECT p.bid AS doc_id, min(p.cid) AS mnc FROM candc$r p
+       |            JOIN $b b ON b.doc_id = p.bid JOIN $x i ON i.doc_id = p.cid
+       |            WHERE ${mhMatch("b", "i")} >= 6 GROUP BY p.bid),
+       |candb$r AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |            FROM bb$r a JOIN bb$r c
+       |              ON c.band_id = a.band_id AND c.bk = a.bk AND a.doc_id < c.doc_id),
+       |nearb$r AS (SELECT p.id2 AS doc_id, min(p.id1) AS mnb FROM candb$r p
+       |            JOIN $b l ON l.doc_id = p.id1 JOIN $b rr ON rr.doc_id = p.id2
+       |            WHERE ${mhMatch("l", "rr")} >= 6 GROUP BY p.id2),
+       |verd$r AS (SELECT b.doc_id,
+       |    CASE WHEN exc$r.mec IS NOT NULL THEN 'exact_dup_corpus'
+       |         WHEN exb$r.meb IS NOT NULL THEN 'exact_dup_batch'
+       |         WHEN nearc$r.mnc IS NOT NULL THEN 'near_dup_corpus'
+       |         WHEN nearb$r.mnb IS NOT NULL THEN 'near_dup_batch'
+       |         ELSE 'kept' END AS verdict,
+       |    coalesce(exc$r.mec, exb$r.meb, nearc$r.mnc, nearb$r.mnb) AS match_id
+       |  FROM $b b
+       |  LEFT JOIN exc$r ON exc$r.doc_id = b.doc_id
+       |  LEFT JOIN exb$r ON exb$r.doc_id = b.doc_id
+       |  LEFT JOIN nearc$r ON nearc$r.doc_id = b.doc_id
+       |  LEFT JOIN nearb$r ON nearb$r.doc_id = b.doc_id),
+       |surv$r AS (SELECT a.* FROM allidx a
+       |           JOIN verd$r v ON v.doc_id = a.doc_id AND v.verdict = 'kept')""".stripMargin
+  }
+
   private val sigSelect =
     """SELECT doc_id,
       |  min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2,
@@ -1116,6 +1171,48 @@ object LlmQueries {
       val batch = docs.filter(col("doc_id") % 10 === 7)
       val index = IncrementalDedup.dedupIndex(corpus, "doc_id", "text")
       IncrementalDedup.incrementalDedup(index, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- the STREAMING face of incremental dedup: the store is
+    //      maintained through a 3-way batch split (doc_id % 3), each
+    //      batch judged against the survivors of the previous ones —
+    //      IncrDedupStream.applyBatch with the crash-safe swap and the
+    //      replay marker. The oracle unrolls the three sequential
+    //      rounds (same pattern as the unrolled-Lloyd IVF oracle).
+    //      Batch semantics ≠ one-shot: across batches only SURVIVORS
+    //      kill; the oracle replays exactly that. ----
+    "q_stream_incr_dedup" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect),
+         |allidx AS (
+         |  SELECT e.doc_id, md5(e.text) AS exact_h,
+         |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
+         |  FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
+         |idx0 AS (SELECT * FROM allidx WHERE 1 = 0),
+         |${incrRound(0)},
+         |idx1 AS (SELECT * FROM surv0),
+         |${incrRound(1)},
+         |idx2 AS (SELECT * FROM surv0 UNION ALL SELECT * FROM surv1),
+         |${incrRound(2)}
+         |SELECT doc_id, verdict, match_id, CAST(batch_id AS BIGINT) AS batch_id
+         |FROM (SELECT *, 0 AS batch_id FROM verd0
+         |      UNION ALL SELECT *, 1 FROM verd1
+         |      UNION ALL SELECT *, 2 FROM verd2)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toFile
+      tmp.deleteOnExit()
+      val store = s"${tmp.getPath}/store"
+      val docs = tb(s, dir).documents
+      (0 to 2).foreach { i =>
+        graft.streaming.IncrDedupStream.applyBatch(
+          docs.filter(col("doc_id") % 3 === i), "doc_id", "text", store,
+          batchId = i.toLong, queryId = "q")
+      }
+      s.read.option("basePath", s"$store/verdicts")
+        .parquet(s"$store/verdicts/batch=*")
+        .select(col("doc_id"), col("verdict"), col("match_id"),
+          col("batch").cast("long").as("batch_id"))
         .orderBy("doc_id")
     },
 

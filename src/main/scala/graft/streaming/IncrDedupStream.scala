@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.core.Fs
+import graft.llm.IncrementalDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming incremental deduplication: maintain the compact signature
+  * index ([[IncrementalDedup.dedupIndex]]) from a document stream, so
+  * every micro-batch is deduplicated against EVERYTHING accepted before
+  * it — the always-on face of batch-vs-corpus dedup, and the shape a
+  * continuously-fed training corpus actually runs at 100 TB: the
+  * per-batch cost is batch-sized (signatures of the batch + bucketed
+  * joins against the index), never corpus-text-sized.
+  *
+  * Store layout under `storeDir`:
+  *  - `index/ingest_batch=<queryId>_<batchId>/` — one immutable
+  *    signature DELTA per accepted batch (partition-style naming, so a
+  *    plain parquet read of `index/` reassembles the whole index with
+  *    `ingest_batch` as a column). Appending a delta is O(batch); a
+  *    full-index rewrite per fold (the [[SketchStream]] swap protocol)
+  *    would be O(corpus) per batch — correct, but dead at scale. The
+  *    CMS grid genuinely needs read-modify-write (cell addition touches
+  *    the whole grid); the index does not, deltas suffice.
+  *  - `verdicts/batch=<id>/` — per-batch verdict log (doc_id, verdict,
+  *    match_id), overwrite-idempotent. Keyed by batchId alone: after a
+  *    checkpoint reset the new query's restarted ids OVERWRITE the old
+  *    query's verdict dirs (the index, the authoritative store, is
+  *    unaffected — its deltas carry the queryId). Archive `verdicts/`
+  *    before resetting a checkpoint if the history matters.
+  *
+  * Replay safety WITHOUT a marker: the delta name IS the transaction
+  * id. A batch computes its verdicts against the index EXCLUDING its
+  * own tag, then overwrites its verdict dir and its delta dir. A crash
+  * anywhere replays into an identical recompute (its half-written
+  * delta is excluded from its own input, then overwritten), so the fold
+  * is idempotent by construction — the (queryId, batchId) keying also
+  * makes a checkpoint reset safe: a new query's batch 0 writes a NEW
+  * delta tag instead of colliding with the old one. Restriction: run
+  * [[compact]] only from the owning process between committed batches —
+  * it absorbs delta tags a concurrent in-flight replay would expect to
+  * exclude.
+  *
+  * Semantics note vs one-shot dedup: within a batch any smaller-id doc
+  * kills ([[IncrementalDedup.incrementalDedup]]), but across batches
+  * only SURVIVORS kill — a doc near-duplicate only of an earlier
+  * batch's victim is kept. That is the standard keep-first streaming
+  * dedup behavior; a transitive chain A≈B≈C (A≉C) keeps {A, C} here
+  * where single-batch greedy keeps {A}.
+  */
+object IncrDedupStream {
+
+  def indexPath(storeDir: String): String = s"$storeDir/index"
+
+  def verdictsPath(storeDir: String, batchId: Long): String =
+    s"$storeDir/verdicts/batch=$batchId"
+
+  private def tagOf(queryId: String, batchId: Long): String = {
+    val qid = if (queryId.isEmpty) "q" else queryId
+    s"${qid}_$batchId"
+  }
+
+  /** The live index as (signature columns + `ingest_batch` tag); empty
+    * frame with the right schema when the store is new. `template` is
+    * any frame with the signature schema (e.g. the batch's own index).
+    */
+  private def readIndex(template: DataFrame, idx: String): DataFrame = {
+    val spark = template.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (Fs.exists(idx, conf)) spark.read.parquet(idx)
+    else template.limit(0)
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(""))
+  }
+
+  /** Dedup one document batch against the store and append its
+    * survivors as a new delta. For direct callers (`batchId = -1`) the
+    * delta tag is `direct_<n>` (n = current delta count — single-writer
+    * by construction, same ownership rule as the streaming checkpoint)
+    * and no verdict log is written (no batch identity to key it by).
+    * Returns the verdict frame (lazily re-readable; the heavy work is
+    * already materialized into the store).
+    */
+  def applyBatch(batch: DataFrame, idCol: String, textCol: String,
+                 storeDir: String, numHashes: Int = 8,
+                 rowsPerBand: Int = 4, k: Int = 3, minMatches: Int = 6,
+                 batchId: Long = -1L, queryId: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = indexPath(storeDir)
+    val bidx = IncrementalDedup
+      .dedupIndex(batch, idCol, textCol, numHashes, k).cache()
+    val tag =
+      if (batchId >= 0) tagOf(queryId, batchId)
+      else s"direct_${Fs.listDirs(idx, conf).length}"
+    // exclude our OWN tag: a replay's half-written delta must not make
+    // the batch a duplicate of itself
+    val index = readIndex(bidx, idx)
+      .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
+    val verdicts = IncrementalDedup
+      .incrementalDedupSigs(index, bidx, idCol, numHashes, rowsPerBand, minMatches)
+      .cache()
+    try {
+      if (batchId >= 0)
+        verdicts.write.mode("overwrite")
+          .parquet(verdictsPath(storeDir, batchId))
+      IncrementalDedup.survivorIndex(bidx, verdicts, idCol)
+        .write.mode("overwrite")
+        .parquet(s"$idx/ingest_batch=$tag")
+    } finally {
+      verdicts.unpersist()
+      bidx.unpersist()
+    }
+  }
+
+  /** Absorb all deltas into one (`ingest_batch=compacted_<n>`) — the
+    * small-file maintenance pass; run it from the owning process
+    * between committed batches. The combined delta is staged and the
+    * index directory swapped whole, so readers never see a partial
+    * compaction.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              storeDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = indexPath(storeDir)
+    if (!Fs.exists(idx, conf)) return
+    val n = Fs.listDirs(idx, conf).length
+    val staging = s"$idx.staging"
+    spark.read.parquet(idx).drop("ingest_batch")
+      .write.mode("overwrite")
+      .parquet(s"$staging/ingest_batch=compacted_$n")
+    Fs.swapInPlace(idx, staging, conf)
+  }
+
+  /** Wire a document stream into the store: foreachBatch + the fold
+    * above. `Trigger.AvailableNow` drains what exists and stops
+    * (batch-refresh mode); pass a processing-time trigger for
+    * always-on.
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          storeDir: String, checkpointDir: String,
+          numHashes: Int = 8, rowsPerBand: Int = 4, k: Int = 3,
+          minMatches: Int = 6,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, idCol, textCol, storeDir, numHashes,
+          rowsPerBand, k, minMatches, batchId,
+          ReplayGuard.streamingQueryId(batch))
+      }
+      .start()
+}

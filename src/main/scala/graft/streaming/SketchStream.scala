@@ -27,39 +27,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object SketchStream {
 
-  /** Name of the batch-id marker INSIDE the grid directory. Underscore
-    * prefix = invisible to the parquet reader (like `_SUCCESS`), and
-    * living inside the directory means [[Fs.swapInPlace]] promotes the
-    * marker and the grid it describes in the SAME atomic rename.
-    */
-  private val BatchIdMarker = "_graft_batch_id"
-
-  /** Parse the marker into (queryId, batchId). Two formats:
-    *  - v2 `"<queryId>:<batchId>"` — the txnAppId+version pattern for
-    *    idempotent foreachBatch sinks; queryId may be empty (direct
-    *    batch callers with no streaming identity).
-    *  - legacy: a bare number — predates query tracking; surfaces as
-    *    queryId "" so old grids keep their replay protection for
-    *    callers that never pass a queryId.
-    * (None, -1) when the grid is missing or untracked.
-    */
-  private def readMarker(gridPath: String,
-                         conf: org.apache.hadoop.conf.Configuration)
-      : Option[(String, Long)] =
-    Fs.readText(s"$gridPath/$BatchIdMarker", conf).map { txt =>
-      val s = txt.trim
-      s.lastIndexOf(':') match {
-        case -1 => ("", s.toLong)
-        case i  => (s.substring(0, i), s.substring(i + 1).toLong)
-      }
-    }
-
   /** Last batchId folded into the grid at `gridPath`; -1 when the grid
-    * is missing or predates batch tracking.
+    * is missing or predates batch tracking. Marker protocol (format,
+    * replay semantics, queryId keying) lives in [[ReplayGuard]].
     */
   def lastAppliedBatchId(gridPath: String,
                          conf: org.apache.hadoop.conf.Configuration): Long =
-    readMarker(gridPath, conf).map(_._2).getOrElse(-1L)
+    ReplayGuard.read(gridPath, conf).map(_._2).getOrElse(-1L)
 
   /** Fold one batch into the grid at `gridPath` (missing grid = empty).
     * Staging write + crash-safe swap, materializing BEFORE the swap —
@@ -88,9 +62,8 @@ object SketchStream {
                  batchId: Long = -1L, queryId: String = ""): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val marker = readMarker(gridPath, conf)
-    if (batchId >= 0 && marker.exists { case (qid, bid) =>
-          qid == queryId && batchId <= bid }) return
+    val marker = ReplayGuard.read(gridPath, conf)
+    if (ReplayGuard.alreadyApplied(marker, queryId, batchId)) return
     val g = Sketch.cmsCounters(batch, keyCol, depth, width)
     val merged =
       if (Fs.exists(gridPath, conf))
@@ -98,11 +71,7 @@ object SketchStream {
       else g
     val staging = s"$gridPath.staging"
     merged.write.mode("overwrite").parquet(staging)
-    if (batchId >= 0)
-      Fs.writeText(s"$staging/$BatchIdMarker", s"$queryId:$batchId", conf)
-    else marker.foreach { case (qid, bid) => // direct fold: keep protection
-      Fs.writeText(s"$staging/$BatchIdMarker", s"$qid:$bid", conf)
-    }
+    ReplayGuard.stamp(staging, conf, marker, queryId, batchId)
     if (Fs.exists(gridPath, conf)) Fs.swapInPlace(gridPath, staging, conf)
     else Fs.rename(staging, gridPath, conf)
   }
@@ -119,14 +88,8 @@ object SketchStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // The streaming queryId is stable across restarts from the same
-        // checkpoint (persisted in its metadata) and fresh after a
-        // checkpoint reset — exactly the identity the replay marker
-        // needs. StreamExecution exposes it to foreachBatch as a local
-        // property on the batch's context.
-        val qid = Option(batch.sparkSession.sparkContext
-          .getLocalProperty("sql.streaming.queryId")).getOrElse("")
-        applyBatch(batch, keyCol, gridPath, depth, width, batchId, qid)
+        applyBatch(batch, keyCol, gridPath, depth, width, batchId,
+          ReplayGuard.streamingQueryId(batch))
       }
       .start()
 }
