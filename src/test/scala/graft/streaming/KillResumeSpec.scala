@@ -71,6 +71,53 @@ class KillResumeSpec extends SparkSpec {
     assert(streamed === oneShot)
   }
 
+  test("IncrDedupStream: crash between delta write and commit; resume converges") {
+    val root = java.nio.file.Files.createTempDirectory("kill_incr").toFile
+    val in = new java.io.File(root, "in")
+    def text(tag: String) =
+      (0 until 30).map(j => s"$tag${j % 9}").mkString(" ")
+    writeJson(in, "0.json", Seq(
+      s"""{"doc_id": 1, "text": "${text("a")}"}""",
+      s"""{"doc_id": 2, "text": "${text("b")}"}"""))
+    writeJson(in, "1.json", Seq(
+      s"""{"doc_id": 10, "text": "${text("a")}"}""", // dup of accepted 1
+      s"""{"doc_id": 11, "text": "${text("c")}"}"""))
+    writeJson(in, "2.json", Seq(
+      s"""{"doc_id": 20, "text": "${text("c")}"}""")) // dup of accepted 11
+    val store = s"${root.getPath}/store"
+    val ckpt = s"${root.getPath}/ckpt"
+    def stream = spark.readStream.schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", 1).json(in.getPath)
+
+    // run 1: fold batch 1 fully (verdicts + delta), die before commit
+    val q1 = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IncrDedupStream.applyBatch(batch, "doc_id", "text", store,
+          batchId = batchId, queryId = ReplayGuard.streamingQueryId(batch))
+        if (batchId == 1L) throw new RuntimeException("injected crash")
+      }
+      .start()
+    intercept[StreamingQueryException] { q1.awaitTermination() }
+
+    // run 2: the engine replays batch 1 (recompute-and-overwrite must
+    // not duplicate 11's signature) and then folds batch 2
+    val q2 = IncrDedupStream.run(stream, "doc_id", "text", store, ckpt)
+    q2.awaitTermination()
+
+    val idx = spark.read.parquet(IncrDedupStream.indexPath(store))
+    assert(idx.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 11L), "accepted set wrong or duplicated after replay")
+    val verdicts = spark.read
+      .option("basePath", s"$store/verdicts").parquet(s"$store/verdicts/batch=*")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict"))
+      .toMap
+    assert(verdicts === Map(1L -> "kept", 2L -> "kept",
+      10L -> "exact_dup_corpus", 11L -> "kept", 20L -> "exact_dup_corpus"))
+  }
+
   test("CdcApply: crash mid-stream; resume converges to the one-shot snapshot") {
     val root = java.nio.file.Files.createTempDirectory("kill_cdc").toFile
     val in = new java.io.File(root, "in")
