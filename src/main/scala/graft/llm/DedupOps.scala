@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over a document corpus, all bucketed — no
@@ -128,6 +129,83 @@ object DedupOps {
     a.join(b, Seq(blockCol, "_sub"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
+  }
+
+  /** Exact-substring deduplication at token granularity (the
+    * ExactSubstr pass of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): find every token n-gram window that
+    * occurs ≥ 2 times ACROSS THE CORPUS, keep its first occurrence
+    * (lowest (doc, position) — the same keep-first convention as
+    * [[paragraphDedup]]), and scrub every other occurrence's span from
+    * its document. Doc-level dedup can't express this: a boilerplate
+    * passage pasted into thousands of otherwise-distinct documents
+    * survives every whole-doc and near-dup gate, and this is the
+    * operator that removes it.
+    *
+    * Not a literal suffix array (the paper's tool): a fixed-width
+    * sliding window at stride 1 finds exactly the duplicated substrings
+    * of length ≥ n tokens (a repeat of length L ≥ n is covered by its
+    * L−n+1 duplicated windows, whose union is the full repeated span),
+    * at the cost of missing shorter repeats — n IS the minimum-match
+    * length parameter, same as the paper's. The window is hashed (md5)
+    * so the corpus-wide frequency shuffle moves 32-byte keys, not
+    * n-token strings.
+    *
+    * Scale shape: one positional-window explode (corpus × 1 row per
+    * window), a partial-aggregatable min(struct)+count per window hash
+    * (hot boilerplate windows are ONE group each — never a window
+    * function over occurrences), covered-position explode bounded by
+    * n · dup-occurrences, and per-document reassembly via
+    * sort_array(collect_list) — grouped by doc, so no global sort.
+    *
+    * Output per input doc: n_tokens, tokens_removed, n_spans (maximal
+    * scrubbed runs), text_scrubbed (surviving tokens space-joined —
+    * whitespace is normalized by reassembly, as in [[paragraphDedup]]).
+    */
+  def dupSpanScrub(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 1, s"window must be >= 1 token: $n")
+    val id = col(idCol)
+    val toks = df
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .select(id, col("_toks"))
+    // positional windows, 1-based start p covering tokens p .. p+n-1
+    val wins = toks
+      .select(id, posexplode(TextAnalysis.shingles(col("_toks"), n))
+        .as(Seq("_i", "_w")))
+      .select(id, (col("_i") + 1).as("_p"), md5(col("_w")).as("_wh"))
+    val firsts = wins.groupBy("_wh").agg(
+      min(struct(id.as("id"), col("_p").as("p"))).as("_first"),
+      count(lit(1)).as("_df"))
+    val dupOcc = wins.join(firsts, "_wh")
+      .filter(col("_df") >= 2 &&
+        !(id === col("_first.id") && col("_p") === col("_first.p")))
+    val covered = dupOcc
+      .select(id, explode(sequence(col("_p"), col("_p") + (n - 1))).as("_cp"))
+      .distinct()
+    // span count: maximal runs of covered positions (islands by p - rn)
+    val islands = covered
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(id).orderBy(col("_cp"))))
+      .groupBy(id)
+      .agg(countDistinct(col("_cp") - col("_rn")).as("n_spans"),
+        count(lit(1)).as("tokens_removed"))
+    val ptoks = toks.select(id,
+      posexplode(col("_toks")).as(Seq("_tp", "_t")))
+      .select(id, (col("_tp") + 1).as("_cp"), col("_t"))
+    val scrubbed = ptoks
+      .join(covered, Seq(idCol, "_cp"), "left_anti")
+      .groupBy(id)
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("_cp"), col("_t")))),
+          x => x("_t"))).as("text_scrubbed"))
+    toks.select(id, size(col("_toks")).cast("long").as("n_tokens"))
+      .join(islands, Seq(idCol), "left")
+      .join(scrubbed, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_spans", "tokens_removed"))
+      .na.fill("", Seq("text_scrubbed"))
+      .select(id, col("n_tokens"), col("tokens_removed"), col("n_spans"),
+        col("text_scrubbed"))
   }
 
   /** Sorted-neighborhood blocking (record linkage): candidate pairs are

@@ -670,6 +670,44 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- exact-substring scrub (ExactSubstr of Lee et al.): every
+    //      8-token window occurring >= 2 times corpus-wide keeps its
+    //      first occurrence (lowest doc, pos); all other occurrences'
+    //      spans are removed from their documents. The fixed-width
+    //      sliding window finds exactly the duplicated substrings of
+    //      length >= 8 tokens — what doc-level dedup can't touch. ----
+    "q_llm_dup_spans" -> Q(
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |w AS (SELECT doc_id, i AS p, md5(array_to_string(ts[i:i+7], ' ')) AS wh
+        |      FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS i FROM t)),
+        |r AS (SELECT doc_id, p,
+        |        row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn
+        |      FROM w),
+        |dup AS (SELECT doc_id, p FROM r WHERE rn >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p + k AS cp
+        |        FROM dup, (SELECT unnest(range(0, 8)) AS k)),
+        |isl AS (SELECT doc_id, cp,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS rn
+        |        FROM cov),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_removed,
+        |                 CAST(count(DISTINCT cp - rn) AS BIGINT) AS n_spans
+        |          FROM isl GROUP BY doc_id),
+        |ptok AS (SELECT doc_id, i AS cp, ts[i] AS tk
+        |         FROM (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS i FROM t)),
+        |keptx AS (SELECT p.doc_id, string_agg(p.tk, ' ' ORDER BY p.cp) AS text_scrubbed
+        |          FROM ptok p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.cp = p.cp
+        |          WHERE c.cp IS NULL GROUP BY p.doc_id)
+        |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+        |  CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+        |  coalesce(k.text_scrubbed, '') AS text_scrubbed
+        |FROM t LEFT JOIN stats s ON s.doc_id = t.doc_id
+        |LEFT JOIN keptx k ON k.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.dupSpanScrub(tb(s, dir).documents, "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
     // ---- per-source length-distribution profile: exact DISCRETE
     //      percentiles from the value histogram (one narrow row per
     //      (source, distinct length) through the shuffle, never the

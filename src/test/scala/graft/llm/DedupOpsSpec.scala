@@ -231,6 +231,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.containmentPairs(docs, "doc_id", "text", maxDf = 2).count() === 0L)
   }
 
+  test("dupSpanScrub: shared passages removed from later docs, first occurrence kept") {
+    def run(lo: Int, hi: Int, pre: String) =
+      (lo until hi).map(i => s"$pre$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: 20 unique tokens — the FIRST occurrence of the passage
+      1L -> run(0, 20, "a"),
+      // doc 2: 5 fresh + the 12-token passage a0..a11 + 5 fresh
+      2L -> (run(0, 5, "b") + " " + run(0, 12, "a") + " " + run(0, 5, "c")),
+      // doc 3: exact copy of doc 1 — fully scrubbed
+      3L -> run(0, 20, "a"),
+      // doc 4: an 8-gram repeated WITHIN the doc, separated by one token
+      4L -> (run(0, 8, "d") + " x " + run(0, 8, "d")),
+      // doc 5: shorter than the window — untouchable
+      5L -> "tiny doc here").toDF("doc_id", "text")
+    val got = DedupOps.dupSpanScrub(docs, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1 keeps everything (it owns every first occurrence)
+    assert(got(1L) === ((20L, 0L, 0L, run(0, 20, "a"))))
+    // doc 2 loses exactly the 12 shared-passage tokens as ONE span
+    assert(got(2L) === ((22L, 12L, 1L, run(0, 5, "b") + " " + run(0, 5, "c"))))
+    // doc 3 is scrubbed whole
+    assert(got(3L) === ((20L, 20L, 1L, "")))
+    // doc 4's second in-doc copy goes; the separator and first copy stay
+    assert(got(4L) === ((17L, 8L, 1L, run(0, 8, "d") + " x")))
+    // doc 5 has no windows at all
+    assert(got(5L) === ((3L, 0L, 0L, "tiny doc here")))
+  }
+
   test("sortedNeighborhoodPairs: exact window-w pairs of the global order, across partitions") {
     // 500 rows, keys with heavy ties (50 distinct), ids shuffled so the
     // input order disagrees with the sort order; >1 range partition
