@@ -277,12 +277,14 @@ object Sampling {
     * shuffle, no global sort.
     */
   def writeShards(df: DataFrame, idCol: String, path: String,
-                  numShards: Int, seed: Long = 42L): Unit =
+                  numShards: Int, seed: Long = 42L,
+                  format: String = "parquet"): Unit =
     withShardKeys(df, idCol, numShards, seed)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
       .withColumn("shard_pos", shardPosWindow(idCol))
       .write.mode("overwrite")
       .partitionBy("shard")
-      .parquet(path)
+      .format(format) // "json" = the JSONL shards training loaders eat
+      .save(path)
 }

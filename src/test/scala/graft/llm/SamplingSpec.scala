@@ -234,4 +234,24 @@ class SamplingSpec extends SparkSpec {
     assert(back.count() === 2000 &&
       back.columns.toSet === Set("doc_id", "text", "sort_key", "shard_pos", "shard"))
   }
+
+  test("writeShards format=json emits JSONL shards with identical membership and order") {
+    val docs = spark.range(300).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    val out = java.nio.file.Files.createTempDirectory("shards_json").toString
+    Sampling.writeShards(docs, "doc_id", out, 4, 42L, format = "json")
+    val d0 = new java.io.File(s"$out/shard=0").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(d0.length === 1, "one JSONL file per shard")
+    // each line is a standalone JSON record, in sort_key order
+    val lines = java.nio.file.Files.readAllLines(d0.head.toPath)
+    val keys = new scala.collection.mutable.ArrayBuffer[String]
+    lines.forEach { l =>
+      assert(l.startsWith("{") && l.endsWith("}"), s"not JSONL: $l")
+      keys += "\"sort_key\":\"(\\w+)\"".r.findFirstMatchIn(l).get.group(1)
+    }
+    assert(keys.toSeq === keys.sorted.toSeq, "shard file must be in shuffle order")
+    val plan = Sampling.shardPlan(docs, "doc_id", 4, 42L)
+      .filter(col("shard") === 0).count()
+    assert(lines.size.toLong === plan)
+  }
 }
