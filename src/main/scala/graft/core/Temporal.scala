@@ -675,4 +675,89 @@ object Temporal {
       .groupBy("day")
       .agg(count_distinct(col(entityCol)).as("n_active"))
   }
+
+  /** Match direction for [[asofJoinDirected]]. */
+  sealed trait AsofDirection
+  object AsofDirection {
+    /** Newest right row with r.ts <= l.ts (the [[asofJoin]] default). */
+    case object Backward extends AsofDirection
+    /** Earliest right row with r.ts >= l.ts. */
+    case object Forward extends AsofDirection
+    /** Whichever of the two is closer in time; exact ties go BACKWARD
+      * (the earlier row — deterministic and SQL-replayable). */
+    case object Nearest extends AsofDirection
+  }
+
+  /** Directional/toleranced as-of join — the pandas `merge_asof`
+    * surface (`direction='backward'|'forward'|'nearest'`, `tolerance`)
+    * over the same one-shuffle mechanism as [[asofJoin]]: tag both
+    * sides, union by name, and carry right payloads across RANGE window
+    * frames on epoch-micros. Backward = `last(ignoreNulls)` over
+    * (unboundedPreceding, currentRow); forward = `first(ignoreNulls)`
+    * over (currentRow, unboundedFollowing). RANGE frames (not ROWS)
+    * make ts ties inclusive in BOTH directions under one ordering, so
+    * the two windows share a single Exchange + Sort — nearest costs the
+    * same shuffle as either single direction.
+    *
+    * `toleranceMicros` (if set) nulls the payload when the matched
+    * row's |Δts| exceeds it — left rows are kept (LEFT semantics), the
+    * match is just rejected. Deltas are exact integer micros, so the
+    * tolerance gate and the nearest tie rule replay bit-for-bit in any
+    * engine.
+    *
+    * Contracts as [[asofJoin]]: right unique per (partitionCols, tsCol),
+    * non-null ts on both sides, payload names must not collide with
+    * left columns. Scale shape: one shuffle on the partition keys +
+    * linear in-partition scans; skewed keys are the sessionize hazard.
+    */
+  def asofJoinDirected(left: DataFrame, right: DataFrame,
+                       partitionCols: Seq[String], tsCol: String,
+                       payloadCols: Seq[String],
+                       direction: AsofDirection,
+                       toleranceMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    require(toleranceMicros.forall(_ >= 0), "tolerance must be non-negative")
+    val leftOnly = left.columns.filterNot(payloadCols.contains(_))
+    val payT = StructType(payloadCols.map(p => right.schema(p)))
+    val l = left.select(
+      leftOnly.map(col) :+
+        lit(null).cast(payT).as("_asof_pay") :+
+        lit(null).cast("long").as("_asof_rts") :+
+        lit(1).as("_side"): _*)
+    val r = right.select(
+      leftOnly.map(c =>
+        if (partitionCols.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_asof_pay") :+
+        unix_micros(col(tsCol)).as("_asof_rts") :+
+        lit(0).as("_side"): _*)
+    val base = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+    val wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .withColumn("_pb", last(col("_asof_pay"), ignoreNulls = true).over(wb))
+      .withColumn("_tb", last(col("_asof_rts"), ignoreNulls = true).over(wb))
+      .withColumn("_pf", first(col("_asof_pay"), ignoreNulls = true).over(wf))
+      .withColumn("_tf", first(col("_asof_rts"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .withColumn("_lts", unix_micros(col(tsCol)))
+      .withColumn("_db", col("_lts") - col("_tb"))
+      .withColumn("_df", col("_tf") - col("_lts"))
+    val (pay, delta) = direction match {
+      case AsofDirection.Backward => (col("_pb"), col("_db"))
+      case AsofDirection.Forward  => (col("_pf"), col("_df"))
+      case AsofDirection.Nearest  =>
+        val backWins = col("_pf").isNull || (col("_pb").isNotNull && col("_db") <= col("_df"))
+        (when(backWins, col("_pb")).otherwise(col("_pf")),
+          when(backWins, col("_db")).otherwise(col("_df")))
+    }
+    val gated = toleranceMicros.fold(pay)(t =>
+      when(delta <= lit(t), pay).otherwise(lit(null).cast(payT)))
+    val withPay = carried.withColumn("_asof_sel", gated)
+    payloadCols.foldLeft(withPay) { (d, p) =>
+      d.withColumn(p, col("_asof_sel")(p))
+    }.drop("_asof_pay", "_asof_rts", "_asof_sel", "_side",
+      "_pb", "_tb", "_pf", "_tf", "_lts", "_db", "_df")
+  }
 }

@@ -46,6 +46,78 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[String]("w") === "y")
   }
 
+  test("asofJoinDirected: forward picks the earliest at-or-after row, inclusive ties") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 09:10:00")),  // between views → v101 (next one)
+      (11L, 1L, ts("2024-01-01 09:30:00")),  // exactly at v101 → v101 (inclusive)
+      (12L, 1L, ts("2024-01-01 11:00:00")),  // after every view → null
+      (13L, 2L, ts("2024-01-01 10:00:00")))  // other key
+      .toDF("purchase_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 1L, ts("2024-01-01 09:00:00")),
+      (101L, 1L, ts("2024-01-01 09:30:00")),
+      (200L, 2L, ts("2024-01-01 11:00:00")))
+      .toDF("view_id", "user_id", "ts")
+      .withColumn("vts", col("ts"))
+    val out = Temporal.asofJoinDirected(left, right, Seq("user_id"), "ts",
+        Seq("view_id", "vts"), Temporal.AsofDirection.Forward)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map(
+      10L -> Some(101L), 11L -> Some(101L), 12L -> None, 13L -> Some(200L)))
+  }
+
+  test("asofJoinDirected: nearest takes the closer side, exact ties go backward") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),  // back 60min, fwd 30min → fwd
+      (11L, 1L, ts("2024-01-01 09:15:00")),  // back 15min, fwd 75min → back
+      (12L, 1L, ts("2024-01-01 09:45:00")),  // back 45min, fwd 45min TIE → back
+      (13L, 3L, ts("2024-01-01 10:00:00")))  // no right rows → null
+      .toDF("purchase_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 1L, ts("2024-01-01 09:00:00")),
+      (101L, 1L, ts("2024-01-01 10:30:00")))
+      .toDF("view_id", "user_id", "ts")
+      .withColumn("vts", col("ts"))
+    val out = Temporal.asofJoinDirected(left, right, Seq("user_id"), "ts",
+        Seq("view_id", "vts"), Temporal.AsofDirection.Nearest)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map(
+      10L -> Some(101L), 11L -> Some(100L), 12L -> Some(100L), 13L -> None))
+  }
+
+  test("asofJoinDirected: tolerance rejects far matches but keeps the left row") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),  // back gap 10min ≤ tol → match
+      (11L, 1L, ts("2024-01-01 12:00:00")))  // back gap 130min > tol → null
+      .toDF("purchase_id", "user_id", "ts")
+    val right = Seq((100L, 1L, ts("2024-01-01 09:50:00")))
+      .toDF("view_id", "user_id", "ts")
+      .withColumn("vts", col("ts"))
+    val out = Temporal.asofJoinDirected(left, right, Seq("user_id"), "ts",
+        Seq("view_id", "vts"), Temporal.AsofDirection.Backward,
+        toleranceMicros = Some(30L * 60 * 1000000))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map(10L -> Some(100L), 11L -> None))
+  }
+
+  test("asofJoinDirected: backward with no tolerance matches asofJoin exactly") {
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001").events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .withColumn("vts", col("ts"))
+    val a = Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
+      Seq("view_id", "vts"))
+    val b = Temporal.asofJoinDirected(purchases, views, Seq("user_id"), "ts",
+      Seq("view_id", "vts"), Temporal.AsofDirection.Backward)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("rangePairs emits each in-gap pair exactly once with exact gaps") {
     val clicks = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
