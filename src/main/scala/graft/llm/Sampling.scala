@@ -287,4 +287,46 @@ object Sampling {
       .partitionBy("shard")
       .format(format) // "json" = the JSONL shards training loaders eat
       .save(path)
+
+  /** Epoch-weighted mixture materialization: replicate (or thin) each
+    * domain to a target number of TRAINING EPOCHS, emitting one row per
+    * (doc, epoch ordinal) — the "books ×2.5, web ×0.8" recipe dataset
+    * cards publish, materialized so a dataloader can stream the mix
+    * directly. Epochs are basis points of one pass (`10000` = exactly
+    * once): each doc repeats `bp div 10000` times, plus one more iff
+    * its hash bucket clears `(bp mod 10000)·65536 div 10000` — the
+    * fractional epoch is the same consistent-hash subset idiom as
+    * [[sampleFraction]], so it is deterministic, exact-integer (any
+    * engine reproduces membership bit-for-bit), and stable under
+    * corpus growth. `bp < 10000` therefore DOWN-samples (0 full copies,
+    * fractional keep) — one operator covers both directions of a
+    * mixture. Domains missing from the map (and the NULL domain) pass
+    * through at exactly one epoch.
+    *
+    * Output: input columns + `epoch` (0-based copy ordinal). Rows with
+    * zero copies vanish; row order within a training run should come
+    * from [[writeShards]] downstream, which shuffles (doc, epoch) rows
+    * like any other corpus.
+    *
+    * Scale shape: a broadcast join against the domains-sized weight
+    * table + a bounded `sequence` explode — no corpus shuffle; output
+    * volume is exactly the requested Σ epochs·|domain|.
+    */
+  def epochUpsample(df: DataFrame, idCol: String, domainCol: String,
+                    epochsBp: Map[String, Long]): DataFrame = {
+    require(epochsBp.values.forall(bp => bp >= 0 && bp <= 1000000L),
+      s"epoch basis points out of [0, 1000000]: $epochsBp")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = epochsBp.toSeq.toDF("__up_domain", "__up_bp")
+    df.join(broadcast(w), col(domainCol) === col("__up_domain"), "left")
+      .withColumn("__up_bp", coalesce(col("__up_bp"), lit(10000L)))
+      .withColumn("__up_n",
+        expr("__up_bp div 10000") +
+          when(hashBucket(col(idCol)) <
+            expr("((__up_bp % 10000) * 65536) div 10000"), 1L).otherwise(0L))
+      .filter(col("__up_n") >= 1)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__up_n") - 1)))
+      .drop("__up_domain", "__up_bp", "__up_n")
+  }
 }

@@ -1453,6 +1453,28 @@ object LlmQueries {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     },
 
+    // ---- epoch-weighted mixture materialization (Sampling.epochUpsample):
+    //      src0 ×2.5 epochs, src1 ×0.5, src2 ×1.25, everything else ×1 —
+    //      one (doc, epoch) row per replica, fractional epochs by the
+    //      consistent-hash subset rule in exact integer arithmetic. ----
+    "q_llm_epoch_mix" -> Q(
+      s"""WITH w(domain, bp) AS (VALUES ('src0', 25000), ('src1', 5000), ('src2', 12500)),
+         |d AS (SELECT doc_id, source,
+         |             coalesce(bp, 10000) AS bp,
+         |             ${duckBucket("doc_id")} AS hb
+         |      FROM documents LEFT JOIN w ON source = w.domain),
+         |n AS (SELECT doc_id, source,
+         |             bp // 10000 +
+         |               CASE WHEN hb < ((bp % 10000) * 65536) // 10000 THEN 1 ELSE 0 END AS nc
+         |      FROM d)
+         |SELECT doc_id, source, CAST(unnest(generate_series(0, nc - 1)) AS BIGINT) AS epoch
+         |FROM n WHERE nc >= 1
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.epochUpsample(tb(s, dir).documents, "doc_id", "source",
+          Map("src0" -> 25000L, "src1" -> 5000L, "src2" -> 12500L))
+        .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    },
+
     // ---- deterministic stratified sample (k lowest hashes per class) ----
     "q_llm_stratified_sample" -> Q(
       s"""WITH r AS (

@@ -254,4 +254,41 @@ class SamplingSpec extends SparkSpec {
       .filter(col("shard") === 0).count()
     assert(lines.size.toLong === plan)
   }
+
+  test("epochUpsample: whole copies for all, fractional copy by exact hash threshold") {
+    val docs = spark.range(400)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS dom")
+    // a = 2.5 epochs, b defaults to exactly 1
+    val out = Sampling.epochUpsample(docs, "doc_id", "dom", Map("a" -> 25000L))
+      .select("doc_id", "dom", "epoch").as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val aDocs = (0L until 400L by 2)
+    // every a-doc gets epochs {0,1}; the fractional third copy is the
+    // SAME exact-integer threshold the operator promises: hb < 16384
+    val thr = (25000L % 10000L) * 65536L / 10000L
+    aDocs.foreach { id =>
+      val hb = Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 4), 16)
+      val want = if (hb < thr) Seq(0L, 1L, 2L) else Seq(0L, 1L)
+      assert(byDoc(id) === want, s"doc $id hb=$hb")
+    }
+    // b-docs pass through exactly once
+    (1L until 400L by 2).foreach(id => assert(byDoc(id) === Seq(0L)))
+    // and the fractional subset is a real subset, not empty or all
+    val third = aDocs.count(id => byDoc(id).size == 3)
+    assert(third > 0 && third < aDocs.size)
+  }
+
+  test("epochUpsample: bp below one epoch DOWN-samples; membership deterministic") {
+    val docs = spark.range(1000).selectExpr("id AS doc_id", "'x' AS dom")
+    val run1 = Sampling.epochUpsample(docs, "doc_id", "dom", Map("x" -> 5000L))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val run2 = Sampling.epochUpsample(docs, "doc_id", "dom", Map("x" -> 5000L))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(run1 === run2)
+    assert(run1.forall(_._2 == 0L), "half an epoch means at most one copy")
+    // ~half survive (consistent-hash thinning, exact threshold 32768)
+    assert(run1.size > 400 && run1.size < 600, s"got ${run1.size}")
+  }
 }
