@@ -68,6 +68,29 @@ object EmbeddingOps {
         round(avg(col("_cos")), 4).as("mean_cos"))
   }
 
+  /** Per-VECTOR mislabel outlier flags — the row-level complement of
+    * [[labelCohesion]]'s per-label diagnostic: each vector's cosine to
+    * its own label centroid, flagged when it falls under `minCos`
+    * (likely mislabeled / noise — prune or re-queue for labeling before
+    * training). Same mechanism as cohesion: [[meanPool]] centroids
+    * (exact-integer accumulation), labels-sized centroid table
+    * broadcast back, one codegen'd dot per row. The cosine is rounded
+    * to 4 decimals and the flag compares the ROUNDED value, so the
+    * verdict is reproducible cross-engine at that precision.
+    */
+  def labelOutliers(df: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, minCos: Double): DataFrame = {
+    val cent = meanPool(df, labelCol, vecCol)
+      .withColumn("_cnrm", Ann.l2norm(col("centroid")))
+    df.join(broadcast(cent), Seq(labelCol))
+      .withColumn("_vnrm", Ann.l2norm(col(vecCol)))
+      .withColumn("cos_centroid",
+        round(Ann.dot(col(vecCol), col("centroid")) /
+          (col("_vnrm") * col("_cnrm")), 4))
+      .withColumn("is_outlier", col("cos_centroid") < lit(minCos))
+      .select(col(idCol), col(labelCol), col("cos_centroid"), col("is_outlier"))
+  }
+
   /** Attach an L2-normalized copy of `vecCol` as `outCol`; zero vectors
     * stay zero. The norm is materialized as a real column FIRST so the
     * transform lambda references only an attribute — inlining

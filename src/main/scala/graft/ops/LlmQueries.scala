@@ -1060,6 +1060,32 @@ object LlmQueries {
         .orderBy("label")
     },
 
+    // ---- per-vector mislabel outliers: cosine to the OWN-label centroid
+    //      (same quantized-integer centroid as cohesion), flagged under
+    //      0.0 on the 4-decimal rounded value ----
+    "q_emb_outliers" -> Q(
+      """WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cm AS (SELECT label, i,
+        |         CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |           / (1000000.0 * count(*)) AS m
+        |       FROM e GROUP BY label, i),
+        |cn AS (SELECT label, sqrt(sum(m * m)) AS cnrm FROM cm GROUP BY label),
+        |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vnrm FROM e GROUP BY vec_id),
+        |dots AS (SELECT e.vec_id, e.label, sum(e.v * cm.m) AS dot
+        |         FROM e JOIN cm ON cm.label = e.label AND cm.i = e.i
+        |         GROUP BY e.vec_id, e.label)
+        |SELECT d.vec_id, d.label,
+        |       round(d.dot / (vn.vnrm * cn.cnrm), 4) AS cos_centroid,
+        |       round(d.dot / (vn.vnrm * cn.cnrm), 4) < 0.0 AS is_outlier
+        |FROM dots d JOIN vn ON vn.vec_id = d.vec_id
+        |JOIN cn ON cn.label = d.label
+        |ORDER BY d.vec_id""".stripMargin) { (s, dir) =>
+      EmbeddingOps.labelOutliers(tb(s, dir).embeddings, "vec_id", "label",
+          "embedding", minCos = 0.0)
+        .orderBy("vec_id")
+    },
+
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
     "q_llm_minhash_sig" -> Q(
       s"""WITH $shingleCte

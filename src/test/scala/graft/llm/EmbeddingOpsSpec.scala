@@ -42,6 +42,21 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(math.abs(rows(2)._2 - 0.7071) < 1e-9)
   }
 
+  test("labelOutliers: flags the vector pointing away from its label centroid") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 1),    // aligned with the label-1 mass
+      (1L, Array(1.0f, 0.1f), 1),
+      (2L, Array(1.0f, -0.1f), 1),
+      (3L, Array(-1.0f, 0.0f), 1),   // anti-aligned → mislabel flag
+      (4L, Array(0.0f, 1.0f), 2),    // label 2 is clean
+      (5L, Array(0.0f, 2.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.labelOutliers(df, "vec_id", "label", "embedding", 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> true, 4L -> false, 5L -> false))
+  }
+
   test("withL2Normalized: unit norm, zero vector stays zero") {
     val df = Seq(
       (0L, Array(3.0f, 4.0f)),
