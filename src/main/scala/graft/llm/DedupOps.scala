@@ -600,18 +600,39 @@ object DedupOps {
                       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4 chunks of 16 bits guarantee recall only for maxDist <= 3")
-    val sh = simhash64(df, idCol, textCol).cache()
+    hammingNearDupsChunked(simhash64(df, idCol, textCol), idCol,
+      Seq("sh0", "sh1", "sh2", "sh3"), maxDist)
+  }
+
+  /** Pigeonhole Hamming near-dup over ANY chunked bit sketch (SimHash
+    * text sketches, perceptual image hashes, …): pairs whose
+    * concatenated chunks differ in at most `maxDist` bits, where
+    * `maxDist < |chunks|` forces at least one chunk to match EXACTLY —
+    * so candidates only form inside shared (chunk_id, value) buckets
+    * (total recall, never all-pairs) and verification is
+    * bit_count(xor) per chunk, codegen'd integer ops.
+    *
+    * The sketch frame is cached function-scoped (candidate join + two
+    * re-attach joins consume it) and released once the verified pairs
+    * materialize; the returned frame is cached — `.unpersist()` when
+    * done.
+    */
+  def hammingNearDupsChunked(sketchDf: DataFrame, idCol: String,
+                             chunkCols: Seq[String], maxDist: Int): DataFrame = {
+    val nc = chunkCols.size
+    require(nc >= 2 && maxDist >= 0 && maxDist < nc,
+      s"$nc chunks guarantee total recall only for maxDist < $nc")
+    val sh = sketchDf.cache()
     val chunks = sh.select(col(idCol),
-      posexplode(array(col("sh0"), col("sh1"), col("sh2"), col("sh3")))
-        .as(Seq("chunk_id", "cv")))
+      posexplode(array(chunkCols.map(col): _*)).as(Seq("chunk_id", "cv")))
     val a = chunks.select(col("chunk_id"), col("cv"), col(idCol).as("id1"))
     val b = chunks.select(col("chunk_id"), col("cv"), col(idCol).as("id2"))
     val cand = a.join(b, Seq("chunk_id", "cv"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     def side(n: Int) = sh.select(col(idCol).as(s"id$n") +:
-      (0 until 4).map(c => col(s"sh$c").as(s"_${n}c$c")): _*)
-    val hamming = (0 until 4)
+      (0 until nc).map(c => col(chunkCols(c)).as(s"_${n}c$c")): _*)
+    val hamming = (0 until nc)
       .map(c => bit_count(col(s"_1c$c").bitwiseXOR(col(s"_2c$c"))))
       .reduce(_ + _)
     val out = cand.join(side(1), "id1").join(side(2), "id2")

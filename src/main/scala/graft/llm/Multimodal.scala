@@ -131,6 +131,47 @@ object Multimodal {
       .select(col(idCol), col("frame_idx"), col("frame"), col("n_frames"))
   }
 
+  /** Average perceptual hash (aHash) over a binary payload — the image
+    * near-dup hash, on the same 1-D stub geometry as [[resize]]: the
+    * payload is nearest-neighbor resampled to 64 "pixels" (a real codec
+    * would decode and resample an 8×8 grayscale grid; this samples
+    * bytes), and bit j is set iff pixel j clears the payload mean
+    * (strict `p·64 > Σp` — exact integers, engine-reproducible). The
+    * 64 bits pack as four 16-bit chunks `ph0..ph3`, the
+    * [[DedupOps.hammingNearDupsChunked]] blocking layout. Empty
+    * payloads produce no row. Pure codegen'd column algebra over one
+    * hex projection — no UDF.
+    */
+  def aHash(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame = {
+    val srcByte = (j: Column) => ((j * col("_n")) / lit(64)).cast("int")
+    val byteAt = (j: Column) =>
+      conv(col("_hx").substr(srcByte(j) * 2 + 1, lit(2)), 16, 10).cast("long")
+    df.filter(length(col(binCol)) > 0)
+      .withColumn("_n", length(col(binCol)))
+      .withColumn("_hx", hex(col(binCol)))
+      .withColumn("_bv", transform(sequence(lit(0), lit(63)), byteAt))
+      .withColumn("_tot", aggregate(col("_bv"), lit(0L), _ + _))
+      .select(col(idCol) +: (0 until 4).map { c =>
+        (0 until 16).map { k =>
+          when(element_at(col("_bv"), c * 16 + k + 1) * 64 > col("_tot"),
+            lit(1L << k)).otherwise(0L)
+        }.reduce(_ + _).as(s"ph$c")
+      }: _*)
+  }
+
+  /** Perceptual-hash near-duplicates: payload pairs whose [[aHash]]es
+    * differ in at most `maxDist` ≤ 3 bits — the image-dedup face of the
+    * chunked-Hamming family; candidates form only inside shared
+    * (chunk, value) buckets, never all-pairs, with total recall.
+    */
+  def phashNearDups(df: DataFrame, idCol: String,
+                    binCol: String = "payload", maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 chunks of 16 bits guarantee recall only for maxDist <= 3")
+    DedupOps.hammingNearDupsChunked(aHash(df, idCol, binCol), idCol,
+      Seq("ph0", "ph1", "ph2", "ph3"), maxDist)
+  }
+
   /** Resize plumbing: nearest-neighbor byte decimation to a fixed
     * `outBytes` length — out[j] = payload[⌊j·n/outBytes⌋], the 1-D
     * analog of image nearest-neighbor resampling (a real codec would

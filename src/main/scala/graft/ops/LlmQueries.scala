@@ -1895,6 +1895,73 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- multimodal: average perceptual hash (aHash) — 64-byte
+    //      nearest-neighbor resample, bit = pixel clears the mean
+    //      (exact integers), packed as four 16-bit chunks ----
+    "q_mm_ahash" -> Q(
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |b AS (SELECT doc_id, j,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST((j*n) // 64 AS INTEGER)*2+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, CAST((j*n) // 64 AS INTEGER)*2+2, 1)) - 1) AS bv
+        |      FROM (SELECT doc_id, hx, n, unnest(range(0, 64)) AS j FROM h)),
+        |t AS (SELECT doc_id, sum(bv) AS total FROM b GROUP BY doc_id),
+        |ch AS (SELECT b.doc_id, CAST(b.j // 16 AS INTEGER) AS c,
+        |         CAST(sum(CASE WHEN b.bv * 64 > t.total THEN 1::BIGINT << CAST(b.j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS v
+        |       FROM b JOIN t USING (doc_id) GROUP BY b.doc_id, b.j // 16)
+        |SELECT doc_id,
+        |  max(CASE WHEN c=0 THEN v END) AS ph0, max(CASE WHEN c=1 THEN v END) AS ph1,
+        |  max(CASE WHEN c=2 THEN v END) AS ph2, max(CASE WHEN c=3 THEN v END) AS ph3
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.aHash(
+          Multimodal.asBinary(tb(s, dir).documents, "text"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal: perceptual-hash near-dup. The corpus has no
+    //      natural hamming<=3 pairs at this SF (min observed 5), so the
+    //      query PLANTS single-byte-substituted copies (id+100000) —
+    //      the image-dedup scenario — and both engines find them by
+    //      their aHash distance; the Spark side goes through pigeonhole
+    //      buckets, the oracle through the naive all-pairs join. ----
+    "q_mm_phash_near_dup" -> Q(
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text,1,10) || 'Z' || substr(text,12)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |      FROM src WHERE octet_length(encode(text)) > 0),
+        |b AS (SELECT doc_id, j,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST((j*n) // 64 AS INTEGER)*2+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, CAST((j*n) // 64 AS INTEGER)*2+2, 1)) - 1) AS bv
+        |      FROM (SELECT doc_id, hx, n, unnest(range(0, 64)) AS j FROM h)),
+        |t AS (SELECT doc_id, sum(bv) AS total FROM b GROUP BY doc_id),
+        |ch AS (SELECT b.doc_id, CAST(b.j // 16 AS INTEGER) AS c,
+        |         CAST(sum(CASE WHEN b.bv * 64 > t.total THEN 1::BIGINT << CAST(b.j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS v
+        |       FROM b JOIN t USING (doc_id) GROUP BY b.doc_id, b.j // 16),
+        |sk AS (SELECT doc_id,
+        |         max(CASE WHEN c=0 THEN v END) AS ph0, max(CASE WHEN c=1 THEN v END) AS ph1,
+        |         max(CASE WHEN c=2 THEN v END) AS ph2, max(CASE WHEN c=3 THEN v END) AS ph3
+        |       FROM ch GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(bit_count(xor(a.ph0,b.ph0))+bit_count(xor(a.ph1,b.ph1))
+        |           +bit_count(xor(a.ph2,b.ph2))+bit_count(xor(a.ph3,b.ph3)) AS BIGINT) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph0,b.ph0))+bit_count(xor(a.ph1,b.ph1))
+        |     +bit_count(xor(a.ph2,b.ph2))+bit_count(xor(a.ph3,b.ph3)) <= 3
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents.select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("Z"),
+            expr("substring(text, 12)")).as("text"))
+      Multimodal.phashNearDups(
+          Multimodal.asBinary(docs.unionByName(planted), "text"), "doc_id")
+        .orderBy("id1", "id2")
+    },
+
     // ---- multimodal: feature decode, columnar stripe-sum face ----
     // The stub decode is integer byte arithmetic, so its exact face is
     // oracle-able: per-stripe byte sums (features = s_j/255). The

@@ -75,6 +75,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("byte_len")).toSeq === Seq(64L, 2L, 0L))
   }
 
+  test("aHash: bits follow the exact mean rule on a handcrafted payload") {
+    // 64 bytes: first 32 are 0, last 32 are 100 → mean 50; bit j = 1 iff
+    // byte j > 50 → bits 32..63 set. Chunks 0,1 = 0; chunks 2,3 = 0xFFFF.
+    val payload = (Array.fill(32)(0.toByte) ++ Array.fill(32)(100.toByte))
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val r = Multimodal.aHash(df, "doc_id").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((0L, 0L, 0xFFFFL, 0xFFFFL)))
+  }
+
+  test("aHash: uniform payload hashes to all-zero bits; empty payload drops") {
+    val df = Seq(
+      (1L, Array.fill(100)(7.toByte)),   // p·64 > Σp never strict → 0
+      (2L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.aHash(df, "doc_id").collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 1L)
+    assert((1 to 4).forall(i => rows.head.getLong(i) === 0L))
+  }
+
+  test("phashNearDups: identical and 1-byte-flip payloads pair; distinct don't") {
+    val base = (0 until 256).map(_.toByte).toArray
+    val flip = base.clone(); flip(10) = (flip(10) ^ 0x01).toByte
+    val other = (0 until 256).map(i => (i * 37 % 251).toByte).toArray
+    val df = Seq((1L, base), (2L, base.clone()), (3L, flip), (4L, other))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.phashNearDups(df, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 0L)
+    // the flipped byte moves at most one resampled pixel past the mean
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3L)
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
   test("sampleFrames: fixed-size frames, stride sampling, correct slicing") {
     val payload = (1 to 40).map(_.toByte).toArray // 40 bytes → 3 frames of 16
     val df = Seq((7L, payload)).toDF("doc_id", "payload")
