@@ -148,4 +148,49 @@ object Ivf {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
   }
+
+  /** All-corpus kNN GRAPH over the index — every vector's `kNeighbors`
+    * approximate nearest neighbors (the SemDeDup / graph-clustering /
+    * diversity-sampling substrate). Same probe rule as [[topK]]
+    * (nprobe nearest cells, round(sim,9) + cell tiebreak; re-rank on
+    * round(cos,4) + id), but the query side IS the corpus, so the
+    * cell join is a plain shuffle equi-join — [[topK]]'s broadcast of
+    * the probe side would ship the whole corpus to every task.
+    *
+    * Each (query, candidate) pair arises exactly once (members hold one
+    * cell each, probes are distinct cells), so no dedup pass is needed.
+    * Candidate volume is Σ_cell |probers|·|members| ≈ nprobe·n²/k for
+    * balanced cells — `k` is the knob that keeps cells (and the per-cell
+    * quadratic) bounded as the corpus grows; a skewed k-means fit
+    * concentrates cost in its biggest cell, so size k for the corpus,
+    * not for recall alone.
+    */
+  def knnGraph(df: DataFrame, index: Index, idCol: String, vecCol: String,
+               kNeighbors: Int, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
+    val probed = df
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Ann.l2norm(col(vecCol)).as("q_nrm"))
+      .join(cents)
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val corpus = df.join(index.assignments, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    corpus.join(probed, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(
+        Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kNeighbors)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+  }
 }

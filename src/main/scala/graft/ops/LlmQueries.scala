@@ -1787,6 +1787,56 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- all-corpus kNN graph (Ivf.knnGraph): every vector's 3
+    //      approximate nearest neighbors through the same deterministic
+    //      IVF fit, probing 2 cells — the SemDeDup/clustering substrate.
+    //      Shuffle cell join (never a probe-side broadcast of the
+    //      corpus); oracle unrolls the identical fit + probe + re-rank. ----
+    "q_ann_knn_graph" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |${ivfAssign("c2", "probes", limit = 2)},
+         |cands AS (
+         |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN af a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |cos AS (
+         |  SELECT p.q_id, p.c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM cands p
+         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM cos)
+         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Ivf.knnGraph(emb, index, "vec_id", "embedding",
+          kNeighbors = 3, nprobe = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
     // ---- SemDeDup-style semantic dedup: IVF k-means cells (same
     //      deterministic fit as q_ann_ivf_topk, oracle unrolls the 2
     //      Lloyd iterations) → within-cell cosine ≥ τ → drop every

@@ -39,4 +39,30 @@ class IvfSpec extends SparkSpec {
     // probing half the cells must recover a solid share of true neighbors
     assert(recall >= 0.4, s"recall=$recall brute=${brute.size} ivf=${ivf.size}")
   }
+
+  test("knnGraph: every vector gets ranked neighbors; agrees with per-query topK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val g = Ivf.knnGraph(emb, index, "vec_id", "embedding",
+      kNeighbors = 3, nprobe = 2).cache()
+    // full coverage: every corpus vector appears as a query with rn 1..3
+    val perQ = g.groupBy("q_id")
+      .agg(count(lit(1)).as("c"), max("rn").as("mx"), min("rn").as("mn"))
+      .collect()
+    assert(perQ.length.toLong === n)
+    perQ.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getInt(3) === 1, s"ranks broken: $r")
+    }
+    // graph rows for a few queries == topK restricted to the same probes
+    val qs = emb.filter($"vec_id" < 5)
+    val tk = Ivf.topK(emb, qs, index, "vec_id", "embedding", 3, nprobe = 2)
+      .select("q_id", "c_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gg = g.filter($"q_id" < 5)
+      .select("q_id", "c_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gg === tk, "corpus-as-queries face diverges from per-query topK")
+    g.unpersist()
+  }
 }
