@@ -87,6 +87,54 @@ object LlmQueries {
       |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** BPE oracle CTE generators (graft.llm.Bpe): the corpus word-count
+    * base (rows of (word, wcount, pos, tok), `</w>`-terminated chars),
+    * the weighted argmax merge selection, and one greedy merge round as
+    * gaps-and-islands window algebra — consecutive hit runs merge at
+    * odd ranks, which equals the fold's left-to-right greedy rule.
+    */
+  private val bpeBase =
+    """wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+      |    FROM documents) GROUP BY word),
+      |wt AS (SELECT word, wcount, list_append(string_split(word, ''), '</w>') AS toks FROM wc),
+      |p0 AS (SELECT word, wcount, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM wt)""".stripMargin
+
+  private def bpeSel(inT: String, out: String): String =
+    s"""${out}_pc AS (
+       |  SELECT l, r, CAST(sum(wcount) AS BIGINT) AS c FROM (
+       |    SELECT p.wcount, p.tok AS l, lead(p.tok) OVER (PARTITION BY p.word ORDER BY p.pos) AS r
+       |    FROM $inT p) WHERE r IS NOT NULL GROUP BY l, r),
+       |$out AS (SELECT l, r, c FROM ${out}_pc ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+
+  private def bpeStep(inT: String, selT: String, outT: String): String =
+    s"""${outT}_h AS (
+       |  SELECT p.word, p.wcount, p.pos, p.tok,
+       |         coalesce(p.tok = s.l AND lead(p.tok) OVER (PARTITION BY p.word ORDER BY p.pos) = s.r, false) AS hit,
+       |         s.l AS ml, s.r AS mr
+       |  FROM $inT p, $selT s),
+       |${outT}_i AS (
+       |  SELECT *, CASE WHEN hit THEN pos - row_number() OVER (PARTITION BY word, hit ORDER BY pos) END AS isl
+       |  FROM ${outT}_h),
+       |${outT}_r AS (
+       |  SELECT *, CASE WHEN hit THEN row_number() OVER (PARTITION BY word, isl ORDER BY pos) END AS rk
+       |  FROM ${outT}_i),
+       |$outT AS (
+       |  SELECT word, wcount,
+       |         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |         CASE WHEN merged THEN ml || mr ELSE tok END AS tok
+       |  FROM (SELECT *, (hit AND rk % 2 = 1) AS merged,
+       |               coalesce(lag(hit AND rk % 2 = 1) OVER (PARTITION BY word ORDER BY pos), false) AS dropped
+       |        FROM ${outT}_r)
+       |  WHERE NOT dropped)""".stripMargin
+
+  private val bpeChain =
+    s"""$bpeBase,
+       |${bpeSel("p0", "s1")},${bpeStep("p0", "s1", "p1")},
+       |${bpeSel("p1", "s2")},${bpeStep("p1", "s2", "p2")},
+       |${bpeSel("p2", "s3")},${bpeStep("p2", "s3", "p3")}""".stripMargin
+
   /** DuckDB face of Sampling.hashBucket / blockedPairs' sub-hash: the
     * first 4 md5 hex digits of the id as an integer in [0, 65536).
     */
@@ -1499,6 +1547,34 @@ object LlmQueries {
       graft.llm.Sampling.epochUpsample(tb(s, dir).documents, "doc_id", "source",
           Map("src0" -> 25000L, "src1" -> 5000L, "src2" -> 12500L))
         .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    },
+
+    // ---- BPE vocabulary training (Bpe.train, 3 merges): weighted
+    //      adjacent-pair argmax over the word-frequency table + greedy
+    //      left-to-right re-encode per round; the oracle unrolls the 3
+    //      rounds with gaps-and-islands window algebra ----
+    "q_llm_bpe_merges" -> Q(
+      s"""WITH $bpeChain
+         |SELECT 1 AS merge_rank, l AS left_tok, r AS right_tok, c AS pair_count FROM s1
+         |UNION ALL SELECT 2, l, r, c FROM s2
+         |UNION ALL SELECT 3, l, r, c FROM s3
+         |ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+      graft.llm.Bpe.train(tb(s, dir).documents, "text", numMerges = 3)
+        .merges.orderBy("merge_rank")
+    },
+
+    // ---- the trained vocab after those merges: every distinct word's
+    //      BPE tokenization (the encode face, vocab-join path) ----
+    "q_llm_bpe_encode" -> Q(
+      s"""WITH $bpeChain
+         |SELECT word, max(wcount) AS wcount,
+         |       string_agg(tok, ' ' ORDER BY pos) AS toks_str
+         |FROM p3 GROUP BY word ORDER BY word""".stripMargin) { (s, dir) =>
+      graft.llm.Bpe.train(tb(s, dir).documents, "text", numMerges = 3)
+        .words
+        .select(col("word"), col("wcount"),
+          concat_ws(" ", col("toks")).as("toks_str"))
+        .orderBy("word")
     },
 
     // ---- deterministic stratified sample (k lowest hashes per class) ----
