@@ -167,6 +167,48 @@ object Ivf {
     */
   def knnGraph(df: DataFrame, index: Index, idCol: String, vecCol: String,
                kNeighbors: Int, nprobe: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    probeCandidates(df, index, idCol, vecCol, nprobe)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kNeighbors)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
+  /** Hard-negative mining for contrastive / retriever training: every
+    * vector's `k` NEAREST neighbors with a DIFFERENT label — the
+    * "looks-identical, labeled-differently" pairs a trainer wants in
+    * the batch. Same candidate engine as [[knnGraph]]; the label
+    * mismatch filters BEFORE the rank window (ranking first would lose
+    * negatives hiding behind same-label near neighbors).
+    */
+  def hardNegatives(df: DataFrame, index: Index, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    nprobe: Int = 2): DataFrame = {
+    val labels = df.select(col(idCol), col(labelCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    probeCandidates(df, index, idCol, vecCol, nprobe)
+      .join(labels.select(col(idCol).as("q_id"),
+        col(labelCol).as("q_label")), "q_id")
+      .join(labels.select(col(idCol).as("c_id"),
+        col(labelCol).as("c_label")), "c_id")
+      .filter(!(col("q_label") <=> col("c_label")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+        col("cosine"), col("rn"))
+  }
+
+  /** Shared corpus-as-queries candidate generator: each vector probes
+    * its `nprobe` nearest cells (round(sim,9) + cell tiebreak) and
+    * meets that cell's members through a plain shuffle equi-join —
+    * never a probe-side broadcast of the corpus. Emits each (q, c)
+    * pair exactly once (members hold one cell, probes are distinct
+    * cells) with the exact re-rank cosine.
+    */
+  private def probeCandidates(df: DataFrame, index: Index, idCol: String,
+                              vecCol: String, nprobe: Int): DataFrame = {
     val cents = broadcast(index.centroids
       .withColumn("_cn", Ann.l2norm(col("centroid"))))
     val wq = org.apache.spark.sql.expressions.Window
@@ -183,14 +225,10 @@ object Ivf {
     val corpus = df.join(index.assignments, idCol)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
         Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
     corpus.join(probed, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", round(
         Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= kNeighbors)
-      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+      .select("q_id", "c_id", "cosine")
   }
 }

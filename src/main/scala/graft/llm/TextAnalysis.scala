@@ -125,6 +125,48 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("sl"), lit("und")).as("pred_lang"))
   }
 
+  /** Mixed-language detection: the top-2 language vote shares per doc.
+    * Code-switched or concatenated-source documents poison monolingual
+    * training sets, and [[langId]]'s argmax hides them — this face
+    * exposes the winner's and runner-up's share of total stopword hits
+    * (basis points by integer division — exact cross-engine) and flags
+    * `is_mixed` when the runner-up holds at least `mixedBp`. Zero-hit
+    * docs come out ('und', 0, null, 0, false). Same plan shape as
+    * langId: one broadcast profile join + one groupBy; the windows run
+    * over the per-(doc, lang) counts, ≤ |languages| rows per doc.
+    */
+  def langMix(df: DataFrame, idCol: String, textCol: String,
+              mixedBp: Long = 3000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sw = stopwordProfiles.toDF("sl", "sw")
+    val hits = explodeTokens(df, textCol, "t", col(idCol))
+      .join(broadcast(sw), col("t") === col("sw"))
+      .groupBy(col(idCol), col("sl")).agg(count(lit(1)).as("c"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("c").desc, col("sl").asc)
+    val ranked = hits
+      .withColumn("_tot", sum("c").over(wd))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bp", expr("c * 10000 div _tot"))
+    val top = ranked.filter(col("rn") === 1)
+      .select(col(idCol), col("sl").as("pred_lang"),
+        col("bp").as("pred_share_bp"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col(idCol), col("sl").as("second_lang"),
+        col("bp").as("second_share_bp"))
+    df.select(col(idCol))
+      .join(top, Seq(idCol), "left")
+      .join(second, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("pred_share_bp"), lit(0L)).as("pred_share_bp"),
+        col("second_lang"),
+        coalesce(col("second_share_bp"), lit(0L)).as("second_share_bp"))
+      .withColumn("is_mixed", col("second_share_bp") >= lit(mixedBp))
+  }
+
   /** Stopword hit count per document (for quality scoring). */
   def stopwordHits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

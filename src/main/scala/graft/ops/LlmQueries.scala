@@ -432,6 +432,36 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- mixed-language detection (TextAnalysis.langMix): top-2
+    //      stopword-vote shares in integer basis points; runner-up
+    //      holding >= 30% flags a code-switched / concatenated doc ----
+    "q_llm_lang_mix" -> Q(
+      """WITH sw(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
+        |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
+        |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM documents),
+        |hits AS (SELECT doc_id, sl, CAST(count(*) AS BIGINT) AS c FROM toks JOIN sw ON t = w GROUP BY doc_id, sl),
+        |rk AS (SELECT doc_id, sl, c,
+        |         sum(c) OVER (PARTITION BY doc_id) AS tot,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sl) AS rn
+        |       FROM hits),
+        |bp AS (SELECT doc_id, sl, rn, CAST(c * 10000 // tot AS BIGINT) AS sbp FROM rk)
+        |SELECT d.doc_id,
+        |  coalesce(t1.sl, 'und') AS pred_lang,
+        |  CAST(coalesce(t1.sbp, 0) AS BIGINT) AS pred_share_bp,
+        |  t2.sl AS second_lang,
+        |  CAST(coalesce(t2.sbp, 0) AS BIGINT) AS second_share_bp,
+        |  coalesce(t2.sbp, 0) >= 3000 AS is_mixed
+        |FROM documents d
+        |LEFT JOIN bp t1 ON t1.doc_id = d.doc_id AND t1.rn = 1
+        |LEFT JOIN bp t2 ON t2.doc_id = d.doc_id AND t2.rn = 2
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.langMix(tb(s, dir).documents, "doc_id", "text",
+          mixedBp = 3000L)
+        .orderBy("doc_id")
+    },
+
     // ---- corpus token document-frequency / IDF ----
     // Integer columns only in the oracle (df counts + corpus size); the
     // idf double is derivable and engine log() conventions differ
@@ -1913,6 +1943,62 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- hard-negative mining (Ivf.hardNegatives): each vector's 2
+    //      nearest DIFFERENT-label neighbors through the same IVF
+    //      probes — the contrastive-training batch constructor; label
+    //      mismatch filters before the rank so same-label near
+    //      neighbors can't crowd negatives out ----
+    "q_emb_hard_negatives" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |${ivfAssign("c2", "probes", limit = 2)},
+         |cands AS (
+         |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN af a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |cos AS (
+         |  SELECT p.q_id, p.c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM cands p
+         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |neg AS (
+         |  SELECT c.q_id, la.label AS q_label, c.c_id, lb.label AS c_label, c.cosine
+         |  FROM cos c JOIN lab la ON la.vec_id = c.q_id
+         |  JOIN lab lb ON lb.vec_id = c.c_id
+         |  WHERE la.label IS DISTINCT FROM lb.label),
+         |ranked AS (
+         |  SELECT q_id, q_label, c_id, c_label, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM neg)
+         |SELECT q_id, q_label, c_id, c_label, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 2 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label",
+          k = 2, nprobe = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
     // ---- SemDeDup-style semantic dedup: IVF k-means cells (same
     //      deterministic fit as q_ann_ivf_topk, oracle unrolls the 2
     //      Lloyd iterations) → within-cell cosine ≥ τ → drop every
@@ -2086,6 +2172,60 @@ object LlmQueries {
       Multimodal.phashNearDups(
           Multimodal.asBinary(docs.unionByName(planted), "text"), "doc_id")
         .orderBy("id1", "id2")
+    },
+
+    // ---- multimodal: image dedup END TO END — perceptual-hash pairs
+    //      (planted single-byte-edit copies, as q_mm_phash_near_dup) →
+    //      connected components → canonical per cluster; the oracle
+    //      replays the components as a recursive CTE ----
+    "q_mm_image_dedup" -> Q(
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text,1,10) || 'Z' || substr(text,12)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |      FROM src WHERE octet_length(encode(text)) > 0),
+        |b AS (SELECT doc_id, j,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST((j*n) // 64 AS INTEGER)*2+1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, CAST((j*n) // 64 AS INTEGER)*2+2, 1)) - 1) AS bv
+        |      FROM (SELECT doc_id, hx, n, unnest(range(0, 64)) AS j FROM h)),
+        |t AS (SELECT doc_id, sum(bv) AS total FROM b GROUP BY doc_id),
+        |ch AS (SELECT b.doc_id, CAST(b.j // 16 AS INTEGER) AS c,
+        |         CAST(sum(CASE WHEN b.bv * 64 > t.total THEN 1::BIGINT << CAST(b.j % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS v
+        |       FROM b JOIN t USING (doc_id) GROUP BY b.doc_id, b.j // 16),
+        |sk AS (SELECT doc_id,
+        |         max(CASE WHEN c=0 THEN v END) AS ph0, max(CASE WHEN c=1 THEN v END) AS ph1,
+        |         max(CASE WHEN c=2 THEN v END) AS ph2, max(CASE WHEN c=3 THEN v END) AS ph3
+        |       FROM ch GROUP BY doc_id),
+        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |        WHERE bit_count(xor(a.ph0,b.ph0))+bit_count(xor(a.ph1,b.ph1))
+        |             +bit_count(xor(a.ph2,b.ph2))+bit_count(xor(a.ph3,b.ph3)) <= 3),
+        |nodes AS (SELECT id1 AS id FROM prs UNION SELECT id2 FROM prs),
+        |sym AS (SELECT id1 AS src, id2 AS dst FROM prs
+        |        UNION ALL SELECT id2, id1 FROM prs),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT src.doc_id, CAST(coalesce(c.component, src.doc_id) AS BIGINT) AS component,
+        |       coalesce(c.component, src.doc_id) = src.doc_id AS is_canonical
+        |FROM src LEFT JOIN comp c ON c.id = src.doc_id
+        |ORDER BY src.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents.select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("Z"),
+            expr("substring(text, 12)")).as("text"))
+      val all = docs.unionByName(planted)
+      val pairs = Multimodal.phashNearDups(
+          Multimodal.asBinary(all, "text"), "doc_id")
+        .select("id1", "id2")
+      graft.llm.DupGraph.dupClusters(all.select("doc_id"), "doc_id", pairs)
+        .select(col("doc_id"), col("component"), col("is_canonical"))
+        .orderBy("doc_id")
     },
 
     // ---- multimodal: feature decode, columnar stripe-sum face ----

@@ -65,4 +65,28 @@ class IvfSpec extends SparkSpec {
     assert(gg === tk, "corpus-as-queries face diverges from per-query topK")
     g.unpersist()
   }
+
+  test("hardNegatives: only different-label neighbors, nearest first") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // label-1 cluster on x-axis with one label-2 infiltrator very close;
+    // the infiltrator must outrank the farther label-2 point
+    val emb = Seq(
+      (0L, v(1, 0, 0, 0), 1),
+      (1L, v(0.99, 0.01, 0, 0), 1),
+      (2L, v(0.98, 0.02, 0, 0), 2),   // the hard negative for label 1
+      (3L, v(0, 0, 1, 0), 2),
+      (10L, v(0, 0.01, 0.99, 0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val neg = Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label",
+        k = 1, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(1), r.getInt(3))))
+      .toMap
+    // anchor 0 (label 1): nearest different-label is 2, not 3
+    assert(neg(0L)._1 === 2L)
+    assert(neg(0L)._2 === 1 && neg(0L)._3 === 2)
+    // every emitted pair disagrees on label
+    Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label", 3, 2)
+      .collect().foreach(r => assert(r.getInt(1) !== r.getInt(3)))
+  }
 }

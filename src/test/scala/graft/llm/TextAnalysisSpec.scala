@@ -274,6 +274,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Map(1L -> "en", 2L -> "es", 3L -> "und", 4L -> "en"))
   }
 
+  test("langMix: code-switched doc flagged, monolingual and zero-hit docs not") {
+    val docs = Seq(
+      (1L, "the a fast slow the a"),      // pure en → second share 0
+      (2L, "the a fast data row stuff"),  // en 3, es 2 → es at 4000bp, mixed
+      (3L, "qqq zzz"),                    // zero hits → und, not mixed
+      (4L, "the data")                    // en 1, es 1 → 5000bp each, mixed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langMix(docs, "doc_id", "text", mixedBp = 3000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2),
+          Option(r.getString(3)), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === (("en", 10000L, None, 0L, false)))
+    assert(out(2L) === (("en", 6000L, Some("es"), 4000L, true)))
+    assert(out(3L) === (("und", 0L, None, 0L, false)))
+    assert(out(4L) === (("en", 5000L, Some("es"), 5000L, true)))
+  }
+
   test("fingerprint is whitespace/case-insensitive and 16 hex chars") {
     val out = Seq("The  Quick Fox", "the quick fox", "other")
       .toDF("t").select(TextAnalysis.fingerprint(col("t")).as("fp"))
