@@ -64,4 +64,37 @@ object Boilerplate {
       .select(col(idCol), col("n_shingles"), col("n_boiler"),
         (col("n_boiler") * 2 >= col("n_shingles")).as("is_templated"))
   }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * DISTINCT shingles they share — the dataset diagnostic that finds
+    * mirrored / re-scraped / syndicated sources before they defeat
+    * per-source dedup budgets. One distinct (source, shingle) pass,
+    * then a self-join keyed on the shingle: cost is Σ_s sdf(s)² where
+    * sdf is the number of sources containing shingle s, so shingles in
+    * more than `maxSources` sources are excluded — the same hot-key
+    * guard as containment's maxDf (a universal shingle would otherwise
+    * contribute |sources|² pairs while carrying no contamination
+    * signal). Output: (src_a, src_b, shared_shingles, a_shingles,
+    * b_shingles) with src_a < src_b.
+    */
+  def sourceOverlap(df: DataFrame, idCol: String, sourceCol: String,
+                    textCol: String, k: Int = 3,
+                    maxSources: Long = 64L): DataFrame = {
+    val ss = TextAnalysis.explodeShingles(df, textCol, k, col(sourceCol))
+      .select(col(sourceCol).as("_src"), col("s")).distinct()
+    val rare = ss.groupBy(col("s")).agg(count(lit(1)).as("_sdf"))
+      .filter(col("_sdf") <= maxSources)
+      .select("s")
+    val pruned = ss.join(rare, Seq("s"), "left_semi")
+    val totals = ss.groupBy(col("_src")).agg(count(lit(1)).as("_tot"))
+    val a = pruned.select(col("s"), col("_src").as("src_a"))
+    val b = pruned.select(col("s"), col("_src").as("src_b"))
+    a.join(b, Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(totals.select(col("_src").as("src_a"), col("_tot").as("a_shingles")), "src_a")
+      .join(totals.select(col("_src").as("src_b"), col("_tot").as("b_shingles")), "src_b")
+      .select("src_a", "src_b", "shared_shingles", "a_shingles", "b_shingles")
+  }
 }

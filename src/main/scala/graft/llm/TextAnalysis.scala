@@ -167,6 +167,39 @@ object TextAnalysis {
       .withColumn("is_mixed", col("second_share_bp") >= lit(mixedBp))
   }
 
+  /** Blocklist gate (the NSFW / unsafe-wordlist curation filter): per
+    * doc, how many tokens hit the blocked-term list and what fraction
+    * of the doc that is (basis points by integer division — exact),
+    * flagged when the mass reaches `maxBp` OR any hit occurs with
+    * `maxBp = 0`. Plan shape: one broadcast term join + one groupBy —
+    * the langId shape; the blocklist is a broadcast table, so a
+    * 100k-term production list costs the same plan.
+    */
+  def blocklistFlags(df: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], maxBp: Long): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = terms.distinct.toDF("_blocked")
+    val toks = df.withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol), explode_outer(col("_toks")).as("t"))
+    val hits = toks
+      .join(broadcast(bl), col("t") === col("_blocked"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("blocked_hits"))
+    df.select(col(idCol),
+        coalesce(size(tokens(col(textCol))), lit(0)).as("n_tokens"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("blocked_hits"))
+      .withColumn("blocked_bp",
+        when(col("n_tokens") > 0,
+          expr("blocked_hits * 10000 div n_tokens")).otherwise(lit(0L)))
+      .withColumn("is_blocked",
+        if (maxBp <= 0) col("blocked_hits") > 0
+        else col("blocked_bp") >= lit(maxBp))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("blocked_hits"), col("blocked_bp"), col("is_blocked"))
+  }
+
   /** Stopword hit count per document (for quality scoring). */
   def stopwordHits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

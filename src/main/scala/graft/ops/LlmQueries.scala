@@ -1098,6 +1098,55 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- cross-source contamination matrix (Boilerplate.sourceOverlap):
+    //      distinct shingles shared per source pair, hot shingles
+    //      (> maxSources sources) excluded — finds mirrored/re-scraped
+    //      sources before they defeat per-source dedup budgets ----
+    "q_llm_source_overlap" -> Q(
+      """WITH toks AS (SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT source, array_to_string(ts[i:i+2], ' ') AS s
+        |       FROM (SELECT source, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)),
+        |sdf AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+        |pruned AS (SELECT sh.source, sh.s FROM sh JOIN sdf USING (s) WHERE sdf.c <= 64),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM sh GROUP BY source),
+        |pair AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_shingles
+        |         FROM pruned a JOIN pruned b ON a.s = b.s AND a.source < b.source
+        |         GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.shared_shingles,
+        |       ta.tot AS a_shingles, tb.tot AS b_shingles
+        |FROM pair p JOIN tot ta ON ta.source = p.src_a
+        |JOIN tot tb ON tb.source = p.src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      Boilerplate.sourceOverlap(tb(s, dir).documents, "doc_id", "source",
+          "text", k = 3, maxSources = 64L)
+        .orderBy("src_a", "src_b")
+    },
+
+    // ---- blocklist curation gate (TextAnalysis.blocklistFlags):
+    //      blocked-token mass per doc in integer basis points ----
+    "q_llm_blocklist" -> Q(
+      """WITH bl(b) AS (VALUES ('fast'), ('slow')),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM documents),
+        |nt AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS blocked_hits
+        |         FROM toks JOIN bl ON t = b GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tokens,
+        |       CAST(coalesce(h.blocked_hits, 0) AS BIGINT) AS blocked_hits,
+        |       CAST(CASE WHEN n.n_tokens > 0
+        |            THEN coalesce(h.blocked_hits, 0) * 10000 // n.n_tokens
+        |            ELSE 0 END AS BIGINT) AS blocked_bp,
+        |       CASE WHEN n.n_tokens > 0
+        |            THEN coalesce(h.blocked_hits, 0) * 10000 // n.n_tokens
+        |            ELSE 0 END >= 300 AS is_blocked
+        |FROM nt n LEFT JOIN hits h ON h.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.blocklistFlags(tb(s, dir).documents, "doc_id", "text",
+          Seq("fast", "slow"), maxBp = 300L)
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding mean pooling (quantized-integer face) ----
     // Σ floor(v·10⁶) per (label, dim) is one exact integer regardless of
     // partial-aggregation order — the Ivf.recompute convention.

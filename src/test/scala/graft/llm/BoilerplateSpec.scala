@@ -51,4 +51,30 @@ class BoilerplateSpec extends SparkSpec {
     assert(h1.getBoolean(3))
     assert(!hs.getBoolean(3))
   }
+
+  test("sourceOverlap: shared shingles counted once per pair, hot shingles excluded") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma delta"),     // shares "alpha beta gamma" with b
+      (2L, "a", "alpha beta gamma delta"),     //   (duplicate doc — still ONE distinct shingle)
+      (3L, "b", "alpha beta gamma other words"),
+      (4L, "c", "completely different text here"),
+      // a shingle present in ALL THREE sources — excluded at maxSources=2
+      (5L, "a", "shared everywhere phrase x"),
+      (6L, "b", "shared everywhere phrase y"),
+      (7L, "c", "shared everywhere phrase z")
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.sourceOverlap(docs, "doc_id", "source", "text",
+        k = 3, maxSources = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ("alpha beta gamma", "beta gamma delta"? only first is shared) → (a,b) = 1
+    assert(out(("a", "b")) === 1L)
+    // "shared everywhere phrase" spans all 3 sources → excluded everywhere
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+    // raising the guard admits it
+    val loose = Boilerplate.sourceOverlap(docs, "doc_id", "source", "text",
+        k = 3, maxSources = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(loose(("a", "c")) === 1L && loose(("b", "c")) === 1L)
+    assert(loose(("a", "b")) === 2L)
+  }
 }

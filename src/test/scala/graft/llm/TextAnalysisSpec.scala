@@ -291,6 +291,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === (("en", 5000L, Some("es"), 5000L, true)))
   }
 
+  test("blocklistFlags: exact hit mass in basis points, zero-hit and any-hit modes") {
+    val docs = Seq(
+      (1L, "bad bad ok ok ok ok ok ok ok ok"),  // 2/10 = 2000bp
+      (2L, "all clean tokens here"),            // 0 hits
+      (3L, "bad")                               // 1/1 = 10000bp
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFlags(docs, "doc_id", "text",
+        Seq("bad"), maxBp = 1500L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((10L, 2L, 2000L, true)))
+    assert(out(2L) === ((4L, 0L, 0L, false)))
+    assert(out(3L) === ((1L, 1L, 10000L, true)))
+    // maxBp = 0 → any single hit blocks
+    val any = TextAnalysis.blocklistFlags(docs, "doc_id", "text",
+        Seq("clean"), maxBp = 0L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(any === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("fingerprint is whitespace/case-insensitive and 16 hex chars") {
     val out = Seq("The  Quick Fox", "the quick fox", "other")
       .toDF("t").select(TextAnalysis.fingerprint(col("t")).as("fp"))
