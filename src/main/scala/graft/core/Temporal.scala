@@ -676,6 +676,27 @@ object Temporal {
       .agg(count_distinct(col(entityCol)).as("n_active"))
   }
 
+  /** Time-window event dedup (debounce): keep an event iff the previous
+    * same-key event is more than `gapSeconds` older — the telemetry
+    * duplicate-suppression rule, and exactly "first event of each
+    * gap-session" (the lag rule and session-start rule coincide: a
+    * session breaks precisely where the lag gap exceeds the threshold).
+    * Same-timestamp duplicates collapse to the lowest `orderCol` (the
+    * deterministic tiebreak). One window on the key partition — the
+    * sessionize shuffle; skewed keys are the same hazard.
+    */
+  def dedupWithin(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  orderCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 0, s"gapSeconds must be >= 0: $gapSeconds")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)).asc, col(orderCol).asc)
+    events
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - col("_prev") > lit(gapSeconds * 1000000L))
+      .drop("_prev")
+  }
+
   /** Match direction for [[asofJoinDirected]]. */
   sealed trait AsofDirection
   object AsofDirection {

@@ -554,6 +554,56 @@ object TextAnalysis {
           sum(col("c"))).as("avg_lp"))
   }
 
+  /** Interpolated bigram-LM quality score — the next step up from
+    * [[unigramLogProb]] toward the KenLM-perplexity gate: each document
+    * scores the mean ln of
+    *
+    *   p(r | l) = λ·c(l r)/c(l) + (1−λ)·c(r)/N
+    *
+    * over its word bigrams, with λ in basis points (exact integer
+    * parameter; 8000 = 0.8). Interpolation with the unigram term keeps
+    * corpus-unseen bigrams finite — the standard Jelinek-Mercer
+    * smoothing — and low scores read "unlike this corpus's word order",
+    * catching shuffled/garbled text that unigram stats can't.
+    *
+    * Plan: bigrams come from a map-side array zip (no lag window over
+    * the corpus); per-doc bigram counts join the REDUCED corpus bigram
+    * frame (bigram-keyed, postings shape) and the unigram frame for
+    * both sides' counts; N broadcasts as a 1-row aggregate. Same
+    * determinism contract as [[unigramLogProb]]: compare after
+    * round(, 6). Docs with fewer than 2 tokens produce no row.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambdaBp: Long = 8000L): DataFrame = {
+    require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp out of range: $lambdaBp")
+    val lam = lambdaBp.toDouble / 10000.0
+    val pairs = df.withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol),
+        explode_outer(when(size(col("_toks")) >= 2,
+          zip_with(slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+            slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+            (x, y) => struct(x.as("l"), y.as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("_p"))
+      .filter(col("_p").isNotNull)
+      .select(col(idCol), col("_p.l").as("l"), col("_p.r").as("r"))
+    val dc = pairs.groupBy(col(idCol), col("l"), col("r"))
+      .agg(count(lit(1)).as("c"))
+    val bg = dc.groupBy(col("l"), col("r")).agg(sum(col("c")).as("cnt_lr"))
+    val ug = explodeTokens(df, textCol, "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt_w"))
+    val n = ug.agg(sum(col("cnt_w")).as("_n_total"))
+    dc.join(bg, Seq("l", "r"))
+      .join(ug.select(col("w").as("l"), col("cnt_w").as("cnt_l")), "l")
+      .join(ug.select(col("w").as("r"), col("cnt_w").as("cnt_r")), "r")
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("c") * log(
+          lit(lam) * col("cnt_lr") / col("cnt_l") +
+            lit(1.0 - lam) * col("cnt_r") / col("_n_total"))) /
+          sum(col("c"))).as("avg_blp"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by the log importance ratio of two bag-of-tokens unigram

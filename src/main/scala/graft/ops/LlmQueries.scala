@@ -393,6 +393,31 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- interpolated bigram-LM score (TextAnalysis.bigramLogProb):
+    //      mean ln(0.8·c(lr)/c(l) + 0.2·c(r)/N) per doc — the word-order
+    //      quality gate unigram stats can't provide ----
+    "q_llm_bigram_lp" -> Q(
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+        |bgr AS (SELECT doc_id, ts[i] AS l, ts[i+1] AS r
+        |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+        |dc AS (SELECT doc_id, l, r, CAST(count(*) AS BIGINT) AS c FROM bgr GROUP BY doc_id, l, r),
+        |bg AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt_lr FROM dc GROUP BY l, r),
+        |tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        |ug AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt_w FROM tok GROUP BY w),
+        |n AS (SELECT CAST(sum(cnt_w) AS BIGINT) AS n_total FROM ug)
+        |SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+        |       round(sum(dc.c * ln(CAST(0.8 AS DOUBLE) * bg.cnt_lr / CAST(ul.cnt_w AS DOUBLE)
+        |                         + CAST(0.2 AS DOUBLE) * ur.cnt_w / CAST(n.n_total AS DOUBLE))) / sum(dc.c), 6) AS avg_blp
+        |FROM dc JOIN bg USING (l, r)
+        |JOIN ug ul ON ul.w = dc.l JOIN ug ur ON ur.w = dc.r, n
+        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramLogProb(tb(s, dir).documents, "doc_id", "text",
+          lambdaBp = 8000L)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_blp"), 6).as("avg_blp"))
+        .orderBy("doc_id")
+    },
+
     // ---- quality scoring: token mass + stopword prose signal - punct ----
     "q_llm_quality_score" -> Q(
       """WITH sw(w) AS (VALUES ('the'),('a'),('fast'),('slow'),('data'),('row'),

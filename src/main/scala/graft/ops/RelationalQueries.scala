@@ -676,6 +676,26 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- time-window event dedup (Temporal.dedupWithin): suppress a
+    //      (user, type) event if the previous one is <= 1h older — the
+    //      telemetry debounce; identical to keeping each gap-session's
+    //      first event ----
+    "q_evt_dedup_within" -> Q(
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |               PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+        |           FROM events)
+        |SELECT event_id, user_id, event_type, ts
+        |FROM e WHERE prev IS NULL OR epoch_us(ts) - prev > 3600000000
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+        .select("event_id", "user_id", "event_type", "ts")
+      graft.core.Temporal.dedupWithin(ev, Seq("user_id", "event_type"),
+          "ts", "event_id", gapSeconds = 3600L)
+        .orderBy("event_id")
+    },
+
     // ---- FORWARD as-of (Temporal.asofJoinDirected Forward): each
     //      purchase to the EARLIEST view at-or-after it — the pandas
     //      merge_asof direction='forward' face; DuckDB's ASOF accepts
@@ -1002,6 +1022,25 @@ object RelationalQueries {
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
       src.write.mode("overwrite").option("header", "true").csv(csvPath)
       s.read.schema(src.schema).option("header", "true").csv(csvPath)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("priority")
+    },
+
+    // ---- JSONL sink + source roundtrip — the training-dataloader
+    //      format (one JSON record per line; writeShards' json face):
+    //      numeric/string content must survive the text encoding ----
+    "q_fmt_jsonl_roundtrip" -> Q(
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
+      tmp.deleteOnExit()
+      val jsonPath = s"${tmp.getPath}/orders_jsonl"
+      val src = tb(s, dir).orders
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      src.write.mode("overwrite").json(jsonPath)
+      s.read.schema(src.schema).json(jsonPath)
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("priority")

@@ -46,6 +46,22 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[String]("w") === "y")
   }
 
+  test("dedupWithin: keeps each gap-burst's first event, ties collapse to lowest id") {
+    val ev = Seq(
+      (1L, 7L, "c", ts("2024-01-01 10:00:00")),  // burst start → keep
+      (2L, 7L, "c", ts("2024-01-01 10:20:00")),  // 20min after e1 → drop
+      (3L, 7L, "c", ts("2024-01-01 10:40:00")),  // 20min after e2 (80 after e1) → drop
+      (4L, 7L, "c", ts("2024-01-01 12:00:00")),  // 80min after e3 → keep
+      (5L, 7L, "c", ts("2024-01-01 12:00:00")),  // exact tie with e4 → drop
+      (6L, 7L, "d", ts("2024-01-01 10:10:00")),  // other type → its own stream
+      (7L, 8L, "c", ts("2024-01-01 10:10:00")))  // other user
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val kept = graft.core.Temporal.dedupWithin(ev,
+        Seq("user_id", "event_type"), "ts", "event_id", gapSeconds = 3600L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 6L, 7L))
+  }
+
   test("asofJoinDirected: forward picks the earliest at-or-after row, inclusive ties") {
     val left = Seq(
       (10L, 1L, ts("2024-01-01 09:10:00")),  // between views → v101 (next one)

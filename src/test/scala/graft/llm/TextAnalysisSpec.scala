@@ -291,6 +291,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === (("en", 5000L, Some("es"), 5000L, true)))
   }
 
+  test("bigramLogProb: hand-computed interpolated probabilities on a tiny corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    // unigrams a:3 b:3 solo:1, N=7; bigrams (a,b):2 (b,a):2
+    // p(b|a) = .8*2/3 + .2*3/7; p(a|b) = .8*2/3 + .2*3/7 — identical
+    val p = 0.8 * 2.0 / 3.0 + 0.2 * 3.0 / 7.0
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text", 8000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - math.log(p)) < 1e-9)
+    assert(out(2L) === ((1L, out(2L)._2)))
+    assert(math.abs(out(2L)._2 - math.log(p)) < 1e-9)
+    assert(!out.contains(3L), "single-token doc has no bigrams")
+  }
+
+  test("bigramLogProb: corpus-typical word order outscores shuffled order") {
+    // model trained on text where 'x y' always follows that order; a doc
+    // using the reverse order must score strictly lower
+    val docs = Seq(
+      (1L, "x y x y x y x y"), (2L, "x y x y"), (3L, "y x y x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text", 8000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(3L))
+  }
+
   test("blocklistFlags: exact hit mass in basis points, zero-hit and any-hit modes") {
     val docs = Seq(
       (1L, "bad bad ok ok ok ok ok ok ok ok"),  // 2/10 = 2000bp
