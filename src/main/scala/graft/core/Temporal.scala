@@ -752,11 +752,16 @@ object Temporal {
         struct(payloadCols.map(col): _*).as("_asof_pay") :+
         unix_micros(col(tsCol)).as("_asof_rts") :+
         lit(0).as("_side"): _*)
+    // ONE materialized ordering attribute for both frames: inlining
+    // unix_micros(ts) in each frame's orderBy creates two equal-but-
+    // distinct sort expressions, and EnsureRequirements re-exchanges
+    // and re-sorts for the second Window (audited: 2 exchanges → 1)
     val base = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(unix_micros(col(tsCol)))
+      .orderBy(col("_asof_ots"))
     val wb = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = base.rangeBetween(Window.currentRow, Window.unboundedFollowing)
     val carried = l.unionByName(r)
+      .withColumn("_asof_ots", unix_micros(col(tsCol)))
       .withColumn("_pb", last(col("_asof_pay"), ignoreNulls = true).over(wb))
       .withColumn("_tb", last(col("_asof_rts"), ignoreNulls = true).over(wb))
       .withColumn("_pf", first(col("_asof_pay"), ignoreNulls = true).over(wf))
@@ -778,7 +783,7 @@ object Temporal {
     val withPay = carried.withColumn("_asof_sel", gated)
     payloadCols.foldLeft(withPay) { (d, p) =>
       d.withColumn(p, col("_asof_sel")(p))
-    }.drop("_asof_pay", "_asof_rts", "_asof_sel", "_side",
+    }.drop("_asof_pay", "_asof_rts", "_asof_sel", "_asof_ots", "_side",
       "_pb", "_tb", "_pf", "_tf", "_lts", "_db", "_df")
   }
 }

@@ -80,6 +80,22 @@ object Ivf {
     * assign/recompute) and keeps the per-iteration cost at exactly one
     * corpus pass.
     */
+  /** [[fit]] with `k` sized FOR THE CORPUS instead of fixed: k =
+    * max(4, n / targetCellSize). This is the scale knob that keeps
+    * [[knnGraph]]/[[hardNegatives]] linear — their candidate volume is
+    * ~nprobe·n²/k = nprobe·n·targetCellSize, so holding the CELL SIZE
+    * (not the cell count) constant holds per-vector work constant as
+    * the corpus grows. (Measured: a fixed k=16 at 10× corpus went 33×
+    * in wall-clock; cell-size-held fit stays ~linear — see the
+    * COVERAGE.md sf1.0 ledger.) Costs one count() over the corpus.
+    */
+  def fitForCellSize(df: DataFrame, idCol: String, vecCol: String,
+                     targetCellSize: Int = 128, iters: Int = 2): Index = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1: $targetCellSize")
+    val k = math.max(4L, df.count() / targetCellSize).toInt
+    fit(df, idCol, vecCol, k, iters)
+  }
+
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int = 16, iters: Int = 2): Index = {
     val spark = df.sparkSession

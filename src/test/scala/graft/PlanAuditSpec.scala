@@ -224,6 +224,88 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"global-window trap resurfaced:\n$plan")
   }
 
+  test("asofJoinDirected: both RANGE frames share ONE exchange on the key") {
+    val ev = Tables(spark, sfDir).events
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+    val right = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+      .withColumn("vts", col("ts"))
+    val plan = planOf(graft.core.Temporal.asofJoinDirected(left, right,
+      Seq("user_id"), "ts", Seq("view_id", "vts"),
+      graft.core.Temporal.AsofDirection.Nearest))
+    // all four carried columns must land in ONE Window operator over one
+    // user_id-only exchange (the fixture's right-side aggregate owns its
+    // own (user_id, ts) exchange — excluded by the single-key pattern)
+    val nWindow = plan.split("\\+- Window \\[").length - 1
+    assert(nWindow === 1, s"expected ONE fused Window operator, got $nWindow:\n$plan")
+    val singleKey = "Exchange hashpartitioning\\(user_id#\\d+L, \\d+\\)".r
+    val nExchange = singleKey.findAllIn(plan).length
+    assert(nExchange === 1,
+      s"expected one user_id-only exchange feeding both frames, got $nExchange:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("epochUpsample and blocklistFlags keep the corpus un-shuffled (broadcast-only joins)") {
+    val docs = Tables(spark, sfDir).documents
+    val upPlan = planOf(graft.llm.Sampling.epochUpsample(
+      docs, "doc_id", "source", Map("src0" -> 25000L)))
+    assert(upPlan.contains("BroadcastHashJoin") || upPlan.contains("BroadcastExchange"),
+      s"weights must broadcast:\n$upPlan")
+    assert(!upPlan.contains("SortMergeJoin") &&
+      !upPlan.contains("Exchange hashpartitioning"),
+      s"the corpus must not shuffle for an upsample:\n$upPlan")
+    val blPlan = planOf(graft.llm.TextAnalysis.blocklistFlags(
+      docs, "doc_id", "text", Seq("fast"), 300L))
+    assert(blPlan.contains("BroadcastHashJoin"),
+      s"the term table must broadcast:\n$blPlan")
+    assert(!blPlan.contains("BroadcastNestedLoopJoin") &&
+      !blPlan.contains("CartesianProduct"), blPlan)
+  }
+
+  test("knnGraph joins cells by shuffle — the corpus-sized probe side must NOT broadcast") {
+    val emb = Tables(spark, sfDir).embeddings
+    val index = graft.llm.Ivf.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = planOf(graft.llm.Ivf.knnGraph(
+      emb, index, "vec_id", "embedding", 3, nprobe = 2))
+    // nested loops allowed ONLY for k-row broadcast centroid attaches
+    // (every vector scores every centroid — centroids are always
+    // broadcastable): one in the probe side, one in the assignment
+    // lineage while its cache is unmaterialized. Anything more is real.
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the cell join: probe side shuffles (SMJ/shuffled-hash on cell) —
+    // a broadcast there would ship every vector to every task. AQE may
+    // pick broadcast at this toy SF; assert the non-AQE plan instead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val strict = planOf(graft.llm.Ivf.knnGraph(
+        emb, index, "vec_id", "embedding", 3, nprobe = 2))
+      assert(strict.contains("Exchange hashpartitioning(cell") ||
+        strict.contains("SortMergeJoin"),
+        s"cell join must be a shuffle join:\n$strict")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("sourceOverlap and bigramLogProb plan as equi joins only") {
+    val docs = Tables(spark, sfDir).documents
+    val ovPlan = planOf(graft.llm.Boilerplate.sourceOverlap(
+      docs, "doc_id", "source", "text"))
+    assert(!ovPlan.contains("BroadcastNestedLoopJoin") &&
+      !ovPlan.contains("CartesianProduct"), ovPlan)
+    val lpPlan = planOf(graft.llm.TextAnalysis.bigramLogProb(
+      docs, "doc_id", "text"))
+    // ONE 1-row cross allowed: the broadcast N attach (the accepted
+    // single-row pattern used by unigramLogProb/docFrequency)
+    assert(lpPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1, lpPlan)
+    assert(!lpPlan.contains("CartesianProduct"), lpPlan)
+  }
+
   test("shardPlan's position window rides the writer exchange: hash-partitioned by shard") {
     // the writer path: repartition(shard) + local sort must satisfy the
     // window, so exactly ONE exchange appears in the whole plan
