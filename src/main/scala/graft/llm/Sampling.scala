@@ -288,6 +288,23 @@ object Sampling {
       .format(format) // "json" = the JSONL shards training loaders eat
       .save(path)
 
+  /** Shard manifest — the dataset-card / reproducibility record for a
+    * [[writeShards]] export: one row per shard with its row count and
+    * an ORDER-INDEPENDENT content checksum (the sum of each member
+    * id's 16-bit hash bucket — exact integer, so any engine, any
+    * partitioning, and any row order reproduce it bit-for-bit; a
+    * changed/missing/extra id changes the sum with probability
+    * 1 − 2⁻¹⁶ per id). Verifying a delivered dataset = recompute the
+    * manifest from the shards and diff. One aggregate over the shard
+    * plan; no window, no sort.
+    */
+  def shardManifest(df: DataFrame, idCol: String, numShards: Int,
+                    seed: Long = 42L): DataFrame =
+    withShardKeys(df, idCol, numShards, seed)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(hashBucket(col(idCol))).as("id_hash_sum"))
+
   /** Epoch-weighted mixture materialization: replicate (or thin) each
     * domain to a target number of TRAINING EPOCHS, emitting one row per
     * (doc, epoch ordinal) — the "books ×2.5, web ×0.8" recipe dataset

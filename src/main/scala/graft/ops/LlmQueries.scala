@@ -1631,6 +1631,25 @@ object LlmQueries {
         .select("doc_id", "lang", "source").orderBy("doc_id")
     },
 
+    // ---- shard manifest (Sampling.shardManifest): per-shard row count
+    //      + order-independent id-hash-sum checksum — the delivered-
+    //      dataset verification record ----
+    "q_llm_shard_manifest" -> Q(
+      s"""WITH k AS (SELECT doc_id,
+         |  md5('42|' || CAST(doc_id AS VARCHAR)) AS sk FROM documents),
+         |s AS (SELECT doc_id,
+         |        ((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(sk, 4, 1)) - 1)) % 8 AS shard
+         |      FROM k)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(${duckBucket("doc_id")}) AS BIGINT) AS id_hash_sum
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.shardManifest(tb(s, dir).documents, "doc_id", 8, 42L)
+        .orderBy("shard")
+    },
+
     // ---- epoch-weighted mixture materialization (Sampling.epochUpsample):
     //      src0 ×2.5 epochs, src1 ×0.5, src2 ×1.25, everything else ×1 —
     //      one (doc, epoch) row per replica, fractional epochs by the

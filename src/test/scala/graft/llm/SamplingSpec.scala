@@ -255,6 +255,25 @@ class SamplingSpec extends SparkSpec {
     assert(lines.size.toLong === plan)
   }
 
+  test("shardManifest: counts cover the corpus; checksum detects a membership change") {
+    val docs = spark.range(500).selectExpr("id AS doc_id")
+    val m1 = Sampling.shardManifest(docs, "doc_id", 4, 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m1.values.map(_._1).sum === 500L)
+    assert(m1.keySet === Set(0L, 1L, 2L, 3L))
+    // same data, recomputed on a different layout → identical manifest
+    val m2 = Sampling.shardManifest(docs.repartition(7), "doc_id", 4, 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m2 === m1)
+    // drop one doc → exactly its shard's count and checksum change
+    val m3 = Sampling.shardManifest(docs.filter(col("doc_id") =!= 123L),
+        "doc_id", 4, 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val changed = m1.keySet.filter(k => m1(k) != m3(k))
+    assert(changed.size === 1)
+    assert(m1(changed.head)._1 - m3(changed.head)._1 === 1L)
+  }
+
   test("epochUpsample: whole copies for all, fractional copy by exact hash threshold") {
     val docs = spark.range(400)
       .selectExpr("id AS doc_id",
