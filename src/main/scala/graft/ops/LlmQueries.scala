@@ -719,6 +719,54 @@ object LlmQueries {
         .orderBy("token")
     },
 
+    // ---- streaming heavy-hitter top-k (streaming/TopKStream): CMS
+    //      grid + bounded candidate table maintained through a 3-way
+    //      split (cap 8 over a 31-word vocab forces real eviction);
+    //      the oracle unrolls the 3 rounds — cumulative grids, probe =
+    //      stored ∪ batch keys, keep-8 by (est desc, tok) ----
+    "q_stream_topk" -> Q({
+      def round(r: Int, prev: Option[String]): String = {
+        val probe = prev.fold(s"keys$r")(p =>
+          s"(SELECT tok FROM $p UNION SELECT tok FROM keys$r)")
+        s"""keys$r AS (SELECT DISTINCT t AS tok FROM toks WHERE doc_id % 3 = $r),
+           |ctr$r AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |          FROM cells WHERE doc_id % 3 <= $r GROUP BY seed, bucket),
+           |cand${r}_p AS (SELECT pr.tok, seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || pr.tok")} % 256 AS bucket
+           |        FROM $probe pr, seeds),
+           |cand$r AS (
+           |  SELECT tok, est FROM (
+           |    SELECT pe.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           |    FROM cand${r}_p pe LEFT JOIN ctr$r c USING (seed, bucket)
+           |    GROUP BY pe.tok)
+           |  ORDER BY est DESC, tok LIMIT 8)""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+         |              FROM documents),
+         |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+         |cells AS (SELECT doc_id, seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || t")} % 256 AS bucket
+         |          FROM toks, seeds),
+         |${round(0, None)},
+         |${round(1, Some("cand0"))},
+         |${round(2, Some("cand1"))}
+         |SELECT tok AS token, est FROM cand2
+         |ORDER BY est DESC, token LIMIT 5""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_topk_").toFile
+      tmp.deleteOnExit()
+      val (gridPath, candPath) = (s"${tmp.getPath}/grid", s"${tmp.getPath}/cand")
+      val toks = tb(s, dir).documents
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      (0 to 2).foreach { i =>
+        graft.streaming.TopKStream.applyBatch(
+          toks.filter(col("doc_id") % 3 === i).select("t"), "t",
+          gridPath, candPath, candidateCap = 8)
+      }
+      graft.streaming.TopKStream.topK(s, candPath, "t", 5)
+        .select(col("t").as("token"), col("est"))
+        .orderBy(col("est").desc, col("token"))
+    },
+
     // ---- rare-token (OOV-proxy) quality profile: corpus df ≤ 2 rows
     //      counted per doc, ratio in basis points by INTEGER division —
     //      no doubles anywhere, exact cross-engine compare ----
