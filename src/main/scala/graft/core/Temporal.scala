@@ -329,6 +329,48 @@ object Temporal {
         (col("_rus") - col("_lus")).as("gap_us"): _*)
   }
 
+  /** Interval OVERLAP join: pairs of half-open intervals [s, e) on the
+    * same keys that intersect (`s1 < e2 AND s2 < e1`) — the
+    * generalization of [[rangePairs]] from points to durations
+    * (sessions × incidents, visits × outages). The naive theta form
+    * plans BroadcastNestedLoop; here each interval explodes over the
+    * time bins it covers, candidates form by EQUI join on (keys, bin),
+    * and each true pair is emitted exactly ONCE from its canonical bin
+    * — the bin containing the overlap's start (max of the two starts),
+    * which both intervals necessarily cover. No dedup shuffle.
+    *
+    * Inputs: both frames carry (`idCol`, `startCol`, `endCol`) named
+    * per side + the key columns; timestamps compare in exact micros.
+    * `binSeconds` sizes the explode: an interval covers
+    * len/binSeconds + 1 bins, so set it near the typical interval
+    * length — the [[rangePairs]] sizing rule.
+    */
+  def intervalOverlapPairs(left: DataFrame, right: DataFrame,
+                           partitionCols: Seq[String],
+                           idColL: String, startColL: String, endColL: String,
+                           idColR: String, startColR: String, endColR: String,
+                           binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val g = binSeconds * 1000000L
+    def floorBin(c: String) =
+      s"($c div ${g}L) - (CASE WHEN $c % ${g}L < 0 THEN 1 ELSE 0 END)"
+    def binned(df: DataFrame, id: String, s: String, e: String,
+               su: String, eu: String) =
+      df.select(partitionCols.map(col) :+ col(id) :+
+          unix_micros(col(s)).as(su) :+ unix_micros(col(e)).as(eu): _*)
+        .filter(col(eu) > col(su)) // empty/negative intervals drop
+        .withColumn("_bin", explode(sequence(
+          expr(floorBin(su)), expr(floorBin(eu)))))
+    val l = binned(left, idColL, startColL, endColL, "_s1", "_e1")
+    val r = binned(right, idColR, startColR, endColR, "_s2", "_e2")
+    l.join(r, partitionCols :+ "_bin")
+      .filter(col("_s1") < col("_e2") && col("_s2") < col("_e1"))
+      .filter(expr(floorBin("greatest(_s1, _s2)")) === col("_bin"))
+      .select(partitionCols.map(col) :+ col(idColL) :+ col(idColR) :+
+        (least(col("_e1"), col("_e2")) -
+          greatest(col("_s1"), col("_s2"))).as("overlap_us"): _*)
+  }
+
   /** Slowly-changing-dimension Type-2 build: collapse an event-time
     * attribute stream into validity intervals — one row per (entity,
     * attribute run) with `eff_from` (first ts of the run), `eff_to`
@@ -674,6 +716,29 @@ object Temporal {
       .join(days, Seq("day"), "left_semi")
       .groupBy("day")
       .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
+
+  /** OHLC bars: per (entity, calendar bucket) the open / high / low /
+    * close of a value stream plus event count — the time-series
+    * downsampling behind every monitoring or market chart. Open/close
+    * are exact `min_by`/`max_by` over (epoch-micros, orderCol) —
+    * deterministic under timestamp ties — so the whole bar is ONE
+    * partial/final aggregate on (entity, bucket): no window, no sort,
+    * map-side combine does most of the work at scale.
+    */
+  def ohlcBars(events: DataFrame, entityCol: String, tsCol: String,
+               valueCol: String, orderCol: String,
+               bucket: String = "hour"): DataFrame = {
+    val key = struct(unix_micros(col(tsCol)), col(orderCol))
+    events
+      .withColumn("bucket", date_trunc(bucket, col(tsCol)))
+      .groupBy(col(entityCol), col("bucket"))
+      .agg(
+        min_by(col(valueCol), key).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), key).as("close"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Time-window event dedup (debounce): keep an event iff the previous

@@ -676,6 +676,68 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- interval OVERLAP join (Temporal.intervalOverlapPairs):
+    //      click-derived intervals × error-derived intervals per user,
+    //      intervals from integer-exact event arithmetic; binned equi
+    //      join, each pair once from its canonical bin — the oracle is
+    //      the naive theta join ----
+    "q_evt_interval_overlap" -> Q(
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS s1,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7200 + 60) * 1000000 AS e1
+        |           FROM events WHERE event_type = 'click'),
+        |x AS (SELECT user_id, event_id AS error_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS s2,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 3600 + 60) * 1000000 AS e2
+        |      FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, c.click_id, x.error_id,
+        |       CAST(least(c.e1, x.e2) - greatest(c.s1, x.s2) AS BIGINT) AS overlap_us
+        |FROM c JOIN x ON c.user_id = x.user_id AND c.s1 < x.e2 AND x.s2 < c.e1
+        |ORDER BY click_id, error_id""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cs"),
+          (col("ts") + expr("make_interval(0,0,0,0,0,0, event_id % 7200 + 60)")).as("ce"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("es"),
+          (col("ts") + expr("make_interval(0,0,0,0,0,0, event_id % 3600 + 60)")).as("ee"))
+      graft.core.Temporal.intervalOverlapPairs(clicks, errors,
+          Seq("user_id"), "click_id", "cs", "ce", "error_id", "es", "ee",
+          binSeconds = 3600L)
+        .orderBy("click_id", "error_id")
+    },
+
+    // ---- OHLC bars (Temporal.ohlcBars): per-user daily open/high/low/
+    //      close of the event value stream — one partial/final
+    //      aggregate, open/close by exact (ts, id) min_by/max_by ----
+    "q_evt_ohlc" -> Q(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |           FROM events),
+        |r AS (SELECT user_id, date_trunc('day', ts) AS bucket, value,
+        |        row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |          ORDER BY epoch_us(ts), event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_z
+        |      FROM e)
+        |SELECT user_id, bucket,
+        |       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        |       round(max(value), 6) AS high,
+        |       round(min(value), 6) AS low,
+        |       round(max(CASE WHEN rn_z = 1 THEN value END), 6) AS close,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.ohlcBars(tb(s, dir).events, "user_id", "ts",
+          "value", "event_id", bucket = "day")
+        .select(col("user_id"), col("bucket"),
+          round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+          col("n_events"))
+        .orderBy("user_id", "bucket")
+    },
+
     // ---- time-window event dedup (Temporal.dedupWithin): suppress a
     //      (user, type) event if the previous one is <= 1h older — the
     //      telemetry debounce; identical to keeping each gap-session's

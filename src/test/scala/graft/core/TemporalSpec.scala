@@ -46,6 +46,49 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[String]("w") === "y")
   }
 
+  test("ohlcBars: open/close by exact (ts, id) order, high/low exact, per bucket") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 09:00:00"), 5.0),
+      (2L, 7L, ts("2024-01-01 10:00:00"), 9.0),   // high
+      (3L, 7L, ts("2024-01-01 11:00:00"), 1.0),   // low
+      (4L, 7L, ts("2024-01-01 23:59:59"), 4.0),   // close of day 1
+      (5L, 7L, ts("2024-01-02 00:00:01"), 2.0),   // next bucket
+      (6L, 8L, ts("2024-01-01 09:00:00"), 3.0),   // tie ts with id 7 below
+      (7L, 8L, ts("2024-01-01 09:00:00"), 8.0))   // same ts, higher id → close
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.core.Temporal.ohlcBars(ev, "user_id", "ts", "value",
+        "event_id", bucket = "day")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(out((7L, "2024-01-01 00:00:00.0")) === ((5.0, 9.0, 1.0, 4.0, 4L)))
+    assert(out((7L, "2024-01-02 00:00:00.0")) === ((2.0, 2.0, 2.0, 2.0, 1L)))
+    // exact-ts tie: open = lower id (6 → 3.0), close = higher id (7 → 8.0)
+    assert(out((8L, "2024-01-01 00:00:00.0")) === ((3.0, 8.0, 3.0, 8.0, 2L)))
+  }
+
+  test("intervalOverlapPairs: overlaps found across bins, each exactly once") {
+    def iv(id: Long, u: Long, s: String, e: String) = (id, u, ts(s), ts(e))
+    val left = Seq(
+      iv(1L, 7L, "2024-01-01 10:00:00", "2024-01-01 13:00:00"),  // 3h — spans bins
+      iv(2L, 7L, "2024-01-01 15:00:00", "2024-01-01 15:30:00"),
+      iv(3L, 8L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("lid", "user_id", "ls", "le")
+    val right = Seq(
+      iv(10L, 7L, "2024-01-01 12:30:00", "2024-01-01 14:00:00"), // overlaps 1 (30min)
+      iv(11L, 7L, "2024-01-01 13:00:00", "2024-01-01 13:10:00"), // touches 1's end → no (half-open)
+      iv(12L, 7L, "2024-01-01 15:10:00", "2024-01-01 15:20:00"), // inside 2
+      iv(13L, 9L, "2024-01-01 10:30:00", "2024-01-01 10:40:00")) // other user
+      .toDF("rid", "user_id", "rs", "re")
+    val out = graft.core.Temporal.intervalOverlapPairs(left, right,
+        Seq("user_id"), "lid", "ls", "le", "rid", "rs", "re",
+        binSeconds = 3600L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(out === Map(
+      (1L, 10L) -> (30L * 60 * 1000000),
+      (2L, 12L) -> (10L * 60 * 1000000)))
+  }
+
   test("dedupWithin: keeps each gap-burst's first event, ties collapse to lowest id") {
     val ev = Seq(
       (1L, 7L, "c", ts("2024-01-01 10:00:00")),  // burst start → keep
