@@ -279,6 +279,40 @@ object Temporal {
         attr(lp, tsCol), attr(rp, tsCol), payloadCols.map(attr(rp, _))))
   }
 
+  /** The custom-operator face of [[asofJoinDirected]]: the same
+    * AsofJoinExec merge scan, with direction and tolerance pushed into
+    * the operator (the forward candidate is the scan's lookahead row —
+    * no second pass, no union padding, no window buffer). Semantics
+    * match [[asofJoinDirected]] bit-for-bit; same contracts as
+    * [[asofJoinNative]].
+    */
+  def asofJoinNativeDirected(left: DataFrame, right: DataFrame,
+                             partitionCols: Seq[String], tsCol: String,
+                             payloadCols: Seq[String],
+                             direction: AsofDirection,
+                             toleranceMicros: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val lp = PlanBridge.plan(left)
+    val rp0 = PlanBridge.plan(right)
+    val aliased = rp0.output.map(a => Alias(a, a.name)())
+    val rp = Project(aliased, rp0)
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val dir = direction match {
+      case AsofDirection.Backward => "backward"
+      case AsofDirection.Forward  => "forward"
+      case AsofDirection.Nearest  => "nearest"
+    }
+    PlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsofJoinPlan.resolved(lp, rp,
+        partitionCols.map(attr(lp, _)), partitionCols.map(attr(rp, _)),
+        attr(lp, tsCol), attr(rp, tsCol), payloadCols.map(attr(rp, _)),
+        dir, toleranceMicros))
+  }
+
   /** Bounded range join as an EQUI join: pairs (left, right) sharing
     * the partition keys with `0 < right.ts - left.ts <= gapSeconds`,
     * returned as narrow id pairs plus the exact gap in microseconds.

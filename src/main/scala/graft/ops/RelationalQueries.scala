@@ -785,6 +785,74 @@ object RelationalQueries {
         .orderBy("purchase_id")
     },
 
+    // ---- the FORWARD as-of through the CUSTOM OPERATOR tier (the same
+    //      AsofJoinExec merge scan — the forward candidate is the
+    //      scan's lookahead row); identical oracle to q_evt_asof_fwd ----
+    "q_evt_asof_native_fwd" -> Q(
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.purchase_id, p.user_id, p.pts, v.view_id, v.vts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts <= v.vts
+        |ORDER BY p.purchase_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val ev = tb(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vts", col("ts"))
+      graft.core.Temporal.asofJoinNativeDirected(purchases, views,
+          Seq("user_id"), "ts", Seq("view_id", "vts"),
+          graft.core.Temporal.AsofDirection.Forward)
+        .select(col("purchase_id"), col("user_id"), col("ts").as("pts"),
+          col("view_id"), col("vts"))
+        .orderBy("purchase_id")
+    },
+
+    // ---- NEAREST as-of with tolerance through the custom tier —
+    //      identical oracle to q_evt_asof_nearest ----
+    "q_evt_asof_native_nearest" -> Q(
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |b AS (SELECT p.purchase_id, v.view_id AS bid, v.vts AS bts
+        |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts >= v.vts),
+        |f AS (SELECT p.purchase_id, v.view_id AS fid, v.vts AS fts
+        |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.pts <= v.vts),
+        |sel AS (
+        |  SELECT p.purchase_id, p.user_id, p.pts,
+        |         CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+        |                epoch_us(p.pts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.pts))
+        |              THEN bid ELSE fid END AS view_id,
+        |         CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+        |                epoch_us(p.pts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.pts))
+        |              THEN bts ELSE fts END AS vts
+        |  FROM p JOIN b USING (purchase_id) JOIN f USING (purchase_id))
+        |SELECT purchase_id, user_id, pts,
+        |       CASE WHEN abs(epoch_us(vts) - epoch_us(pts)) <= 172800000000 THEN view_id END AS view_id,
+        |       CASE WHEN abs(epoch_us(vts) - epoch_us(pts)) <= 172800000000 THEN vts END AS vts
+        |FROM sel ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val ev = tb(s, dir).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+        .withColumn("vts", col("ts"))
+      graft.core.Temporal.asofJoinNativeDirected(purchases, views,
+          Seq("user_id"), "ts", Seq("view_id", "vts"),
+          graft.core.Temporal.AsofDirection.Nearest,
+          toleranceMicros = Some(172800000000L))
+        .select(col("purchase_id"), col("user_id"), col("ts").as("pts"),
+          col("view_id"), col("vts"))
+        .orderBy("purchase_id")
+    },
+
     // ---- NEAREST as-of with tolerance (merge_asof direction='nearest',
     //      tolerance=2 days): closer of the backward/forward views, ties
     //      backward, match rejected past the tolerance. The oracle runs

@@ -30,13 +30,25 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * sort order wins deterministically only if the sort is total. Null
   * timestamps: right rows with null ts never match; left rows with null
   * ts get null payloads.
+  *
+  * `direction` extends the scan to the full merge_asof surface with no
+  * extra passes: the SAME forward merge keeps the latest-prior row
+  * (backward candidate) while the unconsumed lookahead row IS the
+  * earliest at-or-after row (forward candidate — a timestamp tie is
+  * consumed into the held row and recognized by `heldTs == lTs`);
+  * nearest picks the smaller integer-micros delta, exact ties backward.
+  * `toleranceMicros` nulls the payload when the chosen match is farther
+  * — matching [[graft.core.Temporal.asofJoinDirected]] bit-for-bit
+  * (AsofJoinSpec asserts randomized parity for every direction).
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute],
-    payloadOut: Seq[Attribute]) extends BinaryNode {
+    payloadOut: Seq[Attribute],
+    direction: String = "backward",
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -53,16 +65,23 @@ object AsofJoinPlan {
   /** Build with fresh, nullable output attributes for the payload
     * (unmatched left rows carry nulls).
     */
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+
   def resolved(left: LogicalPlan, right: LogicalPlan,
                leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                leftTs: Attribute, rightTs: Attribute,
-               payload: Seq[Attribute]): AsofJoinPlan = {
+               payload: Seq[Attribute],
+               direction: String = "backward",
+               toleranceMicros: Option[Long] = None): AsofJoinPlan = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     Seq(leftTs, rightTs).foreach(a => require(
       a.dataType == TimestampType || a.dataType == LongType,
       s"as-of ts column ${a.name} must be timestamp or long, got ${a.dataType}"))
+    require(Directions.contains(direction), s"unknown direction: $direction")
+    require(toleranceMicros.forall(_ >= 0), "tolerance must be non-negative")
     AsofJoinPlan(left, right, leftKeys, rightKeys, leftTs, rightTs, payload,
-      payload.map(a => a.withNullability(true).newInstance()))
+      payload.map(a => a.withNullability(true).newInstance()),
+      direction, toleranceMicros)
   }
 }
 
@@ -71,7 +90,8 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsofJoinPlan =>
       AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
-        p.payload, p.payloadOut, planLater(p.left), planLater(p.right)) :: Nil
+        p.payload, p.payloadOut, planLater(p.left), planLater(p.right),
+        p.direction, p.toleranceMicros) :: Nil
     case _ => Nil
   }
 }
@@ -80,7 +100,9 @@ case class AsofJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], payloadOut: Seq[Attribute],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    direction: String = "backward",
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
@@ -106,6 +128,13 @@ case class AsofJoinExec(
     val rKeysLocal = rightKeys
     val payloadLocal = payload
     val rWidth = rOut.size
+    // 0 = backward, 1 = forward, 2 = nearest — resolved once, not per row
+    val dir = direction match {
+      case "backward" => 0
+      case "forward" => 1
+      case _ => 2
+    }
+    val tol = toleranceMicros.getOrElse(Long.MaxValue)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysLocal, lOut)
@@ -131,6 +160,7 @@ case class AsofJoinExec(
         // held = latest right row with ts <= current left ts, same key
         private var held: InternalRow = _
         private var heldKey: UnsafeRow = _
+        private var heldTs = 0L
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -160,13 +190,36 @@ case class AsofJoinExec(
             // can never match — discard so they don't stall the scan
             if (kc < 0 || (kc == 0 && nextRTsNull)) advanceRight()
             else if (kc == 0 && !lTsNull && nextRTs <= lTs) {
-              held = nextR; heldKey = nextRKey
+              held = nextR; heldKey = nextRKey; heldTs = nextRTs
               advanceRight()
             } else continue = false
             if (nextR == null) continue = false
           }
-          val matched = held != null && !lTsNull
-          outProj(joined(lRow, if (matched) held else nullRight))
+          // candidates: backward = the held row (ties at lTs included —
+          // the <= consume above just took them); forward = the tied
+          // held row if any, else the unconsumed nextR on the same key
+          // (right ascending ⇒ it IS the earliest row with ts > lTs)
+          val backOk = held != null && !lTsNull
+          val backDelta = if (backOk) lTs - heldTs else Long.MaxValue
+          val fwdTie = backOk && heldTs == lTs
+          val fwdNext = !lTsNull && nextR != null &&
+            keyOrd.compare(nextRKey, lKey) == 0
+          val fwdRow: InternalRow =
+            if (fwdTie) held else if (fwdNext) nextR else null
+          val fwdDelta =
+            if (fwdTie) 0L
+            else if (fwdNext) nextRTs - lTs
+            else Long.MaxValue
+          val (row, delta) = dir match {
+            case 0 => (if (backOk) held else null, backDelta)
+            case 1 => (fwdRow, fwdDelta)
+            case _ => // nearest: exact ties go backward
+              if (fwdRow == null || (backOk && backDelta <= fwdDelta))
+                (if (backOk) held else null, backDelta)
+              else (fwdRow, fwdDelta)
+          }
+          val matched = row != null && delta <= tol
+          outProj(joined(lRow, if (matched) row else nullRight))
         }
       }
     }

@@ -37,6 +37,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(collect(native) === collect(window), s"left=$ls right=$rs")
   }
 
+  test("directed native faces match asofJoinDirected on random data, all directions") {
+    GraftExtensions.register(spark)
+    val gen = for {
+      nl <- Gen.chooseNum(1, 40)
+      nr <- Gen.chooseNum(0, 40)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 500L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 500L)))
+    } yield (ls.zipWithIndex, rs.distinct)
+    val (ls, rs) = sampleOne(gen)
+    val left = ls.map { case ((u, t), i) => (i.toLong, u, ts(t)) }
+      .toDF("l_id", "user_id", "ts")
+    val right = rs.map { case (u, t) => (u, ts(t), t) }
+      .toDF("user_id", "ts", "r_sec")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    for (d <- Seq(Temporal.AsofDirection.Backward,
+        Temporal.AsofDirection.Forward, Temporal.AsofDirection.Nearest);
+        tol <- Seq(None, Some(60L * 1000000))) {
+      val native = Temporal.asofJoinNativeDirected(left, right,
+        Seq("user_id"), "ts", Seq("r_sec"), d, tol)
+      val window = Temporal.asofJoinDirected(left, right,
+        Seq("user_id"), "ts", Seq("r_sec"), d, tol)
+      assert(collect(native) === collect(window),
+        s"direction=$d tol=$tol left=$ls right=$rs")
+    }
+  }
+
   test("native as-of join plans as AsofJoinExec with no Window") {
     GraftExtensions.register(spark)
     val left = Seq((1L, 7L, ts(100))).toDF("l_id", "user_id", "ts")
