@@ -42,6 +42,34 @@ object IncrementalAgg {
     merged.withColumn(as,
       when(col(countCol) > 0, col(sumCol) / col(countCol)))
 
+  /** Order statistics (FIRST/LAST by an order key — the OHLC open/close
+    * shape) as mergeable state: the measure is carried as
+    * `min(struct(orderCols..., value))` / `max(struct(...))` — struct
+    * ordering is lexicographic, so the struct min IS the value at the
+    * minimal order key, and struct min/max are monoids: partials from
+    * any sharding merge to the one-shot answer exactly. Use
+    * [[firstLastPartial]] per batch, [[mergePartials]] with the struct
+    * columns in min/max position, then [[deriveFirstLast]] to unwrap.
+    */
+  def firstLastPartial(df: DataFrame, keys: Seq[String],
+                       orderCols: Seq[String], valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "order columns required")
+    val key = struct((orderCols :+ valueCol).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(key).as("first_s"), max(key).as("last_s"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Unwrap merged [[firstLastPartial]] structs to plain first/last
+    * value columns.
+    */
+  def deriveFirstLast(merged: DataFrame, valueCol: String): DataFrame =
+    merged
+      .withColumn("first_val", col("first_s").getField(valueCol))
+      .withColumn("last_val", col("last_s").getField(valueCol))
+      .drop("first_s", "last_s")
+
   /** COUNT(DISTINCT) as mergeable state: per-key Datasketches HLL
     * sketches (`hll_sketch_agg`) — the distinct-count member of the
     * monoid family above, for the one aggregate that has NO algebraic

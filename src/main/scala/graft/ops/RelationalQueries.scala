@@ -1176,6 +1176,46 @@ object RelationalQueries {
         .orderBy("priority")
     },
 
+    // ---- mergeable OHLC state (IncrementalAgg.firstLastPartial):
+    //      open/close carried as struct min/max monoids — two
+    //      event-parity shards merge to the exact one-shot bars ----
+    "q_incr_ohlc" -> Q(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |           FROM events),
+        |r AS (SELECT user_id, date_trunc('day', ts) AS bucket, value,
+        |        row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |          ORDER BY epoch_us(ts), event_id) AS rn_a,
+        |        row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_z
+        |      FROM e)
+        |SELECT user_id, bucket,
+        |       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        |       round(max(value), 6) AS high,
+        |       round(min(value), 6) AS low,
+        |       round(max(CASE WHEN rn_z = 1 THEN value END), 6) AS close,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY user_id, bucket
+        |ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+        .withColumn("bucket", date_trunc("day", col("ts")))
+        .withColumn("tsu", unix_micros(col("ts")))
+      def part(pred: org.apache.spark.sql.Column) =
+        graft.core.IncrementalAgg.firstLastPartial(ev.filter(pred),
+          Seq("user_id", "bucket"), Seq("tsu", "event_id"), "value")
+      val merged = graft.core.IncrementalAgg.mergePartials(
+        part(col("event_id") % 2 === 0), part(col("event_id") % 2 === 1),
+        keys = Seq("user_id", "bucket"), sumCols = Seq("n"),
+        minCols = Seq("first_s", "lo"), maxCols = Seq("last_s", "hi"))
+      graft.core.IncrementalAgg.deriveFirstLast(merged, "value")
+        .select(col("user_id"), col("bucket"),
+          round(col("first_val"), 6).as("open"),
+          round(col("hi"), 6).as("high"),
+          round(col("lo"), 6).as("low"),
+          round(col("last_val"), 6).as("close"),
+          col("n"))
+        .orderBy("user_id", "bucket")
+    },
+
     // ---- mergeable distinct-count state (IncrementalAgg.hllPartial/
     //      hllMergeEstimate): per-status HLL sketches built on two
     //      custkey-parity shards and unioned. Dense-mode union is NOT

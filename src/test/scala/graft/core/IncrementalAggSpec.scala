@@ -30,6 +30,34 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 10.0, Some(5.0)), ("z", 0L, 0.0, None)))
   }
 
+  test("first/last partials: struct min/max monoids merge to the one-shot answer") {
+    val rows = Seq(
+      ("a", 10L, 1L, 5.0),   // first of a (ts 10, id 1)
+      ("a", 10L, 2L, 7.0),   // same ts, higher id
+      ("a", 30L, 3L, 2.0),   // last of a
+      ("b", 5L, 4L, 9.0))    // single-shard-only key
+      .toDF("k", "tsu", "id", "v")
+    def unwrap(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.deriveFirstLast(df, "v")
+        .collect().map(r => r.getAs[String]("k") ->
+          ((r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n"),
+            r.getAs[Double]("first_val"), r.getAs[Double]("last_val")))).toMap
+    // shard by id parity; key b lands entirely in one shard
+    val pa = IncrementalAgg.firstLastPartial(rows.filter($"id" % 2 === 0),
+      Seq("k"), Seq("tsu", "id"), "v")
+    val pb = IncrementalAgg.firstLastPartial(rows.filter($"id" % 2 === 1),
+      Seq("k"), Seq("tsu", "id"), "v")
+    val merged = unwrap(IncrementalAgg.mergePartials(pa, pb,
+      keys = Seq("k"), sumCols = Seq("n"),
+      minCols = Seq("first_s", "lo"), maxCols = Seq("last_s", "hi")))
+    val oneShot = unwrap(IncrementalAgg.firstLastPartial(rows,
+      Seq("k"), Seq("tsu", "id"), "v"))
+    assert(merged === oneShot)
+    // (lo, hi, n, first, last): first of a = 5.0 (ts 10 id 1), last = 2.0
+    assert(merged("a") === ((2.0, 7.0, 3L, 5.0, 2.0)))
+    assert(merged("b") === ((9.0, 9.0, 1L, 9.0, 9.0)))
+  }
+
   test("hll partials: merged shards estimate identically to one-shot, exact when sparse") {
     val rows = (1 to 400).map(i => ("g" + i % 2, (i % 97).toLong))
       .toDF("k", "v")
