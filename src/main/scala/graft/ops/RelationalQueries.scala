@@ -1298,6 +1298,35 @@ object RelationalQueries {
         t.customer.filter(col("c_custkey") % 3 =!= 0), "c_custkey")
     },
 
+    // ---- distribution-drift PSI (Profile.psiDrift): per-source
+    //      Population Stability Index of n_chars vs the corpus baseline
+    //      — integer-exact equal-width bins, add-one smoothing, one ln
+    //      after exact counts (round-6 compare convention) ----
+    "q_quality_psi" -> Q(
+      """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+        |w AS (SELECT mn, greatest(1, (mx - mn + 10) // 10) AS w FROM b),
+        |bn AS (SELECT source, least((n_chars - w.mn) // w.w, 9) AS bin FROM documents, w),
+        |basen AS (SELECT count(*) AS nb FROM bn),
+        |base AS (SELECT bin, count(*) AS cb FROM bn GROUP BY bin),
+        |gn AS (SELECT source, count(*) AS ng FROM bn GROUP BY source),
+        |grid AS (SELECT g.source, g.ng, r.bin
+        |         FROM gn g, (SELECT unnest(range(0, 10)) AS bin) r),
+        |grp AS (SELECT source, bin, count(*) AS cg FROM bn GROUP BY source, bin)
+        |SELECT grid.source, CAST(max(grid.ng) AS BIGINT) AS n_rows,
+        |       round(sum(
+        |         ((coalesce(grp.cg, 0) + 1) / CAST(grid.ng + 10 AS DOUBLE)
+        |          - (coalesce(base.cb, 0) + 1) / CAST(basen.nb + 10 AS DOUBLE))
+        |         * ln(((coalesce(grp.cg, 0) + 1) / CAST(grid.ng + 10 AS DOUBLE))
+        |              / ((coalesce(base.cb, 0) + 1) / CAST(basen.nb + 10 AS DOUBLE)))), 6) AS psi
+        |FROM grid LEFT JOIN grp ON grp.source = grid.source AND grp.bin = grid.bin
+        |LEFT JOIN base ON base.bin = grid.bin, basen
+        |GROUP BY grid.source ORDER BY grid.source""".stripMargin) { (s, dir) =>
+      graft.reports.Profile.psiDrift(tb(s, dir).documents, "source",
+          "n_chars", nBins = 10)
+        .select(col("source"), col("n_rows"), col("psi"))
+        .orderBy("source")
+    },
+
     // ---- SCD Type-2 dimension build (Temporal.scd2): event_type runs
     //      per user collapsed into validity intervals (Kimball SCD2
     //      derived from raw events). Two windows, one Exchange. ----

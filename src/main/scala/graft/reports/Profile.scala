@@ -130,4 +130,63 @@ object Profile {
           expr("n_orphans * 10000 div (n_child - n_null_fk)"))
           .otherwise(lit(0L)).as("orphan_bp"))
   }
+
+  /** Distribution-drift detection: the Population Stability Index of an
+    * integer column, per group vs the WHOLE-CORPUS baseline —
+    * PSI = Σ_bins (q_i − p_i)·ln(q_i / p_i), the monitoring metric that
+    * flags a source whose length/score distribution has shifted (rule
+    * of thumb: < 0.1 stable, > 0.25 investigate). Bins are equal-width
+    * over the corpus min..max in EXACT integer arithmetic (width =
+    * (mx − mn + nBins) div nBins, clamped top bin), shares are add-one
+    * smoothed so empty bins stay finite, and the one ln()/divide
+    * happens after exact integer counts — compare after round(, 6), the
+    * [[graft.llm.TextAnalysis.unigramLogProb]] convention.
+    *
+    * Shape: two aggregates over the binned corpus (corpus-wide + per
+    * group), a groups×nBins grid join (tiny), broadcast scalars — the
+    * corpus is scanned once, shuffled only by the groupBy.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val bounds = df.agg(
+      min(col(valueCol)).cast("long").as("_mn"),
+      max(col(valueCol)).cast("long").as("_mx"))
+    val binned = df
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("_w",
+        expr(s"greatest(1L, (_mx - _mn + $nBins) div ${nBins}L)"))
+      .withColumn("bin",
+        least(expr("(_v - _mn) div _w"), lit(nBins - 1L)))
+    val baseN = binned.agg(count(lit(1)).as("_n_base"))
+    val base = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("_cb"))
+    val grpN = binned.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n_grp"))
+    val grid = grpN.crossJoin(broadcast(spark_range(df, nBins)))
+    val grp = binned.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("_cg"))
+    grid
+      .join(grp, Seq(groupCol, "bin"), "left")
+      .na.fill(0L, Seq("_cg"))
+      .join(broadcast(base), Seq("bin"), "left")
+      .na.fill(0L, Seq("_cb"))
+      .crossJoin(broadcast(baseN))
+      .withColumn("_p",
+        (col("_cb") + 1).cast("double") / (col("_n_base") + nBins))
+      .withColumn("_q",
+        (col("_cg") + 1).cast("double") / (col("_n_grp") + nBins))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n_grp")).as("n_rows"),
+        round(sum((col("_q") - col("_p")) * log(col("_q") / col("_p"))), 6)
+          .as("psi"))
+  }
+
+  // small helper: a one-column 0..n-1 frame on df's session (the bin grid)
+  private def spark_range(df: DataFrame, n: Int) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0L until n.toLong).toDF("bin")
+  }
 }

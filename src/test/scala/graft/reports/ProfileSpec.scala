@@ -60,6 +60,23 @@ class ProfileSpec extends SparkSpec {
       ("id", "det", 5L, 0L, true)))
   }
 
+  test("psiDrift: identical distribution scores ~0, shifted distribution scores high") {
+    // the baseline is the BLENDED corpus, so the drifted group is kept
+    // small — big stable groups then sit close to the baseline while
+    // the concentrated group diverges
+    val rows =
+      (1 to 50).map(i => ("same", (i % 10) * 10L)) ++
+      (1 to 50).map(i => ("alsoSame", (i % 10) * 10L)) ++
+      (1 to 5).map(_ => ("hi", 95L))
+    val df = rows.toDF("src", "v")
+    val psi = Profile.psiDrift(df, "src", "v", nBins = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psi("hi") > 0.3, s"shifted group must flag: ${psi("hi")}")
+    assert(psi("same") < 0.1 && psi("alsoSame") < 0.1,
+      s"stable groups must not: $psi")
+    assert(psi("same") < psi("hi") && psi("alsoSame") < psi("hi"))
+  }
+
   test("fkOrphans: orphans vs null FKs counted separately, basis points exact") {
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(2L))
       .toDF("fk")
