@@ -757,8 +757,11 @@ object Temporal {
     * downsampling behind every monitoring or market chart. Open/close
     * are exact `min_by`/`max_by` over (epoch-micros, orderCol) —
     * deterministic under timestamp ties — so the whole bar is ONE
-    * partial/final aggregate on (entity, bucket): no window, no sort,
-    * map-side combine does most of the work at scale.
+    * partial/final aggregate on (entity, bucket): no window, no join,
+    * map-side combine before the single exchange. (min_by with a
+    * struct ordering key plans as SortAggregate — sort-based rather
+    * than hashed, but still partial+final; PlanAuditSpec pins the
+    * shape.)
     */
   def ohlcBars(events: DataFrame, entityCol: String, tsCol: String,
                valueCol: String, orderCol: String,

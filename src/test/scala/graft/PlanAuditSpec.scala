@@ -306,6 +306,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!lpPlan.contains("CartesianProduct"), lpPlan)
   }
 
+  test("intervalOverlapPairs and dedupWithin never plan a nested loop") {
+    import spark.implicits._
+    val mkIv = (u: Long, id: Long, s: Long, e: Long) =>
+      (id, u, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000))
+    val l = Seq(mkIv(1, 1, 100, 200)).toDF("lid", "user_id", "ls", "le")
+    val r = Seq(mkIv(1, 2, 150, 250)).toDF("rid", "user_id", "rs", "re")
+    val ovPlan = planOf(graft.core.Temporal.intervalOverlapPairs(l, r,
+      Seq("user_id"), "lid", "ls", "le", "rid", "rs", "re", 60L))
+    assert(!ovPlan.contains("BroadcastNestedLoopJoin") &&
+      !ovPlan.contains("CartesianProduct"),
+      s"the theta form resurfaced:\n$ovPlan")
+    val ev = Tables(spark, sfDir).events
+      .select("event_id", "user_id", "event_type", "ts")
+    val ddPlan = planOf(graft.core.Temporal.dedupWithin(ev,
+      Seq("user_id", "event_type"), "ts", "event_id", 3600L))
+    assert(!ddPlan.contains("BroadcastNestedLoopJoin"), ddPlan)
+    // exactly one exchange: the key-partition window
+    assert(ddPlan.split("Exchange hashpartitioning").length - 1 === 1, ddPlan)
+  }
+
+  test("ohlcBars is ONE partial/final aggregate — no window, no join") {
+    val ev = Tables(spark, sfDir).events
+    val plan = planOf(graft.core.Temporal.ohlcBars(ev, "user_id", "ts",
+      "value", "event_id", "day"))
+    assert(!plan.contains("Window"), s"bars must not window:\n$plan")
+    assert(!plan.contains("Join"), s"bars must not join:\n$plan")
+    // min_by with a struct ordering key plans sort-based, but still as
+    // ONE partial/final aggregate pair over ONE exchange — map-side
+    // combine happens (partial_min_by before the shuffle)
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    assert(plan.contains("partial_min_by"),
+      s"map-side combine missing:\n$plan")
+  }
+
+  test("BPE pair selection shuffles the VOCAB frame, never the corpus again") {
+    val docs = Tables(spark, sfDir).documents
+    val words = graft.llm.Bpe.wordCounts(docs, "text")
+      .withColumn("toks", graft.llm.Bpe.charTokens(col("word")))
+      .localCheckpoint()
+    // after the checkpoint the round's plan must not reference the
+    // documents scan at all — rounds run on the vocab frame alone
+    val roundPlan = planOf(words
+      .select(col("wcount"), explode_outer(col("toks")).as("t")))
+    assert(!roundPlan.contains("FileScan"),
+      s"a BPE round re-scanned the corpus:\n$roundPlan")
+  }
+
   test("shardPlan's position window rides the writer exchange: hash-partitioned by shard") {
     // the writer path: repartition(shard) + local sort must satisfy the
     // window, so exactly ONE exchange appears in the whole plan
