@@ -183,4 +183,49 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
   }
+
+  /** Retrieval-quality evaluation: per-query recall@k of an approximate
+    * result set against the exact one — the metric every ANN knob
+    * (nprobe, tables, cell size) is tuned by. Both inputs are
+    * (q_id, c_id, rn) top-k frames (any of [[cosineTopK]] /
+    * [[annTopKLsh]] / Ivf.topK / Ivf.knnGraph); rows beyond `k` are
+    * ignored so differently-sized frames compare fairly. Exact
+    * integers: hits / k in basis points. One semi-join + two counts.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ex = exact.filter(col("rn") <= k).select("q_id", "c_id")
+    val ap = approx.filter(col("rn") <= k).select("q_id", "c_id")
+    val hits = ap.join(ex, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    val truth = ex.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+    truth.join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("n_hits"), col("n_true"),
+        expr("n_hits * 10000 div n_true").as("recall_bp"))
+  }
+
+  /** Reciprocal-rank fusion of any number of ranked lists — the
+    * standard way to combine lexical (BM25) and vector (ANN) retrieval
+    * without score calibration: fused(d) = Σ_lists 1/(k0 + rank_d),
+    * missing-from-a-list contributes nothing. Inputs are (q_id, c_id,
+    * rn) frames; `k0` = 60 is the RRF constant from the original
+    * Cormack et al. formulation. Reciprocals are held as EXACT integers
+    * in pico-units (`10¹² div (k0 + rank)` — a floating sum's value
+    * would depend on partial-aggregation order), so the fused score and
+    * its ranking are bit-identical on any engine and any partitioning.
+    * Output ranked per query (score desc, c_id asc).
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "no lists to fuse")
+    val contrib = lists
+      .map(_.select(col("q_id"), col("c_id"),
+        expr(s"1000000000000L div (${k0}L + rn)").as("_c")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf_pico").desc, col("c_id").asc)
+    contrib.groupBy("q_id", "c_id")
+      .agg(sum(col("_c")).as("rrf_pico"))
+      .withColumn("fused_rank", row_number().over(w))
+  }
 }

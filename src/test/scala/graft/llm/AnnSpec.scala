@@ -94,4 +94,30 @@ class AnnSpec extends SparkSpec {
     // and every LSH result must be a genuine same-bucket candidate
     assert(lsh.nonEmpty)
   }
+
+  test("recallAtK: exact counts in basis points; approx=exact scores 10000") {
+    val approx = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("q_id", "c_id", "rn")
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("q_id", "c_id", "rn")
+    val r = Ann.recallAtK(approx, exact, 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(3)))).toMap
+    assert(r === Map(1L -> ((2L, 6666L)), 2L -> ((3L, 10000L))))
+    // identical frames → perfect recall
+    val perfect = Ann.recallAtK(exact, exact, 3)
+      .collect().map(_.getLong(3)).toSet
+    assert(perfect === Set(10000L))
+  }
+
+  test("rrfFuse: overlap wins, integer pico scores exact, missing lists contribute nothing") {
+    val a = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("q_id", "c_id", "rn")
+    val b = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q_id", "c_id", "rn")
+    val out = Ann.rrfFuse(Seq(a, b))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3)))).toMap
+    val r61 = 1000000000000L / 61
+    val r62 = 1000000000000L / 62
+    assert(out(101L) === ((r61 + r62, 1)), "doc in both lists must lead")
+    assert(out(100L) === ((r61, 2)))
+    assert(out(102L) === ((r62, 3)))
+  }
 }
