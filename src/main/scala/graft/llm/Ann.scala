@@ -205,6 +205,35 @@ object Ann {
         expr("n_hits * 10000 div n_true").as("recall_bp"))
   }
 
+  /** Ranking-quality evaluation: per-query nDCG@k of an approximate
+    * list against the exact one — recall@k's order-sensitive companion
+    * (a list with the right members in the wrong order scores below
+    * 1). Relevance is the LINEAR gain `k + 1 − exact_rank` (exact
+    * integers — no external judgments needed), discounted by
+    * log2(rank + 1); the ideal DCG re-ranks the same gains perfectly,
+    * so nDCG = 1 iff the approximate order matches the exact one on
+    * the relevant members. Doubles appear only in the final
+    * discount/divide — compare after round(, 6), the libm convention.
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ex = exact.filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), (lit(k + 1) - col("rn")).as("_gain"))
+    val ap = approx.filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn").as("_arn"))
+    val dcg = ap.join(ex, Seq("q_id", "c_id")) // only relevant docs score
+      .groupBy("q_id")
+      .agg(sum(col("_gain") / log2(col("_arn") + 1)).as("_dcg"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_gain").desc, col("c_id").asc)
+    val idcg = ex.withColumn("_irn", row_number().over(wi))
+      .groupBy("q_id")
+      .agg(sum(col("_gain") / log2(col("_irn") + 1)).as("_idcg"))
+    idcg.join(dcg, Seq("q_id"), "left")
+      .na.fill(0.0, Seq("_dcg"))
+      .select(col("q_id"), round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion of any number of ranked lists — the
     * standard way to combine lexical (BM25) and vector (ANN) retrieval
     * without score calibration: fused(d) = Σ_lists 1/(k0 + rank_d),

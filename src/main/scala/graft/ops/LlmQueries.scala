@@ -2208,6 +2208,76 @@ object LlmQueries {
       Ann.recallAtK(approx, exact, 3).orderBy("q_id")
     },
 
+    // ---- ranking quality (Ann.ndcgAtK): order-sensitive companion of
+    //      recall@3 — IVF list vs exact, linear gains k+1−exact_rank,
+    //      log2 discount, round-6 compare ----
+    "q_ann_ndcg" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |${ivfAssign("c2", "probes", where = "AND e.vec_id < 10", limit = 2)},
+         |cands AS (
+         |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN af a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |cosiv AS (
+         |  SELECT p.q_id, p.c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM cands p
+         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id),
+         |aprx AS (SELECT q_id, c_id, rn FROM (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM cosiv) WHERE rn <= 3),
+         |bq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+         |ball AS (
+         |  SELECT bq.q_id, e2.vec_id AS c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM bq JOIN (SELECT DISTINCT vec_id FROM embeddings) e2
+         |    ON e2.vec_id <> bq.q_id
+         |  JOIN e a ON a.vec_id = bq.q_id JOIN e b ON b.vec_id = e2.vec_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = bq.q_id JOIN vn nb ON nb.vec_id = e2.vec_id
+         |  GROUP BY bq.q_id, e2.vec_id),
+         |exact AS (SELECT q_id, c_id, 4 - rn AS gain FROM (
+         |  SELECT q_id, c_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM ball) WHERE rn <= 3),
+         |dcg AS (SELECT a.q_id, sum(x.gain / log2(a.rn + 1)) AS dcg
+         |        FROM aprx a JOIN exact x ON x.q_id = a.q_id AND x.c_id = a.c_id
+         |        GROUP BY a.q_id),
+         |idcg AS (SELECT q_id, sum(gain / log2(irn + 1)) AS idcg FROM (
+         |  SELECT q_id, gain,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY gain DESC, c_id) AS irn
+         |  FROM exact) GROUP BY q_id)
+         |SELECT i.q_id, round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg
+         |FROM idcg i LEFT JOIN dcg d ON d.q_id = i.q_id
+         |ORDER BY i.q_id""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val queries = emb.filter(col("vec_id") < 10)
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val approx = Ivf.topK(emb, queries, index, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      val exact = Ann.cosineTopK(queries, emb, "vec_id", "embedding", 3)
+      Ann.ndcgAtK(approx, exact, 3).orderBy("q_id")
+    },
+
     // ---- reciprocal-rank fusion (Ann.rrfFuse): exact-cosine and IVF
     //      lists fused by Σ 10¹² div (60 + rank) — integer-exact, so
     //      score AND ranking replay bit-for-bit ----

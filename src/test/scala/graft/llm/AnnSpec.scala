@@ -109,6 +109,19 @@ class AnnSpec extends SparkSpec {
     assert(perfect === Set(10000L))
   }
 
+  test("ndcgAtK: perfect order scores 1, swapped order less, disjoint lists 0") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q_id", "c_id", "rn")
+    val perfect = Ann.ndcgAtK(exact, exact, 3).collect().head.getDouble(1)
+    assert(perfect === 1.0)
+    // same members, top two swapped → strictly below 1
+    val swapped = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 12L, 3)).toDF("q_id", "c_id", "rn")
+    val s = Ann.ndcgAtK(swapped, exact, 3).collect().head.getDouble(1)
+    assert(s < 1.0 && s > 0.8, s.toString)
+    // no overlap at all → 0
+    val off = Seq((1L, 90L, 1), (1L, 91L, 2), (1L, 92L, 3)).toDF("q_id", "c_id", "rn")
+    assert(Ann.ndcgAtK(off, exact, 3).collect().head.getDouble(1) === 0.0)
+  }
+
   test("rrfFuse: overlap wins, integer pico scores exact, missing lists contribute nothing") {
     val a = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("q_id", "c_id", "rn")
     val b = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q_id", "c_id", "rn")
