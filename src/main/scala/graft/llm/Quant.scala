@@ -55,4 +55,138 @@ object Quant {
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the billion-scale ANN compression: the
+  // vector splits into `m` contiguous subspaces, each subspace gets its
+  // own k-centroid codebook (per-subspace Lloyd, the Ivf recipe), and a
+  // vector stores only its m one-byte-ish cell ids — d·4 bytes become m.
+  // Query scoring is ADC (asymmetric distance computation): the query
+  // precomputes its distance to every codebook centroid (m·k doubles,
+  // broadcast), and a candidate's distance is m table lookups summed —
+  // no float vector is ever touched at scan time.
+  //
+  // Determinism, the Ivf contract: md5-stride seeding with the k
+  // smallest surviving ids, quantized-integer centroid means,
+  // round(dist, 9) + cell tiebreak on every argmin, dense per-subspace
+  // cell renumbering — the whole fit+encode+search replays as unrolled
+  // SQL (q_ann_pq_codes / q_ann_pq_topk).
+  // ---------------------------------------------------------------------
+
+  /** One row per (vector, subspace) with the sliced subvector. */
+  private def subframe(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, w: Int): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("subvec", slice(col(vecCol), col("sub") * w + 1, lit(w)))
+
+  /** Squared L2 between the subvector and a codebook centroid,
+    * round(, 9) — the argmin compare unit.
+    */
+  private def subDist(v: Column, c: Column): Column =
+    round(aggregate(zip_with(v, c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0d), (acc, x) => acc + x), 9)
+
+  /** Nearest codebook cell per (vector, subspace): broadcast codebooks,
+    * min_by on (dist, cell) — ties to the smaller cell.
+    */
+  private def pqAssign(sf: DataFrame, idCol: String,
+                       codebooks: DataFrame): DataFrame =
+    sf.join(broadcast(codebooks), "sub")
+      .withColumn("_d", subDist(col("subvec"), col("centroid")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
+
+  /** Train the m per-subspace codebooks: (sub, cell, centroid) — m·k
+    * rows, always broadcastable. Same seeding and per-iteration
+    * driver materialization as Ivf.fit (lineage truncation; one corpus
+    * pass per iteration).
+    */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String,
+            m: Int = 4, k: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(m >= 1 && k >= 1 && iters >= 0, "bad pq parameters")
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+    val n = df.count()
+    val stride = math.max(1L, n / math.max(1, 4 * k))
+    val seeds = df
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % stride === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    var cents = (for {
+      s <- 0 until m
+      (vec, c) <- seeds.zipWithIndex
+    } yield (s, c, vec.slice(s * w, (s + 1) * w)))
+      .toDF("sub", "cell", "centroid")
+    val sf = subframe(df, idCol, vecCol, m, w)
+    var it = 0
+    while (it < iters) {
+      val asg = pqAssign(sf, idCol, cents)
+      val rec = sf.join(asg, Seq(idCol, "sub"))
+        .select(col("sub"), col("cell"),
+          posexplode(col("subvec")).as(Seq("j", "v")))
+        .groupBy("sub", "cell", "j")
+        .agg((sum(floor(col("v").cast("double") * lit(1000000.0d)).cast("long"))
+          .cast("double") / (lit(1000000.0d) * count(lit(1)))).as("mn"))
+        .collect()
+      cents = rec.groupBy(_.getInt(0)).toSeq.flatMap { case (s, rs) =>
+        rs.groupBy(_.getInt(1)).toSeq.sortBy(_._1).zipWithIndex.map {
+          case ((_, crs), denseCell) =>
+            (s, denseCell,
+              crs.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq)
+        }
+      }.toDF("sub", "cell", "centroid")
+      it += 1
+    }
+    cents
+  }
+
+  /** Encode: each vector's m codebook cells, ordered by subspace. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    pqAssign(subframe(df, idCol, vecCol, m, dim / m), idCol, codebooks)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        x => x.getField("cell")).as("codes"))
+  }
+
+  /** ADC top-k: queries precompute (sub, cell) → distance tables
+    * (broadcast, queries·m·k rows); candidate score = m lookups summed
+    * (round(, 6) + id tiebreak). One equi join + one aggregate over the
+    * corpus-sized narrow code frame — no float vectors at scan time.
+    */
+  def pqTopK(encoded: DataFrame, codebooks: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String,
+             topK: Int, m: Int): DataFrame = {
+    val dim = queries.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val qsub = subframe(
+      queries.select(col(idCol).as("q_id"), col(vecCol)), "q_id", vecCol,
+      m, dim / m)
+    val table = qsub.join(broadcast(codebooks), "sub")
+      .select(col("q_id"), col("sub"), col("cell"),
+        subDist(col("subvec"), col("centroid")).as("_qd"))
+    val codeRows = encoded.select(col(idCol).as("c_id"),
+      posexplode(col("codes")).as(Seq("sub", "cell")))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    codeRows.join(broadcast(table), Seq("sub", "cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(round(sum(col("_qd")), 6).as("adc"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
+  }
 }

@@ -135,6 +135,50 @@ object LlmQueries {
        |${bpeSel("p1", "s2")},${bpeStep("p1", "s2", "p2")},
        |${bpeSel("p2", "s3")},${bpeStep("p2", "s3", "p3")}""".stripMargin
 
+  /** PQ oracle CTE chain (graft.llm.Quant.pqFit/pqEncode): m=2
+    * subspaces of width 32, k=8 codebook cells, ONE Lloyd round —
+    * md5-stride seeds, L2 argmin with round(,9)+cell tiebreak,
+    * quantized-integer means, dense per-subspace renumbering. Ends with
+    * `af` = final (vec_id, sub, cell) assignments and `c1` = the
+    * trained codebooks.
+    */
+  private def pqChain(k: Int = 8): String =
+    s"""e2 AS (SELECT vec_id, CAST((i-1) // 32 AS INTEGER) AS sub,
+       |              CAST((i-1) % 32 AS INTEGER) AS j, v FROM e),
+       |params AS (SELECT greatest(1, count(*) // ${4 * k}) AS stride FROM embeddings),
+       |seed AS (SELECT vec_id
+       |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+       |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+       |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+       |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+       |  ORDER BY vec_id LIMIT $k),
+       |pc0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e2.sub, e2.j, e2.v AS m
+       |        FROM seed s JOIN e2 ON e2.vec_id = s.vec_id),
+       |pa1_d AS (SELECT e2.vec_id, e2.sub, c.cell,
+       |            round(sum((e2.v - c.m)*(e2.v - c.m)), 9) AS d
+       |          FROM e2 JOIN pc0 c ON c.sub = e2.sub AND c.j = e2.j
+       |          GROUP BY e2.vec_id, e2.sub, c.cell),
+       |pa1 AS (SELECT vec_id, sub, cell FROM (
+       |          SELECT vec_id, sub, cell,
+       |                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+       |          FROM pa1_d) WHERE rn = 1),
+       |c1_r AS (SELECT a.sub, a.cell, e2.j,
+       |           CAST(sum(CAST(floor(e2.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |             / (1000000.0 * count(*)) AS m
+       |         FROM pa1 a JOIN e2 ON e2.vec_id = a.vec_id AND e2.sub = a.sub
+       |         GROUP BY a.sub, a.cell, e2.j),
+       |c1 AS (SELECT sub, dense_rank() OVER (PARTITION BY sub ORDER BY cell) - 1 AS cell, j, m
+       |       FROM c1_r),
+       |af_d AS (SELECT e2.vec_id, e2.sub, c.cell,
+       |           round(sum((e2.v - c.m)*(e2.v - c.m)), 9) AS d
+       |         FROM e2 JOIN c1 c ON c.sub = e2.sub AND c.j = e2.j
+       |         GROUP BY e2.vec_id, e2.sub, c.cell),
+       |af AS (SELECT vec_id, sub, cell FROM (
+       |         SELECT vec_id, sub, cell,
+       |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+       |         FROM af_d) WHERE rn = 1)""".stripMargin
+
   /** DuckDB face of Sampling.hashBucket / blockedPairs' sub-hash: the
     * first 4 md5 hex digits of the id as an integer in [0, 65536).
     */
@@ -2206,6 +2250,53 @@ object LlmQueries {
         k = 3, nprobe = 2)
       val exact = Ann.cosineTopK(queries, emb, "vec_id", "embedding", 3)
       Ann.recallAtK(approx, exact, 3).orderBy("q_id")
+    },
+
+    // ---- product quantization codes (Quant.pqFit/pqEncode): m=2
+    //      subspaces × k=8 cells, 1 Lloyd round — each vector stored as
+    //      2 cell ids; the oracle unrolls the per-subspace fit ----
+    "q_ann_pq_codes" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |${pqChain()}
+         |SELECT vec_id, string_agg(cell, ' ' ORDER BY sub) AS codes_str
+         |FROM af GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val books = Quant.pqFit(emb, "vec_id", "embedding", m = 2, k = 8, iters = 1)
+      Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
+        .select(col("vec_id"),
+          concat_ws(" ", col("codes")).as("codes_str"))
+        .orderBy("vec_id")
+    },
+
+    // ---- PQ ADC search (Quant.pqTopK): query precomputes m·k distance
+    //      tables; candidate = m lookups summed — no float vectors at
+    //      scan time; oracle replays the full fit + tables + rank ----
+    "q_ann_pq_topk" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |${pqChain()},
+         |qt AS (SELECT q.vec_id AS q_id, c.sub, c.cell,
+         |         round(sum((e2q.v - c.m)*(e2q.v - c.m)), 9) AS qd
+         |       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+         |       JOIN e2 e2q ON e2q.vec_id = q.vec_id
+         |       JOIN c1 c ON c.sub = e2q.sub AND c.j = e2q.j
+         |       GROUP BY q.vec_id, c.sub, c.cell),
+         |sc AS (SELECT qt.q_id, af.vec_id AS c_id, round(sum(qt.qd), 6) AS adc
+         |       FROM af JOIN qt ON qt.sub = af.sub AND qt.cell = af.cell
+         |       WHERE af.vec_id <> qt.q_id
+         |       GROUP BY qt.q_id, af.vec_id)
+         |SELECT q_id, c_id, adc, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT q_id, c_id, adc,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+         |  FROM sc) WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val books = Quant.pqFit(emb, "vec_id", "embedding", m = 2, k = 8, iters = 1)
+      val codes = Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
+      Quant.pqTopK(codes, books, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", topK = 3, m = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
     },
 
     // ---- ranking quality (Ann.ndcgAtK): order-sensitive companion of

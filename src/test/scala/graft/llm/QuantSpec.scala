@@ -47,4 +47,32 @@ class QuantSpec extends SparkSpec {
       .as[Long].collect().head
     assert(d === (4 - 10 - 18))
   }
+
+  test("PQ: clustered vectors share codes; ADC ranks the twin first") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // two clusters, 4 dims, m=2 subspaces of width 2; ids 0/1 are the
+    // md5-stride seeds (stride 1 at this size — every id survives)
+    val emb = Seq(
+      (0L, v(1, 0, 5, 5)), (2L, v(1.01, 0.01, 5.01, 5.02)),
+      (3L, v(0.99, 0.02, 4.99, 5.01)),
+      (1L, v(-3, 4, -1, -2)), (10L, v(-3.01, 4.01, -1.02, -2.01)),
+      (11L, v(-2.99, 3.98, -0.99, -1.99)))
+      .toDF("vec_id", "embedding")
+    val books = Quant.pqFit(emb, "vec_id", "embedding", m = 2, k = 2, iters = 2)
+    assert(books.count() === 4) // 2 subspaces × 2 cells
+    val codes = Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // cluster members quantize identically, clusters differ
+    assert(codes(0L) === codes(2L) && codes(2L) === codes(3L))
+    assert(codes(1L) === codes(10L) && codes(10L) === codes(11L))
+    assert(codes(0L) !== codes(1L))
+    // ADC from a cluster-A query ranks cluster-A members first
+    val top = Quant.pqTopK(
+        Quant.pqEncode(emb, "vec_id", "embedding", books, 2), books,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        topK = 2, m = 2)
+      .orderBy("rn").collect().map(_.getLong(1))
+    assert(top.toSet.subsetOf(Set(2L, 3L)),
+      s"same-cluster members must outrank the far cluster: ${top.toSeq}")
+  }
 }
