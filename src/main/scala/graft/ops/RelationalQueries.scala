@@ -1298,6 +1298,34 @@ object RelationalQueries {
         t.customer.filter(col("c_custkey") % 3 =!= 0), "c_custkey")
     },
 
+    // ---- dataset card (Profile.datasetCard): the per-source release
+    //      summary — sizes, token mass, dominant language + share,
+    //      corpus-wide exact-duplicate membership ----
+    "q_quality_dataset_card" -> Q(
+      """WITH base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+        |         round(avg(length(text)), 2) AS avg_chars
+        |  FROM documents GROUP BY source),
+        |tl AS (SELECT source, lang AS top_lang, lc FROM (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS lc,
+        |         row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+        |  FROM documents GROUP BY source, lang) WHERE rn = 1),
+        |h AS (SELECT source, md5(text) AS hh FROM documents),
+        |hot AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
+        |dd AS (SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+        |       FROM h JOIN hot USING (hh) GROUP BY source)
+        |SELECT b.source, b.n_docs, b.total_tokens, b.avg_chars,
+        |       tl.top_lang, CAST(tl.lc * 10000 // b.n_docs AS BIGINT) AS top_lang_bp,
+        |       CAST(coalesce(dd.dup_docs, 0) AS BIGINT) AS dup_docs
+        |FROM base b JOIN tl ON tl.source = b.source
+        |LEFT JOIN dd ON dd.source = b.source
+        |ORDER BY b.source""".stripMargin) { (s, dir) =>
+      graft.reports.Profile.datasetCard(tb(s, dir).documents,
+          "source", "text", "lang")
+        .orderBy("source")
+    },
+
     // ---- distribution-drift PSI (Profile.psiDrift): per-source
     //      Population Stability Index of n_chars vs the corpus baseline
     //      — integer-exact equal-width bins, add-one smoothing, one ln

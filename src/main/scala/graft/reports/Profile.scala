@@ -189,4 +189,40 @@ object Profile {
     import spark.implicits._
     (0L until n.toLong).toDF("bin")
   }
+
+  /** Dataset card: the one-row-per-source summary a dataset release
+    * ships — sizes, token mass, dominant language (with its share in
+    * basis points), and how many of the source's docs are corpus-wide
+    * exact duplicates. Everything is exact-integer except the rounded
+    * mean length. Shape: three aggregates over the corpus (base stats,
+    * per-(source, lang) counts, md5 duplicate groups) joined on the
+    * sources-sized result — the corpus shuffles by source/hash only.
+    */
+  def datasetCard(df: DataFrame, sourceCol: String, textCol: String,
+                  langCol: String): DataFrame = {
+    val base = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.llm.TextAnalysis.tokens(col(textCol)))).as("total_tokens"),
+        round(avg(length(col(textCol))), 2).as("avg_chars"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("_lc").desc, col(langCol).asc)
+    val topLang = df.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("_lc"))
+      .withColumn("_rn", row_number().over(wl))
+      .filter(col("_rn") === 1)
+      .select(col(sourceCol), col(langCol).as("top_lang"), col("_lc"))
+    val hashes = df.select(col(sourceCol), md5(col(textCol)).as("_h"))
+    val hot = hashes.groupBy(col("_h")).agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") >= 2).select("_h")
+    val dups = hashes.join(hot, Seq("_h"), "left_semi")
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("dup_docs"))
+    base
+      .join(topLang, Seq(sourceCol))
+      .join(dups, Seq(sourceCol), "left")
+      .na.fill(0L, Seq("dup_docs"))
+      .select(col(sourceCol), col("n_docs"), col("total_tokens"),
+        col("avg_chars"), col("top_lang"),
+        expr("_lc * 10000 div n_docs").as("top_lang_bp"),
+        col("dup_docs"))
+  }
 }

@@ -77,6 +77,27 @@ class ProfileSpec extends SparkSpec {
     assert(psi("same") < psi("hi") && psi("alsoSame") < psi("hi"))
   }
 
+  test("datasetCard: per-source sizes, dominant language share, duplicate mass") {
+    val docs = Seq(
+      (1L, "a", "en", "one two three"),
+      (2L, "a", "en", "four five"),
+      (3L, "a", "fr", "six"),
+      (4L, "b", "fr", "shared text"),
+      (5L, "b", "fr", "shared text"),      // exact dup inside b
+      (6L, "c", "de", "shared text"))      // and a cross-source copy
+      .toDF("doc_id", "source", "lang", "text")
+    val out = Profile.datasetCard(docs, "source", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // a: 3 docs, 6 tokens, en 2/3 = 6666bp, no dups
+    assert(out("a") === ((3L, 6L, "en", 6666L, 0L)))
+    // b: both docs are corpus-wide dups
+    assert(out("b") === ((2L, 4L, "fr", 10000L, 2L)))
+    // c: its single doc duplicates b's text
+    assert(out("c") === ((1L, 2L, "de", 10000L, 1L)))
+  }
+
   test("fkOrphans: orphans vs null FKs counted separately, basis points exact") {
     val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(2L))
       .toDF("fk")
