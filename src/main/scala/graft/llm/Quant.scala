@@ -160,6 +160,58 @@ object Quant {
         x => x.getField("cell")).as("codes"))
   }
 
+  /** IVF-filtered ADC top-k — the FAISS-style IVFPQ search shape
+    * (minus residual encoding, documented simplification): the coarse
+    * IVF index prunes candidates to the query's `nprobe` cells, and
+    * only those candidates pay the m ADC lookups. Candidate volume is
+    * ~nprobe·n/k_ivf per query instead of the whole corpus; the code
+    * frame never carries float vectors. Probe rule = Ivf.topK's
+    * (round(sim,9) + cell tiebreak); scoring rule = [[pqTopK]]'s.
+    */
+  def pqTopKIvf(encoded: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, index: Ivf.Index,
+                idCol: String, vecCol: String, topK: Int, m: Int,
+                nprobe: Int = 2): DataFrame = {
+    val dim = queries.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val icents = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Ann.l2norm(col(vecCol)).as("q_nrm"))
+      .join(icents)
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    val cand = probed
+      .join(index.assignments.select(col(idCol).as("c_id"), col("cell")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val qsub = subframe(
+      queries.select(col(idCol).as("q_id"), col(vecCol)), "q_id", vecCol,
+      m, dim / m)
+    val table = qsub.join(broadcast(codebooks), "sub")
+      .select(col("q_id"), col("sub"), col("cell").as("pcell"),
+        subDist(col("subvec"), col("centroid")).as("_qd"))
+    val codeRows = encoded.select(col(idCol).as("c_id"),
+      posexplode(col("codes")).as(Seq("sub", "pcell")))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    cand.join(codeRows, "c_id")
+      .join(broadcast(table), Seq("q_id", "sub", "pcell"))
+      .groupBy("q_id", "c_id")
+      .agg(round(sum(col("_qd")), 6).as("adc"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
+  }
+
   /** ADC top-k: queries precompute (sub, cell) → distance tables
     * (broadcast, queries·m·k rows); candidate score = m lookups summed
     * (round(, 6) + id tiebreak). One equi join + one aggregate over the

@@ -142,42 +142,42 @@ object LlmQueries {
     * `af` = final (vec_id, sub, cell) assignments and `c1` = the
     * trained codebooks.
     */
-  private def pqChain(k: Int = 8): String =
-    s"""e2 AS (SELECT vec_id, CAST((i-1) // 32 AS INTEGER) AS sub,
+  private def pqChain(k: Int = 8, p: String = ""): String =
+    s"""${p}e2 AS (SELECT vec_id, CAST((i-1) // 32 AS INTEGER) AS sub,
        |              CAST((i-1) % 32 AS INTEGER) AS j, v FROM e),
-       |params AS (SELECT greatest(1, count(*) // ${4 * k}) AS stride FROM embeddings),
-       |seed AS (SELECT vec_id
-       |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+       |${p}params AS (SELECT greatest(1, count(*) // ${4 * k}) AS stride FROM embeddings),
+       |${p}seed AS (SELECT vec_id
+       |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), ${p}params
        |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
        |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
        |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
        |  ORDER BY vec_id LIMIT $k),
-       |pc0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e2.sub, e2.j, e2.v AS m
-       |        FROM seed s JOIN e2 ON e2.vec_id = s.vec_id),
-       |pa1_d AS (SELECT e2.vec_id, e2.sub, c.cell,
-       |            round(sum((e2.v - c.m)*(e2.v - c.m)), 9) AS d
-       |          FROM e2 JOIN pc0 c ON c.sub = e2.sub AND c.j = e2.j
-       |          GROUP BY e2.vec_id, e2.sub, c.cell),
-       |pa1 AS (SELECT vec_id, sub, cell FROM (
+       |${p}pc0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, t.sub, t.j, t.v AS m
+       |        FROM ${p}seed s JOIN ${p}e2 t ON t.vec_id = s.vec_id),
+       |${p}pa1_d AS (SELECT t.vec_id, t.sub, c.cell,
+       |            round(sum((t.v - c.m)*(t.v - c.m)), 9) AS d
+       |          FROM ${p}e2 t JOIN ${p}pc0 c ON c.sub = t.sub AND c.j = t.j
+       |          GROUP BY t.vec_id, t.sub, c.cell),
+       |${p}pa1 AS (SELECT vec_id, sub, cell FROM (
        |          SELECT vec_id, sub, cell,
        |                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
-       |          FROM pa1_d) WHERE rn = 1),
-       |c1_r AS (SELECT a.sub, a.cell, e2.j,
-       |           CAST(sum(CAST(floor(e2.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |          FROM ${p}pa1_d) WHERE rn = 1),
+       |${p}c1_r AS (SELECT a.sub, a.cell, t.j,
+       |           CAST(sum(CAST(floor(t.v * 1000000.0) AS BIGINT)) AS DOUBLE)
        |             / (1000000.0 * count(*)) AS m
-       |         FROM pa1 a JOIN e2 ON e2.vec_id = a.vec_id AND e2.sub = a.sub
-       |         GROUP BY a.sub, a.cell, e2.j),
-       |c1 AS (SELECT sub, dense_rank() OVER (PARTITION BY sub ORDER BY cell) - 1 AS cell, j, m
-       |       FROM c1_r),
-       |af_d AS (SELECT e2.vec_id, e2.sub, c.cell,
-       |           round(sum((e2.v - c.m)*(e2.v - c.m)), 9) AS d
-       |         FROM e2 JOIN c1 c ON c.sub = e2.sub AND c.j = e2.j
-       |         GROUP BY e2.vec_id, e2.sub, c.cell),
-       |af AS (SELECT vec_id, sub, cell FROM (
+       |         FROM ${p}pa1 a JOIN ${p}e2 t ON t.vec_id = a.vec_id AND t.sub = a.sub
+       |         GROUP BY a.sub, a.cell, t.j),
+       |${p}c1 AS (SELECT sub, dense_rank() OVER (PARTITION BY sub ORDER BY cell) - 1 AS cell, j, m
+       |       FROM ${p}c1_r),
+       |${p}af_d AS (SELECT t.vec_id, t.sub, c.cell,
+       |           round(sum((t.v - c.m)*(t.v - c.m)), 9) AS d
+       |         FROM ${p}e2 t JOIN ${p}c1 c ON c.sub = t.sub AND c.j = t.j
+       |         GROUP BY t.vec_id, t.sub, c.cell),
+       |${p}af AS (SELECT vec_id, sub, cell FROM (
        |         SELECT vec_id, sub, cell,
        |                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
-       |         FROM af_d) WHERE rn = 1)""".stripMargin
+       |         FROM ${p}af_d) WHERE rn = 1)""".stripMargin
 
   /** DuckDB face of Sampling.hashBucket / blockedPairs' sub-hash: the
     * first 4 md5 hex digits of the id as an integer in [0, 65536).
@@ -2295,6 +2295,57 @@ object LlmQueries {
       val codes = Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
       Quant.pqTopK(codes, books, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", topK = 3, m = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- IVFPQ-style search (Quant.pqTopKIvf): IVF cells prune the
+    //      candidates, PQ codes pay the ADC lookups — the two trained
+    //      structures composed; oracle unrolls BOTH fits ----
+    "q_ann_ivfpq_topk" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |iparams AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |iseed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), iparams
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |ic0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |        FROM iseed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("ic0", "ia1")},
+         |${ivfRecompute("ia1", "ic1")},
+         |${ivfAssign("ic1", "ia2")},
+         |${ivfRecompute("ia2", "ic2")},
+         |${ivfAssign("ic2", "iaf")},
+         |${ivfAssign("ic2", "iprobes", where = "AND e.vec_id < 5", limit = 2)},
+         |${pqChain(8, "pq")},
+         |cand AS (SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
+         |         FROM iprobes p JOIN iaf a ON a.cell = p.cell
+         |         WHERE a.vec_id <> p.vec_id),
+         |qt AS (SELECT q.vec_id AS q_id, c.sub, c.cell,
+         |         round(sum((t.v - c.m)*(t.v - c.m)), 9) AS qd
+         |       FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+         |       JOIN pqe2 t ON t.vec_id = q.vec_id
+         |       JOIN pqc1 c ON c.sub = t.sub AND c.j = t.j
+         |       GROUP BY q.vec_id, c.sub, c.cell),
+         |sc AS (SELECT cn.q_id, cn.c_id, round(sum(qt.qd), 6) AS adc
+         |       FROM cand cn JOIN pqaf a ON a.vec_id = cn.c_id
+         |       JOIN qt ON qt.q_id = cn.q_id AND qt.sub = a.sub AND qt.cell = a.cell
+         |       GROUP BY cn.q_id, cn.c_id)
+         |SELECT q_id, c_id, adc, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT q_id, c_id, adc,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+         |  FROM sc) WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val books = Quant.pqFit(emb, "vec_id", "embedding", m = 2, k = 8, iters = 1)
+      val codes = Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
+      Quant.pqTopKIvf(codes, books, emb.filter(col("vec_id") < 5), index,
+          "vec_id", "embedding", topK = 3, m = 2, nprobe = 2)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },

@@ -75,4 +75,28 @@ class QuantSpec extends SparkSpec {
     assert(top.toSet.subsetOf(Set(2L, 3L)),
       s"same-cluster members must outrank the far cluster: ${top.toSeq}")
   }
+
+  test("IVF-filtered ADC returns a subset of the brute ADC, from probed cells only") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val books = Quant.pqFit(emb, "vec_id", "embedding", m = 2, k = 8, iters = 1)
+    val codes = Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
+    val brute = Quant.pqTopK(codes, books, queries, "vec_id", "embedding",
+        topK = 50, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = Quant.pqTopKIvf(codes, books, queries, index,
+        "vec_id", "embedding", topK = 3, m = 2, nprobe = 2)
+      .collect()
+    assert(ivfpq.nonEmpty)
+    // every IVFPQ result carries the SAME adc the brute path computed,
+    // and candidates only come from the probed cells
+    val cells = index.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivfpq.foreach { r =>
+      val (q, c, adc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      brute.get((q, c)).foreach(b => assert(b === adc, s"adc drift for ($q,$c)"))
+      assert(cells.contains(c))
+    }
+  }
 }
