@@ -811,6 +811,45 @@ object LlmQueries {
         .orderBy(col("est").desc, col("token"))
     },
 
+    // ---- streaming drift monitor (streaming/DriftStream): frozen
+    //      baseline histogram (src0-9) + current grid folded through a
+    //      3-way split of src10-19 — bin counts are a monoid, so the
+    //      maintained PSI equals the one-shot computation exactly ----
+    "q_stream_drift" -> Q(
+      """WITH ref AS (SELECT n_chars FROM documents WHERE CAST(substr(source, 4) AS INTEGER) < 10),
+        |cur AS (SELECT n_chars FROM documents WHERE CAST(substr(source, 4) AS INTEGER) >= 10),
+        |b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM ref),
+        |w AS (SELECT mn, greatest(1, (mx - mn + 10) // 10) AS w FROM b),
+        |bb AS (SELECT least(greatest((n_chars - w.mn) // w.w, 0), 9) AS bin FROM ref, w),
+        |cbb AS (SELECT least(greatest((n_chars - w.mn) // w.w, 0), 9) AS bin FROM cur, w),
+        |bc AS (SELECT bin, count(*) AS cb FROM bb GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS cg FROM cbb GROUP BY bin),
+        |grid AS (SELECT g.bin, coalesce(bc.cb, 0) AS cb, coalesce(cc.cg, 0) AS cg
+        |         FROM (SELECT unnest(range(0, 10)) AS bin) g
+        |         LEFT JOIN bc ON bc.bin = g.bin LEFT JOIN cc ON cc.bin = g.bin),
+        |tot AS (SELECT sum(cb) AS nb, sum(cg) AS ng FROM grid)
+        |SELECT CAST(tot.nb AS BIGINT) AS n_baseline, CAST(tot.ng AS BIGINT) AS n_current,
+        |       round(sum(((grid.cg + 1) / CAST(tot.ng + 10 AS DOUBLE)
+        |                  - (grid.cb + 1) / CAST(tot.nb + 10 AS DOUBLE))
+        |             * ln(((grid.cg + 1) / CAST(tot.ng + 10 AS DOUBLE))
+        |                  / ((grid.cb + 1) / CAST(tot.nb + 10 AS DOUBLE)))), 6) AS psi
+        |FROM grid, tot GROUP BY tot.nb, tot.ng""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_drift_").toFile
+      tmp.deleteOnExit()
+      val (basePath, curPath) = (s"${tmp.getPath}/base", s"${tmp.getPath}/cur")
+      val docs = tb(s, dir).documents
+      val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
+      graft.streaming.DriftStream.writeBaseline(
+        docs.filter(srcNum < 10).select("n_chars"), "n_chars", basePath)
+      val cur = docs.filter(srcNum >= 10)
+      (0 to 2).foreach { i =>
+        graft.streaming.DriftStream.applyBatch(
+          cur.filter(col("doc_id") % 3 === i).select("n_chars"),
+          "n_chars", basePath, curPath)
+      }
+      graft.streaming.DriftStream.psi(s, basePath, curPath)
+    },
+
     // ---- rare-token (OOV-proxy) quality profile: corpus df ≤ 2 rows
     //      counted per doc, ratio in basis points by INTEGER division —
     //      no doubles anywhere, exact cross-engine compare ----

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.core.Fs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuously-maintained distribution-drift monitor: a FROZEN
+  * baseline histogram (taken from the trusted reference corpus) plus a
+  * CURRENT histogram folded from the stream — the PSI between them is
+  * the alert signal that the live data's length/score distribution has
+  * walked away from what the model was trained on.
+  *
+  * State is the [[graft.reports.Profile.psiDrift]] binning made
+  * streamable: the baseline fixes (mn, width, nBins) once, so each
+  * micro-batch's bin counts are a pure map-side projection that folds
+  * into the current grid by ADDITION — a commutative monoid, so any
+  * batching is bit-identical to one-shot counting, and the
+  * [[ReplayGuard]] marker plus crash-safe swap give the same
+  * at-least-once safety as [[SketchStream]]. The PSI read recomputes
+  * from the two tiny grids (nBins rows each) on demand.
+  */
+object DriftStream {
+
+  /** Freeze the baseline: (bin, cnt) for `nBins` equal-width bins over
+    * the reference frame's min..max (exact integer width, clamped top
+    * bin — the psiDrift rule), written with the bounds encoded as bins
+    * -1 (mn) and -2 (width) so the stream needs no side channel.
+    */
+  def writeBaseline(ref: DataFrame, valueCol: String, path: String,
+                    nBins: Int = 10): Unit = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val spark = ref.sparkSession
+    val b = ref.agg(min(col(valueCol)).cast("long").as("mn"),
+      max(col(valueCol)).cast("long").as("mx")).collect()(0)
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val w = math.max(1L, (mx - mn + nBins) / nBins)
+    val counts = binned(ref, valueCol, mn, w, nBins)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    import spark.implicits._
+    counts
+      .unionByName(Seq((-1L, mn), (-2L, w)).toDF("bin", "cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def binned(df: DataFrame, valueCol: String, mn: Long, w: Long,
+                     nBins: Int): DataFrame =
+    // integer div, clamped BOTH ways: live data may fall outside the
+    // frozen baseline range (that IS drift) — it lands in the edge bins
+    df.select(least(
+      greatest(expr(s"(CAST($valueCol AS LONG) - ${mn}L) div ${w}L"), lit(0L)),
+      lit(nBins - 1L)).as("bin"))
+
+  private def bounds(spark: SparkSession, baselinePath: String): (Long, Long) = {
+    val m = spark.read.parquet(baselinePath)
+      .filter(col("bin") < 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (m(-1L), m(-2L))
+  }
+
+  /** Fold one batch's bin counts into the current grid (addition —
+    * monoid), with the SketchStream replay marker + crash-safe swap.
+    */
+  def applyBatch(batch: DataFrame, valueCol: String, baselinePath: String,
+                 currentPath: String, nBins: Int = 10,
+                 batchId: Long = -1L, queryId: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = ReplayGuard.read(currentPath, conf)
+    if (ReplayGuard.alreadyApplied(marker, queryId, batchId)) return
+    val (mn, w) = bounds(spark, baselinePath)
+    val g = binned(batch, valueCol, mn, w, nBins)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val merged =
+      if (Fs.exists(currentPath, conf))
+        spark.read.parquet(currentPath).unionByName(g)
+          .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+      else g
+    val staging = s"$currentPath.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    ReplayGuard.stamp(staging, conf, marker, queryId, batchId)
+    if (Fs.exists(currentPath, conf)) Fs.swapInPlace(currentPath, staging, conf)
+    else Fs.rename(staging, currentPath, conf)
+  }
+
+  /** The current drift reading: PSI of the maintained grid vs the
+    * baseline (psiDrift's add-one smoothing and round-6 contract),
+    * plus both row counts. One row.
+    */
+  def psi(spark: SparkSession, baselinePath: String, currentPath: String,
+          nBins: Int = 10): DataFrame = {
+    val base = spark.read.parquet(baselinePath).filter(col("bin") >= 0)
+      .select(col("bin"), col("cnt").as("_cb"))
+    val cur = spark.read.parquet(currentPath)
+      .select(col("bin"), col("cnt").as("_cg"))
+    import spark.implicits._
+    val grid = (0L until nBins.toLong).toDF("bin")
+      .join(base, Seq("bin"), "left").na.fill(0L, Seq("_cb"))
+      .join(cur, Seq("bin"), "left").na.fill(0L, Seq("_cg"))
+    val totals = grid.agg(sum("_cb").as("_nb"), sum("_cg").as("_ng"))
+    grid.crossJoin(broadcast(totals))
+      .withColumn("_p", (col("_cb") + 1).cast("double") / (col("_nb") + nBins))
+      .withColumn("_q", (col("_cg") + 1).cast("double") / (col("_ng") + nBins))
+      .agg(max(col("_nb")).as("n_baseline"), max(col("_ng")).as("n_current"),
+        round(sum((col("_q") - col("_p")) * log(col("_q") / col("_p"))), 6)
+          .as("psi"))
+  }
+
+  /** Wire a value stream into the maintained drift grid (foreachBatch). */
+  def run(items: DataFrame, valueCol: String, baselinePath: String,
+          currentPath: String, checkpointDir: String, nBins: Int = 10,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, valueCol, baselinePath, currentPath, nBins,
+          batchId, ReplayGuard.streamingQueryId(batch))
+      }
+      .start()
+}
