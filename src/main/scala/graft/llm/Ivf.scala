@@ -216,6 +216,27 @@ object Ivf {
         col("cosine"), col("rn"))
   }
 
+  /** Index-quality diagnostics: per cell, its population and the mean
+    * member-to-centroid cosine — the skew/coherence report that decides
+    * whether a fit needs more cells ([[fitForCellSize]]) or more
+    * iterations before serving traffic. Same broadcast-centroid shape
+    * as EmbeddingOps.labelCohesion; round(,4) mean under the usual
+    * contract.
+    */
+  def clusterStats(df: DataFrame, index: Index,
+                   idCol: String, vecCol: String): DataFrame = {
+    val cents = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    df.join(index.assignments, idCol)
+      .join(cents, "cell")
+      .withColumn("_vn", Ann.l2norm(col(vecCol)))
+      .withColumn("_cos",
+        Ann.dot(col(vecCol), col("centroid")) / (col("_vn") * col("_cn")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("_cos")), 4).as("mean_cos"))
+  }
+
   /** Shared corpus-as-queries candidate generator: each vector probes
     * its `nprobe` nearest cells (round(sim,9) + cell tiebreak) and
     * meets that cell's members through a plain shuffle equi-join —

@@ -2117,6 +2117,44 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- IVF index diagnostics (Ivf.clusterStats): per-cell size and
+    //      mean member-to-centroid cosine — the skew/coherence report
+    //      behind the fitForCellSize knob ----
+    "q_ann_cluster_stats" -> Q(
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |cn2 AS (SELECT cell, sqrt(sum(m*m)) AS cnrm FROM c2 GROUP BY cell),
+         |dots AS (SELECT a.vec_id, a.cell, sum(e.v * c.m) AS dot
+         |         FROM af a JOIN e ON e.vec_id = a.vec_id
+         |         JOIN c2 c ON c.cell = a.cell AND c.i = e.i
+         |         GROUP BY a.vec_id, a.cell)
+         |SELECT d.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       round(avg(d.dot / (vn.nrm * cn2.cnrm)), 4) AS mean_cos
+         |FROM dots d JOIN vn ON vn.vec_id = d.vec_id
+         |JOIN cn2 ON cn2.cell = d.cell
+         |GROUP BY d.cell ORDER BY d.cell""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Ivf.clusterStats(emb, index, "vec_id", "embedding")
+        .orderBy("cell")
+    },
+
     // ---- all-corpus kNN graph (Ivf.knnGraph): every vector's 3
     //      approximate nearest neighbors through the same deterministic
     //      IVF fit, probing 2 cells — the SemDeDup/clustering substrate.

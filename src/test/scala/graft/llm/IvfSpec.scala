@@ -66,6 +66,21 @@ class IvfSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("clusterStats: populations cover the corpus; tight clusters score high") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0.01, 0, 0)), (2L, v(0.99, 0.02, 0, 0)), (3L, v(1, 0.03, 0, 0)),
+      (1L, v(0, 0.01, 1, 0)), (11L, v(0.01, 0, 0.99, 0)), (12L, v(0, 0.02, 1, 0))
+    ).toDF("vec_id", "embedding")
+    val index = Ivf.fit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val stats = Ivf.clusterStats(emb, index, "vec_id", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+    assert(stats.map(_._2._1).sum === 6L, "every vector belongs to a cell")
+    stats.foreach { case (_, (_, cos)) =>
+      assert(cos > 0.99, s"tight synthetic clusters must cohere: $cos")
+    }
+  }
+
   test("hardNegatives: only different-label neighbors, nearest first") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     // label-1 cluster on x-axis with one label-2 infiltrator very close;
