@@ -101,4 +101,67 @@ object IncrementalAgg {
       .select(keys.map(col) :+
         hll_sketch_estimate(col("_u")).as("approx_distinct"): _*)
   }
+
+  /** Quantiles as mergeable state: equi-width histogram partials.
+    * Quantiles, like distinct counts, have no algebraic partial (you
+    * cannot merge medians) — but BIN COUNTS are a plain sum monoid, so
+    * a fixed binning turns quantile maintenance into [[mergePartials]]
+    * arithmetic: each shard contributes `(bucket, n)` rows, merging is
+    * `groupBy(bucket).sum(n)`, and any quantile reads off the merged
+    * cumulative row — resolution bounded by the bin width, state
+    * bounded by `buckets` rows per shard, exact INTEGER arithmetic
+    * throughout (bucket = capped ⌊v/width⌋; the only IEEE op is that
+    * one divide, identical in any engine). The mergeable-sketch
+    * alternative (t-digest/KLL) buys adaptive resolution at the cost of
+    * engine-specific estimates; the fixed grid is reproducible
+    * bit-for-bit, which is what a regression gate wants.
+    *
+    * Output of [[histogramPartial]]: `shard, bucket, n` — one
+    * aggregation pass, map-side combined.
+    */
+  def histogramPartial(df: DataFrame, shard: org.apache.spark.sql.Column,
+                       valueCol: String, width: Double,
+                       buckets: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(shard.as("shard"),
+        least(lit(buckets - 1), floor(col(valueCol) / width).cast("long"))
+          .as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Merge histogram partials (drop the shard key, sum the counts):
+    * `bucket, n`. Associative+commutative — shards/batches fold in any
+    * order.
+    */
+  def histogramMerge(partials: DataFrame*): DataFrame = {
+    require(partials.nonEmpty, "no partials to merge")
+    partials.reduce(_ unionByName _)
+      .groupBy("bucket").agg(sum("n").cast("long").as("n"))
+  }
+
+  /** Read quantiles off a merged histogram: for each requested quantile
+    * (basis points), the first bucket whose cumulative count reaches
+    * ⌈q·total⌉ — compared by exact cross-multiplication
+    * `cum·10000 >= q_bp·total`, no doubles. Output: `q_bp, bucket,
+    * cum_n, total_n`, one row per requested quantile. The cumulative
+    * window runs over the MERGED frame — at most `buckets` rows — so
+    * the empty-frame (single partition) window is over a trivially
+    * small input; the corpus was only ever touched by the partial pass.
+    */
+  def histogramQuantiles(merged: DataFrame, qBps: Seq[Int]): DataFrame = {
+    require(qBps.nonEmpty, "no quantiles requested")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy("bucket")
+    val c = merged
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val qs = merged.sparkSession
+      .createDataFrame(qBps.map(Tuple1(_))).toDF("q_bp")
+      .select(col("q_bp").cast("long"))
+    qs.join(c, c("cum") * 10000 >= col("q_bp") * c("total"))
+      .groupBy("q_bp")
+      .agg(min("bucket").cast("long").as("bucket"),
+        min("cum").cast("long").as("cum_n"),
+        min("total").cast("long").as("total_n"))
+  }
 }

@@ -531,6 +531,96 @@ object AnalyticsQueries {
             .cast("long").as("y"))
         .withColumn("z", graft.functions.ZOrder.z(col("x"), col("y")))
         .orderBy("o_orderkey")
+    },
+
+    // ---- frequent-pair mining (core/Itemsets): co-occurrence support
+    //      over (order, part) baskets — the A-Priori k=2 candidate pass
+    //      as pure aggregation. Quadratic step is the within-basket
+    //      explode, bounded by the basket cap (never binds here:
+    //      baskets are ≤7 items, so the uncapped oracle agrees); pair
+    //      volume is linear in baskets, counted with map-side combine.
+    //      No all-pairs item join anywhere. ----
+    "q_mine_pairs" -> Q(
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem)
+        |SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS support
+        |FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, item_a, item_b""".stripMargin) { (s, dir) =>
+      graft.core.Itemsets.frequentPairs(tb(s, dir).lineitem,
+          "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("support").desc, col("item_a"), col("item_b"))
+    },
+
+    // ---- association rules over the frequent pairs: both directions'
+    //      confidence and the symmetric lift, ALL integer-exact (basis
+    //      points via integral division — bit-identical cross-engine).
+    //      Item supports join back broadcast; the pair frame never
+    //      reshuffles. ----
+    "q_mine_assoc" -> Q(
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM it),
+        |sup AS (SELECT item, count(*) AS s FROM it GROUP BY 1),
+        |pr AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS s_ab
+        |       FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pr.item_a, pr.item_b, CAST(pr.s_ab AS BIGINT) AS support,
+        |       CAST(sa.s AS BIGINT) AS support_a, CAST(sb.s AS BIGINT) AS support_b,
+        |       CAST(pr.s_ab * 10000 // sa.s AS BIGINT) AS conf_ab_bp,
+        |       CAST(pr.s_ab * 10000 // sb.s AS BIGINT) AS conf_ba_bp,
+        |       CAST((pr.s_ab * nb.n * 10000) // (sa.s * sb.s) AS BIGINT) AS lift_bp
+        |FROM pr, nb
+        |JOIN sup sa ON sa.item = pr.item_a
+        |JOIN sup sb ON sb.item = pr.item_b
+        |ORDER BY support DESC, item_a, item_b""".stripMargin) { (s, dir) =>
+      graft.core.Itemsets.associationRules(tb(s, dir).lineitem,
+          "l_orderkey", "l_partkey", minSupport = 3)
+        .orderBy(col("support").desc, col("item_a"), col("item_b"))
+    },
+
+    // ---- G5: UNPIVOT / melt — wide measure columns to (measure, value)
+    //      rows, the inverse of pivot. Map-side generate, no shuffle
+    //      before the output sort; common type is the shared DOUBLE. ----
+    "q_g5_unpivot" -> Q(
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |                  l_discount, l_tax
+        |           FROM lineitem WHERE l_orderkey % 500 = 0)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME measure VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      tb(s, dir).lineitem
+        .filter(col("l_orderkey") % 500 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // ---- A14: weighted median — smallest value whose cumulative weight
+    //      reaches half the group total (weights = integer quantities;
+    //      the crossing test is exact integer cross-multiplication).
+    //      Per-group RANGE window (default frame on both engines gives
+    //      ties the whole tie-group's weight — deterministic), then one
+    //      min per group. ----
+    "q_a14_weighted_median" -> Q(
+      """WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |                  CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |c AS (SELECT flag, v, sum(wt) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |             sum(wt) OVER (PARTITION BY flag) AS tot FROM w)
+        |SELECT flag, round(min(v), 2) AS wmedian FROM c
+        |WHERE cum * 2 >= tot GROUP BY flag ORDER BY flag""".stripMargin) { (s, dir) =>
+      val w = tb(s, dir).lineitem.select(
+        col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      val cum = Window.partitionBy("flag").orderBy("v")
+      val tot = Window.partitionBy("flag")
+      w.withColumn("cum", sum("wt").over(cum))
+        .withColumn("tot", sum("wt").over(tot))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("flag").agg(round(min("v"), 2).as("wmedian"))
+        .orderBy("flag")
     }
   )
 }

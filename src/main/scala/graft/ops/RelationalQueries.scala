@@ -1834,6 +1834,95 @@ object RelationalQueries {
           (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
       graft.llm.DupGraph.labelPropagation(e0, iterations = 3).orderBy("id")
+    },
+
+    // ---- zone map build (core/ZoneMap): per-shard min/max/null/rows
+    //      stats over a month-sharded layout — the data-skipping index.
+    //      One map-side-combined groupBy; Parquet row-group footers
+    //      carry the same stats, this is the shard-level equivalent for
+    //      engine-managed layouts. ----
+    "q_zone_map" -> Q(
+      """SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(min(o_totalprice), 2) AS o_totalprice_min,
+        |       round(max(o_totalprice), 2) AS o_totalprice_max,
+        |       CAST(count(*) - count(o_totalprice) AS BIGINT) AS o_totalprice_nulls,
+        |       min(o_orderdate) AS o_orderdate_min,
+        |       max(o_orderdate) AS o_orderdate_max,
+        |       CAST(count(*) - count(o_orderdate) AS BIGINT) AS o_orderdate_nulls
+        |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.core.ZoneMap.build(tb(s, dir).orders,
+          date_format(col("o_orderdate"), "yyyy-MM"),
+          Seq("o_totalprice", "o_orderdate"))
+        .withColumn("o_totalprice_min", round(col("o_totalprice_min"), 2))
+        .withColumn("o_totalprice_max", round(col("o_totalprice_max"), 2))
+        .orderBy("shard")
+    },
+
+    // ---- zone-map range pruning: the shards a 7-month date predicate
+    //      must read — interval overlap against the stats table only
+    //      (80 rows at this layout), never the corpus. Conservative:
+    //      false keeps cost a read, false skips would be wrong. ----
+    "q_zone_prune" -> Q(
+      """WITH zm AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+        |  count(*) AS n_rows, min(o_orderdate) AS dmin, max(o_orderdate) AS dmax
+        |  FROM orders GROUP BY 1)
+        |SELECT shard, CAST(n_rows AS BIGINT) AS n_rows FROM zm
+        |WHERE dmin <= TIMESTAMP '1995-09-30' AND dmax >= TIMESTAMP '1995-03-01'
+        |ORDER BY shard""".stripMargin) { (s, dir) =>
+      val zm = graft.core.ZoneMap.build(tb(s, dir).orders,
+        date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_orderdate"))
+      graft.core.ZoneMap.pruneRange(zm, "o_orderdate",
+          lit("1995-03-01").cast("timestamp"), lit("1995-09-30").cast("timestamp"))
+        .select("shard", "n_rows").orderBy("shard")
+    },
+
+    // ---- zone-map planning summary: shards/rows total vs to-read for
+    //      the same predicate — the scan-reduction number a capacity
+    //      review wants (7 of 80 shards here), from stats alone. ----
+    "q_zone_prune_stats" -> Q(
+      """WITH zm AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+        |  count(*) AS n_rows, min(o_orderdate) AS dmin, max(o_orderdate) AS dmax
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS shards_total,
+        |  CAST(sum(CASE WHEN dmin <= TIMESTAMP '1995-09-30'
+        |                 AND dmax >= TIMESTAMP '1995-03-01' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shards_read,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN dmin <= TIMESTAMP '1995-09-30'
+        |                 AND dmax >= TIMESTAMP '1995-03-01' THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_read
+        |FROM zm""".stripMargin) { (s, dir) =>
+      val zm = graft.core.ZoneMap.build(tb(s, dir).orders,
+        date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_orderdate"))
+      graft.core.ZoneMap.pruneStats(zm, "o_orderdate",
+        lit("1995-03-01").cast("timestamp"), lit("1995-09-30").cast("timestamp"))
+    },
+
+    // ---- mergeable histogram quantiles (core/IncrementalAgg): two
+    //      per-shard equi-width bin-count partials (even/odd orderkey)
+    //      merged by bucket-sum, quantiles read off the merged
+    //      cumulative by exact cross-multiplication — the mergeable-
+    //      state face of quantile maintenance (bin counts are a sum
+    //      monoid; medians don't merge, histograms do). Oracle is the
+    //      from-scratch histogram: merging MUST equal recomputing. ----
+    "q_incr_quantile_merge" -> Q(
+      """WITH h AS (SELECT least(19, CAST(floor(o_totalprice / 30000) AS BIGINT)) AS bucket,
+        |             count(*) AS n FROM orders GROUP BY 1),
+        |c AS (SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum,
+        |             sum(n) OVER () AS total FROM h),
+        |q AS (SELECT unnest([2500, 5000, 7500, 9000]) AS q_bp)
+        |SELECT CAST(q.q_bp AS BIGINT) AS q_bp, CAST(min(c.bucket) AS BIGINT) AS bucket,
+        |       CAST(min(c.cum) AS BIGINT) AS cum_n, CAST(min(c.total) AS BIGINT) AS total_n
+        |FROM q JOIN c ON c.cum * 10000 >= q.q_bp * c.total
+        |GROUP BY q.q_bp ORDER BY q_bp""".stripMargin) { (s, dir) =>
+      import graft.core.IncrementalAgg
+      def part(parity: Int) = IncrementalAgg.histogramPartial(
+        tb(s, dir).orders.filter(col("o_orderkey") % 2 === parity),
+        lit(parity), "o_totalprice", width = 30000, buckets = 20)
+      val merged = IncrementalAgg.histogramMerge(part(0), part(1))
+      IncrementalAgg.histogramQuantiles(merged, Seq(2500, 5000, 7500, 9000))
+        .orderBy("q_bp")
     }
   )
 }

@@ -74,4 +74,36 @@ class IncrementalAggSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged === exact)
   }
+
+  test("histogram partials merge to the one-shot histogram; nulls drop; " +
+    "top bucket caps") {
+    val vals = Seq(Some(0.0), Some(9.9), Some(10.0), Some(25.0), None,
+      Some(99.0), Some(1e9)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val merged = IncrementalAgg.histogramMerge(
+      IncrementalAgg.histogramPartial(vals.filter($"id" % 2 === 0),
+        lit(0), "v", width = 10.0, buckets = 4),
+      IncrementalAgg.histogramPartial(vals.filter($"id" % 2 === 1),
+        lit(1), "v", width = 10.0, buckets = 4))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val oneShot = IncrementalAgg.histogramMerge(
+      IncrementalAgg.histogramPartial(vals, lit(0), "v", 10.0, 4))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(merged === oneShot)
+    // buckets: [0,10)→2, [10,20)→1, [20,30)→1, cap bucket 3 ← 99 and 1e9
+    assert(merged === Seq((0L, 2L), (1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("histogramQuantiles: exact crossing semantics at boundaries") {
+    // counts 10/10/80 over buckets 0/1/2 (total 100): q=1000bp crosses
+    // exactly at bucket 0 (cum·10000 = 10·10000 ≥ 1000·100); q=1001bp
+    // needs bucket 1; median and p99 land in bucket 2
+    val merged = Seq((0L, 10L), (1L, 10L), (2L, 80L)).toDF("bucket", "n")
+    val got = IncrementalAgg.histogramQuantiles(
+        merged, Seq(1000, 1001, 5000, 9900))
+      .orderBy("q_bp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1000L, 0L, 10L, 100L), (1001L, 1L, 20L, 100L),
+      (5000L, 2L, 100L, 100L), (9900L, 2L, 100L, 100L)))
+  }
 }

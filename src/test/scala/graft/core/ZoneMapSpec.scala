@@ -1,0 +1,63 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three shards: s0 fully below the probe range, s1 straddling it,
+  // s2 all-null values (NULL bounds, nulls recorded)
+  private def corpus = Seq(
+    ("s0", Some(1L)), ("s0", Some(5L)),
+    ("s1", Some(8L)), ("s1", Some(20L)), ("s1", None),
+    ("s2", None), ("s2", None))
+    .toDF("sh", "v")
+
+  test("build: per-shard min/max over non-null values, null counts, rows") {
+    val zm = ZoneMap.build(corpus, col("sh"), Seq("v")).orderBy("shard")
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(zm === Seq(
+      ("s0", 2L, Some(1L), Some(5L), 0L),
+      ("s1", 3L, Some(8L), Some(20L), 1L),
+      ("s2", 2L, None, None, 2L)))
+  }
+
+  test("pruneRange keeps exactly the interval-overlapping shards; " +
+    "all-null shards never match a range") {
+    val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
+    val hit = ZoneMap.pruneRange(zm, "v", lit(7L), lit(100L))
+      .select("shard").as[String].collect().toSeq
+    assert(hit === Seq("s1"))
+    // conservative: a range touching s0's max keeps s0 even though the
+    // only match is the boundary value
+    val edge = ZoneMap.pruneRange(zm, "v", lit(5L), lit(6L))
+      .select("shard").orderBy("shard").as[String].collect().toSeq
+    assert(edge === Seq("s0"))
+  }
+
+  test("pruneIsNull reads exactly the shards that recorded nulls") {
+    val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
+    val hit = ZoneMap.pruneIsNull(zm, "v")
+      .select("shard").orderBy("shard").as[String].collect().toSeq
+    assert(hit === Seq("s1", "s2"))
+  }
+
+  test("pruneStats: totals and to-read from the stats frame alone") {
+    val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
+    val st = ZoneMap.pruneStats(zm, "v", lit(7L), lit(100L))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(st === ((3L, 1L, 7L, 3L)))
+  }
+
+  test("prune never drops a shard that contains a match (vs brute force)") {
+    val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
+    for ((lo, hi) <- Seq((0L, 3L), (5L, 8L), (21L, 99L), (1L, 20L))) {
+      val kept = ZoneMap.pruneRange(zm, "v", lit(lo), lit(hi))
+        .select("shard").as[String].collect().toSet
+      val truth = corpus.filter(col("v") >= lo && col("v") <= hi)
+        .select("sh").distinct().as[String].collect().toSet
+      assert(truth.subsetOf(kept), s"range [$lo,$hi]: $truth not in $kept")
+    }
+  }
+}
