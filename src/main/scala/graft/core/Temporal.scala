@@ -888,4 +888,68 @@ object Temporal {
     }.drop("_asof_pay", "_asof_rts", "_asof_sel", "_asof_ots", "_side",
       "_pb", "_tb", "_pf", "_tf", "_lts", "_db", "_df")
   }
+
+  /** Classical additive seasonal decomposition of a per-entity daily
+    * series: value = trend + seasonal + residual — the moving-average
+    * scheme behind STL's ancestors (trend = centered MA, seasonal =
+    * per-phase mean of the detrended series, residual = the rest), the
+    * standard pre-step for calendar-aware anomaly detection (alarm on
+    * residuals, not on Mondays being Mondays).
+    *
+    * Integer fixed-point throughout (the timeWeightedAvg contract):
+    * per-event values land as ⌊value·scale⌋ longs, every mean is a
+    * truncating integral division (`div` ≡ DuckDB `//` — both truncate
+    * toward zero, negatives included), so the decomposition is
+    * bit-identical on any engine and any partitioning; the exact
+    * identity value_u = trend + seasonal + residual holds by
+    * construction (residual is defined as the difference).
+    *
+    * Shape: daily aggregate (map-side combined) → per-entity zero-fill
+    * calendar grid (resampleDaily's bounded explode) → ONE per-entity
+    * rows-frame window for the centered MA (contiguous grid makes rows
+    * ≡ range; edge frames shrink and divide by their true count) → a
+    * per-(entity, phase) aggregate joined back on the grid keys. Phase
+    * index is `epoch_day % period` — pure integer, no locale/dow-origin
+    * pitfalls. Hot entity costs its day span, same as resampleDaily.
+    *
+    * Output: entity, day, value_u, trend, seasonal, residual (all
+    * scaled longs).
+    */
+  def seasonalDecompose(events: DataFrame, entityCol: String, tsCol: String,
+                        valueCol: String, period: Int = 7,
+                        halfWindow: Int = 3,
+                        scale: Long = 1000000L): DataFrame = {
+    require(period >= 2, s"period must be >= 2: $period")
+    require(halfWindow >= 1, s"halfWindow must be >= 1: $halfWindow")
+    val agg = events
+      .select(col(entityCol), to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * scale).cast("long").as("_v"))
+      .groupBy(col(entityCol), col("day")).agg(sum("_v").as("_sv"))
+    val cal = agg.groupBy(col(entityCol))
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+      .select(col(entityCol),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val grid = cal.join(agg, Seq(entityCol, "day"), "left")
+      .select(col(entityCol), col("day"),
+        coalesce(col("_sv"), lit(0L)).as("value_u"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val detrended = grid
+      .withColumn("_wsum", sum("value_u").over(w))
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("trend", expr("_wsum div _wn"))
+      .withColumn("_det", col("value_u") - col("trend"))
+      .withColumn("_phase",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long") % period)
+    val seasonal = detrended
+      .groupBy(col(entityCol), col("_phase"))
+      .agg(sum("_det").as("_ssum"), count(lit(1)).as("_sn"))
+      .select(col(entityCol), col("_phase"),
+        expr("_ssum div _sn").as("seasonal"))
+    detrended.join(seasonal, Seq(entityCol, "_phase"))
+      .select(col(entityCol), col("day"), col("value_u"), col("trend"),
+        col("seasonal"),
+        (col("_det") - col("seasonal")).as("residual"))
+  }
 }

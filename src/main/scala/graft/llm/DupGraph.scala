@@ -437,4 +437,53 @@ object DupGraph {
     releaseSym()
     labels.select(col("id"), col("lbl").as("community"))
   }
+
+  /** k-core peeling: repeatedly drop vertices whose degree in the
+    * CURRENT subgraph is < k (with all their edges), `rounds` times.
+    * At a fixed point the survivors are exactly the k-core — the
+    * maximal subgraph of minimum degree k, the standard dense-region /
+    * spam-farm / bot-cluster detector (a review ring where everyone
+    * co-reviews everyone survives a deep core; organic long-tail
+    * activity peels away in the first rounds). Bounded `rounds` keeps
+    * the operator deterministic and oracle-replayable whether or not
+    * the peel has converged; callers wanting the true core iterate
+    * until the edge count stops changing (kCoreSpec pins the fixpoint
+    * on a known graph).
+    *
+    * Plan per round: one degree aggregate + two semi joins (edge ends
+    * against the surviving vertex set) — all equi-shuffles on vertex
+    * ids, no broadcast of anything vertex-sized, state checkpointed
+    * per sweep like the other iterative graph ops (lineage stays flat
+    * at any round count). Edges symmetrized+distinct'd once up front,
+    * so "degree" counts distinct neighbors regardless of input
+    * direction or duplication. Output: surviving `id` with `deg` in
+    * the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, src: String = "src",
+            dst: String = "dst", rounds: Int = 3,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+    var cur = ckpt(
+      e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      reliable)
+    for (_ <- 1 to rounds) {
+      val alive = cur.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a"))
+      val next = ckpt(
+        cur.join(alive, Seq("a"), "left_semi")
+          .join(alive.select(col("a").as("b")), Seq("b"), "left_semi"),
+        reliable)
+      CheckpointBridge.unpersistCheckpoint(cur)
+      cur = next
+    }
+    // cur's last checkpoint stays live — the result reads through it
+    // (same convention as labelPropagation's final labels frame)
+    cur.groupBy("a").agg(count(lit(1)).cast("long").as("deg"))
+      .select(col("a").as("id"), col("deg"))
+  }
 }

@@ -74,4 +74,26 @@ object Sketch {
       .withColumn("bucket", cmsBucket(col("seed"), col(keyCol), width))
       .join(broadcast(counters), Seq("seed", "bucket"), "left")
       .groupBy(keyCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Inner-product estimate between two counter grids (Cormode &
+    * Muthukrishnan §4.2): est(Σ_k fA(k)·fB(k)) = min over seeds of
+    * Σ_bucket cA·cB — never below the true value, above it by
+    * ~‖fA‖₁‖fB‖₁/width in expectation. Σ_k fA·fB is exactly the row
+    * count of the equi-join A ⋈ B on the sketched key, so this is JOIN
+    * CARDINALITY ESTIMATION from kilobytes of mergeable state — the
+    * planner's pre-shuffle answer to "can I afford this join / which
+    * side do I broadcast", computed without touching either table
+    * (grids were built at write time / maintained by SketchStream).
+    * Both grids are ≤ depth·width rows; the inner join drops cells
+    * empty on either side, which contribute 0 anyway. One row: `est`.
+    * Pass the same grid twice for a self-join estimate (Σ fₖ² — also
+    * the F₂ / skew diagnostic: a hot key dominates Σ f² long before it
+    * dominates Σ f).
+    */
+  def cmsInnerProduct(gridA: DataFrame, gridB: DataFrame): DataFrame =
+    gridA.select(col("seed"), col("bucket"), col("cnt").as("_ca"))
+      .join(broadcast(gridB.select(col("seed"), col("bucket"), col("cnt").as("_cb"))),
+        Seq("seed", "bucket"))
+      .groupBy("seed").agg(sum(col("_ca") * col("_cb")).as("_dot"))
+      .agg(min("_dot").cast("long").as("est"))
 }

@@ -727,6 +727,33 @@ object LlmQueries {
         .orderBy("token")
     },
 
+    // ---- CMS join-cardinality estimation (Sketch.cmsInnerProduct):
+    //      |lineitem ⋈ lineitem on l_partkey| = Σ_k f_k², estimated
+    //      from the 4×16384 grid alone — the planner's pre-shuffle
+    //      "can I afford this join" answer from kilobytes of mergeable
+    //      state, never touching the table at plan time. One-sided:
+    //      est ≥ exact always (~11% over at this width/corpus); exact
+    //      rides along for the comparison. ----
+    "q_sketch_join_size" -> Q(
+      s"""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+        |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+        |cells AS (SELECT seed, ${duckBucket("CAST(seed AS VARCHAR) || '|' || CAST(k AS VARCHAR)")} % 16384 AS bucket
+        |          FROM keys, seeds),
+        |grid AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM cells GROUP BY 1, 2),
+        |ip AS (SELECT seed, sum(cnt * cnt) AS dot FROM grid GROUP BY seed),
+        |exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS n_exact FROM
+        |          (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey))
+        |SELECT CAST(min(ip.dot) AS BIGINT) AS est, exact.n_exact
+        |FROM ip, exact GROUP BY exact.n_exact""".stripMargin) { (s, dir) =>
+      val keys = tb(s, dir).lineitem.select(col("l_partkey").as("k"))
+      val grid = graft.llm.Sketch.cmsCounters(keys, "k", depth = 4, width = 16384)
+      val exact = keys.groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).cast("long").as("n_exact"))
+      graft.llm.Sketch.cmsInnerProduct(grid, grid)
+        .crossJoin(broadcast(exact))
+    },
+
     // ---- streaming CMS maintenance (streaming/SketchStream): the
     //      grid is maintained through a 3-way corpus split (three
     //      applyBatch folds with crash-safe swaps) and must STILL equal

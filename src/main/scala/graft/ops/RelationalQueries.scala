@@ -1682,6 +1682,44 @@ object RelationalQueries {
         .orderBy("user_id", "day")
     },
 
+    // ---- additive seasonal decomposition (Temporal.seasonalDecompose):
+    //      value = trend + seasonal + residual over the zero-filled
+    //      daily grid — centered-MA trend, per-phase seasonal means,
+    //      ALL integer fixed-point (⌊value·10⁶⌋ longs; `div` ≡ DuckDB
+    //      `//`, both truncate toward zero incl. negatives) — the
+    //      calendar-aware anomaly pre-step, bit-identical cross-engine.
+    //      One per-entity rows-frame window + one phase aggregate. ----
+    "q_evt_seasonal" -> Q(
+      """WITH agg AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
+        |             FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY user_id),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+        |grid AS (SELECT c.user_id, c.day, coalesce(a.sv, 0) AS value_u
+        |         FROM cal c LEFT JOIN agg a ON a.user_id = c.user_id AND a.day = c.day),
+        |tr AS (SELECT user_id, day, value_u,
+        |         sum(value_u) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |       FROM grid),
+        |det AS (SELECT user_id, day, value_u, wsum // wn AS trend,
+        |               value_u - (wsum // wn) AS det,
+        |               datediff('day', DATE '1970-01-01', day) % 7 AS phase
+        |        FROM tr),
+        |seas AS (SELECT user_id, phase, sum(det) // count(*) AS seasonal
+        |         FROM det GROUP BY 1, 2)
+        |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+        |       CAST(d.value_u AS BIGINT) AS value_u, CAST(d.trend AS BIGINT) AS trend,
+        |       CAST(s.seasonal AS BIGINT) AS seasonal,
+        |       CAST(d.det - s.seasonal AS BIGINT) AS residual
+        |FROM det d JOIN seas s ON s.user_id = d.user_id AND s.phase = d.phase
+        |ORDER BY d.user_id, day""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.seasonalDecompose(
+          tb(s, dir).events, "user_id", "ts", "value")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("value_u"), col("trend"), col("seasonal"), col("residual"))
+        .orderBy("user_id", "day")
+    },
+
     // ---- gap-fill + LOCF (Temporal.locf over the resampled grid):
     //      silent days carry the last observed daily level forward;
     //      leading silence stays null. round AFTER the fill on both
@@ -1834,6 +1872,37 @@ object RelationalQueries {
           (col("l_suppkey") + lit(1000000L)).as("dst"))
         .distinct()
       graft.llm.DupGraph.labelPropagation(e0, iterations = 3).orderBy("id")
+    },
+
+    // ---- k-core peeling (DupGraph.kCore): drop degree-<k vertices
+    //      with their edges, 3 rounds, over the customer–supplier
+    //      interaction graph — the dense-region detector. k=45 reaches
+    //      the FIXPOINT here (stable after round 1, so the result is
+    //      the true 45-core: 257 vertices); multi-round cascades are
+    //      pinned by kCoreSpec on a crafted chain. Per round: one
+    //      degree aggregate + two semi joins, all equi-shuffles. ----
+    "q_graph_kcore" -> Q(
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |d0 AS (SELECT s AS id, count(*) AS deg FROM e GROUP BY s),
+        |a1 AS (SELECT id FROM d0 WHERE deg >= 45),
+        |e1 AS (SELECT e.s, e.d FROM e WHERE s IN (SELECT id FROM a1) AND d IN (SELECT id FROM a1)),
+        |d1 AS (SELECT s AS id, count(*) AS deg FROM e1 GROUP BY s),
+        |a2 AS (SELECT id FROM d1 WHERE deg >= 45),
+        |e2 AS (SELECT e1.s, e1.d FROM e1 WHERE s IN (SELECT id FROM a2) AND d IN (SELECT id FROM a2)),
+        |d2 AS (SELECT s AS id, count(*) AS deg FROM e2 GROUP BY s),
+        |a3 AS (SELECT id FROM d2 WHERE deg >= 45),
+        |e3 AS (SELECT e2.s, e2.d FROM e2 WHERE s IN (SELECT id FROM a3) AND d IN (SELECT id FROM a3))
+        |SELECT s AS id, CAST(count(*) AS BIGINT) AS deg FROM e3
+        |GROUP BY s ORDER BY id""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.llm.DupGraph.kCore(e0, k = 45, rounds = 3).orderBy("id")
     },
 
     // ---- zone map build (core/ZoneMap): per-shard min/max/null/rows

@@ -577,4 +577,28 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq("2024-01-01" -> 2L, "2024-01-03" -> 2L,
       "2024-01-09" -> 1L))
   }
+
+  test("seasonalDecompose: additive identity holds exactly; a constant " +
+    "series has zero seasonal and residual; silent days zero-fill") {
+    // entity a: constant 2.0/day over 10 days with one silent day
+    val ev = (0 until 10).filter(_ != 4).map { d =>
+      (1L, ts(f"2024-01-${d + 1}%02d 10:00:00"), 2.0)
+    }.toDF("user_id", "ts", "value")
+    val got = Temporal.seasonalDecompose(ev, "user_id", "ts", "value",
+        period = 7, halfWindow = 3)
+      .orderBy("day")
+      .as[(Long, java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size === 10)            // grid spans the silent day too
+    // the decomposition identity is exact in integer units, every row
+    got.foreach { case (_, d, v, t, s, r) =>
+      assert(v === t + s + r, s"identity broken at $d")
+    }
+    // silent day present with value 0
+    assert(got.count(_._3 == 0L) === 1)
+    // edge frames divide by their true count: day 1's frame is days
+    // 1-4 (all 2.0) → trend exactly 2e6; the silent day drags the
+    // full 7-row frames to 12e6 div 7
+    assert(got.head._4 === 2000000L)
+    assert(got(4)._4 === 12000000L / 7)   // the silent day itself
+  }
 }

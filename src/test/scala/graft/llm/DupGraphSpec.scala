@@ -197,4 +197,30 @@ class DupGraphSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
+
+  test("kCore: a chain peels one vertex per round from each end; " +
+    "the triangle is the 2-core fixpoint") {
+    // 1-2-3-4 chain attached to triangle 4-5-6: 2-core = {4,5,6},
+    // reached only by CASCADING peels (1 goes, then 2, then 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    def core(rounds: Int) =
+      DupGraph.kCore(edges, k = 2, rounds = rounds)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    // round 1 removes only vertex 1 (the single deg-1 vertex)
+    assert(core(1).map(_._1) === Seq(2L, 3L, 4L, 5L, 6L))
+    // round 2 removes 2; round 3 removes 3 → the pure triangle, deg 2 each
+    assert(core(3) === Seq((4L, 2L), (5L, 2L), (6L, 2L)))
+    // fixpoint: more rounds change nothing
+    assert(core(5) === core(3))
+  }
+
+  test("kCore: self-loops and duplicate/reversed edges don't inflate degree") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    // true simple graph is triangle 1-2-3 → 2-core keeps all three
+    val got = DupGraph.kCore(edges, k = 2, rounds = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
 }

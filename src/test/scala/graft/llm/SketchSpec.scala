@@ -35,4 +35,21 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.cmsCounters(items, "k", depth = 4, width = 64)
       .count() <= 4L * 64L)
   }
+
+  test("cmsInnerProduct: exact when collision-free, one-sided otherwise, " +
+    "and equals the join cardinality") {
+    // a: x,x,y ; b: x,y,y,z → Σ f_a·f_b = 2·1 + 1·2 = 4 = |a ⋈ b|
+    val a = Seq("x", "x", "y").toDF("k")
+    val b = Seq("x", "y", "y", "z").toDF("k")
+    val ga = Sketch.cmsCounters(a, "k", depth = 4, width = 1024)
+    val gb = Sketch.cmsCounters(b, "k", depth = 4, width = 1024)
+    val est = Sketch.cmsInnerProduct(ga, gb).as[Long].collect().head
+    val joinRows = a.join(b, "k").count()
+    assert(joinRows === 4L)
+    assert(est >= joinRows)            // never undercounts
+    assert(est === 4L)                 // 3 keys in 1024 buckets: no collisions
+    // self inner product = Σ f² (the F2/skew diagnostic)
+    val self = Sketch.cmsInnerProduct(ga, ga).as[Long].collect().head
+    assert(self === (2L * 2 + 1))
+  }
 }
