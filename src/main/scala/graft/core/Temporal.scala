@@ -952,4 +952,54 @@ object Temporal {
         col("seasonal"),
         (col("_det") - col("seasonal")).as("residual"))
   }
+
+  /** Per-entity least-squares trend line over the daily series — "is
+    * this metric drifting, and how fast, for every entity at once" —
+    * as ONE aggregation pass, exact integer arithmetic end to end.
+    *
+    * The closed form needs only the monoid sums n, Σx, Σy, Σxy, Σx²:
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    * x = days since the ENTITY'S first observed day (small ints, so
+    * Σxy stays far from Long overflow even with µ-scaled y; using raw
+    * epoch micros here would overflow — that's why the rebase is part
+    * of the contract, not a nicety), y = Σ⌊value·scale⌋ per observed
+    * day (no zero-fill: silent days are missing observations, not
+    * zeros). Both divisions are truncating integer division (`div` ≡
+    * DuckDB `//`), applied AFTER the exact integer numerators, so
+    * slope_u/intercept_u are bit-identical on any engine; num/den ride
+    * along exact for callers wanting full-precision ratios.
+    *
+    * Plan: daily aggregate → per-entity min-day (one more aggregate,
+    * broadcast-joined back is wrong at 100 TB entity counts — it's an
+    * equi join on the entity key, same shuffle as the daily groupBy) →
+    * one final per-entity aggregate. Entities with a single point (or
+    * all points on one day) have den = 0 → NULL slope/intercept, not a
+    * crash. Output: entity, n, num, den, slope_u, intercept_u.
+    */
+  def trendLine(events: DataFrame, entityCol: String, tsCol: String,
+                valueCol: String, scale: Long = 1000000L): DataFrame = {
+    val daily = events
+      .select(col(entityCol), to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * scale).cast("long").as("_v"))
+      .groupBy(col(entityCol), col("day")).agg(sum("_v").as("y"))
+    val first = daily.groupBy(col(entityCol)).agg(min("day").as("_d0"))
+    val pts = daily.join(first, Seq(entityCol))
+      .select(col(entityCol),
+        datediff(col("day"), col("_d0")).cast("long").as("x"), col("y"))
+    pts.groupBy(col(entityCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("x").as("_sx"), sum("y").as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      .withColumn("num", (col("n") * col("_sxy") - col("_sx") * col("_sy")).cast("long"))
+      .withColumn("den", (col("n") * col("_sxx") - col("_sx") * col("_sx")).cast("long"))
+      .withColumn("slope_u",
+        when(col("den") =!= 0, expr("num div den")).cast("long"))
+      .withColumn("intercept_u",
+        when(col("den") =!= 0,
+          expr("(_sy - slope_u * _sx) div n")).cast("long"))
+      .select(col(entityCol), col("n"), col("num"), col("den"),
+        col("slope_u"), col("intercept_u"))
+  }
 }

@@ -929,4 +929,25 @@ object TextAnalysis {
         regexp_replace(c, EmailRx, "<EMAIL>"),
         IdRx, "<ID>"),
       PhoneRx, "<PHONE>")
+
+  /** Conjunctive (AND) term search as posting-list intersection done
+    * by COUNTING, not joining: explode to distinct (doc, term)
+    * postings, keep rows whose term is in the query set, and a doc
+    * matches iff its surviving posting count equals |terms| — one
+    * groupBy, no |terms|-way self-join, no per-term scan. The filter
+    * reaches the explode (only query-term postings survive the
+    * map side), so the shuffle carries ≤ |terms| rows per doc. This is
+    * how a conjunctive filter over an inverted index runs at corpus
+    * scale; BM25 ranks what this selects.
+    */
+  def searchAll(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAll needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t").isin(terms: _*)).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nt"))
+      .filter(col("_nt") === terms.size)
+      .select(col(idCol))
+  }
 }

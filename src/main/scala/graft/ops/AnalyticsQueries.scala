@@ -533,6 +533,27 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- W7: top-k per group — the per-group face of ORDER BY/LIMIT
+    //      (rank window inside each partition, never a global sort;
+    //      deterministic tiebreak on the key). ----
+    "q_w7_topk_per_group" -> Q(
+      """SELECT status, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus AS status, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY status, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("status")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tb(s, dir).orders
+        .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("status", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("status", "rn")
+    },
+
     // ---- frequent-pair mining (core/Itemsets): co-occurrence support
     //      over (order, part) baskets — the A-Priori k=2 candidate pass
     //      as pure aggregation. Quadratic step is the within-basket

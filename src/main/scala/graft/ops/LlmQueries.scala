@@ -347,6 +347,22 @@ object LlmQueries {
     //      idf + tf saturation + length normalization for a literal
     //      probe query; corpus contributes one fused (doc,token,count)
     //      aggregate, df/N/avgdl broadcast. round(,4) absorbs ln(). ----
+    // ---- conjunctive search (TextAnalysis.searchAll): AND of 3 terms
+    //      as posting-list intersection by COUNTING (distinct postings
+    //      filtered map-side to the query terms, match ⇔ count = 3) —
+    //      no |terms|-way self-join, ≤3 shuffled rows per doc. ----
+    "q_llm_search_and" -> Q(
+      """WITH toks AS (SELECT DISTINCT doc_id,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |              FROM documents),
+        |hits AS (SELECT doc_id, count(*) AS nt FROM toks
+        |         WHERE t IN ('data', 'table', 'join') GROUP BY doc_id)
+        |SELECT doc_id FROM hits WHERE nt = 3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.TextAnalysis.searchAll(tb(s, dir).documents,
+          "doc_id", "text", Seq("data", "table", "join"))
+        .orderBy("doc_id")
+    },
+
     "q_llm_bm25" -> Q(
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
         |              FROM documents),

@@ -1720,6 +1720,29 @@ object RelationalQueries {
         .orderBy("user_id", "day")
     },
 
+    // ---- per-entity OLS trend line (Temporal.trendLine): drift rate
+    //      for every entity in ONE aggregation pass — monoid sums
+    //      n/Σx/Σy/Σxy/Σx², exact integer numerators, truncating
+    //      divisions last (div ≡ //). x rebased to each entity's first
+    //      day (overflow headroom is part of the contract). ----
+    "q_evt_trend_line" -> Q(
+      """WITH daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                      CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+        |               FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1),
+        |pts AS (SELECT d.user_id, CAST(datediff('day', x.d0, d.day) AS BIGINT) AS x, d.y
+        |        FROM daily d JOIN x0 x ON x.user_id = d.user_id),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts GROUP BY 1)
+        |SELECT user_id, n, CAST(n*sxy - sx*sy AS BIGINT) AS num,
+        |       CAST(n*sxx - sx*sx AS BIGINT) AS den,
+        |       CAST((n*sxy - sx*sy) // (n*sxx - sx*sx) AS BIGINT) AS slope_u,
+        |       CAST((sy - ((n*sxy - sx*sy) // (n*sxx - sx*sx)) * sx) // n AS BIGINT) AS intercept_u
+        |FROM s ORDER BY user_id""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.trendLine(tb(s, dir).events, "user_id", "ts", "value")
+        .orderBy("user_id")
+    },
+
     // ---- gap-fill + LOCF (Temporal.locf over the resampled grid):
     //      silent days carry the last observed daily level forward;
     //      leading silence stays null. round AFTER the fill on both

@@ -602,3 +602,43 @@ class TemporalSpec extends SparkSpec {
     assert(got(4)._4 === 12000000L / 7)   // the silent day itself
   }
 }
+
+class TrendLineSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("trendLine recovers an exact linear series; single-point entity " +
+    "gets NULL slope, not a crash") {
+    // entity 1: y = 3 + 2x over days 0..4 (values in units) → slope_u
+    // exactly 2e6, intercept_u exactly 3e6; entity 2: one observation
+    val ev = (0 until 5).map { d =>
+      (1L, ts(f"2024-02-${d + 1}%02d 09:00:00"), 3.0 + 2.0 * d)
+    } :+ ((2L, ts("2024-02-01 09:00:00"), 9.0))
+    val got = Temporal.trendLine(ev.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got(0) === ((1L, 5L, 100000000L, 50L,
+      Some(2000000L), Some(3000000L))))
+    assert(got(1)._4 === 0L)               // den = 0
+    assert(got(1)._5 === None && got(1)._6 === None)
+  }
+
+  test("trendLine: multiple events per day sum before fitting; x is " +
+    "rebased per entity") {
+    // two events on day 0 (1.0 + 2.0 = 3.0), one on day 2 (7.0):
+    // points (0, 3e6), (2, 7e6) → slope = 2e6/day regardless of the
+    // entity starting mid-month
+    val ev = Seq(
+      (1L, ts("2024-03-15 08:00:00"), 1.0),
+      (1L, ts("2024-03-15 18:00:00"), 2.0),
+      (1L, ts("2024-03-17 12:00:00"), 7.0)).toDF("user_id", "ts", "value")
+    val got = Temporal.trendLine(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(got._2 === 2L)
+    assert(got._5 === Some(2000000L))
+    assert(got._6 === Some(3000000L))
+  }
+}

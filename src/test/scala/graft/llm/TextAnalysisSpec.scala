@@ -467,4 +467,19 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(n(1L) === 4L && n(3L) === 4L)
   }
+
+  test("searchAll: AND semantics — all terms required, repeats don't " +
+    "double-count, case-folds") {
+    val docs = Seq(
+      (1L, "the data table join"),          // all three
+      (2L, "data data data table"),         // repeats of 2 terms only
+      (3L, "Data TABLE Join extra words"),  // case variants of all three
+      (4L, "nothing relevant"),
+      (5L, "join table"))                   // 2 of 3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.searchAll(docs, "doc_id", "text",
+        Seq("data", "table", "join"))
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+  }
 }
