@@ -364,4 +364,76 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one exchange (hash by shard):\n$plan")
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
+
+  test("frequentPairs/associationRules: basket equi-join only — no " +
+    "nested-loop, no cartesian; support joins broadcast") {
+    val li = Tables(spark, sfDir).lineitem
+    val pairs = planOf(graft.core.Itemsets.frequentPairs(
+      li, "l_orderkey", "l_partkey", minSupport = 2))
+    assert(!pairs.contains("BroadcastNestedLoopJoin") &&
+      !pairs.contains("CartesianProduct"), pairs)
+    val rules = planOf(graft.core.Itemsets.associationRules(
+      li, "l_orderkey", "l_partkey", minSupport = 2))
+    assert(!rules.contains("CartesianProduct"), rules)
+    // item supports and n_baskets attach as BroadcastHashJoin /
+    // 1-row BroadcastNestedLoop — the pair frame must never re-sort-
+    // merge against anything after the support count
+    assert(rules.contains("BroadcastHashJoin"), rules)
+  }
+
+  test("kCore rounds plan as equi semi-joins over vertex ids") {
+    // the round state is eagerly checkpointed inside kCore (the
+    // returned plan reads the final RDD), so audit the ROUND's plan
+    // face — the exact alive-filter + both-ends semi-join shape a
+    // round builds before its checkpoint
+    val li = Tables(spark, sfDir).lineitem
+    val e0 = li.select(col("l_orderkey").as("a"),
+      (col("l_suppkey") + lit(1000000L)).as("b"))
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val alive = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2).select(col("a"))
+    val round = sym.join(alive, Seq("a"), "left_semi")
+      .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
+    val plan = planOf(round)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("zone-map prune touches only the stats frame: one corpus scan " +
+    "in build, zero additional scans in the prune") {
+    val orders = Tables(spark, sfDir).orders
+    val zm = graft.core.ZoneMap.build(orders,
+      date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_orderdate"))
+    val pruned = graft.core.ZoneMap.pruneRange(zm, "o_orderdate",
+      lit("1995-03-01").cast("timestamp"), lit("1995-09-30").cast("timestamp"))
+    val plan = planOf(pruned)
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"prune must not rescan the corpus:\n$plan")
+    // the build scan reads only the mapped column
+    assert(plan.contains("ReadSchema: struct<o_orderdate:"), plan)
+  }
+
+  test("trendLine reads only (user_id, ts, value); all joins are equi") {
+    val ev = Tables(spark, sfDir).events
+    val plan = planOf(graft.core.Temporal.trendLine(ev, "user_id", "ts", "value"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("event_type"),
+      s"unreferenced event columns must not be read:\n$plan")
+  }
+
+  test("searchAll pushes the term filter below the posting shuffle") {
+    val docs = Tables(spark, sfDir).documents
+    val plan = planOf(graft.llm.TextAnalysis.searchAll(
+      docs, "doc_id", "text", Seq("data", "table")))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected a 2-column pruned scan:\n$plan")
+    // the isin filter must sit under the first Exchange (map side of
+    // the distinct), so the shuffle carries only query-term postings
+    val firstExchange = plan.indexOf("Exchange")
+    val lastFilter = plan.lastIndexOf("Filter")
+    assert(firstExchange >= 0 && lastFilter > firstExchange,
+      s"term filter should appear below the exchange:\n$plan")
+  }
 }
