@@ -977,6 +977,28 @@ object Temporal {
     * all points on one day) have den = 0 → NULL slope/intercept, not a
     * crash. Output: entity, n, num, den, slope_u, intercept_u.
     */
+  /** Adoption / growth curve: per group, each day's NEW entities (first
+    * touch that day) and the running cumulative distinct count — the
+    * feature-adoption and user-growth readout. Running COUNT(DISTINCT)
+    * is a window no engine does directly; the identity that makes it
+    * scale is `distinct-so-far = Σ first-occurrences ≤ day`, so the
+    * plan is: first-touch aggregate (map-side combined min over the
+    * entity key — the only corpus-sized shuffle) → day-grain aggregate
+    * → per-group cumulative window over day-count-sized frames.
+    * Output: group, day, new_entities, cum_entities.
+    */
+  def adoptionCurve(events: DataFrame, entityCol: String, tsCol: String,
+                    groupCol: String): DataFrame = {
+    val first = events
+      .select(col(groupCol), col(entityCol), to_date(col(tsCol)).as("_day"))
+      .groupBy(col(groupCol), col(entityCol)).agg(min("_day").as("day"))
+    val daily = first.groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).cast("long").as("new_entities"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+    daily.withColumn("cum_entities",
+      sum("new_entities").over(w).cast("long"))
+  }
+
   def trendLine(events: DataFrame, entityCol: String, tsCol: String,
                 valueCol: String, scale: Long = 1000000L): DataFrame = {
     val daily = events

@@ -950,4 +950,27 @@ object TextAnalysis {
       .filter(col("_nt") === terms.size)
       .select(col(idCol))
   }
+
+  /** Exact-phrase search over positional postings: a doc matches iff
+    * some position p has term_i at p+i for every i — each term's
+    * postings are filtered MAP-SIDE (the shuffle carries only
+    * query-term positions, like [[searchAll]]), rebased to the
+    * phrase-start anchor p0 = pos − i, and intersected by (doc, p0)
+    * equi joins. |terms|−1 joins over per-term-filtered frames — never
+    * a positions×positions blowup; repeated-word phrases ("data data")
+    * work because each occurrence keeps its own anchor. Output:
+    * distinct matching `idCol`.
+    */
+  def searchPhrase(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("_pos", "_t")))
+    val anchors = terms.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("_t") === t)
+        .select(col(idCol), (col("_pos") - i).as("_p0"))
+    }
+    anchors.reduce((a, b) => a.join(b, Seq(idCol, "_p0")))
+      .select(col(idCol)).distinct()
+  }
 }

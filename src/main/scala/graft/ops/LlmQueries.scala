@@ -363,6 +363,24 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- exact-phrase search (TextAnalysis.searchPhrase): positional
+    //      postings filtered map-side to the two query terms, rebased
+    //      to the phrase-start anchor, intersected by (doc, p0) equi
+    //      join — adjacency without a positions×positions join. ----
+    "q_llm_search_phrase" -> Q(
+      """WITH toks AS (SELECT doc_id,
+        |                unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t,
+        |                CAST(generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS BIGINT) AS pos
+        |              FROM documents)
+        |SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+        |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.t = 'data' AND b.t = 'table'
+        |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.TextAnalysis.searchPhrase(tb(s, dir).documents,
+          "doc_id", "text", Seq("data", "table"))
+        .orderBy("doc_id")
+    },
+
     "q_llm_bm25" -> Q(
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
         |              FROM documents),

@@ -1720,6 +1720,82 @@ object RelationalQueries {
         .orderBy("user_id", "day")
     },
 
+    // ---- adoption curve (Temporal.adoptionCurve): daily new + running
+    //      cumulative distinct users per event type. Running
+    //      COUNT(DISTINCT) via the first-occurrence identity — the only
+    //      corpus shuffle is the first-touch min; the cumulative window
+    //      runs on day-grain frames. ----
+    "q_evt_adoption" -> Q(
+      """WITH fo AS (SELECT event_type, user_id,
+        |              min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+        |            FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, first_day AS day, count(*) AS new_entities
+        |      FROM fo GROUP BY 1, 2)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(new_entities AS BIGINT) AS new_entities,
+        |       CAST(sum(new_entities) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |         AS cum_entities
+        |FROM d ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.adoptionCurve(tb(s, dir).events,
+          "user_id", "ts", "event_type")
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_entities"), col("cum_entities"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- seasonal-residual anomaly flags: the payoff of
+    //      seasonalDecompose — alarm on |residual| > 3.5·MAD per
+    //      entity (madOutliers' exact integer medians over the exact
+    //      integer residuals), so Mondays being Mondays never pages.
+    //      Pure composition of two already-oracled operators. ----
+    "q_evt_seasonal_anomaly" -> Q(
+      """WITH agg AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
+        |             FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM agg GROUP BY user_id),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+        |grid AS (SELECT c.user_id, c.day, coalesce(a.sv, 0) AS value_u
+        |         FROM cal c LEFT JOIN agg a ON a.user_id = c.user_id AND a.day = c.day),
+        |tr AS (SELECT user_id, day, value_u,
+        |         sum(value_u) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |       FROM grid),
+        |det AS (SELECT user_id, day, value_u, value_u - (wsum // wn) AS det,
+        |               datediff('day', DATE '1970-01-01', day) % 7 AS phase
+        |        FROM tr),
+        |seas AS (SELECT user_id, phase, sum(det) // count(*) AS seasonal
+        |         FROM det GROUP BY 1, 2),
+        |res AS (SELECT d.user_id, d.day, d.det - s.seasonal AS r
+        |        FROM det d JOIN seas s ON s.user_id = d.user_id AND s.phase = d.phase),
+        |h AS (SELECT user_id, r, count(*) AS c FROM res GROUP BY 1, 2),
+        |cm AS (SELECT user_id, r, c, sum(c) OVER (PARTITION BY user_id ORDER BY r) AS cum,
+        |              sum(c) OVER (PARTITION BY user_id) AS n FROM h),
+        |m AS (SELECT user_id, min(CASE WHEN cum * 100 >= n * 50 THEN r END) AS med
+        |      FROM cm GROUP BY user_id),
+        |dev AS (SELECT res.user_id, res.day, res.r, m.med, abs(res.r - m.med) AS adev
+        |        FROM res JOIN m USING (user_id)),
+        |h2 AS (SELECT user_id, adev, count(*) AS c FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT user_id, adev, c, sum(c) OVER (PARTITION BY user_id ORDER BY adev) AS cum,
+        |              sum(c) OVER (PARTITION BY user_id) AS n FROM h2),
+        |md AS (SELECT user_id, min(CASE WHEN cum * 100 >= n * 50 THEN adev END) AS mad
+        |       FROM c2 GROUP BY user_id)
+        |SELECT dev.user_id, strftime(dev.day, '%Y-%m-%d') AS day,
+        |       CAST(dev.r AS BIGINT) AS residual,
+        |       CAST(dev.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad
+        |FROM dev JOIN md USING (user_id)
+        |WHERE dev.adev * 6745 > md.mad * 35000
+        |ORDER BY dev.user_id, day""".stripMargin) { (s, dir) =>
+      val dec = graft.core.Temporal.seasonalDecompose(
+          tb(s, dir).events, "user_id", "ts", "value")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("residual"))
+      graft.llm.TextAnalysis.madOutliers(dec, "user_id", "day", "residual")
+        .filter(col("is_outlier"))
+        .select(col("user_id"), col("day"), col("residual").as("residual"),
+          col("med"), col("mad"))
+        .orderBy("user_id", "day")
+    },
+
     // ---- per-entity OLS trend line (Temporal.trendLine): drift rate
     //      for every entity in ONE aggregation pass — monoid sums
     //      n/Σx/Σy/Σxy/Σx², exact integer numerators, truncating

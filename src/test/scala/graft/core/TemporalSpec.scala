@@ -603,6 +603,30 @@ class TemporalSpec extends SparkSpec {
   }
 }
 
+class AdoptionCurveSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("adoptionCurve: first touch counts once per (group, entity); " +
+    "cumulative runs per group") {
+    val ev = Seq(
+      ("click", 1L, ts("2024-01-01 10:00:00")),
+      ("click", 1L, ts("2024-01-02 10:00:00")), // repeat: not new again
+      ("click", 2L, ts("2024-01-02 10:00:00")),
+      ("click", 3L, ts("2024-01-02 11:00:00")),
+      ("view", 1L, ts("2024-01-03 10:00:00")))  // same user, new group
+      .toDF("event_type", "user_id", "ts")
+    val got = Temporal.adoptionCurve(ev, "user_id", "ts", "event_type")
+      .orderBy("event_type", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("click", "2024-01-01", 1L, 1L),
+      ("click", "2024-01-02", 2L, 3L),
+      ("view", "2024-01-03", 1L, 1L)))
+  }
+}
+
 class TrendLineSpec extends graft.SparkSpec {
   import spark.implicits._
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)

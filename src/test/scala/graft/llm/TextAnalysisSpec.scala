@@ -482,4 +482,28 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").as[Long].collect().toSeq
     assert(got === Seq(1L, 3L))
   }
+
+  test("searchPhrase: adjacency required, order matters, repeated-word " +
+    "phrases and multi-occurrence docs work") {
+    val docs = Seq(
+      (1L, "big data table scan"),      // "data table" adjacent
+      (2L, "data in the table"),        // both words, not adjacent
+      (3L, "table data"),               // reversed order
+      (4L, "data table and data table"),// two occurrences → one row
+      (5L, "data data stream"))         // repeated-word phrase target
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.searchPhrase(docs, "doc_id", "text",
+        Seq("data", "table"))
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 4L))
+    val rep = TextAnalysis.searchPhrase(docs, "doc_id", "text",
+        Seq("data", "data"))
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(rep === Seq(5L))
+    // three-term phrase chains through both joins
+    val tri = TextAnalysis.searchPhrase(docs, "doc_id", "text",
+        Seq("big", "data", "table"))
+      .as[Long].collect().toSeq
+    assert(tri === Seq(1L))
+  }
 }
