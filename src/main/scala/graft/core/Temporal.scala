@@ -977,6 +977,27 @@ object Temporal {
     * all points on one day) have den = 0 → NULL slope/intercept, not a
     * crash. Output: entity, n, num, den, slope_u, intercept_u.
     */
+  /** Event-transition matrix (first-order Markov counts): how often
+    * each event type is followed by each other type within an entity's
+    * chronological stream — the product-analytics "what do users do
+    * next" readout and the input to Markov path models. One lead()
+    * window per entity (tie-broken on `tieCol` for determinism), one
+    * counted groupBy over the |types|² matrix — never a self-join of
+    * the stream. Terminal events (no successor) drop; emit them as a
+    * synthetic END type upstream if absorption rates matter.
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(entityCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Adoption / growth curve: per group, each day's NEW entities (first
     * touch that day) and the running cumulative distinct count — the
     * feature-adoption and user-growth readout. Running COUNT(DISTINCT)

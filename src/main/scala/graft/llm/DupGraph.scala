@@ -486,4 +486,33 @@ object DupGraph {
     cur.groupBy("a").agg(count(lit(1)).cast("long").as("deg"))
       .select(col("a").as("id"), col("deg"))
   }
+
+  /** Degree-distribution profile: vertices binned by ⌊log₂(degree)⌋
+    * with per-bin count, exact degree range, and the (truncated) mean
+    * NEIGHBOR degree — the one-page shape report for any graph: a
+    * straight-line count column is a power law, and mean-neighbor-
+    * degree falling as degree rises is disassortativity (hubs talk to
+    * leaves — the bipartite/social signature; bot rings show the
+    * opposite). The bin is `length(bin(deg)) − 1` — pure integer, no
+    * libm log₂ whose rounding could flip a 2^k boundary between
+    * engines. Cost: one degree aggregate, one neighbor-degree join
+    * (equi, on the edge key), one |bins|-row summary; Σdeg arithmetic
+    * stays in Longs.
+    */
+  def degreeProfile(edges: DataFrame, src: String = "src",
+                    dst: String = "dst"): DataFrame = {
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val nbr = sym
+      .join(deg.select(col("a").as("b"), col("deg").as("_dd")), Seq("b"))
+      .groupBy("a").agg(sum("_dd").as("_nds"))
+    deg.join(nbr, Seq("a"))
+      .groupBy((length(bin(col("deg"))) - 1).cast("long").as("deg_bin"))
+      .agg(count(lit(1)).cast("long").as("n_vertices"),
+        min("deg").cast("long").as("deg_min"),
+        max("deg").cast("long").as("deg_max"),
+        expr("sum(_nds) div sum(deg)").cast("long").as("mean_nbr_deg"))
+  }
 }

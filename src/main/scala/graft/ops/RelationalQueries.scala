@@ -1138,6 +1138,27 @@ object RelationalQueries {
         .orderBy("status")
     },
 
+    // ---- hive-style partitioned parquet sink + source roundtrip:
+    //      write partitionBy(status) — the 100 TB layout where the
+    //      partition column lives in directory names, enabling
+    //      partition PRUNING (a status predicate reads one directory;
+    //      PlanAuditSpec asserts PartitionFilters). Content must
+    //      survive the column's movement out of the files. ----
+    "q_fmt_partitioned_roundtrip" -> Q(
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toFile
+      tmp.deleteOnExit()
+      val path = s"${tmp.getPath}/orders_part"
+      tb(s, dir).orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("key_sum"))
+        .orderBy("status")
+    },
+
     // ---- CSV sink + source roundtrip (header + explicit schema — the
     //      reference's own export format, S7): content must survive the
     //      text encoding exactly for integer/string/decimal columns ----
@@ -1718,6 +1739,49 @@ object RelationalQueries {
         .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("value_u"), col("trend"), col("seasonal"), col("residual"))
         .orderBy("user_id", "day")
+    },
+
+    // ---- event-transition matrix (Temporal.transitionMatrix): Markov
+    //      next-event counts per user stream — one lead() window + one
+    //      |types|²-row groupBy, never a stream self-join. ----
+    "q_evt_transitions" -> Q(
+      """WITH seq AS (SELECT user_id, event_type,
+        |               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |             FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.transitionMatrix(tb(s, dir).events,
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
+    // ---- degree-distribution profile (DupGraph.degreeProfile): log₂-
+    //      binned degree histogram + truncated mean neighbor degree —
+    //      the graph-shape report (the bipartite disassortativity shows
+    //      plainly: hub bins have low-degree neighbors). Bin is
+    //      length(bin(deg))−1: pure integer, no libm log₂. ----
+    "q_graph_degree_profile" -> Q(
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |deg AS (SELECT s AS id, count(*) AS deg FROM e GROUP BY s),
+        |nd AS (SELECT e.s AS id, CAST(sum(dd.deg) AS BIGINT) AS nds
+        |       FROM e JOIN deg dd ON dd.id = e.d GROUP BY e.s)
+        |SELECT CAST(length(bin(deg.deg)) - 1 AS BIGINT) AS deg_bin,
+        |       CAST(count(*) AS BIGINT) AS n_vertices,
+        |       CAST(min(deg.deg) AS BIGINT) AS deg_min,
+        |       CAST(max(deg.deg) AS BIGINT) AS deg_max,
+        |       CAST(sum(nd.nds) // sum(deg.deg) AS BIGINT) AS mean_nbr_deg
+        |FROM deg JOIN nd USING (id)
+        |GROUP BY 1 ORDER BY deg_bin""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir)
+      val e0 = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.llm.DupGraph.degreeProfile(e0).orderBy("deg_bin")
     },
 
     // ---- adoption curve (Temporal.adoptionCurve): daily new + running

@@ -423,6 +423,22 @@ class PlanAuditSpec extends SparkSpec {
       s"unreferenced event columns must not be read:\n$plan")
   }
 
+  test("a partitioned parquet write prunes partitions on read: a " +
+    "partition-column predicate becomes a PartitionFilter, not a scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partaudit_").toFile
+    tmp.deleteOnExit()
+    val path = s"${tmp.getPath}/orders_part"
+    Tables(spark, sfDir).orders.write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(path)
+    val plan = planOf(
+      spark.read.parquet(path).filter(col("o_orderstatus") === "O")
+        .select("o_orderkey"))
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"expected the status predicate as a partition filter:\n$plan")
+    // the data files no longer carry the partition column; nothing to push
+    assert(plan.contains("PushedFilters: []"), plan)
+  }
+
   test("searchAll pushes the term filter below the posting shuffle") {
     val docs = Tables(spark, sfDir).documents
     val plan = planOf(graft.llm.TextAnalysis.searchAll(

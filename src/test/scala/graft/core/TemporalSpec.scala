@@ -627,6 +627,28 @@ class AdoptionCurveSpec extends graft.SparkSpec {
   }
 }
 
+class TransitionMatrixSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("transitionMatrix: per-entity chronological pairs, ties broken " +
+    "deterministically, terminal events drop") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "a", 3L),   // a→b, b→a
+      (2L, ts("2024-01-01 10:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 10:00:00"), "b", 5L),   // same ts: id order → a→b
+      (3L, ts("2024-01-01 10:00:00"), "c", 6L))   // singleton: no pair
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Temporal.transitionMatrix(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+}
+
 class TrendLineSpec extends graft.SparkSpec {
   import spark.implicits._
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)

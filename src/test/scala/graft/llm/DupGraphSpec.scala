@@ -223,4 +223,15 @@ class DupGraphSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+
+  test("degreeProfile: star graph — hub and leaves land in the right " +
+    "bins with exact neighbor-degree means") {
+    // star: hub 0 ↔ leaves 1..5. deg(hub)=5 (bin 2), deg(leaf)=1 (bin 0);
+    // leaves' only neighbor is the hub (mean 5), hub's neighbors are
+    // leaves (mean 1)
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val got = DupGraph.degreeProfile(edges)
+      .orderBy("deg_bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 5L, 1L, 1L, 5L), (2L, 1L, 5L, 5L, 1L)))
+  }
 }
