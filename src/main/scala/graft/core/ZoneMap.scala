@@ -47,6 +47,26 @@ object ZoneMap {
     df.groupBy(shard.as("shard")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Merge zone maps from independent batches/partials (same mapped
+    * columns): min/max are min/max monoids, row and null counts are sum
+    * monoids, so per-shard stats fold cell-wise — an appended batch
+    * updates the map in O(|shards touched|) without rescanning history,
+    * the same mergeable-state discipline as IncrementalAgg. Widening
+    * only: a merged bound can only loosen, so pruning stays
+    * conservative-correct mid-maintenance.
+    */
+  def merge(zoneMaps: Seq[DataFrame], cols: Seq[String]): DataFrame = {
+    require(zoneMaps.nonEmpty, "no zone maps to merge")
+    val aggs = sum("n_rows").cast("long").as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(min(s"${c}_min").as(s"${c}_min"),
+          max(s"${c}_max").as(s"${c}_max"),
+          sum(s"${c}_nulls").cast("long").as(s"${c}_nulls"))
+      }
+    zoneMaps.reduce(_ unionByName _)
+      .groupBy("shard").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Shards a closed-range predicate `lo <= c AND c <= hi` must read:
     * those whose [min, max] interval intersects [lo, hi]. NULL-bounded
     * shards (all values null) drop out — `x <= lit` is NULL-false in a

@@ -2131,6 +2131,80 @@ object RelationalQueries {
         lit("1995-03-01").cast("timestamp"), lit("1995-09-30").cast("timestamp"))
     },
 
+    // ---- mergeable zone maps (ZoneMap.merge): even/odd batch partials
+    //      fold cell-wise (min/max/sum monoids) and MUST equal the
+    //      from-scratch map — appended batches update stats in
+    //      O(|shards touched|), never rescanning history. ----
+    "q_zone_map_merge" -> Q(
+      """SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(o_orderdate) AS o_orderdate_min,
+        |       max(o_orderdate) AS o_orderdate_max,
+        |       CAST(count(*) - count(o_orderdate) AS BIGINT) AS o_orderdate_nulls
+        |FROM orders GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      def part(parity: Int) = graft.core.ZoneMap.build(
+        tb(s, dir).orders.filter(col("o_orderkey") % 2 === parity),
+        date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_orderdate"))
+      graft.core.ZoneMap.merge(Seq(part(0), part(1)), Seq("o_orderdate"))
+        .orderBy("shard")
+    },
+
+    // ---- Z-order layout effectiveness (ZOrder.z × ZoneMap): the same
+    //      2-D predicate against zone maps of (a) insertion-ordered and
+    //      (b) z-ordered 32-shard layouts — natural reads ALL 32 shards
+    //      (each spans the full custkey range), z-order reads 4 shards /
+    //      1,876 of 15,000 rows. THE reason multi-dimensional layout
+    //      exists, measured from stats alone. ntile shards are the SQL-
+    //      replayable oracle face; production lays out via
+    //      ZOrder.cluster (range partitioner — same locality, no global
+    //      window). ----
+    "q_zorder_skipping" -> Q(
+      """WITH b AS (SELECT o_orderkey, o_custkey AS x,
+        |             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |           FROM orders),
+        |z AS (SELECT o_orderkey, x, y,
+        |        (SELECT CAST(sum(((x >> i) & 1) * (1::BIGINT << (2*i)) +
+        |                         ((y >> i) & 1) * (1::BIGINT << (2*i+1))) AS BIGINT)
+        |         FROM generate_series(0, 30) AS g(i)) AS z
+        |      FROM b),
+        |nat AS (SELECT x, y, ntile(32) OVER (ORDER BY o_orderkey) AS shard FROM z),
+        |zl  AS (SELECT x, y, ntile(32) OVER (ORDER BY z, o_orderkey) AS shard FROM z),
+        |natzm AS (SELECT shard, count(*) AS n, min(x) AS xmin, max(x) AS xmax,
+        |                 min(y) AS ymin, max(y) AS ymax FROM nat GROUP BY 1),
+        |zzm   AS (SELECT shard, count(*) AS n, min(x) AS xmin, max(x) AS xmax,
+        |                 min(y) AS ymin, max(y) AS ymax FROM zl GROUP BY 1)
+        |SELECT 'natural' AS layout,
+        |  CAST(count(*) FILTER (xmin <= 800 AND xmax >= 700 AND ymin <= 9600 AND ymax >= 9500) AS BIGINT) AS shards_read,
+        |  CAST(coalesce(sum(n) FILTER (xmin <= 800 AND xmax >= 700 AND ymin <= 9600 AND ymax >= 9500), 0) AS BIGINT) AS rows_read
+        |FROM natzm
+        |UNION ALL
+        |SELECT 'zorder',
+        |  CAST(count(*) FILTER (xmin <= 800 AND xmax >= 700 AND ymin <= 9600 AND ymax >= 9500) AS BIGINT),
+        |  CAST(coalesce(sum(n) FILTER (xmin <= 800 AND xmax >= 700 AND ymin <= 9600 AND ymax >= 9500), 0) AS BIGINT)
+        |FROM zzm ORDER BY layout""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = tb(s, dir).orders.select(col("o_orderkey"),
+        col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("y"))
+      val z = b.withColumn("z", graft.functions.ZOrder.z(col("x"), col("y")))
+      def layoutStats(name: String, shardOrder: Seq[org.apache.spark.sql.Column]) = {
+        val sharded = z.withColumn("shard",
+          ntile(32).over(Window.orderBy(shardOrder: _*)))
+        val zm = sharded.groupBy("shard").agg(count(lit(1)).as("n"),
+          min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+        val hit = (col("xmin") <= 800 && col("xmax") >= 700 &&
+          col("ymin") <= 9600 && col("ymax") >= 9500).cast("long")
+        zm.agg(count(when(hit === 1, 1)).cast("long").as("shards_read"),
+            coalesce(sum(col("n") * hit), lit(0L)).cast("long").as("rows_read"))
+          .select(lit(name).as("layout"), col("shards_read"), col("rows_read"))
+      }
+      layoutStats("natural", Seq(col("o_orderkey")))
+        .unionByName(layoutStats("zorder", Seq(col("z"), col("o_orderkey"))))
+        .orderBy("layout")
+    },
+
     // ---- mergeable histogram quantiles (core/IncrementalAgg): two
     //      per-shard equi-width bin-count partials (even/odd orderkey)
     //      merged by bucket-sum, quantiles read off the merged

@@ -50,6 +50,20 @@ class ZoneMapSpec extends SparkSpec {
     assert(st === ((3L, 1L, 7L, 3L)))
   }
 
+  test("merge of batch partials equals the from-scratch map; " +
+    "batch-disjoint shards pass through") {
+    val batch1 = corpus.filter(col("v") < 8 || col("v").isNull)
+    val batch2 = corpus.filter(col("v") >= 8)
+    val merged = ZoneMap.merge(
+        Seq(ZoneMap.build(batch1, col("sh"), Seq("v")),
+          ZoneMap.build(batch2, col("sh"), Seq("v"))), Seq("v"))
+      .orderBy("shard")
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect().toSeq
+    val whole = ZoneMap.build(corpus, col("sh"), Seq("v")).orderBy("shard")
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(merged === whole)
+  }
+
   test("prune never drops a shard that contains a match (vs brute force)") {
     val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
     for ((lo, hi) <- Seq((0L, 3L), (5L, 8L), (21L, 99L), (1L, 20L))) {
