@@ -439,6 +439,55 @@ object TextAnalysis {
       .drop("_mu", "_sigma")
   }
 
+  /** Per-group min-max scaling to [0, 1]: (x − min_g)/(max_g − min_g) —
+    * the bounded-range companion of [[standardize]] (z-scores preserve
+    * outlier magnitude; min-max pins the range, which is what score
+    * mixers and UI meters want). Same shape: one (group, lo, hi)
+    * aggregate broadcast back, codegen'd projection, zero extra
+    * shuffle. Degenerate groups (constant value) emit 0.
+    */
+  def minMaxScale(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(s"${valCol}_mm",
+        when(col("_hi") === col("_lo"), lit(0.0))
+          .otherwise((col(valCol) - col("_lo")) / (col("_hi") - col("_lo"))))
+      .drop("_lo", "_hi")
+  }
+
+  /** Benford first-significant-digit audit — the fabricated-data smell
+    * test: naturally-arising multiplicative quantities put digit d
+    * first with probability log₁₀(1 + 1/d) (~30.1% for 1), while
+    * manufactured or uniformly-synthesized figures spread digits
+    * evenly. Deviation from the expected basis points IS the signal
+    * (the driver testdata's uniform prices fail it loudly — by
+    * design). Exactness: the digit comes from integer-to-string of
+    * ⌊value·100⌋ (locale-free, engine-identical — never from double
+    * formatting), shares are integral basis points, and the expected
+    * distribution ships as integer constants, so no libm log anywhere.
+    * One aggregate + a 9-row broadcast. Output: digit, n, share_bp,
+    * expected_bp.
+    */
+  def benfordProfile(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq((1L, 3010L), (2L, 1761L), (3L, 1249L), (4L, 969L),
+      (5L, 792L), (6L, 669L), (7L, 580L), (8L, 512L), (9L, 458L))
+      .toDF("digit", "expected_bp")
+    val counts = df.filter(col(valCol) > 0)
+      .select(substring(floor(col(valCol) * 100).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("_total"))
+    expected.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("cnt"), lit(0L)).cast("long").as("n"),
+        expr("coalesce(cnt, 0L) * 10000L div _total").as("share_bp"),
+        col("expected_bp"))
+  }
+
   /** Canonical text normalization for exact-match keys: lowercase,
     * collapse whitespace runs to single spaces, strip non-printable-
     * ASCII, trim. Applied BEFORE hashing/dedup so cosmetic variants

@@ -533,6 +533,47 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- Benford first-digit audit (TextAnalysis.benfordProfile): the
+    //      fabricated-data smell test. The synthetic uniform prices
+    //      FAIL it loudly (digit-1 share ~15% vs the expected 30.1%) —
+    //      which is exactly what the test detects. Digit from integer-
+    //      to-string of cents, never double formatting. ----
+    "q_quality_benford" -> Q(
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem WHERE l_extendedprice > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        |n AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+        |e(digit, expected_bp) AS (VALUES (1,3010),(2,1761),(3,1249),(4,969),
+        |                                 (5,792),(6,669),(7,580),(8,512),(9,458))
+        |SELECT CAST(e.digit AS BIGINT) AS digit, CAST(coalesce(n.cnt, 0) AS BIGINT) AS n,
+        |       CAST(coalesce(n.cnt, 0) * 10000 // (SELECT sum(cnt) FROM n) AS BIGINT) AS share_bp,
+        |       CAST(e.expected_bp AS BIGINT) AS expected_bp
+        |FROM e LEFT JOIN n USING (digit) ORDER BY digit""".stripMargin) { (s, dir) =>
+      graft.llm.TextAnalysis.benfordProfile(tb(s, dir).lineitem, "l_extendedprice")
+        .orderBy("digit")
+    },
+
+    // ---- per-group min-max scaling (TextAnalysis.minMaxScale): the
+    //      bounded-range companion of z-scoring — one (group, lo, hi)
+    //      aggregate broadcast back, codegen'd projection. ----
+    "q_llm_minmax_scale" -> Q(
+      """WITH s AS (SELECT l_returnflag AS flag, min(l_extendedprice) AS lo,
+        |                  max(l_extendedprice) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, s.flag,
+        |       round((l.l_extendedprice - s.lo) / (s.hi - s.lo), 6) AS scaled
+        |FROM lineitem l JOIN s ON s.flag = l.l_returnflag
+        |WHERE l.l_orderkey % 500 = 0
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      graft.llm.TextAnalysis.minMaxScale(
+          tb(s, dir).lineitem.withColumnRenamed("l_returnflag", "flag"),
+          "flag", "l_extendedprice")
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"),
+          round(col("l_extendedprice_mm"), 6).as("scaled"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- W7: top-k per group — the per-group face of ORDER BY/LIMIT
     //      (rank window inside each partition, never a global sort;
     //      deterministic tiebreak on the key). ----

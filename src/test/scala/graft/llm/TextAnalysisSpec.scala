@@ -506,4 +506,26 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(tri === Seq(1L))
   }
+
+  test("minMaxScale: exact endpoints, per-group bounds, constant group → 0") {
+    val rows = Seq(("a", 10.0), ("a", 20.0), ("a", 15.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val got = TextAnalysis.minMaxScale(rows, "g", "v")
+      .orderBy("g", "v").select("g", "v", "v_mm")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 10.0, 0.0), ("a", 15.0, 0.5), ("a", 20.0, 1.0),
+      ("b", 7.0, 0.0), ("b", 7.0, 0.0)))
+  }
+
+  test("benfordProfile: exact digit shares; absent digits emit 0; " +
+    "non-positive values excluded") {
+    // values 1.00, 1.50, 19.99, 2.00, -3.0, 0.0 → digits 1,1,1,2
+    val rows = Seq(1.00, 1.50, 19.99, 2.00, -3.0, 0.0).toDF("v")
+    val got = TextAnalysis.benfordProfile(rows, "v")
+      .orderBy("digit").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) === Seq(
+      (1L, 3L, 7500L), (2L, 1L, 2500L), (3L, 0L, 0L), (4L, 0L, 0L),
+      (5L, 0L, 0L), (6L, 0L, 0L), (7L, 0L, 0L), (8L, 0L, 0L), (9L, 0L, 0L)))
+    assert(got.head._4 === 3010L)   // expected distribution rides along
+  }
 }
