@@ -977,6 +977,36 @@ object Temporal {
     * all points on one day) have den = 0 → NULL slope/intercept, not a
     * crash. Output: entity, n, num, den, slope_u, intercept_u.
     */
+  /** Gaps-and-islands interval coalescing: merge each entity's
+    * overlapping-or-touching [start, end] intervals into disjoint
+    * islands — the exact-union interval algebra behind "total covered
+    * time", overlapping-hold flattening, and downtime/gap reports
+    * (the complement reads off lead(start) − end over the output).
+    * The classic running-max formulation: an interval starts a new
+    * island iff its start exceeds the running max end of everything
+    * before it (ties/touching merge — [1,2] ∪ [2,3] is one island).
+    *
+    * Shape: both windows (running max, island counter) share one
+    * per-entity sort — a single exchange, no self-join; the groupBy
+    * collapses to one row per island. All comparisons on the caller's
+    * own types (use epoch-micros longs for exactness). Output: entity,
+    * island (1-based per entity), start, end, n_intervals.
+    */
+  def coalesceIntervals(iv: DataFrame, entityCol: String,
+                        startCol: String, endCol: String): DataFrame = {
+    val order = Seq(col(startCol), col(endCol))
+    val wPrev = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    iv.withColumn("_pm", max(col(endCol)).over(wPrev))
+      .withColumn("_new",
+        when(col("_pm").isNull || col(startCol) > col("_pm"), 1).otherwise(0))
+      .withColumn("island", sum("_new").over(wCum).cast("long"))
+      .groupBy(col(entityCol), col("island"))
+      .agg(min(startCol).as(startCol), max(endCol).as(endCol),
+        count(lit(1)).cast("long").as("n_intervals"))
+  }
+
   /** Event-transition matrix (first-order Markov counts): how often
     * each event type is followed by each other type within an entity's
     * chronological stream — the product-analytics "what do users do

@@ -1741,6 +1741,33 @@ object RelationalQueries {
         .orderBy("user_id", "day")
     },
 
+    // ---- interval coalescing (Temporal.coalesceIntervals): 30-min
+    //      event holds merged into disjoint islands per user — the
+    //      gaps-and-islands running-max formulation, one shared
+    //      per-entity sort for both windows, exact micros. ----
+    "q_evt_interval_merge" -> Q(
+      """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        |            FROM events),
+        |rm AS (SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |       FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |          sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY s, e) AS island
+        |        FROM rm)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e,
+        |       CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM isl GROUP BY 1, 2 ORDER BY user_id, island""".stripMargin) { (s, dir) =>
+      val iv = graft.core.Tables(s, dir).eventsRaw
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + lit(1800000000L)).as("e"))
+      graft.core.Temporal.coalesceIntervals(iv, "user_id", "s", "e")
+        .orderBy("user_id", "island")
+    },
+
     // ---- event-transition matrix (Temporal.transitionMatrix): Markov
     //      next-event counts per user stream — one lead() window + one
     //      |types|²-row groupBy, never a stream self-join. ----

@@ -627,6 +627,27 @@ class AdoptionCurveSpec extends graft.SparkSpec {
   }
 }
 
+class CoalesceIntervalsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("coalesceIntervals: overlap and touch merge, gaps split, " +
+    "containment absorbs, entities independent") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 12L),    // overlap → one island [0,12]
+      (1L, 12L, 20L),                  // touching: still island 1 → [0,20]
+      (1L, 25L, 30L), (1L, 26L, 27L),  // gap then contained → [25,30]
+      (2L, 0L, 100L))                  // other entity untouched
+      .toDF("user_id", "s", "e")
+    val got = Temporal.coalesceIntervals(iv, "user_id", "s", "e")
+      .orderBy("user_id", "island")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 0L, 20L, 3L),
+      (1L, 2L, 25L, 30L, 2L),
+      (2L, 1L, 0L, 100L, 1L)))
+  }
+}
+
 class TransitionMatrixSpec extends graft.SparkSpec {
   import spark.implicits._
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
