@@ -1007,6 +1007,28 @@ object Temporal {
         count(lit(1)).cast("long").as("n_intervals"))
   }
 
+  /** Coverage gaps: the complement of [[coalesceIntervals]] — the
+    * downtime/silence spans BETWEEN an entity's coalesced islands,
+    * thresholded at `minGap` (same units as the interval columns) —
+    * the outage report, SLA-silence detector, and inactivity miner.
+    * One lead() over the already-collapsed island frame (one row per
+    * island, not per interval), so the extra cost beyond the coalesce
+    * is negligible at any scale. Output: entity, island (the island
+    * the gap FOLLOWS), gap_start, gap_end, gap length.
+    */
+  def coverageGaps(iv: DataFrame, entityCol: String, startCol: String,
+                   endCol: String, minGap: Long): DataFrame = {
+    val islands = coalesceIntervals(iv, entityCol, startCol, endCol)
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("island"))
+    islands
+      .select(col(entityCol), col("island"),
+        col(endCol).as("gap_start"),
+        lead(col(startCol), 1).over(w).as("gap_end"))
+      .filter(col("gap_end").isNotNull &&
+        col("gap_end") - col("gap_start") >= minGap)
+      .withColumn("gap_us", (col("gap_end") - col("gap_start")).cast("long"))
+  }
+
   /** Event-transition matrix (first-order Markov counts): how often
     * each event type is followed by each other type within an entity's
     * chronological stream — the product-analytics "what do users do

@@ -1768,6 +1768,35 @@ object RelationalQueries {
         .orderBy("user_id", "island")
     },
 
+    // ---- coverage gaps (Temporal.coverageGaps): ≥1h silence spans
+    //      between coalesced activity islands — one lead() over the
+    //      island frame (one row per island, not per event). ----
+    "q_evt_gaps" -> Q(
+      """WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        |            FROM events),
+        |rm AS (SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |          sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY s, e) AS island FROM rm),
+        |co AS (SELECT user_id, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+        |g AS (SELECT user_id, CAST(island AS BIGINT) AS island, CAST(e AS BIGINT) AS gap_start,
+        |        CAST(lead(s) OVER (PARTITION BY user_id ORDER BY island) AS BIGINT) AS gap_end
+        |      FROM co)
+        |SELECT user_id, island, gap_start, gap_end,
+        |       CAST(gap_end - gap_start AS BIGINT) AS gap_us
+        |FROM g WHERE gap_end IS NOT NULL AND gap_end - gap_start >= 3600000000
+        |ORDER BY user_id, island""".stripMargin) { (s, dir) =>
+      val iv = graft.core.Tables(s, dir).eventsRaw
+        .select(col("user_id"), col("ts").as("s"),
+          (col("ts") + lit(1800000000L)).as("e"))
+      graft.core.Temporal.coverageGaps(iv, "user_id", "s", "e",
+          minGap = 3600000000L)
+        .orderBy("user_id", "island")
+    },
+
     // ---- event-transition matrix (Temporal.transitionMatrix): Markov
     //      next-event counts per user stream — one lead() window + one
     //      |types|²-row groupBy, never a stream self-join. ----

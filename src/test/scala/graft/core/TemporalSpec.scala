@@ -646,6 +646,18 @@ class CoalesceIntervalsSpec extends graft.SparkSpec {
       (1L, 2L, 25L, 30L, 2L),
       (2L, 1L, 0L, 100L, 1L)))
   }
+
+  test("coverageGaps: threshold filters small gaps; last island has no gap") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 12L, 20L),   // gap [10,12) = 2 — below threshold 5
+      (1L, 40L, 50L),                  // gap [20,40) = 20 — reported
+      (2L, 0L, 5L))                    // single island: nothing follows
+      .toDF("user_id", "s", "e")
+    val got = Temporal.coverageGaps(iv, "user_id", "s", "e", minGap = 5L)
+      .select("user_id", "island", "gap_start", "gap_end", "gap_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 20L, 40L, 20L)))
+  }
 }
 
 class TransitionMatrixSpec extends graft.SparkSpec {
