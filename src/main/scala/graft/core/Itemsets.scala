@@ -66,6 +66,9 @@ object Itemsets {
     * Item supports are a second aggregate over the capped basket frame
     * (small: one row per item) and join back BROADCAST — the pair frame
     * never reshuffles. n (basket count) attaches as one broadcast row.
+    * The basket frame is cached function-scoped and released before
+    * returning; the RETURNED frame is a plain cached DataFrame —
+    * `.unpersist()` it when done (the hammingNearDupsChunked contract).
     */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minSupport: Long, maxBasket: Int = 64): DataFrame = {
@@ -73,7 +76,7 @@ object Itemsets {
     val pairs = pairsFrom(it, minSupport)
     val sup = it.groupBy("item").agg(count(lit(1)).cast("long").as("s"))
     val n = it.select(countDistinct("bk").cast("long").as("n_baskets"))
-    pairs
+    val out = pairs
       .join(broadcast(sup.select(col("item").as("item_a"), col("s").as("support_a"))), "item_a")
       .join(broadcast(sup.select(col("item").as("item_b"), col("s").as("support_b"))), "item_b")
       .crossJoin(broadcast(n))
@@ -83,5 +86,9 @@ object Itemsets {
         expr("support * 10000L div support_b").as("conf_ba_bp"),
         expr("(support * n_baskets * 10000L) div (support_a * support_b)")
           .as("lift_bp"))
+      .cache()
+    out.count() // materialize: all three consumers drained `it`
+    it.unpersist() // release the basket cache — the session may be long-lived
+    out
   }
 }

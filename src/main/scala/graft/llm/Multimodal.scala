@@ -34,17 +34,35 @@ object Multimodal {
         .when(substring(hex(col(binCol)), 1, 8) === "52494646", "audio/wav")
         .otherwise("application/octet-stream").as("modality")))
 
-  /** Fake feature vector: deterministic bytes → float[8]. Stands in for
-    * a real decode+embed; marked clearly as a stub. Accumulation is
-    * integer (per-stripe byte sums) so the result is independent of
-    * evaluation order — one float division at the end, never a float
-    * running sum.
+  /** The decode seam: a per-payload codec the partition-batch decoder
+    * ([[decodeFeatures]]) calls on executors. A production deployment
+    * drops in an implementation backed by libjpeg/ffmpeg/soundfile
+    * (decode → resample → embed) without touching the Spark plumbing —
+    * the schema, partitioning, and batch shape are codec-independent.
+    * Implementations must be deterministic per payload (replay safety)
+    * and Serializable (the instance ships in the task closure).
     */
-  object StubDecoder {
+  trait MediaCodec extends Serializable {
+    /** Length of the feature vector this codec emits. */
+    def featureDim: Int
+    /** Exact-integer feature accumulators for one payload (null-safe). */
+    def stripeSums(payload: Array[Byte]): Array[Long]
+    /** Float features, derived from the integer accumulators so the
+      * result is independent of evaluation order — one float division
+      * at the end, never a float running sum. */
+    def features(payload: Array[Byte]): Array[Float] =
+      stripeSums(payload).map(s => (s / 255.0).toFloat)
+  }
+
+  /** The in-container [[MediaCodec]]: no image/audio codecs ship in
+    * this environment, so features are deterministic per-stripe byte
+    * sums over the RAW payload (no decode). Oracle-able bit for bit —
+    * [[stripeSums(df:*]] is its columnar twin — which makes the whole
+    * partition-batch pipeline testable without media libraries.
+    */
+  object StubDecoder extends MediaCodec {
     val featureDim = 8
     def stripeSums(payload: Array[Byte]): Array[Long] = {
-      // ??? real decode goes here (libjpeg/ffmpeg/... not in container);
-      // deterministic fake: per-stripe byte sums.
       val out = new Array[Long](featureDim)
       if (payload != null) {
         var idx = 0
@@ -55,8 +73,6 @@ object Multimodal {
       }
       out
     }
-    def features(payload: Array[Byte]): Array[Float] =
-      stripeSums(payload).map(s => (s / 255.0).toFloat)
   }
 
   private val featureSchema: StructType =
@@ -69,9 +85,12 @@ object Multimodal {
     * pulls a partition iterator, decodes batch-at-a-time, emits typed
     * rows. Partition count (not file count) bounds task count, so the
     * same plan runs on a 1000-executor cluster by repartitioning first.
+    * The codec is pluggable ([[MediaCodec]]); the default is the
+    * in-container [[StubDecoder]].
     */
   def decodeFeatures(df: DataFrame, idCol: String,
-                     binCol: String = "payload"): DataFrame = {
+                     binCol: String = "payload",
+                     codec: MediaCodec = StubDecoder): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions { it =>
@@ -79,7 +98,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           Row(r.getLong(0),
             if (payload == null) 0 else payload.length,
-            StubDecoder.features(payload).toSeq)
+            codec.features(payload).toSeq)
         }
       }
     spark.createDataFrame(rdd, featureSchema)
@@ -143,7 +162,9 @@ object Multimodal {
     * hex projection — no UDF.
     */
   def aHash(df: DataFrame, idCol: String, binCol: String = "payload"): DataFrame = {
-    val srcByte = (j: Column) => ((j * col("_n")) / lit(64)).cast("int")
+    // j·n in LONG: an int multiply overflows once 63·n > 2^31 (payloads
+    // over ~34 MB — exactly the video-sized blobs this module targets)
+    val srcByte = (j: Column) => ((j.cast("long") * col("_n")) / 64).cast("int")
     val byteAt = (j: Column) =>
       conv(col("_hx").substr(srcByte(j) * 2 + 1, lit(2)), 16, 10).cast("long")
     df.filter(length(col(binCol)) > 0)
@@ -185,9 +206,9 @@ object Multimodal {
   def resize(df: DataFrame, idCol: String, binCol: String = "payload",
              outBytes: Int = 32): DataFrame = {
     val n = length(col(binCol))
-    // j·n/outBytes in double is exact while j·n < 2^53; cast truncates
-    // toward zero = floor for non-negatives
-    val srcByte = (j: Column) => ((j * n) / lit(outBytes)).cast("int")
+    // j·n in LONG (int multiply overflows for (outBytes-1)·n > 2^31);
+    // integral div truncates toward zero = floor for non-negatives
+    val srcByte = (j: Column) => ((j.cast("long") * n) / lit(outBytes)).cast("int")
     val resizedHex = when(n > 0,
       array_join(transform(sequence(lit(0), lit(outBytes - 1)),
         j => col("_hx").substr(srcByte(j) * 2 + 1, lit(2))), ""))

@@ -149,10 +149,14 @@ object Profile {
   def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
                nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
-    val bounds = df.agg(
+    // NULL values can't land in any 0..nBins-1 bin; dropping them up
+    // front (the histogramPartial convention) keeps the p/q shares
+    // summing to 1 — counting them only in the totals would skew PSI.
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val bounds = nonNull.agg(
       min(col(valueCol)).cast("long").as("_mn"),
       max(col(valueCol)).cast("long").as("_mx"))
-    val binned = df
+    val binned = nonNull
       .select(col(groupCol), col(valueCol).cast("long").as("_v"))
       .crossJoin(broadcast(bounds))
       .withColumn("_w",

@@ -24,8 +24,10 @@ object DriftStream {
 
   /** Freeze the baseline: (bin, cnt) for `nBins` equal-width bins over
     * the reference frame's min..max (exact integer width, clamped top
-    * bin — the psiDrift rule), written with the bounds encoded as bins
-    * -1 (mn) and -2 (width) so the stream needs no side channel.
+    * bin — the psiDrift rule), written with the binning parameters
+    * encoded as bins -1 (mn), -2 (width) and -3 (nBins) so the stream
+    * needs no side channel — readers recover the grid geometry from the
+    * baseline itself and can never mis-clamp with a mismatched nBins.
     */
   def writeBaseline(ref: DataFrame, valueCol: String, path: String,
                     nBins: Int = 10): Unit = {
@@ -39,7 +41,7 @@ object DriftStream {
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
     import spark.implicits._
     counts
-      .unionByName(Seq((-1L, mn), (-2L, w)).toDF("bin", "cnt"))
+      .unionByName(Seq((-1L, mn), (-2L, w), (-3L, nBins.toLong)).toDF("bin", "cnt"))
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -51,24 +53,30 @@ object DriftStream {
       greatest(expr(s"(CAST($valueCol AS LONG) - ${mn}L) div ${w}L"), lit(0L)),
       lit(nBins - 1L)).as("bin"))
 
-  private def bounds(spark: SparkSession, baselinePath: String): (Long, Long) = {
+  /** (mn, width, nBins) recovered from the baseline's negative-bin
+    * marker rows — the single source of truth for the grid geometry.
+    * Baselines written before the -3 marker existed default to 10.
+    */
+  private def bounds(spark: SparkSession, baselinePath: String): (Long, Long, Int) = {
     val m = spark.read.parquet(baselinePath)
       .filter(col("bin") < 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (m(-1L), m(-2L))
+    (m(-1L), m(-2L), m.getOrElse(-3L, 10L).toInt)
   }
 
   /** Fold one batch's bin counts into the current grid (addition —
     * monoid), with the SketchStream replay marker + crash-safe swap.
+    * The grid geometry (mn, width, nBins) comes from the baseline file,
+    * never from the caller — a mismatched nBins cannot skew the clamp.
     */
   def applyBatch(batch: DataFrame, valueCol: String, baselinePath: String,
-                 currentPath: String, nBins: Int = 10,
+                 currentPath: String,
                  batchId: Long = -1L, queryId: String = ""): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val marker = ReplayGuard.read(currentPath, conf)
     if (ReplayGuard.alreadyApplied(marker, queryId, batchId)) return
-    val (mn, w) = bounds(spark, baselinePath)
+    val (mn, w, nBins) = bounds(spark, baselinePath)
     val g = binned(batch, valueCol, mn, w, nBins)
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
     val merged =
@@ -87,8 +95,8 @@ object DriftStream {
     * baseline (psiDrift's add-one smoothing and round-6 contract),
     * plus both row counts. One row.
     */
-  def psi(spark: SparkSession, baselinePath: String, currentPath: String,
-          nBins: Int = 10): DataFrame = {
+  def psi(spark: SparkSession, baselinePath: String, currentPath: String): DataFrame = {
+    val nBins = bounds(spark, baselinePath)._3
     val base = spark.read.parquet(baselinePath).filter(col("bin") >= 0)
       .select(col("bin"), col("cnt").as("_cb"))
     val cur = spark.read.parquet(currentPath)
@@ -108,14 +116,14 @@ object DriftStream {
 
   /** Wire a value stream into the maintained drift grid (foreachBatch). */
   def run(items: DataFrame, valueCol: String, baselinePath: String,
-          currentPath: String, checkpointDir: String, nBins: Int = 10,
+          currentPath: String, checkpointDir: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     items.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, valueCol, baselinePath, currentPath, nBins,
+        applyBatch(batch, valueCol, baselinePath, currentPath,
           batchId, ReplayGuard.streamingQueryId(batch))
       }
       .start()

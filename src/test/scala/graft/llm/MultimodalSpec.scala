@@ -95,6 +95,22 @@ class MultimodalSpec extends SparkSpec {
     assert((1 to 4).forall(i => rows.head.getLong(i) === 0L))
   }
 
+  test("aHash: >34MB payload (63·n overflows 32-bit) matches the long-math reference") {
+    // regression: srcByte computed j·n in Int; 63·n wraps negative past
+    // ~34 MB, corrupting the sampled bytes. 40 MB exercises the wrap.
+    val n = 40 * 1024 * 1024
+    val payload = Array.tabulate(n)(i => ((i * 31 + i / 1013) % 251).toByte)
+    val sampled = Array.tabulate(64)(j => payload(((j.toLong * n) / 64).toInt) & 0xff)
+    val tot = sampled.map(_.toLong).sum
+    val want = (0 until 4).map { c =>
+      (0 until 16).map(k =>
+        if (sampled(c * 16 + k) * 64L > tot) 1L << k else 0L).sum
+    }
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val r = Multimodal.aHash(df, "doc_id").collect().head
+    assert((1 to 4).map(r.getLong) === want)
+  }
+
   test("phashNearDups: identical and 1-byte-flip payloads pair; distinct don't") {
     val base = (0 until 256).map(_.toByte).toArray
     val flip = base.clone(); flip(10) = (flip(10) ^ 0x01).toByte

@@ -47,6 +47,23 @@ class DriftStreamSpec extends SparkSpec {
     assert(shifted > 1.0, s"shifted psi $shifted must flag")
   }
 
+  test("grid geometry comes from the baseline file — non-default nBins round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_nbins").toFile
+    val (base, cur) = (s"${dir.getPath}/base", s"${dir.getPath}/cur")
+    // 4 bins over 0..99 (width (99+4) div 4 = 25): readers recover
+    // nBins=4 from the -3 marker row; no caller re-supplies it (the old
+    // mismatch bug mis-clamped the top bin)
+    DriftStream.writeBaseline((0 until 100).map(_.toLong).toDF("v"), "v", base,
+      nBins = 4)
+    DriftStream.applyBatch((0 until 100).map(_.toLong).toDF("v"), "v", base, cur)
+    val grid = spark.read.parquet(cur).orderBy("bin").collect()
+    assert(grid.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(grid.map(_.getLong(1)).toSeq === Seq(25L, 25L, 25L, 25L))
+    val r = DriftStream.psi(spark, base, cur).collect().head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 100L)
+    assert(math.abs(r.getDouble(2)) < 1e-9, s"identical grids psi ${r.getDouble(2)}")
+  }
+
   test("a replayed batch id is skipped — counts are not double-folded") {
     val dir = java.nio.file.Files.createTempDirectory("drift_replay").toFile
     val (base, cur) = (s"${dir.getPath}/base", s"${dir.getPath}/cur")
