@@ -254,40 +254,143 @@ object DedupOps {
       .select(col("id1"), col("id2"), (col("_r2") - col("_r1")).as("rank_dist"))
   }
 
+  /** The refined candidate-group streams behind [[fuzzyPairs]] /
+    * [[fuzzyGroupSizes]] — one source of truth for the adaptive keying.
+    *
+    * - `small`: rows of blocks within `maxBlock` — keyed by the block
+    *   alone (the classic path; bit-identical to pre-adaptive output).
+    * - `within`: rows of OVERSIZED blocks — keyed by (block, length
+    *   band of width `bandW`, measured hash sub-split).
+    * - `mTop` / `mBot`: the band-boundary margins of oversized blocks
+    *   (strings within `maxDist` of a band edge) — keyed by (block,
+    *   boundary index, measured hash sub-split); a cross join of the
+    *   two sides recovers every pair banding would otherwise cut.
+    */
+  private case class FuzzyStreams(small: DataFrame, within: DataFrame,
+                                  mTop: DataFrame, mBot: DataFrame,
+                                  bandW: Int)
+
+  private def fuzzyRefine(df: DataFrame, idCol: String, strCol: String,
+                          blockCol: String, maxDist: Int,
+                          maxBlock: Int): FuzzyStreams = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(maxBlock >= 2, s"maxBlock must be >= 2: $maxBlock")
+    // band width: > maxDist guarantees a matching pair spans at most
+    // adjacent bands; 8× keeps the boundary margins (width maxDist per
+    // side) a thin slice of each band instead of half of it
+    val w = 8 * (maxDist + 1)
+    val subOf = (nsplitCol: Column) =>
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % nsplitCol
+    // ceil-div in exact integer arithmetic (Column./ would go double)
+    val nsplitOf = (nColName: String) =>
+      expr(s"($nColName + ${maxBlock - 1}) div $maxBlock")
+    val counts = df.groupBy(col(blockCol)).agg(count(lit(1)).as("_bn"))
+    val base = df.select(col(blockCol), col(idCol), col(strCol))
+      .join(counts, Seq(blockCol))
+    val small = base.filter(col("_bn") <= maxBlock)
+      .select(col(blockCol), col(idCol), col(strCol))
+    val big = base.filter(col("_bn") > maxBlock)
+      .withColumn("_len", length(col(strCol)))
+      .withColumn("_band", expr(s"_len div $w"))
+    val bandCounts = big.groupBy(col(blockCol), col("_band"))
+      .agg(count(lit(1)).as("_gn"))
+    val within = big.join(bandCounts, Seq(blockCol, "_band"))
+      .withColumn("_sub", subOf(nsplitOf("_gn")))
+      .select(col(blockCol), col("_band"), col("_sub"), col(idCol), col(strCol))
+    // margins: top slice of band g (len in [(g+1)w − maxDist, (g+1)w − 1])
+    // meets the bottom slice of band g+1 (len in [(g+1)w, (g+1)w + maxDist − 1])
+    // at boundary g+1 — together they hold every adjacent-band pair
+    val mTop0 = big.filter(col("_len") % w >= w - maxDist)
+      .select(col(blockCol), (col("_band") + 1).as("_mb"), col(idCol), col(strCol))
+    val mBot0 = big.filter(col("_len") % w < maxDist)
+      .select(col(blockCol), col("_band").as("_mb"), col(idCol), col(strCol))
+    val mCounts = mTop0.select(col(blockCol), col("_mb"))
+      .unionAll(mBot0.select(col(blockCol), col("_mb")))
+      .groupBy(col(blockCol), col("_mb")).agg(count(lit(1)).as("_mn"))
+    def subbed(m: DataFrame) = m.join(mCounts, Seq(blockCol, "_mb"))
+      .withColumn("_sub", subOf(nsplitOf("_mn")))
+      .select(col(blockCol), col("_mb"), col("_sub"), col(idCol), col(strCol))
+    FuzzyStreams(small, within, subbed(mTop0), subbed(mBot0), w)
+  }
+
   /** Blocked fuzzy-match pairs (record linkage / entity resolution):
-    * candidate pairs form inside equality blocks — same md5 width guard
-    * as [[blockedPairs]] — and survive iff edit distance ≤ `maxDist`.
-    * Two pair-killers run in cost order: the length pre-filter
-    * (|len a − len b| > maxDist can never match, a free column compare)
-    * before the edit distance, and the edit distance itself runs
-    * through Spark's thresholded `levenshtein(l, r, k)` which abandons
-    * a pair as soon as its running minimum exceeds k — O(k·len) per
-    * pair instead of O(len²). Blocking keeps Σ block² ≤ n·maxBlock;
-    * recall is bounded by the blocking key (pairs split across blocks
-    * are missed — choose the key so true matches share it).
+    * candidate pairs form inside equality blocks and survive iff edit
+    * distance ≤ `maxDist`. Two pair-killers run in cost order: the
+    * length pre-filter (|len a − len b| > maxDist can never match, a
+    * free column compare) before the edit distance, and the edit
+    * distance itself runs through Spark's thresholded
+    * `levenshtein(l, r, k)` which abandons a pair as soon as its
+    * running minimum exceeds k — O(k·len) per pair instead of O(len²).
+    *
+    * Scale safety is a measured, ADAPTIVE cascade keyed off the actual
+    * block cardinalities (one tiny aggregate per level):
+    *  1. blocks ≤ `maxBlock`: plain within-block self-join (recall
+    *     bounded only by the caller's blocking key, as always);
+    *  2. oversized blocks refine by a LENGTH BAND of width
+    *     8·(maxDist+1) — LOSSLESS, because a pair at distance ≤
+    *     maxDist differs in length by ≤ maxDist < band width, so it is
+    *     either within one band or recovered by the boundary-margin
+    *     join (the `maxDist`-wide slices either side of a band edge);
+    *     a length band is chosen over a longer blocking prefix because
+    *     a prefix extension silently drops any pair whose edit sits
+    *     inside the added prefix — banding drops nothing;
+    *  3. a (block, band) or margin group STILL over `maxBlock` hash
+    *     sub-splits on the id (the only lossy step, now two refinement
+    *     levels deep instead of the first resort; pairs straddling
+    *     sub-splits of a same-length pileup are the documented miss).
+    * Candidate cost is therefore ≤ Σ group·maxBlock with every group
+    * measured, never assumed — see [[fuzzyGroupSizes]] for the audit.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  blockCol: String, maxDist: Int,
                  maxBlock: Int = 1024): DataFrame = {
-    require(maxDist >= 0, "maxDist must be non-negative")
-    val counts = df.groupBy(col(blockCol)).agg(count(lit(1)).as("_bn"))
-    val keyed = df.join(counts, Seq(blockCol))
-      .withColumn("_nsplit", expr(s"(_bn + ${maxBlock - 1}) div $maxBlock"))
-      .withColumn("_sub",
-        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-          .cast("long") % col("_nsplit"))
-      .select(col(blockCol), col("_sub"), col(idCol), col(strCol))
-    val a = keyed.select(col(blockCol), col("_sub"),
-      col(idCol).as("id1"), col(strCol).as("_s1"))
-    val b = keyed.select(col(blockCol), col("_sub"),
-      col(idCol).as("id2"), col(strCol).as("_s2"))
-    a.join(b, Seq(blockCol, "_sub"))
+    val st = fuzzyRefine(df, idCol, strCol, blockCol, maxDist, maxBlock)
+    def half(d: DataFrame, n: Int) = d.select(
+      d.columns.dropRight(2).map(col) :+
+        col(idCol).as(s"id$n") :+ col(strCol).as(s"_s$n"): _*)
+    val smallPairs = half(st.small, 1).join(half(st.small, 2), Seq(blockCol))
       .filter(col("id1") < col("id2"))
+    val withinPairs = half(st.within, 1)
+      .join(half(st.within, 2), Seq(blockCol, "_band", "_sub"))
+      .filter(col("id1") < col("id2"))
+    // margin roles are disjoint bands, so each pair appears once;
+    // canonicalize the id order (levenshtein is symmetric — strings stay)
+    val marginPairs = half(st.mTop, 1).join(half(st.mBot, 2), Seq(blockCol, "_mb", "_sub"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("_s1"), col("_s2"))
+    (smallPairs.select("id1", "id2", "_s1", "_s2")
+      unionAll withinPairs.select("id1", "id2", "_s1", "_s2")
+      unionAll marginPairs)
       .filter(abs(length(col("_s1")) - length(col("_s2"))) <= maxDist)
       .withColumn("dist",
         levenshtein(col("_s1"), col("_s2"), maxDist).cast("long"))
       .filter(col("dist") >= 0) // thresholded form returns -1 past maxDist
       .select("id1", "id2", "dist")
+  }
+
+  /** The scale audit for [[fuzzyPairs]]: per refinement path, how many
+    * candidate groups exist and the largest one — `max_rows` ≤
+    * `maxBlock` on `band_sub` and `margin` rows is the bounded-work
+    * guarantee (the `block` path is only ever populated by blocks the
+    * cascade left alone). One row per path that has any groups:
+    * (path, n_groups, max_rows, rows_total).
+    */
+  def fuzzyGroupSizes(df: DataFrame, idCol: String, strCol: String,
+                      blockCol: String, maxDist: Int,
+                      maxBlock: Int = 1024): DataFrame = {
+    val st = fuzzyRefine(df, idCol, strCol, blockCol, maxDist, maxBlock)
+    def sizes(d: DataFrame, path: String, keys: Seq[String]) =
+      d.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_groups"), max(col("_n")).as("max_rows"),
+          sum(col("_n")).as("rows_total"))
+        .select(lit(path).as("path"), col("n_groups"), col("max_rows"),
+          col("rows_total"))
+        .filter(col("n_groups") > 0)
+    sizes(st.small, "block", Seq(blockCol))
+      .unionAll(sizes(st.within, "band_sub", Seq(blockCol, "_band", "_sub")))
+      .unionAll(sizes(
+        st.mTop.unionAll(st.mBot), "margin", Seq(blockCol, "_mb", "_sub")))
   }
 
   /** Exact Jaccard verification of candidate pairs, as integer

@@ -1031,6 +1031,62 @@ object RelationalQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- adaptive fuzzy blocking under skew: nation-keyed blocks
+    //      overflow maxBlock=48, so the measured cascade kicks in —
+    //      length-band refinement (W=16), boundary-margin recovery of
+    //      cross-band pairs (len 15 vs 16), and md5 hash sub-split of
+    //      the still-oversized same-length groups. The oracle replays
+    //      the FULL deterministic cascade (DuckDB's '0x'||hex cast ≡
+    //      Spark's conv(hex,16,10); // ≡ div for non-negatives). ----
+    "q_er_fuzzy_adaptive" -> Q(
+      """WITH k AS (
+        |  SELECT c_custkey AS id,
+        |         'n' || CAST(c_nationkey AS VARCHAR) AS blk,
+        |         repeat('a', CASE WHEN c_custkey % 4 = 0 THEN 15 ELSE 14 END)
+        |           || CAST(c_custkey % 5 AS VARCHAR) AS nm
+        |  FROM customer),
+        |bn AS (SELECT blk, count(*) AS bn FROM k GROUP BY blk),
+        |kb AS (SELECT k.*, bn.bn, len(k.nm) AS ln FROM k JOIN bn USING (blk)),
+        |small AS (SELECT * FROM kb WHERE bn <= 48),
+        |big AS (SELECT *, ln // 16 AS band FROM kb WHERE bn > 48),
+        |gn AS (SELECT blk, band, count(*) AS gn FROM big GROUP BY blk, band),
+        |wsub AS (SELECT big.*, CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4) AS BIGINT)
+        |                % ((gn.gn + 47) // 48) AS sub
+        |         FROM big JOIN gn USING (blk, band)),
+        |mtop0 AS (SELECT blk, band + 1 AS mb, id, nm FROM big WHERE ln % 16 >= 15),
+        |mbot0 AS (SELECT blk, band AS mb, id, nm FROM big WHERE ln % 16 < 1),
+        |mn AS (SELECT blk, mb, count(*) AS mn FROM
+        |        (SELECT blk, mb FROM mtop0 UNION ALL SELECT blk, mb FROM mbot0)
+        |       GROUP BY blk, mb),
+        |mtop AS (SELECT t.*, CAST('0x' || substr(md5(CAST(t.id AS VARCHAR)), 1, 4) AS BIGINT)
+        |                % ((mn.mn + 47) // 48) AS sub
+        |         FROM mtop0 t JOIN mn USING (blk, mb)),
+        |mbot AS (SELECT t.*, CAST('0x' || substr(md5(CAST(t.id AS VARCHAR)), 1, 4) AS BIGINT)
+        |                % ((mn.mn + 47) // 48) AS sub
+        |         FROM mbot0 t JOIN mn USING (blk, mb)),
+        |cand AS (
+        |  SELECT a.id AS id1, b.id AS id2, a.nm AS s1, b.nm AS s2
+        |  FROM small a JOIN small b ON a.blk = b.blk AND a.id < b.id
+        |  UNION ALL
+        |  SELECT a.id, b.id, a.nm, b.nm
+        |  FROM wsub a JOIN wsub b
+        |    ON a.blk = b.blk AND a.band = b.band AND a.sub = b.sub AND a.id < b.id
+        |  UNION ALL
+        |  SELECT least(a.id, b.id), greatest(a.id, b.id), a.nm, b.nm
+        |  FROM mtop a JOIN mbot b ON a.blk = b.blk AND a.mb = b.mb AND a.sub = b.sub)
+        |SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE abs(len(s1) - len(s2)) <= 1 AND levenshtein(s1, s2) <= 1
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      val k = tb(s, dir).customer
+        .select(col("c_custkey").as("id"),
+          concat(lit("n"), col("c_nationkey").cast("string")).as("blk"),
+          concat(expr("repeat('a', CASE WHEN c_custkey % 4 = 0 THEN 15 ELSE 14 END)"),
+            (col("c_custkey") % 5).cast("string")).as("nm"))
+      graft.llm.DedupOps.fuzzyPairs(k, "id", "nm", "blk", maxDist = 1, maxBlock = 48)
+        .orderBy("id1", "id2")
+    },
+
     // ---- sorted-neighborhood blocking: candidates = rows within 5
     //      positions in the global (name, id) order. The oracle uses
     //      the naive global window + theta self-join; the engine

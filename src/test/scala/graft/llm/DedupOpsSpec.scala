@@ -204,6 +204,45 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 2L), (1L, 3L, 0L), (2L, 3L, 2L)))
   }
 
+  test("fuzzyPairs adaptive: oversized block refines by length band losslessly " +
+       "— cross-band pair recovered via the boundary margin") {
+    // block "b" has 6 rows > maxBlock=4 → band path (W=16); after
+    // banding every group is ≤ 4, so the result must equal the naive
+    // within-block pairs at dist ≤ 1 — including (1,3) which spans
+    // bands 0 (len 15) and 1 (len 16) and only the margin join can see
+    val df = Seq(
+      (1L, "0123456789abcde", "b"),        // len 15, band 0 (top margin)
+      (2L, "0123456789abcdX", "b"),        // len 15, dist 1 from id 1
+      (3L, "0123456789abcdef", "b"),       // len 16, band 1, dist 1 from id 1
+      (4L, "aaaaaaaaaaaaaaaaaaaa", "b"),   // len 20, band 1
+      (5L, "aaaaaaaaaaaaaaaaaaab", "b"),   // len 20, dist 1 from id 4
+      (6L, "zzzzzzzzzzzzzzzzzzzzzz", "b")) // len 22, no partner
+      .toDF("id", "nm", "blk")
+    val got = DedupOps.fuzzyPairs(df, "id", "nm", "blk", maxDist = 1, maxBlock = 4)
+      .orderBy("id1", "id2").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L), (1L, 3L, 1L), (4L, 5L, 1L)))
+  }
+
+  test("fuzzyGroupSizes: same-length pileup sub-splits to bounded groups; " +
+       "small blocks stay on the block path") {
+    // 50 same-length rows in one block: banding can't separate them, so
+    // the measured hash sub-split must cap every candidate group
+    val pileup = (1 to 50).map(i => (i.toLong, f"aaaaaaaaaaaaaaaaaaa$i%02d", "hot"))
+    val small = (100 to 103).map(i => (i.toLong, s"bbbbbbbb$i", "cold"))
+    val df = (pileup ++ small).toDF("id", "nm", "blk")
+    val sizes = DedupOps.fuzzyGroupSizes(df, "id", "nm", "blk",
+        maxDist = 1, maxBlock = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nG, mx) = sizes("band_sub")
+    assert(nG >= 2, s"pileup must sub-split: $sizes")
+    assert(mx <= 16, s"sub-split groups must stay near maxBlock: $sizes")
+    assert(sizes("block") === ((1L, 4L)), s"small block untouched: $sizes")
+    // and the pairs it DOES emit are all genuine dist<=1 neighbours
+    val pairs = DedupOps.fuzzyPairs(df, "id", "nm", "blk", maxDist = 1, maxBlock = 8)
+      .collect()
+    assert(pairs.nonEmpty && pairs.forall(_.getLong(2) <= 1))
+  }
+
   test("containmentPairs: catches the quoted-inclusion pair Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"
     val long = s"intro words here then $short and plenty of trailing " +
