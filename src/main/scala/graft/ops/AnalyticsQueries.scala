@@ -284,11 +284,26 @@ object AnalyticsQueries {
     // COUNT(DISTINCT) for 100 TB cardinality profiling. Estimates are
     // engine-specific (no cross-engine oracle); accuracy is property-
     // tested in AnalyticsSpec against the exact count (rsd 0.02) ----
-    "q_a13_approx_distinct" -> Q.sparkOnly { (s, dir) =>
+    // HLL++ sketch can't hash-match an exact engine, so the oracle is a
+    // TOLERANCE check made hash-exact: the query emits whether the
+    // estimate lands within 3σ of the EXACT distinct (rsd 2% → 6%
+    // bound; measured max rel-err 1.7% across sf0.001..sf1.0 — probe
+    // ledgered r9) alongside the exact anchors, and DuckDB asserts the
+    // bound always holds. Integer-exact comparison — no float drift.
+    "q_a13_approx_distinct" -> Q(
+      """SELECT o_orderstatus AS status,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       TRUE AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       tb(s, dir).orders
         .groupBy(col("o_orderstatus").as("status"))
-        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_customers"),
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("_approx"),
+          countDistinct(col("o_custkey")).as("exact_customers"),
           count(lit(1)).as("n_orders"))
+        .select(col("status"), col("exact_customers"), col("n_orders"),
+          (abs(col("_approx") - col("exact_customers")) * 100 <=
+            col("exact_customers") * 6).as("within_tol"))
         .orderBy("status")
     },
 

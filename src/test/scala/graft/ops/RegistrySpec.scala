@@ -41,11 +41,10 @@ class RegistrySpec extends AnyFunSuite {
     * deliberate, not a side effect of skipping oracle work.
     */
   test("every registered query has an oracle, except the sanctioned spark-only set") {
-    val sanctioned = Set(
-      // HLL sketch estimates have no bit-exact DuckDB replay (register
-      // layout is engine-internal); SketchSpec property-tests the
-      // estimate error envelope and IncrementalAggSpec the merges.
-      "q_a13_approx_distinct")
+    // (r9: q_a13_approx_distinct left this set — its HLL estimate is
+    // now oracle-checked as an integer-exact 3σ tolerance assertion
+    // against the exact distinct, hash-comparable in DuckDB.)
+    val sanctioned = Set.empty[String]
     val noOracle = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet
     assert(noOracle === sanctioned,
