@@ -36,6 +36,11 @@ object GraftSession {
       // vanilla Spark rejects; read as epoch-nanos long and convert in
       // Tables.events (DuckDB oracle side casts ts::TIMESTAMP).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bloom.bloomAggBits sizes decontamination sketches at ~30
+      // bits/item; the default 67 Mbit cap would silently clamp (and
+      // degrade fpp) past ~2M benchmark shingles
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 30).toString)
       .config("spark.ui.enabled", "false")
 
   /** Common post-create tuning applied by Verify/Bench mains. */

@@ -33,6 +33,23 @@ object Bloom {
         ColumnBridge.expression(xxhash64(c)), expectedItems)
         .toAggregateExpression())
 
+  /** [[bloomAgg]] with an explicit bit budget, for probe-heavy uses
+    * where the DEFAULT ~8 bits/item fpp (~2%) is too loose — e.g. an
+    * any-of-N-shingles document gate, where per-item fpp compounds N
+    * times per document. 30 bits/item gives fpp ≈ 0.62^30 ≈ 5e-7.
+    * numBits above `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * is silently clamped by Spark (fpp degrades, never false-negatives)
+    * — GraftSession raises the cap to 1 Gib.
+    */
+  def bloomAggBits(c: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(c)),
+        Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+  }
+
   /** Membership probe against a Bloom binary (usually a broadcast
     * 1-row crossJoin column): false ⇒ definitely absent.
     */

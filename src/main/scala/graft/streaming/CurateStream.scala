@@ -16,12 +16,23 @@ import org.apache.spark.sql.functions._
   * ([[Curation.pureGates]]) or a stream-static join, so the only state
   * the query carries is the dedup store (one entry per distinct
   * content hash, TTL-boundable). The benchmark is static by nature
-  * (eval sets change on release cadence, not per batch): its distinct
-  * shingle set rides to every executor as ONE broadcast array row and
-  * contamination is an `arrays_overlap` per document — no stream-side
-  * shuffle. For benchmark sets too large to broadcast, run the batch
-  * [[graft.llm.Decontam]] explode+join path on the landed output
-  * instead.
+  * (eval sets change on release cadence, not per batch), and its
+  * decontamination face AUTO-SWITCHES on the measured distinct-shingle
+  * count (one static-side aggregate at query build):
+  *
+  *  - ≤ `maxBroadcastShingles`: the exact path — the shingle set rides
+  *    to every executor as ONE broadcast array row and contamination
+  *    is an `arrays_overlap` per document, no stream-side shuffle;
+  *  - above it: the [[graft.functions.Bloom]] sketch path — a
+  *    fixed-size filter (30 bits/shingle, per-probe fpp ≈ 5e-7) built
+  *    once on the driver, probed per shingle as a pure projection.
+  *    Streaming CANNOT run the batch [[graft.llm.Decontam]]
+  *    explode+join+re-aggregate here (a second stateful op before the
+  *    dedup state), so the sketch is the stream-shaped scale path; its
+  *    false positives only ever DROP a clean document (never keep a
+  *    contaminated one — Bloom has no false negatives), at ≈ 5e-7 ×
+  *    shingles-per-doc odds. Exact-or-died-trying pipelines can run
+  *    batch Decontam over the landed output on release cadence.
   *
   * Ordering note vs the batch [[Curation.curate]]: here decontamination
   * runs BEFORE dedup, so when a content group's lowest-id copy is
@@ -44,17 +55,35 @@ object CurateStream {
   def curate(docs: DataFrame, benchmark: DataFrame,
              idCol: String, textCol: String,
              lang: String = "en", minScore: Long = 0L,
-             shingleK: Int = 3, ttlMs: Long = 0L): Dataset[StreamDedup.FirstSeen] = {
+             shingleK: Int = 3, ttlMs: Long = 0L,
+             maxBroadcastShingles: Long = 1000000L): Dataset[StreamDedup.FirstSeen] = {
     val gated = Curation.pureGates(docs, idCol, textCol, lang, minScore)
-    // static side: the benchmark's distinct shingle set as one row
-    val benchSet = DedupOps.shingleSet(benchmark, idCol, textCol, shingleK)
-      .agg(collect_set(col("s")).as("_bench"))
-    val clean = gated
+    // static side: measured once at query build (the benchmark changes
+    // on release cadence — restart the query when it does)
+    val benchShingles = DedupOps.shingleSet(benchmark, idCol, textCol, shingleK)
+      .select(col("s")).distinct()
+    val nBench = benchShingles.count()
+    val sh = gated
       .withColumn("_toks", graft.llm.TextAnalysis.tokens(col(textCol)))
       .withColumn("_sh", graft.llm.TextAnalysis.shingles(col("_toks"), shingleK))
-      .crossJoin(broadcast(benchSet))
-      .filter(!arrays_overlap(col("_sh"), col("_bench")))
-      .select(col(idCol), col(textCol))
+    val clean =
+      if (nBench <= maxBroadcastShingles) {
+        // exact face: one broadcast array row, arrays_overlap per doc
+        val benchSet = benchShingles.agg(collect_set(col("s")).as("_bench"))
+        sh.crossJoin(broadcast(benchSet))
+          .filter(!arrays_overlap(col("_sh"), col("_bench")))
+          .select(col(idCol), col(textCol))
+      } else {
+        // sketch face: fixed-size Bloom built once on the driver; the
+        // probe is a pure projection (conservative — see scaladoc)
+        import graft.functions.Bloom
+        val bloomBytes = benchShingles
+          .agg(Bloom.bloomAggBits(col("s"), nBench, nBench * 30).as("_b"))
+          .head().getAs[Array[Byte]]("_b")
+        sh.filter(!exists(col("_sh"),
+            s => Bloom.mightContain(lit(bloomBytes), s)))
+          .select(col(idCol), col(textCol))
+      }
     StreamDedup.firstSeen(clean, idCol, textCol, ttlMs)
   }
 }

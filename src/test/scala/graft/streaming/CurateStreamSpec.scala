@@ -40,6 +40,28 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: oversized benchmark auto-switches to the Bloom sketch path " +
+       "and keeps the exact path's results") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // maxBroadcastShingles = 0 forces the sketch face; with per-probe
+    // fpp ~5e-7 the tiny corpus must match the exact face bit for bit
+    val q = CurateStream.curate(docs, benchmark, "doc_id", "text",
+        maxBroadcastShingles = 0L)
+      .writeStream.format("memory").queryName("curate_bloom_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick fox is a fast runner and the slow dog naps"),
+        (3L, "spam spam spam spam spam spam spam spam the a"), // repetitive
+        (6L, "the secret benchmark answer is a fast thing indeed yes")) // contaminated
+      q.processAllAvailable()
+      assert(spark.table("curate_bloom_out")
+        .select("first_id").as[Long].collect().toSet === Set(1L))
+    } finally q.stop()
+  }
+
   test("batch face: decontam-before-dedup keeps a clean later copy") {
     // doc 1 contaminated, doc 2 identical-content? No — same CONTENT can't
     // differ in contamination. Instead: the min-id doc of a content group
