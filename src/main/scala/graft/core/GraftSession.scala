@@ -54,6 +54,16 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.CacheManager",
       org.apache.logging.log4j.Level.ERROR)
+    // every no-partition window in this codebase is a deliberate,
+    // per-site-documented aggregate-frame window (|domains|/buckets/
+    // topN-sized — grep "deliberate global window"; the one full-table
+    // case is q_zorder_skipping's oracle-shaped ntile). Spark 4's
+    // EliminateWindowPartitions strips foldable partition keys, so the
+    // lit(0) idiom can't mark them — mute the warning here so real
+    // warnings stand out in application logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

@@ -149,6 +149,8 @@ object IncrementalAgg {
     */
   def histogramQuantiles(merged: DataFrame, qBps: Seq[Int]): DataFrame = {
     require(qBps.nonEmpty, "no quantiles requested")
+    // deliberate global window over the merged histogram (rows <=
+    // buckets) — not a corpus-wide window (audited r9)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy().orderBy("bucket")
     val c = merged

@@ -74,6 +74,7 @@ object Skew {
       .agg(count(lit(1)).as("n"))
       .orderBy(sortKeys: _*)
       .limit(topN)
+    // deliberate global window: ranks the topN rows only (audited r9)
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortKeys: _*)
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -87,6 +87,9 @@ object Sampling {
     * corpus itself is touched only by the groupBy.
     */
   def domainMixture(df: DataFrame, domainCol: String): DataFrame = {
+    // deliberate global window: runs over the tiny per-domain
+    // aggregate (rows = |domains|), never the corpus (audited r9;
+    // WindowExec's no-partition warning is muted in GraftSession.quiet)
     val w = Window.partitionBy()
     df.groupBy(domainCol).agg(count(lit(1)).as("n_docs"))
       .withColumn("rate",
@@ -130,7 +133,7 @@ object Sampling {
   def temperatureMixture(df: DataFrame, domainCol: String,
                          temperature: Double = 2.0): DataFrame = {
     require(temperature >= 1.0, "temperature must be >= 1")
-    val w = Window.partitionBy()
+    val w = Window.partitionBy() // deliberate: |domains|-row frame (audited r9)
     val ratio = col("_nmin").cast("double") / col("n_docs")
     val rate =
       if (temperature == 2.0) sqrt(ratio)

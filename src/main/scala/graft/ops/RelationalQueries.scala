@@ -2301,6 +2301,9 @@ object RelationalQueries {
           .cast("long").as("y"))
       val z = b.withColumn("z", graft.functions.ZOrder.z(col("x"), col("y")))
       def layoutStats(name: String, shardOrder: Seq[org.apache.spark.sql.Column]) = {
+        // deliberate global ntile: the ORACLE needs a deterministic
+        // 32-shard simulation (the production writer is
+        // ZOrder.writePartitioned's repartitionByRange, not a window)
         val sharded = z.withColumn("shard",
           ntile(32).over(Window.orderBy(shardOrder: _*)))
         val zm = sharded.groupBy("shard").agg(count(lit(1)).as("n"),
