@@ -1,0 +1,189 @@
+package graft.llm
+
+import graft.llm.Multimodal.MediaCodec
+
+/** REAL media decoders for the [[Multimodal.MediaCodec]] seam — the
+  * uncompressed container formats a JVM can parse with zero native
+  * libraries:
+  *
+  *  - [[WavCodec]]: RIFF/WAVE chunk walk → 16-bit PCM samples →
+  *    per-stripe summed |amplitude| (exact integers);
+  *  - [[BmpCodec]]: BITMAPFILEHEADER/INFOHEADER → 24-bpp pixel rows
+  *    (bottom-up, 4-byte padded) → integer grayscale → per-stripe sums
+  *    and a true 8×8 average-hash over DECODED pixels;
+  *  - [[SniffCodec]]: magic-byte routing (the per-modality dispatch of
+  *    a mixed-corpus pipeline) — WAV and BMP decode for real,
+  *    everything else falls back to [[Multimodal.StubDecoder]]'s raw
+  *    byte sums (compressed codecs — JPEG/PNG/MP4 — still need
+  *    libjpeg/ffmpeg, which this container does not ship).
+  *
+  * All decoders are deterministic, null-safe, and integer-exact, so
+  * their outputs are oracle-able: the `q_mm_wav_decode` /
+  * `q_mm_bmp_ahash` queries construct payloads whose sample/pixel
+  * values follow a closed-form arithmetic rule, decode them through
+  * the REAL byte-level parser, and DuckDB recomputes the expectation
+  * from the rule alone — a compensating construct/parse bug cannot
+  * pass because CodecsSpec pins the parsers against handcrafted
+  * fixed binaries.
+  *
+  * Malformed or foreign payloads decode to all-zero sums (a distinct,
+  * documented signal) rather than throwing — a 100 TB corpus always
+  * contains garbage rows, and one bad blob must not kill a stage.
+  */
+object Codecs {
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  @inline private def leU16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  @inline private def leI16(b: Array[Byte], i: Int): Int =
+    leU16(b, i).toShort.toInt
+  @inline private def leU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  @inline private def leI32(b: Array[Byte], i: Int): Int = leU32(b, i).toInt
+
+  def isWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  def isBmp(p: Array[Byte]): Boolean =
+    p != null && p.length >= 54 && p(0) == 'B' && p(1) == 'M'
+
+  /** 16-bit PCM WAV: per-stripe summed absolute amplitude. A real RIFF
+    * chunk walk (word-aligned chunk sizes, `fmt ` inspected for
+    * PCM/16-bit, `data` located wherever it sits) — not an offset-44
+    * assumption. Non-PCM / non-16-bit / truncated → zero sums.
+    */
+  object WavCodec extends MediaCodec {
+    val featureDim = 8
+
+    /** (dataOffset, sampleCount) of the PCM16 payload, or None. */
+    def pcm16Data(p: Array[Byte]): Option[(Int, Int)] = {
+      if (!isWav(p)) return None
+      var pos = 12
+      var fmt = -1
+      var bits = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= p.length) {
+        val size = leU32(p, pos + 4)
+        val id = new String(p, pos, 4, "US-ASCII")
+        if (id == "fmt " && pos + 24 <= p.length) {
+          fmt = leU16(p, pos + 8)
+          bits = leU16(p, pos + 22)
+        } else if (id == "data" && dataOff < 0) {
+          dataOff = pos + 8
+          dataLen = math.min(size, (p.length - dataOff).toLong).toInt
+        }
+        // chunks are word-aligned; a corrupt size ends the walk cleanly
+        val step = 8L + size + (size & 1L)
+        if (step <= 0 || pos + step > Int.MaxValue) return None
+        pos += step.toInt
+      }
+      if (dataOff >= 0 && fmt == 1 && bits == 16) Some((dataOff, dataLen / 2))
+      else None
+    }
+
+    def stripeSums(p: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](featureDim)
+      pcm16Data(p).foreach { case (off, n) =>
+        var i = 0
+        while (i < n) {
+          out(i % featureDim) += math.abs(leI16(p, off + 2 * i)).toLong
+          i += 1
+        }
+      }
+      out
+    }
+
+    /** Amplitude features normalize by full scale (32768), not the
+      * byte scale the stub uses. */
+    override def features(p: Array[Byte]): Array[Float] =
+      stripeSums(p).map(s => (s / 32768.0).toFloat)
+  }
+
+  /** 24-bpp uncompressed BMP: header parse → padded bottom-up (or
+    * top-down, negative height) pixel rows → integer grayscale
+    * (r·299 + g·587 + b·114) div 1000. Anything else → zero sums.
+    */
+  object BmpCodec extends MediaCodec {
+    val featureDim = 8
+
+    /** Grayscale pixels in top-down row-major order plus (width,
+      * height), or None for non-BMP / unsupported / truncated input.
+      */
+    def grayPixels(p: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+      if (!isBmp(p)) return None
+      val dataOff = leU32(p, 10)
+      val width = leI32(p, 18)
+      val height0 = leI32(p, 22)
+      val bpp = leU16(p, 28)
+      val comp = leU32(p, 30)
+      if (bpp != 24 || comp != 0L || width <= 0 || height0 == 0) return None
+      val height = math.abs(height0)
+      val bottomUp = height0 > 0
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      if (dataOff + rowBytes.toLong * height > p.length) return None
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val rowOff = dataOff.toInt + srcRow * rowBytes
+        var x = 0
+        while (x < width) {
+          val o = rowOff + x * 3
+          out(y * width + x) =
+            (u8(p, o + 2) * 299 + u8(p, o + 1) * 587 + u8(p, o) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some((out, width, height))
+    }
+
+    def stripeSums(p: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](featureDim)
+      grayPixels(p).foreach { case (px, _, _) =>
+        var i = 0
+        while (i < px.length) { out(i % featureDim) += px(i).toLong; i += 1 }
+      }
+      out
+    }
+
+    /** True average-hash over DECODED pixels: nearest-neighbor resample
+      * of the grayscale image to an 8×8 grid, bit j set iff grid pixel
+      * j strictly clears the grid mean (g·64 > Σg — exact integers),
+      * packed as four 16-bit chunks (ph0..ph3), the
+      * [[DedupOps.hammingNearDupsChunked]] blocking layout. None for
+      * undecodable payloads.
+      */
+    def aHash64(p: Array[Byte]): Option[Array[Long]] =
+      grayPixels(p).map { case (px, w, h) =>
+        val grid = Array.tabulate(64) { j =>
+          val gx = (j % 8) * w / 8
+          val gy = (j / 8) * h / 8
+          px(gy * w + gx)
+        }
+        val tot = grid.map(_.toLong).sum
+        Array.tabulate(4) { c =>
+          (0 until 16).map { k =>
+            if (grid(c * 16 + k) * 64L > tot) 1L << k else 0L
+          }.sum
+        }
+      }
+  }
+
+  /** Magic-byte routing codec for mixed corpora: decode what the JVM
+    * can (WAV, BMP), fall back to the stub's raw byte sums elsewhere.
+    */
+  object SniffCodec extends MediaCodec {
+    val featureDim = 8
+    private def route(p: Array[Byte]): MediaCodec =
+      if (isWav(p)) WavCodec
+      else if (isBmp(p)) BmpCodec
+      else Multimodal.StubDecoder
+    def stripeSums(p: Array[Byte]): Array[Long] = route(p).stripeSums(p)
+    override def features(p: Array[Byte]): Array[Float] = route(p).features(p)
+  }
+}

@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * way a production pipeline runs them — batch-at-a-time over partitions
   * (the JVM analog of pandas-batch UDFs over mapInPandas).
   *
-  * The actual media decoding is STUBBED (this container has no
-  * image/audio codecs): [[StubDecoder]] produces deterministic fake
-  * features from the bytes. Everything around it — binary schema,
-  * metadata extraction, partition-batch shape, per-modality routing — is
-  * real and tested (MultimodalSpec).
+  * Decoding goes through the pluggable [[MediaCodec]] seam. The
+  * uncompressed formats decode FOR REAL in pure JVM —
+  * [[graft.llm.Codecs.WavCodec]] (RIFF chunk walk → PCM16 amplitude),
+  * [[graft.llm.Codecs.BmpCodec]] (24-bpp pixels → grayscale →
+  * decoded-pixel aHash), routed by [[graft.llm.Codecs.SniffCodec]] —
+  * while compressed codecs (JPEG/PNG/MP4: libjpeg/ffmpeg, absent from
+  * this container) fall back to [[StubDecoder]]'s deterministic raw
+  * byte sums. Binary schema, metadata extraction, partition-batch
+  * shape, and per-modality routing are identical either way
+  * (MultimodalSpec, CodecsSpec).
   */
 object Multimodal {
 
@@ -32,6 +37,7 @@ object Multimodal {
       when(substring(hex(col(binCol)), 1, 6) === "FFD8FF", "image/jpeg")
         .when(substring(hex(col(binCol)), 1, 8) === "89504E47", "image/png")
         .when(substring(hex(col(binCol)), 1, 8) === "52494646", "audio/wav")
+        .when(substring(hex(col(binCol)), 1, 4) === "424D", "image/bmp")
         .otherwise("application/octet-stream").as("modality")))
 
   /** The decode seam: a per-payload codec the partition-batch decoder
@@ -102,6 +108,58 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Hash-exact face of a codec decode: per-stripe sums as BIGINT
+    * columns (id, byte_len, s0..s{d-1}) — the integer accumulators a
+    * DuckDB oracle can recompute, unlike float feature vectors. Same
+    * partition-batch shape as [[decodeFeatures]]; with
+    * [[graft.llm.Codecs.WavCodec]] / [[graft.llm.Codecs.BmpCodec]] the
+    * decode is a REAL byte-level parse, not the stub.
+    */
+  def decodeStripeSums(df: DataFrame, idCol: String,
+                       binCol: String = "payload",
+                       codec: MediaCodec = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val d = codec.featureDim
+    val schema = StructType(
+      StructField("doc_id", LongType) +:
+        StructField("byte_len", LongType) +:
+        (0 until d).map(j => StructField(s"s$j", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val sums = codec.stripeSums(payload)
+          Row.fromSeq(r.getLong(0) +:
+            (if (payload == null) 0L else payload.length.toLong) +:
+            sums.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Average-hash over DECODED image pixels ([[graft.llm.Codecs.BmpCodec]]):
+    * one row per decodable payload with the chunked ph0..ph3 layout —
+    * feed [[DedupOps.hammingNearDupsChunked]] for real-pixel image
+    * dedup. Undecodable payloads emit no row (contrast [[aHash]],
+    * which hashes RAW bytes of anything non-empty).
+    */
+  def decodedAHash(df: DataFrame, idCol: String,
+                   binCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(
+      StructField("doc_id", LongType) +:
+        (0 until 4).map(c => StructField(s"ph$c", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          Codecs.BmpCodec.aHash64(r.getAs[Array[Byte]](1))
+            .map(ph => Row.fromSeq(r.getLong(0) +: ph.toSeq))
+        }
+      }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
   }
 
   /** Columnar fast path for the stub decode: per-stripe byte sums as

@@ -2738,6 +2738,7 @@ object LlmQueries {
         |  CASE WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
         |       WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'image/png'
         |       WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'audio/wav'
+        |       WHEN substr(hex(encode(text)), 1, 4) = '424D' THEN 'image/bmp'
         |       ELSE 'application/octet-stream' END AS modality
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Multimodal.withMetadata(
@@ -2941,6 +2942,87 @@ object LlmQueries {
       Multimodal.stripeSums(
           Multimodal.asBinary(tb(s, dir).documents, "text"), "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ---- REAL WAV decode (Codecs.WavCodec): each order synthesizes a
+    //      16-sample PCM16 mono WAV whose sample values follow a
+    //      closed-form rule; Spark round-trips construct→byte-parse→
+    //      per-stripe |amplitude| sums, DuckDB recomputes the
+    //      expectation from the rule alone. A compensating construct/
+    //      parse bug can't pass — CodecsSpec pins the parser against
+    //      handcrafted fixed binaries (incl. extra chunks). ----
+    "q_mm_wav_decode" -> Q(
+      """WITH s AS (
+        |  SELECT o_orderkey AS id, i,
+        |         (o_orderkey * 7 + i * 13) % 65536 AS v
+        |  FROM orders CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+        |a AS (SELECT id, CAST(i % 8 AS INTEGER) AS j,
+        |             CASE WHEN v < 32768 THEN v ELSE 65536 - v END AS av
+        |      FROM s)
+        |SELECT id, CAST(76 AS BIGINT) AS byte_len,
+        |  CAST(sum(CASE WHEN j = 0 THEN av END) AS BIGINT) AS s0,
+        |  CAST(sum(CASE WHEN j = 1 THEN av END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN j = 2 THEN av END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN j = 3 THEN av END) AS BIGINT) AS s3,
+        |  CAST(sum(CASE WHEN j = 4 THEN av END) AS BIGINT) AS s4,
+        |  CAST(sum(CASE WHEN j = 5 THEN av END) AS BIGINT) AS s5,
+        |  CAST(sum(CASE WHEN j = 6 THEN av END) AS BIGINT) AS s6,
+        |  CAST(sum(CASE WHEN j = 7 THEN av END) AS BIGINT) AS s7
+        |FROM a GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      // canonical 44-byte PCM16 mono header: RIFF size 68, fmt 16/PCM/
+      // 1ch/8kHz/16bit, data size 32 (16 samples) — all little-endian
+      val headerHex = "52494646" + "44000000" + "57415645" +
+        "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+        "803e0000" + "0200" + "1000" + "64617461" + "20000000"
+      val sampleHex = (0 until 16).map { i =>
+        val v = s"((o_orderkey * 7 + $i * 13) % 65536)"
+        expr(s"format_string('%02x%02x', $v % 256, $v div 256)")
+      }
+      val wav = tb(s, dir).orders
+        .withColumn("payload", unhex(concat((lit(headerHex) +: sampleHex): _*)))
+      Multimodal.decodeStripeSums(wav, "o_orderkey",
+          codec = graft.llm.Codecs.WavCodec)
+        .withColumnRenamed("o_orderkey", "id")
+        .orderBy("id")
+    },
+
+    // ---- REAL BMP decode + average-hash (Codecs.BmpCodec): each part
+    //      synthesizes an 8x8 24-bpp bottom-up BMP with rule-valued
+    //      gray pixels (b=g=r → integer gray is exact); Spark parses
+    //      the actual bytes and hashes DECODED pixels, DuckDB
+    //      recomputes grid/mean/bits from the rule. ----
+    "q_mm_bmp_ahash" -> Q(
+      """WITH g AS (
+        |  SELECT p_partkey AS id, j,
+        |         (p_partkey * 3 + (j % 8) * 7 + (j // 8) * 11) % 256 AS gv
+        |  FROM part CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |t AS (SELECT id, sum(gv) AS tot FROM g GROUP BY id),
+        |b AS (SELECT g.id, g.j,
+        |             CASE WHEN g.gv * 64 > t.tot THEN 1 ELSE 0 END AS bit
+        |      FROM g JOIN t USING (id))
+        |SELECT id,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 0) AS BIGINT) AS ph0,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 1) AS BIGINT) AS ph1,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 2) AS BIGINT) AS ph2,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 3) AS BIGINT) AS ph3
+        |FROM b GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      // 54-byte header: BM, file size 246, data offset 54, info 40,
+      // 8x8, 1 plane, 24 bpp, BI_RGB, 16 zero tail bytes — then 8
+      // bottom-up rows (rowBytes 24, no padding) of BGR triples
+      val headerHex = "424d" + "f6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" +
+        "00000000" + "00000000" + ("00" * 16)
+      val pixelHex = (0 until 64).map { k =>
+        val x = k % 8
+        val y = 7 - (k / 8) // file rows are bottom-up
+        val g = s"((p_partkey * 3 + $x * 7 + $y * 11) % 256)"
+        expr(s"format_string('%02x%02x%02x', $g, $g, $g)")
+      }
+      val bmp = tb(s, dir).part
+        .withColumn("payload", unhex(concat((lit(headerHex) +: pixelHex): _*)))
+      Multimodal.decodedAHash(bmp, "p_partkey")
+        .withColumnRenamed("p_partkey", "id")
+        .orderBy("id")
     }
   )
 }

@@ -1,0 +1,138 @@
+package graft.llm
+
+import graft.SparkSpec
+import java.io.ByteArrayOutputStream
+
+class CodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- binary builders (little-endian, like the formats) ----
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Canonical PCM16 mono WAV; optionally with a LIST chunk BEFORE
+    * `data` so the parser must actually walk chunks.
+    */
+  private def wavBytes(samples: Seq[Int], extraChunk: Boolean = false,
+                       audioFormat: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+    val list = if (extraChunk) "LIST".getBytes ++ le32(4) ++ "INFO".getBytes
+               else Array.empty[Byte]
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(audioFormat) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val body = fmt ++ list ++ "data".getBytes ++ le32(data.length) ++ data
+    out.write("RIFF".getBytes); out.write(le32(4 + body.length))
+    out.write("WAVE".getBytes); out.write(body)
+    out.toByteArray
+  }
+
+  /** 24-bpp BMP from top-down row-major (r,g,b) pixels; written
+    * bottom-up with 4-byte row padding unless `topDown`.
+    */
+  private def bmpBytes(w: Int, h: Int, rgb: Int => (Int, Int, Int),
+                       topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(54L + rowBytes.toLong * h)) // file size
+    out.write(le32(0)); out.write(le32(54))    // reserved, data offset
+    out.write(le32(40)); out.write(le32(w.toLong))
+    out.write(le32(if (topDown) (-h).toLong & 0xffffffffL else h.toLong))
+    out.write(le16(1)); out.write(le16(24))    // planes, bpp
+    out.write(le32(0))                         // BI_RGB
+    out.write(new Array[Byte](20))             // size/res/colors = 0
+    val rows = if (topDown) 0 until h else (h - 1) to 0 by -1
+    for (y <- rows) {
+      for (x <- 0 until w) {
+        val (r, g, b) = rgb(y * w + x)
+        out.write(b); out.write(g); out.write(r) // BGR on disk
+      }
+      out.write(new Array[Byte](rowBytes - w * 3))
+    }
+    out.toByteArray
+  }
+
+  test("WavCodec: chunk walk finds data past a LIST chunk; stripes sum |amplitude|") {
+    val samples = Seq(100, -200, 300, -400, 500, -600, 700, -800, 900, -1000)
+    for (extra <- Seq(false, true)) {
+      val sums = Codecs.WavCodec.stripeSums(wavBytes(samples, extraChunk = extra))
+      val want = Array.tabulate(8)(j =>
+        samples.zipWithIndex.filter(_._2 % 8 == j).map(s => math.abs(s._1).toLong).sum)
+      assert(sums.toSeq === want.toSeq, s"extraChunk=$extra")
+    }
+  }
+
+  test("WavCodec: non-PCM, truncated, and foreign payloads decode to zero sums") {
+    assert(Codecs.WavCodec.stripeSums(wavBytes(Seq(5, 5), audioFormat = 3))
+      .forall(_ == 0L)) // IEEE float fmt — not PCM16
+    assert(Codecs.WavCodec.stripeSums(wavBytes(Seq(5, 5)).take(20)).forall(_ == 0L))
+    assert(Codecs.WavCodec.stripeSums("not a wav at all".getBytes).forall(_ == 0L))
+    assert(Codecs.WavCodec.stripeSums(null).forall(_ == 0L))
+  }
+
+  test("BmpCodec: bottom-up padded rows decode to top-down grayscale; top-down too") {
+    // 2x2: distinct channel mixes; gray = (299r + 587g + 114b) div 1000
+    val px = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (100, 100, 100))
+    val wantGray = Array(76, 149, 29, 100)
+    for (topDown <- Seq(false, true)) {
+      val Some((gray, w, h)) =
+        Codecs.BmpCodec.grayPixels(bmpBytes(2, 2, px(_), topDown))
+      assert((w, h) === ((2, 2)))
+      assert(gray.toSeq === wantGray.toSeq, s"topDown=$topDown")
+    }
+    val sums = Codecs.BmpCodec.stripeSums(bmpBytes(2, 2, px(_)))
+    assert(sums.take(4).toSeq === wantGray.map(_.toLong).toSeq &&
+      sums.drop(4).forall(_ == 0L))
+  }
+
+  test("BmpCodec.aHash64: half-dark/half-bright 8x8 sets exactly the bright bits") {
+    // rows 0..3 dark (10), rows 4..7 bright (200): mean 105 → bits 32..63
+    val img = bmpBytes(8, 8, i => { val v = if (i / 8 < 4) 10 else 200; (v, v, v) })
+    val Some(ph) = Codecs.BmpCodec.aHash64(img)
+    assert(ph.toSeq === Seq(0L, 0L, 0xFFFFL, 0xFFFFL))
+    assert(Codecs.BmpCodec.aHash64("BMnot really".getBytes ++ new Array[Byte](60)).isEmpty)
+  }
+
+  test("BmpCodec.aHash64 resamples larger images to the 8x8 grid") {
+    // 16x16 left-dark right-bright: gx = (j%8)*16/8 = 2(j%8) → bits set
+    // iff column half is bright → each row contributes 0xF0 pattern
+    val img = bmpBytes(16, 16, i => { val v = if (i % 16 < 8) 0 else 255; (v, v, v) })
+    val Some(ph) = Codecs.BmpCodec.aHash64(img)
+    // per 8-pixel row: bits 4..7 set → nibble 0xF0; two rows per chunk
+    assert(ph.toSeq === Seq(0xF0F0L, 0xF0F0L, 0xF0F0L, 0xF0F0L))
+  }
+
+  test("SniffCodec routes by magic: WAV decodes samples, BMP pixels, text raw bytes") {
+    val wav = wavBytes(Seq(1000, -1000))
+    val bmp = bmpBytes(2, 2, _ => (50, 50, 50))
+    val txt = "plain text payload".getBytes
+    assert(Codecs.SniffCodec.stripeSums(wav).toSeq ===
+      Codecs.WavCodec.stripeSums(wav).toSeq)
+    assert(Codecs.SniffCodec.stripeSums(bmp).toSeq ===
+      Codecs.BmpCodec.stripeSums(bmp).toSeq)
+    assert(Codecs.SniffCodec.stripeSums(txt).toSeq ===
+      Multimodal.StubDecoder.stripeSums(txt).toSeq)
+    // and the stub's result differs from a codec decode (raw header bytes)
+    assert(Codecs.SniffCodec.stripeSums(wav).toSeq !==
+      Multimodal.StubDecoder.stripeSums(wav).toSeq)
+  }
+
+  test("decodeStripeSums / decodedAHash: DataFrame faces over a mixed corpus") {
+    val rows = Seq(
+      (1L, wavBytes(Seq(100, 200, 300))),
+      (2L, bmpBytes(8, 8, i => { val v = if (i / 8 < 4) 10 else 200; (v, v, v) })),
+      (3L, "just text".getBytes))
+    val df = rows.toDF("doc_id", "payload")
+    val sums = Multimodal.decodeStripeSums(df, "doc_id", codec = Codecs.SniffCodec)
+      .orderBy("doc_id").collect()
+    assert(sums.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(sums(0).getLong(2) === 100L && sums(0).getLong(3) === 200L)
+    val ah = Multimodal.decodedAHash(df, "doc_id").collect()
+    assert(ah.length === 1 && ah.head.getLong(0) === 2L) // only the BMP decodes
+    assert((1 to 4).map(ah.head.getLong) === Seq(0L, 0L, 0xFFFFL, 0xFFFFL))
+  }
+}
