@@ -101,6 +101,33 @@ object Codecs {
       * byte scale the stub uses. */
     override def features(p: Array[Byte]): Array[Float] =
       stripeSums(p).map(s => (s / 32768.0).toFloat)
+
+    /** Per-frame PCM stats — the substrate of silence detection /
+      * trimming and clipping checks: frames of `frameSamples` samples
+      * (the tail frame may be short), each reduced to
+      * (nSamples, Σ|s|, max|s|) in exact integers. Empty for
+      * undecodable payloads.
+      */
+    def frameStats(p: Array[Byte], frameSamples: Int): Array[(Int, Long, Int)] =
+      pcm16Data(p) match {
+        case None => Array.empty
+        case Some((off, n)) =>
+          val nFrames = (n + frameSamples - 1) / frameSamples
+          Array.tabulate(nFrames) { f =>
+            val start = f * frameSamples
+            val end = math.min(start + frameSamples, n)
+            var sum = 0L
+            var mx = 0
+            var i = start
+            while (i < end) {
+              val a = math.abs(leI16(p, off + 2 * i))
+              sum += a
+              if (a > mx) mx = a
+              i += 1
+            }
+            (end - start, sum, mx)
+          }
+      }
   }
 
   /** 24-bpp uncompressed BMP: header parse → padded bottom-up (or

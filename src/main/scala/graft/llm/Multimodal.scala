@@ -162,6 +162,36 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
   }
 
+  /** Audio frame analysis over REAL WAV decode
+    * ([[graft.llm.Codecs.WavCodec.frameStats]]): one row per PCM frame
+    * with exact-integer energy stats — the silence-detection /
+    * trim / clipping substrate. Undecodable payloads emit no rows.
+    * Columns: (id, frame_idx, n_samples, sum_abs, max_abs).
+    */
+  def wavFrameEnergy(df: DataFrame, idCol: String,
+                     binCol: String = "payload",
+                     frameSamples: Int = 4): DataFrame = {
+    require(frameSamples > 0, "frameSamples must be positive")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("max_abs", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          Codecs.WavCodec.frameStats(r.getAs[Array[Byte]](1), frameSamples)
+            .iterator.zipWithIndex.map { case ((n, sum, mx), f) =>
+              Row(id, f.toLong, n.toLong, sum, mx.toLong)
+            }
+        }
+      }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
+  }
+
   /** Columnar fast path for the stub decode: per-stripe byte sums as
     * exact BIGINTs, pure column algebra (hex + aggregate/transform over
     * the byte positions) — stays inside WholeStageCodegen instead of

@@ -3023,6 +3023,38 @@ object LlmQueries {
       Multimodal.decodedAHash(bmp, "p_partkey")
         .withColumnRenamed("p_partkey", "id")
         .orderBy("id")
+    },
+
+    // ---- audio frame analysis on the real WAV decode: per-frame
+    //      energy stats (4-sample frames over the same rule-valued
+    //      16-sample PCM as q_mm_wav_decode) + a silence flag — the
+    //      trim/VAD substrate. Exact integers both sides. ----
+    "q_mm_wav_frames" -> Q(
+      """WITH s AS (
+        |  SELECT o_orderkey AS id, i,
+        |         (o_orderkey * 7 + i * 13) % 65536 AS v
+        |  FROM orders CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+        |a AS (SELECT id, CAST(i // 4 AS BIGINT) AS frame_idx,
+        |             CASE WHEN v < 32768 THEN v ELSE 65536 - v END AS av
+        |      FROM s)
+        |SELECT id, frame_idx, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(av) AS BIGINT) AS sum_abs,
+        |       CAST(max(av) AS BIGINT) AS max_abs,
+        |       max(av) < 3000 AS is_silent
+        |FROM a GROUP BY id, frame_idx ORDER BY id, frame_idx""".stripMargin) { (s, dir) =>
+      val headerHex = "52494646" + "44000000" + "57415645" +
+        "666d7420" + "10000000" + "0100" + "0100" + "401f0000" +
+        "803e0000" + "0200" + "1000" + "64617461" + "20000000"
+      val sampleHex = (0 until 16).map { i =>
+        val v = s"((o_orderkey * 7 + $i * 13) % 65536)"
+        expr(s"format_string('%02x%02x', $v % 256, $v div 256)")
+      }
+      val wav = tb(s, dir).orders
+        .withColumn("payload", unhex(concat((lit(headerHex) +: sampleHex): _*)))
+      Multimodal.wavFrameEnergy(wav, "o_orderkey", frameSamples = 4)
+        .withColumnRenamed("o_orderkey", "id")
+        .withColumn("is_silent", col("max_abs") < 3000)
+        .orderBy("id", "frame_idx")
     }
   )
 }

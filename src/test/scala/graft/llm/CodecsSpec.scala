@@ -106,6 +106,18 @@ class CodecsSpec extends SparkSpec {
     assert(ph.toSeq === Seq(0xF0F0L, 0xF0F0L, 0xF0F0L, 0xF0F0L))
   }
 
+  test("WavCodec.frameStats: frames reduce (n, sum|s|, max|s|); short tail frame kept") {
+    val samples = Seq(100, -300, 200, 50, 7000, -1) // 2 frames of 4 → tail of 2
+    val stats = Codecs.WavCodec.frameStats(wavBytes(samples), frameSamples = 4)
+    assert(stats.toSeq === Seq((4, 650L, 300), (2, 7001L, 7000)))
+    assert(Codecs.WavCodec.frameStats("nope".getBytes, 4).isEmpty)
+    val one = Multimodal.wavFrameEnergy(
+      Seq((9L, wavBytes(samples))).toDF("doc_id", "payload"), "doc_id",
+      frameSamples = 4).orderBy("frame_idx").collect()
+    assert(one.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((0L, 4L, 650L, 300L), (1L, 2L, 7001L, 7000L)))
+  }
+
   test("SniffCodec routes by magic: WAV decodes samples, BMP pixels, text raw bytes") {
     val wav = wavBytes(Seq(1000, -1000))
     val bmp = bmpBytes(2, 2, _ => (50, 50, 50))
