@@ -390,6 +390,60 @@ object ReportQueries {
           docs.filter(col("doc_id") % 41 === 0),
           "doc_id", "text")
         .toDF().orderBy("content_hash")
+    },
+
+    // ---- k-anonymity audit (reports/Privacy): equivalence classes on
+    //      the (nation, segment) quasi-identifier, classes/rows below
+    //      k=10, and the k the data actually achieves. One shuffle on
+    //      the quasi key; summary over the classes-sized frame. ----
+    "q_priv_k_anon" -> Q(
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+        |       CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        |       CAST(min(class_size) AS BIGINT) AS achieved_k
+        |FROM c""".stripMargin) { (s, dir) =>
+      graft.reports.Privacy.kAnonymity(tb(s, dir).customer,
+        Seq("c_nationkey", "c_mktsegment"), k = 10)
+    },
+
+    // ---- l-diversity audit: a k-anonymous class with a constant
+    //      sensitive value (account-balance sign here) still leaks it
+    //      for every member — flag classes under l=2 distinct values. ----
+    "q_priv_l_div" -> Q(
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END) AS BIGINT) AS n_sensitive,
+        |       count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END) >= 2 AS is_diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      graft.reports.Privacy.lDiversity(
+          tb(s, dir).customer
+            .withColumn("bal_sign",
+              when(col("c_acctbal") < 0, "neg").otherwise("pos")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_sign", l = 2)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ---- suppression to k: the release face — rows whose quasi tuple
+    //      already satisfies k survive, under-k classes are dropped
+    //      (suppress, not generalize). Anti join against the risky
+    //      classes; AQE broadcasts the (usually tiny) risky side. ----
+    "q_priv_suppress" -> Q(
+      """SELECT c_custkey, c_nationkey, c_mktsegment
+        |FROM customer a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |                 FROM customer GROUP BY 1, 2) r
+        |  WHERE r.n < 12 AND r.c_nationkey = a.c_nationkey
+        |    AND r.c_mktsegment = a.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      graft.reports.Privacy.suppressToK(tb(s, dir).customer,
+          Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
     }
   )
 }

@@ -72,6 +72,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(triPlan.contains("LeftSemi"), s"closure must be a semi join:\n$triPlan")
   }
 
+  test("adaptive fuzzyPairs (band/margin/sub cascade) stays equi-join only") {
+    // tiny maxBlock forces every refinement path into the plan: the
+    // small-block join, the (block, band, sub) join, and the margin join
+    val cust = Tables(spark, sfDir).customer
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+        concat(lit("n"), col("c_nationkey").cast("string")).as("blk"))
+    val plan = planOf(graft.llm.DedupOps.fuzzyPairs(
+      cust, "id", "nm", "blk", maxDist = 1, maxBlock = 8))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("paragraphDedup is join/aggregate-shaped with no nested-loop or window") {
     import spark.implicits._
     val docs = Seq((1L, Seq("p q", "r s")), (2L, Seq("p q")))
