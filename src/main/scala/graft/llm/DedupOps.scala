@@ -393,6 +393,30 @@ object DedupOps {
         st.mTop.unionAll(st.mBot), "margin", Seq(blockCol, "_mb", "_sub")))
   }
 
+  /** Split-leakage audit — eval integrity's other half: verified
+    * near-duplicate pairs that STRADDLE train/val/test splits. Doc-
+    * level decontamination ([[Decontam]]) guards against a KNOWN
+    * benchmark; this catches contamination the split itself creates —
+    * a test document whose near-copy landed in train inflates eval
+    * exactly like benchmark leakage. Pairs come from the bucketed
+    * MinHash-LSH path ([[nearDupPairs]] — LSH candidates, exact
+    * Jaccard ≥ num/den verify), and the split labels attach as PURE
+    * EXPRESSIONS of the ids ([[Sampling.splitLabel]]) — no join back
+    * to the corpus. Inherits nearDupPairs' cached-frame contract:
+    * release via `.unpersist()`/releaseAll when done.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splits: Seq[(String, Double)],
+                   thresholdNum: Int = 8, thresholdDen: Int = 10,
+                   numHashes: Int = 8, rowsPerBand: Int = 4,
+                   k: Int = 3): DataFrame =
+    nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k)
+      .filter(col("jaccard_n") * thresholdDen >= col("jaccard_d") * thresholdNum)
+      .withColumn("split1", Sampling.splitLabel(col("id1"), splits))
+      .withColumn("split2", Sampling.splitLabel(col("id2"), splits))
+      .filter(col("split1") =!= col("split2"))
+      .select("id1", "id2", "split1", "split2", "jaccard_n", "jaccard_d")
+
   /** Exact Jaccard verification of candidate pairs, as integer
     * numerator/denominator (|A∩B|, |A∪B|) — exact across engines, the
     * caller applies the threshold (e.g. n*10 >= d*8 for 0.8).

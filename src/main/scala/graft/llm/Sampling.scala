@@ -39,19 +39,26 @@ object Sampling {
     * by which cumulative-weight bucket range its hash falls in. Weights
     * are normalized; expected sizes track the weights to ±2⁻¹⁶.
     */
-  def hashSplit(df: DataFrame, idCol: String,
-                splits: Seq[(String, Double)]): DataFrame = {
+  /** The split label of an id as a PURE EXPRESSION — because the
+    * assignment is a function of the id's hash alone, the label
+    * attaches to any frame carrying the id (a pairs frame, a log)
+    * without joining back to the corpus.
+    */
+  def splitLabel(id: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
     val total = splits.map(_._2).sum
     val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
     val bounds = splits.map(_._1).zip(cums.map(bucketThreshold))
-    val b = hashBucket(col(idCol))
-    val label = bounds.init.foldLeft(Option.empty[Column]) {
+    val b = hashBucket(id)
+    bounds.init.foldLeft(Option.empty[Column]) {
       case (acc, (name, t)) =>
         Some(acc.fold(when(b < t, name))(_.when(b < t, name)))
     }.fold(lit(bounds.last._1))(_.otherwise(bounds.last._1))
-    df.withColumn("split", label)
   }
+
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(col(idCol), splits))
 
   /** Consistent-hash sample: keep ids whose bucket falls below
     * frac·65536. A pure filter — it reaches the scan, shuffles nothing,

@@ -1485,6 +1485,57 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- split-leakage audit (DedupOps.splitLeakage): verified
+    //      near-dup pairs straddling the 80/10/10 hash split — the
+    //      contamination the split itself creates. Labels are pure
+    //      id-hash expressions (no corpus join); pairs from the same
+    //      LSH+Jaccard machinery as q_llm_near_dup. ----
+    "q_llm_split_leakage" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS n
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY p.id1, p.id2),
+         |dup AS (
+         |  SELECT p.id1, p.id2,
+         |    CAST(coalesce(i.n, 0) AS BIGINT) AS jaccard_n,
+         |    CAST(s1.sz + s2.sz - coalesce(i.n, 0) AS BIGINT) AS jaccard_d
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |  JOIN sizes s1 ON s1.doc_id = p.id1
+         |  JOIN sizes s2 ON s2.doc_id = p.id2
+         |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8)
+         |SELECT id1, id2,
+         |  CASE WHEN ${duckBucket("id1")} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+         |       WHEN ${duckBucket("id1")} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+         |       ELSE 'test' END AS split1,
+         |  CASE WHEN ${duckBucket("id2")} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+         |       WHEN ${duckBucket("id2")} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+         |       ELSE 'test' END AS split2,
+         |  jaccard_n, jaccard_d
+         |FROM dup
+         |WHERE (CASE WHEN ${duckBucket("id1")} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+         |            WHEN ${duckBucket("id1")} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+         |            ELSE 'test' END) <>
+         |      (CASE WHEN ${duckBucket("id2")} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+         |            WHEN ${duckBucket("id2")} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+         |            ELSE 'test' END)
+         |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      DedupOps.splitLeakage(tb(s, dir).documents, "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("id1", "id2")
+    },
+
     // ---- incremental dedup, part 1: the compact signature index
     //      (IncrementalDedup.dedupIndex) that REPRESENTS the ingested
     //      corpus between batches — exact md5 + 8-permutation minhash,

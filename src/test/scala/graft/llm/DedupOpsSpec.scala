@@ -243,6 +243,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && pairs.forall(_.getLong(2) <= 1))
   }
 
+  test("splitLeakage: a cross-split near-dup pair is flagged; same-split pairs are not") {
+    // md5 buckets (80/10/10): ids 1,2 → train; id 3 → test. Plant a
+    // train/test near-dup (1,3) and a train/train near-dup (1,2).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, base + " other"),
+      (7L, "completely different content with no shared shingles at all here"))
+      .toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val leaks = DedupOps.splitLeakage(docs, "doc_id", "text", splits)
+      .orderBy("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq
+    // (2,3) leaks too: they share base's 18 shingles, J = 18/20 >= 0.8;
+    // the train/train pair (1,2) must NOT appear
+    assert(leaks === Seq((1L, 3L, "train", "test"), (2L, 3L, "train", "test")))
+  }
+
   test("containmentPairs: catches the quoted-inclusion pair Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"
     val long = s"intro words here then $short and plenty of trailing " +
