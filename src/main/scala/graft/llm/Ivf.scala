@@ -129,6 +129,15 @@ object Ivf {
     Index(centroids, assign(df, idCol, vecCol, centroids).cache())
   }
 
+  /** Public face of the nearest-centroid assignment — (idCol, cell),
+    * one row per vector. The streaming ingest
+    * ([[graft.streaming.AnnIndexStream]]) labels each arriving vector
+    * with its cell through this; same argmax rule as training.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame =
+    assign(df, idCol, vecCol, centroids)
+
   /** Search: probe the `nprobe` nearest cells per query (round(sim,9) +
     * cell tiebreak, same rule as training), exact-cosine re-rank inside
     * them on round(cos,4) + id tiebreak like the other ANN paths. Norms

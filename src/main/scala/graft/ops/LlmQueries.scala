@@ -251,6 +251,47 @@ object LlmQueries {
       |  min(md5('7|' || s)) AS mh7, min(md5('8|' || s)) AS mh8
       |FROM sh GROUP BY doc_id""".stripMargin
 
+  // the full IVF replay (seed, 2 k-means iterations, probe, exact
+  // re-rank) -- shared by q_ann_ivf_topk and q_stream_ann_index, whose
+  // cell-partitioned store fold must reproduce exactly this result
+  private lazy val ivfTopkOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
+         |seed AS (SELECT vec_id
+         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
+         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
+         |  ORDER BY vec_id LIMIT 16),
+         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
+         |${ivfAssign("c0", "a1")},
+         |${ivfRecompute("a1", "c1")},
+         |${ivfAssign("c1", "a2")},
+         |${ivfRecompute("a2", "c2")},
+         |${ivfAssign("c2", "af")},
+         |${ivfAssign("c2", "probes", where = "AND e.vec_id < 10", limit = 4)},
+         |cands AS (
+         |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
+         |  FROM probes p JOIN af a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.vec_id),
+         |cos AS (
+         |  SELECT p.q_id, p.c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM cands p
+         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM cos)
+         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy, keep lowest id ----
@@ -2184,47 +2225,34 @@ object LlmQueries {
     //      train+search recipe is SQL-expressible: the oracle unrolls
     //      the 2 Lloyd iterations as CTE chains. Recall vs brute force
     //      asserted in IvfSpec. ----
-    "q_ann_ivf_topk" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
-         |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
-         |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
-         |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-         |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-         |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-         |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
-         |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
-         |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
-         |${ivfAssign("c0", "a1")},
-         |${ivfRecompute("a1", "c1")},
-         |${ivfAssign("c1", "a2")},
-         |${ivfRecompute("a2", "c2")},
-         |${ivfAssign("c2", "af")},
-         |${ivfAssign("c2", "probes", where = "AND e.vec_id < 10", limit = 4)},
-         |cands AS (
-         |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
-         |  FROM probes p JOIN af a ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.vec_id),
-         |cos AS (
-         |  SELECT p.q_id, p.c_id,
-         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
-         |  FROM cands p
-         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
-         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
-         |  GROUP BY p.q_id, p.c_id),
-         |ranked AS (
-         |  SELECT q_id, c_id, cosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
-         |  FROM cos)
-         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
-         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    "q_ann_ivf_topk" -> Q(ivfTopkOracleSql) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       Ivf.topK(emb, emb.filter(col("vec_id") < 10), index,
           "vec_id", "embedding", k = 3, nprobe = 4)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- streaming ANN index (AnnIndexStream): the corpus folds into
+    //      a cell-partitioned store in 3 micro-batches (frozen
+    //      centroids; ingest=dir-as-marker idempotency), then search
+    //      probes 4 cells with DPP pruning the store's partitions.
+    //      Must reproduce q_ann_ivf_topk EXACTLY — same oracle SQL. ----
+    "q_stream_ann_index" -> Q(ivfTopkOracleSql) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annstore_").toFile
+      tmp.deleteOnExit()
+      val store = s"${tmp.getPath}/store"
+      (0 to 2).foreach { b =>
+        graft.streaming.AnnIndexStream.applyBatch(
+          emb.filter(col("vec_id") % 3 === b), "vec_id", "embedding",
+          index.centroids, store, batchId = b.toLong, queryId = "vq")
+      }
+      graft.streaming.AnnIndexStream.search(s, store, index.centroids,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, nprobe = 4)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.core.Fs
+import graft.llm.{Ann, Ivf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuously-maintained ANN index: a vector stream folds into a
+  * CELL-PARTITIONED parquet store (IVF layout — the centroids are fit
+  * once on a reference corpus and frozen; re-fit on release cadence,
+  * like [[DriftStream]]'s baseline), and queries probe only their
+  * `nprobe` nearest cells — at search time the probe side broadcasts
+  * and Spark's dynamic partition pruning skips every non-probed
+  * `cell=` directory, so a search reads O(corpus/k · nprobe) bytes no
+  * matter how large the accumulated store grows.
+  *
+  * Ingest idempotency is BY CONSTRUCTION: each micro-batch lands as
+  * its own `ingest=<queryId>_<batchId>` partition directory (staged
+  * write + rename, crash-safe); an at-least-once re-delivery sees its
+  * directory already present and no-ops — no marker file needed, the
+  * directory IS the marker.
+  *
+  * On a BATCH frame the fold is deterministic, and search over the
+  * store equals [[Ivf.topK]] over the same corpus and index — the
+  * q_stream_ann_index oracle replays the full k-means + probe + rerank
+  * pipeline in DuckDB, and AnnIndexStreamSpec asserts the parity
+  * directly.
+  */
+object AnnIndexStream {
+
+  private def dataDir(storeDir: String): String = s"$storeDir/data"
+
+  private def tagOf(queryId: String, batchId: Long): String = {
+    val qid = if (queryId.isEmpty) "q" else queryId
+    s"${qid}_$batchId"
+  }
+
+  /** Assign one batch of vectors to cells and append it to the store
+    * as its own `ingest=` partition (staged, crash-safe, replay-idempotent).
+    */
+  def applyBatch(batch: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame, storeDir: String,
+                 batchId: Long = -1L, queryId: String = ""): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = s"${dataDir(storeDir)}/ingest=${tagOf(queryId, batchId)}"
+    if (Fs.exists(dest, conf)) return // re-delivered batch: directory IS the marker
+    val cells = Ivf.assignCells(batch, idCol, vecCol, centroids)
+    val assigned = batch.select(col(idCol), col(vecCol)).join(cells, idCol)
+    val staging = s"$storeDir/.staging_${tagOf(queryId, batchId)}"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    Fs.rename(staging, dest, conf)
+  }
+
+  /** Search the accumulated store: per query the `nprobe` nearest
+    * cells (round(sim,9) + cell tiebreak), exact-cosine re-rank inside
+    * them (round(cos,4) + id tiebreak) — [[Ivf.topK]]'s exact rules,
+    * with the store's ingest-time cell labels standing in for the
+    * assignments frame. The probed frame broadcasts; its `cell` keys
+    * dynamically prune the store's partition directories.
+    */
+  def search(spark: SparkSession, storeDir: String, centroids: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nprobe: Int = 4): DataFrame = {
+    val store = spark.read
+      .option("basePath", dataDir(storeDir))
+      .parquet(dataDir(storeDir))
+    val cents = broadcast(centroids.withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Ann.l2norm(col(vecCol)).as("q_nrm"))
+      .join(cents)
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val corpus = store.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "q_vec", "q_nrm", "c_id", "c_vec", "c_nrm")
+      // a vector re-ingested in a later batch appears once per ingest;
+      // the pair-level dedup collapses it (same rule as Ivf.topK)
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("cosine", round(
+        Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
+  /** Wire a vector stream into the store (foreachBatch). */
+  def run(items: DataFrame, idCol: String, vecCol: String,
+          centroids: DataFrame, storeDir: String, checkpointDir: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    items.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, idCol, vecCol, centroids, storeDir,
+          batchId, ReplayGuard.streamingQueryId(batch))
+      }
+      .start()
+}

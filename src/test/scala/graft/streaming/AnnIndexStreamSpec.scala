@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Ivf
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class AnnIndexStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 deterministic 4-d vectors in two clear clusters
+  private def vecs: Seq[(Long, Seq[Float])] = (1L to 40L).map { i =>
+    val base = if (i % 2 == 0) Seq(10f, 0f, 0f, 1f) else Seq(0f, 10f, 1f, 0f)
+    (i, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 5) * 0.1f })
+  }
+
+  test("streamed store search equals Ivf.topK over the same corpus and index") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 4, iters = 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val items = input.toDF().toDF("vec_id", "embedding")
+    def drain(): Unit = {
+      val q = AnnIndexStream.run(items, "vec_id", "embedding",
+        index.centroids, s"${dir.getPath}/store", s"${dir.getPath}/ckpt")
+      q.awaitTermination()
+    }
+    input.addData(vecs.take(15): _*); drain()
+    input.addData(vecs.slice(15, 30): _*); drain()
+    input.addData(vecs.drop(30): _*); drain()
+
+    val queries = corpus.filter(col("vec_id") <= 5)
+    val got = AnnIndexStream.search(spark, s"${dir.getPath}/store",
+        index.centroids, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val want = Ivf.topK(corpus, queries, index, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.groupBy(_._1).size === 5)
+  }
+
+  test("a re-delivered batch no-ops: the ingest directory is the marker") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_replay").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 2, iters = 1)
+    val store = s"${dir.getPath}/store"
+    AnnIndexStream.applyBatch(corpus.limit(10), "vec_id", "embedding",
+      index.centroids, store, batchId = 0L, queryId = "q1")
+    val n1 = spark.read.option("basePath", s"$store/data")
+      .parquet(s"$store/data").count()
+    AnnIndexStream.applyBatch(corpus.limit(10), "vec_id", "embedding",
+      index.centroids, store, batchId = 0L, queryId = "q1") // replay
+    val n2 = spark.read.option("basePath", s"$store/data")
+      .parquet(s"$store/data").count()
+    assert(n1 === 10L && n2 === 10L)
+  }
+
+  test("search scan prunes to the probed cell partitions (DPP or static)") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_prune").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val store = s"${dir.getPath}/store"
+    AnnIndexStream.applyBatch(corpus, "vec_id", "embedding",
+      index.centroids, store, batchId = 0L, queryId = "q1")
+    val plan = AnnIndexStream.search(spark, store, index.centroids,
+        corpus.filter(col("vec_id") === 1), "vec_id", "embedding",
+        k = 3, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    // the store scan must carry dynamic partition-pruning on cell —
+    // the probe side is broadcast, so DPP subqueries appear in the scan
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      plan)
+  }
+}
