@@ -95,6 +95,29 @@ object AnnIndexStream {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Fold the accumulated `ingest=` deltas into ONE partition — the
+    * small-files countermeasure: every micro-batch adds up to
+    * |cells| tiny files, and a long-lived stream would otherwise make
+    * each search open thousands of them per probed cell. Same
+    * crash-safe swap as [[IncrDedupStream.compact]] (staging write →
+    * [[Fs.swapInPlace]]); run it on maintenance cadence, single-writer
+    * (the same ownership rule as the streaming checkpoint). The
+    * compacted tag embeds the pre-compaction delta count so a replayed
+    * post-compaction batch still gets a fresh directory name.
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = dataDir(storeDir)
+    if (!Fs.exists(data, conf)) return
+    val n = Fs.listDirs(data, conf).length
+    val staging = s"$data.staging"
+    spark.read.option("basePath", data).parquet(data)
+      .drop("ingest")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/ingest=compacted_$n")
+    Fs.swapInPlace(data, staging, conf)
+  }
+
   /** Wire a vector stream into the store (foreachBatch). */
   def run(items: DataFrame, idCol: String, vecCol: String,
           centroids: DataFrame, storeDir: String, checkpointDir: String,

@@ -60,6 +60,29 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(n1 === 10L && n2 === 10L)
   }
 
+  test("compact folds all ingest deltas into one partition; search is unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_compact").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val store = s"${dir.getPath}/store"
+    (0 to 3).foreach { b =>
+      AnnIndexStream.applyBatch(corpus.filter(col("vec_id") % 4 === b),
+        "vec_id", "embedding", index.centroids, store,
+        batchId = b.toLong, queryId = "q1")
+    }
+    val queries = corpus.filter(col("vec_id") <= 3)
+    def results() = AnnIndexStream.search(spark, store, index.centroids,
+        queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = results()
+    AnnIndexStream.compact(spark, store)
+    assert(results() === before)
+    val ingests = new java.io.File(s"$store/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest="))
+    assert(ingests.map(_.getName).toSeq === Seq("ingest=compacted_4"))
+  }
+
   test("search scan prunes to the probed cell partitions (DPP or static)") {
     val dir = java.nio.file.Files.createTempDirectory("ann_prune").toFile
     val corpus = vecs.toDF("vec_id", "embedding")
