@@ -254,7 +254,7 @@ object LlmQueries {
   // the full IVF replay (seed, 2 k-means iterations, probe, exact
   // re-rank) -- shared by q_ann_ivf_topk and q_stream_ann_index, whose
   // cell-partitioned store fold must reproduce exactly this result
-  private lazy val ivfTopkOracleSql: String =
+  private lazy val ivfFitCtes: String =
     s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
          |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
@@ -272,7 +272,11 @@ object LlmQueries {
          |${ivfRecompute("a1", "c1")},
          |${ivfAssign("c1", "a2")},
          |${ivfRecompute("a2", "c2")},
-         |${ivfAssign("c2", "af")},
+         |${ivfAssign("c2", "af")}""".stripMargin
+
+  // the full IVF replay continued: probe + exact re-rank
+  private lazy val ivfTopkOracleSql: String =
+    s"""$ivfFitCtes,
          |${ivfAssign("c2", "probes", where = "AND e.vec_id < 10", limit = 4)},
          |cands AS (
          |  SELECT DISTINCT p.vec_id AS q_id, a.vec_id AS c_id
@@ -2255,6 +2259,30 @@ object LlmQueries {
           k = 3, nprobe = 4)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
+    },
+
+    // ---- right-to-be-forgotten sweep over the ANN store
+    //      (AnnIndexStream.forget): deletion requests must reach
+    //      DERIVED stores, not just the primary table. Fold the corpus
+    //      into a store, forget vec_id % 97 == 0, dump the surviving
+    //      (vec_id, cell) — the oracle recomputes the k-means cell
+    //      assignment and applies the same predicate. ----
+    "q_priv_forget_ann" -> Q(
+      s"""$ivfFitCtes
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+         |FROM af WHERE vec_id % 97 <> 0 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_forget_").toFile
+      tmp.deleteOnExit()
+      val store = s"${tmp.getPath}/store"
+      graft.streaming.AnnIndexStream.applyBatch(emb, "vec_id", "embedding",
+        index.centroids, store, batchId = 0L, queryId = "fq")
+      graft.streaming.AnnIndexStream.forget(s, store, "vec_id",
+        emb.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      s.read.option("basePath", s"$store/data").parquet(s"$store/data")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
     },
 
     // ---- IVF index diagnostics (Ivf.clusterStats): per-cell size and

@@ -118,6 +118,33 @@ object AnnIndexStream {
     Fs.swapInPlace(data, staging, conf)
   }
 
+  /** Right-to-be-forgotten propagation: rewrite the store WITHOUT the
+    * given ids (anti-join), in one crash-safe swap — a deletion
+    * request must reach derived stores, not just the primary table,
+    * and a vector index is exactly the derived store such sweeps
+    * forget. Compacts as a side effect (the rewrite is one partition).
+    * Returns the number of vector rows removed. Single-writer, like
+    * [[compact]].
+    */
+  def forget(spark: SparkSession, storeDir: String, idCol: String,
+             ids: DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = dataDir(storeDir)
+    if (!Fs.exists(data, conf)) return 0L
+    val store = spark.read.option("basePath", data).parquet(data)
+    val before = store.count()
+    val n = Fs.listDirs(data, conf).length
+    val staging = s"$data.staging"
+    store.drop("ingest")
+      .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/ingest=forgotten_$n")
+    val after = spark.read
+      .option("basePath", staging).parquet(staging).count()
+    Fs.swapInPlace(data, staging, conf)
+    before - after
+  }
+
   /** Wire a vector stream into the store (foreachBatch). */
   def run(items: DataFrame, idCol: String, vecCol: String,
           centroids: DataFrame, storeDir: String, checkpointDir: String,

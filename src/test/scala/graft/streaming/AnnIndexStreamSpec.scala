@@ -83,6 +83,24 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(ingests.map(_.getName).toSeq === Seq("ingest=compacted_4"))
   }
 
+  test("forget removes exactly the requested ids from the store, crash-safely") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_forget").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val store = s"${dir.getPath}/store"
+    AnnIndexStream.applyBatch(corpus, "vec_id", "embedding",
+      index.centroids, store, batchId = 0L, queryId = "q1")
+    val removed = AnnIndexStream.forget(spark, store, "vec_id",
+      Seq(1L, 2L, 3L, 999L).toDF("vec_id")) // 999 not in store
+    assert(removed === 3L)
+    val left = spark.read.option("basePath", s"$store/data")
+      .parquet(s"$store/data").select("vec_id").as[Long].collect().toSet
+    assert(left.size === 37 && Seq(1L, 2L, 3L).forall(!left.contains(_)))
+    // forgetting from an empty/missing store is a 0 no-op
+    assert(AnnIndexStream.forget(spark, s"${dir.getPath}/nope", "vec_id",
+      Seq(1L).toDF("vec_id")) === 0L)
+  }
+
   test("search scan prunes to the probed cell partitions (DPP or static)") {
     val dir = java.nio.file.Files.createTempDirectory("ann_prune").toFile
     val corpus = vecs.toDF("vec_id", "embedding")
