@@ -68,17 +68,24 @@ object Bench {
     // a judging cycle to clear; now the artifact carries both numbers
     // and adjudicates itself. Only meaningful at the ledger's own SF.
     val ledgerAt = sys.env.getOrElse("SPARK_GRAFT_LEDGER", "bench_ledger.json")
+    val ledgerTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ledgerAt)), "UTF-8")
+      catch { case _: Throwable => "" }
     val ledger: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(ledgerAt)), "UTF-8")
-        """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(ledgerTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // the ledger's numbers only adjudicate runs AT ITS OWN SF — at a
+    // larger SF every legitimately-slower heavy would read as a 3×
+    // "outlier" and re-run, doubling the suite for nothing. The "_sf"
+    // key records the recording SF; mismatch disables retries entirely.
+    val ledgerSf = """"_sf":\s*"([^"]+)"""".r
+      .findFirstMatchIn(ledgerTxt).map(_.group(1))
+    val ledgerUsable = ledgerSf.contains(sfDir)
     // retry iff: first > max(3s floor, 3× ledger). The floor keeps
     // sub-second noise (0.2s→0.9s) from triggering pointless re-runs.
     def isOutlier(name: String, sec: Double): Boolean =
-      ledger.get(name).exists(w => sec > math.max(3.0, 3.0 * w))
+      ledgerUsable && ledger.get(name).exists(w => sec > math.max(3.0, 3.0 * w))
 
     // otherSec: the NON-adopted measurement of a retried outlier (the
     // slower first run when the retry cleared it, or the retry when it

@@ -24,6 +24,18 @@ object Fs {
     p.getFileSystem(conf).exists(p)
   }
 
+  /** Create `dir` and any missing parents (idempotent). Needed before
+    * renaming INTO a brand-new directory: HDFS/S3A `rename` returns
+    * false when the destination's parent does not exist, while the
+    * local FS silently copy-creates it — a local-only test would never
+    * see the failure.
+    */
+  def mkdirs(dir: String, conf: Configuration): Unit = {
+    val p = new Path(dir)
+    p.getFileSystem(conf).mkdirs(p)
+    ()
+  }
+
   /** Direct children of `dir`; empty if the directory doesn't exist. */
   def list(dir: String, conf: Configuration): Seq[FileStatus] = {
     val p = new Path(dir)

@@ -148,10 +148,17 @@ object Codecs {
       val bpp = leU16(p, 28)
       val comp = leU32(p, 30)
       if (bpp != 24 || comp != 0L || width <= 0 || height0 == 0) return None
+      // ALL geometry in Long: a corrupt header with width ~2^31/3 makes
+      // width*3 (and width*height) wrap negative in Int, sneaking past
+      // the bounds check into a NegativeArraySizeException / multi-GB
+      // allocation — and one bad blob must not kill a stage
+      if (height0 == Int.MinValue) return None
       val height = math.abs(height0)
       val bottomUp = height0 > 0
-      val rowBytes = ((width * 3 + 3) / 4) * 4
-      if (dataOff + rowBytes.toLong * height > p.length) return None
+      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
+      if (dataOff + rowBytesL * height > p.length) return None
+      // the check above bounds width*height ≤ p.length/3 — Int-safe now
+      val rowBytes = rowBytesL.toInt
       val out = new Array[Int](width * height)
       var y = 0
       while (y < height) {

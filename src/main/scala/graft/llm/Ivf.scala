@@ -145,7 +145,25 @@ object Ivf {
     */
   def topK(df: DataFrame, queries: DataFrame, index: Index,
            idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val cents = broadcast(index.centroids
+    val corpus = df.join(index.assignments, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    topKAgainst(corpus, queries, index.centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /** The ONE implementation of the probe + exact re-rank rules
+    * (round(sim,9) + cell tiebreak; round(cos,4) + id tiebreak;
+    * self-exclusion; pair-level dedup) against an arbitrary prepared
+    * corpus frame `(c_id, c_vec, c_nrm, cell)` — shared bit-for-bit by
+    * [[topK]] and the streaming store search
+    * ([[graft.streaming.AnnIndexStream.search]]); their DuckDB oracles
+    * assume the two never diverge, so neither copy-pastes these rules.
+    */
+  private[graft] def topKAgainst(corpus: DataFrame, queries: DataFrame,
+                                 centroids: DataFrame, idCol: String,
+                                 vecCol: String, k: Int,
+                                 nprobe: Int): DataFrame = {
+    val cents = broadcast(centroids
       .withColumn("_cn", Ann.l2norm(col("centroid"))))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
@@ -158,9 +176,6 @@ object Ivf {
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
-    val corpus = df.join(index.assignments, idCol)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
     corpus.join(broadcast(probed), Seq("cell"))

@@ -75,7 +75,14 @@ object Privacy {
     * corpus-sized when the quasi tuple is near-unique, exactly when a
     * forced broadcast would OOM the driver.
     */
-  def suppressToK(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
-    df.join(riskyClasses(df, quasiCols, k).select(quasiCols.map(col): _*),
-      quasiCols, "left_anti")
+  def suppressToK(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    // NULL-SAFE join keys: groupBy puts NULL quasi values in their own
+    // class, so the anti join must match them too (plain equality's
+    // NULL = NULL is never true and would ship a unique NULL-keyed row
+    // as "anonymized" — the exact row the audit flags as risky)
+    val risky = riskyClasses(df, quasiCols, k)
+      .select(quasiCols.map(c => col(c).as(s"_r_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_r_$c")).reduce(_ && _)
+    df.join(risky, cond, "left_anti")
+  }
 }

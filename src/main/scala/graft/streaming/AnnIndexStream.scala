@@ -50,6 +50,9 @@ object AnnIndexStream {
     val assigned = batch.select(col(idCol), col(vecCol)).join(cells, idCol)
     val staging = s"$storeDir/.staging_${tagOf(queryId, batchId)}"
     assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // the first batch of a fresh store renames into a data/ dir that
+    // does not exist yet — HDFS/S3A rename fails without the parent
+    Fs.mkdirs(dataDir(storeDir), conf)
     Fs.rename(staging, dest, conf)
   }
 
@@ -66,33 +69,14 @@ object AnnIndexStream {
     val store = spark.read
       .option("basePath", dataDir(storeDir))
       .parquet(dataDir(storeDir))
-    val cents = broadcast(centroids.withColumn("_cn", Ann.l2norm(col("centroid"))))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
-    val probed = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        Ann.l2norm(col(vecCol)).as("q_nrm"))
-      .join(cents)
-      .withColumn("_sim", round(
-        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
-      .withColumn("_rn", row_number().over(wq))
-      .filter(col("_rn") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    // the store's ingest-time cell labels stand in for the assignments
+    // frame; a vector re-ingested in a later batch appears once per
+    // ingest and topKAgainst's pair-level dedup collapses it. The
+    // probe/re-rank rules live in ONE place (Ivf.topKAgainst) — the
+    // oracle requires this search ≡ Ivf.topK bit for bit.
     val corpus = store.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    corpus.join(broadcast(probed), Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "q_nrm", "c_id", "c_vec", "c_nrm")
-      // a vector re-ingested in a later batch appears once per ingest;
-      // the pair-level dedup collapses it (same rule as Ivf.topK)
-      .dropDuplicates("q_id", "c_id")
-      .withColumn("cosine", round(
-        Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+    Ivf.topKAgainst(corpus, queries, centroids, idCol, vecCol, k, nprobe)
   }
 
   /** Fold the accumulated `ingest=` deltas into ONE partition — the
@@ -132,17 +116,20 @@ object AnnIndexStream {
     val data = dataDir(storeDir)
     if (!Fs.exists(data, conf)) return 0L
     val store = spark.read.option("basePath", data).parquet(data)
-    val before = store.count()
+    // the removed count is a SEMI join (matches only) — cheaper than
+    // counting the store before and after; and when nothing matches,
+    // the whole rewrite is skipped
+    val removed = store
+      .join(ids.select(col(idCol)), Seq(idCol), "left_semi").count()
+    if (removed == 0L) return 0L
     val n = Fs.listDirs(data, conf).length
     val staging = s"$data.staging"
     store.drop("ingest")
       .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=forgotten_$n")
-    val after = spark.read
-      .option("basePath", staging).parquet(staging).count()
     Fs.swapInPlace(data, staging, conf)
-    before - after
+    removed
   }
 
   /** Wire a vector stream into the store (foreachBatch). */

@@ -55,13 +55,21 @@ object DriftStream {
 
   /** (mn, width, nBins) recovered from the baseline's negative-bin
     * marker rows — the single source of truth for the grid geometry.
-    * Baselines written before the -3 marker existed default to 10.
+    * A baseline without the -3 nBins marker is REJECTED loudly: the
+    * pre-marker format can't prove its bin count (empty bins are absent
+    * from the counts, so max(bin)+1 under-counts), and silently
+    * assuming a default would mis-clamp every batch into the wrong
+    * grid — the exact skew the marker exists to prevent. Re-write the
+    * baseline with the current writeBaseline to migrate.
     */
   private def bounds(spark: SparkSession, baselinePath: String): (Long, Long, Int) = {
     val m = spark.read.parquet(baselinePath)
       .filter(col("bin") < 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (m(-1L), m(-2L), m.getOrElse(-3L, 10L).toInt)
+    require(m.contains(-3L),
+      s"baseline at $baselinePath predates the nBins marker (-3 row); " +
+        "re-write it with writeBaseline before streaming against it")
+    (m(-1L), m(-2L), m(-3L).toInt)
   }
 
   /** Fold one batch's bin counts into the current grid (addition —

@@ -97,6 +97,30 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.BmpCodec.aHash64("BMnot really".getBytes ++ new Array[Byte](60)).isEmpty)
   }
 
+  test("BmpCodec: corrupt huge-width header decodes to None, never crashes") {
+    // width 0x2AAAAAAB: width*3 wraps negative in Int — the Long bounds
+    // check must reject it instead of NegativeArraySizeException
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le32(246)); out.write(le32(0)); out.write(le32(54))
+    out.write(le32(40)); out.write(le32(0x2AAAAAABL))   // width
+    out.write(le32(3))                                  // height
+    out.write(le16(1)); out.write(le16(24)); out.write(le32(0))
+    out.write(new Array[Byte](40))
+    val p = out.toByteArray
+    assert(Codecs.BmpCodec.grayPixels(p).isEmpty)
+    assert(Codecs.BmpCodec.stripeSums(p).forall(_ == 0L))
+    // Int.MinValue height (abs() stays negative) must also reject
+    val out2 = new ByteArrayOutputStream()
+    out2.write('B'); out2.write('M')
+    out2.write(le32(246)); out2.write(le32(0)); out2.write(le32(54))
+    out2.write(le32(40)); out2.write(le32(8))
+    out2.write(le32(0x80000000L))                       // height = Int.MinValue
+    out2.write(le16(1)); out2.write(le16(24)); out2.write(le32(0))
+    out2.write(new Array[Byte](40))
+    assert(Codecs.BmpCodec.grayPixels(out2.toByteArray).isEmpty)
+  }
+
   test("BmpCodec.aHash64 resamples larger images to the 8x8 grid") {
     // 16x16 left-dark right-bright: gx = (j%8)*16/8 = 2(j%8) → bits set
     // iff column half is bright → each row contributes 0xF0 pattern

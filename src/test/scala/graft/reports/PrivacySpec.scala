@@ -1,6 +1,7 @@
 package graft.reports
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class PrivacySpec extends SparkSpec {
   import spark.implicits._
@@ -35,5 +36,15 @@ class PrivacySpec extends SparkSpec {
     assert(kept.length === 5 && !kept.contains(("B", "x")))
     // degenerate: k above every class size suppresses everything
     assert(Privacy.suppressToK(df, Seq("region", "band"), k = 10).count() === 0L)
+  }
+
+  test("suppressToK matches NULL quasi values null-safely — a unique NULL-keyed " +
+       "row is suppressed, not shipped") {
+    val withNull = Seq(
+      (Some("A"), "x", "s1"), (Some("A"), "x", "s1"), (Some("A"), "x", "s2"),
+      (None: Option[String], "x", "s9") // its own class of size 1 — risky
+    ).toDF("region", "band", "sensitive")
+    val kept = Privacy.suppressToK(withNull, Seq("region", "band"), k = 2)
+    assert(kept.count() === 3L && kept.filter(col("region").isNull).count() === 0L)
   }
 }
