@@ -84,7 +84,12 @@ object Itemsets {
         col("support_a"), col("support_b"),
         expr("support * 10000L div support_a").as("conf_ab_bp"),
         expr("support * 10000L div support_b").as("conf_ba_bp"),
-        expr("(support * n_baskets * 10000L) div (support_a * support_b)")
+        // DECIMAL(38,0) product: support·n_baskets·10⁴ passes 2⁶³ at
+        // ~10⁸ baskets with a hot pair (ANSI mode would throw, non-ANSI
+        // would wrap) — decimal keeps the integral div exact to 38
+        // digits and IntegralDivide still returns BIGINT
+        expr("""(CAST(support AS DECIMAL(38,0)) * n_baskets * 10000)
+                div (CAST(support_a AS DECIMAL(38,0)) * support_b)""")
           .as("lift_bp"))
       .cache()
     out.count() // materialize: all three consumers drained `it`

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** FLOOR-division bin expression in exact Long arithmetic — shared by
+    * [[rangePairs]] and [[intervalOverlapPairs]] so the subtle
+    * negative-micros correction lives once. `div` truncates toward
+    * zero, so pre-1970 (negative unix_micros) values would bin one
+    * slot too high and pairs straddling the epoch could be dropped or
+    * duplicated; floordiv(n, g) = (n div g) - (n % g < 0 ? 1 : 0)
+    * avoids double rounding at |us| > 2^53 too.
+    */
+  private def floorBinExpr(c: String, gapUs: Long): String =
+    s"($c div ${gapUs}L) - (CASE WHEN $c % ${gapUs}L < 0 THEN 1 ELSE 0 END)"
+
   /** As-of join: attach to every left row the payload of the LATEST
     * right row with `right.ts <= left.ts` within the same partition
     * keys (the trades-to-quotes join; here: each event to the most
@@ -339,13 +350,7 @@ object Temporal {
                  gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
     val gapUs = gapSeconds * 1000000L
-    // FLOOR division, not `div`: `div` truncates toward zero, so
-    // pre-1970 (negative unix_micros) values would bin one slot too
-    // high and pairs straddling the epoch could be dropped or
-    // duplicated. floordiv(n, g) = (n div g) - (n % g < 0 ? 1 : 0)
-    // stays in exact Long arithmetic (no double rounding at |us|>2⁵³).
-    def floorBin(c: String) =
-      s"($c div ${gapUs}L) - (CASE WHEN $c % ${gapUs}L < 0 THEN 1 ELSE 0 END)"
+    def floorBin(c: String) = floorBinExpr(c, gapUs)
     val lBinned = left.select(
       partitionCols.map(col) :+
         col(idColL) :+ unix_micros(col(tsCol)).as("_lus"): _*)
@@ -386,8 +391,7 @@ object Temporal {
                            binSeconds: Long): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     val g = binSeconds * 1000000L
-    def floorBin(c: String) =
-      s"($c div ${g}L) - (CASE WHEN $c % ${g}L < 0 THEN 1 ELSE 0 END)"
+    def floorBin(c: String) = floorBinExpr(c, g)
     def binned(df: DataFrame, id: String, s: String, e: String,
                su: String, eu: String) =
       df.select(partitionCols.map(col) :+ col(id) :+
@@ -414,7 +418,11 @@ object Temporal {
     *
     * Mechanism: lag() over (entity ORDER BY ts, id) marks rows where
     * the attribute IS DISTINCT FROM its predecessor (null-safe, so a
-    * null attribute forms its own run); the surviving change rows get
+    * null attribute forms its own run); an entity's FIRST row always
+    * starts a run explicitly — lag()'s no-predecessor NULL would
+    * otherwise compare <=>-equal to a null attribute and silently drop
+    * the entity's initial null-validity interval (or the whole entity,
+    * when the attribute is null throughout); the surviving change rows get
     * lead(ts) as the interval end and row_number as the version
     * ordinal. Both windows share the entity partition key, so Catalyst
     * plans ONE Exchange — the filter between them keeps the
@@ -428,7 +436,8 @@ object Temporal {
     val changes = events
       .select(col(entityCol), col(tsCol), col(idCol), col(attrCol))
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(!(col("_prev") <=> col(attrCol)))
+      .withColumn("_first", row_number().over(w) === 1)
+      .filter(col("_first") || !(col("_prev") <=> col(attrCol)))
     val w2 = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
     changes.select(
       col(entityCol),

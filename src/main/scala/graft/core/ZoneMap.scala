@@ -72,11 +72,20 @@ object ZoneMap {
     * shards (all values null) drop out — `x <= lit` is NULL-false in a
     * WHERE. Pass `lo` or `hi` as `lit(null)` cast to the column type for
     * a half-open predicate; the corresponding bound check vanishes.
+    * A null BOUND is tested explicitly (`lo.isNull || ...`) — the bare
+    * conjunct `max >= NULL` is NULL, `TRUE AND NULL` gets dropped by
+    * filter(), and every shard would FALSE-SKIP (the one failure a
+    * zone map must never commit). A null STAT (all-null shard) still
+    * skips: a range matches no NULL value.
     */
+  private def rangeHit(colName: String, lo: Column, hi: Column): Column =
+    (lo.isNull || col(s"${colName}_max") >= lo) &&
+      (hi.isNull || col(s"${colName}_min") <= hi) &&
+      col(s"${colName}_min").isNotNull
+
   def pruneRange(zoneMap: DataFrame, colName: String,
                  lo: Column, hi: Column): DataFrame =
-    zoneMap.filter(col(s"${colName}_min") <= hi &&
-      col(s"${colName}_max") >= lo)
+    zoneMap.filter(rangeHit(colName, lo, hi))
 
   /** Shards an IS NULL predicate must read: exactly those that recorded
     * at least one null for the column.
@@ -92,8 +101,9 @@ object ZoneMap {
     */
   def pruneStats(zoneMap: DataFrame, colName: String,
                  lo: Column, hi: Column): DataFrame = {
-    val hit = (col(s"${colName}_min") <= hi &&
-      col(s"${colName}_max") >= lo).cast("long")
+    // same NULL-safe hit rule as pruneRange; a bare NULL flag would
+    // silently vanish from sum() and under-count shards_read
+    val hit = rangeHit(colName, lo, hi).cast("long")
     zoneMap.agg(
       count(lit(1)).cast("long").as("shards_total"),
       sum(hit).cast("long").as("shards_read"),

@@ -46,6 +46,13 @@ object Pipeline {
       // reference's facility scan has no LIMIT; the 50-row cap lives in
       // the claim-table seed (FacilityBatches.seedBatches).
       facilityId: Option[String] = None,
+      // driver-memory guard on the facility-scoped (reference-uncapped)
+      // scan: the work list IS collect()ed for the run plan, and a
+      // mega-facility with millions of pending rows would otherwise OOM
+      // the driver. Files past the guard are untouched and picked up by
+      // the next run — the watermark/idempotency machinery makes every
+      // run a resumable prefix.
+      maxWorklist: Int = 500000,
       // concurrent per-entity read→transform→write jobs (the scheduler
       // interleaves their stages so small entities don't serialize)
       entityParallelism: Int = 8,
@@ -85,8 +92,10 @@ object Pipeline {
         "modified_date")
       .orderBy(col("modified_date").asc, col("file_name").asc)
     // facility-scoped scans are uncapped like the reference's
-    // (multithread_file_loader.py:250-260 has no LIMIT)
-    cfg.facilityId.fold(ordered.limit(cfg.batchCap))(_ => ordered)
+    // (multithread_file_loader.py:250-260 has no LIMIT) — up to the
+    // maxWorklist driver-memory guard; the overflow resumes next run
+    cfg.facilityId.fold(ordered.limit(cfg.batchCap))(_ =>
+      ordered.limit(cfg.maxWorklist))
   }
 
   /** J5 re-planned: one pass splits the work list into
@@ -256,7 +265,23 @@ object Pipeline {
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
           Await.result(
             Future.sequence(byTable.toSeq.map { case (t, fs) =>
-              Future(processEntity(t, fs))
+              // one entity's failure must NOT abort the run: other
+              // entities may already have appended staging rows, and
+              // only the log/sync writes below make those appends
+              // idempotent for the rerun. The failed entity's files log
+              // as failed and re-ingest next run; if its own staging
+              // append partially landed before the crash, the W1
+              // latest-wins views + dedupStaging are the documented
+              // recovery — the same (smaller) window the reference's
+              // non-transactional to_sql→log sequence has per file.
+              Future(scala.util.Try(processEntity(t, fs)).recover {
+                case e: Throwable =>
+                  val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                  (fs.map { case (_, fac, f, _, _) =>
+                    (f, fac) -> (("failed", 0L,
+                      s"entity job failed: $msg"))
+                  }.toMap, 0L, 0L)
+              }.get)
             }), Duration.Inf)
         } finally pool.shutdown()
       }

@@ -67,12 +67,19 @@ object Stages {
   def jsonParseFailed(c: Column): Column =
     c.isNotNull && from_json(c, MapType(StringType, StringType)).isNull
 
-  /** F7 applied to the hts_client `extra` struct<type,value>. */
+  /** F7 applied to the hts_client `extra` struct<type,value>. A NULL
+    * struct stays NULL — rebuilding it unconditionally would
+    * manufacture a non-null struct{null,null}, flipping downstream
+    * `extra IS NULL` checks and serializing "{}" where the reference's
+    * dict round-trip emits nothing.
+    */
   def maskExtra(df: DataFrame, extraCol: String = "extra",
                 piiKeys: Seq[String] = SchemaRegistry.nestedPiiKeys): DataFrame =
-    df.withColumn(extraCol, struct(
-      col(s"$extraCol.type").as("type"),
-      maskJsonString(col(s"$extraCol.value"), piiKeys).as("value")))
+    df.withColumn(extraCol,
+      when(col(extraCol).isNull, lit(null))
+        .otherwise(struct(
+          col(s"$extraCol.type").as("type"),
+          maskJsonString(col(s"$extraCol.value"), piiKeys).as("value"))))
 
   /** Entity-specific transform dispatch (file_loader.py:595-621), fully
     * driven by the run's [[SchemaRegistry.EntityRegistry]]: column

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Default Hadoop conf for the FS-sweep utilities: the ACTIVE
+    * session's, never a bare `new Configuration()` — a bare one drops
+    * every spark.hadoop.* override (s3a credentials/endpoints), so on
+    * a real cluster the sweep would silently see an empty listing and
+    * delete/report nothing while local file:// tests keep passing.
+    */
+  private def sessionHadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** W1: duplicate sync rows per (file_name, facility_id), latest first
     * (quality_assessments/duplicates_check.sql:1-17). Returns rows with
     * `row_num`; `row_num > 1` are the duplicates to report/delete.
@@ -90,7 +101,7 @@ object Maintenance {
   def retentionSweep(parentDir: String, namePattern: String,
                      dryRun: Boolean = true,
                      conf: org.apache.hadoop.conf.Configuration =
-                       new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+                       sessionHadoopConf): Seq[String] = {
     val rx = namePattern.r
     val hits = graft.core.Fs.listDirs(parentDir, conf)
       .flatMap(fac => graft.core.Fs.listFiles(fac.getPath.toString, conf))
@@ -164,7 +175,7 @@ object Maintenance {
     */
   def quarantineTables(warehouseDir: String,
                        conf: org.apache.hadoop.conf.Configuration =
-                         new org.apache.hadoop.conf.Configuration()): Seq[String] =
+                         sessionHadoopConf): Seq[String] =
     graft.core.Fs.listDirs(warehouseDir, conf)
       .map(_.getPath.getName)
       .filter(_.endsWith("_bad_dates"))

@@ -1437,10 +1437,11 @@ object RelationalQueries {
     //      derived from raw events). Two windows, one Exchange. ----
     "q_evt_scd2" -> Q(
       """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
-        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |           FROM events),
         |c AS (SELECT user_id, ts, event_id, event_type FROM o
-        |      WHERE prev IS DISTINCT FROM event_type)
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type AS status,
         |       CAST(row_number() OVER w AS BIGINT) AS version,
         |       ts AS eff_from,

@@ -438,6 +438,26 @@ class TemporalSpec extends SparkSpec {
     assert(!got(2)._3 && got(5)._3)
   }
 
+  test("scd2: an entity's initial NULL-attribute run is a real version, " +
+       "and an all-null entity still appears") {
+    // regression: lag()'s no-predecessor NULL used to compare <=>-equal
+    // to a null first attribute and silently drop the run
+    val t0 = 1700000000000L
+    val ev = Seq(
+      (1L, 1L, new Timestamp(t0), None: Option[String]), // null first run
+      (1L, 2L, new Timestamp(t0 + 1000), Some("A")),
+      (3L, 7L, new Timestamp(t0), None: Option[String]), // null throughout
+      (3L, 8L, new Timestamp(t0 + 1000), None: Option[String]))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Temporal.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version")
+      .select("user_id", "event_type", "version", "is_current")
+      .as[(Long, Option[String], Int, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, None, 1, false), (1L, Some("A"), 2, true),
+      (3L, None, 1, true)))
+  }
+
   test("scd2 collapses attribute runs into tiling validity intervals") {
     // user 1: A A B A  -> A[v1], B[v2], A[v3]; user 2: single run
     val t0 = 1700000000000L

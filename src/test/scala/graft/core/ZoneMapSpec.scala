@@ -36,6 +36,21 @@ class ZoneMapSpec extends SparkSpec {
     assert(edge === Seq("s0"))
   }
 
+  test("half-open bounds: a NULL lo/hi means unbounded, never skip-everything") {
+    // regression: `max >= lit(null)` is NULL and filter() drops NULL —
+    // the documented half-open contract used to false-skip every shard
+    val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
+    val noLo = ZoneMap.pruneRange(zm, "v", lit(null).cast("long"), lit(6L))
+      .select("shard").orderBy("shard").as[String].collect().toSeq
+    assert(noLo === Seq("s0")) // v <= 6 can only live in s0 (1..5)
+    val noHi = ZoneMap.pruneRange(zm, "v", lit(7L), lit(null).cast("long"))
+      .select("shard").orderBy("shard").as[String].collect().toSeq
+    assert(noHi === Seq("s1")) // v >= 7 only in s1 (8..20); s2 all-null skips
+    val st = ZoneMap.pruneStats(zm, "v", lit(null).cast("long"), lit(6L))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(st === ((3L, 1L, 7L, 2L)))
+  }
+
   test("pruneIsNull reads exactly the shards that recorded nulls") {
     val zm = ZoneMap.build(corpus, col("sh"), Seq("v"))
     val hit = ZoneMap.pruneIsNull(zm, "v")

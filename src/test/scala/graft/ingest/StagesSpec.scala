@@ -70,6 +70,15 @@ class StagesSpec extends SparkSpec {
     assert(out.getString(1) === """{"first_name":"******","x":"1"}""")
   }
 
+  test("F7: maskExtra keeps a NULL extra struct NULL (no manufactured {null,null})") {
+    val df = Seq(("t1", """{"x":"1"}"""))
+      .toDF("type", "value")
+      .select(when(col("type") === "never", // null struct row
+        struct(col("type"), col("value"))).as("extra"))
+    val out = Stages.maskExtra(df).select("extra").collect().head
+    assert(out.isNullAt(0), "NULL extra must stay NULL after masking")
+  }
+
   test("P1: entityTransforms drops biometric match_* columns") {
     val df = Seq(("u", "m", "p", "b"))
       .toDF("uuid", "match_type", "match_person_uuid", "match_biometric_id")
