@@ -563,7 +563,15 @@ object DedupOps {
                         bits: Option[Int] = None, tables: Int = 4,
                         corpusCount: Option[Long] = None): DataFrame = {
     val nBits = bits.getOrElse(deriveBits(corpusCount.getOrElse(df.count())))
-    val dim = df.select(size(col(vecCol)).as("_d")).limit(1).collect()(0).getInt(0)
+    // empty (or fully pre-filtered) corpus: no pairs — return an empty,
+    // correctly-typed frame instead of crashing on the dimension probe
+    // (the Quant.pqFit headOption idiom)
+    val dimOpt = df.select(size(col(vecCol)).as("_d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty)
+      return df.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("cosine")).limit(0)
+    val dim = dimOpt.get
     // cache the bucket table: it feeds BOTH sides of the pair self-join
     // (uncached it would recompute the posexplode+aggregate twice)
     val buckets = Ann.lshBucketsMulti(df, idCol, vecCol, dim, nBits, tables)

@@ -120,7 +120,11 @@ object DupGraph {
         .select(spread("id"), col("p_comp").as("component")), reliable)
       val s = next.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
         .first().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // null sum = EMPTY label frame (no edges at all): already a
+      // fixpoint — without this case the loop would burn all maxIter
+      // rounds of joins/checkpoints doing nothing
+      converged = (s == null) ||
+        (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       // round i is safely in next's own blocks/files — release round i-1
       CheckpointBridge.unpersistCheckpoint(labels)
@@ -163,12 +167,15 @@ object DupGraph {
     * drop the rest). Output: one row per cluster with the kept doc's
     * columns plus its `component`.
     *
-    * The pick is a single partial/final `max_by` aggregate over a total
-    * order (score desc, id asc — the struct negates the id so ties
-    * break low), then a semi-join pulls the winners' rows. No window
-    * over the corpus: the shuffle carries one (component, candidate)
-    * row per doc, and only clustered docs at that (singletons pass
-    * through the aggregate with themselves as the only candidate).
+    * The pick is two partial/final aggregates on the SAME component
+    * key (best score, then min id among the score-tied rows — ties
+    * break low for ANY orderable id type; the previous `-id` struct
+    * trick silently null-casted string ids and picked an arbitrary
+    * representative), then a semi-join pulls the winners' rows. No
+    * window over the corpus: the shuffle carries one (component,
+    * candidate) row per doc, and only clustered docs at that
+    * (singletons pass through the aggregate with themselves as the
+    * only candidate).
     */
   def bestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
                      pairs: DataFrame,
@@ -178,9 +185,13 @@ object DupGraph {
     // winners derives FROM clustered — rename its columns so the join
     // predicate resolves against distinct attributes (a same-name ref
     // would collapse to the trivially-true self-comparison)
-    val winners = clustered.groupBy(col("component"))
-      .agg(max_by(col(idCol),
-        struct(col(scoreCol), -col(idCol))).as("_keep"))
+    val top = clustered.groupBy(col("component"))
+      .agg(max(col(scoreCol)).as("_best"))
+      .withColumnRenamed("component", "_bc")
+    val winners = clustered
+      .join(top, col("component") === col("_bc") &&
+        col(scoreCol) === col("_best"))
+      .groupBy(col("component")).agg(min(col(idCol)).as("_keep"))
       .withColumnRenamed("component", "_wc")
     clustered
       .join(winners,

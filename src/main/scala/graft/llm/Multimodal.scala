@@ -98,7 +98,11 @@ object Multimodal {
                      binCol: String = "payload",
                      codec: MediaCodec = StubDecoder): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+    // rows whose id is null (or not long-castable) cannot be keyed —
+    // drop them instead of NPE-ing the task on getLong (the 'one bad
+    // blob must not kill a stage' contract applies to the id side too)
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol))
+      .filter(col(idCol).isNotNull).rdd
       .mapPartitions { it =>
         it.map { r =>
           val payload = r.getAs[Array[Byte]](1)
@@ -126,7 +130,11 @@ object Multimodal {
       StructField("doc_id", LongType) +:
         StructField("byte_len", LongType) +:
         (0 until d).map(j => StructField(s"s$j", LongType)))
-    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+    // rows whose id is null (or not long-castable) cannot be keyed —
+    // drop them instead of NPE-ing the task on getLong (the 'one bad
+    // blob must not kill a stage' contract applies to the id side too)
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol))
+      .filter(col(idCol).isNotNull).rdd
       .mapPartitions { it =>
         it.map { r =>
           val payload = r.getAs[Array[Byte]](1)
@@ -152,7 +160,11 @@ object Multimodal {
     val schema = StructType(
       StructField("doc_id", LongType) +:
         (0 until 4).map(c => StructField(s"ph$c", LongType)))
-    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+    // rows whose id is null (or not long-castable) cannot be keyed —
+    // drop them instead of NPE-ing the task on getLong (the 'one bad
+    // blob must not kill a stage' contract applies to the id side too)
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol))
+      .filter(col(idCol).isNotNull).rdd
       .mapPartitions { it =>
         it.flatMap { r =>
           Codecs.BmpCodec.aHash64(r.getAs[Array[Byte]](1))
@@ -179,7 +191,11 @@ object Multimodal {
       StructField("n_samples", LongType),
       StructField("sum_abs", LongType),
       StructField("max_abs", LongType)))
-    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+    // rows whose id is null (or not long-castable) cannot be keyed —
+    // drop them instead of NPE-ing the task on getLong (the 'one bad
+    // blob must not kill a stage' contract applies to the id side too)
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol))
+      .filter(col(idCol).isNotNull).rdd
       .mapPartitions { it =>
         it.flatMap { r =>
           val id = r.getLong(0)

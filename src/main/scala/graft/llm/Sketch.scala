@@ -90,10 +90,18 @@ object Sketch {
     * the F₂ / skew diagnostic: a hot key dominates Σ f² long before it
     * dominates Σ f).
     */
-  def cmsInnerProduct(gridA: DataFrame, gridB: DataFrame): DataFrame =
-    gridA.select(col("seed"), col("bucket"), col("cnt").as("_ca"))
+  def cmsInnerProduct(gridA: DataFrame, gridB: DataFrame): DataFrame = {
+    // every seed must vote: a seed whose occupied cells don't overlap
+    // at all has Σ = 0 — the BEST (exact) estimate — and an inner-join
+    // groupBy would silently drop it, inflating the min over the
+    // remaining seeds; fully disjoint grids must answer 0, not NULL
+    val dots = gridA.select(col("seed"), col("bucket"), col("cnt").as("_ca"))
       .join(broadcast(gridB.select(col("seed"), col("bucket"), col("cnt").as("_cb"))),
         Seq("seed", "bucket"))
       .groupBy("seed").agg(sum(col("_ca") * col("_cb")).as("_dot"))
-      .agg(min("_dot").cast("long").as("est"))
+    gridA.select("seed").distinct()
+      .join(dots, Seq("seed"), "left")
+      .na.fill(0L, Seq("_dot"))
+      .agg(coalesce(min("_dot"), lit(0L)).cast("long").as("est"))
+  }
 }

@@ -70,6 +70,15 @@ object TextAnalysis {
     df.select(keep :+ explode_outer(tokens(col(textCol))).as(as): _*)
       .filter(col(as).isNotNull)
 
+  /** Positional variant of [[explodeTokens]] — same outer-explode guard
+    * against InferFiltersFromGenerate's duplicated-tokenizer pre-filter;
+    * emits (posAs, as) with pos 0-based.
+    */
+  def explodeTokensPos(df: DataFrame, textCol: String, posAs: String,
+                       as: String, keep: Column*): DataFrame =
+    df.select(keep :+ posexplode_outer(tokens(col(textCol))).as(Seq(posAs, as)): _*)
+      .filter(col(as).isNotNull)
+
   /** Whitespace token count. */
   def tokenCountWs(c: Column): Column = size(tokens(c))
 
@@ -475,7 +484,11 @@ object TextAnalysis {
     val expected = Seq((1L, 3010L), (2L, 1761L), (3L, 1249L), (4L, 969L),
       (5L, 792L), (6L, 669L), (7L, 580L), (8L, 512L), (9L, 458L))
       .toDF("digit", "expected_bp")
-    val counts = df.filter(col(valCol) > 0)
+    // values below the cents resolution (0 < v < 0.01) have ⌊v·100⌋ = 0
+    // — no leading digit — and MUST leave the denominator too, or every
+    // digit's share reads under-represented (a false fabricated-data
+    // signal on rate/fraction columns). The profile's domain is v ≥ 0.01.
+    val counts = df.filter(floor(col(valCol) * 100) >= 1)
       .select(substring(floor(col(valCol) * 100).cast("long").cast("string"),
         1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))
@@ -746,8 +759,7 @@ object TextAnalysis {
     */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame =
-    df.select(col(idCol), posexplode(tokens(col(textCol))))
-      .toDF(idCol, "pos", "token")
+    explodeTokensPos(df, textCol, "pos", "token", col(idCol))
       .join(vocab.select(col("token"), col("token_id")), Seq("token"))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("token_id"))
 
@@ -993,7 +1005,7 @@ object TextAnalysis {
                 terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll needs at least one term")
     require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+    explodeTokens(docs, textCol, "_t", col(idCol))
       .filter(col("_t").isin(terms: _*)).distinct()
       .groupBy(col(idCol)).agg(count(lit(1)).as("_nt"))
       .filter(col("_nt") === terms.size)
@@ -1013,8 +1025,7 @@ object TextAnalysis {
   def searchPhrase(docs: DataFrame, idCol: String, textCol: String,
                    terms: Seq[String]): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
-    val toks = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("_pos", "_t")))
+    val toks = explodeTokensPos(docs, textCol, "_pos", "_t", col(idCol))
     val anchors = terms.zipWithIndex.map { case (t, i) =>
       toks.filter(col("_t") === t)
         .select(col(idCol), (col("_pos") - i).as("_p0"))

@@ -555,7 +555,7 @@ object AnalyticsQueries {
     //      to-string of cents, never double formatting. ----
     "q_quality_benford" -> Q(
       """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
-        |           FROM lineitem WHERE l_extendedprice > 0),
+        |           FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
         |n AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
         |e(digit, expected_bp) AS (VALUES (1,3010),(2,1761),(3,1249),(4,969),

@@ -44,11 +44,18 @@ object AnnIndexStream {
                  batchId: Long = -1L, queryId: String = ""): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val dest = s"${dataDir(storeDir)}/ingest=${tagOf(queryId, batchId)}"
+    // direct (non-streaming) calls get a fresh counter tag — the fixed
+    // "q_-1" tag would make every direct ingest after the first look
+    // like a replay and silently no-op (the IncrDedupStream rule).
+    // Single-writer, like the streaming checkpoint.
+    val tag =
+      if (batchId >= 0) tagOf(queryId, batchId)
+      else s"direct_${Fs.listDirs(dataDir(storeDir), conf).length}"
+    val dest = s"${dataDir(storeDir)}/ingest=$tag"
     if (Fs.exists(dest, conf)) return // re-delivered batch: directory IS the marker
     val cells = Ivf.assignCells(batch, idCol, vecCol, centroids)
     val assigned = batch.select(col(idCol), col(vecCol)).join(cells, idCol)
-    val staging = s"$storeDir/.staging_${tagOf(queryId, batchId)}"
+    val staging = s"$storeDir/.staging_$tag"
     assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
     // the first batch of a fresh store renames into a data/ dir that
     // does not exist yet — HDFS/S3A rename fails without the parent

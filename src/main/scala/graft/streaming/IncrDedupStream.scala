@@ -92,7 +92,18 @@ object IncrDedupStream {
       .dedupIndex(batch, idCol, textCol, numHashes, k).cache()
     val tag =
       if (batchId >= 0) tagOf(queryId, batchId)
-      else s"direct_${Fs.listDirs(idx, conf).length}"
+      else {
+        // a crashed direct write leaves a PARTIAL delta (no _SUCCESS);
+        // counted into a fresh tag it would dodge the self-exclusion
+        // below and the batch would read its own half-written
+        // signatures as corpus — every doc then matches itself and the
+        // whole batch is verdicted a duplicate. Sweep uncommitted
+        // deltas first (single-writer, the checkpoint ownership rule).
+        Fs.listDirs(idx, conf)
+          .filter(d => !Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
+          .foreach(d => Fs.delete(d.getPath.toString, conf, recursive = true))
+        s"direct_${Fs.listDirs(idx, conf).length}"
+      }
     // exclude our OWN tag: a replay's half-written delta must not make
     // the batch a duplicate of itself
     val index = readIndex(bidx, idx)

@@ -110,10 +110,16 @@ object SequenceStream {
         val prevFeasible = Array.fill[Option[Long]](n + 1)(None)
         val lastBanned = Array.fill[Long](n)(Long.MinValue)
         var earliestDone: Option[Long] = None
+        // an event type may occupy SEVERAL step positions (a, b, a) —
+        // indexOf would pin it to the first and the sequence could
+        // never complete; process every matching position, highest k
+        // first (tp < t already forbids an event chaining with itself)
+        val positionsOf: Map[String, Seq[Int]] =
+          steps.zipWithIndex.groupBy(_._1)
+            .map { case (s, xs) => s -> xs.map(_._2 + 1).sortBy(-_) }
         evs.foreach { e =>
           val t = e.ts_us
-          if (e.is_step == 0) {
-            val k = steps.indexOf(e.step) + 1 // 1-based step position
+          if (e.is_step == 0) positionsOf(e.step).foreach { k =>
             if (k == 1) {
               if (maxFeasible(1).isEmpty) maxFeasible(1) = Some(t) // anchor
             } else if (maxFeasible(1).exists(t1 => t <= t1 + windowUs)) {

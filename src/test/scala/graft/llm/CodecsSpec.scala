@@ -79,8 +79,8 @@ class CodecsSpec extends SparkSpec {
     val px = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (100, 100, 100))
     val wantGray = Array(76, 149, 29, 100)
     for (topDown <- Seq(false, true)) {
-      val Some((gray, w, h)) =
-        Codecs.BmpCodec.grayPixels(bmpBytes(2, 2, px(_), topDown))
+      val (gray, w, h) =
+        Codecs.BmpCodec.grayPixels(bmpBytes(2, 2, px(_), topDown)).get
       assert((w, h) === ((2, 2)))
       assert(gray.toSeq === wantGray.toSeq, s"topDown=$topDown")
     }
@@ -92,7 +92,7 @@ class CodecsSpec extends SparkSpec {
   test("BmpCodec.aHash64: half-dark/half-bright 8x8 sets exactly the bright bits") {
     // rows 0..3 dark (10), rows 4..7 bright (200): mean 105 → bits 32..63
     val img = bmpBytes(8, 8, i => { val v = if (i / 8 < 4) 10 else 200; (v, v, v) })
-    val Some(ph) = Codecs.BmpCodec.aHash64(img)
+    val ph = Codecs.BmpCodec.aHash64(img).get
     assert(ph.toSeq === Seq(0L, 0L, 0xFFFFL, 0xFFFFL))
     assert(Codecs.BmpCodec.aHash64("BMnot really".getBytes ++ new Array[Byte](60)).isEmpty)
   }
@@ -125,7 +125,7 @@ class CodecsSpec extends SparkSpec {
     // 16x16 left-dark right-bright: gx = (j%8)*16/8 = 2(j%8) → bits set
     // iff column half is bright → each row contributes 0xF0 pattern
     val img = bmpBytes(16, 16, i => { val v = if (i % 16 < 8) 0 else 255; (v, v, v) })
-    val Some(ph) = Codecs.BmpCodec.aHash64(img)
+    val ph = Codecs.BmpCodec.aHash64(img).get
     // per 8-pixel row: bits 4..7 set → nibble 0xF0; two rows per chunk
     assert(ph.toSeq === Seq(0xF0F0L, 0xF0F0L, 0xF0F0L, 0xF0F0L))
   }

@@ -60,6 +60,22 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(n1 === 10L && n2 === 10L)
   }
 
+  test("direct (non-streaming) applyBatch calls each land — no fixed-tag collision") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_direct").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 2, iters = 1)
+    val store = s"${dir.getPath}/store"
+    // regression: the default batchId=-1 used to produce one shared
+    // "q_-1" tag, so the second call no-op'd as a phantom replay
+    AnnIndexStream.applyBatch(corpus.filter(col("vec_id") <= 10),
+      "vec_id", "embedding", index.centroids, store)
+    AnnIndexStream.applyBatch(corpus.filter(col("vec_id") > 10),
+      "vec_id", "embedding", index.centroids, store)
+    val n = spark.read.option("basePath", s"$store/data")
+      .parquet(s"$store/data").count()
+    assert(n === 40L)
+  }
+
   test("compact folds all ingest deltas into one partition; search is unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("ann_compact").toFile
     val corpus = vecs.toDF("vec_id", "embedding")

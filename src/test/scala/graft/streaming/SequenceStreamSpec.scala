@@ -84,6 +84,20 @@ class SequenceStreamSpec extends SparkSpec {
       2L -> ((false, None))))
   }
 
+  test("matchExistential completes sequences with a REPEATED step type (a, b, a)") {
+    // regression: indexOf pinned the second 'a' to position 1, so the
+    // pattern could never complete
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, "a", t(0)), (1L, "b", t(1)), (1L, "a", t(2)),   // completes
+      (2L, "a", t(0)), (2L, "b", t(1)))                    // missing final a
+      .toDF("user_id", "step", "ts")
+    val out = SequenceStream.matchExistential(ev, "user_id", "ts", "step",
+        Seq("a", "b", "a"), windowSeconds = 100L)
+      .collect().map(m => m.entity.toLong -> m.matched).toMap
+    assert(out === Map(1L -> true, 2L -> false))
+  }
+
   test("matchExistential equals a brute-force chain enumeration on random data") {
     val rnd = new scala.util.Random(13)
     val evs = (1 to 300).map { i =>
