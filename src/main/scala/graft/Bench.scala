@@ -23,12 +23,7 @@ object Bench {
       GraftSession.builder("graft-bench", s"local[$cpus]",
         shufflePartitions = math.max(cpus, 4)).getOrCreate())
 
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    def esc(s: String): String = graft.core.JsonEscape.escape(s)
 
     // untimed warm-up sweep: run EVERY query once AT THE TARGET SF
     // before timing anything. A query's first execution pays Janino
@@ -79,9 +74,17 @@ object Bench {
     // larger SF every legitimately-slower heavy would read as a 3×
     // "outlier" and re-run, doubling the suite for nothing. The "_sf"
     // key records the recording SF; mismatch disables retries entirely.
+    // canonicalize both sides: a trailing slash or symlink must not
+    // silently disable adjudication (retries:0 would then read as
+    // "nothing was an outlier"); the env block reports ledger_used so
+    // the artifact itself says whether the guard was armed
+    def canon(p: String): String =
+      try java.nio.file.Paths.get(p).toRealPath().toString
+      catch { case _: Throwable =>
+        java.nio.file.Paths.get(p).normalize().toString }
     val ledgerSf = """"_sf":\s*"([^"]+)"""".r
       .findFirstMatchIn(ledgerTxt).map(_.group(1))
-    val ledgerUsable = ledgerSf.contains(sfDir)
+    val ledgerUsable = ledgerSf.map(canon).contains(canon(sfDir))
     // retry iff: first > max(3s floor, 3× ledger). The floor keeps
     // sub-second noise (0.2s→0.9s) from triggering pointless re-runs.
     def isOutlier(name: String, sec: Double): Boolean =
@@ -108,6 +111,11 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcMs = gcNow() - g0
+      // NOTE: sum of per-POOL peaks (eden/survivor/old), which occur at
+      // different instants — an upper bound on the true simultaneous
+      // footprint, not a sampled heap high-water mark; read it as
+      // "memory pressure ceiling", good enough to separate a starved
+      // run (peak ~ max heap, gc_ms ~ wall) from a healthy one
       val peakMb = heapPools.map(p =>
         Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum / (1024L * 1024L)
       GraftSession.releaseAll(spark)
@@ -148,7 +156,7 @@ object Bench {
             o.getTotalMemorySize / (1024L * 1024L))
         case _ => (-1L, -1L)
       }
-      s""""env":{"load_avg":${fmt(os.getSystemLoadAverage)},"cpus":${rt.availableProcessors},"jvm_max_heap_mb":${rt.maxMemory / (1024L * 1024L)},"sys_free_mem_mb":$freeMb,"sys_total_mem_mb":$totalMb,"total_gc_ms":${gcNow()}}"""
+      s""""env":{"load_avg":${fmt(os.getSystemLoadAverage)},"cpus":${rt.availableProcessors},"jvm_max_heap_mb":${rt.maxMemory / (1024L * 1024L)},"sys_free_mem_mb":$freeMb,"sys_total_mem_mb":$totalMb,"total_gc_ms":${gcNow()},"ledger_used":$ledgerUsable}"""
     }
     def detailBlock(rs: Seq[R]): String =
       rs.map { case R(k, v, _, gc, peak, other) =>

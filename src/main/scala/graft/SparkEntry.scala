@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def registry: Map[String, ops.Q] =
+  // lazy val: the five-map merge over 255 entries runs once, not per
+  // queries/oracleSql access (Explain calls queries in a loop)
+  private lazy val registry: Map[String, ops.Q] =
     RelationalQueries.all ++ LlmQueries.all ++ ReportQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all
 
@@ -34,7 +36,7 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, q) => k -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -18,9 +18,18 @@ object Verify {
       GraftSession.builder("graft-verify", s"local[$cpus]",
         shufflePartitions = math.max(cpus, 4)).getOrCreate())
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // remove any PREVIOUS run's output first: in the reused-outDir dev
+      // loop a query that starts failing would otherwise leave its old
+      // parquet behind and check_oracle.py would PASS on stale data —
+      // a masked regression inside the correctness gate itself
+      deleteRec(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -28,18 +37,9 @@ object Verify {
       }
       GraftSession.releaseAll(spark) // per-query storage isolation
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // shared with Bench — see graft.core.JsonEscape for the control-char
+    // rationale (driver json.load)
+    def q(s: String): String = graft.core.JsonEscape.str(s)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -854,8 +854,7 @@ object LlmQueries {
         |FROM pe LEFT JOIN counters c USING (seed, bucket)
         |GROUP BY pe.tok ORDER BY token""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cms_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_cms_")
       val gridPath = s"${tmp.getPath}/grid"
       val toks = tb(s, dir).documents
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
@@ -902,8 +901,7 @@ object LlmQueries {
          |ORDER BY est DESC, token LIMIT 5""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_topk_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_topk_")
       val (gridPath, candPath) = (s"${tmp.getPath}/grid", s"${tmp.getPath}/cand")
       val toks = tb(s, dir).documents
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
@@ -940,8 +938,7 @@ object LlmQueries {
         |             * ln(((grid.cg + 1) / CAST(tot.ng + 10 AS DOUBLE))
         |                  / ((grid.cb + 1) / CAST(tot.nb + 10 AS DOUBLE)))), 6) AS psi
         |FROM grid, tot GROUP BY tot.nb, tot.ng""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_drift_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_drift_")
       val (basePath, curPath) = (s"${tmp.getPath}/base", s"${tmp.getPath}/cur")
       val docs = tb(s, dir).documents
       val srcNum = expr("CAST(substring(source, 4, 10) AS INT)")
@@ -1631,14 +1628,7 @@ object LlmQueries {
          |          FROM candc p
          |          JOIN bidx b ON b.doc_id = p.bid
          |          JOIN idx i ON i.doc_id = p.cid
-         |          WHERE (CASE WHEN b.mh1 = i.mh1 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh2 = i.mh2 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh3 = i.mh3 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh4 = i.mh4 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh5 = i.mh5 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh6 = i.mh6 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh7 = i.mh7 THEN 1 ELSE 0 END
-         |               + CASE WHEN b.mh8 = i.mh8 THEN 1 ELSE 0 END) >= 6
+         |          WHERE ${mhMatch("b", "i")} >= 6
          |          GROUP BY p.bid),
          |candb AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
          |          FROM bb a JOIN bb c
@@ -1648,14 +1638,7 @@ object LlmQueries {
          |          FROM candb p
          |          JOIN bidx l ON l.doc_id = p.id1
          |          JOIN bidx r ON r.doc_id = p.id2
-         |          WHERE (CASE WHEN l.mh1 = r.mh1 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh2 = r.mh2 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh3 = r.mh3 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh4 = r.mh4 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh5 = r.mh5 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh6 = r.mh6 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh7 = r.mh7 THEN 1 ELSE 0 END
-         |               + CASE WHEN l.mh8 = r.mh8 THEN 1 ELSE 0 END) >= 6
+         |          WHERE ${mhMatch("l", "r")} >= 6
          |          GROUP BY p.id2)
          |SELECT b.doc_id,
          |  CASE WHEN exc.mec IS NOT NULL THEN 'exact_dup_corpus'
@@ -1704,8 +1687,7 @@ object LlmQueries {
          |      UNION ALL SELECT *, 1 FROM verd1
          |      UNION ALL SELECT *, 2 FROM verd2)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_incr_")
       val store = s"${tmp.getPath}/store"
       val docs = tb(s, dir).documents
       (0 to 2).foreach { i =>
@@ -2246,8 +2228,7 @@ object LlmQueries {
     "q_stream_ann_index" -> Q(ivfTopkOracleSql) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_annstore_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_annstore_")
       val store = s"${tmp.getPath}/store"
       (0 to 2).foreach { b =>
         graft.streaming.AnnIndexStream.applyBatch(
@@ -2273,8 +2254,7 @@ object LlmQueries {
          |FROM af WHERE vec_id % 97 <> 0 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_forget_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_forget_")
       val store = s"${tmp.getPath}/store"
       graft.streaming.AnnIndexStream.applyBatch(emb, "vec_id", "embedding",
         index.centroids, store, batchId = 0L, queryId = "fq")

@@ -39,8 +39,7 @@ object PipelineQueries {
         |FROM named ORDER BY facility_id, file_name""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents.filter(col("doc_id") < 300)
-      val root = java.nio.file.Files.createTempDirectory("graft_e2e_").toFile
-      root.deleteOnExit()
+      val root = Scratch.dir("graft_e2e_")
       val parent = new java.io.File(root, "temp")
 
       // one facility per source; 20 docs per sync file; files named by
@@ -111,8 +110,7 @@ object PipelineQueries {
         |FROM named ORDER BY facility_id, file_name""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents.filter(col("doc_id") < 300)
-      val root = java.nio.file.Files.createTempDirectory("graft_rq_e2e_").toFile
-      root.deleteOnExit()
+      val root = Scratch.dir("graft_rq_e2e_")
       val parent = new java.io.File(root, "temp")
       val rows = docs
         .select(col("source"), (col("doc_id") / 20).cast("int").as("file_no"),
@@ -193,8 +191,7 @@ object PipelineQueries {
       import s.implicits._
       val sources = Tables(s, dir).documents.filter(col("doc_id") < 200)
         .select("source").distinct().as[String].collect().sorted
-      val root = java.nio.file.Files.createTempDirectory("graft_del_e2e_").toFile
-      root.deleteOnExit()
+      val root = Scratch.dir("graft_del_e2e_")
       val parent = new java.io.File(root, "temp")
       val syncRows = sources.toIndexedSeq.zipWithIndex.map { case (src, i) =>
         val enc = s"doc_corpus_0_2024050100${"%04d".format(i)}.json"
@@ -240,8 +237,7 @@ object PipelineQueries {
         |w AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY batch DESC) AS rn
         |      FROM b)
         |SELECT k, n, mx FROM w WHERE rn = 1 ORDER BY k""".stripMargin) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_tt_").toFile
-      root.deleteOnExit()
+      val root = Scratch.dir("graft_tt_")
       val store = LogStore(s, new java.io.File(root, "logs").getPath)
       val orders = Tables(s, dir).orders
       def batch(i: Int) = orders.filter(col("o_orderkey") % 3 === i)

@@ -602,8 +602,7 @@ object RelationalQueries {
         |FROM documents WHERE doc_id < 200 GROUP BY source ORDER BY source""".stripMargin) {
       (s, dir) =>
         val docs = tb(s, dir).documents.filter(col("doc_id") < 200)
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s1_").toFile
-        tmp.deleteOnExit()
+        val tmp = Scratch.dir("graft_s1_")
         val bySource = docs.select(to_json(struct(col("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars"))).as("j"), col("source"))
           .collect().groupBy(_.getString(1))
@@ -1184,8 +1183,7 @@ object RelationalQueries {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_orc_")
       val orcPath = s"${tmp.getPath}/orders_orc"
       tb(s, dir).orders.write.mode("overwrite").orc(orcPath)
       s.read.orc(orcPath)
@@ -1204,8 +1202,7 @@ object RelationalQueries {
       """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_part_")
       val path = s"${tmp.getPath}/orders_part"
       tb(s, dir).orders.write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(path)
@@ -1222,8 +1219,7 @@ object RelationalQueries {
       """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_csv_")
       val csvPath = s"${tmp.getPath}/orders_csv"
       val src = tb(s, dir).orders
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -1241,8 +1237,7 @@ object RelationalQueries {
       """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_jsonl_")
       val jsonPath = s"${tmp.getPath}/orders_jsonl"
       val src = tb(s, dir).orders
         .select("o_orderkey", "o_orderpriority", "o_totalprice")

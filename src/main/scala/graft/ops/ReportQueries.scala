@@ -321,8 +321,7 @@ object ReportQueries {
         |SELECT user_id, tsx AS ts, event_id, value
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toFile
-      tmp.deleteOnExit()
+      val tmp = Scratch.dir("graft_cdc")
       val base = s"${tmp.getPath}/state"
       val changes = tb(s, dir).events
         .select(col("user_id"), col("ts"), col("event_id"), col("value"),
