@@ -64,6 +64,14 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // reading a glob path (q_stream_incr_dedup's `batch=*` verdicts
+    // read) makes FileStreamSink.hasMetadata probe the glob string as
+    // a directory and WARN with a full FileNotFoundException stack
+    // trace — benign ("assume no metadata directory"), but it makes
+    // every bench/verify log look broken
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 

@@ -50,12 +50,68 @@ object Bloom {
         .toAggregateExpression())
   }
 
-  /** Membership probe against a Bloom binary (usually a broadcast
-    * 1-row crossJoin column): false ⇒ definitely absent.
+  /** Membership probe against a Bloom binary (a foldable literal or a
+    * scalar subquery — BloomFilterMightContain's type check rejects
+    * everything else, including crossJoin attributes): false ⇒
+    * definitely absent.
     */
   def mightContain(bloom: Column, c: Column): Column =
     ColumnBridge.column(
       BloomFilterMightContain(
         ColumnBridge.expression(bloom),
         ColumnBridge.expression(xxhash64(c))))
+
+  /** Membership probe against an EXECUTOR-BROADCAST Bloom binary, for
+    * the two places the built-in faces can't go:
+    *
+    *  - inside a higher-order-function lambda (subquery expressions are
+    *    rejected there by the analyzer), and
+    *  - in a streaming micro-batch plan where a `lit(bytes)` literal
+    *    would be re-serialized with every batch's plan and shipped in
+    *    every task binary.
+    *
+    * The plan carries only the [[Broadcast]] HANDLE (a few bytes); the
+    * filter payload moves once per executor over the torrent protocol
+    * and deserializes once per JVM ([[BloomProbeBroadcast.filter]] is
+    * transient-lazy). Interpreted-only (CodegenFallback) — irrelevant
+    * inside HOFs, which Spark evaluates interpreted anyway.
+    *
+    * Hashes through xxhash64 like [[mightContain]], so it probes
+    * [[bloomAgg]]/[[bloomAggBits]] binaries interchangeably.
+    */
+  def mightContainBroadcast(
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      c: Column): Column =
+    ColumnBridge.column(
+      BloomProbeBroadcast(bloom, ColumnBridge.expression(xxhash64(c))))
+}
+
+/** `mightContainLong` over a broadcast-resident Spark sketch
+  * BloomFilter — see [[Bloom.mightContainBroadcast]]. Null in ⇒ null
+  * out, matching BloomFilterMightContain.
+  */
+case class BloomProbeBroadcast(
+    bytes: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{BooleanType, DataType}
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes.value))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_probe_broadcast"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else filter.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeBroadcast =
+    copy(child = newChild)
 }

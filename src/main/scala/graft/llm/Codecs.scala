@@ -69,7 +69,11 @@ object Codecs {
       while (pos + 8 <= p.length) {
         val size = leU32(p, pos + 4)
         val id = new String(p, pos, 4, "US-ASCII")
-        if (id == "fmt " && pos + 24 <= p.length) {
+        // only the FIRST well-formed fmt chunk counts (a duplicate must
+        // not overwrite it), and its declared size must cover the 16
+        // PCM-format bytes we read — a short fmt chunk would otherwise
+        // read the NEXT chunk's bytes and falsely validate PCM16
+        if (id == "fmt " && fmt < 0 && size >= 16 && pos + 24 <= p.length) {
           fmt = leU16(p, pos + 8)
           bits = leU16(p, pos + 22)
         } else if (id == "data" && dataOff < 0) {

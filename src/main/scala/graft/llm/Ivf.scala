@@ -178,10 +178,25 @@ object Ivf {
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    // pair-level dedup (a store vector re-ingested in a later batch
+    // appears once per ingest partition): collapse on max(struct) —
+    // DETERMINISTIC across runs, shuffle orders, and compactions,
+    // unlike dropDuplicates' keep-arbitrary-first. When the copies are
+    // byte-identical (the supported re-ingest case) any rule agrees;
+    // if an id was re-ingested with a CHANGED embedding the pick is
+    // still stable (greatest vector by array ordering) but which
+    // embedding "wins" is undefined — updating a vector requires
+    // forget() before re-ingest (the AnnIndexStream update contract).
+    // max() is partial-aggregatable, so this map-side combines like
+    // the dropDuplicates it replaces.
     corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "q_vec", "q_nrm", "c_id", "c_vec", "c_nrm")
-      .dropDuplicates("q_id", "c_id")
+      .groupBy("q_id", "c_id")
+      .agg(max(struct(col("c_vec"), col("c_nrm"),
+        col("q_vec"), col("q_nrm"))).as("_r"))
+      .select(col("q_id"), col("c_id"),
+        col("_r.q_vec").as("q_vec"), col("_r.q_nrm").as("q_nrm"),
+        col("_r.c_vec").as("c_vec"), col("_r.c_nrm").as("c_nrm"))
       .withColumn("cosine", round(
         Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
       .withColumn("rn", row_number().over(w))

@@ -429,15 +429,19 @@ object ReportQueries {
     // ---- suppression to k: the release face — rows whose quasi tuple
     //      already satisfies k survive, under-k classes are dropped
     //      (suppress, not generalize). Anti join against the risky
-    //      classes; AQE broadcasts the (usually tiny) risky side. ----
+    //      classes; AQE broadcasts the (usually tiny) risky side.
+    //      The oracle's correlation predicates use IS NOT DISTINCT
+    //      FROM to encode the same null-safe <=> semantics the engine
+    //      implements — a NULL quasi value forms ONE class, and plain
+    //      equality would silently never match it. ----
     "q_priv_suppress" -> Q(
       """SELECT c_custkey, c_nationkey, c_mktsegment
         |FROM customer a
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |                 FROM customer GROUP BY 1, 2) r
-        |  WHERE r.n < 12 AND r.c_nationkey = a.c_nationkey
-        |    AND r.c_mktsegment = a.c_mktsegment)
+        |  WHERE r.n < 12 AND r.c_nationkey IS NOT DISTINCT FROM a.c_nationkey
+        |    AND r.c_mktsegment IS NOT DISTINCT FROM a.c_mktsegment)
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       graft.reports.Privacy.suppressToK(tb(s, dir).customer,
           Seq("c_nationkey", "c_mktsegment"), k = 12)

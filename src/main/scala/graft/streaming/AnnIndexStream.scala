@@ -21,6 +21,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * directory already present and no-ops — no marker file needed, the
   * directory IS the marker.
   *
+  * UPDATE CONTRACT: the store is append-only per id — re-ingesting an
+  * id with the SAME embedding is harmless (search collapses the copies
+  * deterministically), but changing a vector requires [[forget]] of
+  * the id BEFORE re-ingest. There is no in-place update: with two
+  * different embeddings under one id the collapse picks a stable but
+  * arbitrary one (greatest by array ordering — see
+  * [[Ivf.topKAgainst]]), not the newest; ingest tags cannot order
+  * across [[compact]] (compaction merges all tags into one), so
+  * "newest" is unrecoverable once compacted.
+  *
   * On a BATCH frame the fold is deterministic, and search over the
   * store equals [[Ivf.topK]] over the same corpus and index — the
   * q_stream_ann_index oracle replays the full k-means + probe + rerank

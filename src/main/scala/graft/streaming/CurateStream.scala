@@ -79,16 +79,25 @@ object CurateStream {
           .filter(!arrays_overlap(col("_sh"), col("_bench")))
           .select(col(idCol), col(textCol))
       } else {
-        // sketch face: fixed-size Bloom built once on the driver; the
-        // probe is a pure projection (conservative — see scaladoc),
-        // so the shingle cache is drained here and released NOW
+        // sketch face: fixed-size Bloom built once on the driver and
+        // shipped as an EXECUTOR BROADCAST probed via
+        // [[graft.functions.BloomProbeBroadcast]] — a lit(bytes)
+        // literal here would be nBench*30 bits (~3.75MB at the 1M
+        // threshold) re-serialized with every micro-batch's plan and
+        // shipped inside every task binary, and neither of the
+        // built-in shapes fits (BloomFilterMightContain rejects
+        // crossJoin attributes, and the analyzer rejects scalar
+        // subqueries inside the exists() lambda). The plan carries
+        // only the broadcast handle; the shingle cache is drained
+        // here and released NOW.
         import graft.functions.Bloom
         val bloomBytes = benchShingles
           .agg(Bloom.bloomAggBits(col("s"), nBench, nBench * 30).as("_b"))
           .head().getAs[Array[Byte]]("_b")
         benchShingles.unpersist()
+        val bloomBc = docs.sparkSession.sparkContext.broadcast(bloomBytes)
         sh.filter(!exists(col("_sh"),
-            s => Bloom.mightContain(lit(bloomBytes), s)))
+            s => Bloom.mightContainBroadcast(bloomBc, s)))
           .select(col(idCol), col(textCol))
       }
     StreamDedup.firstSeen(clean, idCol, textCol, ttlMs)

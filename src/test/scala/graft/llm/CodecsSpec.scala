@@ -74,6 +74,40 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.WavCodec.stripeSums(null).forall(_ == 0L))
   }
 
+  test("WavCodec: a short fmt chunk (declared size < 16) cannot validate PCM16") {
+    // fmt declares only 4 bytes, so the format/bits fields land inside
+    // the FOLLOWING chunk's bytes — a parser that reads them anyway can
+    // falsely see PCM16 and decode garbage. Craft exactly that trap:
+    // the 4 fmt payload bytes then a "pcmx" chunk whose first bytes
+    // spell audioFormat=1, and bits=16 lands at the would-be offset.
+    val data = Seq(7, -9).flatMap(s => le16(s & 0xffff)).toArray
+    val shortFmt = "fmt ".getBytes ++ le32(4) ++ le16(1) ++ le16(1)
+    val decoy = "pcmx".getBytes ++ le32(10) ++
+      le16(1) ++ le32(8000) ++ le32(0x10000L) // bits-offset bytes = 16
+    val body = shortFmt ++ decoy ++ "data".getBytes ++ le32(data.length) ++ data
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(le32(4 + body.length))
+    out.write("WAVE".getBytes); out.write(body)
+    assert(Codecs.WavCodec.pcm16Data(out.toByteArray).isEmpty)
+    assert(Codecs.WavCodec.stripeSums(out.toByteArray).forall(_ == 0L))
+  }
+
+  test("WavCodec: only the FIRST fmt chunk counts; a duplicate cannot overwrite it") {
+    // first fmt says IEEE-float (format 3) → not PCM16; a second fmt
+    // claiming PCM must NOT resurrect the payload
+    val data = Seq(11, -13).flatMap(s => le16(s & 0xffff)).toArray
+    val fmtFloat = "fmt ".getBytes ++ le32(16) ++ le16(3) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val fmtPcm = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val body = fmtFloat ++ fmtPcm ++ "data".getBytes ++ le32(data.length) ++ data
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes); out.write(le32(4 + body.length))
+    out.write("WAVE".getBytes); out.write(body)
+    assert(Codecs.WavCodec.pcm16Data(out.toByteArray).isEmpty)
+    assert(Codecs.WavCodec.stripeSums(out.toByteArray).forall(_ == 0L))
+  }
+
   test("BmpCodec: bottom-up padded rows decode to top-down grayscale; top-down too") {
     // 2x2: distinct channel mixes; gray = (299r + 587g + 114b) div 1000
     val px = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (100, 100, 100))
