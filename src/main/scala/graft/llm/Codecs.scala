@@ -2,20 +2,27 @@ package graft.llm
 
 import graft.llm.Multimodal.MediaCodec
 
-/** REAL media decoders for the [[Multimodal.MediaCodec]] seam — the
-  * uncompressed container formats a JVM can parse with zero native
-  * libraries:
+/** REAL media decoders for the [[Multimodal.MediaCodec]] seam:
   *
   *  - [[WavCodec]]: RIFF/WAVE chunk walk → 16-bit PCM samples →
-  *    per-stripe summed |amplitude| (exact integers);
+  *    per-stripe summed |amplitude| (exact integers) — pure JVM byte
+  *    parse, zero libraries;
   *  - [[BmpCodec]]: BITMAPFILEHEADER/INFOHEADER → 24-bpp pixel rows
   *    (bottom-up, 4-byte padded) → integer grayscale → per-stripe sums
-  *    and a true 8×8 average-hash over DECODED pixels;
+  *    and a true 8×8 average-hash over DECODED pixels — pure JVM byte
+  *    parse;
+  *  - [[ImageIoCodec]]: COMPRESSED image formats (JPEG/PNG/GIF/TIFF)
+  *    through the JDK's headless `javax.imageio` readers — decoded
+  *    RASTER samples (never `getRGB`'s colorspace-converted view) →
+  *    integer grayscale → the same stripe-sum / aHash faces as
+  *    [[BmpCodec]] (the shared [[ImageCodec]] trait keeps the two
+  *    bit-compatible);
   *  - [[SniffCodec]]: magic-byte routing (the per-modality dispatch of
-  *    a mixed-corpus pipeline) — WAV and BMP decode for real,
-  *    everything else falls back to [[Multimodal.StubDecoder]]'s raw
-  *    byte sums (compressed codecs — JPEG/PNG/MP4 — still need
-  *    libjpeg/ffmpeg, which this container does not ship).
+  *    a mixed-corpus pipeline) — WAV, BMP, JPEG, PNG, GIF and TIFF
+  *    decode for real; only truly-unknown formats fall back to
+  *    [[Multimodal.StubDecoder]]'s raw byte sums (video containers —
+  *    MP4/MKV — still need ffmpeg, which this container does not
+  *    ship).
   *
   * All decoders are deterministic, null-safe, and integer-exact, so
   * their outputs are oracle-able: the `q_mm_wav_decode` /
@@ -49,6 +56,70 @@ object Codecs {
 
   def isBmp(p: Array[Byte]): Boolean =
     p != null && p.length >= 54 && p(0) == 'B' && p(1) == 'M'
+
+  def isJpeg(p: Array[Byte]): Boolean =
+    p != null && p.length >= 3 &&
+      u8(p, 0) == 0xff && u8(p, 1) == 0xd8 && u8(p, 2) == 0xff
+
+  def isPng(p: Array[Byte]): Boolean =
+    p != null && p.length >= 8 &&
+      u8(p, 0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+      u8(p, 4) == 0x0d && u8(p, 5) == 0x0a && u8(p, 6) == 0x1a && u8(p, 7) == 0x0a
+
+  def isGif(p: Array[Byte]): Boolean =
+    p != null && p.length >= 6 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+  def isTiff(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 &&
+      ((p(0) == 'I' && p(1) == 'I' && u8(p, 2) == 42 && u8(p, 3) == 0) ||
+       (p(0) == 'M' && p(1) == 'M' && u8(p, 2) == 0 && u8(p, 3) == 42))
+
+  /** Shared grayscale-image face: every image decoder reduces to
+    * "top-down row-major gray pixels + dimensions", and the feature /
+    * hash rules live HERE, once — [[BmpCodec]] (pure byte parse) and
+    * [[ImageIoCodec]] (JDK readers) are bit-compatible by
+    * construction, so a corpus mixing BMP thumbnails with JPEG/PNG
+    * originals dedups and featurizes on one rule.
+    */
+  trait ImageCodec extends MediaCodec {
+    /** Grayscale pixels in top-down row-major order plus (width,
+      * height), or None for undecodable / unsupported / truncated
+      * input.
+      */
+    def grayPixels(p: Array[Byte]): Option[(Array[Int], Int, Int)]
+
+    def stripeSums(p: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](featureDim)
+      grayPixels(p).foreach { case (px, _, _) =>
+        var i = 0
+        while (i < px.length) { out(i % featureDim) += px(i).toLong; i += 1 }
+      }
+      out
+    }
+
+    /** True average-hash over DECODED pixels: nearest-neighbor resample
+      * of the grayscale image to an 8×8 grid, bit j set iff grid pixel
+      * j strictly clears the grid mean (g·64 > Σg — exact integers),
+      * packed as four 16-bit chunks (ph0..ph3), the
+      * [[DedupOps.hammingNearDupsChunked]] blocking layout. None for
+      * undecodable payloads.
+      */
+    final def aHash64(p: Array[Byte]): Option[Array[Long]] =
+      grayPixels(p).map { case (px, w, h) =>
+        val grid = Array.tabulate(64) { j =>
+          val gx = (j % 8) * w / 8
+          val gy = (j / 8) * h / 8
+          px(gy * w + gx)
+        }
+        val tot = grid.map(_.toLong).sum
+        Array.tabulate(4) { c =>
+          (0 until 16).map { k =>
+            if (grid(c * 16 + k) * 64L > tot) 1L << k else 0L
+          }.sum
+        }
+      }
+  }
 
   /** 16-bit PCM WAV: per-stripe summed absolute amplitude. A real RIFF
     * chunk walk (word-aligned chunk sizes, `fmt ` inspected for
@@ -138,12 +209,9 @@ object Codecs {
     * top-down, negative height) pixel rows → integer grayscale
     * (r·299 + g·587 + b·114) div 1000. Anything else → zero sums.
     */
-  object BmpCodec extends MediaCodec {
+  object BmpCodec extends ImageCodec {
     val featureDim = 8
 
-    /** Grayscale pixels in top-down row-major order plus (width,
-      * height), or None for non-BMP / unsupported / truncated input.
-      */
     def grayPixels(p: Array[Byte]): Option[(Array[Int], Int, Int)] = {
       if (!isBmp(p)) return None
       val dataOff = leU32(p, 10)
@@ -179,47 +247,122 @@ object Codecs {
       }
       Some((out, width, height))
     }
-
-    def stripeSums(p: Array[Byte]): Array[Long] = {
-      val out = new Array[Long](featureDim)
-      grayPixels(p).foreach { case (px, _, _) =>
-        var i = 0
-        while (i < px.length) { out(i % featureDim) += px(i).toLong; i += 1 }
-      }
-      out
-    }
-
-    /** True average-hash over DECODED pixels: nearest-neighbor resample
-      * of the grayscale image to an 8×8 grid, bit j set iff grid pixel
-      * j strictly clears the grid mean (g·64 > Σg — exact integers),
-      * packed as four 16-bit chunks (ph0..ph3), the
-      * [[DedupOps.hammingNearDupsChunked]] blocking layout. None for
-      * undecodable payloads.
-      */
-    def aHash64(p: Array[Byte]): Option[Array[Long]] =
-      grayPixels(p).map { case (px, w, h) =>
-        val grid = Array.tabulate(64) { j =>
-          val gx = (j % 8) * w / 8
-          val gy = (j / 8) * h / 8
-          px(gy * w + gx)
-        }
-        val tot = grid.map(_.toLong).sum
-        Array.tabulate(4) { c =>
-          (0 until 16).map { k =>
-            if (grid(c * 16 + k) * 64L > tot) 1L << k else 0L
-          }.sum
-        }
-      }
   }
 
-  /** Magic-byte routing codec for mixed corpora: decode what the JVM
-    * can (WAV, BMP), fall back to the stub's raw byte sums elsewhere.
+  /** Compressed image formats (JPEG/PNG/GIF/TIFF) through the JDK's
+    * own headless `javax.imageio` readers — no native libraries. The
+    * decode reads RASTER SAMPLES, never `getRGB`: `getRGB` routes
+    * gray/indexed rasters through a ColorModel → sRGB conversion whose
+    * nonlinear gray ramp would silently shift every pixel, while raw
+    * samples are the decoded channel values bit for bit (PNG
+    * round-trips losslessly; JPEG at encode quality 1.0 is within ±2
+    * of source — CodecsSpec pins both). Grayscale rule per band count:
+    * 1–2 bands (gray / gray+alpha) take band 0 raw; ≥3 bands (RGB/
+    * RGBA) reduce by the same (r·299 + g·587 + b·114) div 1000 luma as
+    * [[BmpCodec]].
+    *
+    * Magic-byte gated BEFORE touching ImageIO (a format probe on every
+    * garbage blob would be pure overhead at corpus scale), and every
+    * decode failure — malformed payload, truncated stream, missing
+    * reader — lands on the None/zero-sums contract, not an exception.
+    */
+  object ImageIoCodec extends ImageCodec {
+    val featureDim = 8
+
+    // once per JVM: decode through heap buffers, never ImageIO's
+    // on-disk scratch cache (32 executor threads sharing /tmp)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def canDecode(p: Array[Byte]): Boolean =
+      isJpeg(p) || isPng(p) || isGif(p) || isTiff(p)
+
+    def grayPixels(p: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+      if (!canDecode(p)) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) return None // magic matched but no reader / bad header
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        val bands = raster.getNumBands
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) =
+              if (bands >= 3)
+                (raster.getSample(x, y, 0) * 299 +
+                 raster.getSample(x, y, 1) * 587 +
+                 raster.getSample(x, y, 2) * 114) / 1000
+              else raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        Some((out, w, h))
+      } catch {
+        case scala.util.control.NonFatal(_) => None // malformed → zero sums
+      }
+    }
+
+    /** Encode top-down row-major gray pixels as a PNG (lossless —
+      * [[grayPixels]] returns these exact values back). Fixture /
+      * thumbnail-writeback face of the decoder.
+      */
+    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] =
+      encodeGray(px, w, h, "png", 0f)
+
+    /** Encode as JPEG at an explicit quality (1.0f ⇒ all-ones quant
+      * tables — decoded pixels land within ±2 of source, and exactly
+      * on source for DCT-sparse patterns).
+      */
+    def encodeGrayJpeg(px: Array[Int], w: Int, h: Int,
+                       quality: Float = 1.0f): Array[Byte] =
+      encodeGray(px, w, h, "jpeg", quality)
+
+    private def encodeGray(px: Array[Int], w: Int, h: Int,
+                           format: String, quality: Float): Array[Byte] = {
+      require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(y * w + x) & 0xff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      if (format == "jpeg") {
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+        } finally { ios.close(); writer.dispose() }
+      } else {
+        javax.imageio.ImageIO.write(img, format, out)
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Magic-byte routing codec for mixed corpora: decode everything the
+    * JVM can (WAV, BMP, JPEG, PNG, GIF, TIFF); only truly-unknown
+    * formats fall back to the stub's raw byte sums.
     */
   object SniffCodec extends MediaCodec {
     val featureDim = 8
     private def route(p: Array[Byte]): MediaCodec =
       if (isWav(p)) WavCodec
       else if (isBmp(p)) BmpCodec
+      else if (ImageIoCodec.canDecode(p)) ImageIoCodec
       else Multimodal.StubDecoder
     def stripeSums(p: Array[Byte]): Array[Long] = route(p).stripeSums(p)
     override def features(p: Array[Byte]): Array[Float] = route(p).features(p)

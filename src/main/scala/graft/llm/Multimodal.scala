@@ -9,16 +9,17 @@ import org.apache.spark.sql.types._
   * way a production pipeline runs them — batch-at-a-time over partitions
   * (the JVM analog of pandas-batch UDFs over mapInPandas).
   *
-  * Decoding goes through the pluggable [[MediaCodec]] seam. The
-  * uncompressed formats decode FOR REAL in pure JVM —
-  * [[graft.llm.Codecs.WavCodec]] (RIFF chunk walk → PCM16 amplitude),
-  * [[graft.llm.Codecs.BmpCodec]] (24-bpp pixels → grayscale →
-  * decoded-pixel aHash), routed by [[graft.llm.Codecs.SniffCodec]] —
-  * while compressed codecs (JPEG/PNG/MP4: libjpeg/ffmpeg, absent from
-  * this container) fall back to [[StubDecoder]]'s deterministic raw
-  * byte sums. Binary schema, metadata extraction, partition-batch
-  * shape, and per-modality routing are identical either way
-  * (MultimodalSpec, CodecsSpec).
+  * Decoding goes through the pluggable [[MediaCodec]] seam. Audio and
+  * images decode FOR REAL — [[graft.llm.Codecs.WavCodec]] (RIFF chunk
+  * walk → PCM16 amplitude) and [[graft.llm.Codecs.BmpCodec]] (24-bpp
+  * pixels) are pure-JVM byte parsers, [[graft.llm.Codecs.ImageIoCodec]]
+  * decodes JPEG/PNG/GIF/TIFF through the JDK's headless `javax.imageio`
+  * readers, and [[graft.llm.Codecs.SniffCodec]] routes by magic bytes.
+  * Only truly-unknown formats (video containers — MP4/MKV need ffmpeg,
+  * absent from this container) fall back to [[StubDecoder]]'s
+  * deterministic raw byte sums. Binary schema, metadata extraction,
+  * partition-batch shape, and per-modality routing are identical
+  * either way (MultimodalSpec, CodecsSpec).
   */
 object Multimodal {
 
@@ -60,11 +61,13 @@ object Multimodal {
       stripeSums(payload).map(s => (s / 255.0).toFloat)
   }
 
-  /** The in-container [[MediaCodec]]: no image/audio codecs ship in
-    * this environment, so features are deterministic per-stripe byte
-    * sums over the RAW payload (no decode). Oracle-able bit for bit —
-    * [[stripeSums(df:*]] is its columnar twin — which makes the whole
-    * partition-batch pipeline testable without media libraries.
+  /** The unknown-format fallback [[MediaCodec]] (audio and images
+    * decode for real — see [[graft.llm.Codecs]]): deterministic
+    * per-stripe byte sums over the RAW payload (no decode), for the
+    * formats nothing in a JVM can open (MP4/MKV video needs ffmpeg).
+    * Oracle-able bit for bit — [[stripeSums(df:*]] is its columnar
+    * twin — which makes the whole partition-batch pipeline testable
+    * without media libraries.
     */
   object StubDecoder extends MediaCodec {
     val featureDim = 8
@@ -148,14 +151,17 @@ object Multimodal {
       .withColumnRenamed("doc_id", idCol)
   }
 
-  /** Average-hash over DECODED image pixels ([[graft.llm.Codecs.BmpCodec]]):
-    * one row per decodable payload with the chunked ph0..ph3 layout —
-    * feed [[DedupOps.hammingNearDupsChunked]] for real-pixel image
-    * dedup. Undecodable payloads emit no row (contrast [[aHash]],
-    * which hashes RAW bytes of anything non-empty).
+  /** Average-hash over DECODED image pixels (any
+    * [[graft.llm.Codecs.ImageCodec]] — pure-JVM [[Codecs.BmpCodec]] by
+    * default, [[Codecs.ImageIoCodec]] for JPEG/PNG/GIF/TIFF): one row
+    * per decodable payload with the chunked ph0..ph3 layout — feed
+    * [[DedupOps.hammingNearDupsChunked]] for real-pixel image dedup.
+    * Undecodable payloads emit no row (contrast [[aHash]], which
+    * hashes RAW bytes of anything non-empty).
     */
   def decodedAHash(df: DataFrame, idCol: String,
-                   binCol: String = "payload"): DataFrame = {
+                   binCol: String = "payload",
+                   codec: Codecs.ImageCodec = Codecs.BmpCodec): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(
       StructField("doc_id", LongType) +:
@@ -167,8 +173,36 @@ object Multimodal {
       .filter(col(idCol).isNotNull).rdd
       .mapPartitions { it =>
         it.flatMap { r =>
-          Codecs.BmpCodec.aHash64(r.getAs[Array[Byte]](1))
+          codec.aHash64(r.getAs[Array[Byte]](1))
             .map(ph => Row.fromSeq(r.getLong(0) +: ph.toSeq))
+        }
+      }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Synthesize one rule-valued grayscale image per id — the fixture /
+    * thumbnail-generation face of [[Codecs.ImageIoCodec]]: `gray(id,
+    * x, y)` paints a w×h image, encoded per row as PNG (lossless) or
+    * JPEG (quality 1.0). Distributed (the encode runs in tasks, one
+    * image per input row), so a 100 TB corpus's worth of ids
+    * synthesizes without driver involvement. Returns `(idCol,
+    * payload)`.
+    */
+  def synthImages(df: DataFrame, idCol: String, w: Int, h: Int,
+                  jpeg: Boolean)(gray: (Long, Int, Int) => Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = df.select(col(idCol).cast(LongType))
+      .filter(col(idCol).isNotNull).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val px = Array.tabulate(w * h)(k => gray(id, k % w, k / w) & 0xff)
+          Row(id,
+            if (jpeg) Codecs.ImageIoCodec.encodeGrayJpeg(px, w, h)
+            else Codecs.ImageIoCodec.encodeGrayPng(px, w, h))
         }
       }
     spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)

@@ -3112,6 +3112,79 @@ object LlmQueries {
         .orderBy("id")
     },
 
+    // ---- REAL PNG decode (Codecs.ImageIoCodec / javax.imageio): each
+    //      part synthesizes an 8x8 grayscale PNG with rule-valued
+    //      pixels (encoded distributed, one image per task row); Spark
+    //      decodes the ACTUAL compressed bytes back through the JDK
+    //      reader and stripe-sums the raster samples; DuckDB recomputes
+    //      from the rule — PNG is lossless, so the sums match exactly.
+    //      byte_len is dropped: the compressed container size is
+    //      content-dependent, not rule-derivable. ----
+    "q_mm_png_decode" -> Q(
+      """WITH g AS (
+        |  SELECT p_partkey AS id, x.i AS x, y.i AS y,
+        |         (p_partkey * 5 + x.i * 3 + y.i * 11) % 256 AS gv
+        |  FROM part CROSS JOIN (SELECT unnest(range(0, 8)) AS i) x
+        |            CROSS JOIN (SELECT unnest(range(0, 8)) AS i) y)
+        |SELECT id,
+        |  CAST(sum(CASE WHEN x = 0 THEN gv END) AS BIGINT) AS s0,
+        |  CAST(sum(CASE WHEN x = 1 THEN gv END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN x = 2 THEN gv END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN x = 3 THEN gv END) AS BIGINT) AS s3,
+        |  CAST(sum(CASE WHEN x = 4 THEN gv END) AS BIGINT) AS s4,
+        |  CAST(sum(CASE WHEN x = 5 THEN gv END) AS BIGINT) AS s5,
+        |  CAST(sum(CASE WHEN x = 6 THEN gv END) AS BIGINT) AS s6,
+        |  CAST(sum(CASE WHEN x = 7 THEN gv END) AS BIGINT) AS s7
+        |FROM g GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      // stripe j of pixel k = y*8+x is k % 8 = x for an 8-wide image,
+      // so the oracle groups the rule by column
+      val png = Multimodal.synthImages(tb(s, dir).part, "p_partkey",
+        w = 8, h = 8, jpeg = false) { (id, x, y) =>
+        ((id * 5 + x * 3 + y * 11) % 256).toInt
+      }
+      Multimodal.decodeStripeSums(png, "p_partkey",
+          codec = graft.llm.Codecs.ImageIoCodec)
+        .withColumnRenamed("p_partkey", "id")
+        .drop("byte_len")
+        .orderBy("id")
+    },
+
+    // ---- REAL JPEG decode + average-hash: each part synthesizes an
+    //      8x8 grayscale JPEG (quality 1.0 — all-ones quant tables) of
+    //      a two-level 32/224 checkerboard keyed by id parity; Spark
+    //      decodes the ACTUAL entropy-coded bytes and hashes DECODED
+    //      raster pixels, DuckDB recomputes grid/mean/bits from the
+    //      rule. The ±96 level-vs-mean margin makes the bit
+    //      classification robust to any quality-1.0 rounding (measured
+    //      0 for this DCT-sparse pattern). ----
+    "q_mm_jpeg_ahash" -> Q(
+      """WITH g AS (
+        |  SELECT p_partkey AS id, j,
+        |         32 + 192 * ((p_partkey + (j % 8) + (j // 8)) % 2) AS gv
+        |  FROM part CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |t AS (SELECT id, sum(gv) AS tot FROM g GROUP BY id),
+        |b AS (SELECT g.id, g.j,
+        |             CASE WHEN g.gv * 64 > t.tot THEN 1 ELSE 0 END AS bit
+        |      FROM g JOIN t USING (id))
+        |SELECT id,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 0) AS BIGINT) AS ph0,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 1) AS BIGINT) AS ph1,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 2) AS BIGINT) AS ph2,
+        |  CAST(sum(bit * (1 << CAST(j % 16 AS INTEGER))) FILTER (j // 16 = 3) AS BIGINT) AS ph3
+        |FROM b GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      // 8x8 image → 8x8 grid resample is the identity, so grid index
+      // j maps to pixel (x=j%8, y=j//8) and the oracle shares
+      // q_mm_bmp_ahash's grid/mean/bit algebra
+      val jpg = Multimodal.synthImages(tb(s, dir).part, "p_partkey",
+        w = 8, h = 8, jpeg = true) { (id, x, y) =>
+        (32 + 192 * ((id + x + y) % 2)).toInt
+      }
+      Multimodal.decodedAHash(jpg, "p_partkey",
+          codec = graft.llm.Codecs.ImageIoCodec)
+        .withColumnRenamed("p_partkey", "id")
+        .orderBy("id")
+    },
+
     // ---- audio frame analysis on the real WAV decode: per-frame
     //      energy stats (4-sample frames over the same rule-valued
     //      16-sample PCM as q_mm_wav_decode) + a silence flag — the

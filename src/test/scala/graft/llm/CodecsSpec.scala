@@ -205,4 +205,85 @@ class CodecsSpec extends SparkSpec {
     assert(ah.length === 1 && ah.head.getLong(0) === 2L) // only the BMP decodes
     assert((1 to 4).map(ah.head.getLong) === Seq(0L, 0L, 0xFFFFL, 0xFFFFL))
   }
+
+  // ---- ImageIoCodec (JPEG/PNG/GIF/TIFF via headless javax.imageio) ----
+
+  test("ImageIoCodec: PNG round-trips gray pixels losslessly; stripes sum by column") {
+    val px = Array.tabulate(64)(k => (5 + (k % 8) * 3 + (k / 8) * 11) % 256)
+    val png = Codecs.ImageIoCodec.encodeGrayPng(px, 8, 8)
+    assert(Codecs.isPng(png))
+    val Some((got, w, h)) = Codecs.ImageIoCodec.grayPixels(png)
+    assert((w, h) === ((8, 8)))
+    assert(got.toSeq === px.toSeq)
+    val want = Array.tabulate(8)(j =>
+      px.zipWithIndex.filter(_._2 % 8 == j).map(_._1.toLong).sum)
+    assert(Codecs.ImageIoCodec.stripeSums(png).toSeq === want.toSeq)
+  }
+
+  test("ImageIoCodec: fixed PNG binary decodes to the pinned gray pixels") {
+    // 4x2 TYPE_BYTE_GRAY png of (10,200,30,250 / 0,255,128,64),
+    // generated once via ImageIO and frozen — catches JDK-decode or
+    // raster-read drift, independent of the encoder
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAQAAAACCAAAAABawyK/AAAAEklEQVR4XmPg" +
+      "OiH3i4Hhf4MDABGPA6oGPVBMAAAAAElFTkSuQmCC")
+    val Some((got, w, h)) = Codecs.ImageIoCodec.grayPixels(png)
+    assert((w, h) === ((4, 2)))
+    assert(got.toSeq === Seq(10, 200, 30, 250, 0, 255, 128, 64))
+  }
+
+  test("ImageIoCodec: fixed RGB PNG reduces raster samples by the BmpCodec luma rule") {
+    // 2x1 TYPE_INT_RGB png of (r200,g100,b50),(r10,g20,b30) — lumas
+    // (200*299+100*587+50*114)/1000 = 124 and 18
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAIAAAABCAIAAAB7QOjdAAAAD0lEQVR4XmM4" +
+      "kWLEJSIHAAfXAZsNcffXAAAAAElFTkSuQmCC")
+    val Some((got, w, h)) = Codecs.ImageIoCodec.grayPixels(png)
+    assert((w, h) === ((2, 1)))
+    assert(got.toSeq === Seq(124, 18))
+  }
+
+  test("ImageIoCodec: JPEG q1.0 checkerboard decodes within ±2 and aHash matches the rule") {
+    val px = Array.tabulate(64)(k => if ((k % 8 + k / 8) % 2 == 1) 224 else 32)
+    val jpg = Codecs.ImageIoCodec.encodeGrayJpeg(px, 8, 8)
+    assert(Codecs.isJpeg(jpg))
+    val Some((got, _, _)) = Codecs.ImageIoCodec.grayPixels(jpg)
+    assert(got.zip(px).forall { case (g, p) => math.abs(g - p) <= 2 },
+      s"q1.0 decode drifted: ${got.toSeq} vs ${px.toSeq}")
+    // mean = 128 exactly; bits = the 224 squares regardless of ±2 noise
+    val want = Array.tabulate(4) { c =>
+      (0 until 16).map { k =>
+        if (px(c * 16 + k) == 224) 1L << k else 0L
+      }.sum
+    }
+    assert(Codecs.ImageIoCodec.aHash64(jpg).get.toSeq === want.toSeq)
+  }
+
+  test("ImageIoCodec: malformed, truncated, and foreign payloads decode to zero sums") {
+    val png = Codecs.ImageIoCodec.encodeGrayPng(Array.fill(16)(100), 4, 4)
+    assert(Codecs.ImageIoCodec.grayPixels(png.take(20)).isEmpty) // truncated
+    // magic intact, every chunk destroyed (a single flipped body byte
+    // may legitimately still decode — the JDK reader ignores CRCs)
+    val corrupt = png.clone()
+    java.util.Arrays.fill(corrupt, 12, corrupt.length, 0.toByte)
+    assert(Codecs.ImageIoCodec.stripeSums(corrupt).forall(_ == 0L))
+    assert(Codecs.ImageIoCodec.grayPixels("not an image".getBytes).isEmpty)
+    assert(Codecs.ImageIoCodec.grayPixels(null).isEmpty)
+    assert(Codecs.ImageIoCodec.stripeSums(null).forall(_ == 0L))
+    // JPEG magic with garbage body: reader throws internally → None
+    val fakeJpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 1, 2, 3)
+    assert(Codecs.ImageIoCodec.grayPixels(fakeJpg).isEmpty)
+  }
+
+  test("SniffCodec routes JPEG/PNG to ImageIoCodec, not the raw-byte stub") {
+    val px = Array.tabulate(64)(k => k * 4 % 256)
+    val png = Codecs.ImageIoCodec.encodeGrayPng(px, 8, 8)
+    val jpg = Codecs.ImageIoCodec.encodeGrayJpeg(px, 8, 8)
+    assert(Codecs.SniffCodec.stripeSums(png).toSeq ===
+      Codecs.ImageIoCodec.stripeSums(png).toSeq)
+    assert(Codecs.SniffCodec.stripeSums(jpg).toSeq ===
+      Codecs.ImageIoCodec.stripeSums(jpg).toSeq)
+    assert(Codecs.SniffCodec.stripeSums(png).toSeq !==
+      Multimodal.StubDecoder.stripeSums(png).toSeq)
+  }
 }
