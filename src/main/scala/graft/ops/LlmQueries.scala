@@ -2242,6 +2242,35 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- ANN index refit-on-cadence (AnnIndexStream.refit): the
+    //      store is built under a STALE quantizer (centroids fit on
+    //      the vec_id%3=0 third only — the drift scenario), then refit
+    //      fits fresh centroids over the accumulated store and
+    //      rewrites the cell partitions in place. Ivf.fit is
+    //      deterministic (md5 seeding, quantized-integer means), so
+    //      post-refit search must reproduce q_ann_ivf_topk EXACTLY —
+    //      same oracle SQL, which knows nothing of the stale start. ----
+    "q_stream_ann_refit" -> Q(ivfTopkOracleSql) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val stale = Ivf.fit(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 16, iters = 2)
+      val tmp = Scratch.dir("graft_annrefit_")
+      val store = s"${tmp.getPath}/store"
+      (0 to 1).foreach { b =>
+        graft.streaming.AnnIndexStream.applyBatch(
+          emb.filter(col("vec_id") % 2 === b), "vec_id", "embedding",
+          stale.centroids, store, batchId = b.toLong, queryId = "rq")
+      }
+      stale.unpersist()
+      val fresh = graft.streaming.AnnIndexStream
+        .refit(s, store, "vec_id", "embedding", k = 16, iters = 2).get
+      graft.streaming.AnnIndexStream.search(s, store, fresh,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
     // ---- right-to-be-forgotten sweep over the ANN store
     //      (AnnIndexStream.forget): deletion requests must reach
     //      DERIVED stores, not just the primary table. Fold the corpus

@@ -119,6 +119,47 @@ object AnnIndexStream {
     Fs.swapInPlace(data, staging, conf)
   }
 
+  /** Refit-on-cadence: the centroids are frozen at fit time (the
+    * release-cadence posture), so a drifting vector stream slowly
+    * degrades recall — probed cells stop matching where the data
+    * actually lives. `refit` fits FRESH centroids over the accumulated
+    * store ([[Ivf.fit]] — deterministic seeding + quantized-integer
+    * means, so the result is identical to fitting the same corpus
+    * directly) and rewrites the cell partitions in one crash-safe
+    * [[Fs.swapInPlace]], compacting as a side effect. Returns the new
+    * centroids frame (None if the store doesn't exist yet) — the
+    * caller MUST search with these from now on; the old centroids
+    * frame no longer matches the store's cell labels.
+    *
+    * Re-ingested duplicate ids collapse (deterministically, greatest
+    * vector — the [[Ivf.topKAgainst]] rule) BEFORE the fit, so a
+    * heavily-replayed id can't gravitationally drag centroids toward
+    * itself. Single-writer, like [[compact]]; run on maintenance
+    * cadence (recall drift is slow — hours/days, not batches). Size
+    * `k` for the corpus (the [[Ivf.fitForCellSize]] rule: cells of
+    * ~128 keep per-search work constant as the store grows).
+    */
+  def refit(spark: SparkSession, storeDir: String, idCol: String,
+            vecCol: String, k: Int = 16, iters: Int = 2): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = dataDir(storeDir)
+    if (!Fs.exists(data, conf)) return None
+    val store = spark.read.option("basePath", data).parquet(data)
+    val corpus = store
+      .groupBy(col(idCol))
+      .agg(max(col(vecCol)).as(vecCol))
+    val index = Ivf.fit(corpus, idCol, vecCol, k, iters)
+    val n = Fs.listDirs(data, conf).length
+    val staging = s"$data.staging"
+    corpus.join(index.assignments, idCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/ingest=refit_$n")
+    index.unpersist()
+    Fs.swapInPlace(data, staging, conf)
+    Some(index.centroids)
+  }
+
   /** Right-to-be-forgotten propagation: rewrite the store WITHOUT the
     * given ids (anti-join), in one crash-safe swap — a deletion
     * request must reach derived stores, not just the primary table,

@@ -117,6 +117,53 @@ class AnnIndexStreamSpec extends SparkSpec {
       Seq(1L).toDF("vec_id")) === 0L)
   }
 
+  test("refit: post-refit search equals Ivf.topK with freshly fit centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_refit").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // stale quantizer: fit over a skewed subset (odd ids = one cluster
+    // dominant) — the drifted-centroids starting point refit must heal
+    val stale = Ivf.fit(corpus.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, iters = 2)
+    val store = s"${dir.getPath}/store"
+    (0 to 2).foreach { b =>
+      AnnIndexStream.applyBatch(corpus.filter(col("vec_id") % 3 === b),
+        "vec_id", "embedding", stale.centroids, store,
+        batchId = b.toLong, queryId = "q1")
+    }
+    // replay one batch under a new tag: duplicate ids in the store must
+    // collapse before the refit's k-means, not double-weight it
+    AnnIndexStream.applyBatch(corpus.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", stale.centroids, store,
+      batchId = 7L, queryId = "q1")
+
+    val newCents = AnnIndexStream
+      .refit(spark, store, "vec_id", "embedding", k = 4, iters = 2).get
+    val fresh = Ivf.fit(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assert(cents(newCents) === cents(fresh.centroids))
+
+    val queries = corpus.filter(col("vec_id") <= 5)
+    val got = AnnIndexStream.search(spark, store, newCents,
+        queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val want = Ivf.topK(corpus, queries, fresh, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got === want)
+
+    // the rewrite compacted the 4 ingest deltas into one refit partition
+    val ingests = new java.io.File(s"$store/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest="))
+    assert(ingests.map(_.getName).toSeq === Seq("ingest=refit_4"))
+    // refitting a store that doesn't exist is a None no-op
+    assert(AnnIndexStream.refit(spark, s"${dir.getPath}/nope",
+      "vec_id", "embedding").isEmpty)
+  }
+
   test("search scan prunes to the probed cell partitions (DPP or static)") {
     val dir = java.nio.file.Files.createTempDirectory("ann_prune").toFile
     val corpus = vecs.toDF("vec_id", "embedding")
