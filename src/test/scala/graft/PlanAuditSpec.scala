@@ -464,4 +464,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstExchange >= 0 && lastFilter > firstExchange,
       s"term filter should appear below the exchange:\n$plan")
   }
+
+  test("suppressToK's null-safe multi-column anti join stays hash-based — no BNLJ") {
+    // the <=> conjunction over a 3-column quasi key must plan as
+    // hash-join keys (EqualNullSafe IS a supported equi-join key), not
+    // degrade to a BroadcastNestedLoopJoin that goes quadratic at
+    // corpus scale; both realistic shapes: small risky side (AQE
+    // broadcast) and a near-unique quasi tuple (risky ≈ corpus, must
+    // shuffle, still hash)
+    val cust = Tables(spark, sfDir).customer
+    val coarse = planOf(graft.reports.Privacy.suppressToK(
+      cust, Seq("c_nationkey", "c_mktsegment"), k = 10))
+    assert(!coarse.contains("BroadcastNestedLoopJoin") &&
+      !coarse.contains("CartesianProduct"), coarse)
+    assert(coarse.contains("LeftAnti"), s"expected an anti join:\n$coarse")
+    val nearUnique = planOf(graft.reports.Privacy.suppressToK(
+      cust, Seq("c_custkey", "c_nationkey", "c_name"), k = 2))
+    assert(!nearUnique.contains("BroadcastNestedLoopJoin") &&
+      !nearUnique.contains("CartesianProduct"), nearUnique)
+    assert(nearUnique.contains("LeftAnti"), s"expected an anti join:\n$nearUnique")
+  }
 }
