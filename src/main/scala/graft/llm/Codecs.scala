@@ -353,6 +353,20 @@ object Codecs {
     }
   }
 
+  /** Magic-byte routing over the IMAGE codecs only: BMP to the pure
+    * byte parser, JPEG/PNG/GIF/TIFF to the JDK readers — ONE decoded
+    * gray-pixel surface for a corpus that stores the same picture in
+    * different containers. Identical pixels hash identically through
+    * [[ImageCodec.aHash64]] regardless of the on-disk format, which is
+    * exactly what cross-format image dedup needs.
+    */
+  object AnyImageCodec extends ImageCodec {
+    val featureDim = 8
+    def grayPixels(p: Array[Byte]): Option[(Array[Int], Int, Int)] =
+      if (isBmp(p)) BmpCodec.grayPixels(p)
+      else ImageIoCodec.grayPixels(p)
+  }
+
   /** Magic-byte routing codec for mixed corpora: decode everything the
     * JVM can (WAV, BMP, JPEG, PNG, GIF, TIFF); only truly-unknown
     * formats fall back to the stub's raw byte sums.

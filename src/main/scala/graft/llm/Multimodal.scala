@@ -180,6 +180,88 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
   }
 
+  /** Per-image decoded-pixel statistics — the vision-corpus quality
+    * gate: blank/near-blank frames (max ≈ min), all-black captures
+    * (sum ≈ 0), and washed-out scans (tiny contrast) are the images a
+    * training pipeline drops before featurizing. One row per DECODABLE
+    * payload: (id, width, height, n_px, sum_g, min_g, max_g) — all
+    * exact integers, so the whole report is oracle-able; derive mean /
+    * contrast downstream in column algebra. Undecodable payloads emit
+    * no row (route them to the quarantine face instead).
+    */
+  def imageStats(df: DataFrame, idCol: String,
+                 binCol: String = "payload",
+                 codec: Codecs.ImageCodec = Codecs.AnyImageCodec): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_g", LongType),
+      StructField("min_g", IntegerType),
+      StructField("max_g", IntegerType)))
+    // rows whose id is null (or not long-castable) cannot be keyed —
+    // drop them instead of NPE-ing the task on getLong (the 'one bad
+    // blob must not kill a stage' contract applies to the id side too)
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol))
+      .filter(col(idCol).isNotNull).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          codec.grayPixels(r.getAs[Array[Byte]](1)).map { case (px, w, h) =>
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var i = 0
+            while (i < px.length) {
+              val g = px(i)
+              sum += g
+              if (g < mn) mn = g
+              if (g > mx) mx = g
+              i += 1
+            }
+            Row(r.getLong(0), w, h, px.length.toLong, sum, mn, mx)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
+  }
+
+  /** REAL thumbnail pipeline: decode (any [[Codecs.ImageCodec]]) →
+    * 2-D nearest-neighbor resample to `outW`×`outH` → re-encode as a
+    * lossless gray PNG. The decode → transform → writeback shape of an
+    * image-preprocessing stage, distributed one image per task row;
+    * because every step is lossless past the decode, re-decoding the
+    * thumbnail yields exactly the resampled pixels — which is how the
+    * q_mm_thumbnail oracle checks the whole chain. Undecodable
+    * payloads emit no row.
+    */
+  def thumbnail(df: DataFrame, idCol: String,
+                binCol: String = "payload",
+                outW: Int = 8, outH: Int = 8,
+                codec: Codecs.ImageCodec = Codecs.AnyImageCodec): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad thumbnail geometry: ${outW}x$outH")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("thumb", BinaryType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol))
+      .filter(col(idCol).isNotNull).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          codec.grayPixels(r.getAs[Array[Byte]](1)).map { case (px, w, h) =>
+            val out = Array.tabulate(outW * outH) { k =>
+              val sx = (k % outW) * w / outW
+              val sy = (k / outW) * h / outH
+              px(sy * w + sx)
+            }
+            Row(r.getLong(0), Codecs.ImageIoCodec.encodeGrayPng(out, outW, outH))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("doc_id", idCol)
+  }
+
   /** Synthesize one rule-valued grayscale image per id — the fixture /
     * thumbnail-generation face of [[Codecs.ImageIoCodec]]: `gray(id,
     * x, y)` paints a w×h image, encoded per row as PNG (lossless) or

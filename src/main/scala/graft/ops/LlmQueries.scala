@@ -3214,6 +3214,120 @@ object LlmQueries {
         .orderBy("id")
     },
 
+    // ---- vision-corpus quality gate (Multimodal.imageStats): per-image
+    //      decoded width/height/Σ/min/max over rule-valued 8x6 PNGs +
+    //      a flatness flag (max-min < 8 ⇒ blank/washed-out — the frames
+    //      a training pipeline drops). All exact integers; PNG is
+    //      lossless, so DuckDB recomputes everything from the rule. ----
+    "q_mm_image_stats" -> Q(
+      """WITH g AS (
+        |  SELECT p_partkey AS id,
+        |         (p_partkey * 7 + x.i * 5 + y.i * 13) % 256 AS gv
+        |  FROM part CROSS JOIN (SELECT unnest(range(0, 8)) AS i) x
+        |            CROSS JOIN (SELECT unnest(range(0, 6)) AS i) y)
+        |SELECT id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |       CAST(48 AS BIGINT) AS n_px,
+        |       CAST(sum(gv) AS BIGINT) AS sum_g,
+        |       CAST(min(gv) AS INTEGER) AS min_g,
+        |       CAST(max(gv) AS INTEGER) AS max_g,
+        |       max(gv) - min(gv) < 8 AS is_flat
+        |FROM g GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      val png = Multimodal.synthImages(tb(s, dir).part, "p_partkey",
+        w = 8, h = 6, jpeg = false) { (id, x, y) =>
+        ((id * 7 + x * 5 + y * 13) % 256).toInt
+      }
+      Multimodal.imageStats(png, "p_partkey")
+        .withColumn("is_flat", col("max_g") - col("min_g") < 8)
+        .withColumnRenamed("p_partkey", "id")
+        .orderBy("id")
+    },
+
+    // ---- REAL thumbnail pipeline (Multimodal.thumbnail): 16x16 PNG →
+    //      decode → 2-D nearest-neighbor resample to 8x8 → re-encode
+    //      PNG → re-decode and stripe-sum. Every step past the rule is
+    //      lossless, so thumb pixel (x,y) = source (2x,2y) and DuckDB
+    //      recomputes the sums from the composed rule alone. ----
+    "q_mm_thumbnail" -> Q(
+      """WITH t AS (
+        |  SELECT p_partkey AS id, x.i AS x,
+        |         (p_partkey * 3 + 14 * x.i + 10 * y.i) % 256 AS gv
+        |  FROM part CROSS JOIN (SELECT unnest(range(0, 8)) AS i) x
+        |            CROSS JOIN (SELECT unnest(range(0, 8)) AS i) y)
+        |SELECT id,
+        |  CAST(sum(CASE WHEN x = 0 THEN gv END) AS BIGINT) AS s0,
+        |  CAST(sum(CASE WHEN x = 1 THEN gv END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN x = 2 THEN gv END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN x = 3 THEN gv END) AS BIGINT) AS s3,
+        |  CAST(sum(CASE WHEN x = 4 THEN gv END) AS BIGINT) AS s4,
+        |  CAST(sum(CASE WHEN x = 5 THEN gv END) AS BIGINT) AS s5,
+        |  CAST(sum(CASE WHEN x = 6 THEN gv END) AS BIGINT) AS s6,
+        |  CAST(sum(CASE WHEN x = 7 THEN gv END) AS BIGINT) AS s7
+        |FROM t GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+      // source rule (id*3 + x*7 + y*5) % 256 on 16x16; the 8x8 NN
+      // resample reads source (2x, 2y), so the composed thumb rule is
+      // (id*3 + 14x + 10y) % 256 — what the oracle computes directly
+      val src = Multimodal.synthImages(tb(s, dir).part, "p_partkey",
+        w = 16, h = 16, jpeg = false) { (id, x, y) =>
+        ((id * 3 + x * 7 + y * 5) % 256).toInt
+      }
+      val thumbs = Multimodal.thumbnail(src, "p_partkey", outW = 8, outH = 8)
+      Multimodal.decodeStripeSums(thumbs, "p_partkey", binCol = "thumb",
+          codec = graft.llm.Codecs.ImageIoCodec)
+        .withColumnRenamed("p_partkey", "id")
+        .drop("byte_len")
+        .orderBy("id")
+    },
+
+    // ---- cross-format image dedup (Codecs.AnyImageCodec): the same
+    //      picture stored as BMP and as PNG must dedup — decoded-pixel
+    //      aHash is format-independent by construction. Pixels encode a
+    //      SCRAMBLED id bijection ((id*{3,5,7}) % 2^16 per low chunk,
+    //      id div 2^16 in the top) so every id's 64-bit hash is unique
+    //      AND every 16-bit chunk is well-distributed — chunk-bucket
+    //      candidates stay O(corpus), never a quadratic bucket, at any
+    //      SF. The only hamming-0 pairs are each id's two encodings. ----
+    "q_mm_cross_format_dedup" -> Q(
+      """SELECT p_partkey AS id1,
+        |       CAST(p_partkey + 100000000 AS BIGINT) AS id2,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM part ORDER BY id1""".stripMargin) { (s, dir) =>
+      def chunkOf(id: Long, c: Int): Long =
+        if (c == 3) (id / 65536L) % 65536L
+        else (id * Seq(3L, 5L, 7L)(c)) % 65536L
+      def bitAt(id: Long, pos: Int): Boolean =
+        ((chunkOf(id, pos / 16) >> (pos % 16)) & 1L) == 1L
+      // BMP face: the q_mm_bmp_ahash column-algebra builder (bottom-up
+      // BGR rows), pixel (x,y) carrying bit y*8+x of the scrambled id
+      val headerHex = "424d" + "f6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" +
+        "00000000" + "00000000" + ("00" * 16)
+      val chunkSql = Seq("(p_partkey * 3) % 65536", "(p_partkey * 5) % 65536",
+        "(p_partkey * 7) % 65536", "(p_partkey div 65536) % 65536")
+      val pixelHex = (0 until 64).map { fileK =>
+        val x = fileK % 8
+        val y = 7 - (fileK / 8) // file rows are bottom-up
+        val pos = y * 8 + x
+        val g = s"(CASE WHEN (${chunkSql(pos / 16)}) div ${1L << (pos % 16)} % 2 = 1" +
+          " THEN 200 ELSE 40 END)"
+        expr(s"format_string('%02x%02x%02x', $g, $g, $g)")
+      }
+      val bmp = tb(s, dir).part
+        .withColumn("payload", unhex(concat((lit(headerHex) +: pixelHex): _*)))
+        .select(col("p_partkey").as("img_id"), col("payload"))
+      // PNG face: identical pixels under a shifted id (the cross-format
+      // twin); the gray lambda keys on the ORIGINAL id
+      val png = Multimodal.synthImages(
+        tb(s, dir).part.select((col("p_partkey") + 100000000L).as("img_id")),
+        "img_id", w = 8, h = 8, jpeg = false) { (id, x, y) =>
+        if (bitAt(id - 100000000L, y * 8 + x)) 200 else 40
+      }
+      val hashes = Multimodal.decodedAHash(bmp.unionByName(png), "img_id",
+        codec = graft.llm.Codecs.AnyImageCodec)
+      DedupOps.hammingNearDupsChunked(hashes, "img_id",
+          Seq("ph0", "ph1", "ph2", "ph3"), maxDist = 0)
+        .orderBy("id1")
+    },
+
     // ---- audio frame analysis on the real WAV decode: per-frame
     //      energy stats (4-sample frames over the same rule-valued
     //      16-sample PCM as q_mm_wav_decode) + a silence flag — the

@@ -136,4 +136,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Array[Byte]]("frame").toSeq === payload.slice(32, 40).toSeq)
     assert(out(0).getAs[Int]("n_frames") === 3)
   }
+
+  test("imageStats: decoded w/h/sum/min/max; undecodable rows emit nothing") {
+    val px = Array(10, 250, 30, 70, 0, 255) // 3x2
+    val rows = Seq(
+      (1L, Codecs.ImageIoCodec.encodeGrayPng(px, 3, 2)),
+      (2L, "not an image".getBytes))
+    val out = Multimodal.imageStats(rows.toDF("doc_id", "payload"), "doc_id")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+      r.getLong(4), r.getInt(5), r.getInt(6)) ===
+      ((1L, 3, 2, 6L, px.map(_.toLong).sum, 0, 255)))
+  }
+
+  test("thumbnail: 2-D nearest-neighbor resample, lossless PNG round-trip") {
+    // 4x4 source with distinct quadrant values; 2x2 thumb reads (0,0),
+    // (2,0), (0,2), (2,2)
+    val src = Array(
+      11, 12, 21, 22,
+      13, 14, 23, 24,
+      31, 32, 41, 42,
+      33, 34, 43, 44)
+    val df = Seq((5L, Codecs.ImageIoCodec.encodeGrayPng(src, 4, 4)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.thumbnail(df, "doc_id", outW = 2, outH = 2).collect()
+    assert(out.length === 1)
+    val thumb = out.head.getAs[Array[Byte]]("thumb")
+    val Some((got, w, h)) = Codecs.ImageIoCodec.grayPixels(thumb)
+    assert((w, h) === ((2, 2)))
+    assert(got.toSeq === Seq(11, 21, 31, 41))
+  }
+
+  test("AnyImageCodec: identical pixels hash identically across BMP and PNG") {
+    val px = Array.tabulate(64)(k => if (k % 3 == 0) 220 else 35)
+    val png = Codecs.ImageIoCodec.encodeGrayPng(px, 8, 8)
+    // 8x8 24-bpp bottom-up BMP of the same pixels (r=g=b → gray exact)
+    val rowBytes = 24
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bmpOut.write('B'); bmpOut.write('M')
+    bmpOut.write(le32(54L + rowBytes * 8)); bmpOut.write(le32(0)); bmpOut.write(le32(54))
+    bmpOut.write(le32(40)); bmpOut.write(le32(8)); bmpOut.write(le32(8))
+    bmpOut.write(le16(1)); bmpOut.write(le16(24)); bmpOut.write(le32(0))
+    bmpOut.write(new Array[Byte](20))
+    for (y <- 7 to 0 by -1; x <- 0 until 8) {
+      val g = px(y * 8 + x); bmpOut.write(g); bmpOut.write(g); bmpOut.write(g)
+    }
+    val bmp = bmpOut.toByteArray
+    val hPng = Codecs.AnyImageCodec.aHash64(png).get.toSeq
+    val hBmp = Codecs.AnyImageCodec.aHash64(bmp).get.toSeq
+    assert(hPng === hBmp)
+    assert(Codecs.AnyImageCodec.grayPixels(bmp).get._1.toSeq === px.toSeq)
+  }
 }
