@@ -257,9 +257,10 @@ object Codecs {
     * samples are the decoded channel values bit for bit (PNG
     * round-trips losslessly; JPEG at encode quality 1.0 is within ±2
     * of source — CodecsSpec pins both). Grayscale rule per band count:
-    * 1–2 bands (gray / gray+alpha) take band 0 raw; ≥3 bands (RGB/
+    * 1–2 bands (gray / gray+alpha) take band 0; ≥3 bands (RGB/
     * RGBA) reduce by the same (r·299 + g·587 + b·114) div 1000 luma as
-    * [[BmpCodec]].
+    * [[BmpCodec]] — with palette indices resolved and >8-bit samples
+    * down-shifted first (see `grayOf`).
     *
     * Magic-byte gated BEFORE touching ImageIO (a format probe on every
     * garbage blob would be pure overhead at corpus scale), and every
@@ -276,35 +277,87 @@ object Codecs {
     def canDecode(p: Array[Byte]): Boolean =
       isJpeg(p) || isPng(p) || isGif(p) || isTiff(p)
 
+    /** Decode geometry ceiling (16.7M pixels ≈ 4096×4096). Checked
+      * against the HEADER dims BEFORE `ImageReader.read` — a ~100-byte
+      * crafted PNG/GIF declaring 60000×60000 would otherwise make the
+      * reader allocate a multi-GB BufferedImage, and the resulting
+      * OutOfMemoryError is not `NonFatal`: one bad blob would kill the
+      * stage, the exact failure the module contract forbids (BmpCodec
+      * defends the same way with its Long-geometry bound).
+      */
+    val MaxPixels: Long = 1L << 24
+
     def grayPixels(p: Array[Byte]): Option[(Array[Int], Int, Int)] = {
       if (!canDecode(p)) return None
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-        if (img == null) return None // magic matched but no reader / bad header
-        val raster = img.getRaster
-        val w = img.getWidth
-        val h = img.getHeight
-        if (w <= 0 || h <= 0) return None
-        val bands = raster.getNumBands
-        val out = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            out(y * w + x) =
-              if (bands >= 3)
-                (raster.getSample(x, y, 0) * 299 +
-                 raster.getSample(x, y, 1) * 587 +
-                 raster.getSample(x, y, 2) * 114) / 1000
-              else raster.getSample(x, y, 0)
-            x += 1
-          }
-          y += 1
-        }
-        Some((out, w, h))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only dim probe: reject hostile geometry pre-decode
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+            val img = reader.read(0)
+            if (img == null) return None
+            Some((grayOf(img, w, h), w, h))
+          } finally reader.dispose()
+        } finally iis.close()
       } catch {
         case scala.util.control.NonFatal(_) => None // malformed → zero sums
       }
+    }
+
+    /** Raster → 0-255 gray. Raw samples by default (see the codec
+      * scaladoc), with the two cases where a raw sample is NOT a
+      * 0-255 channel value handled explicitly:
+      *  - palette-indexed rasters (every GIF, indexed PNG/TIFF): the
+      *    sample is a palette INDEX — resolve it through the
+      *    `IndexColorModel`'s stored 8-bit entries (a table lookup, no
+      *    sRGB ramp) before the luma reduce, else a white/black GIF
+      *    decodes as gray {1,0} and the cross-format "identical pixels
+      *    hash identically" contract breaks for 100% of GIFs;
+      *  - high-bit-depth samples (16-bit PNG/TIFF, 0-65535): down-shift
+      *    each band by its declared sample size − 8, else stripe sums /
+      *    aHash / imageStats all leave the 0-255 contract.
+      */
+    private def grayOf(img: java.awt.image.BufferedImage,
+                       w: Int, h: Int): Array[Int] = {
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val icm = img.getColorModel match {
+        case m: java.awt.image.IndexColorModel => m
+        case _                                 => null
+      }
+      val sm = raster.getSampleModel
+      def shiftFor(b: Int): Int = math.max(0, sm.getSampleSize(b) - 8)
+      val s0 = shiftFor(0)
+      val s1 = if (bands >= 3) shiftFor(1) else 0
+      val s2 = if (bands >= 3) shiftFor(2) else 0
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) =
+            if (icm != null) {
+              val idx = raster.getSample(x, y, 0)
+              (icm.getRed(idx) * 299 + icm.getGreen(idx) * 587 +
+               icm.getBlue(idx) * 114) / 1000
+            } else if (bands >= 3)
+              ((raster.getSample(x, y, 0) >> s0) * 299 +
+               (raster.getSample(x, y, 1) >> s1) * 587 +
+               (raster.getSample(x, y, 2) >> s2) * 114) / 1000
+            else raster.getSample(x, y, 0) >> s0
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
     /** Encode top-down row-major gray pixels as a PNG (lossless —

@@ -209,9 +209,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           codec.grayPixels(r.getAs[Array[Byte]](1)).map { case (px, w, h) =>
+            // bounds from the data, not an assumed 0-255 range: a
+            // codec emitting out-of-range grays must yield the TRUE
+            // min/max, never a fabricated 255/0 endpoint
             var sum = 0L
-            var mn = 255
-            var mx = 0
+            var mn = if (px.isEmpty) 0 else Int.MaxValue
+            var mx = if (px.isEmpty) 0 else Int.MinValue
             var i = 0
             while (i < px.length) {
               val g = px(i)

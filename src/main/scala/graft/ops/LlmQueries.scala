@@ -3281,18 +3281,24 @@ object LlmQueries {
     // ---- cross-format image dedup (Codecs.AnyImageCodec): the same
     //      picture stored as BMP and as PNG must dedup — decoded-pixel
     //      aHash is format-independent by construction. Pixels encode a
-    //      SCRAMBLED id bijection ((id*{3,5,7}) % 2^16 per low chunk,
-    //      id div 2^16 in the top) so every id's 64-bit hash is unique
-    //      AND every 16-bit chunk is well-distributed — chunk-bucket
-    //      candidates stay O(corpus), never a quadratic bucket, at any
-    //      SF. The only hamming-0 pairs are each id's two encodings. ----
+    //      SCRAMBLED id bijection ((id*{3,5,7}) % 2^16 for chunks 0-2,
+    //      (id div 2^16)*3 + id*11 mod 2^16 for the top) so every id's
+    //      64-bit hash is unique (chunk 0 recovers id mod 2^16, then
+    //      chunk 3 recovers the high bits — 3 and 11 are odd, so both
+    //      steps invert) AND every 16-bit chunk varies with EVERY id —
+    //      chunk-bucket candidates stay O(corpus), never a quadratic
+    //      bucket, at any SF. (An unscrambled top chunk `id div 2^16`
+    //      is 0 for the whole corpus below sf~0.25: one bucket holding
+    //      all N rows makes the chunk join N², the exact blowup this
+    //      scramble exists to rule out.) The only hamming-0 pairs are
+    //      each id's two encodings. ----
     "q_mm_cross_format_dedup" -> Q(
       """SELECT p_partkey AS id1,
         |       CAST(p_partkey + 100000000 AS BIGINT) AS id2,
         |       CAST(0 AS BIGINT) AS hamming
         |FROM part ORDER BY id1""".stripMargin) { (s, dir) =>
       def chunkOf(id: Long, c: Int): Long =
-        if (c == 3) (id / 65536L) % 65536L
+        if (c == 3) ((id / 65536L) * 3L + id * 11L) % 65536L
         else (id * Seq(3L, 5L, 7L)(c)) % 65536L
       def bitAt(id: Long, pos: Int): Boolean =
         ((chunkOf(id, pos / 16) >> (pos % 16)) & 1L) == 1L
@@ -3302,7 +3308,8 @@ object LlmQueries {
         "28000000" + "08000000" + "08000000" + "0100" + "1800" +
         "00000000" + "00000000" + ("00" * 16)
       val chunkSql = Seq("(p_partkey * 3) % 65536", "(p_partkey * 5) % 65536",
-        "(p_partkey * 7) % 65536", "(p_partkey div 65536) % 65536")
+        "(p_partkey * 7) % 65536",
+        "((p_partkey div 65536) * 3 + p_partkey * 11) % 65536")
       val pixelHex = (0 until 64).map { fileK =>
         val x = fileK % 8
         val y = 7 - (fileK / 8) // file rows are bottom-up

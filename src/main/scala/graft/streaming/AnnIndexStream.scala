@@ -111,12 +111,26 @@ object AnnIndexStream {
     val data = dataDir(storeDir)
     if (!Fs.exists(data, conf)) return
     val n = Fs.listDirs(data, conf).length
-    val staging = s"$data.staging"
+    val staging = stagingDir(data, conf)
     spark.read.option("basePath", data).parquet(data)
       .drop("ingest")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=compacted_$n")
     Fs.swapInPlace(data, staging, conf)
+  }
+
+  /** The one staging dir all maintenance ops share — DELETED before
+    * each use: compact/refit/forget each write a differently-named
+    * `ingest=` subdir, and `write.mode(overwrite)` clears only its own
+    * subdir, so a leftover from a CRASHED op (e.g. a refit that died
+    * before its swap) would otherwise ride the next op's swapInPlace
+    * into the live store — resurrecting rows a later forget removed.
+    */
+  private def stagingDir(data: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val staging = s"$data.staging"
+    Fs.delete(staging, conf, recursive = true)
+    staging
   }
 
   /** Refit-on-cadence: the centroids are frozen at fit time (the
@@ -145,17 +159,23 @@ object AnnIndexStream {
     val data = dataDir(storeDir)
     if (!Fs.exists(data, conf)) return None
     val store = spark.read.option("basePath", data).parquet(data)
+    // cached: Ivf.fit makes ~4 driver-materializing passes (count,
+    // seeding, per-iteration means) and the staging write joins it
+    // again — without the cache each pass re-reads and re-aggregates
+    // every parquet delta, turning a one-scan refit into six scans
     val corpus = store
       .groupBy(col(idCol))
       .agg(max(col(vecCol)).as(vecCol))
+      .cache()
     val index = Ivf.fit(corpus, idCol, vecCol, k, iters)
     val n = Fs.listDirs(data, conf).length
-    val staging = s"$data.staging"
+    val staging = stagingDir(data, conf)
     corpus.join(index.assignments, idCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=refit_$n")
     index.unpersist()
+    corpus.unpersist()
     Fs.swapInPlace(data, staging, conf)
     Some(index.centroids)
   }
@@ -181,7 +201,7 @@ object AnnIndexStream {
       .join(ids.select(col(idCol)), Seq(idCol), "left_semi").count()
     if (removed == 0L) return 0L
     val n = Fs.listDirs(data, conf).length
-    val staging = s"$data.staging"
+    val staging = stagingDir(data, conf)
     store.drop("ingest")
       .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
       .write.mode("overwrite").partitionBy("cell")

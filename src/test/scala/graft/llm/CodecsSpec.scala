@@ -275,6 +275,63 @@ class CodecsSpec extends SparkSpec {
     assert(Codecs.ImageIoCodec.grayPixels(fakeJpg).isEmpty)
   }
 
+  test("ImageIoCodec: GIF palette indices resolve through the IndexColorModel") {
+    // GIF writers always palettize — the raster sample is an INDEX,
+    // not a gray value. A white/black 2x1 image whose palette happens
+    // to order white first decodes to raw samples {0,1}; the codec
+    // must return the palette's gray values {255,0} (or the same image
+    // re-encoded as PNG won't hash identically).
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 255)
+    img.getRaster.setSample(1, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    val gif = out.toByteArray
+    assert(Codecs.isGif(gif))
+    val Some((got, w, h)) = Codecs.ImageIoCodec.grayPixels(gif)
+    assert((w, h) === ((2, 1)))
+    assert(got.toSeq === Seq(255, 0))
+    // cross-format contract: the SAME pixels as PNG hash identically
+    val png = Codecs.ImageIoCodec.encodeGrayPng(Array(255, 0), 2, 1)
+    assert(Codecs.AnyImageCodec.aHash64(gif).get.toSeq ===
+      Codecs.AnyImageCodec.aHash64(png).get.toSeq)
+  }
+
+  test("ImageIoCodec: 16-bit gray samples down-shift to the 0-255 contract") {
+    // TYPE_USHORT_GRAY png: samples 0..65535; the codec must emit
+    // sample >> 8, never the raw 16-bit value (stripe sums, aHash and
+    // imageStats all assume 0-255 grays)
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img.getRaster.setSample(0, 0, 0, 65535)
+    img.getRaster.setSample(1, 0, 0, 1000)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val Some((got, w, h)) = Codecs.ImageIoCodec.grayPixels(out.toByteArray)
+    assert((w, h) === ((2, 1)))
+    assert(got.toSeq === Seq(255, 1000 >> 8))
+  }
+
+  test("ImageIoCodec: hostile header dims are rejected before decode") {
+    // a PNG whose IHDR declares 60000x60000 (~3.6e9 px) from a ~70-byte
+    // payload: the header probe must bail before ImageIO allocates the
+    // raster (OutOfMemoryError is not NonFatal — it would kill a stage)
+    val png = Codecs.ImageIoCodec.encodeGrayPng(Array.fill(4)(7), 2, 2)
+    val huge = png.clone()
+    def putDim(off: Int, v: Int): Unit = {
+      huge(off) = ((v >> 24) & 0xff).toByte; huge(off + 1) = ((v >> 16) & 0xff).toByte
+      huge(off + 2) = ((v >> 8) & 0xff).toByte; huge(off + 3) = (v & 0xff).toByte
+    }
+    putDim(16, 60000) // IHDR width at byte 16, height at 20
+    putDim(20, 60000)
+    assert(Codecs.ImageIoCodec.grayPixels(huge).isEmpty)
+    assert(Codecs.ImageIoCodec.stripeSums(huge).forall(_ == 0L))
+    // the bound itself: exactly MaxPixels-sized dims still pass the gate
+    assert(2L * 2L < Codecs.ImageIoCodec.MaxPixels)
+    assert(Codecs.ImageIoCodec.grayPixels(png).nonEmpty)
+  }
+
   test("SniffCodec routes JPEG/PNG to ImageIoCodec, not the raw-byte stub") {
     val px = Array.tabulate(64)(k => k * 4 % 256)
     val png = Codecs.ImageIoCodec.encodeGrayPng(px, 8, 8)

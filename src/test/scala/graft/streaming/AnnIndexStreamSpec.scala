@@ -117,6 +117,32 @@ class AnnIndexStreamSpec extends SparkSpec {
       Seq(1L).toDF("vec_id")) === 0L)
   }
 
+  test("a crashed op's leftover staging dir cannot ride a later op's swap") {
+    // regression: compact/refit/forget share $data.staging; overwrite
+    // mode clears only the writer's OWN ingest= subdir, so a subdir
+    // left by a crashed refit used to be swapped live by the next
+    // forget — resurrecting rows the forget was removing
+    val dir = java.nio.file.Files.createTempDirectory("ann_staging").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val index = Ivf.fit(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val store = s"${dir.getPath}/store"
+    AnnIndexStream.applyBatch(corpus, "vec_id", "embedding",
+      index.centroids, store, batchId = 0L, queryId = "q1")
+    // simulate the crash: a pre-swap refit snapshot stranded in staging
+    corpus.join(
+        Ivf.assignCells(corpus, "vec_id", "embedding", index.centroids), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$store/data.staging/ingest=refit_99")
+    val removed = AnnIndexStream.forget(spark, store, "vec_id",
+      Seq(5L, 6L).toDF("vec_id"))
+    assert(removed === 2L)
+    val left = spark.read.option("basePath", s"$store/data")
+      .parquet(s"$store/data").select("vec_id").as[Long].collect().toSet
+    assert(left.size === 38 && !left.contains(5L) && !left.contains(6L),
+      s"stale staging resurrected rows: ${left.size} ids, 5 in store = ${left.contains(5L)}")
+  }
+
   test("refit: post-refit search equals Ivf.topK with freshly fit centroids") {
     val dir = java.nio.file.Files.createTempDirectory("ann_refit").toFile
     val corpus = vecs.toDF("vec_id", "embedding")
