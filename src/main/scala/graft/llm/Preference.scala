@@ -1,0 +1,232 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-data (RLHF/reward-model) pipeline operators: chosen/
+  * rejected pair construction from scored candidate pools, annotator
+  * agreement, Bradley–Terry strength fitting, and the length-bias
+  * audit every preference dataset needs before reward-model training.
+  *
+  * Reference has no preference tooling (its scope is relational
+  * ingestion); this family exists because a training-data engine
+  * feeding an LLM stack curates preference corpora with exactly these
+  * shapes. Scale posture: every face is one keyed shuffle (groupBy on
+  * the prompt/item key) or a bounded-iteration loop of item-keyed
+  * joins — no windows over unkeyed frames, no driver-side collects.
+  */
+object Preference {
+
+  /** Per-prompt chosen/rejected construction: among each prompt's
+    * scored candidates, chosen = highest score (tie → LOWEST candidate
+    * id), rejected = lowest score (tie → HIGHEST candidate id); pairs
+    * below `minMargin` — too-close-to-call labels that teach a reward
+    * model noise — are dropped, as are single-candidate prompts
+    * (chosen would equal rejected).
+    *
+    * ONE groupBy shuffle via struct max/min (partial-agg friendly — a
+    * per-prompt window would sort every partition instead of folding
+    * map-side). Lexicographic struct order encodes the tie rules:
+    * `max(struct(score, -cand))` picks max score then max(-cand) =
+    * min cand; `min` of the same struct picks min score then max cand.
+    */
+  def pairs(df: DataFrame, promptCol: String, candCol: String,
+            scoreCol: String, lenCol: String, minMargin: Long): DataFrame = {
+    val side = struct(col(scoreCol).as("s"),
+      (-col(candCol)).as("nc"), col(candCol).as("id"), col(lenCol).as("len"))
+    df.groupBy(col(promptCol))
+      .agg(max(side).as("ch"), min(side).as("rj"))
+      .filter(col("ch.id") =!= col("rj.id") &&
+        col("ch.s") - col("rj.s") >= minMargin)
+      .select(col(promptCol),
+        col("ch.id").as("chosen_id"), col("rj.id").as("rejected_id"),
+        (col("ch.s") - col("rj.s")).as("margin"),
+        col("ch.len").as("chosen_len"), col("rj.len").as("rejected_len"))
+  }
+
+  /** Fleiss' kappa for BINARY votes with a CONSTANT panel of `n`
+    * raters per item (the usual labeling setup; rows = (item, vote)).
+    * Integer-exact: per-item agreement numerators (Σ n_c² − n, a small
+    * integer) and category counts are summed as BIGINTs and divided
+    * ONCE at the end, so the result never depends on float summation
+    * order across partitions — p̄ = Σ(n₁²+n₀²−n) / (N·n·(n−1)),
+    * p_e = p₁² + p₀², κ = (p̄−p_e)/(1−p_e).
+    *
+    * Output: one row (n_items, p_bar, p_e, kappa), ratios round(6);
+    * kappa is NULL on the degenerate p_e = 1 (all votes one category —
+    * chance agreement is certain, kappa undefined).
+    */
+  def fleissKappa(votes: DataFrame, itemCol: String, voteCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"fleiss kappa needs >= 2 raters, got $n")
+    val per = votes.groupBy(col(itemCol))
+      .agg(sum(col(voteCol)).cast("long").as("n1"))
+      .select(col("n1"),
+        (col("n1") * col("n1") + (lit(n.toLong) - col("n1")) *
+          (lit(n.toLong) - col("n1")) - n).as("pi_num"))
+    per.agg(count(lit(1)).as("n_items"),
+        sum("pi_num").as("pn"), sum("n1").as("s1"))
+      .select(col("n_items"),
+        round(col("pn").cast("double") /
+          (col("n_items") * n * (n - 1)), 6).as("p_bar"),
+        round(peExpr(n), 6).as("p_e"),
+        when(peExpr(n) === 1.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("pn").cast("double") / (col("n_items") * n * (n - 1)) -
+              peExpr(n)) / (lit(1.0) - peExpr(n)), 6)).as("kappa"))
+  }
+
+  private def peExpr(n: Int): Column = {
+    val p1 = col("s1").cast("double") / (col("n_items") * n)
+    p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+  }
+
+  /** Bradley–Terry strengths via the MM recurrence, integer-exact so
+    * the fixed-iteration result is bit-identical across engines (the
+    * q_graph_pagerank convention): strengths live in micro units
+    * (start 1e6), each pair's denominator term is
+    * `n_ij·10¹² div (s_i + s_j)` (Long floor), and the update is
+    * `s_i ← W_i·10¹² div Σ terms`. Items that never win fix at 0;
+    * items with no games keep 1e6. BT is scale-invariant, so no
+    * normalization pass — compare strengths, not absolute values.
+    *
+    * `outcomes` = (winner, loser, n) aggregated match counts. Each of
+    * the `iters` rounds is one item-keyed aggregation over the
+    * symmetrized game list joined with the current |items|-row
+    * strengths frame (AQE broadcasts it when small); O(iters) jobs,
+    * no collect.
+    */
+  def btStrengths(outcomes: DataFrame, winnerCol: String, loserCol: String,
+                  nCol: String, iters: Int = 3): DataFrame = {
+    val o = outcomes.select(col(winnerCol).as("w"), col(loserCol).as("l"),
+      col(nCol).cast("long").as("n"))
+    val games = o.select(col("w").as("id"), col("l").as("opp"), col("n"))
+      .unionByName(o.select(col("l").as("id"), col("w").as("opp"), col("n")))
+    val items = games.select(col("id")).distinct()
+    val wins = o.groupBy(col("w").as("id")).agg(sum("n").as("wn"))
+    var s = items.withColumn("sm", lit(1000000L))
+    for (_ <- 1 to math.max(1, iters)) {
+      val d = games
+        .join(s.select(col("id"), col("sm").as("sa")), Seq("id"))
+        .join(s.select(col("id").as("opp"), col("sm").as("sb")), Seq("opp"))
+        .groupBy("id")
+        .agg(sum(expr("n * 1000000000000 div (sa + sb)")).as("dd"))
+      s = items
+        .join(wins, Seq("id"), "left")
+        .join(d, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dd").isNull || col("dd") === 0L, lit(1000000L))
+            .otherwise(expr("coalesce(wn, 0) * 1000000000000 div dd"))
+            .as("sm"))
+    }
+    s.join(wins, Seq("id"), "left")
+      .select(col("id").as("item"), col("sm").as("strength_micro"),
+        coalesce(col("wn"), lit(0L)).as("wins"))
+  }
+
+  /** Length-bias audit over a chosen/rejected pairs frame: does the
+    * LONGER response win more often as the length gap grows? (The
+    * classic reward-hacking signal — a healthy preference set stays
+    * near 0.5 in every bucket.) Equal-length pairs carry no signal and
+    * are excluded; buckets are |len gap| div `bucketWidth`, capped at
+    * `maxBucket`. One groupBy on a ≤(maxBucket+1)-key frame.
+    */
+  def lengthBias(pairsDf: DataFrame, chosenLenCol: String,
+                 rejectedLenCol: String, bucketWidth: Long = 50L,
+                 maxBucket: Long = 5L): DataFrame = {
+    val delta = col(chosenLenCol) - col(rejectedLenCol)
+    pairsDf
+      .filter(delta =!= 0L)
+      .select(least(expr(
+          s"abs($chosenLenCol - $rejectedLenCol) div $bucketWidth"),
+          lit(maxBucket)).as("gap_bucket"),
+        when(delta > 0, 1L).otherwise(0L).as("longer_won"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("n"), sum("longer_won").as("longer_wins"))
+      .select(col("gap_bucket"), col("n"), col("longer_wins"),
+        round(col("longer_wins").cast("double") / col("n"), 6)
+          .as("longer_win_rate"))
+  }
+}
+
+/** Eval-pipeline metrics: n-gram overlap scoring (ROUGE-style) between
+  * reference/candidate text pairs, and Wilson-interval pass rates for
+  * grouped binary outcomes — the aggregation layer of an eval harness,
+  * distributed the same way the dedup stack is (explode → one keyed
+  * shuffle → closed-form arithmetic).
+  */
+object Evals {
+
+  /** ROUGE-n with standard clipped counts: per pair,
+    * match = Σ_g min(count_ref(g), count_cand(g)) over word n-grams
+    * (multiplicity kept — NOT the distinct-shingle Jaccard rule),
+    * precision = match/cand_total, recall = match/ref_total,
+    * f1 = 2PR/(P+R). Tokenizer = [[TextAnalysis.tokens]]. Pairs with
+    * an empty side score 0. Ratios round(6); integer counts carried so
+    * oracles can hash-compare exactly.
+    *
+    * Shape: explode both sides' n-grams, count per (pair, gram) — the
+    * ref/cand count frames share that shuffle key, so the clip join is
+    * co-partitioned; totals ride the same aggregates.
+    */
+  def rougeN(pairsDf: DataFrame, pairIdCol: String, refCol: String,
+             candCol: String, n: Int = 2): DataFrame = {
+    def grams(textCol: String, side: String): DataFrame = pairsDf
+      .select(col(pairIdCol),
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("gs"))
+      .select(col(pairIdCol), explode(col("gs")).as("g"))
+      .groupBy(col(pairIdCol), col("g"))
+      .agg(count(lit(1)).as(s"c_$side"))
+    val rc = grams(refCol, "ref")
+    val cc = grams(candCol, "cand")
+    val clipped = rc.join(cc, Seq(pairIdCol, "g"))
+      .groupBy(col(pairIdCol))
+      .agg(sum(least(col("c_ref"), col("c_cand"))).as("match_n"))
+    val totals = rc.groupBy(col(pairIdCol)).agg(sum("c_ref").as("ref_n"))
+      .join(cc.groupBy(col(pairIdCol)).agg(sum("c_cand").as("cand_n")),
+        Seq(pairIdCol), "full")
+    val m = pairsDf.select(col(pairIdCol))
+      .join(totals, Seq(pairIdCol), "left")
+      .join(clipped, Seq(pairIdCol), "left")
+      .select(col(pairIdCol),
+        coalesce(col("match_n"), lit(0L)).as("match_n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cand_n"), lit(0L)).as("cand_n"))
+    val p = when(col("cand_n") === 0L, lit(0.0))
+      .otherwise(col("match_n").cast("double") / col("cand_n"))
+    val r = when(col("ref_n") === 0L, lit(0.0))
+      .otherwise(col("match_n").cast("double") / col("ref_n"))
+    m.select(col(pairIdCol), col("match_n"), col("ref_n"), col("cand_n"),
+      round(p, 6).as("precision"), round(r, 6).as("recall"),
+      round(when(p + r === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * p * r / (p + r)), 6).as("f1"))
+  }
+
+  /** Per-group pass rate with the Wilson 95% score interval — the
+    * right uncertainty band for small-n eval slices (a normal interval
+    * goes negative near 0; Wilson stays in [0,1]). Closed-form from
+    * the two integer aggregates (n, passes), so fully deterministic:
+    * center = (p̂ + z²/2n)/(1+z²/n),
+    * half = z·√(p̂(1−p̂)/n + z²/4n²)/(1+z²/n), z = 1.96.
+    */
+  def wilsonPassRate(df: DataFrame, groupCol: String,
+                     passCol: String): DataFrame = {
+    val z = 1.96
+    // literal, NOT z*z: 1.96*1.96 rounds to 3.841600000000000...
+    // differently than the decimal literal an oracle writes — the two
+    // sides must start from the SAME double before any division
+    val z2 = 3.8416
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(passCol)).cast("long").as("passes"))
+    val nD = col("n").cast("double")
+    val p = col("passes").cast("double") / nD
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      lit(z2) / (lit(4.0) * nD * nD))) / denom
+    g.select(col(groupCol), col("n"), col("passes"),
+      round(p, 6).as("pass_rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairs: tie rules, margin gate, and single-candidate prompts") {
+    // prompt 1: clear winner/loser, margin 80 < 100 → dropped
+    // prompt 2: margin 150, score tie at the top (cands 20,21 both 200)
+    //   → chosen = LOWER cand 20; tie at the bottom (22,23 both 50)
+    //   → rejected = HIGHER cand 23
+    // prompt 3: single candidate → dropped (chosen would equal rejected)
+    val cands = Seq(
+      (1L, 10L, 100L, 500L), (1L, 11L, 180L, 400L),
+      (2L, 20L, 200L, 300L), (2L, 21L, 200L, 310L),
+      (2L, 22L, 50L, 320L), (2L, 23L, 50L, 330L),
+      (3L, 30L, 999L, 100L)
+    ).toDF("prompt_id", "cand_id", "score", "len")
+    val got = Preference.pairs(cands, "prompt_id", "cand_id", "score", "len",
+      minMargin = 100L).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("prompt_id") === 2L)
+    assert(r.getAs[Long]("chosen_id") === 20L)
+    assert(r.getAs[Long]("rejected_id") === 23L)
+    assert(r.getAs[Long]("margin") === 150L)
+    assert(r.getAs[Long]("chosen_len") === 300L)
+    assert(r.getAs[Long]("rejected_len") === 330L)
+  }
+
+  test("pairs plans as one hash aggregate, not a per-prompt window sort") {
+    val cands = Seq((1L, 10L, 100L, 500L)).toDF("prompt_id", "cand_id", "score", "len")
+    val plan = Preference.pairs(cands, "prompt_id", "cand_id", "score", "len", 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("fleissKappa: hand-computed binary panel") {
+    // 4 items, 3 raters; n1 per item = 3,0,2,1
+    // pi_num = 6,6,2,2 → pn=16 → p_bar=16/24=2/3
+    // s1=6 → p1=0.5 → p_e=0.5 → kappa=(2/3-1/2)/(1/2)=1/3
+    val votes = Seq(
+      (1L, 1), (1L, 1), (1L, 1),
+      (2L, 0), (2L, 0), (2L, 0),
+      (3L, 1), (3L, 1), (3L, 0),
+      (4L, 1), (4L, 0), (4L, 0)
+    ).toDF("item", "vote")
+    val r = Preference.fleissKappa(votes, "item", "vote", n = 3).collect().head
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Double]("p_bar") === 0.666667)
+    assert(r.getAs[Double]("p_e") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.333333)
+  }
+
+  test("fleissKappa: unanimous panel has p_e = 1 and NULL kappa") {
+    val votes = Seq((1L, 1), (1L, 1), (2L, 1), (2L, 1))
+      .toDF("item", "vote")
+    val r = Preference.fleissKappa(votes, "item", "vote", n = 2).collect().head
+    assert(r.getAs[Double]("p_e") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("btStrengths: 3:1 head-to-head fixes at the 3:1 strength ratio") {
+    // A beats B 3x, B beats A 1x — MM fixed point: s_A/s_B = W_A/W_B
+    val o = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("w", "l", "n")
+    val got = Preference.btStrengths(o, "w", "l", "n", iters = 3)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("A", 1500000L, 3L), ("B", 500000L, 1L)))
+  }
+
+  test("btStrengths: never-winners floor at 0; results are deterministic") {
+    val o = Seq(("A", "B", 2L), ("A", "C", 2L), ("C", "B", 1L))
+      .toDF("w", "l", "n")
+    def run() = Preference.btStrengths(o, "w", "l", "n", iters = 3)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val g1 = run()
+    assert(g1 === run()) // bit-identical across runs (integer fixed-point)
+    val byItem = g1.map(t => t._1 -> t._2).toMap
+    assert(byItem("B") === 0L) // B never wins
+    assert(byItem("A") > byItem("C") && byItem("C") > byItem("B"))
+    assert(g1.map(_._3).sum === 5L)
+  }
+
+  test("lengthBias: buckets, cap, and equal-length exclusion") {
+    val pairs = Seq(
+      (1L, 310L, 300L),  // delta +10 → bucket 0, longer won
+      (2L, 300L, 330L),  // delta -30 → bucket 0, shorter won
+      (3L, 500L, 300L),  // delta +200 → bucket 4
+      (4L, 300L, 9300L), // |delta| 9000 → capped bucket 5
+      (5L, 400L, 400L)   // equal → excluded
+    ).toDF("prompt_id", "chosen_len", "rejected_len")
+    val got = Preference.lengthBias(pairs, "chosen_len", "rejected_len",
+        bucketWidth = 50L, maxBucket = 5L)
+      .orderBy("gap_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 1L, 0.5), (4L, 1L, 1L, 1.0), (5L, 1L, 0L, 0.0)))
+  }
+
+  test("rougeN: clipped bigram counts on a handcrafted pair") {
+    // ref "a b a b c": bigrams {a b:2, b a:1, b c:1} (4 total)
+    // cand "a b a d":  bigrams {a b:1, b a:1, a d:1} (3 total)
+    // clipped match = min(2,1)+min(1,1) = 2 → P=2/3, R=1/2, F1=4/7
+    val pairs = Seq(
+      (1L, "a b a b c", "a b a d"),
+      (2L, "x y", "")
+    ).toDF("pair_id", "ref_text", "cand_text")
+    val got = Evals.rougeN(pairs, "pair_id", "ref_text", "cand_text", n = 2)
+      .orderBy("pair_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("match_n") === 2L)
+    assert(r1.getAs[Long]("ref_n") === 4L)
+    assert(r1.getAs[Long]("cand_n") === 3L)
+    assert(r1.getAs[Double]("precision") === 0.666667)
+    assert(r1.getAs[Double]("recall") === 0.5)
+    assert(r1.getAs[Double]("f1") === 0.571429)
+    // empty candidate: no bigrams → all zeros, no NaN
+    val r2 = got(1)
+    assert(r2.getAs[Long]("match_n") === 0L && r2.getAs[Long]("cand_n") === 0L)
+    assert(r2.getAs[Double]("precision") === 0.0 &&
+      r2.getAs[Double]("f1") === 0.0)
+  }
+
+  test("wilsonPassRate: 70/100 matches the closed form; bounds bracket p") {
+    val df = (1 to 100).map(i => ("g", if (i <= 70) 1 else 0)).toDF("grp", "pass")
+    val r = Evals.wilsonPassRate(df, "grp", "pass").collect().head
+    assert(r.getAs[Long]("n") === 100L && r.getAs[Long]("passes") === 70L)
+    assert(r.getAs[Double]("pass_rate") === 0.7)
+    val (lo, hi) = (r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+    assert(math.abs(lo - 0.604151) < 0.0005, s"lo=$lo")
+    assert(math.abs(hi - 0.781054) < 0.0005, s"hi=$hi")
+    assert(lo > 0.0 && lo < 0.7 && hi > 0.7 && hi < 1.0)
+  }
+}
