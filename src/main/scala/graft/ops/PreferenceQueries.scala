@@ -1,12 +1,13 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.{Evals, Preference}
+import graft.llm.{Conversations, Evals, Preference}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Preference-data (RLHF) and eval-metric operators, each with its
+/** Preference-data (RLHF), eval-metric, and conversation-assembly
+  * operators, each with its
   * DuckDB oracle. Candidate pools / match outcomes are synthesized
   * DETERMINISTICALLY from the driver's tables (documents → scored
   * candidates, events → pairwise matches), so both engines derive the
@@ -220,6 +221,65 @@ object PreferenceQueries {
         .withColumnRenamed("recall", "rouge_r")
         .withColumnRenamed("f1", "rouge_f1")
         .orderBy("pair_id")
+    },
+
+    // ---- conversation assembly (Conversations.assemble): gap
+    //      sessions become conversations, events ordered turns; the
+    //      rollup carries the alternation-violation count the
+    //      instruction-data QA gate reads ----
+    "q_conv_assemble" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |                  length(coalesce(props, '')) AS len FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM l),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq ORDER BY tus, event_id) AS turn_idx,
+        |        lag(event_type) OVER (PARTITION BY user_id, session_seq ORDER BY tus, event_id) AS prev_type
+        |      FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS conv_seq,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(len) AS BIGINT) AS total_len,
+        |  CAST(min(tus) AS BIGINT) AS start_us,
+        |  CAST(max(tus) AS BIGINT) AS end_us,
+        |  CAST(sum(CASE WHEN prev_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS repeat_violations
+        |FROM u GROUP BY user_id, session_seq
+        |ORDER BY user_id, conv_seq""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+        .withColumn("len", length(coalesce(col("props"), lit(""))))
+      Conversations.assemble(ev, "user_id", "ts", "event_id",
+          "event_type", "len")
+        .orderBy("user_id", "conv_seq")
+    },
+
+    // ---- context-budget packing (Conversations.contextPack): keep
+    //      the longest recent-turn suffix under 500 chars — the chat
+    //      template's truncation rule, one reused user-key shuffle ----
+    "q_conv_context_pack" -> Q(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  length(coalesce(props, '')) AS len FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM l),
+        |u AS (SELECT *, sum(len) OVER (PARTITION BY user_id, session_seq
+        |        ORDER BY tus DESC, event_id DESC ROWS UNBOUNDED PRECEDING) AS revcum
+        |      FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS conv_seq,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN revcum <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+        |  CAST(sum(CASE WHEN revcum <= 500 THEN len ELSE 0 END) AS BIGINT) AS kept_len,
+        |  CAST(sum(len) AS BIGINT) AS total_len,
+        |  CAST(count(*) - sum(CASE WHEN revcum <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_turns
+        |FROM u GROUP BY user_id, session_seq
+        |ORDER BY user_id, conv_seq""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+        .withColumn("len", length(coalesce(col("props"), lit(""))).cast("long"))
+      Conversations.contextPack(ev, "user_id", "ts", "event_id",
+          "len", budget = 500L)
+        .orderBy("user_id", "conv_seq")
     },
 
     // ---- Wilson-interval pass rates (Evals.wilsonPassRate): per-type
