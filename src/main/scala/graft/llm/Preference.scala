@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Preference-data (RLHF/reward-model) pipeline operators: chosen/
   * rejected pair construction from scored candidate pools, annotator
@@ -32,6 +33,13 @@ object Preference {
     */
   def pairs(df: DataFrame, promptCol: String, candCol: String,
             scoreCol: String, lenCol: String, minMargin: Long): DataFrame = {
+    // the tie rule rides `-cand` inside the struct order; a string id
+    // would cast to NULL there and silently INVERT both ties — demand a
+    // numeric id up front (string ids: derive one, e.g. xxhash64)
+    require(df.schema(candCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pairs needs a numeric candidate id column, got " +
+        s"$candCol: ${df.schema(candCol).dataType.simpleString}")
     val side = struct(col(scoreCol).as("s"),
       (-col(candCol)).as("nc"), col(candCol).as("id"), col(lenCol).as("len"))
     df.groupBy(col(promptCol))
@@ -94,7 +102,17 @@ object Preference {
     * the `iters` rounds is one item-keyed aggregation over the
     * symmetrized game list joined with the current |items|-row
     * strengths frame (AQE broadcasts it when small); O(iters) jobs,
-    * no collect.
+    * no collect. The games/wins frames are materialized once and each
+    * round's strengths are eagerly checkpointed (then released), so the
+    * plan stays O(1) deep — without that, `d` referencing `s` twice
+    * doubles the lineage every round (the DupGraph.pageRank lesson).
+    *
+    * The `n·10¹²` and `W·10¹²` products run in decimal(38,0): a Long
+    * multiply silently wraps past n ≈ 9.2e6 pair-counts in Spark while
+    * the DuckDB oracle's HUGEINT errors — decimal keeps both engines
+    * exact and identical. (Bound: the per-term QUOTIENT must still fit
+    * a Long — needs n > 9.2e6·(s_i+s_j), unreachable with micro-unit
+    * strengths ≥ 1 for any corpus that fits storage.)
     */
   def btStrengths(outcomes: DataFrame, winnerCol: String, loserCol: String,
                   nCol: String, iters: Int = 3): DataFrame = {
@@ -102,23 +120,35 @@ object Preference {
       col(nCol).cast("long").as("n"))
     val games = o.select(col("w").as("id"), col("l").as("opp"), col("n"))
       .unionByName(o.select(col("l").as("id"), col("w").as("opp"), col("n")))
+      .localCheckpoint(eager = true)
     val items = games.select(col("id")).distinct()
+      .localCheckpoint(eager = true)
     val wins = o.groupBy(col("w").as("id")).agg(sum("n").as("wn"))
+      .localCheckpoint(eager = true)
     var s = items.withColumn("sm", lit(1000000L))
     for (_ <- 1 to math.max(1, iters)) {
       val d = games
         .join(s.select(col("id"), col("sm").as("sa")), Seq("id"))
         .join(s.select(col("id").as("opp"), col("sm").as("sb")), Seq("opp"))
         .groupBy("id")
-        .agg(sum(expr("n * 1000000000000 div (sa + sb)")).as("dd"))
-      s = items
+        .agg(sum(expr(
+          "cast(n as decimal(38,0)) * 1000000000000 div (sa + sb)")
+          .cast("decimal(38,0)")).as("dd"))
+      val next = items
         .join(wins, Seq("id"), "left")
         .join(d, Seq("id"), "left")
         .select(col("id"),
           when(col("dd").isNull || col("dd") === 0L, lit(1000000L))
-            .otherwise(expr("coalesce(wn, 0) * 1000000000000 div dd"))
+            .otherwise(expr(
+              "cast(coalesce(wn, 0) as decimal(38,0)) * 1000000000000 div dd"))
             .as("sm"))
+        .localCheckpoint(eager = true)
+      CheckpointBridge.unpersistCheckpoint(s)
+      s = next
     }
+    // release the games table (the one data-sized checkpoint); the
+    // |items|-row s/wins/items frames back the returned plan and stay
+    CheckpointBridge.unpersistCheckpoint(games)
     s.join(wins, Seq("id"), "left")
       .select(col("id").as("item"), col("sm").as("strength_micro"),
         coalesce(col("wn"), lit(0L)).as("wins"))
@@ -137,10 +167,14 @@ object Preference {
     val delta = col(chosenLenCol) - col(rejectedLenCol)
     pairsDf
       .filter(delta =!= 0L)
-      .select(least(expr(
-          s"abs($chosenLenCol - $rejectedLenCol) div $bucketWidth"),
-          lit(maxBucket)).as("gap_bucket"),
+      // materialize |delta| under a fixed name before the SQL-string
+      // `div` — interpolating CALLER column names into expr() breaks on
+      // any name needing backticks; only the Long params are inlined
+      .select(abs(delta).as("_gap"),
         when(delta > 0, 1L).otherwise(0L).as("longer_won"))
+      .select(least(expr(s"_gap div $bucketWidth"),
+          lit(maxBucket)).as("gap_bucket"),
+        col("longer_won"))
       .groupBy("gap_bucket")
       .agg(count(lit(1)).as("n"), sum("longer_won").as("longer_wins"))
       .select(col("gap_bucket"), col("n"), col("longer_wins"),
@@ -171,12 +205,16 @@ object Evals {
     */
   def rougeN(pairsDf: DataFrame, pairIdCol: String, refCol: String,
              candCol: String, n: Int = 2): DataFrame = {
-    def grams(textCol: String, side: String): DataFrame = pairsDf
-      .select(col(pairIdCol),
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("gs"))
-      .select(col(pairIdCol), explode(col("gs")).as("g"))
-      .groupBy(col(pairIdCol), col("g"))
-      .agg(count(lit(1)).as(s"c_$side"))
+    // explodeShingles, NOT an inline shingles(tokens(..)) + explode:
+    // the inline form is the interpreted-HOF O(tokens²) trap (see the
+    // PERF notes on TextAnalysis.shingles / explodeShingles)
+    def grams(textCol: String, side: String): DataFrame =
+      TextAnalysis.explodeShingles(
+          pairsDf.select(col(pairIdCol), col(textCol)), textCol, n,
+          col(pairIdCol))
+        .withColumnRenamed("s", "g")
+        .groupBy(col(pairIdCol), col("g"))
+        .agg(count(lit(1)).as(s"c_$side"))
     val rc = grams(refCol, "ref")
     val cc = grams(candCol, "cand")
     val clipped = rc.join(cc, Seq(pairIdCol, "g"))

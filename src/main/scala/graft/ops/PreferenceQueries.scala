@@ -55,16 +55,18 @@ object PreferenceQueries {
   /** One unrolled Bradley–Terry MM iteration (integer micro
     * fixed-point): d_k = per-item Σ n·10¹² // (s_i+s_j) over the
     * symmetrized games, s_k = W·10¹² // d (no-game items keep 1e6,
-    * never-winners floor at 0).
+    * never-winners floor at 0). The ·10¹² products run in HUGEINT,
+    * mirroring the engine's decimal(38,0) — a BIGINT multiply wraps in
+    * Spark / errors here once a pair count passes ~9.2e6.
     */
   private def btIter(k: Int): String = {
     val prev = if (k == 1) "s0" else s"s${k - 1}"
-    s"""d$k AS (SELECT g.id, CAST(sum((g.n * 1000000000000) // (a.sm + b.sm)) AS BIGINT) AS dd
+    s"""d$k AS (SELECT g.id, sum((CAST(g.n AS HUGEINT) * 1000000000000) // (a.sm + b.sm)) AS dd
        |        FROM g JOIN $prev a ON a.id = g.id JOIN $prev b ON b.id = g.opp
        |        GROUP BY g.id),
        |s$k AS (SELECT i.id,
        |          CAST(CASE WHEN d.dd IS NULL OR d.dd = 0 THEN 1000000
-       |               ELSE (coalesce(w.wn, 0) * 1000000000000) // d.dd END AS BIGINT) AS sm
+       |               ELSE (CAST(coalesce(w.wn, 0) AS HUGEINT) * 1000000000000) // d.dd END AS BIGINT) AS sm
        |        FROM items i LEFT JOIN d$k d ON d.id = i.id
        |        LEFT JOIN wins w ON w.id = i.id)""".stripMargin
   }
