@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AnalyticsQueries, LlmQueries, PipelineQueries, PreferenceQueries, RelationalQueries, ReportQueries}
+import graft.ops.{AnalyticsQueries, LlmQueries, PackingQueries, PipelineQueries, PreferenceQueries, RelationalQueries, ReportQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  // lazy val: the six-map merge over 260+ entries runs once, not per
+  // lazy val: the seven-map merge over 260+ entries runs once, not per
   // queries/oracleSql access (Explain calls queries in a loop)
   private lazy val registry: Map[String, ops.Q] =
     RelationalQueries.all ++ LlmQueries.all ++ ReportQueries.all ++
-      PipelineQueries.all ++ AnalyticsQueries.all ++ PreferenceQueries.all
+      PipelineQueries.all ++ AnalyticsQueries.all ++ PreferenceQueries.all ++
+      PackingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative multi-operator pipeline: scan → broadcast dim joins

@@ -1,0 +1,201 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing operators: lay a document corpus out as the token
+  * stream a trainer actually consumes, and measure what each packing
+  * policy costs (boundary-crossing docs, padding waste).
+  *
+  * Reference has no packing (its scope is relational ingestion); this
+  * family exists because LLM pretraining feeds fixed-capacity context
+  * windows, and the two standard policies — concat-and-chunk (GPT-style,
+  * zero padding, documents split at chunk boundaries) and no-split bin
+  * packing (SFT-style, padding waste, documents intact) — are corpus-
+  * level layout computations, exactly what a data engine should answer
+  * before a single GPU spins up.
+  *
+  * Scale posture: the concat layout needs a GLOBAL prefix sum, which a
+  * naive `Window.orderBy` computes on ONE task. [[withStreamOffsets]]
+  * instead runs the classic two-level scan: per-block sums (one keyed
+  * shuffle), a window over the |corpus|/blockSize-row block-summary
+  * frame, then per-block intra-window partials — every data-sized step
+  * is keyed on the block id, so 100 TB packs with the same plan shape.
+  */
+object Packing {
+
+  /** Adds the exclusive global prefix sum of `lenCol` in `idCol` order
+    * as `start_off`: row r's value = Σ len over all rows with smaller
+    * id. Rows with len <= 0 are dropped (they occupy no stream space
+    * and would only create zero-width chunk spans).
+    *
+    * `idCol` must be numeric and unique; blocks are `id div blockSize`
+    * — monotonic in id, so block ranges tile the global order without
+    * requiring dense ids. Two-level scan (see object doc); pick
+    * blockSize so |ids| / blockSize is at most ~1e6 summary rows.
+    */
+  def withStreamOffsets(df: DataFrame, idCol: String, lenCol: String,
+                        blockSize: Long = 1L << 20): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val base = df
+      .withColumn("_id", col(idCol).cast("long"))
+      .withColumn("_len", col(lenCol).cast("long"))
+      .filter(col("_len") > 0L)
+      .withColumn("_blk", expr(s"_id div $blockSize"))
+    val blkSums = base.groupBy("_blk").agg(sum("_len").as("_bsum"))
+    // deliberate global window over BLOCK SUMMARIES, not data rows —
+    // bounded at |ids|/blockSize rows by construction (audited r10)
+    val wBlk = Window.orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blkSums
+      .select(col("_blk"),
+        coalesce(sum("_bsum").over(wBlk), lit(0L)).as("_boff"))
+    val wIn = Window.partitionBy("_blk").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), Seq("_blk"))
+      .withColumn("start_off",
+        col("_boff") + coalesce(sum("_len").over(wIn), lit(0L)))
+      .drop("_blk", "_boff")
+  }
+
+  /** Concat-and-chunk layout: the corpus as one token stream cut into
+    * `capacity`-token training chunks. Per doc: stream offset, the
+    * first/last chunk it lands in, and how many chunks it spans
+    * (spans > 1 = split across a training-example boundary — the
+    * attention-contamination rows a masking policy has to handle).
+    */
+  def tokenStreamPack(df: DataFrame, idCol: String, lenCol: String,
+                      capacity: Long, blockSize: Long = 1L << 20): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    withStreamOffsets(df, idCol, lenCol, blockSize)
+      .select(col(idCol), col("_len").as("n_tokens"), col("start_off"),
+        expr(s"start_off div $capacity").as("chunk_first"),
+        expr(s"(start_off + _len - 1) div $capacity").as("chunk_last"))
+      .withColumn("n_chunks_spanned",
+        col("chunk_last") - col("chunk_first") + 1L)
+  }
+
+  /** Per-chunk rollup of [[tokenStreamPack]]: docs overlapping each
+    * chunk, how many of them cross a boundary, and the tokens the chunk
+    * actually holds (== capacity everywhere but the tail — concat
+    * packing wastes nothing). Explodes each doc to its spanned chunks
+    * (spans are 1 + len/capacity, so the explode is ~|corpus| rows),
+    * then one groupBy on the chunk id.
+    */
+  def streamChunkStats(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    packed
+      .select(col("start_off"), col("n_tokens"), col("n_chunks_spanned"),
+        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chunks_spanned") > 1L, 1L).otherwise(0L))
+          .as("n_boundary_docs"),
+        sum(least(col("start_off") + col("n_tokens"),
+            (col("chunk_id") + 1L) * capacity) -
+          greatest(col("start_off"), col("chunk_id") * capacity))
+          .as("tokens_in_chunk"))
+  }
+
+  /** No-split bin packing, power-of-two length buckets: docs keep their
+    * boundaries (SFT/eval batching), each bin holds
+    * k = max(1, capacity div 2^(lb+1)) docs of bucket
+    * lb = ⌊log₂ len⌋ — k docs of length < 2^(lb+1) always fit, so the
+    * capacity guarantee is structural, not checked per bin. Fully
+    * parallel: bucket assignment is a row expression, bin assignment a
+    * per-bucket ROW_NUMBER div k.
+    *
+    * Per doc: (id, len, len_bucket, bin_idx, fits). Docs with
+    * len > capacity can never pack — they get len_bucket = -1,
+    * bin_idx = 0, fits = false (count them, then chunk or drop them
+    * upstream). len <= 0 rows are dropped as in the stream layout.
+    *
+    * ⌊log₂ len⌋ rides `length(bin(len)) - 1` — exact in both engines,
+    * unlike libm log2 which can flip 2^k boundaries.
+    */
+  def binPack(df: DataFrame, idCol: String, lenCol: String,
+              capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    df
+      .withColumn("_id", col(idCol).cast("long"))
+      .withColumn("_len", col(lenCol).cast("long"))
+      .filter(col("_len") > 0L)
+      .withColumn("len_bucket",
+        when(col("_len") > capacity, lit(-1L))
+          .otherwise(expr("length(bin(_len)) - 1").cast("long")))
+      .withColumn("bin_idx",
+        when(col("len_bucket") === -1L, lit(0L))
+          .otherwise(expr(
+            s"""(row_number() OVER (PARTITION BY len_bucket ORDER BY _id) - 1)
+               | div greatest(1L, $capacity div shiftleft(cast(1 as bigint),
+               |                    cast(len_bucket + 1 as int)))""".stripMargin)))
+      .select(col(idCol), col("_len").as("len"), col("len_bucket"),
+        col("bin_idx"), (col("len_bucket") =!= -1L).as("fits"))
+  }
+
+  /** Greedy boundary-respecting chunker: each document's segments
+    * (sentences, paragraphs — whatever the caller split on) are packed
+    * left-to-right into `capacity`-token chunks, cutting BEFORE any
+    * segment that would overflow the current chunk, so no segment is
+    * ever split. A single segment larger than `capacity` still gets its
+    * own (overflowing) chunk and is counted in `n_overflow_segments` —
+    * the caller's signal to re-split or drop.
+    *
+    * `segCountsCol` is an array<long> of per-segment token counts in
+    * document order (zero/negative entries are ignored). The greedy
+    * scan is a per-document `aggregate()` fold over that array — pure
+    * map-side column algebra: NO shuffle, no UDF, linear in total
+    * segments, embarrassingly parallel at any corpus size. (The fold
+    * state starts at cur = capacity so the first segment always opens
+    * chunk 1 — no empty-chunk special case.)
+    */
+  def greedyChunks(df: DataFrame, idCol: String, segCountsCol: String,
+                   capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val cap = lit(capacity)
+    // materialize the filtered array ONCE, then fold over the named
+    // column — folding over the building expression would re-evaluate
+    // the filter per consumer
+    val folded = aggregate(
+      col("_counts"),
+      struct(lit(0L).as("chunks"), cap.as("cur"), lit(0L).as("ovf")),
+      (acc, c) => struct(
+        when(acc("cur") + c > cap, acc("chunks") + 1L)
+          .otherwise(acc("chunks")).as("chunks"),
+        when(acc("cur") + c > cap, c)
+          .otherwise(acc("cur") + c).as("cur"),
+        (acc("ovf") + when(c > cap, 1L).otherwise(0L)).as("ovf")))
+    df
+      .withColumn("_counts",
+        filter(col(segCountsCol).cast("array<long>"), c => c > 0L))
+      .select(col(idCol),
+        size(col("_counts")).cast("long").as("n_segments"),
+        aggregate(col("_counts"), lit(0L), (a, c) => a + c).as("n_tokens"),
+        folded("chunks").as("n_chunks"),
+        folded("ovf").as("n_overflow_segments"))
+  }
+
+  /** Waste audit of [[binPack]]: per length bucket, bins used, tokens
+    * filled, padding waste against `n_bins · capacity`, and the fill
+    * rate. The oversize bucket (-1) reports its doc count with zeroed
+    * packing stats — those docs are unpacked by definition. One groupBy
+    * on the ≤ log₂(capacity)+2-key bucket frame.
+    */
+  def binPackStats(assign: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val packable = col("len_bucket") =!= -1L
+    assign.groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        max("bin_idx").as("_maxBin"), sum("len").as("_lenSum"))
+      .select(col("len_bucket"), col("n_docs"),
+        when(packable, col("_maxBin") + 1L).otherwise(0L).as("n_bins"),
+        when(packable, col("_lenSum")).otherwise(0L).as("filled"),
+        when(packable, (col("_maxBin") + 1L) * capacity - col("_lenSum"))
+          .otherwise(0L).as("waste"),
+        round(when(packable, col("_lenSum").cast("double") /
+            ((col("_maxBin") + 1L) * capacity)).otherwise(lit(0.0)), 6)
+          .as("fill_rate"))
+  }
+}

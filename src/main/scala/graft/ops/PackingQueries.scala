@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.llm.{Conversations, Packing, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing operators (graft.llm.Packing) with their DuckDB
+  * oracles: the concat-and-chunk token-stream layout (per-doc offsets +
+  * per-chunk rollup) and no-split power-of-two bin packing (documents
+  * and assembled conversations).
+  *
+  * Oracle portability: the engine's two-level distributed prefix scan
+  * must equal DuckDB's single `sum() OVER (ORDER BY id)` — that IS the
+  * correctness claim for the scalable layout. ⌊log₂ n⌋ rides
+  * `length(bin(n)) - 1` on both sides (libm log2 flips 2^k edges);
+  * truncating integral division is `div` / `//` (identical semantics,
+  * verified r8); everything else is BIGINT algebra + one round(6).
+  */
+object PackingQueries {
+
+  private def tb(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** documents with the whitespace token count, mirroring
+    * TextAnalysis.tokens exactly (lower, split \s+, drop empties).
+    */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    tb(s, dir).documents.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+
+  private val docTokensCte =
+    """t AS (SELECT doc_id,
+      |        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '')) AS BIGINT) AS n
+      |      FROM documents)""".stripMargin
+
+  /** Shared binned-packing oracle tail over a (id, n) CTE named `nz`:
+    * bucket = ⌊log₂ n⌋ (cap-overflow → -1), per-bucket row_number div
+    * k = max(1, cap // 2^(lb+1)), then the per-bucket waste rollup.
+    */
+  private def binPackSql(idCol: String, cap: Long, nDocsAlias: String) =
+    s"""b AS (SELECT $idCol, n,
+       |        CASE WHEN n > $cap THEN CAST(-1 AS BIGINT)
+       |             ELSE CAST(length(bin(n)) - 1 AS BIGINT) END AS lb
+       |      FROM nz),
+       |a AS (SELECT $idCol, n, lb,
+       |        CASE WHEN lb = -1 THEN 0
+       |             ELSE (row_number() OVER (PARTITION BY lb ORDER BY $idCol) - 1)
+       |                  // greatest(1, $cap // (CAST(1 AS BIGINT) << CAST(lb + 1 AS INT)))
+       |        END AS bin_idx
+       |      FROM b)
+       |SELECT lb AS len_bucket, CAST(count(*) AS BIGINT) AS $nDocsAlias,
+       |  CAST(CASE WHEN lb = -1 THEN 0 ELSE max(bin_idx) + 1 END AS BIGINT) AS n_bins,
+       |  CAST(CASE WHEN lb = -1 THEN 0 ELSE sum(n) END AS BIGINT) AS filled,
+       |  CAST(CASE WHEN lb = -1 THEN 0 ELSE (max(bin_idx) + 1) * $cap - sum(n) END AS BIGINT) AS waste,
+       |  round(CASE WHEN lb = -1 THEN 0.0
+       |        ELSE CAST(sum(n) AS DOUBLE) / ((max(bin_idx) + 1) * $cap) END, 6) AS fill_rate
+       |FROM a GROUP BY lb ORDER BY len_bucket""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- concat-and-chunk layout, per-doc (Packing.tokenStreamPack):
+    //      the distributed two-level prefix scan (blockSize 64 ≈ 8
+    //      blocks at sf0.01, 80 at sf0.1 — boundaries exercised at
+    //      every SF) vs DuckDB's single global cumsum window ----
+    "q_pack_stream_docs" -> Q(
+      s"""WITH $docTokensCte,
+         |nz AS (SELECT * FROM t WHERE n > 0),
+         |c AS (SELECT doc_id, n,
+         |        coalesce(sum(n) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+         |      FROM nz)
+         |SELECT doc_id, n AS n_tokens, CAST(so AS BIGINT) AS start_off,
+         |       CAST(so // 512 AS BIGINT) AS chunk_first,
+         |       CAST((so + n - 1) // 512 AS BIGINT) AS chunk_last,
+         |       CAST((so + n - 1) // 512 - so // 512 + 1 AS BIGINT) AS n_chunks_spanned
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Packing.tokenStreamPack(docTokens(s, dir), "doc_id", "n",
+          capacity = 512L, blockSize = 64L)
+        .orderBy("doc_id")
+    },
+
+    // ---- per-chunk rollup (Packing.streamChunkStats): every chunk
+    //      but the tail must hold exactly `capacity` tokens — concat
+    //      packing has zero padding by construction ----
+    "q_pack_stream_chunks" -> Q(
+      s"""WITH $docTokensCte,
+         |nz AS (SELECT * FROM t WHERE n > 0),
+         |c AS (SELECT doc_id, n,
+         |        CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+         |      FROM nz),
+         |e AS (SELECT c.*, (so + n - 1) // 512 - so // 512 + 1 AS spans,
+         |        unnest(range(CAST(so // 512 AS BIGINT),
+         |                     CAST((so + n - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+         |      FROM c)
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+         |  CAST(sum(least(so + n, (chunk_id + 1) * 512)
+         |           - greatest(so, chunk_id * 512)) AS BIGINT) AS tokens_in_chunk
+         |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      Packing.streamChunkStats(
+          Packing.tokenStreamPack(docTokens(s, dir), "doc_id", "n",
+            capacity = 512L, blockSize = 64L),
+          capacity = 512L)
+        .orderBy("chunk_id")
+    },
+
+    // ---- no-split bin packing over documents (Packing.binPack +
+    //      binPackStats): capacity 64 makes the corpus tail oversize,
+    //      exercising the -1 bucket; the len-2^k bucket rule keeps the
+    //      capacity guarantee structural (no per-bin check needed) ----
+    "q_pack_binned" -> Q(
+      s"""WITH $docTokensCte,
+         |nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+         |${binPackSql("doc_id", 64L, "n_docs")}""".stripMargin) { (s, dir) =>
+      Packing.binPackStats(
+          Packing.binPack(docTokens(s, dir), "doc_id", "n", capacity = 64L),
+          capacity = 64L)
+        .orderBy("len_bucket")
+    },
+
+    // ---- greedy boundary-respecting chunker (Packing.greedyChunks):
+    //      per-doc aggregate() fold, NO shuffle. Segments are ' the '-
+    //      delimited spans (the synthetic corpus has no sentence
+    //      punctuation; production callers split on [.!?]+\s+). The
+    //      oracle replays the same greedy scan as a recursive CTE ----
+    "q_pack_greedy_chunks" -> Q(
+      """WITH RECURSIVE segs AS (
+        |  SELECT doc_id, i, CAST(len(list_filter(string_split_regex(lower(sp), '\s+'), x -> x <> '')) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' the ')) AS sp,
+        |               unnest(range(1, len(string_split(lower(text), ' the ')) + 1)) AS i
+        |        FROM documents)
+        |  WHERE len(list_filter(string_split_regex(lower(sp), '\s+'), x -> x <> '')) > 0),
+        |ren AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, c FROM segs),
+        |mx AS (SELECT doc_id, max(i) AS m, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(count(*) AS BIGINT) AS n_segments FROM ren GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS chunks, c AS cur,
+        |         CASE WHEN c > 24 THEN 1 ELSE 0 END AS ovf
+        |  FROM ren WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1,
+        |         CASE WHEN r.cur + s.c > 24 THEN r.chunks + 1 ELSE r.chunks END,
+        |         CASE WHEN r.cur + s.c > 24 THEN s.c ELSE r.cur + s.c END,
+        |         r.ovf + CASE WHEN s.c > 24 THEN 1 ELSE 0 END
+        |  FROM r JOIN ren s ON s.doc_id = r.doc_id AND s.i = r.i + 1)
+        |SELECT m.doc_id, m.n_segments, m.n_tokens, r.chunks AS n_chunks,
+        |       CAST(r.ovf AS BIGINT) AS n_overflow_segments
+        |FROM mx m JOIN r ON r.doc_id = m.doc_id AND r.i = m.m
+        |ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
+      val segCounts = filter(
+        transform(split(lower(col("text")), " the "),
+          sp => size(TextAnalysis.tokens(sp)).cast("long")),
+        c => c > 0L)
+      Packing.greedyChunks(
+          tb(s, dir).documents.select(col("doc_id"), segCounts.as("segc")),
+          "doc_id", "segc", capacity = 24L)
+        .filter(col("n_segments") > 0L)
+        .orderBy("doc_id")
+    },
+
+    // ---- conversation packing (Conversations.assemble → binPack):
+    //      pack whole assembled conversations into context windows by
+    //      total turn length — the SFT batching question. conv key =
+    //      user_id·10⁶ + conv_seq (sessions-per-user < 10⁶) ----
+    "q_pack_conversations" -> Q(
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |                  length(coalesce(props, '')) AS len FROM events),
+         |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         |      FROM l),
+         |cv AS (SELECT user_id * 1000000 + session_seq AS conv_id,
+         |              CAST(sum(len) AS BIGINT) AS n
+         |       FROM s GROUP BY user_id, session_seq),
+         |nz AS (SELECT conv_id, n FROM cv WHERE n > 0),
+         |${binPackSql("conv_id", 4096L, "n_convs")}""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+        .withColumn("len", length(coalesce(col("props"), lit(""))).cast("long"))
+      val convs = Conversations.assemble(ev, "user_id", "ts", "event_id",
+          "event_type", "len")
+        .select((col("user_id") * 1000000L + col("conv_seq")).as("conv_id"),
+          col("total_len").as("n"))
+      Packing.binPackStats(
+          Packing.binPack(convs, "conv_id", "n", capacity = 4096L),
+          capacity = 4096L)
+        .withColumnRenamed("n_docs", "n_convs")
+        .orderBy("len_bucket")
+    }
+  )
+}

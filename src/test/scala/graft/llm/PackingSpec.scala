@@ -1,0 +1,111 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withStreamOffsets: exclusive prefix matches a single-window oracle " +
+      "across block boundaries, sparse ids, and zero-length drops") {
+    // sparse ids spanning several blockSize=4 blocks; one zero-length doc
+    val docs = Seq((1L, 10L), (2L, 7L), (6L, 0L), (9L, 5L), (14L, 3L),
+      (15L, 8L), (31L, 2L)).toDF("id", "n")
+    val got = Packing.withStreamOffsets(docs, "id", "n", blockSize = 4L)
+      .select("id", "start_off").as[(Long, Long)].collect().sortBy(_._1)
+    // manual exclusive prefix over (1,10)(2,7)(9,5)(14,3)(15,8)(31,2)
+    assert(got === Array((1L, 0L), (2L, 10L), (9L, 17L), (14L, 22L),
+      (15L, 25L), (31L, 33L)))
+  }
+
+  test("withStreamOffsets: no global data-row window — the only " +
+      "unpartitioned window runs on block summaries") {
+    val docs = (0L until 64L).map(i => (i, i % 7L + 1L)).toDF("id", "n")
+    val plan = Packing.withStreamOffsets(docs, "id", "n", blockSize = 8L)
+      .queryExecution.executedPlan.toString
+    // the intra-block window must be keyed on the block id
+    assert(plan.contains("_blk"), plan)
+  }
+
+  test("tokenStreamPack + streamChunkStats: chunk spans, boundary docs, " +
+      "and full-chunk invariant on a handcrafted stream") {
+    // stream: 5,5,6 with capacity 8 → offsets 0,5,10; doc 2 spans
+    // chunks 0-1, doc 3 spans 1-2 (ends at 16 exactly → last=15 div 8=1)
+    val docs = Seq((1L, 5L), (2L, 5L), (3L, 6L)).toDF("id", "n")
+    val packed = Packing.tokenStreamPack(docs, "id", "n", capacity = 8L,
+      blockSize = 2L)
+    val rows = packed.select("id", "start_off", "chunk_first", "chunk_last",
+        "n_chunks_spanned").as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows === Array((1L, 0L, 0L, 0L, 1L), (2L, 5L, 0L, 1L, 2L),
+      (3L, 10L, 1L, 1L, 1L)))
+    val chunks = Packing.streamChunkStats(packed, capacity = 8L)
+      .select("chunk_id", "n_docs", "n_boundary_docs", "tokens_in_chunk")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // chunk 0: docs 1,2 (2 crosses); chunk 1: docs 2,3; totals 8 and 8
+    assert(chunks === Array((0L, 2L, 1L, 8L), (1L, 2L, 1L, 8L)))
+  }
+
+  test("binPack: capacity guarantee holds on randomized lengths and every " +
+      "doc is assigned exactly once") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 500L).map(i => (i, rnd.nextInt(200).toLong + 1L))
+      .toDF("id", "n")
+    val cap = 128L
+    val assign = Packing.binPack(docs, "id", "n", cap)
+    val binTotals = assign.filter(col("fits"))
+      .groupBy("len_bucket", "bin_idx").agg(sum("len").as("t"))
+      .select("t").as[Long].collect()
+    assert(binTotals.nonEmpty && binTotals.forall(_ <= cap),
+      s"overfull bin: ${binTotals.max}")
+    // partition: fits + oversize counts = all positive-length docs
+    val n = assign.count()
+    assert(n === 500L)
+    val oversize = assign.filter(!col("fits"))
+    assert(oversize.count() ===
+      docs.filter(col("n") > cap).count())
+    assert(oversize.select("len_bucket").distinct().as[Long].collect()
+      .toSeq === Seq(-1L))
+  }
+
+  test("greedyChunks: hand-traced greedy cuts, overflow segments, zero " +
+      "filtering, and the empty-array doc") {
+    // cap 10: doc 1 [4,5,2,9] → {4,5},{2},{9}… greedy: 4+5=9, +2>10 cut,
+    //   2+9>10 cut → 3 chunks; doc 2 [12,1] → 12 overflows alone, then 1
+    //   → 2 chunks, 1 overflow; doc 3 [0,3] → zero dropped → 1 chunk;
+    //   doc 4 [] → 0 segments, 0 chunks
+    val docs = Seq(
+      (1L, Seq(4L, 5L, 2L, 9L)), (2L, Seq(12L, 1L)),
+      (3L, Seq(0L, 3L)), (4L, Seq.empty[Long])
+    ).toDF("id", "segc")
+    val got = Packing.greedyChunks(docs, "id", "segc", capacity = 10L)
+      .select("id", "n_segments", "n_tokens", "n_chunks", "n_overflow_segments")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 4L, 20L, 3L, 0L), (2L, 2L, 13L, 2L, 1L),
+      (3L, 1L, 3L, 1L, 0L), (4L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("greedyChunks: map-side only — no Exchange in the plan") {
+    val docs = Seq((1L, Seq(4L, 5L))).toDF("id", "segc")
+    val plan = Packing.greedyChunks(docs, "id", "segc", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("binPackStats: hand-checked buckets, waste, and the oversize row") {
+    // cap 16: lens 4,5 → bucket 2 (k=2); 9 → bucket 3 (k=1); 20 → oversize
+    val docs = Seq((1L, 4L), (2L, 5L), (3L, 4L), (4L, 9L), (5L, 20L))
+      .toDF("id", "n")
+    val stats = Packing.binPackStats(
+        Packing.binPack(docs, "id", "n", 16L), 16L)
+      .select("len_bucket", "n_docs", "n_bins", "filled", "waste", "fill_rate")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(stats === Array(
+      (-1L, 1L, 0L, 0L, 0L, 0.0),
+      // bucket 2: docs 1,2 in bin 0 (9 tokens), doc 3 in bin 1 (4) →
+      // 2 bins, filled 13, waste 32-13=19
+      (2L, 3L, 2L, 13L, 19L, 0.40625),
+      (3L, 1L, 1L, 9L, 7L, 0.5625)))
+  }
+}

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Registry integrity: SparkEntry merges six Map literals — a
+/** Registry integrity: SparkEntry merges seven Map literals — a
   * duplicated query name (within one file or across files) would
   * silently collapse to one entry and drop an oracle from the
   * correctness gate. Scala can't see duplicate Map keys at compile
