@@ -121,6 +121,45 @@ object PackingQueries {
         .orderBy("len_bucket")
     },
 
+    // ---- the STREAMING face of token-stream packing (PackStream):
+    //      per-source totals maintained through a 3-way batch split;
+    //      each batch extends every source's stream from the
+    //      accumulated total (replay-idempotent delta protocol). The
+    //      oracle is the BATCH layout per source with (batch, id)
+    //      arrival order — the equality IS the incremental-fold claim ----
+    "q_stream_pack" -> Q(
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n
+        |           FROM documents),
+        |nz AS (SELECT * FROM t WHERE n > 0),
+        |o AS (SELECT doc_id, source, n,
+        |        CAST(coalesce(sum(n) OVER (PARTITION BY source
+        |          ORDER BY doc_id % 3, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+        |      FROM nz)
+        |SELECT source, doc_id, n AS n_tokens, so AS start_off,
+        |       CAST(so // 512 AS BIGINT) AS chunk_first,
+        |       CAST((so + n - 1) // 512 AS BIGINT) AS chunk_last,
+        |       CAST(doc_id % 3 AS BIGINT) AS batch_id
+        |FROM o ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val tmp = Scratch.dir("graft_packstream_")
+      val store = s"${tmp.getPath}/store"
+      val d = tb(s, dir).documents.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      (0 to 2).foreach { i =>
+        graft.streaming.PackStream.applyBatch(
+          d.filter(col("doc_id") % 3 === i), "doc_id", "n", "source",
+          store, capacity = 512L, batchId = i.toLong, queryId = "q")
+      }
+      s.read.option("basePath", s"$store/layout")
+        .parquet(s"$store/layout/batch=*")
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("start_off"), col("chunk_first"), col("chunk_last"),
+          col("batch").cast("long").as("batch_id"))
+        .orderBy("source", "doc_id")
+    },
+
     // ---- greedy boundary-respecting chunker (Packing.greedyChunks):
     //      per-doc aggregate() fold, NO shuffle. Segments are ' the '-
     //      delimited spans (the synthetic corpus has no sentence

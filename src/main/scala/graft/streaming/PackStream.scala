@@ -1,0 +1,155 @@
+package graft.streaming
+
+import graft.core.Fs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming sequence packing: lay a CONTINUOUSLY-ARRIVING corpus out
+  * as per-source token streams (graft.llm.Packing's concat-and-chunk
+  * rule) without ever rescanning what already landed. Each micro-batch
+  * extends every source's stream from the accumulated per-source total,
+  * so the per-batch cost is batch-sized + |sources| state rows — the
+  * shape an always-on ingestion layer needs at 100 TB, where batch
+  * `tokenStreamPack` over the whole corpus per refresh would be
+  * O(corpus) every time.
+  *
+  * Store layout under `storeDir` (the [[IncrDedupStream]] protocol):
+  *  - `totals/ingest_batch=<queryId>_<batchId>/` — one immutable
+  *    (source, bsum) delta per batch; the live per-source totals are
+  *    the sum over deltas. Appending is O(|sources in batch|).
+  *  - `layout/batch=<id>/` — per-doc stream positions for that batch,
+  *    overwrite-idempotent, keyed by batchId alone (same caveat as
+  *    IncrDedupStream's verdicts: archive before a checkpoint reset).
+  *
+  * Replay safety: a batch computes prior totals EXCLUDING its own
+  * delta tag, then overwrites its layout dir and its delta dir — a
+  * crash anywhere replays into an identical recompute. A checkpoint
+  * RESET that re-ingests the same data must clear `totals/` first
+  * (stale tags would double-count; unlike the dedup index, totals are
+  * a sum, not a set).
+  *
+  * Ordering contract: offsets follow (arrival batch, id) order within
+  * each source. With a deterministic ingest order (files named in id
+  * order, AvailableNow) the final layout equals the batch
+  * `tokenStreamPack` partitioned by source — that equivalence is the
+  * oracle claim (`q_stream_pack`) and PackStreamSpec's live-stream
+  * assertion.
+  */
+object PackStream {
+
+  def totalsPath(storeDir: String): String = s"$storeDir/totals"
+
+  def layoutPath(storeDir: String, batchId: Long): String =
+    s"$storeDir/layout/batch=$batchId"
+
+  private def tagOf(queryId: String, batchId: Long): String = {
+    val qid = if (queryId.isEmpty) "q" else queryId
+    s"${qid}_$batchId"
+  }
+
+  /** Live per-source totals as (src, bsum, ingest_batch); typed empty
+    * frame when the store is new.
+    */
+  private def readTotals(template: DataFrame, tot: String): DataFrame = {
+    val spark = template.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (Fs.exists(tot, conf)) spark.read.parquet(tot)
+    else template.limit(0).select(col("src"), col("_len").as("bsum"))
+      .withColumn("ingest_batch", lit(""))
+  }
+
+  /** Extend every source's token stream with one batch: per-doc stream
+    * offsets = accumulated source total + intra-batch exclusive prefix
+    * (a per-source window — batch-sized by definition, unlike the
+    * corpus-sized scan Packing.withStreamOffsets tiles into blocks).
+    * Writes the batch layout and the totals delta; both writes are
+    * overwrite-idempotent under replay (see object doc). Direct callers
+    * (batchId = -1) get a `direct_<n>` delta tag and no layout dir —
+    * same single-writer ownership rule as IncrDedupStream.
+    */
+  def applyBatch(batch: DataFrame, idCol: String, lenCol: String,
+                 srcCol: String, storeDir: String, capacity: Long,
+                 batchId: Long = -1L, queryId: String = ""): Unit = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tot = totalsPath(storeDir)
+    val base = batch
+      .select(col(srcCol).as("src"), col(idCol).cast("long").as("_id"),
+        col(lenCol).cast("long").as("_len"))
+      .filter(col("_len") > 0L)
+      .cache()
+    val tag =
+      if (batchId >= 0) tagOf(queryId, batchId)
+      else {
+        // sweep uncommitted direct deltas: a crashed write's partial
+        // delta counted into a fresh tag would dodge the
+        // self-exclusion below and double-count its sums
+        Fs.listDirs(tot, conf)
+          .filter(d => !Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
+          .foreach(d => Fs.delete(d.getPath.toString, conf, recursive = true))
+        s"direct_${Fs.listDirs(tot, conf).length}"
+      }
+    // prior totals EXCLUDE our own tag — a replay must extend from the
+    // same base it saw the first time, not from its half-committed self
+    val prior = readTotals(base, tot)
+      .filter(col("ingest_batch") =!= tag)
+      .groupBy("src").agg(sum("bsum").as("prior"))
+    val wIn = Window.partitionBy("src").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val layout = base
+      .join(prior, Seq("src"), "left")
+      .withColumn("start_off", coalesce(col("prior"), lit(0L)) +
+        coalesce(sum("_len").over(wIn), lit(0L)))
+      .select(col("src").as("source"), col("_id").as(idCol),
+        col("_len").as("n_tokens"), col("start_off"),
+        expr(s"start_off div $capacity").as("chunk_first"),
+        expr(s"(start_off + _len - 1) div $capacity").as("chunk_last"))
+    try {
+      if (batchId >= 0)
+        layout.write.mode("overwrite").parquet(layoutPath(storeDir, batchId))
+      base.groupBy("src").agg(sum("_len").as("bsum"))
+        .write.mode("overwrite").parquet(s"$tot/ingest_batch=$tag")
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
+
+  /** Absorb all totals deltas into one summed `compacted_<n>` delta —
+    * the small-file maintenance pass; owning process only, between
+    * committed batches (same rule as IncrDedupStream.compact). Staged
+    * and swapped whole so readers never see partial totals.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              storeDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tot = totalsPath(storeDir)
+    if (!Fs.exists(tot, conf)) return
+    val n = Fs.listDirs(tot, conf).length
+    val staging = s"$tot.staging"
+    spark.read.parquet(tot).groupBy("src").agg(sum("bsum").as("bsum"))
+      .write.mode("overwrite")
+      .parquet(s"$staging/ingest_batch=compacted_$n")
+    Fs.swapInPlace(tot, staging, conf)
+  }
+
+  /** Wire a document stream into the store: foreachBatch + the fold
+    * above. `Trigger.AvailableNow` drains what exists and stops;
+    * pass a processing-time trigger for always-on.
+    */
+  def run(docs: DataFrame, idCol: String, lenCol: String, srcCol: String,
+          storeDir: String, checkpointDir: String, capacity: Long,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, idCol, lenCol, srcCol, storeDir, capacity,
+          batchId, ReplayGuard.streamingQueryId(batch))
+      }
+      .start()
+}
