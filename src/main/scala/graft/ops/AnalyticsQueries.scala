@@ -307,6 +307,39 @@ object AnalyticsQueries {
         .orderBy("status")
     },
 
+    // ---- A15: GK-sketch approximate percentiles — the mergeable
+    // constant-memory face of exact quantiles for 100 TB profiling
+    // (percentile_approx, accuracy 100 → rank error ≤ 1%). Same
+    // tolerance-oracle shape as A13, but STRONGER than trusting the
+    // sketch's self-report: the query joins the approx values back to
+    // the data and checks their true ranks land within ±2% of the
+    // targets (integer-exact arithmetic); DuckDB asserts the bound
+    // plus the exact min/max/count anchors. ----
+    "q_a15_approx_percentile" -> Q(
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin) { (s, dir) =>
+      val li = tb(s, dir).lineitem
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      val ap = li.groupBy("flag").agg(
+        expr("percentile_approx(x, array(0.5D, 0.99D), 100)").as("ap"),
+        count(lit(1)).as("n"),
+        round(min("x"), 2).as("lo"), round(max("x"), 2).as("hi"))
+      val ranks = li
+        .join(broadcast(ap.select(col("flag"), col("ap"))), Seq("flag"))
+        .groupBy("flag").agg(
+          sum(when(col("x") <= col("ap")(0), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("x") <= col("ap")(1), 1L).otherwise(0L)).as("r99"))
+      ap.join(ranks, Seq("flag"))
+        .select(col("flag"), col("n"), col("lo"), col("hi"),
+          (col("r50") * 100 >= col("n") * 48 &&
+            col("r50") * 100 <= col("n") * 52 &&
+            col("r99") * 100 >= col("n") * 97).as("within_tol"))
+        .orderBy("flag")
+    },
+
     // ---- U2: INTERSECT (distinct) — customers with BOTH open and
     // finished orders. Spark plans a left-semi over distinct sets ----
     "q_u2_intersect" -> Q(

@@ -447,6 +447,43 @@ object ReportQueries {
           Seq("c_nationkey", "c_mktsegment"), k = 12)
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey")
+    },
+
+    // ---- dataset card: the per-source corpus datasheet a training
+    //      run publishes — doc/char/token volume, language spread,
+    //      within-source exact-dup count (docs minus distinct text
+    //      hashes), and each source's token share of the corpus. ONE
+    //      groupBy over documents + a 1-row broadcast total. ----
+    "q_report_dataset_card" -> Q(
+      """WITH t AS (SELECT source, lang, n_chars, md5(text) AS h,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n
+        |           FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |        CAST(sum(n) AS BIGINT) AS total_tokens,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |        CAST(count(*) - count(DISTINCT h) AS BIGINT) AS dup_docs
+        |      FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT g.source, g.n_docs, g.total_chars, g.total_tokens, g.n_langs,
+        |       g.dup_docs,
+        |       round(CAST(g.total_tokens AS DOUBLE) / tot.tt, 6) AS token_share
+        |FROM g, tot ORDER BY g.source""".stripMargin) { (s, dir) =>
+      val t = tb(s, dir).documents.select(col("source"), col("lang"),
+        col("n_chars"), md5(col("text")).as("h"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      val g = t.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        sum("n").as("total_tokens"), countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("dup_docs"))
+      val tot = g.agg(sum("total_tokens").as("tt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"), col("n_langs"), col("dup_docs"),
+          round(col("total_tokens").cast("double") / col("tt"), 6)
+            .as("token_share"))
+        .orderBy("source")
     }
   )
 }

@@ -24,6 +24,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx: true rank of the sketch's answer lands within " +
+      "the 1%-accuracy bound") {
+    val df = spark.range(100000)
+      .selectExpr("id % 3 AS g", "CAST((id * 48271) % 99991 AS DOUBLE) AS x")
+    val ap = df.groupBy("g")
+      .agg(expr("percentile_approx(x, array(0.5D, 0.99D), 100)").as("ap"),
+        count(lit(1)).as("n"))
+    val got = df.join(ap, "g")
+      .groupBy("g").agg(
+        sum(when(col("x") <= col("ap")(0), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("x") <= col("ap")(1), 1L).otherwise(0L)).as("r99"),
+        first("n").as("n"))
+      .collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      val (r50, r99, n) = (r.getAs[Long]("r50"), r.getAs[Long]("r99"),
+        r.getAs[Long]("n"))
+      assert(r50 * 100 >= n * 48 && r50 * 100 <= n * 52,
+        s"g=${r.get(0)}: p50 rank $r50 of $n")
+      assert(r99 * 100 >= n * 97, s"g=${r.get(0)}: p99 rank $r99 of $n")
+    }
+  }
+
   test("rollup/cube/grouping-sets: one Expand + one aggregate exchange, no join") {
     val li = spark.range(1000).selectExpr(
       "CAST(id % 3 AS STRING) AS a", "CAST(id % 5 AS STRING) AS b", "id AS v")
