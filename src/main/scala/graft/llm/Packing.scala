@@ -155,26 +155,32 @@ object Packing {
                    capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val cap = lit(capacity)
-    // materialize the filtered array ONCE, then fold over the named
-    // column — folding over the building expression would re-evaluate
-    // the filter per consumer
+    // materialize the filtered array ONCE, then run ONE fold over the
+    // named column carrying every output (chunks/cur/ovf/token total)
+    // in the state struct — aggregate() is interpreted, so a second
+    // independent fold for n_tokens would double the per-segment cost,
+    // and folding over the building expression would re-evaluate the
+    // filter per consumer
     val folded = aggregate(
       col("_counts"),
-      struct(lit(0L).as("chunks"), cap.as("cur"), lit(0L).as("ovf")),
+      struct(lit(0L).as("chunks"), cap.as("cur"), lit(0L).as("ovf"),
+        lit(0L).as("tot")),
       (acc, c) => struct(
         when(acc("cur") + c > cap, acc("chunks") + 1L)
           .otherwise(acc("chunks")).as("chunks"),
         when(acc("cur") + c > cap, c)
           .otherwise(acc("cur") + c).as("cur"),
-        (acc("ovf") + when(c > cap, 1L).otherwise(0L)).as("ovf")))
+        (acc("ovf") + when(c > cap, 1L).otherwise(0L)).as("ovf"),
+        (acc("tot") + c).as("tot")))
     df
       .withColumn("_counts",
         filter(col(segCountsCol).cast("array<long>"), c => c > 0L))
+      .withColumn("_fold", folded)
       .select(col(idCol),
         size(col("_counts")).cast("long").as("n_segments"),
-        aggregate(col("_counts"), lit(0L), (a, c) => a + c).as("n_tokens"),
-        folded("chunks").as("n_chunks"),
-        folded("ovf").as("n_overflow_segments"))
+        col("_fold.tot").as("n_tokens"),
+        col("_fold.chunks").as("n_chunks"),
+        col("_fold.ovf").as("n_overflow_segments"))
   }
 
   /** Waste audit of [[binPack]]: per length bucket, bins used, tokens

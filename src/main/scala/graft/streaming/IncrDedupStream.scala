@@ -68,7 +68,11 @@ object IncrDedupStream {
   private def readIndex(template: DataFrame, idx: String): DataFrame = {
     val spark = template.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    if (Fs.exists(idx, conf)) spark.read.parquet(idx)
+    // listDirs, not exists: the direct-caller sweep can leave index/
+    // present but EMPTY (its only delta was uncommitted), and reading
+    // an empty dir throws — wedging the designed recovery path
+    if (Fs.exists(idx, conf) && Fs.listDirs(idx, conf).nonEmpty)
+      spark.read.parquet(idx)
     else template.limit(0)
       .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(""))
   }
@@ -135,11 +139,18 @@ object IncrDedupStream {
     val conf = spark.sparkContext.hadoopConfiguration
     val idx = indexPath(storeDir)
     if (!Fs.exists(idx, conf)) return
-    val n = Fs.listDirs(idx, conf).length
+    val dirs = Fs.listDirs(idx, conf)
+    // COMMITTED deltas only: baking a crashed writer's partial delta
+    // into the compacted index would make the retried batch match its
+    // own half-written signatures forever (the direct sweep shows
+    // partials are an anticipated state; compact must skip them too)
+    val committed = dirs.filter(d =>
+      Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
+    if (committed.isEmpty) return
     val staging = s"$idx.staging"
-    spark.read.parquet(idx).drop("ingest_batch")
+    spark.read.parquet(committed.map(_.getPath.toString): _*)
       .write.mode("overwrite")
-      .parquet(s"$staging/ingest_batch=compacted_$n")
+      .parquet(s"$staging/ingest_batch=compacted_${dirs.length}")
     Fs.swapInPlace(idx, staging, conf)
   }
 

@@ -55,7 +55,11 @@ object PackStream {
   private def readTotals(template: DataFrame, tot: String): DataFrame = {
     val spark = template.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    if (Fs.exists(tot, conf)) spark.read.parquet(tot)
+    // listDirs, not exists: the direct-caller sweep can leave totals/
+    // present but EMPTY (only delta was uncommitted), and reading an
+    // empty dir throws — which would wedge the designed recovery path
+    if (Fs.exists(tot, conf) && Fs.listDirs(tot, conf).nonEmpty)
+      spark.read.parquet(tot)
     else template.limit(0).select(col("src"), col("_len").as("bsum"))
       .withColumn("ingest_batch", lit(""))
   }
@@ -94,13 +98,24 @@ object PackStream {
       }
     // prior totals EXCLUDE our own tag — a replay must extend from the
     // same base it saw the first time, not from its half-committed self
+    // the prior side is RENAMED before the join: when the store is new
+    // the empty totals frame derives from `base` itself, and
+    // base("src") <=> prior("src") then resolves both sides to the SAME
+    // attribute — a trivially-true predicate (Spark warns and joins
+    // everything). Distinct names sidestep the self-join ambiguity.
     val prior = readTotals(base, tot)
       .filter(col("ingest_batch") =!= tag)
       .groupBy("src").agg(sum("bsum").as("prior"))
+      .withColumnRenamed("src", "_psrc")
     val wIn = Window.partitionBy("src").orderBy("_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-SAFE join: a NULL source is one stream like any other (the
+    // window and groupBy already treat it as one partition/group); a
+    // plain equi-join would never match its prior row and every batch
+    // would restart null-source docs at offset 0 — overlapping chunks
     val layout = base
-      .join(prior, Seq("src"), "left")
+      .join(prior, col("src") <=> col("_psrc"), "left")
+      .drop("_psrc")
       .withColumn("start_off", coalesce(col("prior"), lit(0L)) +
         coalesce(sum("_len").over(wIn), lit(0L)))
       .select(col("src").as("source"), col("_id").as(idCol),
@@ -128,11 +143,20 @@ object PackStream {
     val conf = spark.sparkContext.hadoopConfiguration
     val tot = totalsPath(storeDir)
     if (!Fs.exists(tot, conf)) return
-    val n = Fs.listDirs(tot, conf).length
+    val dirs = Fs.listDirs(tot, conf)
+    // fold COMMITTED deltas only: a crashed writer's partial delta
+    // (no _SUCCESS) baked into the compacted sum would be permanent —
+    // the retry gets a fresh tag, excludes only itself, and
+    // double-counts the partial forever. The swap discards the partial
+    // (its writer is dead; single-writer rule covers in-flight ones).
+    val committed = dirs.filter(d =>
+      Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
+    if (committed.isEmpty) return
     val staging = s"$tot.staging"
-    spark.read.parquet(tot).groupBy("src").agg(sum("bsum").as("bsum"))
+    spark.read.parquet(committed.map(_.getPath.toString): _*)
+      .groupBy("src").agg(sum("bsum").as("bsum"))
       .write.mode("overwrite")
-      .parquet(s"$staging/ingest_batch=compacted_$n")
+      .parquet(s"$staging/ingest_batch=compacted_${dirs.length}")
     Fs.swapInPlace(tot, staging, conf)
   }
 

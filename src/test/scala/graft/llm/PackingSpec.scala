@@ -21,10 +21,21 @@ class PackingSpec extends SparkSpec {
   test("withStreamOffsets: no global data-row window — the only " +
       "unpartitioned window runs on block summaries") {
     val docs = (0L until 64L).map(i => (i, i % 7L + 1L)).toDF("id", "n")
-    val plan = Packing.withStreamOffsets(docs, "id", "n", blockSize = 8L)
-      .queryExecution.executedPlan.toString
-    // the intra-block window must be keyed on the block id
-    assert(plan.contains("_blk"), plan)
+    val wins = Packing.withStreamOffsets(docs, "id", "n", blockSize = 8L)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty)
+    // any unpartitioned window must run over the block-summary frame
+    // (no per-row _id in scope), never the data rows — THE one-task
+    // hazard this operator exists to avoid
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(!w.child.output.map(_.name).contains("_id"),
+        s"unpartitioned window over data rows:\n$w")
+    }
+    // and the intra-block scan is keyed (parallel) on the block id
+    assert(wins.exists(w => w.partitionSpec.nonEmpty &&
+      w.partitionSpec.flatMap(_.references.map(_.name)).contains("_blk")))
   }
 
   test("tokenStreamPack + streamChunkStats: chunk spans, boundary docs, " +

@@ -70,6 +70,45 @@ class PackStreamSpec extends SparkSpec {
     assert(layout(store).collect { case ("a", 20L, _, off) => off }.head === 9L)
   }
 
+  test("a NULL source is one stream like any other: its totals accumulate " +
+      "across batches (null-safe prior join)") {
+    val dir = java.nio.file.Files.createTempDirectory("pack_null").toFile
+    val store = s"${dir.getPath}/store"
+    val nul: String = null
+    PackStream.applyBatch(
+      Seq((1L, nul, 4L), (2L, "a", 6L)).toDF("doc_id", "source", "n"),
+      "doc_id", "n", "source", store, 10L, 0L, "q")
+    PackStream.applyBatch(
+      Seq((10L, nul, 5L)).toDF("doc_id", "source", "n"),
+      "doc_id", "n", "source", store, 10L, 1L, "q")
+    val nullRows = spark.read.option("basePath", s"$store/layout")
+      .parquet(s"$store/layout/batch=*")
+      .filter(col("source").isNull)
+      .select("doc_id", "start_off").as[(Long, Long)].collect().sortBy(_._1)
+    assert(nullRows === Array((1L, 0L), (10L, 4L)))
+  }
+
+  test("compact skips an uncommitted partial delta instead of baking it " +
+      "into the compacted totals") {
+    val dir = java.nio.file.Files.createTempDirectory("pack_partial").toFile
+    val store = s"${dir.getPath}/store"
+    PackStream.applyBatch(
+      Seq((1L, "a", 3L)).toDF("doc_id", "source", "n"),
+      "doc_id", "n", "source", store, 10L, 0L, "q")
+    // simulate a crashed writer: a delta with data but no _SUCCESS
+    val tot = PackStream.totalsPath(store)
+    val partial = s"$tot/ingest_batch=q_99"
+    Seq(("a", 1000L)).toDF("src", "bsum")
+      .write.mode("overwrite").parquet(partial)
+    Fs.delete(s"$partial/_SUCCESS", conf, recursive = false)
+    PackStream.compact(spark, store)
+    // the partial's 1000 must NOT be in the compacted totals
+    PackStream.applyBatch(
+      Seq((20L, "a", 1L)).toDF("doc_id", "source", "n"),
+      "doc_id", "n", "source", store, 10L, 2L, "q")
+    assert(layout(store).collect { case ("a", 20L, _, off) => off }.head === 3L)
+  }
+
   test("compact folds totals deltas into one and preserves sums") {
     val dir = java.nio.file.Files.createTempDirectory("pack_compact").toFile
     val store = s"${dir.getPath}/store"
