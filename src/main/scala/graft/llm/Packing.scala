@@ -135,6 +135,43 @@ object Packing {
         col("bin_idx"), (col("len_bucket") =!= -1L).as("fits"))
   }
 
+  /** Rank-based (global key-order) sharding: shard i holds the i-th
+    * contiguous slice of the corpus in `keyCol` order, sizes balanced
+    * within ±1 — the ORDERED complement of Sampling.writeShards' hash
+    * shards (training wants shuffled; curriculum export, merge-joinable
+    * deliveries, and zone-map-prunable layouts want sorted). Exact
+    * global rank rides [[withStreamOffsets]] with unit lengths, so no
+    * one-task window and no repartitionByRange sampling
+    * nondeterminism: shard = rank·numShards div n, bit-stable across
+    * runs and engines.
+    *
+    * `keyCol` must be numeric and UNIQUE (the withStreamOffsets
+    * contract); compose tie-broken sort keys upstream, e.g.
+    * score·10⁶ + id. Returns the input + (rank, shard).
+    */
+  def rankShards(df: DataFrame, keyCol: String, numShards: Int,
+                 blockSize: Long = 1L << 20): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val ranked = withStreamOffsets(
+        df.withColumn("_one", lit(1L)), keyCol, "_one", blockSize)
+      .withColumnRenamed("start_off", "rank")
+      .drop("_one", "_id", "_len")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("shard", expr(s"(rank * $numShards) div _n"))
+      .drop("_n")
+  }
+
+  /** Manifest of a [[rankShards]] layout: one row per shard with its
+    * row count and key range — non-overlapping, ordered ranges BY
+    * CONSTRUCTION, so a reader can zone-map-prune shards from the
+    * manifest alone. One groupBy on the numShards-key frame.
+    */
+  def rankShardManifest(sharded: DataFrame, keyCol: String): DataFrame =
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("key_lo"), max(col(keyCol)).as("key_hi"))
+
   /** Greedy boundary-respecting chunker: each document's segments
     * (sentences, paragraphs — whatever the caller split on) are packed
     * left-to-right into `capacity`-token chunks, cutting BEFORE any

@@ -121,6 +121,30 @@ object PackingQueries {
         .orderBy("len_bucket")
     },
 
+    // ---- rank-based ordered sharding (Packing.rankShards): 8
+    //      contiguous key-order shards of documents by a composed
+    //      (length, id) sort key, sizes balanced ±1; the manifest's
+    //      key ranges are non-overlapping by construction (zone-map
+    //      prunable). Exact rank via the block prefix scan — vs the
+    //      oracle's one global row_number window ----
+    "q_pack_rank_shards" -> Q(
+      """WITH t AS (SELECT n_chars * 100000 + doc_id AS k FROM documents),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS rk FROM t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |s AS (SELECT k, (rk * 8) // n AS shard FROM r, tot)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(k) AS BIGINT) AS key_lo,
+        |       CAST(max(k) AS BIGINT) AS key_hi
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      val keyed = tb(s, dir).documents
+        .select((col("n_chars") * 100000L + col("doc_id")).as("k"))
+      Packing.rankShardManifest(
+          Packing.rankShards(keyed, "k", numShards = 8, blockSize = 4096L),
+          "k")
+        .orderBy("shard")
+    },
+
     // ---- the STREAMING face of token-stream packing (PackStream):
     //      per-source totals maintained through a 3-way batch split;
     //      each batch extends every source's stream from the

@@ -79,6 +79,30 @@ class PackingSpec extends SparkSpec {
       .toSeq === Seq(-1L))
   }
 
+  test("rankShards: exact key-order ranks, ±1-balanced shards, and a " +
+      "non-overlapping ordered manifest") {
+    val rnd = new scala.util.Random(7)
+    val keys = rnd.shuffle((0L until 103L).map(_ * 13L + 5L).toVector)
+    val df = keys.map(Tuple1(_)).toDF("k")
+    val sharded = Packing.rankShards(df, "k", numShards = 4, blockSize = 64L)
+    val got = sharded.select("k", "rank", "shard")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // rank = position in sorted key order
+    assert(got.map(_._2).toSeq === (0L until 103L))
+    // shards balanced within ±1 and monotone in key order
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted)
+    val manifest = Packing.rankShardManifest(sharded, "k")
+      .select("shard", "n_rows", "key_lo", "key_hi")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(manifest.map(_._1).toSeq === (0L until 4L))
+    // ranges ordered and disjoint: each shard's lo is past the prior hi
+    manifest.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 > a._4, s"overlap: $a vs $b")
+    }
+  }
+
   test("greedyChunks: hand-traced greedy cuts, overflow segments, zero " +
       "filtering, and the empty-array doc") {
     // cap 10: doc 1 [4,5,2,9] → {4,5},{2},{9}… greedy: 4+5=9, +2>10 cut,
