@@ -36,6 +36,23 @@ case class MinHashAgg(
   private val DigestLen = 16
   private def bufLen = DigestLen * numHashes
 
+  // fail at ANALYSIS, not mid-task: a non-string child would otherwise
+  // ClassCastException on every executor after the shuffle is paid for,
+  // and a non-positive numHashes would crash buffer creation (or
+  // silently null every group at 0). VecDot/ZInterleave in this package
+  // set the same precedent.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs needs a string column, got ${child.dataType.sql}")
+    else if (numHashes < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs needs numHashes >= 1, got $numHashes")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   // one digest instance per operator instance (per task)
   @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
@@ -44,12 +61,17 @@ case class MinHashAgg(
   override def createAggregationBuffer(): Array[Byte] =
     Array.fill[Byte](bufLen)(-1) // 0xFF.. = +inf for unsigned-lex min
 
-  private def isLess(cand: Array[Byte], buf: Array[Byte], off: Int): Boolean = {
+  private def isLess(cand: Array[Byte], buf: Array[Byte], off: Int): Boolean =
+    isLessAt(cand, 0, buf, off)
+
+  // dual-offset compare so merge() needs no per-slot copyOfRange
+  private def isLessAt(a: Array[Byte], aOff: Int,
+                       b: Array[Byte], bOff: Int): Boolean = {
     var i = 0
     while (i < DigestLen) {
-      val a = cand(i) & 0xff
-      val b = buf(off + i) & 0xff
-      if (a != b) return a < b
+      val x = a(aOff + i) & 0xff
+      val y = b(bOff + i) & 0xff
+      if (x != y) return x < y
       i += 1
     }
     false
@@ -77,9 +99,8 @@ case class MinHashAgg(
     var h = 0
     while (h < numHashes) {
       val off = h * DigestLen
-      val otherSlice = java.util.Arrays.copyOfRange(other, off, off + DigestLen)
-      if (isLess(otherSlice, buffer, off))
-        System.arraycopy(otherSlice, 0, buffer, off, DigestLen)
+      if (isLessAt(other, off, buffer, off))
+        System.arraycopy(other, off, buffer, off, DigestLen)
       h += 1
     }
     buffer

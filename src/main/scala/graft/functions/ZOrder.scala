@@ -92,9 +92,13 @@ object ZOrder {
     */
   def cluster(df: DataFrame, x: Column, y: Column,
               numPartitions: Int): DataFrame = {
-    val withZ = df.withColumn("_z", z(x, y))
-    withZ.repartitionByRange(numPartitions, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    // collision-proof working name: a hardcoded "_z" would silently
+    // overwrite (and then drop) a user column of the same name
+    var zc = "_z"
+    while (df.columns.contains(zc)) zc = zc + "_"
+    df.withColumn(zc, z(x, y))
+      .repartitionByRange(numPartitions, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
   }
 }

@@ -77,6 +77,25 @@ object AsofJoinPlan {
     Seq(leftTs, rightTs).foreach(a => require(
       a.dataType == TimestampType || a.dataType == LongType,
       s"as-of ts column ${a.name} must be timestamp or long, got ${a.dataType}"))
+    // the merge scan compares raw longs and UnsafeRow key bytes — a
+    // type mismatch between the sides would not error, it would
+    // silently mis-pair rows (micros vs seconds, int vs long key
+    // layouts), so fail loudly at build time instead
+    require(leftTs.dataType == rightTs.dataType,
+      s"as-of ts columns must have the SAME type on both sides, got " +
+        s"${leftTs.name}: ${leftTs.dataType} vs ${rightTs.name}: ${rightTs.dataType}")
+    require(leftKeys.nonEmpty,
+      "as-of join needs at least one key column (ClusteredDistribution " +
+        "can't be empty); for a global as-of join use Temporal.asofJoin's " +
+        "window composition or add a constant key to both sides")
+    require(leftKeys.length == rightKeys.length,
+      s"key count mismatch: ${leftKeys.map(_.name)} vs ${rightKeys.map(_.name)}")
+    leftKeys.zip(rightKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key type mismatch: ${l.name}: ${l.dataType} vs " +
+          s"${r.name}: ${r.dataType} — the key ordering is built from the " +
+          s"left types and would read the right side's bytes wrong")
+    }
     require(Directions.contains(direction), s"unknown direction: $direction")
     require(toleranceMicros.forall(_ >= 0), "tolerance must be non-negative")
     AsofJoinPlan(left, right, leftKeys, rightKeys, leftTs, rightTs, payload,
@@ -199,8 +218,15 @@ case class AsofJoinExec(
           // the <= consume above just took them); forward = the tied
           // held row if any, else the unconsumed nextR on the same key
           // (right ascending ⇒ it IS the earliest row with ts > lTs)
+          // deltas saturate instead of wrapping: the true difference is
+          // non-negative by construction (heldTs <= lTs < nextRTs), so
+          // a negative raw subtraction means Long overflow (reachable
+          // only for LongType ts columns with extreme values) — wrapped
+          // it would defeat the tolerance gate and flip nearest's pick
           val backOk = held != null && !lTsNull
-          val backDelta = if (backOk) lTs - heldTs else Long.MaxValue
+          val backDelta =
+            if (backOk) { val d = lTs - heldTs; if (d < 0L) Long.MaxValue else d }
+            else Long.MaxValue
           val fwdTie = backOk && heldTs == lTs
           val fwdNext = !lTsNull && nextR != null &&
             keyOrd.compare(nextRKey, lKey) == 0
@@ -208,7 +234,7 @@ case class AsofJoinExec(
             if (fwdTie) held else if (fwdNext) nextR else null
           val fwdDelta =
             if (fwdTie) 0L
-            else if (fwdNext) nextRTs - lTs
+            else if (fwdNext) { val d = nextRTs - lTs; if (d < 0L) Long.MaxValue else d }
             else Long.MaxValue
           val (row, delta) = dir match {
             case 0 => (if (backOk) held else null, backDelta)

@@ -18,18 +18,25 @@ import graft.functions.{VecDot, ZInterleave}
   * spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
   * }}}
   *
-  * Registered functions:
+  * What one config line lights up:
   *  - `vec_dot(array<float|double>, array<float|double>) -> double` —
   *    the codegen'd [[graft.functions.VecDot]] dot product (bit-parity
   *    with the `aggregate(zip_with(..))` builtin formulation; see the
   *    perf verdict in its scaladoc).
+  *  - `z_interleave(int-ish, int-ish) -> bigint` —
+  *    [[graft.functions.ZInterleave]], the Z-order curve key behind
+  *    ZOrder.cluster, usable from SQL for custom layouts.
+  *  - [[VecDotRewrite]] (optimizer rule) — rewrites the portable
+  *    `aggregate(zip_with(..))` dot-product idiom into VecDot, so
+  *    unchanged queries get the kernel when the extension is on.
+  *  - [[AsofJoinStrategy]] (planner strategy) — plans [[AsofJoinPlan]]
+  *    (Temporal.asofJoinNative's merge-scan as-of join).
   *
   * Kept deliberately thin: the engine's operators are declarative
   * DataFrame plans that Catalyst already optimizes, so the extension
-  * surface is only what SQL genuinely can't express — scalar kernels.
-  * New injections (optimizer rules, strategies) belong here too, one
-  * `inject*` call each, so a single config line lights up the whole
-  * extension set on a cluster.
+  * surface is only what SQL genuinely can't express — scalar kernels,
+  * one rewrite, one custom operator. New injections belong here too,
+  * one `inject*` call each.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

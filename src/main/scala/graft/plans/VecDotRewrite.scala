@@ -77,7 +77,12 @@ object VecDotRewrite extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fe: NamedLambdaVariable,
               Seq(f: NamedLambdaVariable), _))
-          if zero.value == 0.0 && {
+          // bit-pattern check, not ==: Scala's boxed == says -0.0 == 0.0,
+          // but a -0.0 zero is NOT bit-identical to VecDot's +0.0
+          // accumulator on empty arrays (string/hash consumers diverge)
+          if zero.value != null &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.value.asInstanceOf[Double]) == 0L && {
             val dbl = a.dataType match {
               case ArrayType(DoubleType, _) => true
               case _ => false
