@@ -417,6 +417,36 @@ object DedupOps {
       .filter(col("split1") =!= col("split2"))
       .select("id1", "id2", "split1", "split2", "jaccard_n", "jaccard_d")
 
+  /** The FIX for what [[splitLeakage]] measures: split assignment by
+    * near-dup CLUSTER, not by document — every member of a connected
+    * near-dup component hashes the component's min id, so a duplicate
+    * pair can never straddle train/val/test (zero leakage BY
+    * CONSTRUCTION, not by audit). Singleton docs hash their own id,
+    * i.e. exactly the plain [[Sampling.splitLabel]] assignment — the
+    * corpus-wide split proportions drift only by the (small) mass of
+    * multi-doc clusters.
+    *
+    * Shape: the same LSH+Jaccard pair machinery as [[nearDupPairs]] +
+    * DupGraph's O(log n) pointer-jumping components + a pure hash
+    * expression for the label — no extra corpus-sized shuffle beyond
+    * the dedup stack itself.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                    splits: Seq[(String, Double)],
+                    thresholdNum: Int = 8, thresholdDen: Int = 10,
+                    numHashes: Int = 8, rowsPerBand: Int = 4,
+                    k: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k)
+      .filter(col("jaccard_n") * thresholdDen >= col("jaccard_d") * thresholdNum)
+      .select("id1", "id2")
+    DupGraph.dupClusters(df.select(col(idCol)), idCol, pairs)
+      // pin the hash input's type: splitLabel md5's CAST(x AS STRING),
+      // and both engines must see the same "123" text form
+      .withColumn("component", col("component").cast("long"))
+      .select(col(idCol), col("component"),
+        Sampling.splitLabel(col("component"), splits).as("split"))
+  }
+
   /** Exact Jaccard verification of candidate pairs, as integer
     * numerator/denominator (|A∩B|, |A∪B|) — exact across engines, the
     * caller applies the threshold (e.g. n*10 >= d*8 for 0.8).

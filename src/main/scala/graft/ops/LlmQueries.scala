@@ -1578,6 +1578,27 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- the FIX for the leakage the audit above measures
+    //      (DedupOps.leakFreeSplit): split by near-dup CLUSTER — every
+    //      member hashes the component's min id, so duplicate pairs
+    //      can never straddle splits. Oracle: the shared CC chain +
+    //      the same hash-bucket CASE over the component. ----
+    "q_llm_leakfree_split" -> Q(
+      s"""WITH RECURSIVE $shingleCte,
+         |sigs AS ($sigSelect),
+         |$ccCteChain
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+         |  CASE WHEN ${duckBucket("coalesce(c.component, d.doc_id)")} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+         |       WHEN ${duckBucket("coalesce(c.component, d.doc_id)")} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      DedupOps.leakFreeSplit(tb(s, dir).documents, "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    },
+
     // ---- incremental dedup, part 1: the compact signature index
     //      (IncrementalDedup.dedupIndex) that REPRESENTS the ingested
     //      corpus between batches — exact md5 + 8-permutation minhash,

@@ -262,6 +262,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(leaks === Seq((1L, 3L, "train", "test"), (2L, 3L, "train", "test")))
   }
 
+  test("leakFreeSplit: cluster members share one split (zero leakage by " +
+      "construction); singletons keep the plain hash-split label") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, base + " other"),
+      (7L, "completely different content with no shared shingles at all here"))
+      .toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = DedupOps.leakFreeSplit(docs, "doc_id", "text", splits)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    // docs 1,2,3 form one near-dup cluster (splitLeakage's fixture) →
+    // all inherit component 1 and ONE split; 7 is a singleton
+    assert(got.keySet === Set(1L, 2L, 3L, 7L))
+    assert(Set(1L, 2L, 3L).map(got(_)._1) === Set(1L))
+    assert(Set(1L, 2L, 3L).map(got(_)._2).size === 1)
+    assert(got(7L)._1 === 7L)
+    // singleton label == the plain per-doc hash split
+    val plain = docs.filter(col("doc_id") === 7L)
+      .select(Sampling.splitLabel(col("doc_id"), splits)).head.getString(0)
+    assert(got(7L)._2 === plain)
+    // and the audit over these labels finds nothing: every near-dup
+    // pair is within one split by construction
+    val pairs = DedupOps.nearDupPairs(docs, "doc_id", "text")
+      .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(got(a)._2 === got(b)._2, s"leak between $a and $b")
+    }
+  }
+
   test("containmentPairs: catches the quoted-inclusion pair Jaccard misses") {
     val short = "alpha beta gamma delta epsilon"
     val long = s"intro words here then $short and plenty of trailing " +
