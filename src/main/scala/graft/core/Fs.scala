@@ -40,7 +40,11 @@ object Fs {
   def list(dir: String, conf: Configuration): Seq[FileStatus] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) fs.listStatus(p).toIndexedSeq else Seq.empty
+    // no exists-then-list: a reader racing swapInPlace (the rename
+    // window) would pass exists() and then crash in listStatus — the
+    // same TOCTOU readText's doc condemns. Missing dir = empty listing.
+    try fs.listStatus(p).toIndexedSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   def listDirs(dir: String, conf: Configuration): Seq[FileStatus] =
@@ -55,7 +59,10 @@ object Fs {
   def delete(path: String, conf: Configuration, recursive: Boolean = false): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    fs.exists(p) && fs.delete(p, recursive)
+    // no exists() pre-check: FileSystem.delete already returns false
+    // for a missing path, and the extra HEAD doubles metadata RPCs on
+    // object stores while adding a TOCTOU window
+    fs.delete(p, recursive)
   }
 
   /** Checked rename (move): `FileSystem.rename` signals failure — missing

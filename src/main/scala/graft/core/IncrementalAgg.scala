@@ -123,9 +123,14 @@ object IncrementalAgg {
                        valueCol: String, width: Double,
                        buckets: Int): DataFrame =
     df.filter(col(valueCol).isNotNull)
+      // clamp BOTH ends: without the greatest(), negative values mint
+      // one bucket id per distinct negative floor — unbounded state,
+      // violating the "<= buckets rows per shard" contract this
+      // operator (and histogramQuantiles' global window) depends on
       .groupBy(shard.as("shard"),
-        least(lit(buckets - 1), floor(col(valueCol) / width).cast("long"))
-          .as("bucket"))
+        greatest(lit(0L),
+          least(lit((buckets - 1).toLong),
+            floor(col(valueCol) / width).cast("long"))).as("bucket"))
       .agg(count(lit(1)).cast("long").as("n"))
 
   /** Merge histogram partials (drop the shard key, sum the counts):

@@ -130,6 +130,12 @@ object Temporal {
              stepCol: String, steps: Seq[String],
              windowSeconds: Long): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
+    // the at-or-after (>=) chain lets ONE event satisfy two consecutive
+    // identical steps (a single 'view' completes a view->view funnel) —
+    // forbid duplicate step names instead of silently over-counting
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct (>= chaining would let one event " +
+        s"satisfy consecutive equal steps): $steps")
     val windowUs = windowSeconds * 1000000L
     val first = events.filter(col(stepCol) === steps.head)
       .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t1"))
@@ -266,7 +272,25 @@ object Temporal {
     */
   def asofJoinNative(left: DataFrame, right: DataFrame,
                      partitionCols: Seq[String], tsCol: String,
-                     payloadCols: Seq[String]): DataFrame = {
+                     payloadCols: Seq[String]): DataFrame =
+    // one-line delegate (Backward + no tolerance = classic as-of):
+    // the alias-isolation subtlety below must live in exactly ONE place
+    asofJoinNativeDirected(left, right, partitionCols, tsCol, payloadCols,
+      AsofDirection.Backward, None)
+
+  /** The custom-operator face of [[asofJoinDirected]]: the same
+    * AsofJoinExec merge scan, with direction and tolerance pushed into
+    * the operator (the forward candidate is the scan's lookahead row —
+    * no second pass, no union padding, no window buffer). Semantics
+    * match [[asofJoinDirected]] bit-for-bit; same contracts as
+    * [[asofJoin]] (unique right (keys, ts), non-null keys), and
+    * [[graft.plans.GraftExtensions]] must be on the session.
+    */
+  def asofJoinNativeDirected(left: DataFrame, right: DataFrame,
+                             partitionCols: Seq[String], tsCol: String,
+                             payloadCols: Seq[String],
+                             direction: AsofDirection,
+                             toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graftbridge.PlanBridge
@@ -278,34 +302,6 @@ object Temporal {
     // to the left side and the right child would prune the key/ts
     // columns away. The aliases' exprIds are ours and survive the
     // rewrite (dedup rewrites their children, not their ids).
-    val rp0 = PlanBridge.plan(right)
-    val aliased = rp0.output.map(a => Alias(a, a.name)())
-    val rp = Project(aliased, rp0)
-    def attr(p: LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"column $n not found"))
-    PlanBridge.ofRows(left.sparkSession,
-      graft.plans.AsofJoinPlan.resolved(lp, rp,
-        partitionCols.map(attr(lp, _)), partitionCols.map(attr(rp, _)),
-        attr(lp, tsCol), attr(rp, tsCol), payloadCols.map(attr(rp, _))))
-  }
-
-  /** The custom-operator face of [[asofJoinDirected]]: the same
-    * AsofJoinExec merge scan, with direction and tolerance pushed into
-    * the operator (the forward candidate is the scan's lookahead row —
-    * no second pass, no union padding, no window buffer). Semantics
-    * match [[asofJoinDirected]] bit-for-bit; same contracts as
-    * [[asofJoinNative]].
-    */
-  def asofJoinNativeDirected(left: DataFrame, right: DataFrame,
-                             partitionCols: Seq[String], tsCol: String,
-                             payloadCols: Seq[String],
-                             direction: AsofDirection,
-                             toleranceMicros: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
-    import org.apache.spark.sql.graftbridge.PlanBridge
-    val lp = PlanBridge.plan(left)
     val rp0 = PlanBridge.plan(right)
     val aliased = rp0.output.map(a => Alias(a, a.name)())
     val rp = Project(aliased, rp0)
@@ -561,7 +557,10 @@ object Temporal {
         round(percentile(col("gap"), lit(0.5)), 4).as("gap_median"))
   }
 
-  final case class CusumIn(entity: String, id: Long, tus: Long, value: Double)
+  /** cusum consumes ewma's exact input row shape — one class, not two
+    * field-for-field duplicates (the FixedIn precedent).
+    */
+  type CusumIn = EwmaIn
   final case class CusumOut(entity: String, id: Long, tus: Long,
                             value: Double, cusum_hi: Double, cusum_lo: Double,
                             alarm: Boolean)
@@ -643,9 +642,13 @@ object Temporal {
       .groupByKey(_.entity)
       .flatMapGroups { (_, it) =>
         val evs = it.toArray.sortBy(e => (e.tus, e.id))
-        var acc = -1L
+        // explicit seeded flag, NOT an acc<0 sentinel: with negative
+        // values the sentinel re-seeds at every step and the "ewma"
+        // silently echoes the raw series
+        var seeded = false
+        var acc = 0L
         evs.iterator.map { e =>
-          acc = if (acc < 0) e.vmillis
+          acc = if (!seeded) { seeded = true; e.vmillis }
                 else (alphaNum * e.vmillis + (alphaDen - alphaNum) * acc) / alphaDen
           EwmaFixedOut(e.entity, e.id, e.tus, e.vmillis, acc)
         }
@@ -725,8 +728,13 @@ object Temporal {
     * row). One window per call; all fills share its sort.
     */
   def locf(df: DataFrame, entityCol: String, orderCol: String,
-           valueCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(entityCol)).orderBy(col(orderCol))
+           valueCols: Seq[String], tieCol: Option[String] = None): DataFrame = {
+    // tieCol makes fills deterministic when (entity, orderCol) has
+    // duplicate rows — without it, which duplicate "wins" depends on
+    // the unstable within-tie sort (every sibling window op here takes
+    // an explicit tiebreak; pass one whenever orderCol can repeat)
+    val ord = col(orderCol) +: tieCol.map(col).toSeq
+    val w = Window.partitionBy(col(entityCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     valueCols.foldLeft(df) { (acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
@@ -948,9 +956,12 @@ object Temporal {
       .withColumn("_wn", count(lit(1)).over(w))
       .withColumn("trend", expr("_wsum div _wn"))
       .withColumn("_det", col("value_u") - col("trend"))
+      // pmod, not %: truncating % gives pre-1970 days NEGATIVE phases,
+      // splitting each true weekday into two seasonal half-cohorts
+      // (the floorBinExpr negative-epoch class)
       .withColumn("_phase",
-        datediff(col("day"), lit("1970-01-01").cast("date"))
-          .cast("long") % period)
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long"), lit(period)))
     val seasonal = detrended
       .groupBy(col(entityCol), col("_phase"))
       .agg(sum("_det").as("_ssum"), count(lit(1)).as("_sn"))
@@ -962,30 +973,6 @@ object Temporal {
         (col("_det") - col("seasonal")).as("residual"))
   }
 
-  /** Per-entity least-squares trend line over the daily series — "is
-    * this metric drifting, and how fast, for every entity at once" —
-    * as ONE aggregation pass, exact integer arithmetic end to end.
-    *
-    * The closed form needs only the monoid sums n, Σx, Σy, Σxy, Σx²:
-    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
-    *   intercept = (Σy − slope·Σx) / n
-    * x = days since the ENTITY'S first observed day (small ints, so
-    * Σxy stays far from Long overflow even with µ-scaled y; using raw
-    * epoch micros here would overflow — that's why the rebase is part
-    * of the contract, not a nicety), y = Σ⌊value·scale⌋ per observed
-    * day (no zero-fill: silent days are missing observations, not
-    * zeros). Both divisions are truncating integer division (`div` ≡
-    * DuckDB `//`), applied AFTER the exact integer numerators, so
-    * slope_u/intercept_u are bit-identical on any engine; num/den ride
-    * along exact for callers wanting full-precision ratios.
-    *
-    * Plan: daily aggregate → per-entity min-day (one more aggregate,
-    * broadcast-joined back is wrong at 100 TB entity counts — it's an
-    * equi join on the entity key, same shuffle as the daily groupBy) →
-    * one final per-entity aggregate. Entities with a single point (or
-    * all points on one day) have den = 0 → NULL slope/intercept, not a
-    * crash. Output: entity, n, num, den, slope_u, intercept_u.
-    */
   /** Gaps-and-islands interval coalescing: merge each entity's
     * overlapping-or-touching [start, end] intervals into disjoint
     * islands — the exact-union interval algebra behind "total covered
@@ -1081,6 +1068,30 @@ object Temporal {
       sum("new_entities").over(w).cast("long"))
   }
 
+  /** Per-entity least-squares trend line over the daily series — "is
+    * this metric drifting, and how fast, for every entity at once" —
+    * as ONE aggregation pass, exact integer arithmetic end to end.
+    *
+    * The closed form needs only the monoid sums n, Σx, Σy, Σxy, Σx²:
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    * x = days since the ENTITY'S first observed day (small ints, so
+    * Σxy stays far from Long overflow even with µ-scaled y; using raw
+    * epoch micros here would overflow — that's why the rebase is part
+    * of the contract, not a nicety), y = Σ⌊value·scale⌋ per observed
+    * day (no zero-fill: silent days are missing observations, not
+    * zeros). Both divisions are truncating integer division (`div` ≡
+    * DuckDB `//`), applied AFTER the exact integer numerators, so
+    * slope_u/intercept_u are bit-identical on any engine; num/den ride
+    * along exact for callers wanting full-precision ratios.
+    *
+    * Plan: daily aggregate → per-entity min-day (one more aggregate,
+    * broadcast-joined back is wrong at 100 TB entity counts — it's an
+    * equi join on the entity key, same shuffle as the daily groupBy) →
+    * one final per-entity aggregate. Entities with a single point (or
+    * all points on one day) have den = 0 → NULL slope/intercept, not a
+    * crash. Output: entity, n, num, den, slope_u, intercept_u.
+    */
   def trendLine(events: DataFrame, entityCol: String, tsCol: String,
                 valueCol: String, scale: Long = 1000000L): DataFrame = {
     val daily = events

@@ -1776,7 +1776,7 @@ object RelationalQueries {
         |       FROM grid),
         |det AS (SELECT user_id, day, value_u, wsum // wn AS trend,
         |               value_u - (wsum // wn) AS det,
-        |               datediff('day', DATE '1970-01-01', day) % 7 AS phase
+        |               ((datediff('day', DATE '1970-01-01', day) % 7) + 7) % 7 AS phase
         |        FROM tr),
         |seas AS (SELECT user_id, phase, sum(det) // count(*) AS seasonal
         |         FROM det GROUP BY 1, 2)
@@ -1933,7 +1933,7 @@ object RelationalQueries {
         |         count(*) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
         |       FROM grid),
         |det AS (SELECT user_id, day, value_u, value_u - (wsum // wn) AS det,
-        |               datediff('day', DATE '1970-01-01', day) % 7 AS phase
+        |               ((datediff('day', DATE '1970-01-01', day) % 7) + 7) % 7 AS phase
         |        FROM tr),
         |seas AS (SELECT user_id, phase, sum(det) // count(*) AS seasonal
         |         FROM det GROUP BY 1, 2),
