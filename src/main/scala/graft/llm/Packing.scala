@@ -99,38 +99,92 @@ object Packing {
           .as("tokens_in_chunk"))
   }
 
+  /** Adds `_blk`, an ORDER-PRESERVING block id over `key` with at most
+    * `maxBlocks` distinct values regardless of how sparse the key space
+    * is: block = (key − min) div ceil(span / maxBlocks). A plain
+    * `key div B` keeps the summary frame bounded only for DENSE keys —
+    * a composite key like score·2³² + id puts every key in its own
+    * block and the "block summary" silently becomes corpus-sized, i.e.
+    * the single-task global sort this machinery exists to avoid (r10
+    * verdict task). The (min, width) stats row rides a 1-row broadcast,
+    * one extra column-pruned pass over the frame.
+    *
+    * Contract: key is numeric and its span fits a Long
+    * (max − min + maxBlocks < 2⁶³ — true for any composed sort key that
+    * itself fits a Long with headroom). Determinism: min/max and the
+    * floor divisions are exact integer algebra.
+    */
+  private def withBoundedBlocks(df: DataFrame, keyCol: String,
+                                maxBlocks: Long): DataFrame = {
+    require(maxBlocks > 0, s"maxBlocks must be positive, got $maxBlocks")
+    val stats = df.agg(min(col(keyCol).cast("long")).as("_lo"),
+        max(col(keyCol).cast("long")).as("_hi"))
+      .select(col("_lo"),
+        expr(s"(_hi - _lo + $maxBlocks) div $maxBlocks").as("_bw"))
+    // key - _lo >= 0 by construction, so truncating `div` IS floor div
+    df.join(broadcast(stats))
+      .withColumn("_blk", expr(s"(cast($keyCol as bigint) - _lo) div _bw"))
+      .drop("_lo", "_bw")
+  }
+
   /** No-split bin packing, power-of-two length buckets: docs keep their
     * boundaries (SFT/eval batching), each bin holds
     * k = max(1, capacity div 2^(lb+1)) docs of bucket
     * lb = ⌊log₂ len⌋ — k docs of length < 2^(lb+1) always fit, so the
-    * capacity guarantee is structural, not checked per bin. Fully
-    * parallel: bucket assignment is a row expression, bin assignment a
-    * per-bucket ROW_NUMBER div k.
+    * capacity guarantee is structural, not checked per bin.
+    *
+    * Scale posture: the per-bucket rank is the SAME two-level scan as
+    * [[withStreamOffsets]], sub-sharded on [[withBoundedBlocks]] of the
+    * id — a plain ROW_NUMBER over PARTITION BY len_bucket has at most
+    * ~log₂(capacity)+2 partitions, and a corpus dominated by one length
+    * bucket (the realistic token-length distribution) would sort that
+    * whole bucket on a single task (r10 ADVICE). Per (bucket, block)
+    * everything is keyed; the only windows run over the
+    * (buckets × ≤maxBlocks)-row block-summary frame, partitioned by
+    * bucket, and the corpus-sized frame sorts only within (bucket,
+    * block).
     *
     * Per doc: (id, len, len_bucket, bin_idx, fits). Docs with
     * len > capacity can never pack — they get len_bucket = -1,
     * bin_idx = 0, fits = false (count them, then chunk or drop them
     * upstream). len <= 0 rows are dropped as in the stream layout.
+    * `idCol` must be numeric and unique (the rank tiebreak).
     *
     * ⌊log₂ len⌋ rides `length(bin(len)) - 1` — exact in both engines,
     * unlike libm log2 which can flip 2^k boundaries.
     */
   def binPack(df: DataFrame, idCol: String, lenCol: String,
-              capacity: Long): DataFrame = {
+              capacity: Long, maxBlocks: Long = 1L << 20): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    df
-      .withColumn("_id", col(idCol).cast("long"))
-      .withColumn("_len", col(lenCol).cast("long"))
-      .filter(col("_len") > 0L)
-      .withColumn("len_bucket",
-        when(col("_len") > capacity, lit(-1L))
-          .otherwise(expr("length(bin(_len)) - 1").cast("long")))
+    val base = withBoundedBlocks(
+      df.withColumn("_id", col(idCol).cast("long"))
+        .withColumn("_len", col(lenCol).cast("long"))
+        .filter(col("_len") > 0L)
+        .withColumn("len_bucket",
+          when(col("_len") > capacity, lit(-1L))
+            .otherwise(expr("length(bin(_len)) - 1").cast("long"))),
+      "_id", maxBlocks)
+    // two-level per-bucket rank: exclusive count of earlier blocks in
+    // the same bucket + intra-(bucket, block) row_number. Equal to
+    // ROW_NUMBER over (PARTITION BY len_bucket ORDER BY _id) - 1
+    // because blocks tile the id order (withBoundedBlocks is monotonic
+    // in the key). The summary window input is the aggregate frame.
+    val blkCounts = base.filter(col("len_bucket") =!= -1L)
+      .groupBy("len_bucket", "_blk").agg(count(lit(1)).as("_bc"))
+    val wb = Window.partitionBy("len_bucket").orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blkCounts.select(col("len_bucket"), col("_blk"),
+      coalesce(sum("_bc").over(wb), lit(0L)).as("_boff"))
+    val wIn = Window.partitionBy("len_bucket", "_blk").orderBy("_id")
+    base
+      .join(offs, Seq("len_bucket", "_blk"), "left") // -1 bucket: no offs row
+      .withColumn("_rk",
+        coalesce(col("_boff"), lit(0L)) + row_number().over(wIn) - 1L)
       .withColumn("bin_idx",
         when(col("len_bucket") === -1L, lit(0L))
           .otherwise(expr(
-            s"""(row_number() OVER (PARTITION BY len_bucket ORDER BY _id) - 1)
-               | div greatest(1L, $capacity div shiftleft(cast(1 as bigint),
-               |                    cast(len_bucket + 1 as int)))""".stripMargin)))
+            s"""_rk div greatest(1L, $capacity div shiftleft(cast(1 as bigint),
+               |          cast(len_bucket + 1 as int)))""".stripMargin)))
       .select(col(idCol), col("_len").as("len"), col("len_bucket"),
         col("bin_idx"), (col("len_bucket") =!= -1L).as("fits"))
   }
@@ -140,22 +194,38 @@ object Packing {
     * within ±1 — the ORDERED complement of Sampling.writeShards' hash
     * shards (training wants shuffled; curriculum export, merge-joinable
     * deliveries, and zone-map-prunable layouts want sorted). Exact
-    * global rank rides [[withStreamOffsets]] with unit lengths, so no
-    * one-task window and no repartitionByRange sampling
+    * global rank via the two-level scan over [[withBoundedBlocks]] of
+    * the key, so no one-task window and no repartitionByRange sampling
     * nondeterminism: shard = rank·numShards div n, bit-stable across
     * runs and engines.
     *
-    * `keyCol` must be numeric and UNIQUE (the withStreamOffsets
-    * contract); compose tie-broken sort keys upstream, e.g.
-    * score·10⁶ + id. Returns the input + (rank, shard).
+    * Unlike [[withStreamOffsets]]' dense-id `div blockSize` tiling, the
+    * blocking here is SPAN-SCALED — rank-shard keys are definitionally
+    * composite/sparse (score·2³² + id), and a fixed-width div would put
+    * every key in its own block, making the "summary" window
+    * corpus-sized (the r10 verdict's single-task-sort hazard). The
+    * summary frame is ≤ `maxBlocks` rows by construction.
+    *
+    * `keyCol` must be numeric and UNIQUE; compose tie-broken sort keys
+    * upstream with a shift that exceeds max(id) at every corpus size,
+    * e.g. score·2³² + id — NOT a decimal multiplier that a grown id
+    * space silently overflows. Returns the input + (rank, shard).
     */
   def rankShards(df: DataFrame, keyCol: String, numShards: Int,
-                 blockSize: Long = 1L << 20): DataFrame = {
+                 maxBlocks: Long = 1L << 20): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
-    val ranked = withStreamOffsets(
-        df.withColumn("_one", lit(1L)), keyCol, "_one", blockSize)
-      .withColumnRenamed("start_off", "rank")
-      .drop("_one", "_id", "_len")
+    val base = withBoundedBlocks(df, keyCol, maxBlocks)
+    val blkCounts = base.groupBy("_blk").agg(count(lit(1)).as("_bc"))
+    // global window over the ≤maxBlocks-row BLOCK SUMMARY frame only
+    val wb = Window.orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blkCounts.select(col("_blk"),
+      coalesce(sum("_bc").over(wb), lit(0L)).as("_boff"))
+    val wIn = Window.partitionBy("_blk").orderBy(col(keyCol))
+    val ranked = base
+      .join(broadcast(offs), Seq("_blk"))
+      .withColumn("rank", col("_boff") + row_number().over(wIn) - 1L)
+      .drop("_blk", "_boff")
     val n = ranked.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("shard", expr(s"(rank * $numShards) div _n"))

@@ -60,21 +60,35 @@ object Preference {
     * order across partitions — p̄ = Σ(n₁²+n₀²−n) / (N·n·(n−1)),
     * p_e = p₁² + p₀², κ = (p̄−p_e)/(1−p_e).
     *
-    * Output: one row (n_items, p_bar, p_e, kappa), ratios round(6);
-    * kappa is NULL on the degenerate p_e = 1 (all votes one category —
-    * chance agreement is certain, kappa undefined).
+    * Panel validation: the formula is only meaningful when every item
+    * holds exactly `n` votes — a short or over-full panel fed into the
+    * fixed-n algebra produces a silently wrong kappa (r10 ADVICE).
+    * Items whose vote count ≠ n are EXCLUDED from the statistic and
+    * COUNTED in `n_invalid_items`, so the caller sees the violation in
+    * the result row instead of a corrupted number; assert
+    * n_invalid_items = 0 upstream when a strict panel is the contract.
+    *
+    * Output: one row (n_items, n_invalid_items, p_bar, p_e, kappa),
+    * ratios round(6); kappa is NULL on the degenerate p_e = 1 (all
+    * votes one category — chance agreement is certain, kappa
+    * undefined) and the whole row is (0, k, NULL, NULL, NULL) when no
+    * item has a valid panel.
     */
   def fleissKappa(votes: DataFrame, itemCol: String, voteCol: String,
                   n: Int): DataFrame = {
     require(n >= 2, s"fleiss kappa needs >= 2 raters, got $n")
     val per = votes.groupBy(col(itemCol))
-      .agg(sum(col(voteCol)).cast("long").as("n1"))
-      .select(col("n1"),
+      .agg(sum(col(voteCol)).cast("long").as("n1"),
+        count(lit(1)).cast("long").as("nv"))
+      .select(col("n1"), col("nv"),
         (col("n1") * col("n1") + (lit(n.toLong) - col("n1")) *
           (lit(n.toLong) - col("n1")) - n).as("pi_num"))
-    per.agg(count(lit(1)).as("n_items"),
-        sum("pi_num").as("pn"), sum("n1").as("s1"))
-      .select(col("n_items"),
+    per.agg(
+        count(when(col("nv") === n.toLong, 1)).as("n_items"),
+        count(when(col("nv") =!= n.toLong, 1)).as("n_invalid_items"),
+        sum(when(col("nv") === n.toLong, col("pi_num"))).as("pn"),
+        sum(when(col("nv") === n.toLong, col("n1"))).as("s1"))
+      .select(col("n_items"), col("n_invalid_items"),
         round(col("pn").cast("double") /
           (col("n_items") * n * (n - 1)), 6).as("p_bar"),
         round(peExpr(n), 6).as("p_e"),

@@ -127,8 +127,12 @@ object PackingQueries {
     //      key ranges are non-overlapping by construction (zone-map
     //      prunable). Exact rank via the block prefix scan — vs the
     //      oracle's one global row_number window ----
+    // sort key = n_chars·2³² + doc_id: the shift must exceed max(doc_id)
+    // at EVERY SF or the composed key stops being unique and the
+    // rankShards unique-id contract breaks silently (r10 ADVICE — the
+    // old ·100000 multiplier collided from sf where doc_id ≥ 100000)
     "q_pack_rank_shards" -> Q(
-      """WITH t AS (SELECT n_chars * 100000 + doc_id AS k FROM documents),
+      """WITH t AS (SELECT n_chars * (CAST(1 AS BIGINT) << 32) + doc_id AS k FROM documents),
         |r AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS rk FROM t),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
         |s AS (SELECT k, (rk * 8) // n AS shard FROM r, tot)
@@ -138,9 +142,9 @@ object PackingQueries {
         |       CAST(max(k) AS BIGINT) AS key_hi
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
       val keyed = tb(s, dir).documents
-        .select((col("n_chars") * 100000L + col("doc_id")).as("k"))
+        .select((col("n_chars") * (1L << 32) + col("doc_id")).as("k"))
       Packing.rankShardManifest(
-          Packing.rankShards(keyed, "k", numShards = 8, blockSize = 4096L),
+          Packing.rankShards(keyed, "k", numShards = 8, maxBlocks = 4096L),
           "k")
         .orderBy("shard")
     },

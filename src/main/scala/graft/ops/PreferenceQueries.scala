@@ -91,11 +91,13 @@ object PreferenceQueries {
          |v AS (SELECT prompt_id,
          |             CASE WHEN (chosen_id * (2*r+3) + rejected_id) % 5 < 3 THEN 1 ELSE 0 END AS vote
          |      FROM p CROSS JOIN (SELECT unnest([0, 1, 2]) AS r)),
-         |g AS (SELECT prompt_id, CAST(sum(vote) AS BIGINT) AS n1 FROM v GROUP BY prompt_id),
-         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-         |             CAST(sum(n1*n1 + (3-n1)*(3-n1) - 3) AS BIGINT) AS pn,
-         |             CAST(sum(n1) AS BIGINT) AS s1 FROM g)
-         |SELECT n_items,
+         |g AS (SELECT prompt_id, CAST(sum(vote) AS BIGINT) AS n1,
+         |             CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY prompt_id),
+         |t AS (SELECT CAST(count(CASE WHEN nv = 3 THEN 1 END) AS BIGINT) AS n_items,
+         |             CAST(count(CASE WHEN nv <> 3 THEN 1 END) AS BIGINT) AS n_invalid_items,
+         |             CAST(sum(CASE WHEN nv = 3 THEN n1*n1 + (3-n1)*(3-n1) - 3 END) AS BIGINT) AS pn,
+         |             CAST(sum(CASE WHEN nv = 3 THEN n1 END) AS BIGINT) AS s1 FROM g)
+         |SELECT n_items, n_invalid_items,
          |  round(CAST(pn AS DOUBLE) / (n_items * 3 * 2), 6) AS p_bar,
          |  round((CAST(s1 AS DOUBLE)/(n_items*3)) * (CAST(s1 AS DOUBLE)/(n_items*3))
          |        + (1.0 - CAST(s1 AS DOUBLE)/(n_items*3)) * (1.0 - CAST(s1 AS DOUBLE)/(n_items*3)), 6) AS p_e,

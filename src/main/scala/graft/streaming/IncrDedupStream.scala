@@ -82,13 +82,20 @@ object IncrDedupStream {
     * delta tag is `direct_<n>` (n = current delta count — single-writer
     * by construction, same ownership rule as the streaming checkpoint)
     * and no verdict log is written (no batch identity to key it by).
-    * Returns the verdict frame (lazily re-readable; the heavy work is
-    * already materialized into the store).
+    * Pass `directTag` (a caller-owned unique id) to make a direct call
+    * replay-idempotent like the streaming path — without it, a retry
+    * after a COMMITTED-but-unacknowledged write mints a fresh tag, the
+    * batch's own earlier signatures read as corpus, and every retried
+    * doc is verdicted `exact_dup_corpus` of itself (at-least-once; the
+    * sweep below removes only uncommitted partials). Returns the
+    * verdict frame (lazily re-readable; the heavy work is already
+    * materialized into the store).
     */
   def applyBatch(batch: DataFrame, idCol: String, textCol: String,
                  storeDir: String, numHashes: Int = 8,
                  rowsPerBand: Int = 4, k: Int = 3, minMatches: Int = 6,
-                 batchId: Long = -1L, queryId: String = ""): Unit = {
+                 batchId: Long = -1L, queryId: String = "",
+                 directTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val idx = indexPath(storeDir)
@@ -106,7 +113,8 @@ object IncrDedupStream {
         Fs.listDirs(idx, conf)
           .filter(d => !Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
           .foreach(d => Fs.delete(d.getPath.toString, conf, recursive = true))
-        s"direct_${Fs.listDirs(idx, conf).length}"
+        directTag.fold(s"direct_${Fs.listDirs(idx, conf).length}")(t =>
+          s"direct_$t")
       }
     // exclude our OWN tag: a replay's half-written delta must not make
     // the batch a duplicate of itself

@@ -70,12 +70,22 @@ object PackStream {
     * corpus-sized scan Packing.withStreamOffsets tiles into blocks).
     * Writes the batch layout and the totals delta; both writes are
     * overwrite-idempotent under replay (see object doc). Direct callers
-    * (batchId = -1) get a `direct_<n>` delta tag and no layout dir —
-    * same single-writer ownership rule as IncrDedupStream.
+    * (batchId = -1) get a delta tag and no layout dir — same
+    * single-writer ownership rule as IncrDedupStream. Pass `directTag`
+    * (a caller-owned unique id, e.g. a job/attempt id) to make direct
+    * calls replay-idempotent like the streaming path: a retry with the
+    * same tag self-excludes and overwrites. Without it the tag is
+    * auto-minted (`direct_<n>`) and the call is AT-LEAST-ONCE: a retry
+    * after a write that COMMITTED (_SUCCESS written) but was not
+    * acknowledged mints a fresh tag, misses the earlier delta in the
+    * self-exclusion, and double-counts that batch's token sums — the
+    * sweep below removes only uncommitted partials. Retries after
+    * success are the auto-minted caller's responsibility.
     */
   def applyBatch(batch: DataFrame, idCol: String, lenCol: String,
                  srcCol: String, storeDir: String, capacity: Long,
-                 batchId: Long = -1L, queryId: String = ""): Unit = {
+                 batchId: Long = -1L, queryId: String = "",
+                 directTag: Option[String] = None): Unit = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -94,7 +104,8 @@ object PackStream {
         Fs.listDirs(tot, conf)
           .filter(d => !Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
           .foreach(d => Fs.delete(d.getPath.toString, conf, recursive = true))
-        s"direct_${Fs.listDirs(tot, conf).length}"
+        directTag.fold(s"direct_${Fs.listDirs(tot, conf).length}")(t =>
+          s"direct_$t")
       }
     // prior totals EXCLUDE our own tag — a replay must extend from the
     // same base it saw the first time, not from its half-committed self

@@ -465,6 +465,43 @@ class PlanAuditSpec extends SparkSpec {
       s"term filter should appear below the exchange:\n$plan")
   }
 
+  test("rankShards manifest: every single-partition exchange feeds from an " +
+    "aggregate, never raw corpus rows (two-level scan stays two-level)") {
+    // the q_pack_rank_shards shape: a sparse composite sort key, where a
+    // fixed-width block id would make the "summary" frame corpus-sized
+    // and the global window a single-task sort of the corpus (the r10
+    // verdict hazard). AQE off so executedPlan is a plain traversable
+    // tree (the knnGraph-test convention).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val keyed = Tables(spark, sfDir).documents
+        .select((col("n_chars") * (1L << 32) + col("doc_id")).as("k"))
+      val out = graft.llm.Packing.rankShardManifest(
+        graft.llm.Packing.rankShards(keyed, "k", numShards = 8,
+          maxBlocks = 4096L), "k")
+      val plan = out.queryExecution.executedPlan
+      val single = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      assert(single.nonEmpty, s"expected the block-summary exchange:\n$plan")
+      single.foreach { e =>
+        assert(e.child.collect {
+          case a if a.nodeName.toLowerCase.contains("aggregate") => a
+        }.nonEmpty,
+          s"single-partition exchange over a non-aggregated frame:\n$e")
+      }
+      // and no unpartitioned Window over a frame carrying the raw key
+      // rows (the summary window's input is (blk, count) only)
+      val logical = out.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      logical.foreach(w => assert(!w.child.output.map(_.name).contains("k"),
+        s"global window over corpus rows:\n$w"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("suppressToK's null-safe multi-column anti join stays hash-based — no BNLJ") {
     // the <=> conjunction over a 3-column quasi key must plan as
     // hash-join keys (EqualNullSafe IS a supported equi-join key), not

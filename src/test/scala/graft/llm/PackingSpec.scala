@@ -79,12 +79,44 @@ class PackingSpec extends SparkSpec {
       .toSeq === Seq(-1L))
   }
 
+  test("binPack: two-level per-bucket rank (tiny maxBlocks) equals the " +
+      "single-window assignment — a one-bucket-dominated corpus included") {
+    // every doc in ONE length bucket (the r10 ADVICE hazard shape: a
+    // plain per-bucket ROW_NUMBER sorts the whole corpus on one task);
+    // maxBlocks=4 forces multi-key blocks so the offset+intra-block
+    // composition is genuinely exercised
+    val docs = (0L until 200L).map(i => (i * 97L + 3L, 30L + (i % 2)))
+      .toDF("id", "n")
+    val twoLevel = Packing.binPack(docs, "id", "n", 128L, maxBlocks = 4L)
+      .select("id", "len_bucket", "bin_idx").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // oracle: rank in id order within the (single) bucket, div k
+    val k = 128L / 32L // bucket 4 (lens 30-31): k = cap div 2^(4+1) = 4
+    val expected = docs.as[(Long, Long)].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((id, _), r) => (id, 4L, r / k) }
+    assert(twoLevel === expected)
+  }
+
+  test("rankShards: SPARSE composite keys (span >> count) still rank " +
+      "exactly with a tiny summary budget") {
+    // keys like score·2³²+id — the shape where a fixed-width `div`
+    // blocking degenerates to one block per key (corpus-sized summary)
+    val rnd = new scala.util.Random(11)
+    val keys = rnd.shuffle((0L until 100L).map(i =>
+      (i % 13) * (1L << 32) + i).toVector)
+    val sharded = Packing.rankShards(keys.map(Tuple1(_)).toDF("k"), "k",
+      numShards = 4, maxBlocks = 8L)
+    val got = sharded.select("k", "rank").as[(Long, Long)].collect()
+    assert(got.sortBy(_._1).map(_._2).toSeq === (0L until 100L),
+      "ranks must be the exact key-order positions")
+  }
+
   test("rankShards: exact key-order ranks, ±1-balanced shards, and a " +
       "non-overlapping ordered manifest") {
     val rnd = new scala.util.Random(7)
     val keys = rnd.shuffle((0L until 103L).map(_ * 13L + 5L).toVector)
     val df = keys.map(Tuple1(_)).toDF("k")
-    val sharded = Packing.rankShards(df, "k", numShards = 4, blockSize = 64L)
+    val sharded = Packing.rankShards(df, "k", numShards = 4, maxBlocks = 8L)
     val got = sharded.select("k", "rank", "shard")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     // rank = position in sorted key order

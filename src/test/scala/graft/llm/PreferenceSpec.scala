@@ -49,9 +49,39 @@ class PreferenceSpec extends SparkSpec {
     ).toDF("item", "vote")
     val r = Preference.fleissKappa(votes, "item", "vote", n = 3).collect().head
     assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("n_invalid_items") === 0L)
     assert(r.getAs[Double]("p_bar") === 0.666667)
     assert(r.getAs[Double]("p_e") === 0.5)
     assert(r.getAs[Double]("kappa") === 0.333333)
+  }
+
+  test("fleissKappa: short/over-full panels are excluded and counted, not folded in") {
+    // items 1-4 as above, plus a 2-vote item and a 4-vote item — both
+    // violate the n=3 panel contract and must not corrupt the kappa
+    // (pre-fix they fed the fixed-n algebra and silently shifted it)
+    val votes = Seq(
+      (1L, 1), (1L, 1), (1L, 1),
+      (2L, 0), (2L, 0), (2L, 0),
+      (3L, 1), (3L, 1), (3L, 0),
+      (4L, 1), (4L, 0), (4L, 0),
+      (5L, 1), (5L, 1), // short panel
+      (6L, 0), (6L, 0), (6L, 1), (6L, 1) // over-full panel
+    ).toDF("item", "vote")
+    val r = Preference.fleissKappa(votes, "item", "vote", n = 3).collect().head
+    assert(r.getAs[Long]("n_items") === 4L)
+    assert(r.getAs[Long]("n_invalid_items") === 2L)
+    assert(r.getAs[Double]("p_bar") === 0.666667)
+    assert(r.getAs[Double]("p_e") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.333333)
+  }
+
+  test("fleissKappa: no valid panel at all -> (0, k, NULL, NULL, NULL)") {
+    val votes = Seq((1L, 1), (2L, 0)).toDF("item", "vote")
+    val r = Preference.fleissKappa(votes, "item", "vote", n = 3).collect().head
+    assert(r.getAs[Long]("n_items") === 0L)
+    assert(r.getAs[Long]("n_invalid_items") === 2L)
+    assert(r.isNullAt(r.fieldIndex("p_bar")))
+    assert(r.isNullAt(r.fieldIndex("kappa")))
   }
 
   test("fleissKappa: unanimous panel has p_e = 1 and NULL kappa") {
