@@ -178,4 +178,23 @@ object Fs {
       if (s.isDirectory) dirBytesRecursive(s.getPath.toString, conf)
       else s.getLen
     }.sum
+
+  final case class DataFileStats(files: Long, bytes: Long)
+
+  /** Count + bytes of the DATA files under `dir` (recursive), skipping
+    * write markers and hidden bookkeeping (`_SUCCESS`, `_metadata`,
+    * dot-files) — the fragmentation probe for compaction triggers,
+    * where counting markers as "files" would inflate every healthy
+    * single-append table toward the threshold. Driver-side metadata
+    * RPCs, O(listing).
+    */
+  def dataFileStats(dir: String, conf: Configuration): DataFileStats =
+    list(dir, conf).foldLeft(DataFileStats(0L, 0L)) { (acc, s) =>
+      val name = s.getPath.getName
+      if (s.isDirectory) {
+        val sub = dataFileStats(s.getPath.toString, conf)
+        DataFileStats(acc.files + sub.files, acc.bytes + sub.bytes)
+      } else if (name.startsWith("_") || name.startsWith(".")) acc
+      else DataFileStats(acc.files + 1, acc.bytes + s.getLen)
+    }
 }

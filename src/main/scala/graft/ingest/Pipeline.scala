@@ -64,7 +64,17 @@ object Pipeline {
       jdbcOptions: Map[String, String] = Map.empty,
       // run-scoped entity catalog (SchemaRegistry.load for a config
       // overlay — the reference's live information_schema lookup analog)
-      registry: SchemaRegistry.EntityRegistry = SchemaRegistry.default)
+      registry: SchemaRegistry.EntityRegistry = SchemaRegistry.default,
+      // steady-state MVCC hygiene: after this run's appends, compact any
+      // control-plane log whose version history crossed the LogStore
+      // trigger (file count ≥ logCompactMinFiles AND history rows ≥
+      // logCompactRatio × live keys). latest() views are invariant under
+      // the compact; asOf() snapshots older than it are dropped (the
+      // VACUUM trade — raise minFiles for longer time travel). The
+      // common-case cost is one FS listing per log table, no Spark job.
+      autoCompactLogs: Boolean = true,
+      logCompactMinFiles: Int = 64,
+      logCompactRatio: Double = 4.0)
 
   final case class RunResult(
       logId: String,
@@ -367,6 +377,25 @@ object Pipeline {
       fileStatus.values.count(_._1 == "success"), nFailed,
       missing.length, recordsIngested, recordsQuarantined)
     work.unpersist()
+
+    // MVCC auto-compaction (r10 verdict task): the two logs every run
+    // appends to — sync_file gets one version row per touched file per
+    // run, file_ingestion_log one per attempt — are exactly the ones
+    // whose history would otherwise dominate the next run's work-list
+    // window after thousands of micro-batches. LAST step by necessity,
+    // not style: the compact swap DELETES superseded parquet files, and
+    // every plan built earlier in this run (the work list, the sync
+    // view) still references them — executing such a plan after the
+    // swap reads deleted files. The in-process writeLock serializes it
+    // against nothing else here (single driver, end of run).
+    if (cfg.autoCompactLogs) {
+      store.compactIfNeeded("sync_file", Seq("id"),
+        cfg.logCompactMinFiles, cfg.logCompactRatio)
+      store.compactIfNeeded("file_ingestion_log",
+        Seq("file_name", "facility_id", "load_start_time"),
+        cfg.logCompactMinFiles, cfg.logCompactRatio)
+      ()
+    }
     res
   }
 }

@@ -430,6 +430,17 @@ object DedupOps {
     * DupGraph's O(log n) pointer-jumping components + a pure hash
     * expression for the label — no extra corpus-sized shuffle beyond
     * the dedup stack itself.
+    *
+    * GROWTH-STABILITY CAVEAT: this is a FROZEN-corpus operator. The
+    * component id is the cluster's min doc id, so re-running on a grown
+    * corpus can migrate whole clusters across splits — a later-ingested
+    * doc with a lower id (or one bridging two clusters) changes the min
+    * and re-hashes everyone. Zero leakage still holds per run, but
+    * train/val membership is NOT stable across corpus versions. For a
+    * growing corpus use [[IncrementalSplit]] /
+    * [[graft.streaming.SplitStream]]: assignments persist, new docs
+    * inherit their cluster's split, merges keep the oldest assignment,
+    * and only genuinely new clusters hash fresh.
     */
   def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
                     splits: Seq[(String, Double)],

@@ -32,8 +32,14 @@ object Packing {
     *
     * `idCol` must be numeric and unique; blocks are `id div blockSize`
     * — monotonic in id, so block ranges tile the global order without
-    * requiring dense ids. Two-level scan (see object doc); pick
-    * blockSize so |ids| / blockSize is at most ~1e6 summary rows.
+    * requiring dense ids. Two-level scan (see object doc). The summary
+    * frame holds span(ids)/blockSize rows, NOT |ids|/blockSize: for a
+    * SPARSE id space (composite sort keys) size blockSize to the span,
+    * or use [[rankShards]]/[[binPack]], whose span-scaled blocking
+    * bounds the summary at maxBlocks rows for any key distribution.
+    * The fixed-width div is kept here because the stream-offset id is a
+    * dense document id by contract and skipping the min/max stats pass
+    * saves one scan per layout.
     */
   def withStreamOffsets(df: DataFrame, idCol: String, lenCol: String,
                         blockSize: Long = 1L << 20): DataFrame = {

@@ -134,6 +134,41 @@ final case class LogStore(spark: SparkSession, dir: String) {
     current.unpersist()
     graft.core.Fs.swapInPlace(path(table), path(table) + "_compacted", conf)
   }
+
+  /** Trigger-gated [[compact]] — the auto-compaction policy the MVCC
+    * design needs to stay bounded in steady state (r10 verdict: compact
+    * existed but nothing scheduled it, so after thousands of micro-batch
+    * runs the version history dominated every [[latest]] window).
+    * Compacts when BOTH:
+    *  - the table directory holds ≥ `minFiles` parquet files (a pure
+    *    FS-metadata probe — the common every-run case exits here with
+    *    ZERO Spark jobs; appends are coalesce(1), so file count tracks
+    *    append count), and
+    *  - history rows ≥ `ratio` × live keys (one tiny count/countDistinct
+    *    aggregate — the history is actually version-bloated, not just
+    *    wide).
+    *
+    * Invariant (PipelineSpec): [[latest]] before ≡ after — compaction
+    * only drops superseded versions. [[asOf]] snapshots OLDER than the
+    * compact are gone (the documented VACUUM trade); size `minFiles` to
+    * the time-travel retention you need. Returns true iff it compacted.
+    */
+  def compactIfNeeded(table: String, keys: Seq[String],
+                      minFiles: Int = 64, ratio: Double = 4.0): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!exists(table)) return false
+    val nFiles = graft.core.Fs.listFiles(path(table), conf)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles < minFiles) return false
+    val row = history(table)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(keys.head), keys.tail.map(col): _*).as("k"))
+      .first()
+    val (n, k) = (row.getLong(0), row.getLong(1))
+    if (k == 0L || n < ratio * k) return false
+    compact(table, keys)
+    true
+  }
 }
 
 object LogStore {

@@ -141,6 +141,30 @@ object Maintenance {
     nFiles
   }
 
+  /** Trigger-gated [[compactStagingTable]] — the steady-state policy
+    * (r10 verdict task: the rewrite existed but nothing scheduled it, so
+    * hourly micro-batch appends accumulated small files per run — the
+    * real 100×-scale killer for the report queries' scan counts).
+    * Compacts only when the table's data-file count exceeds BOTH
+    * `maxFiles` and `fileRatio` × the ≈`targetFileBytes` count the
+    * rewrite would produce — i.e. when the layout is genuinely
+    * fragmented, not merely large. Both probes are pure FS metadata
+    * (one recursive listing); the common healthy-table case costs zero
+    * Spark jobs. Returns Some(filesWritten) iff it compacted.
+    */
+  def compactStagingIfNeeded(spark: SparkSession, tableDir: String,
+                             partitionBy: Option[String] = None,
+                             targetFileBytes: Long = 128L * 1024 * 1024,
+                             maxFiles: Int = 64,
+                             fileRatio: Double = 4.0): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = graft.core.Fs.dataFileStats(tableDir, conf)
+    val targetFiles =
+      math.max(1L, (stats.bytes + targetFileBytes - 1) / targetFileBytes)
+    if (stats.files <= maxFiles || stats.files < fileRatio * targetFiles) None
+    else Some(compactStagingTable(spark, tableDir, partitionBy, targetFileBytes))
+  }
+
   /** Compact every ALLOWLISTED staging table that exists under the
     * warehouse — the registry's `stagingTables` list driving the sweep
     * the way the reference's 44-table allowlist drives its hourly
@@ -158,6 +182,28 @@ object Maintenance {
       if (graft.core.Fs.exists(dir, conf))
         Some(t -> compactStagingTable(spark, dir, partitionBy, targetFileBytes))
       else None
+    }.toMap
+  }
+
+  /** The steady-state maintenance sweep: [[compactStagingIfNeeded]]
+    * over the allowlist (skipping absent tables), returning only the
+    * tables it actually rewrote. The scheduled counterpart of
+    * [[compactAllStaging]] — run it from the single maintenance driver
+    * on the reference's cron cadence; healthy tables cost one FS
+    * listing each.
+    */
+  def compactAllStagingIfNeeded(spark: SparkSession, warehouseDir: String,
+                                tables: Seq[String],
+                                partitionBy: Option[String] = None,
+                                targetFileBytes: Long = 128L * 1024 * 1024,
+                                maxFiles: Int = 64,
+                                fileRatio: Double = 4.0): Map[String, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.flatMap { t =>
+      val dir = s"$warehouseDir/$t"
+      if (!graft.core.Fs.exists(dir, conf)) None
+      else compactStagingIfNeeded(spark, dir, partitionBy, targetFileBytes,
+        maxFiles, fileRatio).map(t -> _)
     }.toMap
   }
 

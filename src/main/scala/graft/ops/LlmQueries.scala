@@ -196,6 +196,14 @@ object LlmQueries {
     (1 to 8).map(i => s"CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** The 80/10/10 hash-split CASE over an id expression — DuckDB face
+    * of Sampling.splitLabel on the standard train/val/test weights.
+    */
+  private def splitCase(idExpr: String): String =
+    s"""CASE WHEN ${duckBucket(idExpr)} < ${graft.llm.Sampling.bucketThreshold(0.8)} THEN 'train'
+       |     WHEN ${duckBucket(idExpr)} < ${graft.llm.Sampling.bucketThreshold(0.9)} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   /** One round of the sequential incremental-dedup replay: batch r
     * (doc_id % 3 = r of `allidx`) judged against the index CTE `idx<r>`
     * — exact-hash kill, banded near kill on stored signatures,
@@ -1597,6 +1605,125 @@ object LlmQueries {
       DedupOps.leakFreeSplit(tb(s, dir).documents, "doc_id", "text",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")
+    },
+
+    // ---- INCREMENTAL leak-free split (IncrementalSplit/SplitStream):
+    //      the r10 verdict's top task — leakFreeSplit's zero-leakage
+    //      guarantee made STABLE under corpus growth. Two-batch fold
+    //      (doc_id % 2): batch 0 assigns fresh (cluster-min hash, the
+    //      leakFreeSplit rule); batch 1 docs inherit touched clusters'
+    //      splits, merges resolve to the oldest assignment (min
+    //      (cluster_seq, cluster_id)), absorbed clusters re-point, and
+    //      only genuinely new clusters hash fresh. Edges are the
+    //      incremental family's no-rescan estimator (exact-hash stars +
+    //      LSH-banded ≥6/8 stored-signature agreement), components the
+    //      same min-reachable-id CC as the dedup oracles. The oracle
+    //      replays the entire two-batch fold: round-0 CC + hash labels,
+    //      round-1 cross probes, touched-cluster stars, CC, the winner
+    //      rule, migrations, and the latest-seq-wins assembly. ----
+    "q_llm_incr_leakfree" -> Q(
+      s"""WITH RECURSIVE $shingleCte,
+         |sigs AS ($sigSelect),
+         |allidx AS (
+         |  SELECT e.doc_id, md5(e.text) AS exact_h,
+         |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
+         |  FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
+         |b0 AS (SELECT * FROM allidx WHERE doc_id % 2 = 0),
+         |b1 AS (SELECT * FROM allidx WHERE doc_id % 2 = 1),
+         |exm0 AS (SELECT exact_h, min(doc_id) AS m FROM b0 GROUP BY exact_h),
+         |exe0 AS (SELECT e.m AS id1, b.doc_id AS id2
+         |         FROM b0 b JOIN exm0 e ON e.exact_h = b.exact_h
+         |         WHERE b.doc_id > e.m),
+         |bb0 AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM b0
+         |        UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM b0),
+         |cw0 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |        FROM bb0 a JOIN bb0 c ON c.band_id = a.band_id AND c.bk = a.bk
+         |         AND a.doc_id < c.doc_id),
+         |nw0 AS (SELECT p.id1, p.id2 FROM cw0 p
+         |        JOIN b0 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
+         |        WHERE ${mhMatch("l", "r")} >= 6),
+         |ed0 AS (SELECT id1, id2 FROM exe0 UNION SELECT id1, id2 FROM nw0),
+         |n0 AS (SELECT id1 AS id FROM ed0 UNION SELECT id2 FROM ed0),
+         |sy0 AS (SELECT id1 AS s, id2 AS d FROM ed0
+         |        UNION ALL SELECT id2, id1 FROM ed0),
+         |rc0 AS (SELECT id, id AS r FROM n0
+         |        UNION SELECT s.d AS id, rc.r FROM rc0 rc JOIN sy0 s ON s.s = rc.id),
+         |cp0 AS (SELECT id, min(r) AS component FROM rc0 GROUP BY id),
+         |as0 AS (SELECT b.doc_id,
+         |          CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS cluster_id,
+         |          CAST(0 AS BIGINT) AS cluster_seq,
+         |          ${splitCase("coalesce(c.component, b.doc_id)")} AS split,
+         |          CAST(0 AS BIGINT) AS seq
+         |        FROM b0 b LEFT JOIN cp0 c ON c.id = b.doc_id),
+         |exm1 AS (SELECT exact_h, min(doc_id) AS m FROM b1 GROUP BY exact_h),
+         |exe1 AS (SELECT e.m AS id1, b.doc_id AS id2
+         |         FROM b1 b JOIN exm1 e ON e.exact_h = b.exact_h
+         |         WHERE b.doc_id > e.m),
+         |bb1 AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM b1
+         |        UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM b1),
+         |cw1 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |        FROM bb1 a JOIN bb1 c ON c.band_id = a.band_id AND c.bk = a.bk
+         |         AND a.doc_id < c.doc_id),
+         |nw1 AS (SELECT p.id1, p.id2 FROM cw1 p
+         |        JOIN b1 l ON l.doc_id = p.id1 JOIN b1 r ON r.doc_id = p.id2
+         |        WHERE ${mhMatch("l", "r")} >= 6),
+         |cx1 AS (SELECT b.doc_id AS id1, i.doc_id AS id2
+         |        FROM b1 b JOIN b0 i ON i.exact_h = b.exact_h),
+         |cc1 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |        FROM bb1 a JOIN bb0 c ON c.band_id = a.band_id AND c.bk = a.bk),
+         |cn1 AS (SELECT p.id1, p.id2 FROM cc1 p
+         |        JOIN b1 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
+         |        WHERE ${mhMatch("l", "r")} >= 6),
+         |cr1 AS (SELECT id1, id2 FROM cx1 UNION SELECT id1, id2 FROM cn1),
+         |tc1 AS (SELECT DISTINCT a.cluster_id
+         |        FROM cr1 c JOIN as0 a ON a.doc_id = c.id2),
+         |mem1 AS (SELECT a.* FROM as0 a JOIN tc1 t ON t.cluster_id = a.cluster_id),
+         |st1 AS (SELECT doc_id AS id1, cluster_id AS id2 FROM mem1
+         |        WHERE doc_id <> cluster_id),
+         |ed1 AS (SELECT id1, id2 FROM exe1 UNION SELECT id1, id2 FROM nw1
+         |        UNION SELECT id1, id2 FROM cr1 UNION SELECT id1, id2 FROM st1),
+         |n1 AS (SELECT id1 AS id FROM ed1 UNION SELECT id2 FROM ed1),
+         |sy1 AS (SELECT id1 AS s, id2 AS d FROM ed1
+         |        UNION ALL SELECT id2, id1 FROM ed1),
+         |rc1 AS (SELECT id, id AS r FROM n1
+         |        UNION SELECT s.d AS id, rc.r FROM rc1 rc JOIN sy1 s ON s.s = rc.id),
+         |cp1 AS (SELECT id, min(r) AS component FROM rc1 GROUP BY id),
+         |w1 AS (SELECT component, cluster_id AS wcid, cluster_seq AS wseq,
+         |              split AS wsplit
+         |       FROM (SELECT c.component, a.cluster_id, a.cluster_seq, a.split,
+         |               row_number() OVER (PARTITION BY c.component
+         |                 ORDER BY a.cluster_seq, a.cluster_id) AS rn
+         |             FROM cp1 c JOIN as0 a ON a.doc_id = c.id) WHERE rn = 1),
+         |na1 AS (SELECT b.doc_id, CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS comp
+         |        FROM b1 b LEFT JOIN cp1 c ON c.id = b.doc_id),
+         |an1 AS (SELECT n.doc_id,
+         |          CAST(coalesce(w.wcid, n.comp) AS BIGINT) AS cluster_id,
+         |          CAST(coalesce(w.wseq, 1) AS BIGINT) AS cluster_seq,
+         |          coalesce(w.wsplit, ${splitCase("n.comp")}) AS split,
+         |          CAST(1 AS BIGINT) AS seq
+         |        FROM na1 n LEFT JOIN w1 w ON w.component = n.comp),
+         |mg1 AS (SELECT a.doc_id, CAST(w.wcid AS BIGINT) AS cluster_id,
+         |          CAST(w.wseq AS BIGINT) AS cluster_seq, w.wsplit AS split,
+         |          CAST(1 AS BIGINT) AS seq
+         |        FROM as0 a JOIN cp1 c ON c.id = a.doc_id
+         |        JOIN w1 w ON w.component = c.component
+         |        WHERE a.cluster_id <> w.wcid OR a.split <> w.wsplit)
+         |SELECT doc_id, cluster_id, cluster_seq, split, seq FROM (
+         |  SELECT * FROM an1
+         |  UNION ALL SELECT * FROM mg1
+         |  UNION ALL SELECT a.* FROM as0 a
+         |  WHERE NOT EXISTS (SELECT 1 FROM mg1 m WHERE m.doc_id = a.doc_id))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tmp = Scratch.dir("graft_incrsplit_")
+      val store = s"${tmp.getPath}/store"
+      val docs = tb(s, dir).documents
+      (0 to 1).foreach { i =>
+        graft.streaming.SplitStream.applyBatch(
+          docs.filter(col("doc_id") % 2 === i), "doc_id", "text", store,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seq = i.toLong, queryId = "q")
+      }
+      graft.streaming.SplitStream.assignments(s, store).orderBy("doc_id")
     },
 
     // ---- incremental dedup, part 1: the compact signature index

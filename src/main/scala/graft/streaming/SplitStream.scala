@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.core.Fs
+import graft.llm.{IncrementalDedup, IncrementalSplit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming incremental leak-free split: maintain per-document
+  * train/val/test assignments ([[graft.llm.IncrementalSplit]]) from a
+  * document stream, so every micro-batch's docs are split-labeled
+  * against EVERYTHING assigned before them — new docs inherit their
+  * cluster's split, merges resolve to the oldest assignment, and only
+  * genuinely new clusters hash fresh. Per-batch cost is batch-
+  * neighborhood-sized (signatures of the batch + bucketed joins against
+  * the signature store + a CC over batch docs and touched clusters),
+  * never corpus-text-sized.
+  *
+  * Store layout under `storeDir` (the [[IncrDedupStream]] delta
+  * protocol):
+  *  - `sigs/ingest_batch=<tag>/` — one immutable signature delta per
+  *    batch (EVERY batch doc, duplicates included: any assigned doc is
+  *    a legal attachment point for future near-dups).
+  *  - `assign/ingest_batch=<tag>/` — this batch's assignment rows:
+  *    (doc_id, cluster_id, cluster_seq, split, seq) for every batch doc
+  *    plus re-pointed rows for existing docs whose cluster merged. The
+  *    live view is latest-`seq`-wins per doc ([[assignments]]).
+  *
+  * Replay safety: the delta tag is the transaction id (queryId_batchId).
+  * A batch computes against the store EXCLUDING its own tag, then
+  * overwrites both its delta dirs — a crash anywhere replays into an
+  * identical recompute. `seq` must be the monotonically increasing
+  * batch number (the streaming batchId, or caller-owned for direct
+  * folds); the latest-wins view and the merge tie rule both order by
+  * it. Single-writer per store, compact() only between committed
+  * batches (the family-wide ownership rule).
+  *
+  * The CC labels inside the fold ride DupGraph's per-round local
+  * checkpoints; the final labels frame stays persisted until the
+  * session-level release (the q_llm_dup_clusters convention).
+  */
+object SplitStream {
+
+  def sigsPath(storeDir: String): String = s"$storeDir/sigs"
+
+  def assignPath(storeDir: String): String = s"$storeDir/assign"
+
+  private def tagOf(queryId: String, seq: Long): String = {
+    val qid = if (queryId.isEmpty) "q" else queryId
+    s"${qid}_$seq"
+  }
+
+  /** All delta rows of a store dir as one frame (typed empty when the
+    * store is new); `ingest_batch` rides as a column. listDirs, not
+    * exists — an empty dir would throw and wedge recovery (the
+    * PackStream lesson).
+    */
+  private def readDeltas(template: DataFrame, path: String): DataFrame = {
+    val spark = template.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (Fs.exists(path, conf) && Fs.listDirs(path, conf).nonEmpty)
+      spark.read.parquet(path)
+    else template.limit(0).withColumn("ingest_batch", lit(""))
+  }
+
+  private def emptyAssign(template: DataFrame, idCol: String): DataFrame =
+    template.limit(0).select(col(idCol),
+      lit(0L).as("cluster_id"), lit(0L).as("cluster_seq"),
+      lit("").as("split"), lit(0L).as("seq"))
+
+  /** Latest-wins assignment view over the delta store: one row per doc,
+    * highest `seq` wins (a doc re-appears only when its cluster merged).
+    */
+  def assignments(spark: SparkSession, storeDir: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    val assign = spark.read.parquet(assignPath(storeDir))
+    val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
+    assign
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "ingest_batch")
+  }
+
+  /** Assign one document batch against the store and persist the
+    * resulting rows (new + migrated) as this batch's deltas. `seq` must
+    * be ≥ 0 and strictly greater than every previously folded batch's.
+    */
+  def applyBatch(batch: DataFrame, idCol: String, textCol: String,
+                 storeDir: String, splits: Seq[(String, Double)],
+                 seq: Long, queryId: String = "", numHashes: Int = 8,
+                 rowsPerBand: Int = 4, k: Int = 3,
+                 minMatches: Int = 6): Unit = {
+    require(seq >= 0L, s"seq must be >= 0, got $seq")
+    val tag = tagOf(queryId, seq)
+    val bidx = IncrementalDedup
+      .dedupIndex(batch, idCol, textCol, numHashes, k).cache()
+    // prior state EXCLUDES our own tag: a replay's half-written deltas
+    // must not feed its own recompute (the family-wide idempotence rule)
+    val priorSigs = readDeltas(bidx, sigsPath(storeDir))
+      .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
+    val priorDeltas = readDeltas(emptyAssign(bidx, idCol),
+        assignPath(storeDir))
+      .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
+    val wLatest = Window.partitionBy(idCol).orderBy(col("seq").desc)
+    val priorAssign = priorDeltas
+      .withColumn("_rn", row_number().over(wLatest))
+      .filter(col("_rn") === 1).drop("_rn")
+    val rows = IncrementalSplit.assignBatch(bidx, priorSigs, priorAssign,
+      idCol, splits, seq, numHashes, rowsPerBand, minMatches).cache()
+    try {
+      rows.write.mode("overwrite")
+        .parquet(s"${assignPath(storeDir)}/ingest_batch=$tag")
+      bidx.write.mode("overwrite")
+        .parquet(s"${sigsPath(storeDir)}/ingest_batch=$tag")
+    } finally {
+      rows.unpersist()
+      bidx.unpersist()
+    }
+  }
+
+  /** Absorb the assign deltas into one latest-wins
+    * `ingest_batch=compacted_<n>` delta and the sigs deltas into one —
+    * the small-file maintenance pass; owning process only, between
+    * committed batches. Committed deltas only (the r10
+    * partial-delta-baking lesson), staged and swapped whole.
+    */
+  def compact(spark: SparkSession, storeDir: String,
+              idCol: String = "doc_id"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def committed(path: String) =
+      if (!Fs.exists(path, conf)) Seq.empty
+      else Fs.listDirs(path, conf).filter(d =>
+        Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
+    val aDirs = committed(assignPath(storeDir))
+    if (aDirs.nonEmpty) {
+      val staging = s"${assignPath(storeDir)}.staging"
+      val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
+      spark.read.parquet(aDirs.map(_.getPath.toString): _*)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+        .write.mode("overwrite")
+        .parquet(s"$staging/ingest_batch=compacted_${aDirs.length}")
+      Fs.swapInPlace(assignPath(storeDir), staging, conf)
+    }
+    val sDirs = committed(sigsPath(storeDir))
+    if (sDirs.nonEmpty) {
+      val staging = s"${sigsPath(storeDir)}.staging"
+      spark.read.parquet(sDirs.map(_.getPath.toString): _*)
+        .write.mode("overwrite")
+        .parquet(s"$staging/ingest_batch=compacted_${sDirs.length}")
+      Fs.swapInPlace(sigsPath(storeDir), staging, conf)
+    }
+  }
+
+  /** Wire a document stream into the store: foreachBatch + the fold
+    * above, seq = the streaming batchId. `Trigger.AvailableNow` drains
+    * what exists and stops; pass a processing-time trigger for
+    * always-on.
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          storeDir: String, checkpointDir: String,
+          splits: Seq[(String, Double)], numHashes: Int = 8,
+          rowsPerBand: Int = 4, k: Int = 3, minMatches: Int = 6,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, idCol, textCol, storeDir, splits, batchId,
+          ReplayGuard.streamingQueryId(batch), numHashes, rowsPerBand,
+          k, minMatches)
+      }
+      .start()
+}

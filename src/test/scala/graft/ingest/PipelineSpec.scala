@@ -278,6 +278,49 @@ class PipelineSpec extends SparkSpec {
       .getAs[Int]("processed") === SyncState.Ingested)
   }
 
+  test("auto-compaction: N churning runs with the trigger forced low ≡ the " +
+      "same runs uncompacted under latest(), and the history stays bounded") {
+    // two identical fixtures, one with in-run MVCC compaction forced on
+    // every run (ratio 1.0 + file floor 1), one with it off — the
+    // latest-wins views must agree on every run-stable column, and the
+    // compacted store's version history must collapse to current rows
+    def fixture(auto: Boolean): Pipeline.Config = {
+      val (cfg0, parent) = setup()
+      writeFile(new java.io.File(parent, "FAC1"),
+        "biometric_0_20250103141949_decrypted.json",
+        """[{"id": 1, "uuid": "u1", "match_type": "m"}]""")
+      cfg0.copy(autoCompactLogs = auto, logCompactMinFiles = 1,
+        logCompactRatio = 1.0)
+    }
+    val (on, off) = (fixture(true), fixture(false))
+    // 3 churning runs: each re-seeds the file Ready, so every run
+    // appends fresh sync versions (run 1 ingests; later runs take the
+    // already-loaded flip) — version churn without data movement
+    (1 to 3).foreach { i =>
+      Seq(on, off).foreach { cfg =>
+        seedSync(cfg, Seq(syncRow(i.toLong, "FAC1",
+          "biometric_0_20250103141949.json")))
+        Pipeline.run(spark, cfg)
+      }
+    }
+    val stable = Seq("id", "facility_id", "file_name",
+      "decrypted_file_name", "processed", "ingest_status_check",
+      "json_rec_count", "ingest_error_message")
+    def view(cfg: Pipeline.Config) =
+      cfg.logStore.latest("sync_file", Seq("id"))
+        .selectExpr(stable: _*).orderBy("id").collect().toSeq
+    assert(view(on) === view(off))
+    // every row Ingested (the flips survived compaction)
+    assert(view(on).forall(_.getAs[Int]("processed") === SyncState.Ingested))
+    // compacted store: history == current; uncompacted: strictly larger
+    val curr = on.logStore.latest("sync_file", Seq("id")).count()
+    assert(on.logStore.history("sync_file").count() === curr)
+    assert(off.logStore.history("sync_file").count() > curr)
+    assert(on.logStore.history("file_ingestion_log").count() ===
+      off.logStore.latest("file_ingestion_log",
+        Seq("file_name", "facility_id", "load_start_time")).count())
+  }
+
   test("worklist honors prefix split between main and DSD loaders (P5)") {
     val (cfg, _) = setup()
     seedSync(cfg, Seq(

@@ -38,6 +38,32 @@ class LogStoreSpec extends SparkSpec {
     assert(store.latest("t", Seq("id")).select("v").as[String].collect().head === "c")
   }
 
+  test("compactIfNeeded: below the file floor it is a pure FS probe (no " +
+      "compaction); past both triggers it compacts and latest() is invariant") {
+    val store = freshStore()
+    // 6 appends on 2 keys: 12 history rows, 6 files, ratio 6x
+    (1 to 3).foreach { i =>
+      store.append("t", Seq((1L, s"a$i"), (2L, s"b$i")).toDF("id", "v"))
+      store.update("t", Seq((1L, s"a$i'"), (2L, s"b$i'")).toDF("id", "v"))
+    }
+    val before = store.latest("t", Seq("id")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    // file floor not reached → untouched even though ratio (6x) is over
+    assert(!store.compactIfNeeded("t", Seq("id"), minFiles = 64, ratio = 4.0))
+    assert(store.history("t").count() === 12L)
+    // floor lowered → compacts; latest view identical, history bounded
+    assert(store.compactIfNeeded("t", Seq("id"), minFiles = 2, ratio = 4.0))
+    assert(store.history("t").count() === 2L)
+    assert(store.latest("t", Seq("id")).orderBy("id")
+      .as[(Long, String)].collect().toSeq === before)
+    // already compact: ratio 1.0x < 4 → no-op even past the file floor
+    assert(!store.compactIfNeeded("t", Seq("id"), minFiles = 1, ratio = 4.0))
+  }
+
+  test("compactIfNeeded on a missing table is a no-op") {
+    assert(!freshStore().compactIfNeeded("nope", Seq("id"), minFiles = 0))
+  }
+
   test("compact swaps through the Hadoop FS API: green against a file:// URI") {
     // the swap must not assume java.nio local paths — an hdfs:// or
     // s3a:// log directory goes through the same Fs.rename protocol

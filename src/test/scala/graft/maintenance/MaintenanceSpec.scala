@@ -117,6 +117,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(swept === Map("stg_t" -> 1))
   }
 
+  test("trigger-gated staging compaction: K fragmenting runs fire the sweep, " +
+      "query results are invariant, a healthy table costs no rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stgauto_").toFile
+    root.deleteOnExit()
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    // fragmented table: 10 micro-batch appends
+    val frag = new java.io.File(root, "stg_frag").getPath
+    (1 to 10).foreach(i =>
+      Seq((i.toLong, s"FAC${i % 3}")).toDF("id", "fac")
+        .coalesce(1).write.mode("append").parquet(frag))
+    // healthy table: one append
+    val ok = new java.io.File(root, "stg_ok").getPath
+    Seq((1L, "FAC0")).toDF("id", "fac")
+      .coalesce(1).write.mode("append").parquet(ok)
+    // the report-shaped probe whose results must survive the rewrite
+    def report(dir: String): Seq[(String, Long)] =
+      spark.read.parquet(dir).groupBy("fac").count()
+        .orderBy("fac").as[(String, Long)].collect().toSeq
+    val before = report(frag)
+    val filesBefore = parquetFiles(frag)
+    assert(filesBefore >= 10)
+    val swept = Maintenance.compactAllStagingIfNeeded(spark, root.getPath,
+      Seq("stg_frag", "stg_ok", "stg_absent"), maxFiles = 4)
+    // only the fragmented table was rewritten
+    assert(swept === Map("stg_frag" -> 1))
+    assert(parquetFiles(frag) === 1 && parquetFiles(frag) < filesBefore)
+    assert(report(frag) === before)
+    assert(parquetFiles(ok) === 1) // untouched (below the floor)
+    // second sweep is a no-op: the compacted layout is under every gate
+    assert(Maintenance.compactAllStagingIfNeeded(spark, root.getPath,
+      Seq("stg_frag", "stg_ok"), maxFiles = 4) === Map.empty)
+    // the ratio gate alone spares a big-but-healthy layout: with a tiny
+    // targetFileBytes the current file count reads as ≈ what the rewrite
+    // would produce anyway (not fragmented), so even maxFiles = 0
+    // doesn't force a pointless rewrite
+    assert(Maintenance.compactStagingIfNeeded(spark, frag,
+      targetFileBytes = 1L, maxFiles = 0).isEmpty)
+  }
+
   test("S14: deleteFiles removes encrypted+decrypted pairs, one result per file") {
     val root = java.nio.file.Files.createTempDirectory("graft_del_").toFile
     val fac = new java.io.File(root, "FAC1"); fac.mkdirs()

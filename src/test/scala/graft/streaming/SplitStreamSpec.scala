@@ -1,0 +1,210 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.{IncrementalDedup, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Growth-stability contract of the incremental leak-free split (the
+  * r10 verdict's top task): new docs inherit, merges keep the OLDEST
+  * assignment, untouched docs never move, and leakage stays zero by
+  * construction — with the one designed exception (different-split
+  * merge) observable in the store.
+  */
+class SplitStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  // texts: TA/TB share no tokens (no near-dup edge between them); TC
+  // concatenates both (near-dup of each under the 8-hash estimator)
+  private val ta = (1 to 30).map(i => s"aa$i").mkString(" ")
+  private val tb = (1 to 30).map(i => s"bb$i").mkString(" ")
+  private val tc = s"$ta $tb"
+
+  // spec-wide estimator knobs: 8 bands of 1 row (candidate on ANY
+  // matching hash) with a >=2/8 agreement gate — loose enough that the
+  // concat bridge deterministically connects both sides (preconditions
+  // asserted below), strict enough that disjoint token sets never join
+  private val rpb = 1
+  private val mm = 2
+
+  private def labelMap(upTo: Long): Map[Long, String] =
+    spark.range(1, upTo)
+      .select(col("id"), Sampling.splitLabel(col("id"), splits).as("l"))
+      .as[(Long, String)].collect().toMap
+
+  private def agreement(t1: String, t2: String): Int = {
+    val idx = IncrementalDedup.dedupIndex(
+      Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    (1 to 8).count(i =>
+      idx(0).getAs[String](s"mh$i") == idx(1).getAs[String](s"mh$i"))
+  }
+
+  private def store(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_split_").toFile
+    d.deleteOnExit()
+    s"${d.getPath}/store"
+  }
+
+  private def view(dir: String): Map[Long, (Long, Long, String, Long)] =
+    SplitStream.assignments(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_seq"),
+          r.getAs[String]("split"), r.getAs[Long]("seq")))).toMap
+
+  test("estimator preconditions: the bridge connects both sides, the sides " +
+      "never connect directly") {
+    assert(agreement(ta, tb) < mm, s"TA~TB agreement ${agreement(ta, tb)}")
+    assert(agreement(tc, ta) >= mm, s"TC~TA agreement ${agreement(tc, ta)}")
+    assert(agreement(tc, tb) >= mm, s"TC~TB agreement ${agreement(tc, tb)}")
+  }
+
+  test("fresh batch: clusters hash their min id — exactly the batch " +
+      "leakFreeSplit rule on first sight") {
+    val dir = store()
+    val docs = Seq((10L, ta), (12L, ta), (14L, tb), (16L, "solo zz text"))
+      .toDF("doc_id", "text")
+    SplitStream.applyBatch(docs, "doc_id", "text", dir, splits, seq = 0L,
+      rowsPerBand = rpb, minMatches = mm)
+    val v = view(dir)
+    val lm = labelMap(20L)
+    // exact pair {10,12} clusters at 10; 14 and 16 are singletons
+    assert(v(10L) === ((10L, 0L, lm(10L), 0L)))
+    assert(v(12L) === ((10L, 0L, lm(10L), 0L)))
+    assert(v(14L) === ((14L, 0L, lm(14L), 0L)))
+    assert(v(16L) === ((16L, 0L, lm(16L), 0L)))
+  }
+
+  test("growth: a new doc joining an existing cluster inherits its split; " +
+      "prior docs get NO new rows (stability by absence)") {
+    val dir = store()
+    SplitStream.applyBatch(Seq((10L, ta), (14L, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 0L,
+      rowsPerBand = rpb, minMatches = mm)
+    // doc 5 has a SMALLER id than its cluster's anchor — the batch
+    // operator would re-hash the cluster on min id 5 and migrate it;
+    // the incremental rule must keep cluster 10's original assignment
+    SplitStream.applyBatch(Seq((5L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 1L,
+      rowsPerBand = rpb, minMatches = mm)
+    val v = view(dir)
+    val lm = labelMap(20L)
+    assert(v(5L) === ((10L, 0L, lm(10L), 1L)), "inherit, not re-hash")
+    assert(v(10L) === ((10L, 0L, lm(10L), 0L)), "anchor row untouched")
+    assert(v(14L) === ((14L, 0L, lm(14L), 0L)), "unrelated cluster untouched")
+  }
+
+  test("merge: oldest assignment wins (seq before anchor id), the absorbed " +
+      "cluster re-points, same-split merge changes no doc's split, and the " +
+      "final state has zero cross-split near-dup pairs") {
+    val lm = labelMap(400L)
+    // idB < idA with the SAME label: seq must dominate the tie, and the
+    // same-split merge must leave every earlier doc's split unchanged
+    val trains = lm.collect { case (i, l) if l == "train" => i }.toSeq.sorted
+    val (idB, idA) = (trains.head, trains(1))
+    assert(lm(idA) === "train" && lm(idB) === "train" && idB < idA)
+    val dir = store()
+    SplitStream.applyBatch(Seq((idA, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 0L,
+      rowsPerBand = rpb, minMatches = mm)
+    SplitStream.applyBatch(Seq((idB, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 1L,
+      rowsPerBand = rpb, minMatches = mm)
+    SplitStream.applyBatch(Seq((999L, tc)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 2L,
+      rowsPerBand = rpb, minMatches = mm)
+    val v = view(dir)
+    // A (older batch) won although B has the smaller anchor id
+    assert(v(idA) === ((idA, 0L, "train", 0L)), "winner untouched (no new row)")
+    assert(v(idB) === ((idA, 0L, "train", 2L)), "absorbed cluster re-pointed")
+    assert(v(999L) === ((idA, 0L, "train", 2L)), "bridge inherits the winner")
+    // every batch-1/2 doc's split unchanged AND one split across the
+    // merged component = zero cross-split near-dup pairs by construction
+    assert(v.values.map(_._3).toSet === Set("train"))
+  }
+
+  test("different-split merge: leak-freedom beats stability — the absorbed " +
+      "cluster MIGRATES, observably, and leakage is zero afterwards") {
+    val lm = labelMap(400L)
+    val idA = lm.collect { case (i, l) if l == "train" => i }.min
+    val idB = lm.collect { case (i, l) if l == "test" => i }.min
+    val dir = store()
+    SplitStream.applyBatch(Seq((idA, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 0L,
+      rowsPerBand = rpb, minMatches = mm)
+    SplitStream.applyBatch(Seq((idB, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 1L,
+      rowsPerBand = rpb, minMatches = mm)
+    val before = view(dir)
+    assert(before(idB)._3 === "test")
+    SplitStream.applyBatch(Seq((999L, tc)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 2L,
+      rowsPerBand = rpb, minMatches = mm)
+    val v = view(dir)
+    assert(v(idA) === ((idA, 0L, "train", 0L)))
+    // the migration is visible: a fresh row at the merging batch's seq
+    assert(v(idB) === ((idA, 0L, "train", 2L)), "migrated to the older split")
+    assert(v(999L)._3 === "train")
+    // post-merge the component is single-split: zero straddling pairs
+    assert(v.values.map(_._3).toSet === Set("train"))
+  }
+
+  test("replay idempotence: re-running a batch with the same (queryId, seq) " +
+      "recomputes into an identical store") {
+    val dir = store()
+    SplitStream.applyBatch(Seq((10L, ta), (14L, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 0L, queryId = "q",
+      rowsPerBand = rpb, minMatches = mm)
+    SplitStream.applyBatch(Seq((5L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 1L, queryId = "q",
+      rowsPerBand = rpb, minMatches = mm)
+    val before = view(dir)
+    // replay batch 1 (crash-after-commit, retry): self-excluding tag →
+    // identical recompute, overwrite in place
+    SplitStream.applyBatch(Seq((5L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 1L, queryId = "q",
+      rowsPerBand = rpb, minMatches = mm)
+    assert(view(dir) === before)
+  }
+
+  test("compact: latest-wins assignments and future folds survive the " +
+      "delta absorption") {
+    val dir = store()
+    SplitStream.applyBatch(Seq((10L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 0L,
+      rowsPerBand = rpb, minMatches = mm)
+    SplitStream.applyBatch(Seq((5L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 1L,
+      rowsPerBand = rpb, minMatches = mm)
+    val before = view(dir)
+    SplitStream.compact(spark, dir)
+    assert(view(dir) === before)
+    // the compacted store still answers a later batch correctly
+    SplitStream.applyBatch(Seq((7L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 2L,
+      rowsPerBand = rpb, minMatches = mm)
+    val v = view(dir)
+    assert(v(7L)._1 === 10L && v(7L)._3 === before(10L)._3)
+  }
+
+  test("streaming face: run() over a file stream folds batches through the " +
+      "same store protocol") {
+    val dir = store()
+    val in = java.nio.file.Files.createTempDirectory("graft_splitin_").toFile
+    in.deleteOnExit()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_splitck_").toFile
+    ckpt.deleteOnExit()
+    Seq((10L, ta), (12L, ta), (14L, tb)).toDF("doc_id", "text")
+      .write.mode("append").json(in.getPath)
+    val schema = "doc_id BIGINT, text STRING"
+    val q = SplitStream.run(
+      spark.readStream.schema(schema).json(in.getPath),
+      "doc_id", "text", dir, ckpt.getPath, splits,
+      rowsPerBand = rpb, minMatches = mm)
+    q.awaitTermination()
+    val v = view(dir)
+    assert(v(10L)._1 === 10L && v(12L)._1 === 10L && v(14L)._1 === 14L)
+    assert(v(12L)._3 === v(10L)._3)
+  }
+}
