@@ -191,10 +191,14 @@ object Fs {
   def dataFileStats(dir: String, conf: Configuration): DataFileStats =
     list(dir, conf).foldLeft(DataFileStats(0L, 0L)) { (acc, s) =>
       val name = s.getPath.getName
-      if (s.isDirectory) {
+      // hidden/bookkeeping names gate DIRECTORIES too: a crashed
+      // write's _temporary tree or a streaming sink's _spark_metadata
+      // holds real-looking files that are NOT table data — counting
+      // them would fire compaction triggers on healthy tables
+      if (name.startsWith("_") || name.startsWith(".")) acc
+      else if (s.isDirectory) {
         val sub = dataFileStats(s.getPath.toString, conf)
         DataFileStats(acc.files + sub.files, acc.bytes + sub.bytes)
-      } else if (name.startsWith("_") || name.startsWith(".")) acc
-      else DataFileStats(acc.files + 1, acc.bytes + s.getLen)
+      } else DataFileStats(acc.files + 1, acc.bytes + s.getLen)
     }
 }

@@ -66,15 +66,14 @@ object Pipeline {
       // overlay — the reference's live information_schema lookup analog)
       registry: SchemaRegistry.EntityRegistry = SchemaRegistry.default,
       // steady-state MVCC hygiene: after this run's appends, compact any
-      // control-plane log whose version history crossed the LogStore
-      // trigger (file count ≥ logCompactMinFiles AND history rows ≥
-      // logCompactRatio × live keys). latest() views are invariant under
-      // the compact; asOf() snapshots older than it are dropped (the
-      // VACUUM trade — raise minFiles for longer time travel). The
-      // common-case cost is one FS listing per log table, no Spark job.
+      // control-plane log holding ≥ logCompactMinFiles parquet files
+      // (appends are coalesce(1), so that's ≈ appends since the last
+      // compact). latest() views are invariant under the compact; asOf()
+      // snapshots older than it are dropped (the VACUUM trade — raise
+      // minFiles for longer time travel). The common-case cost is one FS
+      // listing per log table, no Spark job.
       autoCompactLogs: Boolean = true,
-      logCompactMinFiles: Int = 64,
-      logCompactRatio: Double = 4.0)
+      logCompactMinFiles: Int = 64)
 
   final case class RunResult(
       logId: String,
@@ -389,11 +388,10 @@ object Pipeline {
     // swap reads deleted files. The in-process writeLock serializes it
     // against nothing else here (single driver, end of run).
     if (cfg.autoCompactLogs) {
-      store.compactIfNeeded("sync_file", Seq("id"),
-        cfg.logCompactMinFiles, cfg.logCompactRatio)
+      store.compactIfNeeded("sync_file", Seq("id"), cfg.logCompactMinFiles)
       store.compactIfNeeded("file_ingestion_log",
         Seq("file_name", "facility_id", "load_start_time"),
-        cfg.logCompactMinFiles, cfg.logCompactRatio)
+        cfg.logCompactMinFiles)
       ()
     }
     res

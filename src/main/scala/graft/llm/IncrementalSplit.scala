@@ -79,6 +79,14 @@ object IncrementalSplit {
                   splits: Seq[(String, Double)], seq: Long,
                   numHashes: Int = 8, rowsPerBand: Int = 4,
                   minMatches: Int = 6): DataFrame = {
+    // cluster ids live as longs in the store and component labels hash
+    // through CAST(long AS STRING) — a string id would null-cast here
+    // and silently collapse clusters (string-id corpora: derive a
+    // numeric id upstream, e.g. xxhash64, the Preference.pairs rule)
+    require(batchIndex.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"assignBatch needs a numeric id column, got " +
+        s"$idCol: ${batchIndex.schema(idCol).dataType.simpleString}")
     val id = col(idCol)
 
     def matchCount(l: String, r: String) =

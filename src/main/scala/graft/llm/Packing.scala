@@ -51,7 +51,8 @@ object Packing {
       .withColumn("_blk", expr(s"_id div $blockSize"))
     val blkSums = base.groupBy("_blk").agg(sum("_len").as("_bsum"))
     // deliberate global window over BLOCK SUMMARIES, not data rows —
-    // bounded at |ids|/blockSize rows by construction (audited r10)
+    // span(ids)/blockSize rows (≈|ids|/blockSize only for DENSE ids;
+    // see the scaladoc's sparse-key caveat)
     val wBlk = Window.orderBy("_blk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = blkSums

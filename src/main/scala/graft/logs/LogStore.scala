@@ -125,11 +125,23 @@ final case class LogStore(spark: SparkSession, dir: String) {
     * unnoticed (`Fs.rename` throws on the silent false
     * `FileSystem.rename` would otherwise return).
     */
-  def compact(table: String, keys: Seq[String]): Unit = writeLock.synchronized {
+  def compact(table: String, keys: Seq[String],
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+      writeLock.synchronized {
     val conf = spark.sparkContext.hadoopConfiguration
+    // the rewrite must not explode into shuffle-parallelism part files:
+    // latest()'s window would otherwise leave ~shuffle.partitions files
+    // behind, permanently defeating compactIfNeeded's file-count fast
+    // path (r11 review finding). History bytes overestimate the
+    // current-rows size, so the target errs toward one file — right for
+    // control-plane tables (the data plane never goes through LogStore).
+    val bytes = graft.core.Fs.dataFileStats(path(table), conf).bytes
+    val nTarget =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val current = latest(table, keys).cache()
     current.count() // materialize before overwrite
     current.withColumn("_version_ts", lit(LogStore.nextVersion()))
+      .coalesce(nTarget)
       .write.mode("overwrite").parquet(path(table) + "_compacted")
     current.unpersist()
     graft.core.Fs.swapInPlace(path(table), path(table) + "_compacted", conf)
@@ -139,33 +151,30 @@ final case class LogStore(spark: SparkSession, dir: String) {
     * design needs to stay bounded in steady state (r10 verdict: compact
     * existed but nothing scheduled it, so after thousands of micro-batch
     * runs the version history dominated every [[latest]] window).
-    * Compacts when BOTH:
-    *  - the table directory holds ≥ `minFiles` parquet files (a pure
-    *    FS-metadata probe — the common every-run case exits here with
-    *    ZERO Spark jobs; appends are coalesce(1), so file count tracks
-    *    append count), and
-    *  - history rows ≥ `ratio` × live keys (one tiny count/countDistinct
-    *    aggregate — the history is actually version-bloated, not just
-    *    wide).
+    * Trigger: the table directory holds ≥ `minFiles` parquet files — a
+    * pure FS-metadata probe, so the common every-run case costs ZERO
+    * Spark jobs. Appends are coalesce(1) and [[compact]] rewrites to
+    * ~targetFileBytes files, so file count tracks appends-since-compact
+    * and drops back under the floor afterwards. File count is the whole
+    * policy deliberately: a version-bloat ratio (history rows ÷ live
+    * keys) can never fire on an append-only log whose keys are unique
+    * per row (file_ingestion_log — each attempt IS a new logical row),
+    * while the small-file pathology is exactly what hurts both table
+    * shapes; for churny tables the same rewrite also drops superseded
+    * versions.
     *
-    * Invariant (PipelineSpec): [[latest]] before ≡ after — compaction
-    * only drops superseded versions. [[asOf]] snapshots OLDER than the
-    * compact are gone (the documented VACUUM trade); size `minFiles` to
-    * the time-travel retention you need. Returns true iff it compacted.
+    * Invariant (PipelineSpec): [[latest]] before ≡ after. [[asOf]]
+    * snapshots OLDER than the compact are gone (the documented VACUUM
+    * trade); size `minFiles` to the time-travel retention you need.
+    * Returns true iff it compacted.
     */
   def compactIfNeeded(table: String, keys: Seq[String],
-                      minFiles: Int = 64, ratio: Double = 4.0): Boolean = {
+                      minFiles: Int = 64): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     if (!exists(table)) return false
     val nFiles = graft.core.Fs.listFiles(path(table), conf)
       .count(_.getPath.getName.endsWith(".parquet"))
     if (nFiles < minFiles) return false
-    val row = history(table)
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col(keys.head), keys.tail.map(col): _*).as("k"))
-      .first()
-    val (n, k) = (row.getLong(0), row.getLong(1))
-    if (k == 0L || n < ratio * k) return false
     compact(table, keys)
     true
   }

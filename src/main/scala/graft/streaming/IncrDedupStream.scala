@@ -56,26 +56,9 @@ object IncrDedupStream {
   def verdictsPath(storeDir: String, batchId: Long): String =
     s"$storeDir/verdicts/batch=$batchId"
 
-  private def tagOf(queryId: String, batchId: Long): String = {
-    val qid = if (queryId.isEmpty) "q" else queryId
-    s"${qid}_$batchId"
-  }
-
-  /** The live index as (signature columns + `ingest_batch` tag); empty
-    * frame with the right schema when the store is new. `template` is
-    * any frame with the signature schema (e.g. the batch's own index).
-    */
-  private def readIndex(template: DataFrame, idx: String): DataFrame = {
-    val spark = template.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    // listDirs, not exists: the direct-caller sweep can leave index/
-    // present but EMPTY (its only delta was uncommitted), and reading
-    // an empty dir throws — wedging the designed recovery path
-    if (Fs.exists(idx, conf) && Fs.listDirs(idx, conf).nonEmpty)
-      spark.read.parquet(idx)
-    else template.limit(0)
-      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(""))
-  }
+  // live-index reads, tag minting, uncommitted sweeps, and compaction
+  // all ride the shared DeltaStore protocol (extracted r11 — this file
+  // was its first copy)
 
   /** Dedup one document batch against the store and append its
     * survivors as a new delta. For direct callers (`batchId = -1`) the
@@ -102,7 +85,7 @@ object IncrDedupStream {
     val bidx = IncrementalDedup
       .dedupIndex(batch, idCol, textCol, numHashes, k).cache()
     val tag =
-      if (batchId >= 0) tagOf(queryId, batchId)
+      if (batchId >= 0) DeltaStore.tagOf(queryId, batchId)
       else {
         // a crashed direct write leaves a PARTIAL delta (no _SUCCESS);
         // counted into a fresh tag it would dodge the self-exclusion
@@ -110,15 +93,19 @@ object IncrDedupStream {
         // signatures as corpus — every doc then matches itself and the
         // whole batch is verdicted a duplicate. Sweep uncommitted
         // deltas first (single-writer, the checkpoint ownership rule).
-        Fs.listDirs(idx, conf)
-          .filter(d => !Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
-          .foreach(d => Fs.delete(d.getPath.toString, conf, recursive = true))
+        // Caller tags get their OWN namespace (directtag_) — formatted
+        // into direct_<x> a numeric caller tag could collide with an
+        // auto-minted direct_<n>, self-exclude that foreign batch's
+        // signatures, and then OVERWRITE its committed delta (r11
+        // review finding).
+        DeltaStore.sweepUncommitted(idx, conf)
         directTag.fold(s"direct_${Fs.listDirs(idx, conf).length}")(t =>
-          s"direct_$t")
+          s"directtag_$t")
       }
-    // exclude our OWN tag: a replay's half-written delta must not make
-    // the batch a duplicate of itself
-    val index = readIndex(bidx, idx)
+    // exclude our OWN tag: a replay's committed-but-unacked delta must
+    // not make the batch a duplicate of itself (uncommitted partials
+    // are already out via DeltaStore's _SUCCESS gate)
+    val index = DeltaStore.readCommitted(bidx, idx)
       .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
     val verdicts = IncrementalDedup
       .incrementalDedupSigs(index, bidx, idCol, numHashes, rowsPerBand, minMatches)
@@ -143,24 +130,11 @@ object IncrDedupStream {
     * compaction.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-              storeDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val idx = indexPath(storeDir)
-    if (!Fs.exists(idx, conf)) return
-    val dirs = Fs.listDirs(idx, conf)
-    // COMMITTED deltas only: baking a crashed writer's partial delta
-    // into the compacted index would make the retried batch match its
-    // own half-written signatures forever (the direct sweep shows
-    // partials are an anticipated state; compact must skip them too)
-    val committed = dirs.filter(d =>
-      Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
-    if (committed.isEmpty) return
-    val staging = s"$idx.staging"
-    spark.read.parquet(committed.map(_.getPath.toString): _*)
-      .write.mode("overwrite")
-      .parquet(s"$staging/ingest_batch=compacted_${dirs.length}")
-    Fs.swapInPlace(idx, staging, conf)
-  }
+              storeDir: String): Unit =
+    // COMMITTED deltas only (DeltaStore's gate): baking a crashed
+    // writer's partial delta into the compacted index would make the
+    // retried batch match its own half-written signatures forever
+    DeltaStore.compactWith(spark, indexPath(storeDir))(identity)
 
   /** Wire a document stream into the store: foreachBatch + the fold
     * above. `Trigger.AvailableNow` drains what exists and stops

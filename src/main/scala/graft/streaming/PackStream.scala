@@ -44,25 +44,9 @@ object PackStream {
   def layoutPath(storeDir: String, batchId: Long): String =
     s"$storeDir/layout/batch=$batchId"
 
-  private def tagOf(queryId: String, batchId: Long): String = {
-    val qid = if (queryId.isEmpty) "q" else queryId
-    s"${qid}_$batchId"
-  }
-
-  /** Live per-source totals as (src, bsum, ingest_batch); typed empty
-    * frame when the store is new.
-    */
-  private def readTotals(template: DataFrame, tot: String): DataFrame = {
-    val spark = template.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    // listDirs, not exists: the direct-caller sweep can leave totals/
-    // present but EMPTY (only delta was uncommitted), and reading an
-    // empty dir throws — which would wedge the designed recovery path
-    if (Fs.exists(tot, conf) && Fs.listDirs(tot, conf).nonEmpty)
-      spark.read.parquet(tot)
-    else template.limit(0).select(col("src"), col("_len").as("bsum"))
-      .withColumn("ingest_batch", lit(""))
-  }
+  /** Typed empty totals template (src, bsum) for a brand-new store. */
+  private def totalsTemplate(base: DataFrame): DataFrame =
+    base.limit(0).select(col("src"), col("_len").as("bsum"))
 
   /** Extend every source's token stream with one batch: per-doc stream
     * offsets = accumulated source total + intra-batch exclusive prefix
@@ -96,25 +80,28 @@ object PackStream {
       .filter(col("_len") > 0L)
       .cache()
     val tag =
-      if (batchId >= 0) tagOf(queryId, batchId)
+      if (batchId >= 0) DeltaStore.tagOf(queryId, batchId)
       else {
         // sweep uncommitted direct deltas: a crashed write's partial
         // delta counted into a fresh tag would dodge the
-        // self-exclusion below and double-count its sums
-        Fs.listDirs(tot, conf)
-          .filter(d => !Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
-          .foreach(d => Fs.delete(d.getPath.toString, conf, recursive = true))
+        // self-exclusion below and double-count its sums. Caller tags
+        // get their own directtag_ namespace — a numeric caller tag
+        // formatted as direct_<x> could collide with an auto-minted
+        // direct_<n> and overwrite that batch's committed delta (r11
+        // review finding).
+        DeltaStore.sweepUncommitted(tot, conf)
         directTag.fold(s"direct_${Fs.listDirs(tot, conf).length}")(t =>
-          s"direct_$t")
+          s"directtag_$t")
       }
     // prior totals EXCLUDE our own tag — a replay must extend from the
     // same base it saw the first time, not from its half-committed self
-    // the prior side is RENAMED before the join: when the store is new
+    // (uncommitted partials are out via DeltaStore's _SUCCESS gate).
+    // The prior side is RENAMED before the join: when the store is new
     // the empty totals frame derives from `base` itself, and
     // base("src") <=> prior("src") then resolves both sides to the SAME
     // attribute — a trivially-true predicate (Spark warns and joins
     // everything). Distinct names sidestep the self-join ambiguity.
-    val prior = readTotals(base, tot)
+    val prior = DeltaStore.readCommitted(totalsTemplate(base), tot)
       .filter(col("ingest_batch") =!= tag)
       .groupBy("src").agg(sum("bsum").as("prior"))
       .withColumnRenamed("src", "_psrc")
@@ -150,26 +137,13 @@ object PackStream {
     * and swapped whole so readers never see partial totals.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-              storeDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tot = totalsPath(storeDir)
-    if (!Fs.exists(tot, conf)) return
-    val dirs = Fs.listDirs(tot, conf)
-    // fold COMMITTED deltas only: a crashed writer's partial delta
-    // (no _SUCCESS) baked into the compacted sum would be permanent —
-    // the retry gets a fresh tag, excludes only itself, and
-    // double-counts the partial forever. The swap discards the partial
-    // (its writer is dead; single-writer rule covers in-flight ones).
-    val committed = dirs.filter(d =>
-      Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
-    if (committed.isEmpty) return
-    val staging = s"$tot.staging"
-    spark.read.parquet(committed.map(_.getPath.toString): _*)
-      .groupBy("src").agg(sum("bsum").as("bsum"))
-      .write.mode("overwrite")
-      .parquet(s"$staging/ingest_batch=compacted_${dirs.length}")
-    Fs.swapInPlace(tot, staging, conf)
-  }
+              storeDir: String): Unit =
+    // fold COMMITTED deltas only (DeltaStore's gate): a crashed
+    // writer's partial delta baked into the compacted sum would be
+    // permanent — the retry gets a fresh tag, excludes only itself,
+    // and double-counts the partial forever.
+    DeltaStore.compactWith(spark, totalsPath(storeDir))(
+      _.groupBy("src").agg(sum("bsum").as("bsum")))
 
   /** Wire a document stream into the store: foreachBatch + the fold
     * above. `Trigger.AvailableNow` drains what exists and stops;

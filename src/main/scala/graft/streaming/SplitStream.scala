@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.core.Fs
 import graft.llm.{IncrementalDedup, IncrementalSplit}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -46,24 +45,6 @@ object SplitStream {
 
   def assignPath(storeDir: String): String = s"$storeDir/assign"
 
-  private def tagOf(queryId: String, seq: Long): String = {
-    val qid = if (queryId.isEmpty) "q" else queryId
-    s"${qid}_$seq"
-  }
-
-  /** All delta rows of a store dir as one frame (typed empty when the
-    * store is new); `ingest_batch` rides as a column. listDirs, not
-    * exists — an empty dir would throw and wedge recovery (the
-    * PackStream lesson).
-    */
-  private def readDeltas(template: DataFrame, path: String): DataFrame = {
-    val spark = template.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    if (Fs.exists(path, conf) && Fs.listDirs(path, conf).nonEmpty)
-      spark.read.parquet(path)
-    else template.limit(0).withColumn("ingest_batch", lit(""))
-  }
-
   private def emptyAssign(template: DataFrame, idCol: String): DataFrame =
     template.limit(0).select(col(idCol),
       lit(0L).as("cluster_id"), lit(0L).as("cluster_seq"),
@@ -92,14 +73,15 @@ object SplitStream {
                  rowsPerBand: Int = 4, k: Int = 3,
                  minMatches: Int = 6): Unit = {
     require(seq >= 0L, s"seq must be >= 0, got $seq")
-    val tag = tagOf(queryId, seq)
+    val tag = DeltaStore.tagOf(queryId, seq)
     val bidx = IncrementalDedup
       .dedupIndex(batch, idCol, textCol, numHashes, k).cache()
-    // prior state EXCLUDES our own tag: a replay's half-written deltas
-    // must not feed its own recompute (the family-wide idempotence rule)
-    val priorSigs = readDeltas(bidx, sigsPath(storeDir))
+    // prior state EXCLUDES our own tag: a replay's committed-but-unacked
+    // delta must not feed its own recompute (the family-wide idempotence
+    // rule; uncommitted partials are already out via the _SUCCESS gate)
+    val priorSigs = DeltaStore.readCommitted(bidx, sigsPath(storeDir))
       .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
-    val priorDeltas = readDeltas(emptyAssign(bidx, idCol),
+    val priorDeltas = DeltaStore.readCommitted(emptyAssign(bidx, idCol),
         assignPath(storeDir))
       .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
     val wLatest = Window.partitionBy(idCol).orderBy(col("seq").desc)
@@ -127,30 +109,11 @@ object SplitStream {
     */
   def compact(spark: SparkSession, storeDir: String,
               idCol: String = "doc_id"): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def committed(path: String) =
-      if (!Fs.exists(path, conf)) Seq.empty
-      else Fs.listDirs(path, conf).filter(d =>
-        Fs.exists(s"${d.getPath.toString}/_SUCCESS", conf))
-    val aDirs = committed(assignPath(storeDir))
-    if (aDirs.nonEmpty) {
-      val staging = s"${assignPath(storeDir)}.staging"
-      val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
-      spark.read.parquet(aDirs.map(_.getPath.toString): _*)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-        .write.mode("overwrite")
-        .parquet(s"$staging/ingest_batch=compacted_${aDirs.length}")
-      Fs.swapInPlace(assignPath(storeDir), staging, conf)
-    }
-    val sDirs = committed(sigsPath(storeDir))
-    if (sDirs.nonEmpty) {
-      val staging = s"${sigsPath(storeDir)}.staging"
-      spark.read.parquet(sDirs.map(_.getPath.toString): _*)
-        .write.mode("overwrite")
-        .parquet(s"$staging/ingest_batch=compacted_${sDirs.length}")
-      Fs.swapInPlace(sigsPath(storeDir), staging, conf)
-    }
+    val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
+    DeltaStore.compactWith(spark, assignPath(storeDir))(
+      _.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
+    DeltaStore.compactWith(spark, sigsPath(storeDir))(identity)
   }
 
   /** Wire a document stream into the store: foreachBatch + the fold

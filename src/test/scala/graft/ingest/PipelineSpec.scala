@@ -281,7 +281,7 @@ class PipelineSpec extends SparkSpec {
   test("auto-compaction: N churning runs with the trigger forced low ≡ the " +
       "same runs uncompacted under latest(), and the history stays bounded") {
     // two identical fixtures, one with in-run MVCC compaction forced on
-    // every run (ratio 1.0 + file floor 1), one with it off — the
+    // every run (file floor 1), one with it off — the
     // latest-wins views must agree on every run-stable column, and the
     // compacted store's version history must collapse to current rows
     def fixture(auto: Boolean): Pipeline.Config = {
@@ -289,8 +289,7 @@ class PipelineSpec extends SparkSpec {
       writeFile(new java.io.File(parent, "FAC1"),
         "biometric_0_20250103141949_decrypted.json",
         """[{"id": 1, "uuid": "u1", "match_type": "m"}]""")
-      cfg0.copy(autoCompactLogs = auto, logCompactMinFiles = 1,
-        logCompactRatio = 1.0)
+      cfg0.copy(autoCompactLogs = auto, logCompactMinFiles = 1)
     }
     val (on, off) = (fixture(true), fixture(false))
     // 3 churning runs: each re-seeds the file Ready, so every run

@@ -39,25 +39,43 @@ class LogStoreSpec extends SparkSpec {
   }
 
   test("compactIfNeeded: below the file floor it is a pure FS probe (no " +
-      "compaction); past both triggers it compacts and latest() is invariant") {
+      "compaction); past it, it compacts, latest() is invariant, and the " +
+      "rewrite restores the fast path") {
     val store = freshStore()
-    // 6 appends on 2 keys: 12 history rows, 6 files, ratio 6x
+    // 6 appends on 2 keys: 12 history rows, 6 files
     (1 to 3).foreach { i =>
       store.append("t", Seq((1L, s"a$i"), (2L, s"b$i")).toDF("id", "v"))
       store.update("t", Seq((1L, s"a$i'"), (2L, s"b$i'")).toDF("id", "v"))
     }
     val before = store.latest("t", Seq("id")).orderBy("id")
       .as[(Long, String)].collect().toSeq
-    // file floor not reached → untouched even though ratio (6x) is over
-    assert(!store.compactIfNeeded("t", Seq("id"), minFiles = 64, ratio = 4.0))
+    // file floor not reached → untouched, zero Spark jobs
+    assert(!store.compactIfNeeded("t", Seq("id"), minFiles = 64))
     assert(store.history("t").count() === 12L)
     // floor lowered → compacts; latest view identical, history bounded
-    assert(store.compactIfNeeded("t", Seq("id"), minFiles = 2, ratio = 4.0))
+    assert(store.compactIfNeeded("t", Seq("id"), minFiles = 2))
     assert(store.history("t").count() === 2L)
     assert(store.latest("t", Seq("id")).orderBy("id")
       .as[(Long, String)].collect().toSeq === before)
-    // already compact: ratio 1.0x < 4 → no-op even past the file floor
-    assert(!store.compactIfNeeded("t", Seq("id"), minFiles = 1, ratio = 4.0))
+    // the rewrite coalesced (NOT shuffle-partitions-many part files), so
+    // the file count sits back under the floor → fast-path no-op again
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nFiles = graft.core.Fs.listFiles(s"${store.dir}/t", conf)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(nFiles === 1, s"compact must coalesce, wrote $nFiles files")
+    assert(!store.compactIfNeeded("t", Seq("id"), minFiles = 2))
+  }
+
+  test("compactIfNeeded fires on an append-only table (unique keys): the " +
+      "rewrite merges small files while every logical row survives") {
+    // file_ingestion_log's shape — each append is a NEW logical row, so
+    // a version-bloat ratio could never fire; the file-count policy must
+    val store = freshStore()
+    (1 to 5).foreach(i =>
+      store.append("log", Seq((s"f$i", s"FAC$i", i)).toDF("f", "fac", "n")))
+    assert(store.compactIfNeeded("log", Seq("f", "fac"), minFiles = 3))
+    assert(store.history("log").count() === 5L)
+    assert(store.latest("log", Seq("f", "fac")).count() === 5L)
   }
 
   test("compactIfNeeded on a missing table is a no-op") {

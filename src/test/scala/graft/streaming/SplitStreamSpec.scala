@@ -150,6 +150,24 @@ class SplitStreamSpec extends SparkSpec {
     assert(v.values.map(_._3).toSet === Set("train"))
   }
 
+  test("first-batch crash recovery: a store whose ONLY delta is an " +
+      "uncommitted partial (no _SUCCESS) does not wedge the replay") {
+    // the r11 review wedge: read.parquet over a dir holding only a
+    // partial write throws 'Unable to infer schema' BEFORE the healing
+    // overwrite — DeltaStore's committed-dirs read must skip it
+    val dir = store()
+    val partial = new java.io.File(s"$dir/assign/ingest_batch=q_0")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(partial, "part-00000.parquet").toPath, "not parquet")
+    new java.io.File(s"$dir/sigs/ingest_batch=q_0").mkdirs()
+    SplitStream.applyBatch(Seq((10L, ta)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, splits, seq = 0L, queryId = "q",
+      rowsPerBand = rpb, minMatches = mm)
+    val v = view(dir)
+    assert(v(10L) === ((10L, 0L, v(10L)._3, 0L)))
+  }
+
   test("replay idempotence: re-running a batch with the same (queryId, seq) " +
       "recomputes into an identical store") {
     val dir = store()
