@@ -234,6 +234,38 @@ object Ann {
       .select(col("q_id"), round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank inputs for label-based retrieval eval: for
+    * each query in a ranked candidate list (q_id, c_id, rn), the rank
+    * of the FIRST candidate sharing the query's label (the
+    * first-relevant-hit convention — MRR is the mean of `rr` over
+    * queries). Queries whose list holds no same-label candidate get
+    * first_rank = 0, rr = 0.0 (standard: a miss contributes zero).
+    *
+    * `labels` = (id, label) for every id appearing on either side.
+    * Shape: two joins on the bounded ranked list (|queries|·k rows —
+    * never corpus-sized) + one min-aggregate on q_id; the label frame
+    * joins by id, so at 100 TB this is two co-partitionable equi-joins
+    * on a tiny frame, not a corpus scan. rr rides round(6), the libm
+    * convention.
+    */
+  def mrrByLabel(approx: DataFrame, labels: DataFrame, idCol: String,
+                 labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("_lid"), col(labelCol).as("_lab"))
+    val qLab = lab.select(col("_lid").as("q_id"), col("_lab").as("_qlab"))
+    val cLab = lab.select(col("_lid").as("c_id"), col("_lab").as("_clab"))
+    val hits = approx.select("q_id", "c_id", "rn")
+      .join(cLab, Seq("c_id"))
+      .join(qLab, Seq("q_id"))
+      .filter(col("_qlab") === col("_clab"))
+      .groupBy("q_id").agg(min("rn").cast("long").as("first_rank"))
+    approx.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("first_rank"))
+      .select(col("q_id"), col("first_rank"),
+        when(col("first_rank") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_rank"), 6)).as("rr"))
+  }
+
   /** Reciprocal-rank fusion of any number of ranked lists — the
     * standard way to combine lexical (BM25) and vector (ANN) retrieval
     * without score calibration: fused(d) = Σ_lists 1/(k0 + rank_d),

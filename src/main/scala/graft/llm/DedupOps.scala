@@ -865,4 +865,46 @@ object DedupOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Dedup survivorship by group (source/domain/language): for each
+    * group, how many documents survive (a) exact-content dedup and
+    * (b) whitespace/case-normalized dedup — the per-source attrition
+    * report a curation run publishes so downstream mixture weights can
+    * be re-balanced against what dedup actually removed.
+    *
+    * Survivor rule = [[exactDedupKeep]]'s (keep the LOWEST id per
+    * identical content, GLOBALLY — a doc whose twin lives in another
+    * source still loses, which is why per-group survival can drop far
+    * below the global distinct ratio). Normalized pass: lower-case +
+    * whitespace runs collapsed to one space + trim, a strictly coarser
+    * key, so n_norm <= n_exact per group structurally.
+    *
+    * Shape: two content-keyed min-aggregates (the winners frames,
+    * partial-agg friendly) + one id-keyed semi-join back per pass +
+    * one groupBy on the group key — every join on content hash or id,
+    * nothing corpus²; at 100 TB this is three shuffles of the corpus,
+    * all map-side combinable. Ratios round(6).
+    */
+  def survivorship(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val normText = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    def winners(key: Column): DataFrame =
+      df.select(col(idCol), key.as("_k"))
+        .groupBy("_k").agg(min(col(idCol)).as(idCol))
+        .select(idCol)
+    val base = df.select(col(idCol), col(groupCol))
+    val exact = base.join(winners(md5(col(textCol))), Seq(idCol), "left_semi")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    val norm = base.join(winners(md5(normText)), Seq(idCol), "left_semi")
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_norm"))
+    base.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .join(exact, Seq(groupCol), "left")
+      .join(norm, Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_exact", "n_norm"))
+      .select(col(groupCol), col("n_docs"), col("n_exact"), col("n_norm"),
+        round(col("n_exact").cast("double") / col("n_docs"), 6)
+          .as("exact_survival"),
+        round(col("n_norm").cast("double") / col("n_docs"), 6)
+          .as("norm_survival"))
+  }
 }

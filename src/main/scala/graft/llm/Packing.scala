@@ -106,6 +106,51 @@ object Packing {
           .as("tokens_in_chunk"))
   }
 
+  /** Source-diversity rollup of a [[tokenStreamPack]] layout: per
+    * training chunk, how many distinct sources contribute and what
+    * share of the chunk's tokens the DOMINANT source holds — the
+    * shuffle-quality gate for concat packing (chunks dominated by one
+    * source teach spurious in-context correlations; a healthy layout
+    * keeps dom_share low everywhere but the tail).
+    *
+    * `meta` = (id, source) joined in by id (co-partitionable
+    * equi-join). Shape: the same ~|corpus|-row chunk explode as
+    * [[streamChunkStats]], then per-(chunk, source) partial sums →
+    * per-chunk argmax via one struct max — two keyed shuffles total,
+    * no windows, no corpus² anywhere. Share rides round(6).
+    */
+  def chunkSourceStats(packed: DataFrame, meta: DataFrame, idCol: String,
+                       srcCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val perDocChunk = packed
+      .join(meta.select(col(idCol), col(srcCol).as("_src")), Seq(idCol))
+      .select(col("_src"), col("start_off"), col("n_tokens"),
+        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk_id"))
+      .select(col("chunk_id"), col("_src"),
+        (least(col("start_off") + col("n_tokens"),
+          (col("chunk_id") + 1L) * capacity) -
+          greatest(col("start_off"), col("chunk_id") * capacity))
+          .as("_tok"))
+    perDocChunk
+      .groupBy("chunk_id", "_src")
+      .agg(count(lit(1)).as("_nd"), sum("_tok").as("_st"))
+      .groupBy("chunk_id")
+      .agg(sum("_nd").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum("_st").as("tokens_in_chunk"),
+        // dominant source: most tokens, tie -> lexicographically
+        // smallest source name — encoded as min(struct(-tokens, src)),
+        // the negation turning "max tokens" into a min so the string
+        // tie-break can be a plain lexicographic min too
+        min(struct((-col("_st")).as("_ns"), col("_src").as("src"),
+          col("_st").as("st"))).as("_dom"))
+      .select(col("chunk_id"), col("n_docs"), col("n_sources"),
+        col("tokens_in_chunk"), col("_dom.src").as("dominant_src"),
+        col("_dom.st").as("dominant_tokens"),
+        round(col("_dom.st").cast("double") / col("tokens_in_chunk"), 6)
+          .as("dom_share"))
+  }
+
   /** Adds `_blk`, an ORDER-PRESERVING block id over `key` with at most
     * `maxBlocks` distinct values regardless of how sparse the key space
     * is: block = (key − min) div ceil(span / maxBlocks). A plain

@@ -168,6 +168,66 @@ object Preference {
         coalesce(col("wn"), lit(0L)).as("wins"))
   }
 
+  /** Krippendorff's alpha for BINARY nominal votes with a VARIABLE
+    * panel — the agreement statistic to reach for when panels are NOT
+    * constant-size (missing annotations, adaptive routing), exactly
+    * the setup [[fleissKappa]]'s fixed-n contract excludes. Rows =
+    * (item, vote∈{0,1}); items with fewer than 2 votes are unpairable
+    * and excluded (counted in `n_single_items`).
+    *
+    * Coincidence-matrix closed form for two nominal categories:
+    * α = 1 − (n−1)·Σ_u[o_u(m_u−o_u)/(m_u−1)] / (n₁·n₀), where m_u =
+    * item u's votes, o_u its 1-votes, n = Σm_u over pairable items,
+    * n₁ = Σo_u, n₀ = n − n₁.
+    *
+    * Integer-exact: the per-item disagreement term is held in
+    * 2520ths (2520 = lcm(1..9) makes `2520·o(m−o)/(m−1)` an exact
+    * integer for any panel of ≤ 10 raters — larger panels are
+    * rejected up front), summed as BIGINT, and divided once at the
+    * end, so α never depends on float summation order. One groupBy
+    * shuffle on the item key + a 1-row final fold.
+    *
+    * Output: one row (n_items, n_single_items, n_values, n_ones,
+    * alpha round(6)); alpha is NULL when either category is absent
+    * (n₁·n₀ = 0 — chance disagreement is zero, α undefined) or no
+    * item is pairable.
+    */
+  def krippendorffAlpha(votes: DataFrame, itemCol: String,
+                        voteCol: String): DataFrame = {
+    val per = votes.groupBy(col(itemCol))
+      .agg(sum(col(voteCol)).cast("long").as("o"),
+        count(lit(1)).cast("long").as("m"))
+    val valid = col("m") >= 2L
+    per.select(col("o"), col("m"),
+        // (m-1) | 2520 for m <= 10, so this is EXACT integer algebra —
+        // no float division anywhere in the statistic. The bound check
+        // lives INSIDE the summed expression (a separate guard column
+        // would be pruned as an unused aggregate and never fire): fail
+        // loudly past the exactness bound instead of silently flooring
+        when(col("m") > 10L, raise_error(concat(
+          lit("krippendorffAlpha: panel larger than 10 raters on an " +
+            "item (m="), col("m").cast("string"),
+          lit(") exceeds the lcm(1..9) exact-arithmetic bound")))
+          .cast("long"))
+          .otherwise(when(valid, expr("(2520 div (m - 1)) * o * (m - o)"))
+            .cast("long")).as("d2520"))
+      .agg(count(when(valid, 1)).as("n_items"),
+        count(when(!valid, 1)).as("n_single_items"),
+        sum(when(valid, col("m"))).as("n_values"),
+        sum(when(valid, col("o"))).as("n_ones"),
+        sum(col("d2520")).as("dsum"))
+      .select(col("n_items"), col("n_single_items"),
+        coalesce(col("n_values"), lit(0L)).as("n_values"),
+        coalesce(col("n_ones"), lit(0L)).as("n_ones"),
+        when(col("n_values").isNull ||
+            col("n_ones") === 0L || col("n_ones") === col("n_values"),
+          lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            (col("n_values") - 1L).cast("double") * col("dsum") /
+              (lit(2520.0) * col("n_ones") *
+                (col("n_values") - col("n_ones"))), 6)).as("alpha"))
+  }
+
   /** Length-bias audit over a chosen/rejected pairs frame: does the
     * LONGER response win more often as the length gap grows? (The
     * classic reward-hacking signal — a healthy preference set stays
@@ -280,5 +340,42 @@ object Evals {
       round(p, 6).as("pass_rate"),
       round(center - half, 6).as("wilson_lo"),
       round(center + half, 6).as("wilson_hi"))
+  }
+
+  /** Reliability diagram + Expected Calibration Error for a binary
+    * classifier (the quality-score / reward-model calibration gate):
+    * confidence arrives in integer MILLI units (0..1000 — the caller
+    * quantizes; integer in, so bin assignment never floats), labels
+    * are 0/1. Equal-width bins over [0, 1]: bin = min(c·nBins div
+    * 1000, nBins−1) — the 1.0 edge folds into the top bin, the
+    * standard reliability-diagram rule.
+    *
+    * Per bin: n, Σconf_milli and Σlabels as BIGINTs, avg_conf,
+    * accuracy, and `ece_contrib` = (n/total)·|acc − conf| — summing
+    * the column IS the ECE, so the per-bin frame carries the headline
+    * number without a second pass. One groupBy shuffle to ≤nBins keys
+    * (map-side combined), one 1-row total broadcast back.
+    */
+  def calibrationBins(df: DataFrame, confMilliCol: String,
+                      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val binned = df.select(
+      least(expr(s"cast($confMilliCol as bigint) * $nBins div 1000"),
+        lit(nBins - 1L)).as("bin"),
+      col(confMilliCol).cast("long").as("_c"),
+      col(labelCol).cast("long").as("_y"))
+    val per = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_c").as("conf_sum_milli"),
+        sum("_y").as("n_pos"))
+    val tot = per.agg(sum("n").as("_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("conf_sum_milli"), col("n_pos"),
+        round(col("conf_sum_milli").cast("double") /
+          (col("n") * 1000.0), 6).as("avg_conf"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("accuracy"),
+        round(col("n").cast("double") / col("_total") *
+          abs(col("n_pos").cast("double") / col("n") -
+            col("conf_sum_milli").cast("double") / (col("n") * 1000.0)),
+          6).as("ece_contrib"))
   }
 }

@@ -356,4 +356,47 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("__up_n") - 1)))
       .drop("__up_domain", "__up_bp", "__up_n")
   }
+
+  /** Curriculum staging: assign every row to one of `stages`
+    * equal-sized difficulty stages by EXACT global rank of
+    * (score, id) — easiest first. Training curricula feed stage 0
+    * before stage 1; ntile() would be the one-liner but plans as a
+    * single-partition global sort, so the rank rides
+    * [[Packing.rankShards]]'s two-level block scan instead (block
+    * summaries only — the same plan shape at 100 TB).
+    *
+    * Contract (the rankShards unique-key contract, composed): `score`
+    * and `id` are non-negative integers with score < 2³¹ and
+    * id < 2³² (the composed key `score·2³² + id` must stay a unique
+    * positive Long) — quantize float scores to integer millis
+    * upstream. Enforced up front: violations raise, never mis-rank.
+    *
+    * Output: input columns + `rank` (global, 0-based) + `stage`
+    * (0..stages−1, sizes balanced ±1).
+    */
+  def curriculumStages(df: DataFrame, idCol: String, scoreCol: String,
+                       stages: Int, maxBlocks: Long = 1L << 20): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1: $stages")
+    Seq(idCol, scoreCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      require(Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          .contains(df.schema(c).dataType),
+        s"curriculumStages needs integral $c, got " +
+          df.schema(c).dataType.simpleString)
+    }
+    val guard = when(
+      col(scoreCol) < 0L || col(scoreCol) >= (1L << 31) ||
+        col(idCol) < 0L || col(idCol) >= (1L << 32),
+      raise_error(concat(
+        lit("curriculumStages: (score, id) outside the composable " +
+          "range [0,2^31)x[0,2^32): ("),
+        col(scoreCol).cast("string"), lit(", "),
+        col(idCol).cast("string"), lit(")"))))
+      .otherwise(col(scoreCol).cast("long") * (1L << 32) +
+        col(idCol).cast("long"))
+    Packing.rankShards(df.withColumn("_ck", guard), "_ck",
+        numShards = stages, maxBlocks = maxBlocks)
+      .withColumnRenamed("shard", "stage")
+      .drop("_ck")
+  }
 }

@@ -1033,4 +1033,41 @@ object TextAnalysis {
     anchors.reduce((a, b) => a.join(b, Seq(idCol, "_p0")))
       .select(col(idCol)).distinct()
   }
+
+  /** The default double-encode (UTF-8 read as Latin-1) signatures
+    * [[encodingAnomalies]] scans for: 'Ã' + the common second byte, plus
+    * the Windows-1252 smart-quote triple. Real deployments extend this.
+    */
+  val mojibakeSignatures: Seq[String] =
+    Seq("Ã©", "Ã¨", "Ã±", "â")
+
+  /** Encoding-anomaly profile per document — the mojibake/corruption
+    * gate a web-scale text pipeline runs before training: counts of
+    * U+FFFD replacement characters (a decoder already gave up),
+    * double-encoded UTF-8 signatures (Ã©-style — UTF-8 bytes re-read
+    * as Latin-1), and C0 control characters (binary junk in "text";
+    * tab/newline/CR excluded). `clean` = all three zero.
+    *
+    * Fixed signatures are counted by length arithmetic
+    * ((len − len(replace)) / len(sig)) — exact, codegen'd, and
+    * portable to any SQL engine, no regex dialect in play; only the
+    * control-character CLASS uses one regexp_count. Pure per-row
+    * column algebra: no shuffle, no UDF, embarrassingly parallel.
+    */
+  def encodingAnomalies(df: DataFrame, idCol: String, textCol: String,
+                        signatures: Seq[String] = mojibakeSignatures)
+      : DataFrame = {
+    require(signatures.nonEmpty && signatures.forall(_.nonEmpty),
+      "signatures must be non-empty strings")
+    val t = col(textCol)
+    def countFixed(sig: String): Column =
+      (length(t) - length(replace(t, lit(sig), lit("")))) / lit(sig.length)
+    val nRepl = (length(t) - length(replace(t, lit("�"), lit("")))).cast("long")
+    val nMoji = signatures.map(countFixed).reduce(_ + _).cast("long")
+    val nCtrl = regexp_count(t,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    df.select(col(idCol), nRepl.as("n_replacement"), nMoji.as("n_mojibake"),
+      nCtrl.as("n_control"),
+      (nRepl + nMoji + nCtrl === 0L).as("clean"))
+  }
 }

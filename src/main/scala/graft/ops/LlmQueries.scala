@@ -314,6 +314,66 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- dedup survivorship by source (DedupOps.survivorship): the
+    //      per-source attrition report after exact + normalized dedup.
+    //      Winners are GLOBAL (a doc loses to a twin in another
+    //      source), so per-source survival is a mixture signal, not
+    //      just a distinct ratio; n_norm <= n_exact structurally ----
+    "q_llm_survivorship" -> Q(
+      """WITH d AS (SELECT doc_id, source, text FROM documents),
+        |w1 AS (SELECT min(doc_id) AS id FROM d GROUP BY text),
+        |w2 AS (SELECT min(doc_id) AS id FROM d
+        |       GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(CASE WHEN doc_id IN (SELECT id FROM w1) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |        CAST(sum(CASE WHEN doc_id IN (SELECT id FROM w2) THEN 1 ELSE 0 END) AS BIGINT) AS n_norm
+        |      FROM d GROUP BY source)
+        |SELECT source, n_docs, n_exact, n_norm,
+        |  round(CAST(n_exact AS DOUBLE) / n_docs, 6) AS exact_survival,
+        |  round(CAST(n_norm AS DOUBLE) / n_docs, 6) AS norm_survival
+        |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+      DedupOps.survivorship(tb(s, dir).documents, "doc_id", "text", "source")
+        .orderBy("source")
+    },
+
+    // ---- encoding-anomaly detection (TextAnalysis.encodingAnomalies):
+    //      U+FFFD / double-encoded-UTF-8 / C0-control counts per doc.
+    //      The corpus is clean ASCII, so the fixture INJECTS anomalies
+    //      deterministically (prefix a mojibake pair on doc_id%7,
+    //      append U+FFFD on %11, append BEL on %13 — first-match CASE
+    //      order mirrored); signatures are counted by length
+    //      arithmetic, identical algebra on both engines ----
+    "q_llm_mojibake" -> Q({
+      val sigs = TextAnalysis.mojibakeSignatures
+      val sigSum = sigs.map(g =>
+        s"(len(t2) - len(replace(t2, '$g', ''))) // ${g.length}")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN '${sigs.head}' || text
+         |       WHEN doc_id % 11 = 0 THEN text || '�'
+         |       WHEN doc_id % 13 = 0 THEN text || chr(7)
+         |       ELSE text END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(t2) - len(replace(t2, '�', '')) AS BIGINT) AS n_replacement,
+         |  CAST($sigSum AS BIGINT) AS n_mojibake,
+         |  CAST(len(regexp_extract_all(t2, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_control,
+         |  (len(t2) - len(replace(t2, '�', ''))
+         |   + ($sigSum)
+         |   + len(regexp_extract_all(t2, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))) = 0 AS clean
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val t2 = when(col("doc_id") % 7 === 0,
+          concat(lit(TextAnalysis.mojibakeSignatures.head), col("text")))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit("�")))
+        .when(col("doc_id") % 13 === 0, concat(col("text"), lit("\u0007")))
+        .otherwise(col("text"))
+      TextAnalysis.encodingAnomalies(
+          tb(s, dir).documents.select(col("doc_id"), t2.as("t2")),
+          "doc_id", "t2")
+        .orderBy("doc_id")
+    },
+
     // ---- paragraph-level exact dedup (DedupOps.paragraphDedup): the
     //      CCNet/RefinedWeb line-dedup pass. Paragraph = 8-token window
     //      (this corpus has no newlines, so segmentation is explicit
@@ -1956,6 +2016,26 @@ object LlmQueries {
         .select("doc_id", "split").orderBy("doc_id")
     },
 
+    // ---- curriculum staging (Sampling.curriculumStages): 4 easy→hard
+    //      stages by EXACT global (n_chars, doc_id) rank — the engine's
+    //      two-level block scan (rankShards machinery, block summaries
+    //      only) vs the oracle's single global row_number window; ntile
+    //      would plan a single-partition sort at corpus scale ----
+    "q_llm_curriculum" -> Q(
+      """WITH r AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+        |           FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rnk,
+        |       CAST((rk * 4) // n AS BIGINT) AS stage
+        |FROM r, t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.curriculumStages(
+          tb(s, dir).documents.select("doc_id", "n_chars"),
+          "doc_id", "n_chars", stages = 4, maxBlocks = 64L)
+        .select(col("doc_id"), col("rank").as("rnk"), col("stage"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic training-shard plan (Sampling.shardPlan): a
     //      seeded global pseudo-random shuffle + sharding — shard from
     //      the first 4 hex digits of md5("seed|id"), in-shard order by
@@ -2211,6 +2291,43 @@ object LlmQueries {
       Ann.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 3)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
+    },
+
+    // ---- label-based retrieval MRR (Ann.mrrByLabel): rank of the
+    //      first same-label candidate in each query's brute-force
+    //      top-5 — the retrieval-eval companion to recall/nDCG when
+    //      graded relevance is a class label, not an exact list ----
+    "q_ann_mrr" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |ranked AS (
+        |  SELECT d.q_id, d.c_id,
+        |         row_number() OVER (PARTITION BY d.q_id
+        |           ORDER BY round(d.dot / (nq.nrm * nc.nrm), 4) DESC, d.c_id) AS rn
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nc ON nc.vec_id = d.c_id),
+        |top AS (SELECT * FROM ranked WHERE rn <= 5),
+        |hit AS (
+        |  SELECT t.q_id, CAST(min(t.rn) AS BIGINT) AS first_rank
+        |  FROM top t JOIN embeddings ql ON ql.vec_id = t.q_id
+        |  JOIN embeddings cl ON cl.vec_id = t.c_id
+        |  WHERE ql.label = cl.label GROUP BY t.q_id)
+        |SELECT b.vec_id AS q_id, coalesce(h.first_rank, 0) AS first_rank,
+        |       CASE WHEN h.first_rank IS NULL THEN 0.0
+        |            ELSE round(1.0 / h.first_rank, 6) END AS rr
+        |FROM embeddings b LEFT JOIN hit h ON h.q_id = b.vec_id
+        |WHERE b.vec_id < 10 ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      Ann.mrrByLabel(
+          Ann.cosineTopK(emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", 5),
+          emb, "vec_id", "label")
+        .orderBy("q_id")
     },
 
     // ---- int8-quantized brute-force cosine top-k ----

@@ -107,6 +107,50 @@ object PackingQueries {
         .orderBy("chunk_id")
     },
 
+    // ---- chunk source diversity (Packing.chunkSourceStats): per
+    //      training chunk of the concat layout, distinct contributing
+    //      sources and the dominant source's token share — the
+    //      shuffle-quality gate for packed pretraining data. Dominant
+    //      tie rule = most tokens, then lexicographically smallest
+    //      source, encoded as min(struct(-tokens, src)) vs the
+    //      oracle's (st DESC, source ASC) row_number ----
+    "q_pack_chunk_diversity" -> Q(
+      """WITH t AS (SELECT doc_id, source,
+        |        CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x <> '')) AS BIGINT) AS n
+        |      FROM documents),
+        |nz AS (SELECT * FROM t WHERE n > 0),
+        |c AS (SELECT doc_id, source, n,
+        |        CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS so
+        |      FROM nz),
+        |e AS (SELECT c.*, unnest(range(CAST(so // 512 AS BIGINT),
+        |                              CAST((so + n - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+        |      FROM c),
+        |pt AS (SELECT chunk_id, source, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(least(so + n, (chunk_id + 1) * 512)
+        |                  - greatest(so, chunk_id * 512)) AS BIGINT) AS st
+        |       FROM e GROUP BY chunk_id, source),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_id
+        |        ORDER BY st DESC, source ASC) AS rn FROM pt),
+        |agg AS (SELECT chunk_id, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |          CAST(count(*) AS BIGINT) AS n_sources,
+        |          CAST(sum(st) AS BIGINT) AS tokens_in_chunk
+        |        FROM pt GROUP BY chunk_id)
+        |SELECT CAST(a.chunk_id AS BIGINT) AS chunk_id, a.n_docs, a.n_sources,
+        |  a.tokens_in_chunk, r.source AS dominant_src,
+        |  r.st AS dominant_tokens,
+        |  round(CAST(r.st AS DOUBLE) / a.tokens_in_chunk, 6) AS dom_share
+        |FROM agg a JOIN r ON r.chunk_id = a.chunk_id AND r.rn = 1
+        |ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      Packing.chunkSourceStats(
+          Packing.tokenStreamPack(docTokens(s, dir), "doc_id", "n",
+            capacity = 512L, blockSize = 64L),
+          tb(s, dir).documents.select("doc_id", "source"),
+          "doc_id", "source", capacity = 512L)
+        .orderBy("chunk_id")
+    },
+
     // ---- no-split bin packing over documents (Packing.binPack +
     //      binPackStats): capacity 64 makes the corpus tail oversize,
     //      exercising the -1 bucket; the len-2^k bucket rule keeps the

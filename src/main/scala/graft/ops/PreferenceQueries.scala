@@ -116,6 +116,45 @@ object PreferenceQueries {
       Preference.fleissKappa(votes, "prompt_id", "vote", n = 3)
     },
 
+    // ---- Krippendorff's alpha (Preference.krippendorffAlpha): the
+    //      VARIABLE-panel agreement statistic fleissKappa's fixed-n
+    //      contract excludes — panels of 2..4 raters per item
+    //      (m = 2 + prompt_id % 3), per-item disagreement held in
+    //      integer 2520ths so the sum never floats ----
+    "q_pref_kripp_alpha" -> Q(
+      s"""WITH $prefPairsCte,
+         |v AS (SELECT prompt_id,
+         |        unnest(range(0, 2 + prompt_id % 3)) AS r,
+         |        chosen_id, rejected_id
+         |      FROM p),
+         |vv AS (SELECT prompt_id,
+         |         CASE WHEN (chosen_id * (2*r+3) + rejected_id) % 5 < 3
+         |              THEN 1 ELSE 0 END AS vote
+         |       FROM v),
+         |g AS (SELECT prompt_id, CAST(sum(vote) AS BIGINT) AS o,
+         |             CAST(count(*) AS BIGINT) AS m FROM vv GROUP BY prompt_id),
+         |t AS (SELECT
+         |        CAST(count(CASE WHEN m >= 2 THEN 1 END) AS BIGINT) AS n_items,
+         |        CAST(count(CASE WHEN m < 2 THEN 1 END) AS BIGINT) AS n_single_items,
+         |        CAST(coalesce(sum(CASE WHEN m >= 2 THEN m END), 0) AS BIGINT) AS n_values,
+         |        CAST(coalesce(sum(CASE WHEN m >= 2 THEN o END), 0) AS BIGINT) AS n_ones,
+         |        CAST(sum(CASE WHEN m >= 2 THEN (2520 // (m-1)) * o * (m-o) END) AS BIGINT) AS dsum
+         |      FROM g)
+         |SELECT n_items, n_single_items, n_values, n_ones,
+         |  CASE WHEN n_ones = 0 OR n_ones = n_values THEN NULL
+         |       ELSE round(1.0 - CAST(n_values - 1 AS DOUBLE) * dsum
+         |                  / (2520.0 * n_ones * (n_values - n_ones)), 6)
+         |  END AS alpha
+         |FROM t""".stripMargin) { (s, dir) =>
+      val votes = prefPairs(s, dir)
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+          explode(sequence(lit(0L), lit(1L) + col("prompt_id") % 3)).as("r"))
+        .select(col("prompt_id"),
+          when(expr("(chosen_id * (2*r+3) + rejected_id) % 5") < 3, 1L)
+            .otherwise(0L).as("vote"))
+      Preference.krippendorffAlpha(votes, "prompt_id", "vote")
+    },
+
     // ---- Bradley–Terry strengths (Preference.btStrengths): matches =
     //      consecutive same-user events, larger value wins (tie → the
     //      lexicographically smaller type); 3 MM iterations in integer
@@ -307,6 +346,37 @@ object PreferenceQueries {
       val ev = tb(s, dir).events.select(col("event_type"),
         when(expr("(event_id * 7) % 10") < 6, 1L).otherwise(0L).as("pass"))
       Evals.wilsonPassRate(ev, "event_type", "pass").orderBy("event_type")
+    },
+
+    // ---- reliability diagram + ECE (Evals.calibrationBins): integer
+    //      milli-confidences binned 10-wide; the synthetic label fires
+    //      with probability ≈ conf (a roughly-calibrated classifier),
+    //      so per-bin |acc − conf| gaps stay small but non-zero; the
+    //      ece_contrib column sums to the headline ECE ----
+    "q_eval_calibration" -> Q(
+      """WITH p AS (SELECT (event_id * 37) % 1000 AS c,
+        |             CASE WHEN (event_id * 911) % 1000 < (event_id * 37) % 1000
+        |                  THEN 1 ELSE 0 END AS y
+        |           FROM events),
+        |g AS (SELECT least(c * 10 // 1000, 9) AS bin,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(c) AS BIGINT) AS conf_sum_milli,
+        |             CAST(sum(y) AS BIGINT) AS n_pos
+        |      FROM p GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, conf_sum_milli, n_pos,
+        |  round(CAST(conf_sum_milli AS DOUBLE) / (n * 1000.0), 6) AS avg_conf,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS accuracy,
+        |  round(CAST(n AS DOUBLE) / total
+        |        * abs(CAST(n_pos AS DOUBLE) / n
+        |              - CAST(conf_sum_milli AS DOUBLE) / (n * 1000.0)), 6)
+        |    AS ece_contrib
+        |FROM g, t ORDER BY bin""".stripMargin) { (s, dir) =>
+      val scored = tb(s, dir).events.select(
+        expr("(event_id * 37) % 1000").as("c"),
+        when(expr("(event_id * 911) % 1000") < expr("(event_id * 37) % 1000"),
+          1L).otherwise(0L).as("y"))
+      Evals.calibrationBins(scored, "c", "y", nBins = 10).orderBy("bin")
     }
   )
 }

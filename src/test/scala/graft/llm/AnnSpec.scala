@@ -133,4 +133,22 @@ class AnnSpec extends SparkSpec {
     assert(out(100L) === ((r61, 2)))
     assert(out(102L) === ((r62, 3)))
   }
+
+  test("mrrByLabel: first same-label rank wins; a list with no " +
+      "same-label candidate scores 0") {
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 12L, 2)).toDF("q_id", "c_id", "rn")
+    // q1 label 7: c11 (rank 2) and c12 (rank 3) match -> first_rank 2
+    // q2 label 9: no candidate carries 9 -> miss, rr 0
+    val labels = Seq((1L, 7), (2L, 9), (10L, 5), (11L, 7), (12L, 7))
+      .toDF("vec_id", "label")
+    val got = Ann.mrrByLabel(approx, labels, "vec_id", "label")
+      .orderBy("q_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("first_rank") === 2L)
+    assert(got(0).getAs[Double]("rr") === 0.5)
+    assert(got(1).getAs[Long]("first_rank") === 0L)
+    assert(got(1).getAs[Double]("rr") === 0.0)
+  }
 }

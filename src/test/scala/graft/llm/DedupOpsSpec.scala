@@ -370,4 +370,27 @@ class DedupOpsSpec extends SparkSpec {
     // candidate budget is exactly w·n − w(w+1)/2
     assert(got.size === 4 * 500 - 4 * 5 / 2)
   }
+
+  test("survivorship: global winners, per-source attrition, and the " +
+      "norm <= exact containment") {
+    val docs = Seq(
+      (1L, "s1", "same"),
+      (2L, "s2", "same"),          // exact twin of 1 -> loses globally
+      (3L, "s2", "A  B"),          // normalizes to "a b"
+      (4L, "s2", "a b")            // exact-distinct, norm twin of 3
+    ).toDF("doc_id", "source", "text")
+    val got = DedupOps.survivorship(docs, "doc_id", "text", "source")
+      .orderBy("source").collect()
+    val s1 = got(0)
+    assert(s1.getAs[Long]("n_docs") === 1L &&
+      s1.getAs[Long]("n_exact") === 1L && s1.getAs[Long]("n_norm") === 1L)
+    val s2 = got(1)
+    assert(s2.getAs[Long]("n_docs") === 3L)
+    assert(s2.getAs[Long]("n_exact") === 2L, "doc 2 lost to doc 1 cross-source")
+    assert(s2.getAs[Long]("n_norm") === 1L, "doc 4 also lost to doc 3")
+    assert(s2.getAs[Double]("exact_survival") === 0.666667)
+    assert(s2.getAs[Double]("norm_survival") === 0.333333)
+    got.foreach(r => assert(
+      r.getAs[Long]("n_norm") <= r.getAs[Long]("n_exact")))
+  }
 }

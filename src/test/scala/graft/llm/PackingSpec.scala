@@ -175,4 +175,36 @@ class PackingSpec extends SparkSpec {
       (2L, 3L, 2L, 13L, 19L, 0.40625),
       (3L, 1L, 1L, 9L, 7L, 0.5625)))
   }
+
+  test("chunkSourceStats: boundary docs split their tokens across " +
+      "chunks; dominant tie breaks to the smaller source name") {
+    // ids 1,2,3 len 4 each, capacity 6: chunk0 = id1(A,4)+id2(B,2),
+    // chunk1 = id2(B,2)+id3(A,4)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("doc_id", "n")
+    val meta = Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("doc_id", "src")
+    val packed = Packing.tokenStreamPack(docs, "doc_id", "n",
+      capacity = 6L, blockSize = 2L)
+    val got = Packing.chunkSourceStats(packed, meta, "doc_id", "src",
+        capacity = 6L)
+      .orderBy("chunk_id").collect()
+    assert(got.length === 2)
+    for (r <- got) {
+      assert(r.getAs[Long]("n_docs") === 2L)
+      assert(r.getAs[Long]("n_sources") === 2L)
+      assert(r.getAs[Long]("tokens_in_chunk") === 6L)
+      assert(r.getAs[String]("dominant_src") === "A")
+      assert(r.getAs[Long]("dominant_tokens") === 4L)
+      assert(r.getAs[Double]("dom_share") === 0.666667)
+    }
+    // exact tie: B(2) vs A(2) in one chunk -> lexicographically
+    // smaller source wins deterministically
+    val tie = Packing.chunkSourceStats(
+      Packing.tokenStreamPack(
+        Seq((1L, 2L), (2L, 2L)).toDF("doc_id", "n"), "doc_id", "n",
+        capacity = 4L, blockSize = 2L),
+      Seq((1L, "B"), (2L, "A")).toDF("doc_id", "src"),
+      "doc_id", "src", capacity = 4L).collect().head
+    assert(tie.getAs[String]("dominant_src") === "A")
+    assert(tie.getAs[Long]("dominant_tokens") === 2L)
+  }
 }

@@ -165,4 +165,68 @@ class PreferenceSpec extends SparkSpec {
     assert(math.abs(hi - 0.781054) < 0.0005, s"hi=$hi")
     assert(lo > 0.0 && lo < 0.7 && hi > 0.7 && hi < 1.0)
   }
+
+  test("krippendorffAlpha: hand-computed variable panels; singles excluded") {
+    // item A: [1,0] (m=2), item B: [1,1,0] (m=3), item C: [0] (m=1,
+    // unpairable). n=5, n1=3, n0=2, Do = 1·1/1 + 2·1/2 = 2,
+    // alpha = 1 − (5−1)·2/(3·2) = −1/3
+    val votes = Seq(
+      ("A", 1), ("A", 0),
+      ("B", 1), ("B", 1), ("B", 0),
+      ("C", 0)).toDF("item", "vote")
+    val r = Preference.krippendorffAlpha(votes, "item", "vote").collect().head
+    assert(r.getAs[Long]("n_items") === 2L)
+    assert(r.getAs[Long]("n_single_items") === 1L)
+    assert(r.getAs[Long]("n_values") === 5L)
+    assert(r.getAs[Long]("n_ones") === 3L)
+    assert(r.getAs[Double]("alpha") === -0.333333)
+  }
+
+  test("krippendorffAlpha: perfect within-item agreement -> 1; " +
+      "one-category data -> NULL; no pairable item -> NULL") {
+    val perfect = Seq(("A", 1), ("A", 1), ("B", 0), ("B", 0))
+      .toDF("item", "vote")
+    assert(Preference.krippendorffAlpha(perfect, "item", "vote")
+      .collect().head.getAs[Double]("alpha") === 1.0)
+    val oneCat = Seq(("A", 1), ("A", 1), ("B", 1)).toDF("item", "vote")
+    assert(Preference.krippendorffAlpha(oneCat, "item", "vote")
+      .collect().head.isNullAt(4))
+    val singles = Seq(("A", 1), ("B", 0)).toDF("item", "vote")
+    val r = Preference.krippendorffAlpha(singles, "item", "vote")
+      .collect().head
+    assert(r.getAs[Long]("n_items") === 0L && r.isNullAt(4))
+  }
+
+  test("krippendorffAlpha: a panel past 10 raters raises, never floors") {
+    val big = (1 to 11).map(i => ("A", i % 2)).toDF("item", "vote")
+    val e = intercept[Exception] {
+      Preference.krippendorffAlpha(big, "item", "vote").collect()
+    }
+    assert(e.getMessage.contains("krippendorffAlpha") ||
+      Option(e.getCause).exists(_.getMessage.contains("krippendorffAlpha")),
+      e.toString)
+  }
+
+  test("calibrationBins: hand-computed bins; the 1.0 edge folds into " +
+      "the top bin; ece_contrib sums to the ECE") {
+    // bin 0: (50,0),(50,1) → avg_conf .05, acc .5, contrib (2/3)·.45
+    // conf 1000 → bin 9 (not 10): (1000,1) → gap 0, contrib 0
+    val df = Seq((50, 0), (50, 1), (1000, 1)).toDF("c", "y")
+    val got = Evals.calibrationBins(df, "c", "y", nBins = 10)
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("bin")).toSeq === Seq(0L, 9L))
+    val b0 = got(0)
+    assert(b0.getAs[Long]("n") === 2L &&
+      b0.getAs[Long]("conf_sum_milli") === 100L &&
+      b0.getAs[Long]("n_pos") === 1L)
+    assert(b0.getAs[Double]("avg_conf") === 0.05)
+    assert(b0.getAs[Double]("accuracy") === 0.5)
+    assert(b0.getAs[Double]("ece_contrib") === 0.3)
+    val b9 = got(1)
+    assert(b9.getAs[Double]("avg_conf") === 1.0 &&
+      b9.getAs[Double]("accuracy") === 1.0 &&
+      b9.getAs[Double]("ece_contrib") === 0.0)
+    val ece = got.map(_.getAs[Double]("ece_contrib")).sum
+    assert(math.abs(ece - 0.3) < 1e-9)
+  }
 }

@@ -310,4 +310,28 @@ class SamplingSpec extends SparkSpec {
     // ~half survive (consistent-hash thinning, exact threshold 32768)
     assert(run1.size > 400 && run1.size < 600, s"got ${run1.size}")
   }
+
+  test("curriculumStages: exact-rank stages, balanced sizes, easy first") {
+    // score = 10 - id: rank order is the REVERSE of id order
+    val df = (0L until 10L).map(i => (i, 10L - i)).toDF("id", "score")
+    val got = Sampling.curriculumStages(df, "id", "score", stages = 2,
+        maxBlocks = 4L)
+      .select("id", "rank", "stage").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // lowest scores (ids 9..5) fill stage 0; ids 4..0 stage 1
+    assert(got.map(_._3) === Seq(1L, 1L, 1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L))
+    assert(got.find(_._1 == 9L).get._2 === 0L, "easiest doc ranks first")
+    assert(got.map(_._2).sorted === (0L until 10L))
+  }
+
+  test("curriculumStages: out-of-range keys raise; float scores rejected") {
+    val neg = Seq((1L, -1L)).toDF("id", "score")
+    intercept[Exception] {
+      Sampling.curriculumStages(neg, "id", "score", 2).collect()
+    }
+    val dbl = Seq((1L, 0.5)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumStages(dbl, "id", "score", 2)
+    }
+  }
 }

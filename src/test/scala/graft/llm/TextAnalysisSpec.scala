@@ -528,4 +528,24 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L), (6L, 0L, 0L), (7L, 0L, 0L), (8L, 0L, 0L), (9L, 0L, 0L)))
     assert(got.head._4 === 3010L)   // expected distribution rides along
   }
+
+  test("encodingAnomalies: replacement / mojibake / control counts " +
+      "and the clean flag; tab and newline are NOT control hits") {
+    val repl = "\ufffd"
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "bad " + repl + " byte " + repl),
+      (3L, "caf\u00c3\u00a9 double-encoded \u00c3\u00a9"),
+      (4L, "bell\u0007 and tab\t and nl\n stay"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingAnomalies(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_replacement", "n_mojibake", "n_control", "clean")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got(0) === ((0L, 0L, 0L, true)))
+    assert(got(1) === ((2L, 0L, 0L, false)))
+    assert(got(2) === ((0L, 2L, 0L, false)))
+    assert(got(3) === ((0L, 0L, 1L, false)), "only BEL counts, not tab/nl")
+    assert(got(4) === ((0L, 0L, 0L, true)))
+  }
 }
