@@ -228,6 +228,30 @@ object Preference {
                 (col("n_values") - col("n_ones"))), 6)).as("alpha"))
   }
 
+  /** Pairwise win-rate matrix from aggregated (winner, loser, n)
+    * outcomes — the descriptive companion to [[btStrengths]] (the
+    * fitted strengths say who's better overall; the matrix says who
+    * beats whom head-to-head, the non-transitivity audit). Each
+    * unordered pair appears ONCE, canonicalized to (lo, hi) =
+    * (least, greatest) so A-beats-B and B-beats-A rows fold together.
+    * One groupBy on the pair key over the already-aggregated outcomes
+    * frame (|items|² rows at most — tiny at any corpus scale).
+    */
+  def winRateMatrix(outcomes: DataFrame, winnerCol: String,
+                    loserCol: String, nCol: String): DataFrame = {
+    val w = col(winnerCol)
+    val l = col(loserCol)
+    outcomes.select(least(w, l).as("lo"), greatest(w, l).as("hi"),
+        when(w <= l, col(nCol)).otherwise(0L).cast("long").as("_wlo"),
+        col(nCol).cast("long").as("_n"))
+      .groupBy("lo", "hi")
+      .agg(sum("_wlo").as("wins_lo"), sum("_n").as("n_games"))
+      .select(col("lo"), col("hi"), col("wins_lo"),
+        (col("n_games") - col("wins_lo")).as("wins_hi"), col("n_games"),
+        round(col("wins_lo").cast("double") / col("n_games"), 6)
+          .as("win_rate_lo"))
+  }
+
   /** Length-bias audit over a chosen/rejected pairs frame: does the
     * LONGER response win more often as the length gap grows? (The
     * classic reward-hacking signal — a healthy preference set stays
@@ -340,6 +364,32 @@ object Evals {
       round(p, 6).as("pass_rate"),
       round(center - half, 6).as("wilson_lo"),
       round(center + half, 6).as("wilson_hi"))
+  }
+
+  /** McNemar's paired test for two models graded on the SAME items
+    * (rows = (group, pass_a, pass_b) binary outcomes): counts the
+    * discordant cells n01 (A wrong, B right) and n10 (A right, B
+    * wrong) per group and the continuity-corrected statistic
+    * (|n01−n10|−1)²/(n01+n10) — the question "is B actually better
+    * than A on these items?" that a plain pass-rate delta can't
+    * answer (concordant items cancel). NULL when no discordant pair
+    * exists (the test is undefined); the plain formula is kept (no
+    * max(0,·) clamp) and mirrored by oracles term for term. One
+    * groupBy shuffle, integer cells, one closed-form double.
+    */
+  def mcnemar(df: DataFrame, groupCol: String, aCol: String,
+              bCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(aCol) === 0 && col(bCol) === 1, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col(aCol) === 1 && col(bCol) === 0, 1L).otherwise(0L))
+          .as("n10"))
+    val d = col("n01") + col("n10")
+    val diff = abs(col("n01") - col("n10")).cast("double") - lit(1.0)
+    g.select(col(groupCol), col("n"), col("n01"), col("n10"),
+      when(d === 0L, lit(null).cast("double"))
+        .otherwise(round(diff * diff / d, 6)).as("mcnemar_chi2"))
   }
 
   /** Reliability diagram + Expected Calibration Error for a binary

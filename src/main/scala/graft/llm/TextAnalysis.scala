@@ -1034,6 +1034,66 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** Tokenizer-fertility profile per group (language/source): how many
+    * BPE-ish tokens a tokenizer spends per whitespace word and per
+    * character — the multilingual-mixture cost signal (a language with
+    * 3× fertility costs 3× the context budget for the same text).
+    * Integer totals summed as BIGINTs; the two ratios are single
+    * closed-form divisions, round(6), NULL on empty denominators.
+    * One groupBy shuffle to |groups| keys, map-side combined.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val t = col(textCol)
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(t)).cast("long").as("total_chars"),
+        sum(tokenCountWs(t)).cast("long").as("total_ws_tokens"),
+        sum(tokenCountBpe(t)).cast("long").as("total_bpe_tokens"))
+    g.select(col(groupCol), col("n_docs"), col("total_chars"),
+      col("total_ws_tokens"), col("total_bpe_tokens"),
+      when(col("total_ws_tokens") === 0L, lit(null).cast("double"))
+        .otherwise(round(col("total_bpe_tokens").cast("double") /
+          col("total_ws_tokens"), 6)).as("fertility"),
+      when(col("total_bpe_tokens") === 0L, lit(null).cast("double"))
+        .otherwise(round(col("total_chars").cast("double") /
+          col("total_bpe_tokens"), 6)).as("chars_per_token"))
+  }
+
+  /** Per-document n-gram novelty against everything ingested BEFORE it
+    * (id order): the share of a doc's distinct k-shingles whose global
+    * first occurrence (min doc id) is the doc itself. The curation
+    * curve this feeds ("how much genuinely new text does each slice
+    * add?") drops toward 0 as a crawl saturates — the data-value
+    * signal for dedup-aware acquisition. Docs with no shingles (< k
+    * tokens) report 0 shingles and novelty 0.
+    *
+    * Shape: distinct (doc, shingle) explode → min(doc) per shingle
+    * (the winners frame, partial-agg friendly) → count vs novel count
+    * per doc — two content-keyed shuffles + one id-keyed fold, the
+    * exact-dedup plan family; nothing corpus².
+    */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame = {
+    val pairs = explodeShingles(df.select(col(idCol), col(textCol)),
+        textCol, k, col(idCol))
+      .distinct()
+    val first = pairs.groupBy(col("s"))
+      .agg(min(col(idCol)).as("_first"))
+    val per = pairs.join(first, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col(idCol) === col("_first"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_shingles", "n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        when(col("n_shingles") === 0L, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") /
+            col("n_shingles"), 6)).as("novelty"))
+  }
+
   /** The default double-encode (UTF-8 read as Latin-1) signatures
     * [[encodingAnomalies]] scans for: 'Ã' + the common second byte, plus
     * the Windows-1252 smart-quote triple. Real deployments extend this.

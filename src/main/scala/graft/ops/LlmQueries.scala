@@ -456,6 +456,53 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- tokenizer fertility by language (TextAnalysis
+    //      .tokenizerFertility): BPE-ish tokens per whitespace word
+    //      and chars per token — the multilingual context-budget cost
+    //      signal a mixture planner weights by ----
+    "q_llm_fertility" -> Q(
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |        CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+        |        CAST(sum(len(regexp_extract_all(lower(text),
+        |                                        '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
+        |      FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
+        |  CASE WHEN total_ws_tokens = 0 THEN NULL
+        |       ELSE round(CAST(total_bpe_tokens AS DOUBLE) / total_ws_tokens, 6)
+        |  END AS fertility,
+        |  CASE WHEN total_bpe_tokens = 0 THEN NULL
+        |       ELSE round(CAST(total_chars AS DOUBLE) / total_bpe_tokens, 6)
+        |  END AS chars_per_token
+        |FROM g ORDER BY lang""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenizerFertility(tb(s, dir).documents, "lang", "text")
+        .orderBy("lang")
+    },
+
+    // ---- n-gram novelty curve (TextAnalysis.shingleNovelty): share
+    //      of each doc's distinct 3-shingles first seen IN that doc
+    //      (id order) — the marginal-data-value signal that decays as
+    //      a crawl saturates; two content-keyed shuffles, the
+    //      exact-dedup plan family ----
+    "q_llm_novelty" -> Q(
+      s"""WITH $shingleCte,
+         |fd AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+         |per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(sum(CASE WHEN sh.doc_id = fd.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |        FROM sh JOIN fd ON fd.s = sh.s GROUP BY sh.doc_id)
+         |SELECT d.doc_id, coalesce(p.n_shingles, 0) AS n_shingles,
+         |  coalesce(p.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+         |       ELSE round(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6)
+         |  END AS novelty
+         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.shingleNovelty(tb(s, dir).documents, "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id")
+    },
+
     // ---- BM25 relevance scoring (TextAnalysis.bm25): Lucene-variant
     //      idf + tf saturation + length normalization for a literal
     //      probe query; corpus contributes one fused (doc,token,count)

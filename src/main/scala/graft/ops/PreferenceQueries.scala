@@ -52,6 +52,49 @@ object PreferenceQueries {
       |      FROM rk a JOIN rk b ON a.prompt_id = b.prompt_id AND a.rc = 1 AND b.rr = 1
       |      WHERE a.cand_id <> b.cand_id AND a.score - b.score >= 100)""".stripMargin
 
+  /** Deterministic pairwise matches from events (shared by the BT and
+    * win-rate-matrix queries): consecutive same-user events fight,
+    * larger value wins, tie → the lexicographically smaller type.
+    * Returns aggregated (w, l, n) outcomes.
+    */
+  private def matchOutcomes(s: SparkSession, dir: String): DataFrame = {
+    val ev = tb(s, dir).eventsRaw
+      .filter(col("value").isNotNull)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_type"), col("value"),
+        lag("event_type", 1).over(w).as("pt"),
+        lag("value", 1).over(w).as("pv"))
+      .filter(col("pt").isNotNull && col("pt") =!= col("event_type"))
+      .select(
+        when(col("value") > col("pv"), col("event_type"))
+          .when(col("value") < col("pv"), col("pt"))
+          .when(col("event_type") < col("pt"), col("event_type"))
+          .otherwise(col("pt")).as("w"),
+        when(col("value") > col("pv"), col("pt"))
+          .when(col("value") < col("pv"), col("event_type"))
+          .when(col("event_type") < col("pt"), col("pt"))
+          .otherwise(col("event_type")).as("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("n"))
+  }
+
+  /** The SQL mirror of [[matchOutcomes]] as CTEs ending in
+    * `o(w, l, n)`.
+    */
+  private val matchOutcomesCte =
+    """e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id, event_type, value
+      |      FROM events WHERE value IS NOT NULL),
+      |sq AS (SELECT event_type, value,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pt,
+      |         lag(value) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pv
+      |       FROM e),
+      |m AS (SELECT CASE WHEN value > pv THEN event_type WHEN value < pv THEN pt
+      |                  WHEN event_type < pt THEN event_type ELSE pt END AS w,
+      |             CASE WHEN value > pv THEN pt WHEN value < pv THEN event_type
+      |                  WHEN event_type < pt THEN pt ELSE event_type END AS l
+      |      FROM sq WHERE pt IS NOT NULL AND pt <> event_type),
+      |o AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY w, l)""".stripMargin
+
   /** One unrolled Bradley–Terry MM iteration (integer micro
     * fixed-point): d_k = per-item Σ n·10¹² // (s_i+s_j) over the
     * symmetrized games, s_k = W·10¹² // d (no-game items keep 1e6,
@@ -160,18 +203,7 @@ object PreferenceQueries {
     //      lexicographically smaller type); 3 MM iterations in integer
     //      micro fixed-point — bit-identical to the unrolled oracle ----
     "q_pref_bt_strength" -> Q(
-      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id, event_type, value
-         |           FROM events WHERE value IS NOT NULL),
-         |sq AS (SELECT event_type, value,
-         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pt,
-         |         lag(value) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pv
-         |       FROM e),
-         |m AS (SELECT CASE WHEN value > pv THEN event_type WHEN value < pv THEN pt
-         |                  WHEN event_type < pt THEN event_type ELSE pt END AS w,
-         |             CASE WHEN value > pv THEN pt WHEN value < pv THEN event_type
-         |                  WHEN event_type < pt THEN pt ELSE event_type END AS l
-         |      FROM sq WHERE pt IS NOT NULL AND pt <> event_type),
-         |o AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY w, l),
+      s"""WITH $matchOutcomesCte,
          |items AS (SELECT DISTINCT id FROM (SELECT w AS id FROM o UNION ALL SELECT l AS id FROM o)),
          |wins AS (SELECT w AS id, CAST(sum(n) AS BIGINT) AS wn FROM o GROUP BY w),
          |g AS (SELECT w AS id, l AS opp, n FROM o UNION ALL SELECT l AS id, w AS opp, n FROM o),
@@ -182,27 +214,49 @@ object PreferenceQueries {
          |SELECT s3.id AS item, s3.sm AS strength_micro,
          |       coalesce(w.wn, 0) AS wins
          |FROM s3 LEFT JOIN wins w ON w.id = s3.id ORDER BY item""".stripMargin) { (s, dir) =>
-      val ev = tb(s, dir).eventsRaw
-        .filter(col("value").isNotNull)
-        .select("user_id", "ts", "event_id", "event_type", "value")
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val m = ev
-        .select(col("event_type"), col("value"),
-          lag("event_type", 1).over(w).as("pt"),
-          lag("value", 1).over(w).as("pv"))
-        .filter(col("pt").isNotNull && col("pt") =!= col("event_type"))
-        .select(
-          when(col("value") > col("pv"), col("event_type"))
-            .when(col("value") < col("pv"), col("pt"))
-            .when(col("event_type") < col("pt"), col("event_type"))
-            .otherwise(col("pt")).as("w"),
-          when(col("value") > col("pv"), col("pt"))
-            .when(col("value") < col("pv"), col("event_type"))
-            .when(col("event_type") < col("pt"), col("pt"))
-            .otherwise(col("event_type")).as("l"))
-      val outcomes = m.groupBy("w", "l").agg(count(lit(1)).as("n"))
-      Preference.btStrengths(outcomes, "w", "l", "n", iters = 3)
+      Preference.btStrengths(matchOutcomes(s, dir), "w", "l", "n", iters = 3)
         .orderBy("item")
+    },
+
+    // ---- head-to-head win-rate matrix (Preference.winRateMatrix):
+    //      each unordered item pair once, canonicalized (lo, hi) —
+    //      the non-transitivity audit next to the fitted BT
+    //      strengths; same match derivation as q_pref_bt_strength ----
+    "q_pref_winrate_matrix" -> Q(
+      s"""WITH $matchOutcomesCte
+         |SELECT least(w, l) AS lo, greatest(w, l) AS hi,
+         |  CAST(sum(CASE WHEN w <= l THEN n ELSE 0 END) AS BIGINT) AS wins_lo,
+         |  CAST(sum(n) - sum(CASE WHEN w <= l THEN n ELSE 0 END) AS BIGINT) AS wins_hi,
+         |  CAST(sum(n) AS BIGINT) AS n_games,
+         |  round(CAST(sum(CASE WHEN w <= l THEN n ELSE 0 END) AS DOUBLE)
+         |        / sum(n), 6) AS win_rate_lo
+         |FROM o GROUP BY 1, 2 ORDER BY lo, hi""".stripMargin) { (s, dir) =>
+      Preference.winRateMatrix(matchOutcomes(s, dir), "w", "l", "n")
+        .orderBy("lo", "hi")
+    },
+
+    // ---- McNemar's paired test (Evals.mcnemar): two deterministic
+    //      graders on the same events; only the discordant cells
+    //      carry signal, continuity-corrected chi-square, NULL when
+    //      no item discords ----
+    "q_eval_mcnemar" -> Q(
+      """WITH p AS (SELECT event_type,
+        |             CASE WHEN (event_id * 7) % 10 < 6 THEN 1 ELSE 0 END AS a,
+        |             CASE WHEN (event_id * 13) % 10 < 6 THEN 1 ELSE 0 END AS b
+        |           FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |        CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10
+        |      FROM p GROUP BY event_type)
+        |SELECT event_type, n, n01, n10,
+        |  CASE WHEN n01 + n10 = 0 THEN NULL
+        |       ELSE round((abs(n01 - n10) - 1.0) * (abs(n01 - n10) - 1.0)
+        |                  / (n01 + n10), 6) END AS mcnemar_chi2
+        |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val p = tb(s, dir).events.select(col("event_type"),
+        when(expr("(event_id * 7) % 10") < 6, 1).otherwise(0).as("a"),
+        when(expr("(event_id * 13) % 10") < 6, 1).otherwise(0).as("b"))
+      Evals.mcnemar(p, "event_type", "a", "b").orderBy("event_type")
     },
 
     // ---- length-bias audit (Preference.lengthBias): longer-response

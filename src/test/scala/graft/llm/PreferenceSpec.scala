@@ -229,4 +229,37 @@ class PreferenceSpec extends SparkSpec {
     val ece = got.map(_.getAs[Double]("ece_contrib")).sum
     assert(math.abs(ece - 0.3) < 1e-9)
   }
+
+  test("winRateMatrix: unordered pairs fold; wins split by canonical side") {
+    // A beats B 3x, B beats A 1x, C beats A 2x
+    val o = Seq(("A", "B", 3L), ("B", "A", 1L), ("C", "A", 2L))
+      .toDF("w", "l", "n")
+    val got = Preference.winRateMatrix(o, "w", "l", "n")
+      .orderBy("lo", "hi").collect()
+    assert(got.length === 2)
+    val ab = got(0)
+    assert(ab.getAs[String]("lo") === "A" && ab.getAs[String]("hi") === "B")
+    assert(ab.getAs[Long]("wins_lo") === 3L && ab.getAs[Long]("wins_hi") === 1L)
+    assert(ab.getAs[Long]("n_games") === 4L)
+    assert(ab.getAs[Double]("win_rate_lo") === 0.75)
+    val ac = got(1)
+    assert(ac.getAs[String]("lo") === "A" && ac.getAs[String]("hi") === "C")
+    assert(ac.getAs[Long]("wins_lo") === 0L && ac.getAs[Long]("wins_hi") === 2L)
+  }
+
+  test("mcnemar: discordant cells and the corrected statistic; " +
+      "all-concordant group is NULL") {
+    // g1: 10 items, A right on 6 (1..6), B right on 6 (3..8):
+    // n01 = {7,8} = 2, n10 = {1,2} = 2 -> chi2 = (0-1)^2/4 = 0.25
+    val g1 = (1 to 10).map(i =>
+      ("g1", if (i <= 6) 1 else 0, if (i >= 3 && i <= 8) 1 else 0))
+    // g2: always agree -> no discordant pair -> NULL
+    val g2 = (1 to 4).map(i => ("g2", i % 2, i % 2))
+    val df = (g1 ++ g2).toDF("grp", "a", "b")
+    val got = Evals.mcnemar(df, "grp", "a", "b").orderBy("grp").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n01") === 2L && r1.getAs[Long]("n10") === 2L)
+    assert(r1.getAs[Double]("mcnemar_chi2") === 0.25)
+    assert(got(1).isNullAt(4))
+  }
 }

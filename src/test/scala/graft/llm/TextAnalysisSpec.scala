@@ -548,4 +548,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) === ((0L, 0L, 1L, false)), "only BEL counts, not tab/nl")
     assert(got(4) === ((0L, 0L, 0L, true)))
   }
+
+  test("tokenizerFertility: hand counts; empty-text group reports NULL ratios") {
+    val docs = Seq(
+      ("en", "it's a test"),        // ws 3; bpe: it ' s a test = 5; chars 11
+      ("en", "plain words"),        // ws 2; bpe 2; chars 11
+      ("xx", "")).toDF("lang", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, "lang", "text")
+      .orderBy("lang").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("n_docs") === 2L)
+    assert(en.getAs[Long]("total_chars") === 22L)
+    assert(en.getAs[Long]("total_ws_tokens") === 5L)
+    assert(en.getAs[Long]("total_bpe_tokens") === 7L)
+    assert(en.getAs[Double]("fertility") === 1.4)
+    assert(en.getAs[Double]("chars_per_token") === 3.142857)
+    val xx = got(1)
+    assert(xx.getAs[Long]("total_ws_tokens") === 0L)
+    assert(xx.isNullAt(5) && xx.isNullAt(6))
+  }
+
+  test("shingleNovelty: first doc owns its shingles; a verbatim repeat " +
+      "scores 0; short docs report 0 shingles") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles: "a b c","b c d" -> both first here
+      (2L, "a b c d"),   // same shingles, later id -> novelty 0
+      (3L, "a b c x"),   // "a b c" old, "b c x" new -> 0.5
+      (4L, "a b")        // < 3 tokens -> no shingles
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.shingleNovelty(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .select("n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((2L, 2L, 1.0)))
+    assert(got(1) === ((2L, 0L, 0.0)))
+    assert(got(2) === ((2L, 1L, 0.5)))
+    assert(got(3) === ((0L, 0L, 0.0)))
+  }
 }
