@@ -253,17 +253,21 @@ object Ann {
     val lab = labels.select(col(idCol).as("_lid"), col(labelCol).as("_lab"))
     val qLab = lab.select(col("_lid").as("q_id"), col("_lab").as("_qlab"))
     val cLab = lab.select(col("_lid").as("c_id"), col("_lab").as("_clab"))
-    val hits = approx.select("q_id", "c_id", "rn")
-      .join(cLab, Seq("c_id"))
-      .join(qLab, Seq("q_id"))
-      .filter(col("_qlab") === col("_clab"))
-      .groupBy("q_id").agg(min("rn").cast("long").as("first_rank"))
-    approx.select("q_id").distinct()
-      .join(hits, Seq("q_id"), "left")
-      .na.fill(0L, Seq("first_rank"))
-      .select(col("q_id"), col("first_rank"),
-        when(col("first_rank") === 0L, lit(0.0))
-          .otherwise(round(lit(1.0) / col("first_rank"), 6)).as("rr"))
+    // ONE pass over the ranked list: label joins are LEFT (an unlabeled
+    // candidate is a non-hit, and a query must appear even when nothing
+    // matches) and the first-hit rank is a conditional min — referencing
+    // `approx` a second time for the query list would duplicate the
+    // caller's whole ranking subtree in the plan
+    approx.select("q_id", "c_id", "rn")
+      .join(cLab, Seq("c_id"), "left")
+      .join(qLab, Seq("q_id"), "left")
+      .groupBy("q_id")
+      .agg(min(when(col("_qlab") === col("_clab"), col("rn")))
+        .cast("long").as("_fr"))
+      .select(col("q_id"),
+        coalesce(col("_fr"), lit(0L)).as("first_rank"),
+        when(col("_fr").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("_fr"), 6)).as("rr"))
   }
 
   /** Reciprocal-rank fusion of any number of ranked lists — the

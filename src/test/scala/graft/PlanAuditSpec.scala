@@ -521,4 +521,73 @@ class PlanAuditSpec extends SparkSpec {
       !nearUnique.contains("CartesianProduct"), nearUnique)
     assert(nearUnique.contains("LeftAnti"), s"expected an anti join:\n$nearUnique")
   }
+
+  test("r11 curation ops: all-equi joins, no NLJ/cartesian, no global " +
+      "data-row windows") {
+    val docs = Tables(spark, sfDir).documents
+    val emb = Tables(spark, sfDir).embeddings
+
+    // shingleNovelty: two content-keyed shuffles, equi joins only
+    val novelty = planOf(graft.llm.TextAnalysis.shingleNovelty(
+      docs, "doc_id", "text", k = 3))
+    assert(!novelty.contains("BroadcastNestedLoopJoin") &&
+      !novelty.contains("CartesianProduct"), novelty)
+    assert(!novelty.contains("Window"), s"novelty needs no window:\n$novelty")
+
+    // survivorship: winner semi-joins stay hash-based
+    val surv = planOf(graft.llm.DedupOps.survivorship(
+      docs, "doc_id", "text", "source"))
+    assert(!surv.contains("BroadcastNestedLoopJoin") &&
+      !surv.contains("CartesianProduct"), surv)
+    assert(surv.contains("LeftSemi"), s"expected semi joins:\n$surv")
+
+    // mrrByLabel: the label joins are equi joins on the bounded ranked
+    // list — the ONLY nested-loop node allowed is cosineTopK's own
+    // broadcast theta-join (tiny query side by design, q_id =!= c_id)
+    val mrr = planOf(graft.llm.Ann.mrrByLabel(
+      graft.llm.Ann.cosineTopK(emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "embedding", 3),
+      emb, "vec_id", "label"))
+    assert(mrr.split("BroadcastNestedLoopJoin").length - 1 <= 1, mrr)
+    assert(!mrr.contains("CartesianProduct"), mrr)
+
+    // chunkSourceStats: aggregation only — no window anywhere past the
+    // offsets machinery (whose only unpartitioned window is the
+    // block-summary scan, pinned separately)
+    val tok = docs.select(col("doc_id"),
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n"))
+    val cs = graft.llm.Packing.chunkSourceStats(
+      graft.llm.Packing.tokenStreamPack(tok, "doc_id", "n",
+        capacity = 512L, blockSize = 64L),
+      docs.select("doc_id", "source"), "doc_id", "source", capacity = 512L)
+    val csLogical = cs.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    csLogical.foreach(w => assert(
+      !w.child.output.map(_.name).contains("doc_id"),
+      s"global window over corpus rows:\n$w"))
+  }
+
+  test("curriculumStages rides the two-level rank: single-partition " +
+      "exchanges feed aggregates, never corpus rows") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.llm.Sampling.curriculumStages(
+        Tables(spark, sfDir).documents.select("doc_id", "n_chars"),
+        "doc_id", "n_chars", stages = 4, maxBlocks = 64L)
+      val plan = out.queryExecution.executedPlan
+      val single = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      assert(single.nonEmpty, s"expected the block-summary exchange:\n$plan")
+      single.foreach { e =>
+        assert(e.child.collect {
+          case a if a.nodeName.toLowerCase.contains("aggregate") => a
+        }.nonEmpty,
+          s"single-partition exchange over a non-aggregated frame:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
