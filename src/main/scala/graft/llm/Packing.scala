@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,18 +93,29 @@ object Packing {
     */
   def streamChunkStats(packed: DataFrame, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    packed
-      .select(col("start_off"), col("n_tokens"), col("n_chunks_spanned"),
-        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk_id"))
+    explodeChunkOverlap(packed, capacity,
+        col("n_chunks_spanned"))
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_chunks_spanned") > 1L, 1L).otherwise(0L))
           .as("n_boundary_docs"),
-        sum(least(col("start_off") + col("n_tokens"),
-            (col("chunk_id") + 1L) * capacity) -
-          greatest(col("start_off"), col("chunk_id") * capacity))
-          .as("tokens_in_chunk"))
+        sum(col("_tok")).as("tokens_in_chunk"))
   }
+
+  /** Shared chunk-explode of a [[tokenStreamPack]] frame: one row per
+    * (doc, spanned chunk) with `_tok` = the tokens that doc contributes
+    * to that chunk (the least/greatest overlap algebra lives HERE once;
+    * [[streamChunkStats]] and [[chunkSourceStats]] both fold it).
+    */
+  private def explodeChunkOverlap(packed: DataFrame, capacity: Long,
+                                  keep: Column*): DataFrame =
+    packed
+      .select(keep ++ Seq(col("start_off"), col("n_tokens"),
+        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk_id")): _*)
+      .withColumn("_tok",
+        least(col("start_off") + col("n_tokens"),
+          (col("chunk_id") + 1L) * capacity) -
+          greatest(col("start_off"), col("chunk_id") * capacity))
 
   /** Source-diversity rollup of a [[tokenStreamPack]] layout: per
     * training chunk, how many distinct sources contribute and what
@@ -122,15 +133,21 @@ object Packing {
   def chunkSourceStats(packed: DataFrame, meta: DataFrame, idCol: String,
                        srcCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    val perDocChunk = packed
-      .join(meta.select(col(idCol), col(srcCol).as("_src")), Seq(idCol))
-      .select(col("_src"), col("start_off"), col("n_tokens"),
-        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk_id"))
-      .select(col("chunk_id"), col("_src"),
-        (least(col("start_off") + col("n_tokens"),
-          (col("chunk_id") + 1L) * capacity) -
-          greatest(col("start_off"), col("chunk_id") * capacity))
-          .as("_tok"))
+    // LEFT join + loud null check: an inner join would silently DROP
+    // any packed doc missing a meta row, shrinking tokens_in_chunk and
+    // skewing dom_share for every chunk that doc touches (and
+    // disagreeing with streamChunkStats on the same frame) — fail
+    // instead, the caller's metadata is incomplete
+    val withSrc = packed
+      .join(meta.select(col(idCol), col(srcCol).as("_src")),
+        Seq(idCol), "left")
+      .withColumn("_src",
+        when(col("_src").isNull, raise_error(concat(
+          lit("chunkSourceStats: no meta row for packed id "),
+          col(idCol).cast("string"))))
+          .otherwise(col("_src")))
+    val perDocChunk = explodeChunkOverlap(withSrc, capacity, col("_src"))
+      .select(col("chunk_id"), col("_src"), col("_tok"))
     perDocChunk
       .groupBy("chunk_id", "_src")
       .agg(count(lit(1)).as("_nd"), sum("_tok").as("_st"))

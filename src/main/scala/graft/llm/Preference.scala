@@ -194,8 +194,17 @@ object Preference {
     */
   def krippendorffAlpha(votes: DataFrame, itemCol: String,
                         voteCol: String): DataFrame = {
+    // the coincidence algebra is only valid for votes in {0,1}; an
+    // unmapped 3-way label would give o > per-category counts and a
+    // plausible-looking wrong alpha — fail loudly instead (the same
+    // contract stance as the panel-size bound below)
+    val v = when(col(voteCol) === 0 || col(voteCol) === 1, col(voteCol))
+      .otherwise(raise_error(concat(
+        lit("krippendorffAlpha: non-binary vote "),
+        coalesce(col(voteCol).cast("string"), lit("NULL")),
+        lit(" (map multi-category labels to {0,1} upstream)"))))
     val per = votes.groupBy(col(itemCol))
-      .agg(sum(col(voteCol)).cast("long").as("o"),
+      .agg(sum(v).cast("long").as("o"),
         count(lit(1)).cast("long").as("m"))
     val valid = col("m") >= 2L
     per.select(col("o"), col("m"),
@@ -370,12 +379,14 @@ object Evals {
     * (rows = (group, pass_a, pass_b) binary outcomes): counts the
     * discordant cells n01 (A wrong, B right) and n10 (A right, B
     * wrong) per group and the continuity-corrected statistic
-    * (|n01−n10|−1)²/(n01+n10) — the question "is B actually better
-    * than A on these items?" that a plain pass-rate delta can't
-    * answer (concordant items cancel). NULL when no discordant pair
-    * exists (the test is undefined); the plain formula is kept (no
-    * max(0,·) clamp) and mirrored by oracles term for term. One
-    * groupBy shuffle, integer cells, one closed-form double.
+    * (max(0, |n01−n10|−1))²/(n01+n10) — the question "is B actually
+    * better than A on these items?" that a plain pass-rate delta
+    * can't answer (concordant items cancel). NULL when no discordant
+    * pair exists (the test is undefined); the max(0,·) clamp keeps the
+    * statistic at 0 on perfectly balanced discordance (n01 = n10),
+    * where the unclamped textbook form reports spurious positive
+    * evidence. One groupBy shuffle, integer cells, one closed-form
+    * double.
     */
   def mcnemar(df: DataFrame, groupCol: String, aCol: String,
               bCol: String): DataFrame = {
@@ -386,7 +397,8 @@ object Evals {
         sum(when(col(aCol) === 1 && col(bCol) === 0, 1L).otherwise(0L))
           .as("n10"))
     val d = col("n01") + col("n10")
-    val diff = abs(col("n01") - col("n10")).cast("double") - lit(1.0)
+    val diff = greatest(
+      abs(col("n01") - col("n10")).cast("double") - lit(1.0), lit(0.0))
     g.select(col(groupCol), col("n"), col("n01"), col("n10"),
       when(d === 0L, lit(null).cast("double"))
         .otherwise(round(diff * diff / d, 6)).as("mcnemar_chi2"))
@@ -409,11 +421,19 @@ object Evals {
   def calibrationBins(df: DataFrame, confMilliCol: String,
                       labelCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1: $nBins")
-    val binned = df.select(
-      least(expr(s"cast($confMilliCol as bigint) * $nBins div 1000"),
-        lit(nBins - 1L)).as("bin"),
-      col(confMilliCol).cast("long").as("_c"),
-      col(labelCol).cast("long").as("_y"))
+    // out-of-range confidences are a quantizer bug, not data: a
+    // negative value would mint a silent bin -1 row and a value past
+    // 1000 would masquerade as true top-bin confidence — fail loudly
+    // (the curriculumStages/krippendorffAlpha contract stance)
+    val c = when(col(confMilliCol) >= 0 && col(confMilliCol) <= 1000,
+        col(confMilliCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("calibrationBins: confidence outside [0, 1000] milli: "),
+        coalesce(col(confMilliCol).cast("string"), lit("NULL")))))
+    val binned = df
+      .select(c.as("_c"), col(labelCol).cast("long").as("_y"))
+      .select(least(expr(s"_c * $nBins div 1000"), lit(nBins - 1L))
+        .as("bin"), col("_c"), col("_y"))
     val per = binned.groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_c").as("conf_sum_milli"),
         sum("_y").as("n_pos"))

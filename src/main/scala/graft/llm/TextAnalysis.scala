@@ -1094,12 +1094,16 @@ object TextAnalysis {
             col("n_shingles"), 6)).as("novelty"))
   }
 
-  /** The default double-encode (UTF-8 read as Latin-1) signatures
-    * [[encodingAnomalies]] scans for: 'Ã' + the common second byte, plus
-    * the Windows-1252 smart-quote triple. Real deployments extend this.
+  /** The default double-encode signatures [[encodingAnomalies]] scans
+    * for: 'Ã' + the common second byte (UTF-8 accented Latin re-read as
+    * Latin-1/cp1252), plus BOTH decodings of the corrupted right-quote
+    * byte run E2 80 99: as Latin-1 ('â' + the two C1 controls U+0080
+    * U+0099) and as cp1252 ('â€™'). Every signature is a MULTI-char
+    * sequence, so a legitimate accented char alone (château) never
+    * matches. Real deployments extend this list.
     */
   val mojibakeSignatures: Seq[String] =
-    Seq("Ã©", "Ã¨", "Ã±", "â")
+    Seq("Ã©", "Ã¨", "Ã±", "â", "â€™")
 
   /** Encoding-anomaly profile per document — the mojibake/corruption
     * gate a web-scale text pipeline runs before training: counts of

@@ -250,7 +250,8 @@ object PreferenceQueries {
         |      FROM p GROUP BY event_type)
         |SELECT event_type, n, n01, n10,
         |  CASE WHEN n01 + n10 = 0 THEN NULL
-        |       ELSE round((abs(n01 - n10) - 1.0) * (abs(n01 - n10) - 1.0)
+        |       ELSE round(greatest(abs(n01 - n10) - 1.0, 0.0)
+        |                  * greatest(abs(n01 - n10) - 1.0, 0.0)
         |                  / (n01 + n10), 6) END AS mcnemar_chi2
         |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
       val p = tb(s, dir).events.select(col("event_type"),

@@ -207,4 +207,19 @@ class PackingSpec extends SparkSpec {
     assert(tie.getAs[String]("dominant_src") === "A")
     assert(tie.getAs[Long]("dominant_tokens") === 2L)
   }
+
+  test("chunkSourceStats fails loudly on a packed doc with no meta row " +
+      "instead of silently shrinking the chunk") {
+    val docs = Seq((1L, 4L), (2L, 4L)).toDF("doc_id", "n")
+    val meta = Seq((1L, "A")).toDF("doc_id", "src") // doc 2 missing
+    val packed = Packing.tokenStreamPack(docs, "doc_id", "n",
+      capacity = 8L, blockSize = 2L)
+    val e = intercept[Exception] {
+      Packing.chunkSourceStats(packed, meta, "doc_id", "src",
+        capacity = 8L).collect()
+    }
+    assert(e.toString.contains("no meta row") ||
+      Option(e.getCause).exists(_.toString.contains("no meta row")),
+      e.toString)
+  }
 }

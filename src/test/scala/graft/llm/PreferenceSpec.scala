@@ -247,19 +247,45 @@ class PreferenceSpec extends SparkSpec {
     assert(ac.getAs[Long]("wins_lo") === 0L && ac.getAs[Long]("wins_hi") === 2L)
   }
 
-  test("mcnemar: discordant cells and the corrected statistic; " +
-      "all-concordant group is NULL") {
+  test("mcnemar: discordant cells, the clamped corrected statistic, " +
+      "and the all-concordant NULL") {
     // g1: 10 items, A right on 6 (1..6), B right on 6 (3..8):
-    // n01 = {7,8} = 2, n10 = {1,2} = 2 -> chi2 = (0-1)^2/4 = 0.25
+    // n01 = {7,8} = 2, n10 = {1,2} = 2 -> balanced discordance, the
+    // clamp keeps the no-signal point at exactly 0 (the unclamped
+    // textbook form would report a spurious 0.25)
     val g1 = (1 to 10).map(i =>
       ("g1", if (i <= 6) 1 else 0, if (i >= 3 && i <= 8) 1 else 0))
     // g2: always agree -> no discordant pair -> NULL
     val g2 = (1 to 4).map(i => ("g2", i % 2, i % 2))
-    val df = (g1 ++ g2).toDF("grp", "a", "b")
+    // g3: n01 = 3, n10 = 1 -> (|3-1|-1)^2/(3+1) = 0.25
+    val g3 = Seq(("g3", 0, 1), ("g3", 0, 1), ("g3", 0, 1), ("g3", 1, 0))
+    val df = (g1 ++ g2 ++ g3).toDF("grp", "a", "b")
     val got = Evals.mcnemar(df, "grp", "a", "b").orderBy("grp").collect()
     val r1 = got(0)
     assert(r1.getAs[Long]("n01") === 2L && r1.getAs[Long]("n10") === 2L)
-    assert(r1.getAs[Double]("mcnemar_chi2") === 0.25)
+    assert(r1.getAs[Double]("mcnemar_chi2") === 0.0)
     assert(got(1).isNullAt(4))
+    val r3 = got(2)
+    assert(r3.getAs[Long]("n01") === 3L && r3.getAs[Long]("n10") === 1L)
+    assert(r3.getAs[Double]("mcnemar_chi2") === 0.25)
+  }
+
+  test("krippendorffAlpha rejects non-binary votes; calibrationBins " +
+      "rejects out-of-range confidences (no silent bins)") {
+    val bad = Seq(("A", 2), ("A", 0)).toDF("item", "vote")
+    val e1 = intercept[Exception] {
+      Preference.krippendorffAlpha(bad, "item", "vote").collect()
+    }
+    assert(e1.toString.contains("non-binary") ||
+      Option(e1.getCause).exists(_.toString.contains("non-binary")),
+      e1.toString)
+    val neg = Seq((-5, 0)).toDF("c", "y")
+    intercept[Exception] {
+      Evals.calibrationBins(neg, "c", "y").collect()
+    }
+    val over = Seq((1500, 1)).toDF("c", "y")
+    intercept[Exception] {
+      Evals.calibrationBins(over, "c", "y").collect()
+    }
   }
 }
