@@ -270,6 +270,81 @@ object Ann {
           .otherwise(round(lit(1.0) / col("_fr"), 6)).as("rr"))
   }
 
+  /** Maximal-Marginal-Relevance re-rank of a bounded candidate list:
+    * picks `k` results per query, each maximizing
+    * λ·rel − (1−λ)·max_sim_to_already_selected — the standard
+    * diversity re-rank that keeps a RAG context window from filling
+    * with near-duplicates of the same passage. First pick scores
+    * λ·rel (no selected set yet); ties break on the smaller c_id.
+    *
+    * `cands` = (q_id, c_id, rel) — a BOUNDED per-query list (top-N
+    * from [[cosineTopK]]/[[annTopKLsh]]), never the corpus: the
+    * candidate-pair similarity matrix is |queries|·N² rows and every
+    * iteration joins frames of that size, so the unrolled loop is k
+    * bounded self-joins of a tiny frame, no corpus pass anywhere.
+    * `vectors` supplies the embeddings for the within-list similarity
+    * (cosine, round(4), the cross-engine ranking convention; scores
+    * round(6)).
+    */
+  def mmrRerank(cands: DataFrame, vectors: DataFrame, idCol: String,
+                vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val cv = vectors.select(col(idCol).as("c_id"), col(vecCol).as("_v"),
+      l2norm(col(vecCol)).as("_nrm"))
+    val base = cands.select("q_id", "c_id", "rel")
+    val withVec = base.join(cv, Seq("c_id"))
+    val a = withVec.select(col("q_id"), col("c_id").as("_ca"),
+      col("_v").as("_va"), col("_nrm").as("_na"))
+    val b = withVec.select(col("q_id"), col("c_id").as("_cb"),
+      col("_v").as("_vb"), col("_nrm").as("_nb"))
+    // one |q|·N² similarity frame reused by every iteration
+    val sims = a.join(b, Seq("q_id"))
+      .filter(col("_ca") =!= col("_cb"))
+      .select(col("q_id"), col("_ca"), col("_cb"),
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4)
+          .as("_s"))
+      .localCheckpoint(eager = true)
+    // 0.0 - x (not unary minus) and the + 0.0 in the score exprs keep
+    // -0.0 out of the ordering: Spark's struct-min compares doubles
+    // via Double.compare, which puts -0.0 BELOW 0.0 while SQL engines
+    // treat them equal — a rounded-to-zero score would tie-break
+    // differently across engines otherwise
+    def argmax(scored: DataFrame): DataFrame =
+      scored.groupBy("q_id")
+        .agg(min(struct((lit(0.0) - col("_score")).as("_ns"), col("c_id"),
+          col("_score").as("sc"))).as("_w"))
+        .select(col("q_id"), col("_w.c_id").as("c_id"),
+          col("_w.sc").as("mmr_score"))
+    var selected = argmax(base.select(col("q_id"), col("c_id"),
+        (round(lit(lambda) * col("rel"), 6) + lit(0.0)).as("_score")))
+      .withColumn("mmr_rank", lit(1L))
+    val picks = scala.collection.mutable.ArrayBuffer(selected)
+    for (t <- 2 to k) {
+      val selSet = picks.map(_.select("q_id", "c_id")).reduce(_ unionByName _)
+      val remaining = base.join(selSet, Seq("q_id", "c_id"), "left_anti")
+      // candidate-to-selected sims via pure equi-keys: rename the sim
+      // matrix's sides to (candidate, selected) and join on both
+      val ms = remaining
+        .join(sims.select(col("q_id"), col("_ca").as("c_id"),
+          col("_cb").as("_sel"), col("_s")), Seq("q_id", "c_id"))
+        .join(selSet.select(col("q_id"), col("c_id").as("_sel")),
+          Seq("q_id", "_sel"))
+        .groupBy("q_id", "c_id", "rel")
+        .agg(max("_s").as("_ms"))
+      // 1.0 - lambda computed HERE (not a 0.3-style literal): oracles
+      // mirror it as the same (1.0 - λ) expression so both engines
+      // start the multiply from the identical double
+      val scored = ms.select(col("q_id"), col("c_id"),
+        (round(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("_ms"), 6) + lit(0.0)).as("_score"))
+      val pick = argmax(scored).withColumn("mmr_rank", lit(t.toLong))
+      picks += pick
+    }
+    picks.reduce(_ unionByName _)
+      .select("q_id", "c_id", "mmr_rank", "mmr_score")
+  }
+
   /** Reciprocal-rank fusion of any number of ranked lists — the
     * standard way to combine lexical (BM25) and vector (ANN) retrieval
     * without score calibration: fused(d) = Σ_lists 1/(k0 + rank_d),

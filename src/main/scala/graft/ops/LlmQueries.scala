@@ -2377,6 +2377,77 @@ object LlmQueries {
         .orderBy("q_id")
     },
 
+    // ---- MMR diversity re-rank (Ann.mmrRerank): 3 picks per query
+    //      from the brute-force top-8, score = 0.7·rel −
+    //      (1−0.7)·max-sim-to-selected — the RAG context-window
+    //      de-duplication step; oracle unrolls the 3 greedy
+    //      iterations (the IVF-oracle convention). (1.0 - 0.7) is
+    //      written as the expression on BOTH sides (a 0.3 literal is
+    //      a different double); + 0.0 normalizes -0.0 out of ties ----
+    "q_ann_mmr_rerank" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 6 AND b.vec_id <> a.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |ranked AS (
+        |  SELECT d.q_id, d.c_id, round(d.dot / (nq.nrm * nc.nrm), 4) AS rel,
+        |         row_number() OVER (PARTITION BY d.q_id
+        |           ORDER BY round(d.dot / (nq.nrm * nc.nrm), 4) DESC, d.c_id) AS rn
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+        |  JOIN norms nc ON nc.vec_id = d.c_id),
+        |cands AS (SELECT q_id, c_id, rel FROM ranked WHERE rn <= 8),
+        |csim AS (
+        |  SELECT x.q_id, x.c_id AS ca, y.c_id AS cb,
+        |         round(sum(va.v * vb.v) / (max(na.nrm) * max(nb.nrm)), 4) AS s
+        |  FROM cands x JOIN cands y ON y.q_id = x.q_id AND y.c_id <> x.c_id
+        |  JOIN e va ON va.vec_id = x.c_id
+        |  JOIN e vb ON vb.vec_id = y.c_id AND vb.i = va.i
+        |  JOIN norms na ON na.vec_id = x.c_id JOIN norms nb ON nb.vec_id = y.c_id
+        |  GROUP BY x.q_id, x.c_id, y.c_id),
+        |s1 AS (SELECT q_id, c_id, sc AS mmr_score FROM (
+        |  SELECT q_id, c_id, round(0.7 * rel, 6) + 0.0 AS sc,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY round(0.7 * rel, 6) + 0.0 DESC, c_id) AS rn
+        |  FROM cands) WHERE rn = 1),
+        |r2 AS (SELECT c.q_id, c.c_id, c.rel, max(cs.s) AS ms
+        |       FROM cands c JOIN s1 ON s1.q_id = c.q_id AND c.c_id <> s1.c_id
+        |       JOIN csim cs ON cs.q_id = c.q_id AND cs.ca = c.c_id AND cs.cb = s1.c_id
+        |       GROUP BY c.q_id, c.c_id, c.rel),
+        |s2 AS (SELECT q_id, c_id, sc AS mmr_score FROM (
+        |  SELECT q_id, c_id,
+        |         round(0.7 * rel - (1.0 - 0.7) * ms, 6) + 0.0 AS sc,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY round(0.7 * rel - (1.0 - 0.7) * ms, 6) + 0.0 DESC, c_id) AS rn
+        |  FROM r2) WHERE rn = 1),
+        |sel2 AS (SELECT q_id, c_id FROM s1 UNION ALL SELECT q_id, c_id FROM s2),
+        |r3 AS (SELECT c.q_id, c.c_id, c.rel, max(cs.s) AS ms
+        |       FROM cands c
+        |       JOIN csim cs ON cs.q_id = c.q_id AND cs.ca = c.c_id
+        |       JOIN sel2 sl ON sl.q_id = cs.q_id AND sl.c_id = cs.cb
+        |       WHERE NOT EXISTS (SELECT 1 FROM sel2 z
+        |                         WHERE z.q_id = c.q_id AND z.c_id = c.c_id)
+        |       GROUP BY c.q_id, c.c_id, c.rel),
+        |s3 AS (SELECT q_id, c_id, sc AS mmr_score FROM (
+        |  SELECT q_id, c_id,
+        |         round(0.7 * rel - (1.0 - 0.7) * ms, 6) + 0.0 AS sc,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY round(0.7 * rel - (1.0 - 0.7) * ms, 6) + 0.0 DESC, c_id) AS rn
+        |  FROM r3) WHERE rn = 1)
+        |SELECT q_id, c_id, CAST(1 AS BIGINT) AS mmr_rank, mmr_score FROM s1
+        |UNION ALL SELECT q_id, c_id, CAST(2 AS BIGINT), mmr_score FROM s2
+        |UNION ALL SELECT q_id, c_id, CAST(3 AS BIGINT), mmr_score FROM s3
+        |ORDER BY q_id, mmr_rank""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val cands = Ann.cosineTopK(emb.filter(col("vec_id") < 6), emb,
+          "vec_id", "embedding", 8)
+        .select(col("q_id"), col("c_id"), col("cosine").as("rel"))
+      Ann.mmrRerank(cands, emb, "vec_id", "embedding", k = 3, lambda = 0.7)
+        .orderBy("q_id", "mmr_rank")
+    },
+
     // ---- int8-quantized brute-force cosine top-k ----
     // The quantized codes are exact integers in both engines (proven by
     // q_llm_vec_quantize), the integer qdot rides into the output, and

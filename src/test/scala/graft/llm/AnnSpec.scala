@@ -151,4 +151,26 @@ class AnnSpec extends SparkSpec {
     assert(got(1).getAs[Long]("first_rank") === 0L)
     assert(got(1).getAs[Double]("rr") === 0.0)
   }
+
+  test("mmrRerank: an exact duplicate of the first pick is deferred " +
+      "behind a diverse candidate of equal relevance") {
+    // three equal-relevance candidates; 10 and 11 are identical
+    // vectors, 12 is orthogonal. Pick 1 -> 10 (tie, lowest id);
+    // pick 2 -> 12 (the duplicate 11 is fully penalized by sim=1);
+    // pick 3 -> 11.
+    val cands = Seq(
+      (1L, 10L, 0.7071), (1L, 11L, 0.7071), (1L, 12L, 0.7071))
+      .toDF("q_id", "c_id", "rel")
+    val vecs = Seq(
+      (10L, Array(1f, 0f, 0f)), (11L, Array(1f, 0f, 0f)),
+      (12L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.mmrRerank(cands, vecs, "vec_id", "embedding",
+        k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(got.map(_.getAs[Long]("c_id")).toSeq === Seq(10L, 12L, 11L))
+    assert(got(0).getAs[Double]("mmr_score") === 0.35355)
+    assert(got(1).getAs[Double]("mmr_score") === 0.35355)
+    assert(got(2).getAs[Double]("mmr_score") === -0.14645)
+  }
 }
