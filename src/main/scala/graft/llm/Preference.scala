@@ -419,7 +419,18 @@ object Evals {
     * (map-side combined), one 1-row total broadcast back.
     */
   def calibrationBins(df: DataFrame, confMilliCol: String,
-                      labelCol: String, nBins: Int = 10): DataFrame = {
+                      labelCol: String, nBins: Int = 10): DataFrame =
+    calibrationFromCells(calibrationCells(df, confMilliCol, labelCol, nBins))
+
+  /** The integer per-bin cells behind [[calibrationBins]]:
+    * (bin, n, conf_sum_milli, n_pos). A commutative monoid under
+    * per-bin addition — cells from any batch split merge (by summing)
+    * into EXACTLY the one-shot cells, which is what lets
+    * [[graft.streaming.EvalStream]] maintain calibration incrementally
+    * with zero approximation.
+    */
+  def calibrationCells(df: DataFrame, confMilliCol: String,
+                       labelCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1: $nBins")
     // out-of-range confidences are a quantizer bug, not data: a
     // negative value would mint a silent bin -1 row and a value past
@@ -430,13 +441,23 @@ object Evals {
       .otherwise(raise_error(concat(
         lit("calibrationBins: confidence outside [0, 1000] milli: "),
         coalesce(col(confMilliCol).cast("string"), lit("NULL")))))
-    val binned = df
-      .select(c.as("_c"), col(labelCol).cast("long").as("_y"))
+    df.select(c.as("_c"), col(labelCol).cast("long").as("_y"))
       .select(least(expr(s"_c * $nBins div 1000"), lit(nBins - 1L))
         .as("bin"), col("_c"), col("_y"))
-    val per = binned.groupBy("bin")
+      .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_c").as("conf_sum_milli"),
         sum("_y").as("n_pos"))
+  }
+
+  /** Merge two [[calibrationCells]] frames (per-bin sums). */
+  def calibrationMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("bin")
+      .agg(sum("n").as("n"), sum("conf_sum_milli").as("conf_sum_milli"),
+        sum("n_pos").as("n_pos"))
+
+  /** The reliability-diagram finisher over [[calibrationCells]]. */
+  def calibrationFromCells(per: DataFrame): DataFrame = {
     val tot = per.agg(sum("n").as("_total"))
     per.crossJoin(broadcast(tot))
       .select(col("bin"), col("n"), col("conf_sum_milli"), col("n_pos"),
