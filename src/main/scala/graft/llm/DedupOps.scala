@@ -866,6 +866,23 @@ object DedupOps {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Filter a near-dup pair list to pairs that CROSS a group boundary
+    * (language, source, split …), with both group labels attached —
+    * the generic face behind cross-lingual duplicate detection (two
+    * languages sharing an embedding-space near-dup are translation
+    * candidates: decide to keep one, align them, or dedup) and behind
+    * split-leakage audits. Two id-keyed broadcast-able equi-joins on
+    * an already-bounded pair list; never corpus².
+    */
+  def crossGroupPairs(pairs: DataFrame, meta: DataFrame, idCol: String,
+                      groupCol: String): DataFrame = {
+    val m1 = meta.select(col(idCol).as("id1"), col(groupCol).as("group1"))
+    val m2 = meta.select(col(idCol).as("id2"), col(groupCol).as("group2"))
+    pairs.join(m1, Seq("id1")).join(m2, Seq("id2"))
+      .filter(col("group1") =!= col("group2"))
+      .select(pairs.columns.map(col) ++ Seq(col("group1"), col("group2")): _*)
+  }
+
   /** Dedup survivorship by group (source/domain/language): for each
     * group, how many documents survive (a) exact-content dedup and
     * (b) whitespace/case-normalized dedup — the per-source attrition

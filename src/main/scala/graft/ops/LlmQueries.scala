@@ -2545,6 +2545,61 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- cross-lingual duplicate candidates (DedupOps.crossGroupPairs
+    //      over the embedding near-dups): semantically-near pairs whose
+    //      documents carry DIFFERENT lang tags — translation-pair
+    //      candidates a multilingual pipeline aligns or dedups. The
+    //      embeddings/documents fixture shares one id space (the
+    //      driver's convention); same LSH+verify stack as
+    //      q_llm_embedding_near_dup, then two id-keyed lang joins ----
+    "q_llm_crosslingual_dup" -> Q(
+      """WITH params AS (
+        |  SELECT CAST(greatest(1, (
+        |    SELECT count(*) FROM (SELECT unnest(range(1, 17)) AS b)
+        |    WHERE (CAST(1 AS BIGINT) << b) * 64 <= (SELECT count(*) FROM embeddings)
+        |  )) AS INTEGER) AS bits),
+        |signs AS (
+        |  SELECT j, CAST(j // bits AS INTEGER) AS table_id, j % bits AS bit_pos, i,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END AS sign
+        |  FROM (SELECT unnest(range(0, 4 * bits)) AS j, bits FROM params)
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, s.table_id, s.bit_pos, sum(e.v * s.sign) AS dot_j
+        |  FROM e JOIN signs s ON s.i = e.i GROUP BY e.vec_id, s.table_id, s.bit_pos),
+        |buckets AS (
+        |  SELECT vec_id, table_id,
+        |    CAST(sum(CASE WHEN dot_j > 0 THEN 1 ELSE 0 END * CAST(round(pow(2, bit_pos)) AS BIGINT)) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, table_id),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buckets a JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |cos AS (
+        |  SELECT p.id1, p.id2, round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+        |  FROM pairs p
+        |  JOIN e a ON a.vec_id = p.id1 JOIN e b ON b.vec_id = p.id2 AND b.i = a.i
+        |  JOIN norms na ON na.vec_id = p.id1 JOIN norms nb ON nb.vec_id = p.id2
+        |  GROUP BY p.id1, p.id2),
+        |nd AS (SELECT id1, id2, cosine FROM cos WHERE cosine >= 0.3)
+        |SELECT nd.id1, nd.id2, nd.cosine,
+        |       d1.lang AS group1, d2.lang AS group2
+        |FROM nd JOIN documents d1 ON d1.doc_id = nd.id1
+        |JOIN documents d2 ON d2.doc_id = nd.id2
+        |WHERE d1.lang <> d2.lang
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      DedupOps.crossGroupPairs(
+          DedupOps.embeddingNearDups(tb(s, dir).embeddings, "vec_id",
+            "embedding", threshold = 0.3),
+          tb(s, dir).documents.select(col("doc_id").as("vec_id"), col("lang")),
+          "vec_id", "lang")
+        .orderBy("id1", "id2")
+    },
+
     // ---- full LSH-bucketed ANN top-k: deterministic end-to-end (md5
     //      hyperplanes, round(cos,4), id tiebreak), so the whole pipeline
     //      — multi-table buckets → candidate join → cosine re-rank — is

@@ -393,4 +393,19 @@ class DedupOpsSpec extends SparkSpec {
     got.foreach(r => assert(
       r.getAs[Long]("n_norm") <= r.getAs[Long]("n_exact")))
   }
+
+  test("crossGroupPairs: same-group pairs drop, labels ride along, " +
+      "extra pair columns survive") {
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (2L, 3L, 0.7))
+      .toDF("id1", "id2", "cosine")
+    val meta = Seq((1L, "en"), (2L, "en"), (3L, "fr"))
+      .toDF("doc_id", "lang")
+    val got = DedupOps.crossGroupPairs(pairs, meta, "doc_id", "lang")
+      .orderBy("id1", "id2").collect()
+    assert(got.length === 2)
+    assert(got.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+      r.getAs[String]("group1"), r.getAs[String]("group2"))).toSeq ===
+      Seq((1L, 3L, "en", "fr"), (2L, 3L, "en", "fr")))
+    assert(got(0).getAs[Double]("cosine") === 0.8)
+  }
 }
