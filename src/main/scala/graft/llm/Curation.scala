@@ -43,6 +43,33 @@ object Curation {
              idCol: String, textCol: String,
              lang: String = "en", minScore: Long = 0L,
              shingleK: Int = 3): DataFrame = {
+    val (flags, tc) = gateFlags(corpus, idCol, textCol, lang, minScore)
+    // gates: language, score, repetition — conjunction of the flags
+    val gated = flags
+      .filter(col("_lang_ok") && col("_score_ok") && col("_rep_ok"))
+      .select(col(idCol), col(textCol))
+
+    // exact dedup: keep the lowest id per identical content
+    val keepIds = DedupOps.exactDedupKeep(gated, idCol, textCol).select(col(idCol))
+    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
+
+    // benchmark decontamination (broadcast anti-join on contaminated ids)
+    val out = Decontam.decontaminate(deduped, benchmark, idCol, textCol, shingleK)
+      .cache()
+    out.count() // materialize: every consumer of `tc` has now run
+    tc.unpersist()
+    out
+  }
+
+  /** Per-document gate flags behind [[curate]] (and the per-stage
+    * counts [[funnelReport]] publishes): one row per corpus doc with
+    * `_lang_ok`, `_score_ok`, `_rep_ok`. Returns the flags frame plus
+    * the cached (doc, token, count) aggregate the caller must
+    * unpersist after its consumers run.
+    */
+  private def gateFlags(corpus: DataFrame, idCol: String, textCol: String,
+                        lang: String, minScore: Long)
+      : (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -69,35 +96,76 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("lc").desc, col("sl").asc)
     val langWinner = lv.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("sl") === lang).select(col(idCol))
+      .filter(col("_rn") === 1 && col("sl") === lang)
+      .select(col(idCol), lit(true).as("_lang_ok"))
     val swHits = lv.groupBy(col(idCol)).agg(sum("lc").as("sw_hits"))
 
     // quality score = n_tokens + 2·sw_hits − 3·punct (integer, exact)
     val punct = toked.select(col(idCol), col(textCol),
       TextAnalysis.punctCount(col(textCol)).as("_punct"))
-    val scored = punct
-      .join(ta, Seq(idCol))
-      .join(swHits, Seq(idCol), "left").na.fill(0L, Seq("sw_hits"))
+    val flags = punct
+      .join(ta, Seq(idCol), "left")
+      .join(swHits, Seq(idCol), "left")
+      .na.fill(0L, Seq("sw_hits", "n_tokens", "top_token_n"))
+      .join(langWinner, Seq(idCol), "left")
+      .na.fill(false, Seq("_lang_ok"))
       .withColumn("_score",
         col("n_tokens") + lit(2) * col("sw_hits") - lit(3) * col("_punct"))
+      .withColumn("_score_ok", col("_score") >= minScore)
+      // zero-token docs have no tc rows: n_tokens = top_token_n = 0 and
+      // 0*5 >= 0 holds, so they FAIL repetition — the pre-refactor
+      // inner-join-on-ta semantics (zero-token docs never reached the
+      // filter), kept explicit here
+      .withColumn("_rep_ok", !(col("top_token_n") * 5 >= col("n_tokens")))
+    (flags, tc)
+  }
 
-    // gates: language semi-join, score filter, repetition filter
-    val gated = scored
-      .join(langWinner, Seq(idCol), "left_semi")
-      .filter(col("_score") >= minScore &&
-        !(col("top_token_n") * 5 >= col("n_tokens")))
+  /** The curation attrition funnel: one row per [[curate]] stage
+    * (lang_id → quality_score → repetition → exact_dedup → decontam)
+    * with docs in/out, dropped, and the stage survival rate — the
+    * admin report a curation run publishes so mixture owners can see
+    * WHERE their data went. Same gate machinery as [[curate]] (one
+    * shared token aggregate, winner semi-joins, broadcast dirty set);
+    * the five counts are five aggregates over bounded frames, unioned
+    * into the ordered funnel.
+    */
+  def funnelReport(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String,
+                   lang: String = "en", minScore: Long = 0L,
+                   shingleK: Int = 3): DataFrame = {
+    val (flags, tc) = gateFlags(corpus, idCol, textCol, lang, minScore)
+    val g3 = flags
+      .filter(col("_lang_ok") && col("_score_ok") && col("_rep_ok"))
       .select(col(idCol), col(textCol))
-
-    // exact dedup: keep the lowest id per identical content
-    val keepIds = DedupOps.exactDedupKeep(gated, idCol, textCol).select(col(idCol))
-    val deduped = gated.join(keepIds, Seq(idCol), "left_semi")
-
-    // benchmark decontamination (broadcast anti-join on contaminated ids)
-    val out = Decontam.decontaminate(deduped, benchmark, idCol, textCol, shingleK)
+    val keep = g3.join(
+      DedupOps.exactDedupKeep(g3, idCol, textCol).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val clean = Decontam.decontaminate(keep, benchmark, idCol, textCol,
+      shingleK)
+    val counts = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_lang_ok") && col("_score_ok"), 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("_lang_ok") && col("_score_ok") && col("_rep_ok"), 1L)
+          .otherwise(0L)).as("n3"))
+      .crossJoin(broadcast(keep.agg(count(lit(1)).as("n4"))))
+      .crossJoin(broadcast(clean.agg(count(lit(1)).as("n5"))))
       .cache()
-    out.count() // materialize: every consumer of `tc` has now run
+    counts.count() // materialize: every consumer of `tc` has now run
     tc.unpersist()
-    out
+    val stages = Seq(
+      (1L, "lang_id", "n0", "n1"), (2L, "quality_score", "n1", "n2"),
+      (3L, "repetition", "n2", "n3"), (4L, "exact_dedup", "n3", "n4"),
+      (5L, "decontam", "n4", "n5"))
+    stages.map { case (idx, name, in, out) =>
+      counts.select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        col(in).as("n_in"), col(out).as("n_out"),
+        (col(in) - col(out)).as("dropped"),
+        when(col(in) === 0L, lit(null).cast("double"))
+          .otherwise(round(col(out).cast("double") / col(in), 6))
+          .as("survival"))
+    }.reduce(_ unionByName _)
   }
 
   /** STREAMING-SAFE pure-projection faces of the per-document gates:

@@ -1448,6 +1448,74 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- curation attrition funnel (Curation.funnelReport): docs
+    //      in/out per stage of the q_llm_curation_e2e cascade — the
+    //      "where did my data go" admin report, same gate machinery,
+    //      five aggregates unioned in stage order ----
+    "q_llm_curation_funnel" -> Q(
+      """WITH swl(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
+        |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
+        |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |         FROM corpus),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+        |ta AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
+        |lv AS (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
+        |win AS (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
+        |        WHERE rn = 1 AND sl = 'en'),
+        |sh2 AS (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
+        |flags AS (SELECT c.doc_id, c.text,
+        |    CASE WHEN win.doc_id IS NOT NULL THEN 1 ELSE 0 END AS lang_ok,
+        |    CASE WHEN coalesce(ta.n_tokens, 0) + 2 * coalesce(sh2.sw_hits, 0)
+        |              - 3 * len(regexp_extract_all(lower(c.text), '[^a-z0-9\s]')) >= 0
+        |         THEN 1 ELSE 0 END AS score_ok,
+        |    CASE WHEN NOT (coalesce(ta.top_token_n, 0) * 5 >= coalesce(ta.n_tokens, 0))
+        |         THEN 1 ELSE 0 END AS rep_ok
+        |  FROM corpus c LEFT JOIN ta ON ta.doc_id = c.doc_id
+        |  LEFT JOIN win ON win.doc_id = c.doc_id
+        |  LEFT JOIN sh2 ON sh2.doc_id = c.doc_id),
+        |g3 AS (SELECT doc_id, text FROM flags
+        |       WHERE lang_ok = 1 AND score_ok = 1 AND rep_ok = 1),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM g3 GROUP BY md5(text)),
+        |keep AS (SELECT g.doc_id, g.text FROM g3 g JOIN ded ON ded.doc_id = g.doc_id),
+        |btoks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |          FROM documents WHERE doc_id % 41 = 0),
+        |bsh AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
+        |        FROM (SELECT ts, unnest(range(1, len(ts)-1)) AS i FROM btoks)),
+        |kts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM keep),
+        |ksh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM kts)),
+        |dirty AS (SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s)),
+        |n AS (SELECT
+        |  CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n0,
+        |  CAST((SELECT coalesce(sum(lang_ok), 0) FROM flags) AS BIGINT) AS n1,
+        |  CAST((SELECT coalesce(sum(CASE WHEN lang_ok = 1 AND score_ok = 1 THEN 1 ELSE 0 END), 0) FROM flags) AS BIGINT) AS n2,
+        |  CAST((SELECT count(*) FROM g3) AS BIGINT) AS n3,
+        |  CAST((SELECT count(*) FROM keep) AS BIGINT) AS n4,
+        |  CAST((SELECT count(*) FROM keep
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)) AS BIGINT) AS n5)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'lang_id' AS stage, n0 AS n_in, n1 AS n_out,
+        |         n0 - n1 AS dropped,
+        |         CASE WHEN n0 = 0 THEN NULL ELSE round(CAST(n1 AS DOUBLE) / n0, 6) END AS survival FROM n
+        |  UNION ALL SELECT 2, 'quality_score', n1, n2, n1 - n2,
+        |         CASE WHEN n1 = 0 THEN NULL ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END FROM n
+        |  UNION ALL SELECT 3, 'repetition', n2, n3, n2 - n3,
+        |         CASE WHEN n2 = 0 THEN NULL ELSE round(CAST(n3 AS DOUBLE) / n2, 6) END FROM n
+        |  UNION ALL SELECT 4, 'exact_dedup', n3, n4, n3 - n4,
+        |         CASE WHEN n3 = 0 THEN NULL ELSE round(CAST(n4 AS DOUBLE) / n3, 6) END FROM n
+        |  UNION ALL SELECT 5, 'decontam', n4, n5, n4 - n5,
+        |         CASE WHEN n4 = 0 THEN NULL ELSE round(CAST(n5 AS DOUBLE) / n4, 6) END FROM n)
+        |ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents
+      Curation.funnelReport(
+          docs.filter(col("doc_id") % 41 =!= 0),
+          docs.filter(col("doc_id") % 41 === 0),
+          "doc_id", "text")
+        .orderBy("stage_idx")
+    },
+
     // ---- per-source boilerplate (templated-content) detection ----
     // A shingle in >= 1/4 of a source's shingle-bearing docs (and >= 2
     // docs) is boilerplate for that source; a doc with half its distinct

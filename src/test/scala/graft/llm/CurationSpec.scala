@@ -67,4 +67,40 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(fused === expected)
   }
+
+  test("funnelReport: hand-traced stage counts; n_out chains into the " +
+      "next stage's n_in; final n_out equals curate's survivors") {
+    // 5 corpus docs: 1 = healthy en, 2 = exact twin of 1 (dedup drop),
+    // 3 = es (lang drop), 4 = repetitive (rep drop),
+    // 5 = healthy en but shares a shingle with the benchmark
+    val corpus = Seq(
+      (1L, "the fast data table a slow window batch"),
+      (2L, "the fast data table a slow window batch"),
+      (3L, "data row data fila datos row mesa fila"),
+      (4L, "the the the the the the the the"),
+      (5L, "a fast stream the benchmark shingle lives here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the benchmark shingle lives in this text"))
+      .toDF("doc_id", "text")
+    val got = Curation.funnelReport(corpus, bench, "doc_id", "text")
+      .orderBy("stage_idx").collect()
+    assert(got.map(_.getAs[String]("stage")).toSeq ===
+      Seq("lang_id", "quality_score", "repetition", "exact_dedup",
+        "decontam"))
+    // chain invariant
+    got.sliding(2).foreach { w =>
+      assert(w(0).getAs[Long]("n_out") === w(1).getAs[Long]("n_in"))
+    }
+    val byStage = got.map(r =>
+      r.getAs[String]("stage") -> ((r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_out")))).toMap
+    assert(byStage("lang_id") === ((5L, 4L)))        // doc 3 votes es
+    assert(byStage("quality_score") === ((4L, 4L)))
+    assert(byStage("repetition") === ((4L, 3L)))     // doc 4 drops
+    assert(byStage("exact_dedup") === ((3L, 2L)))    // doc 2 loses to 1
+    assert(byStage("decontam") === ((2L, 1L)))       // doc 5 contaminated
+    val survivors = Curation.curate(corpus, bench, "doc_id", "text")
+      .count()
+    assert(survivors === got.last.getAs[Long]("n_out"))
+  }
 }
