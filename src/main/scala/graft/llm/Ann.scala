@@ -292,14 +292,29 @@ object Ann {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val cv = vectors.select(col(idCol).as("c_id"), col(vecCol).as("_v"),
       l2norm(col(vecCol)).as("_nrm"))
-    val base = cands.select("q_id", "c_id", "rel")
-    val withVec = base.join(cv, Seq("c_id"))
-    val a = withVec.select(col("q_id"), col("c_id").as("_ca"),
+    // validate up front, loudly: a candidate with a NULL rel would sort
+    // FIRST in the struct-min argmax (NULL struct field orders lowest)
+    // while a SQL oracle ranks it last, and a candidate missing its
+    // vector row would win rank 1 on rel alone and then silently
+    // produce no sims rows — killing every later rank for its query
+    // (the chunkSourceStats stance: incomplete metadata is an error)
+    val base = cands
+      .select(col("q_id"), col("c_id"),
+        when(col("rel").isNull, raise_error(concat(
+          lit("mmrRerank: NULL rel for candidate "),
+          col("c_id").cast("string")))).otherwise(col("rel")).as("rel"))
+      .join(cv, Seq("c_id"), "left")
+      .withColumn("_v",
+        when(col("_v").isNull, raise_error(concat(
+          lit("mmrRerank: no vector row for candidate "),
+          col("c_id").cast("string")))).otherwise(col("_v")))
+    val a = base.select(col("q_id"), col("c_id").as("_ca"),
       col("_v").as("_va"), col("_nrm").as("_na"))
-    val b = withVec.select(col("q_id"), col("c_id").as("_cb"),
+    val b = base.select(col("q_id"), col("c_id").as("_cb"),
       col("_v").as("_vb"), col("_nrm").as("_nb"))
-    // one |q|·N² similarity frame reused by every iteration
-    val sims = a.join(b, Seq("q_id"))
+    // one |q|·N² similarity frame reused by every iteration — built
+    // (and materialized) only when an iteration will read it
+    lazy val sims = a.join(b, Seq("q_id"))
       .filter(col("_ca") =!= col("_cb"))
       .select(col("q_id"), col("_ca"), col("_cb"),
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4)
@@ -316,9 +331,14 @@ object Ann {
           col("_score").as("sc"))).as("_w"))
         .select(col("q_id"), col("_w.c_id").as("c_id"),
           col("_w.sc").as("mmr_score"))
+    // each pick is eagerly checkpointed (|queries| rows): pick_t's plan
+    // references the union of ALL prior picks twice, so un-truncated
+    // lineage grows ~3^k plan nodes — a k=15 RAG window would hang the
+    // driver in analysis (the btStrengths lesson)
     var selected = argmax(base.select(col("q_id"), col("c_id"),
         (round(lit(lambda) * col("rel"), 6) + lit(0.0)).as("_score")))
       .withColumn("mmr_rank", lit(1L))
+      .localCheckpoint(eager = true)
     val picks = scala.collection.mutable.ArrayBuffer(selected)
     for (t <- 2 to k) {
       val selSet = picks.map(_.select("q_id", "c_id")).reduce(_ unionByName _)
@@ -339,6 +359,7 @@ object Ann {
         (round(lit(lambda) * col("rel") -
           lit(1.0 - lambda) * col("_ms"), 6) + lit(0.0)).as("_score"))
       val pick = argmax(scored).withColumn("mmr_rank", lit(t.toLong))
+        .localCheckpoint(eager = true)
       picks += pick
     }
     picks.reduce(_ unionByName _)

@@ -142,30 +142,34 @@ object Curation {
       Seq(idCol), "left_semi")
     val clean = Decontam.decontaminate(keep, benchmark, idCol, textCol,
       shingleK)
-    val counts = flags.agg(
+    // coalesce: sum(when(..)) over an EMPTY corpus is NULL, not 0 — the
+    // funnel must report zeros (and keep the n_out -> n_in chain) there
+    val row = flags.agg(
         count(lit(1)).as("n0"),
-        sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("_lang_ok") && col("_score_ok"), 1L).otherwise(0L))
-          .as("n2"),
-        sum(when(col("_lang_ok") && col("_score_ok") && col("_rep_ok"), 1L)
-          .otherwise(0L)).as("n3"))
+        coalesce(sum(when(col("_lang_ok"), 1L).otherwise(0L)), lit(0L))
+          .as("n1"),
+        coalesce(sum(when(col("_lang_ok") && col("_score_ok"), 1L)
+          .otherwise(0L)), lit(0L)).as("n2"),
+        coalesce(sum(when(col("_lang_ok") && col("_score_ok") &&
+          col("_rep_ok"), 1L).otherwise(0L)), lit(0L)).as("n3"))
       .crossJoin(broadcast(keep.agg(count(lit(1)).as("n4"))))
       .crossJoin(broadcast(clean.agg(count(lit(1)).as("n5"))))
-      .cache()
-    counts.count() // materialize: every consumer of `tc` has now run
-    tc.unpersist()
+      .collect().head // 6 longs to the driver — nothing worth caching
+    tc.unpersist() // every consumer of `tc` has now run
+    val n = (0 to 5).map(i => row.getLong(i))
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val stages = Seq(
-      (1L, "lang_id", "n0", "n1"), (2L, "quality_score", "n1", "n2"),
-      (3L, "repetition", "n2", "n3"), (4L, "exact_dedup", "n3", "n4"),
-      (5L, "decontam", "n4", "n5"))
-    stages.map { case (idx, name, in, out) =>
-      counts.select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-        col(in).as("n_in"), col(out).as("n_out"),
-        (col(in) - col(out)).as("dropped"),
-        when(col(in) === 0L, lit(null).cast("double"))
-          .otherwise(round(col(out).cast("double") / col(in), 6))
+      (1L, "lang_id", n(0), n(1)), (2L, "quality_score", n(1), n(2)),
+      (3L, "repetition", n(2), n(3)), (4L, "exact_dedup", n(3), n(4)),
+      (5L, "decontam", n(4), n(5)))
+    stages.toDF("stage_idx", "stage", "n_in", "n_out")
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("dropped"),
+        // Spark-side round so the HALF_UP semantics match the oracle
+        when(col("n_in") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_out").cast("double") / col("n_in"), 6))
           .as("survival"))
-    }.reduce(_ unionByName _)
   }
 
   /** STREAMING-SAFE pure-projection faces of the per-document gates:

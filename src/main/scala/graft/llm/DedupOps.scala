@@ -876,9 +876,21 @@ object DedupOps {
     */
   def crossGroupPairs(pairs: DataFrame, meta: DataFrame, idCol: String,
                       groupCol: String): DataFrame = {
+    // LEFT joins + loud null checks: an inner join would silently DROP
+    // pairs whose id is missing from meta, and a NULL group label would
+    // vanish through the <> filter — in the leakage-audit use that
+    // UNDERSTATES leakage with no error, the exact silent failure this
+    // operator exists to catch (the chunkSourceStats stance)
+    def guarded(side: String) = when(col(s"group$side").isNull,
+      raise_error(concat(
+        lit(s"crossGroupPairs: missing/NULL $groupCol for id$side "),
+        col(s"id$side").cast("string"))))
+      .otherwise(col(s"group$side"))
     val m1 = meta.select(col(idCol).as("id1"), col(groupCol).as("group1"))
     val m2 = meta.select(col(idCol).as("id2"), col(groupCol).as("group2"))
-    pairs.join(m1, Seq("id1")).join(m2, Seq("id2"))
+    pairs.join(m1, Seq("id1"), "left").join(m2, Seq("id2"), "left")
+      .withColumn("group1", guarded("1"))
+      .withColumn("group2", guarded("2"))
       .filter(col("group1") =!= col("group2"))
       .select(pairs.columns.map(col) ++ Seq(col("group1"), col("group2")): _*)
   }

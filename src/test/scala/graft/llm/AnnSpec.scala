@@ -173,4 +173,24 @@ class AnnSpec extends SparkSpec {
     assert(got(1).getAs[Double]("mmr_score") === 0.35355)
     assert(got(2).getAs[Double]("mmr_score") === -0.14645)
   }
+
+  test("mmrRerank fails loudly on a candidate without a vector row or " +
+      "with NULL rel (no silent rank starvation)") {
+    val vecs = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val noVec = Seq((1L, 10L, 0.9), (1L, 11L, 0.8))
+      .toDF("q_id", "c_id", "rel")
+    val e = intercept[Exception] {
+      Ann.mmrRerank(noVec, vecs, "vec_id", "embedding", k = 2).collect()
+    }
+    assert(e.toString.contains("no vector row") ||
+      Option(e.getCause).exists(_.toString.contains("no vector row")),
+      e.toString)
+    import org.apache.spark.sql.functions.{lit, when, col}
+    val nullRel = Seq((1L, 10L, 0.9)).toDF("q_id", "c_id", "rel")
+      .withColumn("rel", when(col("c_id") === 10L,
+        lit(null).cast("double")).otherwise(col("rel")))
+    intercept[Exception] {
+      Ann.mmrRerank(nullRel, vecs, "vec_id", "embedding", k = 1).collect()
+    }
+  }
 }

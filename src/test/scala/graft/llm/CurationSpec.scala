@@ -103,4 +103,16 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(survivors === got.last.getAs[Long]("n_out"))
   }
+
+  test("funnelReport on an empty corpus reports zeros, not NULLs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.funnelReport(empty, bench, "doc_id", "text")
+      .orderBy("stage_idx").collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_in") === 0L && r.getAs[Long]("n_out") === 0L)
+      assert(r.isNullAt(r.fieldIndex("survival")))
+    }
+  }
 }

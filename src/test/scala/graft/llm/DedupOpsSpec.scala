@@ -408,4 +408,16 @@ class DedupOpsSpec extends SparkSpec {
       Seq((1L, 3L, "en", "fr"), (2L, 3L, "en", "fr")))
     assert(got(0).getAs[Double]("cosine") === 0.8)
   }
+
+  test("crossGroupPairs raises on a pair id missing from meta instead " +
+      "of silently understating leakage") {
+    val pairs = Seq((1L, 3L, 0.8)).toDF("id1", "id2", "cosine")
+    val meta = Seq((1L, "en")).toDF("doc_id", "lang") // id 3 missing
+    val e = intercept[Exception] {
+      DedupOps.crossGroupPairs(pairs, meta, "doc_id", "lang").collect()
+    }
+    assert(e.toString.contains("missing/NULL") ||
+      Option(e.getCause).exists(_.toString.contains("missing/NULL")),
+      e.toString)
+  }
 }
