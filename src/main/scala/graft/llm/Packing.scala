@@ -275,13 +275,19 @@ object Packing {
     * corpus-sized (the r10 verdict's single-task-sort hazard). The
     * summary frame is ≤ `maxBlocks` rows by construction.
     *
-    * `keyCol` must be numeric and UNIQUE; compose tie-broken sort keys
-    * upstream with a shift that exceeds max(id) at every corpus size,
-    * e.g. score·2³² + id — NOT a decimal multiplier that a grown id
-    * space silently overflows. Returns the input + (rank, shard).
+    * `keyCol` must be numeric and (keyCol, tieCols) UNIQUE. For a
+    * tie-broken sort there are two shapes: compose score·2³² + id into
+    * one key (only when id < 2³² at EVERY corpus size — a re-keyed or
+    * grown id space silently overflows the shift), or — the safe,
+    * scale-proof form — pass the id in `tieCols`: blocks tile over
+    * `keyCol` alone (equal keys always share a block, so the order
+    * stays globally consistent) and the intra-block rank orders by
+    * (keyCol, tieCols…) with no range constraint on the tie columns
+    * at all. Returns the input + (rank, shard).
     */
   def rankShards(df: DataFrame, keyCol: String, numShards: Int,
-                 maxBlocks: Long = 1L << 20): DataFrame = {
+                 maxBlocks: Long = 1L << 20,
+                 tieCols: Seq[String] = Nil): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
     val base = withBoundedBlocks(df, keyCol, maxBlocks)
     val blkCounts = base.groupBy("_blk").agg(count(lit(1)).as("_bc"))
@@ -290,7 +296,8 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = blkCounts.select(col("_blk"),
       coalesce(sum("_bc").over(wb), lit(0L)).as("_boff"))
-    val wIn = Window.partitionBy("_blk").orderBy(col(keyCol))
+    val wIn = Window.partitionBy("_blk")
+      .orderBy((keyCol +: tieCols).map(col): _*)
     val ranked = base
       .join(broadcast(offs), Seq("_blk"))
       .withColumn("rank", col("_boff") + row_number().over(wIn) - 1L)

@@ -363,13 +363,14 @@ object Sampling {
     * before stage 1; ntile() would be the one-liner but plans as a
     * single-partition global sort, so the rank rides
     * [[Packing.rankShards]]'s two-level block scan instead (block
-    * summaries only — the same plan shape at 100 TB).
+    * summaries only — the same plan shape at 100 TB). The id rides as
+    * a TIE column, not composed into the key: a score·2³² + id
+    * composition silently overflows once ids pass 2³² (exactly what a
+    * re-keyed 10× corpus produced), while the tie-column form puts no
+    * range constraint on ids at all.
     *
-    * Contract (the rankShards unique-key contract, composed): `score`
-    * and `id` are non-negative integers with score < 2³¹ and
-    * id < 2³² (the composed key `score·2³² + id` must stay a unique
-    * positive Long) — quantize float scores to integer millis
-    * upstream. Enforced up front: violations raise, never mis-rank.
+    * Contract: integral `score` and `id` (quantize float scores to
+    * integer millis upstream), (score, id) unique — i.e. id unique.
     *
     * Output: input columns + `rank` (global, 0-based) + `stage`
     * (0..stages−1, sizes balanced ±1).
@@ -384,19 +385,8 @@ object Sampling {
         s"curriculumStages needs integral $c, got " +
           df.schema(c).dataType.simpleString)
     }
-    val guard = when(
-      col(scoreCol) < 0L || col(scoreCol) >= (1L << 31) ||
-        col(idCol) < 0L || col(idCol) >= (1L << 32),
-      raise_error(concat(
-        lit("curriculumStages: (score, id) outside the composable " +
-          "range [0,2^31)x[0,2^32): ("),
-        col(scoreCol).cast("string"), lit(", "),
-        col(idCol).cast("string"), lit(")"))))
-      .otherwise(col(scoreCol).cast("long") * (1L << 32) +
-        col(idCol).cast("long"))
-    Packing.rankShards(df.withColumn("_ck", guard), "_ck",
-        numShards = stages, maxBlocks = maxBlocks)
+    Packing.rankShards(df, scoreCol, numShards = stages,
+        maxBlocks = maxBlocks, tieCols = Seq(idCol))
       .withColumnRenamed("shard", "stage")
-      .drop("_ck")
   }
 }

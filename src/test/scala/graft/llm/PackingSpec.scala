@@ -222,4 +222,23 @@ class PackingSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("no meta row")),
       e.toString)
   }
+
+  test("rankShards tieCols: equal keys share a block and tie-break on " +
+      "the tie column — matches the composed-key rank without its " +
+      "id-range constraint") {
+    // many duplicate keys + huge tie ids (would overflow a 2^32 shift)
+    val rows = for (k <- 0L until 6L; r <- 0L until 3L)
+      yield (k, (1L << 40) + k * 100 + r)
+    val df = rows.toDF("k", "id")
+    val got = Packing.rankShards(df, "k", numShards = 3, maxBlocks = 4L,
+        tieCols = Seq("id"))
+      .select("k", "id", "rank", "shard")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+    // exact (k, id) order
+    assert(got.map(t => (t._1, t._2)) === rows.sortBy(identity).toSeq)
+    assert(got.map(_._3) === (0L until 18L))
+    // balanced shards of 6
+    assert(got.groupBy(_._4).view.mapValues(_.size).toMap ===
+      Map(0L -> 6, 1L -> 6, 2L -> 6))
+  }
 }

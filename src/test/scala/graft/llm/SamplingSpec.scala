@@ -324,11 +324,19 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_._2).sorted === (0L until 10L))
   }
 
-  test("curriculumStages: out-of-range keys raise; float scores rejected") {
-    val neg = Seq((1L, -1L)).toDF("id", "score")
-    intercept[Exception] {
-      Sampling.curriculumStages(neg, "id", "score", 2).collect()
-    }
+  test("curriculumStages: ids past 2^32 and negative scores rank fine " +
+      "(tie-column form, no composed-key overflow); float scores rejected") {
+    // the r11 sf1.0 lesson: a re-keyed corpus put doc ids at 5e9 and
+    // the old score*2^32+id composition overflowed — the tie-column
+    // rank has no id range constraint
+    val big = Seq((5000001145L, 10L), (1L, 10L), (2L, -7L))
+      .toDF("id", "score")
+    val got = Sampling.curriculumStages(big, "id", "score", stages = 3,
+        maxBlocks = 4L)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(got(2L) === 0L, "negative score ranks first")
+    assert(got(1L) === 1L, "score tie breaks on the smaller id")
+    assert(got(5000001145L) === 2L)
     val dbl = Seq((1L, 0.5)).toDF("id", "score")
     intercept[IllegalArgumentException] {
       Sampling.curriculumStages(dbl, "id", "score", 2)
