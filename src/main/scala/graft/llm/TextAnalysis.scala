@@ -1094,6 +1094,42 @@ object TextAnalysis {
             col("n_shingles"), 6)).as("novelty"))
   }
 
+  /** Out-of-vocabulary profile: per document, how many tokens
+    * (multiplicity kept) fall outside the corpus' own top-`vocabSize`
+    * token vocabulary — the coverage gate run before committing to a
+    * tokenizer/vocab (high OOV mass = the vocab wastes capacity or the
+    * slice is out-of-domain). Vocabulary = top tokens by total corpus
+    * count, ties to the lexicographically smaller token, taken with
+    * orderBy+limit — Spark plans that as TakeOrderedAndProject
+    * (per-partition top-K merged on the driver), never a global sort,
+    * so the selection scales to a billion-token vocabulary frame. The
+    * K-row vocab then broadcast-joins back; zero-token docs report
+    * (0, 0, 0.0).
+    */
+  def oovProfile(df: DataFrame, idCol: String, textCol: String,
+                 vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val tc = explodeTokens(df.select(col(idCol), col(textCol)), textCol,
+        "t", col(idCol))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val vocab = tc.groupBy("t").agg(sum("c").as("_tot"))
+      .orderBy(col("_tot").desc, col("t").asc)
+      .limit(vocabSize)
+      .select(col("t"), lit(true).as("_in_vocab"))
+    val per = tc.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, col("c")).otherwise(0L))
+          .as("n_oov"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .as("oov_rate"))
+  }
+
   /** The default double-encode signatures [[encodingAnomalies]] scans
     * for: 'Ã' + the common second byte (UTF-8 accented Latin re-read as
     * Latin-1/cp1252), plus BOTH decodings of the corrupted right-quote

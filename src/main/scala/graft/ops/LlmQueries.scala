@@ -480,6 +480,35 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // ---- OOV coverage (TextAnalysis.oovProfile): per-doc token mass
+    //      outside the corpus top-20 vocabulary — the tokenizer/vocab
+    //      coverage gate; vocab via TakeOrderedAndProject (per-partition
+    //      top-K, no global sort), broadcast back ----
+    "q_llm_oov_profile" -> Q(
+      """WITH toks AS (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> x <> '')) AS t
+        |      FROM documents),
+        |tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY doc_id, t),
+        |vocab AS (SELECT t FROM (SELECT t, sum(c) AS tot FROM tc GROUP BY t)
+        |          ORDER BY tot DESC, t ASC LIMIT 20),
+        |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab)
+        |                        THEN c ELSE 0 END) AS BIGINT) AS n_oov
+        |        FROM tc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+        |  coalesce(p.n_oov, 0) AS n_oov,
+        |  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(p.n_oov AS DOUBLE) / p.n_tokens, 6)
+        |  END AS oov_rate
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.oovProfile(tb(s, dir).documents, "doc_id", "text",
+          vocabSize = 20)
+        .orderBy("doc_id")
+    },
+
     // ---- n-gram novelty curve (TextAnalysis.shingleNovelty): share
     //      of each doc's distinct 3-shingles first seen IN that doc
     //      (id order) — the marginal-data-value signal that decays as

@@ -585,4 +585,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((2L, 1L, 0.5)))
     assert(got(3) === ((0L, 0L, 0.0)))
   }
+
+  test("oovProfile: top-K vocab with count-then-token ties; " +
+      "multiplicity-weighted OOV; empty doc reports zeros") {
+    // counts: a=4, b=3, c=2, d=2 -> vocabSize=3 keeps a,b,c
+    // (c beats d on the token tie)
+    val docs = Seq(
+      (1L, "a a b c d"),
+      (2L, "a a b b c d"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovProfile(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((5L, 1L, 0.2)))
+    assert(got(1) === ((6L, 1L, 0.166667)))
+    assert(got(2) === ((0L, 0L, 0.0)))
+  }
+
+  test("oovProfile plans the vocab as TakeOrderedAndProject, not a " +
+      "global sort") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.oovProfile(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
