@@ -133,7 +133,11 @@ object Curation {
                    idCol: String, textCol: String,
                    lang: String = "en", minScore: Long = 0L,
                    shingleK: Int = 3): DataFrame = {
-    val (flags, tc) = gateFlags(corpus, idCol, textCol, lang, minScore)
+    val (flags0, tc) = gateFlags(corpus, idCol, textCol, lang, minScore)
+    // the count branches below re-derive the gate joins three times
+    // otherwise (flags agg, dedup count, decontam count) — cache for
+    // the one collect and release right after
+    val flags = flags0.cache()
     val g3 = flags
       .filter(col("_lang_ok") && col("_score_ok") && col("_rep_ok"))
       .select(col(idCol), col(textCol))
@@ -155,6 +159,7 @@ object Curation {
       .crossJoin(broadcast(keep.agg(count(lit(1)).as("n4"))))
       .crossJoin(broadcast(clean.agg(count(lit(1)).as("n5"))))
       .collect().head // 6 longs to the driver — nothing worth caching
+    flags.unpersist()
     tc.unpersist() // every consumer of `tc` has now run
     val n = (0 to 5).map(i => row.getLong(i))
     val spark = corpus.sparkSession
