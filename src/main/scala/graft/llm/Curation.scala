@@ -148,19 +148,24 @@ object Curation {
       shingleK)
     // coalesce: sum(when(..)) over an EMPTY corpus is NULL, not 0 — the
     // funnel must report zeros (and keep the n_out -> n_in chain) there
-    val row = flags.agg(
-        count(lit(1)).as("n0"),
-        coalesce(sum(when(col("_lang_ok"), 1L).otherwise(0L)), lit(0L))
-          .as("n1"),
-        coalesce(sum(when(col("_lang_ok") && col("_score_ok"), 1L)
-          .otherwise(0L)), lit(0L)).as("n2"),
-        coalesce(sum(when(col("_lang_ok") && col("_score_ok") &&
-          col("_rep_ok"), 1L).otherwise(0L)), lit(0L)).as("n3"))
-      .crossJoin(broadcast(keep.agg(count(lit(1)).as("n4"))))
-      .crossJoin(broadcast(clean.agg(count(lit(1)).as("n5"))))
-      .collect().head // 6 longs to the driver — nothing worth caching
-    flags.unpersist()
-    tc.unpersist() // every consumer of `tc` has now run
+    val row =
+      try flags.agg(
+          count(lit(1)).as("n0"),
+          coalesce(sum(when(col("_lang_ok"), 1L).otherwise(0L)), lit(0L))
+            .as("n1"),
+          coalesce(sum(when(col("_lang_ok") && col("_score_ok"), 1L)
+            .otherwise(0L)), lit(0L)).as("n2"),
+          coalesce(sum(when(col("_lang_ok") && col("_score_ok") &&
+            col("_rep_ok"), 1L).otherwise(0L)), lit(0L)).as("n3"))
+        .crossJoin(broadcast(keep.agg(count(lit(1)).as("n4"))))
+        .crossJoin(broadcast(clean.agg(count(lit(1)).as("n5"))))
+        .collect().head // 6 longs to the driver — nothing worth caching
+      finally {
+        // unconditional: a failed action (bad benchmark rows, executor
+        // loss) must not leave corpus-sized frames pinned in the cache
+        flags.unpersist()
+        tc.unpersist()
+      }
     val n = (0 to 5).map(i => row.getLong(i))
     val spark = corpus.sparkSession
     import spark.implicits._

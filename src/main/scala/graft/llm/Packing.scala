@@ -184,15 +184,28 @@ object Packing {
     * floor divisions are exact integer algebra.
     */
   private def withBoundedBlocks(df: DataFrame, keyCol: String,
-                                maxBlocks: Long): DataFrame = {
+                                maxBlocks: Long,
+                                as: String = "_blk"): DataFrame = {
     require(maxBlocks > 0, s"maxBlocks must be positive, got $maxBlocks")
+    // loud span guard: a sentinel key like Long.MinValue next to normal
+    // keys overflows (_hi - _lo); under ANSI that throws a bare
+    // ArithmeticException mid-job and under non-ANSI it would wrap into
+    // a negative width and mis-block every row — name the contract in
+    // the error instead (try_* make the check engine-config-proof)
     val stats = df.agg(min(col(keyCol).cast("long")).as("_lo"),
         max(col(keyCol).cast("long")).as("_hi"))
       .select(col("_lo"),
-        expr(s"(_hi - _lo + $maxBlocks) div $maxBlocks").as("_bw"))
+        when(expr(s"try_add(try_subtract(_hi, _lo), ${maxBlocks}L)").isNull,
+          raise_error(concat(
+            lit(s"withBoundedBlocks: span of $keyCol overflows Long " +
+              "(min="), col("_lo").cast("string"),
+            lit(", max="), col("_hi").cast("string"),
+            lit(") — rescale or split sentinel keys out"))).cast("long"))
+          .otherwise(expr(s"(_hi - _lo + ${maxBlocks}L) div ${maxBlocks}L"))
+          .as("_bw"))
     // key - _lo >= 0 by construction, so truncating `div` IS floor div
     df.join(broadcast(stats))
-      .withColumn("_blk", expr(s"(cast($keyCol as bigint) - _lo) div _bw"))
+      .withColumn(as, expr(s"(cast($keyCol as bigint) - _lo) div _bw"))
       .drop("_lo", "_bw")
   }
 
@@ -275,33 +288,81 @@ object Packing {
     * corpus-sized (the r10 verdict's single-task-sort hazard). The
     * summary frame is ≤ `maxBlocks` rows by construction.
     *
-    * `keyCol` must be numeric and (keyCol, tieCols) UNIQUE. For a
+    * `keyCol` must be numeric and (keyCol, tieCol) UNIQUE. For a
     * tie-broken sort there are two shapes: compose score·2³² + id into
     * one key (only when id < 2³² at EVERY corpus size — a re-keyed or
     * grown id space silently overflows the shift), or — the safe,
-    * scale-proof form — pass the id in `tieCols`: blocks tile over
-    * `keyCol` alone (equal keys always share a block, so the order
-    * stays globally consistent) and the intra-block rank orders by
-    * (keyCol, tieCols…) with no range constraint on the tie columns
-    * at all. Returns the input + (rank, shard).
+    * scale-proof form — pass the unique id as `tieCols`: the rank
+    * decomposes into A = rows with a strictly smaller key (block
+    * offsets + a per-block DISTINCT-KEY prefix, so a hot key
+    * contributes ONE summary row, never a one-task sort of its whole
+    * group — the r11 review hazard) plus B = the row's position inside
+    * its equal-key group (the binPack sub-block idiom: global tie
+    * blocks, per-(key, tie-block) counts, ≤maxBlocks summary rows per
+    * key, final row_number inside (key, tie-block) — a modal key's
+    * group sorts spread across its tie blocks). No range constraint on
+    * the tie column at all. Returns the input + (rank, shard).
     */
   def rankShards(df: DataFrame, keyCol: String, numShards: Int,
                  maxBlocks: Long = 1L << 20,
                  tieCols: Seq[String] = Nil): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
-    val base = withBoundedBlocks(df, keyCol, maxBlocks)
-    val blkCounts = base.groupBy("_blk").agg(count(lit(1)).as("_bc"))
-    // global window over the ≤maxBlocks-row BLOCK SUMMARY frame only
-    val wb = Window.orderBy("_blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = blkCounts.select(col("_blk"),
-      coalesce(sum("_bc").over(wb), lit(0L)).as("_boff"))
-    val wIn = Window.partitionBy("_blk")
-      .orderBy((keyCol +: tieCols).map(col): _*)
-    val ranked = base
-      .join(broadcast(offs), Seq("_blk"))
-      .withColumn("rank", col("_boff") + row_number().over(wIn) - 1L)
-      .drop("_blk", "_boff")
+    require(tieCols.size <= 1,
+      s"rankShards supports at most one tie column, got $tieCols " +
+        "(compose further ties upstream)")
+    val ranked = tieCols match {
+      case Nil =>
+        val base = withBoundedBlocks(df, keyCol, maxBlocks)
+        val blkCounts = base.groupBy("_blk").agg(count(lit(1)).as("_bc"))
+        // global window over the ≤maxBlocks-row BLOCK SUMMARY frame only
+        val wb = Window.orderBy("_blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = blkCounts.select(col("_blk"),
+          coalesce(sum("_bc").over(wb), lit(0L)).as("_boff"))
+        val wIn = Window.partitionBy("_blk").orderBy(col(keyCol))
+        base
+          .join(broadcast(offs), Seq("_blk"))
+          .withColumn("rank", col("_boff") + row_number().over(wIn) - 1L)
+          .drop("_blk", "_boff")
+      case Seq(tie) =>
+        val base = withBoundedBlocks(
+          withBoundedBlocks(df, tie, maxBlocks, as = "_tblk"),
+          keyCol, maxBlocks)
+        // A: rows with strictly smaller key = earlier-key-block counts
+        // (disjoint ordered ranges) + within-block prefix over the
+        // DISTINCT-KEY summary (a hot key is one row here)
+        val blkCounts = base.groupBy("_blk").agg(count(lit(1)).as("_bc"))
+        val wb = Window.orderBy("_blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = blkCounts.select(col("_blk"),
+          coalesce(sum("_bc").over(wb), lit(0L)).as("_boff"))
+        val keyCounts = base.groupBy(col("_blk"), col(keyCol))
+          .agg(count(lit(1)).as("_kc"))
+        val wk = Window.partitionBy("_blk").orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val aFrame = keyCounts
+          .withColumn("_kpre", coalesce(sum("_kc").over(wk), lit(0L)))
+          .join(broadcast(boff), Seq("_blk"))
+          .select(col(keyCol), (col("_boff") + col("_kpre")).as("_arank"))
+        // B: position inside the equal-key group by tie — global tie
+        // blocks tile the tie order, so per-key tie-block counts give
+        // the prefix and the final row_number sorts only (key, tblk)
+        val tCounts = base.groupBy(col(keyCol), col("_tblk"))
+          .agg(count(lit(1)).as("_tc"))
+        val wt = Window.partitionBy(col(keyCol)).orderBy(col("_tblk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val toff = tCounts
+          .withColumn("_toff", coalesce(sum("_tc").over(wt), lit(0L)))
+          .select(col(keyCol), col("_tblk"), col("_toff"))
+        val wIn = Window.partitionBy(col(keyCol), col("_tblk"))
+          .orderBy(col(tie))
+        base
+          .join(toff, Seq(keyCol, "_tblk"))
+          .join(aFrame, Seq(keyCol))
+          .withColumn("rank",
+            col("_arank") + col("_toff") + row_number().over(wIn) - 1L)
+          .drop("_blk", "_tblk", "_toff", "_arank")
+    }
     val n = ranked.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("shard", expr(s"(rank * $numShards) div _n"))

@@ -241,4 +241,31 @@ class PackingSpec extends SparkSpec {
     assert(got.groupBy(_._4).view.mapValues(_.size).toMap ===
       Map(0L -> 6, 1L -> 6, 2L -> 6))
   }
+
+  test("rankShards tieCols: a MODAL key (90% of rows) still ranks " +
+      "exactly, split across tie blocks — no one-task group sort") {
+    // 90 rows share key 5; 10 rows spread over other keys; tiny
+    // maxBlocks forces both the key blocks and the tie blocks to split
+    val rows = (0L until 90L).map(i => (5L, 1000L + i * 7)) ++
+      (0L until 10L).map(i => (i % 5 * 2, 5000L + i))
+    val df = rows.toDF("k", "id")
+    val got = Packing.rankShards(df, "k", numShards = 4, maxBlocks = 8L,
+        tieCols = Seq("id"))
+      .select("k", "id", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(_._3).toSeq
+    val expect = rows.sortBy(identity).toSeq
+    assert(got.map(t => (t._1, t._2)) === expect)
+    assert(got.map(_._3) === rows.indices.map(_.toLong))
+  }
+
+  test("withBoundedBlocks raises on a key span that overflows Long " +
+      "(sentinel keys), instead of silently mis-blocking") {
+    val df = Seq(Long.MinValue, 0L, 42L).toDF("k")
+    val e = intercept[Exception] {
+      Packing.rankShards(df, "k", numShards = 2, maxBlocks = 4L).collect()
+    }
+    assert(e.toString.contains("overflows Long") ||
+      Option(e.getCause).exists(_.toString.contains("overflows Long")),
+      e.toString)
+  }
 }
