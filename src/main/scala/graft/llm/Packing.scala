@@ -183,7 +183,7 @@ object Packing {
     * itself fits a Long with headroom). Determinism: min/max and the
     * floor divisions are exact integer algebra.
     */
-  private def withBoundedBlocks(df: DataFrame, keyCol: String,
+  private[llm] def withBoundedBlocks(df: DataFrame, keyCol: String,
                                 maxBlocks: Long,
                                 as: String = "_blk"): DataFrame = {
     require(maxBlocks > 0, s"maxBlocks must be positive, got $maxBlocks")

@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.llm.RankStats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison statistics ([[graft.llm.RankStats]] + the
+  * [[graft.streaming.DriftStream]] binned-KS face), each with its
+  * DuckDB oracle. The engine computes ranks/ECDFs through the
+  * two-level block scan (no per-row global sort); the oracle uses plain
+  * window functions — different plans, identical exact-integer
+  * results, which is the point: every statistic is integer algebra
+  * until ONE closed-form double expression mirrored term for term
+  * (the q_eval_calibration convention).
+  *
+  * Quantization happens in the query (floor to integer units) so both
+  * engines agree on tie semantics — the RankStats long-value contract.
+  */
+object StatsQueries {
+
+  private def tb(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** The mirrored DuckDB prelude for the two-sample ops: per-distinct-
+    * value group counts with exclusive prefix sums, over `src` rows
+    * (g, v). Group a = lexicographic min label.
+    */
+  private def twoSampleCte(src: String): String =
+    s"""r AS ($src),
+       |h AS (SELECT min(g) AS group_a, max(g) AS group_b,
+       |             CAST(arg_min(cnt, g) AS BIGINT) AS n_a,
+       |             CAST(arg_max(cnt, g) AS BIGINT) AS n_b
+       |      FROM (SELECT g, count(*) AS cnt FROM r GROUP BY g)),
+       |vc AS (SELECT v,
+       |         CAST(sum(CASE WHEN g = (SELECT group_a FROM h) THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN g = (SELECT group_b FROM h) THEN 1 ELSE 0 END) AS BIGINT) AS nb
+       |       FROM r GROUP BY v),
+       |p AS (SELECT v, na, nb,
+       |        CAST(coalesce(sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pa,
+       |        CAST(coalesce(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
+       |      FROM vc)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // ---- Mann–Whitney U (RankStats.mannWhitney): are English docs
+    //      longer than German? Rank-sum over n_chars, tie-averaged in
+    //      2× integer units; z from the tie-corrected normal
+    //      approximation, mirrored term for term ----
+    "q_stat_mann_whitney" -> Q(
+      s"""WITH ${twoSampleCte(
+           "SELECT lang AS g, n_chars AS v FROM documents WHERE lang IN ('en', 'de')")},
+        |a AS (SELECT CAST(sum(na * (2*(pa+pb) + na + nb + 1)) AS BIGINT) AS r_a2,
+        |             CAST(sum((na+nb)*(na+nb)*(na+nb) - (na+nb)) AS DOUBLE) AS tie_term
+        |      FROM p)
+        |SELECT h.group_a, h.group_b, h.n_a, h.n_b, a.r_a2,
+        |  CAST(a.r_a2 - h.n_a*(h.n_a+1) AS BIGINT) AS u_a2,
+        |  CAST(2*h.n_a*h.n_b - (a.r_a2 - h.n_a*(h.n_a+1)) AS BIGINT) AS u_b2,
+        |  a.tie_term,
+        |  round(CASE WHEN CAST(h.n_a AS DOUBLE) * CAST(h.n_b AS DOUBLE) / 12.0
+        |                  * ((CAST(h.n_a AS DOUBLE) + CAST(h.n_b AS DOUBLE) + 1.0)
+        |                     - a.tie_term / ((CAST(h.n_a AS DOUBLE) + CAST(h.n_b AS DOUBLE))
+        |                                     * (CAST(h.n_a AS DOUBLE) + CAST(h.n_b AS DOUBLE) - 1.0))) > 0.0
+        |        THEN (CAST(a.r_a2 - h.n_a*(h.n_a+1) AS DOUBLE) / 2.0
+        |              - CAST(h.n_a AS DOUBLE) * CAST(h.n_b AS DOUBLE) / 2.0)
+        |             / sqrt(CAST(h.n_a AS DOUBLE) * CAST(h.n_b AS DOUBLE) / 12.0
+        |                    * ((CAST(h.n_a AS DOUBLE) + CAST(h.n_b AS DOUBLE) + 1.0)
+        |                       - a.tie_term / ((CAST(h.n_a AS DOUBLE) + CAST(h.n_b AS DOUBLE))
+        |                                       * (CAST(h.n_a AS DOUBLE) + CAST(h.n_b AS DOUBLE) - 1.0))))
+        |        ELSE NULL END, 6) AS z
+        |FROM h, a""".stripMargin) { (s, dir) =>
+      RankStats.mannWhitney(
+        tb(s, dir).documents.filter(col("lang").isin("en", "de")),
+        "n_chars", "lang")
+    },
+
+    // ---- two-sample KS (RankStats.ksTest): did purchase-event values
+    //      drift from view-event values? Max ECDF deviation in
+    //      n_a·n_b integer units; quantized to centi-units in the
+    //      query so tie semantics are explicit ----
+    "q_stat_ks_test" -> Q(
+      s"""WITH ${twoSampleCte(
+           "SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v " +
+             "FROM events WHERE event_type IN ('purchase', 'view')")},
+        |dev AS (SELECT v, abs((pa+na) * (SELECT n_b FROM h)
+        |                      - (pb+nb) * (SELECT n_a FROM h)) AS dv FROM p),
+        |mx AS (SELECT CAST(max(dv) AS BIGINT) AS d_num FROM dev)
+        |SELECT h.group_a, h.group_b, h.n_a, h.n_b, mx.d_num,
+        |  CAST((SELECT min(v) FROM dev WHERE dv = (SELECT d_num FROM mx)) AS BIGINT) AS d_at,
+        |  round(CAST(mx.d_num AS DOUBLE)
+        |        / (CAST(h.n_a AS DOUBLE) * CAST(h.n_b AS DOUBLE)), 6) AS d
+        |FROM h, mx""".stripMargin) { (s, dir) =>
+      RankStats.ksTest(
+        tb(s, dir).events
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"), floor(col("value") * 100).as("v")),
+        "v", "event_type")
+    },
+
+    // ---- tie-corrected Spearman (RankStats.spearman): does line-item
+    //      price rise monotonically with quantity? Heavy ties in
+    //      quantity exercise the correction terms; Σd² exact in 4×
+    //      integer decimal on the engine, HUGEINT in the oracle — the
+    //      same integer, so the same double ----
+    "q_stat_spearman" -> Q(
+      """WITH r AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+        |                  CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |           FROM lineitem),
+        |rk AS (SELECT
+        |    2*CAST(rank() OVER (ORDER BY x) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY x) AS BIGINT) - 1 AS rx,
+        |    2*CAST(rank() OVER (ORDER BY y) AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS ry
+        |  FROM r),
+        |txc AS (SELECT CAST(sum(c*c*c - c) AS DOUBLE) AS tx
+        |        FROM (SELECT count(*) AS c FROM r GROUP BY x)),
+        |tyc AS (SELECT CAST(sum(c*c*c - c) AS DOUBLE) AS ty
+        |        FROM (SELECT count(*) AS c FROM r GROUP BY y)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum((rx-ry)*(rx-ry)) AS DOUBLE) AS sum_d2_4 FROM rk)
+        |SELECT s.n, s.sum_d2_4, txc.tx, tyc.ty,
+        |  round(CASE WHEN (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE) - txc.tx)
+        |                  * (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE) - tyc.ty) > 0.0
+        |        THEN (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE)
+        |              - 1.5 * s.sum_d2_4 - (txc.tx + tyc.ty) / 2.0)
+        |             / sqrt((CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE) - txc.tx)
+        |                    * (CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE)*CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE) - tyc.ty))
+        |        ELSE NULL END, 6) AS rho
+        |FROM s, txc, tyc""".stripMargin) { (s, dir) =>
+      RankStats.spearman(
+        tb(s, dir).lineitem.select(floor(col("l_quantity")).as("x"),
+          floor(col("l_extendedprice")).as("y")),
+        "x", "y")
+    },
+
+    // ---- chi-square contingency cells (RankStats.chi2Cells): are
+    //      source and language independent? Full margin grid — a
+    //      zero-observed cell still carries its expectation; exact
+    //      integer deviation algebra, per-cell contributions (cross-
+    //      cell double sums are order-dependent, so the statistic is
+    //      the consumer's one fold) ----
+    "q_stat_chi2_cells" -> Q(
+      """WITH r AS (SELECT source AS a, lang AS b FROM documents),
+        |ra AS (SELECT a, CAST(count(*) AS BIGINT) AS r_tot FROM r GROUP BY a),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c_tot FROM r GROUP BY b),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM r GROUP BY a, b),
+        |g AS (SELECT ra.a, cb.b, CAST(coalesce(cells.o, 0) AS BIGINT) AS o,
+        |             ra.r_tot, cb.c_tot, nn.n
+        |      FROM ra CROSS JOIN cb CROSS JOIN nn
+        |      LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b)
+        |SELECT a, b, o, r_tot, c_tot,
+        |  round(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+        |  round(CAST((o*n - r_tot*c_tot) * (o*n - r_tot*c_tot) AS DOUBLE)
+        |        / CAST(n * r_tot * c_tot AS DOUBLE), 9) AS contrib
+        |FROM g ORDER BY a, b""".stripMargin) { (s, dir) =>
+      RankStats.chi2Cells(tb(s, dir).documents, "source", "lang")
+        .orderBy("a", "b")
+    },
+
+    // ---- the STREAMING face of drift-KS (DriftStream.ks): baseline
+    //      frozen from even event ids, odd ids folded in 3 batches
+    //      through the ReplayGuard protocol — bin-count addition is a
+    //      commutative monoid, so the maintained grid equals the
+    //      one-shot replay exactly. Micro-batch wiring is
+    //      DriftStreamSpec's job. ----
+    "q_stream_ks" -> Q(
+      """WITH ev AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |b AS (SELECT v FROM ev WHERE event_id % 2 = 0),
+        |c AS (SELECT v FROM ev WHERE event_id % 2 = 1),
+        |geo AS (SELECT CAST(min(v) AS BIGINT) AS mn,
+        |               CAST(greatest(1, (max(v) - min(v) + 10) // 10) AS BIGINT) AS w
+        |        FROM b),
+        |gb AS (SELECT least(greatest((v - geo.mn) // geo.w, 0), 9) AS bin,
+        |              CAST(count(*) AS BIGINT) AS cb FROM b, geo GROUP BY 1),
+        |gc AS (SELECT least(greatest((v - geo.mn) // geo.w, 0), 9) AS bin,
+        |              CAST(count(*) AS BIGINT) AS cg FROM c, geo GROUP BY 1),
+        |grid AS (SELECT g.i AS bin, CAST(coalesce(gb.cb, 0) AS BIGINT) AS cb,
+        |                CAST(coalesce(gc.cg, 0) AS BIGINT) AS cg
+        |         FROM generate_series(0, 9) AS g(i)
+        |         LEFT JOIN gb ON g.i = gb.bin LEFT JOIN gc ON g.i = gc.bin),
+        |t AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cg) AS BIGINT) AS ng FROM grid),
+        |p AS (SELECT bin,
+        |        CAST(sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |        CAST(sum(cg) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+        |      FROM grid),
+        |dev AS (SELECT bin, abs(ca * t.ng - cc * t.nb) AS dv FROM p, t),
+        |mx AS (SELECT CAST(max(dv) AS BIGINT) AS d_num FROM dev)
+        |SELECT t.nb AS n_baseline, t.ng AS n_current, mx.d_num,
+        |  CAST((SELECT min(bin) FROM dev WHERE dv = (SELECT d_num FROM mx)) AS BIGINT) AS d_bin,
+        |  round(CAST(mx.d_num AS DOUBLE) / (CAST(t.nb AS DOUBLE) * CAST(t.ng AS DOUBLE)), 6) AS d
+        |FROM t, mx""".stripMargin) { (s, dir) =>
+      val tmp = Scratch.dir("graft_driftks_")
+      val basePath = s"${tmp.getPath}/baseline"
+      val curPath = s"${tmp.getPath}/current"
+      val ev = tb(s, dir).events
+        .select(col("event_id"), floor(col("value") * 100).as("v"))
+      graft.streaming.DriftStream.writeBaseline(
+        ev.filter(col("event_id") % 2 === 0), "v", basePath)
+      (0 to 2).foreach { i =>
+        graft.streaming.DriftStream.applyBatch(
+          ev.filter(col("event_id") % 2 === 1)
+            .filter(col("event_id") % 3 === i),
+          "v", basePath, curPath)
+      }
+      graft.streaming.DriftStream.ks(s, basePath, curPath)
+    }
+  )
+}

@@ -122,6 +122,47 @@ object DriftStream {
           .as("psi"))
   }
 
+  /** The binned two-sample Kolmogorov–Smirnov reading over the SAME
+    * maintained grids: max cumulative-count deviation between the
+    * baseline and current histograms, exact in n_base·n_cur integer
+    * units (`d_num`; `d` = d_num/(n_base·n_cur), `d_bin` = smallest bin
+    * attaining it). The binned D lower-bounds the exact-value
+    * [[graft.llm.RankStats.ksTest]] D — what a stream can maintain in
+    * O(nBins) state — and reacts to shape changes PSI's add-one
+    * smoothing dampens on sparse bins. All windows run over the
+    * nBins-row grid; NULL `d`/`d_bin` when either side is empty.
+    */
+  def ks(spark: SparkSession, baselinePath: String,
+         currentPath: String): DataFrame = {
+    val nBins = bounds(spark, baselinePath)._3
+    val base = spark.read.parquet(baselinePath).filter(col("bin") >= 0)
+      .select(col("bin"), col("cnt").as("_cb"))
+    val cur = spark.read.parquet(currentPath)
+      .select(col("bin"), col("cnt").as("_cg"))
+    import spark.implicits._
+    val grid = (0L until nBins.toLong).toDF("bin")
+      .join(base, Seq("bin"), "left").na.fill(0L, Seq("_cb"))
+      .join(cur, Seq("bin"), "left").na.fill(0L, Seq("_cg"))
+    val totals = grid.agg(sum("_cb").as("_nb"), sum("_cg").as("_ng"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.crossJoin(broadcast(totals))
+      .withColumn("_dev",
+        abs(sum("_cb").over(w) * col("_ng") - sum("_cg").over(w) * col("_nb")))
+      // deterministic argmax on the tiny grid: max dev, then min bin
+      .agg(max(col("_nb")).as("n_baseline"), max(col("_ng")).as("n_current"),
+        max(struct(col("_dev").as("dev"), (-col("bin")).as("negbin")))
+          .as("_m"))
+      .select(col("n_baseline"), col("n_current"),
+        col("_m.dev").as("d_num"),
+        when(col("n_baseline") * col("n_current") > 0, -col("_m.negbin"))
+          .as("d_bin"),
+        when(col("n_baseline") * col("n_current") > 0,
+          round(col("_m.dev").cast("double") /
+            (col("n_baseline").cast("double") *
+              col("n_current").cast("double")), 6)).as("d"))
+  }
+
   /** Wire a value stream into the maintained drift grid (foreachBatch). */
   def run(items: DataFrame, valueCol: String, baselinePath: String,
           currentPath: String, checkpointDir: String,

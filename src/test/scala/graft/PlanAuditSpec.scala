@@ -590,4 +590,45 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("RankStats rides the distinct-value two-level scan: single-partition " +
+    "exchanges feed aggregates only, and no global window sees raw rows") {
+    // mannWhitney/ksTest/spearman rank a corpus without one-task sorts:
+    // the ordered prefix runs over per-value counts blocked by
+    // withBoundedBlocks, so every unpartitioned exchange/window input
+    // must be an aggregate (block- or value-summary) frame
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir).documents
+        .filter(col("lang").isin("en", "de"))
+      for (out <- Seq(
+          graft.llm.RankStats.mannWhitney(docs, "n_chars", "lang",
+            maxBlocks = 64L),
+          graft.llm.RankStats.ksTest(docs, "n_chars", "lang",
+            maxBlocks = 64L),
+          graft.llm.RankStats.spearman(
+            Tables(spark, sfDir).documents.select("doc_id", "n_chars"),
+            "doc_id", "n_chars", maxBlocks = 64L))) {
+        val plan = out.queryExecution.executedPlan
+        val single = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.numPartitions == 1 => e
+        }
+        single.foreach { e =>
+          assert(e.child.collect {
+            case a if a.nodeName.toLowerCase.contains("aggregate") => a
+          }.nonEmpty,
+            s"single-partition exchange over a non-aggregated frame:\n$e")
+        }
+        val logical = out.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        logical.foreach(w =>
+          assert(!w.child.output.map(_.name).exists(n =>
+            n == "_v" || n == "n_chars"),
+            s"global window over raw value rows:\n$w"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

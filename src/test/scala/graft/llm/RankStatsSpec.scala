@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RankStats against hand-computed textbook cases: the 2×-integer rank
+  * algebra, U/D/rho values (cross-checked by hand against the standard
+  * definitions, ties included), the tie-corrected z/rho closed forms,
+  * and the loud two-group / NULL contracts.
+  */
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("avgRanks2: tie-averaged 2x ranks and the rank-sum invariant") {
+    // values 10, 20, 20, 30 → ranks 1, 2.5, 2.5, 4 → rank2 2, 5, 5, 8
+    val df = Seq(10L, 20L, 20L, 30L).toDF("v")
+    val got = RankStats.avgRanks2(df, "v").orderBy("value")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 1L, 2L), (20L, 2L, 5L), (30L, 1L, 8L)))
+    // Σ n·rank2 = N(N+1) for any frame — here and on a bigger mix
+    val big = Seq.tabulate(97)(i => (i * 7919L) % 13L).toDF("v")
+    val sums = RankStats.avgRanks2(big, "v")
+      .agg(sum(col("n") * col("rank2")).as("s"), sum("n").as("n"))
+      .as[(Long, Long)].head()
+    assert(sums._1 === sums._2 * (sums._2 + 1))
+  }
+
+  test("avgRanks2 survives a blocked value space (maxBlocks = 2)") {
+    val df = Seq(5L, 1L, 9L, 1L, 7L, 3L).toDF("v")
+    // ranks: 1→1.5 avg (rank2 4), 3→3 (6+1=7)… compute: sorted
+    // [1,1,3,5,7,9]: rank2(1)=2·0+2+1=3? No: rank2 = 2·below + n + 1
+    // 1: below 0, n 2 → 3; 3: below 2, n 1 → 6; 5: 2·3+2=8? below 3,
+    // n 1 → 8; 7: below 4 → 10; 9: below 5 → 12
+    val got = RankStats.avgRanks2(df, "v", maxBlocks = 2).orderBy("value")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L), (3L, 1L, 6L), (5L, 1L, 8L),
+      (7L, 1L, 10L), (9L, 1L, 12L)))
+  }
+
+  test("mannWhitney: textbook no-tie case") {
+    // A = {1,2,4}, B = {3,5}: U_a = #(a>b pairs) = 1 → u_a2 = 2,
+    // U_b = 5 → u_b2 = 10; R_a = 1+2+4 = 7 → r_a2 = 14
+    val df = Seq((1L, "a"), (2L, "a"), (4L, "a"), (3L, "b"), (5L, "b"))
+      .toDF("v", "g")
+    val r = RankStats.mannWhitney(df, "v", "g").head()
+    assert(r.getAs[String]("group_a") === "a")
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("r_a2") === 14L)
+    assert(r.getAs[Long]("u_a2") === 2L)
+    assert(r.getAs[Long]("u_b2") === 10L)
+    assert(r.getAs[Double]("tie_term") === 0.0)
+  }
+
+  test("mannWhitney: ties give half-integral U, exactly in 2x units") {
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5, 2.5, 4 → R_a = 3.5,
+    // U_a = 3.5 − 3 = 0.5 (one a>b tie pair counts ½) → u_a2 = 1
+    val df = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")).toDF("v", "g")
+    val r = RankStats.mannWhitney(df, "v", "g").head()
+    assert(r.getAs[Long]("u_a2") === 1L)
+    assert(r.getAs[Long]("u_b2") === 2L * 2L * 2L - 1L)
+    assert(r.getAs[Double]("tie_term") === 6.0) // one pair: 2³−2
+  }
+
+  test("mannWhitney z matches the tie-corrected closed form") {
+    val df = Seq.tabulate(40) { i =>
+      ((i * 31L) % 17L, if (i % 2 == 0) "x" else "y")
+    }.toDF("v", "g")
+    val r = RankStats.mannWhitney(df, "v", "g").head()
+    val (na, nb) = (r.getAs[Long]("n_a").toDouble, r.getAs[Long]("n_b").toDouble)
+    val n = na + nb
+    val tie = r.getAs[Double]("tie_term")
+    val sig2 = na * nb / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+    val want = (r.getAs[Long]("u_a2") / 2.0 - na * nb / 2.0) / math.sqrt(sig2)
+    assert(math.abs(r.getAs[Double]("z") - want) < 1e-6)
+  }
+
+  test("mannWhitney: z is NULL when every value ties") {
+    val df = Seq((7L, "a"), (7L, "a"), (7L, "b")).toDF("v", "g")
+    val r = RankStats.mannWhitney(df, "v", "g").head()
+    assert(r.isNullAt(r.fieldIndex("z")))
+    assert(r.getAs[Long]("u_a2") === 2L) // = n_a·n_b: U_a = n_a·n_b/2 on all-ties
+  }
+
+  test("ksTest: hand-computed D with the min-value tiebreak") {
+    // A = {1,2,3}, B = {3,4}: devs in 6ths at v=1..4: 2, 4, 3, 0
+    // → d_num 4 at v=2, D = 2/3
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("v", "g")
+    val r = RankStats.ksTest(df, "v", "g").head()
+    assert(r.getAs[Long]("d_num") === 4L)
+    assert(r.getAs[Long]("d_at") === 2L)
+    assert(math.abs(r.getAs[Double]("d") - 4.0 / 6.0) < 1e-6)
+  }
+
+  test("ksTest: identical samples give D = 0") {
+    val df = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")).toDF("v", "g")
+    val r = RankStats.ksTest(df, "v", "g").head()
+    assert(r.getAs[Long]("d_num") === 0L)
+    assert(r.getAs[Double]("d") === 0.0)
+  }
+
+  test("two-sample ops raise on a third group and on NULLs") {
+    val three = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("v", "g")
+    val e1 = intercept[Exception] {
+      RankStats.mannWhitney(three, "v", "g").collect()
+    }
+    assert(e1.getMessage.contains("expected exactly 2 groups"))
+    val nullv = Seq((Some(1L), "a"), (None, "b")).toDF("v", "g")
+    val e2 = intercept[Exception] {
+      RankStats.ksTest(nullv, "v", "g").collect()
+    }
+    assert(e2.getMessage.contains("NULL value"))
+  }
+
+  test("spearman: perfect monotone, reversed, and a hand tie case") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(RankStats.spearman(up, "x", "y").head().getAs[Double]("rho") === 1.0)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(RankStats.spearman(down, "x", "y").head()
+      .getAs[Double]("rho") === -1.0)
+    // x = [1,2,2,3], y = [1,3,2,4]: Pearson on tie-averaged ranks
+    // = 4.5/√22.5 = 0.948683 (rank2x [2,5,5,8], rank2y [2,6,4,8] →
+    // Σd²·4 = 2, Tx = 6, Ty = 0)
+    val ties = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L)).toDF("x", "y")
+    val r = RankStats.spearman(ties, "x", "y").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("sum_d2_4") === 2.0)
+    assert(r.getAs[Double]("tx") === 6.0)
+    assert(r.getAs[Double]("ty") === 0.0)
+    assert(math.abs(r.getAs[Double]("rho") - 0.948683) < 1e-6)
+  }
+
+  test("spearman: NULL rho on a constant column") {
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val r = RankStats.spearman(const, "x", "y").head()
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
+  test("chi2Cells: 2x2 hand case including the zero-observed cell") {
+    // rows: (p,1)×3, (p,2), (q,1) — margins r(p)=4, r(q)=1, c(1)=4,
+    // c(2)=1, N=5; cell (q,2) observed 0 but present with E = 1·1/5
+    val df = Seq(("p", "1"), ("p", "1"), ("p", "1"), ("p", "2"), ("q", "1"))
+      .toDF("s", "l")
+    val got = RankStats.chi2Cells(df, "s", "l").orderBy("a", "b").collect()
+    assert(got.length === 4)
+    val z = got.find(r => r.getString(0) == "q" && r.getString(1) == "2").get
+    assert(z.getAs[Long]("o") === 0L)
+    assert(math.abs(z.getAs[Double]("expected") - 0.2) < 1e-9) // 1·1/5
+    // contrib = (0·5 − 1·1)²/(5·1·1) = 1/5
+    assert(math.abs(z.getAs[Double]("contrib") - 0.2) < 1e-9)
+    // Σ over cells = the χ² statistic, by hand:
+    // (p,1): (15−16)²/(5·4·4) = .0125 ; (p,2): (5−4)²/(5·4·1) = .05
+    // (q,1): (5−4)²/(5·1·4) = .05 ; (q,2): .2 → Σ = .3125
+    val stat = got.map(_.getAs[Double]("contrib")).sum
+    assert(math.abs(stat - 0.3125) < 1e-9)
+  }
+
+  test("chi2Cells raises on NULL categories") {
+    val df = Seq((Some("p"), "1"), (None, "2")).toDF("s", "l")
+    val e = intercept[Exception] {
+      RankStats.chi2Cells(df, "s", "l").collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+}

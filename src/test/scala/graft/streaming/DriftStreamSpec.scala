@@ -75,4 +75,33 @@ class DriftStreamSpec extends SparkSpec {
     val n = DriftStream.psi(spark, base, cur).collect().head.getLong(1)
     assert(n === 2L, s"replay double-folded: $n")
   }
+
+  test("ks: hand-computed binned D over the same grids") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_ks").toFile
+    val (base, cur) = (s"${dir.getPath}/base", s"${dir.getPath}/cur")
+    // baseline 0..99 uniform → 10 bins × 10; current all in bin 0:
+    // cum devs (in 100·20 units) peak at bin 0: |10·20 − 20·100| = 1800
+    DriftStream.writeBaseline((0 until 100).map(_.toLong).toDF("v"), "v",
+      base, nBins = 10)
+    DriftStream.applyBatch((1 to 20).map(_ => 3L).toDF("v"), "v", base, cur)
+    val r = DriftStream.ks(spark, base, cur).collect().head
+    assert(r.getAs[Long]("n_baseline") === 100L)
+    assert(r.getAs[Long]("n_current") === 20L)
+    assert(r.getAs[Long]("d_num") === 1800L)
+    assert(r.getAs[Long]("d_bin") === 0L)
+    assert(math.abs(r.getAs[Double]("d") - 0.9) < 1e-9)
+  }
+
+  test("ks: identical distributions give D = 0; ties pick the lowest bin") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_ks0").toFile
+    val (base, cur) = (s"${dir.getPath}/base", s"${dir.getPath}/cur")
+    DriftStream.writeBaseline((0 until 100).map(_.toLong).toDF("v"), "v",
+      base, nBins = 10)
+    DriftStream.applyBatch((0 until 100).map(_.toLong).toDF("v"), "v",
+      base, cur)
+    val r = DriftStream.ks(spark, base, cur).collect().head
+    assert(r.getAs[Long]("d_num") === 0L)
+    assert(r.getAs[Long]("d_bin") === 0L) // all bins tie at 0 → min bin
+    assert(r.getAs[Double]("d") === 0.0)
+  }
 }
