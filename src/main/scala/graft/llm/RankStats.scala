@@ -255,6 +255,176 @@ object RankStats {
         sqrt(den))
   }
 
+  /** Mann–Whitney U of EVERY slice against its complement, in ONE
+    * corpus pass: global tie-averaged ranks are computed once over the
+    * combined distribution (per-value counts + the two-level prefix),
+    * then each slice's rank sum folds from its (slice, value) counts —
+    * k slices cost one value shuffle plus one slice aggregation, not k
+    * scans. The "which source's length/score distribution shifted?"
+    * audit. Per slice: n_s, n_rest, the 2× rank sum and U (`r_s2`,
+    * `u_s2`; u_rest2 = 2·n_s·n_rest − u_s2 by symmetry), and the
+    * tie-corrected z against the complement (NULL when σ = 0). The
+    * cubic tie term is a property of the COMBINED distribution, shared
+    * by every slice's variance.
+    */
+  def mannWhitneyPerSlice(df: DataFrame, valueCol: String,
+                          sliceCol: String,
+                          maxBlocks: Long = 1L << 20): DataFrame = {
+    val rows = df.select(
+      checkedLong(col(valueCol), "mannWhitneyPerSlice",
+        s"value in $valueCol").as("_v"),
+      when(col(sliceCol).isNull,
+        raise_error(lit(s"mannWhitneyPerSlice: NULL slice in $sliceCol")))
+        .otherwise(col(sliceCol)).cast("string").as("_s"))
+    val vc = rows.groupBy("_v").agg(count(lit(1)).as("_n"))
+    val ranked = withValuePrefixes(vc, Seq("_n"), maxBlocks)
+      .select(col("_v"),
+        (lit(2L) * col("_pre__n") + col("_n") + 1L).as("_rank2"))
+    val globals = vc.agg(sum("_n").as("_tot"),
+      sum(col("_n").cast("decimal(12,0)") * col("_n").cast("decimal(12,0)") *
+        col("_n").cast("decimal(12,0)") - col("_n"))
+        .cast("double").as("tie_term"))
+    rows.groupBy("_s", "_v").agg(count(lit(1)).as("_nsv"))
+      .join(ranked, Seq("_v"))
+      .groupBy("_s")
+      .agg(sum("_nsv").as("n_s"), sum(col("_nsv") * col("_rank2")).as("r_s2"))
+      .crossJoin(broadcast(globals))
+      .withColumn("n_rest", col("_tot") - col("n_s"))
+      .withColumn("u_s2", col("r_s2") - col("n_s") * (col("n_s") + 1L))
+      .select(col("_s").as("slice"), col("n_s"), col("n_rest"),
+        col("r_s2"), col("u_s2"), col("tie_term"),
+        round(sliceZ(), 6).as("z"))
+  }
+
+  /** z of one slice vs its complement from [[mannWhitneyPerSlice]]'s
+    * columns — same closed form as [[mwZ]] with (n_s, n_rest).
+    */
+  private def sliceZ(): Column = {
+    val na = col("n_s").cast("double")
+    val nb = col("n_rest").cast("double")
+    val n = na + nb
+    val sig2 = na * nb / 12.0 *
+      ((n + 1.0) - col("tie_term") / (n * (n - 1.0)))
+    when(sig2 > 0.0,
+      (col("u_s2").cast("double") / 2.0 - na * nb / 2.0) / sqrt(sig2))
+  }
+
+  /** Two-sample KS of EVERY slice against its complement in one pass,
+    * exact: per slice, sup over the real line of the ECDF deviation in
+    * n_s·n_rest integer units. The sup is attained either AT one of
+    * the slice's own value steps (inclusive cumulative counts) or just
+    * BEFORE one (the complement kept stepping in between — exclusive
+    * counts), so evaluating both deviations at the slice's values is
+    * sufficient: between two slice steps the slice ECDF is flat and
+    * the deviation is monotone in the complement's cumulative count,
+    * maximized at an endpoint. The frame stays |slice-value pairs|-
+    * sized — never |values|·|slices|.
+    */
+  def ksPerSlice(df: DataFrame, valueCol: String, sliceCol: String,
+                 maxBlocks: Long = 1L << 20): DataFrame = {
+    val rows = df.select(
+      checkedLong(col(valueCol), "ksPerSlice", s"value in $valueCol")
+        .as("_v"),
+      when(col(sliceCol).isNull,
+        raise_error(lit(s"ksPerSlice: NULL slice in $sliceCol")))
+        .otherwise(col(sliceCol)).cast("string").as("_s"))
+    // global per-value prefix (combined distribution)
+    val vc = rows.groupBy("_v").agg(count(lit(1)).as("_n"))
+    val g = withValuePrefixes(vc, Seq("_n"), maxBlocks)
+      .select(col("_v"), col("_n").as("_ng"), col("_pre__n").as("_pg"))
+    val tot = vc.agg(sum("_n").as("_tot"))
+    // per-slice per-value prefix: the same two-level scan, slice-keyed
+    val sv = rows.groupBy("_s", "_v").agg(count(lit(1)).as("_nsv"))
+    val base = Packing.withBoundedBlocks(sv, "_v", maxBlocks)
+    val blk = base.groupBy("_s", "_blk").agg(sum("_nsv").as("_bs"))
+    val wb = Window.partitionBy("_s").orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blk.select(col("_s"), col("_blk"),
+      coalesce(sum("_bs").over(wb), lit(0L)).as("_bo"))
+    val wIn = Window.partitionBy("_s", "_blk").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = base.join(offs, Seq("_s", "_blk"))
+      .withColumn("_ps", col("_bo") + coalesce(sum("_nsv").over(wIn), lit(0L)))
+    val nS = sv.groupBy("_s").agg(sum("_nsv").as("n_s"))
+    pre.join(g, Seq("_v")).join(broadcast(nS), Seq("_s"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("_tot") - col("n_s"))
+      // AT the step (inclusive) and just BEFORE it (exclusive)
+      .withColumn("_devIn", abs(
+        (col("_ps") + col("_nsv")) * col("n_rest") -
+          (col("_pg") + col("_ng") - col("_ps") - col("_nsv")) * col("n_s")))
+      .withColumn("_devEx", abs(
+        col("_ps") * col("n_rest") - (col("_pg") - col("_ps")) * col("n_s")))
+      .groupBy(col("_s").as("slice"), col("n_s"), col("n_rest"))
+      .agg(max(greatest(col("_devIn"), col("_devEx"))).as("d_num"))
+      .select(col("slice"), col("n_s"), col("n_rest"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_s").cast("double") * col("n_rest").cast("double")), 6)
+          .as("d"))
+  }
+
+  /** Paired t-test over integer metric pairs (a, b): one row with the
+    * exact difference sums (Σd as long, Σd² exact in decimal → double)
+    * and the t statistic from the closed form
+    * t = d̄ / √(s²/n), s² = (Σd² − (Σd)²/n)/(n−1) — mirrored term for
+    * term in the SQL oracle; NULL when n < 2 or s² = 0 (identical
+    * pairs have no t). The parametric sibling of
+    * [[wilcoxonSignedRank]]: same question ("did the metric move
+    * between two scorers/checkpoints on the same items?"), normality
+    * assumed instead of ranks.
+    */
+  def pairedT(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = checkedLong(col(aCol), "pairedT", s"value in $aCol") -
+      checkedLong(col(bCol), "pairedT", s"value in $bCol")
+    val agg = df.select(d.as("_d")).agg(
+      count(lit(1)).as("n"), sum("_d").as("sum_d"),
+      sum(col("_d").cast("decimal(18,0)") * col("_d").cast("decimal(18,0)"))
+        .cast("double").as("sum_d2"))
+    val nd = col("n").cast("double")
+    val s2 = (col("sum_d2") - col("sum_d").cast("double") *
+      col("sum_d").cast("double") / nd) / (nd - 1.0)
+    agg.select(col("n"), col("sum_d"), col("sum_d2"),
+      round(when(col("n") >= 2L && s2 > 0.0,
+        col("sum_d").cast("double") / nd / sqrt(s2 / nd)), 6).as("t"))
+  }
+
+  /** Wilcoxon signed-rank test over integer metric pairs: zero
+    * differences drop (the standard reduction), |d| is rank-averaged in
+    * 2× units through [[avgRanks2]], and W⁺/W⁻ fold as conditional
+    * sums — exact integers (`w_plus2` + `w_minus2` =
+    * n_eff·(n_eff+1)). z from the tie-corrected normal approximation
+    * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48), NULL when
+    * every difference is zero or σ = 0. The nonparametric "did scores
+    * move on the same items?" test — robust to the heavy-tailed metric
+    * deltas a mean-based t smooths over.
+    */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String, bCol: String,
+                         maxBlocks: Long = 1L << 20): DataFrame = {
+    val d = checkedLong(col(aCol), "wilcoxonSignedRank", s"value in $aCol") -
+      checkedLong(col(bCol), "wilcoxonSignedRank", s"value in $bCol")
+    val nz = df.select(d.as("_d")).filter(col("_d") =!= 0L)
+      .select(col("_d"), abs(col("_d")).as("_ad"))
+    // per-ROW tie share (the spearman idiom): each of a tie group's t
+    // rows carries t²−1, so the row sum is t·(t²−1) = Σ(t³−t) exactly
+    val ranked = avgRanks2(nz, "_ad", maxBlocks)
+      .select(col("value").as("_ad"), col("rank2"),
+        (col("n").cast("decimal(12,0)") * col("n").cast("decimal(12,0)") - 1)
+          .as("_tts"))
+    val agg = nz.join(ranked, Seq("_ad"))
+      .agg(count(lit(1)).as("n_eff"),
+        sum(when(col("_d") > 0L, col("rank2")).otherwise(0L)).as("w_plus2"),
+        sum(when(col("_d") < 0L, col("rank2")).otherwise(0L)).as("w_minus2"),
+        sum(col("_tts")).cast("double").as("tie_term"))
+    val nd = col("n_eff").cast("double")
+    val sig2 = nd * (nd + 1.0) * (lit(2.0) * nd + 1.0) / 24.0 -
+      col("tie_term") / 48.0
+    agg.select(col("n_eff"), col("w_plus2"), col("w_minus2"),
+      col("tie_term"),
+      round(when(col("n_eff") > 0L && sig2 > 0.0,
+        (col("w_plus2").cast("double") / 2.0 -
+          nd * (nd + 1.0) / 4.0) / sqrt(sig2)), 6).as("z"))
+  }
+
   /** Chi-square contingency cells for two categorical columns: the FULL
     * observed-margin grid (a zero-count cell still contributes its
     * expectation), one row per (a, b) with the observed count, margins,

@@ -157,6 +157,134 @@ object StatsQueries {
         .orderBy("a", "b")
     },
 
+    // ---- per-slice Mann–Whitney (RankStats.mannWhitneyPerSlice):
+    //      every language's length distribution vs the rest of the
+    //      corpus, from ONE global rank pass — k slices, one value
+    //      shuffle; the shared cubic tie term is a property of the
+    //      combined distribution ----
+    "q_stat_mw_slices" -> Q(
+      """WITH r AS (SELECT lang AS s, n_chars AS v FROM documents),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM r GROUP BY v),
+        |rk AS (SELECT v, nv,
+        |         2*CAST(coalesce(sum(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           + nv + 1 AS rank2 FROM vc),
+        |g AS (SELECT CAST(sum(nv) AS BIGINT) AS tot,
+        |             CAST(sum(nv*nv*nv - nv) AS DOUBLE) AS tie_term FROM vc),
+        |sv AS (SELECT s, v, CAST(count(*) AS BIGINT) AS nsv FROM r GROUP BY s, v),
+        |ps AS (SELECT s, CAST(sum(nsv) AS BIGINT) AS n_s,
+        |              CAST(sum(nsv * rk.rank2) AS BIGINT) AS r_s2
+        |       FROM sv JOIN rk ON sv.v = rk.v GROUP BY s),
+        |f AS (SELECT ps.s, ps.n_s, CAST(g.tot - ps.n_s AS BIGINT) AS n_rest,
+        |             ps.r_s2, CAST(ps.r_s2 - ps.n_s*(ps.n_s+1) AS BIGINT) AS u_s2,
+        |             g.tie_term
+        |      FROM ps, g)
+        |SELECT s AS slice, n_s, n_rest, r_s2, u_s2, tie_term,
+        |  round(CASE WHEN CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE) / 12.0
+        |                  * ((CAST(n_s AS DOUBLE) + CAST(n_rest AS DOUBLE) + 1.0)
+        |                     - tie_term / ((CAST(n_s AS DOUBLE) + CAST(n_rest AS DOUBLE))
+        |                                   * (CAST(n_s AS DOUBLE) + CAST(n_rest AS DOUBLE) - 1.0))) > 0.0
+        |        THEN (CAST(u_s2 AS DOUBLE) / 2.0
+        |              - CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE) / 2.0)
+        |             / sqrt(CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE) / 12.0
+        |                    * ((CAST(n_s AS DOUBLE) + CAST(n_rest AS DOUBLE) + 1.0)
+        |                       - tie_term / ((CAST(n_s AS DOUBLE) + CAST(n_rest AS DOUBLE))
+        |                                     * (CAST(n_s AS DOUBLE) + CAST(n_rest AS DOUBLE) - 1.0))))
+        |        ELSE NULL END, 6) AS z
+        |FROM f ORDER BY slice""".stripMargin) { (s, dir) =>
+      RankStats.mannWhitneyPerSlice(tb(s, dir).documents, "n_chars", "lang")
+        .orderBy("slice")
+    },
+
+    // ---- per-slice KS (RankStats.ksPerSlice): which event type's
+    //      value distribution sits furthest from the rest? Sup taken
+    //      at AND just before each slice step (the complement keeps
+    //      stepping in between) — exact, |slice-value|-sized ----
+    "q_stat_ks_slices" -> Q(
+      """WITH r AS (SELECT event_type AS s, CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS ng FROM r GROUP BY v),
+        |gp AS (SELECT v, ng,
+        |         CAST(coalesce(sum(ng) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pg
+        |       FROM vc),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM r),
+        |sv AS (SELECT s, v, CAST(count(*) AS BIGINT) AS nsv FROM r GROUP BY s, v),
+        |sp AS (SELECT s, v, nsv,
+        |         CAST(coalesce(sum(nsv) OVER (PARTITION BY s ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ps
+        |       FROM sv),
+        |ns AS (SELECT s, CAST(sum(nsv) AS BIGINT) AS n_s FROM sv GROUP BY s),
+        |dv AS (SELECT sp.s, ns.n_s, CAST(t.tot - ns.n_s AS BIGINT) AS n_rest,
+        |         greatest(
+        |           abs((sp.ps + sp.nsv) * (t.tot - ns.n_s)
+        |               - (gp.pg + gp.ng - sp.ps - sp.nsv) * ns.n_s),
+        |           abs(sp.ps * (t.tot - ns.n_s) - (gp.pg - sp.ps) * ns.n_s)) AS dev
+        |       FROM sp JOIN gp ON sp.v = gp.v JOIN ns ON sp.s = ns.s, t)
+        |SELECT s AS slice, n_s, n_rest, CAST(max(dev) AS BIGINT) AS d_num,
+        |  round(CAST(max(dev) AS DOUBLE)
+        |        / (CAST(n_s AS DOUBLE) * CAST(n_rest AS DOUBLE)), 6) AS d
+        |FROM dv GROUP BY s, n_s, n_rest ORDER BY slice""".stripMargin) { (s, dir) =>
+      RankStats.ksPerSlice(
+        tb(s, dir).events
+          .select(col("event_type"), floor(col("value") * 100).as("v")),
+        "v", "event_type")
+        .orderBy("slice")
+    },
+
+    // ---- paired t-test (RankStats.pairedT): two deterministic scorers
+    //      on the same events; exact Σd/Σd² integers, t from the
+    //      mirrored closed form ----
+    "q_eval_paired_t" -> Q(
+      """WITH p AS (SELECT (event_id*37) % 1000 - (event_id*53) % 1000 AS d FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sum_d,
+        |             CAST(sum(d*d) AS DOUBLE) AS sum_d2 FROM p)
+        |SELECT n, sum_d, sum_d2,
+        |  round(CASE WHEN n >= 2
+        |              AND (sum_d2 - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) - 1.0) > 0.0
+        |        THEN CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE)
+        |             / sqrt((sum_d2 - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / CAST(n AS DOUBLE))
+        |                    / (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
+        |        ELSE NULL END, 6) AS t
+        |FROM a""".stripMargin) { (s, dir) =>
+      RankStats.pairedT(
+        tb(s, dir).events.select(
+          expr("(event_id*37) % 1000").as("a"),
+          expr("(event_id*53) % 1000").as("b")),
+        "a", "b")
+    },
+
+    // ---- Wilcoxon signed-rank (RankStats.wilcoxonSignedRank): the
+    //      nonparametric sibling on the same pairs — zero diffs drop,
+    //      |d| rank-averaged in 2x units, W+/W− exact ----
+    "q_eval_signed_rank" -> Q(
+      """WITH p AS (SELECT (event_id*37) % 1000 - (event_id*53) % 1000 AS d FROM events),
+        |nz AS (SELECT d, abs(d) AS ad FROM p WHERE d <> 0),
+        |vc AS (SELECT ad, CAST(count(*) AS BIGINT) AS t FROM nz GROUP BY ad),
+        |rk AS (SELECT ad, t,
+        |         2*CAST(coalesce(sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           + t + 1 AS rank2 FROM vc),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_eff,
+        |             CAST(sum(CASE WHEN nz.d > 0 THEN rk.rank2 ELSE 0 END) AS BIGINT) AS w_plus2,
+        |             CAST(sum(CASE WHEN nz.d < 0 THEN rk.rank2 ELSE 0 END) AS BIGINT) AS w_minus2
+        |      FROM nz JOIN rk ON nz.ad = rk.ad),
+        |tt AS (SELECT CAST(sum(t*t*t - t) AS DOUBLE) AS tie_term FROM vc)
+        |SELECT a.n_eff, a.w_plus2, a.w_minus2, tt.tie_term,
+        |  round(CASE WHEN a.n_eff > 0
+        |              AND CAST(a.n_eff AS DOUBLE) * (CAST(a.n_eff AS DOUBLE) + 1.0)
+        |                  * (2.0 * CAST(a.n_eff AS DOUBLE) + 1.0) / 24.0
+        |                  - tt.tie_term / 48.0 > 0.0
+        |        THEN (CAST(a.w_plus2 AS DOUBLE) / 2.0
+        |              - CAST(a.n_eff AS DOUBLE) * (CAST(a.n_eff AS DOUBLE) + 1.0) / 4.0)
+        |             / sqrt(CAST(a.n_eff AS DOUBLE) * (CAST(a.n_eff AS DOUBLE) + 1.0)
+        |                    * (2.0 * CAST(a.n_eff AS DOUBLE) + 1.0) / 24.0
+        |                    - tt.tie_term / 48.0)
+        |        ELSE NULL END, 6) AS z
+        |FROM a, tt""".stripMargin) { (s, dir) =>
+      RankStats.wilcoxonSignedRank(
+        tb(s, dir).events.select(
+          expr("(event_id*37) % 1000").as("a"),
+          expr("(event_id*53) % 1000").as("b")),
+        "a", "b")
+    },
+
     // ---- the STREAMING face of drift-KS (DriftStream.ks): baseline
     //      frozen from even event ids, odd ids folded in 3 batches
     //      through the ReplayGuard protocol — bin-count addition is a

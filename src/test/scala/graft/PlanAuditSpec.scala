@@ -608,7 +608,13 @@ class PlanAuditSpec extends SparkSpec {
             maxBlocks = 64L),
           graft.llm.RankStats.spearman(
             Tables(spark, sfDir).documents.select("doc_id", "n_chars"),
-            "doc_id", "n_chars", maxBlocks = 64L))) {
+            "doc_id", "n_chars", maxBlocks = 64L),
+          graft.llm.RankStats.mannWhitneyPerSlice(
+            Tables(spark, sfDir).documents, "n_chars", "lang",
+            maxBlocks = 64L),
+          graft.llm.RankStats.ksPerSlice(
+            Tables(spark, sfDir).documents, "n_chars", "lang",
+            maxBlocks = 64L))) {
         val plan = out.queryExecution.executedPlan
         val single = plan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -155,6 +155,90 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(stat - 0.3125) < 1e-9)
   }
 
+  test("mannWhitneyPerSlice: two slices reproduce the two-sample U; " +
+    "three slices match slice-vs-rest relabeling") {
+    val two = Seq((1L, "a"), (2L, "a"), (4L, "a"), (3L, "b"), (5L, "b"))
+      .toDF("v", "g")
+    val per = RankStats.mannWhitneyPerSlice(two, "v", "g")
+      .orderBy("slice").collect()
+    assert(per.map(_.getAs[Long]("u_s2")).toSeq === Seq(2L, 10L))
+    assert(per.map(_.getAs[Long]("n_rest")).toSeq === Seq(2L, 3L))
+    // 3 slices: each row must equal the explicit slice-vs-rest binary MW
+    val three = Seq.tabulate(30) { i =>
+      ((i * 13L) % 11L, s"s${i % 3}")
+    }.toDF("v", "g")
+    val got = RankStats.mannWhitneyPerSlice(three, "v", "g")
+      .orderBy("slice").collect()
+    for (r <- got) {
+      val s = r.getAs[String]("slice")
+      val bin = three.withColumn("g",
+        when(col("g") === s, "a").otherwise("b"))
+      val want = RankStats.mannWhitney(bin, "v", "g").head()
+      assert(r.getAs[Long]("u_s2") === want.getAs[Long]("u_a2"),
+        s"slice $s U mismatch")
+      assert(r.getAs[Double]("z") === want.getAs[Double]("z"),
+        s"slice $s z mismatch")
+    }
+  }
+
+  test("ksPerSlice: sup attained just BEFORE a slice step is caught") {
+    // slice A = {5,6}, B = {1,2,3,4}: just before 5 the complement has
+    // fully stepped while A hasn't → D_A = 1 (8 in 2·4 units); the
+    // inclusive-only evaluation would report 4
+    val df = Seq((5L, "A"), (6L, "A"), (1L, "B"), (2L, "B"), (3L, "B"),
+      (4L, "B")).toDF("v", "g")
+    val got = RankStats.ksPerSlice(df, "v", "g").orderBy("slice").collect()
+    val a = got.find(_.getAs[String]("slice") == "A").get
+    assert(a.getAs[Long]("d_num") === 8L)
+    assert(a.getAs[Double]("d") === 1.0)
+    // and the complement slice sees the same D by symmetry
+    val b = got.find(_.getAs[String]("slice") == "B").get
+    assert(b.getAs[Double]("d") === 1.0)
+  }
+
+  test("ksPerSlice: two slices agree with ksTest") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("v", "g")
+    val per = RankStats.ksPerSlice(df, "v", "g").orderBy("slice").collect()
+    val two = RankStats.ksTest(df, "v", "g").head()
+    assert(per.head.getAs[Long]("d_num") === two.getAs[Long]("d_num"))
+    assert(per.head.getAs[Double]("d") === two.getAs[Double]("d"))
+  }
+
+  test("pairedT: hand case and the identical-pairs NULL") {
+    val df = Seq((3L, 2L), (5L, 3L), (7L, 4L)).toDF("a", "b")
+    // d = [1,2,3]: Σd 6, Σd² 14, s² = 1, t = 2/√(1/3) = 3.464102
+    val r = RankStats.pairedT(df, "a", "b").head()
+    assert(r.getAs[Long]("n") === 3L && r.getAs[Long]("sum_d") === 6L)
+    assert(r.getAs[Double]("sum_d2") === 14.0)
+    assert(math.abs(r.getAs[Double]("t") - 3.464102) < 1e-6)
+    val same = Seq((2L, 1L), (3L, 2L)).toDF("a", "b")
+    val r2 = RankStats.pairedT(same, "a", "b").head()
+    assert(r2.isNullAt(r2.fieldIndex("t"))) // constant d → s² = 0
+  }
+
+  test("wilcoxonSignedRank: hand case with zeros and tied |d|") {
+    // d = [0, 1, −1, 2]: zero drops, |d| ranks 1.5, 1.5, 3 →
+    // w_plus2 = 3+6 = 9, w_minus2 = 3, tie (t=2) = 6,
+    // z = (4.5 − 3)/√(3.5 − .125) = 0.816497
+    val df = Seq((5L, 5L), (6L, 5L), (4L, 5L), (7L, 5L)).toDF("a", "b")
+    val r = RankStats.wilcoxonSignedRank(df, "a", "b").head()
+    assert(r.getAs[Long]("n_eff") === 3L)
+    assert(r.getAs[Long]("w_plus2") === 9L)
+    assert(r.getAs[Long]("w_minus2") === 3L)
+    assert(r.getAs[Double]("tie_term") === 6.0)
+    assert(math.abs(r.getAs[Double]("z") - 0.816497) < 1e-6)
+    // rank-sum invariant: w_plus2 + w_minus2 = n_eff(n_eff+1)
+    assert(r.getAs[Long]("w_plus2") + r.getAs[Long]("w_minus2") === 12L)
+  }
+
+  test("wilcoxonSignedRank: all-zero differences give NULL z") {
+    val df = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    val r = RankStats.wilcoxonSignedRank(df, "a", "b").head()
+    assert(r.getAs[Long]("n_eff") === 0L)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("chi2Cells raises on NULL categories") {
     val df = Seq((Some("p"), "1"), (None, "2")).toDF("s", "l")
     val e = intercept[Exception] {
