@@ -363,6 +363,87 @@ object RankStats {
           .as("d"))
   }
 
+  /** Two-sample Wasserstein-1 (earth-mover) distance, exact: with both
+    * ECDFs piecewise-constant, W₁ = ∫|F_a − F_b| dx folds as
+    * Σ over consecutive distinct values of |cum_a·n_b − cum_b·n_a| ·
+    * (next_v − v), in n_a·n_b integer units (`w1_num`, decimal-exact;
+    * `w1` = w1_num/(n_a·n_b) as double). Where KS reports the worst
+    * single point, W₁ reports the total mass×distance to move one
+    * distribution onto the other — the magnitude of a drift, in value
+    * units, which is what a "how bad is it?" alert needs.
+    *
+    * The segment walk needs each distinct value's successor: within a
+    * block that's `lead(v)`; across the boundary the successor is the
+    * NEXT block's minimum, stitched from the block-summary frame (a
+    * lead over ≤ maxBlocks rows) — the two-level idiom extended to
+    * lookahead, still no corpus-sized global window.
+    */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+                   maxBlocks: Long = 1L << 20): DataFrame = {
+    val pre = twoGroupPrefixes(df, valueCol, groupCol, "wasserstein1",
+      maxBlocks)
+    // successor values: re-block the prefix frame the same way
+    val based = Packing.withBoundedBlocks(pre, "_v", maxBlocks)
+    val bmins = based.groupBy("_blk").agg(min("_v").as("_bmin"))
+    val wbLead = Window.orderBy("_blk")
+    val nextMin = bmins.select(col("_blk"),
+      lead(col("_bmin"), 1).over(wbLead).as("_nextBlockMin"))
+    val wLead = Window.partitionBy("_blk").orderBy("_v")
+    val segs = based.join(broadcast(nextMin), Seq("_blk"))
+      .withColumn("_nextV",
+        coalesce(lead(col("_v"), 1).over(wLead), col("_nextBlockMin")))
+      .filter(col("_nextV").isNotNull) // last value: no segment
+    segs.groupBy("group_a", "group_b", "n_a", "n_b")
+      // dev ≤ n_a·n_b (18 digits at 10⁷ rows); gaps can approach the
+      // Long span (20 digits) — product ≤ 10³² sits inside decimal(38)
+      .agg(sum(
+        abs((col("_pre__na") + col("_na")) * col("n_b") -
+          (col("_pre__nb") + col("_nb")) * col("n_a")).cast("decimal(18,0)") *
+          (col("_nextV") - col("_v")).cast("decimal(20,0)"))
+        .cast("double").as("w1_num"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("w1_num"),
+        round(col("w1_num") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("w1"))
+  }
+
+  /** Exact global quantiles WITHOUT a global sort: for each requested
+    * q (in milli-units — the integer-contract house style), the
+    * smallest value whose inclusive cumulative count reaches
+    * ⌈q·n/1000⌉ (type-1 / lower empirical quantile; q = 0 pins the
+    * minimum). One row per q: (q_milli, target_rank, value). The
+    * per-value prefix is the two-level scan; the final step is a
+    * qs-sized broadcast against the distinct-value frame and a
+    * min-aggregate per q — exact medians/deciles at any corpus size,
+    * where approx_percentile trades error for memory and a sort-based
+    * exact quantile single-tasks the corpus.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qMillis: Seq[Long],
+                     maxBlocks: Long = 1L << 20): DataFrame = {
+    require(qMillis.nonEmpty, "exactQuantiles: empty quantile list")
+    require(qMillis.forall(q => q >= 0L && q <= 1000L),
+      s"exactQuantiles: q outside [0, 1000] milli: $qMillis")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vc = df
+      .select(checkedLong(col(valueCol), "exactQuantiles",
+        s"value in $valueCol").as("_v"))
+      .groupBy("_v").agg(count(lit(1)).as("_n"))
+    val pre = withValuePrefixes(vc, Seq("_n"), maxBlocks)
+      .withColumn("_cum", col("_pre__n") + col("_n"))
+    val tot = vc.agg(sum("_n").as("_tot"))
+    val qs = qMillis.distinct.sorted.toDF("q_milli")
+      .crossJoin(broadcast(tot))
+      // ceil(q·n/1000) without doubles; q = 0 → rank 1 (the minimum)
+      .withColumn("target_rank",
+        greatest(expr("(q_milli * _tot + 999) div 1000"), lit(1L)))
+    pre.join(broadcast(qs), col("_cum") >= col("target_rank"))
+      .groupBy("q_milli", "target_rank")
+      .agg(min("_v").as("value"))
+      .orderBy("q_milli")
+  }
+
   /** Paired t-test over integer metric pairs (a, b): one row with the
     * exact difference sums (Σd as long, Σd² exact in decimal → double)
     * and the t statistic from the closed form

@@ -228,6 +228,52 @@ object StatsQueries {
         .orderBy("slice")
     },
 
+    // ---- Wasserstein-1 (RankStats.wasserstein1): HOW FAR did the
+    //      purchase-value distribution sit from view values, in value
+    //      units — Σ |ECDF dev| · segment width, decimal-exact; the
+    //      magnitude complement to KS's worst-point ----
+    "q_stat_wasserstein" -> Q(
+      s"""WITH ${twoSampleCte(
+           "SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v " +
+             "FROM events WHERE event_type IN ('purchase', 'view')")},
+        |seg AS (SELECT v, pa+na AS ca, pb+nb AS cb,
+        |               lead(v) OVER (ORDER BY v) AS nv FROM p),
+        |a AS (SELECT CAST(sum(abs(ca * (SELECT n_b FROM h)
+        |                           - cb * (SELECT n_a FROM h)) * (nv - v)) AS DOUBLE) AS w1_num
+        |      FROM seg WHERE nv IS NOT NULL)
+        |SELECT h.group_a, h.group_b, h.n_a, h.n_b, a.w1_num,
+        |  round(a.w1_num / (CAST(h.n_a AS DOUBLE) * CAST(h.n_b AS DOUBLE)), 6) AS w1
+        |FROM h, a""".stripMargin) { (s, dir) =>
+      RankStats.wasserstein1(
+        tb(s, dir).events
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"), floor(col("value") * 100).as("v")),
+        "v", "event_type")
+    },
+
+    // ---- exact global quantiles (RankStats.exactQuantiles): deciles/
+    //      tails of line-item price with NO global sort and NO
+    //      approximation — type-1 lower quantile, smallest value whose
+    //      cumulative count reaches ceil(q·n/1000) ----
+    "q_stat_exact_quantiles" -> Q(
+      """WITH r AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem),
+        |vc AS (SELECT v, count(*) AS c FROM r GROUP BY v),
+        |p AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM vc),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |q AS (SELECT CAST(unnest([0, 250, 500, 750, 900, 990, 1000]) AS BIGINT) AS q_milli),
+        |tr AS (SELECT q_milli,
+        |              CAST(greatest((q_milli * t.n + 999) // 1000, 1) AS BIGINT) AS target_rank
+        |       FROM q, t)
+        |SELECT tr.q_milli, tr.target_rank, CAST(min(p.v) AS BIGINT) AS value
+        |FROM tr JOIN p ON p.cum >= tr.target_rank
+        |GROUP BY tr.q_milli, tr.target_rank
+        |ORDER BY tr.q_milli""".stripMargin) { (s, dir) =>
+      RankStats.exactQuantiles(
+        tb(s, dir).lineitem.select(floor(col("l_extendedprice")).as("v")),
+        "v", Seq(0L, 250L, 500L, 750L, 900L, 990L, 1000L))
+    },
+
     // ---- paired t-test (RankStats.pairedT): two deterministic scorers
     //      on the same events; exact Σd/Σd² integers, t from the
     //      mirrored closed form ----

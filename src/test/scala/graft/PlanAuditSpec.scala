@@ -614,7 +614,12 @@ class PlanAuditSpec extends SparkSpec {
             maxBlocks = 64L),
           graft.llm.RankStats.ksPerSlice(
             Tables(spark, sfDir).documents, "n_chars", "lang",
-            maxBlocks = 64L))) {
+            maxBlocks = 64L),
+          graft.llm.RankStats.wasserstein1(docs, "n_chars", "lang",
+            maxBlocks = 64L),
+          graft.llm.RankStats.exactQuantiles(
+            Tables(spark, sfDir).documents.select("n_chars"),
+            "n_chars", Seq(500L, 900L), maxBlocks = 64L))) {
         val plan = out.queryExecution.executedPlan
         val single = plan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -239,6 +239,36 @@ class RankStatsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("wasserstein1: hand case, block-boundary stitch, identical = 0") {
+    // A = {1,2,3}, B = {3,5}: ∫|Fa−Fb| = 1/3 + 2/3 + 1/2·2 = 2
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (5L, "b"))
+      .toDF("v", "g")
+    val r = RankStats.wasserstein1(df, "v", "g").head()
+    assert(r.getAs[Double]("w1_num") === 12.0) // in n_a·n_b = 6 units
+    assert(r.getAs[Double]("w1") === 2.0)
+    // tiny blocks force the successor to cross block boundaries
+    val rb = RankStats.wasserstein1(df, "v", "g", maxBlocks = 2).head()
+    assert(rb.getAs[Double]("w1_num") === 12.0)
+    val same = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")).toDF("v", "g")
+    assert(RankStats.wasserstein1(same, "v", "g").head()
+      .getAs[Double]("w1") === 0.0)
+  }
+
+  test("exactQuantiles: type-1 lower quantiles, ties, q = 0 pins the min") {
+    val df = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val got = RankStats.exactQuantiles(df, "v", Seq(0L, 250L, 500L, 1000L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L, 10L), (250L, 1L, 10L), (500L, 2L, 20L),
+      (1000L, 4L, 40L)))
+    val ties = Seq(1L, 1L, 1L, 9L).toDF("v")
+    val t = RankStats.exactQuantiles(ties, "v", Seq(750L, 1000L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t === Seq((750L, 3L, 1L), (1000L, 4L, 9L)))
+    intercept[IllegalArgumentException] {
+      RankStats.exactQuantiles(df, "v", Seq(1001L))
+    }
+  }
+
   test("chi2Cells raises on NULL categories") {
     val df = Seq((Some("p"), "1"), (None, "2")).toDF("s", "l")
     val e = intercept[Exception] {
