@@ -1170,4 +1170,54 @@ object TextAnalysis {
       nCtrl.as("n_control"),
       (nRepl + nMoji + nCtrl === 0L).as("clean"))
   }
+
+  /** Compression-ratio quality signal: raw-DEFLATE each document (JDK
+    * zlib, fixed level, no header so the ratio is pure content) and
+    * report `ratio_milli` = 1000·deflated/original UTF-8 bytes. Text
+    * that compresses far below the corpus norm is repetitive
+    * boilerplate/spam; far above is high-entropy noise (binary-in-text,
+    * encrypted blobs) — the cheap single-pass filter the shingle-based
+    * [[repetitionStats]] complements with exact n-gram evidence.
+    *
+    * mapPartitions, not a Column: DEFLATE has no Catalyst expression
+    * and no SQL-oracle equivalent (the [[graft.llm.Multimodal]] codec
+    * stance), so verification is property-based (TextAnalysisSpec:
+    * repetitive ≪ random, bounds, empty/null handling) rather than a
+    * DuckDB replay. One Deflater per partition, reset per row — no
+    * per-row native allocation. Determinism: fixed input + fixed level
+    * is deterministic within a JVM/zlib build, which is the cluster
+    * deployment unit; the spec pins properties, not byte counts.
+    */
+  def compressionRatio(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_deflate",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ratio_milli",
+        org.apache.spark.sql.types.LongType)))
+    val rdd = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .filter(col(idCol).isNotNull).rdd
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { r =>
+          val s = if (r.isNullAt(1)) "" else r.getString(1)
+          val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          org.apache.spark.sql.Row(r.getLong(0), in.length.toLong, out,
+            out * 1000L / math.max(1L, in.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -610,4 +610,41 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("compressionRatio: repetitive text compresses far below noisy " +
+      "text; bounds and degenerate rows hold") {
+    val rep = "spam spam spam " * 200
+    // deterministic pseudo-noise (seeded PRNG — an arithmetic
+    // progression mod 94 is itself highly compressible)
+    val rng = new scala.util.Random(42)
+    val noise = Seq.fill(3000)((rng.nextInt(94) + 33).toChar).mkString
+    val docs = Seq((1L, rep), (2L, noise), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    val repRatio = byId(1L).getAs[Long]("ratio_milli")
+    val noiseRatio = byId(2L).getAs[Long]("ratio_milli")
+    assert(repRatio < 100L, s"repetitive text should crush: $repRatio")
+    assert(noiseRatio > 700L, s"noise should resist: $noiseRatio")
+    assert(byId(1L).getAs[Long]("n_bytes") === rep.length.toLong)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_deflate") > 0L) // deflate of "" is 2 bytes
+      assert(r.getAs[Long]("ratio_milli") >= 0L)
+    }
+    // empty and null text: n_bytes 0, ratio 0 via the max(1,·) guard...
+    assert(byId(3L).getAs[Long]("n_bytes") === 0L)
+    assert(byId(4L).getAs[Long]("n_bytes") === 0L)
+  }
+
+  test("compressionRatio is stable across partitionings (per-partition " +
+      "Deflater reset cannot leak state between rows)") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"doc $i " * (i + 1)))
+      .toDF("doc_id", "text")
+    val one = TextAnalysis.compressionRatio(docs.coalesce(1),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val many = TextAnalysis.compressionRatio(docs.repartition(7),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(one === many)
+  }
 }
