@@ -45,7 +45,8 @@ object RankStats {
     * [[Packing.withStreamOffsets]], run over the distinct-value frame.
     */
   private def withValuePrefixes(vc: DataFrame, measures: Seq[String],
-                                maxBlocks: Long): DataFrame = {
+                                maxBlocks: Long,
+                                retainBlk: Boolean = false): DataFrame = {
     val base = Packing.withBoundedBlocks(vc, "_v", maxBlocks)
     val blk = base.groupBy("_blk")
       .agg(measures.map(m => sum(col(m)).as(s"_bs_$m")).head,
@@ -58,11 +59,27 @@ object RankStats {
         coalesce(sum(col(s"_bs_$m")).over(wb), lit(0L)).as(s"_bo_$m")): _*)
     val wIn = Window.partitionBy("_blk").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val dropCols =
+      (if (retainBlk) Seq.empty[String] else Seq("_blk")) ++
+        measures.map(m => s"_bo_$m")
     measures.foldLeft(base.join(broadcast(offs), Seq("_blk"))) { (d, m) =>
       d.withColumn(s"_pre_$m",
         col(s"_bo_$m") + coalesce(sum(col(m)).over(wIn), lit(0L)))
-    }.drop("_blk" +: measures.map(m => s"_bo_$m"): _*)
+    }.drop(dropCols: _*)
   }
+
+  /** Named-overflow long cast for a decimal rank-sum aggregate: rank
+    * sums reach N(N+1) and silently wrap a non-ANSI Long past ~3×10⁹
+    * rows, three orders of magnitude before the decimal tie terms
+    * strain — accumulate in decimal(38,0) and fail loudly at the Long
+    * boundary instead (the withBoundedBlocks span-guard stance).
+    */
+  private def checkedRankSum(sumDec: Column, op: String): Column =
+    when(sumDec > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(concat(
+        lit(s"$op: rank sum overflows Long ("), sumDec.cast("string"),
+        lit(") — the 2x rank algebra is exact only below 2^63"))))
+      .otherwise(sumDec).cast("long")
 
   /** Tie-averaged ranks in 2× integer units, one row per DISTINCT
     * value: (value, n, rank2) with rank2 = 2·(count below) + n + 1 —
@@ -106,7 +123,8 @@ object RankStats {
     */
   private def twoGroupPrefixes(df: DataFrame, valueCol: String,
                                groupCol: String, op: String,
-                               maxBlocks: Long): DataFrame = {
+                               maxBlocks: Long,
+                               retainBlk: Boolean = false): DataFrame = {
     val rows = df.select(
       checkedLong(col(valueCol), op, s"value in $valueCol").as("_v"),
       when(col(groupCol).isNull,
@@ -118,7 +136,8 @@ object RankStats {
       .agg(sum(when(col("_g") === col("group_a"), 1L).otherwise(0L))
         .as("_na"),
         sum(when(col("_g") === col("group_b"), 1L).otherwise(0L)).as("_nb"))
-    withValuePrefixes(vc, Seq("_na", "_nb"), maxBlocks)
+    withValuePrefixes(vc, Seq("_na", "_nb"), maxBlocks,
+      retainBlk = retainBlk)
       .crossJoin(broadcast(hdr))
   }
 
@@ -138,8 +157,10 @@ object RankStats {
       maxBlocks)
     pre.groupBy("group_a", "group_b", "n_a", "n_b")
       .agg(
-        sum(col("_na") * (lit(2L) * (col("_pre__na") + col("_pre__nb")) +
-          col("_na") + col("_nb") + 1L)).as("r_a2"),
+        checkedRankSum(sum(col("_na").cast("decimal(18,0)") *
+          (lit(2L) * (col("_pre__na") + col("_pre__nb")) +
+            col("_na") + col("_nb") + 1L).cast("decimal(19,0)")),
+          "mannWhitney").as("r_a2"),
         // decimal(12,0) keeps the product precision at (38,0) without
         // hitting Spark's 38-digit multiplication cap (t ≤ 10¹² rows)
         sum((col("_na") + col("_nb")).cast("decimal(12,0)") *
@@ -174,7 +195,9 @@ object RankStats {
     * (`d_at`, deterministic tiebreak). ECDFs step at the combined
     * sample's distinct values, so evaluating the inclusive cumulative
     * counts there is exact, and the deviation algebra
-    * |cum_a·n_b − cum_b·n_a| never leaves Long. KS reacts to ANY
+    * |cum_a·n_b − cum_b·n_a| never leaves Long while n_a·n_b < 2⁶³
+    * (n ≲ 6×10⁹ balanced — the ECDF-deviation domain shared with
+    * [[ksPerSlice]]/[[wasserstein1]]). KS reacts to ANY
     * distribution change (shape, not just location) — the stricter
     * sibling of [[mannWhitney]]'s shift test.
     */
@@ -184,15 +207,14 @@ object RankStats {
       .withColumn("_dev",
         abs((col("_pre__na") + col("_na")) * col("n_b") -
           (col("_pre__nb") + col("_nb")) * col("n_a")))
-    val mx = devs.groupBy("group_a", "group_b", "n_a", "n_b")
-      .agg(max(col("_dev")).as("d_num"))
-    devs.join(broadcast(mx), Seq("group_a", "group_b", "n_a", "n_b"))
-      .filter(col("_dev") === col("d_num"))
-      .groupBy("group_a", "group_b", "n_a", "n_b", "d_num")
-      .agg(min(col("_v")).as("d_at"))
+    // single-pass deterministic argmax (max dev, then MIN value): ~v
+    // reverses the value order without the -v overflow at Long.MinValue
+    devs.groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(max(struct(col("_dev").as("dev"),
+        bitwise_not(col("_v")).as("nv"))).as("_m"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
-        col("d_num"), col("d_at"),
-        round(col("d_num").cast("double") /
+        col("_m.dev").as("d_num"), bitwise_not(col("_m.nv")).as("d_at"),
+        round(col("_m.dev").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("d"))
   }
@@ -287,7 +309,10 @@ object RankStats {
     rows.groupBy("_s", "_v").agg(count(lit(1)).as("_nsv"))
       .join(ranked, Seq("_v"))
       .groupBy("_s")
-      .agg(sum("_nsv").as("n_s"), sum(col("_nsv") * col("_rank2")).as("r_s2"))
+      .agg(sum("_nsv").as("n_s"),
+        checkedRankSum(sum(col("_nsv").cast("decimal(18,0)") *
+          col("_rank2").cast("decimal(19,0)")), "mannWhitneyPerSlice")
+          .as("r_s2"))
       .crossJoin(broadcast(globals))
       .withColumn("n_rest", col("_tot") - col("n_s"))
       .withColumn("u_s2", col("r_s2") - col("n_s") * (col("n_s") + 1L))
@@ -380,10 +405,13 @@ object RankStats {
     */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
                    maxBlocks: Long = 1L << 20): DataFrame = {
-    val pre = twoGroupPrefixes(df, valueCol, groupCol, "wasserstein1",
-      maxBlocks)
-    // successor values: re-block the prefix frame the same way
-    val based = Packing.withBoundedBlocks(pre, "_v", maxBlocks)
+    // retainBlk: the successor stitch reuses the SAME blocking the
+    // prefix scan assigned — no second min/max pass or re-block join.
+    // The block-minima aggregate and the segment join both traverse
+    // this lineage (deliberate: caching would pin a distinct-value
+    // frame that can approach corpus size; the recompute is one scan)
+    val based = twoGroupPrefixes(df, valueCol, groupCol, "wasserstein1",
+      maxBlocks, retainBlk = true)
     val bmins = based.groupBy("_blk").agg(min("_v").as("_bmin"))
     val wbLead = Window.orderBy("_blk")
     val nextMin = bmins.select(col("_blk"),
@@ -493,8 +521,10 @@ object RankStats {
           .as("_tts"))
     val agg = nz.join(ranked, Seq("_ad"))
       .agg(count(lit(1)).as("n_eff"),
-        sum(when(col("_d") > 0L, col("rank2")).otherwise(0L)).as("w_plus2"),
-        sum(when(col("_d") < 0L, col("rank2")).otherwise(0L)).as("w_minus2"),
+        checkedRankSum(sum(when(col("_d") > 0L, col("rank2")).otherwise(0L)
+          .cast("decimal(19,0)")), "wilcoxonSignedRank").as("w_plus2"),
+        checkedRankSum(sum(when(col("_d") < 0L, col("rank2")).otherwise(0L)
+          .cast("decimal(19,0)")), "wilcoxonSignedRank").as("w_minus2"),
         sum(col("_tts")).cast("double").as("tie_term"))
     val nd = col("n_eff").cast("double")
     val sig2 = nd * (nd + 1.0) * (lit(2.0) * nd + 1.0) / 24.0 -

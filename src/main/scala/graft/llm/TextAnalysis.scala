@@ -1173,7 +1173,8 @@ object TextAnalysis {
 
   /** Compression-ratio quality signal: raw-DEFLATE each document (JDK
     * zlib, fixed level, no header so the ratio is pure content) and
-    * report `ratio_milli` = 1000·deflated/original UTF-8 bytes. Text
+    * report `ratio_milli` = 1000·deflated/original UTF-8 bytes (NULL
+    * for empty/NULL text — no content, no signal). Text
     * that compresses far below the corpus norm is repetitive
     * boilerplate/spam; far above is high-entropy noise (binary-in-text,
     * encrypted blobs) — the cheap single-pass filter the shingle-based
@@ -1200,11 +1201,21 @@ object TextAnalysis {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ratio_milli",
         org.apache.spark.sql.types.LongType)))
+    // NULL ids raise loudly (the RankStats checkedLong stance — a
+    // silently dropped row makes the quality report incomplete);
+    // empty/NULL text has NO content signal, so ratio_milli is NULL
+    // there rather than the 2000 the 2-byte empty-deflate would imply
+    // (which would out-noise every real document)
     val rdd = df
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .filter(col(idCol).isNotNull).rdd
+      .select(when(col(idCol).isNull,
+        raise_error(lit(s"compressionRatio: NULL id in $idCol")))
+        .otherwise(col(idCol)).cast("long"),
+        col(textCol).cast("string"))
+      .rdd
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, true)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { r =>
           val s = if (r.isNullAt(1)) "" else r.getString(1)
@@ -1215,7 +1226,7 @@ object TextAnalysis {
           var out = 0L
           while (!deflater.finished()) out += deflater.deflate(buf)
           org.apache.spark.sql.Row(r.getLong(0), in.length.toLong, out,
-            out * 1000L / math.max(1L, in.length.toLong))
+            if (in.length == 0) null else out * 1000L / in.length.toLong)
         }
       }
     spark.createDataFrame(rdd, schema)

@@ -630,11 +630,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L).getAs[Long]("n_bytes") === rep.length.toLong)
     got.foreach { r =>
       assert(r.getAs[Long]("n_deflate") > 0L) // deflate of "" is 2 bytes
-      assert(r.getAs[Long]("ratio_milli") >= 0L)
     }
-    // empty and null text: n_bytes 0, ratio 0 via the max(1,·) guard...
-    assert(byId(3L).getAs[Long]("n_bytes") === 0L)
-    assert(byId(4L).getAs[Long]("n_bytes") === 0L)
+    // empty and null text: no content → NULL ratio (NOT the 2000 the
+    // 2-byte empty deflate would imply, which would out-noise any
+    // real document)
+    for (id <- Seq(3L, 4L)) {
+      assert(byId(id).getAs[Long]("n_bytes") === 0L)
+      assert(byId(id).isNullAt(byId(id).fieldIndex("ratio_milli")))
+    }
+  }
+
+  test("compressionRatio raises on a NULL id instead of dropping the row") {
+    val docs = Seq((Some(1L), "ok"), (None, "lost")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.compressionRatio(docs, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("NULL id"))
   }
 
   test("compressionRatio is stable across partitionings (per-partition " +
