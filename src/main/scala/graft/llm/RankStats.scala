@@ -472,6 +472,53 @@ object RankStats {
       .orderBy("q_milli")
   }
 
+  /** Exact per-group quantiles, same contract as [[exactQuantiles]]
+    * (type-1 lower, q in milli-units, q = 0 pins the group minimum),
+    * one row per (group, q): the "median and p90 length per source"
+    * table, exact at any scale. Per-(group, value) counts take one
+    * keyed shuffle; the per-group prefix is the slice-keyed two-level
+    * scan (the [[ksPerSlice]] blocking — a hot group spreads over its
+    * value blocks); targets join back on the GROUP key (equi join +
+    * a cumulative-count filter), so no nested-loop anywhere.
+    */
+  def groupedQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+                       qMillis: Seq[Long],
+                       maxBlocks: Long = 1L << 20): DataFrame = {
+    require(qMillis.nonEmpty, "groupedQuantiles: empty quantile list")
+    require(qMillis.forall(q => q >= 0L && q <= 1000L),
+      s"groupedQuantiles: q outside [0, 1000] milli: $qMillis")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+      checkedLong(col(valueCol), "groupedQuantiles",
+        s"value in $valueCol").as("_v"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"groupedQuantiles: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("_g"))
+    val gv = rows.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
+    val base = Packing.withBoundedBlocks(gv, "_v", maxBlocks)
+    val blk = base.groupBy("_g", "_blk").agg(sum("_n").as("_bs"))
+    val wb = Window.partitionBy("_g").orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blk.select(col("_g"), col("_blk"),
+      coalesce(sum("_bs").over(wb), lit(0L)).as("_bo"))
+    val wIn = Window.partitionBy("_g", "_blk").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = base.join(offs, Seq("_g", "_blk"))
+      .withColumn("_cum", col("_bo") + sum("_n").over(wIn))
+    val gTot = gv.groupBy("_g").agg(sum("_n").as("_tot"))
+    val qs = qMillis.distinct.sorted.toDF("q_milli")
+    val targets = gTot.crossJoin(broadcast(qs))
+      .withColumn("target_rank",
+        greatest(expr("(q_milli * _tot + 999) div 1000"), lit(1L)))
+      .select(col("_g"), col("q_milli"), col("target_rank"))
+    cum.join(targets, Seq("_g"))
+      .filter(col("_cum") >= col("target_rank"))
+      .groupBy(col("_g").as("group"), col("q_milli"), col("target_rank"))
+      .agg(min("_v").as("value"))
+      .orderBy("group", "q_milli")
+  }
+
   /** Paired t-test over integer metric pairs (a, b): one row with the
     * exact difference sums (Σd as long, Σd² exact in decimal → double)
     * and the t statistic from the closed form

@@ -274,6 +274,28 @@ object StatsQueries {
         "v", Seq(0L, 250L, 500L, 750L, 900L, 990L, 1000L))
     },
 
+    // ---- per-group exact quantiles (RankStats.groupedQuantiles):
+    //      min/median/p90/max document length per language, exact,
+    //      through the slice-keyed two-level scan ----
+    "q_stat_group_quantiles" -> Q(
+      """WITH r AS (SELECT lang AS g, n_chars AS v FROM documents),
+        |gv AS (SELECT g, v, count(*) AS c FROM r GROUP BY g, v),
+        |p AS (SELECT g, v, CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM gv),
+        |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY g),
+        |q AS (SELECT CAST(unnest([0, 500, 900, 1000]) AS BIGINT) AS q_milli),
+        |tr AS (SELECT t.g, q.q_milli,
+        |              CAST(greatest((q.q_milli * t.n + 999) // 1000, 1) AS BIGINT) AS target_rank
+        |       FROM t CROSS JOIN q)
+        |SELECT tr.g AS "group", tr.q_milli, tr.target_rank,
+        |       CAST(min(p.v) AS BIGINT) AS value
+        |FROM tr JOIN p ON p.g = tr.g AND p.cum >= tr.target_rank
+        |GROUP BY tr.g, tr.q_milli, tr.target_rank
+        |ORDER BY "group", tr.q_milli""".stripMargin) { (s, dir) =>
+      RankStats.groupedQuantiles(tb(s, dir).documents, "n_chars", "lang",
+        Seq(0L, 500L, 900L, 1000L))
+    },
+
     // ---- paired t-test (RankStats.pairedT): two deterministic scorers
     //      on the same events; exact Σd/Σd² integers, t from the
     //      mirrored closed form ----

@@ -269,6 +269,17 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantiles: per-group type-1 quantiles with blocked values") {
+    val df = Seq(("x", 10L), ("x", 20L), ("x", 30L), ("x", 40L),
+      ("y", 7L), ("y", 7L), ("y", 9L)).toDF("g", "v")
+    val got = RankStats.groupedQuantiles(df, "v", "g",
+      Seq(0L, 500L, 1000L), maxBlocks = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("x", 0L, 1L, 10L), ("x", 500L, 2L, 20L), ("x", 1000L, 4L, 40L),
+      ("y", 0L, 1L, 7L), ("y", 500L, 2L, 7L), ("y", 1000L, 3L, 9L)))
+  }
+
   test("chi2Cells raises on NULL categories") {
     val df = Seq((Some("p"), "1"), (None, "2")).toDF("s", "l")
     val e = intercept[Exception] {
