@@ -388,6 +388,34 @@ object RankStats {
           .as("d"))
   }
 
+  /** Two-sample Cramér–von Mises statistic, exact: with the combined
+    * sample's ECDFs evaluated at every sample point,
+    * T = n_a·n_b/(n_a+n_b)² · Σ over all N points (F_a − F_b)², which
+    * in integer units is Σ over distinct values of
+    * count(v)·dev(v)² / (n_a·n_b·(n_a+n_b)²) with
+    * dev = cum_a·n_b − cum_b·n_a (`t_num` carries the decimal-exact
+    * numerator as double; `t` the statistic). The L² member of the
+    * family — KS is the sup, [[wasserstein1]] the L¹-over-x — and the
+    * most sensitive of the three to broad mid-distribution shifts a
+    * single extreme point doesn't dominate.
+    */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+                     maxBlocks: Long = 1L << 20): DataFrame = {
+    val pre = twoGroupPrefixes(df, valueCol, groupCol, "cramerVonMises",
+      maxBlocks)
+    val dev = ((col("_pre__na") + col("_na")) * col("n_b") -
+      (col("_pre__nb") + col("_nb")) * col("n_a")).cast("decimal(18,0)")
+    pre.groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(sum(dev * dev * (col("_na") + col("_nb")).cast("decimal(12,0)"))
+        .cast("double").as("t_num"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("t_num"),
+        round(col("t_num") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            (col("n_a") + col("n_b")).cast("double") *
+            (col("n_a") + col("n_b")).cast("double")), 6).as("t"))
+  }
+
   /** Two-sample Wasserstein-1 (earth-mover) distance, exact: with both
     * ECDFs piecewise-constant, W₁ = ∫|F_a − F_b| dx folds as
     * Σ over consecutive distinct values of |cum_a·n_b − cum_b·n_a| ·

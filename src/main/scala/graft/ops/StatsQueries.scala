@@ -228,6 +228,30 @@ object StatsQueries {
         .orderBy("slice")
     },
 
+    // ---- Cramér–von Mises (RankStats.cramerVonMises): the L² ECDF
+    //      statistic over the same two samples — broad mid-shift
+    //      sensitivity next to KS's single worst point ----
+    "q_stat_cvm" -> Q(
+      s"""WITH ${twoSampleCte(
+           "SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v " +
+             "FROM events WHERE event_type IN ('purchase', 'view')")},
+        |a AS (SELECT CAST(sum(
+        |        ((pa+na) * (SELECT n_b FROM h) - (pb+nb) * (SELECT n_a FROM h))
+        |        * ((pa+na) * (SELECT n_b FROM h) - (pb+nb) * (SELECT n_a FROM h))
+        |        * (na+nb)) AS DOUBLE) AS t_num
+        |      FROM p)
+        |SELECT h.group_a, h.group_b, h.n_a, h.n_b, a.t_num,
+        |  round(a.t_num / (CAST(h.n_a AS DOUBLE) * CAST(h.n_b AS DOUBLE)
+        |                   * CAST(h.n_a + h.n_b AS DOUBLE)
+        |                   * CAST(h.n_a + h.n_b AS DOUBLE)), 6) AS t
+        |FROM h, a""".stripMargin) { (s, dir) =>
+      RankStats.cramerVonMises(
+        tb(s, dir).events
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_type"), floor(col("value") * 100).as("v")),
+        "v", "event_type")
+    },
+
     // ---- Wasserstein-1 (RankStats.wasserstein1): HOW FAR did the
     //      purchase-value distribution sit from view values, in value
     //      units — Σ |ECDF dev| · segment width, decimal-exact; the

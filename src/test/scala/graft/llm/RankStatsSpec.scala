@@ -239,6 +239,19 @@ class RankStatsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("cramerVonMises: hand case and identical samples") {
+    // A = {1,2,3}, B = {3,5}: devs in 6ths at v=1,2,3,5: 2,4,3,0 with
+    // counts 1,1,2,1 → t_num = 4+16+2·9 = 38; T = 38/(6·25) = 0.253333
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (5L, "b"))
+      .toDF("v", "g")
+    val r = RankStats.cramerVonMises(df, "v", "g").head()
+    assert(r.getAs[Double]("t_num") === 38.0)
+    assert(math.abs(r.getAs[Double]("t") - 38.0 / 150.0) < 1e-6)
+    val same = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")).toDF("v", "g")
+    assert(RankStats.cramerVonMises(same, "v", "g").head()
+      .getAs[Double]("t") === 0.0)
+  }
+
   test("wasserstein1: hand case, block-boundary stitch, identical = 0") {
     // A = {1,2,3}, B = {3,5}: ∫|Fa−Fb| = 1/3 + 2/3 + 1/2·2 = 2
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (5L, "b"))
