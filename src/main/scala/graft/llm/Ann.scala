@@ -106,6 +106,31 @@ object Ann {
     }
   }
 
+  /** Integer-exact ±1-hyperplane projections: one row per (id, j) with
+    * `proj` = Σ_i ⌊v_i·1000⌋·sign(j, i) — each FLOAT component is
+    * quantized to milli-units BEFORE the signed sum, so the reduction
+    * is commutative integer addition and the projection is bit-stable
+    * across partition orders AND engines (a float dot product's sum
+    * order is not). The 1-d shadows behind sliced-Wasserstein /
+    * per-direction KS embedding drift: distribution change in the
+    * vector space shows up in its random 1-d projections
+    * (Cramér–Wold), and 1-d lets the exact ECDF machinery
+    * ([[graft.llm.RankStats]]) run at full scale. Same md5-parity
+    * hyperplanes as [[lshBuckets]] — reproducible in any engine.
+    */
+  def intProjections(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int = 64, dirs: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs = hyperplaneSigns(dim, dirs).toDF("j", "i", "sign")
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("p", "v")))
+      .withColumn("i", col("p") + 1).drop("p")
+      .join(broadcast(signs), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(floor(col("v").cast("double") * 1000.0) *
+        col("sign").cast("long")).as("proj"))
+  }
+
   /** 8-bit LSH bucket per vector: bucket = Σ_j [dot(v, h_j) > 0]·2^j.
     * One posexplode + broadcast join + two aggregations — map-side heavy,
     * shuffles only (id, j) partials.

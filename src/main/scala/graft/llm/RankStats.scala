@@ -45,8 +45,7 @@ object RankStats {
     * [[Packing.withStreamOffsets]], run over the distinct-value frame.
     */
   private def withValuePrefixes(vc: DataFrame, measures: Seq[String],
-                                maxBlocks: Long,
-                                retainBlk: Boolean = false): DataFrame = {
+                                maxBlocks: Long): DataFrame = {
     val base = Packing.withBoundedBlocks(vc, "_v", maxBlocks)
     val blk = base.groupBy("_blk")
       .agg(measures.map(m => sum(col(m)).as(s"_bs_$m")).head,
@@ -59,13 +58,10 @@ object RankStats {
         coalesce(sum(col(s"_bs_$m")).over(wb), lit(0L)).as(s"_bo_$m")): _*)
     val wIn = Window.partitionBy("_blk").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val dropCols =
-      (if (retainBlk) Seq.empty[String] else Seq("_blk")) ++
-        measures.map(m => s"_bo_$m")
     measures.foldLeft(base.join(broadcast(offs), Seq("_blk"))) { (d, m) =>
       d.withColumn(s"_pre_$m",
         col(s"_bo_$m") + coalesce(sum(col(m)).over(wIn), lit(0L)))
-    }.drop(dropCols: _*)
+    }.drop("_blk" +: measures.map(m => s"_bo_$m"): _*)
   }
 
   /** Named-overflow long cast for a decimal rank-sum aggregate: rank
@@ -123,8 +119,7 @@ object RankStats {
     */
   private def twoGroupPrefixes(df: DataFrame, valueCol: String,
                                groupCol: String, op: String,
-                               maxBlocks: Long,
-                               retainBlk: Boolean = false): DataFrame = {
+                               maxBlocks: Long): DataFrame = {
     val rows = df.select(
       checkedLong(col(valueCol), op, s"value in $valueCol").as("_v"),
       when(col(groupCol).isNull,
@@ -136,8 +131,7 @@ object RankStats {
       .agg(sum(when(col("_g") === col("group_a"), 1L).otherwise(0L))
         .as("_na"),
         sum(when(col("_g") === col("group_b"), 1L).otherwise(0L)).as("_nb"))
-    withValuePrefixes(vc, Seq("_na", "_nb"), maxBlocks,
-      retainBlk = retainBlk)
+    withValuePrefixes(vc, Seq("_na", "_nb"), maxBlocks)
       .crossJoin(broadcast(hdr))
   }
 
@@ -432,33 +426,81 @@ object RankStats {
     * lookahead, still no corpus-sized global window.
     */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
-                   maxBlocks: Long = 1L << 20): DataFrame = {
-    // retainBlk: the successor stitch reuses the SAME blocking the
-    // prefix scan assigned — no second min/max pass or re-block join.
-    // The block-minima aggregate and the segment join both traverse
-    // this lineage (deliberate: caching would pin a distinct-value
-    // frame that can approach corpus size; the recompute is one scan)
-    val based = twoGroupPrefixes(df, valueCol, groupCol, "wasserstein1",
-      maxBlocks, retainBlk = true)
-    val bmins = based.groupBy("_blk").agg(min("_v").as("_bmin"))
-    val wbLead = Window.orderBy("_blk")
-    val nextMin = bmins.select(col("_blk"),
+                   maxBlocks: Long = 1L << 20): DataFrame =
+    wassersteinByKey(df.withColumn("_wkey", lit("all")), "_wkey",
+      valueCol, groupCol, maxBlocks).drop("key")
+
+  /** [[wasserstein1]] computed independently per key, in one pass: k
+    * keys cost one (key, value) shuffle with every window partitioned
+    * by key — the engine behind sliced-Wasserstein embedding drift
+    * (key = projection direction) and per-day/per-shard drift tables
+    * (key = partition). Group labels are validated GLOBALLY (the same
+    * two groups must span all keys); n_a/n_b are per key. Output one
+    * row per key: (key, group_a, group_b, n_a, n_b, w1_num, w1).
+    *
+    * Scale posture: value blocks are shared across keys (one span
+    * pass); block summaries are (keys × ≤maxBlocks) rows windowed per
+    * key; the successor stitch is lead-within-(key, block) plus the
+    * next block's per-key minimum — the [[wasserstein1]] two-level
+    * lookahead, key-partitioned throughout. The block-minima aggregate
+    * and the segment join both traverse the prefix lineage
+    * (deliberate: caching would pin a frame that can approach corpus
+    * size; the recompute is one scan).
+    */
+  def wassersteinByKey(df: DataFrame, keyCol: String, valueCol: String,
+                       groupCol: String,
+                       maxBlocks: Long = 1L << 20): DataFrame = {
+    val rows = df.select(
+      when(col(keyCol).isNull,
+        raise_error(lit(s"wassersteinByKey: NULL key in $keyCol")))
+        .otherwise(col(keyCol)).cast("string").as("_k"),
+      checkedLong(col(valueCol), "wassersteinByKey",
+        s"value in $valueCol").as("_v"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"wassersteinByKey: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("_g"))
+    val hdr = twoGroupHeader(rows).select("group_a", "group_b")
+    val kv = rows.crossJoin(broadcast(hdr))
+      .groupBy("_k", "_v")
+      .agg(sum(when(col("_g") === col("group_a"), 1L).otherwise(0L))
+        .as("_na"),
+        sum(when(col("_g") === col("group_b"), 1L).otherwise(0L)).as("_nb"))
+    val kt = kv.groupBy("_k")
+      .agg(sum("_na").as("n_a"), sum("_nb").as("n_b"))
+    val base = Packing.withBoundedBlocks(kv, "_v", maxBlocks)
+    val blk = base.groupBy("_k", "_blk")
+      .agg(sum("_na").as("_ba"), sum("_nb").as("_bb"),
+        min("_v").as("_bmin"))
+    val wb = Window.partitionBy("_k").orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wbLead = Window.partitionBy("_k").orderBy("_blk")
+    val offs = blk.select(col("_k"), col("_blk"),
+      coalesce(sum("_ba").over(wb), lit(0L)).as("_boa"),
+      coalesce(sum("_bb").over(wb), lit(0L)).as("_bob"),
       lead(col("_bmin"), 1).over(wbLead).as("_nextBlockMin"))
-    val wLead = Window.partitionBy("_blk").orderBy("_v")
-    val segs = based.join(broadcast(nextMin), Seq("_blk"))
+    val wIn = Window.partitionBy("_k", "_blk").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLead = Window.partitionBy("_k", "_blk").orderBy("_v")
+    val segs = base.join(offs, Seq("_k", "_blk"))
+      .withColumn("_pa",
+        col("_boa") + coalesce(sum("_na").over(wIn), lit(0L)))
+      .withColumn("_pb",
+        col("_bob") + coalesce(sum("_nb").over(wIn), lit(0L)))
       .withColumn("_nextV",
         coalesce(lead(col("_v"), 1).over(wLead), col("_nextBlockMin")))
-      .filter(col("_nextV").isNotNull) // last value: no segment
-    segs.groupBy("group_a", "group_b", "n_a", "n_b")
+      .filter(col("_nextV").isNotNull) // each key's last value: no segment
+    segs.join(kt, Seq("_k")).crossJoin(broadcast(hdr))
+      .groupBy(col("_k").as("key"), col("group_a"), col("group_b"),
+        col("n_a"), col("n_b"))
       // dev ≤ n_a·n_b (18 digits at 10⁷ rows); gaps can approach the
       // Long span (20 digits) — product ≤ 10³² sits inside decimal(38)
       .agg(sum(
-        abs((col("_pre__na") + col("_na")) * col("n_b") -
-          (col("_pre__nb") + col("_nb")) * col("n_a")).cast("decimal(18,0)") *
+        abs((col("_pa") + col("_na")) * col("n_b") -
+          (col("_pb") + col("_nb")) * col("n_a")).cast("decimal(18,0)") *
           (col("_nextV") - col("_v")).cast("decimal(20,0)"))
         .cast("double").as("w1_num"))
-      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
-        col("w1_num"),
+      .select(col("key"), col("group_a"), col("group_b"), col("n_a"),
+        col("n_b"), col("w1_num"),
         round(col("w1_num") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("w1"))

@@ -298,6 +298,52 @@ object StatsQueries {
         "v", Seq(0L, 250L, 500L, 750L, 900L, 990L, 1000L))
     },
 
+    // ---- sliced-Wasserstein embedding drift (Ann.intProjections +
+    //      RankStats.wassersteinByKey): distribution change in vector
+    //      space surfaces in its 1-d hyperplane shadows (Cramér–Wold);
+    //      components quantize to milli BEFORE the signed sum, so the
+    //      projection is commutative integer addition — bit-stable
+    //      across engines, unlike a float dot product ----
+    "q_emb_sliced_w1" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |signs AS (SELECT d.j, s.i,
+        |            CASE WHEN (strpos('0123456789abcdef',
+        |                              substr(md5(CAST(d.j AS VARCHAR) || '_' || CAST(s.i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |                 THEN 1 ELSE -1 END AS sign
+        |          FROM generate_series(0, 3) AS d(j)
+        |          CROSS JOIN generate_series(1, 64) AS s(i)),
+        |proj AS (SELECT e.vec_id, signs.j,
+        |                CAST(sum(CAST(floor(e.v * 1000) AS BIGINT) * signs.sign) AS BIGINT) AS pv
+        |         FROM e JOIN signs ON e.i = signs.i GROUP BY e.vec_id, signs.j),
+        |r AS (SELECT CAST(j AS VARCHAR) AS k, pv AS v,
+        |             CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+        |      FROM proj),
+        |kv AS (SELECT k, v,
+        |         CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |       FROM r GROUP BY k, v),
+        |kt AS (SELECT k, CAST(sum(na) AS BIGINT) AS n_a,
+        |              CAST(sum(nb) AS BIGINT) AS n_b FROM kv GROUP BY k),
+        |p AS (SELECT k, v, na, nb,
+        |        CAST(coalesce(sum(na) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pa,
+        |        CAST(coalesce(sum(nb) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb,
+        |        lead(v) OVER (PARTITION BY k ORDER BY v) AS nv
+        |      FROM kv),
+        |a AS (SELECT p.k, kt.n_a, kt.n_b,
+        |        CAST(sum(abs((pa+na) * kt.n_b - (pb+nb) * kt.n_a) * (nv - v)) AS DOUBLE) AS w1_num
+        |      FROM p JOIN kt ON p.k = kt.k WHERE nv IS NOT NULL
+        |      GROUP BY p.k, kt.n_a, kt.n_b)
+        |SELECT k AS key, 'even' AS group_a, 'odd' AS group_b, n_a, n_b, w1_num,
+        |  round(w1_num / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS w1
+        |FROM a ORDER BY key""".stripMargin) { (s, dir) =>
+      val proj = graft.llm.Ann.intProjections(
+        tb(s, dir).embeddings, "vec_id", "embedding", dim = 64, dirs = 4)
+        .withColumn("grp",
+          when(col("vec_id") % 2 === 0, "even").otherwise("odd"))
+      RankStats.wassersteinByKey(proj, "j", "proj", "grp").orderBy("key")
+    },
+
     // ---- per-group exact quantiles (RankStats.groupedQuantiles):
     //      min/median/p90/max document length per language, exact,
     //      through the slice-keyed two-level scan ----

@@ -252,6 +252,28 @@ class RankStatsSpec extends SparkSpec {
       .getAs[Double]("t") === 0.0)
   }
 
+  test("wassersteinByKey: per-key W1 equals per-key wasserstein1 calls; " +
+    "keys stay independent under tiny blocks") {
+    val df = Seq(
+      ("k1", 1L, "a"), ("k1", 2L, "a"), ("k1", 3L, "a"),
+      ("k1", 3L, "b"), ("k1", 5L, "b"),
+      ("k2", 10L, "a"), ("k2", 10L, "b"), ("k2", 20L, "a"), ("k2", 20L, "b"))
+      .toDF("k", "v", "g")
+    val got = RankStats.wassersteinByKey(df, "k", "v", "g", maxBlocks = 2)
+      .orderBy("key").collect()
+    // k1 is the wasserstein1 hand case (W1 = 2); k2 identical dists
+    assert(got.map(_.getAs[String]("key")).toSeq === Seq("k1", "k2"))
+    assert(got(0).getAs[Double]("w1") === 2.0)
+    assert(got(1).getAs[Double]("w1") === 0.0)
+    // and each row equals the standalone two-sample call on that key
+    for (r <- got) {
+      val solo = RankStats.wasserstein1(
+        df.filter(col("k") === r.getAs[String]("key")).select("v", "g"),
+        "v", "g", maxBlocks = 2).head()
+      assert(r.getAs[Double]("w1_num") === solo.getAs[Double]("w1_num"))
+    }
+  }
+
   test("wasserstein1: hand case, block-boundary stitch, identical = 0") {
     // A = {1,2,3}, B = {3,5}: ∫|Fa−Fb| = 1/3 + 2/3 + 1/2·2 = 2
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (3L, "b"), (5L, "b"))
