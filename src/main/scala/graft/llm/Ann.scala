@@ -117,13 +117,21 @@ object Ann {
     * (Cramér–Wold), and 1-d lets the exact ECDF machinery
     * ([[graft.llm.RankStats]]) run at full scale. Same md5-parity
     * hyperplanes as [[lshBuckets]] — reproducible in any engine.
+    * Vector length must equal `dim` exactly and raises otherwise: the
+    * sign-table inner join would silently DROP components past dim
+    * (and zero-pad short vectors), computing the drift statistic on
+    * truncated projections with no error.
     */
   def intProjections(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int = 64, dirs: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val signs = hyperplaneSigns(dim, dirs).toDF("j", "i", "sign")
-    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("p", "v")))
+    val checked = when(size(col(vecCol)) =!= dim,
+      raise_error(concat(lit("intProjections: vector length "),
+        size(col(vecCol)).cast("string"), lit(s" != dim $dim"))))
+      .otherwise(col(vecCol))
+    df.select(col(idCol), posexplode(checked).as(Seq("p", "v")))
       .withColumn("i", col("p") + 1).drop("p")
       .join(broadcast(signs), "i")
       .groupBy(col(idCol), col("j"))

@@ -77,6 +77,67 @@ object RankStats {
         lit(") — the 2x rank algebra is exact only below 2^63"))))
       .otherwise(sumDec).cast("long")
 
+  /** Guarded decimal(12,0) tie count: every cubic tie term in this file
+    * multiplies three decimal(12,0) copies of a tie-group size t (t³
+    * stays inside the 38-digit precision cap), which is exact only for
+    * t ≤ 10¹²−1 — past that the non-ANSI cast yields NULL and sum()
+    * SKIPS the group silently (an undercounted tie term, not even an
+    * error). One guarded home for all five call sites: fail loudly at
+    * the boundary instead.
+    */
+  private def checkedTieCount(t: Column, op: String): Column =
+    when(t > lit(999999999999L),
+      raise_error(concat(
+        lit(s"$op: tie-group size "), t.cast("string"),
+        lit(" exceeds the exact cubic-tie domain (10^12-1) — " +
+          "quantize coarser"))))
+      .otherwise(t).cast("decimal(12,0)")
+
+  /** Key-partitioned exclusive prefix sums of `measures` over `kv` (one
+    * row per (key, distinct `_v`)) in `_v` order, as `_pre_<m>`: the
+    * [[withValuePrefixes]] two-level scan with every window partitioned
+    * by `keyCol` — value blocks are shared across keys (one span pass),
+    * block summaries are (keys × ≤ maxBlocks) rows, and a hot key
+    * spreads over its value blocks instead of single-tasking. With
+    * `withSuccessor`, each row also gets `_nextV` = the key's next
+    * distinct value (lead within the block, stitched across the
+    * boundary from the next block's per-key minimum — NULL on the
+    * key's last value). The shared engine behind [[ksPerSlice]],
+    * [[wassersteinByKey]] and [[groupedQuantiles]].
+    */
+  private def keyedPrefixes(kv: DataFrame, keyCol: String,
+                            measures: Seq[String], maxBlocks: Long,
+                            withSuccessor: Boolean = false): DataFrame = {
+    val base = Packing.withBoundedBlocks(kv, "_v", maxBlocks)
+    val blkAggs = measures.map(m => sum(col(m)).as(s"_bs_$m")) ++
+      (if (withSuccessor) Seq(min("_v").as("_bmin")) else Nil)
+    val blk = base.groupBy(keyCol, "_blk").agg(blkAggs.head, blkAggs.tail: _*)
+    val wb = Window.partitionBy(keyCol).orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wbLead = Window.partitionBy(keyCol).orderBy("_blk")
+    val offs = blk.select(Seq(col(keyCol), col("_blk")) ++
+      measures.map(m =>
+        coalesce(sum(col(s"_bs_$m")).over(wb), lit(0L)).as(s"_bo_$m")) ++
+      (if (withSuccessor)
+        Seq(lead(col("_bmin"), 1).over(wbLead).as("_nextBlockMin"))
+      else Nil): _*)
+    val wIn = Window.partitionBy(keyCol, "_blk").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLead = Window.partitionBy(keyCol, "_blk").orderBy("_v")
+    val pre = measures.foldLeft(base.join(offs, Seq(keyCol, "_blk"))) {
+      (d, m) =>
+        d.withColumn(s"_pre_$m",
+          col(s"_bo_$m") + coalesce(sum(col(m)).over(wIn), lit(0L)))
+    }
+    val stitched =
+      if (withSuccessor)
+        pre.withColumn("_nextV",
+          coalesce(lead(col("_v"), 1).over(wLead), col("_nextBlockMin")))
+          .drop("_nextBlockMin")
+      else pre
+    stitched.drop("_blk" +: measures.map(m => s"_bo_$m"): _*)
+  }
+
   /** Tie-averaged ranks in 2× integer units, one row per DISTINCT
     * value: (value, n, rank2) with rank2 = 2·(count below) + n + 1 —
     * every element of the value's tie group shares it, and
@@ -156,8 +217,9 @@ object RankStats {
             col("_na") + col("_nb") + 1L).cast("decimal(19,0)")),
           "mannWhitney").as("r_a2"),
         // decimal(12,0) keeps the product precision at (38,0) without
-        // hitting Spark's 38-digit multiplication cap (t ≤ 10¹² rows)
-        sum((col("_na") + col("_nb")).cast("decimal(12,0)") *
+        // hitting Spark's 38-digit multiplication cap; checkedTieCount
+        // raises loudly at the t ≤ 10¹²−1 boundary
+        sum(checkedTieCount(col("_na") + col("_nb"), "mannWhitney") *
           (col("_na") + col("_nb")).cast("decimal(12,0)") *
           (col("_na") + col("_nb")).cast("decimal(12,0)") -
           (col("_na") + col("_nb"))).cast("double").as("tie_term"))
@@ -191,7 +253,9 @@ object RankStats {
     * counts there is exact, and the deviation algebra
     * |cum_a·n_b − cum_b·n_a| never leaves Long while n_a·n_b < 2⁶³
     * (n ≲ 6×10⁹ balanced — the ECDF-deviation domain shared with
-    * [[ksPerSlice]]/[[wasserstein1]]). KS reacts to ANY
+    * [[ksPerSlice]]; [[wasserstein1]]'s is tighter — 10¹⁸−1, guarded
+    * loudly — because its deviations are multiplied by value gaps in
+    * decimal). KS reacts to ANY
     * distribution change (shape, not just location) — the stricter
     * sibling of [[mannWhitney]]'s shift test.
     */
@@ -237,9 +301,9 @@ object RankStats {
     // per-ROW tie share: a value with t rows contributes t²−1 on each
     // of them, so the row sum is Σ t·(t²−1) = Σ(t³−t) — exact integer
     // algebra, no division. decimal(12,0) factors keep the product
-    // inside Spark's 38-digit precision cap.
+    // inside Spark's 38-digit precision cap (loud at the boundary).
     def tieShare(n: Column): Column =
-      n.cast("decimal(12,0)") * n.cast("decimal(12,0)") - 1
+      checkedTieCount(n, "spearman") * n.cast("decimal(12,0)") - 1
     val rx = avgRanks2(rows, "_x", maxBlocks)
       .select(col("value").as("_x"), col("rank2").as("_rx"),
         tieShare(col("n")).as("_txs"))
@@ -297,7 +361,8 @@ object RankStats {
       .select(col("_v"),
         (lit(2L) * col("_pre__n") + col("_n") + 1L).as("_rank2"))
     val globals = vc.agg(sum("_n").as("_tot"),
-      sum(col("_n").cast("decimal(12,0)") * col("_n").cast("decimal(12,0)") *
+      sum(checkedTieCount(col("_n"), "mannWhitneyPerSlice") *
+        col("_n").cast("decimal(12,0)") *
         col("_n").cast("decimal(12,0)") - col("_n"))
         .cast("double").as("tie_term"))
     rows.groupBy("_s", "_v").agg(count(lit(1)).as("_nsv"))
@@ -354,31 +419,28 @@ object RankStats {
     val tot = vc.agg(sum("_n").as("_tot"))
     // per-slice per-value prefix: the same two-level scan, slice-keyed
     val sv = rows.groupBy("_s", "_v").agg(count(lit(1)).as("_nsv"))
-    val base = Packing.withBoundedBlocks(sv, "_v", maxBlocks)
-    val blk = base.groupBy("_s", "_blk").agg(sum("_nsv").as("_bs"))
-    val wb = Window.partitionBy("_s").orderBy("_blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = blk.select(col("_s"), col("_blk"),
-      coalesce(sum("_bs").over(wb), lit(0L)).as("_bo"))
-    val wIn = Window.partitionBy("_s", "_blk").orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pre = base.join(offs, Seq("_s", "_blk"))
-      .withColumn("_ps", col("_bo") + coalesce(sum("_nsv").over(wIn), lit(0L)))
+    val pre = keyedPrefixes(sv, "_s", Seq("_nsv"), maxBlocks)
     val nS = sv.groupBy("_s").agg(sum("_nsv").as("n_s"))
     pre.join(g, Seq("_v")).join(broadcast(nS), Seq("_s"))
       .crossJoin(broadcast(tot))
       .withColumn("n_rest", col("_tot") - col("n_s"))
       // AT the step (inclusive) and just BEFORE it (exclusive)
       .withColumn("_devIn", abs(
-        (col("_ps") + col("_nsv")) * col("n_rest") -
-          (col("_pg") + col("_ng") - col("_ps") - col("_nsv")) * col("n_s")))
+        (col("_pre__nsv") + col("_nsv")) * col("n_rest") -
+          (col("_pg") + col("_ng") - col("_pre__nsv") - col("_nsv")) *
+            col("n_s")))
       .withColumn("_devEx", abs(
-        col("_ps") * col("n_rest") - (col("_pg") - col("_ps")) * col("n_s")))
+        col("_pre__nsv") * col("n_rest") -
+          (col("_pg") - col("_pre__nsv")) * col("n_s")))
       .groupBy(col("_s").as("slice"), col("n_s"), col("n_rest"))
       .agg(max(greatest(col("_devIn"), col("_devEx"))).as("d_num"))
+      // a single-slice frame has n_rest = 0: d would be 0/0 = NaN —
+      // emit NULL (the mannWhitneyPerSlice σ = 0 stance), which a
+      // threshold comparison treats as "no verdict", never "no drift"
       .select(col("slice"), col("n_s"), col("n_rest"), col("d_num"),
-        round(col("d_num").cast("double") /
-          (col("n_s").cast("double") * col("n_rest").cast("double")), 6)
+        when(col("n_rest") > 0L,
+          round(col("d_num").cast("double") /
+            (col("n_s").cast("double") * col("n_rest").cast("double")), 6))
           .as("d"))
   }
 
@@ -392,15 +454,35 @@ object RankStats {
     * family — KS is the sup, [[wasserstein1]] the L¹-over-x — and the
     * most sensitive of the three to broad mid-distribution shifts a
     * single extreme point doesn't dominate.
+    *
+    * Exact-integer domain: n_a·n_b ≤ 3·10¹² (≈2.5M rows balanced —
+    * beyond which CvM's power saturates anyway); a larger product
+    * raises a NAMED error rather than silently skipping overflowed
+    * per-row decimals. Subsample or quantize coarser past it.
     */
   def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
                      maxBlocks: Long = 1L << 20): DataFrame = {
     val pre = twoGroupPrefixes(df, valueCol, groupCol, "cramerVonMises",
       maxBlocks)
+    // named domain ceiling (the checkedRankSum stance): dev²·count
+    // needs ~3 extra orders past dev², so the exact-decimal algebra
+    // holds only for n_a·n_b ≤ 3·10¹² — beyond that, per-row products
+    // would overflow decimal(38,0) and a non-ANSI sum would SKIP them
+    // silently (an undercounted t_num, not even a NULL). Fail loudly.
+    val guarded = pre.withColumn("_na", when(
+      col("n_a").cast("decimal(19,0)") * col("n_b") >
+        lit(3000000000000L).cast("decimal(19,0)"),
+      raise_error(lit("cramerVonMises: n_a*n_b exceeds the exact-integer " +
+        "domain (3e12) — subsample or quantize coarser")))
+      .otherwise(col("_na")))
     val dev = ((col("_pre__na") + col("_na")) * col("n_b") -
       (col("_pre__nb") + col("_nb")) * col("n_a")).cast("decimal(18,0)")
-    pre.groupBy("group_a", "group_b", "n_a", "n_b")
-      .agg(sum(dev * dev * (col("_na") + col("_nb")).cast("decimal(12,0)"))
+    // the per-value count rides checkedTieCount too: inside the 3e12
+    // product guard an unbalanced split (n_a = 2.5e12, n_b = 1) can
+    // still put > 10¹²−1 rows on one value — loud, not NULL-skipped
+    guarded.groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(sum(dev * dev *
+        checkedTieCount(col("_na") + col("_nb"), "cramerVonMises"))
         .cast("double").as("t_num"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         col("t_num"),
@@ -434,18 +516,19 @@ object RankStats {
     * keys cost one (key, value) shuffle with every window partitioned
     * by key — the engine behind sliced-Wasserstein embedding drift
     * (key = projection direction) and per-day/per-shard drift tables
-    * (key = partition). Group labels are validated GLOBALLY (the same
-    * two groups must span all keys); n_a/n_b are per key. Output one
-    * row per key: (key, group_a, group_b, n_a, n_b, w1_num, w1).
+    * (key = partition). Group labels are validated globally (exactly
+    * two non-NULL labels) AND per key: a key missing one of the two
+    * groups RAISES (its w1 would be 0/0 = NaN, silently suppressing
+    * the drift alert). n_a/n_b are per key. Output one row per key —
+    * (key, group_a, group_b, n_a, n_b, w1_num, w1) — including keys
+    * with a single distinct value (a constant metric is w1 = 0 drift,
+    * not an absent row).
     *
-    * Scale posture: value blocks are shared across keys (one span
-    * pass); block summaries are (keys × ≤maxBlocks) rows windowed per
-    * key; the successor stitch is lead-within-(key, block) plus the
-    * next block's per-key minimum — the [[wasserstein1]] two-level
-    * lookahead, key-partitioned throughout. The block-minima aggregate
-    * and the segment join both traverse the prefix lineage
-    * (deliberate: caching would pin a frame that can approach corpus
-    * size; the recompute is one scan).
+    * Scale posture: the [[keyedPrefixes]] two-level scan with the
+    * successor stitch, key-partitioned throughout. Exact-integer
+    * domain: n_a·n_b ≤ 10¹⁸−1 per key (the ECDF deviation's
+    * decimal(18,0) cast — a loud error past it, never a NULL-skipped
+    * segment); the dev × gap product stays inside decimal(38).
     */
   def wassersteinByKey(df: DataFrame, keyCol: String, valueCol: String,
                        groupCol: String,
@@ -465,43 +548,47 @@ object RankStats {
       .agg(sum(when(col("_g") === col("group_a"), 1L).otherwise(0L))
         .as("_na"),
         sum(when(col("_g") === col("group_b"), 1L).otherwise(0L)).as("_nb"))
+    // per-key totals; a key missing either group raises loudly (the
+    // guard rides n_a, which every consumer keeps — never pruned)
     val kt = kv.groupBy("_k")
-      .agg(sum("_na").as("n_a"), sum("_nb").as("n_b"))
-    val base = Packing.withBoundedBlocks(kv, "_v", maxBlocks)
-    val blk = base.groupBy("_k", "_blk")
-      .agg(sum("_na").as("_ba"), sum("_nb").as("_bb"),
-        min("_v").as("_bmin"))
-    val wb = Window.partitionBy("_k").orderBy("_blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wbLead = Window.partitionBy("_k").orderBy("_blk")
-    val offs = blk.select(col("_k"), col("_blk"),
-      coalesce(sum("_ba").over(wb), lit(0L)).as("_boa"),
-      coalesce(sum("_bb").over(wb), lit(0L)).as("_bob"),
-      lead(col("_bmin"), 1).over(wbLead).as("_nextBlockMin"))
-    val wIn = Window.partitionBy("_k", "_blk").orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wLead = Window.partitionBy("_k", "_blk").orderBy("_v")
-    val segs = base.join(offs, Seq("_k", "_blk"))
-      .withColumn("_pa",
-        col("_boa") + coalesce(sum("_na").over(wIn), lit(0L)))
-      .withColumn("_pb",
-        col("_bob") + coalesce(sum("_nb").over(wIn), lit(0L)))
-      .withColumn("_nextV",
-        coalesce(lead(col("_v"), 1).over(wLead), col("_nextBlockMin")))
+      .agg(sum("_na").as("_kna"), sum("_nb").as("n_b"))
+      .select(col("_k"),
+        when(col("_kna") === 0L || col("n_b") === 0L,
+          raise_error(concat(lit("wassersteinByKey: key "), col("_k"),
+            lit(" is missing one of the two groups"))))
+          .otherwise(col("_kna")).as("n_a"),
+        col("n_b"))
+    val segs = keyedPrefixes(kv, "_k", Seq("_na", "_nb"), maxBlocks,
+      withSuccessor = true)
       .filter(col("_nextV").isNotNull) // each key's last value: no segment
-    segs.join(kt, Seq("_k")).crossJoin(broadcast(hdr))
-      .groupBy(col("_k").as("key"), col("group_a"), col("group_b"),
-        col("n_a"), col("n_b"))
-      // dev ≤ n_a·n_b (18 digits at 10⁷ rows); gaps can approach the
-      // Long span (20 digits) — product ≤ 10³² sits inside decimal(38)
+    val sums = segs.join(kt, Seq("_k"))
+      // dev ≤ n_a·n_b: the decimal(18,0) cast is exact only below
+      // 10¹⁸, and a non-ANSI overflow would NULL-skip the segment
+      // silently (an undercounted w1_num) — fail loudly at the
+      // boundary (the cramerVonMises guard stance)
+      .withColumn("_na", when(
+        col("n_a").cast("decimal(19,0)") * col("n_b") >
+          lit(999999999999999999L).cast("decimal(19,0)"),
+        raise_error(lit("wassersteinByKey: n_a*n_b exceeds the exact " +
+          "ECDF-deviation domain (10^18-1) — subsample or quantize " +
+          "coarser")))
+        .otherwise(col("_na")))
+      .groupBy("_k")
+      // gaps can approach the Long span (20 digits) — the product
+      // ≤ 10³⁸ sits at the decimal(38) cap, exact inside the guard
       .agg(sum(
-        abs((col("_pa") + col("_na")) * col("n_b") -
-          (col("_pb") + col("_nb")) * col("n_a")).cast("decimal(18,0)") *
+        abs((col("_pre__na") + col("_na")) * col("n_b") -
+          (col("_pre__nb") + col("_nb")) * col("n_a")).cast("decimal(18,0)") *
           (col("_nextV") - col("_v")).cast("decimal(20,0)"))
         .cast("double").as("w1_num"))
-      .select(col("key"), col("group_a"), col("group_b"), col("n_a"),
-        col("n_b"), col("w1_num"),
-        round(col("w1_num") /
+    // left join: a key with one distinct value has no segments — it
+    // still gets a row (w1 = 0), where an inner-agg frame would drop
+    // it and a .head() caller would crash on a constant metric
+    kt.join(sums, Seq("_k"), "left").crossJoin(broadcast(hdr))
+      .select(col("_k").as("key"), col("group_a"), col("group_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("w1_num"), lit(0.0)).as("w1_num"),
+        round(coalesce(col("w1_num"), lit(0.0)) /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("w1"))
   }
@@ -546,9 +633,9 @@ object RankStats {
     * (type-1 lower, q in milli-units, q = 0 pins the group minimum),
     * one row per (group, q): the "median and p90 length per source"
     * table, exact at any scale. Per-(group, value) counts take one
-    * keyed shuffle; the per-group prefix is the slice-keyed two-level
-    * scan (the [[ksPerSlice]] blocking — a hot group spreads over its
-    * value blocks); targets join back on the GROUP key (equi join +
+    * keyed shuffle; the per-group prefix is the [[keyedPrefixes]]
+    * two-level scan (a hot group spreads over its value blocks);
+    * targets join back on the GROUP key (equi join +
     * a cumulative-count filter), so no nested-loop anywhere.
     */
   def groupedQuantiles(df: DataFrame, valueCol: String, groupCol: String,
@@ -566,16 +653,8 @@ object RankStats {
         raise_error(lit(s"groupedQuantiles: NULL group in $groupCol")))
         .otherwise(col(groupCol)).cast("string").as("_g"))
     val gv = rows.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
-    val base = Packing.withBoundedBlocks(gv, "_v", maxBlocks)
-    val blk = base.groupBy("_g", "_blk").agg(sum("_n").as("_bs"))
-    val wb = Window.partitionBy("_g").orderBy("_blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = blk.select(col("_g"), col("_blk"),
-      coalesce(sum("_bs").over(wb), lit(0L)).as("_bo"))
-    val wIn = Window.partitionBy("_g", "_blk").orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = base.join(offs, Seq("_g", "_blk"))
-      .withColumn("_cum", col("_bo") + sum("_n").over(wIn))
+    val cum = keyedPrefixes(gv, "_g", Seq("_n"), maxBlocks)
+      .withColumn("_cum", col("_pre__n") + col("_n"))
     val gTot = gv.groupBy("_g").agg(sum("_n").as("_tot"))
     val qs = qMillis.distinct.sorted.toDF("q_milli")
     val targets = gTot.crossJoin(broadcast(qs))
@@ -634,8 +713,8 @@ object RankStats {
     // rows carries t²−1, so the row sum is t·(t²−1) = Σ(t³−t) exactly
     val ranked = avgRanks2(nz, "_ad", maxBlocks)
       .select(col("value").as("_ad"), col("rank2"),
-        (col("n").cast("decimal(12,0)") * col("n").cast("decimal(12,0)") - 1)
-          .as("_tts"))
+        (checkedTieCount(col("n"), "wilcoxonSignedRank") *
+          col("n").cast("decimal(12,0)") - 1).as("_tts"))
     val agg = nz.join(ranked, Seq("_ad"))
       .agg(count(lit(1)).as("n_eff"),
         checkedRankSum(sum(when(col("_d") > 0L, col("rank2")).otherwise(0L)
@@ -666,6 +745,12 @@ object RankStats {
     * The grid is |a-values|·|b-values| rows (a broadcast cross join of
     * the two margin aggregates) — categorical audits only; a
     * high-cardinality key belongs in [[mannWhitney]]/[[ksTest]] space.
+    *
+    * Exact-integer domain: N ≤ 10⁹−1 rows — |dev| = |O·N − r·c| ≤ N²
+    * must fit decimal(18,0) (and the Long products must not wrap);
+    * past it the guard raises a NAMED error instead of wrapping O·N
+    * negative and squaring the garbage. Sample down past a billion
+    * rows — a χ² verdict saturates long before that.
     */
   def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val rows = df.select(
@@ -675,10 +760,16 @@ object RankStats {
         .otherwise(col(bCol)).cast("string").as("b"))
     val ra = rows.groupBy("a").agg(count(lit(1)).as("r_tot"))
     val cb = rows.groupBy("b").agg(count(lit(1)).as("c_tot"))
-    val nf = rows.agg(count(lit(1)).as("_n"))
+    val nf = rows.agg(count(lit(1)).as("_n0"))
+      .select(when(col("_n0") > lit(999999999L),
+        raise_error(lit("chi2Cells: N exceeds the exact-integer domain " +
+          "(10^9-1) — O*N would wrap Long and dev^2 would overflow " +
+          "decimal(18,0); sample the frame down")))
+        .otherwise(col("_n0")).as("_n"))
     val cells = rows.groupBy("a", "b").agg(count(lit(1)).as("o"))
-    // |dev| ≤ N² ≤ 10¹⁴ at 10⁷ rows: decimal(18,0) factors keep dev²
-    // inside the 38-digit precision cap
+    // inside the guard: |dev| ≤ N² < 10¹⁸ fits decimal(18,0) exactly,
+    // the Long products stay below 2⁶³, and dev² stays inside the
+    // 38-digit precision cap
     val dev = (col("o") * col("_n") - col("r_tot") * col("c_tot"))
       .cast("decimal(18,0)")
     ra.crossJoin(broadcast(cb))

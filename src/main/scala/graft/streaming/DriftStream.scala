@@ -104,25 +104,26 @@ object DriftStream {
     * plus both row counts. One row.
     */
   /** Zero-filled (bin, _cb, _cg) grid over all nBins bins from the two
-    * persisted count frames — the shared reader behind [[psi]] and
-    * [[ks]] (one place to own the marker-row filter and fill rules).
+    * persisted count frames, plus the recovered nBins — the shared
+    * reader behind [[psi]] and [[ks]] (one place to own the marker-row
+    * filter and fill rules, and ONE bounds() metadata pass per call).
     */
   private def grids(spark: SparkSession, baselinePath: String,
-                    currentPath: String): DataFrame = {
+                    currentPath: String): (DataFrame, Int) = {
     val nBins = bounds(spark, baselinePath)._3
     val base = spark.read.parquet(baselinePath).filter(col("bin") >= 0)
       .select(col("bin"), col("cnt").as("_cb"))
     val cur = spark.read.parquet(currentPath)
       .select(col("bin"), col("cnt").as("_cg"))
     import spark.implicits._
-    (0L until nBins.toLong).toDF("bin")
+    val grid = (0L until nBins.toLong).toDF("bin")
       .join(base, Seq("bin"), "left").na.fill(0L, Seq("_cb"))
       .join(cur, Seq("bin"), "left").na.fill(0L, Seq("_cg"))
+    (grid, nBins)
   }
 
   def psi(spark: SparkSession, baselinePath: String, currentPath: String): DataFrame = {
-    val nBins = bounds(spark, baselinePath)._3
-    val grid = grids(spark, baselinePath, currentPath)
+    val (grid, nBins) = grids(spark, baselinePath, currentPath)
     val totals = grid.agg(sum("_cb").as("_nb"), sum("_cg").as("_ng"))
     grid.crossJoin(broadcast(totals))
       .withColumn("_p", (col("_cb") + 1).cast("double") / (col("_nb") + nBins))
@@ -144,7 +145,7 @@ object DriftStream {
     */
   def ks(spark: SparkSession, baselinePath: String,
          currentPath: String): DataFrame = {
-    val grid = grids(spark, baselinePath, currentPath)
+    val (grid, _) = grids(spark, baselinePath, currentPath)
     val totals = grid.agg(sum("_cb").as("_nb"), sum("_cg").as("_ng"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -193,4 +193,19 @@ class AnnSpec extends SparkSpec {
       Ann.mmrRerank(nullRel, vecs, "vec_id", "embedding", k = 1).collect()
     }
   }
+
+  test("intProjections raises on a vector length != dim (the sign-table " +
+      "join would silently truncate the projection)") {
+    val ok = Seq((1L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val got = Ann.intProjections(ok, "vec_id", "embedding", dim = 2,
+      dirs = 2).collect()
+    assert(got.length === 2) // one row per direction, no error
+    val long = Seq((1L, Array(0.5f, -0.25f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.intProjections(long, "vec_id", "embedding", dim = 2,
+        dirs = 2).collect()
+    }
+    assert(e.getMessage.contains("vector length"))
+  }
 }

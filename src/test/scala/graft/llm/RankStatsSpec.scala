@@ -315,6 +315,44 @@ class RankStatsSpec extends SparkSpec {
       ("y", 0L, 1L, 7L), ("y", 500L, 2L, 7L), ("y", 1000L, 3L, 9L)))
   }
 
+  test("wasserstein1: constant input yields one row with w1 = 0") {
+    // a constant metric is zero drift, not an empty frame — a .head()
+    // caller (a drift monitor) must not crash on it
+    val df = Seq((5L, "a"), (5L, "b"), (5L, "a")).toDF("v", "g")
+    val r = RankStats.wasserstein1(df, "v", "g").head()
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 1L)
+    assert(r.getAs[Double]("w1_num") === 0.0)
+    assert(r.getAs[Double]("w1") === 0.0)
+  }
+
+  test("wassersteinByKey: a key missing one group raises; a key with " +
+    "one distinct value still gets a w1 = 0 row") {
+    val missing = Seq(("k1", 1L, "a"), ("k1", 2L, "b"), ("k2", 3L, "a"))
+      .toDF("k", "v", "g")
+    val e = intercept[Exception] {
+      RankStats.wassersteinByKey(missing, "k", "v", "g").collect()
+    }
+    assert(e.getMessage.contains("missing one of the two groups"))
+    val const = Seq(("k1", 1L, "a"), ("k1", 3L, "b"),
+      ("k2", 7L, "a"), ("k2", 7L, "b")).toDF("k", "v", "g")
+    val got = RankStats.wassersteinByKey(const, "k", "v", "g")
+      .orderBy("key").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Double]("w1") === 2.0) // k1: |1-3| balanced
+    assert(got(1).getAs[Double]("w1") === 0.0) // k2: constant value
+  }
+
+  test("ksPerSlice: a single-slice frame emits NULL d, not NaN") {
+    // n_rest = 0 would make d = 0/0 = NaN, and NaN > threshold is
+    // false — a silently suppressed alert; NULL is "no verdict"
+    val df = Seq((1L, "only"), (2L, "only"), (3L, "only")).toDF("v", "s")
+    val r = RankStats.ksPerSlice(df, "v", "s").head()
+    assert(r.getAs[Long]("n_rest") === 0L)
+    assert(r.getAs[Long]("d_num") === 0L)
+    assert(r.isNullAt(r.fieldIndex("d")))
+  }
+
   test("chi2Cells raises on NULL categories") {
     val df = Seq((Some("p"), "1"), (None, "2")).toDF("s", "l")
     val e = intercept[Exception] {
