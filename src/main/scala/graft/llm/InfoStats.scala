@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic distribution audits at corpus scale: mutual
+  * information between two categorical columns, per-slice token
+  * diversity (entropy / type-token ratio / Simpson), Jensen–Shannon
+  * divergence of each slice's token distribution against its
+  * complement, and the effective sample size of importance weights —
+  * the "is this source's language different, and do my sampling
+  * weights still carry information?" toolkit that sits next to
+  * [[RankStats]]' value-distribution tests (reference scope is
+  * relational ingestion — `reports_check.sql` counts statuses — so
+  * this family is beyond-reference surface for the training-data
+  * pipeline).
+  *
+  * Scale posture: every statistic reduces over a grouped-count frame
+  * ((a, b) cells, (slice, token) pairs, per-group weight moments) with
+  * map-side combine — one keyed shuffle each, no global sorts, no
+  * corpus-sized windows; slice totals broadcast. Exactness: counts and
+  * squared-weight sums are exact integers/decimals; each headline
+  * double is ONE closed-form expression over them, mirrored term for
+  * term in the SQL oracle (the [[RankStats]] convention). Entropies
+  * fold as H = ln N − (Σ c·ln c)/N, so the only non-integer aggregate
+  * is Σ c·ln c — a commutative double sum whose cross-engine ULP noise
+  * sits ~10 orders below the round-6 output contract.
+  *
+  * Contract: categorical/slice columns must be non-NULL (raise), the
+  * [[RankStats]] stance; degenerate denominators yield NULL, never
+  * NaN (a NaN compares false against every alert threshold — a
+  * silently suppressed signal).
+  */
+object InfoStats {
+
+  private def checkedCat(c: Column, op: String, what: String): Column =
+    when(c.isNull, raise_error(lit(s"$op: NULL $what"))).otherwise(c)
+      .cast("string")
+
+  /** c·ln c with c an exact count (c ≥ 1, so no 0·ln 0 guard needed on
+    * observed cells).
+    */
+  private def cLnC(c: Column): Column =
+    c.cast("double") * log(c.cast("double"))
+
+  /** Mutual information between two categorical columns, one row:
+    * n, the three Shannon entropies in nats (`h_a`, `h_b`, `h_ab`),
+    * `mi` = H(a) + H(b) − H(a,b) ≥ 0, and `nmi` = mi/√(H(a)·H(b))
+    * (NULL when either marginal is constant — zero entropy has no
+    * normalized association). The chi-square question ("are source
+    * and language independent?") answered in bits-worth instead of a
+    * significance statistic — 0 = independent, and nmi = 1 = one
+    * column determines the other.
+    *
+    * Each entropy folds from exact counts as ln N − (Σ c·ln c)/N; the
+    * `+ 0.0` on `mi` normalizes an IEEE −0.0 (independent columns put
+    * the closed form within one ULP of zero from either side) so both
+    * engines hash identically. Cells are |a-values|·|b-values| —
+    * categorical audits only, the [[RankStats.chi2Cells]] scope rule.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val rows = df.select(
+      checkedCat(col(aCol), "mutualInformation", s"value in $aCol").as("a"),
+      checkedCat(col(bCol), "mutualInformation", s"value in $bCol").as("b"))
+    val cells = rows.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sAb = cells.agg(sum(cLnC(col("c"))).as("s_ab"), sum("c").as("n"))
+    val sA = cells.groupBy("a").agg(sum("c").as("_r"))
+      .agg(sum(cLnC(col("_r"))).as("s_a"))
+    val sB = cells.groupBy("b").agg(sum("c").as("_c"))
+      .agg(sum(cLnC(col("_c"))).as("s_b"))
+    val nd = col("n").cast("double")
+    val hA = log(nd) - col("s_a") / nd
+    val hB = log(nd) - col("s_b") / nd
+    val hAb = log(nd) - col("s_ab") / nd
+    val mi = hA + hB - hAb
+    sAb.crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
+      .select(col("n"),
+        round(hA, 6).as("h_a"), round(hB, 6).as("h_b"),
+        round(hAb, 6).as("h_ab"),
+        (round(mi, 6) + lit(0.0)).as("mi"),
+        when(hA * hB > 0.0, round(mi / sqrt(hA * hB), 6)).as("nmi"))
+  }
+
+  /** Per-slice (slice, token, count) cells from whitespace tokens —
+    * the shared frame behind [[tokenDiversityBySlice]] and
+    * [[tokenJsdBySlice]]. Slices whose documents hold zero tokens are
+    * ABSENT from the output (there is no distribution to measure).
+    */
+  private def sliceTokenCells(df: DataFrame, sliceCol: String,
+                              textCol: String, op: String): DataFrame =
+    df.select(checkedCat(col(sliceCol), op, s"slice in $sliceCol").as("_s"),
+      TextAnalysis.tokens(col(textCol)).as("_ts"))
+      .select(col("_s"), explode(col("_ts")).as("_t"))
+      .groupBy("_s", "_t").agg(count(lit(1)).as("_c"))
+
+  /** Vocabulary-diversity profile per slice, one row each: total and
+    * distinct token counts, type-token ratio, Shannon entropy of the
+    * token distribution (nats), and the unbiased Simpson repeat index
+    * Σ c(c−1) / (n(n−1)) — the probability two tokens drawn without
+    * replacement coincide (NULL for a one-token slice). Low entropy /
+    * high Simpson flags template spam and boilerplate sources; TTR
+    * drift flags a source whose crawler started truncating. The
+    * Simpson numerator is exact in decimal; entropy folds as
+    * ln n − (Σ c·ln c)/n from exact counts.
+    */
+  def tokenDiversityBySlice(df: DataFrame, sliceCol: String,
+                            textCol: String): DataFrame = {
+    val st = sliceTokenCells(df, sliceCol, textCol, "tokenDiversityBySlice")
+    val nT = col("n_tokens").cast("double")
+    st.groupBy(col("_s").as("slice"))
+      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(cLnC(col("_c"))).as("_slc"),
+        // c(c−1) ≤ 10³⁶ in decimal(18,0)² — exact to 10¹⁸ tokens/type
+        sum(col("_c").cast("decimal(18,0)") *
+          (col("_c") - 1L).cast("decimal(18,0)")).cast("double").as("_rep2"))
+      .select(col("slice"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / nT, 6).as("ttr"),
+        round(log(nT) - col("_slc") / nT, 6).as("entropy"),
+        when(col("n_tokens") > 1L,
+          round(col("_rep2") / (nT * (nT - 1.0)), 9)).as("simpson"))
+  }
+
+  /** Jensen–Shannon divergence of every slice's token distribution
+    * against its complement, in ONE pass: per slice (n_s, n_rest =
+    * token totals, jsd ∈ [0, ln 2] in nats; NULL when the frame holds
+    * a single slice — no complement to compare). The "which source's
+    * VOCABULARY walked away from the corpus?" audit — where
+    * [[RankStats.ksPerSlice]] compares a numeric column, this compares
+    * the token distributions themselves, and (unlike KL) is symmetric
+    * and finite on disjoint vocabularies (jsd = ln 2).
+    *
+    * The fold never materializes |tokens|×|slices|: rows are the
+    * observed (slice, token) pairs joined to the global token counts,
+    * so for each slice the Σ over tokens it does NOT contain reduces
+    * to the closed form ½·ln 2·(1 − seen-complement-mass) — a token
+    * absent from the slice has p = 0, m = q/2, and contributes
+    * ½·q·ln 2 regardless of which token it is.
+    */
+  def tokenJsdBySlice(df: DataFrame, sliceCol: String,
+                      textCol: String): DataFrame = {
+    val st = sliceTokenCells(df, sliceCol, textCol, "tokenJsdBySlice")
+    val g = st.groupBy("_t").agg(sum("_c").as("_gc"))
+    val nS = st.groupBy("_s").agg(sum("_c").as("n_s"))
+    val tot = g.agg(sum("_gc").as("_tot"))
+    val p = col("_c").cast("double") / col("n_s").cast("double")
+    val q = when(col("n_rest") > 0L,
+      col("_qc").cast("double") / col("n_rest").cast("double"))
+      .otherwise(lit(0.0))
+    st.join(g, Seq("_t"))
+      .join(broadcast(nS), Seq("_s"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("_tot") - col("n_s"))
+      .withColumn("_qc", col("_gc") - col("_c"))
+      .withColumn("_p", p).withColumn("_q", q)
+      // p > 0 on every observed row, so ln(2p/(p+q)) is finite; the
+      // complement term only exists where the complement saw the token
+      .withColumn("_f",
+        col("_p") * log(lit(2.0) * col("_p") / (col("_p") + col("_q"))) +
+          when(col("_qc") > 0L,
+            col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
+            .otherwise(lit(0.0)))
+      .groupBy(col("_s").as("slice"), col("n_s"), col("n_rest"))
+      .agg(sum("_f").as("_sf"), sum("_qc").as("_qseen"))
+      .select(col("slice"), col("n_s"), col("n_rest"),
+        when(col("n_rest") > 0L,
+          round((col("_sf") + log(lit(2.0)) *
+            (lit(1.0) - col("_qseen").cast("double") /
+              col("n_rest").cast("double"))) / 2.0, 6) + lit(0.0))
+          .as("jsd"))
+  }
+
+  /** Effective sample size of non-negative integer importance weights
+    * per group, one row each: n, Σw and Σw² (exact in decimal, emitted
+    * as double), `ess` = (Σw)²/Σw² — the Kish formula: how many
+    * EQUALLY-weighted samples this weighted set is worth —
+    * `ess_ratio` = ess/n, and `max_share` = max w/Σw (one document
+    * owning the mixture is the failure max_share catches before
+    * ess_ratio moves). The health check a DSIR/temperature-sampling
+    * plan runs before trusting its weights: ess_ratio near 1 means
+    * the weighting is doing nothing; near 0 means a handful of
+    * documents dominate the gradient. NULL ess for an all-zero-weight
+    * group (nothing is sampled); negative or NULL weights raise —
+    * importance weights have neither.
+    */
+  def essWeights(df: DataFrame, groupCol: String,
+                 weightCol: String): DataFrame = {
+    val rows = df.select(
+      checkedCat(col(groupCol), "essWeights", s"group in $groupCol")
+        .as("_g"),
+      when(col(weightCol).isNull || col(weightCol) < 0,
+        raise_error(concat(lit(s"essWeights: NULL or negative weight in " +
+          s"$weightCol: "), col(weightCol).cast("string"))))
+        .otherwise(col(weightCol)).cast("long").as("_w"))
+    rows.groupBy(col("_g").as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_w").cast("decimal(20,0)")).cast("double").as("sum_w"),
+        // w² ≤ 10³⁶ in decimal(18,0)² — exact for milli-unit weights
+        // to 10¹⁸; Long would wrap silently past w ≈ 3×10⁹
+        sum(col("_w").cast("decimal(18,0)") * col("_w").cast("decimal(18,0)"))
+          .cast("double").as("sum_w2"),
+        max("_w").as("max_w"))
+      .select(col("group"), col("n"), col("sum_w"), col("sum_w2"),
+        col("max_w"),
+        when(col("sum_w2") > 0.0,
+          round(col("sum_w") * col("sum_w") / col("sum_w2"), 6)).as("ess"),
+        when(col("sum_w2") > 0.0,
+          round(col("sum_w") * col("sum_w") / col("sum_w2") /
+            col("n").cast("double"), 6)).as("ess_ratio"),
+        when(col("sum_w") > 0.0,
+          round(col("max_w").cast("double") / col("sum_w"), 6))
+          .as("max_share"))
+  }
+}

@@ -469,6 +469,126 @@ object StatsQueries {
           "v", basePath, curPath)
       }
       graft.streaming.DriftStream.ks(s, basePath, curPath)
+    },
+
+    // ---- mutual information (InfoStats.mutualInformation): are
+    //      source and language independent? The chi-square question in
+    //      nats — every entropy folds from exact cell counts as
+    //      ln N − (Σ c·ln c)/N, mirrored term for term; `+ 0.0`
+    //      normalizes an IEEE −0.0 near independence ----
+    "q_stat_mutual_info" -> Q(
+      """WITH r AS (SELECT lang AS a, source AS b FROM documents),
+        |cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b),
+        |sab AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s_ab
+        |        FROM cells),
+        |sa AS (SELECT sum(CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE))) AS s_a
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY a)),
+        |sb AS (SELECT sum(CAST(cc AS DOUBLE) * ln(CAST(cc AS DOUBLE))) AS s_b
+        |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY b))
+        |SELECT sab.n,
+        |  round(ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n, 6) AS h_a,
+        |  round(ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n, 6) AS h_b,
+        |  round(ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n, 6) AS h_ab,
+        |  round((ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
+        |      + (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)
+        |      - (ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n), 6) + 0.0 AS mi,
+        |  CASE WHEN (ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
+        |          * (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n) > 0
+        |       THEN round(((ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
+        |                 + (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)
+        |                 - (ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n))
+        |                 / sqrt((ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
+        |                      * (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)), 6)
+        |  END AS nmi
+        |FROM sab, sa, sb""".stripMargin) { (s, dir) =>
+      graft.llm.InfoStats.mutualInformation(
+        tb(s, dir).documents, "lang", "source")
+    },
+
+    // ---- per-slice token diversity (InfoStats.tokenDiversityBySlice):
+    //      entropy / TTR / unbiased Simpson per language — low entropy
+    //      or high Simpson flags template spam; the Simpson numerator
+    //      Σ c(c−1) is exact integer algebra on both sides ----
+    "q_stat_token_diversity" -> Q(
+      """WITH tk AS (SELECT lang AS s,
+        |              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS t
+        |            FROM documents),
+        |st AS (SELECT s, t, count(*) AS c FROM tk GROUP BY s, t),
+        |a AS (SELECT s, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_types,
+        |             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc,
+        |             CAST(sum(c * (c - 1)) AS DOUBLE) AS rep2
+        |      FROM st GROUP BY s)
+        |SELECT s AS slice, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - slc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+        |  CASE WHEN n_tokens > 1
+        |       THEN round(rep2 / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 9)
+        |  END AS simpson
+        |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
+      graft.llm.InfoStats.tokenDiversityBySlice(
+        tb(s, dir).documents, "lang", "text").orderBy("slice")
+    },
+
+    // ---- per-slice token JSD (InfoStats.tokenJsdBySlice): which
+    //      source's VOCABULARY walked away from the corpus? Symmetric,
+    //      finite on disjoint vocabularies (ln 2); tokens a slice does
+    //      not contain fold into the closed-form complement-mass term
+    //      instead of a |tokens|×|slices| grid ----
+    "q_stat_token_jsd" -> Q(
+      """WITH tk AS (SELECT source AS s,
+        |              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS t
+        |            FROM documents),
+        |st AS (SELECT s, t, count(*) AS c FROM tk GROUP BY s, t),
+        |g AS (SELECT t, CAST(sum(c) AS BIGINT) AS gc FROM st GROUP BY t),
+        |ns AS (SELECT s, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY s),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS tt FROM g),
+        |f AS (SELECT st.s, ns.n_s, tot.tt - ns.n_s AS n_rest,
+        |             g.gc - st.c AS qc,
+        |             CAST(st.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS p,
+        |             CASE WHEN tot.tt - ns.n_s > 0
+        |                  THEN CAST(g.gc - st.c AS DOUBLE) / CAST(tot.tt - ns.n_s AS DOUBLE)
+        |                  ELSE 0.0 END AS q
+        |      FROM st JOIN g USING (t) JOIN ns USING (s) CROSS JOIN tot),
+        |a AS (SELECT s, n_s, n_rest,
+        |             sum(p * ln(2.0 * p / (p + q))
+        |                 + CASE WHEN qc > 0 THEN q * ln(2.0 * q / (p + q))
+        |                        ELSE 0.0 END) AS sf,
+        |             CAST(sum(qc) AS BIGINT) AS qseen
+        |      FROM f GROUP BY s, n_s, n_rest)
+        |SELECT s AS slice, n_s, n_rest,
+        |  CASE WHEN n_rest > 0
+        |       THEN round((sf + ln(2.0) * (1.0 - CAST(qseen AS DOUBLE)
+        |                                         / CAST(n_rest AS DOUBLE))) / 2.0, 6) + 0.0
+        |  END AS jsd
+        |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
+      graft.llm.InfoStats.tokenJsdBySlice(
+        tb(s, dir).documents, "source", "text").orderBy("slice")
+    },
+
+    // ---- effective sample size (InfoStats.essWeights): how many
+    //      equally-weighted samples a weighted group is worth (Kish) —
+    //      the health check a DSIR/temperature plan runs before
+    //      trusting its weights; Σw² exact in decimal on both sides ----
+    "q_stat_ess" -> Q(
+      """WITH r AS (SELECT lang AS g, n_chars AS w FROM documents),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(w) AS DOUBLE) AS sum_w,
+        |             CAST(sum(w * w) AS DOUBLE) AS sum_w2,
+        |             CAST(max(w) AS BIGINT) AS max_w
+        |      FROM r GROUP BY g)
+        |SELECT g AS "group", n, sum_w, sum_w2, max_w,
+        |  CASE WHEN sum_w2 > 0 THEN round(sum_w * sum_w / sum_w2, 6) END AS ess,
+        |  CASE WHEN sum_w2 > 0
+        |       THEN round(sum_w * sum_w / sum_w2 / CAST(n AS DOUBLE), 6)
+        |  END AS ess_ratio,
+        |  CASE WHEN sum_w > 0 THEN round(CAST(max_w AS DOUBLE) / sum_w, 6) END AS max_share
+        |FROM a ORDER BY "group"""".stripMargin) { (s, dir) =>
+      graft.llm.InfoStats.essWeights(
+        tb(s, dir).documents, "lang", "n_chars").orderBy("group")
     }
   )
 }

@@ -642,4 +642,31 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("InfoStats prunes scans to the referenced columns and keeps every " +
+    "join aggregation-shaped (no nested loops over token frames)") {
+    val docs = Tables(spark, sfDir).documents
+    val miPlan = planOf(
+      graft.llm.InfoStats.mutualInformation(docs, "lang", "source"))
+    assert(miPlan.contains("ReadSchema: struct<lang:string,source:string>"),
+      s"expected a 2-column pruned scan:\n$miPlan")
+    // the only nested loops are the two broadcast crosses of 1-ROW
+    // entropy aggregates (the house 1-row-cross pattern)
+    assert(miPlan.split("BroadcastNestedLoopJoin").length - 1 <= 2 &&
+      !miPlan.contains("CartesianProduct"), miPlan)
+    val jsdPlan = planOf(
+      graft.llm.InfoStats.tokenJsdBySlice(docs, "source", "text"))
+    // the (slice, token) frame joins global counts on the TOKEN key
+    // (equi) and slice totals by broadcast; the single allowed nested
+    // loop is the 1-row corpus-total cross — a nested loop anywhere
+    // else would be |tokens|x|slices| at corpus scale
+    assert(jsdPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1 &&
+      !jsdPlan.contains("CartesianProduct"), jsdPlan)
+    assert(jsdPlan.contains("ReadSchema: struct<text:string,source:string>"),
+      s"expected a 2-column pruned scan:\n$jsdPlan")
+    val essPlan = planOf(
+      graft.llm.InfoStats.essWeights(docs, "lang", "n_chars"))
+    assert(essPlan.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"expected a 2-column pruned scan:\n$essPlan")
+  }
 }
