@@ -169,6 +169,104 @@ object InfoStats {
           .as("jsd"))
   }
 
+  /** Cross-entropy of every slice against ONE reference slice's
+    * add-α-smoothed unigram model, per slice: n_s, `n_oov` (slice
+    * tokens the reference never saw), `ce` = −(1/n_s)·Σ s_t·ln p_ref(t)
+    * with p_ref(t) = (r_t + α)/(n_r + α·V) (V = corpus vocabulary, so
+    * unseen tokens get the α floor instead of −∞), `ppl` = e^ce,
+    * `h_s` = the slice's own empirical entropy, and
+    * `kl` = ce − h_s ≥ 0 (Gibbs) = KL(slice ‖ smoothed reference) —
+    * the eval-direction drift number: "how surprised would a model
+    * trained on the reference be by this source?", which the symmetric
+    * [[tokenJsdBySlice]] cannot answer. α in milli-units (the integer
+    * contract); the reference slice must exist (raise — a typo'd
+    * reference would otherwise score every slice against the α floor
+    * and report uniform garbage).
+    *
+    * Shapes: the (slice, token) frame left-joins the reference's
+    * vocab-sized count frame on the TOKEN key; n_r/V/α fold into ONE
+    * broadcast row. Smoothing constants are exact integers; the only
+    * double aggregate is Σ s·ln p.
+    */
+  def crossEntropyBySlice(df: DataFrame, sliceCol: String, textCol: String,
+                          refSlice: String,
+                          alphaMilli: Long = 1000L): DataFrame = {
+    require(alphaMilli > 0L,
+      s"crossEntropyBySlice: alphaMilli must be positive: $alphaMilli")
+    val st = sliceTokenCells(df, sliceCol, textCol, "crossEntropyBySlice")
+    val ref = st.filter(col("_s") === refSlice)
+      .select(col("_t"), col("_c").as("_rc"))
+    // V, n_r and the ref-exists flag as one broadcast row; a missing
+    // reference raises loudly (the guard rides _nr, which p uses)
+    val consts = st.groupBy()
+      .agg(countDistinct("_t").as("_v"),
+        sum(when(col("_s") === refSlice, col("_c")).otherwise(0L))
+          .as("_nr0"))
+      .select(col("_v"),
+        when(col("_nr0") === 0L,
+          raise_error(lit(s"crossEntropyBySlice: reference slice " +
+            s"'$refSlice' has no tokens")))
+          .otherwise(col("_nr0")).as("_nr"))
+    val alpha = alphaMilli.toDouble / 1000.0
+    val p = (coalesce(col("_rc"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("_nr").cast("double") + lit(alpha) * col("_v").cast("double"))
+    val nS = col("n_s").cast("double")
+    st.join(ref, Seq("_t"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("_s").as("slice"))
+      .agg(sum("_c").as("n_s"),
+        sum(when(col("_rc").isNull, col("_c")).otherwise(0L)).as("n_oov"),
+        sum(col("_c").cast("double") * log(p)).as("_slp"),
+        sum(cLnC(col("_c"))).as("_slc"))
+      .select(col("slice"), col("n_s"), col("n_oov"),
+        round(-col("_slp") / nS, 6).as("ce"),
+        round(exp(-col("_slp") / nS), 6).as("ppl"),
+        round(log(nS) - col("_slc") / nS, 6).as("h_s"),
+        (round(-col("_slp") / nS - (log(nS) - col("_slc") / nS), 6) +
+          lit(0.0)).as("kl"))
+  }
+
+  /** Concentration profile of a categorical mixture (domains, sources,
+    * languages), one row: k (distinct values), n, `max_share`,
+    * `hhi` = Σ share² (the Herfindahl index — 1/k when uniform, 1 when
+    * one value owns everything), `gini` ∈ [0, 1−1/k] from the exact
+    * sorted-counts identity (2·Σ i·c_(i) − (k+1)·n)/(k·n), and
+    * `theil` = ln k − H(shares) ≥ 0 — three standard answers to "is
+    * this mixture dominated?", each with a different tail sensitivity,
+    * before a training plan trusts its domain weights. All three fold
+    * from exact integer counts; the Gini rank window runs over the
+    * k-row AGGREGATE frame (categorical audits only — the
+    * [[mutualInformation]] scope rule), ordered by (count, value) so
+    * ties rank deterministically (equal counts make Σ i·c_(i)
+    * order-invariant).
+    */
+  def concentrationProfile(df: DataFrame, catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(checkedCat(col(catCol), "concentrationProfile",
+        s"value in $catCol").as("_d"))
+      .groupBy("_d").agg(count(lit(1)).as("_c"))
+    val ranked = counts.withColumn("_i",
+      row_number().over(Window.orderBy(col("_c"), col("_d"))))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    ranked.agg(
+      count(lit(1)).as("k"), sum("_c").as("n"), max("_c").as("_mx"),
+      // Σ c² and Σ i·c exact in decimal; i ≤ k ≤ 10¹⁸ never overflows
+      sum(col("_c").cast("decimal(18,0)") * col("_c").cast("decimal(18,0)"))
+        .cast("double").as("_sc2"),
+      sum(col("_i").cast("decimal(18,0)") * col("_c").cast("decimal(18,0)"))
+        .cast("double").as("_sic"),
+      sum(cLnC(col("_c"))).as("_slc"))
+      .select(col("k"), col("n"),
+        round(col("_mx").cast("double") / nD, 6).as("max_share"),
+        round(col("_sc2") / (nD * nD), 6).as("hhi"),
+        (round((lit(2.0) * col("_sic") - (kD + 1.0) * nD) / (kD * nD), 6) +
+          lit(0.0)).as("gini"),
+        (round(log(kD) - (log(nD) - col("_slc") / nD), 6) + lit(0.0))
+          .as("theil"))
+  }
+
   /** Effective sample size of non-negative integer importance weights
     * per group, one row each: n, Σw and Σw² (exact in decimal, emitted
     * as double), `ess` = (Σw)²/Σw² — the Kish formula: how many

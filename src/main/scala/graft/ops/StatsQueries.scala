@@ -569,6 +569,65 @@ object StatsQueries {
         tb(s, dir).documents, "source", "text").orderBy("slice")
     },
 
+    // ---- cross-entropy vs a reference slice (InfoStats.
+    //      crossEntropyBySlice): how surprised would a model trained
+    //      on English be by each language? Add-1-smoothed unigram LM on
+    //      the ref slice, per-slice ce/ppl/kl = ce − h_s ≥ 0 (Gibbs),
+    //      mirrored term for term ----
+    "q_stat_cross_entropy" -> Q(
+      """WITH tk AS (SELECT lang AS s,
+        |              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS t
+        |            FROM documents),
+        |st AS (SELECT s, t, count(*) AS c FROM tk GROUP BY s, t),
+        |ref AS (SELECT t, CAST(c AS BIGINT) AS rc FROM st WHERE s = 'en'),
+        |k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v,
+        |             CAST((SELECT sum(c) FROM st WHERE s = 'en') AS BIGINT) AS nr
+        |      FROM st),
+        |a AS (SELECT st.s, CAST(sum(st.c) AS BIGINT) AS n_s,
+        |             CAST(sum(CASE WHEN ref.rc IS NULL THEN st.c ELSE 0 END) AS BIGINT) AS n_oov,
+        |             sum(CAST(st.c AS DOUBLE)
+        |                 * ln((CAST(coalesce(ref.rc, 0) AS DOUBLE) + 1.0)
+        |                      / (CAST(k.nr AS DOUBLE) + 1.0 * CAST(k.v AS DOUBLE)))) AS slp,
+        |             sum(CAST(st.c AS DOUBLE) * ln(CAST(st.c AS DOUBLE))) AS slc
+        |      FROM st LEFT JOIN ref ON st.t = ref.t CROSS JOIN k
+        |      GROUP BY st.s)
+        |SELECT s AS slice, n_s, n_oov,
+        |  round(-slp / CAST(n_s AS DOUBLE), 6) AS ce,
+        |  round(exp(-slp / CAST(n_s AS DOUBLE)), 6) AS ppl,
+        |  round(ln(CAST(n_s AS DOUBLE)) - slc / CAST(n_s AS DOUBLE), 6) AS h_s,
+        |  round(-slp / CAST(n_s AS DOUBLE)
+        |        - (ln(CAST(n_s AS DOUBLE)) - slc / CAST(n_s AS DOUBLE)), 6) + 0.0 AS kl
+        |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
+      graft.llm.InfoStats.crossEntropyBySlice(
+        tb(s, dir).documents, "lang", "text", "en").orderBy("slice")
+    },
+
+    // ---- mixture concentration (InfoStats.concentrationProfile):
+    //      HHI / Gini / Theil of the language mixture — three tail
+    //      sensitivities for "is this mixture dominated?", all from
+    //      exact counts; the Gini rank window runs over the k-row
+    //      aggregate frame only ----
+    "q_stat_concentration" -> Q(
+      """WITH c AS (SELECT lang AS d, count(*) AS c FROM documents GROUP BY lang),
+        |r AS (SELECT d, c, row_number() OVER (ORDER BY c, d) AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(max(c) AS BIGINT) AS mx,
+        |             CAST(sum(c * c) AS DOUBLE) AS sc2,
+        |             CAST(sum(i * c) AS DOUBLE) AS sic,
+        |             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+        |      FROM r)
+        |SELECT k, n,
+        |  round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS max_share,
+        |  round(sc2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS hhi,
+        |  round((2.0 * sic - (CAST(k AS DOUBLE) + 1.0) * CAST(n AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 6) + 0.0 AS gini,
+        |  round(ln(CAST(k AS DOUBLE))
+        |        - (ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE)), 6) + 0.0 AS theil
+        |FROM a""".stripMargin) { (s, dir) =>
+      graft.llm.InfoStats.concentrationProfile(tb(s, dir).documents, "lang")
+    },
+
     // ---- effective sample size (InfoStats.essWeights): how many
     //      equally-weighted samples a weighted group is worth (Kish) —
     //      the health check a DSIR/temperature plan runs before

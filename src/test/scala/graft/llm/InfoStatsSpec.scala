@@ -102,6 +102,52 @@ class InfoStatsSpec extends SparkSpec {
     assert(got(0).getAs[Double]("jsd") === got(1).getAs[Double]("jsd"))
   }
 
+  test("crossEntropyBySlice: the reference scores itself at kl >= 0 " +
+    "near 0, an alien vocabulary scores high with full OOV, and a " +
+    "missing reference raises") {
+    // ref = s1 ("a a b"); s2 shares the distribution, s3 is disjoint
+    val df = Seq(("s1", "a a b"), ("s2", "a a b"), ("s3", "x y z"))
+      .toDF("s", "text")
+    val got = InfoStats.crossEntropyBySlice(df, "s", "text", "s1")
+      .orderBy("slice").collect()
+    val Array(s1, s2, s3) = got
+    // identical distributions → identical rows against the same model
+    assert(s1.getAs[Double]("ce") === s2.getAs[Double]("ce"))
+    assert(s1.getAs[Long]("n_oov") === 0L)
+    assert(s1.getAs[Double]("kl") >= 0.0) // Gibbs, smoothing included
+    // disjoint vocabulary: every token is OOV at the alpha floor
+    // p = 1/(n_r + V) = 1/(3 + 5) → ce = ln 8
+    assert(s3.getAs[Long]("n_oov") === 3L)
+    assert(s3.getAs[Double]("ce") === 2.079442) // ln 8
+    assert(s3.getAs[Double]("ce") > s1.getAs[Double]("ce"))
+    val e = intercept[Exception] {
+      InfoStats.crossEntropyBySlice(df, "s", "text", "nope").collect()
+    }
+    assert(e.getMessage.contains("has no tokens"))
+    intercept[IllegalArgumentException] {
+      InfoStats.crossEntropyBySlice(df, "s", "text", "s1", alphaMilli = 0L)
+    }
+  }
+
+  test("concentrationProfile: uniform mixture hits the floor on all " +
+    "three indices; a dominated one moves them together") {
+    val uniform = Seq("a", "b", "c", "d").toDF("d")
+    val u = InfoStats.concentrationProfile(uniform, "d").head()
+    assert(u.getAs[Long]("k") === 4L)
+    assert(u.getAs[Double]("hhi") === 0.25) // 1/k
+    assert(u.getAs[Double]("gini") === 0.0)
+    assert(u.getAs[Double]("theil") === 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(
+      u.getAs[Double]("gini")) === 0L) // not -0.0
+    // counts (6, 1, 1): hhi = 38/64, gini = (2*(1*1+2*1+3*6)-4*8)/(3*8)
+    val dom = (Seq.fill(6)("big") ++ Seq("s1", "s2")).toDF("d")
+    val d = InfoStats.concentrationProfile(dom, "d").head()
+    assert(d.getAs[Double]("max_share") === 0.75)
+    assert(d.getAs[Double]("hhi") === 0.59375)
+    assert(d.getAs[Double]("gini") === 0.416667) // 10/24
+    assert(d.getAs[Double]("theil") > 0.0)
+  }
+
   test("essWeights: equal weights give ess = n; a dominant weight " +
     "collapses ess toward 1; zero-sum group NULL; negative raises") {
     val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L))
