@@ -81,17 +81,29 @@ object InfoStats {
         when(hA * hB > 0.0, round(mi / sqrt(hA * hB), 6)).as("nmi"))
   }
 
-  /** Per-slice (slice, token, count) cells from whitespace tokens —
-    * the shared frame behind [[tokenDiversityBySlice]] and
-    * [[tokenJsdBySlice]]. Slices whose documents hold zero tokens are
-    * ABSENT from the output (there is no distribution to measure).
+  /** Per-slice (slice, token, cnt) cells from whitespace tokens — the
+    * shared frame behind [[tokenDiversityBySlice]], [[tokenJsdBySlice]]
+    * and the [[graft.streaming.InfoStream]] maintained state. Cells are
+    * a commutative monoid under per-(slice, token) addition
+    * ([[tokenCellsMerge]]), so any batching folds bit-identical to
+    * one-shot counting — the calibrationCells contract. Slices whose
+    * documents hold zero tokens are ABSENT from the output (there is
+    * no distribution to measure).
     */
-  private def sliceTokenCells(df: DataFrame, sliceCol: String,
-                              textCol: String, op: String): DataFrame =
-    df.select(checkedCat(col(sliceCol), op, s"slice in $sliceCol").as("_s"),
+  def tokenCells(df: DataFrame, sliceCol: String, textCol: String,
+                 op: String = "tokenCells"): DataFrame =
+    df.select(checkedCat(col(sliceCol), op, s"slice in $sliceCol")
+      .as("slice"),
       TextAnalysis.tokens(col(textCol)).as("_ts"))
-      .select(col("_s"), explode(col("_ts")).as("_t"))
-      .groupBy("_s", "_t").agg(count(lit(1)).as("_c"))
+      .select(col("slice"), explode(col("_ts")).as("token"))
+      .groupBy("slice", "token").agg(count(lit(1)).as("cnt"))
+
+  /** Fold two cell frames by per-(slice, token) addition — the monoid
+    * merge behind the streaming state.
+    */
+  def tokenCellsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("slice", "token")
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** Vocabulary-diversity profile per slice, one row each: total and
     * distinct token counts, type-token ratio, Shannon entropy of the
@@ -104,15 +116,24 @@ object InfoStats {
     * ln n − (Σ c·ln c)/n from exact counts.
     */
   def tokenDiversityBySlice(df: DataFrame, sliceCol: String,
-                            textCol: String): DataFrame = {
-    val st = sliceTokenCells(df, sliceCol, textCol, "tokenDiversityBySlice")
+                            textCol: String): DataFrame =
+    tokenDiversityFromCells(
+      tokenCells(df, sliceCol, textCol, "tokenDiversityBySlice"))
+
+  /** [[tokenDiversityBySlice]]'s finisher over a persisted/maintained
+    * (slice, token, cnt) cell frame — the streaming read path shares
+    * one implementation with the batch op (the calibrationFromCells
+    * convention).
+    */
+  def tokenDiversityFromCells(cells: DataFrame): DataFrame = {
     val nT = col("n_tokens").cast("double")
-    st.groupBy(col("_s").as("slice"))
-      .agg(sum("_c").as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(cLnC(col("_c"))).as("_slc"),
+    cells.groupBy("slice")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(cLnC(col("cnt"))).as("_slc"),
         // c(c−1) ≤ 10³⁶ in decimal(18,0)² — exact to 10¹⁸ tokens/type
-        sum(col("_c").cast("decimal(18,0)") *
-          (col("_c") - 1L).cast("decimal(18,0)")).cast("double").as("_rep2"))
+        sum(col("cnt").cast("decimal(18,0)") *
+          (col("cnt") - 1L).cast("decimal(18,0)")).cast("double")
+          .as("_rep2"))
       .select(col("slice"), col("n_tokens"), col("n_types"),
         round(col("n_types").cast("double") / nT, 6).as("ttr"),
         round(log(nT) - col("_slc") / nT, 6).as("entropy"),
@@ -137,20 +158,26 @@ object InfoStats {
     * ½·q·ln 2 regardless of which token it is.
     */
   def tokenJsdBySlice(df: DataFrame, sliceCol: String,
-                      textCol: String): DataFrame = {
-    val st = sliceTokenCells(df, sliceCol, textCol, "tokenJsdBySlice")
-    val g = st.groupBy("_t").agg(sum("_c").as("_gc"))
-    val nS = st.groupBy("_s").agg(sum("_c").as("n_s"))
+                      textCol: String): DataFrame =
+    tokenJsdFromCells(tokenCells(df, sliceCol, textCol, "tokenJsdBySlice"))
+
+  /** [[tokenJsdBySlice]]'s finisher over a persisted/maintained
+    * (slice, token, cnt) cell frame — one implementation for the batch
+    * op and the [[graft.streaming.InfoStream]] read.
+    */
+  def tokenJsdFromCells(cells: DataFrame): DataFrame = {
+    val g = cells.groupBy("token").agg(sum("cnt").as("_gc"))
+    val nS = cells.groupBy("slice").agg(sum("cnt").as("n_s"))
     val tot = g.agg(sum("_gc").as("_tot"))
-    val p = col("_c").cast("double") / col("n_s").cast("double")
+    val p = col("cnt").cast("double") / col("n_s").cast("double")
     val q = when(col("n_rest") > 0L,
       col("_qc").cast("double") / col("n_rest").cast("double"))
       .otherwise(lit(0.0))
-    st.join(g, Seq("_t"))
-      .join(broadcast(nS), Seq("_s"))
+    cells.join(g, Seq("token"))
+      .join(broadcast(nS), Seq("slice"))
       .crossJoin(broadcast(tot))
       .withColumn("n_rest", col("_tot") - col("n_s"))
-      .withColumn("_qc", col("_gc") - col("_c"))
+      .withColumn("_qc", col("_gc") - col("cnt"))
       .withColumn("_p", p).withColumn("_q", q)
       // p > 0 on every observed row, so ln(2p/(p+q)) is finite; the
       // complement term only exists where the complement saw the token
@@ -159,7 +186,7 @@ object InfoStats {
           when(col("_qc") > 0L,
             col("_q") * log(lit(2.0) * col("_q") / (col("_p") + col("_q"))))
             .otherwise(lit(0.0)))
-      .groupBy(col("_s").as("slice"), col("n_s"), col("n_rest"))
+      .groupBy(col("slice"), col("n_s"), col("n_rest"))
       .agg(sum("_f").as("_sf"), sum("_qc").as("_qseen"))
       .select(col("slice"), col("n_s"), col("n_rest"),
         when(col("n_rest") > 0L,
@@ -193,14 +220,14 @@ object InfoStats {
                           alphaMilli: Long = 1000L): DataFrame = {
     require(alphaMilli > 0L,
       s"crossEntropyBySlice: alphaMilli must be positive: $alphaMilli")
-    val st = sliceTokenCells(df, sliceCol, textCol, "crossEntropyBySlice")
-    val ref = st.filter(col("_s") === refSlice)
-      .select(col("_t"), col("_c").as("_rc"))
+    val st = tokenCells(df, sliceCol, textCol, "crossEntropyBySlice")
+    val ref = st.filter(col("slice") === refSlice)
+      .select(col("token"), col("cnt").as("_rc"))
     // V, n_r and the ref-exists flag as one broadcast row; a missing
     // reference raises loudly (the guard rides _nr, which p uses)
     val consts = st.groupBy()
-      .agg(countDistinct("_t").as("_v"),
-        sum(when(col("_s") === refSlice, col("_c")).otherwise(0L))
+      .agg(countDistinct("token").as("_v"),
+        sum(when(col("slice") === refSlice, col("cnt")).otherwise(0L))
           .as("_nr0"))
       .select(col("_v"),
         when(col("_nr0") === 0L,
@@ -211,13 +238,13 @@ object InfoStats {
     val p = (coalesce(col("_rc"), lit(0L)).cast("double") + lit(alpha)) /
       (col("_nr").cast("double") + lit(alpha) * col("_v").cast("double"))
     val nS = col("n_s").cast("double")
-    st.join(ref, Seq("_t"), "left")
+    st.join(ref, Seq("token"), "left")
       .crossJoin(broadcast(consts))
-      .groupBy(col("_s").as("slice"))
-      .agg(sum("_c").as("n_s"),
-        sum(when(col("_rc").isNull, col("_c")).otherwise(0L)).as("n_oov"),
-        sum(col("_c").cast("double") * log(p)).as("_slp"),
-        sum(cLnC(col("_c"))).as("_slc"))
+      .groupBy(col("slice"))
+      .agg(sum("cnt").as("n_s"),
+        sum(when(col("_rc").isNull, col("cnt")).otherwise(0L)).as("n_oov"),
+        sum(col("cnt").cast("double") * log(p)).as("_slp"),
+        sum(cLnC(col("cnt"))).as("_slc"))
       .select(col("slice"), col("n_s"), col("n_oov"),
         round(-col("_slp") / nS, 6).as("ce"),
         round(exp(-col("_slp") / nS), 6).as("ppl"),

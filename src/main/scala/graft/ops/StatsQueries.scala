@@ -569,6 +569,50 @@ object StatsQueries {
         tb(s, dir).documents, "source", "text").orderBy("slice")
     },
 
+    // ---- streaming token JSD (InfoStream): the per-slice vocabulary
+    //      state folds incrementally — (slice, token, cnt) cells are a
+    //      commutative monoid, so a 3-way split replays bit-identical
+    //      to the one-shot oracle; the maintained state serves both the
+    //      JSD and diversity reads ----
+    "q_stream_token_jsd" -> Q(
+      """WITH tk AS (SELECT source AS s,
+        |              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS t
+        |            FROM documents),
+        |st AS (SELECT s, t, count(*) AS c FROM tk GROUP BY s, t),
+        |g AS (SELECT t, CAST(sum(c) AS BIGINT) AS gc FROM st GROUP BY t),
+        |ns AS (SELECT s, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY s),
+        |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS tt FROM g),
+        |f AS (SELECT st.s, ns.n_s, tot.tt - ns.n_s AS n_rest,
+        |             g.gc - st.c AS qc,
+        |             CAST(st.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS p,
+        |             CASE WHEN tot.tt - ns.n_s > 0
+        |                  THEN CAST(g.gc - st.c AS DOUBLE) / CAST(tot.tt - ns.n_s AS DOUBLE)
+        |                  ELSE 0.0 END AS q
+        |      FROM st JOIN g USING (t) JOIN ns USING (s) CROSS JOIN tot),
+        |a AS (SELECT s, n_s, n_rest,
+        |             sum(p * ln(2.0 * p / (p + q))
+        |                 + CASE WHEN qc > 0 THEN q * ln(2.0 * q / (p + q))
+        |                        ELSE 0.0 END) AS sf,
+        |             CAST(sum(qc) AS BIGINT) AS qseen
+        |      FROM f GROUP BY s, n_s, n_rest)
+        |SELECT s AS slice, n_s, n_rest,
+        |  CASE WHEN n_rest > 0
+        |       THEN round((sf + ln(2.0) * (1.0 - CAST(qseen AS DOUBLE)
+        |                                         / CAST(n_rest AS DOUBLE))) / 2.0, 6) + 0.0
+        |  END AS jsd
+        |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
+      val tmp = Scratch.dir("graft_infostream_")
+      val statePath = s"${tmp.getPath}/token_cells"
+      val docs = tb(s, dir).documents.select("doc_id", "source", "text")
+      (0 to 2).foreach { i =>
+        graft.streaming.InfoStream.applyBatch(
+          docs.filter(col("doc_id") % 3 === i), "source", "text",
+          statePath)
+      }
+      graft.streaming.InfoStream.readJsd(s, statePath).orderBy("slice")
+    },
+
     // ---- cross-entropy vs a reference slice (InfoStats.
     //      crossEntropyBySlice): how surprised would a model trained
     //      on English be by each language? Add-1-smoothed unigram LM on
