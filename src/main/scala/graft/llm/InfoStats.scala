@@ -65,9 +65,9 @@ object InfoStats {
     val cells = rows.groupBy("a", "b").agg(count(lit(1)).as("c"))
     val sAb = cells.agg(sum(cLnC(col("c"))).as("s_ab"), sum("c").as("n"))
     val sA = cells.groupBy("a").agg(sum("c").as("_r"))
-      .agg(sum(cLnC(col("_r"))).as("s_a"))
+      .agg(sum(cLnC(col("_r"))).as("s_a"), count(lit(1)).as("_ka"))
     val sB = cells.groupBy("b").agg(sum("c").as("_c"))
-      .agg(sum(cLnC(col("_c"))).as("s_b"))
+      .agg(sum(cLnC(col("_c"))).as("s_b"), count(lit(1)).as("_kb"))
     val nd = col("n").cast("double")
     val hA = log(nd) - col("s_a") / nd
     val hB = log(nd) - col("s_b") / nd
@@ -78,7 +78,12 @@ object InfoStats {
         round(hA, 6).as("h_a"), round(hB, 6).as("h_b"),
         round(hAb, 6).as("h_ab"),
         (round(mi, 6) + lit(0.0)).as("mi"),
-        when(hA * hB > 0.0, round(mi / sqrt(hA * hB), 6)).as("nmi"))
+        // the constant-marginal guard keys off the EXACT distinct
+        // counts, not the computed entropies: ln n − (n·ln n)/n lands
+        // one ULP on either side of zero depending on n, so hA·hB > 0
+        // would flip between engines (and between row counts)
+        when(col("_ka") > 1L && col("_kb") > 1L,
+          round(mi / sqrt(hA * hB), 6) + lit(0.0)).as("nmi"))
   }
 
   /** Per-slice (slice, token, cnt) cells from whitespace tokens — the
@@ -314,7 +319,10 @@ object InfoStats {
         .as("_g"),
       when(col(weightCol).isNull || col(weightCol) < 0,
         raise_error(concat(lit(s"essWeights: NULL or negative weight in " +
-          s"$weightCol: "), col(weightCol).cast("string"))))
+          s"$weightCol: "),
+          // concat(NULL) would NULL the whole message and raise_error
+          // would fire blank — name the NULL instead
+          coalesce(col(weightCol).cast("string"), lit("NULL")))))
         .otherwise(col(weightCol)).cast("long").as("_w"))
     rows.groupBy(col("_g").as("group"))
       .agg(count(lit(1)).as("n"),

@@ -482,24 +482,25 @@ object StatsQueries {
         |sab AS (SELECT CAST(sum(c) AS BIGINT) AS n,
         |               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s_ab
         |        FROM cells),
-        |sa AS (SELECT sum(CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE))) AS s_a
+        |sa AS (SELECT sum(CAST(r AS DOUBLE) * ln(CAST(r AS DOUBLE))) AS s_a,
+        |              CAST(count(*) AS BIGINT) AS ka
         |       FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY a)),
-        |sb AS (SELECT sum(CAST(cc AS DOUBLE) * ln(CAST(cc AS DOUBLE))) AS s_b
+        |sb AS (SELECT sum(CAST(cc AS DOUBLE) * ln(CAST(cc AS DOUBLE))) AS s_b,
+        |              CAST(count(*) AS BIGINT) AS kb
         |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY b))
         |SELECT sab.n,
-        |  round(ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n, 6) AS h_a,
-        |  round(ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n, 6) AS h_b,
-        |  round(ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n, 6) AS h_ab,
+        |  round(ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n, 6) + 0.0 AS h_a,
+        |  round(ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n, 6) + 0.0 AS h_b,
+        |  round(ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n, 6) + 0.0 AS h_ab,
         |  round((ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
         |      + (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)
         |      - (ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n), 6) + 0.0 AS mi,
-        |  CASE WHEN (ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
-        |          * (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n) > 0
+        |  CASE WHEN sa.ka > 1 AND sb.kb > 1
         |       THEN round(((ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
         |                 + (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)
         |                 - (ln(CAST(sab.n AS DOUBLE)) - sab.s_ab / sab.n))
         |                 / sqrt((ln(CAST(sab.n AS DOUBLE)) - sa.s_a / sab.n)
-        |                      * (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)), 6)
+        |                      * (ln(CAST(sab.n AS DOUBLE)) - sb.s_b / sab.n)), 6) + 0.0
         |  END AS nmi
         |FROM sab, sa, sb""".stripMargin) { (s, dir) =>
       graft.llm.InfoStats.mutualInformation(
@@ -523,7 +524,7 @@ object StatsQueries {
         |      FROM st GROUP BY s)
         |SELECT s AS slice, n_tokens, n_types,
         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
-        |  round(ln(CAST(n_tokens AS DOUBLE)) - slc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - slc / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS entropy,
         |  CASE WHEN n_tokens > 1
         |       THEN round(rep2 / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 9)
         |  END AS simpson
@@ -639,7 +640,7 @@ object StatsQueries {
         |SELECT s AS slice, n_s, n_oov,
         |  round(-slp / CAST(n_s AS DOUBLE), 6) AS ce,
         |  round(exp(-slp / CAST(n_s AS DOUBLE)), 6) AS ppl,
-        |  round(ln(CAST(n_s AS DOUBLE)) - slc / CAST(n_s AS DOUBLE), 6) AS h_s,
+        |  round(ln(CAST(n_s AS DOUBLE)) - slc / CAST(n_s AS DOUBLE), 6) + 0.0 AS h_s,
         |  round(-slp / CAST(n_s AS DOUBLE)
         |        - (ln(CAST(n_s AS DOUBLE)) - slc / CAST(n_s AS DOUBLE)), 6) + 0.0 AS kl
         |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>

@@ -72,14 +72,17 @@ object InfoStream {
     InfoStats.tokenJsdFromCells(spark.read.parquet(statePath))
 
   /** Wire a document stream into the state: foreachBatch + the fold
-    * above; `Trigger.AvailableNow` drains what exists and stops.
+    * above. The default `Trigger.AvailableNow` drains what exists and
+    * stops; pass a processing-time trigger for the always-on monitor
+    * (the SketchStream/DriftStream run signature).
     */
   def run(docs: DataFrame, sliceCol: String, textCol: String,
-          statePath: String, checkpoint: String): StreamingQuery =
+          statePath: String, checkpoint: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, sliceCol, textCol, statePath,
           batchId, ReplayGuard.streamingQueryId(batch))

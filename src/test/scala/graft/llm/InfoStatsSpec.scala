@@ -168,5 +168,13 @@ class InfoStatsSpec extends SparkSpec {
       InfoStats.essWeights(neg, "grp", "w").collect()
     }
     assert(e.getMessage.contains("negative"))
+    // a NULL weight must raise with the NAMED message, not a blank one
+    // (concat(NULL) would have nulled the whole error text)
+    val nul = Seq(("g", Some(1L)), ("g", None)).toDF("grp", "w")
+    val en = intercept[Exception] {
+      InfoStats.essWeights(nul, "grp", "w").collect()
+    }
+    assert(en.getMessage.contains("essWeights") &&
+      en.getMessage.contains("NULL"), en.getMessage)
   }
 }
