@@ -267,6 +267,58 @@ object Ann {
       .select(col("q_id"), round(col("_dcg") / col("_idcg"), 6).as("ndcg"))
   }
 
+  /** Rank-biased overlap at depth k between two ranked lists per
+    * query (both in the house (q_id, c_id, rn) shape): per q_id,
+    * `n_matched` = items in both top-k, and `rbo` ∈ [0, 1] — the
+    * top-weighted prefix-agreement Σ_{d≤k} w_d·(|A_d ∩ B_d|/d) with
+    * w_d = p^{d−1}(1−p)/(1−p^k), so identical lists score exactly 1
+    * and early agreement counts more than late (Webber et al.'s RBO,
+    * truncated at k and normalized over the k evaluated depths). The
+    * rank-STABILITY question recall/nDCG don't ask: "do two scoring
+    * functions (or an index rebuild) produce the same ordering?",
+    * where recall ignores order and nDCG needs one side blessed as
+    * truth. `p` in milli-units (the integer contract; 900 ≈ the
+    * conventional top-10 emphasis).
+    *
+    * Shape: the depth sum folds WITHOUT exploding k rows per match —
+    * Σ_d w_d·X_d/d regroups by matched item as Σ_m c_m·S(m) with
+    * S(m) = Σ_{d=m..k} p^{d−1}/d, a k-row driver table broadcast onto
+    * the matches (|queries|·k at most) — one equi-join + one
+    * aggregate at any corpus size. Lists follow the house contract:
+    * rn unique in 1..k per query, c_id distinct within a list.
+    */
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int,
+             pMilli: Long = 900L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(pMilli >= 1L && pMilli <= 999L,
+      s"pMilli must be in [1, 999]: $pMilli")
+    val p = pMilli.toDouble / 1000.0
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tails = (1 to k).map { m =>
+      var s = 0.0
+      for (d <- m to k) s += math.pow(p, d - 1) / d
+      (m.toLong, s)
+    }.toDF("_m", "_tail")
+    val norm = (1.0 - p) / (1.0 - math.pow(p, k))
+    val av = a.filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn").as("_ra"))
+    val bv = b.filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn").as("_rb"))
+    // an item in both prefixes enters every depth d ≥ its later rank
+    val matched = av.join(bv, Seq("q_id", "c_id"))
+      .select(col("q_id"), greatest(col("_ra"), col("_rb")).as("_m"))
+    val scores = matched.join(broadcast(tails), Seq("_m"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_matched"), sum("_tail").as("_s"))
+    // every query from EITHER list gets a row; zero overlap = 0.0
+    val qs = av.select("q_id").union(bv.select("q_id")).distinct()
+    qs.join(scores, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .select(col("q_id"), col("n_matched"),
+        round(coalesce(col("_s"), lit(0.0)) * norm, 6).as("rbo"))
+  }
+
   /** Mean-reciprocal-rank inputs for label-based retrieval eval: for
     * each query in a ranked candidate list (q_id, c_id, rn), the rank
     * of the FIRST candidate sharing the query's label (the

@@ -3270,6 +3270,66 @@ object LlmQueries {
     // ---- reciprocal-rank fusion (Ann.rrfFuse): exact-cosine and IVF
     //      lists fused by Σ 10¹² div (60 + rank) — integer-exact, so
     //      score AND ranking replay bit-for-bit ----
+    // ---- rank-biased overlap (Ann.rboAtK): do two scoring functions
+    //      produce the same ordering? Per nation, top-10 customers by
+    //      account balance vs by lifetime order revenue — RBO weights
+    //      early agreement more (p = 0.9); revenue ranks on exact
+    //      integer cents so both engines order identically ----
+    "q_ann_rbo" -> Q(
+      """WITH a AS (
+        |  SELECT c_nationkey AS q_id, c_custkey AS c_id,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer),
+        |rev AS (SELECT o_custkey,
+        |               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rv
+        |        FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT c.c_nationkey AS q_id, c.c_custkey AS c_id,
+        |         row_number() OVER (PARTITION BY c.c_nationkey
+        |                            ORDER BY coalesce(rev.rv, 0) DESC, c.c_custkey) AS rn
+        |  FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey),
+        |av AS (SELECT q_id, c_id, rn FROM a WHERE rn <= 10),
+        |bv AS (SELECT q_id, c_id, rn FROM b WHERE rn <= 10),
+        |m AS (SELECT av.q_id, greatest(av.rn, bv.rn) AS m
+        |      FROM av JOIN bv ON av.q_id = bv.q_id AND av.c_id = bv.c_id),
+        |tails AS (SELECT mm.m, sum(power(0.9, d.d - 1) / d.d) AS tail
+        |          FROM (SELECT DISTINCT m FROM m) mm
+        |          JOIN generate_series(1, 10) AS d(d) ON d.d >= mm.m
+        |          GROUP BY mm.m),
+        |sc AS (SELECT m.q_id, CAST(count(*) AS BIGINT) AS n_matched, sum(t.tail) AS s
+        |       FROM m JOIN tails t ON t.m = m.m GROUP BY m.q_id),
+        |qs AS (SELECT DISTINCT q_id
+        |       FROM (SELECT q_id FROM av UNION ALL SELECT q_id FROM bv))
+        |SELECT qs.q_id, CAST(coalesce(sc.n_matched, 0) AS BIGINT) AS n_matched,
+        |  round(coalesce(sc.s, 0.0) * ((1.0 - 0.9) / (1.0 - power(0.9, 10))), 6) AS rbo
+        |FROM qs LEFT JOIN sc ON sc.q_id = qs.q_id
+        |ORDER BY qs.q_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = tb(s, dir)
+      val wA = Window.partitionBy("q_id")
+        .orderBy(col("c_acctbal").desc, col("c_id"))
+      val a = t.customer
+        .select(col("c_nationkey").as("q_id"), col("c_custkey").as("c_id"),
+          col("c_acctbal"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 10).drop("c_acctbal")
+      // exact integer cents: a double revenue sum could order
+      // differently across engines at ties/ULPs
+      val rev = t.orders.groupBy("o_custkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS LONG)")).as("_rv"))
+      val wB = Window.partitionBy("q_id")
+        .orderBy(col("_rv").desc, col("c_id"))
+      val b = t.customer
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("_rv"))
+        .select(col("c_nationkey").as("q_id"), col("c_custkey").as("c_id"),
+          col("_rv"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= 10).drop("_rv")
+      Ann.rboAtK(a, b, k = 10, pMilli = 900L).orderBy("q_id")
+    },
+
     "q_ann_rrf" -> Q(
       s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),

@@ -194,6 +194,37 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("rboAtK: identical lists score exactly 1, a swapped pair matches " +
+      "the hand formula, disjoint lists score 0 with a row per query") {
+    val a3 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "c_id", "rn")
+    val same = Ann.rboAtK(a3, a3, k = 3, pMilli = 900L).head()
+    assert(same.getAs[Long]("n_matched") === 3L)
+    assert(same.getAs[Double]("rbo") === 1.0)
+    // k=2, p=0.5, A=[x,y] vs B=[y,x]: d=1 overlap 0, d=2 overlap 2 →
+    // rbo = w_2·(2/2) = p(1−p)/(1−p²) = 1/3
+    val ax = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "c_id", "rn")
+    val bx = Seq((1L, 11L, 1), (1L, 10L, 2)).toDF("q_id", "c_id", "rn")
+    val swap = Ann.rboAtK(ax, bx, k = 2, pMilli = 500L).head()
+    assert(swap.getAs[Long]("n_matched") === 2L)
+    assert(swap.getAs[Double]("rbo") === 0.333333)
+    val cy = Seq((1L, 20L, 1), (1L, 21L, 2)).toDF("q_id", "c_id", "rn")
+    val dis = Ann.rboAtK(ax, cy, k = 2, pMilli = 500L).head()
+    assert(dis.getAs[Long]("n_matched") === 0L)
+    assert(dis.getAs[Double]("rbo") === 0.0)
+    // a query present in only ONE list still gets a row
+    val bOnly = Seq((2L, 10L, 1)).toDF("q_id", "c_id", "rn")
+    val got = Ann.rboAtK(ax, bOnly, k = 2, pMilli = 500L)
+      .orderBy("q_id").collect()
+    assert(got.map(_.getAs[Long]("q_id")).toSeq === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Ann.rboAtK(ax, bx, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.rboAtK(ax, bx, k = 2, pMilli = 1000L)
+    }
+  }
+
   test("intProjections raises on a vector length != dim (the sign-table " +
       "join would silently truncate the projection)") {
     val ok = Seq((1L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
