@@ -191,17 +191,23 @@ object Packing {
     // keys overflows (_hi - _lo); under ANSI that throws a bare
     // ArithmeticException mid-job and under non-ANSI it would wrap into
     // a negative width and mis-block every row — name the contract in
-    // the error instead (try_* make the check engine-config-proof)
+    // the error instead (try_* make the check engine-config-proof).
+    // An EMPTY frame has NULL min/max: that is a legal no-op (the join
+    // below yields nothing), NOT an overflow — guard only when _lo
+    // exists, else a concat-NULLed message raised a blank error
     val stats = df.agg(min(col(keyCol).cast("long")).as("_lo"),
         max(col(keyCol).cast("long")).as("_hi"))
       .select(col("_lo"),
-        when(expr(s"try_add(try_subtract(_hi, _lo), ${maxBlocks}L)").isNull,
+        when(col("_lo").isNotNull &&
+          expr(s"try_add(try_subtract(_hi, _lo), ${maxBlocks}L)").isNull,
           raise_error(concat(
             lit(s"withBoundedBlocks: span of $keyCol overflows Long " +
               "(min="), col("_lo").cast("string"),
             lit(", max="), col("_hi").cast("string"),
             lit(") — rescale or split sentinel keys out"))).cast("long"))
-          .otherwise(expr(s"(_hi - _lo + ${maxBlocks}L) div ${maxBlocks}L"))
+          .otherwise(coalesce(
+            expr(s"(_hi - _lo + ${maxBlocks}L) div ${maxBlocks}L"),
+            lit(1L)))
           .as("_bw"))
     // key - _lo >= 0 by construction, so truncating `div` IS floor div
     df.join(broadcast(stats))

@@ -629,6 +629,60 @@ object RankStats {
       .orderBy("q_milli")
   }
 
+  /** Exact WEIGHTED quantiles without a global sort: the
+    * [[exactQuantiles]] type-1 lower contract over the multiset where
+    * each row counts `weightCol` times (token counts, byte sizes,
+    * milli importance weights) — computed from per-value WEIGHT SUMS,
+    * never by expanding rows. q = 500 over (value = doc length,
+    * weight = doc tokens) answers "the length below which half the
+    * TOKENS live" — the packing/budget question a row-count quantile
+    * gets wrong. Zero-weight rows carry no mass; NULL or negative
+    * weights raise. Ranks are in weight units; total weight is
+    * accumulated in decimal and guarded at 2⁶³/1000 (the q·W product
+    * must stay in Long) with a NAMED error, never a wrapped sum.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+                        qMillis: Seq[Long],
+                        maxBlocks: Long = 1L << 20): DataFrame = {
+    require(qMillis.nonEmpty, "weightedQuantiles: empty quantile list")
+    require(qMillis.forall(q => q >= 0L && q <= 1000L),
+      s"weightedQuantiles: q outside [0, 1000] milli: $qMillis")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+      checkedLong(col(valueCol), "weightedQuantiles",
+        s"value in $valueCol").as("_v"),
+      when(col(weightCol).isNull || col(weightCol) < 0,
+        raise_error(concat(
+          lit(s"weightedQuantiles: NULL or negative weight in " +
+            s"$weightCol: "),
+          coalesce(col(weightCol).cast("string"), lit("NULL")))))
+        .otherwise(col(weightCol)).cast("long").as("_w"))
+    // decimal accumulation: a Long sum would WRAP silently past 2⁶³
+    // and the downstream guard would then pass on garbage
+    val vc = rows.groupBy("_v")
+      .agg(sum(col("_w").cast("decimal(20,0)")).as("_nd"))
+      .filter(col("_nd") > 0).select(col("_v"),
+        col("_nd").cast("long").as("_n"))
+    val pre = withValuePrefixes(vc, Seq("_n"), maxBlocks)
+      .withColumn("_cum", col("_pre__n") + col("_n"))
+    val tot = rows.agg(sum(col("_w").cast("decimal(20,0)")).as("_td"))
+      .select(when(col("_td") > lit(Long.MaxValue / 1000L)
+        .cast("decimal(20,0)"),
+        raise_error(lit("weightedQuantiles: total weight exceeds " +
+          "2^63/1000 — the q*W rank product would overflow Long; " +
+          "rescale the weights")))
+        .otherwise(col("_td")).cast("long").as("_tot"))
+    val qs = qMillis.distinct.sorted.toDF("q_milli")
+      .crossJoin(broadcast(tot))
+      .withColumn("target_rank",
+        greatest(expr("(q_milli * _tot + 999) div 1000"), lit(1L)))
+    pre.join(broadcast(qs), col("_cum") >= col("target_rank"))
+      .groupBy("q_milli", "target_rank")
+      .agg(min("_v").as("value"))
+      .orderBy("q_milli")
+  }
+
   /** Exact per-group quantiles, same contract as [[exactQuantiles]]
     * (type-1 lower, q in milli-units, q = 0 pins the group minimum),
     * one row per (group, q): the "median and p90 length per source"

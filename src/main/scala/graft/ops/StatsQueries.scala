@@ -471,6 +471,68 @@ object StatsQueries {
       graft.streaming.DriftStream.ks(s, basePath, curPath)
     },
 
+    // ---- weighted exact quantiles (RankStats.weightedQuantiles):
+    //      the length below which half the TOKENS live — per-value
+    //      weight sums through the two-level scan, ranks in weight
+    //      units, never a row expansion ----
+    "q_stat_weighted_quantiles" -> Q(
+      """WITH r AS (SELECT n_chars AS v,
+        |             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS w
+        |           FROM documents),
+        |vc AS (SELECT v, CAST(sum(w) AS BIGINT) AS n FROM r GROUP BY v
+        |       HAVING sum(w) > 0),
+        |p AS (SELECT v, n,
+        |        CAST(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM vc),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM vc),
+        |q AS (SELECT CAST(unnest([0, 250, 500, 900, 1000]) AS BIGINT) AS q_milli),
+        |tr AS (SELECT q.q_milli,
+        |              CAST(greatest((q.q_milli * t.tot + 999) // 1000, 1) AS BIGINT) AS target_rank
+        |       FROM q, t)
+        |SELECT tr.q_milli, tr.target_rank, CAST(min(p.v) AS BIGINT) AS value
+        |FROM tr JOIN p ON p.cum >= tr.target_rank
+        |GROUP BY tr.q_milli, tr.target_rank
+        |ORDER BY tr.q_milli""".stripMargin) { (s, dir) =>
+      RankStats.weightedQuantiles(
+        tb(s, dir).documents.select(col("n_chars").as("v"),
+          graft.llm.TextAnalysis.tokenCountWs(col("text")).as("w")),
+        "v", "w", Seq(0L, 250L, 500L, 900L, 1000L))
+    },
+
+    // ---- streaming token diversity (InfoStream.readDiversity): the
+    //      SAME maintained cell state as q_stream_token_jsd, read
+    //      through the diversity finisher — one state, two monitors ----
+    "q_stream_token_diversity" -> Q(
+      """WITH tk AS (SELECT source AS s,
+        |              unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS t
+        |            FROM documents),
+        |st AS (SELECT s, t, count(*) AS c FROM tk GROUP BY s, t),
+        |a AS (SELECT s, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_types,
+        |             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc,
+        |             CAST(sum(c * (c - 1)) AS DOUBLE) AS rep2
+        |      FROM st GROUP BY s)
+        |SELECT s AS slice, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - slc / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS entropy,
+        |  CASE WHEN n_tokens > 1
+        |       THEN round(rep2 / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 9)
+        |  END AS simpson
+        |FROM a ORDER BY slice""".stripMargin) { (s, dir) =>
+      val tmp = Scratch.dir("graft_infodiv_")
+      val statePath = s"${tmp.getPath}/token_cells"
+      val docs = tb(s, dir).documents.select("doc_id", "source", "text")
+      (0 to 2).foreach { i =>
+        graft.streaming.InfoStream.applyBatch(
+          docs.filter(col("doc_id") % 3 === i), "source", "text",
+          statePath)
+      }
+      graft.streaming.InfoStream.readDiversity(s, statePath)
+        .orderBy("slice")
+    },
+
     // ---- mutual information (InfoStats.mutualInformation): are
     //      source and language independent? The chi-square question in
     //      nats — every entropy folds from exact cell counts as

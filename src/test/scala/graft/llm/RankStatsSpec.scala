@@ -304,6 +304,35 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("weightedQuantiles: ranks in weight units, zero-weight rows " +
+    "carry no mass, negative weights raise") {
+    // values 10 (w 1), 20 (w 3), 30 (w 6): total 10 — median rank 5
+    // lands inside 30's mass; q=0 pins the min CARRYING mass
+    val df = Seq((10L, 1L), (20L, 3L), (30L, 6L), (99L, 0L))
+      .toDF("v", "w")
+    val got = RankStats.weightedQuantiles(df, "v", "w",
+      Seq(0L, 400L, 500L, 1000L), maxBlocks = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L, 10L), (400L, 4L, 20L), (500L, 5L, 30L),
+      (1000L, 10L, 30L)))
+    // all-mass-on-zero-weight rows: empty output, not a crash
+    val zero = Seq((10L, 0L)).toDF("v", "w")
+    assert(RankStats.weightedQuantiles(zero, "v", "w", Seq(500L))
+      .collect().isEmpty)
+    val neg = Seq((10L, -1L)).toDF("v", "w")
+    val e = intercept[Exception] {
+      RankStats.weightedQuantiles(neg, "v", "w", Seq(500L)).collect()
+    }
+    assert(e.getMessage.contains("negative"))
+    // weight 1 everywhere ≡ exactQuantiles
+    val unit = Seq(10L, 20L, 30L, 40L).toDF("v").withColumn("w", lit(1L))
+    val wq = RankStats.weightedQuantiles(unit, "v", "w",
+      Seq(250L, 1000L)).as[(Long, Long, Long)].collect().toSeq
+    val eq = RankStats.exactQuantiles(unit.select("v"), "v",
+      Seq(250L, 1000L)).as[(Long, Long, Long)].collect().toSeq
+    assert(wq === eq)
+  }
+
   test("groupedQuantiles: per-group type-1 quantiles with blocked values") {
     val df = Seq(("x", 10L), ("x", 20L), ("x", 30L), ("x", 40L),
       ("y", 7L), ("y", 7L), ("y", 9L)).toDF("g", "v")
