@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AnalyticsQueries, LlmQueries, PackingQueries, PipelineQueries, PreferenceQueries, RelationalQueries, ReportQueries, StatsQueries}
+import graft.ops.{AnalyticsQueries, BootQueries, LlmQueries, PackingQueries, PipelineQueries, PreferenceQueries, RelationalQueries, ReportQueries, StatsQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,7 @@ object SparkEntry {
   private lazy val registry: Map[String, ops.Q] =
     RelationalQueries.all ++ LlmQueries.all ++ ReportQueries.all ++
       PipelineQueries.all ++ AnalyticsQueries.all ++ PreferenceQueries.all ++
-      PackingQueries.all ++ StatsQueries.all
+      PackingQueries.all ++ StatsQueries.all ++ BootQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative multi-operator pipeline: scan → broadcast dim joins
