@@ -106,4 +106,226 @@ object EmbeddingOps {
           transform(col(vecCol), x => x.cast("double") / col("_nrm")))
           .otherwise(transform(col(vecCol), x => lit(0.0d))))
       .drop("_nrm")
+
+  /** Per-dimension quantized sums (milli units): one row per dimension
+    * (i 1-based, sx = Σ floor(v·10³), n). The first-moment half of the
+    * covariance closed form — MILLI (not the meanPool micros) because
+    * [[secondMoments]]' products must fit exact integer algebra:
+    * milli² products stay ≤ ~10⁸ per cell and the decimal(38,0) sums
+    * never round.
+    */
+  def dimSums(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.select(posexplode(checkedVec(df, vecCol, dim, "dimSums"))
+        .as(Seq("p", "v")))
+      .select((col("p") + 1).as("i"),
+        floor(col("v").cast("double") * lit(1000.0d)).cast("long").as("xq"))
+      .groupBy("i")
+      .agg(sum(col("xq")).as("sx"),
+        sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"),
+        count(lit(1)).as("n"))
+
+  /** Per-dimension variance and its share of total variance, from the
+    * exact first/second moments alone (no d² pass): the collapsed-
+    * dimension detector — a dimension hoarding variance share says the
+    * space is anisotropic; a near-zero one is dead capacity. Exactness:
+    * vnum = n·Sxx − Sx² stays integer (decimal) through the TOTAL, so
+    * `share` is one division of two exact decimals — no float sum of
+    * per-dimension doubles whose order could differ between engines.
+    */
+  def varianceShare(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val v = dimSums(df, vecCol, dim)
+      .select(col("i"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("sxx") -
+          col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .as("vnum"))
+    // degeneracy guard on the EXACT decimal (never the derived float,
+    // the r12 lesson): an all-constant corpus has no shares to report
+    val tot = v.agg(
+      when(sum(col("vnum")) === lit(0),
+        raise_error(lit("varianceShare: zero total variance")))
+        .otherwise(sum(col("vnum"))).as("_tr"))
+    v.crossJoin(broadcast(tot))
+      .select(col("i"),
+        round(col("vnum").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            lit(1000000.0d)), 6).as("variance"),
+        round(col("vnum").cast("double") / col("_tr").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Exact upper-triangular second moments of the quantized embedding:
+    * one row per dimension pair (i ≤ j, 1-based) with
+    * sxy = Σ floor(xᵢ·10³)·floor(xⱼ·10³) in decimal(38,0) and n.
+    *
+    * Scale shape: each vector emits its d(d+1)/2 products from ONE
+    * nested-transform projection (no self-join — a join on the row id
+    * would shuffle d·corpus rows), and the explode feeds the map-side
+    * partial aggregate in the same stage, so what crosses the wire is
+    * d²/2 × partitions partial cells, never d² × corpus. The per-row
+    * cost IS d²/2 multiplies — the price of an exact Gram matrix in
+    * one pass; cap d to keep the cell frame broadcastable.
+    */
+  def secondMoments(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    df.select(checkedVec(df, vecCol, dim, "secondMoments").as("_vec"))
+      .withColumn("_q",
+        transform(col("_vec"),
+          x => floor(x.cast("double") * lit(1000.0d)).cast("long")))
+      .select(explode(expr(
+        """flatten(transform(_q, (x, i) ->
+          |  transform(slice(_q, i + 1, size(_q) - i), (y, k) ->
+          |    named_struct('i', i + 1, 'j', i + 1 + k, 'xy', x * y))))"""
+          .stripMargin)).as("c"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"),
+        col("c.xy").cast("decimal(38,0)").as("xy"))
+      .groupBy("i", "j")
+      .agg(sum(col("xy")).as("sxy"), count(lit(1)).as("n"))
+  }
+
+  /** Population covariance matrix (upper triangle, original units):
+    * cov(i,j) = (Sxy/n − Sxᵢ·Sxⱼ/n²)/10⁶ — ONE closed-form double per
+    * cell from the exact integer moments, an oracle can mirror term
+    * for term. The d-row first-moment frame broadcasts onto the
+    * d²/2-cell second-moment frame (both tiny next to the corpus).
+    * The collapsed-dimension / dominant-direction health check a
+    * learned-embedding store needs before trusting ANN distances.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val m = secondMoments(df, vecCol, dim)
+    val s = dimSums(df, vecCol, dim).select(col("i"), col("sx"))
+    m.join(broadcast(s.withColumnRenamed("sx", "_sxi")), Seq("i"))
+      .join(broadcast(s.select(col("i").as("j"), col("sx").as("_sxj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        round(
+          (col("sxy").cast("double") / col("n").cast("double") -
+            col("_sxi").cast("double") * col("_sxj").cast("double") /
+              (col("n").cast("double") * col("n").cast("double"))) /
+            lit(1000000.0d), 6).as("cov"))
+  }
+
+  /** Raise on a vector whose length ≠ dim (the intProjections stance):
+    * a ragged embedding column would silently mis-pair dimensions.
+    */
+  private def checkedVec(df: DataFrame, vecCol: String, dim: Int,
+                         op: String): Column =
+    when(size(col(vecCol)) =!= dim,
+      raise_error(concat(lit(s"$op: vector length "),
+        size(col(vecCol)).cast("string"), lit(s" != dim $dim"))))
+      .otherwise(col(vecCol))
+
+  /** Eigen-decomposition of the collected covariance matrix (driver-
+    * side cyclic Jacobi — the matrix is d×d ≤ 512², a bounded collect
+    * by the [[secondMoments]] dim cap; the CORPUS never leaves the
+    * executors). Returns eigenvalues descending. Spec-verified against
+    * hand-diagonalizable matrices; not SQL-expressible, so this face
+    * is spec-only (the RegistrySpec stance on non-oracle ops).
+    */
+  def eigenSpectrum(cov: DataFrame, dim: Int): Array[Double] = {
+    val a = Array.ofDim[Double](dim, dim)
+    cov.select("i", "j", "cov").collect().foreach { r =>
+      val i = r.getLong(0).toInt - 1
+      val j = r.getLong(1).toInt - 1
+      val v = r.getDouble(2)
+      a(i)(j) = v
+      a(j)(i) = v
+    }
+    // cyclic Jacobi: rotate out the largest off-diagonal until converged
+    var sweep = 0
+    var off = offDiagNorm(a, dim)
+    while (off > 1e-12 && sweep < 100) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          if (math.abs(a(p)(q)) > 1e-15) rotate(a, dim, p, q)
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a, dim)
+      sweep += 1
+    }
+    (0 until dim).map(i => a(i)(i)).toArray.sorted(Ordering[Double].reverse)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]], d: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  private def rotate(a: Array[Array[Double]], d: Int, p: Int, q: Int): Unit = {
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+    // sign(0) must be +1: equal diagonal entries need the full 45°
+    // rotation, and signum(0.0) = 0 would freeze the sweep as identity
+    val sgn = if (theta < 0.0) -1.0 else 1.0
+    val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    var k = 0
+    while (k < d) {
+      val akp = a(k)(p); val akq = a(k)(q)
+      a(k)(p) = c * akp - s * akq
+      a(k)(q) = s * akp + c * akq
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val apk = a(p)(k); val aqk = a(q)(k)
+      a(p)(k) = c * apk - s * aqk
+      a(q)(k) = s * apk + c * aqk
+      k += 1
+    }
+  }
+
+  /** Spectral health summary from an eigenvalue array: variance
+    * explained by the top-k directions, effective rank
+    * exp(−Σ pᵢ ln pᵢ) (Roy & Vetterli), and participation ratio
+    * (Σλ)²/Σλ² — the "is this embedding space collapsed?" numbers a
+    * release gate reads. Negative eigenvalues (Jacobi noise on a PSD
+    * matrix) clamp to zero before normalizing.
+    */
+  def spectralSummary(eigs: Array[Double], topK: Int): (Double, Double, Double) = {
+    require(topK >= 1 && topK <= eigs.length, s"topK out of range: $topK")
+    val pos = eigs.map(math.max(_, 0.0))
+    val tot = pos.sum
+    require(tot > 0.0, "spectralSummary: zero total variance")
+    val topShare = pos.take(topK).sum / tot
+    val ps = pos.map(_ / tot).filter(_ > 0.0)
+    val effRank = math.exp(-ps.map(p => p * math.log(p)).sum)
+    val partRatio = tot * tot / pos.map(l => l * l).sum
+    (topShare, effRank, partRatio)
+  }
+
+  /** Distributed projection onto fixed directions (e.g. the top
+    * eigenvectors of [[covarianceMatrix]]): broadcast the (direction,
+    * dim, weight) table onto one posexplode — the [[Ann.intProjections]]
+    * shape with caller-supplied real-valued directions. Output one row
+    * per (id, direction) with the double dot product.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+              directions: Array[Array[Double]]): DataFrame = {
+    require(directions.nonEmpty, "project: no directions")
+    val dim = directions.head.length
+    require(directions.forall(_.length == dim),
+      "project: ragged direction matrix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dirRows = directions.zipWithIndex.flatMap { case (v, k) =>
+      v.zipWithIndex.map { case (w, i) => (k.toLong, i.toLong + 1L, w) }
+    }.toSeq.toDF("k", "i", "w")
+    df.select(col(idCol),
+        posexplode(checkedVec(df, vecCol, dim, "project")).as(Seq("p", "v")))
+      .select(col(idCol), (col("p") + 1L).as("i"), col("v").cast("double").as("v"))
+      .join(broadcast(dirRows), Seq("i"))
+      .groupBy(col(idCol), col("k"))
+      .agg(sum(col("v") * col("w")).as("proj"))
+  }
 }

@@ -1684,6 +1684,54 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    // ---- population covariance matrix (EmbeddingOps.covarianceMatrix):
+    //      upper triangle from exact milli-quantized moments — each
+    //      vector emits its d(d+1)/2 products in ONE projection (no
+    //      row-id self-join); cov is the single closed-form double
+    //      (Sxy/n − SxᵢSxⱼ/n²)/10⁶ mirrored term for term; +0.0
+    //      normalizes DuckDB's −0.0 on near-zero cells ----
+    "q_emb_covariance" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+        |           FROM embeddings),
+        |p AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(a.xq * b.xq) AS DOUBLE) AS sxy
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |      GROUP BY a.i, b.i),
+        |s AS (SELECT i, CAST(sum(xq) AS DOUBLE) AS sx FROM e GROUP BY i)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, p.n,
+        |  round((p.sxy / CAST(p.n AS DOUBLE)
+        |         - si.sx * sj.sx / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)))
+        |        / 1000000.0, 6) + 0.0 AS cov
+        |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+        |ORDER BY i, j""".stripMargin) { (s, dir) =>
+      EmbeddingOps.covarianceMatrix(tb(s, dir).embeddings, "embedding", 64)
+        .orderBy("i", "j")
+    },
+
+    // ---- per-dimension variance share (EmbeddingOps.varianceShare):
+    //      the collapsed/dominant-dimension health check — vnum =
+    //      n·Sxx − Sx² stays exact decimal through the total, so share
+    //      is one division of two exact integers ----
+    "q_emb_var_share" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+        |           FROM embeddings),
+        |d AS (SELECT i, sum(xq) AS sx, sum(xq * xq) AS sxx,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY i),
+        |v AS (SELECT i, n, n * sxx - sx * sx AS vnum FROM d),
+        |t AS (SELECT sum(vnum) AS tr FROM v)
+        |SELECT CAST(v.i AS BIGINT) AS i,
+        |  round(CAST(v.vnum AS DOUBLE)
+        |        / (CAST(v.n AS DOUBLE) * CAST(v.n AS DOUBLE) * 1000000.0), 6) AS variance,
+        |  round(CAST(v.vnum AS DOUBLE) / CAST(t.tr AS DOUBLE), 6) AS share
+        |FROM v, t ORDER BY i""".stripMargin) { (s, dir) =>
+      EmbeddingOps.varianceShare(tb(s, dir).embeddings, "embedding", 64)
+        .withColumn("i", col("i").cast("long"))
+        .orderBy("i")
+    },
+
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
     "q_llm_minhash_sig" -> Q(
       s"""WITH $shingleCte

@@ -66,4 +66,111 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out(0L).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-7 })
     assert(out(1L) === Seq(0.0, 0.0))
   }
+
+  test("dimSums / secondMoments: exact quantized moments on hand vectors") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, -1.5f))
+    ).toDF("vec_id", "embedding")
+    val ds = EmbeddingOps.dimSums(df, "embedding", 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDecimal(2).longValue, r.getLong(3)))).toMap
+    // milli: dim1 = 1000 + 3000; dim2 = 2000 + (-1500)
+    assert(ds(1) === ((4000L, 1000L * 1000 + 3000L * 3000, 2L)))
+    assert(ds(2) === ((500L, 2000L * 2000 + 1500L * 1500, 2L)))
+    val sm = EmbeddingOps.secondMoments(df, "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getDecimal(2).longValue).toMap
+    assert(sm((1L, 1L)) == 1000L * 1000 + 3000L * 3000)
+    assert(sm((1L, 2L)) == 1000L * 2000 + 3000L * -1500L)
+    assert(sm((2L, 2L)) == 2000L * 2000 + 1500L * 1500)
+    assert(sm.size == 3) // upper triangle only
+  }
+
+  test("secondMoments raises on ragged vectors") {
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      EmbeddingOps.secondMoments(df, "embedding", 2).collect()
+    }
+    assert(ex.getMessage.contains("vector length"))
+  }
+
+  test("covarianceMatrix matches the closed form on correlated dims") {
+    // dim2 = 2 * dim1 exactly: cov(1,2) = 2*var(1), cov(2,2) = 4*var(1)
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(2.0f, 4.0f)),
+      (2L, Array(3.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val cov = EmbeddingOps.covarianceMatrix(df, "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // population var of {1,2,3} = 2/3
+    assert(math.abs(cov((1L, 1L)) - 2.0 / 3) < 1e-6)
+    assert(math.abs(cov((1L, 2L)) - 4.0 / 3) < 1e-6)
+    assert(math.abs(cov((2L, 2L)) - 8.0 / 3) < 1e-6)
+  }
+
+  test("varianceShare: exact shares, dead dimension scores zero") {
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f)),
+      (1L, Array(3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val vs = EmbeddingOps.varianceShare(df, "embedding", 2)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(vs(1) === ((1.0, 1.0))) // var of {1,3} = 1, all the variance
+    assert(vs(2) === ((0.0, 0.0))) // constant dim
+    val const = Seq((0L, Array(5.0f)), (1L, Array(5.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      EmbeddingOps.varianceShare(const, "embedding", 1).collect()
+    }
+    assert(ex.getMessage.contains("zero total variance"))
+  }
+
+  test("eigenSpectrum: diagonal and hand-diagonalizable matrices") {
+    val diag = Seq((1L, 1L, 3.0), (1L, 2L, 0.0), (2L, 2L, 1.0))
+      .toDF("i", "j", "cov")
+    assert(EmbeddingOps.eigenSpectrum(diag, 2).toSeq == Seq(3.0, 1.0))
+    // [[2,1],[1,2]] has eigenvalues 3 and 1
+    val m = Seq((1L, 1L, 2.0), (1L, 2L, 1.0), (2L, 2L, 2.0))
+      .toDF("i", "j", "cov")
+    val eig = EmbeddingOps.eigenSpectrum(m, 2)
+    assert(math.abs(eig(0) - 3.0) < 1e-9 && math.abs(eig(1) - 1.0) < 1e-9)
+  }
+
+  test("spectralSummary: uniform spectrum has full effective rank") {
+    val (share, effRank, pr) =
+      EmbeddingOps.spectralSummary(Array(1.0, 1.0, 1.0, 1.0), topK = 2)
+    assert(share == 0.5 && math.abs(effRank - 4.0) < 1e-9 &&
+      math.abs(pr - 4.0) < 1e-9)
+    val (s1, e1, p1) =
+      EmbeddingOps.spectralSummary(Array(5.0, 0.0, 0.0), topK = 1)
+    assert(s1 == 1.0 && math.abs(e1 - 1.0) < 1e-9 && math.abs(p1 - 1.0) < 1e-9)
+  }
+
+  test("project: axis-aligned directions recover components; eigen parity") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(2.0f, 4.0f)),
+      (2L, Array(3.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val axes = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val pr = EmbeddingOps.project(df, "vec_id", "embedding", axes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pr((0L, 0L)) == 1.0 && pr((0L, 1L)) == 2.0)
+    assert(pr((2L, 0L)) == 3.0 && pr((2L, 1L)) == 6.0)
+    // variance along the dominant direction of the rank-1 data equals
+    // the top eigenvalue of its covariance (10/3 here): the PCA loop
+    // closes — covariance -> eigen -> project
+    val cov = EmbeddingOps.covarianceMatrix(df, "embedding", 2)
+    val eig = EmbeddingOps.eigenSpectrum(cov, 2)
+    val u = Array(Array(1.0 / math.sqrt(5), 2.0 / math.sqrt(5)))
+    val proj = EmbeddingOps.project(df, "vec_id", "embedding", u)
+      .collect().map(_.getDouble(2))
+    val mean = proj.sum / proj.length
+    val popVar = proj.map(x => (x - mean) * (x - mean)).sum / proj.length
+    assert(math.abs(popVar - eig(0)) < 1e-3, s"popVar $popVar vs eig ${eig(0)}")
+  }
 }
