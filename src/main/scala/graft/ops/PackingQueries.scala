@@ -299,6 +299,81 @@ object PackingQueries {
           capacity = 4096L)
         .withColumnRenamed("n_docs", "n_convs")
         .orderBy("len_bucket")
+    },
+
+    // ---- T5-style span corruption (SpanCorrupt.maskSpans): the
+    //      deterministic denoising-mask layout — ~15% of tokens in
+    //      spans of mean length 3, one span per balanced segment,
+    //      positions from the (doc, span) md5 bucket. The oracle
+    //      replays the whole integer derivation ----
+    "q_pack_span_corruption" -> Q(
+      s"""WITH $docTokensCte,
+         |f AS (SELECT doc_id, n FROM t WHERE n >= 4),
+         |p AS (SELECT doc_id, n, greatest(1, (n * 150) // 1000) AS noise FROM f),
+         |q AS (SELECT doc_id, n, noise,
+         |        greatest(1, least(noise // 3, n // 6)) AS nspans FROM p),
+         |e AS (SELECT doc_id, n, noise, nspans,
+         |        CAST(unnest(range(nspans)) AS BIGINT) AS s FROM q),
+         |g AS (SELECT doc_id, s,
+         |        (s * n) // nspans AS seg_start,
+         |        ((s + 1) * n) // nspans - (s * n) // nspans AS seg_len,
+         |        noise // nspans AS base, noise % nspans AS rem FROM e),
+         |h AS (SELECT doc_id, s, seg_start, seg_len,
+         |        least(CASE WHEN s < rem THEN base + 1 ELSE base END,
+         |              seg_len) AS len,
+         |        md5('sc_' || CAST(doc_id AS VARCHAR) || '_'
+         |            || CAST(s AS VARCHAR)) AS hx
+         |      FROM g)
+         |SELECT doc_id, CAST(s AS BIGINT) AS span_id,
+         |  CAST(seg_start + (${bktFromHex("hx")} % (seg_len - len + 1))
+         |       AS BIGINT) AS span_start,
+         |  CAST(len AS BIGINT) AS span_len
+         |FROM h ORDER BY doc_id, span_id""".stripMargin) { (s, dir) =>
+      graft.llm.SpanCorrupt.maskSpans(docTokens(s, dir), "doc_id", "n")
+        .select(col("doc_id"), col("span_id"),
+          col("start").as("span_start"), col("len").as("span_len"))
+        .orderBy("doc_id", "span_id")
+    },
+
+    // ---- span-corruption audit (SpanCorrupt.maskStats): per-doc
+    //      mask counts and ratio over ALL docs, unmaskable ones as
+    //      zeros — the layout line of a dataset card ----
+    "q_pack_span_stats" -> Q(
+      s"""WITH $docTokensCte,
+         |f AS (SELECT doc_id, n FROM t WHERE n >= 4),
+         |p AS (SELECT doc_id, n, greatest(1, (n * 150) // 1000) AS noise FROM f),
+         |q AS (SELECT doc_id, n, noise,
+         |        greatest(1, least(noise // 3, n // 6)) AS nspans FROM p),
+         |e AS (SELECT doc_id, n, noise, nspans,
+         |        CAST(unnest(range(nspans)) AS BIGINT) AS s FROM q),
+         |g AS (SELECT doc_id, s,
+         |        ((s + 1) * n) // nspans - (s * n) // nspans AS seg_len,
+         |        noise // nspans AS base, noise % nspans AS rem FROM e),
+         |h AS (SELECT doc_id,
+         |        least(CASE WHEN s < rem THEN base + 1 ELSE base END,
+         |              seg_len) AS len FROM g),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |          CAST(sum(len) AS BIGINT) AS n_masked
+         |        FROM h GROUP BY doc_id)
+         |SELECT t.doc_id, t.n AS n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_masked, 0) AS n_masked,
+         |  CASE WHEN t.n = 0 THEN 0.0
+         |       ELSE round(CAST(coalesce(a.n_masked, 0) AS DOUBLE)
+         |                  / CAST(t.n AS DOUBLE), 6) END AS mask_ratio
+         |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.SpanCorrupt.maskStats(docTokens(s, dir), "doc_id", "n")
+        .orderBy("doc_id")
     }
   )
+
+  /** 16-bit bucket from a precomputed md5 hex column — the
+    * BootQueries.bktFromHex digits (composite keys hash once in a CTE).
+    */
+  private def bktFromHex(hex: String): String =
+    s"""((strpos('0123456789abcdef', substr($hex, 1, 1)) - 1) * 4096
+       | + (strpos('0123456789abcdef', substr($hex, 2, 1)) - 1) * 256
+       | + (strpos('0123456789abcdef', substr($hex, 3, 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr($hex, 4, 1)) - 1))""".stripMargin
 }
