@@ -669,4 +669,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(essPlan.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
       s"expected a 2-column pruned scan:\n$essPlan")
   }
+
+  test("Bootstrap.replicateStats: explode feeds a map-side partial " +
+    "aggregate — one exchange, broadcast replicate cross, no cartesian") {
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "n_chars")
+    val plan = planOf(
+      graft.llm.Bootstrap.replicateStats(docs, "doc_id", Seq("n_chars"),
+        b = 16))
+    // the b-row replicate frame crosses by BROADCAST nested loop (the
+    // sanctioned tiny-side cross), never a CartesianProduct
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // partial aggregation must run in the explode's stage: exactly one
+    // shuffle (the final agg), with partial sums before it — b x corpus
+    // rows must never cross the wire
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+  }
+
+  test("EmbeddingOps.secondMoments: one projection-side explode, one " +
+    "exchange, no self-join") {
+    val emb = Tables(spark, sfDir).embeddings
+    val plan = planOf(
+      graft.llm.EmbeddingOps.secondMoments(emb, "embedding", 64))
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"covariance must not self-join the corpus:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"expected a 1-column pruned scan:\n$plan")
+  }
+
+  test("SpanCorrupt.maskSpans is a pure projection — zero shuffles") {
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), (length(col("text")) / 5).cast("long").as("n"))
+    val plan = planOf(
+      graft.llm.SpanCorrupt.maskSpans(docs, "doc_id", "n"))
+    assert(!plan.contains("Exchange"),
+      s"mask layout must not shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), plan)
+  }
 }
