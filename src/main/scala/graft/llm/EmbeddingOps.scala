@@ -115,14 +115,30 @@ object EmbeddingOps {
     * never round.
     */
   def dimSums(df: DataFrame, vecCol: String, dim: Int): DataFrame =
-    df.select(posexplode(checkedVec(df, vecCol, dim, "dimSums"))
-        .as(Seq("p", "v")))
-      .select((col("p") + 1).as("i"),
-        floor(col("v").cast("double") * lit(1000.0d)).cast("long").as("xq"))
+    quantizedDims(df, vecCol, dim, "dimSums")
       .groupBy("i")
       .agg(sum(col("xq")).as("sx"),
         sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"),
         count(lit(1)).as("n"))
+
+  /** The exploded milli-quantized (i, xq) frame both moment aggregates
+    * fold.
+    */
+  private def quantizedDims(df: DataFrame, vecCol: String, dim: Int,
+                            op: String): DataFrame =
+    df.select(posexplode(checkedVec(df, vecCol, dim, op))
+        .as(Seq("p", "v")))
+      .select((col("p") + 1).as("i"),
+        floor(col("v").cast("double") * lit(1000.0d)).cast("long").as("xq"))
+
+  /** First moments only (sx per dimension) — what [[covarianceMatrix]]
+    * needs from the corpus pass; computing dimSums' squares there just
+    * to drop them would waste n·d multiplies and a decimal aggregation
+    * column (r12 review finding).
+    */
+  private def firstMoments(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    quantizedDims(df, vecCol, dim, "firstMoments")
+      .groupBy("i").agg(sum(col("xq")).as("sx"))
 
   /** Per-dimension variance and its share of total variance, from the
     * exact first/second moments alone (no d² pass): the collapsed-
@@ -193,7 +209,7 @@ object EmbeddingOps {
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val m = secondMoments(df, vecCol, dim)
-    val s = dimSums(df, vecCol, dim).select(col("i"), col("sx"))
+    val s = firstMoments(df, vecCol, dim)
     m.join(broadcast(s.withColumnRenamed("sx", "_sxi")), Seq("i"))
       .join(broadcast(s.select(col("i").as("j"), col("sx").as("_sxj"))),
         Seq("j"))

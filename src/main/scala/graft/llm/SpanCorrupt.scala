@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * SQL oracle, and a re-run over a grown corpus never re-masks old
   * docs differently (the hashSplit growth-stability stance).
   *
-  * Non-overlap by construction: the doc is partitioned into `nSpans`
+  * Separation by construction: the doc is partitioned into `nSpans`
   * balanced segments (⌊s·n/k⌋ boundaries) and each span is placed
-  * inside its own segment, offset by the hash bucket — T5's "spread
-  * spans through the doc" without rejection sampling, which a
-  * declarative engine cannot express.
+  * inside its own segment, offset by the hash bucket; every span but
+  * the last stops at least one token short of its segment end, so two
+  * spans can never touch and merge into one effective masked region
+  * (a sentinel-per-span consumer keeps a bijection between span_ids
+  * and masked regions) — T5's "spread spans through the doc" without
+  * rejection sampling, which a declarative engine cannot express.
   *
   * Scale shape: one filter + one `sequence` explode emitting
   * ~n·ratio/meanLen rows per doc (≈5% of token count) — a pure
@@ -38,10 +41,13 @@ object SpanCorrupt {
     * Derivation (all integer): noise = max(1, n·ratio‰ div 1000);
     * nSpans = max(1, min(noise div meanLen, n div (2·meanLen))) —
     * the second bound keeps every segment at least twice the mean
-    * span, so masked spans stay separated by real tokens; span s gets
-    * len = noise div nSpans (+1 for the first noise mod nSpans spans),
-    * clamped to its segment; start = segStart + bucket(id, s) mod
-    * (segLen − len + 1).
+    * span; span s gets len = noise div nSpans (+1 for the first
+    * noise mod nSpans spans), clamped to segLen − 1 for non-last
+    * spans (segLen for the last); start = segStart + bucket(id, s)
+    * mod (segLen − len) for non-last spans (+1 for the last), so a
+    * non-last span always leaves ≥ 1 unmasked token before the next
+    * segment. The clamps stay ≥ 1: the nSpans bound guarantees
+    * segLen ≥ 2.
     */
   def maskSpans(df: DataFrame, idCol: String, nTokCol: String,
                 ratioPermille: Int = 150, meanLen: Int = 3): DataFrame = {
@@ -62,17 +68,18 @@ object SpanCorrupt {
       .withColumn("_seg_start", expr("span_id * _n div _nspans"))
       .withColumn("_seg_len",
         expr("(span_id + 1) * _n div _nspans") - col("_seg_start"))
+      .withColumn("_last", (col("span_id") === col("_nspans") - 1L).cast("long"))
       .withColumn("len",
         least(
           when(col("span_id") < expr("_noise % _nspans"),
             expr("_noise div _nspans") + 1L)
             .otherwise(expr("_noise div _nspans")),
-          col("_seg_len")))
+          col("_seg_len") - 1L + col("_last")))
       .withColumn("start",
         col("_seg_start") + pmod(
           Sampling.hashBucket(concat(lit("sc_"), col(idCol).cast("string"),
             lit("_"), col("span_id").cast("string"))),
-          col("_seg_len") - col("len") + 1L))
+          col("_seg_len") - col("len") + col("_last")))
       .select(col(idCol), col("span_id"), col("start"), col("len"))
   }
 

@@ -17,16 +17,6 @@ object BootQueries {
 
   private def tb(s: SparkSession, dir: String) = Tables(s, dir)
 
-  /** 16-bit bucket from a precomputed md5 hex column — the
-    * LlmQueries.duckBucket digits over an already-hashed value (the
-    * composite (id, replicate) key is hashed once in its own CTE).
-    */
-  private def bktFromHex(hex: String): String =
-    s"""((strpos('0123456789abcdef', substr($hex, 1, 1)) - 1) * 4096
-       | + (strpos('0123456789abcdef', substr($hex, 2, 1)) - 1) * 256
-       | + (strpos('0123456789abcdef', substr($hex, 3, 1)) - 1) * 16
-       | + (strpos('0123456789abcdef', substr($hex, 4, 1)) - 1))""".stripMargin
-
   /** Shared oracle tail: rank→order-statistic selection over a `k`
     * CTE holding (grp?, rep, stat, rn, cnt). Integer index rule
     * ⌈p·cnt/2000⌉ = (p·cnt + 1999) // 2000 — the percentileCI contract.
@@ -52,7 +42,7 @@ object BootQueries {
          |e AS (SELECT d.n_chars, r.rep,
          |        md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(r.rep AS VARCHAR)) AS hx
          |      FROM documents d CROSS JOIN r),
-         |bk AS (SELECT rep, n_chars, ${bktFromHex("hx")} AS bkt FROM e),
+         |bk AS (SELECT rep, n_chars, ${OracleSql.bktFromHex("hx")} AS bkt FROM e),
          |wt AS (SELECT rep, n_chars,
          |         ${Bootstrap.poissonWeightSql("bkt")} AS w FROM bk),
          |m AS (SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
@@ -76,7 +66,7 @@ object BootQueries {
          |e AS (SELECT d.lang, d.n_chars, r.rep,
          |        md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(r.rep AS VARCHAR)) AS hx
          |      FROM documents d CROSS JOIN r),
-         |bk AS (SELECT lang, rep, n_chars, ${bktFromHex("hx")} AS bkt FROM e),
+         |bk AS (SELECT lang, rep, n_chars, ${OracleSql.bktFromHex("hx")} AS bkt FROM e),
          |wt AS (SELECT lang, rep, n_chars,
          |         ${Bootstrap.poissonWeightSql("bkt")} AS w FROM bk),
          |m AS (SELECT lang, rep, CAST(sum(w) AS BIGINT) AS n_eff,
@@ -109,7 +99,7 @@ object BootQueries {
          |e AS (SELECT v.num, v.den, r.rep,
          |        md5(CAST(v.event_id AS VARCHAR) || '_' || CAST(r.rep AS VARCHAR)) AS hx
          |      FROM v CROSS JOIN r),
-         |bk AS (SELECT rep, num, den, ${bktFromHex("hx")} AS bkt FROM e),
+         |bk AS (SELECT rep, num, den, ${OracleSql.bktFromHex("hx")} AS bkt FROM e),
          |wt AS (SELECT rep, num, den,
          |         ${Bootstrap.poissonWeightSql("bkt")} AS w FROM bk),
          |m AS (SELECT rep,
@@ -140,7 +130,7 @@ object BootQueries {
          |e AS (SELECT d2.lang, d2.n_chars, r.rep,
          |        md5(CAST(d2.doc_id AS VARCHAR) || '_' || CAST(r.rep AS VARCHAR)) AS hx
          |      FROM d2 CROSS JOIN r),
-         |bk AS (SELECT lang, rep, n_chars, ${bktFromHex("hx")} AS bkt FROM e),
+         |bk AS (SELECT lang, rep, n_chars, ${OracleSql.bktFromHex("hx")} AS bkt FROM e),
          |wt AS (SELECT lang, rep, n_chars,
          |         ${Bootstrap.poissonWeightSql("bkt")} AS w FROM bk),
          |m AS (SELECT lang, rep, CAST(sum(w) AS BIGINT) AS n_eff,

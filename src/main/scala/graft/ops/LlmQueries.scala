@@ -182,11 +182,7 @@ object LlmQueries {
   /** DuckDB face of Sampling.hashBucket / blockedPairs' sub-hash: the
     * first 4 md5 hex digits of the id as an integer in [0, 65536).
     */
-  private def duckBucket(idExpr: String): String =
-    s"""((strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1) * 4096
-       | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1) * 256
-       | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 3, 1)) - 1) * 16
-       | + (strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), 4, 1)) - 1))""".stripMargin
+  private def duckBucket(idExpr: String): String = OracleSql.duckBucket(idExpr)
 
   /** 8-way minhash agreement count between row aliases `a` and `b` —
     * the MinHash Jaccard estimator the incremental-dedup oracles gate

@@ -304,29 +304,15 @@ object PackingQueries {
     // ---- T5-style span corruption (SpanCorrupt.maskSpans): the
     //      deterministic denoising-mask layout — ~15% of tokens in
     //      spans of mean length 3, one span per balanced segment,
-    //      positions from the (doc, span) md5 bucket. The oracle
-    //      replays the whole integer derivation ----
+    //      positions from the (doc, span) md5 bucket, non-last spans
+    //      stopping a token short of their segment so regions never
+    //      merge. The oracle replays the whole integer derivation ----
     "q_pack_span_corruption" -> Q(
       s"""WITH $docTokensCte,
-         |f AS (SELECT doc_id, n FROM t WHERE n >= 4),
-         |p AS (SELECT doc_id, n, greatest(1, (n * 150) // 1000) AS noise FROM f),
-         |q AS (SELECT doc_id, n, noise,
-         |        greatest(1, least(noise // 3, n // 6)) AS nspans FROM p),
-         |e AS (SELECT doc_id, n, noise, nspans,
-         |        CAST(unnest(range(nspans)) AS BIGINT) AS s FROM q),
-         |g AS (SELECT doc_id, s,
-         |        (s * n) // nspans AS seg_start,
-         |        ((s + 1) * n) // nspans - (s * n) // nspans AS seg_len,
-         |        noise // nspans AS base, noise % nspans AS rem FROM e),
-         |h AS (SELECT doc_id, s, seg_start, seg_len,
-         |        least(CASE WHEN s < rem THEN base + 1 ELSE base END,
-         |              seg_len) AS len,
-         |        md5('sc_' || CAST(doc_id AS VARCHAR) || '_'
-         |            || CAST(s AS VARCHAR)) AS hx
-         |      FROM g)
+         |$spanCte
          |SELECT doc_id, CAST(s AS BIGINT) AS span_id,
-         |  CAST(seg_start + (${bktFromHex("hx")} % (seg_len - len + 1))
-         |       AS BIGINT) AS span_start,
+         |  CAST(seg_start + (${OracleSql.bktFromHex("hx")}
+         |       % (seg_len - len + islast)) AS BIGINT) AS span_start,
          |  CAST(len AS BIGINT) AS span_len
          |FROM h ORDER BY doc_id, span_id""".stripMargin) { (s, dir) =>
       graft.llm.SpanCorrupt.maskSpans(docTokens(s, dir), "doc_id", "n")
@@ -340,18 +326,7 @@ object PackingQueries {
     //      zeros — the layout line of a dataset card ----
     "q_pack_span_stats" -> Q(
       s"""WITH $docTokensCte,
-         |f AS (SELECT doc_id, n FROM t WHERE n >= 4),
-         |p AS (SELECT doc_id, n, greatest(1, (n * 150) // 1000) AS noise FROM f),
-         |q AS (SELECT doc_id, n, noise,
-         |        greatest(1, least(noise // 3, n // 6)) AS nspans FROM p),
-         |e AS (SELECT doc_id, n, noise, nspans,
-         |        CAST(unnest(range(nspans)) AS BIGINT) AS s FROM q),
-         |g AS (SELECT doc_id, s,
-         |        ((s + 1) * n) // nspans - (s * n) // nspans AS seg_len,
-         |        noise // nspans AS base, noise % nspans AS rem FROM e),
-         |h AS (SELECT doc_id,
-         |        least(CASE WHEN s < rem THEN base + 1 ELSE base END,
-         |              seg_len) AS len FROM g),
+         |$spanCte,
          |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |          CAST(sum(len) AS BIGINT) AS n_masked
          |        FROM h GROUP BY doc_id)
@@ -368,12 +343,29 @@ object PackingQueries {
     }
   )
 
-  /** 16-bit bucket from a precomputed md5 hex column — the
-    * BootQueries.bktFromHex digits (composite keys hash once in a CTE).
+  /** The span-corruption derivation CTE chain over the `t` doc-token
+    * frame (defaults ratio 150‰ / mean span 3), shared by both span
+    * oracles so parameters and algebra can never drift between them —
+    * ends in `h`(doc_id, s, islast, seg_start, seg_len, len, hx).
+    * A `def`, not a `val`: `all` initializes first and a forward val
+    * reference interpolates null into the SQL (object-init order).
     */
-  private def bktFromHex(hex: String): String =
-    s"""((strpos('0123456789abcdef', substr($hex, 1, 1)) - 1) * 4096
-       | + (strpos('0123456789abcdef', substr($hex, 2, 1)) - 1) * 256
-       | + (strpos('0123456789abcdef', substr($hex, 3, 1)) - 1) * 16
-       | + (strpos('0123456789abcdef', substr($hex, 4, 1)) - 1))""".stripMargin
+  private def spanCte: String =
+    """f AS (SELECT doc_id, n FROM t WHERE n >= 4),
+      |p AS (SELECT doc_id, n, greatest(1, (n * 150) // 1000) AS noise FROM f),
+      |q AS (SELECT doc_id, n, noise,
+      |        greatest(1, least(noise // 3, n // 6)) AS nspans FROM p),
+      |e AS (SELECT doc_id, n, noise, nspans,
+      |        CAST(unnest(range(nspans)) AS BIGINT) AS s FROM q),
+      |g AS (SELECT doc_id, s,
+      |        CASE WHEN s = nspans - 1 THEN 1 ELSE 0 END AS islast,
+      |        (s * n) // nspans AS seg_start,
+      |        ((s + 1) * n) // nspans - (s * n) // nspans AS seg_len,
+      |        noise // nspans AS base, noise % nspans AS rem FROM e),
+      |h AS (SELECT doc_id, s, islast, seg_start, seg_len,
+      |        least(CASE WHEN s < rem THEN base + 1 ELSE base END,
+      |              seg_len - 1 + islast) AS len,
+      |        md5('sc_' || CAST(doc_id AS VARCHAR) || '_' ||
+      |            CAST(s AS VARCHAR)) AS hx
+      |      FROM g)""".stripMargin
 }

@@ -23,7 +23,9 @@ class SpanCorruptSpec extends SparkSpec {
       }
       sorted.sliding(2).foreach {
         case Array((_, _, s1, l1), (_, _, s2, _)) =>
-          assert(s1 + l1 <= s2, s"doc $id overlapping spans")
+          // STRICT separation: adjacent spans must never touch, or two
+          // span_ids would merge into one effective masked region
+          assert(s1 + l1 < s2, s"doc $id touching spans at $s1+$l1 vs $s2")
         case _ =>
       }
     }
