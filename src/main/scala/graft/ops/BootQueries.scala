@@ -61,30 +61,32 @@ object BootQueries {
     // ---- per-language mean-length CI (grouped meanCI): which slice
     //      differences are real given each slice's sample size —
     //      small langs get visibly wider intervals ----
-    "q_boot_group_ci" -> Q(
-      s"""WITH r AS (SELECT CAST(range AS BIGINT) AS rep FROM range(100)),
-         |e AS (SELECT d.lang, d.n_chars, r.rep,
-         |        md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(r.rep AS VARCHAR)) AS hx
-         |      FROM documents d CROSS JOIN r),
-         |bk AS (SELECT lang, rep, n_chars, ${OracleSql.bktFromHex("hx")} AS bkt FROM e),
-         |wt AS (SELECT lang, rep, n_chars,
-         |         ${Bootstrap.poissonWeightSql("bkt")} AS w FROM bk),
-         |m AS (SELECT lang, rep, CAST(sum(w) AS BIGINT) AS n_eff,
-         |        CAST(sum(CAST(w AS BIGINT) * n_chars) AS DOUBLE) AS ws
-         |      FROM wt GROUP BY lang, rep HAVING sum(w) > 0),
-         |k AS (SELECT lang, rep, ws / CAST(n_eff AS DOUBLE) AS stat,
-         |        row_number() OVER (PARTITION BY lang
-         |          ORDER BY ws / CAST(n_eff AS DOUBLE), rep) AS rn,
-         |        count(*) OVER (PARTITION BY lang) AS cnt
-         |      FROM m)
-         |${ciSelect(50, 1950, grpSel = "lang, ",
-                     grpBy = " GROUP BY lang ORDER BY lang")}""".stripMargin) {
-      (s, dir) =>
-        Bootstrap.meanCI(
-            tb(s, dir).documents.select("doc_id", "lang", "n_chars"),
-            "doc_id", "n_chars", b = 100, groupCols = Seq("lang"))
-          .orderBy("lang")
+    "q_boot_group_ci" -> Q(groupCiOracle) { (s, dir) =>
+      Bootstrap.meanCI(
+          tb(s, dir).documents.select("doc_id", "lang", "n_chars"),
+          "doc_id", "n_chars", b = 100, groupCols = Seq("lang"))
+        .orderBy("lang")
     },
+
+    // ---- streaming bootstrap state (BootStream): the SAME per-lang
+    //      CI served from a state folded over three micro-batches —
+    //      replicate weights are pure (id, rep) functions and the sums
+    //      a commutative monoid, so the maintained state hash-matches
+    //      the one-shot oracle bit for bit ----
+    "q_stream_boot_ci" -> Q(groupCiOracle) { (s, dir) =>
+      val tmp = Scratch.dir("graft_bootstream_")
+      val statePath = s"${tmp.getPath}/boot_state"
+      val docs = tb(s, dir).documents.select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach { i =>
+        graft.streaming.BootStream.applyBatch(
+          docs.filter(col("doc_id") % 3 === i), "doc_id", "n_chars",
+          b = 100, statePath, groupCols = Seq("lang"))
+      }
+      graft.streaming.BootStream.readMeanCI(s, statePath, "n_chars",
+          Seq("lang"))
+        .orderBy("lang")
+    },
+
 
     // ---- purchase-per-view rate CI (Bootstrap.ratioCI): a RATE's
     //      uncertainty needs joint resampling of numerator and
@@ -151,4 +153,28 @@ object BootQueries {
         tb(s, dir).documents.select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars", "lang", a = "en", bSlice = "de", b = 200)
     })
+
+  /** The per-lang mean-length CI oracle (100 replicates), shared by
+    * q_boot_group_ci and q_stream_boot_ci: the streaming fold is
+    * bit-identical to the one-shot resample by the monoid contract,
+    * so ONE SQL replay gates both faces.
+    */
+  private def groupCiOracle: String =
+      s"""WITH r AS (SELECT CAST(range AS BIGINT) AS rep FROM range(100)),
+         |e AS (SELECT d.lang, d.n_chars, r.rep,
+         |        md5(CAST(d.doc_id AS VARCHAR) || '_' || CAST(r.rep AS VARCHAR)) AS hx
+         |      FROM documents d CROSS JOIN r),
+         |bk AS (SELECT lang, rep, n_chars, ${OracleSql.bktFromHex("hx")} AS bkt FROM e),
+         |wt AS (SELECT lang, rep, n_chars,
+         |         ${Bootstrap.poissonWeightSql("bkt")} AS w FROM bk),
+         |m AS (SELECT lang, rep, CAST(sum(w) AS BIGINT) AS n_eff,
+         |        CAST(sum(CAST(w AS BIGINT) * n_chars) AS DOUBLE) AS ws
+         |      FROM wt GROUP BY lang, rep HAVING sum(w) > 0),
+         |k AS (SELECT lang, rep, ws / CAST(n_eff AS DOUBLE) AS stat,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ws / CAST(n_eff AS DOUBLE), rep) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS cnt
+         |      FROM m)
+         |${ciSelect(50, 1950, grpSel = "lang, ",
+                     grpBy = " GROUP BY lang ORDER BY lang")}""".stripMargin
 }
