@@ -722,6 +722,74 @@ object RankStats {
       .orderBy("group", "q_milli")
   }
 
+  /** Split-conformal calibration quantile per group (Vovk et al.;
+    * Angelopoulos & Bates 2023 §2): the ⌈(n+1)(1000−α)/1000⌉-th
+    * smallest calibration score — the threshold below which a fresh
+    * exchangeable score falls with probability ≥ 1−α/1000, FINITE-
+    * sample, distribution-free. The conformal anomaly gate: score
+    * tomorrow's rows against today's qhat and the false-alarm rate is
+    * bounded by construction. When the target rank exceeds n (tiny
+    * calibration sets), no finite threshold carries the guarantee and
+    * `qhat` is NULL — the interval is the whole space; a consumer must
+    * treat NULL as "everything conforms", never as zero.
+    *
+    * Scale posture: per-group order statistic through the
+    * [[keyedPrefixes]] two-level scan over the DISTINCT-value frame —
+    * a `row_number` window would sort a hot group on one task.
+    * Integer index rule (p·(n+1) + 999) div 1000, the percentileCI
+    * stance: no float ceil near an integer boundary.
+    */
+  def conformalQuantile(cal: DataFrame, valueCol: String, groupCol: String,
+                        alphaPermille: Int = 50,
+                        maxBlocks: Long = 1L << 20): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille must be in (0, 1000), got $alphaPermille")
+    val rows = cal.select(
+      checkedLong(col(valueCol), "conformalQuantile",
+        s"value in $valueCol").as("_v"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"conformalQuantile: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("_g"))
+    val gv = rows.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
+    val cum = keyedPrefixes(gv, "_g", Seq("_n"), maxBlocks)
+      .withColumn("_cum", col("_pre__n") + col("_n"))
+    val targets = gv.groupBy("_g").agg(sum("_n").as("n_cal"))
+      .withColumn("target_rank",
+        expr(s"(${1000 - alphaPermille} * (n_cal + 1) + 999) div 1000"))
+    val sel = cum.join(targets.select(col("_g"), col("target_rank")), Seq("_g"))
+      .filter(col("_cum") >= col("target_rank"))
+      .groupBy("_g").agg(min("_v").as("qhat"))
+    targets.join(sel, Seq("_g"), "left")
+      .select(col("_g").as("grp"), col("n_cal"), col("target_rank"),
+        col("qhat"))
+  }
+
+  /** Empirical coverage of [[conformalQuantile]] thresholds on a held-
+    * out slice: per group, the fraction of test scores at or below
+    * qhat (a NULL qhat covers everything by the whole-space rule).
+    * Groups absent from the calibration frame are dropped (no
+    * threshold to audit — surface them upstream if that's an error).
+    * The sanity loop: coverage ≈ 1−α says the exchangeability
+    * assumption holds between the two slices.
+    */
+  def conformalCoverage(test: DataFrame, qhats: DataFrame,
+                        valueCol: String, groupCol: String): DataFrame = {
+    val t = test.select(
+      checkedLong(col(valueCol), "conformalCoverage",
+        s"value in $valueCol").as("_v"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"conformalCoverage: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("grp"))
+    t.join(broadcast(qhats), Seq("grp"))
+      .groupBy(col("grp"), col("n_cal"), col("target_rank"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull || col("_v") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test").cast("double"),
+          6))
+  }
+
   /** Paired t-test over integer metric pairs (a, b): one row with the
     * exact difference sums (Σd as long, Σd² exact in decimal → double)
     * and the t statistic from the closed form

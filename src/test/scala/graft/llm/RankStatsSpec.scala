@@ -389,4 +389,33 @@ class RankStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL"))
   }
+
+  test("conformalQuantile: the (n+1) rank rule, NULL past the calibration size") {
+    val cal = ((1L to 19L).map(v => ("a", v)) :+ ("b", 7L))
+      .toDF("g", "v")
+    val q = RankStats.conformalQuantile(cal, "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // n=19: target = (950*20 + 999) div 1000 = 19 -> the max value
+    assert(q("a") === ((19L, 19L, Some(19L))))
+    // n=1: target = 2 > n -> no finite threshold, qhat NULL
+    assert(q("b") === ((1L, 2L, None)))
+    // alpha=500: target = (500*20 + 999) div 1000 = 10 -> the median
+    val med = RankStats.conformalQuantile(cal.filter($"g" === "a"), "v", "g",
+      alphaPermille = 500).collect().head
+    assert(med.getLong(3) === 10L)
+  }
+
+  test("conformalCoverage: counts at-or-below qhat; NULL qhat covers all") {
+    val cal = ((1L to 19L).map(v => ("a", v)) :+ ("b", 7L)).toDF("g", "v")
+    val qh = RankStats.conformalQuantile(cal, "v", "g")
+    val test = (Seq(("a", 5L), ("a", 19L), ("a", 20L), ("b", 1000L)))
+      .toDF("g", "v")
+    val cov = RankStats.conformalCoverage(test, qh, "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(cov("a") === ((3L, 2L, 0.666667))) // 20 > qhat=19 escapes
+    assert(cov("b") === ((1L, 1L, 1.0)))      // whole-space rule
+  }
 }
