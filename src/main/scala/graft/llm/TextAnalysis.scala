@@ -1231,4 +1231,49 @@ object TextAnalysis {
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** PPMI co-occurrence pairs — the word2vec/GloVe-style training-pair
+    * mining stage: unordered token pairs within a `window`-token skip
+    * gram of each document, with exact pair/marginal counts and the
+    * pointwise mutual information
+    * pmi = ln(4·T·c_ab / (c_a·c_b)) — p(a,b) = c_ab/T against slot
+    * marginals p(a) = c_a/2T (each pair holds two slots, so the 4
+    * appears squaring the 2T). One closed-form double from exact
+    * counts, mirrored term for term by the oracle.
+    *
+    * Scale shape: pairs come straight off the token ARRAY via one
+    * nested-transform projection (the secondMoments idiom — a token-
+    * frame self-join on (doc, pos+k) would shuffle the corpus once per
+    * window offset); then two keyed aggregates (pairs, slot marginals)
+    * and one broadcast of the 1-row total. `minCount` prunes the pair
+    * long tail BEFORE the marginal joins; marginals stay exact over
+    * the full stream.
+    */
+  def cooccurrencePmi(df: DataFrame, textCol: String, window: Int = 2,
+                      minCount: Long = 5L): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1, 16]: $window")
+    require(minCount >= 1L, s"minCount must be positive: $minCount")
+    val prs = df.select(tokens(col(textCol)).as("_t"))
+      .select(explode(expr(
+        s"""flatten(transform(_t, (x, i) ->
+           |  transform(slice(_t, i + 2, $window), y ->
+           |    named_struct('a', x, 'b', y))))""".stripMargin)).as("pr"))
+      .select(least(col("pr.a"), col("pr.b")).as("w1"),
+        greatest(col("pr.a"), col("pr.b")).as("w2"))
+    val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val marg = prs.select(col("w1").as("tok"))
+      .unionAll(prs.select(col("w2").as("tok")))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = prs.agg(count(lit(1)).as("tp"))
+    cab
+      .join(marg.select(col("tok").as("w1"), col("c").as("n_a")), Seq("w1"))
+      .join(marg.select(col("tok").as("w2"), col("c").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_a"), col("n_b"),
+        round(log(
+          (lit(4.0d) * col("tp").cast("double") * col("n_pair").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+  }
 }

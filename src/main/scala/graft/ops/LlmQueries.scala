@@ -1728,6 +1728,40 @@ object LlmQueries {
         .orderBy("i")
     },
 
+    // ---- PPMI co-occurrence pairs (TextAnalysis.cooccurrencePmi):
+    //      word2vec-style skip-gram pair mining — unordered pairs
+    //      within a 2-token window straight off the token array (the
+    //      secondMoments zero-join idiom), exact pair/slot-marginal
+    //      counts, pmi = ln(4·T·c_ab/(c_a·c_b)) mirrored term for
+    //      term; +0.0 for the −0.0 near independence ----
+    "q_llm_pmi_pairs" -> Q(
+      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                               x -> x <> '') AS t
+        |            FROM documents),
+        |ps AS (SELECT t, CAST(unnest(range(len(t))) AS BIGINT) AS i FROM tk),
+        |pr AS (SELECT least(t[i + 1], t[i + 1 + k]) AS w1,
+        |              greatest(t[i + 1], t[i + 1 + k]) AS w2
+        |       FROM ps CROSS JOIN (SELECT unnest([1, 2]) AS k) u
+        |       WHERE i + 1 + k <= len(t)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM pr GROUP BY w1, w2 HAVING count(*) >= 5),
+        |m AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT w1 AS tok FROM pr
+        |            UNION ALL SELECT w2 AS tok FROM pr)
+        |      GROUP BY tok),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM pr)
+        |SELECT cb.w1, cb.w2, cb.n_pair, ma.c AS n_a, mb.c AS n_b,
+        |  round(ln((CAST(4 AS DOUBLE) * CAST(tt.tp AS DOUBLE)
+        |            * CAST(cb.n_pair AS DOUBLE))
+        |           / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))), 6)
+        |    + 0.0 AS pmi
+        |FROM cb JOIN m ma ON ma.tok = cb.w1
+        |JOIN m mb ON mb.tok = cb.w2, tt
+        |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      TextAnalysis.cooccurrencePmi(tb(s, dir).documents, "text")
+        .orderBy("w1", "w2")
+    },
+
     // ---- MinHash signatures (8 permutations over 3-gram shingles) ----
     "q_llm_minhash_sig" -> Q(
       s"""WITH $shingleCte

@@ -658,4 +658,23 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(one === many)
   }
+
+  test("cooccurrencePmi: exact pair/marginal counts and the closed form") {
+    val docs = Seq(("x y x y")).toDF("text")
+    // window 2 pairs: (x,y) x3, (x,x), (y,y); T=5; slot marginals x=5, y=5
+    val rows = TextAnalysis.cooccurrencePmi(docs, "text", minCount = 1L)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows(("x", "x"))._1 === 1L)
+    assert(rows(("y", "y"))._1 === 1L)
+    val (np, na, nb, pmi) = rows(("x", "y"))
+    assert(np === 3L && na === 5L && nb === 5L)
+    assert(math.abs(pmi - math.log(4.0 * 5 * 3 / 25.0)) < 1e-6)
+    // minCount prunes the tail but marginals stay full-stream
+    val pruned = TextAnalysis.cooccurrencePmi(docs, "text", minCount = 2L)
+      .collect()
+    assert(pruned.length === 1 && pruned.head.getString(0) === "x"
+      && pruned.head.getLong(3) === 5L)
+  }
 }
