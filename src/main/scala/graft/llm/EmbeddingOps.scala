@@ -344,4 +344,37 @@ object EmbeddingOps {
       .groupBy(col(idCol), col("k"))
       .agg(sum(col("v") * col("w")).as("proj"))
   }
+
+  /** k-NN label purity — the mislabel detector (Confident-Learning
+    * flavored, neighborhood-vote form): for each query vector, the
+    * fraction of its k nearest corpus neighbors (brute cosine,
+    * [[Ann.cosineTopK]]) sharing its label. A vector whose
+    * neighborhood out-votes its label (purity below minPurityMilli) is
+    * a relabel/review candidate — [[labelOutliers]]' centroid test
+    * catches global drift, this catches locally-wrong labels in
+    * multi-modal classes where the centroid is meaningless.
+    * The suspect flag compares in integers (n_same·1000 <
+    * minPurityMilli·k), never a float threshold.
+    */
+  def knnLabelPurity(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String, k: Int,
+                     minPurityMilli: Int = 500): DataFrame = {
+    require(minPurityMilli >= 0 && minPurityMilli <= 1000,
+      s"minPurityMilli must be in [0, 1000], got $minPurityMilli")
+    val top = Ann.cosineTopK(queries.select(col(idCol), col(vecCol)),
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+    top
+      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("label")),
+        Seq("q_id"))
+      .join(corpus.select(col(idCol).as("c_id"), col(labelCol).as("_cl")),
+        Seq("c_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("_cl") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("q_id"), col("label"), col("n_nbrs"), col("n_same"),
+        round(col("n_same").cast("double") / col("n_nbrs").cast("double"), 6)
+          .as("purity"),
+        (col("n_same") * 1000L < lit(minPurityMilli.toLong) * col("n_nbrs"))
+          .as("is_suspect"))
+  }
 }

@@ -2515,6 +2515,42 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- k-NN label purity (EmbeddingOps.knnLabelPurity): the
+    //      mislabel detector — neighborhood vote over each query's
+    //      brute-force top-5; suspect when the neighborhood out-votes
+    //      the label (integer cross-multiply, no float threshold).
+    //      Same rounded-cosine/id-tiebreak convention as
+    //      q_ann_cosine_topk ----
+    "q_ann_label_purity" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 50 AND b.vec_id <> a.vec_id
+        |         GROUP BY a.vec_id, b.vec_id),
+        |scored AS (SELECT d.q_id, d.c_id, round(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+        |           FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+        |           JOIN norms nc ON nc.vec_id = d.c_id),
+        |ranked AS (SELECT q_id, c_id,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        |           FROM scored),
+        |top AS (SELECT q_id, c_id FROM ranked WHERE rn <= 5),
+        |lab AS (SELECT vec_id, label FROM embeddings)
+        |SELECT t.q_id, lq.label, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |  CAST(sum(CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        |  round(CAST(sum(CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS purity,
+        |  (sum(CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END) * 1000
+        |   < 500 * count(*)) AS is_suspect
+        |FROM top t JOIN lab lq ON lq.vec_id = t.q_id
+        |JOIN lab lc ON lc.vec_id = t.c_id
+        |GROUP BY t.q_id, lq.label ORDER BY t.q_id""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      EmbeddingOps.knnLabelPurity(emb.filter(col("vec_id") < 50), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("q_id")
+    },
+
     // ---- label-based retrieval MRR (Ann.mrrByLabel): rank of the
     //      first same-label candidate in each query's brute-force
     //      top-5 — the retrieval-eval companion to recall/nDCG when

@@ -173,4 +173,22 @@ class EmbeddingOpsSpec extends SparkSpec {
     val popVar = proj.map(x => (x - mean) * (x - mean)).sum / proj.length
     assert(math.abs(popVar - eig(0)) < 1e-3, s"popVar $popVar vs eig ${eig(0)}")
   }
+
+  test("knnLabelPurity: the mislabeled vector is out-voted by its neighborhood") {
+    // two tight clusters on orthogonal axes; vec 5 sits in cluster A
+    // but carries label 2 — its 3-NN are all label 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(1.0f, 0.05f), 1), (5L, Array(0.95f, 0.0f), 2),
+      (10L, Array(0.0f, 1.0f), 2), (11L, Array(0.1f, 0.9f), 2),
+      (12L, Array(0.05f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = EmbeddingOps.knnLabelPurity(vecs, vecs, "vec_id",
+        "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(rows(5L) === ((0L, 0.0, true)), s"mislabel not flagged: $rows")
+    assert(rows(0L) === ((2L, 0.666667, false))) // 5 is a neighbor w/ label 2
+    assert(rows(10L)._3 === false)
+  }
 }
