@@ -764,6 +764,37 @@ object RankStats {
         col("qhat"))
   }
 
+  /** Per-group ECDF rank normalization — score HARMONIZATION: when
+    * corpora arrive scored by heterogeneous scorers (different models,
+    * different scales), mixing on raw scores biases selection toward
+    * whichever scorer runs hot; mapping each score to its within-group
+    * ECDF permille ⌊1000·rank≤/n⌋ puts every group on the same [0,1000]
+    * rank scale (quantile matching, the curation-mixing counterpart of
+    * [[Sampling.domainMixture]]). Returns the DISTINCT (grp, value)
+    * mapping frame — values-sized, join it back to rows on the pair
+    * key; emitting per-row output here would shuffle the corpus twice.
+    *
+    * Scale: the [[keyedPrefixes]] two-level scan, never a per-group
+    * sort; all integers until the caller divides.
+    */
+  def ecdfNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                    maxBlocks: Long = 1L << 20): DataFrame = {
+    val rows = df.select(
+      checkedLong(col(valueCol), "ecdfNormalize",
+        s"value in $valueCol").as("_v"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"ecdfNormalize: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("_g"))
+    val gv = rows.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
+    val cum = keyedPrefixes(gv, "_g", Seq("_n"), maxBlocks)
+      .withColumn("_cum", col("_pre__n") + col("_n"))
+    val gTot = gv.groupBy("_g").agg(sum("_n").as("_tot"))
+    cum.join(gTot, Seq("_g"))
+      .select(col("_g").as("grp"), col("_v").as("value"),
+        col("_cum").as("n_le"), col("_tot").as("n_tot"),
+        expr("_cum * 1000 div _tot").as("ecdf_permille"))
+  }
+
   /** Empirical coverage of [[conformalQuantile]] thresholds on a held-
     * out slice: per group, the fraction of test scores at or below
     * qhat (a NULL qhat covers everything by the whole-space rule).

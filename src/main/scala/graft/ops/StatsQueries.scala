@@ -797,6 +797,32 @@ object StatsQueries {
       RankStats.conformalCoverage(
           v.filter(bkt >= 32768L), qh, "s_m", "event_type")
         .orderBy("grp")
+    },
+
+    // ---- per-source ECDF score harmonization (RankStats.
+    //      ecdfNormalize): every source's scores mapped onto the same
+    //      [0,1000] rank scale before cross-source mixing — the
+    //      distinct (source, value) mapping joined back to docs ----
+    "q_stat_ecdf_norm" -> Q(
+      """WITH r AS (SELECT doc_id, source, n_chars FROM documents),
+        |vc AS (SELECT source, n_chars AS v, count(*) AS c FROM r GROUP BY 1, 2),
+        |p AS (SELECT source, v,
+        |        CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+        |      FROM vc),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM r GROUP BY source)
+        |SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+        |  CAST((p.cum * 1000) // n.tot AS BIGINT) AS ecdf_permille
+        |FROM r JOIN p ON p.source = r.source AND p.v = r.n_chars
+        |JOIN n ON n.source = r.source
+        |ORDER BY r.doc_id""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents.select("doc_id", "source", "n_chars")
+      val m = RankStats.ecdfNormalize(docs, "n_chars", "source")
+      docs
+        .join(m.select(col("grp").as("source"), col("value").as("n_chars"),
+          col("ecdf_permille")), Seq("source", "n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("ecdf_permille"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -418,4 +418,16 @@ class RankStatsSpec extends SparkSpec {
     assert(cov("a") === ((3L, 2L, 0.666667))) // 20 > qhat=19 escapes
     assert(cov("b") === ((1L, 1L, 1.0)))      // whole-space rule
   }
+
+  test("ecdfNormalize: exact within-group rank permilles") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L),
+      ("b", 5L)).toDF("g", "v")
+    val m = RankStats.ecdfNormalize(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(("a", 10L)) === ((1L, 4L, 250L)))
+    assert(m(("a", 20L)) === ((3L, 4L, 750L))) // ties share the <=-rank
+    assert(m(("a", 30L)) === ((4L, 4L, 1000L)))
+    assert(m(("b", 5L)) === ((1L, 1L, 1000L)))
+  }
 }
