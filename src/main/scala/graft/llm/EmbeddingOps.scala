@@ -354,7 +354,9 @@ object EmbeddingOps {
     * catches global drift, this catches locally-wrong labels in
     * multi-modal classes where the centroid is meaningless.
     * The suspect flag compares in integers (n_same·1000 <
-    * minPurityMilli·k), never a float threshold.
+    * minPurityMilli·n_nbrs — the RETURNED neighbor count, which is
+    * below k on corpora smaller than k+1, so purity always ranges the
+    * full [0, 1]), never a float threshold.
     */
   def knnLabelPurity(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, labelCol: String, k: Int,

@@ -1244,10 +1244,13 @@ object TextAnalysis {
     * Scale shape: pairs come straight off the token ARRAY via one
     * nested-transform projection (the secondMoments idiom — a token-
     * frame self-join on (doc, pos+k) would shuffle the corpus once per
-    * window offset); then two keyed aggregates (pairs, slot marginals)
-    * and one broadcast of the 1-row total. `minCount` prunes the pair
-    * long tail BEFORE the marginal joins; marginals stay exact over
-    * the full stream.
+    * window offset); then TWO corpus passes total — pair counts, and
+    * slot marginals via one explode of both slots (Spark does not
+    * dedup common subplans, so a unionAll of the pair stream would
+    * re-tokenize the corpus per branch, and the pair total derives
+    * from the marginals exactly: Σc = 2T — r12 review finding).
+    * `minCount` prunes the pair long tail BEFORE the marginal joins;
+    * marginals stay exact over the full stream.
     */
   def cooccurrencePmi(df: DataFrame, textCol: String, window: Int = 2,
                       minCount: Long = 5L): DataFrame = {
@@ -1262,10 +1265,10 @@ object TextAnalysis {
         greatest(col("pr.a"), col("pr.b")).as("w2"))
     val cab = prs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
-    val marg = prs.select(col("w1").as("tok"))
-      .unionAll(prs.select(col("w2").as("tok")))
+    val marg = prs
+      .select(explode(array(col("w1"), col("w2"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = prs.agg(count(lit(1)).as("tp"))
+    val tot = marg.agg(expr("sum(c) div 2").as("tp"))
     cab
       .join(marg.select(col("tok").as("w1"), col("c").as("n_a")), Seq("w1"))
       .join(marg.select(col("tok").as("w2"), col("c").as("n_b")), Seq("w2"))
