@@ -34,6 +34,33 @@ object Conversations {
         when(col("turn_idx") % 2 === 1, "user").otherwise("assistant"))
   }
 
+  /** SFT loss-mask layout: one row per turn with its token offsets
+    * inside the assembled conversation and whether its tokens TRAIN —
+    * the completion-only-loss layout instruction tuning needs (mask
+    * the prompt/user turns, train on the listed completion types).
+    * Offsets are an exclusive running sum of turn lengths over the
+    * SAME (user, session) partition key as the session tagging — no
+    * extra shuffle, and conversations are gap-bounded so the window
+    * never sees corpus-scale partitions (the contextPack stance).
+    */
+  def sftMaskLayout(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, typeCol: String, lenCol: String,
+                    trainableTypes: Seq[String],
+                    gapMicros: Long = 30L * 60 * 1000000): DataFrame = {
+    require(trainableTypes.nonEmpty, "sftMaskLayout: no trainable types")
+    val wc = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns(events, userCol, tsCol, idCol, gapMicros)
+      .withColumn("start_off",
+        coalesce(sum(col(lenCol)).over(wc), lit(0L)))
+      .select(col(userCol), col("session_seq").as("conv_seq"),
+        col("turn_idx").cast("long").as("turn_idx"),
+        col(typeCol).as("turn_type"), col("start_off"),
+        col(lenCol).cast("long").as("len"),
+        col(typeCol).isin(trainableTypes: _*).as("trainable"))
+  }
+
   /** Conversation-level rollup: turn counts, role split, distinct
     * event types, total content length, time bounds, and
     * `repeat_violations` — consecutive turns with the SAME type, the

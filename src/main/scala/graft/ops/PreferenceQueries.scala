@@ -352,6 +352,33 @@ object PreferenceQueries {
         .orderBy("user_id", "conv_seq")
     },
 
+    // ---- SFT loss-mask layout (Conversations.sftMaskLayout): per
+    //      turn, offsets inside the conversation and whether its
+    //      tokens train — completion-only loss with purchase/signup
+    //      standing in as the completion types ----
+    "q_conv_sft_mask" -> Q(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |                  length(coalesce(props, '')) AS len FROM events),
+        |l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM l),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_seq ORDER BY tus, event_id) AS turn_idx,
+        |        coalesce(sum(len) OVER (PARTITION BY user_id, session_seq ORDER BY tus, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |      FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS conv_seq,
+        |  CAST(turn_idx AS BIGINT) AS turn_idx, event_type AS turn_type,
+        |  CAST(start_off AS BIGINT) AS start_off, CAST(len AS BIGINT) AS len,
+        |  event_type IN ('purchase', 'signup') AS trainable
+        |FROM u ORDER BY user_id, conv_seq, turn_idx""".stripMargin) { (s, dir) =>
+      val ev = tb(s, dir).events
+        .withColumn("len", length(coalesce(col("props"), lit(""))))
+      Conversations.sftMaskLayout(ev, "user_id", "ts", "event_id",
+          "event_type", "len", trainableTypes = Seq("purchase", "signup"))
+        .orderBy("user_id", "conv_seq", "turn_idx")
+    },
+
     // ---- context-budget packing (Conversations.contextPack): keep
     //      the longest recent-turn suffix under 500 chars — the chat
     //      template's truncation rule, one reused user-key shuffle ----

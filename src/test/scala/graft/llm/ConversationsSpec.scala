@@ -68,4 +68,25 @@ class ConversationsSpec extends SparkSpec {
     assert(tight.getAs[Long]("kept_turns") === 0L &&
       tight.getAs[Long]("dropped_turns") === 2L)
   }
+
+  test("sftMaskLayout: contiguous offsets, trainable only on listed types") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, "view", ts(0), 10L),
+      (1L, 2L, "purchase", ts(1), 4L),
+      (1L, 3L, "view", ts(2), 6L),
+      (1L, 4L, "view", ts(90), 3L) // new session after the 30-min gap
+    ).toDF("user_id", "event_id", "event_type", "ts", "len")
+    val rows = Conversations.sftMaskLayout(ev, "user_id", "ts", "event_id",
+        "event_type", "len", Seq("purchase"))
+      .orderBy("conv_seq", "turn_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        ((r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(rows((1L, 1L)) === (("view", 0L, 10L, false)))
+    assert(rows((1L, 2L)) === (("purchase", 10L, 4L, true)))
+    assert(rows((1L, 3L)) === (("view", 14L, 6L, false)))
+    assert(rows((2L, 1L)) === (("view", 0L, 3L, false))) // offsets rebase
+  }
 }
