@@ -389,4 +389,58 @@ object Sampling {
         maxBlocks = maxBlocks, tieCols = Seq(idCol))
       .withColumnRenamed("shard", "stage")
   }
+
+  /** Exact proportional allocation across strata — the largest-
+    * remainder (Hamilton) apportionment: split a FIXED budget of k
+    * rows across strata proportionally to their sizes, with the
+    * leftover after integer quotas going to the largest remainders
+    * (stratum-name tiebreak). Builds the fixed-size eval set
+    * [[stratifiedSample]]'s per-class constant k cannot: Σ alloc = k
+    * exactly, every stratum within one row of its real share. All
+    * integer arithmetic (quota = k·n div N, remainder = k·n mod N);
+    * requires k ≤ N and k·N within long range.
+    *
+    * Output: one row per stratum (stratum, n, alloc). The allocation
+    * frame is strata-sized — the remainder-rank window runs over it,
+    * not the corpus.
+    */
+  def proportionalAllocate(df: DataFrame, stratumCol: String,
+                           k: Long): DataFrame = {
+    require(k >= 1L, s"budget must be positive, got $k")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      when(sum(col("n")) < k,
+        raise_error(lit(s"proportionalAllocate: budget $k exceeds corpus")))
+        .otherwise(sum(col("n"))).as("_t"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("_base", expr(s"$k * n div _t"))
+      .withColumn("_rem", expr(s"($k * n) % _t"))
+    // leftover = k − Σ base, handed to the largest remainders; the
+    // window covers the strata-sized frame only
+    val wR = Window.orderBy(col("_rem").desc, col(stratumCol).asc)
+    val wAll = Window.partitionBy()
+    quotas
+      .withColumn("_rr", row_number().over(wR))
+      .withColumn("_leftover", lit(k) - sum(col("_base")).over(wAll))
+      .select(col(stratumCol), col("n"),
+        (col("_base") +
+          when(col("_rr") <= col("_leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** Materialize a [[proportionalAllocate]] plan: per stratum, the
+    * `alloc` lowest-hash rows (md5 order ≈ uniform, reproducible; id
+    * tiebreak — the stratifiedSample idiom). Exactly k rows total.
+    */
+  def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
+                         k: Long): DataFrame = {
+    val alloc = proportionalAllocate(df, stratumCol, k)
+      .select(col(stratumCol), col("alloc"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
+    df.join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("_sr", row_number().over(w))
+      .filter(col("_sr") <= col("alloc"))
+      .drop("_sr", "alloc")
+  }
 }

@@ -824,6 +824,36 @@ object LlmQueries {
         .orderBy("source", "doc_id")
     },
 
+    // ---- exact proportional allocation (Sampling.proportionalSample):
+    //      a FIXED 100-row eval set split across sources by the
+    //      largest-remainder rule (Σ alloc = k exactly, every stratum
+    //      within one row of its true share), then the alloc
+    //      lowest-hash docs per stratum ----
+    "q_sample_proportional" -> Q(
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c),
+         |q AS (SELECT source, n, (100 * n) // tt AS base,
+         |        (100 * n) % tt AS rem FROM c, t),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+         |        (SELECT 100 - sum(base) FROM q) AS leftover FROM q),
+         |a AS (SELECT source,
+         |        base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+         |      FROM r),
+         |sr AS (SELECT d.doc_id, d.source,
+         |         row_number() OVER (PARTITION BY d.source
+         |           ORDER BY ${OracleSql.duckBucket("d.doc_id")}, d.doc_id) AS rn
+         |       FROM documents d)
+         |SELECT sr.doc_id, sr.source FROM sr JOIN a ON a.source = sr.source
+         |WHERE sr.rn <= a.alloc ORDER BY sr.source, sr.doc_id""".stripMargin) {
+      (s, dir) =>
+        graft.llm.Sampling.proportionalSample(
+            tb(s, dir).documents.select("doc_id", "source"), "source",
+            "doc_id", k = 100L)
+          .select("doc_id", "source")
+          .orderBy("source", "doc_id")
+    },
+
     // ---- frequency-ranked vocabulary (TextAnalysis.buildVocab): dense
     //      1-based token ids by (count desc, token); top 1000 rows ----
     "q_llm_vocab" -> Q(

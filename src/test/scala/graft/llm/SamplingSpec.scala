@@ -342,4 +342,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.curriculumStages(dbl, "id", "score", 2)
     }
   }
+
+  test("proportionalAllocate: Hamilton quotas sum exactly to k") {
+    // strata 60/25/15 over k=10: quotas 6/2.5/1.5 -> base 6/2/1,
+    // leftover 1 -> the larger remainder (b at .5 ties c at .5,
+    // stratum-name tiebreak gives it to b)
+    val df = ((1 to 60).map(i => ("a", i)) ++ (1 to 25).map(i => ("b", i))
+      ++ (1 to 15).map(i => ("c", i))).toDF("g", "x")
+    val a = Sampling.proportionalAllocate(df, "g", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a === Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+    val ex = intercept[Exception] {
+      Sampling.proportionalAllocate(df.limit(5), "g", 10L).collect()
+    }
+    assert(ex.getMessage.contains("exceeds corpus"))
+  }
+
+  test("proportionalSample: exactly k rows, deterministic membership") {
+    val df = (1L to 200L).map(i => (if (i <= 120) "a" else "b", i))
+      .toDF("g", "id")
+    val s1 = Sampling.proportionalSample(df, "g", "id", 50L)
+      .orderBy("id").collect()
+    assert(s1.length === 50)
+    val byG = s1.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byG === Map("a" -> 30, "b" -> 20))
+    val s2 = Sampling.proportionalSample(df, "g", "id", 50L)
+      .orderBy("id").collect()
+    assert(s1.sameElements(s2))
+  }
 }
