@@ -1244,12 +1244,15 @@ object TextAnalysis {
     * Scale shape: pairs come straight off the token ARRAY via one
     * nested-transform projection (the secondMoments idiom — a token-
     * frame self-join on (doc, pos+k) would shuffle the corpus once per
-    * window offset); then TWO corpus passes total — pair counts, and
-    * slot marginals via one explode of both slots (Spark does not
-    * dedup common subplans, so a unionAll of the pair stream would
-    * re-tokenize the corpus per branch, and the pair total derives
-    * from the marginals exactly: Σc = 2T — r12 review finding).
-    * `minCount` prunes the pair long tail BEFORE the marginal joins;
+    * window offset); then THREE corpus passes total — pair counts,
+    * slot marginals, and the marginals' total (Σc = 2T). Spark does
+    * not dedup common subplans, so the marginals reach BOTH pair
+    * slots through one melted join (explode of the two slots + pivot
+    * back), not two joins that would each re-tokenize the corpus —
+    * r12 review finding; three passes is the floor without
+    * materializing the pair matrix (a caller batching many stats over
+    * it should persist it first). PlanAuditSpec pins the scan count.
+    * `minCount` prunes the pair long tail BEFORE the marginal join;
     * marginals stay exact over the full stream.
     */
   def cooccurrencePmi(df: DataFrame, textCol: String, window: Int = 2,
@@ -1269,9 +1272,21 @@ object TextAnalysis {
       .select(explode(array(col("w1"), col("w2"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = marg.agg(expr("sum(c) div 2").as("tp"))
-    cab
-      .join(marg.select(col("tok").as("w1"), col("c").as("n_a")), Seq("w1"))
-      .join(marg.select(col("tok").as("w2"), col("c").as("n_b")), Seq("w2"))
+    // melt the two pair slots into one marginal join, then pivot back:
+    // joining marg twice (n_a, n_b) would re-evaluate its whole
+    // corpus-tokenizing subplan per join
+    val melted = cab
+      .select(col("w1"), col("w2"), col("n_pair"),
+        explode(array(
+          struct(lit("a").as("side"), col("w1").as("tok")),
+          struct(lit("b").as("side"), col("w2").as("tok")))).as("sl"))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        col("sl.side").as("side"), col("sl.tok").as("tok"))
+    melted
+      .join(marg, Seq("tok"))
+      .groupBy("w1", "w2", "n_pair")
+      .agg(max(when(col("side") === "a", col("c"))).as("n_a"),
+        max(when(col("side") === "b", col("c"))).as("n_b"))
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_a"), col("n_b"),
         round(log(

@@ -709,4 +709,33 @@ class PlanAuditSpec extends SparkSpec {
       s"mask layout must not shuffle:\n$plan")
     assert(plan.contains("Generate explode"), plan)
   }
+
+  test("conformalQuantile / ecdfNormalize ride the two-level scan — " +
+    "no corpus-keyed row_number window, scans pruned") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("s_m"))
+    val plan = planOf(graft.llm.RankStats.conformalQuantile(
+      ev, "s_m", "event_type"))
+    // ranks come from per-(key, block) prefixes over DISTINCT values;
+    // a row_number over the raw rows would sort a hot group on one task
+    assert(!plan.contains("row_number"), s"row-level rank window:\n$plan")
+    val ePlan = planOf(graft.llm.RankStats.ecdfNormalize(
+      Tables(spark, sfDir).documents, "n_chars", "source"))
+    assert(!ePlan.contains("row_number"), s"row-level rank window:\n$ePlan")
+    assert(ePlan.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"expected a 2-column pruned scan:\n$ePlan")
+  }
+
+  test("cooccurrencePmi tokenizes the corpus exactly three times " +
+    "(pairs, marginals via ONE melted join, their total) — the floor " +
+    "without materializing the pair matrix") {
+    val docs = Tables(spark, sfDir).documents
+    val plan = planOf(graft.llm.TextAnalysis.cooccurrencePmi(docs, "text"))
+    // two marginal joins would each re-evaluate the corpus-tokenizing
+    // marg subplan and push this to 4
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans === 3, s"expected exactly 3 corpus scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
