@@ -107,7 +107,14 @@ object Bootstrap {
     require(valueCols.nonEmpty, "need at least one value column")
     val reps = broadcast(
       df.sparkSession.range(b.toLong).select(col("id").as("rep")))
-    val keyed = df
+    // the explode multiplies whatever parallelism the INPUT gives: a
+    // single-file table would run the whole b× resample (and its md5
+    // per pair) on one task — measured 20.8s vs ~1s at sf0.1. Inputs
+    // below the session parallelism repartition first; wide inputs
+    // (the 100 TB case) pass through untouched.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val keyed = src
       .select((groupCols :+ idCol).map(col) ++
         valueCols.map(v =>
           checkedLong(col(v), "replicateStats", s"value $v").as(v)): _*)
