@@ -109,11 +109,15 @@ object Bootstrap {
       df.sparkSession.range(b.toLong).select(col("id").as("rep")))
     // the explode multiplies whatever parallelism the INPUT gives: a
     // single-file table would run the whole b× resample (and its md5
-    // per pair) on one task — measured 20.8s vs ~1s at sf0.1. Inputs
-    // below the session parallelism repartition first; wide inputs
-    // (the 100 TB case) pass through untouched.
+    // per pair) on one task — measured 20.8s vs ~1s at sf0.1. Probe
+    // width through inputFiles (a logical-plan walk): `.rdd` under AQE
+    // would materialize getFinalPhysicalPlan and EXECUTE the caller's
+    // upstream pipeline just to read a partition count (r12 review
+    // finding). Few-file scans (and file-less local relations)
+    // repartition; wide inputs — the 100 TB case — pass untouched.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val src =
+      if (df.inputFiles.length < par) df.repartition(par) else df
     val keyed = src
       .select((groupCols :+ idCol).map(col) ++
         valueCols.map(v =>

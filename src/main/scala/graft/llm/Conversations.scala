@@ -51,7 +51,15 @@ object Conversations {
     val wc = Window.partitionBy(col(userCol), col("session_seq"))
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // a NULL length must raise, not vanish: coalesce(sum, 0) cannot
+    // tell "first turn" from "all preceding lens NULL", so a silent
+    // NULL would collapse offsets onto earlier turns and corrupt the
+    // loss mask (r12 review finding; the checkedLong stance)
+    val checkedLen = when(col(lenCol).isNull,
+      raise_error(lit(s"sftMaskLayout: NULL length in $lenCol")))
+      .otherwise(col(lenCol)).cast("long")
     turns(events, userCol, tsCol, idCol, gapMicros)
+      .withColumn(lenCol, checkedLen)
       .withColumn("start_off",
         coalesce(sum(col(lenCol)).over(wc), lit(0L)))
       .select(col(userCol), col("session_seq").as("conv_seq"),

@@ -72,11 +72,20 @@ object Sampling {
     * Adds `sample_rank` (1-based within the class).
     */
   def stratifiedSample(df: DataFrame, idCol: String, classCol: String,
-                       k: Int): DataFrame = {
+                       k: Int): DataFrame =
+    lowestHashPerClass(df, idCol, classCol, lit(k))
+
+  /** The ONE deterministic-sampling window (md5-bucket order, id
+    * tiebreak, per-class limit) both [[stratifiedSample]] and
+    * [[proportionalSample]] draw through — a second copy would let the
+    * two samplers' orderings drift (r12 review finding).
+    */
+  private def lowestHashPerClass(df: DataFrame, idCol: String,
+                                 classCol: String, limit: Column): DataFrame = {
     val w = Window.partitionBy(classCol)
       .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
     df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+      .filter(col("sample_rank") <= limit)
   }
 
   /** Domain-mixture rebalance plan: one row per domain with the
@@ -401,18 +410,29 @@ object Sampling {
     * requires k ≤ N and k·N within long range.
     *
     * Output: one row per stratum (stratum, n, alloc). The allocation
-    * frame is strata-sized — the remainder-rank window runs over it,
-    * not the corpus.
+    * frame is strata-sized — the remainder-rank window AND the total
+    * run over it, not the corpus (a second counts aggregation would
+    * re-scan the corpus: Spark does not dedup common subplans — r12
+    * review finding). NULL strata raise (an equi-join downstream would
+    * silently drop their allocation); an EMPTY corpus returns an empty
+    * frame (no rows exist to evaluate a guard on — callers needing a
+    * loud empty check own it), while a non-empty corpus smaller than
+    * the budget raises.
     */
   def proportionalAllocate(df: DataFrame, stratumCol: String,
                            k: Long): DataFrame = {
     require(k >= 1L, s"budget must be positive, got $k")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-    val tot = counts.agg(
-      when(sum(col("n")) < k,
-        raise_error(lit(s"proportionalAllocate: budget $k exceeds corpus")))
-        .otherwise(sum(col("n"))).as("_t"))
-    val quotas = counts.crossJoin(broadcast(tot))
+    val counts = df
+      .select(when(col(stratumCol).isNull,
+        raise_error(lit(s"proportionalAllocate: NULL stratum in $stratumCol")))
+        .otherwise(col(stratumCol)).as(stratumCol))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val wAllStrata = Window.partitionBy()
+    val quotas = counts
+      .withColumn("_t",
+        when(sum(col("n")).over(wAllStrata) < k,
+          raise_error(lit(s"proportionalAllocate: budget $k exceeds corpus")))
+          .otherwise(sum(col("n")).over(wAllStrata)))
       .withColumn("_base", expr(s"$k * n div _t"))
       .withColumn("_rem", expr(s"($k * n) % _t"))
     // leftover = k − Σ base, handed to the largest remainders; the
@@ -429,18 +449,16 @@ object Sampling {
   }
 
   /** Materialize a [[proportionalAllocate]] plan: per stratum, the
-    * `alloc` lowest-hash rows (md5 order ≈ uniform, reproducible; id
-    * tiebreak — the stratifiedSample idiom). Exactly k rows total.
+    * `alloc` lowest-hash rows through [[lowestHashPerClass]]. Exactly
+    * k rows total on a NULL-free stratum column (the allocator raises
+    * on NULLs — an equi-join here would have silently dropped them).
     */
   def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
                          k: Long): DataFrame = {
     val alloc = proportionalAllocate(df, stratumCol, k)
       .select(col(stratumCol), col("alloc"))
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashBucket(col(idCol)).asc, col(idCol).asc)
-    df.join(broadcast(alloc), Seq(stratumCol))
-      .withColumn("_sr", row_number().over(w))
-      .filter(col("_sr") <= col("alloc"))
-      .drop("_sr", "alloc")
+    lowestHashPerClass(df.join(broadcast(alloc), Seq(stratumCol)),
+        idCol, stratumCol, col("alloc"))
+      .drop("sample_rank", "alloc")
   }
 }

@@ -88,5 +88,14 @@ class ConversationsSpec extends SparkSpec {
     assert(rows((1L, 2L)) === (("purchase", 10L, 4L, true)))
     assert(rows((1L, 3L)) === (("view", 14L, 6L, false)))
     assert(rows((2L, 1L)) === (("view", 0L, 3L, false))) // offsets rebase
+    // a NULL length raises instead of silently collapsing offsets
+    val exN = intercept[Exception] {
+      Conversations.sftMaskLayout(
+        Seq((1L, 1L, "view", ts(0), Option.empty[Long]))
+          .toDF("user_id", "event_id", "event_type", "ts", "len"),
+        "user_id", "ts", "event_id", "event_type", "len",
+        Seq("purchase")).collect()
+    }
+    assert(exN.getMessage.contains("NULL length"))
   }
 }

@@ -356,6 +356,16 @@ class SamplingSpec extends SparkSpec {
       Sampling.proportionalAllocate(df.limit(5), "g", 10L).collect()
     }
     assert(ex.getMessage.contains("exceeds corpus"))
+    // NULL strata raise (a downstream equi-join would silently drop
+    // their allocation); an EMPTY corpus is a documented empty frame
+    val withNull = Seq((Option("a"), 1), (Option.empty[String], 2))
+      .toDF("g", "x")
+    val exN = intercept[Exception] {
+      Sampling.proportionalAllocate(withNull, "g", 1L).collect()
+    }
+    assert(exN.getMessage.contains("NULL stratum"))
+    assert(Sampling.proportionalAllocate(df.limit(0), "g", 10L)
+      .collect().isEmpty)
   }
 
   test("proportionalSample: exactly k rows, deterministic membership") {
