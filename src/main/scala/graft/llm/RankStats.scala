@@ -751,6 +751,18 @@ object RankStats {
         raise_error(lit(s"conformalQuantile: NULL group in $groupCol")))
         .otherwise(col(groupCol)).cast("string").as("_g"))
     val gv = rows.groupBy("_g", "_v").agg(count(lit(1)).as("_n"))
+    conformalQuantileFromCells(gv, alphaPermille, maxBlocks)
+  }
+
+  /** [[conformalQuantile]] over a pre-counted (_g, _v, _n) cell frame —
+    * the face a MAINTAINED calibration state serves (cells are a
+    * commutative monoid, so a streaming fold's state is bit-identical
+    * to one-shot counting; see streaming.ConformalStream).
+    */
+  def conformalQuantileFromCells(gv: DataFrame, alphaPermille: Int = 50,
+                                 maxBlocks: Long = 1L << 20): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille must be in (0, 1000), got $alphaPermille")
     val cum = keyedPrefixes(gv, "_g", Seq("_n"), maxBlocks)
       .withColumn("_cum", col("_pre__n") + col("_n"))
     val targets = gv.groupBy("_g").agg(sum("_n").as("n_cal"))

@@ -764,30 +764,7 @@ object StatsQueries {
     //      held-out half audits it. Hash-split halves, milli-quantized
     //      scores, integer rank rule — the oracle replays everything ----
     "q_stat_conformal" -> Q(
-      s"""WITH v AS (SELECT event_id, event_type AS grp,
-         |             CAST(floor(value * 1000.0) AS BIGINT) AS s
-         |           FROM events WHERE value IS NOT NULL),
-         |cal AS (SELECT * FROM v WHERE ${OracleSql.duckBucket("event_id")} < 32768),
-         |tst AS (SELECT * FROM v WHERE ${OracleSql.duckBucket("event_id")} >= 32768),
-         |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY grp),
-         |t AS (SELECT grp, n_cal,
-         |        CAST((950 * (n_cal + 1) + 999) // 1000 AS BIGINT) AS target_rank
-         |      FROM n),
-         |r AS (SELECT grp, s,
-         |        row_number() OVER (PARTITION BY grp ORDER BY s) AS rn
-         |      FROM cal),
-         |q AS (SELECT t.grp, t.n_cal, t.target_rank, r.s AS qhat
-         |      FROM t LEFT JOIN r ON r.grp = t.grp AND r.rn = t.target_rank)
-         |SELECT q.grp, q.n_cal, q.target_rank, q.qhat,
-         |  CAST(count(*) AS BIGINT) AS n_test,
-         |  CAST(sum(CASE WHEN q.qhat IS NULL OR tt.s <= q.qhat
-         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-         |  round(CAST(sum(CASE WHEN q.qhat IS NULL OR tt.s <= q.qhat
-         |                 THEN 1 ELSE 0 END) AS DOUBLE)
-         |        / CAST(count(*) AS DOUBLE), 6) AS coverage
-         |FROM tst tt JOIN q ON q.grp = tt.grp
-         |GROUP BY q.grp, q.n_cal, q.target_rank, q.qhat
-         |ORDER BY q.grp""".stripMargin) { (s, dir) =>
+      conformalOracle) { (s, dir) =>
       val v = tb(s, dir).events.filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
           floor(col("value") * lit(1000.0d)).cast("long").as("s_m"))
@@ -796,6 +773,31 @@ object StatsQueries {
         v.filter(bkt < 32768L), "s_m", "event_type")
       RankStats.conformalCoverage(
           v.filter(bkt >= 32768L), qh, "s_m", "event_type")
+        .orderBy("grp")
+    },
+
+    // ---- streaming conformal calibration (ConformalStream): the
+    //      SAME per-type threshold + coverage, served from a cell
+    //      state folded over three calibration micro-batches — cells
+    //      are a monoid, so the state hash-matches the one-shot
+    //      oracle (shared with q_stat_conformal) ----
+    "q_stream_conformal" -> Q(conformalOracle) { (s, dir) =>
+      val tmp = Scratch.dir("graft_confstream_")
+      val statePath = s"${tmp.getPath}/conf_cells"
+      val v = tb(s, dir).events.filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(1000.0d)).cast("long").as("s_m"))
+      val bkt = graft.llm.Sampling.hashBucket(col("event_id"))
+      val cal = v.filter(bkt < 32768L)
+      (0 to 2).foreach { i =>
+        graft.streaming.ConformalStream.applyBatch(
+          cal.filter(col("event_id") % 3 === i), "event_type", "s_m",
+          statePath)
+      }
+      RankStats.conformalCoverage(
+          v.filter(bkt >= 32768L),
+          graft.streaming.ConformalStream.readQuantile(s, statePath),
+          "s_m", "event_type")
         .orderBy("grp")
     },
 
@@ -825,4 +827,35 @@ object StatsQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** The split-conformal threshold + coverage oracle, shared by
+    * q_stat_conformal and q_stream_conformal: the streaming cell fold
+    * is bit-identical to one-shot counting by the monoid contract, so
+    * ONE SQL replay gates both faces.
+    */
+  private def conformalOracle: String =
+    s"""WITH v AS (SELECT event_id, event_type AS grp,
+         |             CAST(floor(value * 1000.0) AS BIGINT) AS s
+         |           FROM events WHERE value IS NOT NULL),
+         |cal AS (SELECT * FROM v WHERE ${OracleSql.duckBucket("event_id")} < 32768),
+         |tst AS (SELECT * FROM v WHERE ${OracleSql.duckBucket("event_id")} >= 32768),
+         |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY grp),
+         |t AS (SELECT grp, n_cal,
+         |        CAST((950 * (n_cal + 1) + 999) // 1000 AS BIGINT) AS target_rank
+         |      FROM n),
+         |r AS (SELECT grp, s,
+         |        row_number() OVER (PARTITION BY grp ORDER BY s) AS rn
+         |      FROM cal),
+         |q AS (SELECT t.grp, t.n_cal, t.target_rank, r.s AS qhat
+         |      FROM t LEFT JOIN r ON r.grp = t.grp AND r.rn = t.target_rank)
+         |SELECT q.grp, q.n_cal, q.target_rank, q.qhat,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN q.qhat IS NULL OR tt.s <= q.qhat
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  round(CAST(sum(CASE WHEN q.qhat IS NULL OR tt.s <= q.qhat
+         |                 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS coverage
+         |FROM tst tt JOIN q ON q.grp = tt.grp
+         |GROUP BY q.grp, q.n_cal, q.target_rank, q.qhat
+         |ORDER BY q.grp""".stripMargin
 }
