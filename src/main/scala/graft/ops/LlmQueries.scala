@@ -1847,6 +1847,44 @@ object LlmQueries {
         .orderBy("id1", "id2")
     },
 
+    // ---- cross-source duplication matrix (DedupOps.dupSourceMatrix):
+    //      verified near-dup pairs rolled up to unordered source
+    //      pairs — the "who mirrors whom" curation report; same
+    //      LSH+Jaccard machinery as q_llm_near_dup ----
+    "q_llm_dup_source_matrix" -> Q(
+      s"""WITH $shingleCte,
+         |sigs AS ($sigSelect),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id1, p.id2, count(*) AS n
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+         |  GROUP BY p.id1, p.id2),
+         |dup AS (
+         |  SELECT p.id1, p.id2 FROM pairs p
+         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |  JOIN sizes s1 ON s1.doc_id = p.id1
+         |  JOIN sizes s2 ON s2.doc_id = p.id2
+         |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
+         |lab AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+         |FROM dup JOIN lab a ON a.doc_id = dup.id1
+         |JOIN lab b ON b.doc_id = dup.id2
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      DedupOps.dupSourceMatrix(tb(s, dir).documents, "doc_id", "text",
+          "source")
+        .orderBy("src_a", "src_b")
+    },
+
     // ---- split-leakage audit (DedupOps.splitLeakage): verified
     //      near-dup pairs straddling the 80/10/10 hash split — the
     //      contamination the split itself creates. Labels are pure

@@ -420,4 +420,19 @@ class DedupOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("missing/NULL")),
       e.toString)
   }
+
+  test("dupSourceMatrix: near-dup pairs roll up to unordered source pairs") {
+    // two exact-dup docs across sources A/B, one within A, one unique
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "A"),
+      (2L, "alpha beta gamma delta epsilon zeta", "B"),
+      (3L, "alpha beta gamma delta epsilon zeta", "A"),
+      (4L, "totally different words entirely here now", "C")
+    ).toDF("doc_id", "text", "source")
+    val m = DedupOps.dupSourceMatrix(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // pairs: (1,2) A-B, (1,3) A-A, (2,3) A-B
+    assert(m === Map(("A", "A") -> 1L, ("A", "B") -> 2L))
+  }
 }
