@@ -1117,4 +1117,36 @@ object Temporal {
       .select(col(entityCol), col("n"), col("num"), col("den"),
         col("slope_u"), col("intercept_u"))
   }
+
+  /** Purged temporal split — backtest hygiene: train on everything up
+    * to the exact ⌈p·n/1000⌉-th smallest timestamp, DROP an embargo
+    * window after it, test on the rest. Splitting time series by a
+    * plain quantile leaks: rows just after the boundary share
+    * autocorrelated state with train rows just before it, so models
+    * grade against near-copies of what they saw (the purged/embargoed
+    * CV rule, López de Prado 2018 ch.7). The boundary is the
+    * [[graft.llm.RankStats.exactQuantiles]] type-1 order statistic —
+    * exact integer rank over epoch micros, no global sort, replayable
+    * by an oracle; assignment is then a pure per-row projection
+    * against the broadcast 1-row boundary. Growth caveat: unlike
+    * hashSplit, the boundary MOVES as the corpus grows — that is the
+    * point of a temporal split; pin `asOf` by literal instead when
+    * reproducibility across ingests matters.
+    */
+  def embargoSplit(df: DataFrame, tsMicrosCol: String, trainPermille: Int,
+                   embargoMicros: Long): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      s"trainPermille must be in (0, 1000), got $trainPermille")
+    require(embargoMicros >= 0L,
+      s"embargo must be non-negative, got $embargoMicros")
+    val t1 = graft.llm.RankStats
+      .exactQuantiles(df, tsMicrosCol, Seq(trainPermille.toLong))
+      .select(col("value").as("_t1"))
+    df.crossJoin(broadcast(t1))
+      .withColumn("split",
+        when(col(tsMicrosCol) <= col("_t1"), "train")
+          .when(col(tsMicrosCol) <= col("_t1") + embargoMicros, "embargo")
+          .otherwise("test"))
+      .drop("_t1")
+  }
 }

@@ -1852,6 +1852,34 @@ object RelationalQueries {
     // ---- event-transition matrix (Temporal.transitionMatrix): Markov
     //      next-event counts per user stream — one lead() window + one
     //      |types|²-row groupBy, never a stream self-join. ----
+    // ---- purged temporal split (Temporal.embargoSplit): train up to
+    //      the exact 70th-percentile timestamp, drop a 2-day embargo,
+    //      test after — the backtest split that doesn't leak
+    //      autocorrelated state across the boundary. Boundary = type-1
+    //      order statistic on epoch micros, assignment a pure
+    //      projection ----
+    "q_evt_embargo_split" -> Q(
+      """WITH e AS (SELECT epoch_us(ts) AS tus FROM events),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM e),
+        |r AS (SELECT tus, row_number() OVER (ORDER BY tus) AS rn FROM e),
+        |t1 AS (SELECT min(tus) AS t FROM r, n
+        |       WHERE rn >= greatest((700 * tot + 999) // 1000, 1)),
+        |lab AS (SELECT CASE WHEN tus <= t THEN 'train'
+        |                    WHEN tus <= t + 172800000000 THEN 'embargo'
+        |                    ELSE 'test' END AS split, tus
+        |        FROM e, t1)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(tus) AS BIGINT) AS min_us, CAST(max(tus) AS BIGINT) AS max_us
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      graft.core.Temporal.embargoSplit(
+          tb(s, dir).eventsRaw.select("ts"), "ts",
+          trainPermille = 700, embargoMicros = 172800000000L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("min_us"),
+          max(col("ts")).as("max_us"))
+        .orderBy("split")
+    },
+
     "q_evt_transitions" -> Q(
       """WITH seq AS (SELECT user_id, event_type,
         |               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type

@@ -621,6 +621,20 @@ class TemporalSpec extends SparkSpec {
     assert(got.head._4 === 2000000L)
     assert(got(4)._4 === 12000000L / 7)   // the silent day itself
   }
+
+  test("embargoSplit: exact boundary, embargo dropped rows labeled, all assigned") {
+    // 10 rows at micros 1..10: 70th pct rank = ceil(7.0) = 7 -> T = 7;
+    // embargo 2 -> rows 8,9 embargo; 10 test
+    val df = (1L to 10L).map(t => Tuple1(t)).toDF("ts")
+    val m = graft.core.Temporal.embargoSplit(df, "ts", 700, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 7L).forall(m(_) == "train"))
+    assert(m(8L) == "embargo" && m(9L) == "embargo")
+    assert(m(10L) == "test")
+    intercept[IllegalArgumentException] {
+      graft.core.Temporal.embargoSplit(df, "ts", 0, 2L)
+    }
+  }
 }
 
 class AdoptionCurveSpec extends graft.SparkSpec {
