@@ -491,28 +491,6 @@ object DedupOps {
     * plain cached DataFrame: evict it with `.unpersist()` when done
     * (recompute-on-eviction stays correct, just uncached).
     */
-  /** Cross-source duplication matrix — WHICH sources mirror which:
-    * verified near-dup pairs ([[nearDupPairs]], Jaccard ≥ 0.8 by
-    * integer cross-multiply) rolled up to unordered source pairs. A
-    * heavy off-diagonal cell says one source republishes another
-    * (dedup them jointly, or drop the mirror); a heavy diagonal says
-    * the source self-duplicates (templating/boilerplate). The rollup
-    * is two id-keyed equi-joins over the pairs frame (pairs-sized,
-    * ≪ corpus) + one keyed aggregate.
-    */
-  def dupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
-                      srcCol: String): DataFrame = {
-    val dup = nearDupPairs(df, idCol, textCol)
-      .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8)
-    val src = df.select(col(idCol), col(srcCol))
-    dup
-      .join(src.select(col(idCol).as("id1"), col(srcCol).as("_s1")), Seq("id1"))
-      .join(src.select(col(idCol).as("id2"), col(srcCol).as("_s2")), Seq("id2"))
-      .select(least(col("_s1"), col("_s2")).as("src_a"),
-        greatest(col("_s1"), col("_s2")).as("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_dup_pairs"))
-  }
-
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val sets = shingleSet(df, idCol, textCol, k).cache()
@@ -524,6 +502,36 @@ object DedupOps {
     out.count() // materialize: every consumer of `sets` has now run
     sets.unpersist()
     out
+  }
+
+  /** Cross-source duplication matrix — WHICH sources mirror which:
+    * verified near-dup pairs ([[nearDupPairs]], Jaccard ≥ 0.8 by
+    * integer cross-multiply) rolled up to unordered source pairs. A
+    * heavy off-diagonal cell says one source republishes another
+    * (dedup them jointly, or drop the mirror); a heavy diagonal says
+    * the source self-duplicates (templating/boilerplate). The rollup
+    * is two id-keyed equi-joins over the pairs frame (pairs-sized,
+    * ≪ corpus) + one keyed aggregate. NULL sources raise — least/
+    * greatest SKIP NULLs, so a cross-source (A, NULL) pair would
+    * silently collapse onto the (A, A) diagonal and flip the verdict
+    * from "mirrored" to "templating". Inherits nearDupPairs'
+    * cached-frame contract: release via `.unpersist()`/releaseAll
+    * when done.
+    */
+  def dupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
+                      srcCol: String): DataFrame = {
+    val dup = nearDupPairs(df, idCol, textCol)
+      .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8)
+    val src = df.select(col(idCol),
+      when(col(srcCol).isNull,
+        raise_error(lit(s"dupSourceMatrix: NULL source in $srcCol")))
+        .otherwise(col(srcCol)).as(srcCol))
+    dup
+      .join(src.select(col(idCol).as("id1"), col(srcCol).as("_s1")), Seq("id1"))
+      .join(src.select(col(idCol).as("id2"), col(srcCol).as("_s2")), Seq("id2"))
+      .select(least(col("_s1"), col("_s2")).as("src_a"),
+        greatest(col("_s1"), col("_s2")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_dup_pairs"))
   }
 
   /** Asymmetric containment near-duplicates: pairs where one document's

@@ -247,6 +247,30 @@ object LlmQueries {
        |           JOIN verd$r v ON v.doc_id = a.doc_id AND v.verdict = 'kept')""".stripMargin
   }
 
+  /** The LSH bands → candidate pairs → sizes → intersections CTE
+    * chain over `sigs` + `sh`, shared by q_llm_near_dup,
+    * q_llm_dup_source_matrix, and q_llm_split_leakage — one home for
+    * the band layout and the candidate gate, so a band-width or
+    * threshold change cannot desynchronize the three oracles (r12
+    * review finding, the OracleSql.bktFromHex precedent). NOTE: the
+    * margin `|` is already stripped by each query's outer stripMargin,
+    * so this fragment must not start continuation lines with `|`.
+    */
+  private val bandsPairsInterCte: String =
+    """bands AS (
+      |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |  WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.id1, p.id2, count(*) AS n
+      |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
+      |  GROUP BY p.id1, p.id2)""".stripMargin
+
   private val sigSelect =
     """SELECT doc_id,
       |  min(md5('1|' || s)) AS mh1, min(md5('2|' || s)) AS mh2,
@@ -1819,19 +1843,7 @@ object LlmQueries {
     "q_llm_near_dup" -> Q(
       s"""WITH $shingleCte,
          |sigs AS ($sigSelect),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id1, p.id2, count(*) AS n
-         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
-         |  GROUP BY p.id1, p.id2)
+         |$bandsPairsInterCte
          |SELECT p.id1, p.id2,
          |  CAST(coalesce(i.n, 0) AS BIGINT) AS jaccard_n,
          |  CAST(s1.sz + s2.sz - coalesce(i.n, 0) AS BIGINT) AS jaccard_d,
@@ -1854,19 +1866,7 @@ object LlmQueries {
     "q_llm_dup_source_matrix" -> Q(
       s"""WITH $shingleCte,
          |sigs AS ($sigSelect),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id1, p.id2, count(*) AS n
-         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
-         |  GROUP BY p.id1, p.id2),
+         |$bandsPairsInterCte,
          |dup AS (
          |  SELECT p.id1, p.id2 FROM pairs p
          |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
@@ -1893,19 +1893,7 @@ object LlmQueries {
     "q_llm_split_leakage" -> Q(
       s"""WITH $shingleCte,
          |sigs AS ($sigSelect),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id1, p.id2, count(*) AS n
-         |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
-         |  GROUP BY p.id1, p.id2),
+         |$bandsPairsInterCte,
          |dup AS (
          |  SELECT p.id1, p.id2,
          |    CAST(coalesce(i.n, 0) AS BIGINT) AS jaccard_n,
