@@ -833,6 +833,34 @@ object RankStats {
           6))
   }
 
+  /** Hill estimator of the power-law tail exponent (Hill 1975):
+    * α = 1 + n / Σ ln(xᵢ/xmin) over the tail x ≥ xmin — the heavy-
+    * tail shape diagnostic for document lengths / token frequencies
+    * (a pretraining corpus whose length tail flattens after a filter
+    * change lost its long documents; α moving says so in one number).
+    * Reduces over the DISTINCT-value frame (Σ c·ln(v/xmin) — the
+    * entropy-oracle convention), one keyed shuffle. Degeneracy keys on
+    * the exact integer max(v): a tail sitting entirely AT xmin has
+    * Σ ln = 0 and no defined exponent → alpha NULL, never an Inf.
+    */
+  def hillAlpha(df: DataFrame, valueCol: String, xmin: Long): DataFrame = {
+    require(xmin >= 1L, s"xmin must be positive, got $xmin")
+    val vc = df
+      .select(checkedLong(col(valueCol), "hillAlpha",
+        s"value in $valueCol").as("_v"))
+      .filter(col("_v") >= xmin)
+      .groupBy("_v").agg(count(lit(1)).as("_c"))
+    vc.agg(
+        sum(col("_c")).as("n_tail"),
+        max(col("_v")).as("_vmax"),
+        sum(col("_c").cast("double") *
+          log(col("_v").cast("double") / lit(xmin.toDouble))).as("_lnsum"))
+      .select(col("n_tail"), lit(xmin).as("xmin"),
+        when(col("_vmax") > xmin,
+          round(lit(1.0d) + col("n_tail").cast("double") / col("_lnsum"), 6))
+          .as("alpha"))
+  }
+
   /** Paired t-test over integer metric pairs (a, b): one row with the
     * exact difference sums (Σd as long, Σd² exact in decimal → double)
     * and the t statistic from the closed form

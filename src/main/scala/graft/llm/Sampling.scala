@@ -60,6 +60,42 @@ object Sampling {
                 splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), splits))
 
+  /** Split-composition audit: does [[hashSplit]] preserve the label
+    * mix? One row per (split, label) with the in-split share, the
+    * corpus-wide label share, and their absolute deviation — the
+    * sanity gate a training/eval split publishes before anyone trusts
+    * per-split metrics (a skewed split invalidates train-vs-test
+    * comparisons before a single model runs). All three marginals ride
+    * windows over the (splits × labels)-sized CELL frame — separate
+    * aggregations would each re-scan the corpus (the
+    * proportionalAllocate lesson); shares are single divisions of
+    * exact counts, round(6). NULL labels raise.
+    */
+  def splitBalance(df: DataFrame, idCol: String, labelCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    val cell = df
+      .select(splitLabel(col(idCol), splits).as("split"),
+        when(col(labelCol).isNull,
+          raise_error(lit(s"splitBalance: NULL label in $labelCol")))
+          .otherwise(col(labelCol)).cast("string").as("label"))
+      .groupBy("split", "label").agg(count(lit(1)).as("n"))
+    val wS = Window.partitionBy("split")
+    val wL = Window.partitionBy("label")
+    val wAll = Window.partitionBy()
+    cell
+      .withColumn("_sn", sum(col("n")).over(wS))
+      .withColumn("_ln", sum(col("n")).over(wL))
+      .withColumn("_tot", sum(col("n")).over(wAll))
+      .select(col("split"), col("label"), col("n"),
+        round(col("n").cast("double") / col("_sn").cast("double"), 6)
+          .as("share"),
+        round(col("_ln").cast("double") / col("_tot").cast("double"), 6)
+          .as("global_share"),
+        round(abs(col("n").cast("double") / col("_sn").cast("double") -
+          col("_ln").cast("double") / col("_tot").cast("double")), 6)
+          .as("abs_dev"))
+  }
+
   /** Consistent-hash sample: keep ids whose bucket falls below
     * frac·65536. A pure filter — it reaches the scan, shuffles nothing,
     * and selects the same documents on every run.

@@ -833,6 +833,30 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- split-composition audit (Sampling.splitBalance): per
+    //      (split, label) share vs the corpus-wide label share — the
+    //      "did the 80/10/10 split skew the language mix?" gate; all
+    //      marginals ride windows over the tiny cell frame ----
+    "q_llm_split_balance" -> Q(
+      s"""WITH c AS (SELECT ${splitCase("doc_id")} AS split, lang AS label,
+         |             CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY 1, 2),
+         |w AS (SELECT split, label, n,
+         |        CAST(sum(n) OVER (PARTITION BY split) AS BIGINT) AS sn,
+         |        CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) AS ln,
+         |        CAST(sum(n) OVER () AS BIGINT) AS tot
+         |      FROM c)
+         |SELECT split, label, n,
+         |  round(CAST(n AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS share,
+         |  round(CAST(ln AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS global_share,
+         |  round(abs(CAST(n AS DOUBLE) / CAST(sn AS DOUBLE)
+         |            - CAST(ln AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS abs_dev
+         |FROM w ORDER BY split, label""".stripMargin) { (s, dir) =>
+      graft.llm.Sampling.splitBalance(tb(s, dir).documents, "doc_id", "lang",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy("split", "label")
+    },
+
     // ---- exact per-domain cap (Sampling.domainCap): at most 25 docs
     //      per source, deterministic md5 rank — the hard "no domain may
     //      exceed N" corpus rule, vs the rate-based mixtures ----

@@ -801,6 +801,28 @@ object StatsQueries {
         .orderBy("grp")
     },
 
+    // ---- Hill tail-exponent (RankStats.hillAlpha): the power-law
+    //      shape of the doc-length tail above 100 chars — a corpus
+    //      whose alpha moves after a filter change lost (or gained)
+    //      its long documents; Σ c·ln(v/xmin) over distinct values,
+    //      degeneracy keyed on the exact max(v) ----
+    "q_stat_hill_alpha" -> Q(
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |           WHERE n_chars >= 100),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY v),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tail,
+        |        CAST(max(v) AS BIGINT) AS vmax,
+        |        sum(CAST(c AS DOUBLE)
+        |            * ln(CAST(v AS DOUBLE) / CAST(100 AS DOUBLE))) AS lnsum
+        |      FROM vc)
+        |SELECT n_tail, CAST(100 AS BIGINT) AS xmin,
+        |  CASE WHEN vmax > 100
+        |       THEN round(CAST(1 AS DOUBLE) + CAST(n_tail AS DOUBLE) / lnsum, 6)
+        |  END AS alpha
+        |FROM a""".stripMargin) { (s, dir) =>
+      RankStats.hillAlpha(tb(s, dir).documents, "n_chars", xmin = 100L)
+    },
+
     // ---- per-source ECDF score harmonization (RankStats.
     //      ecdfNormalize): every source's scores mapped onto the same
     //      [0,1000] rank scale before cross-source mixing — the

@@ -430,4 +430,20 @@ class RankStatsSpec extends SparkSpec {
     assert(m(("a", 30L)) === ((4L, 4L, 1000L)))
     assert(m(("b", 5L)) === ((1L, 1L, 1000L)))
   }
+
+  test("hillAlpha: exact on a synthetic Pareto grid; degenerate tail is NULL") {
+    // values xmin*2^k with counts halving: alpha recovers a positive
+    // exponent; exact check against the hand-computed closed form
+    val df = (Seq.fill(8)(100L) ++ Seq.fill(4)(200L) ++ Seq.fill(2)(400L)
+      ++ Seq.fill(1)(800L)).map(Tuple1(_)).toDF("v")
+    val r = RankStats.hillAlpha(df, "v", xmin = 100L).collect().head
+    assert(r.getLong(0) === 15L && r.getLong(1) === 100L)
+    val lnsum = 4 * math.log(2.0) + 2 * math.log(4.0) + 1 * math.log(8.0)
+    assert(math.abs(r.getDouble(2) -
+      (1.0 + 15.0 / lnsum)) < 1e-5)
+    // all-at-xmin tail: no defined exponent
+    val flat = Seq.fill(5)(Tuple1(100L)).toDF("v")
+    val f = RankStats.hillAlpha(flat, "v", xmin = 100L).collect().head
+    assert(f.isNullAt(2))
+  }
 }

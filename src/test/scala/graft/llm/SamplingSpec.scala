@@ -380,4 +380,27 @@ class SamplingSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(s1.sameElements(s2))
   }
+
+  test("splitBalance: exact shares, marginals from one cell frame; NULL raises") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+      .toDF("id", "lang")
+    val rows = Sampling.splitBalance(df, "id", "lang",
+      Seq(("train", 0.5), ("test", 0.5))).collect()
+    // per split, shares sum to 1; global shares are exactly 0.75/0.25
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    }
+    rows.foreach { r =>
+      val g = if (r.getString(1) == "en") 0.75 else 0.25
+      assert(r.getDouble(4) === g)
+      assert(math.abs(r.getDouble(5) -
+        math.abs(r.getDouble(3) - g)) < 1e-6)
+    }
+    val ex = intercept[Exception] {
+      Sampling.splitBalance(
+        Seq((1L, Option.empty[String])).toDF("id", "lang"),
+        "id", "lang", Seq(("a", 1.0))).collect()
+    }
+    assert(ex.getMessage.contains("NULL label"))
+  }
 }
