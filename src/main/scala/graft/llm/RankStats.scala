@@ -44,7 +44,7 @@ object RankStats {
     * distinct `_v`) in `_v` order, as `_pre_<m>`: the two-level scan of
     * [[Packing.withStreamOffsets]], run over the distinct-value frame.
     */
-  private def withValuePrefixes(vc: DataFrame, measures: Seq[String],
+  private[llm] def withValuePrefixes(vc: DataFrame, measures: Seq[String],
                                 maxBlocks: Long): DataFrame = {
     val base = Packing.withBoundedBlocks(vc, "_v", maxBlocks)
     val blk = base.groupBy("_blk")
@@ -161,7 +161,7 @@ object RankStats {
     * unless `groupCol` holds exactly two non-NULL labels — a silent
     * third group would corrupt both U and D.
     */
-  private def twoGroupHeader(rows: DataFrame): DataFrame =
+  private[llm] def twoGroupHeader(rows: DataFrame): DataFrame =
     rows.groupBy("_g").agg(count(lit(1)).as("_cnt"))
       .agg(count(lit(1)).as("_ng"), min("_g").as("_ga"),
         max("_g").as("group_b"),

@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-to-event (survival) analysis over right-censored durations: the
+  * Kaplan–Meier product-limit curve and the two-group log-rank test —
+  * "how long until a signup converts, and did cohort A convert faster?"
+  * The retention/churn toolkit next to [[graft.core.Temporal]]'s cohort
+  * and funnel operators (reference scope is relational ingestion; its
+  * monitoring surface — `reports_check.sql` — counts statuses, so
+  * time-to-event estimation is beyond-reference surface like
+  * [[RankStats]]).
+  *
+  * Scale posture: both estimators reduce the corpus to ONE keyed
+  * aggregate over distinct durations (map-side combined), then run all
+  * risk-set prefixes through [[RankStats.withValuePrefixes]]'s two-level
+  * block scan — no per-subject global sort anywhere. The only global
+  * window rides the distinct-duration frame, which the quantization
+  * contract bounds by the time grid (hours/days), not the corpus.
+  *
+  * Exactness: risk sets, death and censor counts are exact BIGINT
+  * prefix algebra; the survival curve and the log-rank moments are the
+  * ONE closed-form double layer on top, mirrored term for term by the
+  * SQL oracle (round(,6) in the query absorbs libm ln() last-ulp drift,
+  * the unigramLogProb convention).
+  *
+  * Contract (the RankStats long-value stance): durations must be
+  * non-NULL, non-negative and long-castable — the CALLER quantizes
+  * (e.g. hours), which fixes tie semantics and bounds the curve frame;
+  * the event flag must be exactly 0 (right-censored) or 1 (observed).
+  * Violations raise with the operator named.
+  */
+object Survival {
+
+  private def checkedDuration(c: Column, op: String): Column =
+    when(c.isNull, raise_error(lit(s"$op: NULL duration")))
+      .when(c < 0, raise_error(concat(lit(s"$op: negative duration ("),
+        c.cast("string"), lit(")"))))
+      .otherwise(c).cast("long")
+
+  private def checkedEvent(c: Column, op: String): Column =
+    when(c.isNull || (c =!= 0 && c =!= 1),
+      raise_error(concat(lit(s"$op: event flag must be 0 or 1, got "),
+        coalesce(c.cast("string"), lit("NULL")))))
+      .otherwise(c).cast("long")
+
+  /** Kaplan–Meier product-limit estimator: one row per distinct
+    * duration t with the exact risk set `n_risk` (subjects with
+    * duration ≥ t), observed events `d`, censored exits `c`, and the
+    * stepped `survival` Ŝ(t) = Π over event times ≤ t of
+    * (1 − d/n_risk). Censor-only times keep the previous survival (the
+    * curve steps only at event times, but censors still shrink later
+    * risk sets — the whole point of KM over a naive event ECDF).
+    *
+    * A time that kills the entire remaining risk set (d = n_risk) pins
+    * survival to exactly 0.0 from there on, handled explicitly — Spark's
+    * ln(0) is NULL, which a windowed sum would silently SKIP, resurrecting
+    * the curve.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+                  maxBlocks: Long = 1L << 20): DataFrame = {
+    val op = "kaplanMeier"
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"))
+    val vc = rows.groupBy("_v")
+      .agg(sum("_e").as("_d"), count(lit(1)).as("_n"))
+    val total = rows.agg(count(lit(1)).as("_total"))
+    val pre = RankStats.withValuePrefixes(vc, Seq("_n"), maxBlocks)
+      .crossJoin(broadcast(total))
+      .select(col("_v").as("t"), col("_d").as("d"),
+        (col("_n") - col("_d")).as("c"),
+        (col("_total") - col("_pre__n")).as("n_risk"))
+    // the curve frame is distinct-durations-sized (grid-bounded by the
+    // caller's quantization), so ONE ordered window over it is the
+    // block-summary idiom, not a corpus sort
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnTerm = when(col("d") > 0L && col("d") < col("n_risk"),
+      log((col("n_risk") - col("d")).cast("double")) -
+        log(col("n_risk").cast("double"))).otherwise(lit(0.0))
+    pre
+      .withColumn("_lnSum", sum(lnTerm).over(w))
+      .withColumn("_dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("_dead") === 1L, lit(0.0))
+          .otherwise(exp(col("_lnSum"))).as("survival"))
+  }
+
+  /** Two-group log-rank test: did the groups' time-to-event
+    * distributions differ? One output row with the exact totals
+    * (group labels, subject counts `n_a`/`n_b`, observed events
+    * `d_a`/`d_b`) and the Mantel–Haenszel moments — `o_minus_e` =
+    * Σ(d_a,t − E[d_a,t]), `var_sum` = Σ hypergeometric variances over
+    * event times, and `z` = o_minus_e/√var_sum (NULL when var_sum = 0 —
+    * e.g. every event ties at one time that exhausts the risk set).
+    * Group a = lexicographic min label; exactly two non-NULL labels or
+    * the header guard raises.
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String, maxBlocks: Long = 1L << 20): DataFrame = {
+    val op = "logRank"
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"$op: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("_g"))
+    val hdr = RankStats.twoGroupHeader(rows)
+    val vc = rows.crossJoin(broadcast(hdr))
+      .groupBy("_v")
+      .agg(
+        sum(when(col("_g") === col("group_a"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_g") === col("group_b"), 1L).otherwise(0L)).as("_nb"),
+        sum(when(col("_g") === col("group_a"), col("_e")).otherwise(0L))
+          .as("_da"),
+        sum(when(col("_g") === col("group_b"), col("_e")).otherwise(0L))
+          .as("_db"))
+    val pre = RankStats.withValuePrefixes(vc, Seq("_na", "_nb"), maxBlocks)
+      .crossJoin(broadcast(hdr))
+    val n1 = (col("n_a") - col("_pre__na")).cast("double")
+    val n2 = (col("n_b") - col("_pre__nb")).cast("double")
+    val nn = n1 + n2
+    val dd = (col("_da") + col("_db")).cast("double")
+    val term = pre.filter(col("_da") + col("_db") > 0L).select(
+      col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      col("_da"), col("_db"),
+      (col("_da").cast("double") - dd * n1 / nn).as("_ome"),
+      when(nn > 1.0,
+        dd * (n1 / nn) * (n2 / nn) * (nn - dd) / (nn - 1.0))
+        .otherwise(lit(0.0)).as("_var"))
+    term.groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(sum("_da").as("d_a"), sum("_db").as("d_b"),
+        sum("_ome").as("o_minus_e"), sum("_var").as("var_sum"))
+      .withColumn("z",
+        when(col("var_sum") > 0.0,
+          col("o_minus_e") / sqrt(col("var_sum"))).otherwise(lit(null)
+          .cast("double")))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.core.Tables
-import graft.llm.RankStats
+import graft.llm.{RankStats, Survival}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -847,8 +847,137 @@ object StatsQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("ecdf_permille"))
         .orderBy("doc_id")
+    },
+
+    // ---- Kaplan–Meier survival curve (Survival.kaplanMeier): hours
+    //      from first signup to first purchase, right-censored at the
+    //      user's last observed event; risk sets via the two-level
+    //      prefix scan, survival = exp(Σ ln((n−d)/n)) over event times
+    //      with the d = n_risk extinction pinned to exactly 0.0 ----
+    "q_evt_kaplan_meier" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |km0 AS (SELECT dur_h AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |               CAST(count(*) - sum(ev) AS BIGINT) AS c,
+        |               CAST(count(*) AS BIGINT) AS n_at
+        |        FROM subj GROUP BY dur_h),
+        |km1 AS (SELECT t, d, c,
+        |          CAST((SELECT count(*) FROM subj)
+        |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |        FROM km0)
+        |SELECT t, n_risk, d, c,
+        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |        THEN 0.0
+        |        ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+        |                      THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
+        |                      ELSE 0.0 END)
+        |                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        END, 6) AS survival
+        |FROM km1 ORDER BY t""".stripMargin) { (s, dir) =>
+      Survival.kaplanMeier(survivalSubjects(s, dir), "dur_h", "ev")
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    },
+
+    // ---- two-cohort log-rank test (Survival.logRank): did the A/B
+    //      experiment arms (user-id parity assignment — the testdata's
+    //      signups all land in one 11-day burst, so a calendar cohort
+    //      collapses to one group) convert to purchase on different
+    //      time-to-event curves? Exact risk-set integers;
+    //      Mantel–Haenszel moments mirrored term for term ----
+    "q_evt_logrank" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |g AS (SELECT dur_h, ev,
+        |             CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END AS grp
+        |      FROM subj),
+        |h AS (SELECT min(grp) AS group_a, max(grp) AS group_b,
+        |             CAST(arg_min(cnt, grp) AS BIGINT) AS n_a,
+        |             CAST(arg_max(cnt, grp) AS BIGINT) AS n_b
+        |      FROM (SELECT grp, count(*) AS cnt FROM g GROUP BY grp)),
+        |vc AS (SELECT dur_h AS t,
+        |         CAST(sum(CASE WHEN grp = (SELECT group_a FROM h) THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN grp = (SELECT group_b FROM h) THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN grp = (SELECT group_a FROM h) THEN ev ELSE 0 END) AS BIGINT) AS da,
+        |         CAST(sum(CASE WHEN grp = (SELECT group_b FROM h) THEN ev ELSE 0 END) AS BIGINT) AS db
+        |       FROM g GROUP BY dur_h),
+        |p AS (SELECT t, na, nb, da, db,
+        |        CAST((SELECT n_a FROM h) - coalesce(sum(na) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r1,
+        |        CAST((SELECT n_b FROM h) - coalesce(sum(nb) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r2
+        |      FROM vc),
+        |terms AS (SELECT da, db,
+        |            CAST(da AS DOUBLE)
+        |              - CAST(da + db AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE) AS ome,
+        |            CASE WHEN r1 + r2 > 1
+        |              THEN CAST(da + db AS DOUBLE)
+        |                   * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+        |                   * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+        |                   * (CAST(r1 + r2 AS DOUBLE) - CAST(da + db AS DOUBLE))
+        |                   / (CAST(r1 + r2 AS DOUBLE) - 1.0)
+        |              ELSE 0.0 END AS var_t
+        |          FROM p WHERE da + db > 0)
+        |SELECT h.group_a, h.group_b, h.n_a, h.n_b,
+        |  CAST(sum(terms.da) AS BIGINT) AS d_a,
+        |  CAST(sum(terms.db) AS BIGINT) AS d_b,
+        |  round(sum(terms.ome), 6) AS o_minus_e,
+        |  round(sum(terms.var_t), 6) AS var_sum,
+        |  round(CASE WHEN sum(terms.var_t) > 0.0
+        |        THEN sum(terms.ome) / sqrt(sum(terms.var_t)) END, 6) AS z
+        |FROM terms, h
+        |GROUP BY h.group_a, h.group_b, h.n_a, h.n_b""".stripMargin) { (s, dir) =>
+      val subj = survivalSubjects(s, dir)
+        .withColumn("grp",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a").otherwise("arm_b"))
+      Survival.logRank(subj, "dur_h", "ev", "grp")
+        .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+          col("d_a"), col("d_b"),
+          round(col("o_minus_e"), 6).as("o_minus_e"),
+          round(col("var_sum"), 6).as("var_sum"),
+          round(col("z"), 6).as("z"))
     }
   )
+
+  /** Right-censored time-to-conversion subjects, shared by the two
+    * survival queries: hours (floor) from each user's first signup to
+    * their first purchase at-or-after it; users who never purchase are
+    * censored at their LAST observed event of any type (ev = 0). The
+    * hour quantization is the Survival duration contract — it bounds
+    * the curve frame by the time grid.
+    */
+  private def survivalSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = tb(s, dir).events
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .join(s0, "user_id")
+      .filter(unix_micros(col("ts")) >= unix_micros(col("t0")))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val fin = ev.groupBy("user_id").agg(max("ts").as("tl"))
+    s0.join(pur, Seq("user_id"), "left").join(fin, "user_id")
+      .select(col("user_id"), col("t0"),
+        expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0)) div 3600000000")
+          .as("dur_h"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+  }
+
+  /** The DuckDB mirror of [[survivalSubjects]] (CTE bodies `s0`, `pur`,
+    * `fin`, `subj`).
+    */
+  private def survivalSubjectsCte: String =
+    """s0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      |       FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |pur AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+      |        FROM events e JOIN s0 ON s0.user_id = e.user_id
+      |        WHERE e.event_type = 'purchase'
+      |          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(s0.t0)
+      |        GROUP BY e.user_id),
+      |fin AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS tl
+      |        FROM events GROUP BY user_id),
+      |subj AS (SELECT s0.user_id, s0.t0,
+      |           CAST((epoch_us(coalesce(pur.tp, fin.tl)) - epoch_us(s0.t0)) // 3600000000 AS BIGINT) AS dur_h,
+      |           CAST(pur.tp IS NOT NULL AS BIGINT) AS ev
+      |         FROM s0 LEFT JOIN pur ON pur.user_id = s0.user_id
+      |              JOIN fin ON fin.user_id = s0.user_id)""".stripMargin
 
   /** The split-conformal threshold + coverage oracle, shared by
     * q_stat_conformal and q_stream_conformal: the streaming cell fold

@@ -738,4 +738,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 3, s"expected exactly 3 corpus scans, got $scans:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("Survival rides the distinct-duration two-level scan: " +
+    "single-partition exchanges feed aggregates only (the KM curve's " +
+    "one global window sees the grid-bounded times frame, never subjects)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = Tables(spark, sfDir).events
+      val subj = ev.select(
+        (col("event_id") % 97L).as("t"),
+        (col("event_id") % 2L).as("e"),
+        concat(lit("arm_"), (col("user_id") % 2L).cast("string")).as("g"))
+      for (out <- Seq(
+          graft.llm.Survival.kaplanMeier(subj, "t", "e", maxBlocks = 16L),
+          graft.llm.Survival.logRank(subj, "t", "e", "g",
+            maxBlocks = 16L))) {
+        val plan = out.queryExecution.executedPlan
+        val single = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+              if e.outputPartitioning.numPartitions == 1 => e
+        }
+        single.foreach { e =>
+          assert(e.child.collect {
+            case a if a.nodeName.toLowerCase.contains("aggregate") => a
+          }.nonEmpty,
+            s"single-partition exchange over a non-aggregated frame:\n$e")
+        }
+        assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Survival against hand-computed product-limit and Mantel–Haenszel
+  * cases: exact risk-set integers, the censoring-vs-event step
+  * semantics, the d = n_risk extinction pin, the blocked value space,
+  * and the loud duration/event/group contracts.
+  */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def km(rows: Seq[(Long, Long)], maxBlocks: Long = 1L << 20) =
+    Survival.kaplanMeier(rows.toDF("t", "e"), "t", "e", maxBlocks)
+      .orderBy("t")
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("survival"), 6).as("s"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+
+  test("kaplanMeier: textbook curve with interleaved censoring") {
+    // (1,ev) (2,cens) (3,ev) (4,ev) (5,cens) (6,ev):
+    //   S(1)=5/6, S(2)=5/6 (censor step), S(3)=5/6·3/4=0.625,
+    //   S(4)=0.625·2/3=5/12, S(5)=5/12, S(6): d=n_risk → exactly 0
+    val got = km(Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L),
+      (6L, 1L)))
+    assert(got === Seq(
+      (1L, 6L, 1L, 0L, 0.833333),
+      (2L, 5L, 0L, 1L, 0.833333),
+      (3L, 4L, 1L, 0L, 0.625),
+      (4L, 3L, 1L, 0L, 0.416667),
+      (5L, 2L, 0L, 1L, 0.416667),
+      (6L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("kaplanMeier: tied deaths and a same-time censor share one row") {
+    // t=2: n=4, d=2, c=1 → S=0.5; t=5: last subject dies → 0
+    val got = km(Seq((2L, 1L), (2L, 1L), (2L, 0L), (5L, 1L)))
+    assert(got === Seq((2L, 4L, 2L, 1L, 0.5), (5L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("kaplanMeier: identical curve under a blocked value space") {
+    val rows = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L),
+      (6L, 1L))
+    assert(km(rows, maxBlocks = 2) === km(rows))
+  }
+
+  test("kaplanMeier: duration/event contracts raise loudly") {
+    val nullDur = Seq((Some(1L), 1L), (None, 1L))
+      .toDF("t", "e")
+    intercept[Exception] {
+      Survival.kaplanMeier(nullDur, "t", "e").collect()
+    }
+    intercept[Exception] {
+      Survival.kaplanMeier(Seq((-1L, 1L)).toDF("t", "e"), "t", "e")
+        .collect()
+    }
+    intercept[Exception] {
+      Survival.kaplanMeier(Seq((1L, 2L)).toDF("t", "e"), "t", "e")
+        .collect()
+    }
+  }
+
+  test("logRank: hand-computed two-group Mantel–Haenszel moments") {
+    // a: (1,ev) (3,cens) (5,ev); b: (2,ev) (4,ev) (6,cens)
+    //   o_minus_e = 1/2 − 2/5 − 1/3 + 1/2 = 4/15
+    //   var_sum   = 1/4 + 6/25 + 2/9 + 1/4 = 866/900
+    val df = Seq((1L, 1L, "a"), (3L, 0L, "a"), (5L, 1L, "a"),
+      (2L, 1L, "b"), (4L, 1L, "b"), (6L, 0L, "b")).toDF("t", "e", "g")
+    val r = Survival.logRank(df, "t", "e", "g").head()
+    assert(r.getAs[String]("group_a") === "a")
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("d_a") === 2L && r.getAs[Long]("d_b") === 2L)
+    assert(math.abs(r.getAs[Double]("o_minus_e") - 4.0 / 15) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_sum") - 866.0 / 900) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      (4.0 / 15) / math.sqrt(866.0 / 900)) < 1e-12)
+  }
+
+  test("logRank: z is NULL when the single event time exhausts the risk set") {
+    // both groups die at t=1: n=d → var term 0/0 guarded to 0 → z NULL
+    val df = Seq((1L, 1L, "a"), (1L, 1L, "b")).toDF("t", "e", "g")
+    val r = Survival.logRank(df, "t", "e", "g").head()
+    assert(r.getAs[Double]("var_sum") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("logRank: a third group raises loudly") {
+    val df = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("t", "e", "g")
+    intercept[Exception] {
+      Survival.logRank(df, "t", "e", "g").collect()
+    }
+  }
+}
