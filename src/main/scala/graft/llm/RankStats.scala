@@ -335,6 +335,125 @@ object RankStats {
         sqrt(den))
   }
 
+  /** Tie-corrected Kendall tau-b without the O(n²) pair join: the
+    * corpus reduces to the distinct (x, y) CELL frame (one keyed
+    * aggregate — the caller's quantization bounds it by the grid, never
+    * the corpus), and concordant pairs are counted by 2D dominance over
+    * cells in two grid-bounded terms:
+    *
+    *  - **cross-block**: the x axis is cut into ≤ maxBlocks span
+    *    blocks (dense-ranked so absent spans cost nothing); each cell
+    *    emits one probe per EARLIER present block, and one window per
+    *    block partition — ordered (y, tag) with probes sorting before
+    *    same-y masses, so "strictly below" needs no self-join — reads
+    *    off the mass of that block under the cell's y. Cost
+    *    O(cells · blocks).
+    *  - **within-block**: an equi-join on the block id with the
+    *    (x' < x, y' < y) residual — Σ blockCells², never cells².
+    *
+    * Total work ≈ cells·B + cells²/B, minimized near B = √cells and
+    * independent of corpus size; discordant pairs come free from the
+    * exact tie algebra (2(C+D) = n(n−1) − T1₂ − T2₂ + T3₂). Every
+    * count is exact decimal folded to guarded longs (the
+    * checkedRankSum stance); `tau_b` is the ONE closed-form double.
+    * Output: n, n_pairs, concordant, discordant, t1, t2, t3 (pairs
+    * tied in x / in y / in both), tau_b (NULL when a margin is all
+    * ties).
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxBlocks: Long = 1024L): DataFrame = {
+    val op = "kendallTau"
+    val rows = df.select(
+      checkedLong(col(xCol), op, s"value in $xCol").as("_x"),
+      checkedLong(col(yCol), op, s"value in $yCol").as("_y"))
+    val cells = rows.groupBy("_x", "_y").agg(count(lit(1)).as("_n"))
+    // dense-rank the PRESENT x blocks: withBoundedBlocks ids are
+    // span-scaled (sparse when the grid is), and the probe expansion
+    // below pays one row per earlier id — rank over the ≤ maxBlocks
+    // block-summary frame so it pays per present block only
+    val blocked = Packing.withBoundedBlocks(cells, "_x", maxBlocks)
+    val blkIds = blocked.select("_blk").distinct()
+      .withColumn("_bid",
+        row_number().over(Window.orderBy("_blk")).cast("long") - 1L)
+    val cb = blocked.join(broadcast(blkIds), Seq("_blk")).drop("_blk")
+
+    val dec = "decimal(18,0)"
+    // within-block dominance: block-local pairs only
+    val lhs = cb.select(col("_bid"), col("_x").as("_xl"),
+      col("_y").as("_yl"), col("_n").as("_nl"))
+    val rhs = cb.select(col("_bid"), col("_x").as("_xr"),
+      col("_y").as("_yr"), col("_n").as("_nr"))
+    val within = lhs.join(rhs, Seq("_bid"))
+      .filter(col("_xl") < col("_xr") && col("_yl") < col("_yr"))
+      .agg(coalesce(sum(col("_nl").cast(dec) * col("_nr").cast(dec)),
+        lit(0).cast("decimal(38,0)")).as("_cw"))
+
+    // cross-block dominance: per-cell probes into every earlier
+    // block's y-prefix; a probe (tag 0) sorts before same-y mass rows
+    // (tag 1), so the running sum at the probe is the STRICT below-y
+    // mass of that block
+    val mass = cb.select(col("_bid"), col("_y"), col("_n").as("_w"),
+      lit(1L).as("_tag"), lit(null).cast("long").as("_qn"))
+    val probes = cb.filter(col("_bid") > 0L)
+      .select(explode(expr("sequence(0, _bid - 1)")).as("_bid"),
+        col("_y"), lit(0L).as("_w"), lit(0L).as("_tag"),
+        col("_n").as("_qn"))
+    val wBlk = Window.partitionBy("_bid").orderBy("_y", "_tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cross = mass.unionByName(probes)
+      .withColumn("_below", sum(col("_w")).over(wBlk))
+      .filter(col("_tag") === 0L)
+      .agg(coalesce(sum(col("_qn").cast(dec) * col("_below").cast(dec)),
+        lit(0).cast("decimal(38,0)")).as("_cc"))
+
+    // exact tie algebra in 2x (pair-doubled) units: cx(cx−1) etc.
+    def pairs2(c: Column): Column =
+      checkedTieCount(c, op) * (c.cast("decimal(12,0)") - 1)
+    val margins = cells.groupBy("_x").agg(sum("_n").as("_cx"))
+      .agg(coalesce(sum(pairs2(col("_cx"))), lit(0).cast("decimal(38,0)"))
+        .as("_t12"))
+      .crossJoin(broadcast(cells.groupBy("_y").agg(sum("_n").as("_cy"))
+        .agg(coalesce(sum(pairs2(col("_cy"))),
+          lit(0).cast("decimal(38,0)")).as("_t22"))))
+      .crossJoin(broadcast(cells.agg(
+        coalesce(sum("_n"), lit(0L)).as("_nt"),
+        coalesce(sum(pairs2(col("_n"))), lit(0).cast("decimal(38,0)"))
+          .as("_t32"))))
+
+    val agg = within.crossJoin(broadcast(cross))
+      .crossJoin(broadcast(margins))
+    val n02 = col("_nt").cast("decimal(38,0)") * (col("_nt") - 1)
+    val cPlusD2 = n02 - col("_t12") - col("_t22") + col("_t32")
+    // every output count must fit a LONG anyway (the oracle compare is
+    // BIGINT), so fold the exact decimals through the loud guard FIRST
+    // and halve with long `div` — decimal division would smuggle scale
+    // in; 2(C+D) = n(n−1) − T1₂ − T2₂ + T3₂ is even by construction
+    def toLong(c: Column, what: String): Column =
+      checkedRankSum(c.cast("decimal(38,0)"), s"$op $what")
+    val longs = agg.select(
+      col("_nt").as("n"),
+      toLong(n02, "n_pairs2").as("_np2"),
+      toLong(col("_cw") + col("_cc"), "concordant").as("concordant"),
+      toLong(cPlusD2, "concordant+discordant (2x)").as("_cpd2"),
+      toLong(col("_t12"), "t1 (2x)").as("_t12l"),
+      toLong(col("_t22"), "t2 (2x)").as("_t22l"),
+      toLong(col("_t32"), "t3 (2x)").as("_t32l"))
+    longs.select(
+      col("n"),
+      expr("_np2 div 2").as("n_pairs"),
+      col("concordant"),
+      expr("_cpd2 div 2 - concordant").as("discordant"),
+      expr("_t12l div 2").as("t1"),
+      expr("_t22l div 2").as("t2"),
+      expr("_t32l div 2").as("t3"))
+      .withColumn("tau_b",
+        when((col("n_pairs") - col("t1")).cast("double") *
+          (col("n_pairs") - col("t2")).cast("double") > 0.0,
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("n_pairs") - col("t1")).cast("double") *
+              (col("n_pairs") - col("t2")).cast("double"))))
+  }
+
   /** Mann–Whitney U of EVERY slice against its complement, in ONE
     * corpus pass: global tie-averaged ranks are computed once over the
     * combined distribution (per-value counts + the two-level prefix),

@@ -849,6 +849,41 @@ object StatsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- tie-corrected Kendall tau-b (RankStats.kendallTau): does
+    //      bucketed document length (100-char bins — heavy x ties) rise
+    //      monotonically with whitespace-token count? The engine counts
+    //      concordant pairs by blocked 2D dominance over the distinct
+    //      (x, y) CELL grid (cells·B + cells²/B, never corpus²); the
+    //      oracle is the DEFINITION — a brute-force ordered pair join,
+    //      algorithm-independent by construction ----
+    "q_stat_kendall_tau" -> Q(
+      """WITH r AS (SELECT row_number() OVER () AS rid,
+        |                  n_chars // 100 AS x,
+        |                  len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS y
+        |           FROM documents),
+        |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |      FROM r a JOIN r b ON a.rid < b.rid),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |        CAST(sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |        CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |        CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+        |        CAST(sum(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS t3
+        |      FROM p)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n,
+        |  s.n_pairs, s.concordant, s.discordant, s.t1, s.t2, s.t3,
+        |  round(CASE WHEN CAST(s.n_pairs - s.t1 AS DOUBLE) * CAST(s.n_pairs - s.t2 AS DOUBLE) > 0.0
+        |        THEN CAST(s.concordant - s.discordant AS DOUBLE)
+        |             / sqrt(CAST(s.n_pairs - s.t1 AS DOUBLE) * CAST(s.n_pairs - s.t2 AS DOUBLE))
+        |        END, 6) AS tau_b
+        |FROM s""".stripMargin) { (s, dir) =>
+      val docs = tb(s, dir).documents.select(
+        expr("n_chars div 100").as("x"),
+        graft.llm.TextAnalysis.tokenCountWs(col("text")).as("y"))
+      RankStats.kendallTau(docs, "x", "y")
+        .withColumn("tau_b", round(col("tau_b"), 6))
+    },
+
     // ---- Kaplan–Meier survival curve (Survival.kaplanMeier): hours
     //      from first signup to first purchase, right-censored at the
     //      user's last observed event; risk sets via the two-level

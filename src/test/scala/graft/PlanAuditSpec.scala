@@ -739,6 +739,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("kendallTau: the within-block dominance join is hash/merge on the " +
+    "block id (no BNLJ, no cartesian), and single-partition exchanges " +
+    "feed aggregates only") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, sfDir).documents.select(
+        expr("n_chars div 100").as("x"),
+        (col("n_chars") % 37L).as("y"))
+      val out = graft.llm.RankStats.kendallTau(docs, "x", "y",
+        maxBlocks = 16L)
+      val plan = out.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(!planStr.contains("CartesianProduct"), planStr)
+      // the within-block dominance join must be an equi join on the
+      // dense block id (the x'<x ∧ y'<y residual rides it) — a plain
+      // theta join here would be cells² regardless of blocking
+      assert(
+        "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[_bid#".r
+          .findFirstIn(planStr).isDefined,
+        s"expected a hash/merge join keyed on _bid:\n$planStr")
+      // nested-loop nodes are legal ONLY as 1-row broadcast merges (the
+      // withBoundedBlocks span stats + the scalar aggregate cross
+      // joins): every build side must be a grand aggregate (or reuse
+      // one already checked)
+      plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.foreach { j =>
+        val scalarBuild = j.right.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+              if a.groupingExpressions.isEmpty => a
+        }.nonEmpty || j.right.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }.nonEmpty
+        assert(scalarBuild,
+          s"BroadcastNestedLoopJoin over a non-scalar build side:\n$j")
+      }
+      val single = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      single.foreach { e =>
+        assert(e.child.collect {
+          case a if a.nodeName.toLowerCase.contains("aggregate") => a
+        }.nonEmpty,
+          s"single-partition exchange over a non-aggregated frame:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("Survival rides the distinct-duration two-level scan: " +
     "single-partition exchanges feed aggregates only (the KM curve's " +
     "one global window sees the grid-bounded times frame, never subjects)") {

@@ -446,4 +446,77 @@ class RankStatsSpec extends SparkSpec {
     val f = RankStats.hillAlpha(flat, "v", xmin = 100L).collect().head
     assert(f.isNullAt(2))
   }
+
+  private def kendallRow(df: org.apache.spark.sql.DataFrame,
+                         maxBlocks: Long = 1024L) = {
+    val r = RankStats.kendallTau(df, "x", "y", maxBlocks).head()
+    (r.getAs[Long]("n"), r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+      r.getAs[Long]("t1"), r.getAs[Long]("t2"), r.getAs[Long]("t3"),
+      if (r.isNullAt(r.fieldIndex("tau_b"))) None
+      else Some(r.getAs[Double]("tau_b")))
+  }
+
+  test("kendallTau: perfect monotone gives tau 1; hand-computed tie mix") {
+    val mono = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val m = kendallRow(mono)
+    assert(m === ((3L, 3L, 3L, 0L, 0L, 0L, 0L, Some(1.0))))
+    // x=(1,1,2,3), y=(1,2,2,1): C=1, D=2, t1=1, t2=2, t3=0,
+    // tau = −1/√((6−1)(6−2)) = −1/√20
+    val ties = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val t = kendallRow(ties)
+    assert(t._1 === 4L && t._2 === 6L)
+    assert(t._3 === 1L && t._4 === 2L)
+    assert((t._5, t._6, t._7) === ((1L, 2L, 0L)))
+    assert(math.abs(t._8.get - (-1.0 / math.sqrt(20.0))) < 1e-12)
+  }
+
+  test("kendallTau: duplicated points land in t3 and drop from the pair pool") {
+    // two copies of (1,1) + (2,2): pairs = 3: one both-tied, two conc
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 2L)).toDF("x", "y")
+    val r = kendallRow(df)
+    assert(r === ((3L, 3L, 2L, 0L, 1L, 1L, 1L,
+      Some(2.0 / math.sqrt(4.0)))))
+  }
+
+  test("kendallTau: all ties on one margin has no defined tau") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("x", "y")
+    val r = kendallRow(df)
+    assert(r._3 === 0L && r._4 === 0L && r._5 === 3L)
+    assert(r._8.isEmpty)
+  }
+
+  test("kendallTau: blocked decomposition matches the brute-force pair " +
+    "count on a randomized grid") {
+    // deterministic pseudo-random 211-point cloud with heavy ties
+    val pts = Seq.tabulate(211)(i =>
+      ((i * 7919L) % 23L, (i * 104729L + 7L) % 17L))
+    val df = pts.toDF("x", "y")
+    // brute force over ordered index pairs
+    val brute = {
+      var c = 0L; var d = 0L; var t1 = 0L; var t2 = 0L; var t3 = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val ((xa, ya), (xb, yb)) = (pts(i), pts(j))
+        if (xa == xb && ya == yb) { t1 += 1; t2 += 1; t3 += 1 }
+        else if (xa == xb) t1 += 1
+        else if (ya == yb) t2 += 1
+        else if ((xa < xb) == (ya < yb)) c += 1
+        else d += 1
+      }
+      (c, d, t1, t2, t3)
+    }
+    for (mb <- Seq(2L, 7L, 1024L)) {
+      val r = kendallRow(df, maxBlocks = mb)
+      assert((r._3, r._4, r._5, r._6, r._7) === brute,
+        s"maxBlocks=$mb: got $r, brute $brute")
+      assert(r._2 === 211L * 210L / 2)
+    }
+  }
+
+  test("kendallTau: NULL values raise loudly") {
+    val df = Seq((Some(1L), 1L), (None, 2L)).toDF("x", "y")
+    intercept[Exception] {
+      RankStats.kendallTau(df, "x", "y").collect()
+    }
+  }
 }
