@@ -512,6 +512,57 @@ object RankStats {
       (col("u_s2").cast("double") / 2.0 - na * nb / 2.0) / sqrt(sig2))
   }
 
+  /** Two-sided normal p from a z-score: p = erfc(|z|/√2) via the
+    * Abramowitz–Stegun 7.1.26 polynomial (|ε| ≤ 1.5×10⁻⁷), computed as
+    * poly·e^(−x²) directly — the 1 − erf form would cancel near z = 0.
+    * Both engines run the SAME Horner chain (the oracle mirrors it
+    * term for term), so a borderline BH decision cannot split on libm
+    * erf differences.
+    */
+  private def normTwoSidedP(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    poly * exp(-(x * x))
+  }
+
+  /** Benjamini–Hochberg step-up control at FDR α = alphaPermille/1000
+    * over per-slice z-scores (e.g. [[mannWhitneyPerSlice]]'s): the
+    * multiple-testing gate that keeps a 1000-slice drift audit from
+    * crying wolf ~α·1000 times on pure noise. Slices with a NULL z
+    * (σ = 0 — no test statistic exists) are EXCLUDED from the family;
+    * the tested slices rank by two-sided p ascending (slice-name
+    * tie-break), k* = max{i : p₍ᵢ₎ ≤ α·i/m}, and every rank ≤ k* flags
+    * significant — including any non-qualifying p's BELOW k* (the
+    * step-up's defining quirk). Output: slice, z, p, rank, m,
+    * significant. The ranking window rides the SLICE frame — bounded
+    * by slice cardinality, never the corpus (the conformal-frame
+    * stance).
+    */
+  def bhFdr(df: DataFrame, sliceCol: String, zCol: String,
+            alphaPermille: Int = 50): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille must be in (0, 1000), got $alphaPermille")
+    val tested = df.filter(col(zCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("slice"),
+        col(zCol).cast("double").as("z"))
+      .withColumn("p", normTwoSidedP(col("z")))
+    val m1 = tested.agg(count(lit(1)).as("m"))
+    val w = Window.orderBy("p", "slice")
+    val ranked = tested.crossJoin(broadcast(m1))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_q",
+        col("p") * col("m").cast("double") <=
+          lit(alphaPermille / 1000.0) * col("rank").cast("double"))
+    val kstar = ranked.agg(max(when(col("_q"), col("rank"))).as("_kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("slice"), col("z"), col("p"), col("rank"), col("m"),
+        (col("rank") <= coalesce(col("_kstar"), lit(0L)))
+          .as("significant"))
+  }
+
   /** Two-sample KS of EVERY slice against its complement in one pass,
     * exact: per slice, sup over the real line of the ECDF deviation in
     * n_s·n_rest integer units. The sup is attained either AT one of

@@ -849,6 +849,65 @@ object StatsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- BH-FDR drift gate (RankStats.bhFdr ∘ mannWhitneyPerSlice):
+    //      eight doc_id buckets, one with a PLANTED +1000-char shift
+    //      (the driver's synthetic slices are homogeneous — every
+    //      honest slice must stay quiet while the planted one flags);
+    //      two-sided p via the mirrored A&S erfc polynomial, step-up
+    //      cutoff k* = max{i : p·m ≤ α·i} at α = 0.05 ----
+    "q_stat_drift_fdr" -> Q(
+      """WITH r AS (SELECT 'b' || CAST(doc_id % 8 AS VARCHAR) AS s,
+        |                  n_chars + CASE WHEN doc_id % 8 = 0 THEN 1000 ELSE 0 END AS v
+        |           FROM documents),
+        |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS nv FROM r GROUP BY v),
+        |rk0 AS (SELECT v, nv,
+        |          2*CAST(coalesce(sum(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |            + nv + 1 AS rank2 FROM vc),
+        |g AS (SELECT CAST(sum(nv) AS BIGINT) AS tot,
+        |             CAST(sum(nv*nv*nv - nv) AS DOUBLE) AS tie_term FROM vc),
+        |sv AS (SELECT s, v, CAST(count(*) AS BIGINT) AS nsv FROM r GROUP BY s, v),
+        |ps AS (SELECT s, CAST(sum(nsv) AS BIGINT) AS n_s,
+        |              CAST(sum(nsv * rk0.rank2) AS BIGINT) AS r_s2
+        |       FROM sv JOIN rk0 ON sv.v = rk0.v GROUP BY s),
+        |zz AS (SELECT s AS slice,
+        |  round(CASE WHEN CAST(n_s AS DOUBLE) * CAST(tot - n_s AS DOUBLE) / 12.0
+        |                  * ((CAST(tot AS DOUBLE) + 1.0)
+        |                     - tie_term / (CAST(tot AS DOUBLE) * (CAST(tot AS DOUBLE) - 1.0))) > 0.0
+        |        THEN (CAST(r_s2 - n_s*(n_s+1) AS DOUBLE) / 2.0
+        |              - CAST(n_s AS DOUBLE) * CAST(tot - n_s AS DOUBLE) / 2.0)
+        |             / sqrt(CAST(n_s AS DOUBLE) * CAST(tot - n_s AS DOUBLE) / 12.0
+        |                    * ((CAST(tot AS DOUBLE) + 1.0)
+        |                       - tie_term / (CAST(tot AS DOUBLE) * (CAST(tot AS DOUBLE) - 1.0))))
+        |        ELSE NULL END, 6) AS z
+        |       FROM ps, g),
+        |px AS (SELECT slice, z, abs(z)/sqrt(2.0) AS x FROM zz WHERE z IS NOT NULL),
+        |pt AS (SELECT slice, z, x, 1.0/(1.0 + 0.3275911*x) AS t FROM px),
+        |pp AS (SELECT slice, z,
+        |         (t*(0.254829592 + t*(-0.284496736 + t*(1.421413741 + t*(-1.453152027 + t*1.061405429)))))
+        |           * exp(-(x*x)) AS p
+        |       FROM pt),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
+        |rk AS (SELECT slice, z, p,
+        |         CAST(row_number() OVER (ORDER BY p, slice) AS BIGINT) AS rank, m.m
+        |       FROM pp, m),
+        |ks AS (SELECT max(CASE WHEN p * CAST(m AS DOUBLE) <= 0.05 * CAST(rank AS DOUBLE)
+        |                  THEN rank END) AS kstar FROM rk)
+        |SELECT rk.slice, rk.z, round(rk.p, 6) AS p, rk.rank, rk.m,
+        |  rk.rank <= coalesce(ks.kstar, 0) AS significant
+        |FROM rk, ks ORDER BY rk.slice""".stripMargin) { (s, dir) =>
+      val sliced = tb(s, dir).documents.select(
+        concat(lit("b"), pmod(col("doc_id"), lit(8)).cast("string"))
+          .as("bucket"),
+        (col("n_chars") +
+          when(pmod(col("doc_id"), lit(8)) === 0, 1000L).otherwise(0L))
+          .as("v"))
+      RankStats.bhFdr(
+        RankStats.mannWhitneyPerSlice(sliced, "v", "bucket"),
+        "slice", "z", alphaPermille = 50)
+        .withColumn("p", round(col("p"), 6))
+        .orderBy("slice")
+    },
+
     // ---- tie-corrected Kendall tau-b (RankStats.kendallTau): does
     //      bucketed document length (100-char bins — heavy x ties) rise
     //      monotonically with whitespace-token count? The engine counts

@@ -513,6 +513,53 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  private def fdrRows(zs: Seq[(String, Option[Double])],
+                      alphaPermille: Int = 50) =
+    RankStats.bhFdr(
+      zs.toDF("slice", "z"), "slice", "z", alphaPermille)
+      .orderBy("slice")
+      .collect()
+      .map(r => r.getAs[String]("slice") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("m"),
+          r.getAs[Boolean]("significant"), r.getAs[Double]("p"))))
+      .toMap
+
+  test("bhFdr: the A&S p approximation tracks true erfc within 2e-7") {
+    val m = fdrRows(Seq("a" -> Some(1.96), "b" -> Some(5.0),
+      "c" -> Some(0.0), "d" -> Some(-1.96)))
+    assert(math.abs(m("a")._4 - 0.04999579029644087) < 2e-7)
+    assert(math.abs(m("b")._4 - 5.733031437583892e-07) < 2e-7)
+    assert(math.abs(m("c")._4 - 1.0) < 2e-7)
+    // two-sided: sign of z is irrelevant
+    assert(m("d")._4 === m("a")._4)
+  }
+
+  test("bhFdr: step-up cutoff — only ranks at or below k* flag") {
+    // p ≈ [5.7e-7, 0.0455, 0.92]: k* = 1 (0.0455 > 0.05·2/3)
+    val m = fdrRows(Seq("hot" -> Some(5.0), "warm" -> Some(2.0),
+      "cold" -> Some(0.1)))
+    assert(m("hot") === ((1L, 3L, true, m("hot")._4)))
+    assert(!m("warm")._3 && m("warm")._1 === 2L)
+    assert(!m("cold")._3 && m("cold")._1 === 3L)
+  }
+
+  test("bhFdr: a non-qualifying middle p below k* still flags (the " +
+    "step-up quirk)") {
+    // p ≈ [0.0100, 0.0400, 0.0450]: i=2 fails its own 0.0333 threshold
+    // but i=3 qualifies (0.045 ≤ 0.05) → k* = 3 → ALL flag
+    val m = fdrRows(Seq("a" -> Some(2.576), "b" -> Some(2.054),
+      "c" -> Some(2.005)))
+    assert(m.values.forall(_._3), m.toString)
+    assert(m("b")._1 === 2L)
+  }
+
+  test("bhFdr: NULL-z slices leave the family; m counts tested only") {
+    val m = fdrRows(Seq("a" -> Some(5.0), "skip" -> None,
+      "b" -> Some(0.5)))
+    assert(!m.contains("skip"))
+    assert(m("a")._2 === 2L && m("a")._3)
+  }
+
   test("kendallTau: NULL values raise loudly") {
     val df = Seq((Some(1L), 1L), (None, 2L)).toDF("x", "y")
     intercept[Exception] {
