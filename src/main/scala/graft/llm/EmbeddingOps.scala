@@ -221,6 +221,129 @@ object EmbeddingOps {
             lit(1000000.0d), 6).as("cov"))
   }
 
+  /** Exact cross second moments between TWO representations of the
+    * same rows: one row per (i, j) ∈ dimX × dimY with
+    * sxy = Σ floor(xᵢ·10³)·floor(yⱼ·10³) in decimal(38,0) — the
+    * [[secondMoments]] zero-join idiom (each row emits its dx·dy
+    * products in ONE projection feeding the map-side partial), full
+    * rectangle rather than a triangle because the two spaces'
+    * dimensions are distinct axes.
+    */
+  def crossMoments(df: DataFrame, vecColX: String, vecColY: String,
+                   dimX: Int, dimY: Int): DataFrame = {
+    require(dimX >= 1 && dimX <= 512 && dimY >= 1 && dimY <= 512,
+      s"dims must be in [1, 512], got ($dimX, $dimY)")
+    df.select(checkedVec(df, vecColX, dimX, "crossMoments").as("_vx"),
+        checkedVec(df, vecColY, dimY, "crossMoments").as("_vy"))
+      .withColumn("_qx", transform(col("_vx"),
+        x => floor(x.cast("double") * lit(1000.0d)).cast("long")))
+      .withColumn("_qy", transform(col("_vy"),
+        y => floor(y.cast("double") * lit(1000.0d)).cast("long")))
+      .select(explode(expr(
+        """flatten(transform(_qx, (x, i) ->
+          |  transform(_qy, (y, j) ->
+          |    named_struct('i', i + 1, 'j', j + 1, 'xy', x * y))))"""
+          .stripMargin)).as("c"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"),
+        col("c.xy").cast("decimal(38,0)").as("xy"))
+      .groupBy("i", "j")
+      .agg(sum(col("xy")).as("sxy"), count(lit(1)).as("n"))
+  }
+
+  /** Linear CKA (centered kernel alignment) between two vector columns
+    * over the same rows — "how much of X's geometry does Y preserve?",
+    * the representation-damage audit to run before trusting a
+    * quantized / truncated / re-trained embedding store:
+    *
+    *   CKA = ‖Sxy‖²_F / (‖Sxx‖_F · ‖Syy‖_F),  S·· = n·Σ(ab) − Σa·Σb
+    *
+    * using the UNNORMALIZED centered scatter matrices — every n and
+    * every 10³ quantization factor cancels, so no per-cell division
+    * ever happens. Each scatter ENTRY is exact decimal integer algebra
+    * from the quantized moments; the three Frobenius reductions are
+    * the one double layer (entry² at corpus scale exceeds any fixed
+    * decimal precision — n⁴·10¹²·d² digits), deterministic per cell
+    * with round(,6) absorbing cross-engine summation order on the
+    * d²-cell sums (the unigramLogProb stance; CKA ∈ [0, 1], so
+    * absolute rounding dominates the 10⁻¹⁵ relative drift). Per-row
+    * cost is dx·dy + dx²/2 + dy²/2 multiplies in exactly TWO corpus
+    * passes: collected first moments (2·d longs — the bounded-collect
+    * stance) shipped back as literal arrays, then one tagged cell
+    * aggregate folding all three Frobenius sums — zero joins, no
+    * self-join. Output: one row (n, dim_x, dim_y, cka); cka is NULL
+    * when either space is constant (zero scatter).
+    */
+  def linearCka(df: DataFrame, vecColX: String, vecColY: String,
+                dimX: Int, dimY: Int): DataFrame = {
+    require(dimX >= 1 && dimX <= 512 && dimY >= 1 && dimY <= 512,
+      s"dims must be in [1, 512], got ($dimX, $dimY)")
+    val dec = "decimal(38,0)"
+    // pass 1: first moments, COLLECTED — 2·d longs (the bounded-collect
+    // stance: centroid-sized, never corpus-sized). Shipping them back
+    // as literal arrays lets pass 2 center every scatter cell with an
+    // element_at lookup instead of joins — a join-based composition
+    // re-evaluated the corpus once per moment frame (9 scans; the
+    // pushed-down k filters defeat ReusedExchange), this shape costs
+    // exactly two
+    def firstArr(vecCol: String, dim: Int): Seq[Long] = {
+      val m = firstMoments(df, vecCol, dim)
+        .collect().map(r => r.getAs[Number]("i").intValue ->
+          r.getAs[Number]("sx").longValue)
+        .toMap
+      Seq.tabulate(dim)(i => m.getOrElse(i + 1, 0L))
+    }
+    val (sxArr, syArr) = (firstArr(vecColX, dimX), firstArr(vecColY, dimY))
+    def look(arr: Seq[Long], idx: Column): Column =
+      element_at(typedLit(arr), idx.cast("int")).cast(dec)
+
+    // pass 2: the three scatter-cell families (x·y rectangle, x·x and
+    // y·y triangles) ride ONE tagged projection + ONE keyed aggregate;
+    // the three Frobenius sums fold from it in one conditional
+    // aggregate — no joins anywhere
+    val cells = df
+      .select(checkedVec(df, vecColX, dimX, "linearCka").as("_vx"),
+        checkedVec(df, vecColY, dimY, "linearCka").as("_vy"))
+      .withColumn("_qx", transform(col("_vx"),
+        x => floor(x.cast("double") * lit(1000.0d)).cast("long")))
+      .withColumn("_qy", transform(col("_vy"),
+        y => floor(y.cast("double") * lit(1000.0d)).cast("long")))
+      .select(explode(expr(
+        """flatten(array(
+          |  flatten(transform(_qx, (x, i) -> transform(_qy, (y, j) ->
+          |    named_struct('k', 2, 'i', i + 1, 'j', j + 1, 'xy', x * y)))),
+          |  flatten(transform(_qx, (x, i) ->
+          |    transform(slice(_qx, i + 1, size(_qx) - i), (y, m) ->
+          |      named_struct('k', 3, 'i', i + 1, 'j', i + 1 + m, 'xy', x * y)))),
+          |  flatten(transform(_qy, (x, i) ->
+          |    transform(slice(_qy, i + 1, size(_qy) - i), (y, m) ->
+          |      named_struct('k', 4, 'i', i + 1, 'j', i + 1 + m, 'xy', x * y))))
+          |))""".stripMargin)).as("c"))
+      .select(col("c.k").as("k"), col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"),
+        col("c.xy").cast(dec).as("xy"))
+      .groupBy("k", "i", "j")
+      .agg(sum(col("xy")).as("s"), count(lit(1)).as("n"))
+
+    val ab = when(col("k") === 2, look(sxArr, col("i")) * look(syArr, col("j")))
+      .when(col("k") === 3, look(sxArr, col("i")) * look(sxArr, col("j")))
+      .otherwise(look(syArr, col("i")) * look(syArr, col("j")))
+    val c = (col("n").cast(dec) * col("s") - ab).cast("double")
+    // the triangles store each off-diagonal cell once; Frobenius
+    // counts it twice
+    val w = when(col("k") === 2 || col("i") === col("j"), lit(1.0))
+      .otherwise(lit(2.0))
+    cells
+      .agg(max("n").as("n"),
+        sum(when(col("k") === 2, c * c)).as("_hxy"),
+        sum(when(col("k") === 3, w * c * c)).as("_hxx"),
+        sum(when(col("k") === 4, w * c * c)).as("_hyy"))
+      .select(col("n"), lit(dimX.toLong).as("dim_x"),
+        lit(dimY.toLong).as("dim_y"),
+        when(col("_hxx") * col("_hyy") > 0.0,
+          col("_hxy") / sqrt(col("_hxx") * col("_hyy"))).as("cka"))
+  }
+
   /** Raise on a vector whose length ≠ dim (the intProjections stance):
     * a ragged embedding column would silently mis-pair dimensions.
     */

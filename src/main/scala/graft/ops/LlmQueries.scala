@@ -1806,6 +1806,48 @@ object LlmQueries {
         .orderBy("i")
     },
 
+    // ---- linear CKA representation-damage audit (EmbeddingOps.
+    //      linearCka): how much of the embedding geometry survives a
+    //      coarse quarter-grid quantization? Scatter entries are exact
+    //      integer algebra (every n and 10³ factor cancels in the
+    //      ratio); the three Frobenius reductions are the one double
+    //      layer, round(,6) absorbing summation order; the oracle
+    //      replays the full-rectangle definition (the engine's
+    //      triangle+weights is the same sum) ----
+    "q_emb_cka" -> Q(
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS xq,
+        |             CAST(floor(floor(CAST(unnest(embedding) AS DOUBLE) * 4.0) / 4.0 * 1000.0) AS BIGINT) AS yq
+        |           FROM embeddings),
+        |sx AS (SELECT i, sum(xq) AS sxi FROM e GROUP BY i),
+        |sy AS (SELECT i AS j, sum(yq) AS syj FROM e GROUP BY i),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |cxy AS (SELECT a.i, b.i AS j, sum(a.xq * b.yq) AS sxy
+        |        FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |cxx AS (SELECT a.i, b.i AS j, sum(a.xq * b.xq) AS sxy
+        |        FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |cyy AS (SELECT a.i, b.i AS j, sum(a.yq * b.yq) AS sxy
+        |        FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |hxy AS (SELECT sum(CAST(nn.n * c.sxy - sx.sxi * sy.syj AS DOUBLE)
+        |                 * CAST(nn.n * c.sxy - sx.sxi * sy.syj AS DOUBLE)) AS h
+        |        FROM cxy c JOIN sx ON sx.i = c.i JOIN sy ON sy.j = c.j, nn),
+        |hxx AS (SELECT sum(CAST(nn.n * c.sxy - a.sxi * b.sxi AS DOUBLE)
+        |                 * CAST(nn.n * c.sxy - a.sxi * b.sxi AS DOUBLE)) AS h
+        |        FROM cxx c JOIN sx a ON a.i = c.i JOIN sx b ON b.i = c.j, nn),
+        |hyy AS (SELECT sum(CAST(nn.n * c.sxy - a.syj * b.syj AS DOUBLE)
+        |                 * CAST(nn.n * c.sxy - a.syj * b.syj AS DOUBLE)) AS h
+        |        FROM cyy c JOIN sy a ON a.j = c.i JOIN sy b ON b.j = c.j, nn)
+        |SELECT nn.n, CAST(64 AS BIGINT) AS dim_x, CAST(64 AS BIGINT) AS dim_y,
+        |  round(CASE WHEN hxx.h * hyy.h > 0.0
+        |        THEN hxy.h / sqrt(hxx.h * hyy.h) END, 6) AS cka
+        |FROM nn, hxy, hxx, hyy""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings.withColumn("coarse",
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(4.0d)) / lit(4.0d)))
+      EmbeddingOps.linearCka(emb, "embedding", "coarse", 64, 64)
+        .withColumn("cka", round(col("cka"), 6))
+    },
+
     // ---- PPMI co-occurrence pairs (TextAnalysis.cooccurrencePmi):
     //      word2vec-style skip-gram pair mining — unordered pairs
     //      within a 2-token window straight off the token array (the

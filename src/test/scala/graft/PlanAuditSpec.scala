@@ -700,6 +700,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a 1-column pruned scan:\n$plan")
   }
 
+  test("EmbeddingOps.linearCka: the returned plan is ONE corpus scan, " +
+    "one tagged cell aggregate, ZERO joins (first moments ride back " +
+    "as collected literals)") {
+    val emb = Tables(spark, sfDir).embeddings.withColumn("coarse",
+      transform(col("embedding"),
+        v => floor(v.cast("double") * lit(4.0d)) / lit(4.0d)))
+    val plan = planOf(
+      graft.llm.EmbeddingOps.linearCka(emb, "embedding", "coarse", 64, 64))
+    // the naive five-frame composition re-scanned the corpus per moment
+    // frame (9 scans; pushed-down family filters defeat ReusedExchange)
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans === 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"CKA needs no joins at all:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+  }
+
   test("SpanCorrupt.maskSpans is a pure projection — zero shuffles") {
     val docs = Tables(spark, sfDir).documents
       .select(col("doc_id"), (length(col("text")) / 5).cast("long").as("n"))

@@ -191,4 +191,62 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(rows(0L) === ((2L, 0.666667, false))) // 5 is a neighbor w/ label 2
     assert(rows(10L)._3 === false)
   }
+
+  private def ckaOf(rows: Seq[(Array[Float], Array[Float])]): Double = {
+    val df = rows.toDF("x", "y")
+    val r = EmbeddingOps.linearCka(df, "x", "y",
+      rows.head._1.length, rows.head._2.length).head()
+    assert(r.getAs[Long]("n") === rows.size.toLong)
+    r.getAs[Double]("cka")
+  }
+
+  /** Straightforward reference CKA over the milli-quantized vectors —
+    * an independent in-test implementation, not the engine's algebra.
+    */
+  private def refCka(xs: Seq[Array[Long]], ys: Seq[Array[Long]]): Double = {
+    val n = xs.size
+    def scatter(a: Seq[Array[Long]], b: Seq[Array[Long]]) = {
+      val (da, db) = (a.head.length, b.head.length)
+      Array.tabulate(da, db) { (i, j) =>
+        val sab = a.indices.map(r => a(r)(i).toDouble * b(r)(j)).sum
+        val (sa, sb) = (a.map(_(i)).sum.toDouble, b.map(_(j)).sum.toDouble)
+        n * sab - sa * sb
+      }
+    }
+    def frob2(m: Array[Array[Double]]) = m.flatten.map(c => c * c).sum
+    frob2(scatter(xs, ys)) /
+      math.sqrt(frob2(scatter(xs, xs)) * frob2(scatter(ys, ys)))
+  }
+
+  test("linearCka: self-alignment is exactly 1; scale invariance on the " +
+    "milli grid") {
+    // milli-grid values so quantization is lossless and 2x stays exact
+    val vs = Seq(Array(0.25f, 0.5f, -0.125f), Array(0.125f, -0.25f, 0.5f),
+      Array(-0.5f, 0.125f, 0.25f), Array(0.375f, 0.25f, -0.25f))
+    assert(math.abs(ckaOf(vs.map(v => (v, v))) - 1.0) < 1e-12)
+    val scaled = vs.map(v => (v, v.map(_ * 2.0f)))
+    assert(math.abs(ckaOf(scaled) - 1.0) < 1e-12)
+  }
+
+  test("linearCka matches an independent reference on a deterministic " +
+    "cloud; damage lands strictly inside (0, 1)") {
+    val xs = Seq.tabulate(40)(r => Array.tabulate(5)(i =>
+      ((r * 7919 + i * 104729) % 2000 - 1000).toFloat / 1000.0f))
+    // y: x with one dimension zeroed and another coarsened
+    val ys = xs.map(v => Array(v(0), 0.0f,
+      math.floor(v(2) * 4) .toFloat / 4.0f, v(3), v(4)))
+    val got = ckaOf(xs.zip(ys))
+    val ref = refCka(
+      xs.map(_.map(v => math.floor(v * 1000.0).toLong)),
+      ys.map(_.map(v => math.floor(v * 1000.0).toLong)))
+    assert(math.abs(got - ref) < 1e-9, s"got $got, ref $ref")
+    assert(got > 0.0 && got < 1.0)
+  }
+
+  test("linearCka: a constant representation has no defined alignment") {
+    val vs = Seq.tabulate(4)(r =>
+      (Array.tabulate(3)(i => (r + i).toFloat / 8.0f), Array(0.5f, 0.5f)))
+    val r = EmbeddingOps.linearCka(vs.toDF("x", "y"), "x", "y", 3, 2).head()
+    assert(r.isNullAt(r.fieldIndex("cka")))
+  }
 }
