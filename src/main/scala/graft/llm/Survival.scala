@@ -60,14 +60,36 @@ object Survival {
     * the curve.
     */
   def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
-                  maxBlocks: Long = 1L << 20): DataFrame = {
+                  maxBlocks: Long = 1L << 20): DataFrame =
+    kaplanMeierFromCells(cells(df, durationCol, eventCol), maxBlocks)
+
+  /** Exact (t, d, c) duration cells — deaths and censored exits per
+    * distinct duration, ONE keyed map-side-combined aggregate. The
+    * cells are a commutative monoid (sum d, sum c per t), which is
+    * what makes [[graft.streaming.SurvivalStream]]'s maintained state
+    * bit-identical to one-shot counting (the ConformalStream
+    * contract).
+    */
+  def cells(df: DataFrame, durationCol: String,
+            eventCol: String): DataFrame = {
     val op = "kaplanMeier"
-    val rows = df.select(
-      checkedDuration(col(durationCol), op).as("_v"),
-      checkedEvent(col(eventCol), op).as("_e"))
-    val vc = rows.groupBy("_v")
-      .agg(sum("_e").as("_d"), count(lit(1)).as("_n"))
-    val total = rows.agg(count(lit(1)).as("_total"))
+    df.select(
+        checkedDuration(col(durationCol), op).as("_v"),
+        checkedEvent(col(eventCol), op).as("_e"))
+      .groupBy("_v")
+      .agg(sum("_e").as("d"), (count(lit(1)) - sum("_e")).as("c"))
+      .select(col("_v").as("t"), col("d"), col("c"))
+  }
+
+  /** The product-limit curve served from persisted (t, d, c) cells —
+    * the batch face of the streaming state (shares [[kaplanMeier]]'s
+    * semantics and oracle exactly).
+    */
+  def kaplanMeierFromCells(cellsDf: DataFrame,
+                           maxBlocks: Long = 1L << 20): DataFrame = {
+    val vc = cellsDf.select(col("t").as("_v"), col("d").as("_d"),
+      (col("d") + col("c")).as("_n"))
+    val total = vc.agg(coalesce(sum("_n"), lit(0L)).as("_total"))
     val pre = RankStats.withValuePrefixes(vc, Seq("_n"), maxBlocks)
       .crossJoin(broadcast(total))
       .select(col("_v").as("t"), col("_d").as("d"),
@@ -88,6 +110,36 @@ object Survival {
       .select(col("t"), col("n_risk"), col("d"), col("c"),
         when(col("_dead") === 1L, lit(0.0))
           .otherwise(exp(col("_lnSum"))).as("survival"))
+  }
+
+  /** Restricted mean survival time: the area under the Kaplan–Meier
+    * step curve on [0, τ] — "mean hours-to-conversion within the first
+    * τ hours", the bounded summary that exists even when the tail
+    * never converges (mean survival doesn't, under censoring). Exact
+    * risk-set integers feed the curve; the area is Σ Ŝ(tᵢ)·(min(tᵢ₊₁,
+    * τ) − tᵢ) over event/censor times below τ plus the [0, t_min) head
+    * at Ŝ = 1, one double fold over the grid-bounded times frame
+    * (round(,6) in the query). Output: one row (tau, n, rmst); rmst is
+    * NULL on an empty frame.
+    */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long, maxBlocks: Long = 1L << 20): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val km = kaplanMeier(df, durationCol, eventCol, maxBlocks)
+    val w = Window.orderBy("t")
+    val head = km.agg(min("t").as("_tmin"),
+      coalesce(sum(col("d") + col("c")), lit(0L)).as("n"))
+    val area = km
+      .withColumn("_next", lead(col("t"), 1).over(w))
+      .filter(col("t") < tau)
+      .select((col("survival") *
+        (least(coalesce(col("_next"), lit(tau)), lit(tau)) - col("t"))
+          .cast("double")).as("_a"))
+      .agg(coalesce(sum("_a"), lit(0.0)).as("_area"))
+    area.crossJoin(broadcast(head))
+      .select(lit(tau).as("tau"), col("n"),
+        (least(col("_tmin"), lit(tau)).cast("double") + col("_area"))
+          .as("rmst"))
   }
 
   /** Two-group log-rank test: did the groups' time-to-event

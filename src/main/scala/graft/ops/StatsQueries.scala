@@ -948,30 +948,52 @@ object StatsQueries {
     //      user's last observed event; risk sets via the two-level
     //      prefix scan, survival = exp(Σ ln((n−d)/n)) over event times
     //      with the d = n_risk extinction pinned to exactly 0.0 ----
-    "q_evt_kaplan_meier" -> Q(
-      s"""WITH $survivalSubjectsCte,
-        |km0 AS (SELECT dur_h AS t, CAST(sum(ev) AS BIGINT) AS d,
-        |               CAST(count(*) - sum(ev) AS BIGINT) AS c,
-        |               CAST(count(*) AS BIGINT) AS n_at
-        |        FROM subj GROUP BY dur_h),
-        |km1 AS (SELECT t, d, c,
-        |          CAST((SELECT count(*) FROM subj)
-        |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
-        |        FROM km0)
-        |SELECT t, n_risk, d, c,
-        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-        |                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-        |        THEN 0.0
-        |        ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
-        |                      THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
-        |                      ELSE 0.0 END)
-        |                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |        END, 6) AS survival
-        |FROM km1 ORDER BY t""".stripMargin) { (s, dir) =>
+    "q_evt_kaplan_meier" -> Q(kaplanMeierOracle) { (s, dir) =>
       Survival.kaplanMeier(survivalSubjects(s, dir), "dur_h", "ev")
         .select(col("t"), col("n_risk"), col("d"), col("c"),
           round(col("survival"), 6).as("survival"))
         .orderBy("t")
+    },
+
+    // ---- streaming Kaplan–Meier (SurvivalStream): the SAME curve,
+    //      served from a (t, d, c) cell state folded over three
+    //      subject micro-batches — cells are a monoid, so the state
+    //      hash-matches the one-shot oracle (shared with
+    //      q_evt_kaplan_meier; the ConformalStream contract) ----
+    "q_stream_kaplan_meier" -> Q(kaplanMeierOracle) { (s, dir) =>
+      val tmp = Scratch.dir("graft_survstream_")
+      val statePath = s"${tmp.getPath}/km_cells"
+      val subj = survivalSubjects(s, dir)
+      (0 to 2).foreach { i =>
+        graft.streaming.SurvivalStream.applyBatch(
+          subj.filter(pmod(col("user_id"), lit(3)) === i), "dur_h", "ev",
+          statePath)
+      }
+      graft.streaming.SurvivalStream.readCurve(s, statePath)
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    },
+
+    // ---- restricted mean survival time (Survival.rmst): mean
+    //      hours-to-purchase within the first 10 days — the bounded
+    //      summary that exists even when the censored tail never
+    //      converges; area under the KM step curve at τ = 240h ----
+    "q_evt_rmst" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |$kmCurveCte,
+        |nx AS (SELECT t, survival, lead(t) OVER (ORDER BY t) AS nxt,
+        |              d, c FROM km),
+        |hd AS (SELECT CAST(min(t) AS BIGINT) AS tmin,
+        |              CAST(sum(d + c) AS BIGINT) AS n FROM km),
+        |ar AS (SELECT coalesce(sum(survival
+        |                 * CAST(least(coalesce(nxt, 240), 240) - t AS DOUBLE)), 0.0) AS area
+        |       FROM nx WHERE t < 240)
+        |SELECT CAST(240 AS BIGINT) AS tau, hd.n,
+        |  round(CAST(least(hd.tmin, 240) AS DOUBLE) + ar.area, 6) AS rmst
+        |FROM hd, ar""".stripMargin) { (s, dir) =>
+      Survival.rmst(survivalSubjects(s, dir), "dur_h", "ev", tau = 240L)
+        .withColumn("rmst", round(col("rmst"), 6))
     },
 
     // ---- two-cohort log-rank test (Survival.logRank): did the A/B
@@ -1053,6 +1075,41 @@ object StatsQueries {
           .as("dur_h"),
         when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
   }
+
+  /** The KM curve over `subj` as CTE bodies `km0`/`km1`/`km` —
+    * `km(t, d, c, n_risk, survival)` with survival UNROUNDED (each
+    * consumer rounds at its own output).
+    */
+  private def kmCurveCte: String =
+    """km0 AS (SELECT dur_h AS t, CAST(sum(ev) AS BIGINT) AS d,
+      |               CAST(count(*) - sum(ev) AS BIGINT) AS c,
+      |               CAST(count(*) AS BIGINT) AS n_at
+      |        FROM subj GROUP BY dur_h),
+      |km1 AS (SELECT t, d, c,
+      |          CAST((SELECT count(*) FROM subj)
+      |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |        FROM km0),
+      |km AS (SELECT t, d, c, n_risk,
+      |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      |            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |  THEN 0.0
+      |  ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+      |                THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
+      |                ELSE 0.0 END)
+      |           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |  END AS survival
+      |FROM km1)""".stripMargin
+
+  /** The one-shot Kaplan–Meier oracle, shared by q_evt_kaplan_meier
+    * and q_stream_kaplan_meier: the streaming cell fold is
+    * bit-identical to one-shot counting by the monoid contract, so ONE
+    * SQL replay gates both faces (the conformalOracle convention).
+    */
+  private def kaplanMeierOracle: String =
+    s"""WITH $survivalSubjectsCte,
+       |$kmCurveCte
+       |SELECT t, n_risk, d, c, round(survival, 6) AS survival
+       |FROM km ORDER BY t""".stripMargin
 
   /** The DuckDB mirror of [[survivalSubjects]] (CTE bodies `s0`, `pur`,
     * `fin`, `subj`).

@@ -61,6 +61,23 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  test("rmst: hand-computed area under the step curve; horizon caps " +
+    "and head interval") {
+    // curve from the textbook case: S=1 on [0,1), 5/6 on [1,3), 0.625
+    // on [3,4), 5/12 on [4,6), 0 at 6
+    val rows = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L),
+      (6L, 1L))
+    val df = rows.toDF("t", "e")
+    // tau = 5: 1·1 + (5/6)·2 + 0.625·1 + (5/12)·1 = 3.708333…
+    val r5 = Survival.rmst(df, "t", "e", tau = 5L).head()
+    assert(r5.getAs[Long]("tau") === 5L && r5.getAs[Long]("n") === 6L)
+    assert(math.abs(r5.getAs[Double]("rmst") -
+      (1.0 + 5.0 / 6 * 2 + 0.625 + 5.0 / 12)) < 1e-9)
+    // tau at/below the first time: S=1 throughout → rmst = tau
+    val r1 = Survival.rmst(df, "t", "e", tau = 1L).head()
+    assert(r1.getAs[Double]("rmst") === 1.0)
+  }
+
   test("logRank: hand-computed two-group Mantel–Haenszel moments") {
     // a: (1,ev) (3,cens) (5,ev); b: (2,ev) (4,ev) (6,cens)
     //   o_minus_e = 1/2 − 2/5 − 1/3 + 1/2 = 4/15
