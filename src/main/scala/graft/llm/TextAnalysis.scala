@@ -1294,4 +1294,39 @@ object TextAnalysis {
             (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
           .as("pmi"))
   }
+
+  /** Flesch reading ease + Flesch–Kincaid grade per document from
+    * exact integer counts — the classic quality-filter signal a text
+    * pipeline scores alongside [[qualityScore]]: words (whitespace
+    * tokens), sentences (runs of terminal punctuation, floored at 1 so
+    * an unterminated fragment still scores), and the standard
+    * vowel-group syllable heuristic (runs of [aeiouy] per lowercased
+    * token, floored at 1 — "rhythm" and bare numbers count one). Pure
+    * projection, zero shuffles; the two formulas are the closed-form
+    * double layer over three exact BIGINTs, mirrored term for term by
+    * the oracle. Zero-word documents have no defined score (NULL).
+    */
+  def readability(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val out = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        aggregate(col("_toks"), lit(0L), (acc, t) =>
+          acc + greatest(lit(1L),
+            size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+              .cast("long"))).as("n_syllables"))
+    val (w, s, y) = (col("n_words").cast("double"),
+      col("n_sentences").cast("double"), col("n_syllables").cast("double"))
+    out
+      .withColumn("flesch",
+        when(col("n_words") > 0L,
+          lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w)))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0L,
+          lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59)))
+  }
 }

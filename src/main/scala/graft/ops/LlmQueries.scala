@@ -1806,6 +1806,34 @@ object LlmQueries {
         .orderBy("i")
     },
 
+    // ---- readability scoring (TextAnalysis.readability): Flesch
+    //      reading ease + FK grade from exact word / sentence-run /
+    //      vowel-group-syllable counts — the classic quality-filter
+    //      signal; pure projection, formulas mirrored term for term ----
+    "q_llm_readability" -> Q(
+      """WITH t AS (SELECT doc_id, text,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+        |        CAST(coalesce(list_sum(list_transform(toks,
+        |               tk -> greatest(1, len(regexp_extract_all(tk, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+        |      FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(CASE WHEN n_words > 0
+        |    THEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END, 6) AS flesch,
+        |  round(CASE WHEN n_words > 0
+        |    THEN 0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |       + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59 END, 6) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.readability(tb(s, dir).documents, "doc_id", "text")
+        .withColumn("flesch", round(col("flesch"), 6))
+        .withColumn("fk_grade", round(col("fk_grade"), 6))
+        .orderBy("doc_id")
+    },
+
     // ---- linear CKA representation-damage audit (EmbeddingOps.
     //      linearCka): how much of the embedding geometry survives a
     //      coarse quarter-grid quantization? Scatter entries are exact

@@ -677,4 +677,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pruned.length === 1 && pruned.head.getString(0) === "x"
       && pruned.head.getLong(3) === 5L)
   }
+
+  test("readability: exact counts and hand-computed Flesch/FK; floors " +
+    "and the zero-word NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran fast!"),   // 6 words, 2 sentences, 6 syl
+      (2L, "beautiful"),                   // eau+i+u = 3 syl, no terminal
+      (3L, "7 !"),                         // both floor to 1 syllable
+      (4L, "")                             // zero words → NULL scores
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((m(1L).getLong(1), m(1L).getLong(2), m(1L).getLong(3)) ===
+      ((6L, 2L, 6L)))
+    assert(math.abs(m(1L).getDouble(4) -
+      (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9)
+    assert(math.abs(m(1L).getDouble(5) -
+      (0.39 * 3.0 + 11.8 * 1.0 - 15.59)) < 1e-9)
+    assert((m(2L).getLong(1), m(2L).getLong(2), m(2L).getLong(3)) ===
+      ((1L, 1L, 3L)))
+    assert((m(3L).getLong(1), m(3L).getLong(3)) === ((2L, 2L)))
+    assert(m(4L).getLong(1) === 0L && m(4L).isNullAt(4) && m(4L).isNullAt(5))
+  }
 }
