@@ -221,36 +221,6 @@ object EmbeddingOps {
             lit(1000000.0d), 6).as("cov"))
   }
 
-  /** Exact cross second moments between TWO representations of the
-    * same rows: one row per (i, j) ∈ dimX × dimY with
-    * sxy = Σ floor(xᵢ·10³)·floor(yⱼ·10³) in decimal(38,0) — the
-    * [[secondMoments]] zero-join idiom (each row emits its dx·dy
-    * products in ONE projection feeding the map-side partial), full
-    * rectangle rather than a triangle because the two spaces'
-    * dimensions are distinct axes.
-    */
-  def crossMoments(df: DataFrame, vecColX: String, vecColY: String,
-                   dimX: Int, dimY: Int): DataFrame = {
-    require(dimX >= 1 && dimX <= 512 && dimY >= 1 && dimY <= 512,
-      s"dims must be in [1, 512], got ($dimX, $dimY)")
-    df.select(checkedVec(df, vecColX, dimX, "crossMoments").as("_vx"),
-        checkedVec(df, vecColY, dimY, "crossMoments").as("_vy"))
-      .withColumn("_qx", transform(col("_vx"),
-        x => floor(x.cast("double") * lit(1000.0d)).cast("long")))
-      .withColumn("_qy", transform(col("_vy"),
-        y => floor(y.cast("double") * lit(1000.0d)).cast("long")))
-      .select(explode(expr(
-        """flatten(transform(_qx, (x, i) ->
-          |  transform(_qy, (y, j) ->
-          |    named_struct('i', i + 1, 'j', j + 1, 'xy', x * y))))"""
-          .stripMargin)).as("c"))
-      .select(col("c.i").cast("long").as("i"),
-        col("c.j").cast("long").as("j"),
-        col("c.xy").cast("decimal(38,0)").as("xy"))
-      .groupBy("i", "j")
-      .agg(sum(col("xy")).as("sxy"), count(lit(1)).as("n"))
-  }
-
   /** Linear CKA (centered kernel alignment) between two vector columns
     * over the same rows — "how much of X's geometry does Y preserve?",
     * the representation-damage audit to run before trusting a
@@ -279,21 +249,33 @@ object EmbeddingOps {
     require(dimX >= 1 && dimX <= 512 && dimY >= 1 && dimY <= 512,
       s"dims must be in [1, 512], got ($dimX, $dimY)")
     val dec = "decimal(38,0)"
-    // pass 1: first moments, COLLECTED — 2·d longs (the bounded-collect
-    // stance: centroid-sized, never corpus-sized). Shipping them back
-    // as literal arrays lets pass 2 center every scatter cell with an
-    // element_at lookup instead of joins — a join-based composition
-    // re-evaluated the corpus once per moment frame (9 scans; the
-    // pushed-down k filters defeat ReusedExchange), this shape costs
-    // exactly two
-    def firstArr(vecCol: String, dim: Int): Seq[Long] = {
-      val m = firstMoments(df, vecCol, dim)
-        .collect().map(r => r.getAs[Number]("i").intValue ->
-          r.getAs[Number]("sx").longValue)
-        .toMap
-      Seq.tabulate(dim)(i => m.getOrElse(i + 1, 0L))
-    }
-    val (sxArr, syArr) = (firstArr(vecColX, dimX), firstArr(vecColY, dimY))
+    // pass 1: BOTH columns' first moments in ONE tagged job, COLLECTED
+    // — 2·d longs (the bounded-collect stance: centroid-sized, never
+    // corpus-sized). Shipping them back as literal arrays lets pass 2
+    // center every scatter cell with an element_at lookup instead of
+    // joins — a join-based composition re-evaluated the corpus once
+    // per moment frame (9 scans; the pushed-down k filters defeat
+    // ReusedExchange), and one collect per column would sneak in a
+    // third scan
+    val fm = df
+      .select(checkedVec(df, vecColX, dimX, "linearCka").as("_vx"),
+        checkedVec(df, vecColY, dimY, "linearCka").as("_vy"))
+      .select(explode(expr(
+        """flatten(array(
+          |  transform(_vx, (v, i) -> named_struct('k', 0, 'i', i + 1,
+          |    'x', CAST(floor(CAST(v AS DOUBLE) * 1000.0D) AS BIGINT))),
+          |  transform(_vy, (v, i) -> named_struct('k', 1, 'i', i + 1,
+          |    'x', CAST(floor(CAST(v AS DOUBLE) * 1000.0D) AS BIGINT)))
+          |))""".stripMargin)).as("m"))
+      .groupBy(col("m.k").as("k"), col("m.i").as("i"))
+      .agg(sum(col("m.x")).as("sx"))
+      .collect()
+      .map(r => (r.getAs[Number]("k").intValue,
+        r.getAs[Number]("i").intValue) -> r.getAs[Number]("sx").longValue)
+      .toMap
+    def firstArr(k: Int, dim: Int): Seq[Long] =
+      Seq.tabulate(dim)(i => fm.getOrElse((k, i + 1), 0L))
+    val (sxArr, syArr) = (firstArr(0, dimX), firstArr(1, dimY))
     def look(arr: Seq[Long], idx: Column): Column =
       element_at(typedLit(arr), idx.cast("int")).cast(dec)
 

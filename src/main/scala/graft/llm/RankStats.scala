@@ -516,8 +516,9 @@ object RankStats {
     * Abramowitz–Stegun 7.1.26 polynomial (|ε| ≤ 1.5×10⁻⁷), computed as
     * poly·e^(−x²) directly — the 1 − erf form would cancel near z = 0.
     * Both engines run the SAME Horner chain (the oracle mirrors it
-    * term for term), so a borderline BH decision cannot split on libm
-    * erf differences.
+    * term for term); exp() itself remains engine libm (1-ulp class),
+    * which is why [[bhFdr]] quantizes p before any integer/Boolean
+    * decision rides on it.
     */
   private def normTwoSidedP(z: Column): Column = {
     val x = abs(z) / lit(math.sqrt(2.0))
@@ -545,10 +546,17 @@ object RankStats {
             alphaPermille: Int = 50): DataFrame = {
     require(alphaPermille > 0 && alphaPermille < 1000,
       s"alphaPermille must be in (0, 1000), got $alphaPermille")
+    // p is quantized to 12 decimals BEFORE ranking: the Horner chain is
+    // mirrored, but exp() is engine libm (JVM vs C, each within 1 ulp,
+    // neither correctly rounded) — and rank/significant are INTEGER and
+    // BOOLEAN outputs, so a 1-ulp p difference at a threshold or
+    // between two near-equal slices would flip them with nothing to
+    // absorb it. At 12 decimals the ~1e-16 drift vanishes and true
+    // near-ties resolve on the deterministic slice-name tie-break.
     val tested = df.filter(col(zCol).isNotNull)
       .select(col(sliceCol).cast("string").as("slice"),
         col(zCol).cast("double").as("z"))
-      .withColumn("p", normTwoSidedP(col("z")))
+      .withColumn("p", round(normTwoSidedP(col("z")), 12))
     val m1 = tested.agg(count(lit(1)).as("m"))
     val w = Window.orderBy("p", "slice")
     val ranked = tested.crossJoin(broadcast(m1))

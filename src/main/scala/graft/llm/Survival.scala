@@ -177,11 +177,17 @@ object Survival {
     val n2 = (col("n_b") - col("_pre__nb")).cast("double")
     val nn = n1 + n2
     val dd = (col("_da") + col("_db")).cast("double")
-    val term = pre.filter(col("_da") + col("_db") > 0L).select(
+    // event-free times contribute 0 to both moments INSIDE the sums
+    // (not via a filter): an all-censored cohort — a routine window
+    // with no conversions yet — must still report its one row of
+    // totals with z NULL, not vanish
+    val isEvent = col("_da") + col("_db") > 0L
+    val term = pre.select(
       col("group_a"), col("group_b"), col("n_a"), col("n_b"),
       col("_da"), col("_db"),
-      (col("_da").cast("double") - dd * n1 / nn).as("_ome"),
-      when(nn > 1.0,
+      when(isEvent, col("_da").cast("double") - dd * n1 / nn)
+        .otherwise(lit(0.0)).as("_ome"),
+      when(isEvent && nn > 1.0,
         dd * (n1 / nn) * (n2 / nn) * (nn - dd) / (nn - 1.0))
         .otherwise(lit(0.0)).as("_var"))
     term.groupBy("group_a", "group_b", "n_a", "n_b")

@@ -883,8 +883,8 @@ object StatsQueries {
         |px AS (SELECT slice, z, abs(z)/sqrt(2.0) AS x FROM zz WHERE z IS NOT NULL),
         |pt AS (SELECT slice, z, x, 1.0/(1.0 + 0.3275911*x) AS t FROM px),
         |pp AS (SELECT slice, z,
-        |         (t*(0.254829592 + t*(-0.284496736 + t*(1.421413741 + t*(-1.453152027 + t*1.061405429)))))
-        |           * exp(-(x*x)) AS p
+        |         round((t*(0.254829592 + t*(-0.284496736 + t*(1.421413741 + t*(-1.453152027 + t*1.061405429)))))
+        |           * exp(-(x*x)), 12) AS p
         |       FROM pt),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp),
         |rk AS (SELECT slice, z, p,

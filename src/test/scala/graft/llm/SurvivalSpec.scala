@@ -94,6 +94,20 @@ class SurvivalSpec extends SparkSpec {
       (4.0 / 15) / math.sqrt(866.0 / 900)) < 1e-12)
   }
 
+  test("logRank: an all-censored cohort still reports its one row of " +
+    "totals (zero moments, z NULL)") {
+    val df = Seq((1L, 0L, "a"), (2L, 0L, "a"), (3L, 0L, "b"))
+      .toDF("t", "e", "g")
+    val rows = Survival.logRank(df, "t", "e", "g").collect()
+    assert(rows.length === 1, "no-events input must not drop the row")
+    val r = rows.head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 1L)
+    assert(r.getAs[Long]("d_a") === 0L && r.getAs[Long]("d_b") === 0L)
+    assert(r.getAs[Double]("o_minus_e") === 0.0 &&
+      r.getAs[Double]("var_sum") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("logRank: z is NULL when the single event time exhausts the risk set") {
     // both groups die at t=1: n=d → var term 0/0 guarded to 0 → z NULL
     val df = Seq((1L, 1L, "a"), (1L, 1L, "b")).toDF("t", "e", "g")
