@@ -452,6 +452,12 @@ object RankStats {
           (col("concordant") - col("discordant")).cast("double") /
             sqrt((col("n_pairs") - col("t1")).cast("double") *
               (col("n_pairs") - col("t2")).cast("double"))))
+      // Somers' D_y|x — the asymmetric companion (normalizes by pairs
+      // untied in x only; with a binary y it is credit-scoring's Gini)
+      .withColumn("somers_d",
+        when(col("n_pairs") - col("t1") > 0L,
+          (col("concordant") - col("discordant")).cast("double") /
+            (col("n_pairs") - col("t1")).cast("double")))
   }
 
   /** Mann–Whitney U of EVERY slice against its complement, in ONE
@@ -569,6 +575,60 @@ object RankStats {
       .select(col("slice"), col("z"), col("p"), col("rank"), col("m"),
         (col("rank") <= coalesce(col("_kstar"), lit(0L)))
           .as("significant"))
+  }
+
+  /** CUPED variance reduction for an A/B experiment: adjust each
+    * unit's post-period metric y by its pre-period covariate x —
+    * y′ = y − θ(x − x̄), θ = cov(x, y)/var(x) pooled over all units —
+    * the standard trick that shrinks metric variance by exactly ρ²
+    * (the squared pre/post correlation) without biasing the treatment
+    * contrast, because θ and x̄ are experiment-wide constants. One
+    * keyed aggregate per arm plus one broadcast pooled-moment row; θ,
+    * the adjusted means and ρ² are closed-form doubles over exact
+    * quantized integer moments (the CALLER quantizes x and y — the
+    * RankStats long contract — so Sxy/Sxx/Syy stay exact decimal).
+    * Output: one row per arm (arm, n, sum_x, sum_y exact; mean_y,
+    * mean_adj, theta, rho2 doubles — theta/rho2 repeat the pooled
+    * value on every row). θ is NULL when var(x) = 0 (constant
+    * covariate: nothing to adjust with; mean_adj = mean_y).
+    */
+  def cupedAdjust(df: DataFrame, xCol: String, yCol: String,
+                  armCol: String): DataFrame = {
+    val op = "cupedAdjust"
+    val dec = "decimal(38,0)"
+    val rows = df.select(
+      checkedLong(col(xCol), op, s"value in $xCol").as("_x"),
+      checkedLong(col(yCol), op, s"value in $yCol").as("_y"),
+      when(col(armCol).isNull,
+        raise_error(lit(s"$op: NULL arm in $armCol")))
+        .otherwise(col(armCol)).cast("string").as("_arm"))
+    val pooled = rows.agg(
+      count(lit(1)).as("_n"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x").cast(dec) * col("_x").cast(dec)).as("_sxx"),
+      sum(col("_x").cast(dec) * col("_y").cast(dec)).as("_sxy"),
+      sum(col("_y").cast(dec) * col("_y").cast(dec)).as("_syy"))
+    val vx = (col("_n").cast(dec) * col("_sxx") -
+      col("_sx").cast(dec) * col("_sx").cast(dec)).cast("double")
+    val vy = (col("_n").cast(dec) * col("_syy") -
+      col("_sy").cast(dec) * col("_sy").cast(dec)).cast("double")
+    val cxy = (col("_n").cast(dec) * col("_sxy") -
+      col("_sx").cast(dec) * col("_sy").cast(dec)).cast("double")
+    rows.groupBy("_arm")
+      .agg(count(lit(1)).as("n"),
+        sum("_x").as("sum_x"), sum("_y").as("sum_y"))
+      .crossJoin(broadcast(pooled))
+      .select(col("_arm").as("arm"), col("n"), col("sum_x"), col("sum_y"),
+        (col("sum_y").cast("double") / col("n").cast("double"))
+          .as("mean_y"),
+        when(vx > 0.0, cxy / vx).as("theta"),
+        when(vx > 0.0 && vy > 0.0, cxy / vx * (cxy / vy)).as("rho2"),
+        col("_sx"), col("_n"))
+      .withColumn("mean_adj",
+        col("mean_y") - coalesce(col("theta"), lit(0.0)) *
+          (col("sum_x").cast("double") / col("n").cast("double") -
+            col("_sx").cast("double") / col("_n").cast("double")))
+      .drop("_n", "_sx")
   }
 
   /** Two-sample KS of EVERY slice against its complement in one pass,

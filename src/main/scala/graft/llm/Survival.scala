@@ -112,6 +112,54 @@ object Survival {
           .otherwise(exp(col("_lnSum"))).as("survival"))
   }
 
+  /** Competing-risks cumulative incidence (Aalen–Johansen for the
+    * all-cause-KM special case): when a subject can exit by SEVERAL
+    * mutually exclusive causes (converted vs churned), the naive
+    * per-cause KM overstates every risk — censoring competitors treats
+    * them as still-at-risk. CIF_k(t) = Σ_{u ≤ t} Ŝ(u⁻)·d_k(u)/n(u)
+    * with Ŝ the ALL-cause survival, so Σ_k CIF_k(t) = 1 − Ŝ(t)
+    * exactly (spec-pinned). Cause 0 = censored, k ≥ 1 = exit causes;
+    * NULL/negative causes raise. Output: one row per (t, cause) over
+    * the times × observed-causes grid (both grid-bounded) with the
+    * exact all-cause `n_risk`, the cause's `d` at t, and the stepped
+    * `cif`.
+    */
+  def cumulativeIncidence(df: DataFrame, durationCol: String,
+                          causeCol: String,
+                          maxBlocks: Long = 1L << 20): DataFrame = {
+    val op = "cumulativeIncidence"
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      when(col(causeCol).isNull || col(causeCol) < 0,
+        raise_error(concat(lit(s"$op: cause must be >= 0, got "),
+          coalesce(col(causeCol).cast("string"), lit("NULL")))))
+        .otherwise(col(causeCol)).cast("long").as("_k"))
+    val allCells = rows.groupBy("_v")
+      .agg(sum(when(col("_k") > 0L, 1L).otherwise(0L)).as("d"),
+        sum(when(col("_k") === 0L, 1L).otherwise(0L)).as("c"))
+      .select(col("_v").as("t"), col("d"), col("c"))
+    val wT = Window.orderBy("t")
+    val tf = kaplanMeierFromCells(allCells, maxBlocks)
+      .withColumn("s_prev", lag(col("survival"), 1, 1.0).over(wT))
+    val causes = rows.filter(col("_k") > 0L)
+      .select(col("_k").as("cause")).distinct()
+    val dk = rows.filter(col("_k") > 0L)
+      .groupBy(col("_v").as("t"), col("_k").as("cause"))
+      .agg(count(lit(1)).as("_dk"))
+    val wC = Window.partitionBy("cause").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tf.select(col("t"), col("n_risk"), col("s_prev"))
+      .crossJoin(broadcast(causes))
+      .join(dk, Seq("t", "cause"), "left")
+      .na.fill(0L, Seq("_dk"))
+      .withColumn("_inc",
+        when(col("_dk") > 0L,
+          col("s_prev") * col("_dk").cast("double") /
+            col("n_risk").cast("double")).otherwise(lit(0.0)))
+      .select(col("t"), col("cause"), col("n_risk"),
+        col("_dk").as("d"), sum(col("_inc")).over(wC).as("cif"))
+  }
+
   /** Restricted mean survival time: the area under the Kaplan–Meier
     * step curve on [0, τ] — "mean hours-to-conversion within the first
     * τ hours", the bounded summary that exists even when the tail

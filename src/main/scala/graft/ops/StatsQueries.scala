@@ -849,6 +849,68 @@ object StatsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- CUPED variance reduction (RankStats.cupedAdjust): adjust
+    //      each user's post-week-1 value by their week-1 covariate —
+    //      the standard A/B trick that shrinks metric variance by
+    //      exactly ρ² without biasing the contrast; per-event milli
+    //      quantization BEFORE the per-user sum keeps every moment an
+    //      exact integer (a per-user double sum would float-drift) ----
+    "q_eval_cuped" -> Q(
+      """WITH e AS (SELECT user_id, CAST(floor(value * 1000.0) AS BIGINT) AS vm,
+        |                  CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08' AS pre
+        |           FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT user_id,
+        |        CAST(coalesce(sum(CASE WHEN pre THEN vm END), 0) AS BIGINT) AS x,
+        |        CAST(coalesce(sum(CASE WHEN NOT pre THEN vm END), 0) AS BIGINT) AS y,
+        |        CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END AS arm
+        |      FROM e GROUP BY user_id),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM u),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sum_x,
+        |             CAST(sum(y) AS BIGINT) AS sum_y
+        |      FROM u GROUP BY arm)
+        |SELECT a.arm, a.n, a.sum_x, a.sum_y,
+        |  round(CAST(a.sum_y AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS mean_y,
+        |  round(CASE WHEN CAST(p.n0 * p.sxx - p.sx * p.sx AS DOUBLE) > 0.0
+        |        THEN CAST(p.n0 * p.sxy - p.sx * p.sy AS DOUBLE)
+        |             / CAST(p.n0 * p.sxx - p.sx * p.sx AS DOUBLE) END, 6) AS theta,
+        |  round(CASE WHEN CAST(p.n0 * p.sxx - p.sx * p.sx AS DOUBLE) > 0.0
+        |              AND CAST(p.n0 * p.syy - p.sy * p.sy AS DOUBLE) > 0.0
+        |        THEN (CAST(p.n0 * p.sxy - p.sx * p.sy AS DOUBLE)
+        |              / CAST(p.n0 * p.sxx - p.sx * p.sx AS DOUBLE))
+        |             * (CAST(p.n0 * p.sxy - p.sx * p.sy AS DOUBLE)
+        |                / CAST(p.n0 * p.syy - p.sy * p.sy AS DOUBLE)) END, 6) AS rho2,
+        |  round(CAST(a.sum_y AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |        - coalesce(CASE WHEN CAST(p.n0 * p.sxx - p.sx * p.sx AS DOUBLE) > 0.0
+        |                   THEN CAST(p.n0 * p.sxy - p.sx * p.sy AS DOUBLE)
+        |                        / CAST(p.n0 * p.sxx - p.sx * p.sx AS DOUBLE) END, 0.0)
+        |          * (CAST(a.sum_x AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |             - CAST(p.sx AS DOUBLE) / CAST(p.n0 AS DOUBLE)), 6) AS mean_adj
+        |FROM a, p ORDER BY a.arm""".stripMargin) { (s, dir) =>
+      val per = tb(s, dir).events.filter(col("value").isNotNull)
+        .select(col("user_id"),
+          floor(col("value") * lit(1000.0d)).cast("long").as("vm"),
+          (col("ts") < lit("2024-01-08").cast("timestamp")).as("pre"))
+        .groupBy("user_id")
+        .agg(coalesce(sum(when(col("pre"), col("vm"))), lit(0L)).as("x"),
+          coalesce(sum(when(!col("pre"), col("vm"))), lit(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+      RankStats.cupedAdjust(per, "x", "y", "arm")
+        .select(col("arm"), col("n"), col("sum_x"), col("sum_y"),
+          round(col("mean_y"), 6).as("mean_y"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("rho2"),
+          round(col("mean_adj"), 6).as("mean_adj"))
+        .orderBy("arm")
+    },
+
     // ---- BH-FDR drift gate (RankStats.bhFdr ∘ mannWhitneyPerSlice):
     //      eight doc_id buckets, one with a PLANTED +1000-char shift
     //      (the driver's synthetic slices are homogeneous — every
@@ -934,13 +996,17 @@ object StatsQueries {
         |  round(CASE WHEN CAST(s.n_pairs - s.t1 AS DOUBLE) * CAST(s.n_pairs - s.t2 AS DOUBLE) > 0.0
         |        THEN CAST(s.concordant - s.discordant AS DOUBLE)
         |             / sqrt(CAST(s.n_pairs - s.t1 AS DOUBLE) * CAST(s.n_pairs - s.t2 AS DOUBLE))
-        |        END, 6) AS tau_b
+        |        END, 6) AS tau_b,
+        |  round(CASE WHEN s.n_pairs - s.t1 > 0
+        |        THEN CAST(s.concordant - s.discordant AS DOUBLE)
+        |             / CAST(s.n_pairs - s.t1 AS DOUBLE) END, 6) AS somers_d
         |FROM s""".stripMargin) { (s, dir) =>
       val docs = tb(s, dir).documents.select(
         expr("n_chars div 100").as("x"),
         graft.llm.TextAnalysis.tokenCountWs(col("text")).as("y"))
       RankStats.kendallTau(docs, "x", "y")
         .withColumn("tau_b", round(col("tau_b"), 6))
+        .withColumn("somers_d", round(col("somers_d"), 6))
     },
 
     // ---- Kaplan–Meier survival curve (Survival.kaplanMeier): hours
@@ -973,6 +1039,55 @@ object StatsQueries {
         .select(col("t"), col("n_risk"), col("d"), col("c"),
           round(col("survival"), 6).as("survival"))
         .orderBy("t")
+    },
+
+    // ---- competing-risks cumulative incidence (Survival.
+    //      cumulativeIncidence): conversion (first purchase, cause 1)
+    //      vs churn (first error, cause 2) from signup — whichever
+    //      fires first wins the subject (purchase on an exact tie);
+    //      naive per-cause KM would overstate both risks. Aalen–
+    //      Johansen increments Ŝ(t⁻)·d_k/n over the all-cause curve ----
+    "q_evt_cum_incidence" -> Q(
+      s"""WITH $competingSubjectsCte,
+        |cr0 AS (SELECT dur_h AS t,
+        |          CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |          CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |          CAST(count(*) AS BIGINT) AS n_at
+        |        FROM csub GROUP BY dur_h),
+        |cr1 AS (SELECT t, d, c,
+        |          CAST((SELECT count(*) FROM csub)
+        |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |        FROM cr0),
+        |crs AS (SELECT t, n_risk,
+        |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |  THEN 0.0
+        |  ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+        |                THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
+        |                ELSE 0.0 END)
+        |           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  END AS survival
+        |FROM cr1),
+        |crl AS (SELECT t, n_risk,
+        |          coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS s_prev
+        |        FROM crs),
+        |ck AS (SELECT DISTINCT cause FROM csub WHERE cause > 0),
+        |dk AS (SELECT dur_h AS t, cause, CAST(count(*) AS BIGINT) AS d
+        |       FROM csub WHERE cause > 0 GROUP BY 1, 2),
+        |grid AS (SELECT crl.t, ck.cause, crl.n_risk,
+        |           CAST(coalesce(dk.d, 0) AS BIGINT) AS d, crl.s_prev
+        |         FROM crl CROSS JOIN ck
+        |         LEFT JOIN dk ON dk.t = crl.t AND dk.cause = ck.cause)
+        |SELECT t, cause, n_risk, d,
+        |  round(sum(CASE WHEN d > 0
+        |              THEN s_prev * CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |              ELSE 0.0 END)
+        |        OVER (PARTITION BY cause ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+        |FROM grid ORDER BY cause, t""".stripMargin) { (s, dir) =>
+      Survival.cumulativeIncidence(competingSubjects(s, dir), "dur_h",
+          "cause")
+        .withColumn("cif", round(col("cif"), 6))
+        .orderBy("cause", "t")
     },
 
     // ---- restricted mean survival time (Survival.rmst): mean
@@ -1110,6 +1225,63 @@ object StatsQueries {
        |$kmCurveCte
        |SELECT t, n_risk, d, c, round(survival, 6) AS survival
        |FROM km ORDER BY t""".stripMargin
+
+  /** Competing-risks subjects: cause 1 = first purchase at-or-after
+    * signup, cause 2 = first error at-or-after signup — whichever
+    * fires FIRST wins the subject (purchase on an exact timestamp
+    * tie); neither → censored (cause 0) at the last observed event.
+    */
+  private def competingSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = tb(s, dir).events
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    def firstOf(kind: String, as: String) =
+      ev.filter(col("event_type") === kind)
+        .join(s0, "user_id")
+        .filter(unix_micros(col("ts")) >= unix_micros(col("t0")))
+        .groupBy("user_id").agg(min("ts").as(as))
+    val fin = ev.groupBy("user_id").agg(max("ts").as("tl"))
+    val purWins = col("tp").isNotNull &&
+      (col("te").isNull || unix_micros(col("tp")) <= unix_micros(col("te")))
+    s0.join(firstOf("purchase", "tp"), Seq("user_id"), "left")
+      .join(firstOf("error", "te"), Seq("user_id"), "left")
+      .join(fin, "user_id")
+      .select(col("user_id"),
+        when(purWins, 1L).when(col("te").isNotNull, 2L).otherwise(0L)
+          .as("cause"),
+        expr("(unix_micros(CASE WHEN tp IS NOT NULL AND (te IS NULL OR unix_micros(tp) <= unix_micros(te)) THEN tp WHEN te IS NOT NULL THEN te ELSE tl END) - unix_micros(t0)) div 3600000000")
+          .as("dur_h"))
+  }
+
+  /** The DuckDB mirror of [[competingSubjects]] (CTE body `csub` plus
+    * its feeders).
+    */
+  private def competingSubjectsCte: String =
+    """cs0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      |        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |cpur AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+      |         FROM events e JOIN cs0 ON cs0.user_id = e.user_id
+      |         WHERE e.event_type = 'purchase'
+      |           AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(cs0.t0)
+      |         GROUP BY e.user_id),
+      |cerr AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS te
+      |         FROM events e JOIN cs0 ON cs0.user_id = e.user_id
+      |         WHERE e.event_type = 'error'
+      |           AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(cs0.t0)
+      |         GROUP BY e.user_id),
+      |cfin AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS tl
+      |         FROM events GROUP BY user_id),
+      |csub AS (SELECT cs0.user_id,
+      |           CASE WHEN cpur.tp IS NOT NULL
+      |                     AND (cerr.te IS NULL OR epoch_us(cpur.tp) <= epoch_us(cerr.te)) THEN 1
+      |                WHEN cerr.te IS NOT NULL THEN 2 ELSE 0 END AS cause,
+      |           CAST((epoch_us(CASE WHEN cpur.tp IS NOT NULL
+      |                                    AND (cerr.te IS NULL OR epoch_us(cpur.tp) <= epoch_us(cerr.te)) THEN cpur.tp
+      |                               WHEN cerr.te IS NOT NULL THEN cerr.te
+      |                               ELSE cfin.tl END) - epoch_us(cs0.t0)) // 3600000000 AS BIGINT) AS dur_h
+      |         FROM cs0 LEFT JOIN cpur ON cpur.user_id = cs0.user_id
+      |              LEFT JOIN cerr ON cerr.user_id = cs0.user_id
+      |              JOIN cfin ON cfin.user_id = cs0.user_id)""".stripMargin
 
   /** The DuckDB mirror of [[survivalSubjects]] (CTE bodies `s0`, `pur`,
     * `fin`, `subj`).

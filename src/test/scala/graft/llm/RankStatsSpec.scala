@@ -469,6 +469,10 @@ class RankStatsSpec extends SparkSpec {
     assert(t._3 === 1L && t._4 === 2L)
     assert((t._5, t._6, t._7) === ((1L, 2L, 0L)))
     assert(math.abs(t._8.get - (-1.0 / math.sqrt(20.0))) < 1e-12)
+    // Somers' D_y|x normalizes by x-untied pairs: (1−2)/(6−1) = −0.2
+    val sd = RankStats.kendallTau(ties, "x", "y").head()
+      .getAs[Double]("somers_d")
+    assert(math.abs(sd - (-0.2)) < 1e-12)
   }
 
   test("kendallTau: duplicated points land in t3 and drop from the pair pool") {
@@ -558,6 +562,33 @@ class RankStatsSpec extends SparkSpec {
       "b" -> Some(0.5)))
     assert(!m.contains("skip"))
     assert(m("a")._2 === 2L && m("a")._3)
+  }
+
+  test("cupedAdjust: hand-computed theta/rho2 and per-arm adjusted means") {
+    // x=(1,2,3,4), y=(2,4,7,7): vx=20, cxy=36, vy=72 → θ=1.8, ρ²=0.9;
+    // arm a (x=1,2): mean_y=3, mean_adj=3−1.8·(1.5−2.5)=4.8;
+    // arm b: 7−1.8·1=5.2 — CUPED pulls the x-imbalanced arms together
+    val df = Seq((1L, 2L, "a"), (2L, 4L, "a"), (3L, 7L, "b"),
+      (4L, 7L, "b")).toDF("x", "y", "arm")
+    val m = RankStats.cupedAdjust(df, "x", "y", "arm")
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(math.abs(m("a").getAs[Double]("theta") - 1.8) < 1e-12)
+    assert(math.abs(m("a").getAs[Double]("rho2") - 0.9) < 1e-12)
+    assert(m("a").getAs[Long]("n") === 2L &&
+      m("a").getAs[Long]("sum_x") === 3L)
+    assert(math.abs(m("a").getAs[Double]("mean_adj") - 4.8) < 1e-12)
+    assert(math.abs(m("b").getAs[Double]("mean_adj") - 5.2) < 1e-12)
+  }
+
+  test("cupedAdjust: a constant covariate means nothing to adjust with " +
+    "(theta NULL, mean_adj = mean_y)") {
+    val df = Seq((5L, 2L, "a"), (5L, 4L, "a"), (5L, 8L, "b"))
+      .toDF("x", "y", "arm")
+    val m = RankStats.cupedAdjust(df, "x", "y", "arm")
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(m("a").isNullAt(m("a").fieldIndex("theta")))
+    assert(m("a").getAs[Double]("mean_adj") ===
+      m("a").getAs[Double]("mean_y"))
   }
 
   test("kendallTau: NULL values raise loudly") {

@@ -78,6 +78,41 @@ class SurvivalSpec extends SparkSpec {
     assert(r1.getAs[Double]("rmst") === 1.0)
   }
 
+  test("cumulativeIncidence: hand-computed Aalen–Johansen steps and " +
+    "the sum-to-1-minus-survival invariant") {
+    // (1,cause1) (2,cause2) (2,censor) (3,cause1):
+    //   CIF1 = 1/4, 1/4, 3/4;  CIF2 = 0, 1/4, 1/4
+    val df = Seq((1L, 1L), (2L, 2L), (2L, 0L), (3L, 1L)).toDF("t", "k")
+    val got = Survival.cumulativeIncidence(df, "t", "k")
+      .orderBy("cause", "t")
+      .select(col("cause"), col("t"), col("n_risk"), col("d"),
+        round(col("cif"), 6).as("cif"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 4L, 1L, 0.25), (1L, 2L, 3L, 0L, 0.25),
+      (1L, 3L, 1L, 1L, 0.75),
+      (2L, 1L, 4L, 0L, 0.0), (2L, 2L, 3L, 1L, 0.25),
+      (2L, 3L, 1L, 0L, 0.25)))
+    // Σ_k CIF_k(t) = 1 − Ŝ(t) exactly, at every time
+    val s = Survival.kaplanMeier(
+      df.select(col("t"), when(col("k") > 0, 1L).otherwise(0L).as("e")),
+      "t", "e").select(col("t"), col("survival"))
+    val sums = Survival.cumulativeIncidence(df, "t", "k")
+      .groupBy("t").agg(sum("cif").as("cifsum"))
+      .join(s, "t").collect()
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cifsum") -
+        (1.0 - r.getAs[Double]("survival"))) < 1e-12, r.toString)
+    }
+  }
+
+  test("cumulativeIncidence: a negative cause raises loudly") {
+    intercept[Exception] {
+      Survival.cumulativeIncidence(
+        Seq((1L, -1L)).toDF("t", "k"), "t", "k").collect()
+    }
+  }
+
   test("logRank: hand-computed two-group Mantel–Haenszel moments") {
     // a: (1,ev) (3,cens) (5,ev); b: (2,ev) (4,ev) (6,cens)
     //   o_minus_e = 1/2 − 2/5 − 1/3 + 1/2 = 4/15
