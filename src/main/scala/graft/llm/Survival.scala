@@ -190,6 +190,96 @@ object Survival {
           .as("rmst"))
   }
 
+  /** Cox proportional-hazards regression, one covariate, Breslow tie
+    * handling — "how much does activity level multiply the conversion
+    * hazard?", the model behind every churn score. The corpus reduces
+    * in ONE pass to the (t, x) cell grid (duration × quantized
+    * covariate, both caller-quantized — the RankStats long contract),
+    * which is COLLECTED (grid-bounded, the linearCka bounded-collect
+    * stance) and Newton–Raphson runs on the driver: per event time,
+    * the risk set's Σe^{βx}, Σxe^{βx}, Σx²e^{βx} fold from a running
+    * per-x count array swept over t descending (O(times·gridX) per
+    * iteration), β ← β + U/I from score U(β) = Σ(s_t − d_t·R1/R) and
+    * information I(β) = Σ d_t(R2/R − (R1/R)²). Newton converges to a
+    * fixed point, so cross-engine summation-order drift dies at the
+    * answer (round(,6) in the query). Output: one row (n, n_events,
+    * beta, se = 1/√I(β̂), z = β/se); beta is NULL when the covariate
+    * is constant on every risk set (I = 0 — nothing to estimate).
+    */
+  def coxPh(df: DataFrame, durationCol: String, eventCol: String,
+            xCol: String, iterations: Int = 8): DataFrame = {
+    val op = "coxPh"
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val spark = df.sparkSession
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"),
+      when(col(xCol).isNull, raise_error(lit(s"$op: NULL covariate")))
+        .otherwise(col(xCol)).cast("long").as("_x"))
+    val cells = rows.groupBy("_v", "_x")
+      .agg(count(lit(1)).as("_n"), sum("_e").as("_d"))
+      .collect()
+      .map(r => (r.getAs[Long]("_v"), r.getAs[Long]("_x"),
+        r.getAs[Long]("_n"), r.getAs[Long]("_d")))
+    val n = cells.map(_._3).sum
+    val nEvents = cells.map(_._4).sum
+
+    // per-x running risk counts, swept over distinct t DESCENDING so
+    // each time's risk set is the suffix; event stats per time
+    val xs = cells.map(_._2).distinct.sorted
+    val xIdx = xs.zipWithIndex.toMap
+    val times = cells.map(_._1).distinct.sorted(Ordering[Long].reverse)
+    val byT = cells.groupBy(_._1)
+
+    // score U(β) and information I(β) in one descending-t sweep over
+    // the cells, maintaining the per-x risk counts as the suffix
+    def sweep(beta: Double): (Double, Double) = {
+      val riskByX = new Array[Double](xs.length)
+      var u = 0.0
+      var i2 = 0.0
+      times.foreach { t =>
+        val here = byT(t)
+        here.foreach(c => riskByX(xIdx(c._2)) += c._3.toDouble)
+        val dT = here.map(_._4).sum
+        if (dT > 0) {
+          val sT = here.map(c => c._2 * c._4).sum.toDouble
+          var r = 0.0; var r1 = 0.0; var r2 = 0.0
+          var k = 0
+          while (k < xs.length) {
+            val w = riskByX(k) * math.exp(beta * xs(k))
+            r += w; r1 += xs(k) * w; r2 += xs(k).toDouble * xs(k) * w
+            k += 1
+          }
+          u += sT - dT * r1 / r
+          i2 += dT * (r2 / r - (r1 / r) * (r1 / r))
+        }
+      }
+      (u, i2)
+    }
+
+    var beta = 0.0
+    var it = 0
+    var degenerate = false
+    while (it < iterations && !degenerate) {
+      val (u, i2) = sweep(beta)
+      if (i2 <= 0.0) degenerate = true else beta += u / i2
+      it += 1
+    }
+    // se from the information AT the converged beta (the oracle's
+    // final evaluation mirrors this extra sweep)
+    val info = if (degenerate) 0.0 else sweep(beta)._2
+    import spark.implicits._
+    val (b, se, z) =
+      if (degenerate || info <= 0.0) (None, None, None)
+      else {
+        val s = 1.0 / math.sqrt(info)
+        (Some(beta), Some(s), Some(beta / s))
+      }
+    Seq((n, nEvents, b, se, z))
+      .toDF("n", "n_events", "beta", "se", "z")
+  }
+
   /** Two-group log-rank test: did the groups' time-to-event
     * distributions differ? One output row with the exact totals
     * (group labels, subject counts `n_a`/`n_b`, observed events

@@ -1090,6 +1090,23 @@ object StatsQueries {
         .orderBy("cause", "t")
     },
 
+    // ---- Cox proportional hazards (Survival.coxPh): does overall
+    //      activity level (total events div 10) multiply the
+    //      signup→purchase hazard? One corpus pass to the (t, x) cell
+    //      grid, driver-side Newton (8 iterations + a closing
+    //      information sweep); the oracle UNROLLS the same iterations
+    //      as generated CTEs ----
+    "q_evt_cox_ph" -> Q(coxOracle) { (s, dir) =>
+      val act = tb(s, dir).events.groupBy("user_id")
+        .agg(expr("count(*) div 10").as("x"))
+      val subj = survivalSubjects(s, dir).join(act, "user_id")
+      Survival.coxPh(subj, "dur_h", "ev", "x")
+        .select(col("n"), col("n_events"),
+          round(col("beta"), 6).as("beta"),
+          round(col("se"), 6).as("se"),
+          round(col("z"), 6).as("z"))
+    },
+
     // ---- restricted mean survival time (Survival.rmst): mean
     //      hours-to-purchase within the first 10 days — the bounded
     //      summary that exists even when the censored tail never
@@ -1225,6 +1242,57 @@ object StatsQueries {
        |$kmCurveCte
        |SELECT t, n_risk, d, c, round(survival, 6) AS survival
        |FROM km ORDER BY t""".stripMargin
+
+  /** The Cox oracle: Newton–Raphson UNROLLED as generated CTEs — b0 =
+    * 0, eight g_i/b_{i+1} update pairs mirroring the engine's
+    * U(β)/I(β) algebra (risk sets as per-x suffix counts materialized
+    * at event times via an ordered-limit probe), then one final g
+    * evaluation at b8 for the standard error, exactly as the engine's
+    * closing sweep. Newton converges to a fixed point, so summation-
+    * order drift between the engine's sweep and SQL's unordered sums
+    * dies at the answer (round ,6).
+    */
+  private def coxOracle: String = {
+    // every beta reference is a single CROSS JOIN and every iteration
+    // CTE is MATERIALIZED: scalar (SELECT beta FROM b_i) subqueries
+    // re-inline the whole upstream chain per reference — 3 per g × 8
+    // levels blew up 3⁸ inlined parquet scans ("too many open files")
+    def g(i: Int, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT e.t, e.dt, e.st,
+         |  sum(coalesce(ra.rcnt, 0) * exp(b.beta * ra.x)) AS r,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x * exp(b.beta * ra.x)) AS r1,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x * ra.x * exp(b.beta * ra.x)) AS r2
+         |FROM evt e JOIN riskat ra ON ra.t = e.t CROSS JOIN b$i b
+         |GROUP BY e.t, e.dt, e.st)""".stripMargin
+    val iters = (0 until 8).map { i =>
+      s"""${g(i, s"g$i")},
+         |b${i + 1} AS MATERIALIZED (SELECT b.beta
+         |  + sum(st - dt * r1 / r) / sum(dt * (r2 / r - (r1 / r) * (r1 / r))) AS beta
+         |FROM g$i CROSS JOIN b$i b GROUP BY b.beta)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $survivalSubjectsCte,
+       |aq AS (SELECT user_id, CAST(count(*) // 10 AS BIGINT) AS x
+       |       FROM events GROUP BY user_id),
+       |cox AS MATERIALIZED (SELECT s.dur_h AS t, a.x,
+       |               CAST(count(*) AS BIGINT) AS cnt,
+       |               CAST(sum(s.ev) AS BIGINT) AS d
+       |        FROM subj s JOIN aq a ON a.user_id = s.user_id GROUP BY 1, 2),
+       |evt AS MATERIALIZED (SELECT t, CAST(sum(d) AS BIGINT) AS dt,
+       |               CAST(sum(x * d) AS BIGINT) AS st
+       |        FROM cox GROUP BY t HAVING sum(d) > 0),
+       |riskat AS MATERIALIZED (SELECT e.t, c.x, CAST(sum(c.cnt) AS BIGINT) AS rcnt
+       |           FROM evt e JOIN cox c ON c.t >= e.t GROUP BY e.t, c.x),
+       |b0 AS (SELECT 0.0 AS beta),
+       |$iters,
+       |${g(8, "gf")},
+       |fi AS (SELECT sum(dt * (r2 / r - (r1 / r) * (r1 / r))) AS i2 FROM gf)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n,
+       |  (SELECT CAST(sum(ev) AS BIGINT) FROM subj) AS n_events,
+       |  round((SELECT beta FROM b8), 6) AS beta,
+       |  round(1.0 / sqrt(fi.i2), 6) AS se,
+       |  round((SELECT beta FROM b8) / (1.0 / sqrt(fi.i2)), 6) AS z
+       |FROM fi""".stripMargin
+  }
 
   /** Competing-risks subjects: cause 1 = first purchase at-or-after
     * signup, cause 2 = first error at-or-after signup — whichever

@@ -129,6 +129,51 @@ class SurvivalSpec extends SparkSpec {
       (4.0 / 15) / math.sqrt(866.0 / 900)) < 1e-12)
   }
 
+  test("coxPh: a perfectly balanced design estimates beta = 0 with " +
+    "hand-computed information") {
+    // two subjects per x at each event time: U(0) = 0 term by term,
+    // I(0) = 0.5 + 0.5 = 1 → se = 1, z = 0
+    val df = Seq((1L, 1L, 0L), (1L, 1L, 1L), (2L, 1L, 0L), (2L, 1L, 1L))
+      .toDF("t", "e", "x")
+    val r = Survival.coxPh(df, "t", "e", "x").head()
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("n_events") === 4L)
+    assert(math.abs(r.getAs[Double]("beta")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z")) < 1e-12)
+  }
+
+  test("coxPh: the estimate is a root of the partial-likelihood score " +
+    "computed independently from first principles") {
+    // deterministic skewed data: high-x subjects fail earlier
+    val subj = Seq.tabulate(40) { i =>
+      val x = i % 4
+      val t = 1L + ((i * 13) % 7) + (3 - x) * 2  // higher x → earlier
+      val e = if (i % 5 == 0) 0L else 1L
+      (t.toLong, e, x.toLong)
+    }
+    val r = Survival.coxPh(subj.toDF("t", "e", "x"), "t", "e", "x").head()
+    val beta = r.getAs[Double]("beta")
+    assert(beta > 0.0, s"higher x must raise the hazard, got $beta")
+    // definitional Breslow score at beta over raw subjects
+    val eventTimes = subj.filter(_._2 == 1L).map(_._1).distinct
+    val u = eventTimes.map { t =>
+      val risk = subj.filter(_._1 >= t)
+      val deaths = subj.filter(s => s._1 == t && s._2 == 1L)
+      val rSum = risk.map(s => math.exp(beta * s._3)).sum
+      val r1Sum = risk.map(s => s._3 * math.exp(beta * s._3)).sum
+      deaths.map(_._3).sum - deaths.size * r1Sum / rSum
+    }.sum
+    assert(math.abs(u) < 1e-7, s"score at beta-hat should vanish, got $u")
+  }
+
+  test("coxPh: a constant covariate has nothing to estimate (NULLs)") {
+    val df = Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 0L, 5L))
+      .toDF("t", "e", "x")
+    val r = Survival.coxPh(df, "t", "e", "x").head()
+    assert(r.isNullAt(r.fieldIndex("beta")) &&
+      r.isNullAt(r.fieldIndex("se")) && r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("logRank: an all-censored cohort still reports its one row of " +
     "totals (zero moments, z NULL)") {
     val df = Seq((1L, 0L, "a"), (2L, 0L, "a"), (3L, 0L, "b"))
