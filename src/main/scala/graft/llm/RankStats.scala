@@ -105,7 +105,7 @@ object RankStats {
     * key's last value). The shared engine behind [[ksPerSlice]],
     * [[wassersteinByKey]] and [[groupedQuantiles]].
     */
-  private def keyedPrefixes(kv: DataFrame, keyCol: String,
+  private[llm] def keyedPrefixes(kv: DataFrame, keyCol: String,
                             measures: Seq[String], maxBlocks: Long,
                             withSuccessor: Boolean = false): DataFrame = {
     val base = Packing.withBoundedBlocks(kv, "_v", maxBlocks)

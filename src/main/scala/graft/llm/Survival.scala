@@ -190,6 +190,78 @@ object Survival {
           .as("rmst"))
   }
 
+  /** Per-group Kaplan–Meier curves in ONE pass — the side-by-side
+    * view behind every A/B survival plot ([[logRank]] gives the test,
+    * this gives the curves). Cells aggregate per (group, duration);
+    * risk-set prefixes ride [[RankStats.keyedPrefixes]] (value blocks
+    * shared across groups — a hot group spreads over its duration
+    * blocks instead of single-tasking); survival windows are
+    * partitioned by group over the grid-bounded curve frame. Output:
+    * (grp, t, n_risk, d, c, survival) with the same semantics as
+    * [[kaplanMeier]] per group.
+    */
+  def kaplanMeierByGroup(df: DataFrame, durationCol: String,
+                         eventCol: String, groupCol: String,
+                         maxBlocks: Long = 1L << 20): DataFrame = {
+    val op = "kaplanMeierByGroup"
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"),
+      when(col(groupCol).isNull,
+        raise_error(lit(s"$op: NULL group in $groupCol")))
+        .otherwise(col(groupCol)).cast("string").as("_g"))
+    val kv = rows.groupBy("_g", "_v")
+      .agg(sum("_e").as("_d"), count(lit(1)).as("_n"))
+    val totals = kv.groupBy("_g").agg(sum("_n").as("_total"))
+    val pre = RankStats.keyedPrefixes(kv, "_g", Seq("_n"), maxBlocks)
+      .join(broadcast(totals), Seq("_g"))
+      .select(col("_g").as("grp"), col("_v").as("t"), col("_d").as("d"),
+        (col("_n") - col("_d")).as("c"),
+        (col("_total") - col("_pre__n")).as("n_risk"))
+    val w = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnTerm = when(col("d") > 0L && col("d") < col("n_risk"),
+      log((col("n_risk") - col("d")).cast("double")) -
+        log(col("n_risk").cast("double"))).otherwise(lit(0.0))
+    pre
+      .withColumn("_lnSum", sum(lnTerm).over(w))
+      .withColumn("_dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
+      .select(col("grp"), col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("_dead") === 1L, lit(0.0))
+          .otherwise(exp(col("_lnSum"))).as("survival"))
+  }
+
+  /** Weibull fit of the survival curve by regression on the
+    * linearized form: ln(−ln Ŝ(t)) = k·ln t − k·ln λ at event times
+    * with 0 < Ŝ < 1 and t > 0 — "is the conversion hazard rising
+    * (k > 1) or is it an exponential (k ≈ 1)?", the parametric shape
+    * read off the KM estimate. OLS over the grid-bounded curve frame
+    * (one double fold, round(,6) in the query). Output: one row
+    * (n_points, shape, scale); NULL fit when fewer than two usable
+    * points or zero slope variance.
+    */
+  def weibullFit(df: DataFrame, durationCol: String, eventCol: String,
+                 maxBlocks: Long = 1L << 20): DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol, maxBlocks)
+      .filter(col("d") > 0L && col("t") > 0L &&
+        col("survival") > 0.0 && col("survival") < 1.0)
+      .select(log(col("t").cast("double")).as("_x"),
+        log(-log(col("survival"))).as("_y"))
+    val a = km.agg(count(lit(1)).as("n_points"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"))
+    val nD = col("n_points").cast("double")
+    val vx = nD * col("_sxx") - col("_sx") * col("_sx")
+    val slope = (nD * col("_sxy") - col("_sx") * col("_sy")) / vx
+    a.select(col("n_points"),
+      when(col("n_points") >= 2L && vx > 0.0, slope).as("shape"),
+      when(col("n_points") >= 2L && vx > 0.0,
+        exp(-((col("_sy") - slope * col("_sx")) / nD) / slope))
+        .as("scale"))
+  }
+
   /** Cox proportional-hazards regression, one covariate, Breslow tie
     * handling — "how much does activity level multiply the conversion
     * hazard?", the model behind every churn score. The corpus reduces

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -1293,6 +1294,48 @@ object TextAnalysis {
           (lit(4.0d) * col("tp").cast("double") * col("n_pair").cast("double")) /
             (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
           .as("pmi"))
+  }
+
+  /** Zipf-law fit over the top-k token frequencies: OLS of ln(count)
+    * on ln(rank) — natural text sits near slope −1, and a corpus whose
+    * slope moved after a filter change lost its head (boilerplate
+    * stripped) or its tail (dedup too aggressive). The corpus reduces
+    * to token counts (one keyed aggregate), the top-k ride a
+    * TakeOrderedAndProject (count desc, token asc tie-break), and the
+    * regression folds over the k-row frame. Output: one row (k_used,
+    * n_distinct, slope, intercept, r2); NULL fit below two points or
+    * zero rank variance (k ≥ 2 distinct counts always vary in rank, so
+    * only a near-empty corpus degenerates).
+    */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k must be in [2, 100000], got $k")
+    val tc = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val nDistinct = tc.agg(count(lit(1)).as("n_distinct"))
+    val topk = tc.orderBy(col("cnt").desc, col("tok").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+    val pts = topk.select(
+      log(col("rank").cast("double")).as("_x"),
+      log(col("cnt").cast("double")).as("_y"))
+    val a = pts.agg(count(lit(1)).as("k_used"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    val nD = col("k_used").cast("double")
+    val vx = nD * col("_sxx") - col("_sx") * col("_sx")
+    val vy = nD * col("_syy") - col("_sy") * col("_sy")
+    val cxy = nD * col("_sxy") - col("_sx") * col("_sy")
+    a.crossJoin(broadcast(nDistinct))
+      .select(col("k_used"), col("n_distinct"),
+        when(col("k_used") >= 2L && vx > 0.0, cxy / vx).as("slope"),
+        when(col("k_used") >= 2L && vx > 0.0,
+          (col("_sy") - cxy / vx * col("_sx")) / nD).as("intercept"),
+        when(col("k_used") >= 2L && vx > 0.0 && vy > 0.0,
+          cxy / vx * (cxy / vy)).as("r2"))
   }
 
   /** Flesch reading ease + Flesch–Kincaid grade per document from

@@ -1806,6 +1806,46 @@ object LlmQueries {
         .orderBy("i")
     },
 
+    // ---- Zipf-law fit (TextAnalysis.zipfFit): OLS of ln(count) on
+    //      ln(rank) over the top-100 tokens — natural text sits near
+    //      slope −1; a moved slope means a filter change ate the head
+    //      (boilerplate) or the tail (over-dedup) ----
+    "q_llm_zipf" -> Q(
+      """WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |                  FROM documents)
+        |            GROUP BY tok),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct FROM tc),
+        |tk AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+        |       FROM tc ORDER BY cnt DESC, tok ASC LIMIT 100),
+        |pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM tk),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |              sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM pts)
+        |SELECT ag.k_used, nd.n_distinct,
+        |  round(CASE WHEN ag.k_used >= 2 AND CAST(ag.k_used AS DOUBLE) * ag.sxx - ag.sx * ag.sx > 0.0
+        |        THEN (CAST(ag.k_used AS DOUBLE) * ag.sxy - ag.sx * ag.sy)
+        |             / (CAST(ag.k_used AS DOUBLE) * ag.sxx - ag.sx * ag.sx) END, 6) AS slope,
+        |  round(CASE WHEN ag.k_used >= 2 AND CAST(ag.k_used AS DOUBLE) * ag.sxx - ag.sx * ag.sx > 0.0
+        |        THEN (ag.sy - (CAST(ag.k_used AS DOUBLE) * ag.sxy - ag.sx * ag.sy)
+        |                      / (CAST(ag.k_used AS DOUBLE) * ag.sxx - ag.sx * ag.sx) * ag.sx)
+        |             / CAST(ag.k_used AS DOUBLE) END, 6) AS intercept,
+        |  round(CASE WHEN ag.k_used >= 2
+        |              AND CAST(ag.k_used AS DOUBLE) * ag.sxx - ag.sx * ag.sx > 0.0
+        |              AND CAST(ag.k_used AS DOUBLE) * ag.syy - ag.sy * ag.sy > 0.0
+        |        THEN ((CAST(ag.k_used AS DOUBLE) * ag.sxy - ag.sx * ag.sy)
+        |              / (CAST(ag.k_used AS DOUBLE) * ag.sxx - ag.sx * ag.sx))
+        |             * ((CAST(ag.k_used AS DOUBLE) * ag.sxy - ag.sx * ag.sy)
+        |                / (CAST(ag.k_used AS DOUBLE) * ag.syy - ag.sy * ag.sy)) END, 6) AS r2
+        |FROM ag, nd""".stripMargin) { (s, dir) =>
+      TextAnalysis.zipfFit(tb(s, dir).documents, "text", k = 100)
+        .select(col("k_used"), col("n_distinct"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    },
+
     // ---- readability scoring (TextAnalysis.readability): Flesch
     //      reading ease + FK grade from exact word / sentence-run /
     //      vowel-group-syllable counts — the classic quality-filter

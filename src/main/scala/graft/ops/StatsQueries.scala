@@ -1090,6 +1090,75 @@ object StatsQueries {
         .orderBy("cause", "t")
     },
 
+    // ---- per-arm Kaplan–Meier curves (Survival.kaplanMeierByGroup):
+    //      the side-by-side survival plot behind the q_evt_logrank
+    //      test — risk prefixes via keyedPrefixes (duration blocks
+    //      shared across arms), survival windows partitioned by arm ----
+    "q_evt_km_by_group" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |g AS (SELECT dur_h, ev,
+        |             CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END AS grp
+        |      FROM subj),
+        |k0 AS (SELECT grp, dur_h AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |              CAST(count(*) - sum(ev) AS BIGINT) AS c,
+        |              CAST(count(*) AS BIGINT) AS n_at
+        |       FROM g GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(n_at) AS BIGINT) AS total
+        |        FROM k0 GROUP BY grp),
+        |k1 AS (SELECT k0.grp, t, d, c,
+        |         CAST(tot.total - coalesce(sum(n_at) OVER (PARTITION BY k0.grp ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |       FROM k0 JOIN tot ON tot.grp = k0.grp)
+        |SELECT grp, t, n_risk, d, c,
+        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |                  OVER (PARTITION BY grp ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |        THEN 0.0
+        |        ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+        |                      THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
+        |                      ELSE 0.0 END)
+        |                 OVER (PARTITION BY grp ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        END, 6) AS survival
+        |FROM k1 ORDER BY grp, t""".stripMargin) { (s, dir) =>
+      val subj = survivalSubjects(s, dir)
+        .withColumn("grp",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+      Survival.kaplanMeierByGroup(subj, "dur_h", "ev", "grp")
+        .withColumn("survival", round(col("survival"), 6))
+        .orderBy("grp", "t")
+    },
+
+    // ---- Weibull fit of the conversion curve (Survival.weibullFit):
+    //      ln(−ln Ŝ) = k·ln t − k·ln λ at event times — is the
+    //      signup→purchase hazard rising (k > 1) or exponential? ----
+    "q_evt_weibull" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |$kmCurveCte,
+        |pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(-ln(survival)) AS y
+        |        FROM km
+        |        WHERE d > 0 AND t > 0 AND survival > 0.0 AND survival < 1.0),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |              sum(x) AS sx, sum(y) AS sy,
+        |              sum(x * y) AS sxy, sum(x * x) AS sxx
+        |       FROM pts)
+        |SELECT n_points,
+        |  round(CASE WHEN n_points >= 2
+        |              AND CAST(n_points AS DOUBLE) * sxx - sx * sx > 0.0
+        |        THEN (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |             / (CAST(n_points AS DOUBLE) * sxx - sx * sx) END, 6) AS shape,
+        |  round(CASE WHEN n_points >= 2
+        |              AND CAST(n_points AS DOUBLE) * sxx - sx * sx > 0.0
+        |        THEN exp(-((sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |                         / (CAST(n_points AS DOUBLE) * sxx - sx * sx) * sx)
+        |                   / CAST(n_points AS DOUBLE))
+        |                 / ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |                    / (CAST(n_points AS DOUBLE) * sxx - sx * sx))) END, 6) AS scale
+        |FROM ag""".stripMargin) { (s, dir) =>
+      Survival.weibullFit(survivalSubjects(s, dir), "dur_h", "ev")
+        .select(col("n_points"),
+          round(col("shape"), 6).as("shape"),
+          round(col("scale"), 6).as("scale"))
+    },
+
     // ---- Cox proportional hazards (Survival.coxPh): does overall
     //      activity level (total events div 10) multiply the
     //      signup→purchase hazard? One corpus pass to the (t, x) cell

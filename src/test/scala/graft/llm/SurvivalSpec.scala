@@ -129,6 +129,44 @@ class SurvivalSpec extends SparkSpec {
       (4.0 / 15) / math.sqrt(866.0 / 900)) < 1e-12)
   }
 
+  test("kaplanMeierByGroup: each group's curve equals batch kaplanMeier " +
+    "on that group alone") {
+    val df = Seq((1L, 1L, "a"), (2L, 0L, "a"), (3L, 1L, "a"),
+      (1L, 1L, "b"), (4L, 1L, "b"), (5L, 0L, "b"), (6L, 1L, "b"))
+      .toDF("t", "e", "g")
+    val byG = Survival.kaplanMeierByGroup(df, "t", "e", "g")
+      .orderBy("grp", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Survival.kaplanMeier(
+        df.filter(col("g") === g), "t", "e").orderBy("t").collect()
+      solo.foreach { r =>
+        assert(byG((g, r.getLong(0))) ===
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))),
+          s"group $g, t=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("weibullFit recovers the generating shape from uncensored " +
+    "inverse-CDF durations") {
+    // t_i = λ(−ln(1−u))^{1/k}, k=2, λ=500, u on a uniform grid; all
+    // events — quantization to longs leaves the slope near 2
+    val n = 400
+    val rows = Seq.tabulate(n) { i =>
+      val u = (i + 0.5) / n
+      val t = 500.0 * math.pow(-math.log1p(-u), 0.5)
+      (math.max(1L, math.round(t)), 1L)
+    }
+    val r = Survival.weibullFit(rows.toDF("t", "e"), "t", "e").head()
+    val shape = r.getAs[Double]("shape")
+    val scale = r.getAs[Double]("scale")
+    assert(math.abs(shape - 2.0) < 0.15, s"shape $shape")
+    assert(math.abs(scale - 500.0) < 40.0, s"scale $scale")
+  }
+
   test("coxPh: a perfectly balanced design estimates beta = 0 with " +
     "hand-computed information") {
     // two subjects per x at each event time: U(0) = 0 term by term,

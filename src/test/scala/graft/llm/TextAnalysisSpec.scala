@@ -678,6 +678,22 @@ class TextAnalysisSpec extends SparkSpec {
       && pruned.head.getLong(3) === 5L)
   }
 
+  test("zipfFit: an exact power-law corpus fits slope −2 with r² = 1") {
+    import spark.implicits._
+    // counts 144/r² at ranks 1..4: ln-ln is an exact line of slope −2
+    val text = Seq.tabulate(4) { i =>
+      val cnt = 144 / ((i + 1) * (i + 1))
+      Seq.fill(cnt)(s"t$i").mkString(" ")
+    }.mkString(" ")
+    val r = TextAnalysis.zipfFit(Seq(Tuple1(text)).toDF("text"), "text",
+      k = 10).head()
+    assert(r.getAs[Long]("k_used") === 4L &&
+      r.getAs[Long]("n_distinct") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") - (-2.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(math.abs(math.exp(r.getAs[Double]("intercept")) - 144.0) < 1e-6)
+  }
+
   test("readability: exact counts and hand-computed Flesch/FK; floors " +
     "and the zero-word NULL") {
     import spark.implicits._
