@@ -631,6 +631,103 @@ object RankStats {
       .drop("_n", "_sx")
   }
 
+  /** Uplift (Qini) curve over a targeting score: walk the population
+    * from best-scored down and ask "how many EXTRA conversions has
+    * treatment bought so far?" — the model-quality view for uplift /
+    * targeting models that plain AUC can't give (it scores outcomes,
+    * not incremental effect). One row per distinct score with
+    * cumulative-from-the-top treated/control counts and conversions
+    * (exact integers through [[withValuePrefixes]]' two-level scan on
+    * the NEGATED score — descending order for free), the cumulative
+    * per-head `uplift` = y_t/n_t − y_c/n_c, and `qini` = y_t −
+    * y_c·n_t/n_c (incremental conversions at treated scale). Score is
+    * caller-quantized (the long contract) so the curve frame is
+    * grid-bounded; y must be 0/1; arm must match treatLabel for
+    * treated rows (anything else is control; NULL raises).
+    */
+  def upliftCurve(df: DataFrame, scoreCol: String, armCol: String,
+                  treatLabel: String, yCol: String,
+                  maxBlocks: Long = 1L << 20): DataFrame = {
+    val op = "upliftCurve"
+    val rows = df.select(
+      checkedLong(col(scoreCol), op, s"value in $scoreCol").as("_s"),
+      when(col(armCol).isNull,
+        raise_error(lit(s"$op: NULL arm in $armCol")))
+        .otherwise((col(armCol) === treatLabel).cast("long")).as("_t"),
+      when(col(yCol).isNull || (col(yCol) =!= 0 && col(yCol) =!= 1),
+        raise_error(concat(lit(s"$op: outcome must be 0 or 1, got "),
+          coalesce(col(yCol).cast("string"), lit("NULL")))))
+        .otherwise(col(yCol)).cast("long").as("_y"))
+    val vc = rows.groupBy((-col("_s")).as("_v"))
+      .agg(sum("_t").as("_nt"),
+        sum(lit(1L) - col("_t")).as("_nc"),
+        sum(col("_t") * col("_y")).as("_yt"),
+        sum((lit(1L) - col("_t")) * col("_y")).as("_yc"))
+    withValuePrefixes(vc, Seq("_nt", "_nc", "_yt", "_yc"), maxBlocks)
+      .select((-col("_v")).as("score"),
+        (col("_pre__nt") + col("_nt")).as("n_t"),
+        (col("_pre__nc") + col("_nc")).as("n_c"),
+        (col("_pre__yt") + col("_yt")).as("y_t"),
+        (col("_pre__yc") + col("_yc")).as("y_c"))
+      .withColumn("uplift",
+        when(col("n_t") > 0L && col("n_c") > 0L,
+          col("y_t").cast("double") / col("n_t").cast("double") -
+            col("y_c").cast("double") / col("n_c").cast("double")))
+      .withColumn("qini",
+        when(col("n_c") > 0L,
+          col("y_t").cast("double") -
+            col("y_c").cast("double") * col("n_t").cast("double") /
+              col("n_c").cast("double")))
+  }
+
+  /** Difference-in-differences: the pre/post × treated/control
+    * contrast — "did treatment change the metric MORE than the world
+    * changed on its own?" DiD = Δ̄_t − Δ̄_c over per-unit deltas
+    * d = post − pre (exact longs; the caller quantizes), with the
+    * Welch standard error from per-arm delta variances and z = DiD/se
+    * (NULL when a variance side degenerates). One keyed aggregate;
+    * every output is a closed-form double over exact decimal moments.
+    * Output: one row (n_t, n_c, mean_diff_t, mean_diff_c, did, se, z).
+    */
+  def diffInDiff(df: DataFrame, preCol: String, postCol: String,
+                 armCol: String, treatLabel: String): DataFrame = {
+    val op = "diffInDiff"
+    val dec = "decimal(38,0)"
+    val rows = df.select(
+      (checkedLong(col(postCol), op, s"value in $postCol") -
+        checkedLong(col(preCol), op, s"value in $preCol")).as("_d"),
+      when(col(armCol).isNull,
+        raise_error(lit(s"$op: NULL arm in $armCol")))
+        .otherwise((col(armCol) === treatLabel).cast("long")).as("_t"))
+    val agg = rows.groupBy("_t")
+      .agg(count(lit(1)).as("_n"), sum("_d").as("_sd"),
+        sum(col("_d").cast(dec) * col("_d").cast(dec)).as("_sdd"))
+    def side(t: Int, suffix: String): DataFrame =
+      agg.filter(col("_t") === t.toLong)
+        .select(col("_n").as(s"n$suffix"), col("_sd").as(s"_sd$suffix"),
+          col("_sdd").as(s"_sdd$suffix"))
+    def meanD(n: Column, sd: Column): Column =
+      sd.cast("double") / n.cast("double")
+    // sample variance of the deltas: (n·Σd² − (Σd)²) / (n·(n−1))
+    def varD(n: Column, sd: Column, sdd: Column): Column =
+      (n.cast(dec) * sdd - sd.cast(dec) * sd.cast(dec)).cast("double") /
+        (n.cast("double") * (n.cast("double") - 1.0))
+    side(1, "_t").crossJoin(broadcast(side(0, "_c")))
+      .select(
+        col("n_t"), col("n_c"),
+        meanD(col("n_t"), col("_sd_t")).as("mean_diff_t"),
+        meanD(col("n_c"), col("_sd_c")).as("mean_diff_c"),
+        (meanD(col("n_t"), col("_sd_t")) -
+          meanD(col("n_c"), col("_sd_c"))).as("did"),
+        when(col("n_t") > 1L && col("n_c") > 1L,
+          sqrt(varD(col("n_t"), col("_sd_t"), col("_sdd_t")) /
+            col("n_t").cast("double") +
+            varD(col("n_c"), col("_sd_c"), col("_sdd_c")) /
+              col("n_c").cast("double"))).as("se"))
+      .withColumn("z",
+        when(col("se") > 0.0, col("did") / col("se")))
+  }
+
   /** Two-sample KS of EVERY slice against its complement in one pass,
     * exact: per slice, sup over the real line of the ECDF deviation in
     * n_s·n_rest integer units. The sup is attained either AT one of

@@ -911,6 +911,117 @@ object StatsQueries {
         .orderBy("arm")
     },
 
+    // ---- uplift / Qini curve (RankStats.upliftCurve): walking users
+    //      from most-active down, how many EXTRA conversions has the
+    //      treated arm bought so far? Cumulative-from-the-top exact
+    //      integers via the two-level scan on the negated score ----
+    "q_eval_uplift_curve" -> Q(
+      """WITH act AS (SELECT user_id, CAST(count(*) // 5 AS BIGINT) AS s,
+        |              CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |             FROM events GROUP BY user_id),
+        |u AS (SELECT s, y,
+        |             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |      FROM act),
+        |vc AS (SELECT s, CAST(sum(t) AS BIGINT) AS nt,
+        |              CAST(sum(1 - t) AS BIGINT) AS nc,
+        |              CAST(sum(t * y) AS BIGINT) AS yt,
+        |              CAST(sum((1 - t) * y) AS BIGINT) AS yc
+        |       FROM u GROUP BY s),
+        |p AS (SELECT s,
+        |        CAST(sum(nt) OVER w AS BIGINT) AS n_t,
+        |        CAST(sum(nc) OVER w AS BIGINT) AS n_c,
+        |        CAST(sum(yt) OVER w AS BIGINT) AS y_t,
+        |        CAST(sum(yc) OVER w AS BIGINT) AS y_c
+        |      FROM vc
+        |      WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT s AS score, n_t, n_c, y_t, y_c,
+        |  round(CASE WHEN n_t > 0 AND n_c > 0
+        |        THEN CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |             - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE) END, 6) AS uplift,
+        |  round(CASE WHEN n_c > 0
+        |        THEN CAST(y_t AS DOUBLE)
+        |             - CAST(y_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE) END, 6) AS qini
+        |FROM p ORDER BY score DESC""".stripMargin) { (s, dir) =>
+      val users = tb(s, dir).events.groupBy("user_id")
+        .agg(expr("count(*) div 5").as("s"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+      RankStats.upliftCurve(users, "s", "arm", "arm_a", "y")
+        .withColumn("uplift", round(col("uplift"), 6))
+        .withColumn("qini", round(col("qini"), 6))
+        .orderBy(col("score").desc)
+    },
+
+    // ---- difference-in-differences (RankStats.diffInDiff): did the
+    //      treated arm's week-1 → rest-of-month value move MORE than
+    //      control's? Per-user exact deltas (milli-quantized per
+    //      event), Welch SE over per-arm delta variances ----
+    "q_eval_did" -> Q(
+      """WITH e AS (SELECT user_id, CAST(floor(value * 1000.0) AS BIGINT) AS vm,
+        |                  CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08' AS pre
+        |           FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT user_id,
+        |        CAST(coalesce(sum(CASE WHEN pre THEN vm END), 0) AS BIGINT) AS x,
+        |        CAST(coalesce(sum(CASE WHEN NOT pre THEN vm END), 0) AS BIGINT) AS y
+        |      FROM e GROUP BY user_id),
+        |d AS (SELECT y - x AS d,
+        |             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |      FROM u),
+        |a AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(d AS HUGEINT)) AS sd,
+        |             sum(CAST(d AS HUGEINT) * d) AS sdd
+        |      FROM d GROUP BY t)
+        |SELECT t1.n AS n_t, t0.n AS n_c,
+        |  round(CAST(t1.sd AS DOUBLE) / CAST(t1.n AS DOUBLE), 6) AS mean_diff_t,
+        |  round(CAST(t0.sd AS DOUBLE) / CAST(t0.n AS DOUBLE), 6) AS mean_diff_c,
+        |  round(CAST(t1.sd AS DOUBLE) / CAST(t1.n AS DOUBLE)
+        |        - CAST(t0.sd AS DOUBLE) / CAST(t0.n AS DOUBLE), 6) AS did,
+        |  round(CASE WHEN t1.n > 1 AND t0.n > 1
+        |        THEN sqrt(CAST(t1.n * t1.sdd - t1.sd * t1.sd AS DOUBLE)
+        |                    / (CAST(t1.n AS DOUBLE) * (CAST(t1.n AS DOUBLE) - 1.0))
+        |                    / CAST(t1.n AS DOUBLE)
+        |                  + CAST(t0.n * t0.sdd - t0.sd * t0.sd AS DOUBLE)
+        |                    / (CAST(t0.n AS DOUBLE) * (CAST(t0.n AS DOUBLE) - 1.0))
+        |                    / CAST(t0.n AS DOUBLE)) END, 6) AS se,
+        |  round(CASE WHEN t1.n > 1 AND t0.n > 1
+        |              AND sqrt(CAST(t1.n * t1.sdd - t1.sd * t1.sd AS DOUBLE)
+        |                         / (CAST(t1.n AS DOUBLE) * (CAST(t1.n AS DOUBLE) - 1.0))
+        |                         / CAST(t1.n AS DOUBLE)
+        |                       + CAST(t0.n * t0.sdd - t0.sd * t0.sd AS DOUBLE)
+        |                         / (CAST(t0.n AS DOUBLE) * (CAST(t0.n AS DOUBLE) - 1.0))
+        |                         / CAST(t0.n AS DOUBLE)) > 0.0
+        |        THEN (CAST(t1.sd AS DOUBLE) / CAST(t1.n AS DOUBLE)
+        |              - CAST(t0.sd AS DOUBLE) / CAST(t0.n AS DOUBLE))
+        |             / sqrt(CAST(t1.n * t1.sdd - t1.sd * t1.sd AS DOUBLE)
+        |                      / (CAST(t1.n AS DOUBLE) * (CAST(t1.n AS DOUBLE) - 1.0))
+        |                      / CAST(t1.n AS DOUBLE)
+        |                    + CAST(t0.n * t0.sdd - t0.sd * t0.sd AS DOUBLE)
+        |                      / (CAST(t0.n AS DOUBLE) * (CAST(t0.n AS DOUBLE) - 1.0))
+        |                      / CAST(t0.n AS DOUBLE)) END, 6) AS z
+        |FROM (SELECT * FROM a WHERE t = 1) t1, (SELECT * FROM a WHERE t = 0) t0""".stripMargin) {
+      (s, dir) =>
+        val per = tb(s, dir).events.filter(col("value").isNotNull)
+          .select(col("user_id"),
+            floor(col("value") * lit(1000.0d)).cast("long").as("vm"),
+            (col("ts") < lit("2024-01-08").cast("timestamp")).as("pre"))
+          .groupBy("user_id")
+          .agg(coalesce(sum(when(col("pre"), col("vm"))), lit(0L)).as("x"),
+            coalesce(sum(when(!col("pre"), col("vm"))), lit(0L)).as("y"))
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+              .otherwise("arm_b"))
+        RankStats.diffInDiff(per, "x", "y", "arm", "arm_a")
+          .select(col("n_t"), col("n_c"),
+            round(col("mean_diff_t"), 6).as("mean_diff_t"),
+            round(col("mean_diff_c"), 6).as("mean_diff_c"),
+            round(col("did"), 6).as("did"),
+            round(col("se"), 6).as("se"),
+            round(col("z"), 6).as("z"))
+    },
+
     // ---- BH-FDR drift gate (RankStats.bhFdr ∘ mannWhitneyPerSlice):
     //      eight doc_id buckets, one with a PLANTED +1000-char shift
     //      (the driver's synthetic slices are homogeneous — every

@@ -591,6 +591,46 @@ class RankStatsSpec extends SparkSpec {
       m("a").getAs[Double]("mean_y"))
   }
 
+  test("upliftCurve: hand-computed cumulative uplift and qini; blocked " +
+    "scan equivalence; contracts raise") {
+    val df = Seq((2L, "t", 1L), (2L, "c", 0L), (1L, "t", 0L),
+      (1L, "c", 1L)).toDF("s", "arm", "y")
+    def rows(mb: Long) = RankStats.upliftCurve(df, "s", "arm", "t", "y",
+      maxBlocks = mb).orderBy(col("score").desc)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val got = rows(1L << 20)
+    // top bucket: 1 treated converter vs 0 control → uplift 1, qini 1;
+    // whole population: 1 vs 1 → uplift 0, qini 0
+    assert(got === Seq((2L, 1L, 1L, 1L, 0L, 1.0, 1.0),
+      (1L, 2L, 2L, 1L, 1L, 0.0, 0.0)))
+    assert(rows(2L) === got)
+    intercept[Exception] {
+      RankStats.upliftCurve(
+        Seq((1L, "t", 2L)).toDF("s", "arm", "y"), "s", "arm", "t", "y")
+        .collect()
+    }
+  }
+
+  test("diffInDiff: hand-computed contrast with Welch SE") {
+    // treated deltas {4, 6} (mean 5, var 2); control {1, 3} (mean 2,
+    // var 2): did = 3, se = √(2/2 + 2/2) = √2
+    val df = Seq((0L, 4L, "t"), (0L, 6L, "t"), (0L, 1L, "c"),
+      (0L, 3L, "c")).toDF("pre", "post", "arm")
+    val r = RankStats.diffInDiff(df, "pre", "post", "arm", "t").head()
+    assert(r.getAs[Long]("n_t") === 2L && r.getAs[Long]("n_c") === 2L)
+    assert(math.abs(r.getAs[Double]("mean_diff_t") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("did") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - 3.0 / math.sqrt(2.0)) < 1e-12)
+    // single-unit arms have no delta variance → se/z NULL
+    val tiny = RankStats.diffInDiff(
+      Seq((0L, 4L, "t"), (0L, 1L, "c")).toDF("pre", "post", "arm"),
+      "pre", "post", "arm", "t").head()
+    assert(tiny.isNullAt(tiny.fieldIndex("se")) &&
+      tiny.isNullAt(tiny.fieldIndex("z")))
+    assert(math.abs(tiny.getAs[Double]("did") - 3.0) < 1e-12)
+  }
+
   test("kendallTau: NULL values raise loudly") {
     val df = Seq((Some(1L), 1L), (None, 2L)).toDF("x", "y")
     intercept[Exception] {
