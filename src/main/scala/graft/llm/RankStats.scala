@@ -728,6 +728,140 @@ object RankStats {
         when(col("se") > 0.0, col("did") / col("se")))
   }
 
+  /** Stratified (standardized) average treatment effect: when arms are
+    * imbalanced on a confounder, the naive ȳ_t − ȳ_c mixes the
+    * treatment effect with the imbalance; stratifying on the
+    * confounder buckets and re-weighting per-stratum contrasts by the
+    * stratum's population share removes it (exact standardization).
+    * Strata missing either arm (positivity violations) are DROPPED
+    * and counted in `n_dropped` — a silent average over them would be
+    * extrapolation. Output: one row (n_used, n_strata, n_dropped,
+    * ate_naive over the USED strata, ate_strat, se = √Σ w_s²(v_ts/n_ts
+    * + v_cs/n_cs), z; se/z NULL when any used stratum-arm has < 2
+    * units). All moments exact (caller-quantized y — the long
+    * contract); the weighting is the one closed-form double layer.
+    */
+  def stratifiedAte(df: DataFrame, stratumCol: String, armCol: String,
+                    treatLabel: String, yCol: String): DataFrame = {
+    val op = "stratifiedAte"
+    val dec = "decimal(38,0)"
+    val rows = df.select(
+      when(col(stratumCol).isNull,
+        raise_error(lit(s"$op: NULL stratum in $stratumCol")))
+        .otherwise(col(stratumCol)).cast("string").as("_s"),
+      when(col(armCol).isNull,
+        raise_error(lit(s"$op: NULL arm in $armCol")))
+        .otherwise((col(armCol) === treatLabel).cast("long")).as("_t"),
+      checkedLong(col(yCol), op, s"value in $yCol").as("_y"))
+    val cells = rows.groupBy("_s", "_t")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_sy"),
+        sum(col("_y").cast(dec) * col("_y").cast(dec)).as("_syy"))
+    val strata = cells.groupBy("_s")
+      .agg(max(when(col("_t") === 1L, col("_n"))).as("n_ts"),
+        max(when(col("_t") === 1L, col("_sy"))).as("sy_ts"),
+        max(when(col("_t") === 1L, col("_syy"))).as("syy_ts"),
+        max(when(col("_t") === 0L, col("_n"))).as("n_cs"),
+        max(when(col("_t") === 0L, col("_sy"))).as("sy_cs"),
+        max(when(col("_t") === 0L, col("_syy"))).as("syy_cs"))
+      .withColumn("_ok", col("n_ts").isNotNull && col("n_cs").isNotNull)
+    def meanOf(sy: Column, n: Column): Column =
+      sy.cast("double") / n.cast("double")
+    def varOf(n: Column, sy: Column, syy: Column): Column =
+      (n.cast(dec) * syy - sy.cast(dec) * sy.cast(dec)).cast("double") /
+        (n.cast("double") * (n.cast("double") - 1.0))
+    val used = strata.filter(col("_ok"))
+      .withColumn("_ns", col("n_ts") + col("n_cs"))
+    val tot = used.agg(coalesce(sum("_ns"), lit(0L)).as("_nTot"))
+    val dropped = strata.filter(!col("_ok"))
+      .agg(count(lit(1)).as("n_dropped"))
+    val w = col("_ns").cast("double") / col("_nTot").cast("double")
+    val contrast = meanOf(col("sy_ts"), col("n_ts")) -
+      meanOf(col("sy_cs"), col("n_cs"))
+    val varTerm = varOf(col("n_ts"), col("sy_ts"), col("syy_ts")) /
+      col("n_ts").cast("double") +
+      varOf(col("n_cs"), col("sy_cs"), col("syy_cs")) /
+        col("n_cs").cast("double")
+    used.crossJoin(broadcast(tot))
+      .select(col("_ns"), col("n_ts"), col("n_cs"),
+        col("sy_ts"), col("sy_cs"),
+        (w * contrast).as("_wc"),
+        when(col("n_ts") > 1L && col("n_cs") > 1L, w * w * varTerm)
+          .as("_wv"))
+      .agg(coalesce(sum("_ns"), lit(0L)).as("n_used"),
+        count(lit(1)).as("n_strata"),
+        coalesce(sum("sy_ts"), lit(0L)).as("_syt"),
+        coalesce(sum("n_ts"), lit(0L)).as("_nt"),
+        coalesce(sum("sy_cs"), lit(0L)).as("_syc"),
+        coalesce(sum("n_cs"), lit(0L)).as("_nc"),
+        sum("_wc").as("ate_strat"),
+        sum("_wv").as("_varSum"))
+      .crossJoin(broadcast(dropped))
+      .select(col("n_used"), col("n_strata"), col("n_dropped"),
+        when(col("_nt") > 0L && col("_nc") > 0L,
+          meanOf(col("_syt"), col("_nt")) - meanOf(col("_syc"), col("_nc")))
+          .as("ate_naive"),
+        col("ate_strat"),
+        when(col("_varSum") > 0.0, sqrt(col("_varSum"))).as("se"))
+      .withColumn("z",
+        when(col("se") > 0.0, col("ate_strat") / col("se")))
+  }
+
+  /** Peeking-safe sequential experiment monitor: the running
+    * two-proportion z per day against an O'Brien–Fleming-shaped
+    * boundary b(f) = c/√f (f = information fraction = units so far /
+    * total units, c = 2.7969 ≈ the two-sided α = 0.05 OBF constant) —
+    * crossing early requires overwhelming evidence, so the analyst
+    * can look every day without inflating false positives. Cumulative
+    * exact integers per day via the two-level scan; z, boundary and
+    * the decision margin are the closed-form double layer (`crossed`
+    * compares the 6-decimal-rounded margin on BOTH engines — the
+    * bhFdr Boolean-output lesson). Output per day: n_t, n_c, y_t,
+    * y_c, z (NULL when a side is empty or pooled variance is 0),
+    * boundary, margin, crossed.
+    */
+  def sequentialBoundary(df: DataFrame, dayCol: String, armCol: String,
+                         treatLabel: String, yCol: String,
+                         cObf: Double = 2.7969,
+                         maxBlocks: Long = 1L << 20): DataFrame = {
+    val op = "sequentialBoundary"
+    val rows = df.select(
+      checkedLong(col(dayCol), op, s"value in $dayCol").as("_v"),
+      when(col(armCol).isNull,
+        raise_error(lit(s"$op: NULL arm in $armCol")))
+        .otherwise((col(armCol) === treatLabel).cast("long")).as("_t"),
+      when(col(yCol).isNull || (col(yCol) =!= 0 && col(yCol) =!= 1),
+        raise_error(concat(lit(s"$op: outcome must be 0 or 1, got "),
+          coalesce(col(yCol).cast("string"), lit("NULL")))))
+        .otherwise(col(yCol)).cast("long").as("_y"))
+    val vc = rows.groupBy("_v")
+      .agg(sum("_t").as("_nt"), sum(lit(1L) - col("_t")).as("_nc"),
+        sum(col("_t") * col("_y")).as("_yt"),
+        sum((lit(1L) - col("_t")) * col("_y")).as("_yc"))
+    val tot = rows.agg(count(lit(1)).as("_nAll"))
+    val cum = withValuePrefixes(vc, Seq("_nt", "_nc", "_yt", "_yc"),
+      maxBlocks)
+      .crossJoin(broadcast(tot))
+      .select(col("_v").as("day"),
+        (col("_pre__nt") + col("_nt")).as("n_t"),
+        (col("_pre__nc") + col("_nc")).as("n_c"),
+        (col("_pre__yt") + col("_yt")).as("y_t"),
+        (col("_pre__yc") + col("_yc")).as("y_c"),
+        col("_nAll"))
+    val (ntD, ncD) = (col("n_t").cast("double"), col("n_c").cast("double"))
+    val pPool = (col("y_t") + col("y_c")).cast("double") / (ntD + ncD)
+    val sig2 = pPool * (lit(1.0) - pPool) * (lit(1.0) / ntD + lit(1.0) / ncD)
+    val f = (ntD + ncD) / col("_nAll").cast("double")
+    cum
+      .withColumn("z",
+        when(col("n_t") > 0L && col("n_c") > 0L && sig2 > 0.0,
+          (col("y_t").cast("double") / ntD -
+            col("y_c").cast("double") / ncD) / sqrt(sig2)))
+      .withColumn("boundary", lit(cObf) / sqrt(f))
+      .withColumn("margin", round(abs(col("z")) - col("boundary"), 6))
+      .withColumn("crossed", coalesce(col("margin") >= 0.0, lit(false)))
+      .drop("_nAll")
+  }
+
   /** Two-sample KS of EVERY slice against its complement in one pass,
     * exact: per slice, sup over the real line of the ECDF deviation in
     * n_s·n_rest integer units. The sup is attained either AT one of

@@ -1022,6 +1022,128 @@ object StatsQueries {
             round(col("z"), 6).as("z"))
     },
 
+    // ---- stratified ATE (RankStats.stratifiedAte): the conversion
+    //      effect standardized over activity strata (count div 20) —
+    //      imbalanced arms mix confounding into the naive contrast;
+    //      per-stratum contrasts re-weight by population share,
+    //      one-arm strata drop loudly into n_dropped ----
+    "q_eval_stratified_ate" -> Q(
+      """WITH u AS (SELECT user_id, CAST(count(*) // 20 AS BIGINT) AS s,
+        |             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |           FROM events GROUP BY user_id),
+        |cells AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n,
+        |                 sum(CAST(y AS HUGEINT)) AS sy,
+        |                 sum(CAST(y AS HUGEINT) * y) AS syy
+        |          FROM u GROUP BY s, t),
+        |st AS (SELECT s,
+        |         max(CASE WHEN t = 1 THEN n END) AS n_ts,
+        |         max(CASE WHEN t = 1 THEN sy END) AS sy_ts,
+        |         max(CASE WHEN t = 1 THEN syy END) AS syy_ts,
+        |         max(CASE WHEN t = 0 THEN n END) AS n_cs,
+        |         max(CASE WHEN t = 0 THEN sy END) AS sy_cs,
+        |         max(CASE WHEN t = 0 THEN syy END) AS syy_cs
+        |       FROM cells GROUP BY s),
+        |used AS (SELECT *, n_ts + n_cs AS ns FROM st
+        |         WHERE n_ts IS NOT NULL AND n_cs IS NOT NULL),
+        |tot AS (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS ntot FROM used),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM st
+        |        WHERE n_ts IS NULL OR n_cs IS NULL),
+        |terms AS (SELECT used.ns, used.n_ts, used.n_cs, used.sy_ts, used.sy_cs,
+        |            (CAST(used.ns AS DOUBLE) / CAST(tot.ntot AS DOUBLE))
+        |              * (CAST(used.sy_ts AS DOUBLE) / CAST(used.n_ts AS DOUBLE)
+        |                 - CAST(used.sy_cs AS DOUBLE) / CAST(used.n_cs AS DOUBLE)) AS wc,
+        |            CASE WHEN used.n_ts > 1 AND used.n_cs > 1
+        |              THEN (CAST(used.ns AS DOUBLE) / CAST(tot.ntot AS DOUBLE))
+        |                   * (CAST(used.ns AS DOUBLE) / CAST(tot.ntot AS DOUBLE))
+        |                   * (CAST(used.n_ts * used.syy_ts - used.sy_ts * used.sy_ts AS DOUBLE)
+        |                        / (CAST(used.n_ts AS DOUBLE) * (CAST(used.n_ts AS DOUBLE) - 1.0))
+        |                        / CAST(used.n_ts AS DOUBLE)
+        |                      + CAST(used.n_cs * used.syy_cs - used.sy_cs * used.sy_cs AS DOUBLE)
+        |                        / (CAST(used.n_cs AS DOUBLE) * (CAST(used.n_cs AS DOUBLE) - 1.0))
+        |                        / CAST(used.n_cs AS DOUBLE)) END AS wv
+        |          FROM used, tot)
+        |SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS n_used,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  (SELECT n_dropped FROM drp) AS n_dropped,
+        |  round(CASE WHEN sum(n_ts) > 0 AND sum(n_cs) > 0
+        |        THEN CAST(sum(sy_ts) AS DOUBLE) / CAST(sum(n_ts) AS DOUBLE)
+        |             - CAST(sum(sy_cs) AS DOUBLE) / CAST(sum(n_cs) AS DOUBLE) END, 6) AS ate_naive,
+        |  round(sum(wc), 6) AS ate_strat,
+        |  round(CASE WHEN sum(wv) > 0.0 THEN sqrt(sum(wv)) END, 6) AS se,
+        |  round(CASE WHEN sum(wv) > 0.0 THEN sum(wc) / sqrt(sum(wv)) END, 6) AS z
+        |FROM terms""".stripMargin) { (s, dir) =>
+      val users = tb(s, dir).events.groupBy("user_id")
+        .agg(expr("count(*) div 20").as("s"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+      RankStats.stratifiedAte(users, "s", "arm", "arm_a", "y")
+        .select(col("n_used"), col("n_strata"), col("n_dropped"),
+          round(col("ate_naive"), 6).as("ate_naive"),
+          round(col("ate_strat"), 6).as("ate_strat"),
+          round(col("se"), 6).as("se"),
+          round(col("z"), 6).as("z"))
+    },
+
+    // ---- peeking-safe sequential monitor (RankStats.
+    //      sequentialBoundary): running two-proportion z per
+    //      enrollment day vs the O'Brien–Fleming-shaped c/√f boundary
+    //      — daily looks without alpha inflation; the crossed flag
+    //      compares the 6-decimal margin on both engines ----
+    "q_eval_sequential" -> Q(
+      """WITH u AS (SELECT user_id,
+        |             CAST(day(min(CAST(ts AS TIMESTAMP))) AS BIGINT) AS d,
+        |             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+        |           FROM events GROUP BY user_id),
+        |vc AS (SELECT d, CAST(sum(t) AS BIGINT) AS nt,
+        |              CAST(sum(1 - t) AS BIGINT) AS nc,
+        |              CAST(sum(t * y) AS BIGINT) AS yt,
+        |              CAST(sum((1 - t) * y) AS BIGINT) AS yc
+        |       FROM u GROUP BY d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM u),
+        |p AS (SELECT d,
+        |        CAST(sum(nt) OVER w AS BIGINT) AS n_t,
+        |        CAST(sum(nc) OVER w AS BIGINT) AS n_c,
+        |        CAST(sum(yt) OVER w AS BIGINT) AS y_t,
+        |        CAST(sum(yc) OVER w AS BIGINT) AS y_c
+        |      FROM vc
+        |      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT p.d AS day, p.n_t, p.n_c, p.y_t, p.y_c,
+        |        CASE WHEN p.n_t > 0 AND p.n_c > 0
+        |              AND (CAST(p.y_t + p.y_c AS DOUBLE) / (CAST(p.n_t AS DOUBLE) + CAST(p.n_c AS DOUBLE)))
+        |                  * (1.0 - CAST(p.y_t + p.y_c AS DOUBLE) / (CAST(p.n_t AS DOUBLE) + CAST(p.n_c AS DOUBLE)))
+        |                  * (1.0 / CAST(p.n_t AS DOUBLE) + 1.0 / CAST(p.n_c AS DOUBLE)) > 0.0
+        |          THEN (CAST(p.y_t AS DOUBLE) / CAST(p.n_t AS DOUBLE)
+        |                - CAST(p.y_c AS DOUBLE) / CAST(p.n_c AS DOUBLE))
+        |               / sqrt((CAST(p.y_t + p.y_c AS DOUBLE) / (CAST(p.n_t AS DOUBLE) + CAST(p.n_c AS DOUBLE)))
+        |                      * (1.0 - CAST(p.y_t + p.y_c AS DOUBLE) / (CAST(p.n_t AS DOUBLE) + CAST(p.n_c AS DOUBLE)))
+        |                      * (1.0 / CAST(p.n_t AS DOUBLE) + 1.0 / CAST(p.n_c AS DOUBLE))) END AS z,
+        |        2.7969 / sqrt((CAST(p.n_t AS DOUBLE) + CAST(p.n_c AS DOUBLE)) / CAST(tot.nall AS DOUBLE)) AS boundary
+        |      FROM p, tot)
+        |SELECT day, n_t, n_c, y_t, y_c, round(z, 6) AS z,
+        |  round(boundary, 6) AS boundary,
+        |  round(abs(z) - boundary, 6) AS margin,
+        |  coalesce(round(abs(z) - boundary, 6) >= 0.0, false) AS crossed
+        |FROM q ORDER BY day""".stripMargin) { (s, dir) =>
+      val users = tb(s, dir).events.groupBy("user_id")
+        .agg(dayofmonth(min("ts")).cast("long").as("d"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+      RankStats.sequentialBoundary(users, "d", "arm", "arm_a", "y")
+        .select(col("day"), col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+          round(col("z"), 6).as("z"),
+          round(col("boundary"), 6).as("boundary"),
+          col("margin"), col("crossed"))
+        .orderBy("day")
+    },
+
     // ---- BH-FDR drift gate (RankStats.bhFdr ∘ mannWhitneyPerSlice):
     //      eight doc_id buckets, one with a PLANTED +1000-char shift
     //      (the driver's synthetic slices are homogeneous — every

@@ -631,6 +631,57 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(tiny.getAs[Double]("did") - 3.0) < 1e-12)
   }
 
+  test("stratifiedAte: standardization removes a planted Simpson " +
+    "imbalance; one-arm strata drop loudly into n_dropped") {
+    // stratum a: 1 treated {0} vs 3 control {0,0,0} — contrast 0;
+    // stratum b: 3 treated {1,1,1} vs 1 control {1} — contrast 0;
+    // stratum z: treated only → dropped.
+    // naive over used: 3/4 − 1/4 = 0.5; stratified: exactly 0.
+    val df = Seq(
+      ("a", "t", 0L), ("a", "c", 0L), ("a", "c", 0L), ("a", "c", 0L),
+      ("b", "t", 1L), ("b", "t", 1L), ("b", "t", 1L), ("b", "c", 1L),
+      ("z", "t", 1L)).toDF("s", "arm", "y")
+    val r = RankStats.stratifiedAte(df, "s", "arm", "t", "y").head()
+    assert(r.getAs[Long]("n_used") === 8L &&
+      r.getAs[Long]("n_strata") === 2L &&
+      r.getAs[Long]("n_dropped") === 1L)
+    assert(math.abs(r.getAs[Double]("ate_naive") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("ate_strat")) < 1e-12)
+    // single-unit arms in both strata → no variance → se NULL
+    assert(r.isNullAt(r.fieldIndex("se")))
+    // balanced case: hand-computed stratified variance
+    val bal = Seq(
+      ("a", "t", 1L), ("a", "t", 0L), ("a", "c", 0L), ("a", "c", 0L),
+      ("b", "t", 1L), ("b", "t", 1L), ("b", "c", 1L), ("b", "c", 0L))
+      .toDF("s", "arm", "y")
+    val b = RankStats.stratifiedAte(bal, "s", "arm", "t", "y").head()
+    assert(math.abs(b.getAs[Double]("ate_strat") - 0.5) < 1e-12)
+    assert(math.abs(b.getAs[Double]("se") - math.sqrt(0.125)) < 1e-12)
+  }
+
+  test("sequentialBoundary: hand-computed running z vs the OBF-shaped " +
+    "boundary; an overwhelming effect crosses") {
+    val df = (Seq.fill(2)(("t", 1L, 1L)) ++ Seq.fill(2)(("c", 1L, 0L)) ++
+      Seq(("t", 2L, 0L), ("c", 2L, 1L))).toDF("arm", "d", "y")
+    val m = RankStats.sequentialBoundary(df, "d", "arm", "t", "y")
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    // day 1: z = (1−0)/√0.25 = 2, f = 4/6 → boundary ≈ 3.4254
+    assert(math.abs(m(1L).getAs[Double]("z") - 2.0) < 1e-12)
+    assert(math.abs(m(1L).getAs[Double]("boundary") -
+      2.7969 / math.sqrt(4.0 / 6.0)) < 1e-12)
+    assert(!m(1L).getAs[Boolean]("crossed"))
+    // day 2: z = (2/3 − 1/3)/√(1/6), f = 1
+    assert(math.abs(m(2L).getAs[Double]("z") -
+      (1.0 / 3.0) / math.sqrt(1.0 / 6.0)) < 1e-12)
+    assert(!m(2L).getAs[Boolean]("crossed"))
+    // overwhelming one-day effect crosses the full-information bound
+    val big = (Seq.fill(50)(("t", 1L, 1L)) ++ Seq.fill(50)(("c", 1L, 0L)))
+      .toDF("arm", "d", "y")
+    val r = RankStats.sequentialBoundary(big, "d", "arm", "t", "y").head()
+    assert(math.abs(r.getAs[Double]("z") - 10.0) < 1e-12)
+    assert(r.getAs[Boolean]("crossed"))
+  }
+
   test("kendallTau: NULL values raise loudly") {
     val df = Seq((Some(1L), 1L), (None, 2L)).toDF("x", "y")
     intercept[Exception] {
