@@ -685,9 +685,11 @@ object RankStats {
     * changed on its own?" DiD = Δ̄_t − Δ̄_c over per-unit deltas
     * d = post − pre (exact longs; the caller quantizes), with the
     * Welch standard error from per-arm delta variances and z = DiD/se
-    * (NULL when a variance side degenerates). One keyed aggregate;
-    * every output is a closed-form double over exact decimal moments.
-    * Output: one row (n_t, n_c, mean_diff_t, mean_diff_c, did, se, z).
+    * (NULL when a variance side degenerates). One conditional grand
+    * aggregate pivots both arms; an EMPTY arm raises loudly — there is
+    * no contrast to report. Every output is a closed-form double over
+    * exact decimal moments. Output: one row (n_t, n_c, mean_diff_t,
+    * mean_diff_c, did, se, z).
     */
   def diffInDiff(df: DataFrame, preCol: String, postCol: String,
                  armCol: String, treatLabel: String): DataFrame = {
@@ -699,20 +701,36 @@ object RankStats {
       when(col(armCol).isNull,
         raise_error(lit(s"$op: NULL arm in $armCol")))
         .otherwise((col(armCol) === treatLabel).cast("long")).as("_t"))
-    val agg = rows.groupBy("_t")
-      .agg(count(lit(1)).as("_n"), sum("_d").as("_sd"),
-        sum(col("_d").cast(dec) * col("_d").cast(dec)).as("_sdd"))
-    def side(t: Int, suffix: String): DataFrame =
-      agg.filter(col("_t") === t.toLong)
-        .select(col("_n").as(s"n$suffix"), col("_sd").as(s"_sd$suffix"),
-          col("_sdd").as(s"_sdd$suffix"))
+    // ONE conditional aggregate pivots both arms (the stratifiedAte
+    // shape — the filtered-sides crossJoin cost two corpus scans); an
+    // EMPTY arm has no contrast and raises loudly (the twoGroupHeader
+    // stance) instead of vanishing to zero rows
+    def sideSum(t: Int, c: Column): Column =
+      sum(when(col("_t") === t.toLong, c).otherwise(lit(null)))
+    val agg = rows.agg(
+      coalesce(sum(col("_t")), lit(0L)).as("_nt0"),
+      coalesce(sum(lit(1L) - col("_t")), lit(0L)).as("_nc0"),
+      coalesce(sideSum(1, col("_d")), lit(0L)).as("_sd_t"),
+      coalesce(sideSum(0, col("_d")), lit(0L)).as("_sd_c"),
+      coalesce(sideSum(1, col("_d").cast(dec) * col("_d").cast(dec)),
+        lit(0).cast(dec)).as("_sdd_t"),
+      coalesce(sideSum(0, col("_d").cast(dec) * col("_d").cast(dec)),
+        lit(0).cast(dec)).as("_sdd_c"))
+      .select(
+        when(col("_nt0") === 0L,
+          raise_error(lit(s"$op: no rows in the treated arm")))
+          .otherwise(col("_nt0")).as("n_t"),
+        when(col("_nc0") === 0L,
+          raise_error(lit(s"$op: no rows in the control arm")))
+          .otherwise(col("_nc0")).as("n_c"),
+        col("_sd_t"), col("_sd_c"), col("_sdd_t"), col("_sdd_c"))
     def meanD(n: Column, sd: Column): Column =
       sd.cast("double") / n.cast("double")
     // sample variance of the deltas: (n·Σd² − (Σd)²) / (n·(n−1))
     def varD(n: Column, sd: Column, sdd: Column): Column =
       (n.cast(dec) * sdd - sd.cast(dec) * sd.cast(dec)).cast("double") /
         (n.cast("double") * (n.cast("double") - 1.0))
-    side(1, "_t").crossJoin(broadcast(side(0, "_c")))
+    agg
       .select(
         col("n_t"), col("n_c"),
         meanD(col("n_t"), col("_sd_t")).as("mean_diff_t"),
@@ -794,14 +812,19 @@ object RankStats {
         coalesce(sum("sy_cs"), lit(0L)).as("_syc"),
         coalesce(sum("n_cs"), lit(0L)).as("_nc"),
         sum("_wc").as("ate_strat"),
-        sum("_wv").as("_varSum"))
+        sum("_wv").as("_varSum"),
+        // sum() SKIPS NULL variance terms — a stratum with a 1-unit
+        // arm would silently shrink the variance and inflate z; count
+        // them so se goes NULL instead (the documented contract)
+        sum(when(col("_wv").isNull, 1L).otherwise(0L)).as("_nullWv"))
       .crossJoin(broadcast(dropped))
       .select(col("n_used"), col("n_strata"), col("n_dropped"),
         when(col("_nt") > 0L && col("_nc") > 0L,
           meanOf(col("_syt"), col("_nt")) - meanOf(col("_syc"), col("_nc")))
           .as("ate_naive"),
         col("ate_strat"),
-        when(col("_varSum") > 0.0, sqrt(col("_varSum"))).as("se"))
+        when(col("_nullWv") === 0L && col("_varSum") > 0.0,
+          sqrt(col("_varSum"))).as("se"))
       .withColumn("z",
         when(col("se") > 0.0, col("ate_strat") / col("se")))
   }
@@ -837,16 +860,21 @@ object RankStats {
       .agg(sum("_t").as("_nt"), sum(lit(1L) - col("_t")).as("_nc"),
         sum(col("_t") * col("_y")).as("_yt"),
         sum((lit(1L) - col("_t")) * col("_y")).as("_yc"))
-    val tot = rows.agg(count(lit(1)).as("_nAll"))
+    // total units = the LAST day's cumulative count: one window over
+    // the grid-bounded cumulative frame — a rows.agg(count) here would
+    // re-scan the corpus (and re-run the raise_error checks) for one
+    // number (r11 session-5 review finding)
     val cum = withValuePrefixes(vc, Seq("_nt", "_nc", "_yt", "_yc"),
       maxBlocks)
-      .crossJoin(broadcast(tot))
       .select(col("_v").as("day"),
         (col("_pre__nt") + col("_nt")).as("n_t"),
         (col("_pre__nc") + col("_nc")).as("n_c"),
         (col("_pre__yt") + col("_yt")).as("y_t"),
-        (col("_pre__yc") + col("_yc")).as("y_c"),
-        col("_nAll"))
+        (col("_pre__yc") + col("_yc")).as("y_c"))
+      .withColumn("_nAll",
+        max(col("n_t") + col("n_c")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
     val (ntD, ncD) = (col("n_t").cast("double"), col("n_c").cast("double"))
     val pPool = (col("y_t") + col("y_c")).cast("double") / (ntD + ncD)
     val sig2 = pPool * (lit(1.0) - pPool) * (lit(1.0) / ntD + lit(1.0) / ncD)

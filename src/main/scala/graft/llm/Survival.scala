@@ -81,9 +81,39 @@ object Survival {
       .select(col("_v").as("t"), col("d"), col("c"))
   }
 
+  /** The survival-curve tail over a risk-set frame carrying (t, d,
+    * n_risk): cumulative ln((n−d)/n) over t, with the d = n_risk
+    * extinction pinned to an explicit 0.0 (Spark's ln(0) is NULL,
+    * which a windowed sum would silently SKIP — resurrecting the
+    * curve). Windows optionally partition by `partitionCols` — the
+    * ONE shared home for the subtle guard, so the grouped and global
+    * curves cannot drift (the keyedPrefixes-vs-withValuePrefixes
+    * generalization stance).
+    */
+  private def withSurvival(pre: DataFrame,
+                           partitionCols: Seq[String]): DataFrame = {
+    val w = (if (partitionCols.isEmpty) Window.orderBy("t")
+             else Window.partitionBy(partitionCols.map(col): _*)
+               .orderBy("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lnTerm = when(col("d") > 0L && col("d") < col("n_risk"),
+      log((col("n_risk") - col("d")).cast("double")) -
+        log(col("n_risk").cast("double"))).otherwise(lit(0.0))
+    pre
+      .withColumn("_lnSum", sum(lnTerm).over(w))
+      .withColumn("_dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
+      .withColumn("survival",
+        when(col("_dead") === 1L, lit(0.0)).otherwise(exp(col("_lnSum"))))
+      .drop("_lnSum", "_dead")
+  }
+
   /** The product-limit curve served from persisted (t, d, c) cells —
     * the batch face of the streaming state (shares [[kaplanMeier]]'s
-    * semantics and oracle exactly).
+    * semantics and oracle exactly). The curve frame is
+    * distinct-durations-sized (grid-bounded by the caller's
+    * quantization), so ONE ordered window over it is the
+    * block-summary idiom, not a corpus sort.
     */
   def kaplanMeierFromCells(cellsDf: DataFrame,
                            maxBlocks: Long = 1L << 20): DataFrame = {
@@ -95,21 +125,9 @@ object Survival {
       .select(col("_v").as("t"), col("_d").as("d"),
         (col("_n") - col("_d")).as("c"),
         (col("_total") - col("_pre__n")).as("n_risk"))
-    // the curve frame is distinct-durations-sized (grid-bounded by the
-    // caller's quantization), so ONE ordered window over it is the
-    // block-summary idiom, not a corpus sort
-    val w = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lnTerm = when(col("d") > 0L && col("d") < col("n_risk"),
-      log((col("n_risk") - col("d")).cast("double")) -
-        log(col("n_risk").cast("double"))).otherwise(lit(0.0))
-    pre
-      .withColumn("_lnSum", sum(lnTerm).over(w))
-      .withColumn("_dead",
-        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
+    withSurvival(pre, Nil)
       .select(col("t"), col("n_risk"), col("d"), col("c"),
-        when(col("_dead") === 1L, lit(0.0))
-          .otherwise(exp(col("_lnSum"))).as("survival"))
+        col("survival"))
   }
 
   /** Competing-risks cumulative incidence (Aalen–Johansen for the
@@ -218,18 +236,9 @@ object Survival {
       .select(col("_g").as("grp"), col("_v").as("t"), col("_d").as("d"),
         (col("_n") - col("_d")).as("c"),
         (col("_total") - col("_pre__n")).as("n_risk"))
-    val w = Window.partitionBy("grp").orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lnTerm = when(col("d") > 0L && col("d") < col("n_risk"),
-      log((col("n_risk") - col("d")).cast("double")) -
-        log(col("n_risk").cast("double"))).otherwise(lit(0.0))
-    pre
-      .withColumn("_lnSum", sum(lnTerm).over(w))
-      .withColumn("_dead",
-        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
+    withSurvival(pre, Seq("grp"))
       .select(col("grp"), col("t"), col("n_risk"), col("d"), col("c"),
-        when(col("_dead") === 1L, lit(0.0))
-          .otherwise(exp(col("_lnSum"))).as("survival"))
+        col("survival"))
   }
 
   /** Weibull fit of the survival curve by regression on the
@@ -279,21 +288,30 @@ object Survival {
     * is constant on every risk set (I = 0 — nothing to estimate).
     */
   def coxPh(df: DataFrame, durationCol: String, eventCol: String,
-            xCol: String, iterations: Int = 8): DataFrame = {
+            xCol: String, iterations: Int = 8,
+            maxCells: Int = 1 << 20): DataFrame = {
     val op = "coxPh"
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
     val spark = df.sparkSession
     val rows = df.select(
       checkedDuration(col(durationCol), op).as("_v"),
       checkedEvent(col(eventCol), op).as("_e"),
       when(col(xCol).isNull, raise_error(lit(s"$op: NULL covariate")))
         .otherwise(col(xCol)).cast("long").as("_x"))
+    // the bounded-collect GUARD, not just a stance: un-quantized
+    // durations/covariates make the cell grid corpus-sized and the
+    // collect a silent driver OOM — limit+count fails loudly instead
     val cells = rows.groupBy("_v", "_x")
       .agg(count(lit(1)).as("_n"), sum("_e").as("_d"))
+      .limit(maxCells + 1)
       .collect()
       .map(r => (r.getAs[Long]("_v"), r.getAs[Long]("_x"),
         r.getAs[Long]("_n"), r.getAs[Long]("_d")))
+    require(cells.length <= maxCells,
+      s"$op: the (duration x covariate) grid exceeds maxCells=$maxCells" +
+        " - quantize coarser (the RankStats long contract)")
     val n = cells.map(_._3).sum
     val nEvents = cells.map(_._4).sum
 

@@ -1070,8 +1070,10 @@ object StatsQueries {
         |        THEN CAST(sum(sy_ts) AS DOUBLE) / CAST(sum(n_ts) AS DOUBLE)
         |             - CAST(sum(sy_cs) AS DOUBLE) / CAST(sum(n_cs) AS DOUBLE) END, 6) AS ate_naive,
         |  round(sum(wc), 6) AS ate_strat,
-        |  round(CASE WHEN sum(wv) > 0.0 THEN sqrt(sum(wv)) END, 6) AS se,
-        |  round(CASE WHEN sum(wv) > 0.0 THEN sum(wc) / sqrt(sum(wv)) END, 6) AS z
+        |  round(CASE WHEN sum(CASE WHEN wv IS NULL THEN 1 ELSE 0 END) = 0
+        |              AND sum(wv) > 0.0 THEN sqrt(sum(wv)) END, 6) AS se,
+        |  round(CASE WHEN sum(CASE WHEN wv IS NULL THEN 1 ELSE 0 END) = 0
+        |              AND sum(wv) > 0.0 THEN sum(wc) / sqrt(sum(wv)) END, 6) AS z
         |FROM terms""".stripMargin) { (s, dir) =>
       val users = tb(s, dir).events.groupBy("user_id")
         .agg(expr("count(*) div 20").as("s"),

@@ -629,6 +629,13 @@ class RankStatsSpec extends SparkSpec {
     assert(tiny.isNullAt(tiny.fieldIndex("se")) &&
       tiny.isNullAt(tiny.fieldIndex("z")))
     assert(math.abs(tiny.getAs[Double]("did") - 3.0) < 1e-12)
+    // an empty arm has no contrast — loudly, not zero rows
+    val ex = intercept[Exception] {
+      RankStats.diffInDiff(
+        Seq((0L, 4L, "t"), (0L, 6L, "t")).toDF("pre", "post", "arm"),
+        "pre", "post", "arm", "t").collect()
+    }
+    assert(ex.getMessage.contains("control arm"))
   }
 
   test("stratifiedAte: standardization removes a planted Simpson " +
@@ -657,6 +664,17 @@ class RankStatsSpec extends SparkSpec {
     val b = RankStats.stratifiedAte(bal, "s", "arm", "t", "y").head()
     assert(math.abs(b.getAs[Double]("ate_strat") - 0.5) < 1e-12)
     assert(math.abs(b.getAs[Double]("se") - math.sqrt(0.125)) < 1e-12)
+    // MIXED: one stratum with a 1-unit arm next to a balanced one —
+    // a partial variance sum would understate se; it must be NULL
+    val mixed = Seq(
+      ("a", "t", 1L), ("a", "t", 0L), ("a", "c", 0L), ("a", "c", 1L),
+      ("b", "t", 1L), ("b", "c", 0L), ("b", "c", 1L))
+      .toDF("s", "arm", "y")
+    val mx = RankStats.stratifiedAte(mixed, "s", "arm", "t", "y").head()
+    assert(mx.getAs[Long]("n_strata") === 2L)
+    assert(mx.isNullAt(mx.fieldIndex("se")) &&
+      mx.isNullAt(mx.fieldIndex("z")),
+      "a single under-sized stratum-arm must NULL the whole se")
   }
 
   test("sequentialBoundary: hand-computed running z vs the OBF-shaped " +

@@ -204,6 +204,15 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(u) < 1e-7, s"score at beta-hat should vanish, got $u")
   }
 
+  test("coxPh: an over-fine grid fails the bounded-collect guard loudly") {
+    val df = Seq.tabulate(20)(i => (i.toLong, 1L, i.toLong * 7L))
+      .toDF("t", "e", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Survival.coxPh(df, "t", "e", "x", maxCells = 10)
+    }
+    assert(ex.getMessage.contains("quantize coarser"))
+  }
+
   test("coxPh: a constant covariate has nothing to estimate (NULLs)") {
     val df = Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 0L, 5L))
       .toDF("t", "e", "x")
