@@ -357,8 +357,8 @@ object RankStats {
     * count is exact decimal folded to guarded longs (the
     * checkedRankSum stance); `tau_b` is the ONE closed-form double.
     * Output: n, n_pairs, concordant, discordant, t1, t2, t3 (pairs
-    * tied in x / in y / in both), tau_b (NULL when a margin is all
-    * ties).
+    * tied in x / in y / in both), tau_b, somers_d (each NULL when its
+    * normalizing margin is all ties).
     */
   def kendallTau(df: DataFrame, xCol: String, yCol: String,
                  maxBlocks: Long = 1024L): DataFrame = {

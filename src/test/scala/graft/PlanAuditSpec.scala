@@ -817,7 +817,12 @@ class PlanAuditSpec extends SparkSpec {
       for (out <- Seq(
           graft.llm.Survival.kaplanMeier(subj, "t", "e", maxBlocks = 16L),
           graft.llm.Survival.logRank(subj, "t", "e", "g",
-            maxBlocks = 16L))) {
+            maxBlocks = 16L),
+          graft.llm.Survival.kaplanMeierByGroup(subj, "t", "e", "g",
+            maxBlocks = 16L),
+          graft.llm.Survival.cumulativeIncidence(
+            subj.withColumn("k", col("e") * (col("t") % 2L + 1L)),
+            "t", "k", maxBlocks = 16L))) {
         val plan = out.queryExecution.executedPlan
         val single = plan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
