@@ -178,6 +178,37 @@ object Survival {
         col("_dk").as("d"), sum(col("_inc")).over(wC).as("cif"))
   }
 
+  /** Nelson–Aalen cumulative hazard: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with the
+    * standard variance Σ dᵢ/nᵢ² — the hazard-scale companion to
+    * [[kaplanMeier]] (a straight line means constant risk; e^{−H}
+    * gives the Fleming–Harrington survival alternative). Same exact
+    * risk-set integers and grid-bounded curve frame; the two
+    * cumulative ratios are the one double layer. Output: (t, n_risk,
+    * d, c, cum_hazard, var_hazard).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
+                  maxBlocks: Long = 1L << 20): DataFrame = {
+    val vc = cells(df, durationCol, eventCol)
+      .select(col("t").as("_v"), col("d").as("_d"),
+        (col("d") + col("c")).as("_n"))
+    val total = vc.agg(coalesce(sum("_n"), lit(0L)).as("_total"))
+    val pre = RankStats.withValuePrefixes(vc, Seq("_n"), maxBlocks)
+      .crossJoin(broadcast(total))
+      .select(col("_v").as("t"), col("_d").as("d"),
+        (col("_n") - col("_d")).as("c"),
+        (col("_total") - col("_pre__n")).as("n_risk"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n_risk").cast("double")
+    pre
+      .withColumn("cum_hazard",
+        sum(col("d").cast("double") / nD).over(w))
+      .withColumn("var_hazard",
+        sum(col("d").cast("double") / (nD * nD)).over(w))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        col("cum_hazard"), col("var_hazard"))
+  }
+
   /** Restricted mean survival time: the area under the Kaplan–Meier
     * step curve on [0, τ] — "mean hours-to-conversion within the first
     * τ hours", the bounded summary that exists even when the tail

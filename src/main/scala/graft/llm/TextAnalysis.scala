@@ -1338,6 +1338,71 @@ object TextAnalysis {
           cxy / vx * (cxy / vy)).as("r2"))
   }
 
+  /** Heaps'-law fit: vocabulary growth V(n) ≈ K·nᵝ over the corpus
+    * read in doc-id order — the companion lexical law to [[zipfFit]]
+    * (β ≈ 0.4–0.6 for natural text; a β that jumped after a pipeline
+    * change means near-duplicate text was injected (slow growth) or
+    * the tokenizer shattered (fast)). Scale shape: growth is sampled
+    * at ≤ maxBlocks DOC-BLOCK boundaries, never per doc — per-block
+    * token mass and NEW-vocabulary counts (each token charged to its
+    * min doc id) aggregate in two token-stream passes sharing ONE
+    * broadcast block grid computed from the full doc-id range (a
+    * per-frame withBoundedBlocks would mis-align the two frames'
+    * block widths), then the cumulative curve and the ln-ln OLS ride
+    * the ≤ maxBlocks block frame. Output: one row (n_blocks,
+    * n_tokens, n_vocab, beta, k, r2); NULL fit below two usable
+    * blocks.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               maxBlocks: Long = 256L): DataFrame = {
+    require(maxBlocks >= 2, s"maxBlocks must be >= 2, got $maxBlocks")
+    val stats = df.agg(min(col(idCol).cast("long")).as("_lo"),
+        max(col(idCol).cast("long")).as("_hi"))
+      .select(col("_lo"),
+        expr(s"(_hi - _lo + ${maxBlocks}L) div ${maxBlocks}L").as("_bw"))
+    def blk(name: String): Column = expr(s"($name - _lo) div _bw")
+    val toks = df.select(col(idCol).cast("long").as("_id"),
+      explode(tokens(col(textCol))).as("_tok"))
+    val bt = toks.groupBy("_id").agg(count(lit(1)).as("_ntok"))
+      .crossJoin(broadcast(stats))
+      .groupBy(blk("_id").as("_blk")).agg(sum("_ntok").as("_nt"))
+    val nv = toks.groupBy("_tok").agg(min("_id").as("_fd"))
+      .crossJoin(broadcast(stats))
+      .groupBy(blk("_fd").as("_blk")).agg(count(lit(1)).as("_nv"))
+    val w = Window.orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = bt.join(nv, Seq("_blk"), "left")
+      .na.fill(0L, Seq("_nv"))
+      .withColumn("_cn", sum("_nt").over(w))
+      .withColumn("_cv", sum("_nv").over(w))
+      .filter(col("_cn") > 0L && col("_cv") > 0L)
+      .select(col("_cn"), col("_cv"),
+        log(col("_cn").cast("double")).as("_x"),
+        log(col("_cv").cast("double")).as("_y"))
+    val a = pts.agg(count(lit(1)).as("n_blocks"),
+      max("_cn").as("n_tokens"), max("_cv").as("n_vocab"),
+      min("_cn").as("_minN"), min("_cv").as("_minV"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_y")).as("_sxy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"))
+    val nD = col("n_blocks").cast("double")
+    val vx = nD * col("_sxx") - col("_sx") * col("_sx")
+    val vy = nD * col("_syy") - col("_sy") * col("_sy")
+    val cxy = nD * col("_sxy") - col("_sx") * col("_sy")
+    // degeneracy keyed on the EXACT integers (min = max), never the
+    // derived float moments (the varianceShare r12 lesson): a
+    // saturated vocabulary makes vy a ±1e-9-class rounding residue
+    // whose SIGN differs between engines
+    val xVaries = col("n_blocks") >= 2L && col("_minN") =!= col("n_tokens")
+    val yVaries = col("_minV") =!= col("n_vocab")
+    a.select(col("n_blocks"), col("n_tokens"), col("n_vocab"),
+      when(xVaries, cxy / vx).as("beta"),
+      when(xVaries, exp((col("_sy") - cxy / vx * col("_sx")) / nD))
+        .as("k"),
+      when(xVaries && yVaries, cxy / vx * (cxy / vy)).as("r2"))
+  }
+
   /** Flesch reading ease + Flesch–Kincaid grade per document from
     * exact integer counts — the classic quality-filter signal a text
     * pipeline scores alongside [[qualityScore]]: words (whitespace

@@ -1806,6 +1806,62 @@ object LlmQueries {
         .orderBy("i")
     },
 
+    // ---- Heaps'-law fit (TextAnalysis.heapsFit): vocabulary growth
+    //      V(n) ≈ K·nᵝ sampled at 64 doc-block boundaries — the
+    //      vocabulary-saturation companion to q_llm_zipf; one shared
+    //      broadcast block grid keeps the token-mass and new-vocab
+    //      frames aligned ----
+    "q_llm_heaps" -> Q(
+      """WITH st AS (SELECT min(doc_id) AS lo,
+        |                   (max(doc_id) - min(doc_id) + 64) // 64 AS bw
+        |            FROM documents),
+        |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |       FROM documents),
+        |bt AS (SELECT (d.doc_id - st.lo) // st.bw AS blk,
+        |              CAST(sum(d.ntok) AS BIGINT) AS nt
+        |       FROM (SELECT doc_id, count(*) AS ntok FROM tk GROUP BY doc_id) d, st
+        |       GROUP BY 1),
+        |nv AS (SELECT (f.fd - st.lo) // st.bw AS blk,
+        |              CAST(count(*) AS BIGINT) AS nv
+        |       FROM (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY tok) f, st
+        |       GROUP BY 1),
+        |pt AS (SELECT bt.blk,
+        |         CAST(sum(bt.nt) OVER w AS BIGINT) AS cn,
+        |         CAST(sum(coalesce(nv.nv, 0)) OVER w AS BIGINT) AS cv
+        |       FROM bt LEFT JOIN nv USING (blk)
+        |       WINDOW w AS (ORDER BY bt.blk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pts AS (SELECT cn, cv, ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+        |        FROM pt WHERE cn > 0 AND cv > 0),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |              CAST(max(cn) AS BIGINT) AS n_tokens,
+        |              CAST(max(cv) AS BIGINT) AS n_vocab,
+        |              CAST(min(cn) AS BIGINT) AS minn,
+        |              CAST(min(cv) AS BIGINT) AS minv,
+        |              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |              sum(x * x) AS sxx, sum(y * y) AS syy
+        |       FROM pts)
+        |SELECT n_blocks, n_tokens, n_vocab,
+        |  round(CASE WHEN n_blocks >= 2 AND minn <> n_tokens
+        |        THEN (CAST(n_blocks AS DOUBLE) * sxy - sx * sy)
+        |             / (CAST(n_blocks AS DOUBLE) * sxx - sx * sx) END, 6) + 0.0 AS beta,
+        |  round(CASE WHEN n_blocks >= 2 AND minn <> n_tokens
+        |        THEN exp((sy - (CAST(n_blocks AS DOUBLE) * sxy - sx * sy)
+        |                       / (CAST(n_blocks AS DOUBLE) * sxx - sx * sx) * sx)
+        |                 / CAST(n_blocks AS DOUBLE)) END, 6) + 0.0 AS k,
+        |  round(CASE WHEN n_blocks >= 2 AND minn <> n_tokens AND minv <> n_vocab
+        |        THEN ((CAST(n_blocks AS DOUBLE) * sxy - sx * sy)
+        |              / (CAST(n_blocks AS DOUBLE) * sxx - sx * sx))
+        |             * ((CAST(n_blocks AS DOUBLE) * sxy - sx * sy)
+        |                / (CAST(n_blocks AS DOUBLE) * syy - sy * sy)) END, 6) + 0.0 AS r2
+        |FROM ag""".stripMargin) { (s, dir) =>
+      TextAnalysis.heapsFit(tb(s, dir).documents, "doc_id", "text",
+          maxBlocks = 64L)
+        .select(col("n_blocks"), col("n_tokens"), col("n_vocab"),
+          round(col("beta"), 6).as("beta"),
+          round(col("k"), 6).as("k"),
+          round(col("r2"), 6).as("r2"))
+    },
+
     // ---- Zipf-law fit (TextAnalysis.zipfFit): OLS of ln(count) on
     //      ln(rank) over the top-100 tokens — natural text sits near
     //      slope −1; a moved slope means a filter change ate the head

@@ -1411,6 +1411,32 @@ object StatsQueries {
           round(col("z"), 6).as("z"))
     },
 
+    // ---- Nelson–Aalen cumulative hazard (Survival.nelsonAalen):
+    //      H(t) = Σ d/n with variance Σ d/n² — the hazard-scale
+    //      companion curve (a straight line = constant risk) ----
+    "q_evt_nelson_aalen" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |km0 AS (SELECT dur_h AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |               CAST(count(*) - sum(ev) AS BIGINT) AS c,
+        |               CAST(count(*) AS BIGINT) AS n_at
+        |        FROM subj GROUP BY dur_h),
+        |km1 AS (SELECT t, d, c,
+        |          CAST((SELECT count(*) FROM subj)
+        |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |        FROM km0)
+        |SELECT t, n_risk, d, c,
+        |  round(sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_hazard,
+        |  round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+        |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS var_hazard
+        |FROM km1 ORDER BY t""".stripMargin) { (s, dir) =>
+      Survival.nelsonAalen(survivalSubjects(s, dir), "dur_h", "ev")
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          round(col("cum_hazard"), 6).as("cum_hazard"),
+          round(col("var_hazard"), 9).as("var_hazard"))
+        .orderBy("t")
+    },
+
     // ---- restricted mean survival time (Survival.rmst): mean
     //      hours-to-purchase within the first 10 days — the bounded
     //      summary that exists even when the censored tail never

@@ -61,6 +61,21 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard and variance") {
+    // (1,ev) (2,cens) (3,ev) (3,ev): H = 1/4, 1/4, 1/4+2/2;
+    // var = 1/16, 1/16, 1/16+2/4
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L)).toDF("t", "e")
+    val got = Survival.nelsonAalen(df, "t", "e").orderBy("t")
+      .select(col("t"), col("n_risk"), col("d"),
+        round(col("cum_hazard"), 9).as("h"),
+        round(col("var_hazard"), 9).as("v"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 1L, 0.25, 0.0625),
+      (2L, 3L, 0L, 0.25, 0.0625),
+      (3L, 2L, 2L, 1.25, 0.5625)))
+  }
+
   test("rmst: hand-computed area under the step curve; horizon caps " +
     "and head interval") {
     // curve from the textbook case: S=1 on [0,1), 5/6 on [1,3), 0.625

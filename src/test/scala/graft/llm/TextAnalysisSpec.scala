@@ -694,6 +694,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(math.exp(r.getAs[Double]("intercept")) - 144.0) < 1e-6)
   }
 
+  test("heapsFit: an exact V = n^0.5 growth curve fits beta 0.5, K 1, " +
+    "r2 1; saturated vocabulary NULLs r2 on the exact guard") {
+    import spark.implicits._
+    // 4 docs = 4 blocks; cumulative (tokens, vocab) = (4,2) (16,4)
+    // (64,8) (256,16) — exactly on the ln-ln line of slope 1/2
+    def doc(newToks: Seq[String], filler: Int): String =
+      (newToks ++ Seq.fill(filler)("a")).mkString(" ")
+    val docs = Seq(
+      (0L, "a b a b"),
+      (1L, doc(Seq("c", "d"), 10)),
+      (2L, doc(Seq("e", "f", "g", "h"), 44)),
+      (3L, doc((1 to 8).map(i => s"n$i"), 184))
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, "doc_id", "text", maxBlocks = 4L)
+      .head()
+    assert(r.getAs[Long]("n_blocks") === 4L &&
+      r.getAs[Long]("n_tokens") === 256L &&
+      r.getAs[Long]("n_vocab") === 16L)
+    assert(math.abs(r.getAs[Double]("beta") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("k") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    // saturated vocabulary: growth flat → r2 undefined via the exact
+    // min = max guard (the float moment is a ±1e-9 rounding residue)
+    val flat = Seq((0L, "a b"), (1L, "a b a"), (2L, "b a b"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(flat, "doc_id", "text", maxBlocks = 3L)
+      .head()
+    assert(!f.isNullAt(f.fieldIndex("beta")))
+    assert(f.isNullAt(f.fieldIndex("r2")))
+  }
+
   test("readability: exact counts and hand-computed Flesch/FK; floors " +
     "and the zero-word NULL") {
     import spark.implicits._
