@@ -410,12 +410,9 @@ object DedupOps {
                    thresholdNum: Int = 8, thresholdDen: Int = 10,
                    numHashes: Int = 8, rowsPerBand: Int = 4,
                    k: Int = 3): DataFrame =
-    nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k)
-      .filter(col("jaccard_n") * thresholdDen >= col("jaccard_d") * thresholdNum)
-      .withColumn("split1", Sampling.splitLabel(col("id1"), splits))
-      .withColumn("split2", Sampling.splitLabel(col("id2"), splits))
-      .filter(col("split1") =!= col("split2"))
-      .select("id1", "id2", "split1", "split2", "jaccard_n", "jaccard_d")
+    DedupIndex.splitLeakage(
+      nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k),
+      splits, thresholdNum, thresholdDen)
 
   /** The FIX for what [[splitLeakage]] measures: split assignment by
     * near-dup CLUSTER, not by document — every member of a connected
@@ -446,17 +443,10 @@ object DedupOps {
                     splits: Seq[(String, Double)],
                     thresholdNum: Int = 8, thresholdDen: Int = 10,
                     numHashes: Int = 8, rowsPerBand: Int = 4,
-                    k: Int = 3): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k)
-      .filter(col("jaccard_n") * thresholdDen >= col("jaccard_d") * thresholdNum)
-      .select("id1", "id2")
-    DupGraph.dupClusters(df.select(col(idCol)), idCol, pairs)
-      // pin the hash input's type: splitLabel md5's CAST(x AS STRING),
-      // and both engines must see the same "123" text form
-      .withColumn("component", col("component").cast("long"))
-      .select(col(idCol), col("component"),
-        Sampling.splitLabel(col("component"), splits).as("split"))
-  }
+                    k: Int = 3): DataFrame =
+    DedupIndex.leakFreeSplit(
+      nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k),
+      df, idCol, splits, thresholdNum, thresholdDen)
 
   /** Exact Jaccard verification of candidate pairs, as integer
     * numerator/denominator (|A∩B|, |A∪B|) — exact across engines, the
@@ -519,20 +509,9 @@ object DedupOps {
     * when done.
     */
   def dupSourceMatrix(df: DataFrame, idCol: String, textCol: String,
-                      srcCol: String): DataFrame = {
-    val dup = nearDupPairs(df, idCol, textCol)
-      .filter(col("jaccard_n") * 10 >= col("jaccard_d") * 8)
-    val src = df.select(col(idCol),
-      when(col(srcCol).isNull,
-        raise_error(lit(s"dupSourceMatrix: NULL source in $srcCol")))
-        .otherwise(col(srcCol)).as(srcCol))
-    dup
-      .join(src.select(col(idCol).as("id1"), col(srcCol).as("_s1")), Seq("id1"))
-      .join(src.select(col(idCol).as("id2"), col(srcCol).as("_s2")), Seq("id2"))
-      .select(least(col("_s1"), col("_s2")).as("src_a"),
-        greatest(col("_s1"), col("_s2")).as("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_dup_pairs"))
-  }
+                      srcCol: String): DataFrame =
+    DedupIndex.sourceMatrix(nearDupPairs(df, idCol, textCol), df, idCol,
+      srcCol)
 
   /** Asymmetric containment near-duplicates: pairs where one document's
     * shingle set is (nearly) CONTAINED in the other's —

@@ -68,11 +68,11 @@ object Survival {
     * cells are a commutative monoid (sum d, sum c per t), which is
     * what makes [[graft.streaming.SurvivalStream]]'s maintained state
     * bit-identical to one-shot counting (the ConformalStream
-    * contract).
+    * contract). `op` names the calling entry point in contract-raise
+    * messages (nelsonAalen and the streaming fold are NOT KM).
     */
-  def cells(df: DataFrame, durationCol: String,
-            eventCol: String): DataFrame = {
-    val op = "kaplanMeier"
+  def cells(df: DataFrame, durationCol: String, eventCol: String,
+            op: String = "kaplanMeier"): DataFrame = {
     df.select(
         checkedDuration(col(durationCol), op).as("_v"),
         checkedEvent(col(eventCol), op).as("_e"))
@@ -188,7 +188,7 @@ object Survival {
     */
   def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
                   maxBlocks: Long = 1L << 20): DataFrame = {
-    val vc = cells(df, durationCol, eventCol)
+    val vc = cells(df, durationCol, eventCol, "nelsonAalen")
       .select(col("t").as("_v"), col("d").as("_d"),
         (col("d") + col("c")).as("_n"))
     val total = vc.agg(coalesce(sum("_n"), lit(0L)).as("_total"))
@@ -279,7 +279,9 @@ object Survival {
     * read off the KM estimate. OLS over the grid-bounded curve frame
     * (one double fold, round(,6) in the query). Output: one row
     * (n_points, shape, scale); NULL fit when fewer than two usable
-    * points or zero slope variance.
+    * points, zero slope variance, or an exactly-zero slope (the scale
+    * formula divides by it — a flat ln-ln cloud has no Weibull shape,
+    * so both parameters are NULL, not a 0/Infinity pair).
     */
   def weibullFit(df: DataFrame, durationCol: String, eventCol: String,
                  maxBlocks: Long = 1L << 20): DataFrame = {
@@ -294,10 +296,12 @@ object Survival {
       sum(col("_x") * col("_x")).as("_sxx"))
     val nD = col("n_points").cast("double")
     val vx = nD * col("_sxx") - col("_sx") * col("_sx")
-    val slope = (nD * col("_sxy") - col("_sx") * col("_sy")) / vx
+    val cxy = nD * col("_sxy") - col("_sx") * col("_sy")
+    val slope = cxy / vx
+    val usable = col("n_points") >= 2L && vx > 0.0 && cxy =!= 0.0
     a.select(col("n_points"),
-      when(col("n_points") >= 2L && vx > 0.0, slope).as("shape"),
-      when(col("n_points") >= 2L && vx > 0.0,
+      when(usable, slope).as("shape"),
+      when(usable,
         exp(-((col("_sy") - slope * col("_sx")) / nD) / slope))
         .as("scale"))
   }
@@ -316,7 +320,10 @@ object Survival {
     * fixed point, so cross-engine summation-order drift dies at the
     * answer (round(,6) in the query). Output: one row (n, n_events,
     * beta, se = 1/√I(β̂), z = β/se); beta is NULL when the covariate
-    * is constant on every risk set (I = 0 — nothing to estimate).
+    * is constant on every risk set (I = 0 — nothing to estimate),
+    * when any sweep goes non-finite (complete separation overflowing
+    * e^{βx}), or when the closing Newton step is still material after
+    * the iteration budget (non-converged fit, never a silent guess).
     */
   def coxPh(df: DataFrame, durationCol: String, eventCol: String,
             xCol: String, iterations: Int = 8,
@@ -384,15 +391,29 @@ object Survival {
     var degenerate = false
     while (it < iterations && !degenerate) {
       val (u, i2) = sweep(beta)
-      if (i2 <= 0.0) degenerate = true else beta += u / i2
+      // monotone likelihood (complete separation) walks beta to ±inf
+      // and exp(beta*x) overflows — a non-finite sweep or step must
+      // land in the NULL branch, never a silently-wrong (beta, se, z)
+      if (!java.lang.Double.isFinite(u) || !java.lang.Double.isFinite(i2)
+          || i2 <= 0.0) degenerate = true
+      else {
+        beta += u / i2
+        if (!java.lang.Double.isFinite(beta)) degenerate = true
+      }
       it += 1
     }
     // se from the information AT the converged beta (the oracle's
-    // final evaluation mirrors this extra sweep)
-    val info = if (degenerate) 0.0 else sweep(beta)._2
+    // final evaluation mirrors this extra sweep); a closing Newton
+    // step still material vs the tolerance means the iteration budget
+    // did NOT converge — distinguishable as NULL, not returned as a
+    // point estimate
+    val (uF, info) = if (degenerate) (0.0, 0.0) else sweep(beta)
+    val converged = !degenerate && java.lang.Double.isFinite(uF) &&
+      java.lang.Double.isFinite(info) && info > 0.0 &&
+      math.abs(uF / info) <= 1e-8 * (1.0 + math.abs(beta))
     import spark.implicits._
     val (b, se, z) =
-      if (degenerate || info <= 0.0) (None, None, None)
+      if (!converged) (None, None, None)
       else {
         val s = 1.0 / math.sqrt(info)
         (Some(beta), Some(s), Some(beta / s))

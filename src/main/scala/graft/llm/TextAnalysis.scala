@@ -1356,13 +1356,20 @@ object TextAnalysis {
   def heapsFit(df: DataFrame, idCol: String, textCol: String,
                maxBlocks: Long = 256L): DataFrame = {
     require(maxBlocks >= 2, s"maxBlocks must be >= 2, got $maxBlocks")
-    val stats = df.agg(min(col(idCol).cast("long")).as("_lo"),
-        max(col(idCol).cast("long")).as("_hi"))
+    // the checkedLong stance: a NULL doc id would silently form a NULL
+    // block that sorts first in the cumulative window and skew the fit
+    val base = df.select(
+      when(col(idCol).isNull,
+        raise_error(lit(s"heapsFit: NULL doc id in $idCol")))
+        .otherwise(col(idCol)).cast("long").as("_id"),
+      col(textCol).as("_text"))
+    val stats = base.agg(min(col("_id")).as("_lo"),
+        max(col("_id")).as("_hi"))
       .select(col("_lo"),
         expr(s"(_hi - _lo + ${maxBlocks}L) div ${maxBlocks}L").as("_bw"))
     def blk(name: String): Column = expr(s"($name - _lo) div _bw")
-    val toks = df.select(col(idCol).cast("long").as("_id"),
-      explode(tokens(col(textCol))).as("_tok"))
+    val toks = base.select(col("_id"),
+      explode(tokens(col("_text"))).as("_tok"))
     val bt = toks.groupBy("_id").agg(count(lit(1)).as("_ntok"))
       .crossJoin(broadcast(stats))
       .groupBy(blk("_id").as("_blk")).agg(sum("_ntok").as("_nt"))

@@ -1378,10 +1378,12 @@ object StatsQueries {
         |SELECT n_points,
         |  round(CASE WHEN n_points >= 2
         |              AND CAST(n_points AS DOUBLE) * sxx - sx * sx > 0.0
+        |              AND CAST(n_points AS DOUBLE) * sxy - sx * sy <> 0.0
         |        THEN (CAST(n_points AS DOUBLE) * sxy - sx * sy)
         |             / (CAST(n_points AS DOUBLE) * sxx - sx * sx) END, 6) AS shape,
         |  round(CASE WHEN n_points >= 2
         |              AND CAST(n_points AS DOUBLE) * sxx - sx * sx > 0.0
+        |              AND CAST(n_points AS DOUBLE) * sxy - sx * sy <> 0.0
         |        THEN exp(-((sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
         |                         / (CAST(n_points AS DOUBLE) * sxx - sx * sx) * sx)
         |                   / CAST(n_points AS DOUBLE))
@@ -1484,16 +1486,18 @@ object StatsQueries {
         |        CAST((SELECT n_b FROM h) - coalesce(sum(nb) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r2
         |      FROM vc),
         |terms AS (SELECT da, db,
-        |            CAST(da AS DOUBLE)
-        |              - CAST(da + db AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE) AS ome,
-        |            CASE WHEN r1 + r2 > 1
+        |            CASE WHEN da + db > 0
+        |              THEN CAST(da AS DOUBLE)
+        |                - CAST(da + db AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)
+        |              ELSE 0.0 END AS ome,
+        |            CASE WHEN da + db > 0 AND r1 + r2 > 1
         |              THEN CAST(da + db AS DOUBLE)
         |                   * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
         |                   * (CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
         |                   * (CAST(r1 + r2 AS DOUBLE) - CAST(da + db AS DOUBLE))
         |                   / (CAST(r1 + r2 AS DOUBLE) - 1.0)
         |              ELSE 0.0 END AS var_t
-        |          FROM p WHERE da + db > 0)
+        |          FROM p)
         |SELECT h.group_a, h.group_b, h.n_a, h.n_b,
         |  CAST(sum(terms.da) AS BIGINT) AS d_a,
         |  CAST(sum(terms.db) AS BIGINT) AS d_b,

@@ -37,8 +37,8 @@ object SurvivalStream {
 
   /** Fold one batch of (durationCol, eventCol) subject rows into the
     * cell state at `statePath` (missing state = empty). Staging write
-    * + crash-safe swap; the duration/event contracts raise exactly as
-    * in batch [[Survival.kaplanMeier]].
+    * + crash-safe swap; the duration/event contracts are batch
+    * [[Survival.kaplanMeier]]'s, raised naming THIS entry point.
     */
   def applyBatch(batch: DataFrame, durationCol: String, eventCol: String,
                  statePath: String,
@@ -47,7 +47,8 @@ object SurvivalStream {
     val conf = spark.sparkContext.hadoopConfiguration
     val marker = ReplayGuard.read(statePath, conf)
     if (ReplayGuard.alreadyApplied(marker, queryId, batchId)) return
-    val cells = Survival.cells(batch, durationCol, eventCol)
+    val cells = Survival.cells(batch, durationCol, eventCol,
+      "survivalStream")
     val merged =
       if (Fs.exists(statePath, conf))
         spark.read.parquet(statePath).unionByName(cells)

@@ -838,4 +838,36 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("DedupIndex consumers read the pair STORE — zero shingle " +
+    "explosions, one pairs scan, equi joins only") {
+    val docs = Tables(spark, sfDir).documents
+    val dir = java.nio.file.Files.createTempDirectory("dupstore").toFile
+    try {
+      val path = new java.io.File(dir, "pairs").getPath
+      graft.llm.DedupIndex.writePairStore(docs, "doc_id", "text", path)
+      val stored = graft.llm.DedupIndex.readPairs(spark, path)
+      val plan = planOf(graft.llm.DedupIndex.sourceMatrix(
+        stored, docs, "doc_id", "source"))
+      // the r11 cost finding: each dup-family consumer re-ran the full
+      // shingle→MinHash→LSH→Jaccard chain. From the store, the matrix
+      // must contain NO token/shingle explosion at all and exactly one
+      // scan of the pair parquet.
+      assert(!plan.contains("Generate"),
+        s"matrix over the store must not re-explode shingles:\n$plan")
+      assert(plan.split("Scan parquet").length - 1 === 3,
+        s"expected pairs scan + two source-label scans:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      val split = planOf(graft.llm.DedupIndex.splitLeakage(
+        stored, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      assert(!split.contains("Generate") && !split.contains("Join"),
+        s"leakage audit is pure pair-frame expressions:\n$split")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

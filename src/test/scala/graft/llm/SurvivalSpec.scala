@@ -258,6 +258,28 @@ class SurvivalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("coxPh: complete separation is a NULL fit, not a runaway beta") {
+    // every x=1 subject dies before any x=0 subject — monotone
+    // partial likelihood, beta walks toward +inf; the closing
+    // step-size check must land in the NULL branch, never return the
+    // wherever-the-budget-stopped point estimate as converged
+    val df = Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 1L, 0L), (5L, 1L, 0L), (6L, 1L, 0L)).toDF("t", "e", "x")
+    val r = Survival.coxPh(df, "t", "e", "x").head()
+    assert(r.getAs[Long]("n") === 6L && r.getAs[Long]("n_events") === 6L)
+    assert(r.isNullAt(r.fieldIndex("beta")) &&
+      r.isNullAt(r.fieldIndex("se")) && r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("nelsonAalen: contract violations name the actual entry point") {
+    val df = Seq((Some(1L), 1L), (None, 1L)).toDF("t", "e")
+    val ex = intercept[Exception] {
+      Survival.nelsonAalen(df, "t", "e").collect()
+    }
+    assert(ex.getMessage.contains("nelsonAalen"),
+      s"expected nelsonAalen in: ${ex.getMessage}")
+  }
+
   test("logRank: a third group raises loudly") {
     val df = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
       .toDF("t", "e", "g")

@@ -723,6 +723,16 @@ class TextAnalysisSpec extends SparkSpec {
       .head()
     assert(!f.isNullAt(f.fieldIndex("beta")))
     assert(f.isNullAt(f.fieldIndex("r2")))
+    // a NULL doc id raises (the checkedLong stance) instead of
+    // silently forming a first-sorting NULL block that skews the fit
+    val withNull = Seq((Some(0L), "a b"), (None, "c d"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextAnalysis.heapsFit(withNull, "doc_id", "text", maxBlocks = 3L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("heapsFit"),
+      s"expected heapsFit in: ${ex.getMessage}")
   }
 
   test("readability: exact counts and hand-computed Flesch/FK; floors " +
