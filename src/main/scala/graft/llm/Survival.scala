@@ -81,14 +81,25 @@ object Survival {
       .select(col("_v").as("t"), col("d"), col("c"))
   }
 
+  /** 95% two-sided normal quantile, shared with the SQL oracles. */
+  private val z95 = 1.959963984540054
+
   /** The survival-curve tail over a risk-set frame carrying (t, d,
     * n_risk): cumulative ln((n−d)/n) over t, with the d = n_risk
     * extinction pinned to an explicit 0.0 (Spark's ln(0) is NULL,
     * which a windowed sum would silently SKIP — resurrecting the
-    * curve). Windows optionally partition by `partitionCols` — the
-    * ONE shared home for the subtle guard, so the grouped and global
+    * curve). Alongside the point curve it carries the Greenwood
+    * variance Ŝ(t)²·Σ d/(n(n−d)) and the 95% log-log (cloglog)
+    * confidence band Ŝ^{exp(±z·se_θ)} with se_θ = √Σ / |ln Ŝ| — the
+    * transform keeps the band inside (0, 1) where a plain ±z·√var
+    * does not. Both are NULL past extinction (the variance formula
+    * divides by n−d = 0 there) and the band is NULL while Ŝ = 1 (no
+    * events yet — ln Ŝ = 0, θ undefined; R's `survival` NAs the same
+    * rows). Windows optionally partition by `partitionCols` — the ONE
+    * shared home for all the subtle guards, so the grouped and global
     * curves cannot drift (the keyedPrefixes-vs-withValuePrefixes
-    * generalization stance).
+    * generalization stance). Callers that select only the point curve
+    * pay nothing: Catalyst prunes the unused CI expressions.
     */
   private def withSurvival(pre: DataFrame,
                            partitionCols: Seq[String]): DataFrame = {
@@ -99,13 +110,28 @@ object Survival {
     val lnTerm = when(col("d") > 0L && col("d") < col("n_risk"),
       log((col("n_risk") - col("d")).cast("double")) -
         log(col("n_risk").cast("double"))).otherwise(lit(0.0))
+    val gwTerm = when(col("d") > 0L && col("d") < col("n_risk"),
+      col("d").cast("double") /
+        (col("n_risk").cast("double") *
+          (col("n_risk") - col("d")).cast("double"))).otherwise(lit(0.0))
+    val seTheta = sqrt(col("_gw")) / abs(log(col("survival")))
     pre
       .withColumn("_lnSum", sum(lnTerm).over(w))
+      .withColumn("_gw", sum(gwTerm).over(w))
       .withColumn("_dead",
         max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
       .withColumn("survival",
         when(col("_dead") === 1L, lit(0.0)).otherwise(exp(col("_lnSum"))))
-      .drop("_lnSum", "_dead")
+      .withColumn("greenwood_var",
+        when(col("_dead") === 0L,
+          col("survival") * col("survival") * col("_gw")))
+      .withColumn("ci_lo",
+        when(col("_dead") === 0L && col("survival") < 1.0,
+          pow(col("survival"), exp(lit(z95) * seTheta))))
+      .withColumn("ci_hi",
+        when(col("_dead") === 0L && col("survival") < 1.0,
+          pow(col("survival"), exp(-lit(z95) * seTheta))))
+      .drop("_lnSum", "_gw", "_dead")
   }
 
   /** The product-limit curve served from persisted (t, d, c) cells —
@@ -115,20 +141,45 @@ object Survival {
     * quantization), so ONE ordered window over it is the
     * block-summary idiom, not a corpus sort.
     */
-  def kaplanMeierFromCells(cellsDf: DataFrame,
-                           maxBlocks: Long = 1L << 20): DataFrame = {
+  /** The exact global risk-set frame (t, d, c, n_risk) from (t, d, c)
+    * cells — the shared prefix machinery under [[kaplanMeierFromCells]],
+    * [[kaplanMeierCi]] and [[nelsonAalen]]: n_risk at t is the total
+    * mass minus the exclusive prefix, via the two-level block scan.
+    */
+  private def riskSetFrame(cellsDf: DataFrame,
+                           maxBlocks: Long): DataFrame = {
     val vc = cellsDf.select(col("t").as("_v"), col("d").as("_d"),
       (col("d") + col("c")).as("_n"))
     val total = vc.agg(coalesce(sum("_n"), lit(0L)).as("_total"))
-    val pre = RankStats.withValuePrefixes(vc, Seq("_n"), maxBlocks)
+    RankStats.withValuePrefixes(vc, Seq("_n"), maxBlocks)
       .crossJoin(broadcast(total))
       .select(col("_v").as("t"), col("_d").as("d"),
         (col("_n") - col("_d")).as("c"),
         (col("_total") - col("_pre__n")).as("n_risk"))
-    withSurvival(pre, Nil)
+  }
+
+  def kaplanMeierFromCells(cellsDf: DataFrame,
+                           maxBlocks: Long = 1L << 20): DataFrame =
+    withSurvival(riskSetFrame(cellsDf, maxBlocks), Nil)
       .select(col("t"), col("n_risk"), col("d"), col("c"),
         col("survival"))
-  }
+
+  /** [[kaplanMeier]] with its uncertainty: the Greenwood variance and
+    * the 95% log-log confidence band — what every real survival plot
+    * draws around the step curve. Same exact risk-set integers and
+    * extinction pin ([[withSurvival]] is the one shared home);
+    * greenwood_var/ci are NULL past extinction, the band also NULL
+    * while Ŝ = 1 (see withSurvival). Output: (t, n_risk, d, c,
+    * survival, greenwood_var, ci_lo, ci_hi).
+    */
+  def kaplanMeierCi(df: DataFrame, durationCol: String, eventCol: String,
+                    maxBlocks: Long = 1L << 20): DataFrame =
+    withSurvival(
+      riskSetFrame(cells(df, durationCol, eventCol, "kaplanMeierCi"),
+        maxBlocks), Nil)
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        col("survival"), col("greenwood_var"), col("ci_lo"),
+        col("ci_hi"))
 
   /** Competing-risks cumulative incidence (Aalen–Johansen for the
     * all-cause-KM special case): when a subject can exit by SEVERAL
@@ -188,15 +239,8 @@ object Survival {
     */
   def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String,
                   maxBlocks: Long = 1L << 20): DataFrame = {
-    val vc = cells(df, durationCol, eventCol, "nelsonAalen")
-      .select(col("t").as("_v"), col("d").as("_d"),
-        (col("d") + col("c")).as("_n"))
-    val total = vc.agg(coalesce(sum("_n"), lit(0L)).as("_total"))
-    val pre = RankStats.withValuePrefixes(vc, Seq("_n"), maxBlocks)
-      .crossJoin(broadcast(total))
-      .select(col("_v").as("t"), col("_d").as("d"),
-        (col("_n") - col("_d")).as("c"),
-        (col("_total") - col("_pre__n")).as("n_risk"))
+    val pre = riskSetFrame(cells(df, durationCol, eventCol, "nelsonAalen"),
+      maxBlocks)
     val w = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nD = col("n_risk").cast("double")

@@ -1256,6 +1256,42 @@ object StatsQueries {
         .orderBy("t")
     },
 
+    // ---- Kaplan–Meier with Greenwood variance and the 95% log-log
+    //      confidence band (Survival.kaplanMeierCi): the uncertainty
+    //      every real survival plot draws. Var = S²·Σ d/(n(n−d))
+    //      cumulated over event times; band = S^exp(±z·√Σ/|ln S|)
+    //      (cloglog transform — stays inside (0,1)). NULL past
+    //      extinction and, for the band, while S = 1 ----
+    "q_evt_km_ci" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |$kmCurveCte,
+        |gw AS (SELECT t, n_risk, d, c, survival,
+        |        sum(CASE WHEN d > 0 AND d < n_risk
+        |              THEN CAST(d AS DOUBLE)
+        |                   / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE))
+        |              ELSE 0.0 END)
+        |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gws,
+        |        max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |      FROM km)
+        |SELECT t, n_risk, d, c, round(survival, 6) AS survival,
+        |  round(CASE WHEN dead = 0 THEN survival * survival * gws END, 6) + 0.0 AS greenwood_var,
+        |  round(CASE WHEN dead = 0 AND survival < 1.0
+        |        THEN pow(survival, exp(1.959963984540054
+        |             * (sqrt(gws) / abs(ln(survival))))) END, 6) + 0.0 AS ci_lo,
+        |  round(CASE WHEN dead = 0 AND survival < 1.0
+        |        THEN pow(survival, exp(-1.959963984540054
+        |             * (sqrt(gws) / abs(ln(survival))))) END, 6) + 0.0 AS ci_hi
+        |FROM gw ORDER BY t""".stripMargin) { (s, dir) =>
+      Survival.kaplanMeierCi(survivalSubjects(s, dir), "dur_h", "ev")
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          round(col("survival"), 6).as("survival"),
+          round(col("greenwood_var"), 6).as("greenwood_var"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("t")
+    },
+
     // ---- streaming Kaplan–Meier (SurvivalStream): the SAME curve,
     //      served from a (t, d, c) cell state folded over three
     //      subject micro-batches — cells are a monoid, so the state

@@ -258,6 +258,41 @@ class SurvivalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("kaplanMeierCi: hand-computed Greenwood variance; log-log band " +
+    "brackets the curve; extinction and S=1 rows are NULL") {
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L),
+      (6L, 1L)).toDF("t", "e")
+    val rows = Survival.kaplanMeierCi(df, "t", "e").orderBy("t").collect()
+    def varAt(t: Long): Double = {
+      val r = rows.find(_.getAs[Long]("t") == t).get
+      math.rint(r.getAs[Double]("greenwood_var") * 1e6) / 1e6
+    }
+    // S(1)=5/6, Σ=1/(6·5)       → (5/6)²/30        = 0.023148
+    // S(3)=5/8, Σ=1/30+1/(4·3)  → (5/8)²·7/60      = 0.045573
+    // S(4)=5/12, Σ=…+1/(3·2)    → (5/12)²·17/60    = 0.049190
+    assert(varAt(1L) === 0.023148 && varAt(2L) === 0.023148)
+    assert(varAt(3L) === 0.045573)
+    assert(varAt(4L) === 0.04919 && varAt(5L) === 0.04919)
+    rows.filter(r => r.getAs[Long]("t") < 6L).foreach { r =>
+      val s = r.getAs[Double]("survival")
+      val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+      assert(0.0 < lo && lo < s && s < hi && hi < 1.0,
+        s"band must bracket S strictly inside (0,1): ($lo, $s, $hi)")
+    }
+    val ext = rows.find(_.getAs[Long]("t") == 6L).get
+    assert(ext.getAs[Double]("survival") === 0.0)
+    Seq("greenwood_var", "ci_lo", "ci_hi").foreach(cn =>
+      assert(ext.isNullAt(ext.fieldIndex(cn)), s"$cn at extinction"))
+    // a censor-only head row: S = 1 → variance exactly 0, band NULL
+    val head = Survival.kaplanMeierCi(
+      Seq((1L, 0L), (2L, 1L)).toDF("t", "e"), "t", "e")
+      .orderBy("t").collect().head
+    assert(head.getAs[Double]("survival") === 1.0 &&
+      head.getAs[Double]("greenwood_var") === 0.0)
+    assert(head.isNullAt(head.fieldIndex("ci_lo")) &&
+      head.isNullAt(head.fieldIndex("ci_hi")))
+  }
+
   test("coxPh: complete separation is a NULL fit, not a runaway beta") {
     // every x=1 subject dies before any x=0 subject — monotone
     // partial likelihood, beta walks toward +inf; the closing
