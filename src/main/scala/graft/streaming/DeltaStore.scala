@@ -67,18 +67,49 @@ private[streaming] object DeltaStore {
     * partials are discarded by the swap (their writer is dead;
     * single-writer rule covers in-flight ones). Owning process only,
     * between committed batches. No-op on an empty/absent store.
+    *
+    * `excludeTag`: a replaying batch's OWN committed-but-unacked delta
+    * — it must not be baked into the compacted state (the batch is
+    * about to recompute against state-excluding-itself and OVERWRITE
+    * it; absorbing it first would double-count the replay, the same
+    * self-exclusion rule every store read applies). The excluded dir
+    * is dropped by the swap, which is safe under the replay protocol:
+    * an unacknowledged batch is re-driven (streaming checkpoint or
+    * caller-owned retry) and rewrites its delta in full.
     */
-  def compactWith(spark: SparkSession, path: String)
+  def compactWith(spark: SparkSession, path: String,
+                  excludeTag: Option[String] = None)
                  (fold: DataFrame => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     if (!Fs.exists(path, conf)) return
     val nDirs = Fs.listDirs(path, conf).length
     val dirs = committedDirs(path, conf)
+      .filterNot(d => excludeTag.exists(t =>
+        d.endsWith(s"/ingest_batch=$t")))
     if (dirs.isEmpty) return
     val staging = s"$path.staging"
     fold(spark.read.parquet(dirs: _*))
       .write.mode("overwrite")
       .parquet(s"$staging/ingest_batch=compacted_$nDirs")
     Fs.swapInPlace(path, staging, conf)
+  }
+
+  /** Trigger-gated [[compactWith]] — the auto-compaction policy that
+    * keeps an always-on delta store bounded in steady state (the
+    * LogStore.compactIfNeeded stance, r11: compaction existed but
+    * nothing scheduled it, so one delta per micro-batch accumulated
+    * until someone remembered). Trigger: the store holds ≥ `minDeltas`
+    * delta dirs — a pure FS-metadata probe, so the common every-batch
+    * case costs ZERO Spark jobs. Owning process only, same rules as
+    * compactWith. Returns true iff it compacted.
+    */
+  def compactIfNeeded(spark: SparkSession, path: String, minDeltas: Int,
+                      excludeTag: Option[String] = None)
+                     (fold: DataFrame => DataFrame): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (minDeltas <= 0 || !Fs.exists(path, conf)) return false
+    if (Fs.listDirs(path, conf).length < minDeltas) return false
+    compactWith(spark, path, excludeTag)(fold)
+    true
   }
 }

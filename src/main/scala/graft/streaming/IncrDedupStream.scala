@@ -78,7 +78,8 @@ object IncrDedupStream {
                  storeDir: String, numHashes: Int = 8,
                  rowsPerBand: Int = 4, k: Int = 3, minMatches: Int = 6,
                  batchId: Long = -1L, queryId: String = "",
-                 directTag: Option[String] = None): Unit = {
+                 directTag: Option[String] = None,
+                 autoCompactMinDeltas: Int = 64): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val idx = indexPath(storeDir)
@@ -99,9 +100,24 @@ object IncrDedupStream {
         // signatures, and then OVERWRITE its committed delta (r11
         // review finding).
         DeltaStore.sweepUncommitted(idx, conf)
-        directTag.fold(s"direct_${Fs.listDirs(idx, conf).length}")(t =>
-          s"directtag_$t")
+        directTag.fold {
+          // auto-minted calls are NEW batches by definition (no replay
+          // to exclude) — compact BEFORE minting, since the tag names
+          // the post-compaction dir count
+          DeltaStore.compactIfNeeded(spark, idx, autoCompactMinDeltas,
+            None)(identity)
+          s"direct_${Fs.listDirs(idx, conf).length}"
+        }(t => s"directtag_$t")
       }
+    // auto-compaction for the replayable paths, BEFORE the prior-state
+    // read, excluding our own tag (a replay's committed-but-unacked
+    // delta must not be baked in — DeltaStore.compactWith). ≤ 0
+    // disables; an always-on stream stays bounded without anyone
+    // remembering to call compact() (the LogStore.compactIfNeeded
+    // stance).
+    if (batchId >= 0 || directTag.isDefined)
+      DeltaStore.compactIfNeeded(spark, idx, autoCompactMinDeltas,
+        Some(tag))(identity)
     // exclude our OWN tag: a replay's committed-but-unacked delta must
     // not make the batch a duplicate of itself (uncommitted partials
     // are already out via DeltaStore's _SUCCESS gate)

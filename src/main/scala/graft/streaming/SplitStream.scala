@@ -63,17 +63,40 @@ object SplitStream {
       .drop("_rn", "ingest_batch")
   }
 
+  /** The latest-seq-wins fold applied at compaction — one row per doc,
+    * the same view [[assignments]] serves.
+    */
+  private def latestWins(idCol: String)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Assign one document batch against the store and persist the
     * resulting rows (new + migrated) as this batch's deltas. `seq` must
     * be ≥ 0 and strictly greater than every previously folded batch's.
+    *
+    * Auto-compaction: when either delta store has accumulated ≥
+    * `autoCompactMinDeltas` dirs, both are compacted FIRST — before
+    * this batch reads its prior state — excluding this batch's own tag
+    * (a replay's committed-but-unacked delta must not be baked in; see
+    * [[DeltaStore.compactWith]]). ≤ 0 disables. An always-on stream
+    * thus stays bounded without anyone remembering to call
+    * [[compact]] (the LogStore.compactIfNeeded stance).
     */
   def applyBatch(batch: DataFrame, idCol: String, textCol: String,
                  storeDir: String, splits: Seq[(String, Double)],
                  seq: Long, queryId: String = "", numHashes: Int = 8,
                  rowsPerBand: Int = 4, k: Int = 3,
-                 minMatches: Int = 6): Unit = {
+                 minMatches: Int = 6,
+                 autoCompactMinDeltas: Int = 64): Unit = {
     require(seq >= 0L, s"seq must be >= 0, got $seq")
     val tag = DeltaStore.tagOf(queryId, seq)
+    val spark = batch.sparkSession
+    DeltaStore.compactIfNeeded(spark, assignPath(storeDir),
+      autoCompactMinDeltas, Some(tag))(latestWins(idCol))
+    DeltaStore.compactIfNeeded(spark, sigsPath(storeDir),
+      autoCompactMinDeltas, Some(tag))(identity)
     val bidx = IncrementalDedup
       .dedupIndex(batch, idCol, textCol, numHashes, k).cache()
     // prior state EXCLUDES our own tag: a replay's committed-but-unacked
@@ -109,10 +132,7 @@ object SplitStream {
     */
   def compact(spark: SparkSession, storeDir: String,
               idCol: String = "doc_id"): Unit = {
-    val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
-    DeltaStore.compactWith(spark, assignPath(storeDir))(
-      _.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn"))
+    DeltaStore.compactWith(spark, assignPath(storeDir))(latestWins(idCol))
     DeltaStore.compactWith(spark, sigsPath(storeDir))(identity)
   }
 

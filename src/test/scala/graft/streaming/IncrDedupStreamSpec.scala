@@ -116,4 +116,50 @@ class IncrDedupStreamSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v === Map(7L -> "exact_dup_corpus", 8L -> "kept"))
   }
+
+  test("auto-compaction: a low trigger yields identical index and " +
+    "verdicts as no trigger; delta dirs stay bounded; replay after an " +
+    "auto-compact is still idempotent") {
+    def mk(): String = {
+      val d = java.nio.file.Files.createTempDirectory("incr_auto").toFile
+      s"${d.getPath}/store"
+    }
+    val (storeA, storeB) = (mk(), mk())
+    // the last batch's doc must be genuinely novel (doc(i) sequences
+    // share a 3-residue token coset, so doc(4) near-dups doc(1))
+    val novel = (0 until 30).map(j => s"z$j").mkString(" ")
+    val batches = Seq(
+      Seq((1L, doc(0)), (2L, doc(1))),
+      Seq((10L, doc(0)), (11L, doc(2))),
+      Seq((20L, doc(2)), (21L, doc(3))),
+      Seq((30L, novel)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("doc_id", "text")
+      IncrDedupStream.applyBatch(df, "doc_id", "text", storeA,
+        batchId = i.toLong, queryId = "q", autoCompactMinDeltas = 2)
+      IncrDedupStream.applyBatch(df, "doc_id", "text", storeB,
+        batchId = i.toLong, queryId = "q", autoCompactMinDeltas = 0)
+    }
+    def verdictMap(store: String): Map[Long, String] =
+      spark.read.option("basePath", s"$store/verdicts")
+        .parquet(s"$store/verdicts/batch=*")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(indexIds(storeA) === indexIds(storeB))
+    assert(verdictMap(storeA) === verdictMap(storeB))
+    // trigger 2: compaction fires BEFORE the batch writes its delta, so
+    // the store never exceeds compacted + own = 2 dirs; the untriggered
+    // store carries one delta per batch
+    assert(Fs.listDirs(IncrDedupStream.indexPath(storeA), conf)
+      .length <= 2, deltaTags(storeA).toString)
+    assert(deltaTags(storeB).size === 4)
+    // replay of the last batch: its own committed tag is present when
+    // the trigger fires — compaction must EXCLUDE (and the replay
+    // rewrite) it, not bake it in as prior corpus
+    IncrDedupStream.applyBatch(batches.last.toDF("doc_id", "text"),
+      "doc_id", "text", storeA, batchId = 3L, queryId = "q",
+      autoCompactMinDeltas = 2)
+    assert(indexIds(storeA) === indexIds(storeB))
+    assert(verdictMap(storeA)(30L) === "kept",
+      "a replayed doc must not match its own pre-compact signatures")
+  }
 }

@@ -206,6 +206,43 @@ class SplitStreamSpec extends SparkSpec {
     assert(v(7L)._1 === 10L && v(7L)._3 === before(10L)._3)
   }
 
+  test("auto-compaction: a low trigger yields identical assignments as " +
+      "no trigger; both delta stores stay bounded; replay after an " +
+      "auto-compact is still idempotent") {
+    val (dirA, dirB) = (store(), store())
+    val batches = Seq(
+      Seq((10L, ta), (12L, ta)),
+      Seq((20L, tb)),
+      Seq((30L, "solo zz text")),
+      Seq((40L, tc)),                 // bridges the TA and TB clusters
+      Seq((50L, "other yy words")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("doc_id", "text")
+      SplitStream.applyBatch(df, "doc_id", "text", dirA, splits,
+        seq = i.toLong, queryId = "qa", rowsPerBand = rpb,
+        minMatches = mm, autoCompactMinDeltas = 2)
+      SplitStream.applyBatch(df, "doc_id", "text", dirB, splits,
+        seq = i.toLong, queryId = "qb", rowsPerBand = rpb,
+        minMatches = mm, autoCompactMinDeltas = 0)
+    }
+    assert(view(dirA) === view(dirB))
+    // compaction fires before the batch writes, so each store holds at
+    // most compacted + own = 2 dirs; the untriggered one keeps all 5
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(SplitStream.assignPath(dirA), SplitStream.sigsPath(dirA))
+      .foreach(p => assert(graft.core.Fs.listDirs(p, conf).length <= 2,
+        s"unbounded store at $p"))
+    assert(graft.core.Fs.listDirs(SplitStream.assignPath(dirB), conf)
+      .length === 5)
+    // replay of the last batch: its committed tag is present when the
+    // trigger fires — the compaction excludes it and the replay
+    // rewrites it, landing on the same view
+    SplitStream.applyBatch(batches.last.toDF("doc_id", "text"),
+      "doc_id", "text", dirA, splits, seq = 4L, queryId = "qa",
+      rowsPerBand = rpb, minMatches = mm, autoCompactMinDeltas = 2)
+    assert(view(dirA) === view(dirB))
+  }
+
   test("streaming face: run() over a file stream folds batches through the " +
       "same store protocol") {
     val dir = store()
