@@ -466,6 +466,139 @@ object Survival {
       .toDF("n", "n_events", "beta", "se", "z")
   }
 
+  /** Two-covariate Cox proportional hazards (Breslow ties) — the
+    * [[coxPh]] design generalized to the smallest multivariate model a
+    * real churn/hazard analysis needs: "does activity level still
+    * multiply the conversion hazard AFTER adjusting for engagement
+    * breadth?". Same scale posture: ONE corpus pass to the
+    * (t, x1, x2) cell grid (all caller-quantized — the RankStats long
+    * contract), bounded-collect, and driver Newton with the exact
+    * 2×2 information solve per step (score U = (u1, u2), information
+    * I = [[i11, i12], [i12, i22]], β ← β + I⁻¹U via the closed-form
+    * inverse; O(times·gridCells) per iteration). se_j = √((I⁻¹)_jj) at
+    * β̂, z_j = β_j/se_j. NULL fit when the information matrix is
+    * singular/non-PD on any step (a collinear or constant covariate),
+    * any sweep goes non-finite (complete separation), or the closing
+    * Newton step is still material after the iteration budget — the
+    * [[coxPh]] non-convergence stance, component-wise.
+    */
+  def coxPh2(df: DataFrame, durationCol: String, eventCol: String,
+             x1Col: String, x2Col: String, iterations: Int = 8,
+             maxCells: Int = 1 << 20): DataFrame = {
+    val op = "coxPh2"
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
+    val spark = df.sparkSession
+    def checkedX(c: String): Column =
+      when(col(c).isNull, raise_error(lit(s"$op: NULL covariate in $c")))
+        .otherwise(col(c)).cast("long")
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"),
+      checkedX(x1Col).as("_x1"), checkedX(x2Col).as("_x2"))
+    // the bounded-collect GUARD (the coxPh stance): un-quantized
+    // inputs make the grid corpus-sized and the collect a driver OOM
+    val cells = rows.groupBy("_v", "_x1", "_x2")
+      .agg(count(lit(1)).as("_n"), sum("_e").as("_d"))
+      .limit(maxCells + 1)
+      .collect()
+      .map(r => (r.getAs[Long]("_v"),
+        (r.getAs[Long]("_x1"), r.getAs[Long]("_x2")),
+        r.getAs[Long]("_n"), r.getAs[Long]("_d")))
+    require(cells.length <= maxCells,
+      s"$op: the (duration x covariates) grid exceeds maxCells=" +
+        s"$maxCells - quantize coarser (the RankStats long contract)")
+    val n = cells.map(_._3).sum
+    val nEvents = cells.map(_._4).sum
+
+    val xs = cells.map(_._2).distinct.sorted
+    val xIdx = xs.zipWithIndex.toMap
+    val times = cells.map(_._1).distinct.sorted(Ordering[Long].reverse)
+    val byT = cells.groupBy(_._1)
+
+    // (u1, u2, i11, i12, i22) in one descending-t sweep, per-(x1,x2)
+    // risk counts maintained as the suffix
+    def sweep(b1: Double, b2: Double): (Double, Double, Double, Double,
+        Double) = {
+      val riskByX = new Array[Double](xs.length)
+      var u1 = 0.0; var u2 = 0.0
+      var i11 = 0.0; var i12 = 0.0; var i22 = 0.0
+      times.foreach { t =>
+        val here = byT(t)
+        here.foreach(c => riskByX(xIdx(c._2)) += c._3.toDouble)
+        val dT = here.map(_._4).sum
+        if (dT > 0) {
+          val s1 = here.map(c => c._2._1 * c._4).sum.toDouble
+          val s2 = here.map(c => c._2._2 * c._4).sum.toDouble
+          var r = 0.0; var ra = 0.0; var rb = 0.0
+          var raa = 0.0; var rab = 0.0; var rbb = 0.0
+          var k = 0
+          while (k < xs.length) {
+            val (x1, x2) = xs(k)
+            val w = riskByX(k) * math.exp(b1 * x1 + b2 * x2)
+            r += w; ra += x1 * w; rb += x2 * w
+            raa += x1.toDouble * x1 * w
+            rab += x1.toDouble * x2 * w
+            rbb += x2.toDouble * x2 * w
+            k += 1
+          }
+          u1 += s1 - dT * ra / r
+          u2 += s2 - dT * rb / r
+          i11 += dT * (raa / r - (ra / r) * (ra / r))
+          i12 += dT * (rab / r - (ra / r) * (rb / r))
+          i22 += dT * (rbb / r - (rb / r) * (rb / r))
+        }
+      }
+      (u1, u2, i11, i12, i22)
+    }
+
+    def finite(xs: Double*): Boolean =
+      xs.forall(java.lang.Double.isFinite)
+
+    var b1 = 0.0; var b2 = 0.0
+    var it = 0
+    var degenerate = false
+    while (it < iterations && !degenerate) {
+      val (u1, u2, i11, i12, i22) = sweep(b1, b2)
+      val det = i11 * i22 - i12 * i12
+      if (!finite(u1, u2, i11, i12, i22, det) || det <= 0.0)
+        degenerate = true
+      else {
+        b1 += (i22 * u1 - i12 * u2) / det
+        b2 += (i11 * u2 - i12 * u1) / det
+        if (!finite(b1, b2)) degenerate = true
+      }
+      it += 1
+    }
+    // closing sweep at β̂ — se from THIS information (the coxPh/oracle
+    // convention) and the non-convergence check component-wise
+    val (uF1, uF2, fi11, fi12, fi22) =
+      if (degenerate) (0.0, 0.0, 0.0, 0.0, 0.0) else sweep(b1, b2)
+    val det = fi11 * fi22 - fi12 * fi12
+    val converged = !degenerate &&
+      finite(uF1, uF2, fi11, fi12, fi22, det) && det > 0.0 && {
+        val s1 = (fi22 * uF1 - fi12 * uF2) / det
+        val s2 = (fi11 * uF2 - fi12 * uF1) / det
+        math.abs(s1) <= 1e-8 * (1.0 + math.abs(b1)) &&
+          math.abs(s2) <= 1e-8 * (1.0 + math.abs(b2))
+      }
+    import spark.implicits._
+    val out =
+      if (!converged)
+        (n, nEvents, None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double])
+      else {
+        val se1 = math.sqrt(fi22 / det)
+        val se2 = math.sqrt(fi11 / det)
+        (n, nEvents, Some(b1), Some(se1), Some(b1 / se1),
+          Some(b2), Some(se2), Some(b2 / se2))
+      }
+    Seq(out).toDF("n", "n_events", "beta1", "se1", "z1", "beta2",
+      "se2", "z2")
+  }
+
   /** Two-group log-rank test: did the groups' time-to-event
     * distributions differ? One output row with the exact totals
     * (group labels, subject counts `n_a`/`n_b`, observed events

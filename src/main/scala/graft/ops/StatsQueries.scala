@@ -1449,6 +1449,26 @@ object StatsQueries {
           round(col("z"), 6).as("z"))
     },
 
+    // ---- two-covariate Cox (Survival.coxPh2): does activity level
+    //      still multiply the hazard AFTER adjusting for engagement
+    //      breadth (distinct event types)? Same cell-grid + driver
+    //      Newton design with the exact 2x2 information solve; the
+    //      oracle unrolls all 8 vector iterations as generated CTEs ----
+    "q_evt_cox_ph2" -> Q(cox2Oracle) { (s, dir) =>
+      val act = tb(s, dir).events.groupBy("user_id")
+        .agg(expr("count(*) div 10").as("x1"),
+          countDistinct("event_type").as("x2"))
+      val subj = survivalSubjects(s, dir).join(act, "user_id")
+      Survival.coxPh2(subj, "dur_h", "ev", "x1", "x2")
+        .select(col("n"), col("n_events"),
+          round(col("beta1"), 6).as("beta1"),
+          round(col("se1"), 6).as("se1"),
+          round(col("z1"), 6).as("z1"),
+          round(col("beta2"), 6).as("beta2"),
+          round(col("se2"), 6).as("se2"),
+          round(col("z2"), 6).as("z2"))
+    },
+
     // ---- Nelson–Aalen cumulative hazard (Survival.nelsonAalen):
     //      H(t) = Σ d/n with variance Σ d/n² — the hazard-scale
     //      companion curve (a straight line = constant risk) ----
@@ -1661,6 +1681,77 @@ object StatsQueries {
        |  round((SELECT beta FROM b8), 6) AS beta,
        |  round(1.0 / sqrt(fi.i2), 6) AS se,
        |  round((SELECT beta FROM b8) / (1.0 / sqrt(fi.i2)), 6) AS z
+       |FROM fi""".stripMargin
+  }
+
+  /** The two-covariate Cox oracle — [[coxOracle]]'s unrolled-Newton
+    * pattern lifted to the vector case: b0 = (0, 0), eight
+    * g_i/s_i/b_{i+1} triples computing the risk moments, the score
+    * (u1, u2) + information (i11, i12, i22), and the closed-form 2×2
+    * solve b + I⁻¹U, then a final moment evaluation at b8 for the
+    * standard errors se_j = √((I⁻¹)_jj) — exactly the engine's
+    * closing sweep. Same MATERIALIZED discipline (scalar re-inlining
+    * blew up exponentially in the 1-covariate version).
+    */
+  private def cox2Oracle: String = {
+    def g(i: Int, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT e.t, e.dt, e.st1, e.st2,
+         |  sum(coalesce(ra.rcnt, 0) * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS r,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x1 * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS ra1,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x2 * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS ra2,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x1 * ra.x1 * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS raa,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x1 * ra.x2 * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS rab,
+         |  sum(coalesce(ra.rcnt, 0) * ra.x2 * ra.x2 * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS rbb
+         |FROM evt2 e JOIN riskat2 ra ON ra.t = e.t CROSS JOIN b$i b
+         |GROUP BY e.t, e.dt, e.st1, e.st2)""".stripMargin
+    val iters = (0 until 8).map { i =>
+      s"""${g(i, s"g$i")},
+         |cs$i AS MATERIALIZED (SELECT b.b1 AS b1, b.b2 AS b2,
+         |  sum(st1 - dt * ra1 / r) AS u1, sum(st2 - dt * ra2 / r) AS u2,
+         |  sum(dt * (raa / r - (ra1 / r) * (ra1 / r))) AS i11,
+         |  sum(dt * (rab / r - (ra1 / r) * (ra2 / r))) AS i12,
+         |  sum(dt * (rbb / r - (ra2 / r) * (ra2 / r))) AS i22
+         |FROM g$i CROSS JOIN b$i b GROUP BY b.b1, b.b2),
+         |b${i + 1} AS MATERIALIZED (SELECT
+         |  b1 + (i22 * u1 - i12 * u2) / (i11 * i22 - i12 * i12) AS b1,
+         |  b2 + (i11 * u2 - i12 * u1) / (i11 * i22 - i12 * i12) AS b2
+         |FROM cs$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $survivalSubjectsCte,
+       |aq2 AS (SELECT user_id, CAST(count(*) // 10 AS BIGINT) AS x1,
+       |               CAST(count(DISTINCT event_type) AS BIGINT) AS x2
+       |        FROM events GROUP BY user_id),
+       |cox2 AS MATERIALIZED (SELECT s.dur_h AS t, a.x1, a.x2,
+       |               CAST(count(*) AS BIGINT) AS cnt,
+       |               CAST(sum(s.ev) AS BIGINT) AS d
+       |        FROM subj s JOIN aq2 a ON a.user_id = s.user_id
+       |        GROUP BY 1, 2, 3),
+       |evt2 AS MATERIALIZED (SELECT t, CAST(sum(d) AS BIGINT) AS dt,
+       |               CAST(sum(x1 * d) AS BIGINT) AS st1,
+       |               CAST(sum(x2 * d) AS BIGINT) AS st2
+       |        FROM cox2 GROUP BY t HAVING sum(d) > 0),
+       |riskat2 AS MATERIALIZED (SELECT e.t, c.x1, c.x2,
+       |               CAST(sum(c.cnt) AS BIGINT) AS rcnt
+       |           FROM evt2 e JOIN cox2 c ON c.t >= e.t
+       |           GROUP BY e.t, c.x1, c.x2),
+       |b0 AS (SELECT 0.0 AS b1, 0.0 AS b2),
+       |$iters,
+       |${g(8, "gf")},
+       |fi AS (SELECT
+       |  sum(dt * (raa / r - (ra1 / r) * (ra1 / r))) AS i11,
+       |  sum(dt * (rab / r - (ra1 / r) * (ra2 / r))) AS i12,
+       |  sum(dt * (rbb / r - (ra2 / r) * (ra2 / r))) AS i22
+       |FROM gf)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n,
+       |  (SELECT CAST(sum(ev) AS BIGINT) FROM subj) AS n_events,
+       |  round((SELECT b1 FROM b8), 6) AS beta1,
+       |  round(sqrt(i22 / (i11 * i22 - i12 * i12)), 6) AS se1,
+       |  round((SELECT b1 FROM b8)
+       |        / sqrt(i22 / (i11 * i22 - i12 * i12)), 6) AS z1,
+       |  round((SELECT b2 FROM b8), 6) AS beta2,
+       |  round(sqrt(i11 / (i11 * i22 - i12 * i12)), 6) AS se2,
+       |  round((SELECT b2 FROM b8)
+       |        / sqrt(i11 / (i11 * i22 - i12 * i12)), 6) AS z2
        |FROM fi""".stripMargin
   }
 

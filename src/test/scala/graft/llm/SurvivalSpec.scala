@@ -306,6 +306,36 @@ class SurvivalSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("se")) && r.isNullAt(r.fieldIndex("z")))
   }
 
+  test("coxPh2: an x2-balanced design decouples — beta1 matches the " +
+    "one-covariate fit, beta2 vanishes; collinear covariates are NULL") {
+    // duplicate every skewed-design subject once per x2 ∈ {0, 1}: by
+    // symmetry u2(·, 0) = 0 and i12 = 0 term by term, so Newton keeps
+    // b2 at 0 and b1 follows exactly the single-covariate trajectory
+    val base = Seq.tabulate(40) { i =>
+      val x = i % 4
+      val t = 1L + ((i * 13) % 7) + (3 - x) * 2
+      val e = if (i % 5 == 0) 0L else 1L
+      (t.toLong, e, x.toLong)
+    }
+    val dup = base.flatMap { case (t, e, x) =>
+      Seq((t, e, x, 0L), (t, e, x, 1L)) }
+      .toDF("t", "e", "x1", "x2")
+    val one = Survival.coxPh(base.toDF("t", "e", "x"), "t", "e", "x")
+      .head().getAs[Double]("beta")
+    val r = Survival.coxPh2(dup, "t", "e", "x1", "x2").head()
+    assert(r.getAs[Long]("n") === 80L)
+    assert(math.abs(r.getAs[Double]("beta1") - one) < 1e-8,
+      s"beta1 ${r.getAs[Double]("beta1")} vs one-cov $one")
+    assert(math.abs(r.getAs[Double]("beta2")) < 1e-9)
+    assert(r.getAs[Double]("se1") > 0.0 && r.getAs[Double]("se2") > 0.0)
+    // perfectly collinear covariates: singular information → NULL fit
+    val col2 = base.map { case (t, e, x) => (t, e, x, x) }
+      .toDF("t", "e", "x1", "x2")
+    val rc = Survival.coxPh2(col2, "t", "e", "x1", "x2").head()
+    Seq("beta1", "se1", "z1", "beta2", "se2", "z2").foreach(cn =>
+      assert(rc.isNullAt(rc.fieldIndex(cn)), s"$cn under collinearity"))
+  }
+
   test("nelsonAalen: contract violations name the actual entry point") {
     val df = Seq((Some(1L), 1L), (None, 1L)).toDF("t", "e")
     val ex = intercept[Exception] {
