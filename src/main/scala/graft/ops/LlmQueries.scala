@@ -48,10 +48,12 @@ object LlmQueries {
     * split on runs of whitespace, empties dropped — single-space split
     * would diverge on tabs/newlines/repeated spaces.
     */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM documents),
+  private def shingleCteOver(tbl: String): String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts FROM $tbl),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
       |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks))""".stripMargin
+
+  private val shingleCte = shingleCteOver("documents")
 
   /** IVF oracle CTE generators, mirroring Ivf.assign / Ivf.recompute
     * exactly (round(sim,9)+cell-tiebreak argmax; quantized-integer
@@ -303,6 +305,101 @@ object LlmQueries {
       |  min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6,
       |  min(md5('7|' || s)) AS mh7, min(md5('8|' || s)) AS mh8
       |FROM sh GROUP BY doc_id""".stripMargin
+
+  /** The two-batch incremental leak-free-split REPLAY (the
+    * q_llm_incr_leakfree oracle chain), shared with the migration
+    * audit: round-0 CC + hash labels over even doc ids, round-1 cross
+    * probes, touched-cluster stars, CC, the min(cluster_seq,
+    * cluster_id) winner rule, and the mg1 migration rows. Ends with
+    * CTEs `as0` (batch-0 assignments), `an1` (batch-1 rows), `mg1`
+    * (re-pointed docs). NOTE: margins are this val's own stripMargin;
+    * interpolate like [[bandsPairsInterCte]].
+    */
+  private def incrSplitFoldCtes(src: String = "documents"): String =
+    s"""allidx AS (
+       |  SELECT e.doc_id, md5(e.text) AS exact_h,
+       |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
+       |  FROM $src e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
+       |b0 AS (SELECT * FROM allidx WHERE doc_id % 2 = 0),
+       |b1 AS (SELECT * FROM allidx WHERE doc_id % 2 = 1),
+       |exm0 AS (SELECT exact_h, min(doc_id) AS m FROM b0 GROUP BY exact_h),
+       |exe0 AS (SELECT e.m AS id1, b.doc_id AS id2
+       |         FROM b0 b JOIN exm0 e ON e.exact_h = b.exact_h
+       |         WHERE b.doc_id > e.m),
+       |bb0 AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM b0
+       |        UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM b0),
+       |cw0 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |        FROM bb0 a JOIN bb0 c ON c.band_id = a.band_id AND c.bk = a.bk
+       |         AND a.doc_id < c.doc_id),
+       |nw0 AS (SELECT p.id1, p.id2 FROM cw0 p
+       |        JOIN b0 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
+       |        WHERE ${mhMatch("l", "r")} >= 6),
+       |ed0 AS (SELECT id1, id2 FROM exe0 UNION SELECT id1, id2 FROM nw0),
+       |n0 AS (SELECT id1 AS id FROM ed0 UNION SELECT id2 FROM ed0),
+       |sy0 AS (SELECT id1 AS s, id2 AS d FROM ed0
+       |        UNION ALL SELECT id2, id1 FROM ed0),
+       |rc0 AS (SELECT id, id AS r FROM n0
+       |        UNION SELECT s.d AS id, rc.r FROM rc0 rc JOIN sy0 s ON s.s = rc.id),
+       |cp0 AS (SELECT id, min(r) AS component FROM rc0 GROUP BY id),
+       |as0 AS (SELECT b.doc_id,
+       |          CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS cluster_id,
+       |          CAST(0 AS BIGINT) AS cluster_seq,
+       |          ${splitCase("coalesce(c.component, b.doc_id)")} AS split,
+       |          CAST(0 AS BIGINT) AS seq
+       |        FROM b0 b LEFT JOIN cp0 c ON c.id = b.doc_id),
+       |exm1 AS (SELECT exact_h, min(doc_id) AS m FROM b1 GROUP BY exact_h),
+       |exe1 AS (SELECT e.m AS id1, b.doc_id AS id2
+       |         FROM b1 b JOIN exm1 e ON e.exact_h = b.exact_h
+       |         WHERE b.doc_id > e.m),
+       |bb1 AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM b1
+       |        UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM b1),
+       |cw1 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |        FROM bb1 a JOIN bb1 c ON c.band_id = a.band_id AND c.bk = a.bk
+       |         AND a.doc_id < c.doc_id),
+       |nw1 AS (SELECT p.id1, p.id2 FROM cw1 p
+       |        JOIN b1 l ON l.doc_id = p.id1 JOIN b1 r ON r.doc_id = p.id2
+       |        WHERE ${mhMatch("l", "r")} >= 6),
+       |cx1 AS (SELECT b.doc_id AS id1, i.doc_id AS id2
+       |        FROM b1 b JOIN b0 i ON i.exact_h = b.exact_h),
+       |cc1 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |        FROM bb1 a JOIN bb0 c ON c.band_id = a.band_id AND c.bk = a.bk),
+       |cn1 AS (SELECT p.id1, p.id2 FROM cc1 p
+       |        JOIN b1 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
+       |        WHERE ${mhMatch("l", "r")} >= 6),
+       |cr1 AS (SELECT id1, id2 FROM cx1 UNION SELECT id1, id2 FROM cn1),
+       |tc1 AS (SELECT DISTINCT a.cluster_id
+       |        FROM cr1 c JOIN as0 a ON a.doc_id = c.id2),
+       |mem1 AS (SELECT a.* FROM as0 a JOIN tc1 t ON t.cluster_id = a.cluster_id),
+       |st1 AS (SELECT doc_id AS id1, cluster_id AS id2 FROM mem1
+       |        WHERE doc_id <> cluster_id),
+       |ed1 AS (SELECT id1, id2 FROM exe1 UNION SELECT id1, id2 FROM nw1
+       |        UNION SELECT id1, id2 FROM cr1 UNION SELECT id1, id2 FROM st1),
+       |n1 AS (SELECT id1 AS id FROM ed1 UNION SELECT id2 FROM ed1),
+       |sy1 AS (SELECT id1 AS s, id2 AS d FROM ed1
+       |        UNION ALL SELECT id2, id1 FROM ed1),
+       |rc1 AS (SELECT id, id AS r FROM n1
+       |        UNION SELECT s.d AS id, rc.r FROM rc1 rc JOIN sy1 s ON s.s = rc.id),
+       |cp1 AS (SELECT id, min(r) AS component FROM rc1 GROUP BY id),
+       |w1 AS (SELECT component, cluster_id AS wcid, cluster_seq AS wseq,
+       |              split AS wsplit
+       |       FROM (SELECT c.component, a.cluster_id, a.cluster_seq, a.split,
+       |               row_number() OVER (PARTITION BY c.component
+       |                 ORDER BY a.cluster_seq, a.cluster_id) AS rn
+       |             FROM cp1 c JOIN as0 a ON a.doc_id = c.id) WHERE rn = 1),
+       |na1 AS (SELECT b.doc_id, CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS comp
+       |        FROM b1 b LEFT JOIN cp1 c ON c.id = b.doc_id),
+       |an1 AS (SELECT n.doc_id,
+       |          CAST(coalesce(w.wcid, n.comp) AS BIGINT) AS cluster_id,
+       |          CAST(coalesce(w.wseq, 1) AS BIGINT) AS cluster_seq,
+       |          coalesce(w.wsplit, ${splitCase("n.comp")}) AS split,
+       |          CAST(1 AS BIGINT) AS seq
+       |        FROM na1 n LEFT JOIN w1 w ON w.component = n.comp),
+       |mg1 AS (SELECT a.doc_id, CAST(w.wcid AS BIGINT) AS cluster_id,
+       |          CAST(w.wseq AS BIGINT) AS cluster_seq, w.wsplit AS split,
+       |          CAST(1 AS BIGINT) AS seq
+       |        FROM as0 a JOIN cp1 c ON c.id = a.doc_id
+       |        JOIN w1 w ON w.component = c.component
+       |        WHERE a.cluster_id <> w.wcid OR a.split <> w.wsplit)""".stripMargin
 
   // the full IVF replay (seed, 2 k-means iterations, probe, exact
   // re-rank) -- shared by q_ann_ivf_topk and q_stream_ann_index, whose
@@ -2068,7 +2165,11 @@ object LlmQueries {
          |JOIN sizes s1 ON s1.doc_id = p.id1
          |JOIN sizes s2 ON s2.doc_id = p.id2
          |ORDER BY p.id1, p.id2""".stripMargin) { (s, dir) =>
-      dupPairs(s, dir)
+      // deliberately NOT the shared store: this is the ONE registered
+      // query that runs (and times) the full shingle→MinHash→LSH→
+      // Jaccard chain itself, so the chain's cost stays visible in the
+      // ledger while the five consumers read the materialized store
+      DedupOps.nearDupPairs(tb(s, dir).documents, "doc_id", "text")
         .withColumn("is_dup",
           col("jaccard_n") * 10 >= col("jaccard_d") * 8)
         .orderBy("id1", "id2")
@@ -2177,90 +2278,7 @@ object LlmQueries {
     "q_llm_incr_leakfree" -> Q(
       s"""WITH RECURSIVE $shingleCte,
          |sigs AS ($sigSelect),
-         |allidx AS (
-         |  SELECT e.doc_id, md5(e.text) AS exact_h,
-         |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
-         |  FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
-         |b0 AS (SELECT * FROM allidx WHERE doc_id % 2 = 0),
-         |b1 AS (SELECT * FROM allidx WHERE doc_id % 2 = 1),
-         |exm0 AS (SELECT exact_h, min(doc_id) AS m FROM b0 GROUP BY exact_h),
-         |exe0 AS (SELECT e.m AS id1, b.doc_id AS id2
-         |         FROM b0 b JOIN exm0 e ON e.exact_h = b.exact_h
-         |         WHERE b.doc_id > e.m),
-         |bb0 AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM b0
-         |        UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM b0),
-         |cw0 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
-         |        FROM bb0 a JOIN bb0 c ON c.band_id = a.band_id AND c.bk = a.bk
-         |         AND a.doc_id < c.doc_id),
-         |nw0 AS (SELECT p.id1, p.id2 FROM cw0 p
-         |        JOIN b0 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
-         |        WHERE ${mhMatch("l", "r")} >= 6),
-         |ed0 AS (SELECT id1, id2 FROM exe0 UNION SELECT id1, id2 FROM nw0),
-         |n0 AS (SELECT id1 AS id FROM ed0 UNION SELECT id2 FROM ed0),
-         |sy0 AS (SELECT id1 AS s, id2 AS d FROM ed0
-         |        UNION ALL SELECT id2, id1 FROM ed0),
-         |rc0 AS (SELECT id, id AS r FROM n0
-         |        UNION SELECT s.d AS id, rc.r FROM rc0 rc JOIN sy0 s ON s.s = rc.id),
-         |cp0 AS (SELECT id, min(r) AS component FROM rc0 GROUP BY id),
-         |as0 AS (SELECT b.doc_id,
-         |          CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS cluster_id,
-         |          CAST(0 AS BIGINT) AS cluster_seq,
-         |          ${splitCase("coalesce(c.component, b.doc_id)")} AS split,
-         |          CAST(0 AS BIGINT) AS seq
-         |        FROM b0 b LEFT JOIN cp0 c ON c.id = b.doc_id),
-         |exm1 AS (SELECT exact_h, min(doc_id) AS m FROM b1 GROUP BY exact_h),
-         |exe1 AS (SELECT e.m AS id1, b.doc_id AS id2
-         |         FROM b1 b JOIN exm1 e ON e.exact_h = b.exact_h
-         |         WHERE b.doc_id > e.m),
-         |bb1 AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM b1
-         |        UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM b1),
-         |cw1 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
-         |        FROM bb1 a JOIN bb1 c ON c.band_id = a.band_id AND c.bk = a.bk
-         |         AND a.doc_id < c.doc_id),
-         |nw1 AS (SELECT p.id1, p.id2 FROM cw1 p
-         |        JOIN b1 l ON l.doc_id = p.id1 JOIN b1 r ON r.doc_id = p.id2
-         |        WHERE ${mhMatch("l", "r")} >= 6),
-         |cx1 AS (SELECT b.doc_id AS id1, i.doc_id AS id2
-         |        FROM b1 b JOIN b0 i ON i.exact_h = b.exact_h),
-         |cc1 AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
-         |        FROM bb1 a JOIN bb0 c ON c.band_id = a.band_id AND c.bk = a.bk),
-         |cn1 AS (SELECT p.id1, p.id2 FROM cc1 p
-         |        JOIN b1 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
-         |        WHERE ${mhMatch("l", "r")} >= 6),
-         |cr1 AS (SELECT id1, id2 FROM cx1 UNION SELECT id1, id2 FROM cn1),
-         |tc1 AS (SELECT DISTINCT a.cluster_id
-         |        FROM cr1 c JOIN as0 a ON a.doc_id = c.id2),
-         |mem1 AS (SELECT a.* FROM as0 a JOIN tc1 t ON t.cluster_id = a.cluster_id),
-         |st1 AS (SELECT doc_id AS id1, cluster_id AS id2 FROM mem1
-         |        WHERE doc_id <> cluster_id),
-         |ed1 AS (SELECT id1, id2 FROM exe1 UNION SELECT id1, id2 FROM nw1
-         |        UNION SELECT id1, id2 FROM cr1 UNION SELECT id1, id2 FROM st1),
-         |n1 AS (SELECT id1 AS id FROM ed1 UNION SELECT id2 FROM ed1),
-         |sy1 AS (SELECT id1 AS s, id2 AS d FROM ed1
-         |        UNION ALL SELECT id2, id1 FROM ed1),
-         |rc1 AS (SELECT id, id AS r FROM n1
-         |        UNION SELECT s.d AS id, rc.r FROM rc1 rc JOIN sy1 s ON s.s = rc.id),
-         |cp1 AS (SELECT id, min(r) AS component FROM rc1 GROUP BY id),
-         |w1 AS (SELECT component, cluster_id AS wcid, cluster_seq AS wseq,
-         |              split AS wsplit
-         |       FROM (SELECT c.component, a.cluster_id, a.cluster_seq, a.split,
-         |               row_number() OVER (PARTITION BY c.component
-         |                 ORDER BY a.cluster_seq, a.cluster_id) AS rn
-         |             FROM cp1 c JOIN as0 a ON a.doc_id = c.id) WHERE rn = 1),
-         |na1 AS (SELECT b.doc_id, CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS comp
-         |        FROM b1 b LEFT JOIN cp1 c ON c.id = b.doc_id),
-         |an1 AS (SELECT n.doc_id,
-         |          CAST(coalesce(w.wcid, n.comp) AS BIGINT) AS cluster_id,
-         |          CAST(coalesce(w.wseq, 1) AS BIGINT) AS cluster_seq,
-         |          coalesce(w.wsplit, ${splitCase("n.comp")}) AS split,
-         |          CAST(1 AS BIGINT) AS seq
-         |        FROM na1 n LEFT JOIN w1 w ON w.component = n.comp),
-         |mg1 AS (SELECT a.doc_id, CAST(w.wcid AS BIGINT) AS cluster_id,
-         |          CAST(w.wseq AS BIGINT) AS cluster_seq, w.wsplit AS split,
-         |          CAST(1 AS BIGINT) AS seq
-         |        FROM as0 a JOIN cp1 c ON c.id = a.doc_id
-         |        JOIN w1 w ON w.component = c.component
-         |        WHERE a.cluster_id <> w.wcid OR a.split <> w.wsplit)
+         |${incrSplitFoldCtes()}
          |SELECT doc_id, cluster_id, cluster_seq, split, seq FROM (
          |  SELECT * FROM an1
          |  UNION ALL SELECT * FROM mg1
@@ -2277,6 +2295,76 @@ object LlmQueries {
           seq = i.toLong, queryId = "q")
       }
       graft.streaming.SplitStream.assignments(s, store).orderBy("doc_id")
+    },
+
+    // ---- migration audit for the incremental split (SplitStream.
+    //      migrations): which docs moved clusters/splits at which seq,
+    //      and why — moved_split=true is the designed leak-freedom-
+    //      over-stability conflict (a merge of differently-split
+    //      clusters), false a stability-preserving re-point. The raw
+    //      corpus has no bridge topology (its near-dup components are
+    //      pairs and one triangle — any two members unify on arrival,
+    //      so nothing ever re-points), so the fold runs over a DERIVED
+    //      corpus with guaranteed chains: per document (≥ 56 tokens),
+    //      three 40-token sliding windows A=[1..40] (id·4), C=[17..56]
+    //      (id·4+2) — J(A,C) ≈ 0.43, separate round-0 clusters — and
+    //      the bridge B=[9..48] (id·4+1, J ≈ 0.67 to each) arriving in
+    //      batch 1 (odd id), merging A and C where the signature draw
+    //      connects both (31 docs at sf0.01). The oracle reuses the
+    //      SAME two-batch replay chain over the derived table and
+    //      reads migrations off its mg1 rows joined to the round-0
+    //      assignments. ----
+    "q_llm_split_migrations" -> Q(
+      s"""WITH RECURSIVE dtk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> x <> '') AS ts
+         |  FROM documents),
+         |eligible AS (SELECT doc_id, ts FROM dtk
+         |             WHERE len(ts) >= 56 AND doc_id % 4 = 1),
+         |derived AS (
+         |  SELECT doc_id*4 AS doc_id, array_to_string(ts[1:40], ' ') AS text
+         |  FROM eligible
+         |  UNION ALL SELECT doc_id*4+2, array_to_string(ts[17:56], ' ')
+         |  FROM eligible
+         |  UNION ALL SELECT doc_id*4+1, array_to_string(ts[9:48], ' ')
+         |  FROM eligible),
+         |${shingleCteOver("derived")},
+         |sigs AS ($sigSelect),
+         |${incrSplitFoldCtes("derived")},
+         |mig AS (SELECT m.doc_id, m.seq, a.split AS from_split,
+         |          m.split AS to_split
+         |        FROM mg1 m JOIN as0 a ON a.doc_id = m.doc_id)
+         |SELECT seq, from_split, to_split,
+         |  from_split <> to_split AS moved_split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS sample_doc
+         |FROM mig GROUP BY 1, 2, 3, 4
+         |ORDER BY seq, from_split, to_split""".stripMargin) { (s, dir) =>
+      val tmp = Scratch.dir("graft_splitmig_")
+      val store = s"${tmp.getPath}/store"
+      // doc_id % 4 = 1 bounds the replay oracle's recursive-CC cost
+      // (deterministic quarter — the fold itself is O(batch) either way)
+      val eligible = tb(s, dir).documents
+        .filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"),
+            t => t =!= lit("")).as("_ts"))
+        .filter(size(col("_ts")) >= 56)
+      def window(off: Int, start: Int) = eligible.select(
+        (col("doc_id") * 4 + lit(off)).as("doc_id"),
+        concat_ws(" ", slice(col("_ts"), start, 40)).as("text"))
+      val derived = window(0, 1)
+        .unionByName(window(2, 17)).unionByName(window(1, 9))
+      (0 to 1).foreach { i =>
+        graft.streaming.SplitStream.applyBatch(
+          derived.filter(col("doc_id") % 2 === i), "doc_id", "text",
+          store, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seq = i.toLong, queryId = "q")
+      }
+      graft.streaming.SplitStream.migrations(s, store)
+        .groupBy("seq", "from_split", "to_split", "moved_split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
+        .orderBy("seq", "from_split", "to_split")
     },
 
     // ---- incremental dedup, part 1: the compact signature index

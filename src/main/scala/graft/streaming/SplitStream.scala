@@ -124,6 +124,30 @@ object SplitStream {
     }
   }
 
+  /** Migration audit over the delta store — the first question an
+    * eval owner asks after a corpus merge: WHICH docs moved, WHEN, and
+    * WHY. One row per re-assignment (a doc's non-first delta row)
+    * pairing it with the doc's previous assignment: (doc, seq,
+    * from/to cluster, from/to split, moved_split). `moved_split` true
+    * marks the designed leak-freedom-over-stability conflicts (a merge
+    * of differently-split clusters — the split HAD to change to keep
+    * zero leakage); false marks stability-preserving merges (re-point
+    * only, assignment kept). Cost: one window over the delta rows,
+    * partitioned per doc — store-sized, never corpus-text-sized.
+    */
+  def migrations(spark: SparkSession, storeDir: String,
+                 idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("seq")
+    spark.read.parquet(assignPath(storeDir))
+      .withColumn("from_cluster", lag("cluster_id", 1).over(w))
+      .withColumn("from_split", lag("split", 1).over(w))
+      .filter(col("from_cluster").isNotNull)
+      .select(col(idCol), col("seq"),
+        col("from_cluster"), col("cluster_id").as("to_cluster"),
+        col("from_split"), col("split").as("to_split"),
+        (col("from_split") =!= col("split")).as("moved_split"))
+  }
+
   /** Absorb the assign deltas into one latest-wins
     * `ingest_batch=compacted_<n>` delta and the sigs deltas into one —
     * the small-file maintenance pass; owning process only, between

@@ -148,6 +148,18 @@ class SplitStreamSpec extends SparkSpec {
     assert(v(999L)._3 === "train")
     // post-merge the component is single-split: zero straddling pairs
     assert(v.values.map(_._3).toSet === Set("train"))
+    // the migration AUDIT surfaces exactly this move: idB, at the
+    // merging batch's seq, test → train, flagged as a split move
+    val mig = SplitStream.migrations(spark, dir).collect()
+    assert(mig.length === 1)
+    val m = mig.head
+    assert(m.getAs[Long]("doc_id") === idB &&
+      m.getAs[Long]("seq") === 2L &&
+      m.getAs[Long]("from_cluster") === idB &&
+      m.getAs[Long]("to_cluster") === idA &&
+      m.getAs[String]("from_split") === "test" &&
+      m.getAs[String]("to_split") === "train" &&
+      m.getAs[Boolean]("moved_split"))
   }
 
   test("first-batch crash recovery: a store whose ONLY delta is an " +
