@@ -107,10 +107,20 @@ object Bench {
     val ledgerUsable = ledger.nonEmpty
     // retry iff: first > max(3s floor, 3× ledger). The floor keeps
     // sub-second noise (0.2s→0.9s) from triggering pointless re-runs.
-    // Compared on QUERY seconds (see R) — a fixture hiccup inside an
-    // e2e closure must not re-run the measured fold, and vice versa.
     def isOutlier(name: String, sec: Double): Boolean =
       ledgerUsable && ledger.get(name).exists(w => sec > math.max(3.0, 3.0 * w))
+
+    // Queries whose closure EAGERLY builds a multi-job FIXTURE around a
+    // small measured fold (r11 verdict #5: ~10 sequential jobs of store
+    // construction dominated their one number, so a fixture regression
+    // was indistinguishable from a query regression). These adjudicate
+    // and ledger on query_sec; every other query stays on total sec —
+    // an eager in-closure materialization elsewhere (e.g. nearDupPairs'
+    // cache build) IS the measured operator, and keying it on the
+    // final-read tail would blind the outlier guard to chain
+    // regressions.
+    val fixtureKeyed = Set("q_llm_incr_leakfree", "q_pipeline_ingest_e2e",
+      "q_maint_requeue", "q_llm_split_migrations")
 
     // otherSec: the NON-adopted measurement of a retried outlier (the
     // slower first run when the retry cleared it, or the retry when it
@@ -126,6 +136,10 @@ object Bench {
     case class R(name: String, sec: Double, setupSec: Double,
                  querySec: Double, err: Option[String],
                  gcMs: Long, peakMb: Long, otherSec: Option[Double])
+
+    // the adjudicated/ledgered seconds for a result (see fixtureKeyed)
+    def metric(r: R): Double =
+      if (fixtureKeyed(r.name)) r.querySec else r.sec
 
     // stable ordering for readable diffs between rounds; storage released
     // between queries (outside the timed region) so each timing is
@@ -174,16 +188,16 @@ object Bench {
     }
     val firstPass = queries.map { case (name, fn) =>
       val first = timeOnce(name, fn)
-      if (first.err.isEmpty && isOutlier(name, first.querySec)) {
+      if (first.err.isEmpty && isOutlier(name, metric(first))) {
         settle()
         val retry = timeOnce(name, fn)
         // adopt the better of the two — a genuine plan regression stays
         // slow on retry and still reports; a transient stall clears.
-        // Adjudicated on query_sec (the ledger's key); rejected_sec
-        // reports the other attempt's query_sec for the same metric.
-        if (retry.err.isEmpty && retry.querySec < first.querySec)
-          retry.copy(otherSec = Some(first.querySec))
-        else first.copy(otherSec = Some(retry.querySec))
+        // Adjudicated on the ledgered metric; rejected_sec reports the
+        // other attempt's value of the same metric.
+        if (retry.err.isEmpty && metric(retry) < metric(first))
+          retry.copy(otherSec = Some(metric(first)))
+        else first.copy(otherSec = Some(metric(retry)))
       } else first
     }
 
@@ -198,7 +212,7 @@ object Bench {
     // regression stays slow on the retime and reports both totals.
     val ledgerKnown = firstPass.filter(r => r.err.isEmpty && ledger.contains(r.name))
     val ledgerTotal = ledgerKnown.map(r => ledger(r.name)).sum
-    val firstTotal = ledgerKnown.map(_.querySec).sum
+    val firstTotal = ledgerKnown.map(metric).sum
     val suiteStalled = ledgerUsable && ledgerTotal > 0.0 &&
       firstTotal > 1.4 * ledgerTotal
     val queriesByName = queries.toMap
@@ -212,9 +226,9 @@ object Bench {
           else {
             settle()
             val retry = timeOnce(r.name, queriesByName(r.name))
-            if (retry.err.isEmpty && retry.querySec < r.querySec)
-              retry.copy(otherSec = Some(r.querySec))
-            else r.copy(otherSec = r.otherSec.orElse(Some(retry.querySec)))
+            if (retry.err.isEmpty && metric(retry) < metric(r))
+              retry.copy(otherSec = Some(metric(r)))
+            else r.copy(otherSec = r.otherSec.orElse(Some(metric(retry))))
           }
         }
       }
@@ -228,7 +242,7 @@ object Bench {
       else {
         val finalTotal = results
           .filter(r => r.err.isEmpty && ledger.contains(r.name))
-          .map(_.querySec).sum
+          .map(metric).sum
         s""","suite_retime":{"stalled":$suiteStalled,"ledger_total":${fmt(ledgerTotal)},"first_total":${fmt(firstTotal)},"final_total":${fmt(finalTotal)}}"""
       }
     def line(rs: Seq[R]): String = {
@@ -266,11 +280,12 @@ object Bench {
       rs.map { r =>
         val retryField = r.otherSec
           .map(o => s""","rejected_sec":${fmt(o)}""").getOrElse("")
-        // ledger_ratio keys on query_sec (the ledger's metric since
-        // the r12 re-key — see COVERAGE.md ledger migration note)
+        // ledger_ratio keys on the adjudicated metric (query_sec for
+        // the fixtureKeyed e2e entries since the r12 re-key, total sec
+        // otherwise — see COVERAGE.md ledger migration note)
         val ratioField = ledger.get(r.name)
           .filter(_ > 0.0)
-          .map(w => s""","ledger_ratio":${fmt(r.querySec / w)}""")
+          .map(w => s""","ledger_ratio":${fmt(metric(r) / w)}""")
           .getOrElse("")
         s""""${esc(r.name)}":{"sec":${fmt(r.sec)},"setup_sec":${fmt(
           r.setupSec)},"query_sec":${fmt(r.querySec)},"gc_ms":${r.gcMs
