@@ -33,8 +33,21 @@ object LlmQueries {
     */
   private val dupStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Cheap corpus fingerprint (file names, lengths, mtimes under the
+    * documents parquet path) — keyed into the memo so a regenerated
+    * corpus at the SAME dir rebuilds the store instead of silently
+    * serving stale pairs (r12 review finding).
+    */
+  private def corpusStamp(dir: String): String = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      else f.getName.hashCode.toLong ^ f.length() ^ f.lastModified()
+    walk(new java.io.File(dir, "documents.parquet")).toString
+  }
   private def dupPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = dupStores.computeIfAbsent(dir, _ => {
+    val key = s"$dir|${corpusStamp(dir)}"
+    val path = dupStores.computeIfAbsent(key, _ => {
       val p = new java.io.File(Scratch.dir("graft_dup_index_"), "pairs")
         .getPath
       DedupIndex.writePairStore(tb(s, dir).documents, "doc_id", "text", p)

@@ -50,26 +50,42 @@ object SplitStream {
       lit(0L).as("cluster_id"), lit(0L).as("cluster_seq"),
       lit("").as("split"), lit(0L).as("seq"))
 
+  /** Typed empty assign frame for committed-dirs reads that start from
+    * nothing but the store path (no batch frame in hand).
+    */
+  private def assignTemplate(spark: SparkSession,
+                             idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(idCol, LongType),
+        StructField("cluster_id", LongType),
+        StructField("cluster_seq", LongType),
+        StructField("split", StringType),
+        StructField("seq", LongType))))
+  }
+
+  /** All committed assign rows — the _SUCCESS-gated read every store
+    * view goes through (a plain read.parquet would include a crashed
+    * writer's partial delta, or die on a store whose only content is a
+    * `_temporary` dir — the r11 wedge DeltaStore.readCommitted exists
+    * to prevent).
+    */
+  private def committedAssign(spark: SparkSession, storeDir: String,
+                              idCol: String): DataFrame =
+    DeltaStore.readCommitted(assignTemplate(spark, idCol),
+      assignPath(storeDir)).drop("ingest_batch")
+
   /** Latest-wins assignment view over the delta store: one row per doc,
     * highest `seq` wins (a doc re-appears only when its cluster merged).
     */
   def assignments(spark: SparkSession, storeDir: String,
                   idCol: String = "doc_id"): DataFrame = {
-    val assign = spark.read.parquet(assignPath(storeDir))
     val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
-    assign
+    committedAssign(spark, storeDir, idCol)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "ingest_batch")
-  }
-
-  /** The latest-seq-wins fold applied at compaction — one row per doc,
-    * the same view [[assignments]] serves.
-    */
-  private def latestWins(idCol: String)(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+      .drop("_rn")
   }
 
   /** Assign one document batch against the store and persist the
@@ -94,7 +110,7 @@ object SplitStream {
     val tag = DeltaStore.tagOf(queryId, seq)
     val spark = batch.sparkSession
     DeltaStore.compactIfNeeded(spark, assignPath(storeDir),
-      autoCompactMinDeltas, Some(tag))(latestWins(idCol))
+      autoCompactMinDeltas, Some(tag))(identity)
     DeltaStore.compactIfNeeded(spark, sigsPath(storeDir),
       autoCompactMinDeltas, Some(tag))(identity)
     val bidx = IncrementalDedup
@@ -138,7 +154,7 @@ object SplitStream {
   def migrations(spark: SparkSession, storeDir: String,
                  idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("seq")
-    spark.read.parquet(assignPath(storeDir))
+    committedAssign(spark, storeDir, idCol)
       .withColumn("from_cluster", lag("cluster_id", 1).over(w))
       .withColumn("from_split", lag("split", 1).over(w))
       .filter(col("from_cluster").isNotNull)
@@ -148,15 +164,21 @@ object SplitStream {
         (col("from_split") =!= col("split")).as("moved_split"))
   }
 
-  /** Absorb the assign deltas into one latest-wins
-    * `ingest_batch=compacted_<n>` delta and the sigs deltas into one —
-    * the small-file maintenance pass; owning process only, between
-    * committed batches. Committed deltas only (the r10
-    * partial-delta-baking lesson), staged and swapped whole.
+  /** Absorb the assign deltas and the sigs deltas each into one
+    * `ingest_batch=compacted_<n>` delta — the small-file maintenance
+    * pass; owning process only, between committed batches. Committed
+    * deltas only (the r10 partial-delta-baking lesson), staged and
+    * swapped whole. The fold is IDENTITY on both stores: per-doc
+    * assignment HISTORY is load-bearing ([[migrations]] is the audit
+    * over it, and [[assignments]] applies latest-wins at read), and a
+    * doc's row count is 1 + its migration count, so compaction bounds
+    * FILE COUNT without erasing the audit trail (r12 review finding —
+    * a latest-wins fold here silently truncated every migration
+    * recorded before the compaction).
     */
   def compact(spark: SparkSession, storeDir: String,
               idCol: String = "doc_id"): Unit = {
-    DeltaStore.compactWith(spark, assignPath(storeDir))(latestWins(idCol))
+    DeltaStore.compactWith(spark, assignPath(storeDir))(identity)
     DeltaStore.compactWith(spark, sigsPath(storeDir))(identity)
   }
 

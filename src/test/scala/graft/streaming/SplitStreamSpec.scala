@@ -238,6 +238,12 @@ class SplitStreamSpec extends SparkSpec {
         minMatches = mm, autoCompactMinDeltas = 0)
     }
     assert(view(dirA) === view(dirB))
+    // the migration AUDIT must survive compaction identically: the
+    // assign fold is identity (r12 review finding — a latest-wins fold
+    // silently erased every pre-compaction migration)
+    def migs(d: String) = SplitStream.migrations(spark, d).collect()
+      .map(_.toString).sorted.toSeq
+    assert(migs(dirA) === migs(dirB))
     // compaction fires before the batch writes, so each store holds at
     // most compacted + own = 2 dirs; the untriggered one keeps all 5
     val conf = spark.sparkContext.hadoopConfiguration
