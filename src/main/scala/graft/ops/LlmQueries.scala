@@ -99,20 +99,20 @@ object LlmQueries {
     * symmetric edge closure → min-reachable-id components in `comp`.
     */
   private val ccCteChain =
-    """bands AS (
+    """bands AS MATERIALIZED (
       |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
       |  UNION ALL
       |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
       |  WHERE a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      |inter AS (
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
       |  SELECT p.id1, p.id2, count(*) AS n
       |  FROM cand p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
       |  GROUP BY p.id1, p.id2),
-      |dups AS (
+      |dups AS MATERIALIZED (
       |  SELECT p.id1, p.id2 FROM cand p
       |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
       |  JOIN sizes s1 ON s1.doc_id = p.id1
@@ -125,7 +125,7 @@ object LlmQueries {
       |  SELECT id, id AS r FROM nodes
       |  UNION
       |  SELECT s.dst AS id, rc.r FROM reach rc JOIN sym s ON s.src = rc.id),
-      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+      |comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   /** BPE oracle CTE generators (graft.llm.Bpe): the corpus word-count
     * base (rows of (word, wcount, pos, tok), `</w>`-terminated chars),
@@ -297,16 +297,16 @@ object LlmQueries {
     * so this fragment must not start continuation lines with `|`.
     */
   private val bandsPairsInterCte: String =
-    """bands AS (
+    """bands AS MATERIALIZED (
       |  SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS band_key FROM sigs
       |  UNION ALL
       |  SELECT doc_id, 1 AS band_id, md5(mh5||mh6||mh7||mh8) AS band_key FROM sigs),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
       |  WHERE a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      |inter AS (
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
       |  SELECT p.id1, p.id2, count(*) AS n
       |  FROM pairs p JOIN sh a ON a.doc_id = p.id1 JOIN sh b ON b.doc_id = p.id2 AND b.s = a.s
       |  GROUP BY p.id1, p.id2)""".stripMargin
@@ -329,12 +329,12 @@ object LlmQueries {
     * interpolate like [[bandsPairsInterCte]].
     */
   private def incrSplitFoldCtes(src: String = "documents"): String =
-    s"""allidx AS (
+    s"""allidx AS MATERIALIZED (
        |  SELECT e.doc_id, md5(e.text) AS exact_h,
        |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
        |  FROM $src e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
-       |b0 AS (SELECT * FROM allidx WHERE doc_id % 2 = 0),
-       |b1 AS (SELECT * FROM allidx WHERE doc_id % 2 = 1),
+       |b0 AS MATERIALIZED (SELECT * FROM allidx WHERE doc_id % 2 = 0),
+       |b1 AS MATERIALIZED (SELECT * FROM allidx WHERE doc_id % 2 = 1),
        |exm0 AS (SELECT exact_h, min(doc_id) AS m FROM b0 GROUP BY exact_h),
        |exe0 AS (SELECT e.m AS id1, b.doc_id AS id2
        |         FROM b0 b JOIN exm0 e ON e.exact_h = b.exact_h
@@ -347,14 +347,14 @@ object LlmQueries {
        |nw0 AS (SELECT p.id1, p.id2 FROM cw0 p
        |        JOIN b0 l ON l.doc_id = p.id1 JOIN b0 r ON r.doc_id = p.id2
        |        WHERE ${mhMatch("l", "r")} >= 6),
-       |ed0 AS (SELECT id1, id2 FROM exe0 UNION SELECT id1, id2 FROM nw0),
+       |ed0 AS MATERIALIZED (SELECT id1, id2 FROM exe0 UNION SELECT id1, id2 FROM nw0),
        |n0 AS (SELECT id1 AS id FROM ed0 UNION SELECT id2 FROM ed0),
        |sy0 AS (SELECT id1 AS s, id2 AS d FROM ed0
        |        UNION ALL SELECT id2, id1 FROM ed0),
        |rc0 AS (SELECT id, id AS r FROM n0
        |        UNION SELECT s.d AS id, rc.r FROM rc0 rc JOIN sy0 s ON s.s = rc.id),
-       |cp0 AS (SELECT id, min(r) AS component FROM rc0 GROUP BY id),
-       |as0 AS (SELECT b.doc_id,
+       |cp0 AS MATERIALIZED (SELECT id, min(r) AS component FROM rc0 GROUP BY id),
+       |as0 AS MATERIALIZED (SELECT b.doc_id,
        |          CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS cluster_id,
        |          CAST(0 AS BIGINT) AS cluster_seq,
        |          ${splitCase("coalesce(c.component, b.doc_id)")} AS split,
@@ -385,21 +385,21 @@ object LlmQueries {
        |mem1 AS (SELECT a.* FROM as0 a JOIN tc1 t ON t.cluster_id = a.cluster_id),
        |st1 AS (SELECT doc_id AS id1, cluster_id AS id2 FROM mem1
        |        WHERE doc_id <> cluster_id),
-       |ed1 AS (SELECT id1, id2 FROM exe1 UNION SELECT id1, id2 FROM nw1
+       |ed1 AS MATERIALIZED (SELECT id1, id2 FROM exe1 UNION SELECT id1, id2 FROM nw1
        |        UNION SELECT id1, id2 FROM cr1 UNION SELECT id1, id2 FROM st1),
        |n1 AS (SELECT id1 AS id FROM ed1 UNION SELECT id2 FROM ed1),
        |sy1 AS (SELECT id1 AS s, id2 AS d FROM ed1
        |        UNION ALL SELECT id2, id1 FROM ed1),
        |rc1 AS (SELECT id, id AS r FROM n1
        |        UNION SELECT s.d AS id, rc.r FROM rc1 rc JOIN sy1 s ON s.s = rc.id),
-       |cp1 AS (SELECT id, min(r) AS component FROM rc1 GROUP BY id),
-       |w1 AS (SELECT component, cluster_id AS wcid, cluster_seq AS wseq,
+       |cp1 AS MATERIALIZED (SELECT id, min(r) AS component FROM rc1 GROUP BY id),
+       |w1 AS MATERIALIZED (SELECT component, cluster_id AS wcid, cluster_seq AS wseq,
        |              split AS wsplit
        |       FROM (SELECT c.component, a.cluster_id, a.cluster_seq, a.split,
        |               row_number() OVER (PARTITION BY c.component
        |                 ORDER BY a.cluster_seq, a.cluster_id) AS rn
        |             FROM cp1 c JOIN as0 a ON a.doc_id = c.id) WHERE rn = 1),
-       |na1 AS (SELECT b.doc_id, CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS comp
+       |na1 AS MATERIALIZED (SELECT b.doc_id, CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS comp
        |        FROM b1 b LEFT JOIN cp1 c ON c.id = b.doc_id),
        |an1 AS (SELECT n.doc_id,
        |          CAST(coalesce(w.wcid, n.comp) AS BIGINT) AS cluster_id,
@@ -1109,13 +1109,17 @@ object LlmQueries {
         |                   - ln((cr + 1) / CAST(nr + v AS DOUBLE)) AS lr
         |       FROM model, k)
         |SELECT tc.doc_id, CAST(sum(tc.c) AS BIGINT) AS n_tokens,
-        |       round(sum(tc.c * lr.lr) / sum(tc.c), 6) AS avg_lw
+        |       round(sum(tc.c * lr.lr) / sum(tc.c), 6) + 0.0 AS avg_lw
         |FROM tc JOIN lr ON lr.token = tc.token
         |GROUP BY tc.doc_id ORDER BY tc.doc_id""".stripMargin) { (s, dir) =>
+      // + 0.0 on BOTH sides: a doc whose weighted log-ratio rounds to
+      // exactly zero keeps a platform-dependent SIGN bit (DuckDB hit
+      // -0.0 at sf0.1 where sf0.01 never crossed zero — the
+      // scale-dependent class the sf0.1 sweep exists to catch)
       TextAnalysis.dsirWeights(tb(s, dir).documents, "doc_id", "text",
           col("lang") === "en")
         .select(col("doc_id"), col("n_tokens"),
-          round(col("avg_lw"), 6).as("avg_lw"))
+          (round(col("avg_lw"), 6) + lit(0.0)).as("avg_lw"))
         .orderBy("doc_id")
     },
 
