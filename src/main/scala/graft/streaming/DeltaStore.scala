@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions.lit
   * staged+swapped compaction. Extracted in r11 after the third store
   * re-implemented it by hand (review finding: the copies were already
   * drifting — the first-batch recovery wedge below existed in all
-  * three).
+  * three). private[graft] since r13: [[graft.llm.DedupIndex]]'s
+  * incremental pair store speaks the same protocol.
   */
-private[streaming] object DeltaStore {
+private[graft] object DeltaStore {
 
   def tagOf(queryId: String, batchId: Long): String = {
     val qid = if (queryId.isEmpty) "q" else queryId
@@ -102,13 +103,22 @@ private[streaming] object DeltaStore {
     * delta dirs — a pure FS-metadata probe, so the common every-batch
     * case costs ZERO Spark jobs. Owning process only, same rules as
     * compactWith. Returns true iff it compacted.
+    *
+    * The trigger counts COMMITTED dirs minus the caller's excluded tag
+    * — exactly the set compactWith will fold — not the raw dir list: a
+    * store polluted with crashed `_temporary` partials must not trip a
+    * compaction of two real deltas, and the count the trigger acts on
+    * must agree with the work the fold actually absorbs (r12 advice).
     */
   def compactIfNeeded(spark: SparkSession, path: String, minDeltas: Int,
                       excludeTag: Option[String] = None)
                      (fold: DataFrame => DataFrame): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     if (minDeltas <= 0 || !Fs.exists(path, conf)) return false
-    if (Fs.listDirs(path, conf).length < minDeltas) return false
+    val foldable = committedDirs(path, conf)
+      .filterNot(d => excludeTag.exists(t =>
+        d.endsWith(s"/ingest_batch=$t")))
+    if (foldable.length < minDeltas) return false
     compactWith(spark, path, excludeTag)(fold)
     true
   }

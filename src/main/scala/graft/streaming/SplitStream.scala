@@ -51,14 +51,19 @@ object SplitStream {
       lit("").as("split"), lit(0L).as("seq"))
 
   /** Typed empty assign frame for committed-dirs reads that start from
-    * nothing but the store path (no batch frame in hand).
+    * nothing but the store path (no batch frame in hand). `idType`
+    * must match the id type of the deltas applyBatch wrote — the
+    * template only ever types the EMPTY-store read (a non-empty store
+    * infers its schema from the parquet itself), but an empty view
+    * whose id type disagrees with later deltas would poison a
+    * caller-side union/join (r12 advice).
     */
-  private def assignTemplate(spark: SparkSession,
-                             idCol: String): DataFrame = {
+  private def assignTemplate(spark: SparkSession, idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField(idCol, LongType),
+      StructType(Seq(StructField(idCol, idType),
         StructField("cluster_id", LongType),
         StructField("cluster_seq", LongType),
         StructField("split", StringType),
@@ -72,17 +77,22 @@ object SplitStream {
     * to prevent).
     */
   private def committedAssign(spark: SparkSession, storeDir: String,
-                              idCol: String): DataFrame =
-    DeltaStore.readCommitted(assignTemplate(spark, idCol),
+      idCol: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    DeltaStore.readCommitted(assignTemplate(spark, idCol, idType),
       assignPath(storeDir)).drop("ingest_batch")
 
   /** Latest-wins assignment view over the delta store: one row per doc,
     * highest `seq` wins (a doc re-appears only when its cluster merged).
+    * `idType` types the empty-store case only; it must match the id
+    * type applyBatch folded (default long — the documents contract).
     */
   def assignments(spark: SparkSession, storeDir: String,
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  idType: org.apache.spark.sql.types.DataType =
+                    org.apache.spark.sql.types.LongType): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("seq").desc)
-    committedAssign(spark, storeDir, idCol)
+    committedAssign(spark, storeDir, idCol, idType)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
@@ -152,9 +162,11 @@ object SplitStream {
     * partitioned per doc — store-sized, never corpus-text-sized.
     */
   def migrations(spark: SparkSession, storeDir: String,
-                 idCol: String = "doc_id"): DataFrame = {
+                 idCol: String = "doc_id",
+                 idType: org.apache.spark.sql.types.DataType =
+                   org.apache.spark.sql.types.LongType): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("seq")
-    committedAssign(spark, storeDir, idCol)
+    committedAssign(spark, storeDir, idCol, idType)
       .withColumn("from_cluster", lag("cluster_id", 1).over(w))
       .withColumn("from_split", lag("split", 1).over(w))
       .filter(col("from_cluster").isNotNull)

@@ -76,4 +76,99 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.thresholded(pairs).select("id1", "id2")
       .as[(Long, Long)].collect().toSet === Set((1L, 2L), (2L, 3L)))
   }
+
+  test("recallFloor is the s-curve 50% point: (1-2^(-1/b))^(1/r)") {
+    // 8 hashes / 4 rows → b=2: (1 - 2^-0.5)^0.25 ≈ 0.73566
+    assert(math.abs(DedupIndex.recallFloor(8, 4) -
+      math.pow(1.0 - 1.0 / math.sqrt(2.0), 0.25)) < 1e-12)
+    assert(math.abs(DedupIndex.recallFloor(8, 4) - 0.7357) < 5e-5)
+    // 16 hashes / 2 rows → b=8: wider bands candidate lower similarity
+    assert(DedupIndex.recallFloor(16, 2) < DedupIndex.recallFloor(8, 4))
+    intercept[IllegalArgumentException](DedupIndex.recallFloor(8, 3))
+  }
+
+  test("an under-floor threshold against a STORED index raises; the " +
+    "same request on a bare in-memory frame does not") {
+    withStore { stored =>
+      // 0.8 ≥ the 8/4 store's 0.736 floor → served
+      DedupIndex.thresholded(stored, 8, 10).count()
+      // 0.3 < floor: the store never candidated those pairs — refuse
+      val e = intercept[IllegalArgumentException](
+        DedupIndex.thresholded(stored, 3, 10))
+      assert(e.getMessage.contains("recall floor"))
+      // a frame without store provenance carries no floor metadata:
+      // the producer owns the recall contract, no guard to apply
+      DedupIndex.thresholded(stored.select("id1", "id2", "jaccard_n",
+        "jaccard_d").withColumn("jaccard_n", col("jaccard_n") + 0L),
+        3, 10).count()
+    }
+  }
+
+  private def withIncrStore(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("incrpairs").toFile
+    try f(new java.io.File(dir, "store").getPath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("a two-batch incremental store is row-identical to the one-shot " +
+    "store, and its consumers agree") {
+    withIncrStore { store =>
+      DedupIndex.appendPairBatch(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", store, seq = 0L)
+      DedupIndex.appendPairBatch(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", store, seq = 1L)
+      val incr = DedupIndex.readPairStore(spark, store)
+      assert(sorted(incr) ===
+        sorted(DedupOps.nearDupPairs(docs, "doc_id", "text")))
+      assert(sorted(DedupIndex.sourceMatrix(incr, docs, "doc_id",
+          "source")) ===
+        sorted(DedupOps.dupSourceMatrix(docs, "doc_id", "text", "source")))
+      assert(sorted(DedupIndex.leakFreeSplit(incr, docs, "doc_id",
+          splits)) ===
+        sorted(DedupOps.leakFreeSplit(docs, "doc_id", "text", splits)))
+      // the incremental store carries the floor guard too
+      intercept[IllegalArgumentException](
+        DedupIndex.thresholded(incr, 3, 10))
+    }
+  }
+
+  test("replaying a batch with its own tag is idempotent, and " +
+    "compaction preserves the pair union") {
+    withIncrStore { store =>
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      DedupIndex.appendPairBatch(even, "doc_id", "text", store, seq = 0L)
+      DedupIndex.appendPairBatch(odd, "doc_id", "text", store, seq = 1L)
+      val before = sorted(DedupIndex.readPairStore(spark, store))
+      // crash-replay of batch 1: same (queryId, seq) → recompute
+      // against state-excluding-itself and overwrite, nothing doubles
+      DedupIndex.appendPairBatch(odd, "doc_id", "text", store, seq = 1L)
+      assert(sorted(DedupIndex.readPairStore(spark, store)) === before)
+      DedupIndex.compactPairStore(spark, store)
+      assert(sorted(DedupIndex.readPairStore(spark, store)) === before)
+      // a third batch against the COMPACTED state still folds correctly:
+      // re-append doc 3's near-dup twin under a fresh id
+      val twin = Seq((6L, "the quick brown fox jumps over the sleepy cat",
+        "web")).toDF("doc_id", "text", "source")
+      DedupIndex.appendPairBatch(twin, "doc_id", "text", store, seq = 2L)
+      val all = docs.unionByName(twin)
+      assert(sorted(DedupIndex.readPairStore(spark, store)) ===
+        sorted(DedupOps.nearDupPairs(all, "doc_id", "text")))
+    }
+  }
+
+  test("appendPairBatch refuses LSH params that disagree with the " +
+    "store's sidecar") {
+    withIncrStore { store =>
+      DedupIndex.appendPairBatch(docs, "doc_id", "text", store, seq = 0L)
+      intercept[IllegalArgumentException](
+        DedupIndex.appendPairBatch(docs, "doc_id", "text", store,
+          seq = 1L, numHashes = 16, rowsPerBand = 4))
+    }
+  }
 }
