@@ -195,8 +195,21 @@ object Survival {
     */
   def cumulativeIncidence(df: DataFrame, durationCol: String,
                           causeCol: String,
-                          maxBlocks: Long = 1L << 20): DataFrame = {
-    val op = "cumulativeIncidence"
+                          maxBlocks: Long = 1L << 20): DataFrame =
+    cifGrid(df, durationCol, causeCol, maxBlocks, "cumulativeIncidence")
+      .select(col("t"), col("cause"), col("n_risk"), col("d"),
+        col("cif"))
+
+  /** The shared (t, cause) CIF grid under [[cumulativeIncidence]] and
+    * [[cumulativeIncidenceCi]]: per row the exact all-cause risk-set
+    * integers (`n_risk`, `d_all`), the cause's `d`, the left-limit
+    * all-cause survival `s_prev`, the stepped `cif`, and `_dead` (any
+    * time ≤ t exhausted the risk set — where every variance formula
+    * divides by zero).
+    */
+  private def cifGrid(df: DataFrame, durationCol: String,
+                      causeCol: String, maxBlocks: Long,
+                      op: String): DataFrame = {
     val rows = df.select(
       checkedDuration(col(durationCol), op).as("_v"),
       when(col(causeCol).isNull || col(causeCol) < 0,
@@ -217,7 +230,8 @@ object Survival {
       .agg(count(lit(1)).as("_dk"))
     val wC = Window.partitionBy("cause").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tf.select(col("t"), col("n_risk"), col("s_prev"))
+    tf.select(col("t"), col("n_risk"), col("d").as("d_all"),
+        col("s_prev"))
       .crossJoin(broadcast(causes))
       .join(dk, Seq("t", "cause"), "left")
       .na.fill(0L, Seq("_dk"))
@@ -225,8 +239,86 @@ object Survival {
         when(col("_dk") > 0L,
           col("s_prev") * col("_dk").cast("double") /
             col("n_risk").cast("double")).otherwise(lit(0.0)))
-      .select(col("t"), col("cause"), col("n_risk"),
-        col("_dk").as("d"), sum(col("_inc")).over(wC).as("cif"))
+      .withColumn("_dead",
+        max(when(col("d_all") === col("n_risk"), 1L).otherwise(0L))
+          .over(wC))
+      .select(col("t"), col("cause"), col("n_risk"), col("d_all"),
+        col("_dk").as("d"), col("s_prev"), col("_dead"),
+        sum(col("_inc")).over(wC).as("cif"))
+  }
+
+  /** [[cumulativeIncidence]] with its uncertainty — the Greenwood
+    * analogue for competing risks: the delta-method variance of the
+    * Aalen–Johansen CIF (Gaynor et al. 1993 / Marubini–Valsecchi, the
+    * SAS PROC LIFETEST formula),
+    *   V̂(t) = Σ_{u≤t} [F̂(t)−F̂(u)]² d_u/(n_u(n_u−d_u))
+    *        + Σ_{u≤t} Ŝ(u⁻)² d_ku(n_u−d_ku)/n_u³
+    *        − 2 Σ_{u≤t} [F̂(t)−F̂(u)] Ŝ(u⁻) d_ku/n_u²
+    * (d_u all-cause events, d_ku this cause's). The F̂(t)-dependent
+    * sums expand into cumulative windows — [F̂(t)−F̂(u)]² =
+    * F̂(t)²−2F̂(t)F̂(u)+F̂(u)² — so the whole variance is a handful of
+    * windowed sums over the grid-bounded frame, never an O(T²) pass.
+    * In the single-cause case it reduces exactly to the Greenwood
+    * variance of 1−Ŝ (spec-pinned against [[kaplanMeierCi]]). The 95%
+    * band is the log(−log) transform of the survival-like 1−F̂ (the
+    * withSurvival convention, kept inside (0, 1)). var_cif/ci are NULL
+    * past risk-set extinction; the band is also NULL while F̂ = 0 (no
+    * cause events yet — θ undefined) or F̂ ≥ 1. Output: one row per
+    * (t, cause): (t, cause, n_risk, d, cif, var_cif, ci_lo, ci_hi).
+    */
+  def cumulativeIncidenceCi(df: DataFrame, durationCol: String,
+                            causeCol: String,
+                            maxBlocks: Long = 1L << 20): DataFrame = {
+    val grid = cifGrid(df, durationCol, causeCol, maxBlocks,
+      "cumulativeIncidenceCi")
+    val wC = Window.partitionBy("cause").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n_risk").cast("double")
+    val dA = col("d_all").cast("double")
+    val dK = col("d").cast("double")
+    // per-u terms, zero when the guard fails (d_all = 0 contributes
+    // nothing; d_all = n_risk is extinction — masked by _dead)
+    val okA = col("d_all") > 0L && col("d_all") < col("n_risk")
+    val termA = when(okA, dA / (nD * (nD - dA))).otherwise(lit(0.0))
+    val termD = dK * col("s_prev") / (nD * nD)
+    val termG = col("s_prev") * col("s_prev") * dK * (nD - dK) /
+      (nD * nD * nD)
+    grid
+      .withColumn("_cumA", sum(termA).over(wC))
+      .withColumn("_cumB", sum(termA * col("cif")).over(wC))
+      .withColumn("_cumC", sum(termA * col("cif") * col("cif")).over(wC))
+      .withColumn("_cumD", sum(termD).over(wC))
+      .withColumn("_cumE", sum(termD * col("cif")).over(wC))
+      .withColumn("_cumG", sum(termG).over(wC))
+      // clamped at 0: the expansion is a difference of cumulative
+      // sums, so exact-zero variances can cancel to ±1e-18 — a
+      // negative variance is numerically meaningless and would flip
+      // sign bits across engines
+      .withColumn("var_cif",
+        when(col("_dead") === 0L, greatest(
+          col("cif") * col("cif") * col("_cumA")
+            - lit(2.0) * col("cif") * col("_cumB") + col("_cumC")
+            + col("_cumG")
+            - lit(2.0) * (col("cif") * col("_cumD") - col("_cumE")),
+          lit(0.0))))
+      // the division is guarded INSIDE the expression: windows block
+      // projection collapse, so an unguarded _seTheta column would be
+      // evaluated for the cif = 0 rows (ln 1 = 0 divisor) even though
+      // every consumer masks them — ANSI mode makes that a hard error
+      .withColumn("_seTheta",
+        when(col("_dead") === 0L && col("cif") > 0.0 && col("cif") < 1.0,
+          sqrt(greatest(col("var_cif"), lit(0.0))) /
+            ((lit(1.0) - col("cif")) * abs(log(lit(1.0) - col("cif"))))))
+      .withColumn("ci_lo",
+        when(col("_dead") === 0L && col("cif") > 0.0 && col("cif") < 1.0,
+          lit(1.0) - pow(lit(1.0) - col("cif"),
+            exp(-lit(z95) * col("_seTheta")))))
+      .withColumn("ci_hi",
+        when(col("_dead") === 0L && col("cif") > 0.0 && col("cif") < 1.0,
+          lit(1.0) - pow(lit(1.0) - col("cif"),
+            exp(lit(z95) * col("_seTheta")))))
+      .select(col("t"), col("cause"), col("n_risk"), col("d"),
+        col("cif"), col("var_cif"), col("ci_lo"), col("ci_hi"))
   }
 
   /** Nelson–Aalen cumulative hazard: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with the
@@ -396,16 +488,33 @@ object Survival {
         " - quantize coarser (the RankStats long contract)")
     val n = cells.map(_._3).sum
     val nEvents = cells.map(_._4).sum
+    val grid = new Cox1Grid(cells)
+    import spark.implicits._
+    val (b, se, z) = grid.fit(iterations) match {
+      case None => (None, None, None)
+      case Some((beta, info)) =>
+        val s = 1.0 / math.sqrt(info)
+        (Some(beta), Some(s), Some(beta / s))
+    }
+    Seq((n, nEvents, b, se, z))
+      .toDF("n", "n_events", "beta", "se", "z")
+  }
 
-    // per-x running risk counts, swept over distinct t DESCENDING so
-    // each time's risk set is the suffix; event stats per time
-    val xs = cells.map(_._2).distinct.sorted
-    val xIdx = xs.zipWithIndex.toMap
-    val times = cells.map(_._1).distinct.sorted(Ordering[Long].reverse)
-    val byT = cells.groupBy(_._1)
+  /** The driver-side (t, x) cell-grid machinery shared by [[coxPh]]
+    * and [[schoenfeldPh]] — per-x running risk counts swept over
+    * distinct t DESCENDING so each time's risk set is the suffix;
+    * Newton on the Breslow partial likelihood. Extracted in r13 when
+    * the Schoenfeld diagnostic needed the same sweep at β̂.
+    */
+  private final class Cox1Grid(cells: Array[(Long, Long, Long, Long)]) {
+    private val xs = cells.map(_._2).distinct.sorted
+    private val xIdx = xs.zipWithIndex.toMap
+    private val times = cells.map(_._1).distinct.sorted(Ordering[Long].reverse)
+    private val byT = cells.groupBy(_._1)
 
-    // score U(β) and information I(β) in one descending-t sweep over
-    // the cells, maintaining the per-x risk counts as the suffix
+    /** Score U(β) and information I(β) in one descending-t sweep over
+      * the cells, maintaining the per-x risk counts as the suffix.
+      */
     def sweep(beta: Double): (Double, Double) = {
       val riskByX = new Array[Double](xs.length)
       var u = 0.0
@@ -430,40 +539,136 @@ object Survival {
       (u, i2)
     }
 
-    var beta = 0.0
-    var it = 0
-    var degenerate = false
-    while (it < iterations && !degenerate) {
-      val (u, i2) = sweep(beta)
-      // monotone likelihood (complete separation) walks beta to ±inf
-      // and exp(beta*x) overflows — a non-finite sweep or step must
-      // land in the NULL branch, never a silently-wrong (beta, se, z)
-      if (!java.lang.Double.isFinite(u) || !java.lang.Double.isFinite(i2)
-          || i2 <= 0.0) degenerate = true
-      else {
-        beta += u / i2
-        if (!java.lang.Double.isFinite(beta)) degenerate = true
+    /** Per-event-time stats at β, ascending t: (t, d_t, s_t, x̄(β,t))
+      * with x̄ the risk-set-weighted covariate mean R1/R — the pieces
+      * of the aggregated (Breslow) Schoenfeld residual s_t − d_t·x̄.
+      */
+    def eventStats(beta: Double): Seq[(Long, Long, Long, Double)] = {
+      val riskByX = new Array[Double](xs.length)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      times.foreach { t =>
+        val here = byT(t)
+        here.foreach(c => riskByX(xIdx(c._2)) += c._3.toDouble)
+        val dT = here.map(_._4).sum
+        if (dT > 0) {
+          val sT = here.map(c => c._2 * c._4).sum
+          var r = 0.0; var r1 = 0.0
+          var k = 0
+          while (k < xs.length) {
+            val w = riskByX(k) * math.exp(beta * xs(k))
+            r += w; r1 += xs(k) * w
+            k += 1
+          }
+          out += ((t, dT, sT, r1 / r))
+        }
       }
-      it += 1
+      out.sortBy(_._1).toSeq
     }
-    // se from the information AT the converged beta (the oracle's
-    // final evaluation mirrors this extra sweep); a closing Newton
-    // step still material vs the tolerance means the iteration budget
-    // did NOT converge — distinguishable as NULL, not returned as a
-    // point estimate
-    val (uF, info) = if (degenerate) (0.0, 0.0) else sweep(beta)
-    val converged = !degenerate && java.lang.Double.isFinite(uF) &&
-      java.lang.Double.isFinite(info) && info > 0.0 &&
-      math.abs(uF / info) <= 1e-8 * (1.0 + math.abs(beta))
-    import spark.implicits._
-    val (b, se, z) =
-      if (!converged) (None, None, None)
-      else {
-        val s = 1.0 / math.sqrt(info)
-        (Some(beta), Some(s), Some(beta / s))
+
+    /** Newton fit: Some((β̂, I(β̂))) iff converged within the budget
+      * (closing step ≤ 1e-8·(1+|β̂|)); None on a degenerate/non-finite
+      * sweep (constant covariate, complete separation) or a still-
+      * material closing step — never a silently-wrong point estimate.
+      */
+    def fit(iterations: Int): Option[(Double, Double)] = {
+      var beta = 0.0
+      var it = 0
+      var degenerate = false
+      while (it < iterations && !degenerate) {
+        val (u, i2) = sweep(beta)
+        // monotone likelihood (complete separation) walks beta to ±inf
+        // and exp(beta*x) overflows — a non-finite sweep or step must
+        // land in the NULL branch, never a silently-wrong (beta, se, z)
+        if (!java.lang.Double.isFinite(u) || !java.lang.Double.isFinite(i2)
+            || i2 <= 0.0) degenerate = true
+        else {
+          beta += u / i2
+          if (!java.lang.Double.isFinite(beta)) degenerate = true
+        }
+        it += 1
       }
-    Seq((n, nEvents, b, se, z))
-      .toDF("n", "n_events", "beta", "se", "z")
+      // se from the information AT the converged beta (the oracle's
+      // final evaluation mirrors this extra sweep); a closing Newton
+      // step still material vs the tolerance means the iteration budget
+      // did NOT converge — distinguishable as NULL, not returned as a
+      // point estimate
+      val (uF, info) = if (degenerate) (0.0, 0.0) else sweep(beta)
+      val converged = !degenerate && java.lang.Double.isFinite(uF) &&
+        java.lang.Double.isFinite(info) && info > 0.0 &&
+        math.abs(uF / info) <= 1e-8 * (1.0 + math.abs(beta))
+      if (converged) Some((beta, info)) else None
+    }
+  }
+
+  /** Proportional-hazards diagnostic for [[coxPh]] — the first
+    * question after any Cox fit: does the hazard ratio actually stay
+    * CONSTANT over time, or does the covariate's effect fade/grow (in
+    * which case the single β is an average that misleads)? Emits the
+    * aggregated (Breslow-tie) Schoenfeld residual per event time —
+    * resid(t) = s_t − d_t·x̄(β̂,t), the observed event-covariate total
+    * minus its risk-set expectation under the fitted model — plus the
+    * OLS slope of resid on t and the Pearson correlation (the
+    * Grambsch–Therneau-style trend read: under PH the residuals are
+    * centered noise with no time trend; a planted time-varying effect
+    * shows as |corr| >> 0). Same one-pass (t, x) cell grid and
+    * bounded collect as coxPh; the residual frame is event-times-sized
+    * (grid-bounded). Output: one row per event time (t, d, s_obs,
+    * xbar, resid, slope, corr) with slope/corr constant across rows
+    * (NULL when < 2 event times or zero time variance); ZERO rows when
+    * the underlying fit did not converge — a diagnostic of a fit that
+    * doesn't exist would be noise presented as signal.
+    */
+  def schoenfeldPh(df: DataFrame, durationCol: String, eventCol: String,
+                   xCol: String, iterations: Int = 8,
+                   maxCells: Int = 1 << 20): DataFrame = {
+    val op = "schoenfeldPh"
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
+    val spark = df.sparkSession
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"),
+      when(col(xCol).isNull, raise_error(lit(s"$op: NULL covariate")))
+        .otherwise(col(xCol)).cast("long").as("_x"))
+    val cells = rows.groupBy("_v", "_x")
+      .agg(count(lit(1)).as("_n"), sum("_e").as("_d"))
+      .limit(maxCells + 1)
+      .collect()
+      .map(r => (r.getAs[Long]("_v"), r.getAs[Long]("_x"),
+        r.getAs[Long]("_n"), r.getAs[Long]("_d")))
+    require(cells.length <= maxCells,
+      s"$op: the (duration x covariate) grid exceeds maxCells=$maxCells" +
+        " - quantize coarser (the RankStats long contract)")
+    val grid = new Cox1Grid(cells)
+    import spark.implicits._
+    val out: Seq[(Long, Long, Long, Double, Double, Option[Double],
+        Option[Double])] =
+      grid.fit(iterations) match {
+        case None => Seq.empty
+        case Some((beta, _)) =>
+          val stats = grid.eventStats(beta)
+          val resid = stats.map { case (t, d, s, xbar) =>
+            (t, d, s, xbar, s - d * xbar)
+          }
+          val m = resid.length.toDouble
+          val st = resid.map(_._1.toDouble).sum
+          val sr = resid.map(_._5).sum
+          val stt = resid.map(r => r._1.toDouble * r._1).sum
+          val srr = resid.map(r => r._5 * r._5).sum
+          val str = resid.map(r => r._1 * r._5).sum
+          val vt = m * stt - st * st
+          val vr = m * srr - sr * sr
+          val cov = m * str - st * sr
+          val slope = if (m >= 2.0 && vt > 0.0) Some(cov / vt) else None
+          val corr = if (m >= 2.0 && vt > 0.0 && vr > 0.0)
+            Some(cov / math.sqrt(vt * vr)) else None
+          resid.map { case (t, d, s, xbar, r) =>
+            (t, d, s, xbar, r, slope, corr)
+          }
+      }
+    out.toDF("t", "d", "s_obs", "xbar", "resid", "slope", "corr")
   }
 
   /** Two-covariate Cox proportional hazards (Breslow ties) — the

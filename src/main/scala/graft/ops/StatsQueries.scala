@@ -1320,44 +1320,67 @@ object StatsQueries {
     //      Johansen increments Ŝ(t⁻)·d_k/n over the all-cause curve ----
     "q_evt_cum_incidence" -> Q(
       s"""WITH $competingSubjectsCte,
-        |cr0 AS (SELECT dur_h AS t,
-        |          CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |          CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        |          CAST(count(*) AS BIGINT) AS n_at
-        |        FROM csub GROUP BY dur_h),
-        |cr1 AS (SELECT t, d, c,
-        |          CAST((SELECT count(*) FROM csub)
-        |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
-        |        FROM cr0),
-        |crs AS (SELECT t, n_risk,
-        |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-        |            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-        |  THEN 0.0
-        |  ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
-        |                THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
-        |                ELSE 0.0 END)
-        |           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |  END AS survival
-        |FROM cr1),
-        |crl AS (SELECT t, n_risk,
-        |          coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS s_prev
-        |        FROM crs),
-        |ck AS (SELECT DISTINCT cause FROM csub WHERE cause > 0),
-        |dk AS (SELECT dur_h AS t, cause, CAST(count(*) AS BIGINT) AS d
-        |       FROM csub WHERE cause > 0 GROUP BY 1, 2),
-        |grid AS (SELECT crl.t, ck.cause, crl.n_risk,
-        |           CAST(coalesce(dk.d, 0) AS BIGINT) AS d, crl.s_prev
-        |         FROM crl CROSS JOIN ck
-        |         LEFT JOIN dk ON dk.t = crl.t AND dk.cause = ck.cause)
-        |SELECT t, cause, n_risk, d,
-        |  round(sum(CASE WHEN d > 0
-        |              THEN s_prev * CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
-        |              ELSE 0.0 END)
-        |        OVER (PARTITION BY cause ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
-        |FROM grid ORDER BY cause, t""".stripMargin) { (s, dir) =>
+        |$cifGridCtes
+        |SELECT t, cause, n_risk, d, round(cif, 6) AS cif
+        |FROM cifg ORDER BY cause, t""".stripMargin) { (s, dir) =>
       Survival.cumulativeIncidence(competingSubjects(s, dir), "dur_h",
           "cause")
         .withColumn("cif", round(col("cif"), 6))
+        .orderBy("cause", "t")
+    },
+
+    // ---- CIF with its uncertainty (Survival.cumulativeIncidenceCi):
+    //      the Greenwood analogue for competing risks — the Gaynor/
+    //      Marubini–Valsecchi delta-method variance of the
+    //      Aalen–Johansen estimate, expanded into cumulative windows
+    //      (never O(T²)), with the log(−log) 95% band on 1 − F̂. The
+    //      single-cause reduction to Greenwood and the O(T²) direct
+    //      formula are spec-pinned (SurvivalSpec); this gate proves
+    //      cross-engine reproducibility of the windowed expansion ----
+    "q_evt_cif_ci" -> Q(
+      s"""WITH $competingSubjectsCte,
+        |$cifGridCtes,
+        |terms AS (SELECT *,
+        |    CASE WHEN d_all > 0 AND d_all < n_risk
+        |      THEN CAST(d_all AS DOUBLE)
+        |           / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d_all AS DOUBLE))
+        |      ELSE 0.0 END AS ta,
+        |    CAST(d AS DOUBLE) * s_prev
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS td,
+        |    s_prev * s_prev * CAST(d AS DOUBLE) * CAST(n_risk - d AS DOUBLE)
+        |      / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)
+        |         * CAST(n_risk AS DOUBLE)) AS tg
+        |  FROM cifg),
+        |cum AS (SELECT t, cause, n_risk, d, cif, dead,
+        |    sum(ta) OVER w AS ca, sum(ta * cif) OVER w AS cb,
+        |    sum(ta * cif * cif) OVER w AS cc2, sum(td) OVER w AS cd,
+        |    sum(td * cif) OVER w AS ce, sum(tg) OVER w AS cg
+        |  FROM terms
+        |  WINDOW w AS (PARTITION BY cause ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT t, cause, n_risk, d, cif, dead,
+        |    CASE WHEN dead = 0 THEN greatest(
+        |      cif * cif * ca - 2.0 * cif * cb + cc2 + cg
+        |        - 2.0 * (cif * cd - ce), 0.0) END AS var_cif
+        |  FROM cum)
+        |SELECT t, cause, n_risk, d, round(cif, 6) AS cif,
+        |  round(var_cif, 8) + 0.0 AS var_cif,
+        |  round(CASE WHEN dead = 0 AND cif > 0.0 AND cif < 1.0
+        |    THEN 1.0 - pow(1.0 - cif, exp(-1.959963984540054
+        |         * (sqrt(var_cif) / ((1.0 - cif) * abs(ln(1.0 - cif))))))
+        |    END, 6) + 0.0 AS ci_lo,
+        |  round(CASE WHEN dead = 0 AND cif > 0.0 AND cif < 1.0
+        |    THEN 1.0 - pow(1.0 - cif, exp(1.959963984540054
+        |         * (sqrt(var_cif) / ((1.0 - cif) * abs(ln(1.0 - cif))))))
+        |    END, 6) + 0.0 AS ci_hi
+        |FROM fin ORDER BY cause, t""".stripMargin) { (s, dir) =>
+      Survival.cumulativeIncidenceCi(competingSubjects(s, dir), "dur_h",
+          "cause")
+        .select(col("t"), col("cause"), col("n_risk"), col("d"),
+          round(col("cif"), 6).as("cif"),
+          (round(col("var_cif"), 8) + lit(0.0)).as("var_cif"),
+          (round(col("ci_lo"), 6) + lit(0.0)).as("ci_lo"),
+          (round(col("ci_hi"), 6) + lit(0.0)).as("ci_hi"))
         .orderBy("cause", "t")
     },
 
@@ -1467,6 +1490,53 @@ object StatsQueries {
           round(col("beta2"), 6).as("beta2"),
           round(col("se2"), 6).as("se2"),
           round(col("z2"), 6).as("z2"))
+    },
+
+    // ---- Schoenfeld proportional-hazards diagnostic (Survival.
+    //      schoenfeldPh): after the q_evt_cox_ph fit, does the
+    //      activity covariate's hazard ratio actually stay constant
+    //      over time? Per event time the aggregated residual
+    //      s_t − d_t·x̄(β̂,t) plus the residual-vs-time OLS slope and
+    //      Pearson correlation; the oracle rides the SAME unrolled-
+    //      Newton chain as coxOracle (shared coxChainCtes) and gates
+    //      its rows on the cv.ok convergence verdict, so a
+    //      non-converged fit is ZERO rows on BOTH sides ----
+    "q_evt_ph_check" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |$coxChainCtes,
+        |res AS (SELECT gf.t, gf.dt, gf.st, gf.r1 / gf.r AS xbar,
+        |               gf.st - gf.dt * gf.r1 / gf.r AS resid
+        |        FROM gf),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |              sum(CAST(t AS DOUBLE)) AS sx, sum(resid) AS sy,
+        |              sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS sxx,
+        |              sum(resid * resid) AS syy,
+        |              sum(CAST(t AS DOUBLE) * resid) AS sxy
+        |       FROM res)
+        |SELECT r.t, CAST(r.dt AS BIGINT) AS d, CAST(r.st AS BIGINT) AS s_obs,
+        |  round(r.xbar, 6) AS xbar,
+        |  round(r.resid, 6) + 0.0 AS resid,
+        |  round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0.0
+        |        THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6)
+        |    + 0.0 AS slope,
+        |  round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0.0
+        |              AND m * syy - sy * sy > 0.0
+        |        THEN (m * sxy - sx * sy)
+        |             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+        |        END, 6) + 0.0 AS corr
+        |FROM res r CROSS JOIN ag
+        |WHERE (SELECT ok FROM cv)
+        |ORDER BY r.t""".stripMargin) { (s, dir) =>
+      val act = tb(s, dir).events.groupBy("user_id")
+        .agg(expr("count(*) div 10").as("x"))
+      val subj = survivalSubjects(s, dir).join(act, "user_id")
+      Survival.schoenfeldPh(subj, "dur_h", "ev", "x")
+        .select(col("t"), col("d"), col("s_obs"),
+          round(col("xbar"), 6).as("xbar"),
+          (round(col("resid"), 6) + lit(0.0)).as("resid"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("corr"), 6) + lit(0.0)).as("corr"))
+        .orderBy("t")
     },
 
     // ---- Nelson–Aalen cumulative hazard (Survival.nelsonAalen):
@@ -1642,7 +1712,18 @@ object StatsQueries {
     * order drift between the engine's sweep and SQL's unordered sums
     * dies at the answer (round ,6).
     */
-  private def coxOracle: String = {
+  /** The shared 1-covariate Cox CTE chain (subjects → cell grid →
+    * unrolled Newton to b8 → closing evaluation gf → score/information
+    * fi → convergence verdict cv), used by both [[coxOracle]] and the
+    * Schoenfeld PH-check oracle. cv.ok mirrors the ENGINE's
+    * convergence criterion exactly — |U(β̂)/I(β̂)| ≤ 1e-8·(1+|β̂|) with
+    * finite, positive information (multiplied through to avoid a
+    * division whose zero-denominator semantics differ by engine) — so
+    * a slow-converging fixture at a new scale NULLs/empties BOTH sides
+    * together instead of failing the gate as engine-NULL vs
+    * oracle-number (r12 advice).
+    */
+  private def coxChainCtes: String = {
     // every beta reference is a single CROSS JOIN and every iteration
     // CTE is MATERIALIZED: scalar (SELECT beta FROM b_i) subqueries
     // re-inline the whole upstream chain per reference — 3 per g × 8
@@ -1660,8 +1741,7 @@ object StatsQueries {
          |  + sum(st - dt * r1 / r) / sum(dt * (r2 / r - (r1 / r) * (r1 / r))) AS beta
          |FROM g$i CROSS JOIN b$i b GROUP BY b.beta)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $survivalSubjectsCte,
-       |aq AS (SELECT user_id, CAST(count(*) // 10 AS BIGINT) AS x
+    s"""aq AS (SELECT user_id, CAST(count(*) // 10 AS BIGINT) AS x
        |       FROM events GROUP BY user_id),
        |cox AS MATERIALIZED (SELECT s.dur_h AS t, a.x,
        |               CAST(count(*) AS BIGINT) AS cnt,
@@ -1675,14 +1755,24 @@ object StatsQueries {
        |b0 AS (SELECT 0.0 AS beta),
        |$iters,
        |${g(8, "gf")},
-       |fi AS (SELECT sum(dt * (r2 / r - (r1 / r) * (r1 / r))) AS i2 FROM gf)
+       |fi AS (SELECT sum(st - dt * r1 / r) AS uf,
+       |              sum(dt * (r2 / r - (r1 / r) * (r1 / r))) AS i2 FROM gf),
+       |cv AS (SELECT b.beta, fi.i2,
+       |         (isfinite(fi.uf) AND isfinite(fi.i2) AND fi.i2 > 0.0
+       |          AND isfinite(b.beta)
+       |          AND abs(fi.uf) <= 1e-8 * (1.0 + abs(b.beta)) * fi.i2) AS ok
+       |       FROM fi CROSS JOIN b8 b)""".stripMargin
+  }
+
+  private def coxOracle: String =
+    s"""WITH $survivalSubjectsCte,
+       |$coxChainCtes
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n,
        |  (SELECT CAST(sum(ev) AS BIGINT) FROM subj) AS n_events,
-       |  round((SELECT beta FROM b8), 6) AS beta,
-       |  round(1.0 / sqrt(fi.i2), 6) AS se,
-       |  round((SELECT beta FROM b8) / (1.0 / sqrt(fi.i2)), 6) AS z
-       |FROM fi""".stripMargin
-  }
+       |  round(CASE WHEN ok THEN beta END, 6) AS beta,
+       |  round(CASE WHEN ok THEN 1.0 / sqrt(i2) END, 6) AS se,
+       |  round(CASE WHEN ok THEN beta / (1.0 / sqrt(i2)) END, 6) AS z
+       |FROM cv""".stripMargin
 
   /** The two-covariate Cox oracle — [[coxOracle]]'s unrolled-Newton
     * pattern lifted to the vector case: b0 = (0, 0), eight
@@ -1738,21 +1828,33 @@ object StatsQueries {
        |$iters,
        |${g(8, "gf")},
        |fi AS (SELECT
+       |  sum(st1 - dt * ra1 / r) AS uf1, sum(st2 - dt * ra2 / r) AS uf2,
        |  sum(dt * (raa / r - (ra1 / r) * (ra1 / r))) AS i11,
        |  sum(dt * (rab / r - (ra1 / r) * (ra2 / r))) AS i12,
        |  sum(dt * (rbb / r - (ra2 / r) * (ra2 / r))) AS i22
-       |FROM gf)
+       |FROM gf),
+       |cv AS (SELECT b.b1, b.b2, fi.i11, fi.i22,
+       |         fi.i11 * fi.i22 - fi.i12 * fi.i12 AS det,
+       |         (isfinite(fi.uf1) AND isfinite(fi.uf2)
+       |          AND isfinite(fi.i11) AND isfinite(fi.i12)
+       |          AND isfinite(fi.i22) AND isfinite(b.b1) AND isfinite(b.b2)
+       |          AND fi.i11 * fi.i22 - fi.i12 * fi.i12 > 0.0
+       |          AND abs(fi.i22 * fi.uf1 - fi.i12 * fi.uf2)
+       |              <= 1e-8 * (1.0 + abs(b.b1))
+       |                 * (fi.i11 * fi.i22 - fi.i12 * fi.i12)
+       |          AND abs(fi.i11 * fi.uf2 - fi.i12 * fi.uf1)
+       |              <= 1e-8 * (1.0 + abs(b.b2))
+       |                 * (fi.i11 * fi.i22 - fi.i12 * fi.i12)) AS ok
+       |       FROM fi CROSS JOIN b8 b)
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n,
        |  (SELECT CAST(sum(ev) AS BIGINT) FROM subj) AS n_events,
-       |  round((SELECT b1 FROM b8), 6) AS beta1,
-       |  round(sqrt(i22 / (i11 * i22 - i12 * i12)), 6) AS se1,
-       |  round((SELECT b1 FROM b8)
-       |        / sqrt(i22 / (i11 * i22 - i12 * i12)), 6) AS z1,
-       |  round((SELECT b2 FROM b8), 6) AS beta2,
-       |  round(sqrt(i11 / (i11 * i22 - i12 * i12)), 6) AS se2,
-       |  round((SELECT b2 FROM b8)
-       |        / sqrt(i11 / (i11 * i22 - i12 * i12)), 6) AS z2
-       |FROM fi""".stripMargin
+       |  round(CASE WHEN ok THEN b1 END, 6) AS beta1,
+       |  round(CASE WHEN ok THEN sqrt(i22 / det) END, 6) AS se1,
+       |  round(CASE WHEN ok THEN b1 / sqrt(i22 / det) END, 6) AS z1,
+       |  round(CASE WHEN ok THEN b2 END, 6) AS beta2,
+       |  round(CASE WHEN ok THEN sqrt(i11 / det) END, 6) AS se2,
+       |  round(CASE WHEN ok THEN b2 / sqrt(i11 / det) END, 6) AS z2
+       |FROM cv""".stripMargin
   }
 
   /** Competing-risks subjects: cause 1 = first purchase at-or-after
@@ -1785,6 +1887,54 @@ object StatsQueries {
   /** The DuckDB mirror of [[competingSubjects]] (CTE body `csub` plus
     * its feeders).
     */
+  /** The shared (t, cause) CIF grid as CTE bodies over `csub` —
+    * `cifg(t, cause, n_risk, d_all, d, s_prev, dead, cif)` with cif
+    * UNROUNDED (each consumer rounds at its own output); the SQL
+    * mirror of [[graft.llm.Survival]]'s private cifGrid, shared by
+    * q_evt_cum_incidence and q_evt_cif_ci so the point estimate and
+    * its variance cannot drift apart.
+    */
+  private def cifGridCtes: String =
+    """cr0 AS (SELECT dur_h AS t,
+      |          CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |          CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |          CAST(count(*) AS BIGINT) AS n_at
+      |        FROM csub GROUP BY dur_h),
+      |cr1 AS (SELECT t, d, c,
+      |          CAST((SELECT count(*) FROM csub)
+      |               - coalesce(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |        FROM cr0),
+      |crs AS (SELECT t, d, n_risk,
+      |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      |            OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |  THEN 0.0
+      |  ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+      |                THEN ln(CAST(n_risk - d AS DOUBLE)) - ln(CAST(n_risk AS DOUBLE))
+      |                ELSE 0.0 END)
+      |           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |  END AS survival
+      |FROM cr1),
+      |crl AS (SELECT t, d AS d_all, n_risk,
+      |          coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS s_prev
+      |        FROM crs),
+      |ck AS (SELECT DISTINCT cause FROM csub WHERE cause > 0),
+      |dkc AS (SELECT dur_h AS t, cause, CAST(count(*) AS BIGINT) AS d
+      |        FROM csub WHERE cause > 0 GROUP BY 1, 2),
+      |cgrid AS (SELECT crl.t, ck.cause, crl.n_risk, crl.d_all,
+      |            CAST(coalesce(dkc.d, 0) AS BIGINT) AS d, crl.s_prev
+      |          FROM crl CROSS JOIN ck
+      |          LEFT JOIN dkc ON dkc.t = crl.t AND dkc.cause = ck.cause),
+      |cifg AS (SELECT t, cause, n_risk, d_all, d, s_prev,
+      |    max(CASE WHEN d_all = n_risk THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY cause ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+      |    sum(CASE WHEN d > 0
+      |          THEN s_prev * CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |          ELSE 0.0 END)
+      |      OVER (PARTITION BY cause ORDER BY t
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif
+      |  FROM cgrid)""".stripMargin
+
   private def competingSubjectsCte: String =
     """cs0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
       |        FROM events WHERE event_type = 'signup' GROUP BY user_id),

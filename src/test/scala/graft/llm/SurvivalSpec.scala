@@ -352,4 +352,161 @@ class SurvivalSpec extends SparkSpec {
       Survival.logRank(df, "t", "e", "g").collect()
     }
   }
+
+  test("schoenfeldPh: balanced design has zero residuals and zero " +
+    "slope; residuals always sum to the (vanishing) score at beta-hat") {
+    // the coxPh balanced fixture: beta-hat = 0, every risk set is
+    // x-symmetric → resid(t) = s_t − d_t·0.5 = 0 at both event times
+    val bal = Seq((1L, 1L, 0L), (1L, 1L, 1L), (2L, 1L, 0L), (2L, 1L, 1L))
+      .toDF("t", "e", "x")
+    val rows = Survival.schoenfeldPh(bal, "t", "e", "x").orderBy("t")
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("xbar") - 0.5) < 1e-12)
+      assert(math.abs(r.getAs[Double]("resid")) < 1e-12)
+      assert(math.abs(r.getAs[Double]("slope")) < 1e-12)
+      // all-zero residuals have no correlation to report
+      assert(r.isNullAt(r.fieldIndex("corr")))
+    }
+    // on the skewed fixture, Σ resid = U(β̂) ≈ 0 by the Newton fixed
+    // point — the definitional cross-check tying the diagnostic to
+    // the fit it diagnoses
+    val subj = Seq.tabulate(40) { i =>
+      val x = i % 4
+      val t = 1L + ((i * 13) % 7) + (3 - x) * 2
+      val e = if (i % 5 == 0) 0L else 1L
+      (t.toLong, e, x.toLong)
+    }.toDF("t", "e", "x")
+    val total = Survival.schoenfeldPh(subj, "t", "e", "x")
+      .agg(sum("resid")).head().getDouble(0)
+    assert(math.abs(total) < 1e-6, s"sum of residuals = score = $total")
+  }
+
+  test("schoenfeldPh: a planted time-varying effect flags (|corr| " +
+    "large); a non-converged fit emits zero rows") {
+    // the covariate effect REVERSES: early event times are dominated
+    // by x = 1 failures, late ones by x = 0 — symmetric by design so
+    // the single-beta fit lands near 0 (finite, fast-converging; an
+    // all-early/all-late split would be complete separation and a NULL
+    // fit), leaving early residuals positive and late ones negative —
+    // a strong monotone time trend
+    val tv = (
+      Seq.fill(3)((1L, 1L, 1L)) ++ Seq((1L, 1L, 0L)) ++
+      Seq.fill(3)((2L, 1L, 1L)) ++ Seq((2L, 1L, 0L)) ++
+      Seq((11L, 1L, 1L)) ++ Seq.fill(3)((11L, 1L, 0L)) ++
+      Seq((12L, 1L, 1L)) ++ Seq.fill(3)((12L, 1L, 0L))
+    ).toDF("t", "e", "x")
+    val d = Survival.schoenfeldPh(tv, "t", "e", "x").collect()
+    assert(d.nonEmpty)
+    val corr = d.head.getAs[Double]("corr")
+    assert(math.abs(corr) > 0.8,
+      s"time-varying effect must show a residual-vs-time trend: $corr")
+    // constant covariate: coxPh returns a NULL fit — the diagnostic of
+    // a fit that doesn't exist is ZERO rows, not residuals at beta=0
+    val const = Seq((1L, 1L, 5L), (2L, 1L, 5L), (3L, 0L, 5L))
+      .toDF("t", "e", "x")
+    assert(Survival.schoenfeldPh(const, "t", "e", "x").count() === 0L)
+  }
+
+  test("cumulativeIncidenceCi: the single-cause case reduces exactly " +
+    "to the Greenwood variance and band of 1 − KM") {
+    val rows = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L),
+      (6L, 0L), (7L, 1L))
+    val cifCi = Survival.cumulativeIncidenceCi(
+        rows.toDF("t", "k"), "t", "k")
+      .filter(col("cause") === 1L)
+      .select("t", "cif", "var_cif", "ci_lo", "ci_hi")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val kmCi = Survival.kaplanMeierCi(
+        rows.toDF("t", "e"), "t", "e")
+      .select("t", "survival", "greenwood_var", "ci_lo", "ci_hi")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(cifCi.keySet === kmCi.keySet)
+    kmCi.foreach { case (t, k) =>
+      val c = cifCi(t)
+      assert(math.abs(c.getAs[Double]("cif") -
+        (1.0 - k.getAs[Double]("survival"))) < 1e-12, s"cif at $t")
+      assert(math.abs(c.getAs[Double]("var_cif") -
+        k.getAs[Double]("greenwood_var")) < 1e-12, s"var at $t")
+      // F-band = 1 − the mirrored S-band (when both defined: S < 1)
+      if (!k.isNullAt(k.fieldIndex("ci_lo"))) {
+        assert(math.abs(c.getAs[Double]("ci_lo") -
+          (1.0 - k.getAs[Double]("ci_hi"))) < 1e-12, s"ci_lo at $t")
+        assert(math.abs(c.getAs[Double]("ci_hi") -
+          (1.0 - k.getAs[Double]("ci_lo"))) < 1e-12, s"ci_hi at $t")
+      }
+    }
+  }
+
+  test("cumulativeIncidenceCi: matches a direct O(T²) evaluation of " +
+    "the Gaynor delta-method formula on a two-cause fixture") {
+    val raw = Seq((1L, 1L), (2L, 2L), (2L, 0L), (3L, 1L), (4L, 2L),
+      (5L, 0L), (6L, 1L), (6L, 2L), (7L, 0L), (8L, 1L))
+    val got = Survival.cumulativeIncidenceCi(
+        raw.toDF("t", "k"), "t", "k")
+      .orderBy("cause", "t").collect()
+    // independent direct evaluation from the raw subjects
+    val times = raw.map(_._1).distinct.sorted
+    val n = raw.size
+    def nRisk(t: Long): Int = raw.count(_._1 >= t)
+    def dAll(t: Long): Int = raw.count(r => r._1 == t && r._2 > 0)
+    def dK(t: Long, k: Long): Int = raw.count(r => r._1 == t && r._2 == k)
+    def surv(t: Long): Double = times.filter(_ <= t)
+      .map(u => 1.0 - dAll(u).toDouble / nRisk(u)).product
+    def sPrev(t: Long): Double = times.filter(_ < t)
+      .map(u => 1.0 - dAll(u).toDouble / nRisk(u)).product
+    def cif(t: Long, k: Long): Double = times.filter(_ <= t)
+      .map(u => sPrev(u) * dK(u, k).toDouble / nRisk(u)).sum
+    def varCif(t: Long, k: Long): Double = {
+      val us = times.filter(_ <= t)
+      us.map { u =>
+        val nu = nRisk(u).toDouble; val du = dAll(u).toDouble
+        val dku = dK(u, k).toDouble
+        val a = cif(t, k) - cif(u, k)
+        (if (du > 0 && du < nu) a * a * du / (nu * (nu - du)) else 0.0) +
+          sPrev(u) * sPrev(u) * dku * (nu - dku) / (nu * nu * nu) -
+          2.0 * a * sPrev(u) * dku / (nu * nu)
+      }.sum
+    }
+    // risk-set extinction time (t=8 exits the last subject by event):
+    // the d/(n(n−d)) term is 0/0·∞ there, and the engine NULLs the
+    // variance from extinction on (the Greenwood stance) rather than
+    // adopting the skip-the-term convention the naive evaluator uses
+    val extinct = times.filter(t => dAll(t) == nRisk(t)).min
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (t, k) = (r.getAs[Long]("t"), r.getAs[Long]("cause"))
+      assert(math.abs(r.getAs[Double]("cif") - cif(t, k)) < 1e-12,
+        s"cif($t, $k)")
+      if (t >= extinct) {
+        assert(r.isNullAt(r.fieldIndex("var_cif")), s"var_cif($t, $k)")
+        assert(r.isNullAt(r.fieldIndex("ci_lo")), s"ci_lo($t, $k)")
+      } else {
+        assert(math.abs(r.getAs[Double]("var_cif") - varCif(t, k)) < 1e-12,
+          s"var_cif($t, $k)")
+        // band semantics: NULL while this cause has no events yet;
+        // otherwise a proper interval around the estimate
+        if (cif(t, k) == 0.0) assert(r.isNullAt(r.fieldIndex("ci_lo")))
+        else {
+          assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("cif") + 1e-12)
+          assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("cif") - 1e-12)
+        }
+      }
+    }
+  }
+
+  test("cumulativeIncidenceCi: variance and band are NULL from " +
+    "risk-set extinction onward") {
+    // t=2 exhausts the risk set (both remaining subjects exit by event)
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 2L)).toDF("t", "k")
+    val last = Survival.cumulativeIncidenceCi(df, "t", "k")
+      .filter(col("t") === 2L).collect()
+    assert(last.nonEmpty)
+    last.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("var_cif")))
+      assert(r.isNullAt(r.fieldIndex("ci_lo")))
+      assert(r.isNullAt(r.fieldIndex("ci_hi")))
+    }
+  }
 }
