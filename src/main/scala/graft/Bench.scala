@@ -78,6 +78,10 @@ object Bench {
       try java.nio.file.Paths.get(p).toRealPath().toString
       catch { case _: Throwable =>
         java.nio.file.Paths.get(p).normalize().toString }
+    // the ledger file carries TWO keyspaces: plain "<name>" entries are
+    // the adjudicated per-query seconds (ledger_sec in bench_full.json)
+    // and "setup:<name>" entries are that run's setup_sec — the r12
+    // advice's coarse fixture-regression band reads the latter
     def readLedger(path: String): Option[Map[String, Double]] = {
       val txt =
         try new String(java.nio.file.Files.readAllBytes(
@@ -101,8 +105,13 @@ object Bench {
         case None => Seq("bench_ledger.json", "bench_ledger_sf1.json")
           .view.flatMap(p => readLedger(p).map(p -> _)).headOption
       }
-    val ledger: Map[String, Double] =
+    val ledgerAll: Map[String, Double] =
       ledgerPick.map(_._2).getOrElse(Map.empty)
+    val ledger: Map[String, Double] =
+      ledgerAll.view.filterKeys(k => !k.startsWith("setup:")).toMap
+    val setupLedger: Map[String, Double] = ledgerAll.view
+      .collect { case (k, v) if k.startsWith("setup:") =>
+        k.stripPrefix("setup:") -> v }.toMap
     val ledgerFile: Option[String] = ledgerPick.map(_._1)
     val ledgerUsable = ledger.nonEmpty
     // retry iff: first > max(3s floor, 3× ledger). The floor keeps
@@ -110,36 +119,42 @@ object Bench {
     def isOutlier(name: String, sec: Double): Boolean =
       ledgerUsable && ledger.get(name).exists(w => sec > math.max(3.0, 3.0 * w))
 
-    // Queries whose closure EAGERLY builds a multi-job FIXTURE around a
-    // small measured fold (r11 verdict #5: ~10 sequential jobs of store
-    // construction dominated their one number, so a fixture regression
-    // was indistinguishable from a query regression). These adjudicate
-    // and ledger on query_sec; every other query stays on total sec —
-    // an eager in-closure materialization elsewhere (e.g. nearDupPairs'
-    // cache build) IS the measured operator, and keying it on the
-    // final-read tail would blind the outlier guard to chain
-    // regressions.
-    val fixtureKeyed = Set("q_llm_incr_leakfree", "q_pipeline_ingest_e2e",
-      "q_maint_requeue", "q_llm_split_migrations")
-
     // otherSec: the NON-adopted measurement of a retried outlier (the
     // slower first run when the retry cleared it, or the retry when it
     // did not) — the artifact always reports both sides.
     // setupSec/querySec: the closure-evaluation vs returned-frame-count
-    // split (r11 verdict #5). The e2e entries run ~10 sequential jobs
-    // of fixture construction EAGERLY inside the closure around a small
-    // measured fold; one total could not distinguish a fixture
-    // regression from a query regression. `sec` stays the total (the
-    // suite's wall-clock truth); ledger entries and ledger_ratio key on
-    // query_sec — for pure queries the closure only builds a plan, so
-    // query_sec ≈ sec and nothing changes.
+    // split (r11 verdict #5) — fixture-building closures run ~10
+    // sequential Spark jobs of store/stream construction EAGERLY before
+    // returning the measured frame; one total could not distinguish a
+    // fixture regression from a query regression.
     case class R(name: String, sec: Double, setupSec: Double,
                  querySec: Double, err: Option[String],
                  gcMs: Long, peakMb: Long, otherSec: Option[Double])
 
-    // the adjudicated/ledgered seconds for a result (see fixtureKeyed)
+    // The adjudicated/ledgered seconds for a result: PER-ENTRY
+    // setup-dominance keying (r12 verdict #1 — the hardcoded 4-entry
+    // fixtureKeyed set left q_graph_bfs ledgering 14.97s of graph
+    // construction against an 0.085s traversal, blinding the outlier
+    // guard and breaking round-over-round comparison). When the
+    // closure's eager setup dominates (> 50% of total), the entry
+    // adjudicates and ledgers on query_sec — the measured operator;
+    // otherwise on total sec. The fixture side is NOT left unguarded:
+    // setup_sec has its own ledger keyspace and band (setupFlagged
+    // below), so a fixture regression still surfaces — it is just no
+    // longer conflated with the operator's number. A borderline entry
+    // (setup ≈ 50%) can flip keying between the ledger-recording run
+    // and an adjudicating run; the flip is bounded by 2× (below the 3×
+    // retry threshold) and self-corrects at the next refresh.
     def metric(r: R): Double =
-      if (fixtureKeyed(r.name)) r.querySec else r.sec
+      if (r.setupSec > 0.5 * r.sec) r.querySec else r.sec
+
+    // the r12-advice fixture band: setup_sec materially past its
+    // ledgered weight (same 3s floor / 3× shape as the query guard) is
+    // FLAGGED in the artifact — not retried (the query metric, not the
+    // fixture, is the adjudicated number) but never invisible either
+    def setupFlagged(r: R): Boolean =
+      setupLedger.get(r.name)
+        .exists(w => r.setupSec > math.max(3.0, 3.0 * w))
 
     // stable ordering for readable diffs between rounds; storage released
     // between queries (outside the timed region) so each timing is
@@ -255,7 +270,8 @@ object Bench {
       val total = results.filter(_.err.isEmpty).map(_.sec).sum
       val nErr = results.count(_.err.nonEmpty)
       val nRetry = results.count(_.otherSec.nonEmpty)
-      s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"retries":$nRetry${suiteBlock()},"queries":$qs,"sf":"${esc(sfDir)}""""
+      val nSetupFlags = results.count(setupFlagged)
+      s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"errors":$nErr,"retries":$nRetry,"setup_flags":$nSetupFlags${suiteBlock()},"queries":$qs,"sf":"${esc(sfDir)}""""
     }
 
     // environment snapshot + per-query gc/heap detail: lets a reader of
@@ -280,21 +296,30 @@ object Bench {
       rs.map { r =>
         val retryField = r.otherSec
           .map(o => s""","rejected_sec":${fmt(o)}""").getOrElse("")
-        // ledger_ratio keys on the adjudicated metric (query_sec for
-        // the fixtureKeyed e2e entries since the r12 re-key, total sec
-        // otherwise — see COVERAGE.md ledger migration note)
+        // ledger_ratio keys on the adjudicated metric (query_sec when
+        // setup dominates, total sec otherwise — the r13 per-entry
+        // keying; see COVERAGE.md ledger migration notes)
         val ratioField = ledger.get(r.name)
           .filter(_ > 0.0)
           .map(w => s""","ledger_ratio":${fmt(metric(r) / w)}""")
           .getOrElse("")
+        // the fixture band companion: this run's setup over the
+        // ledgered setup weight, plus the flag when it trips the
+        // 3s/3× band — the artifact names its own fixture regressions
+        val setupRatioField = setupLedger.get(r.name)
+          .filter(_ > 0.0)
+          .map(w => s""","setup_ratio":${fmt(r.setupSec / w)}""")
+          .getOrElse("")
+        val setupFlagField =
+          if (setupFlagged(r)) ""","setup_flagged":true""" else ""
         // ledger_sec IS the adjudicated metric, recorded so the ledger
-        // refresh derives from the artifact alone — the fixtureKeyed
-        // set has exactly one definition (this file), not a copy in a
-        // doc'd shell one-liner (r12 review finding)
+        // refresh derives from the artifact alone — the keying rule
+        // has exactly one definition (metric() in this file), not a
+        // copy in a doc'd shell one-liner (r12 review finding)
         s""""${esc(r.name)}":{"sec":${fmt(r.sec)},"setup_sec":${fmt(
           r.setupSec)},"query_sec":${fmt(r.querySec)},"ledger_sec":${fmt(
           metric(r))},"gc_ms":${r.gcMs
-          },"peak_heap_mb":${r.peakMb}$retryField$ratioField}"""
+          },"peak_heap_mb":${r.peakMb}$retryField$ratioField$setupRatioField$setupFlagField}"""
       }.mkString("\"detail\":{", ",", "}")
 
     // full per-query detail goes to a FILE (COVERAGE.md ledger source);
@@ -324,10 +349,11 @@ object Bench {
     val headlineSet = headline.toSet
     // errored non-headline queries are surfaced too: an error must never
     // be hidden by the headline filter
-    // retried outliers surface on stdout too — the headline line is the
-    // driver's adjudication record
+    // retried outliers and setup-flagged fixtures surface on stdout too —
+    // the headline line is the driver's adjudication record
     val shown = results.filter(r =>
-      headlineSet(r.name) || r.err.nonEmpty || r.otherSec.nonEmpty)
+      headlineSet(r.name) || r.err.nonEmpty || r.otherSec.nonEmpty ||
+        setupFlagged(r))
     println("{" + line(shown) + "}")
     spark.stop()
   }

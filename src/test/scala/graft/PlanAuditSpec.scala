@@ -870,4 +870,33 @@ class PlanAuditSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("the INCREMENTAL pair store serves consumers with the same " +
+    "store-read plan shape — no shingle re-explosion, no cartesian") {
+    val docs = Tables(spark, sfDir).documents
+    val dir = java.nio.file.Files.createTempDirectory("incrstore").toFile
+    try {
+      val store = new java.io.File(dir, "store").getPath
+      graft.llm.DedupIndex.appendPairBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store, 0L)
+      graft.llm.DedupIndex.appendPairBatch(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store, 1L)
+      val stored = graft.llm.DedupIndex.readPairStore(spark, store)
+      val plan = planOf(graft.llm.DedupIndex.sourceMatrix(
+        stored, docs, "doc_id", "source"))
+      // the corpus-append lifecycle must not cost its consumers
+      // anything: reading the live store is the same pairs-sized
+      // matrix plan as the one-shot store — the chain ran at APPEND
+      // time, never at read time
+      assert(!plan.contains("Generate"),
+        s"matrix over the incremental store must not re-explode:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
