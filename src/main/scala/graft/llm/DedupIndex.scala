@@ -99,6 +99,10 @@ object DedupIndex {
   def writePairStore(df: DataFrame, idCol: String, textCol: String,
                      path: String, numHashes: Int = 8,
                      rowsPerBand: Int = 4, k: Int = 3): Unit = {
+    // validate the banding at WRITE time: recallFloor rejects a
+    // non-divisible (numHashes, rowsPerBand) at read, so accepting it
+    // here would mint a store no reader can ever open (review finding)
+    recallFloor(numHashes, rowsPerBand)
     val pairs =
       DedupOps.nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, k)
     pairs.write.mode("overwrite").parquet(path)
@@ -247,6 +251,7 @@ object DedupIndex {
                       numHashes: Int = 8, rowsPerBand: Int = 4,
                       k: Int = 3): Unit = {
     require(seq >= 0L, s"seq must be >= 0, got $seq")
+    recallFloor(numHashes, rowsPerBand) // write-time banding validation
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     readMeta(spark, storeDir) match {
@@ -294,13 +299,22 @@ object DedupIndex {
     val vsets = sets.unionByName(priorSets)
       .join(candIds, Seq(idCol), "left_semi")
     val pairsDelta = DedupOps.jaccardVerify(cand, vsets, idCol).cache()
+    // write order is the batch's commit marker: shingles and sigs land
+    // FIRST, the externally visible pairs delta LAST — a crash between
+    // the three writes must never leave batch N's pairs readable while
+    // its signature/shingle state is missing (an operator reading the
+    // pair store to decide "seq N committed" would then skip the
+    // replay and every cross-batch candidate against N would silently
+    // vanish; review finding). A crash before the pairs write leaves
+    // orphaned sigs/shingle deltas for the tag, which the replay's
+    // same-tag overwrite heals.
     try {
-      pairsDelta.write.mode("overwrite")
-        .parquet(s"${pairsPath(storeDir)}/ingest_batch=$tag")
-      sigs.write.mode("overwrite")
-        .parquet(s"${sigsPath(storeDir)}/ingest_batch=$tag")
       sets.write.mode("overwrite")
         .parquet(s"${shinglesPath(storeDir)}/ingest_batch=$tag")
+      sigs.write.mode("overwrite")
+        .parquet(s"${sigsPath(storeDir)}/ingest_batch=$tag")
+      pairsDelta.write.mode("overwrite")
+        .parquet(s"${pairsPath(storeDir)}/ingest_batch=$tag")
     } finally {
       pairsDelta.unpersist(); sigs.unpersist(); sets.unpersist()
     }
@@ -310,15 +324,18 @@ object DedupIndex {
     * committed pair deltas, floor-guarded exactly like [[readPairs]].
     * Every batch consumer (sourceMatrix / clusters / bestPerCluster /
     * leakFreeSplit / splitLeakage) takes this frame unchanged.
+    * `idType` types id1/id2 in the EMPTY-store view only (a non-empty
+    * store infers from parquet); it must match what appendPairBatch
+    * folded — the SplitStream.assignTemplate lesson, same bug class.
     */
-  def readPairStore(spark: SparkSession, storeDir: String): DataFrame = {
+  def readPairStore(spark: SparkSession, storeDir: String,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
     val template = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id1",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("id2",
-          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id1", idType),
+        org.apache.spark.sql.types.StructField("id2", idType),
         org.apache.spark.sql.types.StructField("jaccard_n",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("jaccard_d",

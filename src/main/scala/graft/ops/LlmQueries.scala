@@ -70,8 +70,13 @@ object LlmQueries {
     s"${entries.size}:$h"
   }
   /** Stamp-guarded scratch memo: one built artifact per (prefix, corpus
-    * dir) per JVM, rebuilt — and the superseded store deleted eagerly,
-    * not at JVM exit — when the corpus stamp changes (r12 advice).
+    * dir) per JVM, rebuilt when the corpus stamp changes (r12 advice —
+    * the stale-pairs hazard is closed by the REBUILD; the memo simply
+    * stops referencing the superseded store). The old store's DISK is
+    * reclaimed by Scratch's JVM-exit hook, deliberately NOT eagerly:
+    * lazy DataFrames returned from earlier calls still reference the
+    * old path, and deleting it under them turns a recompute into a
+    * mid-scan FileNotFound (review finding).
     */
   private def corpusScratch(dir: String, prefix: String)
                            (build: String => Unit): String = {
@@ -79,12 +84,6 @@ object LlmQueries {
     val (_, path) = dupStores.compute(s"$prefix|$dir", (_, prev) => {
       if (prev != null && prev._1 == stamp) prev
       else {
-        if (prev != null) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(new java.io.File(prev._2).getParentFile)
-        }
         val p = new java.io.File(Scratch.dir(prefix), "store").getPath
         build(p)
         (stamp, p)
@@ -2254,23 +2253,7 @@ object LlmQueries {
     //      verified near-dup pairs rolled up to unordered source
     //      pairs — the "who mirrors whom" curation report; same
     //      LSH+Jaccard machinery as q_llm_near_dup ----
-    "q_llm_dup_source_matrix" -> Q(
-      s"""WITH $shingleCte,
-         |sigs AS ($sigSelect),
-         |$bandsPairsInterCte,
-         |dup AS (
-         |  SELECT p.id1, p.id2 FROM pairs p
-         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
-         |  JOIN sizes s1 ON s1.doc_id = p.id1
-         |  JOIN sizes s2 ON s2.doc_id = p.id2
-         |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
-         |lab AS (SELECT doc_id, source FROM documents)
-         |SELECT least(a.source, b.source) AS src_a,
-         |  greatest(a.source, b.source) AS src_b,
-         |  CAST(count(*) AS BIGINT) AS n_dup_pairs
-         |FROM dup JOIN lab a ON a.doc_id = dup.id1
-         |JOIN lab b ON b.doc_id = dup.id2
-         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    "q_llm_dup_source_matrix" -> Q(dupMatrixOracle) { (s, dir) =>
       DedupIndex.sourceMatrix(dupPairs(s, dir), tb(s, dir).documents,
           "doc_id", "source")
         .orderBy("src_a", "src_b")
@@ -2279,26 +2262,11 @@ object LlmQueries {
     // ---- same matrix served from the INCREMENTAL pair store (two
     //      appendPairBatch folds: even-id docs then odd-id docs) — the
     //      corpus-append lifecycle proved against the one-shot oracle
-    //      VERBATIM: the incremental store's pair union must be
-    //      row-identical to the one-shot chain's, so the rolled-up
-    //      matrix hashes equal. ----
-    "q_llm_incr_pair_matrix" -> Q(
-      s"""WITH $shingleCte,
-         |sigs AS ($sigSelect),
-         |$bandsPairsInterCte,
-         |dup AS (
-         |  SELECT p.id1, p.id2 FROM pairs p
-         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
-         |  JOIN sizes s1 ON s1.doc_id = p.id1
-         |  JOIN sizes s2 ON s2.doc_id = p.id2
-         |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
-         |lab AS (SELECT doc_id, source FROM documents)
-         |SELECT least(a.source, b.source) AS src_a,
-         |  greatest(a.source, b.source) AS src_b,
-         |  CAST(count(*) AS BIGINT) AS n_dup_pairs
-         |FROM dup JOIN lab a ON a.doc_id = dup.id1
-         |JOIN lab b ON b.doc_id = dup.id2
-         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    //      VERBATIM (one shared SQL definition, so the two gates
+    //      cannot silently diverge): the incremental store's pair
+    //      union must be row-identical to the one-shot chain's, so
+    //      the rolled-up matrix hashes equal. ----
+    "q_llm_incr_pair_matrix" -> Q(dupMatrixOracle) { (s, dir) =>
       DedupIndex.sourceMatrix(incrDupPairs(s, dir), tb(s, dir).documents,
           "doc_id", "source")
         .orderBy("src_a", "src_b")
