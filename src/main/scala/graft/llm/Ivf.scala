@@ -98,6 +98,18 @@ object Ivf {
 
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int = 16, iters: Int = 2): Index = {
+    val centroids = fitCentroids(df, idCol, vecCol, k, iters)
+    Index(centroids, assign(df, idCol, vecCol, centroids).cache())
+  }
+
+  /** The Lloyd training pass alone — seed + `iters` iterations —
+    * returning the centroid frame without assigning (or caching) the
+    * corpus. [[fit]] layers the final assignment on top;
+    * [[fitTwoLevel]] runs this on a bounded sample where a full-corpus
+    * assignment would be wasted work.
+    */
+  private def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     val n = df.count()
     // expect ~4k survivors from the md5 stride, keep the k smallest ids
@@ -126,7 +138,240 @@ object Ivf {
           .orderBy("cell").select("centroid").collect())
       it += 1
     }
-    Index(centroids, assign(df, idCol, vecCol, centroids).cache())
+    centroids
+  }
+
+  // -------------------------------------------------------------------
+  // Two-level coarse quantizer (r13 verdict, Missing #2): the flat fit
+  // is quadratic twice over at fitForCellSize's corpus-sized k — Lloyd
+  // assign and probe both compare every vector against all k = n/cell
+  // centroids (n·k = n²/cellSize; measured: KnnScale killed at 900 s /
+  // 200k vectors). The standard IVF fix, both halves:
+  //  - SAMPLE-TRAINED Lloyd: centroids are fit on a bounded md5-stride
+  //    sample (≤ sampleCap vectors), never the full corpus — training
+  //    cost is sample-sized regardless of n;
+  //  - TWO-LEVEL assign/probe: k1 ≈ √k top cells, each holding its own
+  //    k2 ≈ k/k1 sub-quantizer. A vector finds its leaf cell in
+  //    k1 + k2 ≈ 2√k comparisons instead of k; a query probes nprobe1
+  //    top cells then ranks only their nprobe1·k2 leaves.
+  // Per-vector index work is O(√(n/cellSize)) and the graph join stays
+  // at the held cell size, so the whole kNN-graph chain is ~n^1.5 with
+  // a tiny constant instead of n² — at the sf10 probe the assign term
+  // is 16M dot products vs the flat path's 312M. All the determinism
+  // rules of the flat path carry over unchanged (round(sim,9) +
+  // lowest-cell argmax, quantized integer means, dense renumbering),
+  // so the whole fit+probe chain stays DuckDB-replayable.
+  // -------------------------------------------------------------------
+
+  /** A trained two-level index. `l1Centroids` is (l1, centroid) — the
+    * top-level quantizer; `centroids` is (cell, l1, centroid) — the
+    * LEAF cells, globally numbered by (l1, sub) order; `assignments`
+    * is (id, cell) over leaf cells, cached like [[Index]].
+    */
+  final case class Index2(l1Centroids: DataFrame, centroids: DataFrame,
+                          assignments: DataFrame) {
+    def unpersist(): Unit = { assignments.unpersist(); () }
+  }
+
+  /** Train a two-level index sized for the corpus: leaf-cell count
+    * k = max(4, n/targetCellSize) split as k1 = ⌈√k⌉ top cells ×
+    * k2 = ⌈k/k1⌉ sub-cells. Level 1 is the standard [[fit]] recipe on
+    * a hash-stride sample of ≤ sampleCap vectors; level 2 runs the
+    * same Lloyd rules per level-1 cell over the sample members (seeds:
+    * the k2 lowest-id members; assign: argmax over the OWN cell's
+    * sub-centroids, round(sim,9) + lowest-sub tiebreak; means:
+    * quantized integer sums; dead subs renumbered per cell). A level-1
+    * cell that ends up with no sample members keeps its level-1
+    * centroid as its sole leaf, so every corpus vector always finds a
+    * leaf. Only the bounded sample is ever compared against all
+    * sub-centroids during training; the corpus is touched exactly
+    * twice (level-1 assign, then leaf assign within the chosen cell).
+    *
+    * Centroid frames are driver-materialized between iterations (k·d
+    * doubles — the lineage-truncation stance of [[fit]]); at extreme
+    * k, swap the collects for localCheckpoint.
+    */
+  def fitTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                  targetCellSize: Int = 128, iters: Int = 2,
+                  sampleCap: Int = 65536): Index2 = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1: $targetCellSize")
+    require(sampleCap >= 4, s"sampleCap must be >= 4: $sampleCap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val k = math.max(4L, n / targetCellSize)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = ((k + k1 - 1) / k1).toInt
+
+    val ss = math.max(1L, n / sampleCap)
+    val sample = df.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % ss === 0)
+
+    val l1Cents = fitCentroids(sample, idCol, vecCol, k1, iters)
+      .withColumnRenamed("cell", "l1")
+    // sample → level-1 cell, fixed for the whole level-2 training
+    val sa = assign(sample, idCol, vecCol,
+        l1Cents.withColumnRenamed("l1", "cell"))
+      .withColumnRenamed("cell", "l1")
+    // every level-2 iteration re-reads the sample with its fixed l1
+    // label; cache it for the training loop, released before return
+    val sampleL1 = sample
+      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .join(sa, idCol)
+      .cache()
+
+    def toSubDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      rows.toDF("l1", "sub", "centroid")
+
+    // seeds: per level-1 cell, the k2 lowest-id sample members
+    val wseed = org.apache.spark.sql.expressions.Window
+      .partitionBy("l1").orderBy(col(idCol))
+    var subCents = toSubDf(
+      sampleL1.withColumn("_rn", row_number().over(wseed))
+        .filter(col("_rn") <= k2)
+        .select(col("l1"), (col("_rn") - 1).as("sub"), col("_v"))
+        .collect().toIndexedSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)))
+
+    def subAssign(cents: DataFrame): DataFrame = {
+      val sc = broadcast(cents.withColumn("_cn", Ann.l2norm(col("centroid"))))
+      sampleL1
+        .withColumn("_vn", Ann.l2norm(col("_v")))
+        .join(sc, "l1")
+        .withColumn("_sim", round(
+          Ann.dot(col("_v"), col("centroid")) / (col("_vn") * col("_cn")), 9))
+        .groupBy(col(idCol), col("l1"))
+        .agg(max_by(col("sub"),
+          struct(col("_sim"), (-col("sub")).as("_ns"))).as("sub"))
+    }
+
+    var it = 0
+    while (it < iters) {
+      val asg = subAssign(subCents)
+      // quantized per-(l1, sub) means, then dead subs renumbered per
+      // cell (driver-side — rows are already collected)
+      val recomputed = sampleL1.join(asg, Seq(idCol, "l1"))
+        .select(col("l1"), col("sub"), posexplode(col("_v")).as(Seq("i", "v")))
+        .groupBy("l1", "sub", "i")
+        .agg((sum(floor(col("v") * lit(Quantum)).cast("long"))
+          .cast("double") / (lit(Quantum) * count(lit(1)))).as("m"))
+        .groupBy("l1", "sub")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .collect().toIndexedSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2))
+      subCents = toSubDf(
+        recomputed.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+          case (l1, rows) => rows.sortBy(_._2).zipWithIndex
+            .map { case ((_, _, c), s) => (l1, s, c) }
+        })
+      it += 1
+    }
+
+    sampleL1.unpersist()
+    // fallback: a level-1 cell with no surviving subs keeps its own
+    // centroid as the single leaf — total coverage for the full assign
+    val subRows = subCents.as[(Int, Int, Seq[Double])].collect().toIndexedSeq
+    val covered = subRows.map(_._1).toSet
+    val l1Rows = l1Cents.as[(Int, Seq[Double])].collect().toIndexedSeq
+    val leafRows = (subRows ++ l1Rows.filterNot(r => covered(r._1))
+        .map(r => (r._1, 0, r._2)))
+      .sortBy(t => (t._1, t._2))
+    val leafCents = leafRows.zipWithIndex
+      .map { case ((l1, _, c), cell) => (cell, l1, c) }
+      .toDF("cell", "l1", "centroid")
+
+    Index2(l1Cents, leafCents,
+      assignTwoLevel(df, idCol, vecCol, l1Cents, leafCents).cache())
+  }
+
+  /** Hierarchical assignment: nearest level-1 cell (k1 comparisons,
+    * the [[assign]] argmax rule), then nearest leaf within that cell
+    * (k2 comparisons, lowest-global-cell tiebreak).
+    */
+  private def assignTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                             l1Cents: DataFrame,
+                             leafCents: DataFrame): DataFrame = {
+    val a1 = assign(df, idCol, vecCol,
+        l1Cents.withColumnRenamed("l1", "cell"))
+      .withColumnRenamed("cell", "l1")
+    val leafB = broadcast(leafCents
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    df.select(col(idCol), col(vecCol), Ann.l2norm(col(vecCol)).as("_vn"))
+      .join(a1, idCol)
+      .join(leafB, "l1")
+      .withColumn("_sim", round(
+        Ann.dot(col(vecCol), col("centroid")) / (col("_vn") * col("_cn")), 9))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"),
+        struct(col("_sim"), (-col("cell")).as("_nc"))).as("cell"))
+  }
+
+  /** [[knnGraph]] over a two-level index: probe nprobe1 level-1 cells
+    * (round(sim,9) + lowest-l1 tiebreak), rank only THEIR leaves for
+    * the nprobe probe cells (round(sim,9) + lowest-cell tiebreak) —
+    * per-query probe work k1 + nprobe1·k2 ≈ O(√k) instead of k. The
+    * candidate join and re-rank are identical to the flat path.
+    */
+  def knnGraph(df: DataFrame, index: Index2, idCol: String, vecCol: String,
+               kNeighbors: Int, nprobe: Int, nprobe1: Int): DataFrame =
+    graphRank(probeCandidates2(df, index, idCol, vecCol, nprobe, nprobe1),
+      kNeighbors)
+
+  /** [[hardNegatives]] over a two-level index — same probe as the
+    * two-level [[knnGraph]], same label-mismatch-before-rank rule as
+    * the flat path.
+    */
+  def hardNegatives(df: DataFrame, index: Index2, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    nprobe: Int, nprobe1: Int): DataFrame =
+    negativesRank(probeCandidates2(df, index, idCol, vecCol, nprobe, nprobe1),
+      df, idCol, labelCol, k)
+
+  /** Corpus-as-queries candidate generator over a two-level index:
+    * level-1 probe ranks k1 centroids, leaf probe ranks only the
+    * probed cells' leaves, then the same shuffle cell equi-join as
+    * [[probeCandidates]] (never a probe-side broadcast of the corpus).
+    * Leaf probe cells are distinct and members hold one leaf, so each
+    * (q, c) pair still arises exactly once.
+    */
+  private def probeCandidates2(df: DataFrame, index: Index2, idCol: String,
+                               vecCol: String, nprobe: Int,
+                               nprobe1: Int): DataFrame = {
+    val l1b = broadcast(index.l1Centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("l1").asc)
+    val p1 = df
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Ann.l2norm(col(vecCol)).as("q_nrm"))
+      .join(l1b)
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq1))
+      .filter(col("_rn") <= nprobe1)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("l1"))
+    val leafB = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
+    val probed = p1.join(leafB, "l1")
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq2))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val corpus = df.join(index.assignments, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    corpus.join(probed, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(
+        Ann.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 4))
+      .select("q_id", "c_id", "cosine")
   }
 
   /** Public face of the nearest-centroid assignment — (idCol, cell),
@@ -221,11 +466,17 @@ object Ivf {
     * not for recall alone.
     */
   def knnGraph(df: DataFrame, index: Index, idCol: String, vecCol: String,
-               kNeighbors: Int, nprobe: Int = 2): DataFrame = {
+               kNeighbors: Int, nprobe: Int = 2): DataFrame =
+    graphRank(probeCandidates(df, index, idCol, vecCol, nprobe), kNeighbors)
+
+  /** The ONE neighbor-rank tail (round(cos,4) already applied by the
+    * candidate generators; rank on cosine desc + id tiebreak) — shared
+    * by the flat and two-level graph faces so they cannot diverge.
+    */
+  private def graphRank(cands: DataFrame, kNeighbors: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    probeCandidates(df, index, idCol, vecCol, nprobe)
-      .withColumn("rn", row_number().over(w))
+    cands.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kNeighbors)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
   }
@@ -239,11 +490,19 @@ object Ivf {
     */
   def hardNegatives(df: DataFrame, index: Index, idCol: String,
                     vecCol: String, labelCol: String, k: Int,
-                    nprobe: Int = 2): DataFrame = {
+                    nprobe: Int = 2): DataFrame =
+    negativesRank(probeCandidates(df, index, idCol, vecCol, nprobe),
+      df, idCol, labelCol, k)
+
+  /** The ONE hard-negative tail — label join, mismatch-BEFORE-rank
+    * filter, rank window — shared by the flat and two-level faces.
+    */
+  private def negativesRank(cands: DataFrame, df: DataFrame, idCol: String,
+                            labelCol: String, k: Int): DataFrame = {
     val labels = df.select(col(idCol), col(labelCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    probeCandidates(df, index, idCol, vecCol, nprobe)
+    cands
       .join(labels.select(col(idCol).as("q_id"),
         col(labelCol).as("q_label")), "q_id")
       .join(labels.select(col(idCol).as("c_id"),

@@ -132,23 +132,181 @@ object LlmQueries {
     */
   private def ivfAssign(cent: String, out: String, where: String = "",
                         limit: Int = 1): String =
+    ivfAssignOver("e", "vn", cent, out, where, limit)
+
+  /** [[ivfAssign]] over arbitrary exploded-vector / norm views — the
+    * two-level oracle assigns the SAMPLE (se/svn) during training and
+    * the corpus (e/vn) only at the end.
+    */
+  private def ivfAssignOver(eT: String, vnT: String, cent: String,
+                            out: String, where: String = "",
+                            limit: Int = 1): String =
     s"""${out}_cn AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM $cent GROUP BY cell),
        |${out}_d AS (SELECT e.vec_id, c.cell, sum(e.v * c.m) AS dot
-       |             FROM e JOIN $cent c ON c.i = e.i $where GROUP BY e.vec_id, c.cell),
+       |             FROM $eT e JOIN $cent c ON c.i = e.i $where GROUP BY e.vec_id, c.cell),
        |$out AS (SELECT vec_id, cell FROM (
        |    SELECT d.vec_id, d.cell,
        |           row_number() OVER (PARTITION BY d.vec_id
        |             ORDER BY round(d.dot / (vn.nrm * cn.nrm), 9) DESC, d.cell) AS rn
-       |    FROM ${out}_d d JOIN vn ON vn.vec_id = d.vec_id
+       |    FROM ${out}_d d JOIN $vnT vn ON vn.vec_id = d.vec_id
        |    JOIN ${out}_cn cn ON cn.cell = d.cell) WHERE rn <= $limit)""".stripMargin
 
   private def ivfRecompute(assignT: String, cent: String): String =
+    ivfRecomputeOver("e", assignT, cent)
+
+  private def ivfRecomputeOver(eT: String, assignT: String,
+                               cent: String): String =
     s"""${cent}_r AS (SELECT a.cell, e.i,
        |      CAST(sum(CAST(floor(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
        |        / (1000000.0 * count(*)) AS m
-       |    FROM $assignT a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i),
+       |    FROM $assignT a JOIN $eT e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i),
        |$cent AS (SELECT dense_rank() OVER (ORDER BY cell) - 1 AS cell, i, m
        |          FROM ${cent}_r)""".stripMargin
+
+  /** First-4-hex-digits-of-md5 as an integer — the engine's portable
+    * hash-stride expression (`conv(substring(md5(x),1,4),16,10)`).
+    */
+  private def hex4(h: String): String =
+    s"""((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096
+       |       + (strpos('0123456789abcdef', substr($h, 2, 1)) - 1) * 256
+       |       + (strpos('0123456789abcdef', substr($h, 3, 1)) - 1) * 16
+       |       + (strpos('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
+
+  /** Full two-level IVF replay ([[graft.llm.Ivf.fitTwoLevel]] with
+    * targetCellSize=128, sampleCap=65536, iters=2): corpus-derived
+    * sizing (k = max(4, n/128), k1 = ⌈√k⌉, k2 = ⌈k/k1⌉), md5-stride
+    * sample, level-1 Lloyd on the sample, per-cell level-2 Lloyd
+    * (seeds = k2 lowest-id members; argmax round(sim,9) + lowest-sub;
+    * quantized means; per-cell dense renumbering), level-1-centroid
+    * fallback leaves, (l1, sub)-ordered global leaf ids, and the
+    * hierarchical corpus assignment `caf`. Ends with `leaf`
+    * (cell, l1, i, m), `lfn` (leaf norms), `cl1` (corpus → l1) and
+    * `caf` (corpus → leaf) in scope.
+    */
+  private lazy val ivf2FitCtes: String =
+    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+       |tp AS (SELECT count(*) AS n, greatest(4, count(*) // 128) AS k
+       |       FROM embeddings),
+       |tp2 AS (SELECT n, k,
+       |          CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
+       |          (k + CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) - 1)
+       |            // CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k2,
+       |          greatest(1, n // 65536) AS ss
+       |        FROM tp),
+       |samp AS (SELECT vec_id
+       |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), tp2
+       |  WHERE ${hex4("h")} % ss = 0),
+       |se AS MATERIALIZED (SELECT e.* FROM e JOIN samp USING (vec_id)),
+       |svn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM se GROUP BY vec_id),
+       |sprm AS (SELECT greatest(1, (SELECT count(*) FROM samp) // (4 * k1)) AS stride
+       |         FROM tp2),
+       |lseed AS (SELECT vec_id FROM (
+       |    SELECT s.vec_id, row_number() OVER (ORDER BY s.vec_id) AS rn
+       |    FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM samp) s, sprm
+       |    WHERE ${hex4("s.h")} % sprm.stride = 0), tp2
+       |  WHERE rn <= k1),
+       |lc0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+       |        FROM lseed s JOIN se e ON e.vec_id = s.vec_id),
+       |${ivfAssignOver("se", "svn", "lc0", "la1")},
+       |${ivfRecomputeOver("se", "la1", "lc1")},
+       |${ivfAssignOver("se", "svn", "lc1", "la2")},
+       |${ivfRecomputeOver("se", "la2", "lc2")},
+       |${ivfAssignOver("se", "svn", "lc2", "saf")},
+       |sl1 AS (SELECT vec_id, cell AS l1 FROM saf),
+       |sseed AS (SELECT l1, vec_id, rn - 1 AS sub FROM (
+       |    SELECT s.l1, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.l1 ORDER BY s.vec_id) AS rn
+       |    FROM sl1 s), tp2 WHERE rn <= k2),
+       |sc0 AS (SELECT s.l1, s.sub, e.i, e.v AS m
+       |        FROM sseed s JOIN se e ON e.vec_id = s.vec_id),
+       |${ivf2SubAssign("sc0", "ssa0")},
+       |${ivf2SubRecompute("ssa0", "sc1")},
+       |${ivf2SubAssign("sc1", "ssa1")},
+       |${ivf2SubRecompute("ssa1", "sc2")},
+       |lfb AS (SELECT c.cell AS l1, 0 AS sub, c.i, c.m FROM lc2 c
+       |        WHERE c.cell NOT IN (SELECT DISTINCT l1 FROM sc2)),
+       |leafp AS (SELECT l1, sub, i, m FROM sc2
+       |          UNION ALL SELECT l1, sub, i, m FROM lfb),
+       |leafn AS (SELECT l1, sub, dense_rank() OVER (ORDER BY l1, sub) - 1 AS cell
+       |          FROM (SELECT DISTINCT l1, sub FROM leafp)),
+       |leaf AS MATERIALIZED (SELECT n.cell, p.l1, p.i, p.m
+       |        FROM leafp p JOIN leafn n ON n.l1 = p.l1 AND n.sub = p.sub),
+       |lfn AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM leaf GROUP BY cell),
+       |${ivfAssignOver("e", "vn", "lc2", "ca1")},
+       |cl1 AS (SELECT vec_id, cell AS l1 FROM ca1),
+       |caf AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |             ORDER BY round(d.dot / (vn.nrm * lfn.nrm), 9) DESC, d.cell) AS rn
+       |    FROM (SELECT e.vec_id, lf.cell, sum(e.v * lf.m) AS dot
+       |          FROM e JOIN cl1 s ON s.vec_id = e.vec_id
+       |          JOIN leaf lf ON lf.l1 = s.l1 AND lf.i = e.i
+       |          GROUP BY e.vec_id, lf.cell) d
+       |    JOIN vn ON vn.vec_id = d.vec_id
+       |    JOIN lfn ON lfn.cell = d.cell) WHERE rn = 1)""".stripMargin
+
+  /** Level-2 sub-assign: argmax over the OWN level-1 cell's
+    * sub-centroids — round(sim,9) DESC, lowest sub.
+    */
+  private def ivf2SubAssign(cent: String, out: String): String =
+    s"""${out}_cn AS (SELECT l1, sub, sqrt(sum(m*m)) AS nrm
+       |              FROM $cent GROUP BY l1, sub),
+       |${out}_d AS (SELECT e.vec_id, s.l1, c.sub, sum(e.v * c.m) AS dot
+       |             FROM se e JOIN sl1 s ON s.vec_id = e.vec_id
+       |             JOIN $cent c ON c.l1 = s.l1 AND c.i = e.i
+       |             GROUP BY e.vec_id, s.l1, c.sub),
+       |$out AS (SELECT vec_id, l1, sub FROM (
+       |    SELECT d.vec_id, d.l1, d.sub,
+       |           row_number() OVER (PARTITION BY d.vec_id
+       |             ORDER BY round(d.dot / (svn.nrm * cn.nrm), 9) DESC, d.sub) AS rn
+       |    FROM ${out}_d d JOIN svn ON svn.vec_id = d.vec_id
+       |    JOIN ${out}_cn cn ON cn.l1 = d.l1 AND cn.sub = d.sub)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Level-2 recompute: quantized per-(l1, sub) means, dead subs
+    * renumbered densely WITHIN their level-1 cell.
+    */
+  private def ivf2SubRecompute(assignT: String, cent: String): String =
+    s"""${cent}_r AS (SELECT a.l1, a.sub, e.i,
+       |      CAST(sum(CAST(floor(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |        / (1000000.0 * count(*)) AS m
+       |    FROM $assignT a JOIN se e ON e.vec_id = a.vec_id
+       |    GROUP BY a.l1, a.sub, e.i),
+       |$cent AS (SELECT l1,
+       |            dense_rank() OVER (PARTITION BY l1 ORDER BY sub) - 1 AS sub,
+       |            i, m
+       |          FROM ${cent}_r)""".stripMargin
+
+  /** Two-level probe + candidate tail shared by the scaled graph
+    * queries: nprobe1=2 level-1 cells per query, nprobe=2 leaves
+    * ranked over ONLY those cells' leaves, then the usual exact
+    * re-rank cosine. Ends with `cos` (q_id, c_id, cosine).
+    */
+  private lazy val ivf2ProbeCtes: String =
+    s"""${ivfAssignOver("e", "vn", "lc2", "pl1", limit = 2)},
+       |pleaf AS (SELECT q_id, cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |             ORDER BY round(d.dot / (vn.nrm * lfn.nrm), 9) DESC, d.cell) AS rn
+       |    FROM (SELECT p.vec_id AS q_id, lf.cell, sum(e.v * lf.m) AS dot
+       |          FROM pl1 p JOIN e ON e.vec_id = p.vec_id
+       |          JOIN leaf lf ON lf.l1 = p.cell AND lf.i = e.i
+       |          GROUP BY p.vec_id, lf.cell) d
+       |    JOIN vn ON vn.vec_id = d.q_id
+       |    JOIN lfn ON lfn.cell = d.cell) WHERE rn <= 2),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM pleaf p JOIN caf a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |cos AS (
+       |  SELECT p.q_id, p.c_id,
+       |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+       |  FROM cands p
+       |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+       |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+       |  GROUP BY p.q_id, p.c_id)""".stripMargin
 
   /** Shared connected-components oracle chain (requires `sh` from
     * [[shingleCte]] and `sigs` from `sigSelect` in scope, under WITH
@@ -375,6 +533,30 @@ object LlmQueries {
       |  min(md5('5|' || s)) AS mh5, min(md5('6|' || s)) AS mh6,
       |  min(md5('7|' || s)) AS mh7, min(md5('8|' || s)) AS mh8
       |FROM sh GROUP BY doc_id""".stripMargin
+
+  /** The one-shot verified-dup source-matrix oracle, shared VERBATIM
+    * by q_llm_dup_source_matrix (one-shot chain) and
+    * q_llm_incr_pair_matrix (incremental pair store) so the two gates
+    * cannot silently diverge: the incremental union must be
+    * row-identical to the one-shot chain, hence matrix-hash-equal.
+    */
+  private def dupMatrixOracle: String =
+    s"""WITH $shingleCte,
+       |sigs AS ($sigSelect),
+       |$bandsPairsInterCte,
+       |dup AS (
+       |  SELECT p.id1, p.id2 FROM pairs p
+       |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+       |  JOIN sizes s1 ON s1.doc_id = p.id1
+       |  JOIN sizes s2 ON s2.doc_id = p.id2
+       |  WHERE coalesce(i.n, 0) * 10 >= (s1.sz + s2.sz - coalesce(i.n, 0)) * 8),
+       |lab AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS src_a,
+       |  greatest(a.source, b.source) AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |FROM dup JOIN lab a ON a.doc_id = dup.id1
+       |JOIN lab b ON b.doc_id = dup.id2
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
   /** The two-batch incremental leak-free-split REPLAY (the
     * q_llm_incr_leakfree oracle chain), shared with the migration
@@ -3507,6 +3689,59 @@ object LlmQueries {
       val index = Ivf.fit(emb, "vec_id", "embedding", k = 16, iters = 2)
       Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label",
           k = 2, nprobe = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- the 100 TB kNN graph (Ivf.fitTwoLevel + two-level probe):
+    //      sample-trained Lloyd (training never compares the corpus
+    //      against all k centroids) and a √k-deep hierarchical
+    //      assign/probe — the scale path the flat q_ann_knn_graph's
+    //      fixed k=16 face cannot provide (its candidate volume is
+    //      n²/k; the flat fitForCellSize fix re-pays n·k in Lloyd
+    //      assign instead). Oracle replays the ENTIRE two-level fit,
+    //      hierarchical assignment and probe in DuckDB. ----
+    "q_ann_knn_graph_scaled" -> Q(
+      s"""$ivf2FitCtes,
+         |$ivf2ProbeCtes,
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM cos)
+         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+        targetCellSize = 128, iters = 2)
+      Ivf.knnGraph(emb, index, "vec_id", "embedding",
+          kNeighbors = 3, nprobe = 2, nprobe1 = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- hard negatives over the same two-level index — the scale
+    //      face of q_emb_hard_negatives; label mismatch still filters
+    //      BEFORE the rank window ----
+    "q_emb_hard_negatives_scaled" -> Q(
+      s"""$ivf2FitCtes,
+         |$ivf2ProbeCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |neg AS (
+         |  SELECT c.q_id, la.label AS q_label, c.c_id, lb.label AS c_label, c.cosine
+         |  FROM cos c JOIN lab la ON la.vec_id = c.q_id
+         |  JOIN lab lb ON lb.vec_id = c.c_id
+         |  WHERE la.label IS DISTINCT FROM lb.label),
+         |ranked AS (
+         |  SELECT q_id, q_label, c_id, c_label, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM neg)
+         |SELECT q_id, q_label, c_id, c_label, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 2 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+        targetCellSize = 128, iters = 2)
+      Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label",
+          k = 2, nprobe = 2, nprobe1 = 2)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },

@@ -81,6 +81,82 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("two-level: assignments cover the corpus exactly once, leaf " +
+    "cells nest in their level-1 cell, and the fit is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    // targetCellSize 8 over ~200 vectors → k≈25, k1=5, k2=5: both
+    // levels genuinely multi-cell
+    val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 8, iters = 2)
+    assert(index.assignments.count() === n, "every vector assigned")
+    assert(index.assignments.select("vec_id").distinct().count() === n,
+      "exactly one leaf per vector")
+    val leaves = index.centroids.select("cell", "l1").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(leaves.keys.toSeq.sorted === (0 until leaves.size).toSeq,
+      "leaf cells densely numbered")
+    val l1s = index.l1Centroids.select("l1").collect().map(_.getInt(0)).toSet
+    assert(leaves.values.toSet.subsetOf(l1s), "every leaf nests in a level-1 cell")
+    // determinism: a second fit reproduces assignments bit-for-bit
+    val again = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 8, iters = 2)
+    assert(index.assignments.orderBy("vec_id").collect().toSeq ===
+      again.assignments.orderBy("vec_id").collect().toSeq)
+    index.unpersist(); again.unpersist()
+  }
+
+  test("two-level knnGraph: ranked per-query neighbors with honest " +
+    "recall against brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 16, iters = 2)
+    val g = Ivf.knnGraph(emb, index, "vec_id", "embedding",
+      kNeighbors = 3, nprobe = 4, nprobe1 = 3).cache()
+    val perQ = g.groupBy("q_id")
+      .agg(count(lit(1)).as("c"), max("rn").as("mx"), min("rn").as("mn"))
+      .collect()
+    assert(perQ.length.toLong === n, "every vector queries the graph")
+    perQ.foreach { r =>
+      assert(r.getLong(1) <= 3 && r.getInt(3) === 1, s"ranks broken: $r")
+    }
+    assert(g.filter($"q_id" === $"c_id").count() === 0L, "no self pairs")
+    assert(g.select("q_id", "c_id").distinct().count() === g.count(),
+      "each (q, c) pair exactly once")
+    val brute = Ann.cosineTopK(emb, emb, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = g.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.4, s"two-level recall=$recall")
+    g.unpersist(); index.unpersist()
+  }
+
+  test("two-level hardNegatives: label mismatch filters before the " +
+    "rank; generous probes recover the planted infiltrator") {
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (0L, v(1, 0, 0, 0), 1),
+      (1L, v(0.99, 0.01, 0, 0), 1),
+      (2L, v(0.98, 0.02, 0, 0), 2),   // the hard negative for label 1
+      (3L, v(0, 0, 1, 0), 2),
+      (10L, v(0, 0.01, 0.99, 0), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 2, iters = 2)
+    // probe everything: nprobe1/nprobe ≥ cell counts → exact semantics
+    val neg = Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label",
+        k = 1, nprobe = 16, nprobe1 = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(1), r.getInt(3))))
+      .toMap
+    assert(neg(0L)._1 === 2L, s"anchor 0 must find the infiltrator: $neg")
+    Ivf.hardNegatives(emb, index, "vec_id", "embedding", "label", 3, 16, 16)
+      .collect().foreach(r => assert(r.getInt(1) !== r.getInt(3)))
+    index.unpersist()
+  }
+
   test("hardNegatives: only different-label neighbors, nearest first") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
     // label-1 cluster on x-axis with one label-2 infiltrator very close;
