@@ -238,13 +238,19 @@ object DedupIndex {
   def shinglesPath(storeDir: String): String = s"$storeDir/shingles"
 
   /** Fold one document batch into the incremental pair store. `seq`
-    * must be unique per accepted batch (monotonically increasing by
-    * convention); replaying a crashed batch with the SAME (queryId,
-    * seq) recomputes against state-excluding-itself and overwrites —
-    * the family-wide idempotence rule. LSH params must match the
-    * store's sidecar (first append writes it; later appends raise on
-    * mismatch — a store whose deltas were banded differently would
-    * silently miss cross-delta candidates).
+    * must be unique per accepted batch AND monotonically increasing —
+    * prior state is defined as tags with seq strictly below this one,
+    * so replaying a crashed batch with the SAME (queryId, seq)
+    * recomputes against exactly the state it originally saw and
+    * overwrites, EVEN IF later seqs have since committed (the
+    * family-wide idempotence rule, hardened per r13 advice). LSH
+    * params must match the store's sidecar (first append writes it;
+    * later appends raise on mismatch — a store whose deltas were
+    * banded differently would silently miss cross-delta candidates).
+    * [[compactPairStore]] erases seq tags, so replay a crashed batch
+    * BEFORE compacting — the compactor enforces this by sweeping
+    * orphaned (pairs-less) sig/shingle deltas rather than folding
+    * them in.
     */
   def appendPairBatch(batch: DataFrame, idCol: String, textCol: String,
                       storeDir: String, seq: Long, queryId: String = "",
@@ -269,11 +275,20 @@ object DedupIndex {
     val aggs = (1 to numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh$i"))
     val sigs = sets.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).cache()
-    // prior state EXCLUDES our own tag (replay recompute rule);
-    // uncommitted partials are out via the _SUCCESS gate
+    // prior state is tags with seq STRICTLY BELOW ours (parsed from the
+    // `qid_seq` tag suffix; compacted deltas are by-construction older
+    // than any live batch and always count as prior). This makes a
+    // replay idempotent even AFTER later seqs committed: replaying seq
+    // N once N+1 exists must not see N+1 as "prior", or it would
+    // re-emit the N-vs-N+1 pairs batch N+1 already wrote (r13 advice).
+    // The strict < also self-excludes our own tag on the replay path;
+    // uncommitted partials are out via the _SUCCESS gate.
     def prior(path: String, template: DataFrame): DataFrame =
       graft.streaming.DeltaStore.readCommitted(template, path)
-        .filter(col("ingest_batch") =!= tag).drop("ingest_batch")
+        .filter(col("ingest_batch").startsWith("compacted_") ||
+          coalesce(substring_index(col("ingest_batch"), "_", -1)
+            .cast("long") < lit(seq), lit(false)))
+        .drop("ingest_batch")
     val priorSigs = prior(sigsPath(storeDir), sigs)
     val priorSets = prior(shinglesPath(storeDir), sets)
     val bandsB = DedupOps.lshBands(sigs, idCol, numHashes, rowsPerBand)
@@ -289,6 +304,11 @@ object DedupIndex {
         col(idCol).as("_p")), Seq("band_id", "band_key"))
       .select(least(col("_b"), col("_p")).as("id1"),
         greatest(col("_b"), col("_p")).as("id2"))
+      // belt-and-braces: under the unique-id contract a batch doc can
+      // never meet itself in prior state, but if the contract is ever
+      // violated (e.g. an external copy of our docs under another tag)
+      // a least/greatest self-pair must not reach the verified store
+      .filter(col("id1") =!= col("id2"))
       .distinct()
     val cand = candB.unionByName(candX)
     // exact Jaccard needs the shingle sets of exactly the candidate
@@ -354,12 +374,42 @@ object DedupIndex {
   /** Absorb each sub-store's committed deltas into one compacted delta
     * (identity fold — pair rows are immutable facts; this bounds file
     * count only). Owning process only, between committed batches.
+    *
+    * Before compacting, ORPHANED sig/shingle deltas are swept: a batch
+    * that crashed between its sigs write and its pairs write (the
+    * window [[appendPairBatch]]'s write order documents) leaves
+    * committed sig/shingle deltas with no committed pairs delta.
+    * Folding those into the compacted delta would erase their tag, so
+    * the crashed batch's replay could no longer recognize its own
+    * stale state — its docs would surface as "prior", yielding
+    * duplicate (and, unguarded, self-) pairs (r13 advice). Sweeping is
+    * safe: the replay recomputes sets/sigs from the batch text and
+    * rewrites all three deltas in full.
     */
   def compactPairStore(spark: SparkSession, storeDir: String): Unit = {
-    graft.streaming.DeltaStore.compactWith(spark, pairsPath(storeDir))(identity)
-    graft.streaming.DeltaStore.compactWith(spark, sigsPath(storeDir))(identity)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pairTags = graft.streaming.DeltaStore
+      .committedDirs(pairsPath(storeDir), conf).map(tagOfDir).toSet
+    Seq(sigsPath(storeDir), shinglesPath(storeDir)).foreach { p =>
+      graft.streaming.DeltaStore.committedDirs(p, conf)
+        .filter { d =>
+          val t = tagOfDir(d)
+          !t.startsWith("compacted_") && !pairTags.contains(t)
+        }
+        .foreach(d => graft.core.Fs.delete(d, conf, recursive = true))
+    }
+    // Compaction order mirrors the append write order, pairs LAST: a
+    // crash mid-compaction must never leave pairs compacted while
+    // sigs/shingles still hold raw tags — the next run's orphan sweep
+    // would see those raw tags missing from the compacted pairs tag
+    // set and wrongly sweep legitimate prior state.
     graft.streaming.DeltaStore.compactWith(spark, shinglesPath(storeDir))(identity)
+    graft.streaming.DeltaStore.compactWith(spark, sigsPath(storeDir))(identity)
+    graft.streaming.DeltaStore.compactWith(spark, pairsPath(storeDir))(identity)
   }
+
+  private def tagOfDir(dir: String): String =
+    dir.substring(dir.lastIndexOf("ingest_batch=") + "ingest_batch=".length)
 
   /** Split-leakage audit from a pair index — semantics of
     * [[DedupOps.splitLeakage]]: duplicate pairs whose id-hash split

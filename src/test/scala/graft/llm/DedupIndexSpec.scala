@@ -162,6 +162,54 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("a late replay — after later seqs committed — is still " +
+    "idempotent: prior state is seq-filtered, not just tag-filtered") {
+    withIncrStore { store =>
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      DedupIndex.appendPairBatch(even, "doc_id", "text", store, seq = 0L)
+      DedupIndex.appendPairBatch(odd, "doc_id", "text", store, seq = 1L)
+      val before = sorted(DedupIndex.readPairStore(spark, store))
+      assert(before === sorted(DedupOps.nearDupPairs(docs, "doc_id", "text")))
+      // replay batch 0 AFTER batch 1 committed: batch 1 must not leak
+      // into batch 0's "prior" state, or the cross pairs batch 1
+      // already emitted would double (r13 advice)
+      DedupIndex.appendPairBatch(even, "doc_id", "text", store, seq = 0L)
+      assert(sorted(DedupIndex.readPairStore(spark, store)) === before)
+    }
+  }
+
+  test("compactPairStore sweeps a crashed batch's orphaned sig/shingle " +
+    "deltas so its replay cannot double against its own stale state") {
+    withIncrStore { store =>
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      DedupIndex.appendPairBatch(even, "doc_id", "text", store, seq = 0L)
+      DedupIndex.appendPairBatch(odd, "doc_id", "text", store, seq = 1L)
+      // simulate batch 1 crashing between its sigs write and its pairs
+      // write: sigs/shingles committed, pairs delta never landed
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(new java.io.File(s"${DedupIndex.pairsPath(store)}/ingest_batch=q_1"))
+      // compaction must NOT fold the orphans in (their tag would be
+      // erased and the replay could no longer self-exclude)
+      DedupIndex.compactPairStore(spark, store)
+      DedupIndex.appendPairBatch(odd, "doc_id", "text", store, seq = 1L)
+      val got = DedupIndex.readPairStore(spark, store)
+      assert(sorted(got) ===
+        sorted(DedupOps.nearDupPairs(docs, "doc_id", "text")))
+      assert(got.filter(col("id1") === col("id2")).count() === 0L)
+      // the healed store keeps folding correctly
+      val twin = Seq((6L, "the quick brown fox jumps over the sleepy cat",
+        "web")).toDF("doc_id", "text", "source")
+      DedupIndex.appendPairBatch(twin, "doc_id", "text", store, seq = 2L)
+      assert(sorted(DedupIndex.readPairStore(spark, store)) ===
+        sorted(DedupOps.nearDupPairs(docs.unionByName(twin),
+          "doc_id", "text")))
+    }
+  }
+
   test("appendPairBatch refuses LSH params that disagree with the " +
     "store's sidecar") {
     withIncrStore { store =>
