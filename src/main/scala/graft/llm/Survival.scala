@@ -716,14 +716,38 @@ object Survival {
         s"$maxCells - quantize coarser (the RankStats long contract)")
     val n = cells.map(_._3).sum
     val nEvents = cells.map(_._4).sum
+    val grid = new Cox2Grid(cells)
+    import spark.implicits._
+    val out = grid.fit(iterations) match {
+      case None =>
+        (n, nEvents, None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double],
+          None: Option[Double], None: Option[Double])
+      case Some((b1, b2, se1, se2)) =>
+        (n, nEvents, Some(b1), Some(se1), Some(b1 / se1),
+          Some(b2), Some(se2), Some(b2 / se2))
+    }
+    Seq(out).toDF("n", "n_events", "beta1", "se1", "z1", "beta2",
+      "se2", "z2")
+  }
 
-    val xs = cells.map(_._2).distinct.sorted
-    val xIdx = xs.zipWithIndex.toMap
-    val times = cells.map(_._1).distinct.sorted(Ordering[Long].reverse)
-    val byT = cells.groupBy(_._1)
+  /** The driver-side (t, x1, x2) cell-grid machinery shared by
+    * [[coxPh2]] and [[schoenfeldPh2]] — the [[Cox1Grid]] design lifted
+    * to the vector case: per-(x1,x2) running risk counts swept over
+    * distinct t DESCENDING, Newton with the closed-form 2×2
+    * information solve. Extracted in r14 when the two-covariate
+    * Schoenfeld diagnostic needed the same sweep at β̂.
+    */
+  private final class Cox2Grid(cells: Array[(Long, (Long, Long), Long,
+      Long)]) {
+    private val xs = cells.map(_._2).distinct.sorted
+    private val xIdx = xs.zipWithIndex.toMap
+    private val times = cells.map(_._1).distinct.sorted(Ordering[Long].reverse)
+    private val byT = cells.groupBy(_._1)
 
-    // (u1, u2, i11, i12, i22) in one descending-t sweep, per-(x1,x2)
-    // risk counts maintained as the suffix
+    /** (u1, u2, i11, i12, i22) in one descending-t sweep, per-(x1,x2)
+      * risk counts maintained as the suffix.
+      */
     def sweep(b1: Double, b2: Double): (Double, Double, Double, Double,
         Double) = {
       val riskByX = new Array[Double](xs.length)
@@ -758,50 +782,150 @@ object Survival {
       (u1, u2, i11, i12, i22)
     }
 
-    def finite(xs: Double*): Boolean =
+    /** Per-event-time stats at (β1, β2), ascending t:
+      * (t, d_t, s1_t, s2_t, x̄1(β,t), x̄2(β,t)) — the pieces of the
+      * per-covariate aggregated (Breslow) Schoenfeld residuals
+      * s_j,t − d_t·x̄_j.
+      */
+    def eventStats(b1: Double, b2: Double): Seq[(Long, Long, Long, Long,
+        Double, Double)] = {
+      val riskByX = new Array[Double](xs.length)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Double, Double)]
+      times.foreach { t =>
+        val here = byT(t)
+        here.foreach(c => riskByX(xIdx(c._2)) += c._3.toDouble)
+        val dT = here.map(_._4).sum
+        if (dT > 0) {
+          val s1 = here.map(c => c._2._1 * c._4).sum
+          val s2 = here.map(c => c._2._2 * c._4).sum
+          var r = 0.0; var ra = 0.0; var rb = 0.0
+          var k = 0
+          while (k < xs.length) {
+            val (x1, x2) = xs(k)
+            val w = riskByX(k) * math.exp(b1 * x1 + b2 * x2)
+            r += w; ra += x1 * w; rb += x2 * w
+            k += 1
+          }
+          out += ((t, dT, s1, s2, ra / r, rb / r))
+        }
+      }
+      out.sortBy(_._1).toSeq
+    }
+
+    private def finite(xs: Double*): Boolean =
       xs.forall(java.lang.Double.isFinite)
 
-    var b1 = 0.0; var b2 = 0.0
-    var it = 0
-    var degenerate = false
-    while (it < iterations && !degenerate) {
-      val (u1, u2, i11, i12, i22) = sweep(b1, b2)
-      val det = i11 * i22 - i12 * i12
-      if (!finite(u1, u2, i11, i12, i22, det) || det <= 0.0)
-        degenerate = true
-      else {
-        b1 += (i22 * u1 - i12 * u2) / det
-        b2 += (i11 * u2 - i12 * u1) / det
-        if (!finite(b1, b2)) degenerate = true
+    /** Newton fit: Some((β̂1, β̂2, se1, se2)) iff converged within the
+      * budget (closing step component-wise ≤ 1e-8·(1+|β̂_j|)), with
+      * se_j = √((I⁻¹)_jj) from the CLOSING sweep's information — the
+      * coxPh/oracle convention. None on a singular/non-PD information
+      * matrix, a non-finite sweep, or a still-material closing step.
+      */
+    def fit(iterations: Int): Option[(Double, Double, Double, Double)] = {
+      var b1 = 0.0; var b2 = 0.0
+      var it = 0
+      var degenerate = false
+      while (it < iterations && !degenerate) {
+        val (u1, u2, i11, i12, i22) = sweep(b1, b2)
+        val det = i11 * i22 - i12 * i12
+        if (!finite(u1, u2, i11, i12, i22, det) || det <= 0.0)
+          degenerate = true
+        else {
+          b1 += (i22 * u1 - i12 * u2) / det
+          b2 += (i11 * u2 - i12 * u1) / det
+          if (!finite(b1, b2)) degenerate = true
+        }
+        it += 1
       }
-      it += 1
+      // closing sweep at β̂ — se from THIS information (the coxPh/oracle
+      // convention) and the non-convergence check component-wise
+      val (uF1, uF2, fi11, fi12, fi22) =
+        if (degenerate) (0.0, 0.0, 0.0, 0.0, 0.0) else sweep(b1, b2)
+      val det = fi11 * fi22 - fi12 * fi12
+      val converged = !degenerate &&
+        finite(uF1, uF2, fi11, fi12, fi22, det) && det > 0.0 && {
+          val s1 = (fi22 * uF1 - fi12 * uF2) / det
+          val s2 = (fi11 * uF2 - fi12 * uF1) / det
+          math.abs(s1) <= 1e-8 * (1.0 + math.abs(b1)) &&
+            math.abs(s2) <= 1e-8 * (1.0 + math.abs(b2))
+        }
+      if (converged)
+        Some((b1, b2, math.sqrt(fi22 / det), math.sqrt(fi11 / det)))
+      else None
     }
-    // closing sweep at β̂ — se from THIS information (the coxPh/oracle
-    // convention) and the non-convergence check component-wise
-    val (uF1, uF2, fi11, fi12, fi22) =
-      if (degenerate) (0.0, 0.0, 0.0, 0.0, 0.0) else sweep(b1, b2)
-    val det = fi11 * fi22 - fi12 * fi12
-    val converged = !degenerate &&
-      finite(uF1, uF2, fi11, fi12, fi22, det) && det > 0.0 && {
-        val s1 = (fi22 * uF1 - fi12 * uF2) / det
-        val s2 = (fi11 * uF2 - fi12 * uF1) / det
-        math.abs(s1) <= 1e-8 * (1.0 + math.abs(b1)) &&
-          math.abs(s2) <= 1e-8 * (1.0 + math.abs(b2))
-      }
+  }
+
+  /** Proportional-hazards diagnostic for [[coxPh2]] — [[schoenfeldPh]]
+    * per covariate: after the two-covariate fit, does EACH hazard
+    * ratio stay constant over time? One row per event time with both
+    * covariates' aggregated (Breslow-tie) Schoenfeld residuals
+    * resid_j(t) = s_j,t − d_t·x̄_j(β̂,t) and each covariate's OWN
+    * residual-vs-time OLS slope and Pearson correlation (constant
+    * across rows; NULL under < 2 event times or zero time variance) —
+    * a time-varying effect on one covariate flags THAT covariate's
+    * corr, not its partner's. Same (t, x1, x2) cell grid and bounded
+    * collect as [[coxPh2]] (shared [[Cox2Grid]]); ZERO rows when the
+    * underlying fit did not converge.
+    */
+  def schoenfeldPh2(df: DataFrame, durationCol: String, eventCol: String,
+                    x1Col: String, x2Col: String, iterations: Int = 8,
+                    maxCells: Int = 1 << 20): DataFrame = {
+    val op = "schoenfeldPh2"
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(maxCells >= 1, s"maxCells must be positive, got $maxCells")
+    val spark = df.sparkSession
+    def checkedX(c: String): Column =
+      when(col(c).isNull, raise_error(lit(s"$op: NULL covariate in $c")))
+        .otherwise(col(c)).cast("long")
+    val rows = df.select(
+      checkedDuration(col(durationCol), op).as("_v"),
+      checkedEvent(col(eventCol), op).as("_e"),
+      checkedX(x1Col).as("_x1"), checkedX(x2Col).as("_x2"))
+    val cells = rows.groupBy("_v", "_x1", "_x2")
+      .agg(count(lit(1)).as("_n"), sum("_e").as("_d"))
+      .limit(maxCells + 1)
+      .collect()
+      .map(r => (r.getAs[Long]("_v"),
+        (r.getAs[Long]("_x1"), r.getAs[Long]("_x2")),
+        r.getAs[Long]("_n"), r.getAs[Long]("_d")))
+    require(cells.length <= maxCells,
+      s"$op: the (duration x covariates) grid exceeds maxCells=" +
+        s"$maxCells - quantize coarser (the RankStats long contract)")
+    val grid = new Cox2Grid(cells)
     import spark.implicits._
-    val out =
-      if (!converged)
-        (n, nEvents, None: Option[Double], None: Option[Double],
-          None: Option[Double], None: Option[Double],
-          None: Option[Double], None: Option[Double])
-      else {
-        val se1 = math.sqrt(fi22 / det)
-        val se2 = math.sqrt(fi11 / det)
-        (n, nEvents, Some(b1), Some(se1), Some(b1 / se1),
-          Some(b2), Some(se2), Some(b2 / se2))
-      }
-    Seq(out).toDF("n", "n_events", "beta1", "se1", "z1", "beta2",
-      "se2", "z2")
+    val out: Seq[(Long, Long, Long, Double, Double, Long, Double, Double,
+        Option[Double], Option[Double], Option[Double], Option[Double])] =
+      grid.fit(iterations) match {
+      case None => Seq.empty
+      case Some((b1, b2, _, _)) =>
+        val stats = grid.eventStats(b1, b2)
+        val resid = stats.map { case (t, d, s1, s2, xb1, xb2) =>
+          (t, d, s1, xb1, s1 - d * xb1, s2, xb2, s2 - d * xb2)
+        }
+        val m = resid.length.toDouble
+        val st = resid.map(_._1.toDouble).sum
+        val stt = resid.map(r => r._1.toDouble * r._1).sum
+        val vt = m * stt - st * st
+        def trend(rs: Seq[Double]): (Option[Double], Option[Double]) = {
+          val sr = rs.sum
+          val srr = rs.map(r => r * r).sum
+          val str = resid.map(_._1.toDouble).zip(rs).map(p => p._1 * p._2).sum
+          val vr = m * srr - sr * sr
+          val cov = m * str - st * sr
+          (if (m >= 2.0 && vt > 0.0) Some(cov / vt) else None,
+            if (m >= 2.0 && vt > 0.0 && vr > 0.0)
+              Some(cov / math.sqrt(vt * vr)) else None)
+        }
+        val (slope1, corr1) = trend(resid.map(_._5))
+        val (slope2, corr2) = trend(resid.map(_._8))
+        resid.map { case (t, d, s1, xb1, r1, s2, xb2, r2) =>
+          (t, d, s1, xb1, r1, s2, xb2, r2, slope1, corr1, slope2, corr2)
+        }
+    }
+    out.toDF("t", "d", "s1_obs", "xbar1", "resid1", "s2_obs", "xbar2",
+      "resid2", "slope1", "corr1", "slope2", "corr2")
   }
 
   /** Two-group log-rank test: did the groups' time-to-event

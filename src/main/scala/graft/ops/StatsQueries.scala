@@ -1539,6 +1539,75 @@ object StatsQueries {
         .orderBy("t")
     },
 
+    // ---- two-covariate Schoenfeld diagnostic (Survival.
+    //      schoenfeldPh2): after the q_evt_cox_ph2 fit, does EACH
+    //      covariate's hazard ratio stay constant over time? Per event
+    //      time BOTH aggregated residuals s_j,t − d_t·x̄_j(β̂,t) with
+    //      per-covariate trend slope/corr — a fading effect on one
+    //      covariate flags that covariate only. The oracle rides the
+    //      SAME unrolled-Newton chain as cox2Oracle (shared
+    //      cox2ChainCtes) and gates on cv.ok, so a non-converged fit
+    //      is ZERO rows on BOTH sides ----
+    "q_evt_ph2_check" -> Q(
+      s"""WITH $survivalSubjectsCte,
+        |$cox2ChainCtes,
+        |res AS (SELECT gf.t, gf.dt, gf.st1, gf.st2,
+        |               gf.ra1 / gf.r AS xbar1, gf.ra2 / gf.r AS xbar2,
+        |               gf.st1 - gf.dt * gf.ra1 / gf.r AS resid1,
+        |               gf.st2 - gf.dt * gf.ra2 / gf.r AS resid2
+        |        FROM gf),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |              sum(CAST(t AS DOUBLE)) AS sx,
+        |              sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS sxx,
+        |              sum(resid1) AS sy1, sum(resid1 * resid1) AS syy1,
+        |              sum(CAST(t AS DOUBLE) * resid1) AS sxy1,
+        |              sum(resid2) AS sy2, sum(resid2 * resid2) AS syy2,
+        |              sum(CAST(t AS DOUBLE) * resid2) AS sxy2
+        |       FROM res)
+        |SELECT r.t, CAST(r.dt AS BIGINT) AS d,
+        |  CAST(r.st1 AS BIGINT) AS s1_obs,
+        |  round(r.xbar1, 6) AS xbar1,
+        |  round(r.resid1, 6) + 0.0 AS resid1,
+        |  CAST(r.st2 AS BIGINT) AS s2_obs,
+        |  round(r.xbar2, 6) AS xbar2,
+        |  round(r.resid2, 6) + 0.0 AS resid2,
+        |  round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0.0
+        |        THEN (m * sxy1 - sx * sy1) / (m * sxx - sx * sx) END, 6)
+        |    + 0.0 AS slope1,
+        |  round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0.0
+        |              AND m * syy1 - sy1 * sy1 > 0.0
+        |        THEN (m * sxy1 - sx * sy1)
+        |             / sqrt((m * sxx - sx * sx) * (m * syy1 - sy1 * sy1))
+        |        END, 6) + 0.0 AS corr1,
+        |  round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0.0
+        |        THEN (m * sxy2 - sx * sy2) / (m * sxx - sx * sx) END, 6)
+        |    + 0.0 AS slope2,
+        |  round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0.0
+        |              AND m * syy2 - sy2 * sy2 > 0.0
+        |        THEN (m * sxy2 - sx * sy2)
+        |             / sqrt((m * sxx - sx * sx) * (m * syy2 - sy2 * sy2))
+        |        END, 6) + 0.0 AS corr2
+        |FROM res r CROSS JOIN ag
+        |WHERE (SELECT ok FROM cv)
+        |ORDER BY r.t""".stripMargin) { (s, dir) =>
+      val act = tb(s, dir).events.groupBy("user_id")
+        .agg(expr("count(*) div 10").as("x1"),
+          countDistinct("event_type").as("x2"))
+      val subj = survivalSubjects(s, dir).join(act, "user_id")
+      Survival.schoenfeldPh2(subj, "dur_h", "ev", "x1", "x2")
+        .select(col("t"), col("d"), col("s1_obs"),
+          round(col("xbar1"), 6).as("xbar1"),
+          (round(col("resid1"), 6) + lit(0.0)).as("resid1"),
+          col("s2_obs"),
+          round(col("xbar2"), 6).as("xbar2"),
+          (round(col("resid2"), 6) + lit(0.0)).as("resid2"),
+          (round(col("slope1"), 6) + lit(0.0)).as("slope1"),
+          (round(col("corr1"), 6) + lit(0.0)).as("corr1"),
+          (round(col("slope2"), 6) + lit(0.0)).as("slope2"),
+          (round(col("corr2"), 6) + lit(0.0)).as("corr2"))
+        .orderBy("t")
+    },
+
     // ---- Nelson–Aalen cumulative hazard (Survival.nelsonAalen):
     //      H(t) = Σ d/n with variance Σ d/n² — the hazard-scale
     //      companion curve (a straight line = constant risk) ----
@@ -1783,7 +1852,27 @@ object StatsQueries {
     * closing sweep. Same MATERIALIZED discipline (scalar re-inlining
     * blew up exponentially in the 1-covariate version).
     */
-  private def cox2Oracle: String = {
+  private def cox2Oracle: String =
+    s"""WITH $survivalSubjectsCte,
+       |$cox2ChainCtes
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n,
+       |  (SELECT CAST(sum(ev) AS BIGINT) FROM subj) AS n_events,
+       |  round(CASE WHEN ok THEN b1 END, 6) AS beta1,
+       |  round(CASE WHEN ok THEN sqrt(i22 / det) END, 6) AS se1,
+       |  round(CASE WHEN ok THEN b1 / sqrt(i22 / det) END, 6) AS z1,
+       |  round(CASE WHEN ok THEN b2 END, 6) AS beta2,
+       |  round(CASE WHEN ok THEN sqrt(i11 / det) END, 6) AS se2,
+       |  round(CASE WHEN ok THEN b2 / sqrt(i11 / det) END, 6) AS z2
+       |FROM cv""".stripMargin
+
+  /** The shared two-covariate unrolled-Newton chain (everything up to
+    * the convergence verdict `cv`, with the final moment evaluation
+    * `gf` in scope) — split out of [[cox2Oracle]] in r14 exactly as
+    * [[coxChainCtes]] was split for q_evt_ph_check, so the
+    * q_evt_ph2_check residuals ride the SAME fit the q_evt_cox_ph2
+    * estimates come from.
+    */
+  private def cox2ChainCtes: String = {
     def g(i: Int, name: String): String =
       s"""$name AS MATERIALIZED (SELECT e.t, e.dt, e.st1, e.st2,
          |  sum(coalesce(ra.rcnt, 0) * exp(b.b1 * ra.x1 + b.b2 * ra.x2)) AS r,
@@ -1807,8 +1896,7 @@ object StatsQueries {
          |  b2 + (i11 * u2 - i12 * u1) / (i11 * i22 - i12 * i12) AS b2
          |FROM cs$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $survivalSubjectsCte,
-       |aq2 AS (SELECT user_id, CAST(count(*) // 10 AS BIGINT) AS x1,
+    s"""aq2 AS (SELECT user_id, CAST(count(*) // 10 AS BIGINT) AS x1,
        |               CAST(count(DISTINCT event_type) AS BIGINT) AS x2
        |        FROM events GROUP BY user_id),
        |cox2 AS MATERIALIZED (SELECT s.dur_h AS t, a.x1, a.x2,
@@ -1845,16 +1933,7 @@ object StatsQueries {
        |          AND abs(fi.i11 * fi.uf2 - fi.i12 * fi.uf1)
        |              <= 1e-8 * (1.0 + abs(b.b2))
        |                 * (fi.i11 * fi.i22 - fi.i12 * fi.i12)) AS ok
-       |       FROM fi CROSS JOIN b8 b)
-       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n,
-       |  (SELECT CAST(sum(ev) AS BIGINT) FROM subj) AS n_events,
-       |  round(CASE WHEN ok THEN b1 END, 6) AS beta1,
-       |  round(CASE WHEN ok THEN sqrt(i22 / det) END, 6) AS se1,
-       |  round(CASE WHEN ok THEN b1 / sqrt(i22 / det) END, 6) AS z1,
-       |  round(CASE WHEN ok THEN b2 END, 6) AS beta2,
-       |  round(CASE WHEN ok THEN sqrt(i11 / det) END, 6) AS se2,
-       |  round(CASE WHEN ok THEN b2 / sqrt(i11 / det) END, 6) AS z2
-       |FROM cv""".stripMargin
+       |       FROM fi CROSS JOIN b8 b)""".stripMargin
   }
 
   /** Competing-risks subjects: cause 1 = first purchase at-or-after

@@ -409,6 +409,47 @@ class SurvivalSpec extends SparkSpec {
     assert(Survival.schoenfeldPh(const, "t", "e", "x").count() === 0L)
   }
 
+  test("schoenfeldPh2: a time-varying effect planted on x1 ONLY flags " +
+    "x1's corr, not x2's; residuals sum to the vanishing score") {
+    // x1: the schoenfeldPh reversal fixture (early failures dominated
+    // by x1=1, late by x1=0 — symmetric, so the fit converges near 0
+    // with a strong residual-vs-time trend). x2: every row DOUBLED
+    // over x2 ∈ {0, 1}, perfectly balanced within each (t, x1) cell —
+    // its risk sets stay symmetric, so resid2(t) = 0 identically and
+    // the all-zero residual stream has no correlation to report.
+    val base =
+      Seq.fill(3)((1L, 1L, 1L)) ++ Seq((1L, 1L, 0L)) ++
+      Seq.fill(3)((2L, 1L, 1L)) ++ Seq((2L, 1L, 0L)) ++
+      Seq((11L, 1L, 1L)) ++ Seq.fill(3)((11L, 1L, 0L)) ++
+      Seq((12L, 1L, 1L)) ++ Seq.fill(3)((12L, 1L, 0L))
+    val tv2 = base.flatMap { case (t, e, x1) =>
+      Seq((t, e, x1, 0L), (t, e, x1, 1L)) }
+      .toDF("t", "e", "x1", "x2")
+    val d = Survival.schoenfeldPh2(tv2, "t", "e", "x1", "x2")
+      .orderBy("t").collect()
+    assert(d.nonEmpty, "converged fit must emit residual rows")
+    val corr1 = d.head.getAs[Double]("corr1")
+    assert(math.abs(corr1) > 0.8,
+      s"planted x1 time-variation must flag corr1: $corr1")
+    d.foreach { r =>
+      assert(math.abs(r.getAs[Double]("xbar2") - 0.5) < 1e-9)
+      assert(math.abs(r.getAs[Double]("resid2")) < 1e-9)
+      assert(r.isNullAt(r.fieldIndex("corr2")),
+        "x2's all-zero residuals have no correlation to report")
+    }
+    // Σ resid_j = U_j(β̂) ≈ 0 — the definitional tie to the fit
+    val sums = Survival.schoenfeldPh2(tv2, "t", "e", "x1", "x2")
+      .agg(sum("resid1"), sum("resid2")).head()
+    assert(math.abs(sums.getDouble(0)) < 1e-6, s"score1 = ${sums.getDouble(0)}")
+    assert(math.abs(sums.getDouble(1)) < 1e-6, s"score2 = ${sums.getDouble(1)}")
+    // a collinear pair (x2 = x1) is a singular information matrix →
+    // NULL fit → the diagnostic is ZERO rows, not residuals at 0
+    val collinear = base.map { case (t, e, x) => (t, e, x, x) }
+      .toDF("t", "e", "x1", "x2")
+    assert(Survival.schoenfeldPh2(collinear, "t", "e", "x1", "x2")
+      .count() === 0L)
+  }
+
   test("cumulativeIncidenceCi: the single-cause case reduces exactly " +
     "to the Greenwood variance and band of 1 − KM") {
     val rows = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L),
