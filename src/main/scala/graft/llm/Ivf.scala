@@ -421,6 +421,53 @@ object Ivf {
       .withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    rerankProbed(corpus, probed, k)
+  }
+
+  /** [[topK]] over a two-level index: the [[probeCandidates2]]
+    * two-stage probe (nprobe1 level-1 cells, nprobe leaves ranked over
+    * only those cells' leaves — O(√k) per query instead of k) feeding
+    * the SAME candidate dedup + exact re-rank tail as the flat search.
+    */
+  def topK(df: DataFrame, queries: DataFrame, index: Index2,
+           idCol: String, vecCol: String, k: Int, nprobe: Int,
+           nprobe1: Int): DataFrame = {
+    val l1b = broadcast(index.l1Centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("l1").asc)
+    val p1 = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        Ann.l2norm(col(vecCol)).as("q_nrm"))
+      .join(l1b)
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq1))
+      .filter(col("_rn") <= nprobe1)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("l1"))
+    val leafB = broadcast(index.centroids
+      .withColumn("_cn", Ann.l2norm(col("centroid"))))
+    val wq2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
+    val probed = p1.join(leafB, "l1")
+      .withColumn("_sim", round(
+        Ann.dot(col("q_vec"), col("centroid")) / (col("q_nrm") * col("_cn")), 9))
+      .withColumn("_rn", row_number().over(wq2))
+      .filter(col("_rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val corpus = df.join(index.assignments, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    rerankProbed(corpus, probed, k)
+  }
+
+  /** The ONE candidate-join + dedup + exact-re-rank tail behind every
+    * per-query search face (flat, two-level, streaming store), against
+    * a prepared corpus `(c_id, c_vec, c_nrm, cell)` and a probed query
+    * frame `(q_id, q_vec, q_nrm, cell)`.
+    */
+  private def rerankProbed(corpus: DataFrame, probed: DataFrame,
+                           k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
     // pair-level dedup (a store vector re-ingested in a later batch

@@ -3719,6 +3719,50 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- per-query top-k over the two-level index (Ivf.topK/Index2)
+    //      — the scale face of q_ann_ivf_topk: the query pays
+    //      k1 + nprobe1·k2 ≈ O(√k) centroid comparisons instead of k,
+    //      then the same candidate dedup + exact re-rank tail ----
+    "q_ann_ivf2_topk" -> Q(
+      s"""$ivf2FitCtes,
+         |${ivfAssignOver("e", "vn", "lc2", "pl1q",
+             where = "AND e.vec_id < 10", limit = 2)},
+         |pleafq AS (SELECT q_id, cell FROM (
+         |    SELECT d.q_id, d.cell,
+         |           row_number() OVER (PARTITION BY d.q_id
+         |             ORDER BY round(d.dot / (vn.nrm * lfn.nrm), 9) DESC, d.cell) AS rn
+         |    FROM (SELECT p.vec_id AS q_id, lf.cell, sum(e.v * lf.m) AS dot
+         |          FROM pl1q p JOIN e ON e.vec_id = p.vec_id
+         |          JOIN leaf lf ON lf.l1 = p.cell AND lf.i = e.i
+         |          GROUP BY p.vec_id, lf.cell) d
+         |    JOIN vn ON vn.vec_id = d.q_id
+         |    JOIN lfn ON lfn.cell = d.cell) WHERE rn <= 4),
+         |candsq AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+         |  FROM pleafq p JOIN caf a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |cosq AS (
+         |  SELECT p.q_id, p.c_id,
+         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+         |  FROM candsq p
+         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, cosine,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+         |  FROM cosq)
+         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+        targetCellSize = 128, iters = 2)
+      Ivf.topK(emb, emb.filter(col("vec_id") < 10), index,
+          "vec_id", "embedding", k = 3, nprobe = 4, nprobe1 = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
     // ---- hard negatives over the same two-level index — the scale
     //      face of q_emb_hard_negatives; label mismatch still filters
     //      BEFORE the rank window ----

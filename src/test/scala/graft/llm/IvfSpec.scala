@@ -134,6 +134,35 @@ class IvfSpec extends SparkSpec {
     g.unpersist(); index.unpersist()
   }
 
+  test("two-level topK: agrees with the corpus-as-queries graph face " +
+    "on shared probes and recovers brute-force neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 16, iters = 2)
+    val qs = emb.filter($"vec_id" < 5)
+    val tk = Ivf.topK(emb, qs, index, "vec_id", "embedding",
+        k = 3, nprobe = 2, nprobe1 = 2)
+      .select("q_id", "c_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val g = Ivf.knnGraph(emb, index, "vec_id", "embedding",
+        kNeighbors = 3, nprobe = 2, nprobe1 = 2)
+      .filter($"q_id" < 5)
+      .select("q_id", "c_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tk === g, "per-query face diverges from corpus-as-queries face")
+    // generous probes recover a solid share of the exact neighbors
+    val brute = Ann.cosineTopK(qs, emb, "vec_id", "embedding", 3)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Ivf.topK(emb, qs, index, "vec_id", "embedding",
+        k = 3, nprobe = 6, nprobe1 = 3)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & wide).size.toDouble / brute.size
+    assert(recall >= 0.4, s"two-level topK recall=$recall")
+    index.unpersist()
+  }
+
   test("two-level hardNegatives: label mismatch filters before the " +
     "rank; generous probes recover the planted infiltrator") {
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
