@@ -304,6 +304,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("two-level knnGraph: leaf attaches are equi joins on l1, the " +
+    "cell join still shuffles, and no real cartesian appears") {
+    val emb = Tables(spark, sfDir).embeddings
+    val index = graft.llm.Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 64, iters = 1)
+    val plan = planOf(graft.llm.Ivf.knnGraph(
+      emb, index, "vec_id", "embedding", 3, nprobe = 2, nprobe1 = 2))
+    // nested loops allowed ONLY for the k1-row level-1 centroid
+    // attaches (probe side + uncached assignment lineage); the LEAF
+    // attaches join on l1 — an equi key — so they must never appear
+    // as nested loops. That equi join is the point of the two level
+    // design: a query meets only its own cells' leaves.
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val strict = planOf(graft.llm.Ivf.knnGraph(
+        emb, index, "vec_id", "embedding", 3, nprobe = 2, nprobe1 = 2))
+      assert(strict.contains("Exchange hashpartitioning(cell") ||
+        strict.contains("SortMergeJoin"),
+        s"cell join must be a shuffle join:\n$strict")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    index.unpersist()
+  }
+
   test("sourceOverlap and bigramLogProb plan as equi joins only") {
     val docs = Tables(spark, sfDir).documents
     val ovPlan = planOf(graft.llm.Boilerplate.sourceOverlap(
