@@ -432,7 +432,24 @@ object Ivf {
   def topK(df: DataFrame, queries: DataFrame, index: Index2,
            idCol: String, vecCol: String, k: Int, nprobe: Int,
            nprobe1: Int): DataFrame = {
-    val l1b = broadcast(index.l1Centroids
+    val corpus = df.join(index.assignments, idCol)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    topKAgainst2(corpus, queries, index.l1Centroids, index.centroids,
+      idCol, vecCol, k, nprobe, nprobe1)
+  }
+
+  /** The two-level analogue of [[topKAgainst]] against an arbitrary
+    * prepared corpus frame `(c_id, c_vec, c_nrm, cell)` — shared by
+    * the [[topK]] Index2 face and the streaming store search
+    * ([[graft.streaming.AnnIndexStream.searchTwoLevel]]).
+    */
+  private[graft] def topKAgainst2(corpus: DataFrame, queries: DataFrame,
+                                  l1Centroids: DataFrame,
+                                  leafCentroids: DataFrame, idCol: String,
+                                  vecCol: String, k: Int, nprobe: Int,
+                                  nprobe1: Int): DataFrame = {
+    val l1b = broadcast(l1Centroids
       .withColumn("_cn", Ann.l2norm(col("centroid"))))
     val wq1 = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("_sim").desc, col("l1").asc)
@@ -445,7 +462,7 @@ object Ivf {
       .withColumn("_rn", row_number().over(wq1))
       .filter(col("_rn") <= nprobe1)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("l1"))
-    val leafB = broadcast(index.centroids
+    val leafB = broadcast(leafCentroids
       .withColumn("_cn", Ann.l2norm(col("centroid"))))
     val wq2 = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("_sim").desc, col("cell").asc)
@@ -455,9 +472,6 @@ object Ivf {
       .withColumn("_rn", row_number().over(wq2))
       .filter(col("_rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
-    val corpus = df.join(index.assignments, idCol)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-        Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
     rerankProbed(corpus, probed, k)
   }
 

@@ -279,6 +279,43 @@ object LlmQueries {
        |            i, m
        |          FROM ${cent}_r)""".stripMargin
 
+  /** The two-level per-query search replay (queries = vec_id < 10,
+    * nprobe1=2, nprobe=4, k=3) — shared VERBATIM by q_ann_ivf2_topk
+    * and q_stream_ann2_refit: a refit store search must be
+    * bit-identical to the one-shot fit's.
+    */
+  private lazy val ivf2TopkOracleSql: String =
+    s"""$ivf2FitCtes,
+       |${ivfAssignOver("e", "vn", "lc2", "pl1q",
+           where = "AND e.vec_id < 10", limit = 2)},
+       |pleafq AS (SELECT q_id, cell FROM (
+       |    SELECT d.q_id, d.cell,
+       |           row_number() OVER (PARTITION BY d.q_id
+       |             ORDER BY round(d.dot / (vn.nrm * lfn.nrm), 9) DESC, d.cell) AS rn
+       |    FROM (SELECT p.vec_id AS q_id, lf.cell, sum(e.v * lf.m) AS dot
+       |          FROM pl1q p JOIN e ON e.vec_id = p.vec_id
+       |          JOIN leaf lf ON lf.l1 = p.cell AND lf.i = e.i
+       |          GROUP BY p.vec_id, lf.cell) d
+       |    JOIN vn ON vn.vec_id = d.q_id
+       |    JOIN lfn ON lfn.cell = d.cell) WHERE rn <= 4),
+       |candsq AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM pleafq p JOIN caf a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |cosq AS (
+       |  SELECT p.q_id, p.c_id,
+       |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
+       |  FROM candsq p
+       |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
+       |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
+       |  GROUP BY p.q_id, p.c_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cosine,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+       |  FROM cosq)
+       |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+
   /** Two-level probe + candidate tail shared by the scaled graph
     * queries: nprobe1=2 level-1 cells per query, nprobe=2 leaves
     * ranked over ONLY those cells' leaves, then the usual exact
@@ -3723,42 +3760,41 @@ object LlmQueries {
     //      — the scale face of q_ann_ivf_topk: the query pays
     //      k1 + nprobe1·k2 ≈ O(√k) centroid comparisons instead of k,
     //      then the same candidate dedup + exact re-rank tail ----
-    "q_ann_ivf2_topk" -> Q(
-      s"""$ivf2FitCtes,
-         |${ivfAssignOver("e", "vn", "lc2", "pl1q",
-             where = "AND e.vec_id < 10", limit = 2)},
-         |pleafq AS (SELECT q_id, cell FROM (
-         |    SELECT d.q_id, d.cell,
-         |           row_number() OVER (PARTITION BY d.q_id
-         |             ORDER BY round(d.dot / (vn.nrm * lfn.nrm), 9) DESC, d.cell) AS rn
-         |    FROM (SELECT p.vec_id AS q_id, lf.cell, sum(e.v * lf.m) AS dot
-         |          FROM pl1q p JOIN e ON e.vec_id = p.vec_id
-         |          JOIN leaf lf ON lf.l1 = p.cell AND lf.i = e.i
-         |          GROUP BY p.vec_id, lf.cell) d
-         |    JOIN vn ON vn.vec_id = d.q_id
-         |    JOIN lfn ON lfn.cell = d.cell) WHERE rn <= 4),
-         |candsq AS (
-         |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
-         |  FROM pleafq p JOIN caf a ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.q_id),
-         |cosq AS (
-         |  SELECT p.q_id, p.c_id,
-         |         round(sum(a.v * b.v) / (max(na.nrm) * max(nb.nrm)), 4) AS cosine
-         |  FROM candsq p
-         |  JOIN e a ON a.vec_id = p.q_id JOIN e b ON b.vec_id = p.c_id AND b.i = a.i
-         |  JOIN vn na ON na.vec_id = p.q_id JOIN vn nb ON nb.vec_id = p.c_id
-         |  GROUP BY p.q_id, p.c_id),
-         |ranked AS (
-         |  SELECT q_id, c_id, cosine,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
-         |  FROM cosq)
-         |SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
-         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    "q_ann_ivf2_topk" -> Q(ivf2TopkOracleSql) { (s, dir) =>
       val emb = tb(s, dir).embeddings
       val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
         targetCellSize = 128, iters = 2)
       Ivf.topK(emb, emb.filter(col("vec_id") < 10), index,
           "vec_id", "embedding", k = 3, nprobe = 4, nprobe1 = 2)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("q_id", "rn")
+    },
+
+    // ---- streaming ANN store refit through the two-level quantizer
+    //      (AnnIndexStream.refitTwoLevel): the store accumulates under
+    //      a STALE flat quantizer, refitTwoLevel retrains on the
+    //      sample and rewrites the leaf partitions; searchTwoLevel
+    //      must then reproduce q_ann_ivf2_topk EXACTLY — same oracle
+    //      SQL, which knows nothing of the stale start ----
+    "q_stream_ann2_refit" -> Q(ivf2TopkOracleSql) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val stale = Ivf.fit(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", k = 16, iters = 2)
+      val tmp = Scratch.dir("graft_annrefit2_")
+      val store = s"${tmp.getPath}/store"
+      (0 to 1).foreach { b =>
+        graft.streaming.AnnIndexStream.applyBatch(
+          emb.filter(col("vec_id") % 2 === b), "vec_id", "embedding",
+          stale.centroids, store, batchId = b.toLong, queryId = "r2")
+      }
+      stale.unpersist()
+      val (l1c, leafc) = graft.streaming.AnnIndexStream
+        .refitTwoLevel(s, store, "vec_id", "embedding",
+          targetCellSize = 128, iters = 2)
+        .getOrElse(sys.error("refitTwoLevel: store missing"))
+      graft.streaming.AnnIndexStream.searchTwoLevel(s, store, l1c, leafc,
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, nprobe = 4, nprobe1 = 2)
         .withColumn("rn", col("rn").cast("long"))
         .orderBy("q_id", "rn")
     },

@@ -96,6 +96,26 @@ object AnnIndexStream {
     Ivf.topKAgainst(corpus, queries, centroids, idCol, vecCol, k, nprobe)
   }
 
+  /** [[search]] over a TWO-LEVEL quantizer ([[Ivf.fitTwoLevel]] /
+    * [[refitTwoLevel]]): the query ranks k1 level-1 centroids, then
+    * only the probed cells' leaves — O(√k) probe work against a store
+    * whose leaf count grew with the corpus. Same store layout (leaf
+    * `cell` partitions, DPP-pruned), same re-rank tail, shared through
+    * [[Ivf.topKAgainst2]] so the faces cannot diverge.
+    */
+  def searchTwoLevel(spark: SparkSession, storeDir: String,
+                     l1Centroids: DataFrame, leafCentroids: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4, nprobe1: Int = 2): DataFrame = {
+    val store = spark.read
+      .option("basePath", dataDir(storeDir))
+      .parquet(dataDir(storeDir))
+    val corpus = store.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      Ann.l2norm(col(vecCol)).as("c_nrm"), col("cell"))
+    Ivf.topKAgainst2(corpus, queries, l1Centroids, leafCentroids,
+      idCol, vecCol, k, nprobe, nprobe1)
+  }
+
   /** Fold the accumulated `ingest=` deltas into ONE partition — the
     * small-files countermeasure: every micro-batch adds up to
     * |cells| tiny files, and a long-lived stream would otherwise make
@@ -178,6 +198,43 @@ object AnnIndexStream {
     corpus.unpersist()
     Fs.swapInPlace(data, staging, conf)
     Some(index.centroids)
+  }
+
+  /** [[refit]] through the TWO-LEVEL sample-trained quantizer
+    * ([[Ivf.fitTwoLevel]]) — the refit that still works when the store
+    * has grown enough that corpus-sized flat k would pay n·k in Lloyd
+    * assign (the measured 900s wall at 200k vectors): training touches
+    * a ≤ sampleCap hash-sample, the store pays only the two-level
+    * assignment (≈ 2√k comparisons per vector) plus the partitioned
+    * rewrite. Returns (l1Centroids, leafCentroids) to search with via
+    * [[searchTwoLevel]]; the old centroids no longer match the new
+    * cell labels. Same dedup-before-fit, staging-swap, and
+    * single-writer rules as [[refit]].
+    */
+  def refitTwoLevel(spark: SparkSession, storeDir: String, idCol: String,
+                    vecCol: String, targetCellSize: Int = 128,
+                    iters: Int = 2, sampleCap: Int = 65536)
+      : Option[(DataFrame, DataFrame)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = dataDir(storeDir)
+    if (!Fs.exists(data, conf)) return None
+    val store = spark.read.option("basePath", data).parquet(data)
+    val corpus = store
+      .groupBy(col(idCol))
+      .agg(max(col(vecCol)).as(vecCol))
+      .cache()
+    val index = Ivf.fitTwoLevel(corpus, idCol, vecCol, targetCellSize,
+      iters, sampleCap)
+    val n = Fs.listDirs(data, conf).length
+    val staging = stagingDir(data, conf)
+    corpus.join(index.assignments, idCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$staging/ingest=refit2_$n")
+    index.unpersist()
+    corpus.unpersist()
+    Fs.swapInPlace(data, staging, conf)
+    Some((index.l1Centroids, index.centroids))
   }
 
   /** Right-to-be-forgotten propagation: rewrite the store WITHOUT the

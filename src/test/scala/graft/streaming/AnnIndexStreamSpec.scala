@@ -190,6 +190,45 @@ class AnnIndexStreamSpec extends SparkSpec {
       "vec_id", "embedding").isEmpty)
   }
 
+  test("refitTwoLevel: post-refit searchTwoLevel equals Ivf.topK over " +
+    "a freshly fit two-level index") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_refit2").toFile
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val stale = Ivf.fit(corpus.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 4, iters = 2)
+    val store = s"${dir.getPath}/store"
+    (0 to 2).foreach { b =>
+      AnnIndexStream.applyBatch(corpus.filter(col("vec_id") % 3 === b),
+        "vec_id", "embedding", stale.centroids, store,
+        batchId = b.toLong, queryId = "q2")
+    }
+    // a replayed batch's duplicate copies must collapse pre-fit
+    AnnIndexStream.applyBatch(corpus.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", stale.centroids, store,
+      batchId = 7L, queryId = "q2")
+    val (l1c, leafc) = AnnIndexStream.refitTwoLevel(spark, store,
+      "vec_id", "embedding", targetCellSize = 4, iters = 2).get
+    val fresh = Ivf.fitTwoLevel(corpus, "vec_id", "embedding",
+      targetCellSize = 4, iters = 2)
+    def leafs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    assert(leafs(leafc) === leafs(fresh.centroids))
+    val queries = corpus.filter(col("vec_id") <= 5)
+    val got = AnnIndexStream.searchTwoLevel(spark, store, l1c, leafc,
+        queries, "vec_id", "embedding", k = 3, nprobe = 2, nprobe1 = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val want = Ivf.topK(corpus, queries, fresh, "vec_id", "embedding",
+        k = 3, nprobe = 2, nprobe1 = 2)
+      .orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got === want)
+    fresh.unpersist(); stale.unpersist()
+    assert(AnnIndexStream.refitTwoLevel(spark, s"${dir.getPath}/nope",
+      "vec_id", "embedding").isEmpty)
+  }
+
   test("search scan prunes to the probed cell partitions (DPP or static)") {
     val dir = java.nio.file.Files.createTempDirectory("ann_prune").toFile
     val corpus = vecs.toDF("vec_id", "embedding")
