@@ -583,10 +583,25 @@ object Ivf {
     * contract.
     */
   def clusterStats(df: DataFrame, index: Index,
-                   idCol: String, vecCol: String): DataFrame = {
-    val cents = broadcast(index.centroids
+                   idCol: String, vecCol: String): DataFrame =
+    statsAgainst(df, index.assignments,
+      index.centroids.select("cell", "centroid"), idCol, vecCol)
+
+  /** [[clusterStats]] over a two-level index — per LEAF population and
+    * coherence, the report that decides whether a grown corpus needs a
+    * [[graft.streaming.AnnIndexStream.refitTwoLevel]].
+    */
+  def clusterStats(df: DataFrame, index: Index2,
+                   idCol: String, vecCol: String): DataFrame =
+    statsAgainst(df, index.assignments,
+      index.centroids.select("cell", "centroid"), idCol, vecCol)
+
+  private def statsAgainst(df: DataFrame, assignments: DataFrame,
+                           centroids: DataFrame, idCol: String,
+                           vecCol: String): DataFrame = {
+    val cents = broadcast(centroids
       .withColumn("_cn", Ann.l2norm(col("centroid"))))
-    df.join(index.assignments, idCol)
+    df.join(assignments, idCol)
       .join(cents, "cell")
       .withColumn("_vn", Ann.l2norm(col(vecCol)))
       .withColumn("_cos",

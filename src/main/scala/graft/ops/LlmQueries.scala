@@ -3770,6 +3770,27 @@ object LlmQueries {
         .orderBy("q_id", "rn")
     },
 
+    // ---- two-level index diagnostics (Ivf.clusterStats/Index2): per
+    //      LEAF population + coherence — the report that decides when
+    //      a grown store needs a refitTwoLevel ----
+    "q_ann_ivf2_stats" -> Q(
+      s"""$ivf2FitCtes,
+         |dots AS (SELECT a.vec_id, a.cell, sum(e.v * lf.m) AS dot
+         |         FROM caf a JOIN e ON e.vec_id = a.vec_id
+         |         JOIN leaf lf ON lf.cell = a.cell AND lf.i = e.i
+         |         GROUP BY a.vec_id, a.cell)
+         |SELECT d.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       round(avg(d.dot / (vn.nrm * lfn.nrm)), 4) AS mean_cos
+         |FROM dots d JOIN vn ON vn.vec_id = d.vec_id
+         |JOIN lfn ON lfn.cell = d.cell
+         |GROUP BY d.cell ORDER BY d.cell""".stripMargin) { (s, dir) =>
+      val emb = tb(s, dir).embeddings
+      val index = Ivf.fitTwoLevel(emb, "vec_id", "embedding",
+        targetCellSize = 128, iters = 2)
+      Ivf.clusterStats(emb, index, "vec_id", "embedding")
+        .orderBy("cell")
+    },
+
     // ---- streaming ANN store refit through the two-level quantizer
     //      (AnnIndexStream.refitTwoLevel): the store accumulates under
     //      a STALE flat quantizer, refitTwoLevel retrains on the

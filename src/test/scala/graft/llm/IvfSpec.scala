@@ -103,6 +103,9 @@ class IvfSpec extends SparkSpec {
       targetCellSize = 8, iters = 2)
     assert(index.assignments.orderBy("vec_id").collect().toSeq ===
       again.assignments.orderBy("vec_id").collect().toSeq)
+    // leaf diagnostics cover the corpus exactly
+    assert(Ivf.clusterStats(emb, index, "vec_id", "embedding")
+      .agg(sum("n_vecs")).head().getLong(0) === n)
     index.unpersist(); again.unpersist()
   }
 
