@@ -206,40 +206,59 @@ object Curation {
                 lang: String = "en", minScore: Long = 0L): DataFrame = {
     val byLang = TextAnalysis.stopwordProfiles.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
-    val toked = df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-    val hitCols = byLang.map { case (l, words) =>
-      l -> size(filter(col("_toks"), t => t.isin(words: _*)))
-    }
-    val (_, predLang) = hitCols.foldLeft((lit(0), lit("und"))) {
-      case ((bestHits, bestLang), (l, hits)) =>
-        (when(hits > bestHits, hits).otherwise(bestHits),
-          when(hits > bestHits, lit(l)).otherwise(bestLang))
-    }
-    val swHits = size(filter(col("_toks"),
-      t => t.isin(TextAnalysis.stopwordProfiles.map(_._2).distinct: _*)))
-    // max multiplicity = longest equal-run in the sorted token array.
-    // The fold carries (prev, run, best); tokens are never "" (the
-    // tokenizer drops empties), so the seed prev never matches.
-    val sortedToks = array_sort(col("_toks"))
-    val topTok = coalesce(
-      aggregate(
-        sortedToks,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, t) => {
-          val run = when(t === acc("prev"), acc("run") + lit(1L))
-            .otherwise(lit(1L))
-          struct(t.as("prev"), run.as("run"),
-            greatest(acc("best"), run).as("best"))
-        },
-        acc => acc("best")),
-      lit(0L))
-    toked
-      .withColumn("_n_toks", size(col("_toks")))
-      .withColumn("_score",
-        col("_n_toks") + lit(2) * swHits -
-          lit(3) * TextAnalysis.punctCount(col(textCol)))
-      .filter(predLang === lang && col("_score") >= minScore &&
-        col("_n_toks") > 0 && !(topTok * 5 >= col("_n_toks")))
-      .select(col(idCol), col(textCol))
+    // r14 optimization — same gate algebra, restructured for single
+    // evaluation: the old `_toks` column fed a strictly-greater fold
+    // whose when-chains reference each language's hit count twice per
+    // step (2^|langs| subtree copies), and predicate pushdown then
+    // inlined `_toks` = tokenize(text) into every copy — interpreted
+    // HOFs get no common-subexpression elimination, so each document
+    // paid ~50 tokenize/filter passes (measured: the 5.4 s
+    // q_stream_curation gate stage). Binding the token array and the
+    // hit-count array as LAMBDA VARIABLES (one-element transform =
+    // the SQL "let") makes every re-reference an O(1) variable read:
+    // one tokenization, one filter pass per language, per document.
+    val allStop = TextAnalysis.stopwordProfiles.map(_._2).distinct
+    val gate = element_at(
+      transform(array(TextAnalysis.tokens(col(textCol))), toks => {
+        val hitsArr = array(byLang.map { case (_, words) =>
+          size(filter(toks, t => t.isin(words: _*)))
+        }: _*)
+        element_at(transform(array(hitsArr), hs => {
+          // winner by (hits desc, lang asc): ascending fold, strict >
+          // — identical to the previous column fold, but over cheap
+          // array reads instead of re-evaluated filter passes
+          val (_, predLang) = byLang.zipWithIndex
+            .foldLeft((lit(0), lit("und"))) {
+              case ((bestHits, bestLang), ((l, _), i)) =>
+                val hits = element_at(hs, i + 1)
+                (when(hits > bestHits, hits).otherwise(bestHits),
+                  when(hits > bestHits, lit(l)).otherwise(bestLang))
+            }
+          val swHits = size(filter(toks, t => t.isin(allStop: _*)))
+          // max multiplicity = longest equal-run in the sorted token
+          // array. The fold carries (prev, run, best); tokens are
+          // never "" (the tokenizer drops empties), so the seed prev
+          // never matches.
+          val topTok = coalesce(
+            aggregate(
+              array_sort(toks),
+              struct(lit("").as("prev"), lit(0L).as("run"),
+                lit(0L).as("best")),
+              (acc, t) => {
+                val run = when(t === acc("prev"), acc("run") + lit(1L))
+                  .otherwise(lit(1L))
+                struct(t.as("prev"), run.as("run"),
+                  greatest(acc("best"), run).as("best"))
+              },
+              acc => acc("best")),
+            lit(0L))
+          val nToks = size(toks)
+          val score = nToks + lit(2) * swHits -
+            lit(3) * TextAnalysis.punctCount(col(textCol))
+          predLang === lang && score >= minScore &&
+            nToks > 0 && !(topTok * 5 >= nToks)
+        }), 1)
+      }), 1)
+    df.filter(gate).select(col(idCol), col(textCol))
   }
 }

@@ -216,10 +216,19 @@ object DupGraph {
     */
   def triangleStats(pairs: DataFrame, src: String = "id1",
                     dst: String = "id2"): DataFrame = {
+    // cached: e0 is referenced SIX ways below (deg twice via the
+    // union, withDeg, w1/w2 through fwd, the semi-join probe) and the
+    // upstream pairs frame can be arbitrarily expensive (q_er_triangles
+    // feeds the blocked-levenshtein cascade — uncached, its plan
+    // re-expanded per reference to a 3,600-operator tree that both
+    // re-planned and re-executed the cascade; r14 measure-first note).
+    // cache() keeps the frame recomputable (unlike localCheckpoint), so
+    // a post-release re-materialization still computes from source.
     val e0 = pairs
       .select(least(col(src), col(dst)).as("a"),
         greatest(col(src), col(dst)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .cache()
     val deg = e0.select(col("a").as("v"))
       .union(e0.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -235,6 +244,7 @@ object DupGraph {
           col("_db").as("ds"), col("_da").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .cache() // three consumers below: w1, w2, the semi-join right side
     val w1 = fwd.select(col("s"), col("t").as("y"), col("dt").as("dy"))
     val w2 = fwd.select(col("s"), col("t").as("z"), col("dt").as("dz"))
     val wedges = w1.join(w2, "s")
@@ -514,8 +524,14 @@ object DupGraph {
                     dst: String = "dst"): DataFrame = {
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
       .filter(col("a") =!= col("b"))
+    // sym feeds both the degree aggregate and the neighbor join, and
+    // deg feeds the join plus the final profile — cached so the
+    // upstream edge derivation (q_graph_degree_profile's orders ⋈
+    // lineitem distinct) runs once, not four times (recomputable,
+    // unlike a checkpoint)
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .cache()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg")).cache()
     val nbr = sym
       .join(deg.select(col("a").as("b"), col("deg").as("_dd")), Seq("b"))
       .groupBy("a").agg(sum("_dd").as("_nds"))

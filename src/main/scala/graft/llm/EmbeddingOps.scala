@@ -273,57 +273,30 @@ object EmbeddingOps {
       .map(r => (r.getAs[Number]("k").intValue,
         r.getAs[Number]("i").intValue) -> r.getAs[Number]("sx").longValue)
       .toMap
-    def firstArr(k: Int, dim: Int): Seq[Long] =
-      Seq.tabulate(dim)(i => fm.getOrElse((k, i + 1), 0L))
+    def firstArr(k: Int, dim: Int): IndexedSeq[Long] =
+      IndexedSeq.tabulate(dim)(i => fm.getOrElse((k, i + 1), 0L))
     val (sxArr, syArr) = (firstArr(0, dimX), firstArr(1, dimY))
-    def look(arr: Seq[Long], idx: Column): Column =
-      element_at(typedLit(arr), idx.cast("int")).cast(dec)
 
-    // pass 2: the three scatter-cell families (x·y rectangle, x·x and
-    // y·y triangles) ride ONE tagged projection + ONE keyed aggregate;
-    // the three Frobenius sums fold from it in one conditional
-    // aggregate — no joins anywhere
-    val cells = df
-      .select(checkedVec(df, vecColX, dimX, "linearCka").as("_vx"),
+    // pass 2 (r14 optimization): the three scatter-cell families ride
+    // ONE fused moment aggregate (graft.functions.CkaMomentsAgg — a
+    // per-row multiply-add loop over an exact integer Long buffer, the
+    // MinHashAgg precedent) instead of exploding dx·dy + dx²/2 + dy²/2
+    // struct rows per vector through a decimal hash aggregate
+    // (measured 10.5 s → sub-second at sf0.1, identical exact-integer
+    // moments, centering in BigInteger ≡ the decimal(38,0) algebra,
+    // round(,6) absorbing double summation order as documented above)
+    df.select(checkedVec(df, vecColX, dimX, "linearCka").as("_vx"),
         checkedVec(df, vecColY, dimY, "linearCka").as("_vy"))
-      .withColumn("_qx", transform(col("_vx"),
-        x => floor(x.cast("double") * lit(1000.0d)).cast("long")))
-      .withColumn("_qy", transform(col("_vy"),
-        y => floor(y.cast("double") * lit(1000.0d)).cast("long")))
-      .select(explode(expr(
-        """flatten(array(
-          |  flatten(transform(_qx, (x, i) -> transform(_qy, (y, j) ->
-          |    named_struct('k', 2, 'i', i + 1, 'j', j + 1, 'xy', x * y)))),
-          |  flatten(transform(_qx, (x, i) ->
-          |    transform(slice(_qx, i + 1, size(_qx) - i), (y, m) ->
-          |      named_struct('k', 3, 'i', i + 1, 'j', i + 1 + m, 'xy', x * y)))),
-          |  flatten(transform(_qy, (x, i) ->
-          |    transform(slice(_qy, i + 1, size(_qy) - i), (y, m) ->
-          |      named_struct('k', 4, 'i', i + 1, 'j', i + 1 + m, 'xy', x * y))))
-          |))""".stripMargin)).as("c"))
-      .select(col("c.k").as("k"), col("c.i").cast("long").as("i"),
-        col("c.j").cast("long").as("j"),
-        col("c.xy").cast(dec).as("xy"))
-      .groupBy("k", "i", "j")
-      .agg(sum(col("xy")).as("s"), count(lit(1)).as("n"))
-
-    val ab = when(col("k") === 2, look(sxArr, col("i")) * look(syArr, col("j")))
-      .when(col("k") === 3, look(sxArr, col("i")) * look(sxArr, col("j")))
-      .otherwise(look(syArr, col("i")) * look(syArr, col("j")))
-    val c = (col("n").cast(dec) * col("s") - ab).cast("double")
-    // the triangles store each off-diagonal cell once; Frobenius
-    // counts it twice
-    val w = when(col("k") === 2 || col("i") === col("j"), lit(1.0))
-      .otherwise(lit(2.0))
-    cells
-      .agg(max("n").as("n"),
-        sum(when(col("k") === 2, c * c)).as("_hxy"),
-        sum(when(col("k") === 3, w * c * c)).as("_hxx"),
-        sum(when(col("k") === 4, w * c * c)).as("_hyy"))
-      .select(col("n"), lit(dimX.toLong).as("dim_x"),
+      .select(transform(col("_vx"),
+          x => floor(x.cast("double") * lit(1000.0d)).cast("long")).as("_qx"),
+        transform(col("_vy"),
+          y => floor(y.cast("double") * lit(1000.0d)).cast("long")).as("_qy"))
+      .agg(graft.functions.CkaMomentsAgg.ckaMoments(
+        col("_qx"), col("_qy"), dimX, dimY, sxArr, syArr).as("_m"))
+      .select(col("_m.n").as("n"), lit(dimX.toLong).as("dim_x"),
         lit(dimY.toLong).as("dim_y"),
-        when(col("_hxx") * col("_hyy") > 0.0,
-          col("_hxy") / sqrt(col("_hxx") * col("_hyy"))).as("cka"))
+        when(col("_m.hxx") * col("_m.hyy") > 0.0,
+          col("_m.hxy") / sqrt(col("_m.hxx") * col("_m.hyy"))).as("cka"))
   }
 
   /** Raise on a vector whose length ≠ dim (the intProjections stance):

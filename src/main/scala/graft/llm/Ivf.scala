@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index: a coarse k-means quantizer partitions
@@ -72,6 +72,111 @@ object Ivf {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
+  // -------------------------------------------------------------------
+  // Literal-quantizer assignment (r14 optimization): every Lloyd loop
+  // already materializes its centroids on the driver (lineage
+  // truncation), yet [[assign]] shipped them back as a DataFrame and
+  // paid a BroadcastNestedLoopJoin (k× row inflation) plus a groupBy-
+  // argmax Exchange PER PASS — at bench scale that was 2 extra stages
+  // and one extra corpus materialization per Lloyd iteration, and the
+  // fused recompute below also drops [[recompute]]'s join back onto
+  // the corpus (a third scan). The literal form computes the SAME
+  // argmax as ONE projection expression: fold over a typedLit centroid
+  // table, same Ann.dot fold, same round(sim, 9), ties to the lowest
+  // cell (the ascending fold keeps the first best — exactly max_by on
+  // (sim, -cell)), NaN ranking greatest like Spark's double ordering.
+  // Guarded by a plan-size budget: past ~2 MB of centroid doubles the
+  // table rides the task binary, so big quantizers (fitForCellSize at
+  // huge n) keep the broadcast-join path — same math, same results.
+  // -------------------------------------------------------------------
+
+  private val LitDoubleBudget = 262144L // ~2 MB of centroid doubles
+
+  private def fitsLit(cents: Seq[(Int, Seq[Double])]): Boolean =
+    cents.iterator.map(_._2.size + 2L).sum <= LitDoubleBudget
+
+  /** Driver-side replica of [[Ann.l2norm]] — same left-to-right IEEE
+    * fold, so literal-path norms are bit-identical to the column form.
+    */
+  private def l2normHost(v: Seq[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** The shared argmax fold over a [[graft.functions.CellSims]] result
+    * (`struct(cells, sims)` — the per-group similarities, computed in
+    * one compiled loop): highest round(sim, 9), ties to the FIRST
+    * (lowest-cell) entry; NaN sims adopt over non-NaN (Spark's double
+    * ordering ranks NaN greatest); all-null sims yield null like
+    * max_by over null orderings. `cs` MUST be an attribute column —
+    * its two getField references would otherwise re-run the kernel.
+    */
+  private def argmaxFold(cs: Column): Column = {
+    // CleanupAliases strips names inside lambda bodies, so both structs
+    // carry Spark's positional names: col1 = sim, col2 = cell
+    def s(acc: Column) = acc.getField("col1")
+    def c(acc: Column) = acc.getField("col2")
+    aggregate(
+      zip_with(cs.getField("cells"), cs.getField("sims"),
+        (cc, ss) => struct(round(ss, 9), cc)
+          .cast("struct<col1:double,col2:int>")),
+      struct(lit(null).cast("double"), lit(null).cast("int")),
+      (acc, p) => {
+        val sim = p.getField("col1")
+        val adopt = (c(acc).isNull && sim.isNotNull) ||
+          sim > s(acc) ||
+          (isnan(sim) && !isnan(s(acc)))
+        when(adopt, p).otherwise(acc)
+      },
+      acc => c(acc))
+  }
+
+  private def litEntries(cents: Seq[(Int, Seq[Double])]): IndexedSeq[(Int, IndexedSeq[Double], Double)] =
+    cents.sortBy(_._1)
+      .map { case (c, arr) =>
+        val a = arr.toIndexedSeq
+        (c, a, l2normHost(a))
+      }.toIndexedSeq
+
+  private def flatTable(cents: Seq[(Int, Seq[Double])]): Map[Int, IndexedSeq[(Int, IndexedSeq[Double], Double)]] =
+    Map(0 -> litEntries(cents))
+
+  /** [[assign]] over a driver-side centroid table: a pure projection
+    * (CellSims kernel + scalar argmax fold — no join, no Exchange).
+    * Rows whose sims are all null (k = 0, or a null vector) are
+    * dropped, mirroring the join path's inner-join semantics.
+    */
+  private def assignLit(df: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("_cs",
+        graft.functions.CellSims.sims(col(vecCol), lit(0), flatTable(cents)))
+      .select(col(idCol), argmaxFold(col("_cs")).as("cell"))
+      .filter(col("cell").isNotNull)
+
+  /** One fused Lloyd sweep over a driver-side centroid table: assign
+    * (projection) + quantized-mean recompute in ONE corpus pass with a
+    * single aggregation exchange — returns the new centroid rows
+    * densely renumbered in cell order, exactly like
+    * `toCentroidDf(recompute(...).orderBy("cell").collect())`.
+    */
+  private def lloydStepLit(df: DataFrame, vecCol: String,
+                           cents: Seq[(Int, Seq[Double])]): IndexedSeq[(Int, Seq[Double])] =
+    df.withColumn("_cs",
+        graft.functions.CellSims.sims(col(vecCol), lit(0), flatTable(cents)))
+      // cell becomes an ATTRIBUTE before the explode — an expression in
+      // the same select as posexplode lands in the Project ABOVE the
+      // Generate and re-runs the kernel once per exploded element
+      .withColumn("cell", argmaxFold(col("_cs")))
+      .filter(col("cell").isNotNull)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy("cell", "i")
+      .agg((sum(floor(col("v").cast("double") * lit(Quantum)).cast("long"))
+        .cast("double") / (lit(Quantum) * count(lit(1)))).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+      .orderBy("cell").select("centroid")
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+
   /** Train: deterministic seeding (an md5-strided sample — no global
     * window/sort over the corpus, and portable to any engine with md5)
     * then `iters` Lloyd iterations. Centroids are k·d doubles, so each
@@ -98,47 +203,57 @@ object Ivf {
 
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int = 16, iters: Int = 2): Index = {
-    val centroids = fitCentroids(df, idCol, vecCol, k, iters)
-    Index(centroids, assign(df, idCol, vecCol, centroids).cache())
+    val rows = fitCentroidRows(df, idCol, vecCol, k, iters)
+    val centroids = toCentroidDf(df.sparkSession, rows)
+    val asg =
+      if (fitsLit(rows)) assignLit(df, idCol, vecCol, rows)
+      else assign(df, idCol, vecCol, centroids)
+    Index(centroids, asg.cache())
+  }
+
+  private def toCentroidDf(spark: org.apache.spark.sql.SparkSession,
+                           rows: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("cell", "centroid")
   }
 
   /** The Lloyd training pass alone — seed + `iters` iterations —
-    * returning the centroid frame without assigning (or caching) the
-    * corpus. [[fit]] layers the final assignment on top;
+    * returning the driver-side centroid rows without assigning (or
+    * caching) the corpus. [[fit]] layers the final assignment on top;
     * [[fitTwoLevel]] runs this on a bounded sample where a full-corpus
-    * assignment would be wasted work.
+    * assignment would be wasted work. Each iteration is ONE fused
+    * assign+recompute pass ([[lloydStepLit]]) when the quantizer fits
+    * the literal budget, else the join-based pair.
     */
-  private def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
-                           k: Int, iters: Int): DataFrame = {
-    val spark = df.sparkSession
+  private def fitCentroidRows(df: DataFrame, idCol: String, vecCol: String,
+                              k: Int, iters: Int): IndexedSeq[(Int, Seq[Double])] = {
     val n = df.count()
     // expect ~4k survivors from the md5 stride, keep the k smallest ids
     // (TakeOrderedAndProject — no global sort materialization)
     val stride = math.max(1L, n / math.max(1, 4 * k))
-    val seedRows = df
+    var cents: IndexedSeq[(Int, Seq[Double])] = df
       .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
         .cast("long") % stride === 0)
       .orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("centroid"))
-      .collect()
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
 
-    def toCentroidDf(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
-      import spark.implicits._
-      rows.toIndexedSeq.zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0)) }
-        .toDF("cell", "centroid")
-    }
-
-    var centroids = toCentroidDf(seedRows)
     var it = 0
     while (it < iters) {
-      val assignments = assign(df, idCol, vecCol, centroids)
-      centroids = toCentroidDf(
-        recompute(df, idCol, vecCol, assignments)
-          .orderBy("cell").select("centroid").collect())
+      cents =
+        if (fitsLit(cents)) lloydStepLit(df, vecCol, cents)
+        else {
+          val centroids = toCentroidDf(df.sparkSession, cents)
+          val assignments = assign(df, idCol, vecCol, centroids)
+          recompute(df, idCol, vecCol, assignments)
+            .orderBy("cell").select("centroid")
+            .collect().toIndexedSeq.zipWithIndex
+            .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        }
       it += 1
     }
-    centroids
+    cents
   }
 
   // -------------------------------------------------------------------
@@ -208,52 +323,64 @@ object Ivf {
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
         .cast("long") % ss === 0)
 
-    val l1Cents = fitCentroids(sample, idCol, vecCol, k1, iters)
-      .withColumnRenamed("cell", "l1")
-    // sample → level-1 cell, fixed for the whole level-2 training
-    val sa = assign(sample, idCol, vecCol,
-        l1Cents.withColumnRenamed("l1", "cell"))
-      .withColumnRenamed("cell", "l1")
+    val l1Rows = fitCentroidRows(sample, idCol, vecCol, k1, iters)
+    val l1Cents = toCentroidDf(spark, l1Rows).withColumnRenamed("cell", "l1")
+    // sample → level-1 cell, fixed for the whole level-2 training —
+    // a pure projection under the literal budget (no join, no argmax
+    // Exchange), the broadcast-join [[assign]] otherwise.
     // every level-2 iteration re-reads the sample with its fixed l1
     // label; cache it for the training loop, released before return
-    val sampleL1 = sample
-      .select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("_v"))
-      .join(sa, idCol)
+    val sampleL1 =
+      (if (fitsLit(l1Rows))
+        sample.withColumn("_cs",
+            graft.functions.CellSims.sims(col(vecCol), lit(0), flatTable(l1Rows)))
+          .select(col(idCol),
+            transform(col(vecCol), x => x.cast("double")).as("_v"),
+            argmaxFold(col("_cs")).as("l1"))
+          .filter(col("l1").isNotNull)
+      else sample
+        .select(col(idCol),
+          transform(col(vecCol), x => x.cast("double")).as("_v"))
+        .join(assign(sample, idCol, vecCol,
+            l1Cents.withColumnRenamed("l1", "cell"))
+          .withColumnRenamed("cell", "l1"), idCol))
       .cache()
-
-    def toSubDf(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      rows.toDF("l1", "sub", "centroid")
 
     // seeds: per level-1 cell, the k2 lowest-id sample members
     val wseed = org.apache.spark.sql.expressions.Window
       .partitionBy("l1").orderBy(col(idCol))
-    var subCents = toSubDf(
+    var subRows: IndexedSeq[(Int, Int, Seq[Double])] =
       sampleL1.withColumn("_rn", row_number().over(wseed))
         .filter(col("_rn") <= k2)
         .select(col("l1"), (col("_rn") - 1).as("sub"), col("_v"))
         .collect().toIndexedSeq
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-        .sortBy(t => (t._1, t._2)))
+        .sortBy(t => (t._1, t._2))
 
-    def subAssign(cents: DataFrame): DataFrame = {
-      val sc = broadcast(cents.withColumn("_cn", Ann.l2norm(col("centroid"))))
-      sampleL1
-        .withColumn("_vn", Ann.l2norm(col("_v")))
-        .join(sc, "l1")
-        .withColumn("_sim", round(
-          Ann.dot(col("_v"), col("centroid")) / (col("_vn") * col("_cn")), 9))
-        .groupBy(col(idCol), col("l1"))
-        .agg(max_by(col("sub"),
-          struct(col("_sim"), (-col("sub")).as("_ns"))).as("sub"))
-    }
+    // the per-l1 sub-quantizer as the CellSims group table: l1 → its
+    // (sub, centroid, cn) entries ascending — the kernel ranks only
+    // the OWN cell's k2 subs (same work as the join it replaces), same
+    // argmax rule (round(sim,9), ties to the lowest sub)
+    def subTable(rows: Seq[(Int, Int, Seq[Double])]): Map[Int, IndexedSeq[(Int, IndexedSeq[Double], Double)]] =
+      rows.groupBy(_._1).view.mapValues(rs =>
+        rs.sortBy(_._2).map { case (_, s, c) =>
+          val a = c.toIndexedSeq
+          (s, a, l2normHost(a))
+        }.toIndexedSeq).toMap
 
     var it = 0
     while (it < iters) {
-      val asg = subAssign(subCents)
-      // quantized per-(l1, sub) means, then dead subs renumbered per
-      // cell (driver-side — rows are already collected)
-      val recomputed = sampleL1.join(asg, Seq(idCol, "l1"))
-        .select(col("l1"), col("sub"), posexplode(col("_v")).as(Seq("i", "v")))
+      // fused assign+recompute: quantized per-(l1, sub) means in one
+      // sample pass, then dead subs renumbered per cell (driver-side)
+      val recomputed = sampleL1
+        .withColumn("_cs",
+          graft.functions.CellSims.sims(col("_v"), col("l1"),
+            subTable(subRows)))
+        // attribute-before-explode, as in lloydStepLit
+        .withColumn("sub", argmaxFold(col("_cs")))
+        .filter(col("sub").isNotNull)
+        .select(col("l1"), col("sub"),
+          posexplode(col("_v")).as(Seq("i", "v")))
         .groupBy("l1", "sub", "i")
         .agg((sum(floor(col("v") * lit(Quantum)).cast("long"))
           .cast("double") / (lit(Quantum) * count(lit(1)))).as("m"))
@@ -263,29 +390,44 @@ object Ivf {
         .collect().toIndexedSeq
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
         .sortBy(t => (t._1, t._2))
-      subCents = toSubDf(
-        recomputed.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
-          case (l1, rows) => rows.sortBy(_._2).zipWithIndex
-            .map { case ((_, _, c), s) => (l1, s, c) }
-        })
+      subRows = recomputed.groupBy(_._1).toIndexedSeq.sortBy(_._1).flatMap {
+        case (l1, rows) => rows.sortBy(_._2).zipWithIndex
+          .map { case ((_, _, c), s) => (l1, s, c) }
+      }
       it += 1
     }
 
     sampleL1.unpersist()
     // fallback: a level-1 cell with no surviving subs keeps its own
     // centroid as the single leaf — total coverage for the full assign
-    val subRows = subCents.as[(Int, Int, Seq[Double])].collect().toIndexedSeq
     val covered = subRows.map(_._1).toSet
-    val l1Rows = l1Cents.as[(Int, Seq[Double])].collect().toIndexedSeq
     val leafRows = (subRows ++ l1Rows.filterNot(r => covered(r._1))
         .map(r => (r._1, 0, r._2)))
       .sortBy(t => (t._1, t._2))
-    val leafCents = leafRows.zipWithIndex
+    val leafHost = leafRows.zipWithIndex
       .map { case ((l1, _, c), cell) => (cell, l1, c) }
-      .toDF("cell", "l1", "centroid")
+    val leafCents = leafHost.toDF("cell", "l1", "centroid")
 
-    Index2(l1Cents, leafCents,
-      assignTwoLevel(df, idCol, vecCol, l1Cents, leafCents).cache())
+    // hierarchical corpus assign as one projection when the WHOLE leaf
+    // table fits the literal budget (it is driver-side either way)
+    val asg =
+      if (fitsLit(l1Rows) && fitsLit(leafHost.map(r => (r._1, r._3)))) {
+        val leafTable = leafHost.groupBy(_._2).view.mapValues(rs =>
+          rs.sortBy(_._1).map { case (cell, _, c) =>
+            val a = c.toIndexedSeq
+            (cell, a, l2normHost(a))
+          }.toIndexedSeq).toMap
+        df.withColumn("_cs1",
+            graft.functions.CellSims.sims(col(vecCol), lit(0),
+              flatTable(l1Rows)))
+          .withColumn("_l1", argmaxFold(col("_cs1")))
+          .withColumn("_cs2",
+            graft.functions.CellSims.sims(col(vecCol), col("_l1"), leafTable))
+          .select(col(idCol), argmaxFold(col("_cs2")).as("cell"))
+          .filter(col("cell").isNotNull)
+      } else assignTwoLevel(df, idCol, vecCol, l1Cents, leafCents)
+
+    Index2(l1Cents, leafCents, asg.cache())
   }
 
   /** Hierarchical assignment: nearest level-1 cell (k1 comparisons,

@@ -98,6 +98,54 @@ object Quant {
       .groupBy(col(idCol), col("sub"))
       .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
 
+  // -------------------------------------------------------------------
+  // Literal-codebook assignment (r14 optimization, the Ivf literal-
+  // quantizer recipe): codebooks are m·k rows and driver-side by
+  // contract, so the argmin is ONE projection — a CellDists kernel
+  // (compiled Σ(x−y)² loop, bit-identical to subDist's zip_with fold)
+  // plus a cheap scalar fold replicating min_by on (round(d,9), cell):
+  // lowest distance, ties to the lowest cell (ascending fold keeps the
+  // first best), NaN never beating a real distance, all-null → null —
+  // no broadcast join, no groupBy(id, sub) Exchange per training pass.
+  // -------------------------------------------------------------------
+
+  private def argminFold(cd: Column): Column = {
+    // CleanupAliases strips names inside lambdas — positional names
+    def dBest(acc: Column) = acc.getField("col1")
+    def c(acc: Column) = acc.getField("col2")
+    aggregate(
+      zip_with(cd.getField("cells"), cd.getField("dists"),
+        (cc, dd) => struct(round(dd, 9), cc)
+          .cast("struct<col1:double,col2:int>")),
+      struct(lit(null).cast("double"), lit(null).cast("int")),
+      (acc, p) => {
+        val d = p.getField("col1")
+        val adopt = (c(acc).isNull && d.isNotNull) ||
+          d < dBest(acc) ||
+          (isnan(dBest(acc)) && !isnan(d))
+        when(adopt, p).otherwise(acc)
+      },
+      acc => c(acc))
+  }
+
+  private def codebookTable(rows: Seq[(Int, Int, Seq[Double])]): Map[Int, IndexedSeq[(Int, IndexedSeq[Double])]] =
+    rows.groupBy(_._1).view.mapValues(rs =>
+      rs.sortBy(_._2).map { case (_, cell, c) => (cell, c.toIndexedSeq) }
+        .toIndexedSeq).toMap
+
+  /** [[pqAssign]] over driver-side codebook rows: a pure projection.
+    * `cellCol` becomes an ATTRIBUTE before any downstream explode (the
+    * Ivf.lloydStepLit Generate-projection rule).
+    */
+  private def pqAssignLit(sf: DataFrame,
+                          rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    sf.withColumn("_cd",
+        graft.functions.CellDists.dists(col("subvec"), col("sub"),
+          codebookTable(rows)))
+      .withColumn("cell", argminFold(col("_cd")))
+      .filter(col("cell").isNotNull)
+      .drop("_cd")
+
   /** Train the m per-subspace codebooks: (sub, cell, centroid) — m·k
     * rows, always broadcastable. Same seeding and per-iteration
     * driver materialization as Ivf.fit (lineage truncation; one corpus
@@ -120,16 +168,17 @@ object Quant {
       .orderBy(col(idCol)).limit(k)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0))
-    var cents = (for {
+    var cents: Seq[(Int, Int, Seq[Double])] = for {
       s <- 0 until m
       (vec, c) <- seeds.zipWithIndex
-    } yield (s, c, vec.slice(s * w, (s + 1) * w)))
-      .toDF("sub", "cell", "centroid")
+    } yield (s, c, vec.slice(s * w, (s + 1) * w))
     val sf = subframe(df, idCol, vecCol, m, w)
     var it = 0
     while (it < iters) {
-      val asg = pqAssign(sf, idCol, cents)
-      val rec = sf.join(asg, Seq(idCol, "sub"))
+      // fused literal assign + quantized-mean recompute: one corpus
+      // pass per iteration, one aggregation Exchange (was: broadcast
+      // join + argmin Exchange + join back + aggregate)
+      val rec = pqAssignLit(sf, cents)
         .select(col("sub"), col("cell"),
           posexplode(col("subvec")).as(Seq("j", "v")))
         .groupBy("sub", "cell", "j")
@@ -142,19 +191,32 @@ object Quant {
             (s, denseCell,
               crs.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq)
         }
-      }.toDF("sub", "cell", "centroid")
+      }
       it += 1
     }
-    cents
+    cents.toDF("sub", "cell", "centroid")
   }
 
-  /** Encode: each vector's m codebook cells, ordered by subspace. */
+  /** Encode: each vector's m codebook cells, ordered by subspace.
+    * Codebooks are m·k rows (always broadcastable by contract), so the
+    * argmin runs on the literal path — collected once, one projection,
+    * one groupBy(id) Exchange; the join path stays as the fallback for
+    * an oversized table (same math either way).
+    */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebooks: DataFrame, m: Int): DataFrame = {
     val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
-    pqAssign(subframe(df, idCol, vecCol, m, dim / m), idCol, codebooks)
+    val sf = subframe(df, idCol, vecCol, m, dim / m)
+    val rows = codebooks.select(col("sub"), col("cell"), col("centroid"))
+      .collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val assigned =
+      if (rows.iterator.map(_._3.size + 2L).sum <= 262144L)
+        pqAssignLit(sf, rows).select(col(idCol), col("sub"), col("cell"))
+      else pqAssign(sf, idCol, codebooks)
+    assigned
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
         x => x.getField("cell")).as("codes"))

@@ -65,18 +65,38 @@ object CurateStream {
     val benchShingles = DedupOps.shingleSet(benchmark, idCol, textCol, shingleK)
       .select(col("s")).distinct().cache()
     val nBench = benchShingles.count()
-    val sh = gated
-      .withColumn("_toks", graft.llm.TextAnalysis.tokens(col(textCol)))
-      .withColumn("_sh", graft.llm.TextAnalysis.shingles(col("_toks"), shingleK))
+    // the contamination verdict as ONE self-contained filter condition
+    // with the token array bound as a LAMBDA VARIABLE (one-element
+    // transform = the SQL "let"): the previous `_toks`/`_sh` helper
+    // columns got substituted back into the pushed-down filter, and an
+    // inlined tokenizer inside the shingle transform re-evaluates once
+    // per shingle element — the documented O(tokens²)
+    // InferFiltersFromGenerate trap (TextAnalysis.shingles perf note),
+    // resurrected by PushDownPredicates. Binding keeps it one
+    // tokenization + one shingle pass per document.
+    def contaminated(probe: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      element_at(
+        transform(array(graft.llm.TextAnalysis.tokens(col(textCol))),
+          toks => probe(graft.llm.TextAnalysis.shingles(toks, shingleK))),
+        1)
     val clean =
       if (nBench <= maxBroadcastShingles) {
-        // exact face: one broadcast array row, arrays_overlap per doc.
-        // The cache stays live — the streaming query re-evaluates this
-        // static side per micro-batch; it is released with the session
-        // (or by the caller via catalog.clearCache between queries).
-        val benchSet = benchShingles.agg(collect_set(col("s")).as("_bench"))
-        sh.crossJoin(broadcast(benchSet))
-          .filter(!arrays_overlap(col("_sh"), col("_bench")))
+        // exact face: the shingle set rides as an EXECUTOR BROADCAST
+        // probed per-document-shingle through a hash set
+        // ([[graft.functions.SetOverlapBroadcast]]) — same exact
+        // membership as the previous one-row-crossJoin +
+        // arrays_overlap form, but per-row cost is |doc shingles|
+        // instead of a full |benchmark| walk (arrays_overlap re-scans
+        // the longer side per row; measured 28M probes/run at sf0.1).
+        // Like the Bloom face below, the plan carries only the
+        // broadcast handle, so the shingle cache drains and releases
+        // NOW instead of living with the streaming query.
+        val benchArr = benchShingles.collect()
+          .map(_.getString(0).getBytes("UTF-8"))
+        benchShingles.unpersist()
+        val benchBc = docs.sparkSession.sparkContext.broadcast(benchArr)
+        gated.filter(!contaminated(shs =>
+            graft.functions.SetProbe.overlapBroadcast(benchBc, shs)))
           .select(col(idCol), col(textCol))
       } else {
         // sketch face: fixed-size Bloom built once on the driver and
@@ -96,8 +116,8 @@ object CurateStream {
           .head().getAs[Array[Byte]]("_b")
         benchShingles.unpersist()
         val bloomBc = docs.sparkSession.sparkContext.broadcast(bloomBytes)
-        sh.filter(!exists(col("_sh"),
-            s => Bloom.mightContainBroadcast(bloomBc, s)))
+        gated.filter(!contaminated(shs =>
+            exists(shs, s => Bloom.mightContainBroadcast(bloomBc, s))))
           .select(col(idCol), col(textCol))
       }
     StreamDedup.firstSeen(clean, idCol, textCol, ttlMs)

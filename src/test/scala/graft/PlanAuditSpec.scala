@@ -742,7 +742,14 @@ class PlanAuditSpec extends SparkSpec {
     val scans = plan.split("Scan parquet").length - 1
     assert(scans === 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
     assert(!plan.contains("Join"), s"CKA needs no joins at all:\n$plan")
-    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+    // r14: the 8,256-struct-per-row explode + decimal hash aggregate is
+    // now ONE fused moment aggregate (CkaMomentsAgg) — still map-side
+    // partial (partial_cka_moments under ObjectHashAggregate), and the
+    // per-row Generate explosion is gone entirely
+    assert(plan.contains("partial_cka_moments"),
+      s"no map-side combine:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"the scatter-cell explode should be fused into the aggregate:\n$plan")
   }
 
   test("SpanCorrupt.maskSpans is a pure projection — zero shuffles") {
