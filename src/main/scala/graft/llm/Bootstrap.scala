@@ -123,7 +123,12 @@ object Bootstrap {
         valueCols.map(v =>
           checkedLong(col(v), "replicateStats", s"value $v").as(v)): _*)
       .crossJoin(reps)
-      .withColumn("_w", poissonWeight(replicateBucket(col(idCol), col("rep"))))
+      // r14: fused native weight kernel — same md5/bucket/threshold
+      // math as poissonWeight(replicateBucket(...)) (BootstrapSpec pins
+      // parity), minus the hex-string + conv + CASE-chain per pair
+      .withColumn("_w", graft.functions.PoissonWeightMd5.weight(
+        concat(col(idCol).cast("string"), lit("_"), col("rep").cast("string")),
+        poissonThresholds))
     keyed
       .groupBy((groupCols :+ "rep").map(col): _*)
       .agg(sum(col("_w")).as("n_eff"),

@@ -364,8 +364,60 @@ object Codecs {
       * [[grayPixels]] returns these exact values back). Fixture /
       * thumbnail-writeback face of the decoder.
       */
-    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] =
-      encodeGray(px, w, h, "png", 0f)
+    /** Hand-rolled 8-bit grayscale PNG (color type 0, filter 0 per
+      * scanline, one zlib IDAT) — the r14 synthesis-side fast path:
+      * `ImageIO.write` pays a plugin lookup + BufferedImage + stream
+      * per IMAGE, which dominated the per-row encode in
+      * Multimodal.synthImages/thumbnail (tens of thousands of 8x8
+      * tiles per query). PNG is lossless and the JDK reader decodes
+      * any spec-valid stream, so decode-side behavior — the part the
+      * oracles and CodecsSpec pin — is unchanged (the round-trip test
+      * runs through this encoder). Deterministic: fixed Deflater
+      * level, no ancillary chunks.
+      */
+    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+      val raw = new Array[Byte](h * (w + 1))
+      var p = 0
+      var y = 0
+      while (y < h) {
+        raw(p) = 0 // filter type 0 (None)
+        p += 1
+        var x = 0
+        while (x < w) { raw(p) = (px(y * w + x) & 0xff).toByte; p += 1; x += 1 }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw)
+      defl.finish()
+      val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream(comp.size() + 64)
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      def be(i: Int) = Array[Byte](
+        (i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be(data.length))
+        val tb = typ.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb)
+        crc.update(data)
+        out.write(tb)
+        out.write(data)
+        out.write(be(crc.getValue.toInt))
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(0.toByte)  // color type: grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      chunk("IHDR", ihdr.array())
+      chunk("IDAT", comp.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
 
     /** Encode as JPEG at an explicit quality (1.0f ⇒ all-ones quant
       * tables — decoded pixels land within ±2 of source, and exactly

@@ -183,20 +183,25 @@ object EmbeddingOps {
     */
   def secondMoments(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 512, s"dim must be in [1, 512], got $dim")
+    // r14 optimization: the d(d+1)/2-struct-per-row explode into a
+    // decimal hash aggregate is ONE fused moment aggregate
+    // (graft.functions.TriMomentsAgg — the CkaMomentsAgg recipe);
+    // the cell grid re-materializes by zipping the summed triangle
+    // with a literal (i, j) index table. Same exact integer sums
+    // (decimal cast preserved on the output), same empty/null-row
+    // semantics (null struct → filtered → empty frame).
+    val idx = typedLit(for { i <- 1 to dim; j <- i to dim } yield (i.toLong, j.toLong))
     df.select(checkedVec(df, vecCol, dim, "secondMoments").as("_vec"))
-      .withColumn("_q",
-        transform(col("_vec"),
-          x => floor(x.cast("double") * lit(1000.0d)).cast("long")))
-      .select(explode(expr(
-        """flatten(transform(_q, (x, i) ->
-          |  transform(slice(_q, i + 1, size(_q) - i), (y, k) ->
-          |    named_struct('i', i + 1, 'j', i + 1 + k, 'xy', x * y))))"""
-          .stripMargin)).as("c"))
-      .select(col("c.i").cast("long").as("i"),
-        col("c.j").cast("long").as("j"),
-        col("c.xy").cast("decimal(38,0)").as("xy"))
-      .groupBy("i", "j")
-      .agg(sum(col("xy")).as("sxy"), count(lit(1)).as("n"))
+      .select(transform(col("_vec"),
+        x => floor(x.cast("double") * lit(1000.0d)).cast("long")).as("_q"))
+      .agg(graft.functions.TriMomentsAgg.triMoments(col("_q"), dim).as("_m"))
+      .filter(col("_m").isNotNull)
+      .select(col("_m.n").as("_n"),
+        explode(zip_with(idx, col("_m.sums"),
+          (ij, s) => struct(ij.getField("_1"), ij.getField("_2"), s)
+            .cast("struct<col1:bigint,col2:bigint,col3:bigint>"))).as("c"))
+      .select(col("c.col1").as("i"), col("c.col2").as("j"),
+        col("c.col3").cast("decimal(38,0)").as("sxy"), col("_n").as("n"))
   }
 
   /** Population covariance matrix (upper triangle, original units):

@@ -519,11 +519,41 @@ object Ivf {
   /** Public face of the nearest-centroid assignment — (idCol, cell),
     * one row per vector. The streaming ingest
     * ([[graft.streaming.AnnIndexStream]]) labels each arriving vector
-    * with its cell through this; same argmax rule as training.
+    * with its cell through this; same argmax rule as training. A
+    * quantizer under the literal budget (it was about to be
+    * driver-collected for the broadcast anyway) rides the
+    * zero-shuffle [[assignLit]] projection.
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame): DataFrame =
-    assign(df, idCol, vecCol, centroids)
+                  centroids: DataFrame): DataFrame = {
+    val rows = collectCentroids(centroids)
+    if (fitsLit(rows)) assignLit(df, idCol, vecCol, rows)
+    else assign(df, idCol, vecCol, centroids)
+  }
+
+  private def collectCentroids(centroids: DataFrame): IndexedSeq[(Int, Seq[Double])] =
+    centroids
+      .select(col("cell").cast("int").as("cell"), col("centroid"))
+      .collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+  /** [[assignCells]] keeping the vector column alongside —
+    * (idCol, vecCol, cell) in ONE projection pass under the literal
+    * budget (no join back onto the batch), the
+    * [[graft.streaming.AnnIndexStream.applyBatch]] ingest shape.
+    */
+  private[graft] def withCells(df: DataFrame, idCol: String, vecCol: String,
+                               centroids: DataFrame): DataFrame = {
+    val rows = collectCentroids(centroids)
+    if (fitsLit(rows))
+      df.withColumn("_cs",
+          graft.functions.CellSims.sims(col(vecCol), lit(0), flatTable(rows)))
+        .withColumn("cell", argmaxFold(col("_cs")))
+        .filter(col("cell").isNotNull)
+        .select(col(idCol), col(vecCol), col("cell"))
+    else df.select(col(idCol), col(vecCol))
+      .join(assign(df, idCol, vecCol, centroids), idCol)
+  }
 
   /** Search: probe the `nprobe` nearest cells per query (round(sim,9) +
     * cell tiebreak, same rule as training), exact-cosine re-rank inside

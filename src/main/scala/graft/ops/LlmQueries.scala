@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  // r14 mm-synthesis helper: byte -> "%02x" via one literal lookup
+  // table (format_string allocates a java.util.Formatter per call; the
+  // payload builders run 16-64 of them per row)
+  private lazy val hexLut =
+    org.apache.spark.sql.functions.typedLit((0 until 256).map(i => f"$i%02x"))
+  private def hexByte(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.element_at(hexLut,
+      b.cast("int") + org.apache.spark.sql.functions.lit(1))
+
+
   private def tb(s: SparkSession, dir: String) = Tables(s, dir)
 
   /** Shared dup-pair store: the verified LSH+Jaccard pair index over
@@ -4561,7 +4571,7 @@ object LlmQueries {
         "803e0000" + "0200" + "1000" + "64617461" + "20000000"
       val sampleHex = (0 until 16).map { i =>
         val v = s"((o_orderkey * 7 + $i * 13) % 65536)"
-        expr(s"format_string('%02x%02x', $v % 256, $v div 256)")
+        concat(hexByte(expr(s"$v % 256")), hexByte(expr(s"$v div 256")))
       }
       val wav = tb(s, dir).orders
         .withColumn("payload", unhex(concat((lit(headerHex) +: sampleHex): _*)))
@@ -4601,7 +4611,8 @@ object LlmQueries {
         val x = k % 8
         val y = 7 - (k / 8) // file rows are bottom-up
         val g = s"((p_partkey * 3 + $x * 7 + $y * 11) % 256)"
-        expr(s"format_string('%02x%02x%02x', $g, $g, $g)")
+        val gc = hexByte(expr(g))
+        concat(gc, gc, gc)
       }
       val bmp = tb(s, dir).part
         .withColumn("payload", unhex(concat((lit(headerHex) +: pixelHex): _*)))
@@ -4785,7 +4796,8 @@ object LlmQueries {
         val pos = y * 8 + x
         val g = s"(CASE WHEN (${chunkSql(pos / 16)}) div ${1L << (pos % 16)} % 2 = 1" +
           " THEN 200 ELSE 40 END)"
-        expr(s"format_string('%02x%02x%02x', $g, $g, $g)")
+        val gc = hexByte(expr(g))
+        concat(gc, gc, gc)
       }
       val bmp = tb(s, dir).part
         .withColumn("payload", unhex(concat((lit(headerHex) +: pixelHex): _*)))
@@ -4826,7 +4838,7 @@ object LlmQueries {
         "803e0000" + "0200" + "1000" + "64617461" + "20000000"
       val sampleHex = (0 until 16).map { i =>
         val v = s"((o_orderkey * 7 + $i * 13) % 65536)"
-        expr(s"format_string('%02x%02x', $v % 256, $v div 256)")
+        concat(hexByte(expr(s"$v % 256")), hexByte(expr(s"$v div 256")))
       }
       val wav = tb(s, dir).orders
         .withColumn("payload", unhex(concat((lit(headerHex) +: sampleHex): _*)))

@@ -63,10 +63,17 @@ object AnnIndexStream {
       else s"direct_${Fs.listDirs(dataDir(storeDir), conf).length}"
     val dest = s"${dataDir(storeDir)}/ingest=$tag"
     if (Fs.exists(dest, conf)) return // re-delivered batch: directory IS the marker
-    val cells = Ivf.assignCells(batch, idCol, vecCol, centroids)
-    val assigned = batch.select(col(idCol), col(vecCol)).join(cells, idCol)
+    // one projection pass: (id, vec, cell) without joining the cells
+    // back onto the batch (Ivf.withCells — literal quantizer path)
+    val assigned = Ivf.withCells(batch, idCol, vecCol, centroids)
     val staging = s"$storeDir/.staging_$tag"
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // cluster by cell before the dynamic-partition write: without it
+    // every input partition opens one file PER CELL (tasks × cells tiny
+    // files — measured as the 3.5s job of the refit fixtures); after it
+    // the file count tracks the cell count (guide §6 output sizing) and
+    // AQE sizes the shuffle
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
     // the first batch of a fresh store renames into a data/ dir that
     // does not exist yet — HDFS/S3A rename fails without the parent
     Fs.mkdirs(dataDir(storeDir), conf)
@@ -134,6 +141,7 @@ object AnnIndexStream {
     val staging = stagingDir(data, conf)
     spark.read.option("basePath", data).parquet(data)
       .drop("ingest")
+      .repartition(col("cell")) // one file family per cell, not per task×cell
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=compacted_$n")
     Fs.swapInPlace(data, staging, conf)
@@ -190,8 +198,10 @@ object AnnIndexStream {
     val index = Ivf.fit(corpus, idCol, vecCol, k, iters)
     val n = Fs.listDirs(data, conf).length
     val staging = stagingDir(data, conf)
-    corpus.join(index.assignments, idCol)
-      .select(col(idCol), col(vecCol), col("cell"))
+    // same one-projection shape as applyBatch (flat argmax ≡ the
+    // index's own assignments frame — no join back onto the corpus)
+    Ivf.withCells(corpus, idCol, vecCol, index.centroids)
+      .repartition(col("cell")) // one file family per cell, not per task×cell
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=refit_$n")
     index.unpersist()
@@ -229,6 +239,7 @@ object AnnIndexStream {
     val staging = stagingDir(data, conf)
     corpus.join(index.assignments, idCol)
       .select(col(idCol), col(vecCol), col("cell"))
+      .repartition(col("cell")) // one file family per cell, not per task×cell
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=refit2_$n")
     index.unpersist()
@@ -261,6 +272,7 @@ object AnnIndexStream {
     val staging = stagingDir(data, conf)
     store.drop("ingest")
       .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+      .repartition(col("cell")) // one file family per cell, not per task×cell
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$staging/ingest=forgotten_$n")
     Fs.swapInPlace(data, staging, conf)

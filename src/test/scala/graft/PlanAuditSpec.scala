@@ -716,15 +716,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
   }
 
-  test("EmbeddingOps.secondMoments: one projection-side explode, one " +
-    "exchange, no self-join") {
+  test("EmbeddingOps.secondMoments: one fused moment aggregate, no " +
+    "corpus-sized explode, no self-join") {
     val emb = Tables(spark, sfDir).embeddings
     val plan = planOf(
       graft.llm.EmbeddingOps.secondMoments(emb, "embedding", 64))
-    assert(plan.split("Exchange hashpartitioning").length - 1 === 1, plan)
+    // r14: the d(d+1)/2-struct-per-row explode + decimal hash aggregate
+    // is one TriMomentsAgg pass; the only Generate left re-materializes
+    // the 2,080-cell grid ABOVE the aggregate (bounded, not corpus-sized)
+    assert(plan.contains("partial_tri_moments"),
+      s"no map-side combine:\n$plan")
+    assert(plan.indexOf("Generate") < plan.indexOf("ObjectHashAggregate") ||
+      plan.indexOf("Generate") === -1,
+      s"the corpus-side explode should be fused into the aggregate:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
       s"covariance must not self-join the corpus:\n$plan")
-    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
     assert(plan.contains("ReadSchema: struct<embedding:array<float>>"),
       s"expected a 1-column pruned scan:\n$plan")
   }

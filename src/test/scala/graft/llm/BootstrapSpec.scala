@@ -27,6 +27,27 @@ class BootstrapSpec extends SparkSpec {
     assert(byW.keys.max == Bootstrap.poissonThresholds.size.toLong)
   }
 
+  test("PoissonWeightMd5 kernel ≡ poissonWeight(replicateBucket(id, rep)) " +
+    "over a dense (id, rep) grid") {
+    val grid = spark.range(500L).select(col("id"))
+      .crossJoin(spark.range(7L).select(col("id").as("rep")))
+      .withColumn("w_col",
+        Bootstrap.poissonWeight(
+          Bootstrap.replicateBucket(col("id"), col("rep"))))
+      .withColumn("w_native",
+        graft.functions.PoissonWeightMd5.weight(
+          concat(col("id").cast("string"), lit("_"),
+            col("rep").cast("string")),
+          Bootstrap.poissonThresholds))
+    assert(grid.filter(col("w_col") =!= col("w_native")).count() == 0L)
+    // null key → null weight, like the column form
+    val n = spark.sql("SELECT CAST(NULL AS STRING) AS k")
+      .select(graft.functions.PoissonWeightMd5.weight(col("k"),
+        Bootstrap.poissonThresholds).as("w"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("replicateStats shapes and determinism") {
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
       (4L, "b", 40L)).toDF("id", "g", "v")
