@@ -72,8 +72,21 @@ case class CkaMomentsAgg(
     val xa = qx.eval(input)
     val ya = qy.eval(input)
     if (xa == null || ya == null) return buffer
-    val x = xa.asInstanceOf[ArrayData].toLongArray()
-    val y = ya.asInstanceOf[ArrayData].toLongArray()
+    // null-element scan before toLongArray — same loud-failure stance
+    // as TriMomentsAgg (r14 advice: UnsafeArrayData reads nulls as 0)
+    def checkNoNulls(a: ArrayData, which: String): Unit = {
+      var i = 0
+      while (i < a.numElements()) {
+        if (a.isNullAt(i)) throw new IllegalStateException(
+          s"cka_moments: null element at index $i of $which")
+        i += 1
+      }
+    }
+    val xad = xa.asInstanceOf[ArrayData]
+    val yad = ya.asInstanceOf[ArrayData]
+    checkNoNulls(xad, "x"); checkNoNulls(yad, "y")
+    val x = xad.toLongArray()
+    val y = yad.toLongArray()
     if (x.length != dimX || y.length != dimY)
       throw new IllegalStateException(
         s"cka_moments: vector lengths (${x.length}, ${y.length}) != dims ($dimX, $dimY)")

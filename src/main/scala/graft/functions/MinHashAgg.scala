@@ -53,8 +53,12 @@ case class MinHashAgg(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  // one digest instance per operator instance (per task)
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // ThreadLocal digest (r14 advice): per-task deserialization gives
+  // each task its own instance today, but a shared plan fragment
+  // evaluated concurrently would silently corrupt one cached digest
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     (1 to numHashes).map(i => s"$i|".getBytes("UTF-8")).toArray
 
@@ -81,12 +85,13 @@ case class MinHashAgg(
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[UTF8String].getBytes
+      val dig = md.get()
       var h = 0
       while (h < numHashes) {
-        md.reset()
-        md.update(seedPrefixes(h))
-        md.update(bytes)
-        val d = md.digest()
+        dig.reset()
+        dig.update(seedPrefixes(h))
+        dig.update(bytes)
+        val d = dig.digest()
         if (isLess(d, buffer, h * DigestLen))
           System.arraycopy(d, 0, buffer, h * DigestLen, DigestLen)
         h += 1

@@ -36,12 +36,17 @@ case class PoissonWeightMd5(child: Expression, thresholds: IndexedSeq[Long])
 
   override def dataType: DataType = LongType
 
+  // ThreadLocal, not a plain cached instance: per-task deserialization
+  // gives each task its own expression tree today, but a shared plan
+  // fragment (reused references array) evaluating the same instance
+  // from two threads would silently corrupt a single digest (r14
+  // advice). One digest per (thread, expression) keeps the reuse win.
   @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override protected def nullSafeEval(key: Any): Any = {
-    md.reset()
-    val d = md.digest(key.asInstanceOf[UTF8String].getBytes)
+    val d = md.get().digest(key.asInstanceOf[UTF8String].getBytes)
     val bucket = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
     var k = 0
     while (k < thresholds.length && bucket >= thresholds(k)) k += 1

@@ -44,7 +44,18 @@ case class TriMomentsAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val xa = q.eval(input)
     if (xa == null) return buffer
-    val x = xa.asInstanceOf[ArrayData].toLongArray()
+    val ad = xa.asInstanceOf[ArrayData]
+    // toLongArray on UnsafeArrayData copies raw memory, reading null
+    // elements as 0 SILENTLY — scan first so the loud-failure contract
+    // (addExact/multiplyExact) also covers null-element vectors (r14
+    // advice)
+    var ni = 0
+    while (ni < ad.numElements()) {
+      if (ad.isNullAt(ni)) throw new IllegalStateException(
+        s"tri_moments: null element at index $ni (elements must be non-null)")
+      ni += 1
+    }
+    val x = ad.toLongArray()
     if (x.length != dim)
       throw new IllegalStateException(
         s"tri_moments: vector length ${x.length} != dim $dim")

@@ -256,11 +256,19 @@ object DupGraph {
       .agg(count(lit(1)).as("n_triangles"))
     val wtotal = deg.agg(
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    tri.crossJoin(broadcast(wtotal))
+    // one-row result: materialize eagerly and release the private
+    // intermediates before returning (the nearDupPairs lifecycle —
+    // r14 advice: a long-lived session calling this repeatedly would
+    // otherwise accumulate pinned e0/fwd storage it can never release)
+    val out = tri.crossJoin(broadcast(wtotal))
       .select(col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") > 0,
           round(col("n_triangles") * 3 / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("clustering"))
+      .cache()
+    out.count() // materialize: every consumer of e0/fwd has now run
+    e0.unpersist(); fwd.unpersist()
+    out
   }
 
   /** Integer-exact PageRank in micro-units (rank 1.0 ≡ 1,000,000).
@@ -535,11 +543,17 @@ object DupGraph {
     val nbr = sym
       .join(deg.select(col("a").as("b"), col("deg").as("_dd")), Seq("b"))
       .groupBy("a").agg(sum("_dd").as("_nds"))
-    deg.join(nbr, Seq("a"))
+    // bin-count-sized result: materialize eagerly and release the
+    // private caches before returning (same lifecycle as triangleStats)
+    val out = deg.join(nbr, Seq("a"))
       .groupBy((length(bin(col("deg"))) - 1).cast("long").as("deg_bin"))
       .agg(count(lit(1)).cast("long").as("n_vertices"),
         min("deg").cast("long").as("deg_min"),
         max("deg").cast("long").as("deg_max"),
         expr("sum(_nds) div sum(deg)").cast("long").as("mean_nbr_deg"))
+      .cache()
+    out.count() // materialize: every consumer of sym/deg has now run
+    sym.unpersist(); deg.unpersist()
+    out
   }
 }

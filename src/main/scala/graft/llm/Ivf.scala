@@ -90,7 +90,9 @@ object Ivf {
   // huge n) keep the broadcast-join path — same math, same results.
   // -------------------------------------------------------------------
 
-  private val LitDoubleBudget = 262144L // ~2 MB of centroid doubles
+  // ~2 MB of centroid doubles — shared with Quant's codebook paths so
+  // the literal-plan budget has exactly one definition (r14 advice)
+  private[llm] val LitDoubleBudget = 262144L
 
   private def fitsLit(cents: Seq[(Int, Seq[Double])]): Boolean =
     cents.iterator.map(_._2.size + 2L).sum <= LitDoubleBudget
@@ -141,8 +143,14 @@ object Ivf {
 
   /** [[assign]] over a driver-side centroid table: a pure projection
     * (CellSims kernel + scalar argmax fold — no join, no Exchange).
-    * Rows whose sims are all null (k = 0, or a null vector) are
-    * dropped, mirroring the join path's inner-join semantics.
+    * Rows whose sims are all null are dropped. For k = 0 this mirrors
+    * the join path (inner join against an empty centroid table). For a
+    * NULL VECTOR the paths differ: the join path's max_by over
+    * struct(null _sim, -cell) still returns the LOWEST cell (struct
+    * itself non-null), where this path drops the row. Null vectors are
+    * an upstream data error — every registered corpus is non-null —
+    * so the drop stands; do not feed null vectors through either path
+    * and expect parity (r14 advice).
     */
   private def assignLit(df: DataFrame, idCol: String, vecCol: String,
                         cents: Seq[(Int, Seq[Double])]): DataFrame =

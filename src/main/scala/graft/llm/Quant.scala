@@ -128,6 +128,12 @@ object Quant {
       acc => c(acc))
   }
 
+  /** The Ivf literal-plan budget applied to codebook rows — one shared
+    * constant (r14 advice), one size rule for every literal call site.
+    */
+  private def fitsLit(rows: Seq[(Int, Int, Seq[Double])]): Boolean =
+    rows.iterator.map(_._3.size + 2L).sum <= Ivf.LitDoubleBudget
+
   private def codebookTable(rows: Seq[(Int, Int, Seq[Double])]): Map[Int, IndexedSeq[(Int, IndexedSeq[Double])]] =
     rows.groupBy(_._1).view.mapValues(rs =>
       rs.sortBy(_._2).map { case (_, cell, c) => (cell, c.toIndexedSeq) }
@@ -177,8 +183,16 @@ object Quant {
     while (it < iters) {
       // fused literal assign + quantized-mean recompute: one corpus
       // pass per iteration, one aggregation Exchange (was: broadcast
-      // join + argmin Exchange + join back + aggregate)
-      val rec = pqAssignLit(sf, cents)
+      // join + argmin Exchange + join back + aggregate). The literal
+      // path is budget-guarded like every other call site (r14
+      // advice): an oversized m·k·w codebook would otherwise ride
+      // every task binary — the broadcast-join assign (re-joined to
+      // recover subvec) is the same math.
+      val assigned =
+        if (fitsLit(cents)) pqAssignLit(sf, cents)
+        else pqAssign(sf, idCol, cents.toDF("sub", "cell", "centroid"))
+          .join(sf, Seq(idCol, "sub"))
+      val rec = assigned
         .select(col("sub"), col("cell"),
           posexplode(col("subvec")).as(Seq("j", "v")))
         .groupBy("sub", "cell", "j")
@@ -213,7 +227,7 @@ object Quant {
       .collect().toIndexedSeq
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     val assigned =
-      if (rows.iterator.map(_._3.size + 2L).sum <= 262144L)
+      if (fitsLit(rows))
         pqAssignLit(sf, rows).select(col(idCol), col("sub"), col("cell"))
       else pqAssign(sf, idCol, codebooks)
     assigned

@@ -151,10 +151,10 @@ object LlmQueries {
   private def ivfAssignOver(eT: String, vnT: String, cent: String,
                             out: String, where: String = "",
                             limit: Int = 1): String =
-    s"""${out}_cn AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM $cent GROUP BY cell),
-       |${out}_d AS (SELECT e.vec_id, c.cell, sum(e.v * c.m) AS dot
+    s"""${out}_cn AS MATERIALIZED (SELECT cell, sqrt(sum(m*m)) AS nrm FROM $cent GROUP BY cell),
+       |${out}_d AS MATERIALIZED (SELECT e.vec_id, c.cell, sum(e.v * c.m) AS dot
        |             FROM $eT e JOIN $cent c ON c.i = e.i $where GROUP BY e.vec_id, c.cell),
-       |$out AS (SELECT vec_id, cell FROM (
+       |$out AS MATERIALIZED (SELECT vec_id, cell FROM (
        |    SELECT d.vec_id, d.cell,
        |           row_number() OVER (PARTITION BY d.vec_id
        |             ORDER BY round(d.dot / (vn.nrm * cn.nrm), 9) DESC, d.cell) AS rn
@@ -166,11 +166,11 @@ object LlmQueries {
 
   private def ivfRecomputeOver(eT: String, assignT: String,
                                cent: String): String =
-    s"""${cent}_r AS (SELECT a.cell, e.i,
+    s"""${cent}_r AS MATERIALIZED (SELECT a.cell, e.i,
        |      CAST(sum(CAST(floor(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
        |        / (1000000.0 * count(*)) AS m
        |    FROM $assignT a JOIN $eT e ON e.vec_id = a.vec_id GROUP BY a.cell, e.i),
-       |$cent AS (SELECT dense_rank() OVER (ORDER BY cell) - 1 AS cell, i, m
+       |$cent AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY cell) - 1 AS cell, i, m
        |          FROM ${cent}_r)""".stripMargin
 
   /** First-4-hex-digits-of-md5 as an integer — the engine's portable
@@ -194,9 +194,9 @@ object LlmQueries {
     * `caf` (corpus → leaf) in scope.
     */
   private lazy val ivf2FitCtes: String =
-    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-       |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+       |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
        |tp AS (SELECT count(*) AS n, greatest(4, count(*) // 128) AS k
        |       FROM embeddings),
        |tp2 AS (SELECT n, k,
@@ -205,47 +205,47 @@ object LlmQueries {
        |            // CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k2,
        |          greatest(1, n // 65536) AS ss
        |        FROM tp),
-       |samp AS (SELECT vec_id
+       |samp AS MATERIALIZED (SELECT vec_id
        |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), tp2
        |  WHERE ${hex4("h")} % ss = 0),
        |se AS MATERIALIZED (SELECT e.* FROM e JOIN samp USING (vec_id)),
        |svn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM se GROUP BY vec_id),
        |sprm AS (SELECT greatest(1, (SELECT count(*) FROM samp) // (4 * k1)) AS stride
        |         FROM tp2),
-       |lseed AS (SELECT vec_id FROM (
+       |lseed AS MATERIALIZED (SELECT vec_id FROM (
        |    SELECT s.vec_id, row_number() OVER (ORDER BY s.vec_id) AS rn
        |    FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM samp) s, sprm
        |    WHERE ${hex4("s.h")} % sprm.stride = 0), tp2
        |  WHERE rn <= k1),
-       |lc0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+       |lc0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
        |        FROM lseed s JOIN se e ON e.vec_id = s.vec_id),
        |${ivfAssignOver("se", "svn", "lc0", "la1")},
        |${ivfRecomputeOver("se", "la1", "lc1")},
        |${ivfAssignOver("se", "svn", "lc1", "la2")},
        |${ivfRecomputeOver("se", "la2", "lc2")},
        |${ivfAssignOver("se", "svn", "lc2", "saf")},
-       |sl1 AS (SELECT vec_id, cell AS l1 FROM saf),
-       |sseed AS (SELECT l1, vec_id, rn - 1 AS sub FROM (
+       |sl1 AS MATERIALIZED (SELECT vec_id, cell AS l1 FROM saf),
+       |sseed AS MATERIALIZED (SELECT l1, vec_id, rn - 1 AS sub FROM (
        |    SELECT s.l1, s.vec_id,
        |           row_number() OVER (PARTITION BY s.l1 ORDER BY s.vec_id) AS rn
        |    FROM sl1 s), tp2 WHERE rn <= k2),
-       |sc0 AS (SELECT s.l1, s.sub, e.i, e.v AS m
+       |sc0 AS MATERIALIZED (SELECT s.l1, s.sub, e.i, e.v AS m
        |        FROM sseed s JOIN se e ON e.vec_id = s.vec_id),
        |${ivf2SubAssign("sc0", "ssa0")},
        |${ivf2SubRecompute("ssa0", "sc1")},
        |${ivf2SubAssign("sc1", "ssa1")},
        |${ivf2SubRecompute("ssa1", "sc2")},
-       |lfb AS (SELECT c.cell AS l1, 0 AS sub, c.i, c.m FROM lc2 c
+       |lfb AS MATERIALIZED (SELECT c.cell AS l1, 0 AS sub, c.i, c.m FROM lc2 c
        |        WHERE c.cell NOT IN (SELECT DISTINCT l1 FROM sc2)),
-       |leafp AS (SELECT l1, sub, i, m FROM sc2
+       |leafp AS MATERIALIZED (SELECT l1, sub, i, m FROM sc2
        |          UNION ALL SELECT l1, sub, i, m FROM lfb),
-       |leafn AS (SELECT l1, sub, dense_rank() OVER (ORDER BY l1, sub) - 1 AS cell
+       |leafn AS MATERIALIZED (SELECT l1, sub, dense_rank() OVER (ORDER BY l1, sub) - 1 AS cell
        |          FROM (SELECT DISTINCT l1, sub FROM leafp)),
        |leaf AS MATERIALIZED (SELECT n.cell, p.l1, p.i, p.m
        |        FROM leafp p JOIN leafn n ON n.l1 = p.l1 AND n.sub = p.sub),
-       |lfn AS (SELECT cell, sqrt(sum(m*m)) AS nrm FROM leaf GROUP BY cell),
+       |lfn AS MATERIALIZED (SELECT cell, sqrt(sum(m*m)) AS nrm FROM leaf GROUP BY cell),
        |${ivfAssignOver("e", "vn", "lc2", "ca1")},
-       |cl1 AS (SELECT vec_id, cell AS l1 FROM ca1),
+       |cl1 AS MATERIALIZED (SELECT vec_id, cell AS l1 FROM ca1),
        |caf AS MATERIALIZED (SELECT vec_id, cell FROM (
        |    SELECT d.vec_id, d.cell,
        |           row_number() OVER (PARTITION BY d.vec_id
@@ -261,13 +261,13 @@ object LlmQueries {
     * sub-centroids — round(sim,9) DESC, lowest sub.
     */
   private def ivf2SubAssign(cent: String, out: String): String =
-    s"""${out}_cn AS (SELECT l1, sub, sqrt(sum(m*m)) AS nrm
+    s"""${out}_cn AS MATERIALIZED (SELECT l1, sub, sqrt(sum(m*m)) AS nrm
        |              FROM $cent GROUP BY l1, sub),
-       |${out}_d AS (SELECT e.vec_id, s.l1, c.sub, sum(e.v * c.m) AS dot
+       |${out}_d AS MATERIALIZED (SELECT e.vec_id, s.l1, c.sub, sum(e.v * c.m) AS dot
        |             FROM se e JOIN sl1 s ON s.vec_id = e.vec_id
        |             JOIN $cent c ON c.l1 = s.l1 AND c.i = e.i
        |             GROUP BY e.vec_id, s.l1, c.sub),
-       |$out AS (SELECT vec_id, l1, sub FROM (
+       |$out AS MATERIALIZED (SELECT vec_id, l1, sub FROM (
        |    SELECT d.vec_id, d.l1, d.sub,
        |           row_number() OVER (PARTITION BY d.vec_id
        |             ORDER BY round(d.dot / (svn.nrm * cn.nrm), 9) DESC, d.sub) AS rn
@@ -279,12 +279,12 @@ object LlmQueries {
     * renumbered densely WITHIN their level-1 cell.
     */
   private def ivf2SubRecompute(assignT: String, cent: String): String =
-    s"""${cent}_r AS (SELECT a.l1, a.sub, e.i,
+    s"""${cent}_r AS MATERIALIZED (SELECT a.l1, a.sub, e.i,
        |      CAST(sum(CAST(floor(e.v * 1000000.0) AS BIGINT)) AS DOUBLE)
        |        / (1000000.0 * count(*)) AS m
        |    FROM $assignT a JOIN se e ON e.vec_id = a.vec_id
        |    GROUP BY a.l1, a.sub, e.i),
-       |$cent AS (SELECT l1,
+       |$cent AS MATERIALIZED (SELECT l1,
        |            dense_rank() OVER (PARTITION BY l1 ORDER BY sub) - 1 AS sub,
        |            i, m
        |          FROM ${cent}_r)""".stripMargin
@@ -512,28 +512,28 @@ object LlmQueries {
   private def incrRound(r: Int): String = {
     val b = s"bidx$r"
     val x = s"idx$r"
-    s"""$b AS (SELECT * FROM allidx WHERE doc_id % 3 = $r),
-       |exc$r AS (SELECT b.doc_id, min(i.doc_id) AS mec FROM $b b
+    s"""$b AS MATERIALIZED (SELECT * FROM allidx WHERE doc_id % 3 = $r),
+       |exc$r AS MATERIALIZED (SELECT b.doc_id, min(i.doc_id) AS mec FROM $b b
        |          JOIN $x i ON i.exact_h = b.exact_h GROUP BY b.doc_id),
-       |exb$r AS (SELECT b.doc_id, min(b2.doc_id) AS meb FROM $b b
+       |exb$r AS MATERIALIZED (SELECT b.doc_id, min(b2.doc_id) AS meb FROM $b b
        |          JOIN $b b2 ON b2.exact_h = b.exact_h AND b2.doc_id < b.doc_id
        |          GROUP BY b.doc_id),
-       |bb$r AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM $b
+       |bb$r AS MATERIALIZED (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM $b
        |         UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM $b),
-       |bc$r AS (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM $x
+       |bc$r AS MATERIALIZED (SELECT doc_id, 0 AS band_id, md5(mh1||mh2||mh3||mh4) AS bk FROM $x
        |         UNION ALL SELECT doc_id, 1, md5(mh5||mh6||mh7||mh8) FROM $x),
-       |candc$r AS (SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+       |candc$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
        |            FROM bb$r a JOIN bc$r c ON c.band_id = a.band_id AND c.bk = a.bk),
-       |nearc$r AS (SELECT p.bid AS doc_id, min(p.cid) AS mnc FROM candc$r p
+       |nearc$r AS MATERIALIZED (SELECT p.bid AS doc_id, min(p.cid) AS mnc FROM candc$r p
        |            JOIN $b b ON b.doc_id = p.bid JOIN $x i ON i.doc_id = p.cid
        |            WHERE ${mhMatch("b", "i")} >= 6 GROUP BY p.bid),
-       |candb$r AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |candb$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
        |            FROM bb$r a JOIN bb$r c
        |              ON c.band_id = a.band_id AND c.bk = a.bk AND a.doc_id < c.doc_id),
-       |nearb$r AS (SELECT p.id2 AS doc_id, min(p.id1) AS mnb FROM candb$r p
+       |nearb$r AS MATERIALIZED (SELECT p.id2 AS doc_id, min(p.id1) AS mnb FROM candb$r p
        |            JOIN $b l ON l.doc_id = p.id1 JOIN $b rr ON rr.doc_id = p.id2
        |            WHERE ${mhMatch("l", "rr")} >= 6 GROUP BY p.id2),
-       |verd$r AS (SELECT b.doc_id,
+       |verd$r AS MATERIALIZED (SELECT b.doc_id,
        |    CASE WHEN exc$r.mec IS NOT NULL THEN 'exact_dup_corpus'
        |         WHEN exb$r.meb IS NOT NULL THEN 'exact_dup_batch'
        |         WHEN nearc$r.mnc IS NOT NULL THEN 'near_dup_corpus'
@@ -545,7 +545,7 @@ object LlmQueries {
        |  LEFT JOIN exb$r ON exb$r.doc_id = b.doc_id
        |  LEFT JOIN nearc$r ON nearc$r.doc_id = b.doc_id
        |  LEFT JOIN nearb$r ON nearb$r.doc_id = b.doc_id),
-       |surv$r AS (SELECT a.* FROM allidx a
+       |surv$r AS MATERIALIZED (SELECT a.* FROM allidx a
        |           JOIN verd$r v ON v.doc_id = a.doc_id AND v.verdict = 'kept')""".stripMargin
   }
 
@@ -704,18 +704,18 @@ object LlmQueries {
   // re-rank) -- shared by q_ann_ivf_topk and q_stream_ann_index, whose
   // cell-partitioned store fold must reproduce exactly this result
   private lazy val ivfFitCtes: String =
-    s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -1933,14 +1933,14 @@ object LlmQueries {
       """WITH swl(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
         |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
         |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
-        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
         |         FROM documents WHERE doc_id % 41 <> 0),
-        |tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
-        |ta AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
-        |lv AS (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
-        |win AS (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
+        |tc AS MATERIALIZED (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+        |ta AS MATERIALIZED (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
+        |lv AS MATERIALIZED (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
+        |win AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
         |        WHERE rn = 1 AND sl = 'en'),
-        |sh2 AS (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
+        |sh2 AS MATERIALIZED (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
         |gate AS (SELECT d.doc_id, d.text
         |         FROM documents d
         |         JOIN win ON win.doc_id = d.doc_id
@@ -1953,7 +1953,7 @@ object LlmQueries {
         |ded AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(text)),
         |btoks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
         |          FROM documents WHERE doc_id % 41 = 0),
-        |bsh AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
+        |bsh AS MATERIALIZED (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
         |        FROM (SELECT ts, unnest(range(1, len(ts)-1)) AS i FROM btoks)),
         |gts AS (SELECT g.doc_id, list_filter(string_split_regex(lower(g.text), '\s+'), x -> x <> '') AS ts
         |        FROM gate g JOIN ded ON ded.doc_id = g.doc_id),
@@ -1984,16 +1984,16 @@ object LlmQueries {
       """WITH swl(sl, w) AS (VALUES ('en','the'),('en','a'),('en','fast'),('en','slow'),
         |  ('es','data'),('es','row'),('fr','table'),('fr','join'),
         |  ('de','window'),('de','batch'),('zh','spark'),('zh','stream')),
-        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
-        |toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+        |corpus AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0),
+        |toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
         |         FROM corpus),
-        |tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
-        |ta AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
-        |lv AS (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
-        |win AS (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
+        |tc AS MATERIALIZED (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+        |ta AS MATERIALIZED (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_n FROM tc GROUP BY doc_id),
+        |lv AS MATERIALIZED (SELECT tc.doc_id, swl.sl, sum(tc.c) AS lc FROM tc JOIN swl ON tc.t = swl.w GROUP BY tc.doc_id, swl.sl),
+        |win AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, sl, row_number() OVER (PARTITION BY doc_id ORDER BY lc DESC, sl) AS rn FROM lv)
         |        WHERE rn = 1 AND sl = 'en'),
-        |sh2 AS (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
-        |flags AS (SELECT c.doc_id, c.text,
+        |sh2 AS MATERIALIZED (SELECT doc_id, sum(lc) AS sw_hits FROM lv GROUP BY doc_id),
+        |flags AS MATERIALIZED (SELECT c.doc_id, c.text,
         |    CASE WHEN win.doc_id IS NOT NULL THEN 1 ELSE 0 END AS lang_ok,
         |    CASE WHEN coalesce(ta.n_tokens, 0) + 2 * coalesce(sh2.sw_hits, 0)
         |              - 3 * len(regexp_extract_all(lower(c.text), '[^a-z0-9\s]')) >= 0
@@ -2003,18 +2003,18 @@ object LlmQueries {
         |  FROM corpus c LEFT JOIN ta ON ta.doc_id = c.doc_id
         |  LEFT JOIN win ON win.doc_id = c.doc_id
         |  LEFT JOIN sh2 ON sh2.doc_id = c.doc_id),
-        |g3 AS (SELECT doc_id, text FROM flags
+        |g3 AS MATERIALIZED (SELECT doc_id, text FROM flags
         |       WHERE lang_ok = 1 AND score_ok = 1 AND rep_ok = 1),
-        |ded AS (SELECT min(doc_id) AS doc_id FROM g3 GROUP BY md5(text)),
-        |keep AS (SELECT g.doc_id, g.text FROM g3 g JOIN ded ON ded.doc_id = g.doc_id),
+        |ded AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM g3 GROUP BY md5(text)),
+        |keep AS MATERIALIZED (SELECT g.doc_id, g.text FROM g3 g JOIN ded ON ded.doc_id = g.doc_id),
         |btoks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
         |          FROM documents WHERE doc_id % 41 = 0),
-        |bsh AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
+        |bsh AS MATERIALIZED (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS s
         |        FROM (SELECT ts, unnest(range(1, len(ts)-1)) AS i FROM btoks)),
         |kts AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts FROM keep),
-        |ksh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        |ksh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
         |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM kts)),
-        |dirty AS (SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s)),
+        |dirty AS MATERIALIZED (SELECT DISTINCT doc_id FROM ksh JOIN bsh USING (s)),
         |n AS (SELECT
         |  CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n0,
         |  CAST((SELECT coalesce(sum(lang_ok), 0) FROM flags) AS BIGINT) AS n1,
@@ -2690,8 +2690,8 @@ object LlmQueries {
     //      keep-lowest-id rule. ----
     "q_llm_incr_dedup" -> Q(
       s"""WITH $shingleCte,
-         |sigs AS ($sigSelect),
-         |allidx AS (
+         |sigs AS MATERIALIZED ($sigSelect),
+         |allidx AS MATERIALIZED (
          |  SELECT e.doc_id, md5(e.text) AS exact_h,
          |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
          |  FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
@@ -2760,8 +2760,8 @@ object LlmQueries {
     //      kill; the oracle replays exactly that. ----
     "q_stream_incr_dedup" -> Q(
       s"""WITH $shingleCte,
-         |sigs AS ($sigSelect),
-         |allidx AS (
+         |sigs AS MATERIALIZED ($sigSelect),
+         |allidx AS MATERIALIZED (
          |  SELECT e.doc_id, md5(e.text) AS exact_h,
          |    s.mh1, s.mh2, s.mh3, s.mh4, s.mh5, s.mh6, s.mh7, s.mh8
          |  FROM documents e LEFT JOIN sigs s ON s.doc_id = e.doc_id),
@@ -3600,18 +3600,18 @@ object LlmQueries {
     //      mean member-to-centroid cosine — the skew/coherence report
     //      behind the fitForCellSize knob ----
     "q_ann_cluster_stats" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -3640,18 +3640,18 @@ object LlmQueries {
     //      Shuffle cell join (never a probe-side broadcast of the
     //      corpus); oracle unrolls the identical fit + probe + re-rank. ----
     "q_ann_knn_graph" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -3690,18 +3690,18 @@ object LlmQueries {
     //      mismatch filters before the rank so same-label near
     //      neighbors can't crowd negatives out ----
     "q_emb_hard_negatives" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -3861,18 +3861,18 @@ object LlmQueries {
     //      the IVF nprobe=2 result against the exact brute-force top-3
     //      — the evaluation face every ANN knob is tuned by ----
     "q_ann_recall" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -4085,18 +4085,18 @@ object LlmQueries {
     //      recall@3 — IVF list vs exact, linear gains k+1−exact_rank,
     //      log2 discount, round-6 compare ----
     "q_ann_ndcg" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -4215,18 +4215,18 @@ object LlmQueries {
     },
 
     "q_ann_rrf" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},
@@ -4286,18 +4286,18 @@ object LlmQueries {
     //      Lloyd iterations) → within-cell cosine ≥ τ → drop every
     //      vector with a smaller-id near neighbor ----
     "q_llm_semantic_dedup" -> Q(
-      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          |             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-         |vn AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
+         |vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
          |params AS (SELECT greatest(1, count(*) // 64) AS stride FROM embeddings),
-         |seed AS (SELECT vec_id
+         |seed AS MATERIALIZED (SELECT vec_id
          |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings), params
          |  WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
          |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
          |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
          |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % stride = 0
          |  ORDER BY vec_id LIMIT 16),
-         |c0 AS (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
+         |c0 AS MATERIALIZED (SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cell, e.i, e.v AS m
          |       FROM seed s JOIN e ON e.vec_id = s.vec_id),
          |${ivfAssign("c0", "a1")},
          |${ivfRecompute("a1", "c1")},

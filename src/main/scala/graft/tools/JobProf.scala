@@ -14,9 +14,10 @@ object JobProf {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.quiet(
-      GraftSession.builder("graft-jobprof", "local[32]", shufflePartitions = 32)
-        .getOrCreate())
+      GraftSession.builder("graft-jobprof", s"local[$cpus]",
+        shufflePartitions = math.max(cpus, 4)).getOrCreate())
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     @volatile var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {

@@ -18,6 +18,28 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Physical-plan node names, walking INTO adaptive plans, query
+    * stages and cached relations. Node-level counting is immune to the
+    * AdaptiveSparkPlan toString printing the same operator twice (once
+    * under "== Final Plan ==", once under "== Initial Plan =="), which
+    * double-counts substring matches the moment a frame is cached
+    * (triangleStats eagerly materializes since the r15 storage-leak
+    * fix).
+    */
+  private def nodeNames(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[String] =
+      p.nodeName +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case t: InMemoryTableScanExec => walk(t.relation.cachedPlan)
+        case o => o.children.flatMap(walk)
+      })
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("langId's documents scan prunes to (doc_id, text)") {
     val docs = Tables(spark, sfDir).documents
     val plan = planOf(graft.llm.TextAnalysis.langId(docs, "doc_id", "text"))
@@ -66,9 +88,12 @@ class PlanAuditSpec extends SparkSpec {
     // triangleStats: the wedge/closure joins must be equi; the ONE
     // nested-loop allowed is the broadcast single-row (count × wedges)
     // attach at the very end — the accepted 1-row-cross pattern
-    val triPlan = planOf(graft.llm.DupGraph.triangleStats(pairs))
-    assert(triPlan.split("BroadcastNestedLoopJoin").length - 1 <= 1, triPlan)
-    assert(!triPlan.contains("CartesianProduct"), triPlan)
+    val tri = graft.llm.DupGraph.triangleStats(pairs)
+    val triNodes = nodeNames(tri)
+    assert(triNodes.count(_ == "BroadcastNestedLoopJoin") <= 1,
+      triNodes.mkString("\n"))
+    assert(!triNodes.contains("CartesianProduct"), triNodes.mkString("\n"))
+    val triPlan = planOf(tri)
     assert(triPlan.contains("LeftSemi"), s"closure must be a semi join:\n$triPlan")
   }
 
